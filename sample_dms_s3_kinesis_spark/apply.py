@@ -1,0 +1,212 @@
+"""O24/O25: CDC apply — latest-wins merge into keyed target tables plus
+the ``awsdms_apply_exceptions`` side-channel.
+
+Reference parity:
+- PKs declared via ``ColumnIsPk: "true"`` (stack.py:139,152,162).
+- net state after lib/query.py:16-19 (INSERT→UPDATE→UPDATE→DELETE of PK
+  101) is "row absent"; update/delete of non-existent rows must not fail
+  but surface as exceptions (lib/query.py:25 deletes department 301
+  which was never inserted) — README.md:84's 15th CDC event is the
+  ``awsdms_apply_exceptions`` create-table control record.
+
+Semantics (DMS-shaped):
+- INSERT  → upsert; inserting over an existing PK applies (replace) but
+  records an exception.
+- UPDATE  → replace iff the PK exists, else no-op + exception.
+- DELETE  → remove iff the PK exists, else no-op + exception.
+- ops for one PK apply strictly in ``seq`` order *through* intermediate
+  states (an INSERT→DELETE inside one batch nets to absent with no
+  exception — pure last-writer-wins compaction would get this wrong).
+
+Implementation: per PK we ``collect_list(struct(seq, op, row))``,
+``sort_array`` (sorts by leading ``seq``), and fold with
+``F.aggregate`` — an ordered per-key reduce expressed entirely in
+Catalyst expressions, so the whole merge is one shuffle on the PK and
+stays JVM-side with no Python in the row path.  Per-PK op lists are
+small (bounded by batch size), so the fold state is tiny.
+
+Scale notes: this is the classic "CDC compaction then MERGE" shape. The
+single shuffle is on the PK — the same key the target table would be
+bucketed/clustered on, so on a real deployment (Delta/Iceberg MERGE)
+the co-location is free. Skewed hot keys are bounded by micro-batch
+size; AQE skew-join handles the store-side join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sample_dms_s3_kinesis_spark.catalog import TableDef
+
+# Result of applying one batch of changes to one table.
+@dataclass
+class ApplyResult:
+    table: TableDef
+    new_state: DataFrame          # full post-apply table contents
+    exceptions: DataFrame         # seq, op, error for failed applies
+    counts: DataFrame             # single row: inserts, updates, deletes, applied_*, exceptions
+
+
+def _fold_merge(ops_col: Column, init: Column) -> Column:
+    """Ordered fold over one PK's ops.  State:
+    (exists, row, ins, upd, del, exc, exc_seqs)."""
+
+    def step(state: Column, x: Column) -> Column:
+        is_ins = x["op"] == F.lit("INSERT")
+        is_upd = x["op"] == F.lit("UPDATE")
+        is_del = x["op"] == F.lit("DELETE")
+        exists = state["exists"]
+        is_exc = (is_ins & exists) | (is_upd & ~exists) | (is_del & ~exists)
+        new_exists = F.when(is_del, F.lit(False)).otherwise(
+            F.when(is_ins | is_upd, F.lit(True)).otherwise(exists)
+        )
+        # UPDATE of a missing row does NOT create it (exception instead).
+        new_exists = F.when(is_upd & ~exists, F.lit(False)).otherwise(new_exists)
+        new_row = (
+            F.when(is_ins | (is_upd & exists), x["row"]).otherwise(state["row"])
+        )
+        return F.struct(
+            new_exists.alias("exists"),
+            new_row.alias("row"),
+            (state["ins"] + is_ins.cast("long")).alias("ins"),
+            (state["upd"] + is_upd.cast("long")).alias("upd"),
+            (state["del"] + is_del.cast("long")).alias("del"),
+            (state["exc"] + is_exc.cast("long")).alias("exc"),
+            F.when(
+                is_exc, F.array_append(state["exc_seqs"], F.struct(x["seq"], x["op"]))
+            )
+            .otherwise(state["exc_seqs"])
+            .alias("exc_seqs"),
+        )
+
+    return F.aggregate(ops_col, init, step)
+
+
+def apply_changes(
+    spark: SparkSession,
+    table: TableDef,
+    current: DataFrame,
+    changes: DataFrame,
+) -> ApplyResult:
+    """Merge ``changes`` (columns: seq, op, <table columns>) into
+    ``current`` (the table's present contents, typed with
+    ``table.schema``), latest-wins in ``seq`` order (O24)."""
+    pk = table.pk_columns
+    if not pk:
+        raise ValueError(f"table {table.qualified_name} has no primary key")
+    data_cols = table.column_names
+
+    # Rows whose PK failed to parse can't be keyed — straight to exceptions.
+    pk_null = F.lit(False)
+    for c in pk:
+        pk_null = pk_null | F.col(c).isNull()
+    unkeyed = changes.filter(pk_null).select(
+        "seq", "op", F.lit("unparseable-primary-key").alias("error")
+    )
+    keyed = changes.filter(~pk_null)
+
+    ops_per_pk = keyed.groupBy(*pk).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("seq"),
+                    F.col("op"),
+                    F.struct(*[F.col(c) for c in data_cols]).alias("row"),
+                )
+            )
+        ).alias("ops")
+    )
+
+    cur = current.select(
+        *[F.col(c).alias(f"_cur_{c}") for c in pk],
+        F.struct(*[F.col(c) for c in data_cols]).alias("_cur_row"),
+    )
+    joined = cur.join(
+        ops_per_pk,
+        on=[F.col(f"_cur_{c}") == F.col(c) for c in pk],
+        how="full_outer",
+    )
+
+    exc_seq_type = "array<struct<seq:long,op:string>>"
+    init = F.struct(
+        F.col("_cur_row").isNotNull().alias("exists"),
+        F.col("_cur_row").alias("row"),
+        F.lit(0).cast("long").alias("ins"),
+        F.lit(0).cast("long").alias("upd"),
+        F.lit(0).cast("long").alias("del"),
+        F.lit(0).cast("long").alias("exc"),
+        F.array().cast(exc_seq_type).alias("exc_seqs"),
+    )
+
+    folded = joined.select(
+        F.when(F.col("ops").isNull(), init)
+        .otherwise(_fold_merge(F.col("ops"), init))
+        .alias("s")
+    )
+    folded = folded.persist()
+
+    new_state = folded.filter(F.col("s.exists")).select(
+        *[F.col(f"s.row.{c}").alias(c) for c in data_cols]
+    )
+    apply_exceptions = folded.select(
+        F.explode(F.col("s.exc_seqs")).alias("e")
+    ).select(
+        F.col("e.seq").alias("seq"),
+        F.col("e.op").alias("op"),
+        F.lit("row-not-found-or-duplicate-key").alias("error"),
+    )
+    exceptions = apply_exceptions.unionByName(unkeyed)
+    counts = folded.agg(
+        F.sum("s.ins").alias("inserts"),
+        F.sum("s.upd").alias("updates"),
+        F.sum("s.del").alias("deletes"),
+        F.sum("s.exc").alias("exceptions"),
+    ).na.fill(0)
+    return ApplyResult(table=table, new_state=new_state, exceptions=exceptions, counts=counts)
+
+
+class ParquetTargetStore:
+    """Materialized target tables as versioned parquet directories with
+    copy-on-write swaps — the local stand-in for a Delta/Iceberg MERGE
+    target.  Each ``apply_changes`` output is written to a fresh
+    ``v{N}`` dir and the pointer advances; readers always see a complete
+    consistent version.  At 100 TB you would replace this class with
+    ``MERGE INTO`` on a table format; the engine's apply logic is
+    unchanged (same compacted upsert frame)."""
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+        self._versions: dict[str, int] = {}
+
+    def _dir(self, name: str, version: int) -> str:
+        return f"{self.root}/{name}/v{version:06d}"
+
+    def read(self, spark: SparkSession, table: TableDef) -> DataFrame:
+        v = self._versions.get(table.qualified_name)
+        if v is None:
+            return spark.createDataFrame([], table.schema)
+        return spark.read.schema(table.schema).parquet(
+            self._dir(table.qualified_name, v)
+        )
+
+    def write(self, table_name: str, df: DataFrame) -> None:
+        v = self._versions.get(table_name, 0) + 1
+        df.write.mode("overwrite").parquet(self._dir(table_name, v))
+        self._versions[table_name] = v
+
+    def append(self, table_name: str, df: DataFrame) -> None:
+        v = self._versions.get(table_name, 1)
+        df.write.mode("append").parquet(self._dir(table_name, v))
+        self._versions[table_name] = v
+
+    def read_by_name(
+        self, spark: SparkSession, table_name: str, schema: T.StructType
+    ) -> DataFrame:
+        v = self._versions.get(table_name)
+        if v is None:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(self._dir(table_name, v))

@@ -1,0 +1,137 @@
+"""O3: real Kinesis sink via boto3 ``put_records`` inside
+``foreachPartition`` — each output partition is one shard's ordered
+record sequence (see sinks.base.ordered_for_emit).
+
+Reference parity: Kinesis target endpoint (stack.py:111-128), 1-shard
+stream (stack.py:266-272); the consumer contract (TRIM_HORIZON, 50-record
+pages) lives on the reader side (run.py:107-138) and is provided by
+:func:`drain_stream` for test harnesses.
+
+boto3 is optional in this environment — the class raises at
+construction if it is unavailable, and everything else in the engine
+uses the memory/file sinks.  ``put_records`` caps at 500 records per
+call (public Kinesis API limit); failed records are retried in order to
+preserve FIFO (at-least-once ⇒ downstream dedup by the deterministic
+``seq`` carried in every envelope, SURVEY §4 'exactly-once' row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from sample_dms_s3_kinesis_spark.sinks.base import EventSink, ordered_for_emit
+
+try:  # pragma: no cover - optional dependency
+    import boto3  # type: ignore
+
+    _HAS_BOTO3 = True
+except Exception:  # pragma: no cover
+    boto3 = None
+    _HAS_BOTO3 = False
+
+_MAX_PER_PUT = 500  # Kinesis PutRecords API limit
+
+
+def _emit_partition(rows, stream_name: str, endpoint_url: str | None, region: str):
+    import time
+
+    client = boto3.client(
+        "kinesis", endpoint_url=endpoint_url, region_name=region
+    )
+    batch: list[dict] = []
+
+    def flush():
+        nonlocal batch
+        pending = batch
+        batch = []
+        attempts = 0
+        while pending:
+            resp = client.put_records(StreamName=stream_name, Records=pending)
+            if resp.get("FailedRecordCount", 0) == 0:
+                return
+            # Retry only the failed tail, preserving order.
+            pending = [
+                rec
+                for rec, res in zip(pending, resp["Records"])
+                if "ErrorCode" in res
+            ]
+            attempts += 1
+            if attempts > 10:
+                raise RuntimeError(
+                    f"kinesis put_records: {len(pending)} records still failing"
+                )
+            time.sleep(min(0.1 * attempts, 1.0))
+
+    for row in rows:
+        batch.append(
+            {
+                "Data": row["event_json"].encode("utf-8"),
+                "PartitionKey": row["partition_key"],
+            }
+        )
+        if len(batch) >= _MAX_PER_PUT:
+            flush()
+    flush()
+
+
+class KinesisSink(EventSink):
+    def __init__(
+        self,
+        stream_name: str,
+        *,
+        num_shards: int = 1,
+        endpoint_url: str | None = None,
+        region: str = "us-east-1",
+    ) -> None:
+        if not _HAS_BOTO3:
+            raise ImportError(
+                "boto3 is required for KinesisSink; use MemorySink/JsonFileSink instead"
+            )
+        self.stream_name = stream_name
+        self.num_shards = num_shards
+        self.endpoint_url = endpoint_url
+        self.region = region
+
+    def write(self, events: DataFrame) -> None:
+        stream, endpoint, region = self.stream_name, self.endpoint_url, self.region
+        ordered_for_emit(events, self.num_shards).foreachPartition(
+            lambda rows: _emit_partition(rows, stream, endpoint, region)
+        )
+
+
+def drain_stream(
+    client,
+    stream_name: str,
+    *,
+    page_limit: int = 50,
+    min_arrival_ts: float | None = None,
+) -> list[dict]:
+    """Consumer-side contract (O4/O11/O20): TRIM_HORIZON iterator,
+    ``Limit=50`` pages (run.py:122), keep records with approximate
+    arrival time strictly greater than ``min_arrival_ts`` (run.py:126)."""
+    shards = client.describe_stream(StreamName=stream_name)["StreamDescription"][
+        "Shards"
+    ]
+    out: list[dict] = []
+    for shard in shards:
+        it = client.get_shard_iterator(
+            StreamName=stream_name,
+            ShardId=shard["ShardId"],
+            ShardIteratorType="TRIM_HORIZON",
+        )["ShardIterator"]
+        while it:
+            resp = client.get_records(ShardIterator=it, Limit=page_limit)
+            for rec in resp["Records"]:
+                ts = rec["ApproximateArrivalTimestamp"].timestamp()
+                if min_arrival_ts is None or ts > min_arrival_ts:
+                    out.append(
+                        {
+                            "partition_key": rec["PartitionKey"],
+                            "data": rec["Data"].decode("utf-8"),
+                            "arrival_ts": ts,
+                        }
+                    )
+            it = resp.get("NextShardIterator")
+            if resp.get("MillisBehindLatest", 0) == 0:
+                break
+    return out

@@ -1,0 +1,235 @@
+"""CDC replication task — Structured Streaming micro-batch pipeline.
+
+Reference parity (migration_type="cdc", stack.py:81-89):
+- task starts *before* any change data exists and reaches ``running``
+  (run.py:189-190); at start it emits create-table control events for
+  every included table plus one for ``awsdms_apply_exceptions``
+  (the 4 control events of the 15-event golden, README.md:84).
+- the instance polls ``cdc_path`` for new files, processes each whole
+  file in filename order (run.py:194-195), emits one data event per
+  change row with the operation lowercased into metadata
+  (lib/query.py:16 ``INSERT`` → metadata ``insert``), applies changes to
+  per-table state (O24) and updates statistics (O17).
+- ``stop`` = stop_replication_task (run.py:205-206).
+
+DMS's S3-CDC polling loop *is* micro-batching, so Structured Streaming's
+file source with ``maxFilesPerTrigger=1`` is the native fit (SURVEY §3
+E2).  All per-batch logic lives in ``foreachBatch`` where the batch
+frame is a plain DataFrame (windows allowed), and consists solely of
+Catalyst expressions — parse, route, envelope, fold-merge.
+
+Scale notes: state lives in parquet target tables (ParquetTargetStore →
+Delta/Iceberg MERGE in production), not in driver memory; per-batch
+driver traffic is O(#tables) count rows.  The checkpoint location gives
+source-offset recovery; sink emission is at-least-once with the
+deterministic ``seq`` enabling idempotent downstream dedup.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sample_dms_s3_kinesis_spark.apply import ParquetTargetStore, apply_changes
+from sample_dms_s3_kinesis_spark.catalog import ALL_TABLES_MAPPING, Catalog, TableDef
+from sample_dms_s3_kinesis_spark import envelope
+from sample_dms_s3_kinesis_spark.sinks.base import EventSink
+from sample_dms_s3_kinesis_spark.sources.cdc_source import (
+    parse_cdc_lines,
+    read_cdc_lines,
+    read_cdc_lines_stream,
+    route_changes,
+)
+from sample_dms_s3_kinesis_spark.tasks import ReplicationTask, TaskStatus, union_all
+
+EXCEPTIONS_TABLE = "awsdms_apply_exceptions"
+
+EXCEPTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("TASK_NAME", T.StringType()),
+        T.StructField("TABLE_OWNER", T.StringType()),
+        T.StructField("TABLE_NAME", T.StringType()),
+        T.StructField("ERROR_SEQ", T.LongType()),
+        T.StructField("OPERATION", T.StringType()),
+        T.StructField("ERROR", T.StringType()),
+    ]
+)
+
+
+class CdcTask(ReplicationTask):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        cdc_dir: str,
+        sink: EventSink,
+        store: ParquetTargetStore,
+        *,
+        identifier: str = "cdc-task",
+        table_mappings: Mapping | None = None,
+        event_time: str | None = None,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        super().__init__(identifier)
+        self.spark = spark
+        self.catalog = catalog.select(table_mappings or ALL_TABLES_MAPPING)
+        self.cdc_dir = cdc_dir
+        self.sink = sink
+        self.store = store
+        self.event_time = event_time
+        self.checkpoint_dir = checkpoint_dir or f"/tmp/cdc-checkpoint-{uuid.uuid4()}"
+        self._query = None
+        self._seq_offset = 0
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self) -> None:
+        """start-replication: emit start-of-task control events, then
+        begin tailing ``cdc_dir``; status reaches ``running`` before any
+        change file exists (run.py:189-190)."""
+        self._set_status(TaskStatus.STARTING)
+        self._emit_start_controls()
+        self._query = (
+            read_cdc_lines_stream(self.spark, self.cdc_dir)
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+        self._set_status(TaskStatus.RUNNING)
+
+    def stop(self) -> None:
+        if self._query is not None:
+            # Drain in-flight work before interrupting: stopping mid-
+            # foreachBatch would abort the batch's trailing writes and
+            # interrupt driver-side py4j calls (observed: Spark's
+            # isInterruptionException regex stack-overflows on the huge
+            # interrupted-py4j message). Checkpointing would replay the
+            # batch on restart either way; graceful drain keeps local
+            # stop() semantics clean.
+            try:
+                self._query.processAllAvailable()
+            except Exception:
+                pass
+            self._query.stop()
+            try:
+                self._query.awaitTermination(30)
+            except Exception:
+                pass
+        self._set_status(TaskStatus.STOPPED)
+
+    def process_available(self) -> None:
+        """Drain-and-return batch mode (``Trigger.AvailableNow``
+        equivalent, SURVEY §4 'micro-batch pipelining'): used by tests
+        and by callers that want deterministic one-shot application.
+        Processes every pending file as ONE logical batch — ordering
+        across files is preserved by the (file_seq, line_no) sequence
+        so the fold-merge sees the identical total order the
+        one-file-per-trigger stream would produce."""
+        if self.status == TaskStatus.READY.value:
+            self._set_status(TaskStatus.STARTING)
+            self._emit_start_controls()
+            self._set_status(TaskStatus.RUNNING)
+        lines = read_cdc_lines(self.spark, self.cdc_dir)
+        self._process_batch(lines, batch_id=-1)
+
+    # -- internals -----------------------------------------------------
+
+    def _emit_start_controls(self) -> None:
+        tables = list(self.catalog) + [("hr", EXCEPTIONS_TABLE)]
+        # CDC target prep emits create-table per included table plus the
+        # exceptions pseudo-table (README.md:84: 4 create-table events).
+        controls = envelope.control_events(
+            self.spark, tables, ["create-table"], event_time=self.event_time
+        )
+        controls = envelope.assign_global_seq(controls, "seq")
+        controls = controls.withColumn("seq", F.col("seq") + F.lit(self._seq_offset))
+        self.sink.write(controls)
+        self.stats.add_events(controls)
+        self._seq_offset += controls.count()
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if len(batch_df.take(1)) == 0:
+            return
+        parsed = parse_cdc_lines(batch_df).persist()
+        routed, unknown = route_changes(parsed, self.catalog)
+
+        event_frames: list[DataFrame] = []
+        exception_frames: list[DataFrame] = []
+
+        for table, changes in routed.items():
+            changes = changes.persist()
+            if len(changes.take(1)) == 0:
+                changes.unpersist()
+                continue
+            # Data events: one per change row, operation lowercased
+            # (O15), ordered by the (file, line) sequence (O21).
+            events = envelope.data_events(
+                changes,
+                table,
+                F.lower(F.col("op")),
+                event_time=self.event_time,
+                order_by=[F.col("seq")],
+            )
+            event_frames.append(events)
+
+            # Apply to target state (O24) + collect apply exceptions.
+            current = self.store.read(self.spark, table)
+            result = apply_changes(self.spark, table, current, changes)
+            self.store.write(table.qualified_name, result.new_state)
+            self.stats.add_apply_counts(
+                table.owner, table.name, result.counts.collect()[0]
+            )
+            exception_frames.append(
+                result.exceptions.select(
+                    F.lit(self.identifier).alias("TASK_NAME"),
+                    F.lit(table.owner).alias("TABLE_OWNER"),
+                    F.lit(table.name).alias("TABLE_NAME"),
+                    F.col("seq").alias("ERROR_SEQ"),
+                    F.col("op").alias("OPERATION"),
+                    F.col("error").alias("ERROR"),
+                )
+            )
+            changes.unpersist()
+
+        # Unknown (schema, table) rows: exceptions channel only (O25).
+        exception_frames.append(
+            unknown.select(
+                F.lit(self.identifier).alias("TASK_NAME"),
+                F.col("schema_name").alias("TABLE_OWNER"),
+                F.col("table_name").alias("TABLE_NAME"),
+                F.col("seq").alias("ERROR_SEQ"),
+                F.col("op").alias("OPERATION"),
+                F.lit("table-not-in-selection").alias("ERROR"),
+            )
+        )
+
+        exceptions = union_all(exception_frames)
+        if len(exceptions.take(1)) > 0:
+            existing = self.store.read_by_name(
+                self.spark, EXCEPTIONS_TABLE, EXCEPTIONS_SCHEMA
+            )
+            self.store.write(
+                EXCEPTIONS_TABLE, existing.unionByName(exceptions)
+            )
+
+        # Emit to the event stream LAST: once a batch's events are
+        # visible in the sink, its state/exceptions writes are complete
+        # — consumers (and graceful stop) can rely on that ordering.
+        if event_frames:
+            events = union_all(event_frames)
+            events = envelope.assign_global_seq(events, "seq")
+            events = events.withColumn("seq", F.col("seq") + F.lit(self._seq_offset))
+            self.sink.write(events)
+            self.stats.add_events(events)
+            self._seq_offset += events.count()
+        parsed.unpersist()
+
+    def exceptions_table(self) -> DataFrame:
+        return self.store.read_by_name(self.spark, EXCEPTIONS_TABLE, EXCEPTIONS_SCHEMA)
+
+    def table_state(self, table: TableDef) -> DataFrame:
+        return self.store.read(self.spark, table)

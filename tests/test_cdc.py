@@ -1,0 +1,161 @@
+"""CDC task E2E — the 15-event golden (run.py:198, README.md:84), net
+target state (lib/query.py:16-27), exceptions channel, lifecycle."""
+
+import time
+
+import pytest
+
+from sample_dms_s3_kinesis_spark.apply import ParquetTargetStore
+from sample_dms_s3_kinesis_spark.sinks import MemorySink
+from sample_dms_s3_kinesis_spark.streaming.cdc_task import CdcTask
+from tests.conftest import CDC_FILE_1, CDC_FILE_2, write_cdc_file
+
+FIXED_TS = "2026-01-01T00:00:00.000Z"
+
+
+def _task(spark, catalog, cdc_dir, tmp_path):
+    sink = MemorySink()
+    store = ParquetTargetStore(str(tmp_path / "target"))
+    task = CdcTask(
+        spark,
+        catalog,
+        cdc_dir,
+        sink,
+        store,
+        event_time=FIXED_TS,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    return task, sink, store
+
+
+def test_cdc_golden_15_events_batch(spark, catalog, cdc_dir, tmp_path):
+    task, sink, _ = _task(spark, catalog, cdc_dir, tmp_path)
+    write_cdc_file(cdc_dir, 1, CDC_FILE_1)
+    write_cdc_file(cdc_dir, 2, CDC_FILE_2)
+    task.process_available()
+    assert task.status == "running"
+
+    events = sink.events
+    assert len(events) == 15  # run.py:198
+
+    ops = [e["metadata"]["operation"] for e in events]
+    # README.md:84: 4 create-table + 4 ins + 3 upd + 4 del.
+    assert ops.count("create-table") == 4
+    assert ops.count("insert") == 4
+    assert ops.count("update") == 3
+    assert ops.count("delete") == 4
+
+    tables_with_create = {
+        e["metadata"]["table-name"]
+        for e in events
+        if e["metadata"]["operation"] == "create-table"
+    }
+    assert tables_with_create == {
+        "employee",
+        "department",
+        "project",
+        "awsdms_apply_exceptions",
+    }
+
+    # Data events carry the row payload bound to declared columns.
+    first_insert = next(
+        e for e in events if e["metadata"]["operation"] == "insert"
+    )
+    assert first_insert["metadata"]["record-type"] == "data"
+    assert first_insert["data"]["Id"] == 101
+
+    task.stop()
+    assert task.status == "stopped"
+
+
+def test_cdc_net_target_state(spark, catalog, cdc_dir, tmp_path):
+    """FIXTURES.md §2: employee empty, department={204,Software},
+    project empty after both files."""
+    task, _, _ = _task(spark, catalog, cdc_dir, tmp_path)
+    write_cdc_file(cdc_dir, 1, CDC_FILE_1)
+    write_cdc_file(cdc_dir, 2, CDC_FILE_2)
+    task.process_available()
+
+    emp = task.table_state(catalog.get("hr", "employee"))
+    dep = task.table_state(catalog.get("hr", "department"))
+    prj = task.table_state(catalog.get("hr", "project"))
+    assert emp.count() == 0
+    assert prj.count() == 0
+    dep_rows = [(r["Id"], r["DepartmentName"]) for r in dep.collect()]
+    assert dep_rows == [(204, "Software")]
+
+
+def test_cdc_exceptions_channel(spark, catalog, cdc_dir, tmp_path):
+    """DELETE of never-inserted department 301 (lib/query.py:25) must
+    not fail and must land in awsdms_apply_exceptions (README.md:84)."""
+    task, _, _ = _task(spark, catalog, cdc_dir, tmp_path)
+    write_cdc_file(cdc_dir, 1, CDC_FILE_1)
+    write_cdc_file(cdc_dir, 2, CDC_FILE_2)
+    task.process_available()
+
+    exc = task.exceptions_table().collect()
+    assert len(exc) == 1
+    assert exc[0]["TABLE_NAME"] == "department"
+    assert exc[0]["OPERATION"] == "DELETE"
+
+
+def test_cdc_sequential_batches_match_single_batch(
+    spark, catalog, cdc_dir, tmp_path
+):
+    """File-at-a-time application (the streaming path's unit) must net
+    the same state: apply file 1, then file 2 (O21 ordering)."""
+    task, sink, _ = _task(spark, catalog, cdc_dir, tmp_path)
+    write_cdc_file(cdc_dir, 1, CDC_FILE_1)
+    task.process_available()
+    # After file 1: employee 101 was inserted, updated twice, deleted.
+    assert task.table_state(catalog.get("hr", "employee")).count() == 0
+
+    write_cdc_file(cdc_dir, 2, CDC_FILE_2)
+    # Batch source re-reads everything; use a fresh task dir semantics:
+    # process only the new file by filtering applied seqs is the stream
+    # source's job — here we just re-apply file2 on a fresh task to
+    # validate the per-file fold.
+    task2, sink2, _ = _task(spark, catalog, str(cdc_dir), tmp_path / "t2")
+    # remove file1 so only file2 applies on the fresh store
+    import os
+
+    os.remove(os.path.join(cdc_dir, "cdc0000000001.csv"))
+    task2.process_available()
+    dep_rows = [
+        (r["Id"], r["DepartmentName"])
+        for r in task2.table_state(catalog.get("hr", "department")).collect()
+    ]
+    assert dep_rows == [(204, "Software")]
+    # project: insert then delete within file 2 nets to empty, and is
+    # NOT an exception (the insert existed when the delete applied).
+    assert task2.table_state(catalog.get("hr", "project")).count() == 0
+    exc_tables = {
+        r["TABLE_NAME"] for r in task2.exceptions_table().collect()
+    }
+    assert exc_tables == {"department"}
+
+
+@pytest.mark.slow
+def test_cdc_streaming_mode(spark, catalog, cdc_dir, tmp_path):
+    """True Structured Streaming path: task running before data exists
+    (run.py:189-190), files discovered and applied in order."""
+    task, sink, _ = _task(spark, catalog, cdc_dir, tmp_path)
+    task.start()
+    assert task.status == "running"
+
+    write_cdc_file(cdc_dir, 1, CDC_FILE_1)
+    write_cdc_file(cdc_dir, 2, CDC_FILE_2)
+
+    deadline = time.time() + 60
+    while time.time() < deadline and len(sink.records) < 15:
+        time.sleep(0.5)
+    task.stop()
+    assert task.status == "stopped"
+    assert len(sink.records) == 15
+
+    emp = task.table_state(catalog.get("hr", "employee"))
+    dep = task.table_state(catalog.get("hr", "department"))
+    assert emp.count() == 0
+    assert [(r["Id"], r["DepartmentName"]) for r in dep.collect()] == [
+        (204, "Software")
+    ]
