@@ -3,36 +3,70 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All queries live in ``sample_dms_s3_kinesis_spark.plans.registry`` —
+one (DataFrame fn, oracle SQL) pair per operator claimed in SURVEY §2
+plus the north-star training-data ops (dedup / similarity / text /
+multimodal).  Approximate or Spark-hash-specific operators carry no
+oracle (rows-only check); their exactness is covered by pytest against
+Python reference implementations.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sample_dms_s3_kinesis_spark.plans.registry import REGISTRY
+
+
+def _tune(spark: SparkSession) -> SparkSession:
+    """Session-level settings safe to apply at runtime: UTC keeps
+    timestamp renderings oracle-stable; AQE enables runtime re-planning
+    (coalesced shuffle partitions, skew splitting)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Flagship = TPC-H-style pricing summary (conditional aggregation —
+    the generalized form of the reference's table-statistics operator,
+    run.py:141-148)."""
+    _tune(spark)
+    return REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 + north-star
+    ops.  Each callable takes (spark, sf_dir) and returns a DataFrame
+    with every computed column aliased to match ``oracle_sql``."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(spec):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return spec.fn(_tune(spark), sf_dir)
+
+        run.__name__ = spec.name
+        run.__doc__ = f"{spec.description} [{spec.survey_ref}]"
+        return run
+
+    return {name: wrap(spec) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (omitted for approximate /
+    hash-family-specific operators → driver records rows-only checks)."""
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -1,0 +1,336 @@
+"""Deduplication operators for training-data pipelines:
+
+- exact (full-text groupBy)            → SQL-oracle-checkable
+- exact by md5 content hash            → SQL-oracle-checkable
+- n-gram Jaccard near-dup (exact)      → verified vs a Python reference
+- MinHash + LSH near-dup (approximate) → Spark-native (xxhash64)
+- SimHash near-dup (approximate)       → Spark-native (xxhash64)
+- embedding-cosine near-dup            → SQL-oracle-checkable (DuckDB
+  list_cosine_similarity)
+
+Scale design notes (the whole point of these shapes):
+- Exact dedup is one hash-partitioned groupBy on the content hash —
+  shuffle moves 16-byte digests + ids, never document bodies.
+- MinHash/LSH: shingle → k minhashes → b bands; candidate generation is
+  ``explode(bands)`` + self-join on (band_idx, band_hash) — the shuffle
+  key is the band bucket, so cost is O(candidates), not O(n²).  Bucket
+  skew (a boilerplate band shared by millions of docs) is the classic
+  hazard: cap bucket width upstream or salt; AQE skew handling covers
+  moderate skew.
+- SimHash: one aggregate fold per doc (64-dim bit-count vector), then
+  banding on 16-bit chunks — same candidate-join shape as LSH.
+- Embedding near-dup joins within a blocking key (label / IVF cell) to
+  bound the pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators.text import tokens
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups with >1 identical ``text_col``; keeps min id as canonical.
+    Returns (keep_id, dup_count) per duplicated content value."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .select("keep_id", "dup_count")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one survivor (min id) per distinct text.  The
+    groupBy key is md5(text) so the shuffle carries digests, not bodies
+    — at 100 TB this is the difference between shuffling 16 B and 100 KB
+    per row."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("group_size"))
+        .select(id_col, "group_size")
+    )
+
+
+# ---------------------------------------------------- n-gram Jaccard
+
+def token_ngrams(col: Column, n: int = 3) -> Column:
+    """Token n-gram shingle set (distinct)."""
+    toks = tokens(F.lower(col))
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)
+    grams = F.when(count > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over candidate pairs.
+
+    Pairs are generated within ``block_col`` (a blocking key: language,
+    length bucket, LSH bucket…) to bound the quadratic term; with no
+    block the whole frame is one block (test-scale only).  Jaccard is
+    computed with array_intersect/array_union sizes — JVM-side.
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("_blk"),
+        token_ngrams(F.col(text_col), n).alias("_g"),
+    )
+    a = grams.select(
+        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_g").alias("_ga")
+    )
+    b = grams.select(
+        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_g").alias("_gb")
+    )
+    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb"))).cast("double")
+    union = F.size(F.array_union(F.col("_ga"), F.col("_gb"))).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+def minhash_signature(col: Column, *, num_hashes: int = 128) -> Column:
+    """k minhashes of the doc's 3-gram shingle set.  Hash family:
+    ``xxhash64(shingle, seed_i)`` — xxhash64's seed argument gives k
+    independent 64-bit functions with zero Python involvement."""
+    grams = token_ngrams(col)
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i)))),
+                F.lit(2**63 - 1),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs.
+
+    shingle → k minhashes → b bands of r=k/b rows; docs sharing any
+    band-hash become candidates (explode + self-join on the band
+    bucket); candidates are verified by estimated Jaccard = fraction of
+    agreeing minhashes ≥ threshold.  Output: (id_a, id_b, est_jaccard).
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes=num_hashes).alias("_sig"),
+    ).persist()
+
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("_sig"), b * rows + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(rows)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bh"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            on=[
+                F.col("x._band") == F.col("y._band"),
+                F.col("x._bh") == F.col("y._bh"),
+                F.col("x._id") < F.col("y._id"),
+            ],
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
+        .join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("_sa"), F.col("_sb"), lambda a, b: a == b),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return verified
+
+
+# ------------------------------------------------------------ SimHash
+
+def simhash(col: Column, *, bits: int = 64) -> Column:
+    """64-bit SimHash over tokens: per-token xxhash64 bit vectors are
+    summed (+1/-1 per bit) with a single aggregate fold; the sign vector
+    re-packs into a long.  One pass, no explode, no shuffle."""
+    toks = F.array_distinct(tokens(F.lower(col)))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    # getbit (not shiftright) — the shift amount must be a Column here.
+    bitvec = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: F.getbit(F.xxhash64(t), j).cast("long"),
+            ),
+            lambda a, bit: a + (bit * 2 - 1),
+        ),
+    )
+    # Pack sign bits into one long; bit 63 is the sign bit of the
+    # two's-complement long, hence the negative literal.
+    packed = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(bitvec, j + 1) > 0, F.lit(bit_val).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into 4
+    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
+    self-join per chunk, verify exact hamming distance ≤ max_hamming.
+    Output: (id_a, id_b, hamming)."""
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh")
+    ).persist()
+    chunks = sig.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sh"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("_chunk", "_cv"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            on=[
+                F.col("x._chunk") == F.col("y._chunk"),
+                F.col("x._cv") == F.col("y._cv"),
+                F.col("x._id") < F.col("y._id"),
+            ],
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x._sh").alias("_sa"),
+            F.col("y._sh").alias("_sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------- embedding cosine near-dup
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<double> columns — zip_with/aggregate,
+    fully JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return dot / (norm_a * norm_b)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key
+    (pre-clustered label / IVF cell), (id_a < id_b, cosine ≥ τ).
+    The block join bounds pair count; at scale the blocking key comes
+    from a coarse quantizer (see similarity.ivf_assign)."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a = base.select("_blk", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = base.select("_blk", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — one narrow pass, a
+  single top-k reduction (no full sort).
+- IVF (inverted-file) ANN: coarse-quantizer cells as blocking keys —
+  the 100 TB path: probe only ``nprobe`` cells per query instead of the
+  full corpus.
+- LSH (random hyperplane) ANN: sign-bit buckets, deterministic
+  hyperplanes derived from xxhash64 so results are reproducible without
+  storing a model.
+
+Exactness contract: brute_force_topk is exact (oracle-checkable via
+DuckDB list_cosine_similarity); IVF/LSH trade recall for probe cost and
+get rows-only checks plus recall tests against the exact baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators.dedup import cosine_similarity
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float] | Column,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    Plan shape: map (cosine per row) → global top-k via orderBy+limit;
+    Catalyst executes limit+sort as TakeOrderedAndProject (per-partition
+    top-k then merge — no full shuffle sort).  Ties break on id for
+    determinism.  Output: (vec_id, cosine)."""
+    q = (
+        F.array(*[F.lit(float(x)) for x in query_vec])
+        if isinstance(query_vec, list)
+        else query_vec
+    )
+    cos = cosine_similarity(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------------ IVF
+
+def _deterministic_centroids(df: DataFrame, *, vec_col: str, id_col: str, cells: int) -> DataFrame:
+    """Pick ``cells`` deterministic seed vectors as centroids (ids with
+    the smallest xxhash64 — a reproducible pseudo-random sample).  A
+    real deployment would k-means these; the operator contract (assign →
+    probe) is identical."""
+    return (
+        df.select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+            F.row_number().over(
+                Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            ).alias("_rk"),
+        )
+        .filter(F.col("_rk") <= cells)
+        .drop("_rk")
+        .withColumn("cell", F.row_number().over(Window.orderBy("cell_id")) - 1)
+        .select("cell", "centroid")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell.  Centroids are
+    broadcast (they are tiny); assignment is a broadcast nested-loop +
+    per-row argmax — embarrassingly parallel, no shuffle of the corpus."""
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    joined = v.join(F.broadcast(centroids))
+    cos = cosine_similarity(F.col("_v"), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("cell"))
+    return (
+        joined.select(F.col(id_col), F.col("cell"), cos.alias("_cos"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cell")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: search only the ``nprobe`` cells whose centroids are
+    closest to the query.  At 100 TB with the corpus partitioned (or a
+    table bucketed) by cell, a probe touches nprobe/cells of the data —
+    partition pruning does the rest.  Output: (vec_id, cosine)."""
+    centroids = _deterministic_centroids(
+        df, vec_col=vec_col, id_col=id_col, cells=cells
+    ).persist()
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_cells = [
+        r["cell"]
+        for r in centroids.select(
+            "cell", cosine_similarity(F.col("centroid"), q).alias("c")
+        )
+        .orderBy(F.desc("c"), F.asc("cell"))
+        .limit(nprobe)
+        .collect()
+    ]
+    assignment = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    probed = df.join(assignment, on=id_col).filter(F.col("cell").isin(probe_cells))
+    return brute_force_topk(probed, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+# ------------------------------------------------------------------ LSH
+
+def hyperplane_signature(vec: Column, *, planes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane sign signature packed into a long.  Plane
+    components are deterministic pseudo-randoms in [-1, 1) derived from
+    xxhash64(plane, dim) — reproducible across sessions with no stored
+    model."""
+    def component(p: int, j: Column) -> Column:
+        h = F.xxhash64(F.lit(p), j)
+        return (h % 10_000).cast("double") / F.lit(10_000.0)
+
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda j: component(p, j),
+                    ),
+                    lambda x, c: x * c,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), p),
+        ).otherwise(F.lit(0).cast("long"))
+        for p in range(planes)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseXOR(b)
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed ANN: exact cosine within the query's hyperplane
+    bucket.  Bucket size concentration is data-dependent — production
+    use multi-probes neighbor buckets; here single-bucket keeps the
+    plan to scan→filter→topk."""
+    dim = len(query_vec)
+    sig = hyperplane_signature(
+        F.col(vec_col).cast("array<double>"), planes=planes, dim=dim
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qsig_row = (
+        df.sparkSession.range(1)
+        .select(hyperplane_signature(q, planes=planes, dim=dim).alias("s"))
+        .collect()
+    )
+    qsig = qsig_row[0]["s"]
+    bucket = df.filter(sig == F.lit(qsig))
+    return brute_force_topk(bucket, query_vec, k=k, vec_col=vec_col, id_col=id_col)

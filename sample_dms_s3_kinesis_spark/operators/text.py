@@ -1,0 +1,131 @@
+"""Text analysis operators for training-data pipelines: tokenization,
+quality scoring, language ID, fingerprinting.
+
+All pure Catalyst expressions (split/filter/transform/aggregate over
+arrays + regexp) — no Python in the row path, so they scale linearly
+with input and stay inside WholeStageCodegen.  Every op is also
+expressible in ANSI SQL, which is how the DuckDB oracle cross-checks
+them (see plans.registry).
+
+Reference note: the reference has no text ops (SURVEY §2.8 — scalar
+surface is concat/lower/json only); these extend the engine per the
+north star in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenization: the shared definition for every op below and
+# for the oracle SQL (regexp_split_to_array(trim(text), '\s+')).
+_WS = r"\s+"
+
+# Small deterministic marker-word lists for the language-ID heuristic.
+# Chosen to be expressible identically in Spark and DuckDB SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+# Deterministic tie-break preference (first wins on equal scores).
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (BPE-ish splitting is a downstream concern;
+    the token count contract is whitespace words)."""
+    return F.split(F.trim(col), _WS)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("long")
+
+
+def punct_count(col: Column) -> Column:
+    # Count of sentence punctuation; regex kept identical in oracle SQL.
+    return F.length(F.regexp_replace(col, r"[^.!?,;:]", "")).cast("long")
+
+
+def stopword_count(col: Column) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(
+        F.filter(tokens(F.lower(col)), lambda t: F.array_contains(sw, t))
+    ).cast("long")
+
+
+def avg_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(total.cast("double") / F.size(toks).cast("double"), 4)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring features: length, token stats,
+    punctuation ratio, stopword ratio (rounded for stable comparison)."""
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    n_chr = char_count(c)
+    return df.select(
+        "doc_id",
+        n_chr.alias("n_chars_measured"),
+        n_tok.alias("n_tokens"),
+        avg_token_len(c).alias("avg_token_len"),
+        F.round(punct_count(c).cast("double") / n_chr.cast("double"), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(stopword_count(c).cast("double") / n_tok.cast("double"), 4).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def _marker_score(col: Column, lang: str) -> Column:
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens(F.lower(col)), lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram-free marker-word language ID: argmax of marker hits with
+    a deterministic preference order on ties.  Intentionally simple —
+    the pipeline contract is a deterministic, cheap, shuffle-free
+    classifier; swap in a real model via mapInPandas when available."""
+    scores = {lang: _marker_score(col, lang) for lang in LANG_ORDER}
+    expr = F.lit(LANG_ORDER[-1])
+    # Build the CASE chain back-to-front so earlier langs win ties.
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = [scores[l] for l in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]]
+        cond = F.lit(True)
+        for other in later:
+            cond = cond & (scores[lang] >= other)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text.  md5 (not xxhash64) so external systems — and the DuckDB
+    oracle — can reproduce it byte-for-byte."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), _WS, " "))
+
+
+def rolling_hashes(col: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling token-window hashes: xxhash64 over each
+    consecutive ``window``-token span.  Spark-side only (xxhash64), used
+    by near-dup candidate generation; no SQL oracle."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    )

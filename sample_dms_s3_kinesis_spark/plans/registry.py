@@ -1,0 +1,1036 @@
+"""Query registry: every operator the engine claims, as a (PySpark
+DataFrame query, DuckDB oracle SQL) pair over the driver's testdata
+tables (TESTDATA.md).  This is the correctness surface for
+``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Conventions that make Spark and DuckDB hash-identical:
+- every computed column aliased the same on both sides;
+- money math in DECIMAL(18,2) (exact, order-insensitive) — never raw
+  double sums;
+- double outputs rounded to a fixed scale on BOTH sides;
+- timestamps output via date_format/strftime strings or DATE casts;
+- top-k queries ordered with a deterministic tie-break (id asc) and the
+  ranking key itself rounded first.
+
+SURVEY §2 mapping is noted per query (Ox labels).  The reference's own
+pipeline operators (envelope, stats, latest-wins, routing…) appear here
+re-expressed relationally over the ``events`` table so the oracle can
+check them; the byte-level pipeline goldens live in tests/.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import dedup, similarity, text
+from sample_dms_s3_kinesis_spark.operators.text import LANG_MARKERS, LANG_ORDER, STOPWORDS
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+        # reader rejects outright; read nanos as long and convert (µs
+        # truncation — identical to DuckDB's ns→µs handling).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def _dec(col, scale: int = 2):
+    return col.cast(f"decimal(18,{scale})")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+    survey_ref: str
+
+
+_SPECS: list[QuerySpec] = []
+
+
+def _register(name: str, oracle: str | None, description: str, survey_ref: str):
+    def deco(fn):
+        _SPECS.append(QuerySpec(name, fn, oracle, description, survey_ref))
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# TPC-H-shaped relational surface (generalized engine, SURVEY §2.4/2.6)
+# =====================================================================
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style pricing summary: filtered conditional aggregation",
+    "O17 generalized (grouped agg), O11 (ts predicate)",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).alias("sum_base_price"),
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q03_shipping_priority",
+    """
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate, o.o_orderpriority,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    "TPC-H Q3-style: 3-way join, grouped revenue, deterministic top-10",
+    "joins (O22 gen), O19 sort, O20 limit",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15 00:00:00"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15 00:00:00"))
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, F.col("l_orderkey") == o["o_orderkey"])
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q05_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5-style: 6-way join through region filter (broadcast dims)",
+    "joins generalized; broadcast strategy",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Dimension sides are broadcast: region/nation/supplier are tiny at
+    # any SF; customer is broadcast-eligible through sf0.1 (AQE converts
+    # to shuffle join beyond the threshold automatically).
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q06_forecast_revenue",
+    """
+    SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6-style: multi-predicate scan + scalar aggregate (pushdown)",
+    "O11 predicates, pushdown",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    "TPC-H Q10-style: returned-item revenue per customer, top-20",
+    "joins + grouped agg + deterministic top-k",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+    FROM orders
+    ORDER BY total_price DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+    "global sort + limit (reference O19 stats sort / O20 page limit)",
+    "O19, O20",
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            _dec(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@_register(
+    "q_distinct_count",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "distinct aggregation per group",
+    "§2.4 generalized (countDistinct)",
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@_register(
+    "q_rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "rollup hierarchy totals",
+    "§2.4 generalized (rollup)",
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("total"),
+        )
+    )
+
+
+@_register(
+    "q_cube_documents",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+    "cube over document corpus dimensions",
+    "§2.4 generalized (cube)",
+)
+def q_cube_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@_register(
+    "q_union_priorities",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    "event-stream union analog: two filtered scans unioned",
+    "O22",
+)
+def q_union_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return o.filter(F.col("o_orderpriority") == "1-URGENT").unionByName(
+        o.filter(F.col("o_orderpriority") == "2-HIGH")
+    )
+
+
+@_register(
+    "q_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    "catalog-routing semi-join analog (O23): customers with big orders",
+    "O23",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    "exceptions-channel anti-join analog (O25): customers with no orders",
+    "O25",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "q_in_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      AND o_orderstatus = 'F'
+    """,
+    "IN-subquery (decorrelated to semi-join by Catalyst)",
+    "§2.6 generalized",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_dfs = {
+        "orders": t(spark, sf_dir, "orders"),
+        "customer": t(spark, sf_dir, "customer"),
+    }
+    for name, df in spark_dfs.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+          AND o_orderstatus = 'F'
+        """
+    )
+
+
+@_register(
+    "q_scalar_subquery",
+    """
+    SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS retail
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) * 1.0203 FROM part)
+    """,
+    "scalar subquery threshold filter",
+    "§2.6 generalized",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS retail
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) * 1.0203 FROM part)
+        """
+    )
+
+
+@_register(
+    "q_like_filter",
+    """
+    SELECT p_partkey, p_name, p_brand, p_type FROM part
+    WHERE p_type LIKE 'PROMO%' AND p_brand LIKE 'Brand#1_' AND p_name LIKE '%a%'
+    """,
+    "selection-rule wildcard filter (stack.py:65-78 LIKE semantics)",
+    "O10",
+)
+def q_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("PROMO%")
+        & F.col("p_brand").like("Brand#1_")
+        & F.col("p_name").like("%a%")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+# =====================================================================
+# Events-table pipeline analogs (the reference's own operator shapes)
+# =====================================================================
+
+@_register(
+    "q_conditional_agg_events",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           COUNT(*) AS n_total,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    "DMS table-statistics shape: per-key conditional op counts (run.py:141-148)",
+    "O17",
+)
+def q_conditional_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+
+    def n(op):
+        return F.sum(F.when(F.col("event_type") == op, 1).otherwise(0)).alias(
+            f"n_{op}"
+        )
+
+    return ev.groupBy("user_id").agg(
+        n("click"),
+        n("view"),
+        n("purchase"),
+        n("signup"),
+        n("error"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(_dec(F.col("value"))).alias("sum_value"),
+    )
+
+
+@_register(
+    "q_latest_wins_events",
+    """
+    SELECT user_id, event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "latest-wins per key — the CDC apply compaction shape (O24)",
+    "O24",
+)
+def q_latest_wins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+@_register(
+    "q_running_sum_events",
+    """
+    SELECT event_id, user_id,
+           SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+    FROM events WHERE user_id < 20
+    """,
+    "running aggregate window per key",
+    "§2.7 generalized (window)",
+)
+def q_running_sum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec(F.col("value"))).over(w).alias("running_value"),
+    )
+
+
+@_register(
+    "q_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, rn AS rank_in_cust
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    "top-k per group via ranked window",
+    "§2.5 generalized",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _dec(F.col("o_totalprice")).alias("total_price"),
+            F.col("rn").cast("long").alias("rank_in_cust"),
+        )
+    )
+
+
+@_register(
+    "q_ts_filter_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+    GROUP BY event_type
+    """,
+    "arrival-timestamp predicate (run.py:126 consumer filter)",
+    "O11",
+)
+def q_ts_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") > F.to_timestamp(F.lit("2024-01-10 00:00:00")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+@_register(
+    "q_partition_key",
+    """
+    SELECT r.r_name || '.' || n.n_name AS partition_key, COUNT(s.s_suppkey) AS n_suppliers
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+                  LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY r.r_name || '.' || n.n_name
+    """,
+    "partition-key derivation concat(schema,'.',table) (run.py:135)",
+    "O14",
+)
+def q_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(s, s["s_nationkey"] == n["n_nationkey"], "left")
+        .groupBy(
+            F.concat_ws(".", F.col("r_name"), F.col("n_name")).alias("partition_key")
+        )
+        .agg(F.count(F.col("s_suppkey")).alias("n_suppliers"))
+    )
+
+
+@_register(
+    "q_json_extract_events",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "JSON payload field extraction (run.py:135 json.loads analog)",
+    "§2.8 (get_json_object)",
+)
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "q_envelope_events",
+    """
+    SELECT event_id,
+           'app.' || event_type AS partition_key,
+           'data' AS record_type,
+           'insert' AS operation,
+           'app' AS schema_name,
+           event_type AS table_name,
+           to_json(struct_pack(event_id := event_id, user_id := user_id,
+                               event_type := event_type, k := CAST(json_extract_string(props,'$.k') AS BIGINT)))
+             AS event_json
+    FROM events WHERE user_id < 5
+    """,
+    "DMS envelope construction re-expressed relationally (O13-O15)",
+    "O13, O14, O15",
+)
+def q_envelope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    return ev.select(
+        "event_id",
+        F.concat_ws(".", F.lit("app"), F.col("event_type")).alias("partition_key"),
+        F.lit("data").alias("record_type"),
+        F.lit("insert").alias("operation"),
+        F.lit("app").alias("schema_name"),
+        F.col("event_type").alias("table_name"),
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            )
+        ).alias("event_json"),
+    )
+
+
+@_register(
+    "q_asof_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 30) p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+    "as-of join (operator Spark lacks natively): latest prior click per purchase, "
+    "expressed as union + last-value window — no quadratic join",
+    "custom operator (SURVEY §2.7 extension)",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts"), F.lit(None).cast("long").alias("event_id"),
+        F.lit(True).alias("is_click"),
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 30)
+    ).select("user_id", "ts", "event_id", F.lit(False).alias("is_click"))
+    merged = clicks.unionByName(purchases)
+    # Order purchases BEFORE clicks at identical ts so the strict
+    # p.ts > c.ts contract holds; carry the last click ts forward.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lagged = merged.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("is_click"), F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        lagged.filter(~F.col("is_click") & F.col("last_click_ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_click_ts"
+            ),
+        )
+    )
+
+
+@_register(
+    "q_range_join",
+    """
+    SELECT p.event_id AS purchase_id, COUNT(c.event_id) AS clicks_in_prev_hour
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 30) p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+    "range join: events within a time window of an anchor event "
+    "(equi-join on user + range predicate — no nested-loop)",
+    "custom operator (range join)",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30)).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.col("c_id")).alias("clicks_in_prev_hour")
+    )
+
+
+# =====================================================================
+# Training-data pipeline operators (north star)
+# =====================================================================
+
+@_register(
+    "q_dedup_exact_events",
+    """
+    SELECT props, MIN(event_id) AS keep_id, COUNT(*) AS dup_count
+    FROM events GROUP BY props HAVING COUNT(*) > 1
+    """,
+    "exact duplicate groups by full content equality",
+    "dedup: exact",
+)
+def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("props")
+        .agg(
+            F.min("event_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+@_register(
+    "q_dedup_md5_documents",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+    FROM documents GROUP BY md5(text)
+    """,
+    "hash-groupBy exact dedup: shuffle digests not bodies",
+    "dedup: exact (hash)",
+)
+def q_dedup_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+@_register(
+    "q_text_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+    "whitespace token counting",
+    "text: token counting",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.char_count(F.col("text")).alias("n_chars_measured"),
+    )
+
+
+def _oracle_quality() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS tk,
+             string_split_regex(trim(lower(text)), '\\s+') AS tkl
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           ROUND(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 4) AS avg_token_len,
+           ROUND(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+           ROUND(CAST(len(list_filter(tkl, x -> x IN ({sw}))) AS DOUBLE) / len(tk), 4) AS stopword_ratio
+    FROM toks
+    """
+
+
+@_register(
+    "q_text_quality",
+    _oracle_quality(),
+    "per-document quality features: lengths, punctuation/stopword ratios",
+    "text: quality scoring",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_features(t(spark, sf_dir, "documents"))
+
+
+def _oracle_langid() -> str:
+    scores = {
+        lang: f"len(list_filter(tkl, x -> x IN ({', '.join(repr(w) for w in LANG_MARKERS[lang])})))"
+        for lang in LANG_ORDER
+    }
+    case = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+        cond = " AND ".join(f"{scores[lang]} >= {scores[o]}" for o in later)
+        case = f"CASE WHEN {cond} THEN '{lang}' ELSE {case} END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS tkl
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang, {case} AS predicted_lang FROM toks
+    """
+
+
+@_register(
+    "q_text_langid",
+    _oracle_langid(),
+    "marker-word language-ID heuristic (deterministic argmax)",
+    "text: language ID",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@_register(
+    "q_text_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    "document fingerprint: md5 of normalized text",
+    "text: fingerprinting",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@_register(
+    "q_ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    "brute-force cosine top-k over embedding column (exact ANN baseline)",
+    "similarity: brute-force top-k",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = similarity.brute_force_topk(emb, qv, k=10)
+    # Re-sort on the ROUNDED key so the limit's tie-break matches the
+    # oracle even when raw float sims differ in the last ulp.
+    return out.orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+
+@_register(
+    "q_embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+    "embedding-cosine near-dup pairs within blocking key (label)",
+    "dedup: embedding cosine",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# ---- no-oracle (approximate / Spark-hash-specific) ops: driver records
+# rows-only checks; exactness is covered by pytest against Python refs.
+
+@_register(
+    "q_minhash_lsh_pairs",
+    None,
+    "MinHash+LSH near-dup candidate pairs (xxhash64 family — no SQL oracle)",
+    "dedup: MinHash LSH",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.5)
+
+
+@_register(
+    "q_simhash_pairs",
+    None,
+    "SimHash near-dup pairs, hamming ≤ 3 (xxhash64 — no SQL oracle)",
+    "dedup: SimHash",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=3)
+
+
+@_register(
+    "q_ngram_jaccard_pairs",
+    None,
+    "exact n-gram Jaccard near-dup pairs within language block "
+    "(verified against a Python reference in tests)",
+    "dedup: n-gram Jaccard",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, block_col="lang", n=3, threshold=0.2)
+
+
+@_register(
+    "q_ivf_ann_topk",
+    None,
+    "IVF approximate nearest neighbor (probe nearest cells only)",
+    "similarity: IVF ANN",
+)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return similarity.ivf_topk(emb, qv, k=10, cells=16, nprobe=4)
+
+
+@_register(
+    "q_lsh_ann_topk",
+    None,
+    "random-hyperplane LSH approximate nearest neighbor",
+    "similarity: LSH ANN",
+)
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return similarity.lsh_topk(emb, qv, k=10, planes=8)
+
+
+@_register(
+    "q_multimodal_features",
+    None,
+    "multimodal binary-column plumbing: decode/resize/featurize via "
+    "mapInPandas (decode kernel stubbed, Spark plumbing real)",
+    "multimodal columns",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=64)
+    return multimodal.extract_image_features(assets)
+
+
+REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
