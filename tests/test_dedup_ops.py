@@ -1,0 +1,145 @@
+"""Dedup operators: exactness vs Python references; LSH family
+soundness/consistency properties that hold by construction."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=120):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < n)
+        .select("doc_id", "text", "lang")
+    )
+
+
+def test_exact_dedup_known_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "aaa"), (6, "bbb")],
+        "doc_id long, text string",
+    )
+    groups = {r["keep_id"]: r["dup_count"] for r in dedup.exact_duplicates(df).collect()}
+    assert groups == {1: 3, 2: 2}
+    survivors = {r["doc_id"]: r["group_size"] for r in dedup.dedup_exact(df).collect()}
+    assert survivors == {1: 3, 2: 2, 4: 1}
+
+
+def test_ngram_jaccard_matches_python_reference(spark):
+    docs = _docs(spark).collect()
+    out = dedup.ngram_jaccard_pairs(
+        _docs(spark), block_col="lang", n=3, threshold=0.15
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+
+    def grams(s, n=3):
+        toks = s.lower().strip().split()
+        return set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+    expected = {}
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        for a, b in itertools.combinations(sorted(rows, key=lambda r: r["doc_id"]), 2):
+            ga, gb = grams(a["text"]), grams(b["text"])
+            union = ga | gb
+            j = len(ga & gb) / len(union) if union else 0.0
+            if round(j, 6) >= 0.15:
+                expected[(a["doc_id"], b["doc_id"])] = round(j, 6)
+
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
+
+
+def test_minhash_lsh_soundness_and_self_similarity(spark):
+    base = _docs(spark, n=60)
+    # Append exact copies of 3 docs under new ids: est_jaccard must be
+    # 1.0 and LSH must surface them (identical signatures share every band).
+    copies = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    df = base.unionByName(copies)
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=64, bands=16, threshold=0.9).collect()
+    found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    for i in range(3):
+        assert (i, i + 100000) in found, f"exact copy pair {i} not found"
+        assert found[(i, i + 100000)] == 1.0
+    # soundness: every reported pair meets the threshold
+    assert all(v >= 0.9 for v in found.values())
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    docs = _docs(spark, n=40).collect()
+    sig_df = _docs(spark, n=40).select(
+        "doc_id", dedup.minhash_signature(F.col("text"), num_hashes=128).alias("sig")
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in sig_df.collect()}
+
+    def grams(s, n=3):
+        toks = s.lower().strip().split()
+        return set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+    import itertools
+
+    errs = []
+    for a, b in itertools.combinations(docs, 2):
+        ga, gb = grams(a["text"]), grams(b["text"])
+        true_j = len(ga & gb) / len(ga | gb) if (ga | gb) else 0.0
+        est = sum(x == y for x, y in zip(sigs[a["doc_id"]], sigs[b["doc_id"]])) / 128
+        errs.append(abs(true_j - est))
+    # 128 hashes → std ≈ sqrt(j(1-j)/128) ≤ 0.045; mean abs error well under 0.08
+    assert sum(errs) / len(errs) < 0.08, sum(errs) / len(errs)
+
+
+def test_simhash_pairs_sound_and_complete_vs_signatures(spark):
+    df = _docs(spark, n=80)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df, max_hamming=3).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()
+    }
+    expected = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            expected[(a, b)] = h
+    # Pigeonhole banding (4×16 bits, hamming ≤3) is exact: sound AND complete.
+    assert got == expected
+
+
+def test_embedding_near_dup_python_reference(spark):
+    import math
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    expected = {}
+    for label, rs in by_label.items():
+        for a, b in itertools.combinations(sorted(rs, key=lambda r: r["vec_id"]), 2):
+            va, vb = a["embedding"], b["embedding"]
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(x * x for x in vb))
+            c = round(dot / (na * nb), 6)
+            if c >= 0.3:
+                expected[(a["vec_id"], b["vec_id"])] = c
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) <= 1e-5

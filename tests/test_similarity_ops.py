@@ -1,0 +1,102 @@
+"""Similarity search: exact top-k vs a NumPy reference; ANN variants'
+soundness (returned cosines correct, results drawn from the corpus)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _numpy_topk(rows, q, k=10):
+    qv = np.array(q)
+    sims = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        c = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        sims.append((round(c, 6), r["vec_id"]))
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return sims[:k]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb = _emb(spark)
+    rows = emb.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    got = [
+        (r["cosine"], r["vec_id"])
+        for r in similarity.brute_force_topk(emb, q, k=10)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .collect()
+    ]
+    exp = _numpy_topk(rows, q, k=10)
+    assert [g[1] for g in got] == [e[1] for e in exp]
+    for g, e in zip(got, exp):
+        assert abs(g[0] - e[0]) <= 1e-5
+
+
+def test_ivf_topk_sound_and_overlaps_exact(spark):
+    emb = _emb(spark)
+    rows = emb.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    exact_ids = [e[1] for e in _numpy_topk(rows, q, k=10)]
+    got = similarity.ivf_topk(emb, q, k=10, cells=8, nprobe=4).collect()
+    assert 0 < len(got) <= 10
+    by_id = {r["vec_id"]: r["cosine"] for r in got}
+    # per-row cosines must be the true cosines (soundness)
+    full = {e[1]: e[0] for e in _numpy_topk(rows, q, k=len(rows))}
+    for vid, cos in by_id.items():
+        assert abs(cos - full[vid]) <= 1e-5
+    # probing half the cells should recover a decent chunk of the exact top-10
+    overlap = len(set(by_id) & set(exact_ids))
+    assert overlap >= 3, f"IVF recall too low: {overlap}/10"
+
+
+def test_lsh_topk_sound(spark):
+    emb = _emb(spark)
+    rows = emb.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    got = similarity.lsh_topk(emb, q, k=10, planes=8)
+    out = got.collect()
+    # the query's own vector shares its bucket → at least 1 result, and
+    # vec 0 itself (cosine 1.0) must be in it
+    assert len(out) >= 1
+    assert out[0]["vec_id"] == 0
+    assert abs(out[0]["cosine"] - 1.0) <= 1e-6
+
+
+def test_multimodal_plumbing(spark):
+    from sample_dms_s3_kinesis_spark.operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=16)
+    feats = multimodal.extract_image_features(assets).collect()
+    assert len(feats) == 16
+    by_id = {r["asset_id"]: r for r in feats}
+    # corrupt (empty) payloads → null features, job survives
+    corrupt = [i for i in range(16) if i % 5 == 0 and i != 0]
+    for i in corrupt:
+        assert by_id[i]["content_sha256"] is None
+    ok = [i for i in range(16) if i not in corrupt]
+    for i in ok:
+        assert by_id[i]["content_sha256"] is not None
+        assert len(by_id[i]["feature"]) == 8
+    # determinism: same content → same feature
+    again = {r["asset_id"]: r for r in multimodal.extract_image_features(assets).collect()}
+    assert all(again[i]["feature"] == by_id[i]["feature"] for i in ok)
+
+
+def test_frame_sample_plan(spark):
+    from sample_dms_s3_kinesis_spark.operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=12)
+    frames = multimodal.frame_sample_plan(assets, every_ms=1000).collect()
+    videos = assets.filter(F.col("media_type") == "video").collect()
+    # 3000ms duration, sample every 1000ms → ts 0,1000,2000 per video
+    assert len(frames) == 3 * len(videos)
+    one = sorted(r["frame_ts_ms"] for r in frames if r["asset_id"] == videos[0]["asset_id"])
+    assert one == [0, 1000, 2000]

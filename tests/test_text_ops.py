@@ -1,0 +1,77 @@
+"""Text operators vs hand-computed / Python-reference expectations."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_quality_features_python_reference(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox. It jumps!"), (2, "a b c"), (3, "  padded   text  ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.quality_features(df).collect()}
+
+    def ref(s):
+        toks = s.strip().split()
+        n_chars = len(s)
+        punct = sum(1 for ch in s if ch in ".!?,;:")
+        sw = sum(1 for w in s.lower().strip().split() if w in text.STOPWORDS)
+        return (
+            n_chars,
+            len(toks),
+            round(sum(len(w) for w in toks) / len(toks), 4),
+            round(punct / n_chars, 4),
+            round(sw / len(toks), 4),
+        )
+
+    for doc_id, s in [(1, "The quick brown fox. It jumps!"), (2, "a b c"), (3, "  padded   text  ")]:
+        r = out[doc_id]
+        exp = ref(s)
+        got = (
+            r["n_chars_measured"],
+            r["n_tokens"],
+            r["avg_token_len"],
+            r["punct_ratio"],
+            r["stopword_ratio"],
+        )
+        assert got == exp, (doc_id, got, exp)
+
+
+def test_lang_id_markers_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),   # en markers
+            (2, "der hund und die katze ist da"),       # de markers
+            (3, "le chat et la maison est grande"),     # fr markers
+            (4, "xyzzy qwerty plugh"),                  # no markers → tie → 'en'
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "en"  # deterministic preference order on all-zero scores
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_rolling_hashes_shape(spark):
+    df = spark.createDataFrame([(1, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string")
+    out = df.select(text.rolling_hashes(F.col("text"), window=8).alias("h")).collect()[0]["h"]
+    # 20 tokens, window 8 → positions 0..12 → 13 hashes
+    assert len(out) == 13
+    assert len(set(out)) == 13  # distinct windows hash differently
