@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (full execution, no
+driver collect overhead).  A warmup query first absorbs JVM/codegen
+startup so per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+from sample_dms_s3_kinesis_spark.plans.registry import REGISTRY
+
+# Headline set: the scan/join/agg-heavy relational core, the window and
+# as-of/range operators, and one representative per north-star family.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_revenue",
+    "q_conditional_agg_events",
+    "q_latest_wins_events",
+    "q_topk_per_group",
+    "q_asof_join",
+    "q_range_join",
+    "q_json_extract_events",
+    "q_envelope_events",
+    "q_dedup_md5_documents",
+    "q_text_quality",
+    "q_minhash_lsh_pairs",
+    "q_simhash_pairs",
+    "q_ann_cosine_topk",
+    "q_embedding_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dms-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warmup: absorb JVM/codegen/parquet-footer startup cost.
+    run("q06_forecast_revenue")
+
+    timings = {name: round(run(name), 3) for name in HEADLINE}
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
