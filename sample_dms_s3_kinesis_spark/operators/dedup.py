@@ -113,20 +113,44 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------- MinHash + LSH
 
-def minhash_signature(col: Column, *, num_hashes: int = 128) -> Column:
-    """k minhashes of the doc's 3-gram shingle set.  Hash family:
-    ``xxhash64(shingle, seed_i)`` — xxhash64's seed argument gives k
-    independent 64-bit functions with zero Python involvement."""
+def _shingle_hash_pairs(col: Column) -> Column:
+    """Per-shingle (h1, h2) base hashes — the only string hashing in the
+    minhash pipeline.  The k-function family is derived from these two
+    64-bit values with integer math (Kirsch–Mitzenmacher double
+    hashing), so signature cost is 2 string hashes + k multiply-adds per
+    shingle instead of k string hashes."""
     grams = token_ngrams(col)
+    # Masked to 32 bits so h1 + i*h2 never overflows a long (ANSI mode
+    # raises on wraparound); a 32-bit universal family is ample for
+    # minhash collision behavior.
+    mask = F.lit((1 << 32) - 1)
+    return F.transform(
+        grams,
+        lambda g: F.struct(
+            F.xxhash64(g).bitwiseAND(mask).alias("h1"),
+            F.xxhash64(g, F.lit(1)).bitwiseAND(mask).alias("h2"),
+        ),
+    )
+
+
+def _signature_from_pairs(pairs: Column, *, num_hashes: int) -> Column:
     return F.array(
         *[
             F.coalesce(
-                F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i)))),
+                F.array_min(
+                    F.transform(pairs, lambda p: p["h1"] + F.lit(i) * p["h2"])
+                ),
                 F.lit(2**63 - 1),
             )
             for i in range(num_hashes)
         ]
     )
+
+
+def minhash_signature(col: Column, *, num_hashes: int = 128) -> Column:
+    """k minhashes of the doc's 3-gram shingle set, via double hashing
+    (h_i = h1 + i*h2 over per-shingle xxhash64 base hashes)."""
+    return _signature_from_pairs(_shingle_hash_pairs(col), num_hashes=num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -146,10 +170,21 @@ def minhash_lsh_pairs(
     agreeing minhashes ≥ threshold.  Output: (id_a, id_b, est_jaccard).
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes=num_hashes).alias("_sig"),
-    ).persist()
+    # Two-step projection: materialize per-shingle base hashes once,
+    # then derive the k-wide signature — higher-order lambdas are opaque
+    # to Catalyst CSE, so inlining would re-shingle and re-hash the text
+    # once per signature slot.
+    sig = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            _shingle_hash_pairs(F.col(text_col)).alias("_hp"),
+        )
+        .select(
+            "_id",
+            _signature_from_pairs(F.col("_hp"), num_hashes=num_hashes).alias("_sig"),
+        )
+        .persist()
+    )
 
     banded = sig.select(
         "_id",
