@@ -1033,4 +1033,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_image_features(assets)
 
 
+# Extended relational surface registers into _SPECS on import; the
+# import sits below every symbol it needs from this module.
+from sample_dms_s3_kinesis_spark.plans import relational_ext  # noqa: E402,F401
+
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
