@@ -11,6 +11,7 @@ startup so per-query numbers reflect steady-state execution.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -41,8 +42,14 @@ HEADLINE = [
     "q_text_quality",
     "q_minhash_lsh_pairs",
     "q_simhash_pairs",
+    "q_lsh_jaccard_verified",
     "q_ann_cosine_topk",
     "q_embedding_near_dup",
+    "q07_nation_volume",
+    "q13_order_count_dist",
+    "q18_large_orders",
+    "q_window_rank_family",
+    "q_sessionize_events",
 ]
 
 
@@ -69,7 +76,14 @@ def main() -> None:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        # Operators that persist() intermediates (LSH signatures) would
+        # otherwise accumulate cached blocks across queries and distort
+        # later timings; a Python gc pass releases py4j references so
+        # Spark's ContextCleaner can drop finished broadcasts too.
+        spark.catalog.clearCache()
+        gc.collect()
+        return elapsed
 
     # Warmup: absorb JVM/codegen/parquet-footer startup cost.
     run("q06_forecast_revenue")

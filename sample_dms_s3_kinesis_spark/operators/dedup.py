@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sample_dms_s3_kinesis_spark.operators.partitioning import spread
 from sample_dms_s3_kinesis_spark.operators.text import tokens
 
 
@@ -90,20 +91,39 @@ def ngram_jaccard_pairs(
     computed with array_intersect/array_union sizes — JVM-side.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    grams = df.select(
+    grams = spread(df).select(
         F.col(id_col).alias("_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("_blk"),
         token_ngrams(F.col(text_col), n).alias("_g"),
     )
     a = grams.select(
-        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_g").alias("_ga")
+        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_g").alias("_ga"),
+        F.size("_g").alias("_na"),
     )
     b = grams.select(
-        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_g").alias("_gb")
+        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_g").alias("_gb"),
+        F.size("_g").alias("_nb"),
     )
-    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    # Exactness-preserving prune: jaccard <= min(|A|,|B|)/max(|A|,|B|),
+    # so size-mismatched pairs skip the expensive array_intersect.
+    size_bound = F.least("_na", "_nb").cast("double") >= (
+        F.lit(threshold) * F.greatest("_na", "_nb").cast("double")
+    )
+    # Broadcast the build side: the block key has few distinct values
+    # (a language, a length bucket), so a shuffle join would collapse to
+    # one task per block.  Broadcasting keeps the probe side's full
+    # parallelism.  This op is the exact verifier for candidate pairs —
+    # at 100 TB the corpus goes through minhash_lsh_pairs first and only
+    # candidates reach here, so the broadcast side stays bounded.
+    pairs = (
+        a.join(F.broadcast(b), on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(size_bound)
+    )
+    # Grams are distinct sets, so |A∪B| = |A|+|B|-|A∩B|: one hash-set
+    # build per pair instead of two (array_union dropped).
     inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb"))).cast("double")
-    union = F.size(F.array_union(F.col("_ga"), F.col("_gb"))).cast("double")
+    union = (F.col("_na") + F.col("_nb")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
@@ -113,13 +133,12 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------- MinHash + LSH
 
-def _shingle_hash_pairs(col: Column) -> Column:
+def _hash_pairs_from_grams(grams: Column) -> Column:
     """Per-shingle (h1, h2) base hashes — the only string hashing in the
     minhash pipeline.  The k-function family is derived from these two
     64-bit values with integer math (Kirsch–Mitzenmacher double
     hashing), so signature cost is 2 string hashes + k multiply-adds per
     shingle instead of k string hashes."""
-    grams = token_ngrams(col)
     # Masked to 32 bits so h1 + i*h2 never overflows a long (ANSI mode
     # raises on wraparound); a 32-bit universal family is ample for
     # minhash collision behavior.
@@ -131,6 +150,10 @@ def _shingle_hash_pairs(col: Column) -> Column:
             F.xxhash64(g, F.lit(1)).bitwiseAND(mask).alias("h2"),
         ),
     )
+
+
+def _shingle_hash_pairs(col: Column) -> Column:
+    return _hash_pairs_from_grams(token_ngrams(col))
 
 
 def _signature_from_pairs(pairs: Column, *, num_hashes: int) -> Column:
@@ -151,6 +174,51 @@ def minhash_signature(col: Column, *, num_hashes: int = 128) -> Column:
     """k minhashes of the doc's 3-gram shingle set, via double hashing
     (h_i = h1 + i*h2 over per-shingle xxhash64 base hashes)."""
     return _signature_from_pairs(_shingle_hash_pairs(col), num_hashes=num_hashes)
+
+
+def _band_hashes(sig: Column, *, bands: int, rows: int) -> Column:
+    """One xxhash64 per band over its r signature slots."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig, b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _band_candidates(sig_df: DataFrame, *, bands: int, rows: int) -> DataFrame:
+    """Candidate (id_a < id_b) pairs: docs sharing any band hash.
+    ``sig_df`` must have columns (_id, _sig).  The self-join key is
+    (band index, band hash) — shuffle cost is O(candidates), not O(n²);
+    a boilerplate band shared by a huge doc population is the skew
+    hazard (cap or salt upstream; AQE splits moderate skew)."""
+    banded = sig_df.select(
+        "_id",
+        F.posexplode(_band_hashes(F.col("_sig"), bands=bands, rows=rows)).alias(
+            "_band", "_bh"
+        ),
+    )
+    return (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            on=[
+                F.col("x._band") == F.col("y._band"),
+                F.col("x._bh") == F.col("y._bh"),
+                F.col("x._id") < F.col("y._id"),
+            ],
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(
@@ -175,7 +243,7 @@ def minhash_lsh_pairs(
     # to Catalyst CSE, so inlining would re-shingle and re-hash the text
     # once per signature slot.
     sig = (
-        df.select(
+        spread(df).select(
             F.col(id_col).alias("_id"),
             _shingle_hash_pairs(F.col(text_col)).alias("_hp"),
         )
@@ -186,40 +254,7 @@ def minhash_lsh_pairs(
         .persist()
     )
 
-    banded = sig.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(F.col("_sig"), b * rows + r + 1).cast(
-                                    "string"
-                                )
-                                for r in range(rows)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band", "_bh"),
-    )
-    cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            on=[
-                F.col("x._band") == F.col("y._band"),
-                F.col("x._bh") == F.col("y._bh"),
-                F.col("x._id") < F.col("y._id"),
-            ],
-        )
-        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
-        .distinct()
-    )
+    cand = _band_candidates(sig, bands=bands, rows=rows)
     verified = (
         cand.join(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
         .join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
@@ -241,37 +276,101 @@ def minhash_lsh_pairs(
     return verified
 
 
+def lsh_verified_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The 100 TB near-dup shape: MinHash-LSH candidate generation, then
+    EXACT n-gram Jaccard verification of candidates only.
+
+    ``ngram_jaccard_pairs`` is exact but O(n²) within its block;
+    ``minhash_lsh_pairs`` is subquadratic but returns estimates.  This
+    composition pays the quadratic term only on the candidate set and
+    returns true Jaccard values: every output pair genuinely satisfies
+    jaccard >= threshold.  Recall at similarity s is 1-(1-s^r)^b with
+    r = num_hashes/bands; the default (r=2, b=32) gives >0.9999 at
+    s=0.5.  Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    base = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            token_ngrams(F.col(text_col)).alias("_g"),
+        )
+        .select("_id", "_g", _hash_pairs_from_grams(F.col("_g")).alias("_hp"))
+        .select(
+            "_id",
+            "_g",
+            F.size("_g").alias("_n"),
+            _signature_from_pairs(F.col("_hp"), num_hashes=num_hashes).alias("_sig"),
+        )
+        .persist()
+    )
+    cand = _band_candidates(base.select("_id", "_sig"), bands=bands, rows=rows)
+    verified = (
+        cand.join(
+            base.select(
+                F.col("_id").alias("id_a"), F.col("_g").alias("_ga"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("_id").alias("id_b"), F.col("_g").alias("_gb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb"))).cast("double")
+    union = (F.col("_na") + F.col("_nb")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        verified.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ------------------------------------------------------------ SimHash
 
-def simhash(col: Column, *, bits: int = 64) -> Column:
-    """64-bit SimHash over tokens: per-token xxhash64 bit vectors are
-    summed (+1/-1 per bit) with a single aggregate fold; the sign vector
-    re-packs into a long.  One pass, no explode, no shuffle."""
-    toks = F.array_distinct(tokens(F.lower(col)))
-    zero = F.array_repeat(F.lit(0).cast("long"), bits)
-    # getbit (not shiftright) — the shift amount must be a Column here.
-    bitvec = F.aggregate(
-        toks,
-        zero,
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda j: F.getbit(F.xxhash64(t), j).cast("long"),
-            ),
-            lambda a, bit: a + (bit * 2 - 1),
-        ),
-    )
-    # Pack sign bits into one long; bit 63 is the sign bit of the
-    # two's-complement long, hence the negative literal.
+def _token_hashes(col: Column) -> Column:
+    """Per-distinct-token xxhash64 — one string hash per token, shared
+    by every SimHash bit below."""
+    return F.transform(F.array_distinct(tokens(F.lower(col))), lambda t: F.xxhash64(t))
+
+
+def _simhash_from_hashes(hashes: Column, *, bits: int = 64) -> Column:
+    """Pack the majority sign of each bit position into one long.
+    bit j set ⟺ Σ±1 over tokens > 0 ⟺ 2·count(bit j set) > n_tokens.
+    Per bit this is a size/filter over a long array — no per-token
+    array materialization (the naive ±1-vector fold allocates a
+    bits-wide array per token, which is pure GC pressure)."""
+    n = F.size(hashes)
     packed = F.lit(0).cast("long")
     for j in range(bits):
+        cnt = F.size(F.filter(hashes, lambda h: F.getbit(h, F.lit(j)) == 1))
+        # Bit 63 is the sign bit of the two's-complement long, hence the
+        # negative literal.
         bit_val = (1 << j) if j < 63 else -(1 << 63)
         packed = packed.bitwiseOR(
-            F.when(F.element_at(bitvec, j + 1) > 0, F.lit(bit_val).cast("long"))
+            F.when(cnt * 2 > n, F.lit(bit_val).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
     return packed
+
+
+def simhash(col: Column, *, bits: int = 64) -> Column:
+    """64-bit SimHash over distinct tokens: majority vote per bit of the
+    per-token xxhash64, packed into a long.  One pass, no explode, no
+    shuffle."""
+    return _simhash_from_hashes(_token_hashes(col), bits=bits)
 
 
 def simhash_pairs(
@@ -285,9 +384,16 @@ def simhash_pairs(
     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
     self-join per chunk, verify exact hamming distance ≤ max_hamming.
     Output: (id_a, id_b, hamming)."""
-    sig = df.select(
-        F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh")
-    ).persist()
+    # Two-step projection: the packed fingerprint references the token-
+    # hash array once per bit, and higher-order lambdas are opaque to
+    # Catalyst CSE — materialize the hashes first or every bit would
+    # re-tokenize and re-hash the text.
+    sig = (
+        spread(df)
+        .select(F.col(id_col).alias("_id"), _token_hashes(F.col(text_col)).alias("_th"))
+        .select("_id", _simhash_from_hashes(F.col("_th")).alias("_sh"))
+        .persist()
+    )
     chunks = sig.select(
         "_id",
         "_sh",
@@ -356,14 +462,16 @@ def embedding_near_dup_pairs(
     (pre-clustered label / IVF cell), (id_a < id_b, cosine ≥ τ).
     The block join bounds pair count; at scale the blocking key comes
     from a coarse quantizer (see similarity.ivf_assign)."""
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     a = base.select("_blk", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     b = base.select("_blk", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    # Broadcast build side: few distinct block keys would collapse a
+    # shuffle join to one task per block (see ngram_jaccard_pairs).
+    pairs = a.join(F.broadcast(b), on="_blk").filter(F.col("id_a") < F.col("id_b"))
     cos = cosine_similarity(F.col("_va"), F.col("_vb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators.dedup import cosine_similarity
+from sample_dms_s3_kinesis_spark.operators.partitioning import spread
 
 
 def brute_force_topk(
@@ -43,7 +44,7 @@ def brute_force_topk(
     )
     cos = cosine_similarity(F.col(vec_col).cast("array<double>"), q)
     return (
-        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        spread(df).select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -81,7 +82,7 @@ def ivf_assign(
     """Assign every vector to its nearest centroid cell.  Centroids are
     broadcast (they are tiny); assignment is a broadcast nested-loop +
     per-row argmax — embarrassingly parallel, no shuffle of the corpus."""
-    v = df.select(
+    v = spread(df).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     joined = v.join(F.broadcast(centroids))
@@ -187,5 +188,5 @@ def lsh_topk(
         .collect()
     )
     qsig = qsig_row[0]["s"]
-    bucket = df.filter(sig == F.lit(qsig))
+    bucket = spread(df).filter(sig == F.lit(qsig))
     return brute_force_topk(bucket, query_vec, k=k, vec_col=vec_col, id_col=id_col)

@@ -853,3 +853,22 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+# =====================================================================
+# Composed near-dup scale pipeline
+# =====================================================================
+
+@_register(
+    "q_lsh_jaccard_verified",
+    None,
+    "MinHash-LSH candidates + exact n-gram Jaccard verification "
+    "(the subquadratic 100 TB near-dup pipeline; every returned pair "
+    "has true jaccard >= threshold)",
+    "dedup: MinHash+LSH -> exact verify composition",
+)
+def q_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import dedup
+
+    d = t(spark, sf_dir, "documents")
+    return dedup.lsh_verified_jaccard_pairs(d, threshold=0.5)

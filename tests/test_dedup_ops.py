@@ -143,3 +143,22 @@ def test_embedding_near_dup_python_reference(spark):
     assert set(got) == set(expected)
     for k in got:
         assert abs(got[k] - expected[k]) <= 1e-5
+
+
+def test_lsh_verified_jaccard_subset_of_exact_with_true_values(spark):
+    """The composed LSH->exact pipeline returns only pairs the exact
+    operator returns (no false positives — verification is exact) and
+    reports the true Jaccard value; at the default high-recall banding
+    (r=2, b=32) it finds every pair on this corpus."""
+    docs = _docs(spark)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    composed = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.lsh_verified_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(composed) == set(exact)
+    for k, v in composed.items():
+        assert abs(v - exact[k]) <= 1e-9
