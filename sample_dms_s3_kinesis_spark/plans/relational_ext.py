@@ -872,3 +872,74 @@ def q_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return dedup.lsh_verified_jaccard_pairs(d, threshold=0.5)
+
+
+# =====================================================================
+# Streaming operators in batch mode (unified API): window(),
+# session_window() — same functions streamed in streaming/windows.py
+# =====================================================================
+
+@_register(
+    "q_window_agg_events",
+    """
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           STRFTIME(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type, COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS sum_value
+    FROM events
+    GROUP BY window_start, window_end, event_type
+    """,
+    "window() tumbling aggregation run in batch mode (streaming twin: "
+    "streaming.windows.tumbling_counts)",
+    "SURVEY §2.7 window() — unified batch/stream API",
+)
+def q_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.streaming.windows import tumbling_counts
+
+    ev = t(spark, sf_dir, "events")
+    out = tumbling_counts(ev, watermark="10 years")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@_register(
+    "q_session_window_events",
+    """
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  OR LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE user_id < 50),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks)
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    "session_window() aggregation run in batch mode (streaming twin: "
+    "streaming.windows.session_counts)",
+    "SURVEY §2.7 session_window() — unified batch/stream API",
+)
+def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.streaming.windows import session_counts
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = session_counts(ev, watermark="10 years")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )

@@ -1,0 +1,148 @@
+"""Event-time streaming operators driven as real streams (file source,
+availableNow trigger, memory sink), cross-checked against their batch
+twins on the same data — Structured Streaming's unified-API contract."""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.streaming import windows as W
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark):
+    """events table re-staged as a parquet directory usable as a
+    streaming file source (schema must be supplied explicitly)."""
+    tmp = tempfile.mkdtemp(prefix="stream-events-")
+    # t() handles the TIMESTAMP(NANOS) parquet ts; the re-staged copy is
+    # written back out in microseconds, which the streaming source reads.
+    from sample_dms_s3_kinesis_spark.plans.registry import t
+
+    src = t(spark, SF_DIR, "events").filter(F.col("user_id") < 30)
+    path = os.path.join(tmp, "events")
+    src.write.mode("overwrite").parquet(path)
+    yield path, src.schema
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name != "firstseen" else "update")
+        .option("checkpointLocation", f"/tmp/ckpt-{name}-{uuid.uuid4()}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_counts_stream_matches_batch(spark, staged_events):
+    path, schema = staged_events
+    batch = spark.read.schema(schema).parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+
+    expected = {
+        tuple(r)
+        for r in W.tumbling_counts(batch, watermark="10 years").collect()
+    }
+    got_df = _run_stream(
+        spark, W.tumbling_counts(stream, watermark="10 years"), "tumbling"
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_session_counts_stream_matches_batch(spark, staged_events):
+    path, schema = staged_events
+    batch = spark.read.schema(schema).parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+
+    expected = {
+        tuple(r) for r in W.session_counts(batch, watermark="10 years").collect()
+    }
+    got_df = _run_stream(
+        spark, W.session_counts(stream, watermark="10 years"), "sessions"
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_session_counts_matches_window_cumsum_twin(spark, staged_events):
+    """session_window grouping must agree with the lag/cumsum batch
+    sessionization (same gap): identical (user, n_events) multisets."""
+    path, schema = staged_events
+    batch = spark.read.schema(schema).parquet(path)
+
+    from collections import Counter
+
+    sw = Counter(
+        (r["user_id"], r["n_events"])
+        for r in W.session_counts(batch, gap="30 minutes").collect()
+    )
+
+    from pyspark.sql import Window as Win
+
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    marks = batch.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap_us > 1_800_000_000, 1).when(gap_us.isNull(), 1).otherwise(0).alias(
+            "new_sess"
+        ),
+    )
+    wsum = Win.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Win.unboundedPreceding, 0
+    )
+    cumsum = Counter(
+        (r["user_id"], r["n_events"])
+        for r in marks.select(
+            "user_id", F.sum("new_sess").over(wsum).alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert sw == cumsum and len(sw) > 0
+
+
+def test_streaming_first_seen_state(spark, staged_events):
+    """applyInPandasWithState dedup: canonical first id and duplicate
+    counts must match a batch groupBy on the same fingerprint."""
+    path, schema = staged_events
+    batch = spark.read.schema(schema).parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+
+    fp = F.col("event_type")  # coarse fingerprint => guaranteed dups
+    expected = {
+        r["fingerprint"]: (r["first_event_id"], r["n_duplicates"])
+        for r in batch.select(fp.alias("fingerprint"), "event_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            (F.count(F.lit(1)) - 1).alias("n_duplicates"),
+        )
+        .collect()
+    }
+
+    dedup_stream = W.streaming_first_seen(
+        stream.select(fp.alias("fingerprint"), "event_id")
+    )
+    got_df = _run_stream(spark, dedup_stream, "firstseen")
+    # update-mode memory sink appends one row per key per batch; the
+    # last row per key carries the final totals.
+    rows = got_df.collect()
+    final = {}
+    for r in rows:
+        final[r["fingerprint"]] = (r["first_event_id"], r["n_duplicates"])
+    assert final == expected and len(final) > 0
