@@ -157,3 +157,65 @@ def synthetic_assets(spark, n: int = 16) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("resampled_rate", T.IntegerType(), True),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    *,
+    target_rate: int = 16_000,
+    window_ms: int = 25,
+    on_error: str = "null",
+) -> DataFrame:
+    """Resample + windowed featurization for audio assets via
+    mapInPandas.  The decode/resample kernel is a STUB (real impl:
+    torchaudio/librosa load + resample); the batch plumbing, window
+    count arithmetic, and error channel are real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "asset_id": [],
+                "n_bytes": [],
+                "resampled_rate": [],
+                "n_windows": [],
+                "feature": [],
+            }
+            for asset_id, content, rate, dur in zip(
+                pdf["asset_id"], pdf["content"], pdf["sample_rate"], pdf["duration_ms"]
+            ):
+                out["asset_id"].append(asset_id)
+                try:
+                    blob = bytes(content) if content is not None else b""
+                    if not blob:
+                        raise ValueError("empty media content")
+                    # STUB decode: duration from metadata when present,
+                    # else proportional to payload size.
+                    duration_ms = int(dur) if dur is not None and not pd.isna(dur) else len(blob)
+                    n_windows = max(duration_ms // window_ms, 1)
+                    out["n_bytes"].append(len(blob))
+                    out["resampled_rate"].append(target_rate)
+                    out["n_windows"].append(int(n_windows))
+                    out["feature"].append(_feature_stub(blob))
+                except Exception:
+                    if on_error != "null":
+                        raise
+                    out["n_bytes"].append(None)
+                    out["resampled_rate"].append(None)
+                    out["n_windows"].append(None)
+                    out["feature"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "content", "sample_rate", "duration_ms").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )

@@ -943,3 +943,19 @@ def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     )
+
+
+@_register(
+    "q_multimodal_audio_features",
+    None,
+    "audio decode/resample/window featurization plumbing over binary "
+    "assets via mapInPandas (decode kernel stubbed; batch shape real)",
+    "north-star: multimodal columns (audio)",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=64)
+    return multimodal.extract_audio_features(
+        assets.filter(F.col("media_type") == "audio")
+    )
