@@ -32,12 +32,13 @@ except Exception:  # pragma: no cover
 _MAX_PER_PUT = 500  # Kinesis PutRecords API limit
 
 
-def _emit_partition(rows, stream_name: str, endpoint_url: str | None, region: str):
+def _emit_partition(rows, stream_name: str, client_factory):
+    """Emit one ordered partition.  ``client_factory`` builds the Kinesis
+    client on the executor (a boto3 client is not picklable); tests
+    inject a fake factory to exercise batching/retry without AWS."""
     import time
 
-    client = boto3.client(
-        "kinesis", endpoint_url=endpoint_url, region_name=region
-    )
+    client = client_factory()
     batch: list[dict] = []
 
     def flush():
@@ -82,11 +83,13 @@ class KinesisSink(EventSink):
         num_shards: int = 1,
         endpoint_url: str | None = None,
         region: str = "us-east-1",
+        client_factory=None,
     ) -> None:
-        if not _HAS_BOTO3:
+        if not _HAS_BOTO3 and client_factory is None:
             raise ImportError(
                 "boto3 is required for KinesisSink; use MemorySink/JsonFileSink instead"
             )
+        self.client_factory = client_factory
         self.stream_name = stream_name
         self.num_shards = num_shards
         self.endpoint_url = endpoint_url
@@ -94,8 +97,11 @@ class KinesisSink(EventSink):
 
     def write(self, events: DataFrame) -> None:
         stream, endpoint, region = self.stream_name, self.endpoint_url, self.region
+        factory = self.client_factory or (
+            lambda: boto3.client("kinesis", endpoint_url=endpoint, region_name=region)
+        )
         ordered_for_emit(events, self.num_shards).foreachPartition(
-            lambda rows: _emit_partition(rows, stream, endpoint, region)
+            lambda rows: _emit_partition(rows, stream, factory)
         )
 
 
