@@ -959,3 +959,55 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_audio_features(
         assets.filter(F.col("media_type") == "audio")
     )
+
+
+# =====================================================================
+# Skew-mitigation operators (exact; oracle-checked against the naive
+# formulations)
+# =====================================================================
+
+@_register(
+    "q_two_phase_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    "exact per-key distinct count via dedup-then-count (skew-safe twin "
+    "of COUNT(DISTINCT))",
+    "skew: two-phase distinct (SURVEY §2.4 generalized)",
+)
+def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import skew
+
+    ev = t(spark, sf_dir, "events")
+    return skew.two_phase_distinct_count(ev, "event_type", "user_id")
+
+
+@_register(
+    "q_salted_join_agg",
+    """
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "salted equi-join (skewed side spread over salt buckets) feeding an "
+    "aggregate — result identical to the plain join",
+    "skew: salted join (SURVEY §2.6 generalized)",
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import skew
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = skew.salted_join(
+        c.withColumnRenamed("c_nationkey", "n_nationkey"),
+        n,
+        "n_nationkey",
+        salt=8,
+        salt_source="c_custkey",
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec(F.col("c_acctbal"))).alias("total_bal"),
+    )
