@@ -129,3 +129,20 @@ def rolling_hashes(col: Column, window: int = 8) -> Column:
     return F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
     )
+
+
+# BPE-ish pre-tokenization: the GPT-2-family pretoken split — word
+# pieces with leading space, number runs, punctuation runs.  Kept to a
+# regex class both Spark and DuckDB execute identically (no lookahead).
+_BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Sub-word-ish pretokens via regexp_extract_all: letter runs,
+    digit runs, punctuation runs.  A real BPE merges within these
+    pretokens; counting them is the standard cheap token estimate."""
+    return F.regexp_extract_all(col, F.lit(_BPE_ISH), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col)).cast("long")

@@ -1011,3 +1011,40 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(_dec(F.col("c_acctbal"))).alias("total_bal"),
     )
+
+
+# =====================================================================
+# Additional text / aggregate coverage
+# =====================================================================
+
+@_register(
+    "q_text_tokens_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    "BPE-ish pretoken counting (letter/digit/punctuation runs)",
+    "north-star: token counting (BPE-ish regex)",
+)
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.text import bpe_ish_token_count
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@_register(
+    "q_approx_distinct_users",
+    None,
+    "approx_count_distinct (HLL++) per event_type — sketch-based "
+    "distinct at scale; exactness bound tested in pytest vs the exact "
+    "count (no oracle: DuckDB's sketch differs)",
+    "SURVEY §2.4 generalized (approx_count_distinct)",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )

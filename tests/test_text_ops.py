@@ -75,3 +75,40 @@ def test_rolling_hashes_shape(spark):
     # 20 tokens, window 8 → positions 0..12 → 13 hashes
     assert len(out) == 13
     assert len(set(out)) == 13  # distinct windows hash differently
+
+
+def test_bpe_ish_tokens_python_reference(spark):
+    import re
+
+    from sample_dms_s3_kinesis_spark.operators.text import bpe_ish_token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", bpe_ish_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    pat = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+")
+    for r in docs.collect():
+        assert got[r["doc_id"]] == len(pat.findall(r["text"]))
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    from sample_dms_s3_kinesis_spark.plans.registry import REGISTRY, t as load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["q_approx_distinct_users"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.1 * n)
