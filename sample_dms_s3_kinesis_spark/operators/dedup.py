@@ -251,7 +251,7 @@ def minhash_lsh_pairs(
             "_id",
             _signature_from_pairs(F.col("_hp"), num_hashes=num_hashes).alias("_sig"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     cand = _band_candidates(sig, bands=bands, rows=rows)
@@ -310,7 +310,7 @@ def lsh_verified_jaccard_pairs(
             F.size("_g").alias("_n"),
             _signature_from_pairs(F.col("_hp"), num_hashes=num_hashes).alias("_sig"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cand = _band_candidates(base.select("_id", "_sig"), bands=bands, rows=rows)
     verified = (
@@ -392,7 +392,7 @@ def simhash_pairs(
         spread(df)
         .select(F.col(id_col).alias("_id"), _token_hashes(F.col(text_col)).alias("_th"))
         .select("_id", _simhash_from_hashes(F.col("_th")).alias("_sh"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     chunks = sig.select(
         "_id",
