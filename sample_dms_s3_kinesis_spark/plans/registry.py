@@ -711,36 +711,23 @@ def q_envelope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "custom operator (SURVEY §2.7 extension)",
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.asof import asof_join
+
     ev = t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("ts"), F.lit(None).cast("long").alias("event_id"),
-        F.lit(True).alias("is_click"),
-    )
     purchases = ev.filter(
         (F.col("event_type") == "purchase") & (F.col("user_id") < 30)
-    ).select("user_id", "ts", "event_id", F.lit(False).alias("is_click"))
-    merged = clicks.unionByName(purchases)
-    # Order purchases BEFORE clicks at identical ts so the strict
-    # p.ts > c.ts contract holds; carry the last click ts forward.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("is_click"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    ).select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
     )
-    lagged = merged.withColumn(
-        "last_click_ts",
-        F.last(F.when(F.col("is_click"), F.col("ts")), ignorenulls=True).over(w),
+    joined = asof_join(
+        purchases, clicks, by="user_id", ts_col="ts", right_cols=["click_ts"]
     )
-    return (
-        lagged.filter(~F.col("is_click") & F.col("last_click_ts").isNotNull())
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias(
-                "last_click_ts"
-            ),
-        )
+    return joined.filter(F.col("asof_click_ts").isNotNull()).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof_click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
     )
 
 

@@ -1,0 +1,76 @@
+"""As-of join operator vs a Python reference fold over the events
+table (last click before each purchase, per user)."""
+
+import bisect
+
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators.asof import asof_join
+from sample_dms_s3_kinesis_spark.plans.registry import t
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _frames(spark):
+    ev = t(spark, SF_DIR, "events").filter(F.col("user_id") < 40)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    return purchases, clicks
+
+
+def _python_asof(purchases, clicks, allow_exact):
+    by_user = {}
+    for r in clicks:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["click_id"], r["value"]))
+    for v in by_user.values():
+        v.sort(key=lambda x: (x[0], x[1]))
+    expected = {}
+    for p in purchases:
+        rows = by_user.get(p["user_id"], [])
+        ts_list = [x[0] for x in rows]
+        idx = (
+            bisect.bisect_right(ts_list, p["ts"])
+            if allow_exact
+            else bisect.bisect_left(ts_list, p["ts"])
+        )
+        expected[p["event_id"]] = rows[idx - 1][1] if idx > 0 else None
+    return expected
+
+
+def _check(spark, allow_exact):
+    purchases, clicks = _frames(spark)
+    got = {
+        r["event_id"]: r["asof_click_id"]
+        for r in asof_join(
+            purchases,
+            clicks,
+            by="user_id",
+            ts_col="ts",
+            allow_exact_matches=allow_exact,
+        ).collect()
+    }
+    expected = _python_asof(purchases.collect(), clicks.collect(), allow_exact)
+    assert got == expected
+    assert sum(v is not None for v in got.values()) > 0
+
+
+def test_asof_strictly_before(spark):
+    _check(spark, allow_exact=False)
+
+
+def test_asof_allow_exact(spark):
+    _check(spark, allow_exact=True)
+
+
+def test_asof_carries_payload_columns(spark):
+    purchases, clicks = _frames(spark)
+    out = asof_join(purchases, clicks, by="user_id", ts_col="ts")
+    assert set(out.columns) == {
+        "user_id", "ts", "event_id", "asof_click_id", "asof_ts", "asof_value",
+    }
+    row = out.filter(F.col("asof_click_id").isNotNull()).first()
+    assert row["asof_ts"] < row["ts"]
