@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis): the CDC apply fold against a
+Python reference model, and envelope null/empty retention, over
+randomized inputs — the edge cases the reference fixtures only sample
+(duplicate inserts, update-after-delete, long op chains per PK)."""
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark import envelope
+from sample_dms_s3_kinesis_spark.apply import apply_changes
+from sample_dms_s3_kinesis_spark.catalog import (
+    Catalog,
+    REFERENCE_TABLE_DEFINITION,
+)
+
+_CATALOG = Catalog.from_external_table_definition(REFERENCE_TABLE_DEFINITION)
+DEPT = _CATALOG.get("hr", "department")  # Id BIGINT pk, DepartmentName STRING
+
+
+def _python_apply(initial: dict, ops: list) -> tuple[dict, dict]:
+    """Reference model of apply_changes semantics (O24):
+    - INSERT: sets the row; on existing key also counts an exception
+      (duplicate key) but still overwrites (latest-wins).
+    - UPDATE: sets the row only if the key exists; else exception.
+    - DELETE: removes the row; on missing key counts an exception.
+    Counts tally every op of each kind regardless of exceptions."""
+    state = dict(initial)
+    counts = {"inserts": 0, "updates": 0, "deletes": 0, "exceptions": 0}
+    for _seq, op, pk, val in ops:
+        if op == "INSERT":
+            counts["inserts"] += 1
+            if pk in state:
+                counts["exceptions"] += 1
+            state[pk] = val
+        elif op == "UPDATE":
+            counts["updates"] += 1
+            if pk in state:
+                state[pk] = val
+            else:
+                counts["exceptions"] += 1
+        else:  # DELETE
+            counts["deletes"] += 1
+            if pk in state:
+                del state[pk]
+            else:
+                counts["exceptions"] += 1
+    return state, counts
+
+
+op_strategy = st.tuples(
+    st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+    st.integers(min_value=0, max_value=4),
+    st.text(alphabet="abcXYZ ", min_size=0, max_size=8),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    initial=st.dictionaries(
+        st.integers(min_value=0, max_value=4),
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        max_size=3,
+    ),
+    raw_ops=st.lists(op_strategy, min_size=0, max_size=25),
+)
+def test_apply_changes_matches_python_model(spark, initial, raw_ops):
+    ops = [(i + 1, op, pk, val) for i, (op, pk, val) in enumerate(raw_ops)]
+
+    current = spark.createDataFrame(
+        [(pk, val) for pk, val in initial.items()], DEPT.schema
+    )
+    changes = spark.createDataFrame(
+        [(seq, op, pk, val) for seq, op, pk, val in ops],
+        "seq long, op string, Id long, DepartmentName string",
+    )
+    result = apply_changes(spark, DEPT, current, changes)
+
+    got_state = {r["Id"]: r["DepartmentName"] for r in result.new_state.collect()}
+    c = result.counts.collect()[0]
+    got_counts = {
+        "inserts": c["inserts"],
+        "updates": c["updates"],
+        "deletes": c["deletes"],
+        "exceptions": c["exceptions"],
+    }
+    exp_state, exp_counts = _python_apply(initial, ops)
+    assert got_state == exp_state
+    assert got_counts == exp_counts
+    assert result.exceptions.count() == exp_counts["exceptions"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    name=st.one_of(
+        st.none(), st.text(alphabet="ab \"\\é", min_size=0, max_size=10)
+    )
+)
+def test_envelope_preserves_nulls_and_empties(spark, name):
+    """include_null_and_empty=True (stack.py:122): the data object must
+    carry nulls and empty strings explicitly, byte-faithfully."""
+    df = spark.createDataFrame([(1, name)], DEPT.schema)
+    ev = envelope.data_events(df, DEPT, "insert", event_time="2020-01-01T00:00:00Z")
+    payload = json.loads(ev.select("event_json").collect()[0][0])
+    assert "DepartmentName" in payload["data"]
+    assert payload["data"]["DepartmentName"] == name
+    assert payload["metadata"]["operation"] == "insert"
+    assert payload["metadata"]["partition-value"] == "hr.department"
