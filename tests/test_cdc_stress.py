@@ -1,0 +1,107 @@
+"""CDC stress: many change files × many interleaved ops across all
+three tables, applied through the micro-batch pipeline and checked
+against a Python fold of the same op stream — exercises cross-file
+ordering, repeated PK churn, and exception accumulation at a scale the
+reference fixtures don't reach."""
+
+import random
+
+from sample_dms_s3_kinesis_spark.apply import ParquetTargetStore
+from sample_dms_s3_kinesis_spark.sinks import MemorySink
+from sample_dms_s3_kinesis_spark.streaming.cdc_task import CdcTask
+from tests.conftest import write_cdc_file
+
+TABLES = {
+    "employee": 5,  # payload width (Id + 4)
+    "department": 2,
+    "project": 3,
+}
+
+
+def _gen_ops(rng, n):
+    """Seeded op stream biased to create real churn on a small PK space."""
+    ops = []
+    for _ in range(n):
+        table = rng.choice(list(TABLES))
+        pk = rng.randrange(100, 112)
+        op = rng.choice(["INSERT", "INSERT", "UPDATE", "DELETE"])
+        width = TABLES[table]
+        payload = [str(pk)] + [
+            f"v{rng.randrange(1000)}" for _ in range(width - 1)
+        ]
+        if table == "employee":
+            payload[3] = "2020-01-0%d" % (1 + pk % 9)  # HireDate must parse
+        ops.append((op, table, payload))
+    return ops
+
+
+def _python_fold(ops):
+    """Model of per-table latest-wins apply (matches apply_changes
+    semantics: INSERT overwrites + exception on dup, UPDATE only on
+    existing, DELETE removes + exception on missing)."""
+    state = {t: {} for t in TABLES}
+    exceptions = 0
+    for op, table, payload in ops:
+        pk = int(payload[0])
+        tbl = state[table]
+        if op == "INSERT":
+            if pk in tbl:
+                exceptions += 1
+            tbl[pk] = payload
+        elif op == "UPDATE":
+            if pk in tbl:
+                tbl[pk] = payload
+            else:
+                exceptions += 1
+        else:
+            if pk in tbl:
+                del tbl[pk]
+            else:
+                exceptions += 1
+    return state, exceptions
+
+
+def test_cdc_many_files_matches_python_fold(spark, catalog, cdc_dir, tmp_path):
+    rng = random.Random(1234)
+    n_files, ops_per_file = 10, 60
+    all_ops = []
+    files = []
+    for _ in range(n_files):
+        ops = _gen_ops(rng, ops_per_file)
+        all_ops.extend(ops)
+        files.append(
+            "\n".join(f"{op},{table},hr,{','.join(p)}" for op, table, p in ops)
+        )
+
+    sink = MemorySink()
+    store = ParquetTargetStore(str(tmp_path / "target"))
+    task = CdcTask(
+        spark,
+        catalog,
+        cdc_dir,
+        sink,
+        store,
+        event_time="2026-01-01T00:00:00.000Z",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    for i, body in enumerate(files, start=1):
+        write_cdc_file(cdc_dir, i, body)
+    task.process_available()
+
+    # one data event per change row + 4 start-of-task control events
+    assert len(sink.events) == n_files * ops_per_file + 4
+
+    exp_state, exp_exceptions = _python_fold(all_ops)
+    for table_name in TABLES:
+        tdef = catalog.get("hr", table_name)
+        got = {r["Id"]: r for r in store.read(spark, tdef).collect()}
+        exp = exp_state[table_name]
+        assert set(got) == set(exp), table_name
+        # non-PK payload must be the latest applied values
+        for pk, payload in exp.items():
+            row = got[pk]
+            cols = tdef.column_names
+            # compare a representative string column (col 1)
+            assert row[cols[1]] == payload[1], (table_name, pk)
+
+    assert task.exceptions_table().count() == exp_exceptions
