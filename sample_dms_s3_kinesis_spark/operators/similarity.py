@@ -190,3 +190,94 @@ def lsh_topk(
     qsig = qsig_row[0]["s"]
     bucket = spread(df).filter(sig == F.lit(qsig))
     return brute_force_topk(bucket, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors for a batch of query vectors.
+
+    Plan: broadcast the query set against the (spread) corpus — each
+    corpus partition scores all queries locally — then per-query top-k
+    via rank-window.  The shuffle moves only (query_id, vec_id, cosine)
+    triples, never vectors; corpus size × query count bounds the scored
+    pairs, so batch the queries (thousands, not millions) and loop
+    batches at larger scale.  Output: (query_id, rank, vec_id, cosine).
+    """
+    c = spread(corpus).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_q")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity(F.col("_v"), F.col("_q")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+class IvfIndex:
+    """Built-once IVF index: centroids + cell assignment are computed a
+    single time (eagerly checkpointed) and every ``search`` only scores
+    the ``nprobe`` nearest cells — ``ivf_topk`` re-derives both per
+    call, which is the right shape for a one-off query but not for a
+    query service.  At 100 TB the assignment frame would be a table
+    bucketed/partitioned by ``cell`` so probes prune at the source."""
+
+    def __init__(self, centroids: DataFrame, assigned: DataFrame, *, vec_col: str, id_col: str):
+        self.centroids = centroids
+        self.assigned = assigned
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        *,
+        cells: int = 16,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "IvfIndex":
+        centroids = _deterministic_centroids(
+            df, vec_col=vec_col, id_col=id_col, cells=cells
+        ).localCheckpoint(eager=True)
+        assignment = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+        assigned = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .join(assignment, on=id_col)
+            .localCheckpoint(eager=True)
+        )
+        return cls(centroids, assigned, vec_col=vec_col, id_col=id_col)
+
+    def search(self, query_vec: list[float], *, k: int = 10, nprobe: int = 4) -> DataFrame:
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        probe_cells = [
+            r["cell"]
+            for r in self.centroids.select(
+                "cell", cosine_similarity(F.col("centroid"), q).alias("c")
+            )
+            .orderBy(F.desc("c"), F.asc("cell"))
+            .limit(nprobe)
+            .collect()
+        ]
+        probed = self.assigned.filter(F.col("cell").isin(probe_cells))
+        return brute_force_topk(
+            probed, query_vec, k=k, vec_col=self.vec_col, id_col=self.id_col
+        )

@@ -1048,3 +1048,35 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
+
+
+@_register(
+    "q_ann_batch_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vec
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec), 6) AS cosine
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+    """,
+    "exact top-k neighbors for a batch of query vectors (broadcast "
+    "queries, per-query rank window)",
+    "north-star: similarity search (batched exact baseline)",
+)
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.similarity import batch_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return batch_topk(emb, queries, k=5)

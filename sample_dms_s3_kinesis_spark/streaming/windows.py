@@ -193,3 +193,35 @@ def streaming_first_seen(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded to ``right_ts`` within
+    [left_ts - lookback, left_ts] — e.g. purchases joined to the clicks
+    of the preceding half hour.
+
+    Both sides carry watermarks so Spark can expire buffered state: the
+    join buffers each side until the other's watermark passes the time
+    bound; an unbounded stream-stream join without them would grow state
+    forever.  The same function works on batch frames (watermarks no-op)
+    — the batch twin is an inequality join Catalyst executes directly.
+    Column names must be disjoint apart from ``by``.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{by}") == F.col(f"r.{by}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, cond, how).drop(F.col(f"r.{by}"))

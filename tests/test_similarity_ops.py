@@ -100,3 +100,22 @@ def test_frame_sample_plan(spark):
     assert len(frames) == 3 * len(videos)
     one = sorted(r["frame_ts_ms"] for r in frames if r["asset_id"] == videos[0]["asset_id"])
     assert one == [0, 1000, 2000]
+
+
+def test_ivf_index_build_once_search_many(spark):
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        IvfIndex,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    index = IvfIndex.build(emb, cells=8)
+    queries = [r["embedding"] for r in emb.filter(F.col("vec_id") < 3).collect()]
+    for qv in queries:
+        approx = [r["vec_id"] for r in index.search(qv, k=10, nprobe=4).collect()]
+        exact = [r["vec_id"] for r in brute_force_topk(emb, list(qv), k=10).collect()]
+        # probing half the cells must recover a majority of true top-10
+        overlap = len(set(approx) & set(exact))
+        assert overlap >= 5, (overlap, approx, exact)
+        # and the probed results must themselves be exact within cells
+        assert len(approx) == 10

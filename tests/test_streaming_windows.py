@@ -146,3 +146,50 @@ def test_streaming_first_seen_state(spark, staged_events):
     for r in rows:
         final[r["fingerprint"]] = (r["first_event_id"], r["n_duplicates"])
     assert final == expected and len(final) > 0
+
+
+def test_interval_join_stream_matches_batch(spark, staged_events):
+    """Stream-stream interval join (both sides watermarked) equals the
+    batch inequality join on the same data."""
+    path, schema = staged_events
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+        )
+        return purchases, clicks
+
+    bp, bc = split(spark.read.schema(schema).parquet(path))
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in W.interval_join(
+            bp, bc, by="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback="30 minutes", watermark="10 years",
+        ).collect()
+    }
+
+    sp, sc = split(spark.readStream.schema(schema).parquet(path))
+    joined = W.interval_join(
+        sp, sc, by="user_id", left_ts="p_ts", right_ts="c_ts",
+        lookback="30 minutes", watermark="10 years",
+    )
+    import uuid as _uuid
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/ckpt-ssjoin-{_uuid.uuid4()}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"]) for r in spark.table("ssjoin").collect()
+    }
+    assert got == expected and len(got) > 0
