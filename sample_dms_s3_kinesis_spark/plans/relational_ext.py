@@ -1080,3 +1080,89 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return batch_topk(emb, queries, k=5)
+
+
+# =====================================================================
+# Set operations and array aggregation
+# =====================================================================
+
+@_register(
+    "q_intersect_customers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "INTERSECT of building-segment customers and urgent-order customers",
+    "set ops (SURVEY §2.6 generalized)",
+)
+def q_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@_register(
+    "q_except_customers",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "EXCEPT: customers with no urgent orders",
+    "set ops (SURVEY §2.6 generalized)",
+)
+def q_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@_register(
+    "q_array_agg_priorities",
+    """
+    SELECT o_orderstatus,
+           LIST_SORT(LIST(DISTINCT o_orderpriority)) AS priorities,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "collect_set aggregation, sorted for deterministic comparison",
+    "array agg (SURVEY §2.4 generalized)",
+)
+def q_array_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "q_null_handling",
+    """
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           CASE WHEN o_totalprice IS NULL THEN 0.0
+                ELSE ROUND(o_totalprice, 2) END AS price_safe
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    "null-handling scalar surface: coalesce / nullif / case-is-null",
+    "scalar functions (SURVEY §2.8); O12 null semantics generalized",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+        ).alias("status_norm"),
+        F.when(F.col("o_totalprice").isNull(), F.lit(0.0))
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("price_safe"),
+    )
