@@ -1166,3 +1166,229 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round("o_totalprice", 2))
         .alias("price_safe"),
     )
+
+
+# =====================================================================
+# Remaining TPC-H shape adaptations (trimmed schema)
+# =====================================================================
+
+@_register(
+    "q02_min_cost_supplier",
+    """
+    SELECT s.s_name, s.s_acctbal, n.n_name, p.p_partkey, p.p_name
+    FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND s.s_acctbal = (SELECT MAX(s2.s_acctbal)
+                         FROM supplier s2
+                           JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                           JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+                           JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+                         WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    GROUP BY s.s_name, s.s_acctbal, n.n_name, p.p_partkey, p.p_name
+    """,
+    "TPC-H Q2-style: best supplier per part via correlated MAX subquery",
+    "correlated scalar subquery; multi-dim join",
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    europe_sup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).join(
+        F.broadcast(europe_sup), l["l_suppkey"] == F.col("s_suppkey")
+    )
+    best = offers.groupBy("p_partkey").agg(F.max("s_acctbal").alias("_best"))
+    return (
+        offers.join(F.broadcast(best), on="p_partkey")
+        .filter(F.col("s_acctbal") == F.col("_best"))
+        .groupBy("s_name", "s_acctbal", "n_name", "p_partkey", "p_name")
+        .agg(F.lit(1).alias("_d"))
+        .drop("_d")
+    )
+
+
+@_register(
+    "q12_status_priority",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+    "TPC-H Q12-style: priority-class conditional counts per line status",
+    "conditional agg over join (O17 gen)",
+)
+def q12_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#23' AND p.p_size IN (5, 15, 25, 35)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "TPC-H Q16-style: distinct supplier counts with NOT-IN exclusion",
+    "NOT IN subquery + distinct agg",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23") & F.col("p_size").isin(5, 15, 25, 35)
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        l.join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    "TPC-H Q19-style: disjunctive cross-table predicates over a join",
+    "disjunctive predicates; join filter pushdown",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.sum(
+            _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+        ).alias("revenue")
+    )
+
+
+@_register(
+    "q20_part_suppliers",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50)
+    """,
+    "TPC-H Q20-style: nested IN subqueries with HAVING",
+    "nested IN subqueries",
+)
+def q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem")
+    red = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    heavy = (
+        l.join(F.broadcast(red), on="l_partkey", how="left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("_sq"))
+        .filter(F.col("_sq") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return s.join(F.broadcast(heavy), on="s_suppkey", how="left_semi").select(
+        "s_name", "s_acctbal"
+    )
+
+
+@_register(
+    "q21_multi_supplier_orders",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+    "TPC-H Q21-style: suppliers on multi-supplier finished orders "
+    "(EXISTS with inequality correlation)",
+    "correlated EXISTS; self-join on fact table",
+)
+def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    l1 = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l2 = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    return (
+        l1.join(o, l1["l_orderkey"] == o["o_orderkey"])
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
