@@ -180,7 +180,34 @@ class ParquetTargetStore:
 
     def __init__(self, root: str):
         self.root = root.rstrip("/")
-        self._versions: dict[str, int] = {}
+        self._versions: dict[str, int] = self._load_versions()
+
+    def _versions_file(self) -> str:
+        return f"{self.root}/_VERSIONS.json"
+
+    def _load_versions(self) -> dict[str, int]:
+        """Version pointers survive process restarts (a resumed CDC task
+        constructs a fresh store over the same root and must see the
+        state its predecessor applied — the local analog of a table
+        format's transaction log)."""
+        import json
+        import os
+
+        try:
+            with open(self._versions_file()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _save_versions(self) -> None:
+        import json
+        import os
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._versions_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._versions, f)
+        os.replace(tmp, self._versions_file())
 
     def _dir(self, name: str, version: int) -> str:
         return f"{self.root}/{name}/v{version:06d}"
@@ -197,11 +224,13 @@ class ParquetTargetStore:
         v = self._versions.get(table_name, 0) + 1
         df.write.mode("overwrite").parquet(self._dir(table_name, v))
         self._versions[table_name] = v
+        self._save_versions()
 
     def append(self, table_name: str, df: DataFrame) -> None:
         v = self._versions.get(table_name, 1)
         df.write.mode("append").parquet(self._dir(table_name, v))
         self._versions[table_name] = v
+        self._save_versions()
 
     def read_by_name(
         self, spark: SparkSession, table_name: str, schema: T.StructType
