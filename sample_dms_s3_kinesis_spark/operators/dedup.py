@@ -133,35 +133,25 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------- MinHash + LSH
 
-def _hash_pairs_from_grams(grams: Column) -> Column:
-    """Per-shingle (h1, h2) base hashes — the only string hashing in the
-    minhash pipeline.  The k-function family is derived from these two
-    64-bit values with integer math (Kirsch–Mitzenmacher double
-    hashing), so signature cost is 2 string hashes + k multiply-adds per
-    shingle instead of k string hashes."""
-    # Masked to 32 bits so h1 + i*h2 never overflows a long (ANSI mode
-    # raises on wraparound); a 32-bit universal family is ample for
-    # minhash collision behavior.
-    mask = F.lit((1 << 32) - 1)
-    return F.transform(
-        grams,
-        lambda g: F.struct(
-            F.xxhash64(g).bitwiseAND(mask).alias("h1"),
-            F.xxhash64(g, F.lit(1)).bitwiseAND(mask).alias("h2"),
-        ),
-    )
+def _gram_hashes(grams: Column) -> Column:
+    """Per-shingle 64-bit base hash — the only STRING hashing in the
+    minhash pipeline (one pass over each shingle's bytes)."""
+    return F.transform(grams, lambda g: F.xxhash64(g))
 
 
-def _shingle_hash_pairs(col: Column) -> Column:
-    return _hash_pairs_from_grams(token_ngrams(col))
-
-
-def _signature_from_pairs(pairs: Column, *, num_hashes: int) -> Column:
+def _signature_from_hashes(hashes: Column, *, num_hashes: int) -> Column:
+    """k minhashes from the base hashes: slot i re-hashes each 8-byte
+    base value as xxhash64(h, i).  Hashing a long is a few multiplies —
+    k passes stay cheap — and each slot is a genuinely independent
+    permutation.  (A Kirsch–Mitzenmacher h1 + i·h2 family is NOT
+    min-wise independent: for large i the argmin is dominated by h2, so
+    k slots collapse to ~2 effective permutations and the Jaccard
+    estimator turns bimodal — observed before this fix.)"""
     return F.array(
         *[
             F.coalesce(
                 F.array_min(
-                    F.transform(pairs, lambda p: p["h1"] + F.lit(i) * p["h2"])
+                    F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i)))
                 ),
                 F.lit(2**63 - 1),
             )
@@ -171,9 +161,11 @@ def _signature_from_pairs(pairs: Column, *, num_hashes: int) -> Column:
 
 
 def minhash_signature(col: Column, *, num_hashes: int = 128) -> Column:
-    """k minhashes of the doc's 3-gram shingle set, via double hashing
-    (h_i = h1 + i*h2 over per-shingle xxhash64 base hashes)."""
-    return _signature_from_pairs(_shingle_hash_pairs(col), num_hashes=num_hashes)
+    """k minhashes of the doc's 3-gram shingle set (independent
+    per-slot re-hash of per-shingle base hashes)."""
+    return _signature_from_hashes(
+        _gram_hashes(token_ngrams(col)), num_hashes=num_hashes
+    )
 
 
 def _band_hashes(sig: Column, *, bands: int, rows: int) -> Column:
@@ -245,11 +237,11 @@ def minhash_lsh_pairs(
     sig = (
         spread(df).select(
             F.col(id_col).alias("_id"),
-            _shingle_hash_pairs(F.col(text_col)).alias("_hp"),
+            _gram_hashes(token_ngrams(F.col(text_col))).alias("_gh"),
         )
         .select(
             "_id",
-            _signature_from_pairs(F.col("_hp"), num_hashes=num_hashes).alias("_sig"),
+            _signature_from_hashes(F.col("_gh"), num_hashes=num_hashes).alias("_sig"),
         )
         .localCheckpoint(eager=True)
     )
@@ -303,37 +295,53 @@ def lsh_verified_jaccard_pairs(
             F.col(id_col).alias("_id"),
             token_ngrams(F.col(text_col)).alias("_g"),
         )
-        .select("_id", "_g", _hash_pairs_from_grams(F.col("_g")).alias("_hp"))
+        .select("_id", "_g", _gram_hashes(F.col("_g")).alias("_gh"))
         .select(
             "_id",
             "_g",
             F.size("_g").alias("_n"),
-            _signature_from_pairs(F.col("_hp"), num_hashes=num_hashes).alias("_sig"),
+            _signature_from_hashes(F.col("_gh"), num_hashes=num_hashes).alias("_sig"),
         )
         .localCheckpoint(eager=True)
     )
     cand = _band_candidates(base.select("_id", "_sig"), bands=bands, rows=rows)
-    verified = (
+    joined = (
         cand.join(
             base.select(
                 F.col("_id").alias("id_a"), F.col("_g").alias("_ga"),
-                F.col("_n").alias("_na"),
+                F.col("_n").alias("_na"), F.col("_sig").alias("_sa"),
             ),
             "id_a",
         )
         .join(
             base.select(
                 F.col("_id").alias("id_b"), F.col("_g").alias("_gb"),
-                F.col("_n").alias("_nb"),
+                F.col("_n").alias("_nb"), F.col("_sig").alias("_sb"),
             ),
             "id_b",
         )
     )
+    # Cheap sketch prefilter before the exact intersect: low-r banding
+    # admits many low-similarity candidates; the signature estimate
+    # (integer compares over the checkpointed arrays) screens them out.
+    # Margin = 4 std devs of the estimator (sqrt(τ(1-τ)/k) ≤ 0.5/√k),
+    # so dropping a true pair at the threshold is negligible.
+    margin = 2.0 / (num_hashes ** 0.5)
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sa"), F.col("_sb"), lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    screened = joined.filter(est >= F.lit(threshold - margin))
     inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb"))).cast("double")
     union = (F.col("_na") + F.col("_nb")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        verified.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        screened.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
