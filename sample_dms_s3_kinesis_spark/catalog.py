@@ -296,3 +296,44 @@ ALL_TABLES_MAPPING: dict = {
         }
     ]
 }
+
+
+@dataclass(frozen=True)
+class SourceConfig:
+    """O6: engine config resolved from the source secret payload —
+    exact key names from the reference's S3Credentials TypedDict
+    (run.py:64-67: bucket_name, bucket_folder, change_data).
+
+    ``source_root``/``cdc_dir`` compose the URIs the tasks scan:
+    full-load table data under ``{bucket}/{bucket_folder}/{TablePath}``
+    (run.py:74-76), change files under ``{bucket}/{change_data}/``
+    (run.py:193-195)."""
+
+    bucket_name: str
+    bucket_folder: str
+    change_data: str
+    scheme: str = "s3a"
+
+    @classmethod
+    def from_secret_payload(cls, payload: str | Mapping) -> "SourceConfig":
+        data = json.loads(payload) if isinstance(payload, str) else dict(payload)
+        return cls(
+            bucket_name=data["bucket_name"],
+            bucket_folder=data["bucket_folder"],
+            change_data=data["change_data"],
+            scheme=data.get("scheme", "s3a"),
+        )
+
+    def _base(self) -> str:
+        # Local paths (tests) need no scheme; buckets get s3a://.
+        if self.bucket_name.startswith("/"):
+            return self.bucket_name.rstrip("/")
+        return f"{self.scheme}://{self.bucket_name}"
+
+    @property
+    def source_root(self) -> str:
+        return f"{self._base()}/{self.bucket_folder}"
+
+    @property
+    def cdc_dir(self) -> str:
+        return f"{self._base()}/{self.change_data}"

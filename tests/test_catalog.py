@@ -85,3 +85,23 @@ def test_selection_rules_from_table_mappings_json(catalog):
         ]
     }
     assert [t.name for t in catalog.select(mappings)] == ["employee"]
+
+
+def test_source_config_reference_keys():
+    """O6: exact S3Credentials key names (run.py:64-67) resolve to the
+    task scan roots (run.py:74-76, 193-195)."""
+    from sample_dms_s3_kinesis_spark.catalog import SourceConfig
+
+    cfg = SourceConfig.from_secret_payload(
+        '{"bucket_name": "my-bucket", "bucket_folder": "sourceData",'
+        ' "change_data": "changedata"}'
+    )
+    assert cfg.source_root == "s3a://my-bucket/sourceData"
+    assert cfg.cdc_dir == "s3a://my-bucket/changedata"
+
+    local = SourceConfig.from_secret_payload(
+        {"bucket_name": "/tmp/x", "bucket_folder": "sourceData",
+         "change_data": "changedata"}
+    )
+    assert local.source_root == "/tmp/x/sourceData"
+    assert local.cdc_dir == "/tmp/x/changedata"
