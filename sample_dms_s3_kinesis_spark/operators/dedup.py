@@ -273,8 +273,8 @@ def lsh_verified_jaccard_pairs(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 32,
+    num_hashes: int = 63,
+    bands: int = 21,
     threshold: float = 0.5,
 ) -> DataFrame:
     """The 100 TB near-dup shape: MinHash-LSH candidate generation, then
@@ -285,8 +285,10 @@ def lsh_verified_jaccard_pairs(
     composition pays the quadratic term only on the candidate set and
     returns true Jaccard values: every output pair genuinely satisfies
     jaccard >= threshold.  Recall at similarity s is 1-(1-s^r)^b with
-    r = num_hashes/bands; the default (r=2, b=32) gives >0.9999 at
-    s=0.5.  Output: (id_a, id_b, jaccard) with id_a < id_b.
+    r = num_hashes/bands; the default (r=3, b=21) gives 0.94 at s=0.5
+    and >0.999 at s>=0.65, while admitting ~30x fewer false candidates
+    than r=2 — candidate volume, not recall, is the scale cost.
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = num_hashes // bands
     base = (
