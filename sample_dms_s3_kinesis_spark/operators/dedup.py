@@ -460,6 +460,130 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot / (norm_a * norm_b)
 
 
+# ---------------------------------- duplicate-cluster resolution (CC)
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_out: str = "id",
+    cluster_out: str = "cluster_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-duplicate pair graph → duplicate clusters.
+
+    Returns one row per node appearing in ``pairs``:
+    ``(id_out, cluster_out)`` with ``cluster_out`` = the minimum node id
+    in the node's connected component.  Singleton documents (no pair)
+    are trivially their own cluster and are not emitted — survivor
+    selection left-anti-joins the non-canonical members
+    (see ``resolve_duplicates``).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).  Each
+    round is two hash-partitioned groupBy+join passes over the edge
+    list, and the round count is O(log² n) in the worst case —
+    independent of component diameter.  That's the property that
+    matters at 100 TB: naive min-label propagation needs O(diameter)
+    rounds, and real near-dup graphs contain long chains (A≈B≈C≈…
+    where the ends share nothing).  Every round shrinks edges toward
+    (node → component-min) stars, so the shuffled volume is
+    non-increasing; each iteration is cut from the lineage with an
+    eager localCheckpoint so round k+1 doesn't recompute round k
+    (on a cluster: ``checkpoint()`` to a reliable store).
+    """
+    ids = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    edges = (
+        pairs.select(ids[0].alias("u"), ids[1].alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # Connect every neighbor v > u to m = min(Γ(u) ∪ {u}).
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # Orient edges larger→smaller; connect u and all its smaller
+        # neighbors to m = min of those neighbors.
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = directed.join(mins, "u").select(F.col("v").alias("n"), F.col("m"))
+        own = mins.select(F.col("u").alias("n"), F.col("m"))
+        return (
+            nbr.union(own)
+            .where(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        # Cheap set identity: count + xor of per-edge hashes (order-
+        # insensitive, overflow-free under ANSI mode).
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).first()
+        return (row["n"], row["x"])
+
+    prev = None
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        fp = fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    # At the fixpoint the edge list is exactly (member → component-min).
+    members = edges.select(
+        F.col("u").alias(id_out), F.col("v").alias(cluster_out)
+    )
+    roots = edges.select(F.col("v").alias(id_out)).distinct().select(
+        F.col(id_out), F.col(id_out).alias(cluster_out)
+    )
+    return members.unionByName(roots)
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Survivor frame: one canonical doc (min id) per near-dup cluster,
+    singletons untouched.  The full corpus is never shuffled — only the
+    pair-derived drop list (non-canonical members, a small fraction of
+    the corpus) moves, and AQE turns the anti-join into a broadcast
+    when the drop list is small enough."""
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    drop = comp.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------- embedding near-dup pairs
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

@@ -1,0 +1,158 @@
+"""Deterministic dataset splitting and sampling for training-data
+pipelines.
+
+Everything here derives randomness from ``md5(id ':' seed)`` rather
+than Spark's per-partition RNG (``rand()``/``sample()``):
+
+- **Reproducible across runs, partitionings, and engines** — the
+  assignment is a pure function of the row id and the seed, so a
+  re-run, a repartition, AQE re-planning, or a different engine
+  (the DuckDB oracle) produces the identical split.  ``rand()`` is
+  none of those: it depends on partition layout and task retries
+  re-draw it.
+- **Stable under incremental growth** — appending new documents never
+  reassigns existing ones, which is what leakage-free train/val
+  splits need at 100 TB where the corpus is append-only.
+- **Narrow** — one projection, no shuffle, no state; scales linearly
+  and survives any partitioning.
+
+The first 8 md5 hex nibbles are compared lexicographically against a
+fixed-point hex threshold (lowercase hex order == numeric order), so
+the whole predicate stays JVM-side and SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SPACE = 16**8  # 8 hex nibbles of the digest
+
+
+def _hex_threshold(fraction: float) -> str:
+    """``fraction`` of the 32-bit hash space as an 8-nibble hex bound
+    for a ``digest < bound`` filter.  ``'g'`` sorts above every hex
+    digest (keep all); ``''`` sorts below every digest (drop all)."""
+    if fraction >= 1.0:
+        return "g"
+    if fraction <= 0.0:
+        return ""
+    return format(int(fraction * _SPACE), "08x")
+
+
+def hash_bucket(col: Column, seed: int | str = 0) -> Column:
+    """First 8 hex nibbles of md5(col ':' seed) — the shared bucket
+    expression (also the exact string the oracle SQL computes:
+    ``substr(md5(id || ':' || seed), 1, 8)``)."""
+    return F.substring(
+        F.md5(F.concat_ws(":", col.cast("string"), F.lit(str(seed)))), 1, 8
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weights: Mapping[str, float] | Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    seed: int | str = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split label, e.g. train/val/test.
+
+    ``weights`` are (label, fraction) in declaration order; fractions
+    must sum to ~1.  The last label is the catch-all so the union is
+    exhaustive regardless of rounding.
+    """
+    items = list(weights.items()) if isinstance(weights, Mapping) else list(weights)
+    total = sum(w for _, w in items)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = hash_bucket(F.col(id_col), seed)
+    # CASE in ascending-bound order: the first matching bound wins, so
+    # label i covers the [c_{i-1}, c_i) slice of the hash space.
+    cum = 0.0
+    cond_expr = None
+    for label, w in items[:-1]:
+        cum += w
+        clause = h < F.lit(_hex_threshold(cum))
+        cond_expr = (
+            F.when(clause, F.lit(label))
+            if cond_expr is None
+            else cond_expr.when(clause, F.lit(label))
+        )
+    cond_expr = (
+        cond_expr.otherwise(F.lit(items[-1][0]))
+        if cond_expr is not None
+        else F.lit(items[-1][0])
+    )
+    return df.withColumn(out_col, cond_expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    fraction: float,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by the row's hash bucket.
+    Unlike ``DataFrame.sample`` this is a pure filter: re-runs,
+    repartitions, and engine changes select the same rows."""
+    h = hash_bucket(F.col(id_col), seed)
+    return df.filter(h < F.lit(_hex_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str,
+    seed: int | str = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones).  One narrow filter — the
+    per-stratum threshold is a CASE over ``strata_col``, so there is
+    no shuffle and no driver-side split like ``sampleBy``'s RNG."""
+    h = hash_bucket(F.col(id_col), seed)
+    bound = None
+    for stratum, frac in sorted(fractions.items()):
+        clause = F.col(strata_col) == F.lit(stratum)
+        hexb = F.lit(_hex_threshold(frac))
+        bound = F.when(clause, hexb) if bound is None else bound.when(clause, hexb)
+    bound = (
+        bound.otherwise(F.lit(_hex_threshold(default_fraction)))
+        if bound is not None
+        else F.lit(_hex_threshold(default_fraction))
+    )
+    return df.filter(h < bound)
+
+
+def group_sample_topk(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` deterministic representatives per
+    group — a shuffled-by-group rank over the hash order (uniform
+    within each group, tie-broken by id).  The reproducible stand-in
+    for per-group reservoir sampling: one shuffle on ``group_col``;
+    heavy groups are the skew hazard (salt or pre-aggregate upstream
+    if one group dominates)."""
+    h = hash_bucket(F.col(id_col), seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

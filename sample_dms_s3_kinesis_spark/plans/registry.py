@@ -945,6 +945,37 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+@_register(
+    "q_dedup_clusters",
+    """
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    ),
+    edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT id AS vec_id, MIN(lbl) AS cluster_id
+    FROM walk GROUP BY id
+    """,
+    "near-dup pair graph → connected-component cluster ids "
+    "(large-star/small-star; oracle = recursive min-label closure)",
+    "dedup: cluster resolution",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.4)
+    comp = dedup.connected_components(pairs)
+    return comp.select(F.col("id").alias("vec_id"), "cluster_id")
+
+
 # ---- no-oracle (approximate / Spark-hash-specific) ops: driver records
 # rows-only checks; exactness is covered by pytest against Python refs.
 

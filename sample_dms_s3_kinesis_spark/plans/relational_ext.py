@@ -1392,3 +1392,87 @@ def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ------------------------------------------------------------------
+# Deterministic split / sampling surface (training-data pipeline ops).
+# The md5-bucket expression is engine-portable, so these are exact
+# oracle checks, not rows-only.
+# ------------------------------------------------------------------
+
+from sample_dms_s3_kinesis_spark.operators import sampling  # noqa: E402
+
+_B = "substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 8)"
+_B42 = _B.format(seed=42)
+_B7 = _B.format(seed=7)
+_B13 = _B.format(seed=13)
+
+
+@_register(
+    "q_hash_split",
+    f"""
+    WITH h AS (
+      SELECT CASE
+        WHEN {_B42} < '{sampling._hex_threshold(0.9)}' THEN 'train'
+        WHEN {_B42} < '{sampling._hex_threshold(0.95)}' THEN 'val'
+        ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs FROM h GROUP BY split
+    """,
+    "deterministic md5-bucket train/val/test split (stable under "
+    "re-runs, repartitioning, and corpus growth)",
+    "sampling: hash split",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    out = sampling.hash_split(d, id_col="doc_id", seed=42)
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_register(
+    "q_stratified_sample",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents
+    WHERE {_B13} < CASE lang
+        WHEN 'de' THEN '{sampling._hex_threshold(0.25)}'
+        WHEN 'en' THEN '{sampling._hex_threshold(0.5)}'
+        WHEN 'zh' THEN '{sampling._hex_threshold(1.0)}'
+        ELSE '{sampling._hex_threshold(0.1)}' END
+    GROUP BY lang
+    """,
+    "deterministic per-stratum downsampling (e.g. rebalance languages; "
+    "keep-all and near-drop strata in one narrow filter)",
+    "sampling: stratified",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        d,
+        strata_col="lang",
+        fractions={"de": 0.25, "en": 0.5, "zh": 1.0},
+        id_col="doc_id",
+        seed=13,
+        default_fraction=0.1,
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_register(
+    "q_group_sample_topk",
+    f"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_B7}, doc_id) AS rk
+      FROM documents)
+    SELECT lang, doc_id FROM r WHERE rk <= 5
+    """,
+    "deterministic k-per-group sample (reproducible reservoir stand-in)",
+    "sampling: k per group",
+)
+def q_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    out = sampling.group_sample_topk(d, group_col="lang", id_col="doc_id", k=5, seed=7)
+    return out.select("lang", "doc_id")

@@ -195,6 +195,36 @@ def streaming_first_seen(
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    *,
+    keys: Iterable[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact first-occurrence dedup on a live stream — the streaming
+    twin of ``operators.dedup.dedup_exact`` for ingest-time filtering
+    (drop exact re-crawls/replays before they reach storage).
+
+    Streaming input: ``dropDuplicatesWithinWatermark`` keeps one row
+    per key and expires each key's state once the watermark passes its
+    event time, so state is bounded by (key cardinality within the
+    watermark horizon), not by stream length — the property that keeps
+    this runnable forever at ingest scale.  Late duplicates beyond the
+    watermark delay are the accepted trade (they'd re-emit); batch
+    compaction downstream (``dedup_exact``) is the backstop.
+
+    Batch input: plain ``dropDuplicates`` — same key semantics, so the
+    stream result is checkable against the batch twin on equal data.
+    """
+    key_list = list(keys)
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_list
+        )
+    return df.dropDuplicates(key_list)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

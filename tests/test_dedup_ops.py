@@ -162,3 +162,82 @@ def test_lsh_verified_jaccard_subset_of_exact_with_true_values(spark):
     assert set(composed) == set(exact)
     for k, v in composed.items():
         assert abs(v - exact[k]) <= 1e-9
+
+
+def test_connected_components_known_shapes(spark):
+    # path (worst case for label propagation), triangle, pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21), (2, 1)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(500))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(350)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id per component
+    comp_min = {}
+    for n in nodes:
+        comp_min.setdefault(find(n), set()).add(n)
+    expected = {
+        (n, min(members))
+        for members in comp_min.values()
+        if len(members) > 1
+        for n in members
+    }
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_long_chain_converges(spark):
+    # A 300-node path needs O(diameter) rounds under naive propagation;
+    # large-star/small-star must land well inside max_iter.
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    rows = dedup.connected_components(pairs, max_iter=20).collect()
+    assert len(rows) == n + 1
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_resolve_duplicates_keeps_canonical_and_singletons(spark):
+    df = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    surv = sorted(r["doc_id"] for r in dedup.resolve_duplicates(df, pairs).collect())
+    dropped = {2, 3, 4, 5, 11, 12, 21}
+    assert surv == sorted(set(range(25)) - dropped)

@@ -1,0 +1,98 @@
+"""Deterministic split/sampling operators: partition-layout
+independence, append stability, per-group exactness."""
+
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import sampling
+
+
+def _ids(spark, n=2000, parts=4):
+    return spark.range(0, n, numPartitions=parts).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_split_disjoint_exhaustive_and_sized(spark):
+    df = _ids(spark)
+    out = sampling.hash_split(df, id_col="doc_id", seed=42)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # exhaustive, disjoint by construction
+    assert 0.85 < counts["train"] / 2000 < 0.95
+    assert counts["val"] > 0 and counts["test"] > 0
+
+
+def test_hash_split_stable_under_repartition_and_append(spark):
+    base = sampling.hash_split(_ids(spark, 1000), id_col="doc_id", seed=1)
+    assignment = {r["doc_id"]: r["split"] for r in base.collect()}
+
+    # different partition layout → identical assignment
+    re = sampling.hash_split(
+        _ids(spark, 1000).repartition(13), id_col="doc_id", seed=1
+    )
+    assert {r["doc_id"]: r["split"] for r in re.collect()} == assignment
+
+    # appending rows never reassigns existing ones
+    grown = sampling.hash_split(_ids(spark, 1500), id_col="doc_id", seed=1)
+    grown_map = {r["doc_id"]: r["split"] for r in grown.collect()}
+    assert all(grown_map[k] == v for k, v in assignment.items())
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        sampling.hash_split(
+            _ids(spark, 10), id_col="doc_id", weights=[("a", 0.5), ("b", 0.2)]
+        )
+
+
+def test_deterministic_sample_fraction_and_subset(spark):
+    df = _ids(spark, 4000)
+    s25 = sampling.deterministic_sample(df, id_col="doc_id", fraction=0.25, seed=5)
+    s50 = sampling.deterministic_sample(df, id_col="doc_id", fraction=0.5, seed=5)
+    ids25 = {r["doc_id"] for r in s25.collect()}
+    ids50 = {r["doc_id"] for r in s50.collect()}
+    assert 0.2 < len(ids25) / 4000 < 0.3
+    assert ids25 <= ids50  # nested thresholds → nested samples
+    assert sampling.deterministic_sample(df, id_col="doc_id", fraction=0.0).count() == 0
+    assert sampling.deterministic_sample(df, id_col="doc_id", fraction=1.0).count() == 4000
+
+
+def test_stratified_sample_keep_all_and_drop(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    out = sampling.stratified_sample(
+        df,
+        strata_col="lang",
+        fractions={"en": 0.3, "zh": 1.0},
+        id_col="doc_id",
+        seed=3,
+    ).groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    counts = {r["lang"]: r["n"] for r in out.collect()}
+    assert counts["zh"] == 500  # keep-all stratum intact
+    assert 0.2 < counts["en"] / 500 < 0.4
+    # default_fraction=0 drops unlisted strata entirely
+    extra = spark.createDataFrame([(10_000, "fr")], "doc_id long, lang string")
+    out2 = sampling.stratified_sample(
+        df.union(extra),
+        strata_col="lang",
+        fractions={"en": 0.3, "zh": 1.0},
+        id_col="doc_id",
+        seed=3,
+    )
+    assert out2.filter(F.col("lang") == "fr").count() == 0
+
+
+def test_group_sample_topk_exact_counts_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(700)] + [(9000, "tiny")],
+        "doc_id long, grp string",
+    )
+    out = sampling.group_sample_topk(df, group_col="grp", id_col="doc_id", k=10, seed=2)
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(counts[f"g{i}"] == 10 for i in range(7))
+    assert counts["tiny"] == 1  # min(k, |group|)
+    again = sampling.group_sample_topk(
+        df.repartition(11), group_col="grp", id_col="doc_id", k=10, seed=2
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}

@@ -193,3 +193,38 @@ def test_interval_join_stream_matches_batch(spark, staged_events):
         (r["purchase_id"], r["click_id"]) for r in spark.table("ssjoin").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_dedup_one_row_per_key_matches_batch(spark, staged_events):
+    path, schema = staged_events
+    batch = spark.read.schema(schema).parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+
+    expected_keys = {
+        (r["user_id"], r["event_type"])
+        for r in batch.select("user_id", "event_type").distinct().collect()
+    }
+
+    deduped = W.streaming_dedup(
+        stream, keys=["user_id", "event_type"], watermark="10 years"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/ckpt-dedupstream-{uuid.uuid4()}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dedupstream").select("user_id", "event_type").collect()
+    got = [(r["user_id"], r["event_type"]) for r in rows]
+    assert len(got) == len(set(got))  # exactly one survivor per key
+    assert set(got) == expected_keys
+
+    # batch twin: same keys survive
+    batch_out = W.streaming_dedup(batch, keys=["user_id", "event_type"])
+    assert {
+        (r["user_id"], r["event_type"])
+        for r in batch_out.select("user_id", "event_type").collect()
+    } == expected_keys
