@@ -119,6 +119,67 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), _WS, " "))
 
 
+def dup_token_fraction(col: Column) -> Column:
+    """Repetition signal: fraction of (lowercased) token occurrences
+    that are repeats of an earlier token — 1 − |distinct|/|tokens|.
+    High values flag boilerplate/spam (the Gopher-style repetition
+    filters use exactly this family of signals)."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def word_bigrams(col: Column) -> Column:
+    """Consecutive lowercased token bigrams (with repeats — occurrence
+    list, not a set; near-dup shingles use ``token_ngrams`` instead)."""
+    toks = tokens(F.lower(col))
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1))
+    )
+
+
+def top_bigram_fraction(grams: Column) -> Column:
+    """Fraction of bigram occurrences taken by the single most frequent
+    bigram — the "repeated phrase" signal.  Quadratic in tokens-per-doc
+    (count via per-element filter) but all JVM-side array ops; documents
+    are short, and the whole computation is per-row/narrow so it scales
+    out linearly with the corpus.  Pass a MATERIALIZED ``grams`` column
+    (own projection): higher-order lambdas are opaque to Catalyst's
+    subexpression elimination, so inlining ``word_bigrams`` here would
+    rebuild the array once per lambda."""
+    counts = F.transform(
+        grams, lambda g: F.size(F.filter(grams, lambda x: x == g))
+    )
+    return F.when(
+        F.size(grams) > 0,
+        F.round(
+            F.array_max(counts).cast("double") / F.size(grams).cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for fingerprinting and exact-dup detection
+    across cosmetic variants: lowercase, digit runs folded to ``0``,
+    punctuation/symbols to spaces, whitespace collapsed, trimmed.
+    Regex classes kept RE2/Java-identical so the DuckDB oracle (with
+    the ``'g'`` flag) reproduces it byte-for-byte."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[0-9]+", "0")
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, r" +", " ")
+    return F.trim(c)
+
+
 def rolling_hashes(col: Column, window: int = 8) -> Column:
     """Winnowing-style rolling token-window hashes: xxhash64 over each
     consecutive ``window``-token span.  Spark-side only (xxhash64), used

@@ -1476,3 +1476,124 @@ def q_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     out = sampling.group_sample_topk(d, group_col="lang", id_col="doc_id", k=5, seed=7)
     return out.select("lang", "doc_id")
+
+
+# ------------------------------------------------------------------
+# Text repetition / normalization surface (quality filtering ops).
+# ------------------------------------------------------------------
+
+from sample_dms_s3_kinesis_spark.operators import text as _text  # noqa: E402
+
+
+@_register(
+    "q_text_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, t,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS grams
+      FROM toks)
+    SELECT doc_id,
+           CASE WHEN len(t) > 0
+                THEN ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                ELSE 0.0 END AS dup_token_frac,
+           CASE WHEN len(grams) > 0
+                THEN ROUND(CAST(list_max(list_transform(grams,
+                       x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
+                     / len(grams), 6)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM g
+    """,
+    "Gopher-style repetition signals: repeated-token fraction and "
+    "most-frequent-bigram coverage per document",
+    "text: repetition quality",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    # Materialize the bigram array in its own projection: the count
+    # lambda references it many times and higher-order lambdas defeat
+    # Catalyst CSE.
+    grams = d.select(
+        "doc_id",
+        _text.dup_token_fraction(F.col("text")).alias("dup_token_frac"),
+        _text.word_bigrams(F.col("text")).alias("_grams"),
+    )
+    return grams.select(
+        "doc_id",
+        "dup_token_frac",
+        _text.top_bigram_fraction(F.col("_grams")).alias("top_bigram_frac"),
+    )
+
+
+@_register(
+    "q_text_normalize",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(text), '[0-9]+', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS norm_md5,
+           CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(text), '[0-9]+', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+    "canonical normalized text (lowercase, digit-fold, punct→space, "
+    "whitespace-collapse), exported as md5+length",
+    "text: normalization / scrubbing",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    norm = _text.normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+# ------------------------------------------------------------------
+# No-equi-key interval join (binned range join).
+# ------------------------------------------------------------------
+
+from sample_dms_s3_kinesis_spark.operators.intervals import binned_range_join  # noqa: E402
+
+
+@_register(
+    "q_binned_range_join",
+    """
+    SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 20) p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    """,
+    "interval join with NO equality key: clicks from any user falling "
+    "in each purchase's following hour — binned equi-join plan instead "
+    "of Spark's broadcast-nested-loop",
+    "custom operator (binned range join)",
+)
+def q_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    intervals = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 20)
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts")).alias("w_start"),
+        (F.unix_micros(F.col("ts")) + F.lit(hour_us)).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts")).alias("c_us"),
+    )
+    joined = binned_range_join(
+        clicks,
+        intervals,
+        point_col="c_us",
+        start_col="w_start",
+        end_col="w_end",
+        bin_width=hour_us,
+    )
+    return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))

@@ -74,3 +74,50 @@ def test_asof_carries_payload_columns(spark):
     }
     row = out.filter(F.col("asof_click_id").isNotNull()).first()
     assert row["asof_ts"] < row["ts"]
+
+
+# ---------------------------------------------------------------- binned
+# range join (operators.intervals) — no-equi-key point-in-interval.
+
+def test_binned_range_join_matches_naive_theta_join(spark):
+    from sample_dms_s3_kinesis_spark.operators.intervals import binned_range_join
+
+    import random
+
+    rng = random.Random(11)
+    points = [(i, rng.randint(0, 10_000)) for i in range(400)]
+    ivals = []
+    for j in range(120):
+        s = rng.randint(-500, 10_000)
+        ln = rng.choice([0, 1, 7, 50, 400, 3000])  # incl. empty + multi-bin
+        ivals.append((1000 + j, s, s + ln))
+
+    p = spark.createDataFrame(points, "p_id long, p long")
+    iv = spark.createDataFrame(ivals, "i_id long, s long, e long")
+
+    for width in (1, 64, 1000, 20_000):  # narrower and wider than spans
+        got = {
+            (r["p_id"], r["i_id"])
+            for r in binned_range_join(
+                p, iv, point_col="p", start_col="s", end_col="e", bin_width=width
+            ).collect()
+        }
+        expected = {
+            (pid, iid)
+            for pid, pv in points
+            for iid, s, e in ivals
+            if s <= pv < e
+        }
+        assert got == expected, f"width={width}"
+
+
+def test_binned_range_join_produces_each_pair_once(spark):
+    from sample_dms_s3_kinesis_spark.operators.intervals import binned_range_join
+
+    p = spark.createDataFrame([(1, 50)], "p_id long, p long")
+    iv = spark.createDataFrame([(9, 0, 1000)], "i_id long, s long, e long")
+    # interval spans many bins; the point's bin matches exactly one copy
+    out = binned_range_join(
+        p, iv, point_col="p", start_col="s", end_col="e", bin_width=10
+    ).collect()
+    assert len(out) == 1

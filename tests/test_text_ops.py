@@ -112,3 +112,57 @@ def test_approx_count_distinct_within_rsd(spark):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.1 * n)
+
+
+def test_repetition_signals_match_python_reference(spark):
+    rows = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "all unique words here now"),
+        (3, "go go go go"),
+        (4, ""),
+        (5, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams_df = df.select(
+        "doc_id",
+        text.dup_token_fraction(F.col("text")).alias("dup"),
+        text.word_bigrams(F.col("text")).alias("g"),
+    )
+    out = {
+        r["doc_id"]: (r["dup"], r["top"])
+        for r in grams_df.select(
+            "doc_id", "dup", text.top_bigram_fraction(F.col("g")).alias("top")
+        ).collect()
+    }
+
+    for doc_id, s in rows:
+        # Spark's split(trim(''), '\s+') yields [''] — mirror that.
+        toks = s.strip().lower().split() or [""]
+        dup = round(1.0 - len(set(toks)) / len(toks), 6) if len(toks) > 0 else 0.0
+        grams = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        top = (
+            round(max(grams.count(x) for x in grams) / len(grams), 6)
+            if grams
+            else 0.0
+        )
+        assert out[doc_id] == (dup, top), (doc_id, out[doc_id], (dup, top))
+
+
+def test_normalize_text_canonicalizes_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   World! 123"),
+            (2, "hello world 999"),
+            (3, "HELLO ... world-42"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", text.normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert out[1] == "hello world 0"
+    assert out[2] == "hello world 0"
+    assert out[3] == "hello world 0"
