@@ -50,6 +50,10 @@ HEADLINE = [
     "q18_large_orders",
     "q_window_rank_family",
     "q_sessionize_events",
+    "q_binned_range_join",
+    "q_dedup_clusters",
+    "q_text_repetition",
+    "q_hash_split",
 ]
 
 
@@ -91,6 +95,11 @@ def main() -> None:
         # Spark's ContextCleaner can drop finished broadcasts too.
         spark.catalog.clearCache()
         gc.collect()
+        # JVM-side full GC too: accumulated old-gen garbage from earlier
+        # queries otherwise lands its collection pauses inside later
+        # measurements (observed: simhash 2x slower late in the suite
+        # than standalone).
+        spark._jvm.System.gc()
         return elapsed
 
     # Warmup: absorb JVM/codegen/parquet-footer startup cost — one cheap

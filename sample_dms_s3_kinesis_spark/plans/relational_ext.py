@@ -1511,11 +1511,14 @@ from sample_dms_s3_kinesis_spark.operators import text as _text  # noqa: E402
     "text: repetition quality",
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+
     d = t(spark, sf_dir, "documents")
     # Materialize the bigram array in its own projection: the count
     # lambda references it many times and higher-order lambdas defeat
-    # Catalyst CSE.
-    grams = d.select(
+    # Catalyst CSE.  spread(): the quadratic bigram count is compute-
+    # bound, and a single-file parquet scan would pin it to one core.
+    grams = spread(d).select(
         "doc_id",
         _text.dup_token_fraction(F.col("text")).alias("dup_token_frac"),
         _text.word_bigrams(F.col("text")).alias("_grams"),

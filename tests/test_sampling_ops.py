@@ -96,3 +96,21 @@ def test_group_sample_topk_exact_counts_and_determinism(spark):
         df.repartition(11), group_col="grp", id_col="doc_id", k=10, seed=2
     )
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_hash_bucket_matches_python_hashlib(spark):
+    """The bucket expression is the portability contract: any engine
+    (DuckDB oracle, a Python backfill job) must reproduce it."""
+    import hashlib
+
+    rows = [(i,) for i in [0, 1, 42, 10**12, 999_999_999_999_999]]
+    df = spark.createDataFrame(rows, "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", sampling.hash_bucket(F.col("doc_id"), seed=17).alias("b")
+        ).collect()
+    }
+    for (i,) in rows:
+        expected = hashlib.md5(f"{i}:17".encode()).hexdigest()[:8]
+        assert got[i] == expected
