@@ -1,0 +1,87 @@
+"""Storage-layout operators: range clustering gives non-overlapping
+per-file key ranges (the pruning precondition); compaction bin-packs
+to the target size and preserves data."""
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import layout
+
+
+def _part_files(path):
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+
+
+def _file_range(path, col):
+    """(min, max) of ``col`` across a parquet file's row groups."""
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.names.index(col)
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        mins.append(st.min)
+        maxs.append(st.max)
+    return min(mins), max(maxs)
+
+
+def test_range_clustered_files_have_disjoint_sorted_ranges(spark, tmp_path):
+    df = (
+        spark.range(0, 50_000)
+        .withColumnRenamed("id", "k")
+        .withColumn("k", F.xxhash64("k") % 1_000_000)  # unsorted input
+        .withColumn("payload", F.concat(F.lit("v"), F.col("k")))
+    )
+    out = str(tmp_path / "clustered")
+    layout.write_range_clustered(df, out, cluster_cols=["k"], num_files=8)
+
+    files = _part_files(out)
+    assert len(files) == 8
+    ranges = sorted(_file_range(f, "k") for f in files)
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert lo_a <= hi_a < lo_b  # non-overlapping, ordered
+
+    # data preserved
+    assert spark.read.parquet(out).count() == 50_000
+
+
+def test_compaction_binpacks_and_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    # 64 tiny files
+    spark.range(0, 20_000).withColumnRenamed("id", "k").repartition(64).write.parquet(src)
+    assert len(_part_files(src)) == 64
+
+    dst = str(tmp_path / "compacted")
+    n = layout.compact_small_files(spark, src, dst, target_file_mb=1)
+    files = _part_files(dst)
+    assert len(files) == n < 64
+    got = {r["k"] for r in spark.read.parquet(dst).collect()}
+    assert got == set(range(20_000))
+
+    # convergence: compacting the compacted dir plans the same count
+    dst2 = str(tmp_path / "compacted2")
+    n2 = layout.compact_small_files(spark, dst, dst2, target_file_mb=1)
+    assert abs(n2 - n) <= 1
+
+
+def test_compaction_with_clustering_restores_sort(spark, tmp_path):
+    src = str(tmp_path / "messy")
+    df = (
+        spark.range(0, 30_000)
+        .withColumnRenamed("id", "k")
+        .withColumn("k", F.xxhash64("k") % 100_000)
+    )
+    df.repartition(32).write.parquet(src)
+
+    dst = str(tmp_path / "tidy")
+    layout.compact_small_files(
+        spark, src, dst, target_file_mb=1, cluster_cols=["k"]
+    )
+    files = _part_files(dst)
+    if len(files) > 1:
+        ranges = sorted(_file_range(f, "k") for f in files)
+        for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+            assert hi_a < lo_b
