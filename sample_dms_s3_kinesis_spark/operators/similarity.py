@@ -281,3 +281,52 @@ class IvfIndex:
         return brute_force_topk(
             probed, query_vec, k=k, vec_col=self.vec_col, id_col=self.id_col
         )
+
+
+# ------------------------------------------------------- vector utils
+
+def l2_norm(vec: Column) -> Column:
+    """Euclidean norm of an array<double> column — JVM-side fold."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, v: s + v
+        )
+    )
+
+
+def l2_normalize(vec: Column, *, scale: int | None = None) -> Column:
+    """Unit-normalize a vector column (zero vectors pass through as
+    zeros).  With ``scale``, components are rounded for cross-engine
+    comparison; leave None in compute pipelines."""
+    n = l2_norm(vec)
+    unit = F.when(
+        n > 0, F.transform(vec, lambda x: x / n)
+    ).otherwise(vec)
+    if scale is not None:
+        unit = F.transform(unit, lambda x: F.round(x, scale))
+    return unit
+
+
+def label_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int,
+    scale: int | None = None,
+) -> DataFrame:
+    """Per-label mean vector — the centroid build for blocking /
+    coarse quantization.  One wide aggregate: dim per-slot AVGs in a
+    single hash-partitioned groupBy (partial map-side aggregation, one
+    shuffle of dim doubles per label), then reassembled into an array.
+    No explode: exploding to (row × dim) would shuffle dim× the data
+    for the same answer."""
+    v = F.col(vec_col).cast("array<double>")
+    avgs = [
+        F.avg(F.get(v, i)).alias(f"_c{i}") for i in range(dim)
+    ]
+    out = df.groupBy(label_col).agg(*avgs)
+    comps = [F.col(f"_c{i}") for i in range(dim)]
+    if scale is not None:
+        comps = [F.round(c, scale) for c in comps]
+    return out.select(label_col, F.array(*comps).alias("centroid"))

@@ -207,3 +207,53 @@ def bpe_ish_tokens(col: Column) -> Column:
 
 def bpe_ish_token_count(col: Column) -> Column:
     return F.size(bpe_ish_tokens(col)).cast("long")
+
+
+def tfidf_topk(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: ``tf(term, doc) ·
+    ln(N / df(term))``, ties broken by term for determinism.
+    Output: (id_col, term, tfidf rounded to 6).
+
+    Plan shape at scale: one explode (narrow), a (doc, term) count and
+    a per-term document-frequency count — both partial-aggregated
+    map-side before their shuffles — then a shuffle join on ``term``
+    and a per-doc top-k window.  The corpus size N rides along as a
+    broadcast scalar.  No driver-side vocabulary; terms stay
+    distributed end to end."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

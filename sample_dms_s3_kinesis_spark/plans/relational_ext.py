@@ -1600,3 +1600,83 @@ def q_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=hour_us,
     )
     return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@_register(
+    "q_text_tfidf_topk",
+    r"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN dfreq df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored)
+    SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+    """,
+    "top-3 TF-IDF terms per document (distributed doc-frequency join, "
+    "no driver-side vocabulary)",
+    "text: TF-IDF",
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return _text.tfidf_topk(d, k=3)
+
+
+# ------------------------------------------------------------------
+# Vector utility surface (embedding hygiene ops).
+# ------------------------------------------------------------------
+
+from sample_dms_s3_kinesis_spark.operators import similarity as _sim  # noqa: E402
+
+
+@_register(
+    "q_embedding_normalize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+          FROM e)
+    SELECT vec_id,
+           CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 6))
+                ELSE v END AS unit_vec
+    FROM n
+    """,
+    "L2-normalize the embedding column (unit vectors; zero vectors "
+    "pass through) — per-row fold, no shuffle",
+    "similarity: vector normalization",
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id", _sim.l2_normalize(v, scale=6).alias("unit_vec")
+    )
+
+
+@_register(
+    "q_embedding_centroids",
+    """
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT label, unnest(v) AS val, unnest(range(0, len(v))) AS dim FROM e)
+    SELECT label, dim, ROUND(AVG(val), 6) AS c
+    FROM x GROUP BY label, dim
+    """,
+    "per-label centroid vectors (coarse-quantizer build): one wide "
+    "64-slot AVG aggregate, no explode shuffle",
+    "similarity: centroid build",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cent = _sim.label_centroids(emb, dim=64)
+    return cent.select(
+        "label", F.posexplode("centroid").alias("dim", "c")
+    ).select("label", F.col("dim").cast("long").alias("dim"), F.round("c", 6).alias("c"))

@@ -119,3 +119,35 @@ def test_ivf_index_build_once_search_many(spark):
         assert overlap >= 5, (overlap, approx, exact)
         # and the probed results must themselves be exact within cells
         assert len(approx) == 10
+
+
+def test_l2_normalize_and_centroids_match_numpy(spark):
+    import numpy as np
+
+    from sample_dms_s3_kinesis_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], int(i % 3)) for i in range(60)
+    ] + [(999, [0.0] * 8, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    unit = {
+        r["vec_id"]: r["u"]
+        for r in df.select(
+            "vec_id", S.l2_normalize(F.col("embedding"), scale=6).alias("u")
+        ).collect()
+    }
+    for vid, v, _lbl in rows:
+        a = np.array(v)
+        n = np.linalg.norm(a)
+        exp = (a / n if n > 0 else a).round(6)
+        assert np.allclose(unit[vid], exp, atol=1e-9), vid
+
+    cents = {
+        r["label"]: r["centroid"]
+        for r in S.label_centroids(df, dim=8, scale=6).collect()
+    }
+    for lbl in (0, 1, 2):
+        vecs = np.array([v for _i, v, l in rows if l == lbl])
+        assert np.allclose(cents[lbl], vecs.mean(axis=0).round(6), atol=1e-6)

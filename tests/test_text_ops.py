@@ -166,3 +166,36 @@ def test_normalize_text_canonicalizes_variants(spark):
     assert out[1] == "hello world 0"
     assert out[2] == "hello world 0"
     assert out[3] == "hello world 0"
+
+
+def test_tfidf_topk_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana durian"),
+        (3, "cherry durian elderberry elderberry elderberry"),
+        (4, "apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in text.tfidf_topk(df, k=2).collect()
+    }
+
+    docs = {i: s.lower().split() for i, s in rows}
+    n = len(docs)
+    dfreq = Counter()
+    for toks in docs.values():
+        dfreq.update(set(toks))
+    expected = {}
+    for i, toks in docs.items():
+        scores = {
+            term: round(tf * math.log(n / dfreq[term]), 6)
+            for term, tf in Counter(toks).items()
+        }
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for term, s in top:
+            expected[(i, term)] = s
+    assert got == expected
