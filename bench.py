@@ -54,6 +54,7 @@ HEADLINE = [
     "q_dedup_clusters",
     "q_text_repetition",
     "q_hash_split",
+    "q_curation_pipeline",
 ]
 
 

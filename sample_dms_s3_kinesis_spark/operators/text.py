@@ -257,3 +257,24 @@ def tfidf_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def winnowed_fingerprints(
+    col: Column, *, shingle: int = 8, window: int = 4
+) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): over the rolling ``shingle``-token hashes, keep the
+    minimum of every ``window`` consecutive hashes, distinct.
+
+    Guarantee: any shared token run of at least ``shingle + window - 1``
+    tokens between two documents yields at least one shared
+    fingerprint — substring-level near-dup detection with output size
+    ~1/window of the shingle count.  Spark-side only (xxhash64); the
+    soundness property is pytest-checked rather than SQL-oracled."""
+    rh = rolling_hashes(col, window=shingle)
+    n = F.size(rh)
+    idx = F.when(n >= window, F.sequence(F.lit(0), n - window)).otherwise(
+        F.array().cast("array<int>")
+    )
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(rh, i + 1, window)))
+    return F.array_distinct(mins)

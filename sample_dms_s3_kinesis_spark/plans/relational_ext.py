@@ -1680,3 +1680,76 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.select(
         "label", F.posexplode("centroid").alias("dim", "c")
     ).select("label", F.col("dim").cast("long").alias("dim"), F.round("c", 6).alias("c"))
+
+
+# ------------------------------------------------------------------
+# Flagship composition: the end-to-end curation pipeline a training-
+# data run executes — quality filter → exact dedup on normalized text
+# → deterministic split — as ONE declarative plan Catalyst optimizes
+# globally (filter pushdown through the dedup join, partial aggs).
+# ------------------------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), "
+    "'[0-9]+', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@_register(
+    "q_curation_pipeline",
+    rf"""
+    WITH q AS (
+      SELECT doc_id, lang, md5({_NORM_SQL}) AS h,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    f AS (SELECT * FROM q WHERE n_tokens >= 5),
+    surv AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY h),
+    kept AS (SELECT f.doc_id, f.lang FROM f JOIN surv USING (doc_id)),
+    s AS (
+      SELECT lang, CASE
+        WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+             < '{sampling._hex_threshold(0.9)}' THEN 'train'
+        WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
+             < '{sampling._hex_threshold(0.95)}' THEN 'val'
+        ELSE 'test' END AS split
+      FROM kept)
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM s GROUP BY split, lang
+    """,
+    "end-to-end curation: quality filter → exact dedup on normalized "
+    "text (min-id survivor) → deterministic train/val/test split → "
+    "per-(split, lang) counts",
+    "flagship composition (north-star pipeline)",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.md5(_text.normalize_text(F.col("text"))).alias("_h"),
+        _text.token_count(F.col("text")).alias("_nt"),
+    )
+    f = base.filter(F.col("_nt") >= 5)
+    surv = f.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    kept = f.join(surv.select("doc_id"), "doc_id", "left_semi")
+    split = sampling.hash_split(kept, id_col="doc_id", seed=42)
+    return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_register(
+    "q_winnowed_fingerprints",
+    None,
+    "winnowing (MOSS) substring fingerprint density per document "
+    "(xxhash64 — soundness pytest-checked, no SQL oracle)",
+    "text: winnowing fingerprints",
+)
+def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+
+    d = t(spark, sf_dir, "documents")
+    return spread(d).select(
+        "doc_id",
+        F.size(
+            _text.winnowed_fingerprints(F.col("text"), shingle=8, window=4)
+        ).alias("n_fingerprints"),
+    )

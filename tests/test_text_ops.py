@@ -199,3 +199,32 @@ def test_tfidf_topk_matches_python_reference(spark):
         for term, s in top:
             expected[(i, term)] = s
     assert got == expected
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(500)]
+    shared = " ".join(rng.choice(vocab) for _ in range(30))  # >= shingle+window-1 tokens
+    doc_a = " ".join(rng.choice(vocab) for _ in range(40)) + " " + shared
+    doc_b = shared + " " + " ".join(rng.choice(vocab) for _ in range(40))
+    doc_c = " ".join(rng.choice(vocab) for _ in range(60))  # unrelated
+
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id",
+            text.winnowed_fingerprints(F.col("text"), shingle=8, window=4).alias("fp"),
+        ).collect()
+    }
+    assert fps[1] & fps[2], "docs sharing a 30-token span must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    # density: winnowing keeps roughly 2/(window+1) of positions, far
+    # fewer than the full shingle set, and never more than positions
+    for d, (_i, s) in zip((1, 2, 3), [(1, doc_a), (2, doc_b), (3, doc_c)]):
+        n_shingles = len(s.split()) - 8 + 1
+        assert 0 < len(fps[d]) <= max(n_shingles - 4 + 1, 0)
