@@ -41,11 +41,14 @@ def _tune(spark: SparkSession) -> SparkSession:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Flagship = TPC-H-style pricing summary (conditional aggregation —
-    the generalized form of the reference's table-statistics operator,
-    run.py:141-148)."""
+    Flagship = the end-to-end curation pipeline (quality filter → exact
+    dedup on normalized text → deterministic train/val/test split →
+    per-(split, lang) counts): one declarative plan composing the
+    engine's text, dedup, and sampling operators — the north-star
+    training-data path.  Schema: (split string, lang string,
+    n_docs bigint)."""
     _tune(spark)
-    return REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    return REGISTRY["q_curation_pipeline"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

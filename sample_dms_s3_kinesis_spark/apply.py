@@ -239,3 +239,40 @@ class ParquetTargetStore:
         if v is None:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(self._dir(table_name, v))
+
+
+def scd2_history(
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Type-2 history from an ordered change stream — the
+    slowly-changing-dimension extension of the type-1 latest-wins merge
+    (O24, `apply_changes`): instead of keeping only each key's final
+    state, every non-delete change becomes a version row with its
+    validity interval.
+
+    Input: one row per change with ``op_col``, ``key_cols``, the payload
+    columns, and ``order_cols`` (the total per-key order — seq, ts).
+    Output: the input's non-delete rows plus ``valid_to_<first order
+    col>`` (the next change's order value, null while current) and
+    ``is_current``.  A delete closes the prior version's interval and
+    emits nothing — a key whose last change is a delete has no current
+    row, matching the reference's delete semantics.
+
+    One window over (key, order) — a single hash shuffle on the key,
+    no self-join; history for different keys never co-locates, so this
+    scales with the change volume, not the key count.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.asc(c) for c in order_cols])
+    lead_col = f"valid_to_{order_cols[0]}"
+    with_lead = changes.withColumn(lead_col, F.lead(F.col(order_cols[0])).over(w))
+    return (
+        with_lead.filter(F.col(op_col) != F.lit(delete_op))
+        .withColumn("is_current", F.col(lead_col).isNull())
+    )

@@ -1753,3 +1753,55 @@ def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             _text.winnowed_fingerprints(F.col("text"), shingle=8, window=4)
         ).alias("n_fingerprints"),
     )
+
+
+# ------------------------------------------------------------------
+# SCD2 (type-2) history — the dimension-history extension of the
+# type-1 latest-wins CDC merge (O24).
+# ------------------------------------------------------------------
+
+from sample_dms_s3_kinesis_spark.apply import scd2_history  # noqa: E402
+
+
+@_register(
+    "q_scd2_history",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM events
+      WHERE user_id < 40 AND event_type IN ('purchase', 'error')),
+    h AS (
+      SELECT user_id, event_id, ts, value, op,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+      FROM c)
+    SELECT user_id, event_id, ts, ROUND(value, 6) AS value, valid_to_ts,
+           (valid_to_ts IS NULL) AS is_current
+    FROM h WHERE op <> 'delete'
+    """,
+    "type-2 dimension history from a change stream: versions with "
+    "validity intervals; deletes close intervals and emit nothing",
+    "O24 extension (SCD2 history)",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.filter(
+        (F.col("user_id") < 40) & F.col("event_type").isin("purchase", "error")
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    out = scd2_history(c, key_cols=["user_id"], order_cols=["ts", "event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        "valid_to_ts",
+        "is_current",
+    )

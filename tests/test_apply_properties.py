@@ -117,3 +117,38 @@ def test_envelope_preserves_nulls_and_empties(spark, name):
     assert payload["data"]["DepartmentName"] == name
     assert payload["metadata"]["operation"] == "insert"
     assert payload["metadata"]["partition-value"] == "hr.department"
+
+
+def test_scd2_history_versions_and_delete_closure(spark):
+    from sample_dms_s3_kinesis_spark.apply import scd2_history
+
+    rows = [
+        # key 1: insert, update, delete (no current row afterward), re-insert
+        (1, 1, "insert", "a"),
+        (1, 3, "update", "b"),
+        (1, 5, "delete", None),
+        (1, 9, "insert", "c"),
+        # key 2: single insert stays current
+        (2, 2, "insert", "x"),
+        # key 3: ends deleted
+        (3, 4, "insert", "y"),
+        (3, 6, "delete", None),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v string")
+    out = scd2_history(
+        df, key_cols=["k"], order_cols=["seq"], op_col="op"
+    ).collect()
+    got = {
+        (r["k"], r["seq"]): (r["v"], r["valid_to_seq"], r["is_current"])
+        for r in out
+    }
+    assert got == {
+        (1, 1): ("a", 3, False),
+        (1, 3): ("b", 5, False),   # closed by the delete
+        (1, 9): ("c", None, True),  # re-insert after delete is current
+        (2, 2): ("x", None, True),
+        (3, 4): ("y", 6, False),   # ends deleted: no current row for key 3
+    }
+    # exactly one current row per live key, none for deleted keys
+    current = [r for r in out if r["is_current"]]
+    assert {r["k"] for r in current} == {1, 2}
