@@ -228,3 +228,21 @@ def test_winnowing_shared_substring_guarantee(spark):
     for d, (_i, s) in zip((1, 2, 3), [(1, doc_a), (2, doc_b), (3, doc_c)]):
         n_shingles = len(s.split()) - 8 + 1
         assert 0 < len(fps[d]) <= max(n_shingles - 4 + 1, 0)
+
+
+def test_functions_package_surface_resolves(spark):
+    """The public column library re-exports must all be importable and
+    usable in a select."""
+    from sample_dms_s3_kinesis_spark import functions as EF
+
+    assert sorted(EF.__all__) == EF.__all__  # keep the surface tidy
+    for name in EF.__all__:
+        assert callable(getattr(EF, name)), name
+
+    df = spark.createDataFrame([(1, "The quick brown fox")], "doc_id long, text string")
+    row = df.select(
+        EF.token_count(F.col("text")).alias("n"),
+        EF.hash_bucket(F.col("doc_id"), 1).alias("b"),
+        EF.fingerprint(F.col("text")).alias("fp"),
+    ).first()
+    assert row["n"] == 4 and len(row["b"]) == 8 and len(row["fp"]) == 32
