@@ -49,11 +49,23 @@ class ApplyResult:
     new_state: DataFrame          # full post-apply table contents
     exceptions: DataFrame         # seq, op, error for failed applies
     counts: DataFrame             # single row: inserts, updates, deletes, applied_*, exceptions
+    cached: DataFrame | None = None  # persisted fold frame shared by the
+    # three outputs; callers MUST unpersist() it once new_state /
+    # exceptions / counts are materialized (a long-running streaming
+    # task would otherwise leak one cached frame per table per batch)
+
+    def unpersist(self) -> None:
+        if self.cached is not None:
+            self.cached.unpersist()
 
 
 def _fold_merge(ops_col: Column, init: Column) -> Column:
     """Ordered fold over one PK's ops.  State:
-    (exists, row, ins, upd, del, exc, exc_seqs)."""
+    (exists, row, ins, upd, del, exc, exc_ins, exc_upd, exc_del,
+    exc_seqs).  Per-op exception counters let Applied* report only ops
+    that actually applied — DMS TableStatistics applied counters
+    exclude excepted operations (e.g. a DELETE of a never-inserted row
+    counts in ApplyExceptions, not AppliedDeletes)."""
 
     def step(state: Column, x: Column) -> Column:
         is_ins = x["op"] == F.lit("INSERT")
@@ -76,6 +88,9 @@ def _fold_merge(ops_col: Column, init: Column) -> Column:
             (state["upd"] + is_upd.cast("long")).alias("upd"),
             (state["del"] + is_del.cast("long")).alias("del"),
             (state["exc"] + is_exc.cast("long")).alias("exc"),
+            (state["exc_ins"] + (is_ins & is_exc).cast("long")).alias("exc_ins"),
+            (state["exc_upd"] + (is_upd & is_exc).cast("long")).alias("exc_upd"),
+            (state["exc_del"] + (is_del & is_exc).cast("long")).alias("exc_del"),
             F.when(
                 is_exc, F.array_append(state["exc_seqs"], F.struct(x["seq"], x["op"]))
             )
@@ -139,6 +154,9 @@ def apply_changes(
         F.lit(0).cast("long").alias("upd"),
         F.lit(0).cast("long").alias("del"),
         F.lit(0).cast("long").alias("exc"),
+        F.lit(0).cast("long").alias("exc_ins"),
+        F.lit(0).cast("long").alias("exc_upd"),
+        F.lit(0).cast("long").alias("exc_del"),
         F.array().cast(exc_seq_type).alias("exc_seqs"),
     )
 
@@ -165,8 +183,18 @@ def apply_changes(
         F.sum("s.upd").alias("updates"),
         F.sum("s.del").alias("deletes"),
         F.sum("s.exc").alias("exceptions"),
+        # Applied* exclude excepted ops (DMS TableStatistics semantics).
+        F.sum(F.col("s.ins") - F.col("s.exc_ins")).alias("applied_inserts"),
+        F.sum(F.col("s.upd") - F.col("s.exc_upd")).alias("applied_updates"),
+        F.sum(F.col("s.del") - F.col("s.exc_del")).alias("applied_deletes"),
     ).na.fill(0)
-    return ApplyResult(table=table, new_state=new_state, exceptions=exceptions, counts=counts)
+    return ApplyResult(
+        table=table,
+        new_state=new_state,
+        exceptions=exceptions,
+        counts=counts,
+        cached=folded,
+    )
 
 
 class ParquetTargetStore:
@@ -239,6 +267,42 @@ class ParquetTargetStore:
         if v is None:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(self._dir(table_name, v))
+
+    # -- sequence high-water marks ------------------------------------
+    # The emitted event seq must survive task restarts: the documented
+    # recovery path (checkpointLocation) rebuilds the task object, and a
+    # seq restarting at 0 would reuse values already emitted for other
+    # events — downstream idempotent dedup would then DROP distinct
+    # events.  The mark lives next to _VERSIONS.json so state and seq
+    # recover from the same root.
+
+    def _seq_file(self) -> str:
+        return f"{self.root}/_SEQ.json"
+
+    def load_seq(self, task_id: str) -> int:
+        import json
+
+        try:
+            with open(self._seq_file()) as f:
+                return int(json.load(f).get(task_id, 0))
+        except (OSError, ValueError):
+            return 0
+
+    def save_seq(self, task_id: str, value: int) -> None:
+        import json
+        import os
+
+        os.makedirs(self.root, exist_ok=True)
+        try:
+            with open(self._seq_file()) as f:
+                marks = json.load(f)
+        except (OSError, ValueError):
+            marks = {}
+        marks[task_id] = int(value)
+        tmp = self._seq_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marks, f)
+        os.replace(tmp, self._seq_file())
 
 
 def scd2_history(

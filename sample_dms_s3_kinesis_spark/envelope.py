@@ -96,15 +96,23 @@ def data_events(
     event_time: str | None = None,
     txn_id: Column | None = None,
     order_by: Sequence[Column | str] | None = None,
+    seq_col: str | Column | None = None,
 ) -> DataFrame:
     """Wrap each row of ``df`` (typed with ``table.schema`` columns) as a
     DMS data event (O13+O15).  ``operation`` is either a literal
     ('load' for full load) or a Column (lowercased CDC op).
 
-    ``order_by``: optional within-table ordering expressions captured
-    into ``seq`` *before* any shuffle, preserving source order (O21).
-    Returns the canonical EVENT_COLUMNS frame (seq is table-local here;
-    global sequencing happens in :func:`assign_global_seq`).
+    ``seq_col``: pass an EXISTING total-order column through as ``seq``
+    unchanged.  The CDC path must use this: its (file_seq, line) seq is
+    a global order across tables, and renumbering it table-locally
+    before the union would lose the cross-table interleaving the
+    reference's single-shard stream preserves (department/employee/
+    project changes interleave in file line order).
+
+    ``order_by``: optional within-table ordering expressions renumbered
+    into a table-LOCAL ``seq`` (O21) — only correct when a later
+    :func:`assign_global_seq` orders by table-major keys, as the
+    full-load path does with ``(_tbl, _kind, seq)``.
     """
     op_col = F.lit(operation) if isinstance(operation, str) else operation
     schema_name = F.lit(table.owner)
@@ -121,7 +129,9 @@ def data_events(
         txn_id=txn,
     ).alias("metadata")
 
-    if order_by is not None:
+    if seq_col is not None:
+        seq = (F.col(seq_col) if isinstance(seq_col, str) else seq_col).cast("long")
+    elif order_by is not None:
         w = Window.orderBy(*order_by)
         seq = F.row_number().over(w).cast("long")
     else:

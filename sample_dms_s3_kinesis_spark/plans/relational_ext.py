@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sample_dms_s3_kinesis_spark.plans.registry import _dec, _register, t
+from sample_dms_s3_kinesis_spark.plans.registry import _dec, _money, _register, t
 
 
 @_register(
@@ -54,7 +54,8 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q07_nation_volume",
     """
-    SELECT supp_nation, cust_nation, l_year, SUM(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(CAST(SUM(volume) AS DOUBLE), 4) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
@@ -101,8 +102,12 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            F.sum(
-                _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+            _money(
+                F.sum(
+                    _dec(F.col("l_extendedprice"))
+                    * (F.lit(1) - _dec(F.col("l_discount")))
+                ),
+                4,
             ).alias("revenue")
         )
     )
@@ -178,7 +183,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q09_product_profit",
     """
-    SELECT nation, o_year, SUM(amount) AS sum_profit
+    SELECT nation, o_year, ROUND(CAST(SUM(amount) AS DOUBLE), 4) AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
@@ -212,8 +217,12 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg(
-            F.sum(
-                _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+            _money(
+                F.sum(
+                    _dec(F.col("l_extendedprice"))
+                    * (F.lit(1) - _dec(F.col("l_discount")))
+                ),
+                4,
             ).alias("sum_profit")
         )
     )
@@ -222,7 +231,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q11_supplier_value",
     """
-    SELECT s_suppkey, value
+    SELECT s_suppkey, ROUND(CAST(value AS DOUBLE), 2) AS value
     FROM (SELECT l_suppkey AS s_suppkey,
                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
           FROM lineitem GROUP BY l_suppkey) sv
@@ -245,7 +254,7 @@ def q11_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.join(F.broadcast(total))
         .filter(F.col("value") > F.col("_thr"))
-        .select("s_suppkey", "value")
+        .select("s_suppkey", _money(F.col("value"), 2).alias("value"))
     )
 
 
@@ -323,7 +332,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(CAST(r.total_revenue AS DOUBLE), 4) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
@@ -346,7 +356,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(revenue), s["s_suppkey"] == F.col("supplier_no"))
         .join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("_max"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            _money(F.col("total_revenue"), 4).alias("total_revenue"),
+        )
     )
 
 
@@ -387,7 +401,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     """
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
-           SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -415,7 +429,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(l, F.col("o_orderkey") == l["l_orderkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey")
-        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"))
+        .agg(_money(F.sum(_dec(F.col("l_quantity"))), 2).alias("sum_qty"))
     )
 
 
@@ -423,7 +437,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_customers",
     """
     SELECT c.c_nationkey, COUNT(*) AS numcust,
-           SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS totacctbal
+           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                                 / COUNT(*)
@@ -455,7 +469,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(_dec(F.col("c_acctbal"))).alias("totacctbal"),
+            _money(F.sum(_dec(F.col("c_acctbal"))), 2).alias("totacctbal"),
         )
     )
 
@@ -666,7 +680,7 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouping_sets_orders",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -678,7 +692,7 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -757,7 +771,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
     FROM orders
     GROUP BY yr, qtr, mo
     """,
@@ -772,7 +786,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("mo"),
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_dec(F.col("o_totalprice"))).alias("total_price"),
+        _money(F.sum(_dec(F.col("o_totalprice"))), 2).alias("total_price"),
     )
 
 
@@ -785,7 +799,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type, COUNT(*) AS n,
-           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
     FROM events
     GROUP BY hour_start, event_type
     """,
@@ -803,7 +817,7 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4).alias("sum_value"),
+        _money(F.sum(F.col("value").cast("decimal(18,4)")), 4).alias("sum_value"),
     )
 
 
@@ -820,8 +834,8 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE user_id < 50),
     sess AS (
       SELECT user_id, event_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM marks)
     SELECT user_id, session_id, COUNT(*) AS n_events
     FROM sess GROUP BY user_id, session_id
@@ -885,7 +899,7 @@ def q_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            STRFTIME(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
            event_type, COUNT(*) AS n,
-           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
     FROM events
     GROUP BY window_start, window_end, event_type
     """,
@@ -903,7 +917,9 @@ def q_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
         "event_type",
         "n",
-        "sum_value",
+        # sum_value is an exact DECIMAL(18,4) aggregate; render as
+        # double to match the oracle's pandas dtype (see _money).
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
     )
 
 
@@ -956,9 +972,12 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators import multimodal
 
     assets = multimodal.synthetic_assets(spark, n=64)
-    return multimodal.extract_audio_features(
+    out = multimodal.extract_audio_features(
         assets.filter(F.col("media_type") == "audio")
     )
+    # feature is array<float>; the driver's canonicalizer cannot hash
+    # array cells, so serialize it for the registered surface.
+    return out.withColumn("feature", F.to_json("feature"))
 
 
 # =====================================================================
@@ -987,7 +1006,7 @@ def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_salted_join_agg",
     """
     SELECT n.n_name, COUNT(*) AS n_customers,
-           SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_bal
+           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
@@ -1009,7 +1028,7 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(_dec(F.col("c_acctbal"))).alias("total_bal"),
+        _money(F.sum(_dec(F.col("c_acctbal"))), 2).alias("total_bal"),
     )
 
 
@@ -1128,17 +1147,20 @@ def q_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg_priorities",
     """
     SELECT o_orderstatus,
-           LIST_SORT(LIST(DISTINCT o_orderpriority)) AS priorities,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), '|') AS priorities,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderstatus
     """,
-    "collect_set aggregation, sorted for deterministic comparison",
+    "collect_set aggregation, sorted and string-joined (the driver's "
+    "canonicalizer cannot hash raw array cells)",
     "array agg (SURVEY §2.4 generalized)",
 )
 def q_array_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), "|").alias(
+            "priorities"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1221,10 +1243,10 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_status_priority",
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -1283,8 +1305,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q19_disjunctive_revenue",
     """
-    SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity >= 1 AND l.l_quantity <= 11)
@@ -1316,8 +1338,11 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return j.filter(c1 | c2 | c3).agg(
-        F.sum(
-            _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+        _money(
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+            ),
+            4,
         ).alias("revenue")
     )
 
@@ -1644,21 +1669,28 @@ from sample_dms_s3_kinesis_spark.operators import similarity as _sim  # noqa: E4
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (SELECT vec_id, v,
                  sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
-          FROM e)
+          FROM e),
+    u AS (SELECT vec_id,
+                 CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 6))
+                      ELSE v END AS unit_vec
+          FROM n)
     SELECT vec_id,
-           CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 6))
-                ELSE v END AS unit_vec
-    FROM n
+           CAST(unnest(range(0, len(unit_vec))) AS BIGINT) AS dim,
+           unnest(unit_vec) AS u
+    FROM u
     """,
     "L2-normalize the embedding column (unit vectors; zero vectors "
-    "pass through) — per-row fold, no shuffle",
+    "pass through) — per-row fold, no shuffle; exploded to scalar "
+    "(vec_id, dim, u) rows because the driver cannot hash array cells",
     "similarity: vector normalization",
 )
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    return emb.select(
-        "vec_id", _sim.l2_normalize(v, scale=6).alias("unit_vec")
+    return (
+        emb.select("vec_id", _sim.l2_normalize(v, scale=6).alias("unit_vec"))
+        .select("vec_id", F.posexplode("unit_vec").alias("dim", "u"))
+        .select("vec_id", F.col("dim").cast("long").alias("dim"), "u")
     )
 
 
@@ -1775,7 +1807,10 @@ from sample_dms_s3_kinesis_spark.apply import scd2_history  # noqa: E402
       SELECT user_id, event_id, ts, value, op,
              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
       FROM c)
-    SELECT user_id, event_id, ts, ROUND(value, 6) AS value, valid_to_ts,
+    SELECT user_id, event_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           ROUND(value, 6) AS value,
+           STRFTIME(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to_str,
            (valid_to_ts IS NULL) AS is_current
     FROM h WHERE op <> 'delete'
     """,
@@ -1800,8 +1835,8 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "event_id",
-        "ts",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         F.round("value", 6).alias("value"),
-        "valid_to_ts",
+        F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to_str"),
         "is_current",
     )

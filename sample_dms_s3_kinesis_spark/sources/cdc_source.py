@@ -46,7 +46,11 @@ def read_cdc_lines(spark: SparkSession, cdc_dir: str) -> DataFrame:
         spark.read.format("text")
         .option("pathGlobFilter", CDC_FILE_PATTERN)
         .load(cdc_dir)
-        .withColumn("_file", F.input_file_name())
+        .select(
+            "value",
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.file_block_start").alias("_blk"),
+        )
     )
     return _with_order(lines)
 
@@ -63,21 +67,39 @@ def read_cdc_lines_stream(spark: SparkSession, cdc_dir: str) -> DataFrame:
         .option("latestFirst", "false")
         .option("pathGlobFilter", CDC_FILE_PATTERN)
         .load(cdc_dir)
-        # Materialize the source file path as a plain column now:
-        # inside foreachBatch the frame is a LogicalRDD and
-        # input_file_name()/_metadata are no longer resolvable.
-        .select("value", F.col("_metadata.file_path").alias("_file"))
+        # Materialize the source file path (and split offset, see
+        # _with_order) as plain columns now: inside foreachBatch the
+        # frame is a LogicalRDD and input_file_name()/_metadata are no
+        # longer resolvable.
+        .select(
+            "value",
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.file_block_start").alias("_blk"),
+        )
     )
 
 
 def _with_order(lines: DataFrame) -> DataFrame:
     if "_file" not in lines.columns:
         lines = lines.withColumn("_file", F.input_file_name())
+    if "_blk" not in lines.columns:
+        # Callers constructing line frames by hand (tests) have no split
+        # metadata; a single-split assumption is then explicit, not
+        # silent.
+        lines = lines.withColumn("_blk", F.lit(0).cast("long"))
     lines = lines.withColumn(
         "file_seq",
         F.regexp_extract(F.col("_file"), r"cdc(\d+)\.csv$", 1).cast("long"),
     )
-    w = Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
+    # monotonically_increasing_id is line-ordered only WITHIN one input
+    # split; a file larger than spark.sql.files.maxPartitionBytes spans
+    # several splits whose ids are not comparable.  Ordering by the
+    # split's byte offset (_metadata.file_block_start) first restores a
+    # correct total line order for any file size — splits sort by their
+    # position in the file, lines sort within each split.
+    w = Window.partitionBy("_file").orderBy(
+        F.col("_blk"), F.monotonically_increasing_id()
+    )
     return lines.withColumn(
         "seq",
         (F.col("file_seq") * F.lit(_LINES_PER_FILE) + F.row_number().over(w)).cast(

@@ -108,13 +108,14 @@ class StatsAccumulator:
         self, schema_name: str, table_name: str, counts_row
     ) -> None:
         c = self._stats[(schema_name, table_name)]
-        exceptions = counts_row["exceptions"] or 0
-        c.apply_exceptions += exceptions
-        # Applied = attempted - excepted, attributed in op priority order;
-        # exact per-op split comes from the fold counters when needed.
-        c.applied_inserts += counts_row["inserts"] or 0
-        c.applied_updates += counts_row["updates"] or 0
-        c.applied_deletes += counts_row["deletes"] or 0
+        c.apply_exceptions += counts_row["exceptions"] or 0
+        # Applied* exclude excepted ops (DMS TableStatistics semantics):
+        # the fold tracks per-op exception counters, so an excepted op
+        # counts in ApplyExceptions only, never in Applied*.
+        row = counts_row.asDict() if hasattr(counts_row, "asDict") else dict(counts_row)
+        c.applied_inserts += row.get("applied_inserts", row.get("inserts", 0)) or 0
+        c.applied_updates += row.get("applied_updates", row.get("updates", 0)) or 0
+        c.applied_deletes += row.get("applied_deletes", row.get("deletes", 0)) or 0
 
     def to_dataframe(self, spark: SparkSession) -> DataFrame:
         rows = [

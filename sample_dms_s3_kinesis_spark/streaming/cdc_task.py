@@ -83,7 +83,10 @@ class CdcTask(ReplicationTask):
         self.event_time = event_time
         self.checkpoint_dir = checkpoint_dir or f"/tmp/cdc-checkpoint-{uuid.uuid4()}"
         self._query = None
-        self._seq_offset = 0
+        # Recover the emitted-seq high-water mark alongside the store:
+        # a restarted task must continue the sequence, not restart at 0
+        # (duplicate seqs would break downstream idempotent dedup).
+        self._seq_offset = store.load_seq(identifier)
 
     # -- lifecycle -----------------------------------------------------
 
@@ -150,6 +153,7 @@ class CdcTask(ReplicationTask):
         self.sink.write(controls)
         self.stats.add_events(controls)
         self._seq_offset += controls.count()
+        self.store.save_seq(self.identifier, self._seq_offset)
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if len(batch_df.take(1)) == 0:
@@ -159,6 +163,7 @@ class CdcTask(ReplicationTask):
 
         event_frames: list[DataFrame] = []
         exception_frames: list[DataFrame] = []
+        apply_results = []
 
         for table, changes in routed.items():
             changes = changes.persist()
@@ -166,19 +171,25 @@ class CdcTask(ReplicationTask):
                 changes.unpersist()
                 continue
             # Data events: one per change row, operation lowercased
-            # (O15), ordered by the (file, line) sequence (O21).
+            # (O15).  The original (file_seq, line) seq passes through
+            # UNCHANGED (O21): it is the global order across tables, so
+            # the post-union assign_global_seq reproduces the exact
+            # cross-table interleaving of the reference's 1-shard
+            # stream (a table-local renumber here would sort every
+            # table's event #1 before any table's event #2).
             events = envelope.data_events(
                 changes,
                 table,
                 F.lower(F.col("op")),
                 event_time=self.event_time,
-                order_by=[F.col("seq")],
+                seq_col="seq",
             )
             event_frames.append(events)
 
             # Apply to target state (O24) + collect apply exceptions.
             current = self.store.read(self.spark, table)
             result = apply_changes(self.spark, table, current, changes)
+            apply_results.append(result)
             self.store.write(table.qualified_name, result.new_state)
             self.stats.add_apply_counts(
                 table.owner, table.name, result.counts.collect()[0]
@@ -226,6 +237,13 @@ class CdcTask(ReplicationTask):
             self.sink.write(events)
             self.stats.add_events(events)
             self._seq_offset += events.count()
+            self.store.save_seq(self.identifier, self._seq_offset)
+        # Release per-table fold caches only after the exceptions union
+        # and event emission above have materialized every consumer —
+        # a streaming task would otherwise accumulate one cached frame
+        # per table per micro-batch for its whole lifetime.
+        for r in apply_results:
+            r.unpersist()
         parsed.unpersist()
 
     def exceptions_table(self) -> DataFrame:

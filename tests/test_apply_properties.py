@@ -152,3 +152,43 @@ def test_scd2_history_versions_and_delete_closure(spark):
     # exactly one current row per live key, none for deleted keys
     current = [r for r in out if r["is_current"]]
     assert {r["k"] for r in current} == {1, 2}
+
+
+def test_applied_counts_exclude_excepted_ops(spark):
+    """DMS TableStatistics semantics: an op that excepts (e.g. DELETE of
+    a never-inserted key) counts in ApplyExceptions, NOT in Applied*."""
+    from sample_dms_s3_kinesis_spark.apply import apply_changes
+    from sample_dms_s3_kinesis_spark.stats import StatsAccumulator
+    from tests.conftest import REFERENCE_TABLE_DEFINITION
+    from sample_dms_s3_kinesis_spark.catalog import Catalog
+
+    catalog = Catalog.from_external_table_definition(REFERENCE_TABLE_DEFINITION)
+    table = catalog.get("hr", "department")
+    current = spark.createDataFrame([], table.schema)
+    changes = spark.createDataFrame(
+        [
+            (1, "INSERT", 204, "Software"),
+            (2, "DELETE", 301, "Ghost"),   # never inserted -> exception
+            (3, "UPDATE", 999, "Ghost2"),  # never inserted -> exception
+        ],
+        "seq long, op string, Id int, DepartmentName string",
+    )
+    result = apply_changes(spark, table, current, changes)
+    row = result.counts.collect()[0]
+    assert row["inserts"] == 1 and row["applied_inserts"] == 1
+    assert row["deletes"] == 1 and row["applied_deletes"] == 0
+    assert row["updates"] == 1 and row["applied_updates"] == 0
+    assert row["exceptions"] == 2
+    result.unpersist()
+
+    acc = StatsAccumulator()
+    acc.add_apply_counts("hr", "department", row)
+    stats = {
+        (r["SchemaName"], r["TableName"]): r
+        for r in acc.to_dataframe(spark).collect()
+    }
+    s = stats[("hr", "department")]
+    assert s["AppliedInserts"] == 1
+    assert s["AppliedDeletes"] == 0
+    assert s["AppliedUpdates"] == 0
+    assert s["ApplyExceptions"] == 2

@@ -159,3 +159,78 @@ def test_cdc_streaming_mode(spark, catalog, cdc_dir, tmp_path):
     assert [(r["Id"], r["DepartmentName"]) for r in dep.collect()] == [
         (204, "Software")
     ]
+
+
+def test_cdc_cross_table_event_order_is_file_line_order(
+    spark, catalog, cdc_dir, tmp_path
+):
+    """The reference's 1-shard stream preserves EXACT file line order
+    across tables (CDC_FILE_2 interleaves department/employee/project);
+    the emitted data events must reproduce that interleaving, not a
+    per-table renumbering."""
+    task, sink, _ = _task(spark, catalog, cdc_dir, tmp_path)
+    write_cdc_file(cdc_dir, 1, CDC_FILE_1)
+    write_cdc_file(cdc_dir, 2, CDC_FILE_2)
+    task.process_available()
+
+    data = [
+        e for e in sink.events if e["metadata"]["record-type"] == "data"
+    ]
+    got = [
+        (e["metadata"]["table-name"], e["metadata"]["operation"])
+        for e in data
+    ]
+    want = [
+        # file 1, lines in order
+        ("employee", "insert"),
+        ("employee", "update"),
+        ("employee", "update"),
+        ("employee", "delete"),
+        # file 2, lines in order (tables interleaved)
+        ("department", "insert"),
+        ("employee", "insert"),
+        ("project", "insert"),
+        ("project", "delete"),
+        ("department", "delete"),
+        ("employee", "update"),
+        ("employee", "delete"),
+    ]
+    assert got == want
+
+    # seq is unique and strictly increasing in emission order.
+    seqs = [r["seq"] for r in sink.records]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+def test_cdc_seq_resumes_after_restart(spark, catalog, cdc_dir, tmp_path):
+    """A restarted task (same store root) must CONTINUE the emitted seq,
+    not restart at 0 — duplicate seqs would make idempotent downstream
+    dedup drop distinct events."""
+    import os
+
+    task1, sink1, store = _task(spark, catalog, cdc_dir, tmp_path)
+    write_cdc_file(cdc_dir, 1, CDC_FILE_1)
+    task1.process_available()
+    seqs1 = [r["seq"] for r in sink1.records]
+    assert seqs1 and len(set(seqs1)) == len(seqs1)
+
+    # Simulate restart: new task object over the SAME store root.
+    os.remove(os.path.join(cdc_dir, "cdc0000000001.csv"))
+    sink2 = MemorySink()
+    task2 = CdcTask(
+        spark,
+        catalog,
+        cdc_dir,
+        sink2,
+        store,
+        event_time=FIXED_TS,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    write_cdc_file(cdc_dir, 2, CDC_FILE_2)
+    task2.process_available()
+    seqs2 = [r["seq"] for r in sink2.records]
+    assert seqs2 and len(set(seqs2)) == len(seqs2)
+
+    # No seq reuse across the restart.
+    assert min(seqs2) > max(seqs1)
+    assert not (set(seqs1) & set(seqs2))
