@@ -31,6 +31,56 @@ from pyspark.sql import functions as F
 from sample_dms_s3_kinesis_spark.operators.partitioning import spread
 from sample_dms_s3_kinesis_spark.operators.text import tokens
 
+# Build sides at or below this row count broadcast; above it the pair
+# join falls back to a salted shuffle join (see _block_pair_join).
+BROADCAST_ROWS = 200_000
+
+
+def _cut_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Eagerly materialize ``df`` and cut its lineage.
+
+    ``localCheckpoint`` stores blocks on executors — fast, but NOT
+    fault-tolerant: at 100 TB a lost executor aborts an iterative job
+    mid-fixpoint.  Pass ``checkpoint_dir`` (HDFS/S3/DBFS path) to use a
+    reliable ``checkpoint()`` instead; default behavior is unchanged.
+    """
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _block_pair_join(
+    a: DataFrame,
+    b: DataFrame,
+    build_rows: int,
+    *,
+    probe_id: str = "id_a",
+    salt: int = 16,
+    broadcast_rows: int = BROADCAST_ROWS,
+) -> DataFrame:
+    """Join two sides of a block-keyed self-pairing on ``_blk``.
+
+    Blocking keys have FEW distinct values (a language, a length
+    bucket), so a plain shuffle join collapses to one task per block.
+    Small build sides broadcast (full probe-side parallelism).  Large
+    ones — e.g. when a pair verifier is run standalone over a whole
+    corpus rather than on LSH candidates — would OOM the driver or
+    executors as a broadcast, so they take a SALTED shuffle join
+    instead: the probe side hashes into ``salt`` buckets, the build
+    side replicates into every bucket, and the join key (_blk, _salt)
+    gives blocks × salt parallel tasks while still producing each pair
+    exactly once."""
+    if build_rows <= broadcast_rows:
+        return a.join(F.broadcast(b), on="_blk")
+    a_s = a.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(probe_id)), F.lit(salt))
+    )
+    b_s = b.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return a_s.join(b_s, on=["_blk", "_salt"]).drop("_salt")
+
 
 # ---------------------------------------------------------------- exact
 
@@ -82,6 +132,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.8,
+    broadcast_rows: int = BROADCAST_ROWS,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over candidate pairs.
 
@@ -91,6 +142,7 @@ def ngram_jaccard_pairs(
     computed with array_intersect/array_union sizes — JVM-side.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
+    build_rows = df.count()
     grams = spread(df).select(
         F.col(id_col).alias("_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("_blk"),
@@ -109,14 +161,12 @@ def ngram_jaccard_pairs(
     size_bound = F.least("_na", "_nb").cast("double") >= (
         F.lit(threshold) * F.greatest("_na", "_nb").cast("double")
     )
-    # Broadcast the build side: the block key has few distinct values
-    # (a language, a length bucket), so a shuffle join would collapse to
-    # one task per block.  Broadcasting keeps the probe side's full
-    # parallelism.  This op is the exact verifier for candidate pairs —
-    # at 100 TB the corpus goes through minhash_lsh_pairs first and only
-    # candidates reach here, so the broadcast side stays bounded.
+    # As the exact verifier behind minhash_lsh_pairs the build side is
+    # a bounded candidate set and broadcasts; run STANDALONE over a
+    # whole corpus it would OOM as a broadcast, so _block_pair_join
+    # size-gates and falls back to a salted shuffle join.
     pairs = (
-        a.join(F.broadcast(b), on="_blk")
+        _block_pair_join(a, b, build_rows, broadcast_rows=broadcast_rows)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(size_bound)
     )
@@ -221,6 +271,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
@@ -243,8 +294,8 @@ def minhash_lsh_pairs(
             "_id",
             _signature_from_hashes(F.col("_gh"), num_hashes=num_hashes).alias("_sig"),
         )
-        .localCheckpoint(eager=True)
     )
+    sig = _cut_lineage(sig, checkpoint_dir)
 
     cand = _band_candidates(sig, bands=bands, rows=rows)
     verified = (
@@ -276,6 +327,7 @@ def lsh_verified_jaccard_pairs(
     num_hashes: int = 63,
     bands: int = 21,
     threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The 100 TB near-dup shape: MinHash-LSH candidate generation, then
     EXACT n-gram Jaccard verification of candidates only.
@@ -304,8 +356,8 @@ def lsh_verified_jaccard_pairs(
             F.size("_g").alias("_n"),
             _signature_from_hashes(F.col("_gh"), num_hashes=num_hashes).alias("_sig"),
         )
-        .localCheckpoint(eager=True)
     )
+    base = _cut_lineage(base, checkpoint_dir)
     cand = _band_candidates(base.select("_id", "_sig"), bands=bands, rows=rows)
     joined = (
         cand.join(
@@ -389,6 +441,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into 4
     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
@@ -402,8 +455,8 @@ def simhash_pairs(
         spread(df)
         .select(F.col(id_col).alias("_id"), _token_hashes(F.col(text_col)).alias("_th"))
         .select("_id", _simhash_from_hashes(F.col("_th")).alias("_sh"))
-        .localCheckpoint(eager=True)
     )
+    sig = _cut_lineage(sig, checkpoint_dir)
     chunks = sig.select(
         "_id",
         "_sh",
@@ -470,6 +523,7 @@ def connected_components(
     id_out: str = "id",
     cluster_out: str = "cluster_id",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pair graph → duplicate clusters.
 
@@ -490,15 +544,17 @@ def connected_components(
     where the ends share nothing).  Every round shrinks edges toward
     (node → component-min) stars, so the shuffled volume is
     non-increasing; each iteration is cut from the lineage with an
-    eager localCheckpoint so round k+1 doesn't recompute round k
-    (on a cluster: ``checkpoint()`` to a reliable store).
+    eager checkpoint so round k+1 doesn't recompute round k.  Pass
+    ``checkpoint_dir`` on a real cluster: ``localCheckpoint`` blocks
+    live on executors and a lost executor aborts the fixpoint loop —
+    a reliable ``checkpoint()`` to HDFS/S3 survives it.
     """
     ids = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
-    edges = (
+    edges = _cut_lineage(
         pairs.select(ids[0].alias("u"), ids[1].alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -543,13 +599,21 @@ def connected_components(
         return (row["n"], row["x"])
 
     prev = None
-    for _ in range(max_iter):
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        fp = fingerprint(edges)
-        if fp == prev:
-            break
-        prev = fp
-    else:
+    converged = False
+    for i in range(max_iter):
+        edges = _cut_lineage(small_star(large_star(edges)), checkpoint_dir)
+        # Fingerprint every SECOND round: the comparison is a driver
+        # action, and at the fixpoint consecutive rounds are identical,
+        # so equality between checks i-2 and i still certifies
+        # convergence — at worst one extra (tiny, already-converged)
+        # round of compute for half the fingerprint jobs.
+        if i % 2 == 1 or i == max_iter - 1:
+            fp = fingerprint(edges)
+            if fp == prev:
+                converged = True
+                break
+            prev = fp
+    if not converged:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
     # At the fixpoint the edge list is exactly (member → component-min).
@@ -569,13 +633,16 @@ def resolve_duplicates(
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Survivor frame: one canonical doc (min id) per near-dup cluster,
     singletons untouched.  The full corpus is never shuffled — only the
     pair-derived drop list (non-canonical members, a small fraction of
     the corpus) moves, and AQE turns the anti-join into a broadcast
     when the drop list is small enough."""
-    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    comp = connected_components(
+        pairs, src_col=src_col, dst_col=dst_col, checkpoint_dir=checkpoint_dir
+    )
     drop = comp.where(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
@@ -591,11 +658,13 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     block_col: str = "label",
     threshold: float = 0.99,
+    broadcast_rows: int = BROADCAST_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key
     (pre-clustered label / IVF cell), (id_a < id_b, cosine ≥ τ).
     The block join bounds pair count; at scale the blocking key comes
     from a coarse quantizer (see similarity.ivf_assign)."""
+    build_rows = df.count()
     base = spread(df).select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
@@ -603,9 +672,11 @@ def embedding_near_dup_pairs(
     )
     a = base.select("_blk", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     b = base.select("_blk", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    # Broadcast build side: few distinct block keys would collapse a
-    # shuffle join to one task per block (see ngram_jaccard_pairs).
-    pairs = a.join(F.broadcast(b), on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    # Size-gated: broadcast a bounded build side, salted shuffle join
+    # beyond it (see _block_pair_join).
+    pairs = _block_pair_join(a, b, build_rows, broadcast_rows=broadcast_rows).filter(
+        F.col("id_a") < F.col("id_b")
+    )
     cos = cosine_similarity(F.col("_va"), F.col("_vb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))

@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the decode kernels are
-STUBBED (deterministic fakes clearly marked below) — but everything
-Spark-side is real and tested: schemas, batch iteration, partition
-sizing, UDF signatures, and the metadata contract.  Swapping a stub for
-Pillow/torchaudio changes one inner function, not the plan.
+The decode kernels are REAL for the formats a no-media-library
+container can parse — binary PPM (P6) images and PCM16 WAV audio are
+decoded, resized/resampled, and featurized in pure numpy.  Other
+formats (JPEG/PNG/MP3/…) raise ``NotImplementedError`` — clearly
+disclosed, and routed to the null-feature error channel exactly like a
+corrupt file.  Swapping in Pillow/torchaudio extends one decoder
+function; the Spark-side plumbing (schemas, batch iteration, partition
+sizing, UDF signatures, metadata contract) is unchanged and tested.
 
 Scale notes: media blobs dominate row size, so
 - keep blobs out of shuffles: derive features first, then join/agg the
@@ -18,8 +21,10 @@ Scale notes: media blobs dominate row size, so
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -51,23 +56,71 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_stub(content: bytes) -> tuple[int, int]:
-    """STUB: real impl would be PIL.Image.open(io.BytesIO(content)).size.
+# ------------------------------------------------------------ image
 
-    Deterministic fake derived from content bytes so tests are stable.
-    Raises for empty content the way a real decoder raises for corrupt
-    files — exercising the error path the plumbing must survive."""
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode an image payload to an (H, W, 3) uint8 array.
+
+    REAL decoder for binary PPM (P6) — pure numpy header + raster
+    parse, no image library needed.  Any other format raises
+    ``NotImplementedError`` (JPEG/PNG need a codec library this
+    container doesn't ship); callers route that to the error channel.
+    """
     if not content:
         raise ValueError("empty media content")
-    h = hashlib.sha256(content).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192
+    if not content.startswith(b"P6"):
+        raise NotImplementedError(
+            "only binary PPM (P6) decode is implemented in-container"
+        )
+    # Header: "P6" <ws> width <ws> height <ws> maxval <1 ws byte> raster,
+    # with optional '#' comment lines inside the whitespace.
+    fields: list[int] = []
+    idx = 2
+    while len(fields) < 3:
+        while idx < len(content) and content[idx : idx + 1].isspace():
+            idx += 1
+        if content[idx : idx + 1] == b"#":
+            while idx < len(content) and content[idx] != 0x0A:
+                idx += 1
+            continue
+        start = idx
+        while idx < len(content) and not content[idx : idx + 1].isspace():
+            idx += 1
+        fields.append(int(content[start:idx]))
+    idx += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    if len(content) - idx < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=idx)
+    return raster.reshape(h, w, 3)
 
 
-def _feature_stub(content: bytes, dim: int = 8) -> list[float]:
-    """STUB: real impl = vision encoder forward pass. Deterministic
-    hash-derived pseudo-embedding with the correct shape/dtype."""
-    h = hashlib.sha256(content).digest()
-    return [round(b / 255.0, 6) for b in h[:dim]]
+def resize_image(img: np.ndarray, target: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize preserving aspect ratio, never upscaling
+    — real index-arithmetic resize, no image library."""
+    tw, th = target
+    h, w = img.shape[:2]
+    scale = min(tw / w, th / h, 1.0)
+    nw, nh = max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
+    ys = (np.arange(nh) * (h / nh)).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(nw) * (w / nw)).astype(np.int64).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def image_feature(img: np.ndarray) -> list[float]:
+    """8-dim statistical image descriptor: per-channel mean and std
+    (scaled to [0,1]), mean luma, aspect ratio.  A real (if simple)
+    feature — deterministic, content-derived, shape-stable where a
+    vision encoder would plug in."""
+    x = img.astype(np.float64) / 255.0
+    means = x.mean(axis=(0, 1))
+    stds = x.std(axis=(0, 1))
+    luma = float(0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2])
+    aspect = float(img.shape[1] / img.shape[0])
+    vals = [*means.tolist(), *stds.tolist(), luma, aspect]
+    return [round(float(v), 6) for v in vals]
 
 
 def extract_image_features(
@@ -78,10 +131,9 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode + resize + featurize image assets with mapInPandas.
 
-    ``on_error='null'`` keeps corrupt rows (feature columns null) so the
-    pipeline can route them to an exceptions channel instead of failing
-    the job — same philosophy as the CDC try_cast path."""
-    tw, th = target_size
+    ``on_error='null'`` keeps undecodable rows (feature columns null) so
+    the pipeline can route them to an exceptions channel instead of
+    failing the job — same philosophy as the CDC try_cast path."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -97,12 +149,13 @@ def extract_image_features(
                 out["asset_id"].append(asset_id)
                 try:
                     blob = bytes(content) if content is not None else b""
-                    w, h = _decode_image_stub(blob)
+                    img = decode_image(blob)
+                    resized = resize_image(img, target_size)
                     out["content_sha256"].append(hashlib.sha256(blob).hexdigest())
                     out["n_bytes"].append(len(blob))
-                    out["resized_width"].append(min(w, tw))
-                    out["resized_height"].append(min(h, th))
-                    out["feature"].append(_feature_stub(blob))
+                    out["resized_width"].append(int(resized.shape[1]))
+                    out["resized_height"].append(int(resized.shape[0]))
+                    out["feature"].append(image_feature(resized))
                 except Exception:
                     if on_error != "null":
                         raise
@@ -121,8 +174,9 @@ def extract_image_features(
 def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per (asset, frame_ts)
     — the Spark-side fan-out is real (sequence+explode, no Python); the
-    per-frame decode would plug into extract_image_features.  Raises
-    NotImplementedError only in the decode kernel, not the plan."""
+    per-frame decode would plug into extract_image_features.  Video
+    container demuxing stays NotImplementedError territory in this
+    environment."""
     return (
         df.filter(F.col("media_type") == "video")
         .select(
@@ -138,25 +192,62 @@ def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synthetic_assets(spark, n: int = 16) -> DataFrame:
-    """Deterministic fake asset table for tests (binary payloads derived
-    from the id)."""
-    rows = []
-    for i in range(n):
-        content = hashlib.sha256(str(i).encode()).digest() * 4
-        media = ["image", "audio", "video"][i % 3]
-        rows.append(
-            (
-                i,
-                media,
-                bytearray(content if i % 5 != 0 or i == 0 else b""),
-                None,
-                None,
-                16000 if media == "audio" else None,
-                3000 if media == "video" else None,
-            )
+# ------------------------------------------------------------ audio
+
+def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM16 WAV payload → (sample_rate, mono float64 samples
+    in [-1, 1]).  REAL RIFF chunk walk in pure struct/numpy; non-WAV or
+    non-PCM16 payloads raise ``NotImplementedError``."""
+    if not content:
+        raise ValueError("empty media content")
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM16 WAV decode is implemented in-container"
         )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    idx = 12
+    rate = None
+    channels = None
+    bits = None
+    data = None
+    while idx + 8 <= len(content):
+        tag = content[idx : idx + 4]
+        (size,) = struct.unpack_from("<I", content, idx + 4)
+        body = content[idx + 8 : idx + 8 + size]
+        if tag == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV is supported")
+        elif tag == b"data":
+            data = body
+        idx += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if channels and channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return int(rate), samples
+
+
+def resample_linear(samples: np.ndarray, rate: int, target_rate: int) -> np.ndarray:
+    """Linear-interpolation resample — real arithmetic, no DSP library.
+    (Production would band-limit first; for feature extraction over
+    speech/tones the linear kernel is adequate.)"""
+    if rate == target_rate or len(samples) == 0:
+        return samples
+    n_out = max(int(round(len(samples) * target_rate / rate)), 1)
+    x_out = np.linspace(0.0, len(samples) - 1, n_out)
+    return np.interp(x_out, np.arange(len(samples)), samples)
+
+
+def audio_feature(samples: np.ndarray, segments: int = 8) -> list[float]:
+    """8-dim per-segment RMS energy profile — a real windowed energy
+    feature where a speech encoder would plug in."""
+    if len(samples) == 0:
+        return [0.0] * segments
+    parts = np.array_split(samples, segments)
+    return [round(float(np.sqrt(np.mean(p**2)) if len(p) else 0.0), 6) for p in parts]
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -177,10 +268,12 @@ def extract_audio_features(
     window_ms: int = 25,
     on_error: str = "null",
 ) -> DataFrame:
-    """Resample + windowed featurization for audio assets via
-    mapInPandas.  The decode/resample kernel is a STUB (real impl:
-    torchaudio/librosa load + resample); the batch plumbing, window
-    count arithmetic, and error channel are real."""
+    """Decode + resample + windowed featurization for audio assets via
+    mapInPandas.  PCM16 WAV decodes for real (RIFF walk + linear-interp
+    resample); other codecs raise NotImplementedError into the error
+    channel.  ``n_windows`` counts actual ``window_ms`` windows of the
+    resampled signal."""
+    win = max(int(target_rate * window_ms / 1000), 1)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -191,22 +284,16 @@ def extract_audio_features(
                 "n_windows": [],
                 "feature": [],
             }
-            for asset_id, content, rate, dur in zip(
-                pdf["asset_id"], pdf["content"], pdf["sample_rate"], pdf["duration_ms"]
-            ):
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 out["asset_id"].append(asset_id)
                 try:
                     blob = bytes(content) if content is not None else b""
-                    if not blob:
-                        raise ValueError("empty media content")
-                    # STUB decode: duration from metadata when present,
-                    # else proportional to payload size.
-                    duration_ms = int(dur) if dur is not None and not pd.isna(dur) else len(blob)
-                    n_windows = max(duration_ms // window_ms, 1)
+                    rate, samples = decode_wav(blob)
+                    resampled = resample_linear(samples, rate, target_rate)
                     out["n_bytes"].append(len(blob))
                     out["resampled_rate"].append(target_rate)
-                    out["n_windows"].append(int(n_windows))
-                    out["feature"].append(_feature_stub(blob))
+                    out["n_windows"].append(max(len(resampled) // win, 1))
+                    out["feature"].append(audio_feature(resampled))
                 except Exception:
                     if on_error != "null":
                         raise
@@ -216,6 +303,60 @@ def extract_audio_features(
                     out["feature"].append(None)
             yield pd.DataFrame(out)
 
-    return df.select("asset_id", "content", "sample_rate", "duration_ms").mapInPandas(
+    return df.select("asset_id", "content").mapInPandas(
         batches, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+# ------------------------------------------------- synthetic fixtures
+
+def _ppm_bytes(i: int, w: int = 48, h: int = 36) -> bytes:
+    """Deterministic real P6 PPM payload (gradient keyed by id)."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 31 + i * 13) % 256
+    g = (y * 17 + i * 7) % 256
+    b = (x + y + i * 3) % 256
+    img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _wav_bytes(i: int, rate: int = 8_000, ms: int = 200) -> bytes:
+    """Deterministic real PCM16 mono WAV payload (sine keyed by id)."""
+    n = rate * ms // 1000
+    t = np.arange(n, dtype=np.float64) / rate
+    freq = 220.0 + 7.0 * i
+    pcm = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    return hdr + fmt + data
+
+
+def synthetic_assets(spark, n: int = 16) -> DataFrame:
+    """Deterministic asset table: REAL P6 payloads for images, REAL
+    PCM16 WAV payloads for audio, opaque bytes for video (no demuxer
+    in-container).  Every 5th id (except 0) has empty content to
+    exercise the corrupt-row channel."""
+    rows = []
+    for i in range(n):
+        media = ["image", "audio", "video"][i % 3]
+        if i % 5 == 0 and i != 0:
+            content = b""
+        elif media == "image":
+            content = _ppm_bytes(i)
+        elif media == "audio":
+            content = _wav_bytes(i)
+        else:
+            content = hashlib.sha256(str(i).encode()).digest() * 4
+        rows.append(
+            (
+                i,
+                media,
+                bytearray(content),
+                48 if media == "image" and content else None,
+                36 if media == "image" and content else None,
+                8_000 if media == "audio" else None,
+                3_000 if media == "video" else None,
+            )
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

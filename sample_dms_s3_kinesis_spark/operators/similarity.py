@@ -56,19 +56,26 @@ def _deterministic_centroids(df: DataFrame, *, vec_col: str, id_col: str, cells:
     """Pick ``cells`` deterministic seed vectors as centroids (ids with
     the smallest xxhash64 — a reproducible pseudo-random sample).  A
     real deployment would k-means these; the operator contract (assign →
-    probe) is identical."""
-    return (
+    probe) is identical.
+
+    Seed selection is ``orderBy(hash).limit(cells)``, which Catalyst
+    plans as TakeOrderedAndProject: every partition keeps its local
+    top-``cells`` and a tiny merge finishes — the corpus is never pulled
+    through a single-task global sort (a ``row_number`` window with no
+    partitionBy would be exactly that, the classic 100×-scale killer).
+    Only the ≤``cells``-row seed frame sees a windowed renumber."""
+    seeds = (
         df.select(
             F.col(id_col).alias("cell_id"),
             F.col(vec_col).cast("array<double>").alias("centroid"),
-            F.row_number().over(
-                Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-            ).alias("_rk"),
         )
-        .filter(F.col("_rk") <= cells)
-        .drop("_rk")
-        .withColumn("cell", F.row_number().over(Window.orderBy("cell_id")) - 1)
-        .select("cell", "centroid")
+        .orderBy(F.xxhash64(F.col("cell_id")), F.col("cell_id"))
+        .limit(cells)
+    )
+    return (
+        seeds.withColumn(
+            "cell", F.row_number().over(Window.orderBy("cell_id")) - 1
+        ).select("cell", "centroid")
     )
 
 

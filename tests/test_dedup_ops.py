@@ -241,3 +241,53 @@ def test_resolve_duplicates_keeps_canonical_and_singletons(spark):
     surv = sorted(r["doc_id"] for r in dedup.resolve_duplicates(df, pairs).collect())
     dropped = {2, 3, 4, 5, 11, 12, 21}
     assert surv == sorted(set(range(25)) - dropped)
+
+
+def test_salted_pair_join_equals_broadcast_path(spark):
+    """The size-gated salted shuffle join must produce exactly the same
+    pairs as the broadcast path (broadcast_rows=0 forces the salted
+    branch)."""
+    docs = _docs(spark)
+    kw = dict(block_col="lang", n=3, threshold=0.15)
+    bc = dedup.ngram_jaccard_pairs(docs, **kw).collect()
+    salted = dedup.ngram_jaccard_pairs(docs, broadcast_rows=0, **kw).collect()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, bc)) == sorted(map(key, salted))
+    assert {key(r): r["jaccard"] for r in bc} == {
+        key(r): r["jaccard"] for r in salted
+    }
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bc_e = dedup.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    salted_e = dedup.embedding_near_dup_pairs(
+        emb, threshold=0.4, broadcast_rows=0
+    ).collect()
+    assert sorted(map(key, bc_e)) == sorted(map(key, salted_e))
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches the fixpoint loop to reliable
+    checkpoint(); results identical and checkpoint files land there."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    plain = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    ckpt = str(tmp_path / "cc-ckpt")
+    reliable = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert plain == reliable == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+    # reliable checkpoint files actually landed under the given dir
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no checkpoint files written to checkpoint_dir"

@@ -1,30 +1,73 @@
-"""Multimodal plumbing: mapInPandas schemas, error channels, and the
-frame-sampling fan-out are real; decode kernels are deterministic stubs
-(the container ships no media libraries)."""
+"""Multimodal pipeline: the PPM/WAV decode kernels are REAL (pure
+numpy), the mapInPandas plumbing and error channels are exercised
+end-to-end, and unsupported codecs route to the null-feature channel.
+"""
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators import multimodal as M
 
 
+def test_ppm_decode_resize_roundtrip():
+    raw = M._ppm_bytes(3, w=48, h=36)
+    img = M.decode_image(raw)
+    assert img.shape == (36, 48, 3)
+    # decode is exact: regenerate the gradient and compare
+    y, x = np.mgrid[0:36, 0:48]
+    assert (img[..., 0] == (x * 31 + 3 * 13) % 256).all()
+    small = M.resize_image(img, (24, 24))
+    # aspect preserved, never upscaled: 48x36 -> 24x18
+    assert (small.shape[1], small.shape[0]) == (24, 18)
+    big = M.resize_image(img, (1000, 1000))
+    assert big.shape == img.shape  # no upscale
+
+
+def test_wav_decode_and_resample():
+    raw = M._wav_bytes(1, rate=8_000, ms=200)
+    rate, samples = M.decode_wav(raw)
+    assert rate == 8_000 and len(samples) == 1_600
+    assert float(np.abs(samples).max()) <= 0.5 + 1e-6
+    res = M.resample_linear(samples, rate, 16_000)
+    assert abs(len(res) - 3_200) <= 1
+    # energy is preserved through linear resampling of a sine
+    assert abs(np.sqrt((res**2).mean()) - np.sqrt((samples**2).mean())) < 0.01
+
+
 def test_image_features_schema_and_error_channel(spark):
-    assets = M.synthetic_assets(spark, n=16)
+    assets = M.synthetic_assets(spark, n=16).filter(
+        F.col("media_type") == "image"
+    )
     feats = M.extract_image_features(assets)
     assert feats.schema == M.IMAGE_FEATURES_SCHEMA
     rows = {r["asset_id"]: r for r in feats.collect()}
-    assert len(rows) == 16
-    # ids 5 and 10 and 15 have empty payloads -> corrupt-row channel
+    # image ids are 0,3,6,9,12,15; id 15 has empty content -> corrupt
+    assert set(rows) == {0, 3, 6, 9, 12, 15}
     corrupt = {i for i, r in rows.items() if r["content_sha256"] is None}
-    assert corrupt == {5, 10, 15}
-    ok = rows[1]
-    assert ok["n_bytes"] == 128 and len(ok["feature"]) == 8
-    assert 64 <= ok["resized_width"] <= 224
+    assert corrupt == {15}
+    ok = rows[3]
+    assert ok["n_bytes"] == len(M._ppm_bytes(3))
+    assert len(ok["feature"]) == 8
+    # 48x36 source is below the 224 target: no upscale
+    assert (ok["resized_width"], ok["resized_height"]) == (48, 36)
+
+
+def test_unsupported_codec_routes_to_error_channel(spark):
+    """WAV bytes through the image extractor = unsupported codec ->
+    null features, job survives (NotImplementedError is disclosed)."""
+    assets = M.synthetic_assets(spark, n=16).filter(
+        F.col("media_type") == "audio"
+    )
+    rows = M.extract_image_features(assets).collect()
+    assert rows and all(r["content_sha256"] is None for r in rows)
 
 
 def test_image_features_deterministic(spark):
-    assets = M.synthetic_assets(spark, n=8)
-    a = {r["asset_id"]: r["content_sha256"] for r in M.extract_image_features(assets).collect()}
-    b = {r["asset_id"]: r["content_sha256"] for r in M.extract_image_features(assets).collect()}
+    assets = M.synthetic_assets(spark, n=9).filter(
+        F.col("media_type") == "image"
+    )
+    a = {r["asset_id"]: r["feature"] for r in M.extract_image_features(assets).collect()}
+    b = {r["asset_id"]: r["feature"] for r in M.extract_image_features(assets).collect()}
     assert a == b
 
 
@@ -32,9 +75,17 @@ def test_audio_features(spark):
     assets = M.synthetic_assets(spark, n=16)
     audio = M.extract_audio_features(assets.filter(F.col("media_type") == "audio"))
     rows = {r["asset_id"]: r for r in audio.collect()}
-    assert all(r["resampled_rate"] == 16_000 for r in rows.values() if r["n_bytes"])
-    good = [r for r in rows.values() if r["n_bytes"] is not None]
-    assert good and all(r["n_windows"] >= 1 and len(r["feature"]) == 8 for r in good)
+    # audio ids are 1,4,7,10,13; id 10 has empty content -> corrupt
+    assert set(rows) == {1, 4, 7, 10, 13}
+    assert rows[10]["feature"] is None
+    good = [r for i, r in rows.items() if i != 10]
+    assert all(r["resampled_rate"] == 16_000 for r in good)
+    # 200 ms at 16 kHz / 25 ms windows = 8 real windows
+    assert all(r["n_windows"] == 8 for r in good)
+    assert all(len(r["feature"]) == 8 for r in good)
+    # a constant-amplitude sine has flat per-segment RMS ~ 0.5/sqrt(2)
+    f = good[0]["feature"]
+    assert all(abs(v - 0.3535) < 0.02 for v in f)
 
 
 def test_frame_sample_plan_fanout(spark):

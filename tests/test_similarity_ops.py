@@ -73,15 +73,15 @@ def test_lsh_topk_sound(spark):
 def test_multimodal_plumbing(spark):
     from sample_dms_s3_kinesis_spark.operators import multimodal
 
-    assets = multimodal.synthetic_assets(spark, n=16)
+    assets = multimodal.synthetic_assets(spark, n=16).filter(
+        F.col("media_type") == "image"
+    )
     feats = multimodal.extract_image_features(assets).collect()
-    assert len(feats) == 16
     by_id = {r["asset_id"]: r for r in feats}
-    # corrupt (empty) payloads → null features, job survives
-    corrupt = [i for i in range(16) if i % 5 == 0 and i != 0]
-    for i in corrupt:
-        assert by_id[i]["content_sha256"] is None
-    ok = [i for i in range(16) if i not in corrupt]
+    assert set(by_id) == {0, 3, 6, 9, 12, 15}
+    # corrupt (empty) payload → null features, job survives
+    assert by_id[15]["content_sha256"] is None
+    ok = [i for i in by_id if i != 15]
     for i in ok:
         assert by_id[i]["content_sha256"] is not None
         assert len(by_id[i]["feature"]) == 8
@@ -151,3 +151,22 @@ def test_l2_normalize_and_centroids_match_numpy(spark):
     for lbl in (0, 1, 2):
         vecs = np.array([v for _i, v, l in rows if l == lbl])
         assert np.allclose(cents[lbl], vecs.mean(axis=0).round(6), atol=1e-6)
+
+
+def test_centroid_seed_selection_avoids_global_sort(spark):
+    """Seed selection must plan as TakeOrderedAndProject (per-partition
+    top-k + merge), never a single-partition global-sort window over
+    the corpus."""
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        _deterministic_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = _deterministic_centroids(
+        emb, vec_col="embedding", id_col="vec_id", cells=16
+    )
+    plan = cent._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = cent.collect()
+    assert len(rows) == 16
+    assert sorted(r["cell"] for r in rows) == list(range(16))
