@@ -276,33 +276,50 @@ class ParquetTargetStore:
     # events.  The mark lives next to _VERSIONS.json so state and seq
     # recover from the same root.
 
-    def _seq_file(self) -> str:
-        return f"{self.root}/_SEQ.json"
-
-    def load_seq(self, task_id: str) -> int:
+    def _sidecar_load(self, path: str) -> dict:
         import json
 
         try:
-            with open(self._seq_file()) as f:
-                return int(json.load(f).get(task_id, 0))
+            with open(path) as f:
+                return json.load(f)
         except (OSError, ValueError):
-            return 0
+            return {}
 
-    def save_seq(self, task_id: str, value: int) -> None:
+    def _sidecar_save(self, path: str, data: dict) -> None:
         import json
         import os
 
         os.makedirs(self.root, exist_ok=True)
-        try:
-            with open(self._seq_file()) as f:
-                marks = json.load(f)
-        except (OSError, ValueError):
-            marks = {}
-        marks[task_id] = int(value)
-        tmp = self._seq_file() + ".tmp"
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(marks, f)
-        os.replace(tmp, self._seq_file())
+            json.dump(data, f)
+        os.replace(tmp, path)
+
+    def _seq_file(self) -> str:
+        return f"{self.root}/_SEQ.json"
+
+    def load_seq(self, task_id: str) -> int:
+        return int(self._sidecar_load(self._seq_file()).get(task_id, 0))
+
+    def save_seq(self, task_id: str, value: int) -> None:
+        marks = self._sidecar_load(self._seq_file())
+        marks[task_id] = int(value)
+        self._sidecar_save(self._seq_file(), marks)
+
+    # -- replication statistics ---------------------------------------
+    # describe_table_statistics must survive restarts like the seq mark
+    # (a resumed task reports cumulative counters, not batch-local ones).
+
+    def _stats_file(self) -> str:
+        return f"{self.root}/_STATS.json"
+
+    def load_stats(self, task_id: str) -> dict:
+        return self._sidecar_load(self._stats_file()).get(task_id, {})
+
+    def save_stats(self, task_id: str, data: dict) -> None:
+        all_stats = self._sidecar_load(self._stats_file())
+        all_stats[task_id] = data
+        self._sidecar_save(self._stats_file(), all_stats)
 
 
 def scd2_history(

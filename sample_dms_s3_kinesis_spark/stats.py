@@ -117,6 +117,25 @@ class StatsAccumulator:
         c.applied_updates += row.get("applied_updates", row.get("updates", 0)) or 0
         c.applied_deletes += row.get("applied_deletes", row.get("deletes", 0)) or 0
 
+    # -- persistence ---------------------------------------------------
+    # DMS's describe_table_statistics survives instance restarts; the
+    # accumulator serializes to a plain mapping so CdcTask can persist
+    # it next to the target store and reload on construction.
+
+    def to_mapping(self) -> dict[str, dict[str, int]]:
+        return {
+            f"{schema}.{table}": vars(c).copy()
+            for (schema, table), c in self._stats.items()
+        }
+
+    @classmethod
+    def from_mapping(cls, data: dict[str, dict[str, int]]) -> "StatsAccumulator":
+        acc = cls()
+        for key, fields in data.items():
+            schema, _, table = key.partition(".")
+            acc._stats[(schema, table)] = _Counters(**fields)
+        return acc
+
     def to_dataframe(self, spark: SparkSession) -> DataFrame:
         rows = [
             (

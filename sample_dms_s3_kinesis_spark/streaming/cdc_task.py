@@ -87,6 +87,11 @@ class CdcTask(ReplicationTask):
         # a restarted task must continue the sequence, not restart at 0
         # (duplicate seqs would break downstream idempotent dedup).
         self._seq_offset = store.load_seq(identifier)
+        # Likewise table statistics: describe_table_statistics reports
+        # cumulative counters across restarts, not batch-local ones.
+        from sample_dms_s3_kinesis_spark.stats import StatsAccumulator
+
+        self.stats = StatsAccumulator.from_mapping(store.load_stats(identifier))
 
     # -- lifecycle -----------------------------------------------------
 
@@ -154,6 +159,7 @@ class CdcTask(ReplicationTask):
         self.stats.add_events(controls)
         self._seq_offset += controls.count()
         self.store.save_seq(self.identifier, self._seq_offset)
+        self.store.save_stats(self.identifier, self.stats.to_mapping())
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if len(batch_df.take(1)) == 0:
@@ -238,6 +244,7 @@ class CdcTask(ReplicationTask):
             self.stats.add_events(events)
             self._seq_offset += events.count()
             self.store.save_seq(self.identifier, self._seq_offset)
+        self.store.save_stats(self.identifier, self.stats.to_mapping())
         # Release per-table fold caches only after the exceptions union
         # and event emission above have materialized every consumer —
         # a streaming task would otherwise accumulate one cached frame

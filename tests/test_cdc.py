@@ -234,3 +234,34 @@ def test_cdc_seq_resumes_after_restart(spark, catalog, cdc_dir, tmp_path):
     # No seq reuse across the restart.
     assert min(seqs2) > max(seqs1)
     assert not (set(seqs1) & set(seqs2))
+
+
+def test_cdc_stats_cumulative_across_restart(spark, catalog, cdc_dir, tmp_path):
+    """describe_table_statistics reports CUMULATIVE counters: a task
+    resumed over the same store root continues the counts instead of
+    restarting from zero."""
+    import os
+
+    task1, _, store = _task(spark, catalog, cdc_dir, tmp_path)
+    write_cdc_file(cdc_dir, 1, CDC_FILE_1)
+    task1.process_available()
+    s1 = {
+        (r["SchemaName"], r["TableName"]): r
+        for r in task1.table_statistics(spark).collect()
+    }
+    # file 1: employee insert+2 updates+delete
+    emp1 = s1[("hr", "employee")]
+    assert (emp1["Inserts"], emp1["Updates"], emp1["Deletes"]) == (1, 2, 1)
+
+    os.remove(os.path.join(cdc_dir, "cdc0000000001.csv"))
+    task2, _, _ = _task(spark, catalog, cdc_dir, tmp_path)  # same store root
+    write_cdc_file(cdc_dir, 2, CDC_FILE_2)
+    task2.process_available()
+    s2 = {
+        (r["SchemaName"], r["TableName"]): r
+        for r in task2.table_statistics(spark).collect()
+    }
+    emp2 = s2[("hr", "employee")]
+    # file 2 adds 1 insert + 1 update + 1 delete on employee — counters
+    # continue from file 1's totals.
+    assert (emp2["Inserts"], emp2["Updates"], emp2["Deletes"]) == (2, 3, 2)

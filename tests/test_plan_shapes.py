@@ -1,0 +1,66 @@
+"""Physical-plan shape assertions: the scale contract is that filters
+and projections reach the parquet scan, small dims broadcast, top-k
+plans as TakeOrderedAndProject, and no Python evaluation appears in
+JVM-only pipelines.  These guard against plan regressions that tests
+on 60k rows would never notice but a 100 TB cluster would."""
+
+from sample_dms_s3_kinesis_spark.plans.registry import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, *, execute: bool = False) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    if execute:
+        # AQE finalizes the physical plan (and annotates WholeStage-
+        # Codegen spans with ``*(n)``) only after execution.
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q06_filters_and_projection_reach_the_scan(spark):
+    plan = _plan(spark, "q06_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # the shipdate range predicate is pushed into the parquet scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # column pruning: the scan reads only the needed columns, never
+    # the whole 16-column lineitem row
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q01_stays_in_wholestage_codegen_without_python(spark):
+    plan = _plan(spark, "q01_pricing_summary", execute=True)
+    # ``*(n)`` marks a WholeStageCodegen span; partial_sum marks the
+    # map-side combine before the shuffle.
+    assert "*(" in plan
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partition_key_join_broadcasts_the_dims(spark):
+    plan = _plan(spark, "q_partition_key")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_top_orders_plans_as_take_ordered(spark):
+    plan = _plan(spark, "q_top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_curation_pipeline_is_jvm_only(spark):
+    plan = _plan(spark, "q_curation_pipeline", execute=True)
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_md5_shuffles_digests_not_bodies(spark):
+    plan = _plan(spark, "q_dedup_md5_documents")
+    # the shuffle is keyed on the digest, and its input is the partial
+    # aggregate over (digest, id) — the text column is projected into
+    # md5() BELOW the exchange, so bodies never move
+    assert "hashpartitioning(content_hash" in plan
+    between_exchange_and_project = plan.split("Exchange")[1].split("Project")[0]
+    assert "partial_min" in between_exchange_and_project
+    assert "text#" not in between_exchange_and_project
