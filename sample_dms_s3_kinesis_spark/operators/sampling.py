@@ -135,6 +135,61 @@ def stratified_sample(
     return df.filter(h < bound)
 
 
+def mixture_fractions(
+    counts: Mapping[str, int], target_shares: Mapping[str, float]
+) -> dict[str, float]:
+    """Max-retention keep fractions that rebalance domain counts to the
+    target mixture: budget B = min_d(count_d / share_d) rows total, so
+    frac_d = B * share_d / count_d and the scarcest domain (relative to
+    its target share) is kept in full.  Domains absent from
+    ``target_shares`` get fraction 0 (dropped).
+
+    All arithmetic is double-precision in a fixed operation order so an
+    engine computing the same expression (the DuckDB oracle) derives
+    bit-identical fractions and therefore identical hash thresholds.
+    """
+    present = {d: float(n) for d, n in counts.items() if d in target_shares and n > 0}
+    if not present:
+        return {d: 0.0 for d in counts}
+    budget = min(n / target_shares[d] for d, n in present.items())
+    return {
+        d: (min(budget * target_shares[d] / n, 1.0) if d in present else 0.0)
+        for d, n in ((d, float(n)) for d, n in counts.items())
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    target_shares: Mapping[str, float],
+    id_col: str,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministically downsample so the surviving corpus matches the
+    target domain mixture (e.g. language or source rebalancing for a
+    training run) while retaining the maximum possible data.
+
+    Two-step plan: a tiny per-domain count aggregate (collect of
+    #domains rows — driver traffic is O(domains) at any corpus size)
+    derives the per-domain keep fractions, then ONE narrow stratified
+    hash filter applies them — no shuffle of the corpus, reproducible
+    under re-runs/repartitioning/appends like every sampler here."""
+    counts = {
+        r[domain_col]: r["n"]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    fractions = mixture_fractions(counts, target_shares)
+    return stratified_sample(
+        df,
+        strata_col=domain_col,
+        fractions=fractions,
+        id_col=id_col,
+        seed=seed,
+        default_fraction=0.0,
+    )
+
+
 def group_sample_topk(
     df: DataFrame,
     *,

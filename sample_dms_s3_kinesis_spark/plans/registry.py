@@ -1183,7 +1183,9 @@ DRIVER_WINDOW: list[str] = [
     "q_salted_join_agg",        # skew: salted join
     "q_two_phase_distinct",     # skew: two-phase distinct
     "q_scd2_history",           # O24 extension: type-2 history
-    "q_hash_split",             # sampling: deterministic split
+    "q_mixture_sample",         # sampling: mixture rebalance (q_hash_split's
+                                # split semantics stay driver-visible through
+                                # q_curation_pipeline's oracle)
     "q_dedup_md5_documents",    # dedup: exact hash
     "q_minhash_lsh_pairs",      # dedup: MinHash LSH
     "q_lsh_jaccard_verified",   # dedup: LSH → exact verify

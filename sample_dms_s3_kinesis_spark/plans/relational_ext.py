@@ -1503,6 +1503,45 @@ def q_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id")
 
 
+@_register(
+    "q_mixture_sample",
+    """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+               FROM documents GROUP BY lang),
+    t(lang, share) AS (VALUES ('en', 0.4), ('de', 0.3), ('zh', 0.3)),
+    j AS (SELECT c.lang, c.n, t.share FROM c JOIN t USING (lang)),
+    b AS (SELECT MIN(n / share) AS budget FROM j),
+    f AS (SELECT lang,
+                 LEAST(budget * share / n, 1.0) AS frac
+          FROM j CROSS JOIN b),
+    thr AS (SELECT lang,
+                   CASE WHEN frac >= 1.0 THEN 'g'
+                        ELSE printf('%08x', CAST(FLOOR(frac * 4294967296.0) AS BIGINT))
+                   END AS bound
+            FROM f),
+    kept AS (SELECT d.lang
+             FROM documents d JOIN thr ON d.lang = thr.lang
+             WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':11'), 1, 8) < thr.bound)
+    SELECT lang, COUNT(*) AS n_docs FROM kept GROUP BY lang
+    """,
+    "mixture sampling: deterministically rebalance the corpus to a "
+    "target domain mixture with maximum retention (the scarcest domain "
+    "keeps everything; budget arithmetic is op-order-identical on both "
+    "engines so the hash thresholds match bit-for-bit)",
+    "sampling: mixture rebalance (north-star)",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        d,
+        domain_col="lang",
+        target_shares={"en": 0.4, "de": 0.3, "zh": 0.3},
+        id_col="doc_id",
+        seed=11,
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # ------------------------------------------------------------------
 # Text repetition / normalization surface (quality filtering ops).
 # ------------------------------------------------------------------

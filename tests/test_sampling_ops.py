@@ -114,3 +114,46 @@ def test_hash_bucket_matches_python_hashlib(spark):
     for (i,) in rows:
         expected = hashlib.md5(f"{i}:17".encode()).hexdigest()[:8]
         assert got[i] == expected
+
+
+def test_mixture_sample_rebalances_to_target_shares(spark):
+    from sample_dms_s3_kinesis_spark.operators import sampling
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    shares = {"en": 0.4, "de": 0.3, "zh": 0.3}
+    out = sampling.mixture_sample(
+        d, domain_col="lang", target_shares=shares, id_col="doc_id", seed=11
+    )
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # dropped domains are absent
+    assert set(got) <= set(shares)
+    total = sum(got.values())
+    # realized mixture approximates the target (hash sampling is
+    # binomial around frac*n)
+    for lang, share in shares.items():
+        assert abs(got[lang] / total - share) < 0.08, (lang, got)
+    # max retention: the limiting domain keeps ALL its rows
+    counts = {r["lang"]: r["n"] for r in
+              d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    limiting = min(shares, key=lambda l: counts[l] / shares[l])
+    assert got[limiting] == counts[limiting]
+
+
+def test_mixture_fractions_properties():
+    from sample_dms_s3_kinesis_spark.operators.sampling import mixture_fractions
+
+    counts = {"en": 1000, "de": 100, "zh": 500, "fr": 50}
+    shares = {"en": 0.4, "de": 0.3, "zh": 0.3}
+    f = mixture_fractions(counts, shares)
+    # de is scarcest relative to its share -> kept in full
+    assert f["de"] == 1.0
+    # unlisted domains dropped
+    assert f["fr"] == 0.0
+    # all fractions valid
+    assert all(0.0 <= v <= 1.0 for v in f.values())
+    # resulting mixture matches target: kept_d = frac_d * count_d
+    kept = {d: f[d] * counts[d] for d in shares}
+    total = sum(kept.values())
+    for d, s in shares.items():
+        assert abs(kept[d] / total - s) < 1e-9
