@@ -190,6 +190,51 @@ def mixture_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    budget: int,
+    id_col: str,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Keep documents in deterministic hash order until the cumulative
+    ``weight_col`` (token/char count) reaches ``budget`` — "give me N
+    tokens of this corpus, reproducibly".
+
+    Scale shape: a naive global running sum would be a single-partition
+    window over the whole corpus.  Instead the hash's first two nibbles
+    form 256 buckets whose order is compatible with the full hash order
+    (prefix property), so the plan is: per-bucket weight sums (one tiny
+    aggregate, ≤256 rows to the driver) → driver-side exclusive prefix
+    offsets → broadcast join → per-bucket window cumsum + offset.  256
+    parallel window partitions instead of one; identical result to the
+    global cumsum.
+    """
+    h = hash_bucket(F.col(id_col), seed)
+    base = df.withColumn("_h", h).withColumn("_b", F.substring(F.col("_h"), 1, 2))
+    per_bucket = (
+        base.groupBy("_b").agg(F.sum(weight_col).alias("_w")).collect()
+    )
+    offsets = []
+    acc = 0
+    for r in sorted(per_bucket, key=lambda r: r["_b"]):
+        offsets.append((r["_b"], acc))
+        acc += r["_w"] or 0
+    off_df = df.sparkSession.createDataFrame(offsets, "_b string, _off long")
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(off_df), "_b")
+        .withColumn("_cum", F.sum(weight_col).over(w) + F.col("_off"))
+        .filter(F.col("_cum") <= F.lit(budget))
+        .drop("_b", "_h", "_off", "_cum")
+    )
+
+
 def group_sample_topk(
     df: DataFrame,
     *,

@@ -1542,6 +1542,73 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+@_register(
+    "q_token_budget_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 8),
+                        doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM r WHERE cum <= 50000 GROUP BY lang
+    """,
+    "token-budget sampling: keep documents in deterministic hash order "
+    "until the cumulative weight reaches the budget ('give me N tokens "
+    "of this corpus, reproducibly'); two-phase bucketed cumsum plan — "
+    "the oracle's single global window is the semantic spec, the Spark "
+    "plan runs 256 parallel prefix-bucket windows",
+    "sampling: token budget (north-star)",
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    out = sampling.token_budget_sample(
+        d, weight_col="n_chars", budget=50_000, id_col="doc_id", seed=5
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@_register(
+    "q_sliding_window_events",
+    """
+    WITH x AS (
+      SELECT event_type,
+             EPOCH_US(ts) - EPOCH_US(ts) % 900000000 AS ws_max
+      FROM events),
+    w AS (
+      SELECT event_type,
+             unnest(list_transform(range(0, 4), i -> ws_max - i * 900000000)) AS ws
+      FROM x)
+    SELECT STRFTIME(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+           STRFTIME(make_timestamp(ws + 3600000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type, COUNT(*) AS n
+    FROM w GROUP BY window_start, window_end, event_type
+    """,
+    "sliding (hopping) 1h/15min windowed counts run in batch mode "
+    "(streaming twin: streaming.windows.sliding_counts; each event "
+    "lands in window/slide = 4 overlapping windows)",
+    "SURVEY §2.7 window(slide) — unified batch/stream API",
+)
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.streaming.windows import sliding_counts
+
+    ev = t(spark, sf_dir, "events")
+    out = sliding_counts(
+        ev, window="1 hour", slide="15 minutes", watermark="10 years"
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n",
+    )
+
+
 # ------------------------------------------------------------------
 # Text repetition / normalization surface (quality filtering ops).
 # ------------------------------------------------------------------

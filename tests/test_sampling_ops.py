@@ -157,3 +157,53 @@ def test_mixture_fractions_properties():
     total = sum(kept.values())
     for d, s in shares.items():
         assert abs(kept[d] / total - s) < 1e-9
+
+
+def test_token_budget_sample_matches_naive_global_cumsum(spark):
+    from pyspark.sql import Window
+    from sample_dms_s3_kinesis_spark.operators import sampling
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    budget = 50_000
+    out = sampling.token_budget_sample(
+        d, weight_col="n_chars", budget=budget, id_col="doc_id", seed=5
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+
+    # semantic spec: single global running sum in (hash, id) order
+    h = sampling.hash_bucket(F.col("doc_id"), 5)
+    w = (
+        Window.orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        d.withColumn("_cum", F.sum("n_chars").over(w))
+        .filter(F.col("_cum") <= budget)
+    )
+    want = sorted(r["doc_id"] for r in naive.collect())
+    assert got == want
+
+    # the kept set actually fits the budget, and is maximal in order
+    kept = out.agg(F.sum("n_chars").alias("s")).collect()[0]["s"]
+    assert kept <= budget
+    # determinism
+    again = sorted(
+        r["doc_id"]
+        for r in sampling.token_budget_sample(
+            d, weight_col="n_chars", budget=budget, id_col="doc_id", seed=5
+        ).collect()
+    )
+    assert again == got
+
+
+def test_token_budget_sample_avoids_single_partition_window(spark):
+    from sample_dms_s3_kinesis_spark.operators import sampling
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = sampling.token_budget_sample(
+        d, weight_col="n_chars", budget=50_000, id_col="doc_id", seed=5
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window partitions by the hash-prefix bucket, never a global
+    # single-partition sort
+    assert "windowspecdefinition(_b" in plan or "PartitionBy: [_b" in plan or "_b#" in plan.split("Window")[1][:300]
