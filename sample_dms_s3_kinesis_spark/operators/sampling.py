@@ -235,6 +235,33 @@ def token_budget_sample(
     )
 
 
+def top_fraction_per_group(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    fraction: float,
+    id_col: str,
+) -> DataFrame:
+    """Keep the top ``fraction`` of rows per group by ``value_col``
+    (ties broken by id) — rank-based quality filtering ("keep the best
+    25% of documents per language").  Rank-based rather than
+    quantile-threshold-based: the kept count is exactly
+    ``ceil(fraction * |group|)`` with no interpolation arithmetic to
+    diverge between engines.  One shuffle on the group key; heavy
+    groups are the usual window-skew hazard."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).desc(), F.col(id_col).asc()
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_keep", F.ceil(F.lit(fraction) * cnt))
+        .filter(F.col("_rk") <= F.col("_keep"))
+        .drop("_rk", "_keep")
+    )
+
+
 def group_sample_topk(
     df: DataFrame,
     *,

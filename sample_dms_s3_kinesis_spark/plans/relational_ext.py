@@ -1574,6 +1574,34 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_top_fraction_quality",
+    """
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs, CAST(MIN(n_chars) AS BIGINT) AS min_chars
+    FROM r WHERE rk <= CEIL(0.25 * cnt) GROUP BY lang
+    """,
+    "rank-based quality filter: keep the top 25% of documents per "
+    "language by length (exact ceil(frac*n) per group, no quantile "
+    "interpolation to diverge between engines)",
+    "sampling/quality: top-fraction per group (north-star)",
+)
+def q_top_fraction_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    out = sampling.top_fraction_per_group(
+        d, value_col="n_chars", group_col="lang", fraction=0.25, id_col="doc_id"
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+    )
+
+
+@_register(
     "q_sliding_window_events",
     """
     WITH x AS (

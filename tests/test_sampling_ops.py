@@ -207,3 +207,30 @@ def test_token_budget_sample_avoids_single_partition_window(spark):
     # the window partitions by the hash-prefix bucket, never a global
     # single-partition sort
     assert "windowspecdefinition(_b" in plan or "PartitionBy: [_b" in plan or "_b#" in plan.split("Window")[1][:300]
+
+
+def test_top_fraction_per_group_exact_counts(spark):
+    from sample_dms_s3_kinesis_spark.operators import sampling
+    import math
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = sampling.top_fraction_per_group(
+        d, value_col="n_chars", group_col="lang", fraction=0.25, id_col="doc_id"
+    )
+    kept = {r["lang"]: r["n"] for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept and all(
+        kept[l] == math.ceil(0.25 * totals[l]) for l in kept
+    )
+    # the kept rows really are the per-group longest
+    mins = {r["lang"]: r["m"] for r in
+            out.groupBy("lang").agg(F.min("n_chars").alias("m")).collect()}
+    for lang, m in mins.items():
+        dropped_max = (
+            d.filter(F.col("lang") == lang)
+            .join(out.select("doc_id"), "doc_id", "left_anti")
+            .agg(F.max("n_chars").alias("x")).collect()[0]["x"]
+        )
+        assert dropped_max is None or dropped_max <= m
