@@ -190,32 +190,29 @@ def mixture_sample(
     )
 
 
-def token_budget_sample(
+def _bucketed_prefix_cumsum(
     df: DataFrame,
     *,
     weight_col: str,
-    budget: int,
     id_col: str,
-    seed: int | str = 0,
+    seed: int | str,
+    out_col: str = "_cum",
 ) -> DataFrame:
-    """Keep documents in deterministic hash order until the cumulative
-    ``weight_col`` (token/char count) reaches ``budget`` — "give me N
-    tokens of this corpus, reproducibly".
+    """Inclusive running sum of ``weight_col`` over the global
+    deterministic (hash, id) order — WITHOUT a single-partition global
+    window.
 
-    Scale shape: a naive global running sum would be a single-partition
-    window over the whole corpus.  Instead the hash's first two nibbles
-    form 256 buckets whose order is compatible with the full hash order
-    (prefix property), so the plan is: per-bucket weight sums (one tiny
-    aggregate, ≤256 rows to the driver) → driver-side exclusive prefix
-    offsets → broadcast join → per-bucket window cumsum + offset.  256
-    parallel window partitions instead of one; identical result to the
-    global cumsum.
+    The hash's first two nibbles form 256 buckets whose order is
+    compatible with the full hash order (prefix property), so the plan
+    is: per-bucket weight sums (one tiny aggregate, ≤256 rows to the
+    driver) → driver-side exclusive prefix offsets → broadcast join →
+    per-bucket window cumsum + offset.  256 parallel window partitions;
+    bit-identical to the naive global cumsum.  Internal columns are
+    dropped except ``out_col``.
     """
     h = hash_bucket(F.col(id_col), seed)
     base = df.withColumn("_h", h).withColumn("_b", F.substring(F.col("_h"), 1, 2))
-    per_bucket = (
-        base.groupBy("_b").agg(F.sum(weight_col).alias("_w")).collect()
-    )
+    per_bucket = base.groupBy("_b").agg(F.sum(weight_col).alias("_w")).collect()
     offsets = []
     acc = 0
     for r in sorted(per_bucket, key=lambda r: r["_b"]):
@@ -229,10 +226,58 @@ def token_budget_sample(
     )
     return (
         base.join(F.broadcast(off_df), "_b")
-        .withColumn("_cum", F.sum(weight_col).over(w) + F.col("_off"))
-        .filter(F.col("_cum") <= F.lit(budget))
-        .drop("_b", "_h", "_off", "_cum")
+        .withColumn(out_col, F.sum(weight_col).over(w) + F.col("_off"))
+        .drop("_b", "_h", "_off")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    budget: int,
+    id_col: str,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Keep documents in deterministic hash order until the cumulative
+    ``weight_col`` (token/char count) reaches ``budget`` — "give me N
+    tokens of this corpus, reproducibly".  See
+    :func:`_bucketed_prefix_cumsum` for the scale shape (no global
+    single-partition window)."""
+    cum = _bucketed_prefix_cumsum(
+        df, weight_col=weight_col, id_col=id_col, seed=seed
+    )
+    return cum.filter(F.col("_cum") <= F.lit(budget)).drop("_cum")
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    seq_len: int,
+    id_col: str,
+    seed: int | str = 0,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence-packing layout: documents are laid
+    out in deterministic hash order and each is assigned the training
+    sequence (bin) containing its START offset —
+    ``bin_id = floor(exclusive_prefix / seq_len)``.
+
+    This is the distributed plan for GPT-style packing: the layout
+    (which docs land in which sequence, in which order) is decided
+    here; the tokenizer-level split of boundary-spanning documents
+    happens downstream inside each bin.  Deterministic under re-runs,
+    repartitioning, and engine changes, like every sampler in this
+    module; scale shape per :func:`_bucketed_prefix_cumsum`.
+    """
+    cum = _bucketed_prefix_cumsum(
+        df, weight_col=weight_col, id_col=id_col, seed=seed
+    )
+    start = F.col("_cum") - F.col(weight_col)
+    return cum.withColumn(
+        bin_col, F.floor(start / F.lit(seq_len)).cast("long")
+    ).drop("_cum")
 
 
 def top_fraction_per_group(

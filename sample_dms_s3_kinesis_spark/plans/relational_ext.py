@@ -1574,6 +1574,41 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_pack_sequences",
+    """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 8),
+                        doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             CAST(FLOOR(CAST(cum - n_chars AS DOUBLE) / 4096) AS BIGINT) AS bin_id,
+             n_chars
+      FROM r)
+    SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM p GROUP BY bin_id
+    """,
+    "sequence packing layout: concat-then-chunk bin assignment "
+    "(bin = floor(start_offset / seq_len) over the deterministic hash "
+    "order) — the distributed plan for GPT-style packing; per-bin doc "
+    "counts and weights",
+    "sampling/packing: sequence packing (north-star)",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    out = sampling.pack_sequences(
+        d, weight_col="n_chars", seq_len=4096, id_col="doc_id", seed=5
+    )
+    return out.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@_register(
     "q_top_fraction_quality",
     """
     WITH r AS (

@@ -234,3 +234,35 @@ def test_top_fraction_per_group_exact_counts(spark):
             .agg(F.max("n_chars").alias("x")).collect()[0]["x"]
         )
         assert dropped_max is None or dropped_max <= m
+
+
+def test_pack_sequences_layout_properties(spark):
+    from sample_dms_s3_kinesis_spark.operators import sampling
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    L = 4096
+    out = sampling.pack_sequences(
+        d, weight_col="n_chars", seq_len=L, id_col="doc_id", seed=5
+    ).collect()
+    assert len(out) == d.count()  # every doc is placed
+
+    # recompute offsets from the same deterministic order and verify
+    # each doc's bin contains its start offset
+    import hashlib
+
+    def bucket(doc_id):
+        return hashlib.md5(f"{doc_id}:5".encode()).hexdigest()[:8]
+
+    rows = sorted(out, key=lambda r: (bucket(r["doc_id"]), r["doc_id"]))
+    offset = 0
+    bins = set()
+    prev_bin = 0
+    for r in rows:
+        want_bin = offset // L
+        assert r["bin_id"] == want_bin, (r["doc_id"], r["bin_id"], want_bin)
+        assert r["bin_id"] >= prev_bin  # bins fill in order
+        prev_bin = r["bin_id"]
+        bins.add(r["bin_id"])
+        offset += r["n_chars"]
+    # bin occupancy is contiguous 0..max
+    assert bins == set(range(max(bins) + 1))
