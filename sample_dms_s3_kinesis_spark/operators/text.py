@@ -278,3 +278,53 @@ def winnowed_fingerprints(
     )
     mins = F.transform(idx, lambda i: F.array_min(F.slice(rh, i + 1, window)))
     return F.array_distinct(mins)
+
+
+# ------------------------------------------------------ PII redaction
+
+# Redaction patterns, most-specific first (an email is consumed before
+# its digits can match "number").  Kept to RE2/Java-portable syntax —
+# no backreferences or lookaround — so the same pattern string runs in
+# Spark, DuckDB ('g' flag), and Python re (the pytest reference).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "number": r"[0-9]+",
+}
+# Application order matters: later patterns must not re-match earlier
+# replacement tokens, so every token is digit-free ("ipv4" → "<IP>",
+# not "<IPV4>", whose digit the "number" pass would re-redact).
+PII_ORDER = ["email", "ipv4", "phone", "number"]
+PII_TOKENS = {
+    "email": "<EMAIL>",
+    "ipv4": "<IP>",
+    "phone": "<PHONE>",
+    "number": "<NUMBER>",
+}
+
+
+def redact_pii(col: Column, kinds: tuple[str, ...] = ("email", "ipv4", "number")) -> Column:
+    """Replace each PII match with a digit-free ``PII_TOKENS`` token.
+    Pure regexp_replace chain — JVM-side, codegen-friendly; Spark's
+    regexp_replace is replace-all (mirror with the 'g' flag in SQL)."""
+    out = col
+    for k in PII_ORDER:
+        if k in kinds:
+            out = F.regexp_replace(out, PII_PATTERNS[k], PII_TOKENS[k])
+    return out
+
+
+def pii_count(col: Column, kinds: tuple[str, ...] = ("email", "ipv4", "number")) -> Column:
+    """Number of PII matches that redact_pii would replace.  Counts are
+    computed on the progressively redacted text so overlapping kinds
+    (email digits vs number) aren't double-counted."""
+    total = F.lit(0).cast("long")
+    cur = col
+    for k in PII_ORDER:
+        if k in kinds:
+            total = total + F.size(
+                F.regexp_extract_all(cur, F.lit(PII_PATTERNS[k]), F.lit(0))
+            ).cast("long")
+            cur = F.regexp_replace(cur, PII_PATTERNS[k], PII_TOKENS[k])
+    return total

@@ -1189,13 +1189,17 @@ DRIVER_WINDOW: list[str] = [
     "q_dedup_md5_documents",    # dedup: exact hash
     "q_minhash_lsh_pairs",      # dedup: MinHash LSH
     "q_lsh_jaccard_verified",   # dedup: LSH → exact verify
-    "q_simhash_pairs",          # dedup: SimHash
+    "q_decontaminate",          # curation: benchmark n-gram overlap
+                                # (SimHash family stays pytest-proven +
+                                # local-gate rows-checked past slot 50)
     "q_ngram_jaccard_pairs",    # dedup: n-gram Jaccard (exact)
     "q_dedup_clusters",         # dedup: connected components
     "q_embedding_near_dup",     # dedup: embedding cosine
     "q_ann_cosine_topk",        # similarity: brute-force top-k
     "q_ivf_ann_topk",           # similarity: IVF ANN
-    "q_lsh_ann_topk",           # similarity: LSH ANN
+    "q_dup_ngram_stats",        # curation: cross-doc dup n-grams (LSH
+                                # ANN rotates past 50; IVF keeps the
+                                # approx-ANN family driver-visible)
     "q_embedding_centroids",    # similarity: centroid build
     "q_text_quality",           # text: quality features
     "q_text_tfidf_topk",        # text: TF-IDF

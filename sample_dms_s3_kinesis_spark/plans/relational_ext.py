@@ -2009,3 +2009,122 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to_str"),
         "is_current",
     )
+
+
+# ------------------------------------------------------------------
+# Corpus-curation surface (operators.curation / text PII): benchmark
+# decontamination, cross-doc duplicated n-grams, unigram-LM scoring,
+# PII redaction.  North-star training-data ops, exactly oracle-checked.
+# ------------------------------------------------------------------
+
+from sample_dms_s3_kinesis_spark.operators import curation as _curation  # noqa: E402
+
+
+@_register(
+    "q_decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+      FROM toks WHERE len(t) >= 3),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 41 <> 0
+    GROUP BY g.doc_id
+    """,
+    "benchmark decontamination: corpus docs sharing any distinct word "
+    "n-gram with the held-out benchmark slice (GPT-3 appendix-C-style "
+    "overlap check; n=3 here so the synthetic corpus shows signal — "
+    "production would use 8-13); broadcast benchmark gram digests",
+    "curation: decontamination",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    corpus = d.filter(F.col("doc_id") % 41 != 0)
+    return _curation.ngram_overlap(corpus, bench, n=3)
+
+
+@_register(
+    "q_dup_ngram_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                    t[i+3] || ' ' || t[i+4]))) AS gram
+      FROM toks WHERE len(t) >= 5),
+    df AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM g JOIN df USING (gram)
+    GROUP BY doc_id
+    """,
+    "RefinedWeb-style duplicated-content signal: per doc, count and "
+    "fraction of its distinct 5-grams appearing in >=2 documents "
+    "(digest-shuffled doc-frequency join)",
+    "curation: cross-doc duplicated n-grams",
+)
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return _curation.dup_ngram_stats(d, n=5)
+
+
+@_register(
+    "q_unigram_lm_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(log2(CAST(c AS DOUBLE) / n)) / COUNT(*), 6)
+             AS cross_entropy
+    FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    "perplexity-filter stand-in: per-doc cross-entropy under a "
+    "corpus-trained unigram LM (AQE-broadcast vocabulary join)",
+    "curation: unigram LM quality score",
+)
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return _curation.unigram_lm_stats(d)
+
+
+@_register(
+    "q_redact_pii",
+    r"""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUMBER>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_hits
+    FROM events
+    """,
+    "PII scrubbing: regexp redaction with match counts (number kind "
+    "over events.props; email/ipv4/phone kinds pytest-checked vs "
+    "Python re on synthetic text)",
+    "curation: PII redaction",
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.text import pii_count, redact_pii
+
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        redact_pii(F.col("props"), kinds=("number",)).alias("redacted"),
+        pii_count(F.col("props"), kinds=("number",)).alias("n_hits"),
+    )

@@ -1,0 +1,131 @@
+"""Curation operators (decontamination, dup-n-gram stats, unigram LM,
+PII redaction) vs brute-force Python references."""
+
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import curation, text
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon"),
+    (2, "beta gamma delta zeta eta"),       # shares "beta gamma delta" with 1
+    (3, "one two three four five six"),
+    (4, "alpha beta gamma delta epsilon"),  # exact dup of 1
+    (5, "unique words only here now"),
+    (6, "one two"),                          # too short for 3-grams
+]
+
+
+def _ngrams(s, n):
+    toks = s.lower().strip().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_ngram_overlap_python_reference(spark):
+    df = _docs_df(spark)
+    bench = df.filter(F.col("doc_id").isin(1, 3))
+    corpus = df.filter(~F.col("doc_id").isin(1, 3))
+    out = {
+        r["doc_id"]: r["n_shared"]
+        for r in curation.ngram_overlap(corpus, bench, n=3).collect()
+    }
+    bench_grams = _ngrams(DOCS[0][1], 3) | _ngrams(DOCS[2][1], 3)
+    exp = {}
+    for doc_id, s in DOCS:
+        if doc_id in (1, 3):
+            continue
+        shared = len(_ngrams(s, 3) & bench_grams)
+        if shared:
+            exp[doc_id] = shared
+    assert out == exp
+    assert 4 in out and 2 in out  # exact dup + partial overlap both flagged
+
+
+def test_decontaminate_removes_flagged_docs(spark):
+    df = _docs_df(spark)
+    bench = df.filter(F.col("doc_id").isin(1, 3))
+    corpus = df.filter(~F.col("doc_id").isin(1, 3))
+    kept = sorted(
+        r["doc_id"] for r in curation.decontaminate(corpus, bench, n=3).collect()
+    )
+    # 2 and 4 overlap doc 1; 5 is clean; 6 has no 3-grams so cannot overlap.
+    assert kept == [5, 6]
+
+
+def test_dup_ngram_stats_python_reference(spark):
+    df = _docs_df(spark)
+    out = {r["doc_id"]: r for r in curation.dup_ngram_stats(df, n=3).collect()}
+    grams = {doc_id: _ngrams(s, 3) for doc_id, s in DOCS}
+    from collections import Counter
+
+    freq = Counter(g for gs in grams.values() for g in gs)
+    for doc_id, gs in grams.items():
+        if not gs:
+            assert doc_id not in out
+            continue
+        n_dup = sum(1 for g in gs if freq[g] > 1)
+        r = out[doc_id]
+        assert r["n_grams"] == len(gs)
+        assert r["n_dup"] == n_dup
+        assert r["dup_frac"] == round(n_dup / len(gs), 6)
+
+
+def test_unigram_lm_python_reference(spark):
+    df = _docs_df(spark)
+    out = {r["doc_id"]: r for r in curation.unigram_lm_stats(df).collect()}
+    from collections import Counter
+
+    toks = {doc_id: s.lower().strip().split() for doc_id, s in DOCS}
+    cnt = Counter(w for ws in toks.values() for w in ws)
+    total = sum(cnt.values())
+    for doc_id, ws in toks.items():
+        xent = -sum(math.log2(cnt[w] / total) for w in ws) / len(ws)
+        r = out[doc_id]
+        assert r["n_tokens"] == len(ws)
+        assert abs(r["cross_entropy"] - xent) < 1e-5
+    # Sanity: the doc of corpus-unique words scores strictly higher
+    # cross-entropy than the exact-duplicated doc.
+    assert out[5]["cross_entropy"] > out[1]["cross_entropy"]
+
+
+PII_SAMPLES = [
+    (1, "mail bob.smith+x@corp.example.com now"),
+    (2, "server at 192.168.1.254 port open"),
+    (3, "call +1 (415) 555-0199 today"),
+    (4, "order 12345 shipped 67 items"),
+    (5, "clean text with no identifiers"),
+]
+
+
+def test_redact_pii_python_reference(spark):
+    df = spark.createDataFrame(PII_SAMPLES, "doc_id long, text string")
+    kinds = ("email", "ipv4", "phone", "number")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            text.redact_pii(F.col("text"), kinds=kinds).alias("red"),
+            text.pii_count(F.col("text"), kinds=kinds).alias("n"),
+        ).collect()
+    }
+    for doc_id, s in PII_SAMPLES:
+        red, n = s, 0
+        for k in text.PII_ORDER:
+            if k not in kinds:
+                continue
+            pat = text.PII_PATTERNS[k]
+            n += len(re.findall(pat, red))
+            red = re.sub(pat, text.PII_TOKENS[k], red)
+        assert out[doc_id]["red"] == red, doc_id
+        assert out[doc_id]["n"] == n, doc_id
+    assert "<EMAIL>" in out[1]["red"] and "@" not in out[1]["red"]
+    assert out[2]["red"] == "server at <IP> port open"
+    assert "<PHONE>" in out[3]["red"]
+    assert out[4]["red"].count("<NUMBER>") == 2
+    assert out[5]["n"] == 0 and out[5]["red"] == PII_SAMPLES[4][1]
