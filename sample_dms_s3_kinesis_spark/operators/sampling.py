@@ -328,3 +328,41 @@ def group_sample_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    *,
+    num_shards: int,
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic training-shard assignment with a reproducible
+    within-shard order: ``shard`` = value of the digest's first three
+    hex nibbles (0..4095) mod ``num_shards``; ``pos`` = 1-based rank of
+    the digest (id tie-break) within the shard.  Rerunning over the
+    same corpus and seed reproduces the exact shard files and row
+    order a trainer consumed — the property that makes a data recipe
+    replayable.
+
+    Scale notes: assignment is map-side; the within-shard rank is a
+    window partitioned by shard, i.e. one sort task per shard — which
+    is exactly the write shape (one ordered shard file per task).
+    Choose ``num_shards`` so a shard fits a task (~100-500 MB).
+    Distribution is uniform when ``num_shards`` divides 4096 and at
+    most 4096 shards are addressable; beyond that, widen the nibble
+    slice.  The digest math (md5 prefix → integer) is mirrored by
+    ``instr('0123456789abcdef', ...)`` arithmetic in the DuckDB
+    oracle — same value, no engine-specific hashing.
+    """
+    if not 1 <= num_shards <= 4096:
+        raise ValueError("num_shards must be in [1, 4096]")
+    dig = hash_bucket(F.col(id_col), seed)
+    nib3 = F.conv(F.substring(dig, 1, 3), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("_dig", id_col)
+    return (
+        df.withColumn("_dig", dig)
+        .withColumn("shard", (nib3 % num_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_dig")
+    )

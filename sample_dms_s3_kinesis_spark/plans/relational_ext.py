@@ -2128,3 +2128,35 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii(F.col("props"), kinds=("number",)).alias("redacted"),
         pii_count(F.col("props"), kinds=("number",)).alias("n_hits"),
     )
+
+
+_SHARD_DIG = "substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)"
+
+
+@_register(
+    "q_assign_shards",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SHARD_DIG} AS dig FROM documents),
+    s AS (
+      SELECT doc_id, dig,
+             CAST(((instr('0123456789abcdef', dig[1]) - 1) * 256
+                 + (instr('0123456789abcdef', dig[2]) - 1) * 16
+                 + (instr('0123456789abcdef', dig[3]) - 1)) % 8
+               AS BIGINT) AS shard
+      FROM d)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY dig, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    "deterministic training-shard assignment: digest-mod shard id plus "
+    "reproducible within-shard position (replayable data recipe; one "
+    "sort task per shard = the shard-file write shape)",
+    "sampling: shard assignment / training order",
+)
+def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.sampling import assign_shards
+
+    d = t(spark, sf_dir, "documents")
+    return assign_shards(d, num_shards=8, seed=0).select("doc_id", "shard", "pos")

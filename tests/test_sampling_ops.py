@@ -266,3 +266,53 @@ def test_pack_sequences_layout_properties(spark):
         offset += r["n_chars"]
     # bin occupancy is contiguous 0..max
     assert bins == set(range(max(bins) + 1))
+
+
+def test_assign_shards_deterministic_and_contiguous(spark):
+    import hashlib
+
+    from sample_dms_s3_kinesis_spark.operators.sampling import assign_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = assign_shards(df, num_shards=8, seed=0).select(
+        "doc_id", "shard", "pos"
+    )
+    rows = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
+    # Python reference: shard from the first 3 digest nibbles, position
+    # by (digest, id) rank within shard.
+    def dig(i):
+        return hashlib.md5(f"{i}:0".encode()).hexdigest()[:8]
+
+    by_shard = {}
+    for i in range(200):
+        by_shard.setdefault(int(dig(i)[:3], 16) % 8, []).append(i)
+    for shard, ids in by_shard.items():
+        ids.sort(key=lambda i: (dig(i), i))
+        for pos, i in enumerate(ids, start=1):
+            assert rows[i] == (shard, pos), i
+    # Rerun reproduces the identical assignment (replayable recipe).
+    again = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in assign_shards(df, num_shards=8, seed=0)
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert again == rows
+    # Every shard's positions are contiguous 1..n.
+    for shard, ids in by_shard.items():
+        got = sorted(p for s, p in rows.values() if s == shard)
+        assert got == list(range(1, len(ids) + 1))
+
+
+def test_assign_shards_bounds(spark):
+    import pytest as _pytest
+
+    from sample_dms_s3_kinesis_spark.operators.sampling import assign_shards
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError):
+        assign_shards(df, num_shards=0)
+    with _pytest.raises(ValueError):
+        assign_shards(df, num_shards=5000)
