@@ -64,3 +64,33 @@ def test_dedup_md5_shuffles_digests_not_bodies(spark):
     between_exchange_and_project = plan.split("Exchange")[1].split("Project")[0]
     assert "partial_min" in between_exchange_and_project
     assert "text#" not in between_exchange_and_project
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    # The benchmark gram set is tiny next to the corpus; the overlap
+    # join must build-broadcast it, keeping full probe parallelism.
+    plan = _plan(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_ngram_stats_single_scan_window(spark):
+    # Doc frequency comes from a count-window over the gram digest:
+    # exactly one scan of documents.parquet (the groupBy+join shape
+    # costs two scans AND two full-stream shuffles).
+    plan = _plan(spark, "q_dup_ngram_stats")
+    assert plan.count("documents.parquet") == 1
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_lm_stays_jvm_side(spark):
+    plan = _plan(spark, "q_unigram_lm_score", execute=True)
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_assign_shards_reads_documents_once(spark):
+    plan = _plan(spark, "q_assign_shards")
+    assert plan.count("documents.parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
