@@ -89,3 +89,79 @@ def compact_small_files(
         # a run of input files and streams them through.
         df.coalesce(n).write.mode("overwrite").parquet(dst_path)
     return n
+
+
+# ----------------------------------------------------------- z-order
+
+def _spread_bits_16(c):
+    """Spread a 16-bit value's bits to even positions (0b_x_x_x…):
+    classic mask-shift doubling, pure JVM bit ops."""
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def zorder_key(x, y, *, x_min, x_max, y_min, y_max):
+    """32-bit Morton (Z-order) key interleaving two numeric columns,
+    each scaled to 16 bits over its [min, max] range.  Equal-width
+    scaling: fine for roughly uniform keys; for heavy skew, pre-map
+    through quantile buckets before calling."""
+
+    def scale(c, lo, hi):
+        span = float(hi - lo) if hi > lo else 1.0
+        scaled = ((c.cast("double") - F.lit(float(lo))) / F.lit(span)) * 65535.0
+        return F.least(
+            F.greatest(F.floor(scaled).cast("long"), F.lit(0)), F.lit(65535)
+        )
+
+    return _spread_bits_16(scale(x, x_min, x_max)).bitwiseOR(
+        F.shiftleft(_spread_bits_16(scale(y, y_min, y_max)), 1)
+    )
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_cols: list[str],
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``num_files`` parquet files clustered on the
+    Morton (Z-order) interleave of TWO numeric columns, so footer
+    min/max statistics prune on BOTH dimensions — the multi-column
+    analogue of ``write_range_clustered`` (which gives one strongly
+    pruned leading column and nothing on the rest).
+
+    One cheap min/max agg fixes the scaling; the write is then an
+    ordinary range-partition + sort on the z key (sampled, so balanced
+    even for clustered z values).  The z key itself is dropped from
+    the stored schema.
+    """
+    if len(cluster_cols) != 2:
+        raise ValueError("zorder clustering takes exactly two columns")
+    cx, cy = cluster_cols
+    b = df.agg(
+        F.min(cx).alias("x_min"),
+        F.max(cx).alias("x_max"),
+        F.min(cy).alias("y_min"),
+        F.max(cy).alias("y_max"),
+    ).first()
+    z = zorder_key(
+        F.col(cx),
+        F.col(cy),
+        x_min=b["x_min"],
+        x_max=b["x_max"],
+        y_min=b["y_min"],
+        y_max=b["y_max"],
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1906,6 +1906,22 @@ _NORM_SQL = (
     f AS (SELECT * FROM q WHERE n_tokens >= 5),
     surv AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY h),
     kept AS (SELECT f.doc_id, f.lang FROM f JOIN surv USING (doc_id)),
+    tk AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+      FROM tk WHERE len(t) >= 3),
+    bgr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0),
+    contam AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bgr USING (gram)
+      WHERE g.doc_id % 41 <> 0),
+    clean AS (
+      SELECT doc_id, lang FROM kept
+      WHERE doc_id % 41 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contam)),
     s AS (
       SELECT lang, CASE
         WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
@@ -1913,27 +1929,37 @@ _NORM_SQL = (
         WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)
              < '{sampling._hex_threshold(0.95)}' THEN 'val'
         ELSE 'test' END AS split
-      FROM kept)
+      FROM clean)
     SELECT split, lang, COUNT(*) AS n_docs
     FROM s GROUP BY split, lang
     """,
     "end-to-end curation: quality filter → exact dedup on normalized "
-    "text (min-id survivor) → deterministic train/val/test split → "
-    "per-(split, lang) counts",
+    "text (min-id survivor) → benchmark decontamination (held-out "
+    "doc_id%41 slice excluded, 3-gram-overlap docs dropped) → "
+    "deterministic train/val/test split → per-(split, lang) counts",
     "flagship composition (north-star pipeline)",
 )
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import curation as _cur
+
     d = t(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         "lang",
+        "text",
         F.md5(_text.normalize_text(F.col("text"))).alias("_h"),
         _text.token_count(F.col("text")).alias("_nt"),
     )
     f = base.filter(F.col("_nt") >= 5)
     surv = f.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
     kept = f.join(surv.select("doc_id"), "doc_id", "left_semi")
-    split = sampling.hash_split(kept, id_col="doc_id", seed=42)
+    # Decontaminate: the held-out benchmark slice leaves the training
+    # corpus entirely, and any remaining doc sharing a word 3-gram
+    # with it is dropped.
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    corpus = kept.filter(F.col("doc_id") % 41 != 0)
+    clean = _cur.decontaminate(corpus, bench, n=3)
+    split = sampling.hash_split(clean, id_col="doc_id", seed=42)
     return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 

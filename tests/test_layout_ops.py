@@ -85,3 +85,52 @@ def test_compaction_with_clustering_restores_sort(spark, tmp_path):
         ranges = sorted(_file_range(f, "k") for f in files)
         for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
             assert hi_a < lo_b
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    # Two independent uniform dims: x-only range clustering prunes x
+    # but leaves every file covering the full y range; z-order bounds
+    # BOTH dims per file.
+    df = (
+        spark.range(0, 40_000)
+        .withColumn("x", F.pmod(F.xxhash64("id"), F.lit(1024)).cast("long"))
+        .withColumn("y", F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1024)).cast("long"))
+        .drop("id")
+    )
+    zdir = str(tmp_path / "zorder")
+    layout.write_zorder_clustered(df, zdir, cluster_cols=["x", "y"], num_files=16)
+    rdir = str(tmp_path / "xrange")
+    layout.write_range_clustered(df, rdir, cluster_cols=["x"], num_files=16)
+
+    def hit_count(files, col, lo, hi):
+        n = 0
+        for f in files:
+            flo, fhi = _file_range(f, col)
+            if not (fhi < lo or flo > hi):
+                n += 1
+        return n
+
+    zfiles, rfiles = _part_files(zdir), _part_files(rdir)
+    assert len(zfiles) == 16 and len(rfiles) == 16
+    # Narrow slice in each dimension (1/8 of the domain).
+    z_x, z_y = hit_count(zfiles, "x", 0, 127), hit_count(zfiles, "y", 0, 127)
+    r_x, r_y = hit_count(rfiles, "x", 0, 127), hit_count(rfiles, "y", 0, 127)
+    assert r_x <= 4            # range clustering prunes its own key well
+    assert r_y == 16           # ...and the second dim not at all
+    assert z_x < 16 and z_y < 16  # z-order bounds both dims
+    assert z_x <= 8 and z_y <= 8  # meaningfully, not marginally
+
+    # Data round-trips exactly.
+    got = {(r["x"], r["y"]) for r in spark.read.parquet(zdir).collect()}
+    want = {(r["x"], r["y"]) for r in df.collect()}
+    assert got == want
+
+
+def test_zorder_requires_two_columns(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.range(0, 10).withColumn("x", F.col("id")).withColumn("y", F.col("id"))
+    with _pytest.raises(ValueError):
+        layout.write_zorder_clustered(
+            df, str(tmp_path / "z"), cluster_cols=["x"], num_files=2
+        )
