@@ -11,13 +11,13 @@ operators.text.
 Scale design
 ------------
 Every op here shuffles **fixed-width digests**, never raw n-gram
-strings: grams are folded to a 64-bit md5 prefix (16 hex chars) before
-any groupBy/join, so the shuffle payload is bounded regardless of gram
-width.  md5 (not xxhash64) because the DuckDB oracle can compute the
-identical digest, making the whole pipeline exactly cross-checkable;
-a 64-bit digest collision would merge two gram classes identically on
-both engines (and at corpus scale is a ~2^-32-per-billion event — an
-acceptable counting-signal error, same trade dedup.py makes).
+strings: grams fold to an 8-byte xxhash64 before any groupBy/join, so
+the shuffle payload is bounded regardless of gram width.  The digest
+is internal only — the DuckDB oracle joins on the raw gram strings, so
+digest choice cannot change checked results except through a 64-bit
+collision (≈2^-32 per billion gram pairs, merging two gram classes —
+an acceptable counting-signal error, the same trade dedup.py makes,
+and one the exact oracle would flag if it ever fired).
 
 - ``ngram_overlap`` / ``decontaminate``: the benchmark gram set is
   normally tiny next to the corpus (a benchmark suite vs 100 TB of
@@ -40,20 +40,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators.dedup import BROADCAST_ROWS, token_ngrams
+from sample_dms_s3_kinesis_spark.operators.partitioning import spread
 from sample_dms_s3_kinesis_spark.operators.text import tokens
 
 
 def gram_digest(gram: Column) -> Column:
-    """64-bit fixed-width digest of a gram: md5 hex prefix, portable
-    to DuckDB (``substr(md5(x), 1, 16)``)."""
-    return F.substring(F.md5(gram), 1, 16)
+    """64-bit fixed-width digest of a gram (internal shuffle/join key;
+    the oracle SQL operates on raw gram strings)."""
+    return F.xxhash64(gram)
 
 
 def _doc_gram_digests(
     df: DataFrame, *, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """One row per (doc, distinct n-gram digest)."""
-    return df.select(
+    """One row per (doc, distinct n-gram digest).  spread(): the
+    shingle+md5 work is compute-bound and a single-file parquet scan
+    would otherwise pin it to one core."""
+    return spread(df).select(
         F.col(id_col),
         F.explode(token_ngrams(F.col(text_col), n)).alias("_gram"),
     ).select(id_col, gram_digest(F.col("_gram")).alias("_g"))
@@ -69,6 +72,7 @@ def ngram_overlap(
     id_col: str = "doc_id",
     n: int = 5,
     broadcast_rows: int = BROADCAST_ROWS,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Per corpus document, the number of distinct word ``n``-grams it
     shares with ANY benchmark document (the standard train/test
@@ -77,6 +81,13 @@ def ngram_overlap(
 
     Returns ``(id_col, n_shared)`` for contaminated documents only
     (docs with zero overlap don't appear).
+
+    ``broadcast``: True/False pins the join strategy without running
+    the sizing count; None (default) size-gates the broadcast the same
+    way dedup._block_pair_join does (the benchmark gram set must be
+    materialized either way, so the count() is not an extra corpus
+    pass — but callers that KNOW the benchmark is small should pass
+    True and skip the extra job).
     """
     cg = _doc_gram_digests(corpus, text_col=text_col, id_col=id_col, n=n)
     bg = (
@@ -84,13 +95,9 @@ def ngram_overlap(
         .select("_g")
         .distinct()
     )
-    # Size-gate the broadcast the same way dedup._block_pair_join does:
-    # the benchmark gram set must be materialized either way, so the
-    # count() here is not an extra corpus pass.
-    if bg.count() <= broadcast_rows:
-        joined = cg.join(F.broadcast(bg), on="_g")
-    else:
-        joined = cg.join(bg, on="_g")
+    if broadcast is None:
+        broadcast = bg.count() <= broadcast_rows
+    joined = cg.join(F.broadcast(bg) if broadcast else bg, on="_g")
     return joined.groupBy(id_col).agg(F.count("*").alias("n_shared"))
 
 
@@ -102,9 +109,17 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 5,
     broadcast_rows: int = BROADCAST_ROWS,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Corpus minus every document sharing at least one word n-gram
-    with the benchmark set (left-anti on the overlap relation)."""
+    with the benchmark set (left-anti on the overlap relation).
+
+    Note the corpus plan is evaluated twice (gram side + anti-join
+    side); if it is itself an expensive pipeline, compute the overlap
+    from the cheap upstream scan and anti-join the pipeline against
+    those ids instead (contamination depends only on text, so it
+    commutes with row filters — see q_curation_pipeline).
+    """
     hits = ngram_overlap(
         corpus,
         benchmark,
@@ -112,6 +127,7 @@ def decontaminate(
         id_col=id_col,
         n=n,
         broadcast_rows=broadcast_rows,
+        broadcast=broadcast,
     ).select(id_col)
     return corpus.join(hits, on=id_col, how="left_anti")
 

@@ -1955,10 +1955,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = f.join(surv.select("doc_id"), "doc_id", "left_semi")
     # Decontaminate: the held-out benchmark slice leaves the training
     # corpus entirely, and any remaining doc sharing a word 3-gram
-    # with it is dropped.
+    # with it is dropped.  Contamination depends only on text, so the
+    # overlap is computed from the RAW scan (one cheap pass) and
+    # anti-joined against the dedup pipeline — running decontaminate()
+    # over `kept` directly would recompute the groupBy+semi-join
+    # pipeline for both the gram side and the anti-join side.
     bench = d.filter(F.col("doc_id") % 41 == 0)
-    corpus = kept.filter(F.col("doc_id") % 41 != 0)
-    clean = _cur.decontaminate(corpus, bench, n=3)
+    hits = _cur.ngram_overlap(
+        d.filter(F.col("doc_id") % 41 != 0), bench, n=3, broadcast=True
+    ).select("doc_id")
+    clean = kept.filter(F.col("doc_id") % 41 != 0).join(
+        hits, "doc_id", "left_anti"
+    )
     split = sampling.hash_split(clean, id_col="doc_id", seed=42)
     return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
