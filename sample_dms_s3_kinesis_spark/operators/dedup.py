@@ -111,6 +111,31 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup of a NEW corpus against an EXISTING one
+    (the every-crawl operation: never re-admit content already in the
+    training set), then within the new batch itself (min-id survivor).
+
+    Both sides reduce to md5 digests before the anti-join, so the
+    shuffle carries 16-byte keys; the existing side is a digest set a
+    downstream system would typically persist and reuse.
+    """
+    new_h = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    old_h = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    fresh = new_h.join(old_h, "_h", "left_anti")
+    return (
+        fresh.groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
 # ---------------------------------------------------- n-gram Jaccard
 
 def token_ngrams(col: Column, n: int = 3) -> Column:

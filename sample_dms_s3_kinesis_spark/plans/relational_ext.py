@@ -2194,3 +2194,29 @@ def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return assign_shards(d, num_shards=8, seed=0).select("doc_id", "shard", "pos")
+
+
+@_register(
+    "q_dedup_incremental",
+    """
+    WITH new_b AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+    old_b AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+    fresh AS (
+      SELECT n.doc_id, n.h FROM new_b n
+      WHERE n.h NOT IN (SELECT h FROM old_b))
+    SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY h
+    """,
+    "incremental exact dedup: admit only new-batch docs whose content "
+    "digest is absent from the existing corpus, then min-id survivor "
+    "within the batch (the every-crawl ingestion gate)",
+    "dedup: incremental cross-corpus",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import dedup_against
+
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    return dedup_against(new, existing)

@@ -291,3 +291,22 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
     # reliable checkpoint files actually landed under the given dir
     found = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert found, "no checkpoint files written to checkpoint_dir"
+
+
+def test_dedup_against_existing_corpus(spark):
+    from sample_dms_s3_kinesis_spark.operators.dedup import dedup_against
+
+    existing = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha"),   # already in existing → dropped
+            (11, "gamma"),   # fresh
+            (12, "gamma"),   # batch-internal dup → min id survives
+            (13, "delta"),   # fresh
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_against(new, existing).collect())
+    assert kept == [11, 13]
