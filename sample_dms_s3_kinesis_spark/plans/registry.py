@@ -1142,68 +1142,74 @@ from sample_dms_s3_kinesis_spark.plans import relational_ext  # noqa: E402,F401
 
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
-# budget.  Front-load one query per SURVEY §2 operator row and one per
-# north-star family (flagship pipeline, SCD2, window, sampling, every
-# dedup/similarity/text/multimodal family); near-duplicate variants
-# (extra window/TPC-H/sampling shapes) follow after slot 50 and stay
-# callable but uncounted.
+# budget.  Round 2 drove the previous 50-query window all-green
+# (CORRECTNESS_r02.json: 46/46 oracle rows + 4 by-design rows-only).
+# Round 3 ROTATES: the 50 slots now hold the queries that had never
+# received a driver CORRECTNESS row — the TPC-H mid-family, the window
+# family, set ops, the sampling and text families, SimHash and LSH ANN.
+# The r2-green queries fall past slot 50; they remain registered,
+# callable, and covered by the local strict gate + pytest.  Six queries
+# stay un-rotated by choice: q_multimodal_audio_features /
+# q_approx_distinct_users / q_winnowed_fingerprints (no oracle by
+# design, pytest-proven) and q_redact_pii / q_assign_shards /
+# q_null_handling (independently spot-checked by the r2 judge).
 DRIVER_WINDOW: list[str] = [
-    "q_curation_pipeline",      # flagship composition
-    "q01_pricing_summary",      # O17 grouped agg + O11 ts predicate
-    "q03_shipping_priority",    # joins + O19 sort + O20 limit
-    "q_top_orders",             # O19/O20
-    "q_like_filter",            # O10 wildcard selection
-    "q_ts_filter_events",       # O11 arrival-ts predicate
-    "q_envelope_events",        # O12/O13/O15 envelope
-    "q_partition_key",          # O14
-    "q_json_extract_events",    # §2.8 JSON extraction
-    "q_conditional_agg_events", # O17 table statistics
-    "q_latest_wins_events",     # O24 CDC apply
-    "q_running_sum_events",     # O21 ordering / §2.7 window
-    "q_union_priorities",       # O22 union
-    "q_semi_join",              # O23 routing semi-join
-    "q_anti_join",              # O25 exceptions anti-join
-    "q_topk_per_group",         # §2.5 ranked window
-    "q_scalar_subquery",        # §2.6 scalar subquery
-    "q_rollup_orders",          # §2.4 rollup
-    "q_cube_documents",         # §2.4 cube
-    "q_grouping_sets_orders",   # §2.4 grouping sets
-    "q_pivot_status_counts",    # §2.4 pivot
-    "q_percentile_agg",         # §2.4 percentiles
-    "q_full_outer_nation_counts",  # §2.6 full outer join
-    "q08_market_share",         # conditional agg / decimal→double pattern
-    "q18_large_orders",         # IN subquery + HAVING
-    "q_string_functions",       # §2.8 string scalars
-    "q_date_functions",         # §2.8 date scalars
-    "q_sessionize_events",      # §2.7 session_window twin
-    "q_tumbling_window_events", # §2.7 window() twin
-    "q_asof_join",              # custom: as-of join
-    "q_range_join",             # custom: range join
-    "q_binned_range_join",      # custom: no-equi-key interval join
-    "q_salted_join_agg",        # skew: salted join
-    "q_two_phase_distinct",     # skew: two-phase distinct
-    "q_scd2_history",           # O24 extension: type-2 history
-    "q_mixture_sample",         # sampling: mixture rebalance (q_hash_split's
-                                # split semantics stay driver-visible through
-                                # q_curation_pipeline's oracle)
-    "q_dedup_md5_documents",    # dedup: exact hash
-    "q_minhash_lsh_pairs",      # dedup: MinHash LSH
-    "q_lsh_jaccard_verified",   # dedup: LSH → exact verify
-    "q_decontaminate",          # curation: benchmark n-gram overlap
-                                # (SimHash family stays pytest-proven +
-                                # local-gate rows-checked past slot 50)
-    "q_ngram_jaccard_pairs",    # dedup: n-gram Jaccard (exact)
-    "q_dedup_clusters",         # dedup: connected components
-    "q_embedding_near_dup",     # dedup: embedding cosine
-    "q_ann_cosine_topk",        # similarity: brute-force top-k
-    "q_ivf_ann_topk",           # similarity: IVF ANN
-    "q_dup_ngram_stats",        # curation: cross-doc dup n-grams (LSH
-                                # ANN rotates past 50; IVF keeps the
-                                # approx-ANN family driver-visible)
-    "q_embedding_centroids",    # similarity: centroid build
-    "q_text_quality",           # text: quality features
-    "q_text_tfidf_topk",        # text: TF-IDF
-    "q_multimodal_features",    # multimodal plumbing
+    # --- TPC-H mid-family (never driver-checked before r3) ---
+    "q02_min_cost_supplier",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_nation_volume",
+    "q09_product_profit",
+    "q10_returned_revenue",
+    "q11_supplier_value",
+    "q12_status_priority",
+    "q13_order_count_dist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_part_suppliers",
+    "q21_multi_supplier_orders",
+    "q22_idle_rich_customers",
+    # --- window-function family ---
+    "q_window_lag_lead",
+    "q_window_rank_family",
+    "q_window_first_last",
+    "q_window_agg_events",
+    "q_sliding_window_events",
+    "q_session_window_events",
+    # --- set ops / misc relational ---
+    "q_intersect_customers",
+    "q_except_customers",
+    "q_array_agg_priorities",
+    "q_cross_join_region_status",
+    "q_distinct_count",
+    "q_in_subquery",
+    "q_stats_agg",
+    # --- sampling family ---
+    "q_hash_split",
+    "q_stratified_sample",
+    "q_group_sample_topk",
+    "q_token_budget_sample",
+    "q_pack_sequences",
+    "q_top_fraction_quality",
+    # --- text family ---
+    "q_text_tokens",
+    "q_text_tokens_bpe",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_text_repetition",
+    "q_text_normalize",
+    "q_unigram_lm_score",
+    # --- dedup / similarity / embeddings ---
+    "q_dedup_exact_events",
+    "q_dedup_incremental",
+    "q_simhash_pairs",          # rows-only: hash-family-specific, pytest-proven
+    "q_lsh_ann_topk",           # rows-only: approximate ANN, recall pytest
+    "q_embedding_normalize",
+    "q_ann_batch_topk",
 ]
 
 _BY_NAME = {s.name: s for s in _SPECS}
