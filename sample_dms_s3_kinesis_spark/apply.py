@@ -306,6 +306,37 @@ class ParquetTargetStore:
         marks[task_id] = int(value)
         self._sidecar_save(self._seq_file(), marks)
 
+    # Batch replay marks: foreachBatch offers at-least-once delivery, so
+    # a crash between save_seq and the streaming checkpoint commit makes
+    # Spark REPLAY the batch.  Without a mark the replay would re-emit
+    # the same events under new, higher seqs — duplicates with DISTINCT
+    # seqs, which seq-keyed idempotent dedup downstream cannot drop.
+    # Recording (batch_id, pre-batch seq offset, pre-batch stats, and
+    # the pre-batch VERSION POINTERS — copy-on-write means the old v-dirs
+    # are still on disk) lets a replayed batch rewind completely and
+    # re-produce the identical seq range and state transitions.
+
+    def load_batch_mark(self, task_id: str) -> dict | None:
+        return self._sidecar_load(self._seq_file()).get(f"{task_id}#batch")
+
+    def save_batch_mark(
+        self, task_id: str, batch_id: int, offset: int, stats: dict
+    ) -> None:
+        marks = self._sidecar_load(self._seq_file())
+        marks[f"{task_id}#batch"] = {
+            "batch_id": int(batch_id),
+            "offset": int(offset),
+            "stats": stats,
+            "versions": dict(self._versions),
+        }
+        self._sidecar_save(self._seq_file(), marks)
+
+    def rewind_versions(self, versions: Mapping[str, int]) -> None:
+        """Reset the table-version pointers to a batch mark's snapshot
+        (replay path).  The superseded v-dirs are simply re-written."""
+        self._versions = {k: int(v) for k, v in versions.items()}
+        self._save_versions()
+
     # -- replication statistics ---------------------------------------
     # describe_table_statistics must survive restarts like the seq mark
     # (a resumed task reports cumulative counters, not batch-local ones).

@@ -149,6 +149,12 @@ def write_zorder_clustered(
         F.min(cy).alias("y_min"),
         F.max(cy).alias("y_max"),
     ).first()
+    if b is None or any(b[k] is None for k in ("x_min", "x_max", "y_min", "y_max")):
+        # Empty input or an all-null cluster column: no bounds to scale
+        # against, so a z-key is meaningless — fall back to a plain
+        # write (still honors num_files) instead of a TypeError.
+        df.repartition(num_files).write.mode(mode).parquet(path)
+        return
     z = zorder_key(
         F.col(cx),
         F.col(cy),

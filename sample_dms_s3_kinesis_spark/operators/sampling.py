@@ -148,7 +148,14 @@ def mixture_fractions(
     engine computing the same expression (the DuckDB oracle) derives
     bit-identical fractions and therefore identical hash thresholds.
     """
-    present = {d: float(n) for d, n in counts.items() if d in target_shares and n > 0}
+    # share > 0 guard: a zero-(or negative-)share domain with rows is a
+    # "drop it" request, not a division — excluding it from `present`
+    # keeps it out of the budget min() and lands it in the 0.0 branch.
+    present = {
+        d: float(n)
+        for d, n in counts.items()
+        if n > 0 and target_shares.get(d, 0.0) > 0
+    }
     if not present:
         return {d: 0.0 for d in counts}
     budget = min(n / target_shares[d] for d, n in present.items())

@@ -327,4 +327,7 @@ def pii_count(col: Column, kinds: tuple[str, ...] = ("email", "ipv4", "number"))
                 F.regexp_extract_all(cur, F.lit(PII_PATTERNS[k]), F.lit(0))
             ).cast("long")
             cur = F.regexp_replace(cur, PII_PATTERNS[k], PII_TOKENS[k])
-    return total
+    # regexp_extract_all(NULL) is NULL; size(NULL) is -1 under the
+    # default legacy.sizeOfNull (NULL under ANSI) — either way null text
+    # must count 0, not a negative/null total.
+    return F.when(col.isNull(), F.lit(0).cast("long")).otherwise(total)

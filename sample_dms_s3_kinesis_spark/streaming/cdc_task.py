@@ -164,6 +164,26 @@ class CdcTask(ReplicationTask):
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if len(batch_df.take(1)) == 0:
             return
+        if batch_id >= 0:  # streaming path (process_available passes -1)
+            from sample_dms_s3_kinesis_spark.stats import StatsAccumulator
+
+            mark = self.store.load_batch_mark(self.identifier)
+            if mark is not None and mark["batch_id"] == batch_id:
+                # Replay of a batch whose post-emit save_seq may already
+                # have landed (crash before checkpoint commit): rewind to
+                # the recorded pre-batch offset, stats, and state-version
+                # pointers so re-emission reuses the SAME seq range and
+                # re-derives the same state — idempotent downstream.
+                self._seq_offset = mark["offset"]
+                self.stats = StatsAccumulator.from_mapping(mark["stats"])
+                self.store.rewind_versions(mark["versions"])
+            else:
+                self.store.save_batch_mark(
+                    self.identifier,
+                    batch_id,
+                    self._seq_offset,
+                    self.stats.to_mapping(),
+                )
         parsed = parse_cdc_lines(batch_df).persist()
         routed, unknown = route_changes(parsed, self.catalog)
 
