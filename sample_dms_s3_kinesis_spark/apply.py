@@ -34,6 +34,7 @@ size; AQE skew-join handles the store-side join.
 
 from __future__ import annotations
 
+from collections.abc import Iterable, Mapping
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -320,7 +321,13 @@ class ParquetTargetStore:
         return self._sidecar_load(self._seq_file()).get(f"{task_id}#batch")
 
     def save_batch_mark(
-        self, task_id: str, batch_id: int, offset: int, stats: dict
+        self,
+        task_id: str,
+        batch_id: int,
+        offset: int,
+        stats: dict,
+        *,
+        checkpoint: str | None = None,
     ) -> None:
         marks = self._sidecar_load(self._seq_file())
         marks[f"{task_id}#batch"] = {
@@ -328,13 +335,50 @@ class ParquetTargetStore:
             "offset": int(offset),
             "stats": stats,
             "versions": dict(self._versions),
+            # The owning checkpoint: replay detection must only fire for
+            # a genuine Structured Streaming replay of the SAME
+            # checkpoint — a fresh checkpoint restarts batch numbering
+            # at 0 and could otherwise spuriously match a stale mark.
+            "checkpoint": checkpoint,
         }
         self._sidecar_save(self._seq_file(), marks)
 
-    def rewind_versions(self, versions: Mapping[str, int]) -> None:
-        """Reset the table-version pointers to a batch mark's snapshot
-        (replay path).  The superseded v-dirs are simply re-written."""
-        self._versions = {k: int(v) for k, v in versions.items()}
+    def update_batch_mark(self, task_id: str, **fields) -> None:
+        """Merge fields into an existing batch mark (no-op if absent).
+        Used by a crash-restarted task to fold its start-control seq
+        range and stats into the pending mark before the replay."""
+        marks = self._sidecar_load(self._seq_file())
+        key = f"{task_id}#batch"
+        if key in marks:
+            marks[key].update(fields)
+            self._sidecar_save(self._seq_file(), marks)
+
+    def clear_batch_mark(self, task_id: str) -> None:
+        marks = self._sidecar_load(self._seq_file())
+        if marks.pop(f"{task_id}#batch", None) is not None:
+            self._sidecar_save(self._seq_file(), marks)
+
+    def rewind_versions(
+        self,
+        versions: Mapping[str, int],
+        owned: Iterable[str] | None = None,
+    ) -> None:
+        """Reset table-version pointers to a batch mark's snapshot
+        (replay path).  The superseded v-dirs are simply re-written.
+
+        ``owned`` restricts the rewind to the replaying task's own
+        tables: a version advanced by ANOTHER writer sharing the store
+        root between mark save and replay must not be rolled back with
+        them.  A table the task owns that is absent from the snapshot
+        (created mid-batch) is reset to absent."""
+        if owned is None:
+            self._versions = {k: int(v) for k, v in versions.items()}
+        else:
+            for name in owned:
+                if name in versions:
+                    self._versions[name] = int(versions[name])
+                else:
+                    self._versions.pop(name, None)
         self._save_versions()
 
     # -- replication statistics ---------------------------------------

@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 from sample_dms_s3_kinesis_spark.apply import ParquetTargetStore, apply_changes
 from sample_dms_s3_kinesis_spark.catalog import ALL_TABLES_MAPPING, Catalog, TableDef
 from sample_dms_s3_kinesis_spark import envelope
+from sample_dms_s3_kinesis_spark.stats import StatsAccumulator
 from sample_dms_s3_kinesis_spark.sinks.base import EventSink
 from sample_dms_s3_kinesis_spark.sources.cdc_source import (
     parse_cdc_lines,
@@ -89,9 +90,13 @@ class CdcTask(ReplicationTask):
         self._seq_offset = store.load_seq(identifier)
         # Likewise table statistics: describe_table_statistics reports
         # cumulative counters across restarts, not batch-local ones.
-        from sample_dms_s3_kinesis_spark.stats import StatsAccumulator
-
         self.stats = StatsAccumulator.from_mapping(store.load_stats(identifier))
+        # A batch mark belonging to a DIFFERENT checkpoint can never be
+        # a genuine replay of ours (fresh checkpoints renumber batches
+        # from 0, so batch_id alone could spuriously match) — drop it.
+        mark = store.load_batch_mark(identifier)
+        if mark is not None and mark.get("checkpoint") != self.checkpoint_dir:
+            store.clear_batch_mark(identifier)
 
     # -- lifecycle -----------------------------------------------------
 
@@ -146,6 +151,13 @@ class CdcTask(ReplicationTask):
 
     # -- internals -----------------------------------------------------
 
+    def _owned_table_names(self) -> list[str]:
+        """Store keys this task writes: its selected tables plus the
+        exceptions side-table.  A replay rewind is restricted to these —
+        versions advanced by other writers sharing the store root are
+        left untouched."""
+        return [t.qualified_name for t in self.catalog] + [EXCEPTIONS_TABLE]
+
     def _emit_start_controls(self) -> None:
         tables = list(self.catalog) + [("hr", EXCEPTIONS_TABLE)]
         # CDC target prep emits create-table per included table plus the
@@ -160,36 +172,118 @@ class CdcTask(ReplicationTask):
         self._seq_offset += controls.count()
         self.store.save_seq(self.identifier, self._seq_offset)
         self.store.save_stats(self.identifier, self.stats.to_mapping())
+        mark = self.store.load_batch_mark(self.identifier)
+        if mark is not None:
+            # Crash-restart with a batch still in flight: its replay
+            # will rewind seq/stats to the mark, which predates THESE
+            # control events.  Fold them into the mark so the rewind
+            # neither re-allocates their seq range (distinct events
+            # with duplicate seqs would defeat downstream idempotent
+            # dedup) nor loses their stats counts.
+            marked = StatsAccumulator.from_mapping(mark["stats"])
+            marked.add_events(controls)
+            self.store.update_batch_mark(
+                self.identifier,
+                stats=marked.to_mapping(),
+                restart_seq_high=self._seq_offset,
+            )
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if len(batch_df.take(1)) == 0:
             return
+        # Floor for the post-batch seq high-water: a crash-restart's
+        # start-control events may already hold seqs ABOVE the rewound
+        # range (folded into the mark as restart_seq_high) — the next
+        # batch must allocate past them, never inside them.
+        replay_seq_floor = 0
         if batch_id >= 0:  # streaming path (process_available passes -1)
-            from sample_dms_s3_kinesis_spark.stats import StatsAccumulator
-
             mark = self.store.load_batch_mark(self.identifier)
-            if mark is not None and mark["batch_id"] == batch_id:
+            if (
+                mark is not None
+                and mark["batch_id"] == batch_id
+                and mark.get("checkpoint") == self.checkpoint_dir
+            ):
                 # Replay of a batch whose post-emit save_seq may already
                 # have landed (crash before checkpoint commit): rewind to
                 # the recorded pre-batch offset, stats, and state-version
                 # pointers so re-emission reuses the SAME seq range and
                 # re-derives the same state — idempotent downstream.
+                # (The mark's stats already include any restart-control
+                # counts via update_batch_mark in _emit_start_controls.)
                 self._seq_offset = mark["offset"]
                 self.stats = StatsAccumulator.from_mapping(mark["stats"])
-                self.store.rewind_versions(mark["versions"])
+                self.store.rewind_versions(
+                    mark["versions"], owned=self._owned_table_names()
+                )
+                replay_seq_floor = int(mark.get("restart_seq_high") or 0)
             else:
                 self.store.save_batch_mark(
                     self.identifier,
                     batch_id,
                     self._seq_offset,
                     self.stats.to_mapping(),
+                    checkpoint=self.checkpoint_dir,
                 )
         parsed = parse_cdc_lines(batch_df).persist()
-        routed, unknown = route_changes(parsed, self.catalog)
+        # Table-alter DDL (include_table_alter_operations=True,
+        # stack.py:124): ``ALTER,<table>,<schema>,<alter-op>[,detail]``
+        # lines become control events at their stream position; they
+        # never reach the data-apply path.
+        is_alter = F.col("op") == F.lit("ALTER")
+        alters = parsed.filter(is_alter)
+        routed, unknown = route_changes(parsed.filter(~is_alter), self.catalog)
 
         event_frames: list[DataFrame] = []
         exception_frames: list[DataFrame] = []
         apply_results = []
+
+        if len(alters.take(1)) > 0:
+            known_pred = F.lit(False)
+            for t in self.catalog:
+                known_pred = known_pred | (
+                    (F.col("schema_name") == t.owner)
+                    & (F.col("table_name") == t.name)
+                )
+            known_alters = alters.filter(F.coalesce(known_pred, F.lit(False)))
+            alter_rows = known_alters.select(
+                "seq",
+                "schema_name",
+                "table_name",
+                # the alter op is the first payload token, validated
+                # against the supported set; anything else routes to
+                # the exceptions channel below
+                F.lower(F.trim(F.get(F.col("payload"), 0))).alias("operation"),
+            )
+            supported = alter_rows.filter(
+                F.col("operation").isin(list(envelope.ALTER_OPERATIONS))
+            )
+            event_frames.append(
+                envelope.alter_control_events(
+                    supported, event_time=self.event_time
+                )
+            )
+            exception_frames.append(
+                alter_rows.filter(
+                    ~F.col("operation").isin(list(envelope.ALTER_OPERATIONS))
+                ).select(
+                    F.lit(self.identifier).alias("TASK_NAME"),
+                    F.col("schema_name").alias("TABLE_OWNER"),
+                    F.col("table_name").alias("TABLE_NAME"),
+                    F.col("seq").alias("ERROR_SEQ"),
+                    F.col("operation").alias("OPERATION"),
+                    F.lit("unsupported-alter-operation").alias("ERROR"),
+                )
+            )
+            exception_frames.append(
+                alters.filter(~F.coalesce(known_pred, F.lit(False))).select(
+                    F.lit(self.identifier).alias("TASK_NAME"),
+                    F.col("schema_name").alias("TABLE_OWNER"),
+                    F.col("table_name").alias("TABLE_NAME"),
+                    F.col("seq").alias("ERROR_SEQ"),
+                    F.col("op").alias("OPERATION"),
+                    F.lit("table-not-in-selection").alias("ERROR"),
+                )
+            )
 
         for table, changes in routed.items():
             changes = changes.persist()
@@ -263,7 +357,10 @@ class CdcTask(ReplicationTask):
             self.sink.write(events)
             self.stats.add_events(events)
             self._seq_offset += events.count()
-            self.store.save_seq(self.identifier, self._seq_offset)
+        # On replay, jump past any seqs the restart's control events
+        # already consumed (replay_seq_floor ≥ rewound offset + batch).
+        self._seq_offset = max(self._seq_offset, replay_seq_floor)
+        self.store.save_seq(self.identifier, self._seq_offset)
         self.store.save_stats(self.identifier, self.stats.to_mapping())
         # Release per-table fold caches only after the exceptions union
         # and event emission above have materialized every consumer —

@@ -25,6 +25,141 @@ def _wait_for(sink, n, timeout=60):
     return len(sink.records)
 
 
+def test_replay_after_crash_restart_reuses_seq_range(
+    spark, catalog, cdc_dir, tmp_path
+):
+    """Crash between save_seq and the streaming checkpoint commit makes
+    Spark REPLAY the batch.  The replay must (a) re-emit the batch under
+    the SAME seqs (idempotent downstream), (b) never collide with the
+    seqs the restart's start-control events already consumed, and
+    (c) count the batch's rows exactly once in the statistics."""
+    from sample_dms_s3_kinesis_spark.sources.cdc_source import read_cdc_lines
+
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "target")
+    ts = "2026-01-01T00:00:00.000Z"
+
+    sink1 = MemorySink()
+    task1 = CdcTask(
+        spark, catalog, cdc_dir, sink1, ParquetTargetStore(target),
+        event_time=ts, checkpoint_dir=ckpt,
+    )
+    # Drive the streaming callbacks directly so the crash point is
+    # deterministic: controls, then batch 0, then "crash" before the
+    # checkpoint commit (i.e. we never ack batch 0).
+    task1._emit_start_controls()
+    n_controls = len(sink1.records)
+    write_cdc_file(cdc_dir, 1, FILE_1)
+    lines = read_cdc_lines(spark, cdc_dir)
+    task1._process_batch(lines, batch_id=0)
+    batch1_seqs = [r["seq"] for r in sink1.records[n_controls:]]
+    assert batch1_seqs
+
+    # Restart: fresh task over the same store + checkpoint.  start()
+    # emits new control events (at-least-once), THEN Spark replays
+    # batch 0.
+    store2 = ParquetTargetStore(target)
+    sink2 = MemorySink()
+    task2 = CdcTask(
+        spark, catalog, cdc_dir, sink2, store2,
+        event_time=ts, checkpoint_dir=ckpt,
+    )
+    task2._emit_start_controls()
+    control2_seqs = [r["seq"] for r in sink2.records]
+    assert min(control2_seqs) > max(batch1_seqs)  # controls continue the seq
+    task2._process_batch(lines, batch_id=0)  # the replay
+    replayed_seqs = [r["seq"] for r in sink2.records[len(control2_seqs):]]
+
+    # (a) identical seq range — downstream seq-keyed dedup collapses
+    # the duplicate emission.
+    assert replayed_seqs == batch1_seqs
+    # (b) restart controls and replayed data never share a seq.
+    assert not (set(control2_seqs) & set(replayed_seqs))
+
+    # The next batch must allocate PAST the restart controls — not
+    # inside their range (the pre-fix bug: save_seq after the replay
+    # landed at the old high-water, re-allocating the control seqs).
+    import os
+
+    os.remove(os.path.join(cdc_dir, "cdc0000000001.csv"))
+    write_cdc_file(cdc_dir, 2, FILE_2)
+    lines2 = read_cdc_lines(spark, cdc_dir)
+    task2._process_batch(lines2, batch_id=1)
+    prior = len(control2_seqs) + len(replayed_seqs)
+    batch2_seqs = [r["seq"] for r in sink2.records[prior:]]
+    assert batch2_seqs
+    assert min(batch2_seqs) > max(control2_seqs)
+    assert not (set(batch2_seqs) & (set(control2_seqs) | set(replayed_seqs)))
+
+    # (c) statistics: batch rows counted once; the restart's control
+    # events are NOT lost by the rewind (4 tables × 2 start emissions).
+    stats = {
+        (r["SchemaName"], r["TableName"]): r
+        for r in task2.table_statistics(spark).collect()
+    }
+    dept = stats[("hr", "department")]
+    assert dept["Inserts"] == 3  # 401, 402 (file 1, once) + 403 (file 2)
+    assert dept["Updates"] == 1  # 401 (file 2)
+    assert dept["Ddls"] == 2     # create-table from both task starts
+
+
+def test_stale_mark_from_other_checkpoint_is_ignored(
+    spark, catalog, cdc_dir, tmp_path
+):
+    """A fresh checkpoint renumbers batches from 0 — a stale mark left
+    by a DIFFERENT checkpoint must not trigger the replay rewind."""
+    from sample_dms_s3_kinesis_spark.sources.cdc_source import read_cdc_lines
+
+    target = str(tmp_path / "target")
+    ts = "2026-01-01T00:00:00.000Z"
+
+    sink1 = MemorySink()
+    task1 = CdcTask(
+        spark, catalog, cdc_dir, sink1, ParquetTargetStore(target),
+        event_time=ts, checkpoint_dir=str(tmp_path / "ckptA"),
+    )
+    task1._emit_start_controls()
+    write_cdc_file(cdc_dir, 1, FILE_1)
+    lines = read_cdc_lines(spark, cdc_dir)
+    task1._process_batch(lines, batch_id=0)  # leaves a mark for batch 0
+    seqs1 = [r["seq"] for r in sink1.records]
+
+    # New task, DEFAULT (fresh uuid) checkpoint, same store root.  Its
+    # first batch is also batch_id 0 but over different input — a
+    # rewind here would reuse seqs against unrelated data.
+    import os
+
+    os.remove(os.path.join(cdc_dir, "cdc0000000001.csv"))
+    sink2 = MemorySink()
+    task2 = CdcTask(
+        spark, catalog, cdc_dir, sink2, ParquetTargetStore(target),
+        event_time=ts,
+    )
+    task2._emit_start_controls()
+    write_cdc_file(cdc_dir, 2, FILE_2)
+    lines2 = read_cdc_lines(spark, cdc_dir)
+    task2._process_batch(lines2, batch_id=0)
+    seqs2 = [r["seq"] for r in sink2.records]
+
+    # No rewind: every new event continues past the old high-water.
+    assert min(seqs2) > max(seqs1)
+    assert not (set(seqs1) & set(seqs2))
+
+
+def test_rewind_versions_restricted_to_owned_tables(tmp_path):
+    """Replay rewind must not roll back version pointers advanced by
+    another writer sharing the store root."""
+    store = ParquetTargetStore(str(tmp_path / "t"))
+    store._versions = {"hr.department": 3, "hr.employee": 2, "other.tbl": 7}
+    snapshot = {"hr.department": 1, "other.tbl": 5}
+    store.rewind_versions(
+        snapshot, owned=["hr.department", "hr.employee"]
+    )
+    assert store._versions["hr.department"] == 1   # rewound
+    assert "hr.employee" not in store._versions    # created mid-batch → reset
+    assert store._versions["other.tbl"] == 7       # foreign writer untouched
+
+
 def test_restarted_task_resumes_from_checkpoint(spark, catalog, cdc_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     target = str(tmp_path / "target")
