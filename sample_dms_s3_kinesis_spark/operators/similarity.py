@@ -116,10 +116,20 @@ def ivf_topk(
     """IVF ANN: search only the ``nprobe`` cells whose centroids are
     closest to the query.  At 100 TB with the corpus partitioned (or a
     table bucketed) by cell, a probe touches nprobe/cells of the data —
-    partition pruning does the rest.  Output: (vec_id, cosine)."""
-    centroids = _deterministic_centroids(
+    partition pruning does the rest.  Output: (vec_id, cosine).
+
+    The centroid frame (≤ ``cells`` rows) is materialized ONCE to the
+    driver and re-created as a local relation: bounded driver traffic,
+    no ``persist`` to leak across calls in a long-lived session, and
+    the broadcast in ``ivf_assign`` ships a literal local plan.  For
+    repeated queries over one corpus use :class:`IvfIndex` (build once,
+    search many)."""
+    cent_plan = _deterministic_centroids(
         df, vec_col=vec_col, id_col=id_col, cells=cells
-    ).persist()
+    )
+    centroids = df.sparkSession.createDataFrame(
+        cent_plan.collect(), cent_plan.schema
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probe_cells = [
         r["cell"]
@@ -139,9 +149,11 @@ def ivf_topk(
 
 def hyperplane_signature(vec: Column, *, planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane sign signature packed into a long.  Plane
-    components are deterministic pseudo-randoms in [-1, 1) derived from
-    xxhash64(plane, dim) — reproducible across sessions with no stored
-    model."""
+    components are deterministic pseudo-randoms in (-1, 1) — signed
+    ``xxhash64(plane, j) % 10_000`` keeps the dividend's sign, scaled
+    by 1e4 — reproducible across sessions with no stored model.  Only
+    the component SIGN pattern matters for sign-LSH, so the asymmetric
+    distribution around 0 is harmless."""
     def component(p: int, j: Column) -> Column:
         h = F.xxhash64(F.lit(p), j)
         return (h % 10_000).cast("double") / F.lit(10_000.0)
@@ -177,13 +189,20 @@ def lsh_topk(
     *,
     k: int = 10,
     planes: int = 12,
+    hamming_probes: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """LSH-bucketed ANN: exact cosine within the query's hyperplane
-    bucket.  Bucket size concentration is data-dependent — production
-    use multi-probes neighbor buckets; here single-bucket keeps the
-    plan to scan→filter→topk."""
+    bucket plus every bucket within ``hamming_probes`` bit flips of it
+    (standard multi-probe LSH: a near neighbor that lands on the wrong
+    side of 1–2 hyperplanes still differs in only that many signature
+    bits).  The probe set is enumerated on the driver — O(planes^d)
+    signatures, 1+12=13 at the defaults — and the plan stays
+    scan→IN-filter→topk, so the filter pushes to the source.
+    ``hamming_probes=0`` is the single-bucket recall cliff; 1 is the
+    production default; 2 for high recall on coarse (few-plane)
+    signatures."""
     dim = len(query_vec)
     sig = hyperplane_signature(
         F.col(vec_col).cast("array<double>"), planes=planes, dim=dim
@@ -195,7 +214,16 @@ def lsh_topk(
         .collect()
     )
     qsig = qsig_row[0]["s"]
-    bucket = spread(df).filter(sig == F.lit(qsig))
+    probe_sigs = {qsig}
+    if hamming_probes >= 1:
+        probe_sigs |= {qsig ^ (1 << p) for p in range(planes)}
+    if hamming_probes >= 2:
+        probe_sigs |= {
+            qsig ^ (1 << p) ^ (1 << r)
+            for p in range(planes)
+            for r in range(p + 1, planes)
+        }
+    bucket = spread(df).filter(sig.isin([int(s) for s in sorted(probe_sigs)]))
     return brute_force_topk(bucket, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 

@@ -70,6 +70,54 @@ def test_lsh_topk_sound(spark):
     assert abs(out[0]["cosine"] - 1.0) <= 1e-6
 
 
+def test_lsh_multiprobe_recall_at_least_single_probe(spark):
+    """Multi-probe (Hamming ≤1 bit flips) must recall at least as many
+    of the exact top-k as the single-bucket probe — a near neighbor on
+    the wrong side of one hyperplane differs in exactly one signature
+    bit, so widening the probe set can only add candidates."""
+    emb = _emb(spark)
+    rows = emb.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    exact_ids = {e[1] for e in _numpy_topk(rows, q, k=10)}
+    single = {
+        r["vec_id"]
+        for r in similarity.lsh_topk(
+            emb, q, k=10, planes=8, hamming_probes=0
+        ).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in similarity.lsh_topk(
+            emb, q, k=10, planes=8, hamming_probes=1
+        ).collect()
+    }
+    assert len(multi & exact_ids) >= len(single & exact_ids)
+    # cosines must still be the true values (soundness of the wider set)
+    full = {e[1]: e[0] for e in _numpy_topk(rows, q, k=len(rows))}
+    for r in similarity.lsh_topk(
+        emb, q, k=10, planes=8, hamming_probes=1
+    ).collect():
+        assert abs(r["cosine"] - full[r["vec_id"]]) <= 1e-5
+
+
+def test_ivf_topk_does_not_leak_cached_frames(spark):
+    """Repeated ivf_topk calls in one session must not grow the cached
+    RDD set (the pre-fix bug: each call persisted its centroid frame
+    and never unpersisted it)."""
+    emb = _emb(spark)
+    rows = emb.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+
+    def cached_count():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    similarity.ivf_topk(emb, q, k=5, cells=8, nprobe=2).collect()
+    before = cached_count()
+    for _ in range(3):
+        similarity.ivf_topk(emb, q, k=5, cells=8, nprobe=2).collect()
+    assert cached_count() <= before
+
+
 def test_multimodal_plumbing(spark):
     from sample_dms_s3_kinesis_spark.operators import multimodal
 
