@@ -140,6 +140,7 @@ def dup_ngram_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+    max_doc_share: float | None = None,
 ) -> DataFrame:
     """RefinedWeb-style duplicated-content signal: for each document,
     how many of its distinct word n-grams appear in at least one OTHER
@@ -147,18 +148,41 @@ def dup_ngram_stats(
 
     Returns ``(id_col, n_grams, n_dup, dup_frac)``; documents with no
     n-grams (fewer than ``n`` tokens) don't appear.
+
+    ``max_doc_share`` bounds the boilerplate-gram skew hazard: the
+    count-window shuffles every occurrence of a gram to ONE task, so a
+    boilerplate gram (license header, nav bar) present in a large
+    corpus share makes that task's input O(corpus).  With the cap set
+    (e.g. 0.01), grams whose document frequency exceeds
+    ``max_doc_share × total docs`` are excluded from BOTH numerator and
+    denominator before the window — they carry no duplication signal
+    (they'd count as dup in virtually every document) and excluding
+    them bounds every window partition.  The over-cap gram list is
+    computed with a partial-aggregating groupBy (skew-safe: the map
+    side pre-combines, so the shuffle carries one row per gram per
+    partition, never one row per occurrence) and is tiny by
+    construction, so it broadcasts.  None (default) disables the cap
+    and reproduces the exact unfiltered statistic.
     """
     from pyspark.sql import Window
 
     g = _doc_gram_digests(corpus, text_col=text_col, id_col=id_col, n=n)
+    if max_doc_share is not None:
+        total_docs = corpus.select(id_col).count()
+        cap = max_doc_share * total_docs
+        hot = (
+            g.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > cap)
+            .select("_g")
+        )
+        g = g.join(F.broadcast(hot), on="_g", how="left_anti")
     # Document frequency per gram class via a count-window: grams are
     # distinct per doc, so count(*) over the digest == number of
     # documents containing the gram.  One corpus scan + one
     # full-stream shuffle (by _g); the groupBy(dfreq)+join shape costs
     # a second scan AND a second full-stream shuffle, and the gram
     # vocabulary is ~O(token stream) so it never broadcasts at scale.
-    # (Assumes bounded doc-frequency skew — pre-filter known
-    # boilerplate grams if one gram appears in a large corpus share.)
     dfw = Window.partitionBy("_g")
     dup = F.when(F.col("_nd") > 1, F.lit(1)).otherwise(F.lit(0))
     return (

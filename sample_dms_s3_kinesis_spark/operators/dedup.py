@@ -53,11 +53,12 @@ def _cut_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
 def _block_pair_join(
     a: DataFrame,
     b: DataFrame,
-    build_rows: int,
+    build_rows: int | None,
     *,
     probe_id: str = "id_a",
     salt: int = 16,
     broadcast_rows: int = BROADCAST_ROWS,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Join two sides of a block-keyed self-pairing on ``_blk``.
 
@@ -70,8 +71,14 @@ def _block_pair_join(
     instead: the probe side hashes into ``salt`` buckets, the build
     side replicates into every bucket, and the join key (_blk, _salt)
     gives blocks × salt parallel tasks while still producing each pair
-    exactly once."""
-    if build_rows <= broadcast_rows:
+    exactly once.
+
+    ``broadcast`` pins the strategy without the sizing count (callers
+    that KNOW the build side is small/large pass True/False and skip
+    the extra job); None size-gates on ``build_rows``."""
+    if broadcast is None:
+        broadcast = build_rows is not None and build_rows <= broadcast_rows
+    if broadcast:
         return a.join(F.broadcast(b), on="_blk")
     a_s = a.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(probe_id)), F.lit(salt))
@@ -158,6 +165,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     broadcast_rows: int = BROADCAST_ROWS,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over candidate pairs.
 
@@ -166,8 +174,12 @@ def ngram_jaccard_pairs(
     block the whole frame is one block (test-scale only).  Jaccard is
     computed with array_intersect/array_union sizes — JVM-side.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``broadcast`` True/False pins the pair-join strategy and skips the
+    eager sizing ``count()`` — on an expensive upstream plan that count
+    is a full extra materialization; None (default) size-gates.
     """
-    build_rows = df.count()
+    build_rows = df.count() if broadcast is None else None
     grams = spread(df).select(
         F.col(id_col).alias("_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("_blk"),
@@ -191,7 +203,9 @@ def ngram_jaccard_pairs(
     # whole corpus it would OOM as a broadcast, so _block_pair_join
     # size-gates and falls back to a salted shuffle join.
     pairs = (
-        _block_pair_join(a, b, build_rows, broadcast_rows=broadcast_rows)
+        _block_pair_join(
+            a, b, build_rows, broadcast_rows=broadcast_rows, broadcast=broadcast
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(size_bound)
     )
@@ -261,18 +275,43 @@ def _band_hashes(sig: Column, *, bands: int, rows: int) -> Column:
     )
 
 
-def _band_candidates(sig_df: DataFrame, *, bands: int, rows: int) -> DataFrame:
+def _band_candidates(
+    sig_df: DataFrame,
+    *,
+    bands: int,
+    rows: int,
+    max_band_width: int | None = None,
+) -> DataFrame:
     """Candidate (id_a < id_b) pairs: docs sharing any band hash.
     ``sig_df`` must have columns (_id, _sig).  The self-join key is
-    (band index, band hash) — shuffle cost is O(candidates), not O(n²);
-    a boilerplate band shared by a huge doc population is the skew
-    hazard (cap or salt upstream; AQE splits moderate skew)."""
+    (band index, band hash) — shuffle cost is O(candidates), not O(n²).
+
+    ``max_band_width`` caps the boilerplate-band skew hazard: a band
+    bucket shared by w docs emits w² pairs in ONE join task, so a
+    single boilerplate shingle window (license header, nav bar) shared
+    by millions of docs turns the bucket join into an effective cross
+    join.  Buckets wider than the cap are dropped before the self-join
+    (an anti-join against the tiny over-cap bucket list, which
+    broadcasts).  Candidates lost are only pairs whose SOLE agreeing
+    band is the boilerplate one — genuinely similar docs agree on other
+    bands too; with b bands the chance a true near-dup pair survives in
+    no other band is (1-s^r)^(b-1), negligible at the default shapes."""
     banded = sig_df.select(
         "_id",
         F.posexplode(_band_hashes(F.col("_sig"), bands=bands, rows=rows)).alias(
             "_band", "_bh"
         ),
     )
+    if max_band_width is not None:
+        wide = (
+            banded.groupBy("_band", "_bh")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .filter(F.col("_w") > max_band_width)
+            .select("_band", "_bh")
+        )
+        banded = banded.join(
+            F.broadcast(wide), on=["_band", "_bh"], how="left_anti"
+        )
     return (
         banded.alias("x")
         .join(
@@ -297,6 +336,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.8,
     checkpoint_dir: str | None = None,
+    max_band_width: int | None = 10_000,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
@@ -304,6 +344,8 @@ def minhash_lsh_pairs(
     band-hash become candidates (explode + self-join on the band
     bucket); candidates are verified by estimated Jaccard = fraction of
     agreeing minhashes ≥ threshold.  Output: (id_a, id_b, est_jaccard).
+    ``max_band_width`` drops boilerplate band buckets before the
+    self-join (see :func:`_band_candidates`); None disables the cap.
     """
     rows = num_hashes // bands
     # Two-step projection: materialize per-shingle base hashes once,
@@ -322,7 +364,9 @@ def minhash_lsh_pairs(
     )
     sig = _cut_lineage(sig, checkpoint_dir)
 
-    cand = _band_candidates(sig, bands=bands, rows=rows)
+    cand = _band_candidates(
+        sig, bands=bands, rows=rows, max_band_width=max_band_width
+    )
     verified = (
         cand.join(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
         .join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
@@ -353,6 +397,7 @@ def lsh_verified_jaccard_pairs(
     bands: int = 21,
     threshold: float = 0.5,
     checkpoint_dir: str | None = None,
+    max_band_width: int | None = 10_000,
 ) -> DataFrame:
     """The 100 TB near-dup shape: MinHash-LSH candidate generation, then
     EXACT n-gram Jaccard verification of candidates only.
@@ -383,7 +428,12 @@ def lsh_verified_jaccard_pairs(
         )
     )
     base = _cut_lineage(base, checkpoint_dir)
-    cand = _band_candidates(base.select("_id", "_sig"), bands=bands, rows=rows)
+    cand = _band_candidates(
+        base.select("_id", "_sig"),
+        bands=bands,
+        rows=rows,
+        max_band_width=max_band_width,
+    )
     joined = (
         cand.join(
             base.select(
@@ -684,12 +734,16 @@ def embedding_near_dup_pairs(
     block_col: str = "label",
     threshold: float = 0.99,
     broadcast_rows: int = BROADCAST_ROWS,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key
     (pre-clustered label / IVF cell), (id_a < id_b, cosine ≥ τ).
     The block join bounds pair count; at scale the blocking key comes
-    from a coarse quantizer (see similarity.ivf_assign)."""
-    build_rows = df.count()
+    from a coarse quantizer (see similarity.ivf_assign).
+
+    ``broadcast`` True/False pins the pair-join strategy and skips the
+    eager sizing ``count()``; None (default) size-gates."""
+    build_rows = df.count() if broadcast is None else None
     base = spread(df).select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
@@ -699,9 +753,9 @@ def embedding_near_dup_pairs(
     b = base.select("_blk", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     # Size-gated: broadcast a bounded build side, salted shuffle join
     # beyond it (see _block_pair_join).
-    pairs = _block_pair_join(a, b, build_rows, broadcast_rows=broadcast_rows).filter(
-        F.col("id_a") < F.col("id_b")
-    )
+    pairs = _block_pair_join(
+        a, b, build_rows, broadcast_rows=broadcast_rows, broadcast=broadcast
+    ).filter(F.col("id_a") < F.col("id_b"))
     cos = cosine_similarity(F.col("_va"), F.col("_vb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))

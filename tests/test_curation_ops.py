@@ -129,3 +129,52 @@ def test_redact_pii_python_reference(spark):
     assert "<PHONE>" in out[3]["red"]
     assert out[4]["red"].count("<NUMBER>") == 2
     assert out[5]["n"] == 0 and out[5]["red"] == PII_SAMPLES[4][1]
+
+
+def test_dup_ngram_stats_boilerplate_cap(spark):
+    """Adversarial boilerplate: one shared gram in every doc.  With
+    max_doc_share set below its share, the gram drops out of BOTH
+    numerator and denominator; rare grams are untouched.  The capped
+    result must equal the Python reference computed over the corpus
+    minus the boilerplate gram class."""
+    boiler = "terms of service apply here"  # one 5-token window → one 5-gram
+    docs = [
+        (i, f"{boiler} unique{i} tail{i} word{i} extra{i} more{i}")
+        for i in range(20)
+    ]
+    # docs 0/1 additionally share a genuine duplicated 5-gram run
+    docs[0] = (0, f"{boiler} shared run of five tokens exactly zero")
+    docs[1] = (1, f"{boiler} shared run of five tokens exactly one")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: r
+        for r in curation.dup_ngram_stats(
+            df, n=5, max_doc_share=0.5
+        ).collect()
+    }
+
+    from collections import Counter
+
+    grams = {d: _ngrams(t, 5) for d, t in docs}
+    freq = Counter(g for gs in grams.values() for g in gs)
+    total = len(docs)
+    kept = {
+        d: [g for g in gs if freq[g] <= 0.5 * total] for d, gs in grams.items()
+    }
+    for d, gs in kept.items():
+        if not gs:
+            assert d not in out
+            continue
+        n_dup = sum(1 for g in gs if freq[g] > 1)
+        assert out[d]["n_grams"] == len(gs)
+        assert out[d]["n_dup"] == n_dup
+
+    # Uncapped remains the exact unfiltered statistic (default None).
+    full = {
+        r["doc_id"]: r["n_grams"]
+        for r in curation.dup_ngram_stats(df, n=5).collect()
+    }
+    for d, gs in grams.items():
+        if gs:
+            assert full[d] == len(gs)

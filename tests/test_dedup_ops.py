@@ -310,3 +310,66 @@ def test_dedup_against_existing_corpus(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_against(new, existing).collect())
     assert kept == [11, 13]
+
+
+def test_band_width_cap_drops_boilerplate_bucket(spark):
+    """Adversarial boilerplate corpus: every doc shares band 0 (same
+    leading shingle window) but is otherwise unique.  Uncapped, the
+    shared bucket alone emits n(n-1)/2 candidate pairs in one join
+    task; with the cap below n the bucket is dropped and only pairs
+    agreeing on some OTHER band survive — here, none."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    n_docs = 40
+    sig_rows = []
+    for i in range(n_docs):
+        # bands=4, rows=2 → slots 0-1 form band 0 (identical across the
+        # corpus = the boilerplate band); remaining slots unique per doc.
+        sig_rows.append((i, [7, 7] + [100 * i + j for j in range(6)]))
+    sig = spark.createDataFrame(sig_rows, "_id long, _sig array<long>")
+
+    uncapped = dedup._band_candidates(sig, bands=4, rows=2).collect()
+    assert len(uncapped) == n_docs * (n_docs - 1) // 2
+
+    capped = dedup._band_candidates(
+        sig, bands=4, rows=2, max_band_width=n_docs - 1
+    ).collect()
+    assert capped == []
+
+    # A cap ABOVE the bucket width changes nothing.
+    wide_ok = dedup._band_candidates(
+        sig, bands=4, rows=2, max_band_width=n_docs
+    ).collect()
+    assert len(wide_ok) == len(uncapped)
+
+
+def test_minhash_cap_preserves_pairs_on_real_corpus(spark):
+    """On the fixture corpus (no boilerplate bucket anywhere near the
+    default cap), minhash_lsh_pairs with the default cap returns the
+    identical pair set as the uncapped run — the cap only bites
+    adversarial skew."""
+    docs = _docs(spark, n=80)
+    kw = dict(num_hashes=32, bands=8, threshold=0.5)
+    capped = dedup.minhash_lsh_pairs(docs, **kw).collect()
+    uncapped = dedup.minhash_lsh_pairs(docs, max_band_width=None, **kw).collect()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, capped)) == sorted(map(key, uncapped))
+
+
+def test_broadcast_pin_skips_sizing_job_and_matches(spark):
+    """broadcast=True/False pins must produce the same pairs as the
+    size-gated default (the pin's purpose — skipping the eager sizing
+    count() — is structural: build_rows stays None, no count runs)."""
+    docs = _docs(spark, n=60)
+    kw = dict(block_col="lang", n=3, threshold=0.15)
+    auto = dedup.ngram_jaccard_pairs(docs, **kw)
+    pinned = dedup.ngram_jaccard_pairs(docs, broadcast=True, **kw)
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, auto.collect())) == sorted(map(key, pinned.collect()))
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    auto_e = dedup.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    pinned_e = dedup.embedding_near_dup_pairs(
+        emb, threshold=0.4, broadcast=True
+    ).collect()
+    assert sorted(map(key, auto_e)) == sorted(map(key, pinned_e))
