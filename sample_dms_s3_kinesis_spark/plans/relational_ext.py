@@ -846,7 +846,7 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
     marks = ev.select(
         "user_id",
         "event_id",
@@ -1778,12 +1778,12 @@ def q_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase") & (F.col("user_id") < 20)
     ).select(
         F.col("event_id").alias("purchase_id"),
-        F.unix_micros(F.col("ts")).alias("w_start"),
-        (F.unix_micros(F.col("ts")) + F.lit(hour_us)).alias("w_end"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("w_start"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(hour_us)).alias("w_end"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
-        F.unix_micros(F.col("ts")).alias("c_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
     )
     joined = binned_range_join(
         clicks,
