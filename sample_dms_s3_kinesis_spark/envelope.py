@@ -180,6 +180,13 @@ def control_events(
     df = spark.createDataFrame(
         rows, "seq long, schema_name string, table_name string, operation string"
     )
+    return _control_select(df, event_time=event_time)
+
+
+def _control_select(df: DataFrame, *, event_time: str | None = None) -> DataFrame:
+    """Envelope projection for control records: input frame with
+    ``(seq, schema_name, table_name, operation)`` → canonical event
+    columns with ``data: null`` and no transaction-id."""
     meta = _metadata_struct(
         record_type=F.lit("control"),
         operation=F.col("operation"),
@@ -200,6 +207,33 @@ def control_events(
             F.struct(data_null, meta), {"ignoreNullFields": "false"}
         ).alias("event_json"),
     )
+
+
+ALTER_OPERATIONS = ("rename-table", "add-column", "drop-column")
+
+
+def alter_control_events(
+    alters: DataFrame, *, event_time: str | None = None
+) -> DataFrame:
+    """Table-alter control events (``include_table_alter_operations=
+    True``, /root/reference/dms_sample/stack.py:124): DDL changes on the
+    source are REPLICATED to the event stream as control records with
+    the alter operation (rename-table / add-column / drop-column) in
+    metadata, interleaved at their position in the change stream.
+
+    Input: parsed CDC rows with ``(seq, schema_name, table_name,
+    operation)`` where operation is already the lowercased alter op
+    (the first payload token of an ``ALTER,...`` change line).  The
+    original ``seq`` passes through so the post-union global renumber
+    places the DDL exactly where it occurred relative to data changes.
+
+    Scope note (documented boundary): the engine replicates alter DDL
+    to the stream — the reference's observable contract, whose fixtures
+    never exercise ALTER — but does not evolve the target table schema;
+    a rename's subsequent rows route by the new name only if the
+    catalog's table mappings are updated, matching DMS's static
+    table-mapping behavior."""
+    return _control_select(alters, event_time=event_time)
 
 
 def assign_global_seq(events: DataFrame, *order_cols: Column | str) -> DataFrame:

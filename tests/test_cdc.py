@@ -265,3 +265,61 @@ def test_cdc_stats_cumulative_across_restart(spark, catalog, cdc_dir, tmp_path):
     # file 2 adds 1 insert + 1 update + 1 delete on employee — counters
     # continue from file 1's totals.
     assert (emp2["Inserts"], emp2["Updates"], emp2["Deletes"]) == (2, 3, 2)
+
+
+ALTER_FILE = """INSERT,department,hr,205,Design
+ALTER,department,hr,rename-table,department_v2
+ALTER,department,hr,add-column,Location
+INSERT,department,hr,206,Research
+ALTER,department,hr,drop-column,Location
+ALTER,department,hr,truncate-table
+ALTER,nosuch,hr,add-column,X"""
+
+
+def test_cdc_table_alter_control_events(spark, catalog, cdc_dir, tmp_path):
+    """include_table_alter_operations=True (stack.py:124): ALTER change
+    lines become control events at their position in the stream;
+    unsupported alter ops and unknown tables go to the exceptions
+    channel; Ddls statistics count the alters."""
+    task, sink, _ = _task(spark, catalog, cdc_dir, tmp_path)
+    write_cdc_file(cdc_dir, 1, ALTER_FILE)
+    task.process_available()
+
+    events = sink.events
+    # 4 start controls + 2 inserts + 3 supported alters
+    assert len(events) == 9
+
+    # stream order: the alter controls interleave with the data events
+    # exactly where they occurred in the file
+    tail = [
+        (e["metadata"]["record-type"], e["metadata"]["operation"])
+        for e in events[4:]
+    ]
+    assert tail == [
+        ("data", "insert"),
+        ("control", "rename-table"),
+        ("control", "add-column"),
+        ("data", "insert"),
+        ("control", "drop-column"),
+    ]
+    alter_ev = events[5]
+    assert alter_ev["data"] is None
+    assert alter_ev["metadata"]["table-name"] == "department"
+    assert alter_ev["metadata"]["schema-name"] == "hr"
+
+    # exceptions: unsupported alter op + unknown table
+    exc = {
+        (r["TABLE_NAME"], r["ERROR"])
+        for r in task.exceptions_table().collect()
+    }
+    assert ("department", "unsupported-alter-operation") in exc
+    assert ("nosuch", "table-not-in-selection") in exc
+
+    # Ddls statistics: 1 create-table (start) + 3 alter controls
+    stats = {
+        (r["SchemaName"], r["TableName"]): r
+        for r in task.table_statistics(spark).collect()
+    }
+    assert stats[("hr", "department")]["Ddls"] == 4
+    assert stats[("hr", "department")]["Inserts"] == 2
+    task.stop()
