@@ -1,0 +1,96 @@
+"""Live-ish Kinesis sink test: a real boto3 client against a moto
+HTTP server (in-process mock servers don't cross into Spark's Python
+worker processes; the HTTP server does).  Exercises the genuine
+executor-side path — ``foreachPartition`` → ``put_records`` over the
+wire — plus the consumer contract (``drain_stream``), which the
+fake-client tests in test_kinesis_sink.py cannot.
+
+Reference parity: the reference E2E drives a real (LocalStack) Kinesis
+shard end-to-end (/root/reference/run.py:107-138); this is the closest
+equivalent available in this container."""
+
+import json
+
+import pytest
+
+try:  # moto[server] needs flask; gate the whole module on it
+    import boto3
+    from moto.server import ThreadedMotoServer
+
+    _HAVE_MOTO = True
+except Exception:  # pragma: no cover
+    _HAVE_MOTO = False
+
+pytestmark = pytest.mark.skipif(
+    not _HAVE_MOTO, reason="moto server / boto3 not importable"
+)
+
+from sample_dms_s3_kinesis_spark import envelope
+from sample_dms_s3_kinesis_spark.sinks.kinesis import KinesisSink, drain_stream
+
+STREAM = "dms-events"
+
+
+@pytest.fixture(scope="module")
+def moto_kinesis():
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    host, port = server.get_host_and_port()
+    url = f"http://{host}:{port}"
+    kw = dict(
+        endpoint_url=url,
+        region_name="us-east-1",
+        aws_access_key_id="testing",
+        aws_secret_access_key="testing",
+    )
+    client = boto3.client("kinesis", **kw)
+    client.create_stream(StreamName=STREAM, ShardCount=1)
+    yield client, kw
+    server.stop()
+
+
+def test_kinesis_sink_put_records_roundtrip(spark, moto_kinesis):
+    client, kw = moto_kinesis
+    # >500 events forces the PutRecords 500-record batch split inside
+    # one partition emit.
+    events = envelope.control_events(
+        spark,
+        [("hr", f"t{i:04d}") for i in range(260)],
+        ["drop-table", "create-table"],
+    )
+    sink = KinesisSink(
+        STREAM,
+        client_factory=lambda: boto3.client("kinesis", **kw),
+    )
+    sink.write(events)
+
+    records = drain_stream(client, STREAM)
+    assert len(records) == 520
+    # FIFO within the single shard: seqs arrive in emitted order.
+    payloads = [json.loads(r["data"]) for r in records]
+    # control envelope: data null, metadata carries the operation
+    assert payloads[0]["data"] is None
+    ops = [p["metadata"]["operation"] for p in payloads]
+    assert ops[:2] == ["drop-table", "create-table"]
+    tables = [p["metadata"]["table-name"] for p in payloads]
+    assert tables[0] == "t0000" and tables[-1] == "t0259"
+    # partition key convention "{schema}.{table}"
+    assert records[0]["partition_key"] == "hr.t0000"
+
+
+def test_kinesis_arrival_ts_filter(spark, moto_kinesis):
+    """O11: the consumer keeps records with arrival time strictly
+    greater than the cutoff — records already in the stream from the
+    previous test are filtered out by a now() cutoff."""
+    import time
+
+    client, kw = moto_kinesis
+    cutoff = time.time()
+    time.sleep(1.1)  # moto arrival timestamps have 1s granularity
+    events = envelope.control_events(spark, [("hr", "late")], ["create-table"])
+    KinesisSink(
+        STREAM, client_factory=lambda: boto3.client("kinesis", **kw)
+    ).write(events)
+    records = drain_stream(client, STREAM, min_arrival_ts=cutoff)
+    names = {json.loads(r["data"])["metadata"]["table-name"] for r in records}
+    assert names == {"late"}
