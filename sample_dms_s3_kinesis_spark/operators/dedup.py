@@ -118,6 +118,42 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_canonical(
+    df: DataFrame,
+    priority: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup with PRIORITY-based survivor selection: per distinct
+    content, keep the document with the lowest ``priority`` value
+    (source-rank tie-broken by id) — the production rule "prefer the
+    curated source's copy over the crawl's" rather than blind min-id.
+
+    Same 100 TB shape as :func:`dedup_exact`: the groupBy key is the
+    16-byte md5 digest, never the body, and the survivor is picked with
+    ``min_by`` inside the aggregate (one shuffle, no window, no second
+    pass).  Output: (id_col, group_size, src_priority) where
+    src_priority is the surviving copy's priority.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        priority.cast("long").alias("_prio"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    return (
+        keyed.groupBy("_h")
+        .agg(
+            F.min_by(
+                F.col(id_col), F.struct(F.col("_prio"), F.col(id_col))
+            ).alias(id_col),
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("_prio").alias("src_priority"),
+        )
+        .select(id_col, "group_size", "src_priority")
+    )
+
+
 def dedup_against(
     new: DataFrame,
     existing: DataFrame,
@@ -290,12 +326,18 @@ def _band_candidates(
     bucket shared by w docs emits w² pairs in ONE join task, so a
     single boilerplate shingle window (license header, nav bar) shared
     by millions of docs turns the bucket join into an effective cross
-    join.  Buckets wider than the cap are dropped before the self-join
-    (an anti-join against the tiny over-cap bucket list, which
-    broadcasts).  Candidates lost are only pairs whose SOLE agreeing
-    band is the boilerplate one — genuinely similar docs agree on other
-    bands too; with b bands the chance a true near-dup pair survives in
-    no other band is (1-s^r)^(b-1), negligible at the default shapes."""
+    join.  The bucket width is attached via a count-window partitioned
+    by the SAME (band, hash) key the self-join shuffles on — Catalyst
+    reuses that exchange, so the cap adds no extra shuffle or scan —
+    and over-cap buckets are filtered out before pairing.  The hot
+    bucket does land on one window task, but counting is O(w), not the
+    O(w²) the join would pay.  Candidates lost are only pairs whose
+    SOLE agreeing band is the boilerplate one — genuinely similar docs
+    agree on other bands too; with b bands the chance a true near-dup
+    pair survives in no other band is (1-s^r)^(b-1), negligible at the
+    default shapes."""
+    from pyspark.sql import Window
+
     banded = sig_df.select(
         "_id",
         F.posexplode(_band_hashes(F.col("_sig"), bands=bands, rows=rows)).alias(
@@ -303,14 +345,11 @@ def _band_candidates(
         ),
     )
     if max_band_width is not None:
-        wide = (
-            banded.groupBy("_band", "_bh")
-            .agg(F.count(F.lit(1)).alias("_w"))
-            .filter(F.col("_w") > max_band_width)
-            .select("_band", "_bh")
-        )
-        banded = banded.join(
-            F.broadcast(wide), on=["_band", "_bh"], how="left_anti"
+        wb = Window.partitionBy("_band", "_bh")
+        banded = (
+            banded.withColumn("_w", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_w") <= max_band_width)
+            .drop("_w")
         )
     return (
         banded.alias("x")

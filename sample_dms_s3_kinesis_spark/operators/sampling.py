@@ -373,3 +373,35 @@ def assign_shards(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_dig")
     )
+
+
+def corpus_composition(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-composition report: documents, tokens, and token share
+    per group (source × language) — the mixing table every pretraining
+    data pipeline publishes before sampling weights are chosen.
+
+    One hash aggregate over the corpus (map-side partial combine, the
+    shuffle carries one row per group per partition); the share window
+    runs over the post-aggregate frame, which is O(groups) rows, so the
+    single-partition window task is trivially bounded.  Output:
+    (*group_cols, n_docs, n_tokens, token_share)."""
+    from sample_dms_s3_kinesis_spark.operators.text import token_count
+
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
+        ).alias("token_share"),
+    )

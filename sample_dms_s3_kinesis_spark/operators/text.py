@@ -90,6 +90,46 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Composite linear quality score in [0, 1] plus a keep decision —
+    the fixed-weight stand-in for a learned quality classifier (the
+    CCNet/Gopher-style rule stack), entirely Catalyst expressions:
+
+      0.4 · min(n_tokens/64, 1)          (length)
+      0.3 · min(5 · stopword_ratio, 1)   (naturalness)
+      0.3 · distinct_tokens/tokens       (non-repetitiveness)
+
+    Every component is SQL-replicable token math, so the whole score is
+    oracle-checkable.  Output: (id_col, quality_score, keep:int).
+    One narrow projection, no shuffle, no UDFs."""
+    c = F.col(text_col)
+    toks = tokens(F.lower(c))
+    n_tok = F.size(toks).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double")
+        / n_tok
+    )
+    stop_score = F.least(F.lit(5.0) * stop_ratio, F.lit(1.0))
+    uniq_score = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    score = F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * uniq_score,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        score.alias("quality_score"),
+        (score >= F.lit(threshold)).cast("int").alias("keep"),
+    )
+
+
 def _marker_score(col: Column, lang: str) -> Column:
     markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
     return F.size(F.filter(tokens(F.lower(col)), lambda t: F.array_contains(markers, t)))

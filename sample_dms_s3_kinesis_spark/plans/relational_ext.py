@@ -2220,3 +2220,100 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 2 == 1)
     existing = d.filter(F.col("doc_id") % 2 == 0)
     return dedup_against(new, existing)
+
+
+# =====================================================================
+# round-4 additions: canonical dedup, quality scoring, composition
+# =====================================================================
+
+@_register(
+    "q_dedup_canonical",
+    """
+    WITH pr AS (
+      SELECT doc_id, text,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 0
+                  WHEN source IN ('src5','src6','src7','src8','src9') THEN 1
+                  ELSE 2 END AS prio
+      FROM documents),
+    g AS (
+      SELECT doc_id, prio,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY prio, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY text) AS gs,
+             MIN(prio) OVER (PARTITION BY text) AS mp
+      FROM pr)
+    SELECT doc_id, CAST(gs AS BIGINT) AS group_size,
+           CAST(mp AS BIGINT) AS src_priority
+    FROM g WHERE rn = 1
+    """,
+    "exact dedup with priority-based survivor selection (prefer curated "
+    "sources over crawl copies, id tie-break) via min_by in one digest "
+    "aggregate",
+    "dedup: canonical survivor selection",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import dedup_canonical
+
+    d = t(spark, sf_dir, "documents")
+    tier1 = [f"src{i}" for i in range(5)]
+    tier2 = [f"src{i}" for i in range(5, 10)]
+    prio = (
+        F.when(F.col("source").isin(tier1), F.lit(0))
+        .when(F.col("source").isin(tier2), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return dedup_canonical(d, prio)
+
+
+@_register(
+    "q_quality_score_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS tkl
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             ROUND(
+               0.4 * LEAST(CAST(len(tkl) AS DOUBLE) / 64, 1.0)
+             + 0.3 * LEAST(5.0 * CAST(len(list_filter(tkl, x -> x IN
+                 ('the','a','an','of','and','to','in','is','it','for')))
+                 AS DOUBLE) / len(tkl), 1.0)
+             + 0.3 * CAST(len(list_distinct(tkl)) AS DOUBLE) / len(tkl),
+             6) AS quality_score
+      FROM toks)
+    SELECT doc_id, quality_score,
+           CAST(quality_score >= 0.5 AS INT) AS keep
+    FROM s
+    """,
+    "fixed-weight composite quality score (length, stopword, "
+    "distinct-token components) + keep decision — the linear stand-in "
+    "for a learned quality classifier",
+    "text: quality filtering",
+)
+def q_quality_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.text import quality_score
+
+    return quality_score(t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_corpus_composition",
+    """
+    WITH g AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+      FROM documents GROUP BY source, lang)
+    SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+             AS token_share
+    FROM g
+    """,
+    "corpus composition: docs, tokens, token share per (source, lang) — "
+    "the pre-sampling mixing report",
+    "sampling: corpus composition",
+)
+def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.sampling import corpus_composition
+
+    return corpus_composition(t(spark, sf_dir, "documents"))

@@ -373,3 +373,23 @@ def test_broadcast_pin_skips_sizing_job_and_matches(spark):
         emb, threshold=0.4, broadcast=True
     ).collect()
     assert sorted(map(key, auto_e)) == sorted(map(key, pinned_e))
+
+
+def test_dedup_canonical_priority_survivor(spark):
+    """Survivor per content group = lowest (priority, id), not min id."""
+    df = spark.createDataFrame(
+        [
+            (1, "aaa", 2),  # crawl copy, lowest id
+            (2, "aaa", 0),  # curated copy → must win despite higher id
+            (3, "aaa", 1),
+            (4, "bbb", 1),
+            (5, "bbb", 1),  # tie on priority → min id 4 wins
+            (6, "ccc", 2),  # singleton
+        ],
+        "doc_id long, text string, prio int",
+    )
+    out = {
+        r["doc_id"]: (r["group_size"], r["src_priority"])
+        for r in dedup.dedup_canonical(df, F.col("prio")).collect()
+    }
+    assert out == {2: (3, 0), 4: (2, 1), 6: (1, 2)}

@@ -316,3 +316,31 @@ def test_assign_shards_bounds(spark):
         assign_shards(df, num_shards=0)
     with _pytest.raises(ValueError):
         assign_shards(df, num_shards=5000)
+
+
+def test_corpus_composition_python_reference(spark):
+    from collections import defaultdict
+
+    from sample_dms_s3_kinesis_spark.operators.sampling import corpus_composition
+
+    rows = [
+        (1, "one two three", "s1", "en"),
+        (2, "four five", "s1", "en"),
+        (3, "six", "s2", "en"),
+        (4, "sept huit neuf dix", "s2", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    out = {
+        (r["source"], r["lang"]): r
+        for r in corpus_composition(df).collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for _, text, src, lang in rows:
+        agg[(src, lang)][0] += 1
+        agg[(src, lang)][1] += len(text.split())
+    total = sum(v[1] for v in agg.values())
+    assert set(out) == set(agg)
+    for k, (nd, nt) in agg.items():
+        assert out[k]["n_docs"] == nd
+        assert out[k]["n_tokens"] == nt
+        assert abs(out[k]["token_share"] - round(nt / total, 6)) <= 1e-9

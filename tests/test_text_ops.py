@@ -246,3 +246,25 @@ def test_functions_package_surface_resolves(spark):
         EF.fingerprint(F.col("text")).alias("fp"),
     ).first()
     assert row["n"] == 4 and len(row["b"]) == 8 and len(row["fp"]) == 32
+
+
+def test_quality_score_python_reference(spark):
+    from sample_dms_s3_kinesis_spark.operators.text import STOPWORDS, quality_score
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "word word word word word"),
+        (3, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 4),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_score(df, threshold=0.5).collect()}
+    for doc_id, s in docs:
+        tkl = s.lower().strip().split()
+        n = len(tkl)
+        len_s = min(n / 64, 1.0)
+        stop_s = min(5.0 * sum(1 for x in tkl if x in STOPWORDS) / n, 1.0)
+        uniq_s = len(set(tkl)) / n
+        score = round(0.4 * len_s + 0.3 * stop_s + 0.3 * uniq_s, 6)
+        assert abs(got[doc_id]["quality_score"] - score) <= 1e-9
+        assert got[doc_id]["keep"] == int(score >= 0.5)
