@@ -94,3 +94,28 @@ def test_assign_shards_reads_documents_once(spark):
     plan = _plan(spark, "q_assign_shards")
     assert plan.count("documents.parquet") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_band_cap_reuses_candidate_join_exchange(spark):
+    """The band-width cap attaches bucket width via a count-window
+    partitioned by the SAME (band, hash) key the candidate self-join
+    shuffles on — the plan must reuse that exchange (no extra scan or
+    aggregate pass for the cap) and stay broadcast-free on the cap
+    path."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    capped = dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, threshold=0.5
+    )
+    capped.collect()  # AQE finalizes exchange reuse only after execution
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    # the cap adds no broadcast build (it is a window filter, not a join)
+    assert "Window" in plan
