@@ -232,3 +232,84 @@ def unigram_lm_stats(
             F.round((-F.sum(term)) / F.count("*"), 6).alias("cross_entropy"),
         )
     )
+
+
+# ------------------------------------------- duplicated-span coverage
+
+def dup_span_coverage(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """RefinedWeb-style duplicated-SPAN coverage: for each document,
+    the number of token positions covered by at least one word n-gram
+    window that also appears in ANOTHER document, and the fraction of
+    the document those positions make up.  Stronger than
+    :func:`dup_ngram_stats` (which counts gram classes): overlapping
+    duplicated windows are merged, so the output is the true footprint
+    of cross-document duplicated text.
+
+    Plan: positional grams (posexplode, every window, not distinct) →
+    doc-frequency per gram class from the DISTINCT (doc, gram) pairs
+    (partial-agg groupBy on the 8-byte digest) → inner join positional
+    grams to duplicated classes (digest shuffle) → per-doc interval
+    union via one window pass (running max of span end; each span adds
+    ``end - max(start-1, prev_max_end)`` clamped at 0 — the standard
+    sweep-line union without a self-join).  Shuffles carry digests and
+    (doc, pos) pairs only.
+
+    Output: (id_col, n_tokens, covered_tokens, span_frac); documents
+    with fewer than ``n`` tokens, or with no cross-document duplicated
+    window at all, don't appear (join semantics — absent means clean).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = spread(corpus).select(
+        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_nt")
+    ).filter(F.col("_nt") >= n)
+    # positional grams: window i covers tokens [i, i+n-1], 0-based
+    pos_grams = base.select(
+        id_col,
+        "_nt",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_nt") - (n - 1)),
+                lambda i: gram_digest(F.concat_ws(" ", F.slice("_tk", i, n))),
+            )
+        ).alias("_pos", "_g"),
+    )
+    dup_classes = (
+        pos_grams.select(id_col, "_g")
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 1)
+        .select("_g")
+    )
+    spans = pos_grams.join(dup_classes, on="_g").select(
+        id_col, "_nt", F.col("_pos").alias("_s"), (F.col("_pos") + n - 1).alias("_e")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max("_e").over(w)
+    add = F.col("_e") - F.greatest(
+        F.col("_s") - 1, F.coalesce(prev_end, F.lit(-1))
+    )
+    covered = F.when(add > 0, add).otherwise(F.lit(0))
+    return (
+        spans.withColumn("_add", covered)
+        .groupBy(id_col)
+        .agg(
+            F.max("_nt").cast("long").alias("n_tokens"),
+            F.sum("_add").cast("long").alias("covered_tokens"),
+            F.round(
+                F.sum("_add").cast("double") / F.max("_nt").cast("double"), 6
+            ).alias("span_frac"),
+        )
+    )

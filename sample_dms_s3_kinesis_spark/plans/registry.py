@@ -1172,6 +1172,7 @@ DRIVER_WINDOW: list[str] = [
     "q_dedup_canonical",
     "q_quality_score_filter",
     "q_corpus_composition",
+    "q_dup_span_coverage",
     # --- code paths changed in round 4: re-verify under the driver ---
     "q_sessionize_events",
     "q_binned_range_join",
@@ -1213,7 +1214,6 @@ DRIVER_WINDOW: list[str] = [
     "q_embedding_centroids",
     "q_two_phase_distinct",
     "q_salted_join_agg",
-    "q_mixture_sample",
     "q_multimodal_features",     # rows-only: binary decode, pytest-proven
 ]
 

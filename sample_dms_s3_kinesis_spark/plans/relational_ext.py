@@ -2317,3 +2317,46 @@ def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators.sampling import corpus_composition
 
     return corpus_composition(t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_dup_span_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tkl
+      FROM documents),
+    base AS (
+      SELECT doc_id, tkl, len(tkl) AS nt FROM toks WHERE len(tkl) >= 5),
+    pg AS (
+      SELECT doc_id, nt, i - 1 AS s, i + 3 AS e,
+             array_to_string(tkl[i:i+4], ' ') AS g
+      FROM base, UNNEST(range(1, nt - 3)) AS t(i)),
+    dupg AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM pg)
+      GROUP BY g HAVING COUNT(*) > 1),
+    spans AS (
+      SELECT p.doc_id, p.nt, p.s, p.e FROM pg p JOIN dupg d USING (g)),
+    sw AS (
+      SELECT doc_id, nt, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      FROM spans),
+    adds AS (
+      SELECT doc_id, nt,
+             GREATEST(e - GREATEST(s - 1, COALESCE(pe, -1)), 0) AS a
+      FROM sw)
+    SELECT doc_id, CAST(MAX(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(a) AS BIGINT) AS covered_tokens,
+           ROUND(CAST(SUM(a) AS DOUBLE) / MAX(nt), 6) AS span_frac
+    FROM adds GROUP BY doc_id
+    """,
+    "duplicated-SPAN coverage: per doc, token positions covered by any "
+    "cross-document duplicated n-gram window (interval union via "
+    "sweep-line window, no self-join) — the RefinedWeb duplicated-text "
+    "footprint",
+    "curation: duplicated-span coverage",
+)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.curation import dup_span_coverage
+
+    return dup_span_coverage(t(spark, sf_dir, "documents"), n=5)

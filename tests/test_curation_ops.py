@@ -178,3 +178,58 @@ def test_dup_ngram_stats_boilerplate_cap(spark):
     for d, gs in grams.items():
         if gs:
             assert full[d] == len(gs)
+
+
+def test_dup_span_coverage_python_reference(spark):
+    """Interval-union semantics: overlapping duplicated windows merge;
+    clean docs and short docs are absent."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens → 2 5-windows
+    docs = [
+        # docs 0/1 share a 6-token run at different offsets
+        (0, f"{shared} unique0a unique0b unique0c"),
+        (1, f"lead1a lead1b {shared} tail1"),
+        # doc 2: clean (no cross-doc 5-gram)
+        (2, "one two three four five six seven eight"),
+        # doc 3: too short for any 5-gram
+        (3, "tiny doc"),
+        # docs 4/5: exact copies — full coverage
+        (4, "copy one two copy three copy four copy five copy"),
+        (5, "copy one two copy three copy four copy five copy"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from sample_dms_s3_kinesis_spark.operators.curation import dup_span_coverage
+
+    out = {r["doc_id"]: r for r in dup_span_coverage(df, n=5).collect()}
+
+    # Python reference: interval union over duplicated windows
+    from collections import defaultdict
+
+    n = 5
+    toks = {d: t.lower().split() for d, t in docs}
+    windows = {
+        d: [tuple(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        for d, tk in toks.items()
+    }
+    by_gram = defaultdict(set)
+    for d, ws in windows.items():
+        for g in ws:
+            by_gram[g].add(d)
+    expected = {}
+    for d, ws in windows.items():
+        spans = [
+            (i, i + n - 1) for i, g in enumerate(ws) if len(by_gram[g]) > 1
+        ]
+        if not spans:
+            continue
+        covered, prev_end = 0, -1
+        for s, e in spans:
+            covered += max(0, e - max(s - 1, prev_end))
+            prev_end = max(prev_end, e)
+        expected[d] = (len(toks[d]), covered, round(covered / len(toks[d]), 6))
+    assert set(out) == set(expected)
+    for d, (nt, cov, frac) in expected.items():
+        assert out[d]["n_tokens"] == nt
+        assert out[d]["covered_tokens"] == cov
+        assert abs(out[d]["span_frac"] - frac) <= 1e-9
+    assert 2 not in out and 3 not in out
+    assert out[4]["span_frac"] == 1.0 and out[5]["span_frac"] == 1.0
