@@ -371,3 +371,39 @@ def pii_count(col: Column, kinds: tuple[str, ...] = ("email", "ipv4", "number"))
     # default legacy.sizeOfNull (NULL under ANSI) — either way null text
     # must count 0, not a negative/null total.
     return F.when(col.isNull(), F.lit(0).cast("long")).otherwise(total)
+
+
+def vocab_topk(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent tokens per group (language) with counts —
+    the heavy-hitter vocabulary build that precedes tokenizer training.
+
+    Plan: explode tokens map-side → groupBy (group, token) with partial
+    map-side aggregation (the shuffle carries one row per distinct
+    token per partition, so hot tokens like 'the' never concentrate raw
+    occurrences on one task) → per-group rank window over the
+    AGGREGATED frame, which is O(vocab) rows, not O(token stream).
+    Ties break on token asc for determinism.
+    Output: (group_col, rank, token, n_occurrences)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.col(group_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", "token", "n_occurrences")
+    )

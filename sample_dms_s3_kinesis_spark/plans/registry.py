@@ -1173,6 +1173,7 @@ DRIVER_WINDOW: list[str] = [
     "q_quality_score_filter",
     "q_corpus_composition",
     "q_dup_span_coverage",
+    "q_vocab_topk",
     # --- code paths changed in round 4: re-verify under the driver ---
     "q_sessionize_events",
     "q_binned_range_join",
@@ -1212,7 +1213,6 @@ DRIVER_WINDOW: list[str] = [
     "q_text_quality",
     "q_ann_cosine_topk",
     "q_embedding_centroids",
-    "q_two_phase_distinct",
     "q_salted_join_agg",
     "q_multimodal_features",     # rows-only: binary decode, pytest-proven
 ]

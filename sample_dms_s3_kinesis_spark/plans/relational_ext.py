@@ -2360,3 +2360,32 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators.curation import dup_span_coverage
 
     return dup_span_coverage(t(spark, sf_dir, "documents"), n=5)
+
+
+@_register(
+    "q_vocab_topk",
+    """
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS n_occurrences
+      FROM tok GROUP BY lang, token),
+    ranked AS (
+      SELECT lang, token, n_occurrences,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY n_occurrences DESC, token ASC) AS rank
+      FROM counts)
+    SELECT lang, CAST(rank AS INT) AS rank, token,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM ranked WHERE rank <= 20
+    """,
+    "top-20 most frequent tokens per language (heavy-hitter vocabulary "
+    "build preceding tokenizer training); partial-agg shuffle, rank "
+    "window over the O(vocab) aggregate only",
+    "text: vocabulary build",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.text import vocab_topk
+
+    return vocab_topk(t(spark, sf_dir, "documents"), k=20)

@@ -268,3 +268,29 @@ def test_quality_score_python_reference(spark):
         score = round(0.4 * len_s + 0.3 * stop_s + 0.3 * uniq_s, 6)
         assert abs(got[doc_id]["quality_score"] - score) <= 1e-9
         assert got[doc_id]["keep"] == int(score >= 0.5)
+
+
+def test_vocab_topk_python_reference(spark):
+    from collections import Counter
+
+    from sample_dms_s3_kinesis_spark.operators.text import vocab_topk
+
+    docs = [
+        (1, "the cat and the dog and the bird", "en"),
+        (2, "the dog runs and runs", "en"),
+        (3, "der hund und der ball und", "de"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = [
+        (r["lang"], r["rank"], r["token"], r["n_occurrences"])
+        for r in vocab_topk(df, k=3).collect()
+    ]
+    expected = []
+    by_lang = {}
+    for _, text, lang in docs:
+        by_lang.setdefault(lang, Counter()).update(text.lower().split())
+    for lang, counts in by_lang.items():
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for i, (tok, n) in enumerate(ranked, 1):
+            expected.append((lang, i, tok, n))
+    assert sorted(out) == sorted(expected)
