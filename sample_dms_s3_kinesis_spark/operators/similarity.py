@@ -317,6 +317,39 @@ class IvfIndex:
             probed, query_vec, k=k, vec_col=self.vec_col, id_col=self.id_col
         )
 
+    # -- persistence ---------------------------------------------------
+    # The durable service shape: build once, WRITE the index, serve many
+    # sessions.  The assignment frame is written partitioned BY CELL, so
+    # a loaded index's probe filter (`cell IN (...)`) becomes parquet
+    # PARTITION PRUNING — at 100 TB a probe reads nprobe/cells of the
+    # corpus from storage instead of scanning and filtering it.
+
+    def save(self, path: str) -> None:
+        path = path.rstrip("/")
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        (
+            self.assigned.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/assigned")
+        )
+        meta = self.centroids.sparkSession.createDataFrame(
+            [(self.vec_col, self.id_col)], "vec_col string, id_col string"
+        )
+        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        path = path.rstrip("/")
+        meta = spark.read.json(f"{path}/meta").collect()[0]
+        centroids = spark.read.parquet(f"{path}/centroids")
+        assigned = spark.read.parquet(f"{path}/assigned")
+        return cls(
+            centroids,
+            assigned,
+            vec_col=meta["vec_col"],
+            id_col=meta["id_col"],
+        )
+
 
 # ------------------------------------------------------- vector utils
 

@@ -218,3 +218,36 @@ def test_centroid_seed_selection_avoids_global_sort(spark):
     rows = cent.collect()
     assert len(rows) == 16
     assert sorted(r["cell"] for r in rows) == list(range(16))
+
+
+def test_ivf_index_save_load_roundtrip_with_partition_pruning(spark, tmp_path):
+    """A saved index reloads to identical search results, and the
+    loaded index's probe filter prunes parquet partitions (the
+    assignment is written partitionBy(cell), so `cell IN (...)` reads
+    nprobe/cells of the corpus from storage)."""
+    emb = _emb(spark)
+    rows = emb.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+
+    idx = similarity.IvfIndex.build(emb, cells=8)
+    before = [
+        (r["vec_id"], r["cosine"])
+        for r in idx.search(q, k=5, nprobe=2)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+
+    loaded = similarity.IvfIndex.load(spark, path)
+    result = loaded.search(q, k=5, nprobe=2)
+    after = [
+        (r["vec_id"], r["cosine"]) for r in result.orderBy("vec_id").collect()
+    ]
+    assert after == before
+
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    # probe filter reached the scan as a partition filter (pruning),
+    # not a post-scan row filter
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters:")[1][:200]
