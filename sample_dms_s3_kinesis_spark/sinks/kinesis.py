@@ -138,6 +138,10 @@ def drain_stream(
                         }
                     )
             it = resp.get("NextShardIterator")
-            if resp.get("MillisBehindLatest", 0) == 0:
+            # Stop only on an EMPTY page while caught up: a server may
+            # report MillisBehindLatest == 0 on a page that still left
+            # records behind it (one page per get_records call), and
+            # breaking there silently drops the tail of the shard.
+            if not resp["Records"] and resp.get("MillisBehindLatest", 0) == 0:
                 break
     return out

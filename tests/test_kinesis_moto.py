@@ -94,3 +94,35 @@ def test_kinesis_arrival_ts_filter(spark, moto_kinesis):
     records = drain_stream(client, STREAM, min_arrival_ts=cutoff)
     names = {json.loads(r["data"])["metadata"]["table-name"] for r in records}
     assert names == {"late"}
+
+
+def test_multi_shard_sink_preserves_per_key_order(spark, moto_kinesis):
+    """num_shards>1: total order is NOT guaranteed, but records for one
+    partition key must arrive FIFO within their shard — exactly the
+    N-shard Kinesis contract (the reference uses 1 shard; the engine
+    generalizes)."""
+    client, kw = moto_kinesis
+    client.create_stream(StreamName="dms-multi", ShardCount=2)
+    events = envelope.control_events(
+        spark,
+        [("hr", f"m{i:03d}") for i in range(40)],
+        ["drop-table", "create-table"],
+    )
+    sink = KinesisSink(
+        "dms-multi",
+        num_shards=2,
+        client_factory=lambda: boto3.client("kinesis", **kw),
+    )
+    sink.write(events)
+    records = drain_stream(client, "dms-multi")
+    assert len(records) == 80
+    # per partition key, the (drop-table, create-table) pair arrives in
+    # seq order within its shard's record sequence
+    seen = {}
+    for i, r in enumerate(records):
+        seen.setdefault(r["partition_key"], []).append(
+            json.loads(r["data"])["metadata"]["operation"]
+        )
+    assert set(len(v) for v in seen.values()) == {2}
+    for key, ops in seen.items():
+        assert ops == ["drop-table", "create-table"], key
