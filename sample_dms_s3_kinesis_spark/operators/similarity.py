@@ -398,3 +398,67 @@ def label_centroids(
     if scale is not None:
         comps = [F.round(c, scale) for c in comps]
     return out.select(label_col, F.array(*comps).alias("centroid"))
+
+
+def quantization_params(
+    df: DataFrame, *, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Per-dimension (min, max) over the corpus — the scalar-quantizer
+    calibration.  One wide aggregate (2·dim scalars through a single
+    partial-agg shuffle), no explode.  Output: one row,
+    ``mins array<double>, maxs array<double>``."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    v = F.col(vec_col).cast("array<double>")
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.get(v, i)).alias(f"_mn{i}"))
+        aggs.append(F.max(F.get(v, i)).alias(f"_mx{i}"))
+    row = df.agg(*aggs)
+    return row.select(
+        F.array(*[F.col(f"_mn{i}") for i in range(dim)]).alias("mins"),
+        F.array(*[F.col(f"_mx{i}") for i in range(dim)]).alias("maxs"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    params: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar int8 quantization: each component maps linearly from its
+    per-dimension [min, max] onto 0..255 (stored −128..127) — 4-8×
+    storage reduction for an embedding corpus, the first step of an
+    IVF+SQ index.  The 2·dim-double params row is crossJoin-broadcast;
+    the math is zip_with over arrays, fully JVM-side.  A constant
+    dimension (max == min) quantizes to 0.  Output:
+    (id_col, qvec array<int> in [-128, 127])."""
+    q = (
+        F.zip_with(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("mins"),
+                lambda x, mn: x - mn,
+            ),
+            F.zip_with(F.col("maxs"), F.col("mins"), lambda mx, mn: mx - mn),
+            lambda d, rng: F.when(
+                rng > 0,
+                F.round(d / rng * F.lit(255.0)).cast("int") - F.lit(128),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return df.crossJoin(F.broadcast(params)).select(
+        F.col(id_col), q.alias("qvec")
+    )
+
+
+def dequantize(qvec: Column, mins: Column, maxs: Column) -> Column:
+    """Inverse map back to doubles (quantization error ≤ range/510 per
+    component) — used by search paths that score on quantized storage."""
+    return F.zip_with(
+        F.zip_with(qvec, mins, lambda qc, mn: F.struct(qc.alias("q"), mn.alias("mn"))),
+        F.zip_with(maxs, mins, lambda mx, mn: mx - mn),
+        lambda s, rng: s["mn"] + (s["q"].cast("double") + F.lit(128.0)) / F.lit(255.0) * rng,
+    )

@@ -1174,6 +1174,8 @@ DRIVER_WINDOW: list[str] = [
     "q_corpus_composition",
     "q_dup_span_coverage",
     "q_vocab_topk",
+    "q_embedding_quantize",
+    "q_length_histogram",
     # --- code paths changed in round 4: re-verify under the driver ---
     "q_sessionize_events",
     "q_binned_range_join",
@@ -1192,11 +1194,9 @@ DRIVER_WINDOW: list[str] = [
     "q03_shipping_priority",
     "q08_market_share",
     "q18_large_orders",
-    "q_top_orders",
     "q_union_priorities",
     "q_semi_join",
     "q_anti_join",
-    "q_like_filter",
     "q_conditional_agg_events",
     "q_latest_wins_events",
     "q_running_sum_events",

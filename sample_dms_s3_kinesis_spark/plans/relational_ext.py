@@ -2389,3 +2389,66 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators.text import vocab_topk
 
     return vocab_topk(t(spark, sf_dir, "documents"), k=20)
+
+
+@_register(
+    "q_embedding_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (
+      SELECT i FROM UNNEST(range(1, 1 + len((SELECT e FROM v LIMIT 1)))) AS t(i)),
+    params AS (
+      SELECT i, MIN(e[i]) AS mn, MAX(e[i]) AS mx
+      FROM v, dims GROUP BY i),
+    q AS (
+      SELECT v.vec_id, p.i,
+             CASE WHEN p.mx > p.mn
+                  THEN CAST(ROUND((v.e[p.i] - p.mn) / (p.mx - p.mn) * 255) AS INT) - 128
+                  ELSE 0 END AS qc
+      FROM v, params p)
+    SELECT vec_id,
+           to_json(list(qc ORDER BY i)) AS qvec
+    FROM q GROUP BY vec_id
+    """,
+    "scalar int8 quantization of the embedding corpus (per-dimension "
+    "min/max calibration in one wide aggregate; 4-8x storage for "
+    "IVF+SQ indexes); qvec serialized to JSON for the hash gate",
+    "similarity: scalar quantization",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        quantization_params,
+        quantize_embeddings,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    params = quantization_params(emb)
+    out = quantize_embeddings(emb, params)
+    return out.select("vec_id", F.to_json("qvec").alias("qvec"))
+
+
+@_register(
+    "q_length_histogram",
+    """
+    SELECT lang,
+           CAST(len(string_split_regex(trim(text), '\\s+')) // 10 * 10 AS BIGINT)
+             AS len_bucket,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang, len_bucket
+    """,
+    "document token-length histogram per language (width-10 buckets) — "
+    "the length-distribution report behind truncation/packing choices",
+    "text: length distribution",
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.floor(token_count(F.col("text")) / F.lit(10)) * F.lit(10)
+    ).cast("long")
+    return d.groupBy("lang", bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -251,3 +251,63 @@ def test_ivf_index_save_load_roundtrip_with_partition_pruning(spark, tmp_path):
     # not a post-scan row filter
     assert "PartitionFilters: [" in plan
     assert "cell" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        dequantize,
+        quantization_params,
+        quantize_embeddings,
+    )
+
+    emb = _emb(spark)
+    params = quantization_params(emb)
+    p = params.collect()[0]
+    mins, maxs = p["mins"], p["maxs"]
+    q = quantize_embeddings(emb, params)
+    # all components in int8 range
+    rng = q.select(
+        F.min(F.array_min("qvec")).alias("lo"), F.max(F.array_max("qvec")).alias("hi")
+    ).collect()[0]
+    assert rng["lo"] >= -128 and rng["hi"] <= 127
+
+    # dequantized reconstruction error ≤ half a quantization step/dim
+    joined = emb.join(q, on="vec_id").select(
+        F.col("embedding").cast("array<double>").alias("v"),
+        dequantize(
+            F.col("qvec"),
+            F.array(*[F.lit(float(x)) for x in mins]),
+            F.array(*[F.lit(float(x)) for x in maxs]),
+        ).alias("dv"),
+    )
+    rows = joined.collect()
+    steps = [(mx - mn) / 255.0 for mn, mx in zip(mins, maxs)]
+    for r in rows:
+        for x, dx, step in zip(r["v"], r["dv"], steps):
+            assert abs(x - dx) <= step / 2 + 1e-9
+
+
+def test_quantize_python_reference(spark):
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        quantization_params,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (0, [0.0, -1.0, 5.0]),
+        (1, [1.0, 1.0, 5.0]),
+        (2, [0.5, 0.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    params = quantization_params(df, dim=3)
+    out = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(df, params).collect()}
+    mins = [0.0, -1.0, 5.0]
+    maxs = [1.0, 1.0, 5.0]
+    for vid, v in rows:
+        exp = []
+        for x, mn, mx in zip(v, mins, maxs):
+            if mx > mn:
+                exp.append(int(round((x - mn) / (mx - mn) * 255)) - 128)
+            else:
+                exp.append(0)  # constant dimension
+        assert out[vid] == exp, (vid, out[vid], exp)
