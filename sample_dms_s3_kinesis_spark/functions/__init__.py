@@ -14,28 +14,43 @@ Families:
 - text:        ``tokens``, ``token_count``, ``char_count``,
                ``punct_count``, ``stopword_count``, ``avg_token_len``,
                ``lang_id``, ``fingerprint``, ``rolling_hashes``,
-               ``bpe_ish_tokens``, ``bpe_ish_token_count``
-- shingling:   ``token_ngrams``, ``minhash_signature``
-- similarity:  ``cosine_similarity``, ``hyperplane_signature``
+               ``bpe_ish_tokens``, ``bpe_ish_token_count``,
+               ``dup_token_fraction``, ``normalize_text``,
+               ``redact_pii``, ``pii_count``
+- shingling:   ``token_ngrams``, ``minhash_signature``, ``simhash``
+- similarity:  ``cosine_similarity``, ``hyperplane_signature``,
+               ``l2_norm``, ``l2_normalize``, ``dequantize``
 - sampling:    ``hash_bucket`` (deterministic md5 bucket — the seed of
                every split/sample operator)
+- curation:    ``gram_digest``
 """
 
+from sample_dms_s3_kinesis_spark.operators.curation import gram_digest
 from sample_dms_s3_kinesis_spark.operators.dedup import (
     cosine_similarity,
     minhash_signature,
+    simhash,
     token_ngrams,
 )
 from sample_dms_s3_kinesis_spark.operators.sampling import hash_bucket
-from sample_dms_s3_kinesis_spark.operators.similarity import hyperplane_signature
+from sample_dms_s3_kinesis_spark.operators.similarity import (
+    dequantize,
+    hyperplane_signature,
+    l2_norm,
+    l2_normalize,
+)
 from sample_dms_s3_kinesis_spark.operators.text import (
     avg_token_len,
     bpe_ish_token_count,
     bpe_ish_tokens,
     char_count,
+    dup_token_fraction,
     fingerprint,
     lang_id,
+    normalize_text,
+    pii_count,
     punct_count,
+    redact_pii,
     rolling_hashes,
     stopword_count,
     token_count,
@@ -48,13 +63,22 @@ __all__ = [
     "bpe_ish_tokens",
     "char_count",
     "cosine_similarity",
+    "dequantize",
+    "dup_token_fraction",
     "fingerprint",
+    "gram_digest",
     "hash_bucket",
     "hyperplane_signature",
+    "l2_norm",
+    "l2_normalize",
     "lang_id",
     "minhash_signature",
+    "normalize_text",
+    "pii_count",
     "punct_count",
+    "redact_pii",
     "rolling_hashes",
+    "simhash",
     "stopword_count",
     "token_count",
     "token_ngrams",
