@@ -126,3 +126,50 @@ def test_multi_shard_sink_preserves_per_key_order(spark, moto_kinesis):
     assert set(len(v) for v in seen.values()) == {2}
     for key, ops in seen.items():
         assert ops == ["drop-table", "create-table"], key
+
+
+def test_cdc_task_to_kinesis_end_to_end(spark, moto_kinesis, catalog, cdc_dir, tmp_path):
+    """The reference's full E2E shape (run.py:178-206): CDC task →
+    Kinesis stream → consumer drain, here with the engine's CdcTask
+    writing through a real boto3 client to a moto shard and the
+    15-event golden asserted off the DRAINED stream, not a test sink."""
+    from sample_dms_s3_kinesis_spark.apply import ParquetTargetStore
+    from sample_dms_s3_kinesis_spark.streaming.cdc_task import CdcTask
+    from tests.conftest import CDC_FILE_1, CDC_FILE_2, write_cdc_file
+
+    client, kw = moto_kinesis
+    client.create_stream(StreamName="dms-cdc-e2e", ShardCount=1)
+    sink = KinesisSink(
+        "dms-cdc-e2e",
+        client_factory=lambda: boto3.client("kinesis", **kw),
+    )
+    task = CdcTask(
+        spark,
+        catalog,
+        cdc_dir,
+        sink,
+        ParquetTargetStore(str(tmp_path / "target")),
+        event_time="2026-01-01T00:00:00.000Z",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    write_cdc_file(cdc_dir, 1, CDC_FILE_1)
+    write_cdc_file(cdc_dir, 2, CDC_FILE_2)
+    task.process_available()
+    task.stop()
+
+    records = drain_stream(client, "dms-cdc-e2e")
+    assert len(records) == 15  # run.py:198 golden
+    events = [json.loads(r["data"]) for r in records]
+    ops = [e["metadata"]["operation"] for e in events]
+    assert ops.count("create-table") == 4
+    assert ops.count("insert") == 4
+    assert ops.count("update") == 3
+    assert ops.count("delete") == 4
+    # single shard ⇒ the drained order IS the task's emit order: all
+    # start controls first, then data events in (file, line) order
+    assert ops[:4] == ["create-table"] * 4
+    # partition keys follow the {schema}.{table} routing convention
+    assert {r["partition_key"] for r in records} <= {
+        "hr.employee", "hr.department", "hr.project",
+        "hr.awsdms_apply_exceptions",
+    }
