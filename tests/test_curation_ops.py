@@ -233,3 +233,51 @@ def test_dup_span_coverage_python_reference(spark):
         assert abs(out[d]["span_frac"] - frac) <= 1e-9
     assert 2 not in out and 3 not in out
     assert out[4]["span_frac"] == 1.0 and out[5]["span_frac"] == 1.0
+
+
+def test_dup_span_coverage_property_random_corpora(spark):
+    """Property test: on random corpora with injected shared runs, the
+    operator matches the Python interval-union reference exactly."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    shared_runs = [
+        " ".join(rng.choices(vocab, k=rng.randint(5, 9))) for _ in range(4)
+    ]
+    docs = []
+    for d in range(25):
+        words = rng.choices(vocab, k=rng.randint(3, 25))
+        if rng.random() < 0.6:
+            run = rng.choice(shared_runs).split()
+            pos = rng.randint(0, len(words))
+            words = words[:pos] + run + words[pos:]
+        docs.append((d, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from sample_dms_s3_kinesis_spark.operators.curation import dup_span_coverage
+
+    n = 5
+    out = {r["doc_id"]: r for r in dup_span_coverage(df, n=n).collect()}
+
+    from collections import defaultdict
+
+    toks = {d: t.lower().split() for d, t in docs}
+    windows = {
+        d: [tuple(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        for d, tk in toks.items()
+    }
+    by_gram = defaultdict(set)
+    for d, ws in windows.items():
+        for g in ws:
+            by_gram[g].add(d)
+    for d, ws in windows.items():
+        spans = [(i, i + n - 1) for i, g in enumerate(ws) if len(by_gram[g]) > 1]
+        if not spans:
+            assert d not in out
+            continue
+        covered, prev_end = 0, -1
+        for s, e in spans:
+            covered += max(0, e - max(s - 1, prev_end))
+            prev_end = max(prev_end, e)
+        assert out[d]["n_tokens"] == len(toks[d]), d
+        assert out[d]["covered_tokens"] == covered, d

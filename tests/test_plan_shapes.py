@@ -119,3 +119,28 @@ def test_band_cap_reuses_candidate_join_exchange(spark):
     assert "ReusedExchange" in plan
     # the cap adds no broadcast build (it is a window filter, not a join)
     assert "Window" in plan
+
+
+def test_round4_queries_stay_jvm_side(spark):
+    """None of the round-4 operators may fall back to Python row
+    evaluation — they are all pure Catalyst expressions."""
+    for name in (
+        "q_dedup_canonical",
+        "q_quality_score_filter",
+        "q_corpus_composition",
+        "q_dup_span_coverage",
+        "q_vocab_topk",
+        "q_embedding_quantize",
+        "q_length_histogram",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_vocab_topk_partial_aggregation(spark):
+    """The token count must partially aggregate map-side (two
+    HashAggregate phases) so hot tokens never ship raw occurrences, and
+    the rank window runs over the aggregated frame only."""
+    plan = _plan(spark, "q_vocab_topk")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
