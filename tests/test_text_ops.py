@@ -294,3 +294,34 @@ def test_vocab_topk_python_reference(spark):
         for i, (tok, n) in enumerate(ranked, 1):
             expected.append((lang, i, tok, n))
     assert sorted(out) == sorted(expected)
+
+
+def test_public_function_library_surface(spark):
+    """The functions package is the public column-function API; every
+    exported name must resolve and the core ones must evaluate."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark import functions as EF
+
+    for name in EF.__all__:
+        assert callable(getattr(EF, name)), name
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox e-mail me at a@b.co 10.0.0.1")],
+        "doc_id long, text string",
+    )
+    row = df.select(
+        EF.token_count(F.col("text")).alias("nt"),
+        EF.fingerprint(F.col("text")).alias("fp"),
+        EF.lang_id(F.col("text")).alias("lang"),
+        EF.simhash(F.col("text")).alias("sh"),
+        EF.pii_count(F.col("text")).alias("pii"),
+        EF.hash_bucket(F.col("doc_id")).alias("hb"),
+    ).collect()[0]
+    assert row["nt"] == 9
+    assert len(row["fp"]) == 32
+    assert row["lang"] == "en"
+    assert isinstance(row["sh"], int)
+    assert row["pii"] >= 2  # email + ipv4
+    # hash_bucket yields the first 8 md5 hex nibbles (a string key)
+    assert len(row["hb"]) == 8 and int(row["hb"], 16) >= 0
