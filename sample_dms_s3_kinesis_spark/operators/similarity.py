@@ -351,6 +351,45 @@ class IvfIndex:
         )
 
 
+def kmeans_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd refinement of an initial centroid set (e.g. the seed pick
+    of :func:`_deterministic_centroids`): repeat assign → per-cell mean.
+    Each iteration is one broadcast assignment pass over the corpus
+    plus one wide aggregate (dim scalars per cell through a partial-agg
+    shuffle) — no explode, and the ≤cells-row centroid frame returns to
+    the driver each round (bounded traffic), so the loop plan never
+    deepens.  Deterministic: ties in assignment break on cell id, and a
+    cell that loses every vector keeps its previous centroid.  Output:
+    (cell, centroid) like the input."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    spark = df.sparkSession
+    current = centroids
+    for _ in range(max(0, iters)):
+        assign = ivf_assign(df, current, vec_col=vec_col, id_col=id_col)
+        joined = df.join(assign, on=id_col)
+        means = label_centroids(
+            joined, vec_col=vec_col, label_col="cell", dim=dim
+        )
+        new_rows = {r["cell"]: r["centroid"] for r in means.collect()}
+        merged = [
+            (r["cell"], new_rows.get(r["cell"], r["centroid"]))
+            for r in current.collect()
+        ]
+        current = spark.createDataFrame(
+            merged, "cell int, centroid array<double>"
+        )
+    return current
+
+
 # ------------------------------------------------------- vector utils
 
 def l2_norm(vec: Column) -> Column:

@@ -323,3 +323,25 @@ def test_cdc_table_alter_control_events(spark, catalog, cdc_dir, tmp_path):
     assert stats[("hr", "department")]["Ddls"] == 4
     assert stats[("hr", "department")]["Inserts"] == 2
     task.stop()
+
+
+def test_cdc_table_alter_streaming_path(spark, catalog, cdc_dir, tmp_path):
+    """Alters flow through the LIVE Structured Streaming path (start()/
+    foreachBatch), not just the drain-and-return batch mode."""
+    import time
+
+    task, sink, _ = _task(spark, catalog, cdc_dir, tmp_path)
+    task.start()
+    write_cdc_file(
+        cdc_dir,
+        1,
+        "INSERT,department,hr,207,Streaming\n"
+        "ALTER,department,hr,add-column,Location",
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and len(sink.records) < 6:
+        time.sleep(0.5)
+    task.stop()
+    ops = [e["metadata"]["operation"] for e in sink.events]
+    assert ops[-2:] == ["insert", "add-column"]
+    assert sink.events[-1]["metadata"]["record-type"] == "control"

@@ -311,3 +311,46 @@ def test_quantize_python_reference(spark):
             else:
                 exp.append(0)  # constant dimension
         assert out[vid] == exp, (vid, out[vid], exp)
+
+
+def test_kmeans_refine_recovers_synthetic_blobs(spark):
+    """On well-separated synthetic blobs, Lloyd refinement moves the
+    seed centroids onto the true cluster means."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    true_means = np.array(
+        [[5.0] * 4 + [0.0] * 4, [0.0] * 4 + [5.0] * 4, [-5.0] * 8]
+    )
+    rows = []
+    for i in range(240):
+        c = i % 3
+        v = true_means[c] + rng.normal(scale=0.2, size=8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seeds = similarity._deterministic_centroids(
+        df, vec_col="embedding", id_col="vec_id", cells=3
+    )
+    refined = similarity.kmeans_refine(df, seeds, iters=4, dim=8)
+    cents = np.array([r["centroid"] for r in refined.collect()])
+    # every true mean is (cosine-)matched by some refined centroid
+    for tm in true_means:
+        best = max(
+            float(c @ tm / (np.linalg.norm(c) * np.linalg.norm(tm)))
+            for c in cents
+        )
+        assert best > 0.99, (tm, cents)
+
+    # refined centroids feed the standard index build unchanged
+    idx = similarity.IvfIndex(
+        refined,
+        df.join(
+            similarity.ivf_assign(df, refined), on="vec_id"
+        ).localCheckpoint(eager=True),
+        vec_col="embedding",
+        id_col="vec_id",
+    )
+    q = [float(x) for x in rows[0][1]]
+    got = idx.search(q, k=5, nprobe=1).collect()
+    assert len(got) == 5 and got[0]["vec_id"] == 0
