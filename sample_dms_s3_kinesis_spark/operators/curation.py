@@ -313,3 +313,92 @@ def dup_span_coverage(
             ).alias("span_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """The remediation twin of :func:`dup_span_coverage`: rebuild each
+    document with every token position covered by a cross-document
+    duplicated n-gram window REMOVED (RefinedWeb removes duplicated
+    spans rather than dropping whole documents).  Gram classes are
+    computed over lowercased tokens; the surviving text preserves the
+    original-case tokens, joined by single spaces (whitespace is
+    normalized — the same contract as ``normalize_text``).
+
+    Plan: positional gram digests → duplicated classes (partial-agg
+    groupBy) → covered positions (bounded explode: n positions per
+    duplicated window, deduplicated) → anti-join against the
+    (doc, position, token) stream → per-doc ordered reassembly
+    (sort_array over collect_list of (pos, token) structs — bounded by
+    document length, the same bound any text rebuild has).  Every doc
+    appears in the output; a fully-duplicated doc yields ''.
+
+    Output: (id_col, clean_text, n_removed).
+    """
+    orig = tokens(F.col(text_col))
+    low = tokens(F.lower(F.col(text_col)))
+    base = spread(corpus).select(
+        F.col(id_col),
+        orig.alias("_tko"),
+        low.alias("_tk"),
+        F.size(orig).alias("_nt"),
+    )
+    pos_grams = base.filter(F.col("_nt") >= n).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_nt") - (n - 1)),
+                lambda i: gram_digest(F.concat_ws(" ", F.slice("_tk", i, n))),
+            )
+        ).alias("_pos", "_g"),
+    )
+    dup_classes = (
+        pos_grams.select(id_col, "_g")
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 1)
+        .select("_g")
+    )
+    covered = (
+        pos_grams.join(dup_classes, on="_g")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + (n - 1))
+            ).alias("_p"),
+        )
+        .distinct()
+    )
+    toks_pos = base.select(
+        id_col, F.posexplode("_tko").alias("_p", "_tok")
+    )
+    kept = toks_pos.join(covered, on=[id_col, "_p"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_p"), F.col("_tok")))
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        base.select(id_col, "_nt")
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("_nt") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

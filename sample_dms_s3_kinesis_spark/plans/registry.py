@@ -1176,6 +1176,7 @@ DRIVER_WINDOW: list[str] = [
     "q_vocab_topk",
     "q_embedding_quantize",
     "q_length_histogram",
+    "q_remove_dup_spans",
     # --- code paths changed in round 4: re-verify under the driver ---
     "q_sessionize_events",
     "q_binned_range_join",
@@ -1192,7 +1193,6 @@ DRIVER_WINDOW: list[str] = [
     # --- r2-only greens, not driver-checked since ---
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "q08_market_share",
     "q18_large_orders",
     "q_union_priorities",
     "q_semi_join",

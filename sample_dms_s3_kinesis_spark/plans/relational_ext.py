@@ -2452,3 +2452,50 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", bucket.alias("len_bucket")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@_register(
+    "q_remove_dup_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tko,
+             string_split_regex(trim(lower(text)), '\\s+') AS tkl
+      FROM documents),
+    base AS (SELECT doc_id, tko, tkl, len(tko) AS nt FROM toks),
+    pg AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(tkl[i:i+4], ' ') AS g
+      FROM base, UNNEST(range(1, nt - 3)) AS t(i) WHERE nt >= 5),
+    dupg AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM pg)
+      GROUP BY g HAVING COUNT(*) > 1),
+    cov AS (
+      SELECT DISTINCT p.doc_id, u.p
+      FROM pg p JOIN dupg d USING (g),
+           UNNEST(range(p.pos, p.pos + 5)) AS u(p)),
+    tp AS (
+      SELECT doc_id, nt, tko[i] AS tok, i - 1 AS p
+      FROM base, UNNEST(range(1, nt + 1)) AS t(i)),
+    kept AS (
+      SELECT tp.doc_id, tp.tok, tp.p
+      FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+      WHERE cov.p IS NULL),
+    rb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             COUNT(*) AS kept
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           COALESCE(rb.clean_text, '') AS clean_text,
+           CAST(b.nt - COALESCE(rb.kept, 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN rb USING (doc_id)
+    """,
+    "rebuild documents with cross-document duplicated spans removed "
+    "(RefinedWeb remediation; anti-join covered positions, ordered "
+    "per-doc reassembly)",
+    "curation: duplicated-span removal",
+)
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.curation import (
+        remove_duplicated_spans,
+    )
+
+    return remove_duplicated_spans(t(spark, sf_dir, "documents"), n=5)

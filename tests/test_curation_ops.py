@@ -281,3 +281,44 @@ def test_dup_span_coverage_property_random_corpora(spark):
             prev_end = max(prev_end, e)
         assert out[d]["n_tokens"] == len(toks[d]), d
         assert out[d]["covered_tokens"] == covered, d
+
+
+def test_remove_duplicated_spans_python_reference(spark):
+    """Cleaned text = original-case tokens minus covered positions,
+    space-joined; clean docs pass through (whitespace-normalized);
+    fully-duplicated docs become empty."""
+    docs = [
+        (0, "Alpha beta gamma delta epsilon zeta UNIQUE0a unique0b"),
+        (1, "lead1 alpha beta gamma delta epsilon zeta tail1"),
+        (2, "one two three four five six seven"),
+        (3, "tiny doc"),
+        (4, "same same same same same"),
+        (5, "same same same same same"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from sample_dms_s3_kinesis_spark.operators.curation import (
+        remove_duplicated_spans,
+    )
+
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=5).collect()}
+
+    from collections import defaultdict
+
+    n = 5
+    toks = {d: t.split() for d, t in docs}
+    low = {d: [w.lower() for w in tk] for d, tk in toks.items()}
+    by_gram = defaultdict(set)
+    for d, tk in low.items():
+        for i in range(len(tk) - n + 1):
+            by_gram[tuple(tk[i : i + n])].add(d)
+    for d, tk in toks.items():
+        covered = set()
+        lw = low[d]
+        for i in range(len(lw) - n + 1):
+            if len(by_gram[tuple(lw[i : i + n])]) > 1:
+                covered.update(range(i, i + n))
+        clean = " ".join(t for i, t in enumerate(tk) if i not in covered)
+        assert out[d]["clean_text"] == clean, d
+        assert out[d]["n_removed"] == len(covered), d
+    assert out[4]["clean_text"] == "" and out[5]["clean_text"] == ""
+    assert out[2]["n_removed"] == 0 and out[3]["n_removed"] == 0
