@@ -132,6 +132,7 @@ def test_round4_queries_stay_jvm_side(spark):
         "q_vocab_topk",
         "q_embedding_quantize",
         "q_length_histogram",
+        "q_remove_dup_spans",
     ):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
