@@ -556,11 +556,22 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     checkpoint_dir: str | None = None,
+    max_chunk_width: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into 4
     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
     self-join per chunk, verify exact hamming distance ≤ max_hamming.
-    Output: (id_a, id_b, hamming)."""
+    Output: (id_a, id_b, hamming).
+
+    With the default ``max_chunk_width=None`` the result is exact AND
+    complete (the pigeonhole guarantee).  At billion-doc scale a 16-bit
+    chunk value is shared by ~n/65536 docs by chance alone, so every
+    chunk bucket goes quadratic; ``max_chunk_width`` drops buckets
+    wider than the cap before the self-join (count-window over the
+    join key, same exchange-reuse shape as the minhash band cap) at
+    the cost of completeness for pairs whose only agreeing chunk was
+    capped — at that scale, raise the chunk width (more bits) first
+    and cap as the backstop."""
     # Two-step projection: the packed fingerprint references the token-
     # hash array once per bit, and higher-order lambdas are opaque to
     # Catalyst CSE — materialize the hashes first or every bit would
@@ -583,6 +594,15 @@ def simhash_pairs(
             )
         ).alias("_chunk", "_cv"),
     )
+    if max_chunk_width is not None:
+        from pyspark.sql import Window
+
+        wc = Window.partitionBy("_chunk", "_cv")
+        chunks = (
+            chunks.withColumn("_w", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_w") <= max_chunk_width)
+            .drop("_w")
+        )
     cand = (
         chunks.alias("x")
         .join(

@@ -393,3 +393,19 @@ def test_dedup_canonical_priority_survivor(spark):
         for r in dedup.dedup_canonical(df, F.col("prio")).collect()
     }
     assert out == {2: (3, 0), 4: (2, 1), 6: (1, 2)}
+
+
+def test_simhash_chunk_cap_drops_wide_bucket(spark):
+    """Identical docs share every chunk; with the cap below the corpus
+    size the shared buckets drop and no pairs emerge — while the
+    default (None) keeps the exact+complete pigeonhole behavior."""
+    docs = spark.createDataFrame(
+        [(i, "same exact text for everyone") for i in range(12)],
+        "doc_id long, text string",
+    )
+    full = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    assert len(full) == 12 * 11 // 2
+    capped = dedup.simhash_pairs(
+        docs, max_hamming=3, max_chunk_width=11
+    ).collect()
+    assert capped == []
