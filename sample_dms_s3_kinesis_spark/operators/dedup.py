@@ -427,6 +427,136 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_lsh_pairs_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
+    max_band_width: int | None = 10_000,
+) -> DataFrame:
+    """Incremental cross-corpus NEAR-dup: candidate pairs between a NEW
+    batch and an EXISTING corpus — the every-crawl operation (is this
+    page a near-copy of anything already in the training set?).
+
+    Same banding as :func:`minhash_lsh_pairs`, but the band join is
+    new × existing instead of a self-join: the existing corpus is never
+    paired against itself, so each crawl pays O(new × collisions), not
+    O((new+existing)²) — at 100 TB the existing side's band frame is a
+    table you persist once and re-join per batch.  The width cap
+    applies to the EXISTING side (the boilerplate hazard grows with
+    corpus size).  Output: (new_id, existing_id, est_jaccard ≥ τ).
+    """
+    rows = num_hashes // bands
+
+    def _sigs(df: DataFrame) -> DataFrame:
+        return (
+            spread(df)
+            .select(
+                F.col(id_col).alias("_id"),
+                _gram_hashes(token_ngrams(F.col(text_col))).alias("_gh"),
+            )
+            .select(
+                "_id",
+                _signature_from_hashes(
+                    F.col("_gh"), num_hashes=num_hashes
+                ).alias("_sig"),
+            )
+        )
+
+    sig_new = _cut_lineage(_sigs(new), checkpoint_dir)
+    sig_old = _cut_lineage(_sigs(existing), checkpoint_dir)
+
+    def _banded(sig_df: DataFrame) -> DataFrame:
+        return sig_df.select(
+            "_id",
+            F.posexplode(
+                _band_hashes(F.col("_sig"), bands=bands, rows=rows)
+            ).alias("_band", "_bh"),
+        )
+
+    bn, bo = _banded(sig_new), _banded(sig_old)
+    if max_band_width is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("_band", "_bh")
+        bo = (
+            bo.withColumn("_w", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_w") <= max_band_width)
+            .drop("_w")
+        )
+    cand = (
+        bn.alias("x")
+        .join(
+            bo.alias("y"),
+            on=[
+                F.col("x._band") == F.col("y._band"),
+                F.col("x._bh") == F.col("y._bh"),
+            ],
+        )
+        .select(
+            F.col("x._id").alias("new_id"),
+            F.col("y._id").alias("existing_id"),
+        )
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sa"), F.col("_sb"), lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.join(
+            sig_new.select(F.col("_id").alias("new_id"), F.col("_sig").alias("_sa")),
+            "new_id",
+        )
+        .join(
+            sig_old.select(
+                F.col("_id").alias("existing_id"), F.col("_sig").alias("_sb")
+            ),
+            "existing_id",
+        )
+        .select("new_id", "existing_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def near_dedup_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Admission gate on top of :func:`minhash_lsh_pairs_against`: the
+    NEW docs that are near-duplicates of nothing in the existing corpus
+    (anti-join on the flagged id set — the corpus itself never
+    shuffles).  Output: (id_col) of admitted new docs."""
+    flagged = minhash_lsh_pairs_against(
+        new,
+        existing,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        checkpoint_dir=checkpoint_dir,
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new.select(id_col).join(flagged, on=id_col, how="left_anti")
+
+
 def lsh_verified_jaccard_pairs(
     df: DataFrame,
     *,

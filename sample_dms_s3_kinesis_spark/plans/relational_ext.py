@@ -2499,3 +2499,20 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return remove_duplicated_spans(t(spark, sf_dir, "documents"), n=5)
+
+
+@_register(
+    "q_near_dedup_against",
+    None,  # est_jaccard is Spark-hash-specific; exactness via pytest
+    "incremental cross-corpus near-dup admission: new batch banded "
+    "against the existing corpus (never self-joined), unflagged docs "
+    "admitted",
+    "dedup: incremental near-dup gate",
+)
+def q_near_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import near_dedup_against
+
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    return near_dedup_against(new, existing, num_hashes=64, bands=16, threshold=0.9)

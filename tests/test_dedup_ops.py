@@ -409,3 +409,43 @@ def test_simhash_chunk_cap_drops_wide_bucket(spark):
         docs, max_hamming=3, max_chunk_width=11
     ).collect()
     assert capped == []
+
+
+def test_minhash_lsh_pairs_against_matches_cross_subset(spark):
+    """Cross-corpus pairs must equal exactly the cross-corpus subset of
+    the self-join operator run over the union (same hashes, same
+    banding) — and the admission gate keeps precisely the unflagged new
+    docs."""
+    base = _docs(spark, n=60)
+    existing = base.filter(F.col("doc_id") < 40)
+    # new batch: 10 fresh docs + near-copies of 3 existing docs
+    fresh = base.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+    copies = existing.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text", "lang"
+    )
+    new = fresh.unionByName(copies)
+    kw = dict(num_hashes=64, bands=16, threshold=0.9)
+
+    got = {
+        (r["new_id"], r["existing_id"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs_against(new, existing, **kw).collect()
+    }
+    union = existing.unionByName(new)
+    ref = {
+        (r["id_b"], r["id_a"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(union, **kw).collect()
+        if r["id_a"] < 1000 and (r["id_b"] >= 1000 or r["id_b"] >= 40)
+        # keep only (existing, new) cross pairs: existing ids < 40,
+        # new ids are >= 40
+        if r["id_a"] < 40 and r["id_b"] >= 40
+    }
+    assert got == ref
+    # the exact copies are flagged at est 1.0
+    for i in range(3):
+        assert got[(i + 1000, i)] == 1.0
+
+    admitted = {
+        r["doc_id"] for r in dedup.near_dedup_against(new, existing, **kw).collect()
+    }
+    flagged_new = {a for a, _ in got}
+    assert admitted == {r["doc_id"] for r in new.collect()} - flagged_new
