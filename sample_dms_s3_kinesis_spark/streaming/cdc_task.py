@@ -97,6 +97,9 @@ class CdcTask(ReplicationTask):
         mark = store.load_batch_mark(identifier)
         if mark is not None and mark.get("checkpoint") != self.checkpoint_dir:
             store.clear_batch_mark(identifier)
+        # Set when start-of-task control emission must wait for an
+        # in-flight batch to resolve (see _emit_or_defer_start_controls).
+        self._pending_start_controls = False
 
     # -- lifecycle -----------------------------------------------------
 
@@ -105,7 +108,7 @@ class CdcTask(ReplicationTask):
         begin tailing ``cdc_dir``; status reaches ``running`` before any
         change file exists (run.py:189-190)."""
         self._set_status(TaskStatus.STARTING)
-        self._emit_start_controls()
+        self._emit_or_defer_start_controls()
         self._query = (
             read_cdc_lines_stream(self.spark, self.cdc_dir)
             .writeStream.foreachBatch(self._process_batch)
@@ -132,6 +135,12 @@ class CdcTask(ReplicationTask):
                 self._query.awaitTermination(30)
             except Exception:
                 pass
+        # Deferred start controls with no batch ever arriving (the
+        # marked batch had actually committed and no new file landed):
+        # flush now so the at-least-once control contract holds.
+        if self._pending_start_controls:
+            self._pending_start_controls = False
+            self._emit_start_controls()
         self._set_status(TaskStatus.STOPPED)
 
     def process_available(self) -> None:
@@ -144,7 +153,7 @@ class CdcTask(ReplicationTask):
         one-file-per-trigger stream would produce."""
         if self.status == TaskStatus.READY.value:
             self._set_status(TaskStatus.STARTING)
-            self._emit_start_controls()
+            self._emit_or_defer_start_controls()
             self._set_status(TaskStatus.RUNNING)
         lines = read_cdc_lines(self.spark, self.cdc_dir)
         self._process_batch(lines, batch_id=-1)
@@ -157,6 +166,23 @@ class CdcTask(ReplicationTask):
         versions advanced by other writers sharing the store root are
         left untouched."""
         return [t.qualified_name for t in self.catalog] + [EXCEPTIONS_TABLE]
+
+    def _emit_or_defer_start_controls(self) -> None:
+        """Emit start-of-task control events now — unless an in-flight
+        batch mark shows its post-emit ``save_seq`` never landed
+        (``mark.offset == load_seq``).  In that case the batch will
+        REPLAY and re-emit its events starting exactly at the loaded
+        offset, so allocating control seqs here would land INSIDE the
+        replayed range — distinct events with duplicate seqs, defeating
+        downstream idempotent dedup.  Defer emission until the batch
+        resolves; ``_process_batch`` flushes at batch end (seqs then
+        continue past the replayed range) and ``stop()`` flushes if no
+        batch ever arrives."""
+        mark = self.store.load_batch_mark(self.identifier)
+        if mark is not None and mark.get("offset") == self._seq_offset:
+            self._pending_start_controls = True
+        else:
+            self._emit_start_controls()
 
     def _emit_start_controls(self) -> None:
         tables = list(self.catalog) + [("hr", EXCEPTIONS_TABLE)]
@@ -189,12 +215,29 @@ class CdcTask(ReplicationTask):
             )
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if len(batch_df.take(1)) == 0:
+        # ONE action materializes the persisted parse AND answers both
+        # head questions (any rows? any ALTERs?) — the former separate
+        # batch_df.take(1) + alters.take(1) probes cost an extra Spark
+        # job per micro-batch even when no ALTER ever arrives.
+        parsed = parse_cdc_lines(batch_df).persist()
+        head = parsed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("op") == F.lit("ALTER"), F.lit(1))).alias(
+                "n_alters"
+            ),
+        ).collect()[0]
+        if head["n_rows"] == 0:
+            parsed.unpersist()
             return
         # Floor for the post-batch seq high-water: a crash-restart's
         # start-control events may already hold seqs ABOVE the rewound
         # range (folded into the mark as restart_seq_high) — the next
-        # batch must allocate past them, never inside them.
+        # batch must allocate past them, never inside them.  This floor
+        # covers only controls emitted AFTER the batch's save_seq landed;
+        # the crash-BEFORE-save_seq window (controls would allocate
+        # inside the range the replay then reuses) is closed upstream by
+        # _emit_or_defer_start_controls, which postpones control
+        # emission until the in-flight batch resolves.
         replay_seq_floor = 0
         if batch_id >= 0:  # streaming path (process_available passes -1)
             mark = self.store.load_batch_mark(self.identifier)
@@ -224,7 +267,6 @@ class CdcTask(ReplicationTask):
                     self.stats.to_mapping(),
                     checkpoint=self.checkpoint_dir,
                 )
-        parsed = parse_cdc_lines(batch_df).persist()
         # Table-alter DDL (include_table_alter_operations=True,
         # stack.py:124): ``ALTER,<table>,<schema>,<alter-op>[,detail]``
         # lines become control events at their stream position; they
@@ -237,7 +279,7 @@ class CdcTask(ReplicationTask):
         exception_frames: list[DataFrame] = []
         apply_results = []
 
-        if len(alters.take(1)) > 0:
+        if head["n_alters"] > 0:
             known_pred = F.lit(False)
             for t in self.catalog:
                 known_pred = known_pred | (
@@ -254,18 +296,24 @@ class CdcTask(ReplicationTask):
                 # the exceptions channel below
                 F.lower(F.trim(F.get(F.col("payload"), 0))).alias("operation"),
             )
-            supported = alter_rows.filter(
-                F.col("operation").isin(list(envelope.ALTER_OPERATIONS))
+            # Null-safe split: an ALTER line with NO payload token (e.g.
+            # 'ALTER,department,hr') yields a NULL operation, and both
+            # `isin(...)` and `~isin(...)` evaluate to NULL — filter()
+            # would silently drop the row from BOTH channels.  Coalesce
+            # to False routes NULL operations to the exceptions channel,
+            # preserving the malformed-rows-flow-to-exceptions contract.
+            is_supported = F.coalesce(
+                F.col("operation").isin(list(envelope.ALTER_OPERATIONS)),
+                F.lit(False),
             )
+            supported = alter_rows.filter(is_supported)
             event_frames.append(
                 envelope.alter_control_events(
                     supported, event_time=self.event_time
                 )
             )
             exception_frames.append(
-                alter_rows.filter(
-                    ~F.col("operation").isin(list(envelope.ALTER_OPERATIONS))
-                ).select(
+                alter_rows.filter(~is_supported).select(
                     F.lit(self.identifier).alias("TASK_NAME"),
                     F.col("schema_name").alias("TABLE_OWNER"),
                     F.col("table_name").alias("TABLE_NAME"),
@@ -362,6 +410,12 @@ class CdcTask(ReplicationTask):
         self._seq_offset = max(self._seq_offset, replay_seq_floor)
         self.store.save_seq(self.identifier, self._seq_offset)
         self.store.save_stats(self.identifier, self.stats.to_mapping())
+        # Start controls deferred at start() because this batch might
+        # replay into the loaded seq range: the range is resolved now, so
+        # the controls allocate strictly past it — no seq collision.
+        if self._pending_start_controls:
+            self._pending_start_controls = False
+            self._emit_start_controls()
         # Release per-table fold caches only after the exceptions union
         # and event emission above have materialized every consumer —
         # a streaming task would otherwise accumulate one cached frame

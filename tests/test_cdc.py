@@ -273,6 +273,7 @@ ALTER,department,hr,add-column,Location
 INSERT,department,hr,206,Research
 ALTER,department,hr,drop-column,Location
 ALTER,department,hr,truncate-table
+ALTER,department,hr
 ALTER,nosuch,hr,add-column,X"""
 
 
@@ -307,13 +308,20 @@ def test_cdc_table_alter_control_events(spark, catalog, cdc_dir, tmp_path):
     assert alter_ev["metadata"]["table-name"] == "department"
     assert alter_ev["metadata"]["schema-name"] == "hr"
 
-    # exceptions: unsupported alter op + unknown table
-    exc = {
-        (r["TABLE_NAME"], r["ERROR"])
-        for r in task.exceptions_table().collect()
-    }
+    # exceptions: unsupported alter op + unknown table + the payload-less
+    # ALTER (NULL operation) — NULL must route to exceptions, not vanish
+    # from both channels (NULL `isin` and NULL `~isin` are both NULL).
+    exc_rows = task.exceptions_table().collect()
+    exc = {(r["TABLE_NAME"], r["ERROR"]) for r in exc_rows}
     assert ("department", "unsupported-alter-operation") in exc
     assert ("nosuch", "table-not-in-selection") in exc
+    null_op = [
+        r for r in exc_rows
+        if r["TABLE_NAME"] == "department" and r["OPERATION"] is None
+    ]
+    assert len(null_op) == 1
+    assert null_op[0]["ERROR"] == "unsupported-alter-operation"
+    assert len(exc_rows) == 3
 
     # Ddls statistics: 1 create-table (start) + 3 alter controls
     stats = {

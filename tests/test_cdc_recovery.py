@@ -103,6 +103,70 @@ def test_replay_after_crash_restart_reuses_seq_range(
     assert dept["Ddls"] == 2     # create-table from both task starts
 
 
+def test_deferred_controls_avoid_in_batch_seq_collision(
+    spark, catalog, cdc_dir, tmp_path
+):
+    """Crash landing BETWEEN save_batch_mark and the post-batch save_seq:
+    load_seq returns the PRE-batch offset, so restart control events
+    emitted eagerly would allocate seqs INSIDE the range the replayed
+    batch then reuses.  _emit_or_defer_start_controls must postpone the
+    controls until the batch resolves; they then continue PAST the
+    replayed range."""
+    from sample_dms_s3_kinesis_spark.sources.cdc_source import read_cdc_lines
+
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "target")
+    ts = "2026-01-01T00:00:00.000Z"
+
+    sink1 = MemorySink()
+    store1 = ParquetTargetStore(target)
+    task1 = CdcTask(
+        spark, catalog, cdc_dir, sink1, store1,
+        event_time=ts, checkpoint_dir=ckpt,
+    )
+    task1._emit_start_controls()
+    n_controls = len(sink1.records)
+    write_cdc_file(cdc_dir, 1, FILE_1)
+    lines = read_cdc_lines(spark, cdc_dir)
+    task1._process_batch(lines, batch_id=0)
+    batch1_seqs = [r["seq"] for r in sink1.records[n_controls:]]
+    assert batch1_seqs
+    # Rewind the durable seq to the mark's pre-batch offset — exactly
+    # the state a crash before the post-batch save_seq leaves behind.
+    mark = store1.load_batch_mark(task1.identifier)
+    store1.save_seq(task1.identifier, mark["offset"])
+
+    store2 = ParquetTargetStore(target)
+    sink2 = MemorySink()
+    task2 = CdcTask(
+        spark, catalog, cdc_dir, sink2, store2,
+        event_time=ts, checkpoint_dir=ckpt,
+    )
+    task2._emit_or_defer_start_controls()
+    assert task2._pending_start_controls
+    assert sink2.records == []  # deferred, not emitted
+    task2._process_batch(lines, batch_id=0)  # the replay
+    replayed = [r["seq"] for r in sink2.records[: len(batch1_seqs)]]
+    control_seqs = [r["seq"] for r in sink2.records[len(batch1_seqs):]]
+    # (a) idempotent re-emission under the SAME seqs
+    assert replayed == batch1_seqs
+    # (b) flushed controls allocate strictly past the replayed range
+    assert control_seqs
+    assert min(control_seqs) > max(batch1_seqs)
+    assert not (set(control_seqs) & set(replayed))
+    # (c) the next batch continues past the flushed controls
+    import os
+
+    os.remove(os.path.join(cdc_dir, "cdc0000000001.csv"))
+    write_cdc_file(cdc_dir, 2, FILE_2)
+    lines2 = read_cdc_lines(spark, cdc_dir)
+    task2._process_batch(lines2, batch_id=1)
+    prior = len(replayed) + len(control_seqs)
+    batch2_seqs = [r["seq"] for r in sink2.records[prior:]]
+    assert batch2_seqs
+    assert min(batch2_seqs) > max(control_seqs)
+
+
 def test_stale_mark_from_other_checkpoint_is_ignored(
     spark, catalog, cdc_dir, tmp_path
 ):

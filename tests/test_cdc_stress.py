@@ -105,3 +105,43 @@ def test_cdc_many_files_matches_python_fold(spark, catalog, cdc_dir, tmp_path):
             assert row[cols[1]] == payload[1], (table_name, pk)
 
     assert task.exceptions_table().count() == exp_exceptions
+
+
+def test_no_alter_batch_issues_no_extra_head_probe_jobs(
+    spark, catalog, cdc_dir, tmp_path
+):
+    """The batch head must answer 'any rows? any ALTERs?' with ONE
+    aggregate action on the persisted parse — the former separate
+    batch_df.take(1) + alters.take(1) probes cost two extra Spark jobs
+    per micro-batch even when no ALTER ever arrives (the overwhelmingly
+    common case).  Pin the per-batch job budget so the probes cannot
+    silently return."""
+    from sample_dms_s3_kinesis_spark.apply import ParquetTargetStore
+    from sample_dms_s3_kinesis_spark.sources.cdc_source import read_cdc_lines
+
+    sink = MemorySink()
+    task = CdcTask(
+        spark,
+        catalog,
+        cdc_dir,
+        sink,
+        ParquetTargetStore(str(tmp_path / "target")),
+        event_time="2026-01-01T00:00:00.000Z",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    task._emit_start_controls()
+    write_cdc_file(
+        cdc_dir, 1, "INSERT,department,hr,401,Eng\nINSERT,department,hr,402,Sales"
+    )
+    lines = read_cdc_lines(spark, cdc_dir)
+    sc = spark.sparkContext
+    sc.setJobGroup("cdc-batch-probe", "per-batch job count")
+    try:
+        task._process_batch(lines, batch_id=-1)
+    finally:
+        sc.setJobGroup("cdc-batch-probe-done", "")
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("cdc-batch-probe"))
+    # measured 25 with the single-aggregate head (pyspark 4.1.2,
+    # one-table batch over the 3-table reference catalog); the
+    # take(1)-probe head measures 27.
+    assert n_jobs <= 25
