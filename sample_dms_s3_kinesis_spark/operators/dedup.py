@@ -311,6 +311,22 @@ def _band_hashes(sig: Column, *, bands: int, rows: int) -> Column:
     )
 
 
+def _drop_hot_buckets(banded: DataFrame, max_band_width: int) -> DataFrame:
+    """Remove rows of (band, hash) buckets wider than ``max_band_width``
+    via a map-side-combined groupBy count and a broadcast anti-join.
+    The hot list is tiny by construction (only buckets with > cap rows
+    can appear, so there are at most total_rows/cap of them — usually
+    zero), which keeps the broadcast bounded and makes the no-hot-bucket
+    case nearly free."""
+    hot = (
+        banded.groupBy("_band", "_bh")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") > max_band_width)
+        .select("_band", "_bh")
+    )
+    return banded.join(F.broadcast(hot), ["_band", "_bh"], "left_anti")
+
+
 def _band_candidates(
     sig_df: DataFrame,
     *,
@@ -326,18 +342,19 @@ def _band_candidates(
     bucket shared by w docs emits w² pairs in ONE join task, so a
     single boilerplate shingle window (license header, nav bar) shared
     by millions of docs turns the bucket join into an effective cross
-    join.  The bucket width is attached via a count-window partitioned
-    by the SAME (band, hash) key the self-join shuffles on — Catalyst
-    reuses that exchange, so the cap adds no extra shuffle or scan —
-    and over-cap buckets are filtered out before pairing.  The hot
-    bucket does land on one window task, but counting is O(w), not the
-    O(w²) the join would pay.  Candidates lost are only pairs whose
-    SOLE agreeing band is the boilerplate one — genuinely similar docs
-    agree on other bands too; with b bands the chance a true near-dup
-    pair survives in no other band is (1-s^r)^(b-1), negligible at the
-    default shapes."""
-    from pyspark.sql import Window
-
+    join.  The cap is pay-as-you-go: over-cap buckets are found with a
+    map-side-combined groupBy count (shuffle volume = distinct buckets,
+    not rows) and removed with a BROADCAST anti-join — when no bucket
+    is hot, the hot list is empty and the cap costs one cheap aggregate
+    pass over the (already localCheckpoint-materialized) signatures
+    instead of the former sort-based count-window over every banded
+    row.  The hot bucket's count is O(w), not the O(w²) its join would
+    pay; the hot list is bounded by construction (≤ rows/cap buckets
+    can exceed the cap), so the broadcast never grows.  Candidates lost
+    are only pairs whose SOLE agreeing band is the boilerplate one —
+    genuinely similar docs agree on other bands too; with b bands the
+    chance a true near-dup pair survives in no other band is
+    (1-s^r)^(b-1), negligible at the default shapes."""
     banded = sig_df.select(
         "_id",
         F.posexplode(_band_hashes(F.col("_sig"), bands=bands, rows=rows)).alias(
@@ -345,12 +362,7 @@ def _band_candidates(
         ),
     )
     if max_band_width is not None:
-        wb = Window.partitionBy("_band", "_bh")
-        banded = (
-            banded.withColumn("_w", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_w") <= max_band_width)
-            .drop("_w")
-        )
+        banded = _drop_hot_buckets(banded, max_band_width)
     return (
         banded.alias("x")
         .join(
@@ -481,14 +493,7 @@ def minhash_lsh_pairs_against(
 
     bn, bo = _banded(sig_new), _banded(sig_old)
     if max_band_width is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("_band", "_bh")
-        bo = (
-            bo.withColumn("_w", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_w") <= max_band_width)
-            .drop("_w")
-        )
+        bo = _drop_hot_buckets(bo, max_band_width)
     cand = (
         bn.alias("x")
         .join(
@@ -539,11 +544,18 @@ def near_dedup_against(
     bands: int = 32,
     threshold: float = 0.8,
     checkpoint_dir: str | None = None,
+    max_band_width: int | None = 10_000,
 ) -> DataFrame:
     """Admission gate on top of :func:`minhash_lsh_pairs_against`: the
     NEW docs that are near-duplicates of nothing in the existing corpus
     (anti-join on the flagged id set — the corpus itself never
-    shuffles).  Output: (id_col) of admitted new docs."""
+    shuffles).  Output: (id_col) of admitted new docs.
+
+    ``max_band_width`` forwards to the candidate generator — pass None
+    to disable the hot-bucket cap when admission must consider every
+    candidate (a capped run can admit a doc whose only agreeing band
+    bucket was dropped), or tighten it for heavily boilerplated
+    corpora."""
     flagged = minhash_lsh_pairs_against(
         new,
         existing,
@@ -553,6 +565,7 @@ def near_dedup_against(
         bands=bands,
         threshold=threshold,
         checkpoint_dir=checkpoint_dir,
+        max_band_width=max_band_width,
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new.select(id_col).join(flagged, on=id_col, how="left_anti")
 

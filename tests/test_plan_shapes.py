@@ -96,12 +96,12 @@ def test_assign_shards_reads_documents_once(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_band_cap_reuses_candidate_join_exchange(spark):
-    """The band-width cap attaches bucket width via a count-window
-    partitioned by the SAME (band, hash) key the candidate self-join
-    shuffles on — the plan must reuse that exchange (no extra scan or
-    aggregate pass for the cap) and stay broadcast-free on the cap
-    path."""
+def test_band_cap_is_broadcast_anti_join_not_window(spark):
+    """The band-width cap must be pay-as-you-go: over-cap buckets come
+    from a map-side-combined groupBy count (HashAggregate) and are
+    removed with a BROADCAST anti-join — never a sort-based count-window
+    over every banded row (the r4 shape, whose sort cost 40-90% extra on
+    the minhash family even when no bucket was ever hot)."""
     from pyspark.sql import functions as F
 
     from sample_dms_s3_kinesis_spark.operators import dedup
@@ -114,11 +114,11 @@ def test_band_cap_reuses_candidate_join_exchange(spark):
     capped = dedup.minhash_lsh_pairs(
         docs, num_hashes=32, bands=8, threshold=0.5
     )
-    capped.collect()  # AQE finalizes exchange reuse only after execution
+    capped.collect()  # AQE finalizes the physical plan only after execution
     plan = capped._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
-    # the cap adds no broadcast build (it is a window filter, not a join)
-    assert "Window" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "HashAggregate" in plan
 
 
 def test_round4_queries_stay_jvm_side(spark):
