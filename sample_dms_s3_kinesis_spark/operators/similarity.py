@@ -370,8 +370,19 @@ def kmeans_refine(
     cell that loses every vector keeps its previous centroid.  Output:
     (cell, centroid) like the input."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # Probe the (tiny, usually checkpointed) centroid frame, not the
+        # corpus — one cheap job instead of a scan of df.
+        seed = centroids.select("centroid").first()
+        if seed is None or seed[0] is None:
+            raise ValueError(
+                "kmeans_refine: cannot infer dim from an empty/null "
+                "centroid frame; pass dim= explicitly"
+            )
+        dim = len(seed[0])
     spark = df.sparkSession
+    # Re-create each iteration's merged frame under the INPUT's schema —
+    # a hardcoded 'cell int' would silently truncate long cell ids.
+    schema = centroids.schema
     current = centroids
     for _ in range(max(0, iters)):
         assign = ivf_assign(df, current, vec_col=vec_col, id_col=id_col)
@@ -384,9 +395,7 @@ def kmeans_refine(
             (r["cell"], new_rows.get(r["cell"], r["centroid"]))
             for r in current.collect()
         ]
-        current = spark.createDataFrame(
-            merged, "cell int, centroid array<double>"
-        )
+        current = spark.createDataFrame(merged, schema)
     return current
 
 
@@ -447,7 +456,13 @@ def quantization_params(
     partial-agg shuffle), no explode.  Output: one row,
     ``mins array<double>, maxs array<double>``."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "quantization_params: cannot infer dim from an "
+                "empty/null-vector frame; pass dim= explicitly"
+            )
+        dim = len(probe[0])
     v = F.col(vec_col).cast("array<double>")
     aggs = []
     for i in range(dim):

@@ -354,3 +354,36 @@ def test_kmeans_refine_recovers_synthetic_blobs(spark):
     q = [float(x) for x in rows[0][1]]
     got = idx.search(q, k=5, nprobe=1).collect()
     assert len(got) == 5 and got[0]["vec_id"] == 0
+
+
+def test_dim_probe_errors_clearly_on_empty_input(spark):
+    """An empty frame must raise a clear ValueError from the dim probe,
+    not an opaque 'NoneType is not subscriptable' TypeError."""
+    import pytest
+
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        kmeans_refine,
+        quantization_params,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="pass dim= explicitly"):
+        quantization_params(empty)
+    no_centroids = spark.createDataFrame([], "cell int, centroid array<double>")
+    with pytest.raises(ValueError, match="pass dim= explicitly"):
+        kmeans_refine(empty, no_centroids, iters=1)
+
+
+def test_kmeans_refine_preserves_long_cell_ids(spark):
+    """The merged-centroid frame must carry the INPUT centroid schema —
+    a hardcoded 'cell int' would silently truncate bigint cell ids."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    big = 2**40  # far outside int32
+    cents = spark.createDataFrame(
+        [(big, [1.0, 0.0]), (big + 1, [0.0, 1.0])],
+        "cell bigint, centroid array<double>",
+    )
+    refined = similarity.kmeans_refine(df, cents, iters=2, dim=2)
+    assert refined.schema["cell"].dataType.simpleString() == "bigint"
+    assert {r["cell"] for r in refined.collect()} == {big, big + 1}
