@@ -1110,6 +1110,41 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_index(spark, sf_dir).search(qv, k=10, nprobe=4)
 
 
+_IVF_SAVE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_persisted(spark: SparkSession, sf_dir: str) -> "similarity.IvfIndex":
+    """Save the built index once per (app, sf) and serve from the LOADED
+    copy — exercising the durable query-service shape: centroids +
+    cell-partitioned assignment parquet on storage, probe filters
+    becoming partition pruning."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_SAVE_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivf-index-")
+        _ivf_index(spark, sf_dir).save(path)
+        _IVF_SAVE_CACHE[key] = path
+    return similarity.IvfIndex.load(spark, path)
+
+
+@_register(
+    "q_ivf_persisted_topk",
+    None,
+    "IVF ANN served from a SAVED index (IvfIndex.save/load): the cell "
+    "assignment is written partitioned BY CELL, so the loaded index's "
+    "probe filter (cell IN ...) prunes parquet partitions — a probe "
+    "reads nprobe/cells of the corpus from storage instead of scanning "
+    "it (tests/test_plan_shapes.py pins the PartitionFilters)",
+    "similarity: IVF ANN persistence",
+)
+def q_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return _ivf_persisted(spark, sf_dir).search(qv, k=10, nprobe=4)
+
+
 @_register(
     "q_lsh_ann_topk",
     None,

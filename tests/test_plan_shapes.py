@@ -145,3 +145,33 @@ def test_vocab_topk_partial_aggregation(spark):
     plan = _plan(spark, "q_vocab_topk")
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
+
+
+def test_persisted_ivf_probe_prunes_partitions(spark, tmp_path):
+    """IvfIndex.save writes the assignment partitioned BY CELL; a loaded
+    index's probe filter (cell IN ...) must reach the parquet scan as a
+    PartitionFilter — storage-level pruning, not a post-scan filter —
+    and return the same answer as the in-memory index."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.operators import similarity
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < 512)
+        .select("vec_id", "embedding")
+    )
+    idx = similarity.IvfIndex.build(emb, cells=8)
+    idx.save(str(tmp_path / "ivf"))
+    loaded = similarity.IvfIndex.load(spark, str(tmp_path / "ivf"))
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = loaded.search(qv, k=5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any(
+        "PartitionFilters: [cell#" in ln and " IN " in ln for ln in scan_lines
+    ), plan
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in idx.search(qv, k=5, nprobe=2).collect()
+    ]
