@@ -311,20 +311,26 @@ def _band_hashes(sig: Column, *, bands: int, rows: int) -> Column:
     )
 
 
-def _drop_hot_buckets(banded: DataFrame, max_band_width: int) -> DataFrame:
-    """Remove rows of (band, hash) buckets wider than ``max_band_width``
+def _drop_hot_buckets(
+    banded: DataFrame,
+    max_band_width: int,
+    *,
+    keys: tuple[str, str] = ("_band", "_bh"),
+) -> DataFrame:
+    """Remove rows of join-key buckets wider than ``max_band_width``
     via a map-side-combined groupBy count and a broadcast anti-join.
     The hot list is tiny by construction (only buckets with > cap rows
     can appear, so there are at most total_rows/cap of them — usually
     zero), which keeps the broadcast bounded and makes the no-hot-bucket
     case nearly free."""
+    key_cols = list(keys)
     hot = (
-        banded.groupBy("_band", "_bh")
+        banded.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_w"))
         .filter(F.col("_w") > max_band_width)
-        .select("_band", "_bh")
+        .select(*key_cols)
     )
-    return banded.join(F.broadcast(hot), ["_band", "_bh"], "left_anti")
+    return banded.join(F.broadcast(hot), key_cols, "left_anti")
 
 
 def _band_candidates(
@@ -710,11 +716,11 @@ def simhash_pairs(
     complete (the pigeonhole guarantee).  At billion-doc scale a 16-bit
     chunk value is shared by ~n/65536 docs by chance alone, so every
     chunk bucket goes quadratic; ``max_chunk_width`` drops buckets
-    wider than the cap before the self-join (count-window over the
-    join key, same exchange-reuse shape as the minhash band cap) at
-    the cost of completeness for pairs whose only agreeing chunk was
-    capped — at that scale, raise the chunk width (more bits) first
-    and cap as the backstop."""
+    wider than the cap before the self-join (pay-as-you-go broadcast
+    anti-join, see :func:`_drop_hot_buckets`) at the cost of
+    completeness for pairs whose only agreeing chunk was capped — at
+    that scale, raise the chunk width (more bits) first and cap as the
+    backstop."""
     # Two-step projection: the packed fingerprint references the token-
     # hash array once per bit, and higher-order lambdas are opaque to
     # Catalyst CSE — materialize the hashes first or every bit would
@@ -725,26 +731,10 @@ def simhash_pairs(
         .select("_id", _simhash_from_hashes(F.col("_th")).alias("_sh"))
     )
     sig = _cut_lineage(sig, checkpoint_dir)
-    chunks = sig.select(
-        "_id",
-        "_sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("_sh"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
-            )
-        ).alias("_chunk", "_cv"),
-    )
+    chunks = _simhash_chunks(sig)
     if max_chunk_width is not None:
-        from pyspark.sql import Window
-
-        wc = Window.partitionBy("_chunk", "_cv")
-        chunks = (
-            chunks.withColumn("_w", F.count(F.lit(1)).over(wc))
-            .filter(F.col("_w") <= max_chunk_width)
-            .drop("_w")
+        chunks = _drop_hot_buckets(
+            chunks, max_chunk_width, keys=("_chunk", "_cv")
         )
     cand = (
         chunks.alias("x")
@@ -769,6 +759,111 @@ def simhash_pairs(
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _simhash_chunks(sig: DataFrame) -> DataFrame:
+    """Explode a (_id, _sh) fingerprint frame into its 4 16-bit chunks:
+    (_id, _sh, _chunk, _cv) — the pigeonhole join key for hamming ≤ 3."""
+    return sig.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sh"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("_chunk", "_cv"),
+    )
+
+
+def simhash_pairs_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    checkpoint_dir: str | None = None,
+    max_chunk_width: int | None = None,
+) -> DataFrame:
+    """Incremental cross-corpus SimHash near-dup: (new_id, existing_id,
+    hamming ≤ ``max_hamming``) pairs between a NEW batch and an EXISTING
+    corpus — the hamming-side admission gate for corpora indexed by
+    SimHash (the minhash twin is :func:`minhash_lsh_pairs_against`).
+
+    Same 16-bit-chunk pigeonhole banding as :func:`simhash_pairs`, but
+    the chunk join is new × existing instead of a self-join: the
+    existing corpus never pairs against itself, so each crawl pays
+    O(new × collisions) — at 100 TB the existing side's chunk frame is
+    a table you persist once and re-join per batch.  ``max_chunk_width``
+    caps the EXISTING side's chunk buckets (the by-chance collision
+    hazard grows with corpus size); None (default) keeps the pigeonhole
+    guarantee exact and complete."""
+    def _sigs(df: DataFrame) -> DataFrame:
+        return (
+            spread(df)
+            .select(
+                F.col(id_col).alias("_id"),
+                _token_hashes(F.col(text_col)).alias("_th"),
+            )
+            .select("_id", _simhash_from_hashes(F.col("_th")).alias("_sh"))
+        )
+
+    sig_new = _cut_lineage(_sigs(new), checkpoint_dir)
+    sig_old = _cut_lineage(_sigs(existing), checkpoint_dir)
+    cn, co = _simhash_chunks(sig_new), _simhash_chunks(sig_old)
+    if max_chunk_width is not None:
+        co = _drop_hot_buckets(co, max_chunk_width, keys=("_chunk", "_cv"))
+    cand = (
+        cn.alias("x")
+        .join(
+            co.alias("y"),
+            on=[
+                F.col("x._chunk") == F.col("y._chunk"),
+                F.col("x._cv") == F.col("y._cv"),
+            ],
+        )
+        .select(
+            F.col("x._id").alias("new_id"),
+            F.col("y._id").alias("existing_id"),
+            F.col("x._sh").alias("_sa"),
+            F.col("y._sh").alias("_sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.select("new_id", "existing_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dedup_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    checkpoint_dir: str | None = None,
+    max_chunk_width: int | None = None,
+) -> DataFrame:
+    """Admission gate on top of :func:`simhash_pairs_against`: the NEW
+    docs whose fingerprint is within ``max_hamming`` of nothing in the
+    existing corpus (anti-join on the flagged id set — the corpus
+    itself never shuffles).  Output: (id_col) of admitted new docs."""
+    flagged = simhash_pairs_against(
+        new,
+        existing,
+        text_col=text_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        checkpoint_dir=checkpoint_dir,
+        max_chunk_width=max_chunk_width,
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new.select(id_col).join(flagged, on=id_col, how="left_anti")
 
 
 # ------------------------------------------- embedding cosine near-dup

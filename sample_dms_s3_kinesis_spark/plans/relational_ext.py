@@ -2516,3 +2516,22 @@ def q_near_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 2 == 1)
     existing = d.filter(F.col("doc_id") % 2 == 0)
     return near_dedup_against(new, existing, num_hashes=64, bands=16, threshold=0.9)
+
+
+@_register(
+    "q_simhash_pairs_against",
+    None,  # hamming over xxhash64 fingerprints is Spark-hash-specific
+    "incremental cross-corpus SimHash near-dup: new batch's 16-bit "
+    "fingerprint chunks joined against the existing corpus's (never "
+    "self-joined), pairs verified at hamming <= 3 — the hamming-side "
+    "admission gate (pytest proves exact equality with the cross "
+    "subset of the self-join operator)",
+    "dedup: incremental SimHash gate",
+)
+def q_simhash_pairs_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import simhash_pairs_against
+
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    return simhash_pairs_against(new, existing, max_hamming=3)

@@ -449,3 +449,76 @@ def test_minhash_lsh_pairs_against_matches_cross_subset(spark):
     }
     flagged_new = {a for a, _ in got}
     assert admitted == {r["doc_id"] for r in new.collect()} - flagged_new
+
+
+def test_simhash_pairs_against_matches_cross_subset(spark):
+    """Cross-corpus SimHash pairs must equal exactly the cross-corpus
+    subset of the self-join operator run over the union (same
+    fingerprints, same chunk banding), and the admission gate keeps
+    precisely the unflagged new docs."""
+    base = _docs(spark, n=60)
+    existing = base.filter(F.col("doc_id") < 40)
+    # new batch: 10 fresh docs + exact copies of 3 existing docs
+    fresh = base.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+    copies = existing.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text", "lang"
+    )
+    new = fresh.unionByName(copies)
+
+    got = {
+        (r["new_id"], r["existing_id"]): r["hamming"]
+        for r in dedup.simhash_pairs_against(
+            new, existing, max_hamming=3
+        ).collect()
+    }
+    union = existing.unionByName(new)
+    ref = {
+        (r["id_b"], r["id_a"]): r["hamming"]
+        for r in dedup.simhash_pairs(union, max_hamming=3).collect()
+        # keep only (existing, new) cross pairs: existing < 40, new >= 40
+        if r["id_a"] < 40 and r["id_b"] >= 40
+    }
+    assert got == ref
+    # exact copies carry identical fingerprints: hamming 0
+    for i in range(3):
+        assert got[(i + 1000, i)] == 0
+
+    admitted = {
+        r["doc_id"]
+        for r in dedup.simhash_dedup_against(
+            new, existing, max_hamming=3
+        ).collect()
+    }
+    flagged_new = {a for a, _ in got}
+    assert admitted == {r["doc_id"] for r in new.collect()} - flagged_new
+
+
+def test_simhash_pairs_against_chunk_cap_drops_only_hot_buckets(spark):
+    """With max_chunk_width armed, pairs whose every agreeing chunk
+    bucket is over-cap disappear; all other pairs survive unchanged."""
+    base = _docs(spark, n=40)
+    existing = base.filter(F.col("doc_id") < 30)
+    new = base.filter(F.col("doc_id") >= 30).unionByName(
+        existing.filter(F.col("doc_id") < 2).select(
+            (F.col("doc_id") + 500).alias("doc_id"), "text", "lang"
+        )
+    )
+    uncapped = set(
+        (r["new_id"], r["existing_id"])
+        for r in dedup.simhash_pairs_against(
+            new, existing, max_hamming=3
+        ).collect()
+    )
+    # a cap far above any bucket width changes nothing
+    wide = set(
+        (r["new_id"], r["existing_id"])
+        for r in dedup.simhash_pairs_against(
+            new, existing, max_hamming=3, max_chunk_width=10_000
+        ).collect()
+    )
+    assert wide == uncapped
+    # cap of 0 drops every existing-side bucket -> no pairs at all
+    none = dedup.simhash_pairs_against(
+        new, existing, max_hamming=3, max_chunk_width=0
+    ).collect()
+    assert none == []
