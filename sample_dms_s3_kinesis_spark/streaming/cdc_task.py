@@ -61,6 +61,60 @@ EXCEPTIONS_SCHEMA = T.StructType(
 )
 
 
+def split_alter_rows(
+    alters: DataFrame, catalog: Catalog, task_name: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split parsed ALTER rows into (supported, exceptions).
+
+    ``supported``: rows for catalog tables whose first payload token is
+    a supported alter op — columns (seq, schema_name, table_name,
+    operation), ready for ``envelope.alter_control_events``.
+    ``exceptions``: EXCEPTIONS_SCHEMA-shaped rows for unknown tables
+    and unsupported operations.  Every predicate is null-safe: garbage
+    lines (NULL table/schema, and NULL operation from a payload-less
+    'ALTER,<table>,<schema>' line, where both ``isin`` and ``~isin``
+    evaluate to NULL) always land in exceptions — rows are conserved,
+    never silently dropped from both channels (the property
+    tests/test_cdc_parse_properties.py pins)."""
+    known_pred = F.lit(False)
+    for t in catalog:
+        known_pred = known_pred | (
+            (F.col("schema_name") == t.owner)
+            & (F.col("table_name") == t.name)
+        )
+    known_pred = F.coalesce(known_pred, F.lit(False))
+    alter_rows = alters.filter(known_pred).select(
+        "seq",
+        "schema_name",
+        "table_name",
+        # the alter op is the first payload token, validated against the
+        # supported set; anything else routes to the exceptions channel
+        F.lower(F.trim(F.get(F.col("payload"), 0))).alias("operation"),
+    )
+    is_supported = F.coalesce(
+        F.col("operation").isin(list(envelope.ALTER_OPERATIONS)),
+        F.lit(False),
+    )
+    supported = alter_rows.filter(is_supported)
+    exc_unsupported = alter_rows.filter(~is_supported).select(
+        F.lit(task_name).alias("TASK_NAME"),
+        F.col("schema_name").alias("TABLE_OWNER"),
+        F.col("table_name").alias("TABLE_NAME"),
+        F.col("seq").alias("ERROR_SEQ"),
+        F.col("operation").alias("OPERATION"),
+        F.lit("unsupported-alter-operation").alias("ERROR"),
+    )
+    exc_unknown = alters.filter(~known_pred).select(
+        F.lit(task_name).alias("TASK_NAME"),
+        F.col("schema_name").alias("TABLE_OWNER"),
+        F.col("table_name").alias("TABLE_NAME"),
+        F.col("seq").alias("ERROR_SEQ"),
+        F.col("op").alias("OPERATION"),
+        F.lit("table-not-in-selection").alias("ERROR"),
+    )
+    return supported, exc_unsupported.unionByName(exc_unknown)
+
+
 class CdcTask(ReplicationTask):
     def __init__(
         self,
@@ -280,58 +334,15 @@ class CdcTask(ReplicationTask):
         apply_results = []
 
         if head["n_alters"] > 0:
-            known_pred = F.lit(False)
-            for t in self.catalog:
-                known_pred = known_pred | (
-                    (F.col("schema_name") == t.owner)
-                    & (F.col("table_name") == t.name)
-                )
-            known_alters = alters.filter(F.coalesce(known_pred, F.lit(False)))
-            alter_rows = known_alters.select(
-                "seq",
-                "schema_name",
-                "table_name",
-                # the alter op is the first payload token, validated
-                # against the supported set; anything else routes to
-                # the exceptions channel below
-                F.lower(F.trim(F.get(F.col("payload"), 0))).alias("operation"),
+            supported, alter_exceptions = split_alter_rows(
+                alters, self.catalog, self.identifier
             )
-            # Null-safe split: an ALTER line with NO payload token (e.g.
-            # 'ALTER,department,hr') yields a NULL operation, and both
-            # `isin(...)` and `~isin(...)` evaluate to NULL — filter()
-            # would silently drop the row from BOTH channels.  Coalesce
-            # to False routes NULL operations to the exceptions channel,
-            # preserving the malformed-rows-flow-to-exceptions contract.
-            is_supported = F.coalesce(
-                F.col("operation").isin(list(envelope.ALTER_OPERATIONS)),
-                F.lit(False),
-            )
-            supported = alter_rows.filter(is_supported)
             event_frames.append(
                 envelope.alter_control_events(
                     supported, event_time=self.event_time
                 )
             )
-            exception_frames.append(
-                alter_rows.filter(~is_supported).select(
-                    F.lit(self.identifier).alias("TASK_NAME"),
-                    F.col("schema_name").alias("TABLE_OWNER"),
-                    F.col("table_name").alias("TABLE_NAME"),
-                    F.col("seq").alias("ERROR_SEQ"),
-                    F.col("operation").alias("OPERATION"),
-                    F.lit("unsupported-alter-operation").alias("ERROR"),
-                )
-            )
-            exception_frames.append(
-                alters.filter(~F.coalesce(known_pred, F.lit(False))).select(
-                    F.lit(self.identifier).alias("TASK_NAME"),
-                    F.col("schema_name").alias("TABLE_OWNER"),
-                    F.col("table_name").alias("TABLE_NAME"),
-                    F.col("seq").alias("ERROR_SEQ"),
-                    F.col("op").alias("OPERATION"),
-                    F.lit("table-not-in-selection").alias("ERROR"),
-                )
-            )
+            exception_frames.append(alter_exceptions)
 
         for table, changes in routed.items():
             changes = changes.persist()
