@@ -62,6 +62,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Host load at start/end: this machine's wall-clock numbers swing up
+    # to 10x under background load, so a reader adjudicating a run needs
+    # the contemporaneous 1/5/15-min load averages next to the timings.
+    load_start = os.getloadavg()
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -125,6 +129,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_avg_start": [round(x, 2) for x in load_start],
+                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
