@@ -1183,73 +1183,73 @@ from sample_dms_s3_kinesis_spark.plans import relational_ext  # noqa: E402,F401
 
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
-# budget.  Rounds 2 and 3 drove their 50-query windows all-green
-# (CORRECTNESS_r02/r03.json: every oracle-bearing row green, the
-# remaining rows by-design rows-only).  Round 4 rotates again with two
-# goals: (1) the queries that have NEVER had a driver row — the six
-# held back in r3 plus the three new round-4 operators (canonical
-# dedup, quality score filter, corpus composition); (2) re-verify
-# every query whose code path changed this round (the NTZ timestamp
-# fix, the LSH band-width cap, broadcast pins, multi-probe LSH ANN,
-# the decontamination/curation family) and refresh the r2-only greens
-# that have not been driver-checked since.  Nine stable, untouched
-# relational shapes (rollup/cube/grouping-sets/pivot/scalar-subquery/
-# string/date/full-outer/percentile — all r2-green) rotate out; they
-# stay registered and covered by the local strict gate + pytest.
+# budget.  Rounds 2-4 drove their 50-query windows all-green (zero
+# oracle-bearing failures in CORRECTNESS_r02/r03/r04.json).  Round 5
+# rotates with three goals: (1) the queries with NO driver row yet —
+# q_near_dedup_against (registered in r4's final commit, outside that
+# window) plus the two new round-5 operators (persisted-IVF probe,
+# cross-corpus SimHash gate); (2) the 16 queries whose last driver row
+# is r2 — three rounds stale — the oldest signal in the registry;
+# (3) back-fill with r3-stale queries, preferring the north-star
+# text/sampling/embedding families and the shapes touched by round-5
+# code changes (the SimHash chunk refactor, the hot-bucket cap).
+# Seventeen r3-green TPC-H queries (q02/q04/q06/q07/q09-q17/q19-q22,
+# q10) rotate out this round — at r5 their rows are exactly two rounds
+# old, within contract; they rotate back in r6.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked: r3 holdbacks + round-4 additions ---
-    "q_null_handling",
-    "q_redact_pii",
-    "q_assign_shards",
-    "q_winnowed_fingerprints",   # rows-only: fingerprint-family-specific
-    "q_approx_distinct_users",   # rows-only: sketch-approximate by design
-    "q_multimodal_audio_features",  # rows-only: binary decode, pytest-proven
-    "q_dedup_canonical",
-    "q_quality_score_filter",
-    "q_corpus_composition",
-    "q_dup_span_coverage",
-    "q_vocab_topk",
-    "q_embedding_quantize",
-    "q_length_histogram",
-    "q_remove_dup_spans",
-    # --- code paths changed in round 4: re-verify under the driver ---
-    "q_sessionize_events",
-    "q_binned_range_join",
-    "q_minhash_lsh_pairs",       # rows-only: hash-family-specific
-    "q_lsh_jaccard_verified",    # rows-only: candidate-set dependent
-    "q_ngram_jaccard_pairs",
-    "q_embedding_near_dup",
-    "q_dup_ngram_stats",
-    "q_decontaminate",
-    "q_curation_pipeline",
-    "q_dedup_clusters",
-    "q_ivf_ann_topk",            # rows-only: approximate ANN, recall pytest
-    "q_lsh_ann_topk",            # rows-only: approximate ANN, recall pytest
-    # --- r2-only greens, not driver-checked since ---
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q18_large_orders",
-    "q_union_priorities",
-    "q_semi_join",
-    "q_anti_join",
-    "q_conditional_agg_events",
-    "q_latest_wins_events",
-    "q_running_sum_events",
-    "q_topk_per_group",
-    "q_ts_filter_events",
-    "q_partition_key",
-    "q_json_extract_events",
-    "q_envelope_events",
-    "q_asof_join",
-    "q_range_join",
-    "q_scd2_history",
-    "q_dedup_md5_documents",
-    "q_dedup_exact_events",
-    "q_text_quality",
-    "q_ann_cosine_topk",
-    "q_embedding_centroids",
-    "q_salted_join_agg",
-    "q_multimodal_features",     # rows-only: binary decode, pytest-proven
+    # --- never driver-checked: r4 holdback + round-5 additions ---
+    "q_near_dedup_against",      # rows-only: hash-family-specific
+    "q_ivf_persisted_topk",      # rows-only: approximate ANN, plan pytest
+    "q_simhash_pairs_against",   # rows-only: fingerprint-family-specific
+    # --- r2-stale (3 rounds): the oldest driver signal ---
+    "q_top_orders",
+    "q_rollup_orders",
+    "q_cube_documents",
+    "q_scalar_subquery",
+    "q_like_filter",
+    "q08_market_share",
+    "q_full_outer_nation_counts",
+    "q_percentile_agg",
+    "q_grouping_sets_orders",
+    "q_pivot_status_counts",
+    "q_string_functions",
+    "q_date_functions",
+    "q_tumbling_window_events",
+    "q_two_phase_distinct",
+    "q_mixture_sample",
+    "q_text_tfidf_topk",
+    # --- r3-stale back-fill: north-star families + touched shapes ---
+    "q_simhash_pairs",           # rows-only; chunk helper refactored in r5
+    "q_text_tokens",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_text_tokens_bpe",
+    "q_text_repetition",
+    "q_text_normalize",
+    "q_unigram_lm_score",
+    "q_hash_split",
+    "q_stratified_sample",
+    "q_group_sample_topk",
+    "q_token_budget_sample",
+    "q_pack_sequences",
+    "q_top_fraction_quality",
+    "q_dedup_incremental",
+    "q_embedding_normalize",
+    "q_ann_batch_topk",          # rows-only: approximate ANN
+    "q_window_lag_lead",
+    "q_window_rank_family",
+    "q_window_first_last",
+    "q_window_agg_events",
+    "q_session_window_events",
+    "q_sliding_window_events",
+    "q_stats_agg",
+    "q_distinct_count",
+    "q_in_subquery",
+    "q_cross_join_region_status",
+    "q_intersect_customers",
+    "q_except_customers",
+    "q_array_agg_priorities",
+    "q05_local_supplier_volume",
 ]
 
 _BY_NAME = {s.name: s for s in _SPECS}
