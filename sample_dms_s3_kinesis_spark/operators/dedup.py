@@ -885,6 +885,86 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot / (norm_a * norm_b)
 
 
+def embedding_near_dup_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.99,
+    broadcast_rows: int = BROADCAST_ROWS,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Incremental cross-corpus embedding near-dup: (new_id,
+    existing_id, cosine ≥ τ) pairs between a NEW batch and an EXISTING
+    corpus within a blocking key — the embedding-side admission gate,
+    completing the trio with :func:`minhash_lsh_pairs_against` (lexical)
+    and :func:`simhash_pairs_against` (hamming).
+
+    The NEW batch is the build side (a crawl batch is small next to the
+    corpus): size-gated broadcast with the salted-shuffle fallback of
+    :func:`_block_pair_join`, so the existing corpus only streams
+    through the probe side and never self-pairs.  ``broadcast``
+    True/False pins the strategy and skips the sizing count."""
+    build_rows = new.count() if broadcast is None else None
+
+    def _base(df: DataFrame) -> DataFrame:
+        return spread(df).select(
+            F.col(id_col).alias("_id"),
+            F.col(block_col).alias("_blk"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+
+    ex = _base(existing).select(
+        "_blk", F.col("_id").alias("existing_id"), F.col("_v").alias("_ve")
+    )
+    nw = _base(new).select(
+        "_blk", F.col("_id").alias("new_id"), F.col("_v").alias("_vn")
+    )
+    pairs = _block_pair_join(
+        ex,
+        nw,
+        build_rows,
+        probe_id="existing_id",
+        broadcast_rows=broadcast_rows,
+        broadcast=broadcast,
+    )
+    cos = cosine_similarity(F.col("_vn"), F.col("_ve"))
+    return (
+        pairs.select(
+            "new_id", "existing_id", F.round(cos, 6).alias("cosine")
+        ).filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dedup_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.99,
+    broadcast_rows: int = BROADCAST_ROWS,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Admission gate on top of :func:`embedding_near_dup_against`: the
+    NEW vectors whose cosine reaches ``threshold`` against nothing in
+    the existing corpus.  Output: (id_col) of admitted new rows."""
+    flagged = embedding_near_dup_against(
+        new,
+        existing,
+        vec_col=vec_col,
+        id_col=id_col,
+        block_col=block_col,
+        threshold=threshold,
+        broadcast_rows=broadcast_rows,
+        broadcast=broadcast,
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new.select(id_col).join(flagged, on=id_col, how="left_anti")
+
+
 # ---------------------------------- duplicate-cluster resolution (CC)
 
 def connected_components(

@@ -2535,3 +2535,97 @@ def q_simhash_pairs_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 2 == 1)
     existing = d.filter(F.col("doc_id") % 2 == 0)
     return simhash_pairs_against(new, existing, max_hamming=3)
+
+
+@_register(
+    "q_embedding_near_dup_against",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         n AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         o AS (SELECT * FROM e WHERE vec_id % 2 = 0)
+    SELECT n.vec_id AS new_id, o.vec_id AS existing_id,
+           ROUND(list_cosine_similarity(n.v, o.v), 6) AS cosine
+    FROM n JOIN o ON n.label = o.label
+    WHERE ROUND(list_cosine_similarity(n.v, o.v), 6) >= 0.4
+    """,
+    "incremental cross-corpus embedding near-dup: new batch's vectors "
+    "block-joined against the existing corpus (never self-paired), "
+    "cosine >= threshold flagged — the embedding-side admission gate "
+    "completing the minhash/simhash trio",
+    "dedup: incremental embedding gate",
+)
+def q_embedding_near_dup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        embedding_near_dup_against,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    existing = e.filter(F.col("vec_id") % 2 == 0)
+    return embedding_near_dup_against(new, existing, threshold=0.4)
+
+
+@_register(
+    "q_nb_lang_classify",
+    r"""
+    WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    te AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    toks AS (
+      SELECT lang AS label,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM tr),
+    counts AS (SELECT label, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    totals AS (SELECT label, SUM(c) AS n FROM counts GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT token) AS v FROM counts),
+    dc AS (SELECT lang AS label, COUNT(*) AS d FROM tr GROUP BY 1),
+    dt AS (SELECT COUNT(*) AS t FROM tr),
+    lm AS (
+      SELECT dc.label,
+             ln(dc.d) - ln(dt.t) AS log_prior,
+             0 - ln(totals.n + vocab.v) AS log_default
+      FROM dc, dt, totals, vocab WHERE dc.label = totals.label),
+    tm AS (
+      SELECT counts.label, counts.token,
+             ln(counts.c + 1.0) - ln(totals.n + vocab.v) AS log_cond
+      FROM counts, totals, vocab WHERE counts.label = totals.label),
+    tt AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM te),
+    seen AS (
+      SELECT tt.doc_id, tm.label, SUM(tm.log_cond) AS s, COUNT(*) AS m
+      FROM tt JOIN tm ON tt.token = tm.token GROUP BY 1, 2),
+    nn AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n
+      FROM te),
+    scores AS (
+      SELECT nn.doc_id, lm.label,
+             lm.log_prior + COALESCE(seen.s, 0)
+               + (nn.n - COALESCE(seen.m, 0)) * lm.log_default AS score
+      FROM nn CROSS JOIN lm
+      LEFT JOIN seen ON nn.doc_id = seen.doc_id AND lm.label = seen.label)
+    SELECT doc_id, label AS predicted
+    FROM (SELECT doc_id, label,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, label ASC
+                 ) AS r
+          FROM scores)
+    WHERE r = 1
+    """,
+    "model-based curation: multinomial Naive Bayes token model trained "
+    "on the even-id half (label = lang), argmax prediction for the "
+    "odd-id half — fastText-style language/quality filtering as pure "
+    "Catalyst aggregates (min top-2 margin 4e-3 at sf0.01, ten orders "
+    "above cross-engine float noise, so the discrete argmax is "
+    "oracle-stable)",
+    "classify: Naive Bayes",
+)
+def q_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import classify
+
+    d = t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    tm, lm = classify.nb_train(train, label_col="lang")
+    return classify.nb_classify(test, tm, lm).select("doc_id", "predicted")

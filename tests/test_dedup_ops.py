@@ -522,3 +522,45 @@ def test_simhash_pairs_against_chunk_cap_drops_only_hot_buckets(spark):
         new, existing, max_hamming=3, max_chunk_width=0
     ).collect()
     assert none == []
+
+
+def test_embedding_near_dup_against_matches_cross_subset(spark):
+    """Cross-corpus embedding pairs must equal the cross subset of the
+    self-join operator over the union, for both the broadcast and the
+    salted-shuffle strategies, and the gate admits the unflagged new
+    ids."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    existing = emb.filter(F.col("vec_id") % 2 == 0)
+
+    got = {
+        (r["new_id"], r["existing_id"]): r["cosine"]
+        for r in dedup.embedding_near_dup_against(
+            new, existing, threshold=0.4
+        ).collect()
+    }
+    ref = {
+        (r["id_b"], r["id_a"]) if r["id_b"] % 2 == 1 else (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+        if (r["id_a"] % 2) != (r["id_b"] % 2)  # cross-parity pairs only
+    }
+    assert got == ref
+
+    # pinned strategies agree
+    for pin in (True, False):
+        pinned = {
+            (r["new_id"], r["existing_id"]): r["cosine"]
+            for r in dedup.embedding_near_dup_against(
+                new, existing, threshold=0.4, broadcast=pin
+            ).collect()
+        }
+        assert pinned == got, pin
+
+    admitted = {
+        r["vec_id"]
+        for r in dedup.embedding_dedup_against(
+            new, existing, threshold=0.4
+        ).collect()
+    }
+    flagged = {a for a, _ in got}
+    assert admitted == {r["vec_id"] for r in new.collect()} - flagged
