@@ -315,7 +315,7 @@ def _drop_hot_buckets(
     banded: DataFrame,
     max_band_width: int,
     *,
-    keys: tuple[str, str] = ("_band", "_bh"),
+    keys: tuple[str, ...] = ("_band", "_bh"),
 ) -> DataFrame:
     """Remove rows of join-key buckets wider than ``max_band_width``
     via a map-side-combined groupBy count and a broadcast anti-join.
@@ -883,6 +883,86 @@ def cosine_similarity(a: Column, b: Column) -> Column:
         F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
     )
     return dot / (norm_a * norm_b)
+
+
+def winnowing_containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_width: int | None = 10_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Substring-level CONTAINMENT candidates via shared winnowing
+    fingerprints: (id_a < id_b, shared, containment).
+
+    Jaccard-style near-dup misses containment — a doc quoting 30% of
+    another scores low Jaccard but is still a duplication relationship
+    a curation pipeline must see (quotation farms, wrapper pages,
+    licensing boilerplate).  Winnowing guarantees any shared token run
+    of ≥ shingle + window − 1 tokens yields a shared fingerprint
+    (text.winnowed_fingerprints), so substring overlap surfaces as
+    shared-fingerprint count; ``containment`` = shared / min(|fp_a|,
+    |fp_b|) normalizes by the smaller document.
+
+    Scale: explode + self-join keyed on the fingerprint — O(collisions)
+    like the LSH band join, with the same pay-as-you-go hot-bucket cap
+    (``max_fp_width``) for fingerprints shared by half the corpus
+    (licence headers).  Spark-side only (xxhash64): soundness is
+    pytest-checked, not SQL-oracled."""
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        winnowed_fingerprints,
+    )
+
+    fps = spread(df).select(
+        F.col(id_col).alias("_id"),
+        winnowed_fingerprints(
+            F.col(text_col), shingle=shingle, window=window
+        ).alias("_fps"),
+    )
+    fps = _cut_lineage(fps, checkpoint_dir)
+    sizes = fps.select("_id", F.size("_fps").alias("_nf"))
+    ex = fps.select("_id", F.explode("_fps").alias("_fp"))
+    if max_fp_width is not None:
+        ex = _drop_hot_buckets(ex, max_fp_width, keys=("_fp",))
+    pairs = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            on=[
+                F.col("x._fp") == F.col("y._fp"),
+                F.col("x._id") < F.col("y._id"),
+            ],
+        )
+        # fingerprints are distinct within a doc, so each common
+        # fingerprint contributes exactly one joined row per pair
+        .groupBy(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_nf").alias("_na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_nf").alias("_nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.round(
+                F.col("shared") / F.least(F.col("_na"), F.col("_nb")), 6
+            ).alias("containment"),
+        )
+    )
 
 
 def embedding_near_dup_against(

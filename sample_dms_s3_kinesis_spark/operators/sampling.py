@@ -287,6 +287,57 @@ def pack_sequences(
     ).drop("_cum")
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with optional
+    overlap — the context-window prep that complements
+    :func:`pack_sequences` (packing concatenates SHORT docs; chunking
+    splits LONG ones).  Chunk starts step by ``chunk_tokens − overlap``;
+    the final chunk keeps its natural (shorter) length.
+
+    Output: (id_col, chunk_id, chunk_text, n_tokens), one row per
+    chunk, chunk_id counting from 0 within the document.
+
+    Scale: a narrow projection + posexplode — no shuffle, no window; a
+    doc's chunk fan-out is bounded by its own length, so the operator
+    is embarrassingly parallel at any corpus size.  Deterministic and
+    SQL-expressible (whitespace tokens, fixed stride), so the driver
+    oracle verifies exact chunk strings cross-engine."""
+    from sample_dms_s3_kinesis_spark.operators.text import tokens
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    return base.select(
+        id_col,
+        "_t",
+        "_n",
+        F.posexplode(starts).alias("chunk_id", "_s"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.array_join(
+            F.slice("_t", F.col("_s") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_s")).alias(
+            "n_tokens"
+        ),
+    )
+
+
 def top_fraction_per_group(
     df: DataFrame,
     *,

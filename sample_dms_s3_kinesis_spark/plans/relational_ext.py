@@ -2629,3 +2629,51 @@ def q_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = d.filter(F.col("doc_id") % 2 == 1)
     tm, lm = classify.nb_train(train, label_col="lang")
     return classify.nb_classify(test, tm, lm).select("doc_id", "predicted")
+
+
+@_register(
+    "q_chunk_documents",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, len(toks), 48)) AS start
+      FROM d)
+    SELECT doc_id,
+           (start // 48) AS chunk_id,
+           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
+           LEAST(64, n - start) AS n_tokens
+    FROM s
+    """,
+    "context-window prep: split each document into 64-token chunks "
+    "with 16-token overlap (stride 48); the final chunk keeps its "
+    "natural length — exact chunk strings verified cross-engine",
+    "sampling: document chunking",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@_register(
+    "q_winnowing_containment",
+    None,  # xxhash64 fingerprints are Spark-hash-specific
+    "substring-level containment candidates: docs sharing >= 3 winnowed "
+    "fingerprints, with shared counts and containment ratio "
+    "(shared / min fingerprint set size) — catches quotation/boilerplate "
+    "relationships Jaccard-style near-dup misses",
+    "dedup: winnowing containment",
+)
+def q_winnowing_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        winnowing_containment_pairs,
+    )
+
+    return winnowing_containment_pairs(
+        t(spark, sf_dir, "documents"), shingle=6, window=4, min_shared=3
+    )

@@ -564,3 +564,70 @@ def test_embedding_near_dup_against_matches_cross_subset(spark):
     }
     flagged = {a for a, _ in got}
     assert admitted == {r["vec_id"] for r in new.collect()} - flagged
+
+
+def test_winnowing_containment_detects_partial_overlap(spark):
+    """A doc quoting a long span of another must surface as a
+    containment pair even though full-document Jaccard is low; unrelated
+    docs must not pair; shared counts match a Python winnowing
+    reference."""
+    import random
+
+    from sample_dms_s3_kinesis_spark.operators import text as text_ops
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(800)]
+    quoted = " ".join(rng.choice(vocab) for _ in range(40))
+    doc_a = quoted + " " + " ".join(rng.choice(vocab) for _ in range(160))
+    doc_b = " ".join(rng.choice(vocab) for _ in range(50)) + " " + quoted
+    doc_c = " ".join(rng.choice(vocab) for _ in range(200))
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.winnowing_containment_pairs(
+            df, shingle=8, window=4, min_shared=2
+        ).collect()
+    }
+    assert (1, 2) in out
+    assert (1, 3) not in out and (2, 3) not in out
+
+    # shared count equals the intersection of the per-doc fingerprint
+    # sets the winnowing operator itself produces
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id",
+            text_ops.winnowed_fingerprints(
+                F.col("text"), shingle=8, window=4
+            ).alias("fp"),
+        ).collect()
+    }
+    exp_shared = len(fps[1] & fps[2])
+    row = out[(1, 2)]
+    assert row["shared"] == exp_shared
+    assert row["containment"] == round(
+        exp_shared / min(len(fps[1]), len(fps[2])), 6
+    )
+
+
+def test_winnowing_containment_fp_cap_drops_boilerplate(spark):
+    """A fingerprint shared by every doc (license header) exceeds the
+    cap and is excluded from pairing; pairs supported only by it
+    disappear."""
+    header = " ".join(f"lic{i}" for i in range(12))
+    rows = [(i, header + f" body{i} " + " ".join(f"x{i}_{j}" for j in range(20)))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: the shared header pairs everything
+    full = dedup.winnowing_containment_pairs(
+        df, shingle=6, window=3, min_shared=1, max_fp_width=None
+    ).count()
+    assert full > 0
+    # cap below corpus size: header fingerprints (width 8) are dropped
+    capped = dedup.winnowing_containment_pairs(
+        df, shingle=6, window=3, min_shared=1, max_fp_width=7
+    ).count()
+    assert capped == 0

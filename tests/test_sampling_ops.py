@@ -344,3 +344,42 @@ def test_corpus_composition_python_reference(spark):
         assert out[k]["n_docs"] == nd
         assert out[k]["n_tokens"] == nt
         assert abs(out[k]["token_share"] - round(nt / total, 6)) <= 1e-9
+
+
+def test_chunk_documents_python_reference(spark):
+    """Chunk boundaries, overlap, final-partial-chunk, and exact chunk
+    strings against a pure-Python chunker."""
+    from sample_dms_s3_kinesis_spark.operators.sampling import chunk_documents
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks: 2 chunks
+        (2, " ".join(f"u{i}" for i in range(4))),    # 4 toks: 1 chunk
+        (3, "single"),                               # 1 tok
+        (4, " ".join(f"v{i}" for i in range(13))),   # 13 toks: 3 chunks
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=6, overlap=2)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    exp = {}
+    stride = 4
+    for doc_id, txt in docs:
+        toks = txt.split()
+        for i, s in enumerate(range(0, len(toks), stride)):
+            chunk = toks[s : s + 6]
+            exp[(doc_id, i)] = (" ".join(chunk), len(chunk))
+    assert got == exp
+    # overlap: consecutive chunks share exactly `overlap` tokens
+    assert got[(1, 0)][0].split()[-2:] == got[(1, 1)][0].split()[:2]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from sample_dms_s3_kinesis_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
