@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators.partitioning import spread
-from sample_dms_s3_kinesis_spark.operators.text import tokens
+from sample_dms_s3_kinesis_spark.operators.text import _bind, tokens
 
 # Build sides at or below this row count broadcast; above it the pair
 # join falls back to a salted shuffle join (see _block_pair_join).
@@ -182,14 +182,22 @@ def dedup_against(
 # ---------------------------------------------------- n-gram Jaccard
 
 def token_ngrams(col: Column, n: int = 3) -> Column:
-    """Token n-gram shingle set (distinct)."""
-    toks = tokens(F.lower(col))
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)
-    grams = F.when(count > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))).otherwise(
-        F.array().cast("array<string>")
-    )
-    return F.array_distinct(grams)
+    """Token n-gram shingle set (distinct).  The token array is bound
+    once (text._bind): referencing the split expression inside the
+    per-position lambda would re-split the text once per shingle
+    position — O(tokens²) per document on the hot path of every
+    minhash/Jaccard operator."""
+
+    def _grams(toks: Column) -> Column:
+        count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        idx = F.sequence(F.lit(1), count)
+        grams = F.when(
+            count > 0,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(grams)
+
+    return _bind(tokens(F.lower(col)), _grams)
 
 
 def ngram_jaccard_pairs(

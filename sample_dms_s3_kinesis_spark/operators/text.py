@@ -177,14 +177,19 @@ def dup_token_fraction(col: Column) -> Column:
 
 def word_bigrams(col: Column) -> Column:
     """Consecutive lowercased token bigrams (with repeats — occurrence
-    list, not a set; near-dup shingles use ``token_ngrams`` instead)."""
-    toks = tokens(F.lower(col))
-    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1))
-    )
+    list, not a set; near-dup shingles use ``token_ngrams`` instead).
+    Token array bound once (:func:`_bind`) — inlining it into the
+    per-position lambda would re-split the text per bigram."""
+
+    def _bigrams(toks: Column) -> Column:
+        idx = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1))
+        )
+
+    return _bind(tokens(F.lower(col)), _bigrams)
 
 
 def top_bigram_fraction(grams: Column) -> Column:
@@ -220,16 +225,33 @@ def normalize_text(col: Column) -> Column:
     return F.trim(c)
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once and hand it to ``fn`` as a BOUND lambda
+    variable.  Referencing a computed array expression inside a
+    higher-order-function lambda re-evaluates the whole expression once
+    per element (HOF lambdas are opaque to Catalyst CSE) — quadratic
+    per-row blowup; routing it through a 1-element array transform
+    turns it into a lambda variable, evaluated once and referenced
+    cheaply."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def rolling_hashes(col: Column, window: int = 8) -> Column:
     """Winnowing-style rolling token-window hashes: xxhash64 over each
     consecutive ``window``-token span.  Spark-side only (xxhash64), used
-    by near-dup candidate generation; no SQL oracle."""
-    toks = tokens(F.lower(col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
-    )
+    by near-dup candidate generation; no SQL oracle.  The token array
+    is bound once (:func:`_bind`) — inlining it into the per-position
+    lambda would re-split the text once per position."""
+
+    def _roll(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+        return F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        )
+
+    return _bind(tokens(F.lower(col)), _roll)
 
 
 # BPE-ish pre-tokenization: the GPT-2-family pretoken split — word
@@ -310,14 +332,22 @@ def winnowed_fingerprints(
     tokens between two documents yields at least one shared
     fingerprint — substring-level near-dup detection with output size
     ~1/window of the shingle count.  Spark-side only (xxhash64); the
-    soundness property is pytest-checked rather than SQL-oracled."""
-    rh = rolling_hashes(col, window=shingle)
-    n = F.size(rh)
-    idx = F.when(n >= window, F.sequence(F.lit(0), n - window)).otherwise(
-        F.array().cast("array<int>")
-    )
-    mins = F.transform(idx, lambda i: F.array_min(F.slice(rh, i + 1, window)))
-    return F.array_distinct(mins)
+    soundness property is pytest-checked rather than SQL-oracled.
+    The rolling-hash array is bound once (:func:`_bind`) — inlining it
+    into the min-of-window lambda would recompute every rolling hash
+    once per position, O(positions²·shingle) per document."""
+
+    def _winnow(rh: Column) -> Column:
+        n = F.size(rh)
+        idx = F.when(n >= window, F.sequence(F.lit(0), n - window)).otherwise(
+            F.array().cast("array<int>")
+        )
+        mins = F.transform(
+            idx, lambda i: F.array_min(F.slice(rh, i + 1, window))
+        )
+        return F.array_distinct(mins)
+
+    return _bind(rolling_hashes(col, window=shingle), _winnow)
 
 
 # ------------------------------------------------------ PII redaction
