@@ -1,0 +1,267 @@
+"""Streaming corpus ingestion with admission gates — the "every-crawl"
+loop as a Structured Streaming task.
+
+Couples the reference's file-tailing task shape (CDC polling loop,
+`/root/reference/run.py:194-195` → `maxFilesPerTrigger` micro-batches,
+same skeleton as ``streaming/cdc_task.py``) with the curation layer's
+cross-corpus gates: each micro-batch of crawled documents is admitted
+into the corpus only if it is
+
+1. exact-novel WITHIN the batch (min-id survivor per content digest),
+2. exact-novel vs the existing corpus (digest anti-join — the corpus
+   ships 16-byte digests, never bodies), and
+3. optionally near-novel vs the corpus
+   (:func:`operators.dedup.near_dedup_against` — banded minhash, the
+   corpus side never self-joins).
+
+Durability/idempotency: each batch's admissions land in their own
+``batch_id=N`` parquet directory written with overwrite semantics, and
+a manifest records (batch_id → counters).  A crash-replay of a batch
+overwrites the same directory and re-records the same manifest entry —
+no duplicate rows, no double-counted stats — the same
+replay-idempotence contract the CDC task keeps for its seq range.  At
+100 TB the manifest+directories become a table format's transaction
+log; the admission plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sample_dms_s3_kinesis_spark.operators.dedup import near_dedup_against
+from sample_dms_s3_kinesis_spark.tasks import ReplicationTask, TaskStatus
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+class CorpusIngestTask(ReplicationTask):
+    """Tail ``drop_dir`` for JSON-lines document files and build a
+    deduplicated corpus under ``corpus_dir``.  ``near_dup=True`` arms
+    the minhash admission gate on top of the exact digest gate."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        drop_dir: str,
+        corpus_dir: str,
+        *,
+        identifier: str = "corpus-ingest",
+        near_dup: bool = False,
+        num_hashes: int = 64,
+        bands: int = 16,
+        threshold: float = 0.9,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        super().__init__(identifier)
+        self.spark = spark
+        self.drop_dir = drop_dir
+        self.corpus_dir = corpus_dir.rstrip("/")
+        self.near_dup = near_dup
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.threshold = threshold
+        self.checkpoint_dir = (
+            checkpoint_dir or f"/tmp/ingest-checkpoint-{uuid.uuid4()}"
+        )
+        self._query = None
+        os.makedirs(self.corpus_dir, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------
+    # batch_id → {"admitted": n, "dropped_exact": n, "dropped_near": n,
+    # "rejected": n}; keyed upserts make replay re-recording idempotent.
+
+    def _manifest_file(self) -> str:
+        return f"{self.corpus_dir}/_MANIFEST.json"
+
+    def _load_manifest(self) -> dict[str, dict]:
+        try:
+            with open(self._manifest_file()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _record_batch(self, batch_id: int, counts: dict) -> None:
+        manifest = self._load_manifest()
+        manifest[str(batch_id)] = counts
+        tmp = f"{self._manifest_file()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_file())
+
+    # -- public surface ------------------------------------------------
+
+    def corpus(self, *, before: int | None = None) -> DataFrame:
+        """The admitted corpus: (doc_id, text, digest, batch_id).  An
+        empty corpus reads as an empty frame, not an error.  ``before``
+        restricts to batches with id < before — the corpus state a
+        given batch must gate against, which keeps a crash-REPLAY of
+        that batch from suppressing its own prior admissions."""
+        manifest = self._load_manifest()
+        paths = [
+            f"{self.corpus_dir}/batch_id={b}"
+            for b in sorted(manifest, key=int)
+            if manifest[b].get("admitted", 0) > 0
+            and (before is None or int(b) < before)
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "doc_id long, text string, digest string, batch_id long"
+            )
+        return (
+            self.spark.read.option("basePath", self.corpus_dir)
+            .parquet(*paths)
+            .select("doc_id", "text", "digest", "batch_id")
+        )
+
+    def ingest_stats(self) -> dict[str, int]:
+        """Cumulative admission counters, rebuilt from the manifest —
+        restart-stable the way describe_table_statistics is for the
+        CDC task.  (Named distinctly from the base class's event-stats
+        accumulator ``self.stats``.)"""
+        totals = {
+            "admitted": 0,
+            "dropped_exact": 0,
+            "dropped_near": 0,
+            "rejected": 0,
+        }
+        for counts in self._load_manifest().values():
+            for k in totals:
+                totals[k] += int(counts.get(k, 0))
+        return totals
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self) -> None:
+        self._set_status(TaskStatus.STARTING)
+        self._query = (
+            self.spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(self.drop_dir)
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+        self._set_status(TaskStatus.RUNNING)
+
+    def stop(self) -> None:
+        if self._query is not None:
+            try:
+                self._query.processAllAvailable()
+            except Exception:
+                pass
+            self._query.stop()
+            try:
+                self._query.awaitTermination(30)
+            except Exception:
+                pass
+        self._set_status(TaskStatus.STOPPED)
+
+    def process_available(self) -> None:
+        """Drain-and-return batch mode: every pending file as ONE batch,
+        recorded under the next unused manifest batch id (negative ids
+        would collide on repeated drains)."""
+        if self.status == TaskStatus.READY.value:
+            self._set_status(TaskStatus.RUNNING)
+        manifest = self._load_manifest()
+        next_id = max((int(b) for b in manifest), default=-1) + 1
+        df = self.spark.read.schema(DOC_SCHEMA).json(self.drop_dir)
+        self._process_batch(df, next_id)
+
+    # -- the admission pipeline ----------------------------------------
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        valid = batch_df.filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        docs = valid.withColumn("digest", F.md5(F.col("text"))).persist()
+        head = docs.agg(
+            F.count(F.lit(1)).alias("n_valid")
+        ).collect()[0]
+        n_total = batch_df.count()
+        if head["n_valid"] == 0:
+            self._record_batch(
+                batch_id,
+                {
+                    "admitted": 0,
+                    "dropped_exact": 0,
+                    "dropped_near": 0,
+                    "rejected": n_total,
+                },
+            )
+            docs.unpersist()
+            return
+
+        # (1) within-batch exact dedup: min doc_id survives per digest
+        survivors = (
+            docs.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("digest").orderBy(F.asc("doc_id"))
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+        # (2) exact gate vs the corpus BEFORE this batch: digest
+        # anti-join — the corpus side is a digest projection, bodies
+        # never shuffle.  Gating on the pre-batch state makes replay
+        # idempotent: a re-run of batch N cannot be suppressed by its
+        # own previously landed admissions.
+        corpus = self.corpus(before=batch_id)
+        novel = survivors.join(
+            corpus.select("digest"), on="digest", how="left_anti"
+        )
+
+        # (3) optional near-dup gate vs the corpus (banded minhash;
+        # the corpus is the existing side and never self-pairs)
+        if self.near_dup:
+            admitted_ids = near_dedup_against(
+                novel,
+                corpus,
+                text_col="text",
+                id_col="doc_id",
+                num_hashes=self.num_hashes,
+                bands=self.bands,
+                threshold=self.threshold,
+            )
+            admitted = novel.join(admitted_ids, on="doc_id")
+        else:
+            admitted = novel
+        admitted = admitted.select(
+            "doc_id", "text", "digest", F.lit(batch_id).alias("batch_id")
+        ).persist()
+
+        # Idempotent landing: the batch directory is overwritten whole,
+        # so a crash-replay of this batch cannot double-append.
+        n_admitted = admitted.count()
+        if n_admitted > 0:
+            (
+                admitted.select("doc_id", "text", "digest")
+                .write.mode("overwrite")
+                .parquet(f"{self.corpus_dir}/batch_id={batch_id}")
+            )
+        n_novel = novel.count()
+        self._record_batch(
+            batch_id,
+            {
+                "admitted": n_admitted,
+                # exact drops: batch-internal dups + corpus digest hits
+                "dropped_exact": head["n_valid"] - n_novel,
+                "dropped_near": n_novel - n_admitted,
+                "rejected": n_total - head["n_valid"],
+            },
+        )
+        admitted.unpersist()
+        docs.unpersist()

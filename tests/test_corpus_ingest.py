@@ -1,0 +1,127 @@
+"""Streaming corpus ingestion: exact + near-dup admission gates over
+micro-batches, replay idempotency, restart-stable statistics."""
+
+import json
+import os
+import time
+
+from sample_dms_s3_kinesis_spark.streaming.ingest import CorpusIngestTask
+
+
+def _drop(drop_dir, name, docs):
+    os.makedirs(drop_dir, exist_ok=True)
+    path = os.path.join(drop_dir, name)
+    with open(path + ".tmp", "w") as f:
+        for doc_id, text in docs:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    os.replace(path + ".tmp", path)
+
+
+def test_exact_gates_across_batches(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop(drop, "crawl1.json", [
+        (1, "alpha beta gamma"),
+        (2, "delta epsilon zeta"),
+        (3, "alpha beta gamma"),      # within-batch dup of 1
+    ])
+    task.process_available()
+    got = {r["doc_id"] for r in task.corpus().collect()}
+    assert got == {1, 2}             # min-id survivor admitted
+
+    for f in os.listdir(drop):
+        os.remove(os.path.join(drop, f))
+    _drop(drop, "crawl2.json", [
+        (10, "alpha beta gamma"),     # exact dup of corpus doc 1
+        (11, "eta theta iota"),       # novel
+        (12, None),                   # malformed: rejected
+    ])
+    task.process_available()
+    got = {r["doc_id"] for r in task.corpus().collect()}
+    assert got == {1, 2, 11}
+    stats = task.ingest_stats()
+    assert stats["admitted"] == 3
+    assert stats["dropped_exact"] == 2   # doc 3 (in-batch) + doc 10 (corpus)
+    assert stats["rejected"] == 1
+    assert stats["dropped_near"] == 0
+
+
+def test_near_dup_gate_drops_near_copies(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    base = " ".join(f"w{i}" for i in range(60))
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        near_dup=True, num_hashes=64, bands=32, threshold=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop(drop, "crawl1.json", [(1, base)])
+    task.process_available()
+    assert {r["doc_id"] for r in task.corpus().collect()} == {1}
+
+    for f in os.listdir(drop):
+        os.remove(os.path.join(drop, f))
+    near_copy = base + " extra"       # one-token edit: high jaccard
+    unrelated = " ".join(f"z{i}" for i in range(60))
+    _drop(drop, "crawl2.json", [(20, near_copy), (21, unrelated)])
+    task.process_available()
+    got = {r["doc_id"] for r in task.corpus().collect()}
+    assert got == {1, 21}             # near-copy gated out
+    assert task.ingest_stats()["dropped_near"] == 1
+
+    # same second crawl WITHOUT the near gate admits the near-copy
+    task2 = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    _drop(os.path.join(str(tmp_path), "seed"), "s.json", [(1, base)])
+    task2_seed = CorpusIngestTask(
+        spark, os.path.join(str(tmp_path), "seed"), str(tmp_path / "corpus2"),
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+    )
+    task2_seed.process_available()
+    task2.process_available()
+    assert {r["doc_id"] for r in task2.corpus().collect()} == {1, 20, 21}
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-processing the same batch id (Structured Streaming replay
+    after a crash before checkpoint commit) must not duplicate corpus
+    rows or double-count statistics."""
+    drop = str(tmp_path / "drop")
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop(drop, "crawl1.json", [(1, "alpha beta"), (2, "gamma delta")])
+    df = spark.read.schema(
+        "doc_id long, text string"
+    ).json(drop)
+    task._process_batch(df, 0)
+    first = sorted(r["doc_id"] for r in task.corpus().collect())
+    first_stats = task.ingest_stats()
+    task._process_batch(df, 0)   # the replay
+    assert sorted(r["doc_id"] for r in task.corpus().collect()) == first
+    assert task.ingest_stats() == first_stats
+
+
+def test_streaming_path_admits_incrementally(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    task.start()
+    assert task.status == "running"
+    _drop(drop, "crawl1.json", [(1, "alpha beta"), (2, "gamma delta")])
+    _drop(drop, "crawl2.json", [(3, "alpha beta"), (4, "epsilon zeta")])
+    deadline = time.time() + 90
+    while time.time() < deadline and task.ingest_stats()["admitted"] < 3:
+        time.sleep(0.5)
+    task.stop()
+    got = {r["doc_id"] for r in task.corpus().collect()}
+    assert got == {1, 2, 4}          # 3 is an exact dup of 1
+    assert task.ingest_stats()["dropped_exact"] == 1
