@@ -2677,3 +2677,37 @@ def q_winnowing_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_containment_pairs(
         t(spark, sf_dir, "documents"), shingle=6, window=4, min_shared=3
     )
+
+
+@_register(
+    "q_profile_documents",
+    """
+    SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(doc_id) AS n_null,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           MIN(doc_id)::VARCHAR AS min_value,
+           MAX(doc_id)::VARCHAR AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+           COUNT(DISTINCT text), MIN(text), MAX(text) FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+           COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+           COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+           COUNT(DISTINCT n_chars), MIN(n_chars)::VARCHAR,
+           MAX(n_chars)::VARCHAR FROM documents
+    """,
+    "per-column dataset profile (rows, nulls, distinct, min/max) in one "
+    "wide aggregation pass — the data-quality report generalizing the "
+    "reference's per-table replication statistics to column level",
+    "profiling: table profile",
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.profiling import profile_table
+
+    return profile_table(t(spark, sf_dir, "documents"))

@@ -383,3 +383,31 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_profile_table_python_reference(spark):
+    """Column profile against hand-computed stats on a frame with
+    nulls and duplicates; approx mode keeps schema with sketch counts."""
+    from sample_dms_s3_kinesis_spark.operators.profiling import profile_table
+
+    rows = [
+        (1, "a", None),
+        (2, "b", 5.0),
+        (3, "a", 7.5),
+        (4, None, 7.5),
+        (5, "c", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    for c in got:
+        assert got[c]["n_rows"] == 5
+    assert got["id"]["n_null"] == 0 and got["id"]["n_distinct"] == 5
+    assert (got["id"]["min_value"], got["id"]["max_value"]) == ("1", "5")
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 3
+    assert (got["s"]["min_value"], got["s"]["max_value"]) == ("a", "c")
+    assert got["v"]["n_null"] == 2 and got["v"]["n_distinct"] == 2
+    assert got["v"]["min_value"] == "5.0"
+
+    approx = {r["column"]: r for r in profile_table(df, exact=False).collect()}
+    assert approx["id"]["n_distinct"] >= 4  # sketch, not exact contract
