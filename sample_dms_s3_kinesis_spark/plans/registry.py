@@ -1201,6 +1201,11 @@ DRIVER_WINDOW: list[str] = [
     "q_near_dedup_against",      # rows-only: hash-family-specific
     "q_ivf_persisted_topk",      # rows-only: approximate ANN, plan pytest
     "q_simhash_pairs_against",   # rows-only: fingerprint-family-specific
+    "q_embedding_near_dup_against",
+    "q_nb_lang_classify",
+    "q_chunk_documents",
+    "q_winnowing_containment",   # rows-only: xxhash64 fingerprints
+    "q_profile_documents",
     # --- r2-stale (3 rounds): the oldest driver signal ---
     "q_top_orders",
     "q_rollup_orders",
@@ -1243,14 +1248,14 @@ DRIVER_WINDOW: list[str] = [
     "q_session_window_events",
     "q_sliding_window_events",
     "q_stats_agg",
-    "q_distinct_count",
-    "q_in_subquery",
-    "q_cross_join_region_status",
-    "q_intersect_customers",
-    "q_except_customers",
     "q_array_agg_priorities",
     "q05_local_supplier_volume",
 ]
+# Swapped out for the five queries registered this round (never-checked
+# beats 2-rounds-old): q_distinct_count, q_in_subquery,
+# q_cross_join_region_status, q_intersect_customers,
+# q_except_customers — all r3-green stable relational shapes, exactly
+# two rounds old at r5, rotating back in r6.
 
 _BY_NAME = {s.name: s for s in _SPECS}
 _unknown = [n for n in DRIVER_WINDOW if n not in _BY_NAME]

@@ -123,5 +123,9 @@ def test_streaming_path_admits_incrementally(spark, tmp_path):
         time.sleep(0.5)
     task.stop()
     got = {r["doc_id"] for r in task.corpus().collect()}
-    assert got == {1, 2, 4}          # 3 is an exact dup of 1
+    # The file source orders batches by modification time, which can tie
+    # for near-simultaneous drops — either file may process first, so
+    # either doc 1 or doc 3 ("alpha beta" twins) survives, never both.
+    assert {2, 4} <= got
+    assert len(got) == 3 and got - {2, 4} <= {1, 3}
     assert task.ingest_stats()["dropped_exact"] == 1
