@@ -2711,3 +2711,59 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators.profiling import profile_table
 
     return profile_table(t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_oov_rate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents),
+    counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS r
+        FROM counts) WHERE r <= 32)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE, 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+    "tokenizer-coverage QA: per-document out-of-vocabulary rate against "
+    "the corpus top-32 token vocabulary (rank ties broken by token) — "
+    "the dial for sizing a tokenizer vocabulary against a corpus",
+    "text: OOV rate",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # top-K via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps + driver merge of K rows), never the single-task global
+    # sort an unpartitioned rank window would plan.
+    vocab = (
+        counts.orderBy(F.desc("c"), F.asc("token"))
+        .limit(32)
+        .select("token", F.lit(True).alias("_in"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
