@@ -234,6 +234,66 @@ def unigram_lm_stats(
     )
 
 
+def bigram_lm_stats(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained BIGRAM
+    language model — the next step up from :func:`unigram_lm_stats`
+    toward a KenLM-grade perplexity filter, sensitive to word ORDER
+    (a shuffled document keeps its unigram entropy but its bigram
+    entropy jumps).
+
+    ``P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c_ctx(w_{i-1})`` with
+    ``c_ctx`` the token's occurrence count as a bigram context; since
+    the model is trained on the corpus being scored, every observed
+    bigram has nonzero probability (no smoothing term, mirroring the
+    unigram op).  ``cross_entropy = -(1/n_bigrams) Σ log2 P``.
+
+    Returns ``(id_col, n_bigrams, cross_entropy)``; documents with
+    fewer than two tokens don't appear.
+
+    Plan: the probability table is built once from the bigram counts
+    (context counts derive from the SAME aggregate by re-grouping on
+    the bigram's first token — no second pass over the corpus), then
+    the per-doc bigram stream joins it once; both joins are left to
+    AQE, which broadcasts the count side when the vocabulary is small
+    enough.  Shuffled keys are gram strings to stay oracle-checkable
+    (digest variant: wrap in :func:`gram_digest` as dup_ngram_stats
+    does).
+    """
+    from sample_dms_s3_kinesis_spark.operators.text import word_bigrams
+
+    bg = spread(corpus).select(
+        F.col(id_col),
+        F.explode(word_bigrams(F.col(text_col))).alias("_bg"),
+    )
+    counts = bg.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c"))
+    ctx = (
+        counts.groupBy(
+            F.substring_index(F.col("_bg"), " ", 1).alias("_w")
+        ).agg(F.sum("_c").alias("_cc"))
+    )
+    prob = counts.join(
+        ctx, F.substring_index(counts["_bg"], " ", 1) == ctx["_w"]
+    ).select(
+        "_bg",
+        F.log2(F.col("_c").cast("double") / F.col("_cc")).alias("_lp"),
+    )
+    return (
+        bg.join(prob, on="_bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round((-F.sum("_lp")) / F.count(F.lit(1)), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )
+
+
 # ------------------------------------------- duplicated-span coverage
 
 def dup_span_coverage(

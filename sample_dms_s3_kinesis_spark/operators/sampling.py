@@ -108,6 +108,44 @@ def deterministic_sample(
     return df.filter(h < F.lit(_hex_threshold(fraction)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows, deterministic
+    (A-Res, Efraimidis & Spirakis 2006): each row draws a uniform
+    ``u`` from its hash bucket and the ``k`` largest ``u^(1/w)`` keys
+    are the sample — inclusion probability proportional to weight,
+    sequential-pass semantics, no global RNG state.
+
+    The same md5-derived ``u`` as every sampler here, so the draw is
+    reproducible across runs/partitionings/engines and new rows never
+    re-draw existing ones.  Rows with non-positive or null weight are
+    excluded.  Plan: one narrow projection + ``orderBy().limit(k)`` →
+    TakeOrderedAndProject (per-partition k-heaps, driver merges k rows
+    — no global sort, 100 TB safe for any sane ``k``).
+
+    Float caveat: ``pow`` may differ across engines in the last ulp;
+    selection flips only if two keys tie within that ulp at rank k —
+    vanishing for continuous keys (and the determinism contract is
+    per-engine bitwise anyway).
+    """
+    v = F.conv(hash_bucket(F.col(id_col), seed), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(_SPACE))
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w > 0)
+        .withColumn("_key", F.pow(u, F.lit(1.0) / w))
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(k)
+        .drop("_key")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     *,

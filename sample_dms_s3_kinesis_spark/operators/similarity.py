@@ -516,3 +516,86 @@ def dequantize(qvec: Column, mins: Column, maxs: Column) -> Column:
         F.zip_with(maxs, mins, lambda mx, mn: mx - mn),
         lambda s, rng: s["mn"] + (s["q"].cast("double") + F.lit(128.0)) / F.lit(255.0) * rng,
     )
+
+
+# ---------------------------------------------------- semantic dedup
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: int = 16,
+    threshold: float = 0.97,
+    iters: int = 2,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): coarse k-means clustering of the embedding
+    space, then exact cosine pairs WITHIN each cluster only — the
+    pair count drops from O(n²) to O(Σ cluster²), and with balanced
+    clusters a 100 TB corpus never materializes a cross-cluster pair.
+
+    This is a pure composition of existing primitives: deterministic
+    seed pick → Lloyd refinement → broadcast assignment →
+    block-keyed pair join (`dedup.embedding_near_dup_pairs` with the
+    learned cell as the blocking key).  Approximate by construction:
+    a true near-dup pair straddling a cluster boundary is missed —
+    the recall/cost dial is ``cells`` (SemDeDup §3 reports the
+    boundary loss negligible at their scale).
+
+    ``df`` is scanned once per k-means iteration plus twice for the
+    pair join — persist it (or point it at parquet) before calling.
+    Returns ``(id_a < id_b, cosine)`` like the other pair operators.
+    """
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    cent = kmeans_refine(
+        df,
+        _deterministic_centroids(df, vec_col=vec_col, id_col=id_col, cells=cells),
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    assign = ivf_assign(df, cent, vec_col=vec_col, id_col=id_col)
+    blocked = df.select(id_col, vec_col).join(assign, on=id_col)
+    return embedding_near_dup_pairs(
+        blocked,
+        vec_col=vec_col,
+        id_col=id_col,
+        block_col="cell",
+        threshold=threshold,
+        broadcast=broadcast,
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: int = 16,
+    threshold: float = 0.97,
+    iters: int = 2,
+    broadcast: bool | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Survivor frame for :func:`semantic_dedup_pairs`: one canonical
+    row (min id) per semantic cluster, singletons untouched.  Drop-list
+    anti-join only — the corpus itself is never shuffled."""
+    from sample_dms_s3_kinesis_spark.operators.dedup import resolve_duplicates
+
+    pairs = semantic_dedup_pairs(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        cells=cells,
+        threshold=threshold,
+        iters=iters,
+        broadcast=broadcast,
+    )
+    return resolve_duplicates(
+        df, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
+    )

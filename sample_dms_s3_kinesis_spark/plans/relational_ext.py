@@ -2767,3 +2767,114 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ------------------------------------------------ round-5 additions
+
+
+@_register(
+    "q_corpus_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS od FROM documents WHERE doc_id % 7 <> 0),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                      ELSE text END) AS nd
+      FROM documents WHERE doc_id % 5 <> 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.od = n.nd THEN 'unchanged'
+                ELSE 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+    "snapshot versioning: per-id added/removed/changed/unchanged between "
+    "two corpus releases via a full outer join of 16-byte text digests "
+    "(the release diff a no-change-log dataset pipeline runs per crawl)",
+    "versioning: corpus snapshot diff",
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.versioning import corpus_diff
+
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+@_register(
+    "q_weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '7'),
+                                  1, 8))::UBIGINT + 0.5) / 4294967296.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS k
+      FROM documents WHERE n_chars > 0
+      ORDER BY k DESC, doc_id ASC LIMIT 50)
+    """,
+    "deterministic weighted sampling without replacement (A-Res "
+    "exponential keys from the md5 hash bucket, global top-k via "
+    "per-partition heaps) — inclusion probability proportional to "
+    "document length",
+    "sampling: weighted without replacement",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return sampling.weighted_sample(
+        d, id_col="doc_id", weight_col="n_chars", k=50, seed=7
+    ).select("doc_id", "lang", "n_chars")
+
+
+@_register(
+    "q_bigram_lm_score",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS g
+      FROM docs WHERE len(tk) >= 2),
+    bc AS (SELECT g, COUNT(*) AS c FROM big GROUP BY g),
+    ctx AS (SELECT split_part(g, ' ', 1) AS w, SUM(c) AS cc
+            FROM bc GROUP BY 1),
+    prob AS (
+      SELECT g, log2(CAST(c AS DOUBLE) / cc) AS lp
+      FROM bc JOIN ctx ON split_part(g, ' ', 1) = w)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(lp) / COUNT(*), 6) AS cross_entropy
+    FROM big JOIN prob USING (g)
+    GROUP BY doc_id
+    """,
+    "order-sensitive perplexity stand-in: per-doc cross-entropy under a "
+    "corpus-trained bigram LM (context counts re-grouped from the same "
+    "bigram aggregate; probability table joined once, AQE-broadcast)",
+    "curation: bigram LM quality score",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return _curation.bigram_lm_stats(d)
+
+
+@_register(
+    "q_semantic_dedup",
+    None,  # k-means cells from Spark-side xxhash64 seeds; pytest proves
+    # cells=1 == brute force and survivor-set soundness
+    "SemDeDup-style semantic near-dup pairs: deterministic k-means "
+    "(seed pick + Lloyd refinement) then exact cosine pairs within "
+    "each learned cell only — O(sum cell^2), never O(n^2)",
+    "dedup: semantic (cluster-then-pair)",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.semantic_dedup_pairs(
+        emb, cells=8, threshold=0.4, iters=2, broadcast=True
+    )
