@@ -1206,6 +1206,11 @@ DRIVER_WINDOW: list[str] = [
     "q_chunk_documents",
     "q_winnowing_containment",   # rows-only: xxhash64 fingerprints
     "q_profile_documents",
+    "q_oov_rate",
+    "q_corpus_diff",
+    "q_weighted_sample",
+    "q_bigram_lm_score",
+    "q_semantic_dedup",          # rows-only: Spark-seeded k-means cells
     # --- r2-stale (3 rounds): the oldest driver signal ---
     "q_top_orders",
     "q_rollup_orders",
@@ -1243,19 +1248,16 @@ DRIVER_WINDOW: list[str] = [
     "q_ann_batch_topk",          # rows-only: approximate ANN
     "q_window_lag_lead",
     "q_window_rank_family",
-    "q_window_first_last",
-    "q_window_agg_events",
     "q_session_window_events",
     "q_sliding_window_events",
-    "q_stats_agg",
-    "q_array_agg_priorities",
-    "q05_local_supplier_volume",
 ]
-# Swapped out for the five queries registered this round (never-checked
+# Swapped out for the ten queries registered this round (never-checked
 # beats 2-rounds-old): q_distinct_count, q_in_subquery,
 # q_cross_join_region_status, q_intersect_customers,
-# q_except_customers — all r3-green stable relational shapes, exactly
-# two rounds old at r5, rotating back in r6.
+# q_except_customers, q_window_first_last, q_window_agg_events,
+# q_stats_agg, q_array_agg_priorities, q05_local_supplier_volume —
+# all r3-green stable relational shapes whose operator families keep
+# other in-window representatives; they rotate back in r6.
 
 _BY_NAME = {s.name: s for s in _SPECS}
 _unknown = [n for n in DRIVER_WINDOW if n not in _BY_NAME]
