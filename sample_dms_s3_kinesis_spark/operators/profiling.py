@@ -57,3 +57,50 @@ def profile_table(
         for c in cols
     ]
     return row.select(F.explode(F.array(*entries)).alias("_p")).select("_p.*")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: Sequence[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clamp ``value_col`` to its [lower, upper] interpolated
+    percentiles, optionally per group — outlier trimming for length /
+    score columns before they feed a sampler or a mixture weight (a
+    single 10M-token document otherwise owns its group's token
+    budget).
+
+    Adds ``out_col`` (default ``{value_col}_w``); rows keep their
+    original value column.  NULL values stay NULL.
+
+    Plan: one partial-agg percentile aggregate per group (the exact
+    interpolated percentile — at 100 TB swap in ``approx_percentile``
+    the same way profile_table trades exact distincts for HLL), then
+    the ≤|groups|-row bounds frame joins back — broadcast by AQE when
+    small.  No window over the data, so no per-group sort of the
+    corpus.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    out = out_col or f"{value_col}_w"
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    agg = [
+        F.percentile(v, F.lit(lower)).alias("_lo"),
+        F.percentile(v, F.lit(upper)).alias("_hi"),
+    ]
+    bounds = df.groupBy(*gcols).agg(*agg) if gcols else df.agg(*agg)
+    joined = (
+        df.join(bounds, on=gcols) if gcols else df.crossJoin(F.broadcast(bounds))
+    )
+    # least/greatest IGNORE nulls (they return the extreme non-null
+    # argument), which would silently clamp a NULL value to the lower
+    # bound — gate on nullity explicitly.
+    clamped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    )
+    return joined.withColumn(out, clamped).drop("_lo", "_hi")

@@ -92,3 +92,37 @@ def two_phase_distinct_count(
         .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias(alias))
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    *,
+    top: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnosis for a prospective shuffle key: the ``top``
+    key values by row count, each with its share of total rows — the
+    number that says whether a join/groupBy on this key needs salting
+    (a key with share ≈ 1/partitions or more will straggle).
+
+    One partial-agg groupBy over the key, then TakeOrderedAndProject
+    for the top-N (per-partition heaps; no global sort) and a broadcast
+    1-row total — the report itself never concentrates the hot key's
+    rows anywhere.  NULL keys count as a key value (the classic skew
+    culprit).
+
+    Returns ``(key_cols..., n_rows, share)`` ordered by count desc.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("double").alias("_total"))
+    return (
+        counts.orderBy(F.desc("n_rows"), *[F.asc_nulls_first(k) for k in keys])
+        .limit(top)
+        .crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        )
+    )

@@ -14,7 +14,11 @@ north star in BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Whitespace tokenization: the shared definition for every op below and
@@ -436,4 +440,62 @@ def vocab_topk(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(group_col, "rank", "token", "n_occurrences")
+    )
+
+
+def vocab_coverage(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    sizes: Sequence[int] = (8, 16, 32, 64),
+) -> DataFrame:
+    """Tokenizer-sizing coverage curve: for each candidate vocabulary
+    size K, the fraction of token OCCURRENCES the top-K
+    tokens-by-frequency cover (``q_oov_rate``'s corpus-level dual —
+    one row per K instead of per document; the curve's knee is where
+    growing the vocab stops paying).
+
+    Plan: one token count aggregate; the top-``max(sizes)`` candidates
+    via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    never a global sort); ranks and the per-K rollup live entirely on
+    that ≤max(sizes)-row frame, with the grand total broadcast as a
+    1-row frame.  Ties break on the token string so the curve is
+    deterministic across engines.
+
+    Returns ``(vocab_size, covered, total_tokens, coverage)``.
+    """
+    ks = sorted(set(int(k) for k in sizes))
+    if not ks or ks[0] < 1:
+        raise ValueError(f"sizes must be positive ints, got {sizes!r}")
+    tok = spread(corpus).select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok")
+    )
+    counts = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_total"))
+    ranked = (
+        counts.orderBy(F.desc("_c"), F.asc("_tok"))
+        .limit(ks[-1])
+        .withColumn(
+            "_r",
+            F.row_number().over(Window.orderBy(F.desc("_c"), F.asc("_tok"))),
+        )
+    )
+    k_frame = F.broadcast(
+        ranked.sparkSession.createDataFrame(
+            [(k,) for k in ks], "vocab_size int"
+        )
+    )
+    return (
+        ranked.join(k_frame, F.col("_r") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.sum("_c").alias("covered"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "covered",
+            F.col("_total").alias("total_tokens"),
+            F.round(
+                F.col("covered").cast("double") / F.col("_total"), 6
+            ).alias("coverage"),
+        )
     )

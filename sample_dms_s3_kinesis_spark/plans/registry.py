@@ -1211,6 +1211,9 @@ DRIVER_WINDOW: list[str] = [
     "q_weighted_sample",
     "q_bigram_lm_score",
     "q_semantic_dedup",          # rows-only: Spark-seeded k-means cells
+    "q_skew_report",
+    "q_vocab_coverage",
+    "q_winsorize",
     # --- r2-stale (3 rounds): the oldest driver signal ---
     "q_top_orders",
     "q_rollup_orders",
@@ -1232,10 +1235,7 @@ DRIVER_WINDOW: list[str] = [
     "q_simhash_pairs",           # rows-only; chunk helper refactored in r5
     "q_text_tokens",
     "q_text_langid",
-    "q_text_fingerprint",
-    "q_text_tokens_bpe",
     "q_text_repetition",
-    "q_text_normalize",
     "q_unigram_lm_score",
     "q_hash_split",
     "q_stratified_sample",
@@ -1251,13 +1251,14 @@ DRIVER_WINDOW: list[str] = [
     "q_session_window_events",
     "q_sliding_window_events",
 ]
-# Swapped out for the ten queries registered this round (never-checked
-# beats 2-rounds-old): q_distinct_count, q_in_subquery,
+# Swapped out for the thirteen queries registered this round
+# (never-checked beats 2-rounds-old): q_distinct_count, q_in_subquery,
 # q_cross_join_region_status, q_intersect_customers,
 # q_except_customers, q_window_first_last, q_window_agg_events,
-# q_stats_agg, q_array_agg_priorities, q05_local_supplier_volume —
-# all r3-green stable relational shapes whose operator families keep
-# other in-window representatives; they rotate back in r6.
+# q_stats_agg, q_array_agg_priorities, q05_local_supplier_volume,
+# q_text_fingerprint, q_text_normalize, q_text_tokens_bpe — all
+# r3-green stable shapes whose operator families keep other in-window
+# representatives; they rotate back in r6.
 
 _BY_NAME = {s.name: s for s in _SPECS}
 _unknown = [n for n in DRIVER_WINDOW if n not in _BY_NAME]

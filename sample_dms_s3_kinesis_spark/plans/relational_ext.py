@@ -2878,3 +2878,84 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.semantic_dedup_pairs(
         emb, cells=8, threshold=0.4, iters=2, broadcast=True
     )
+
+
+from sample_dms_s3_kinesis_spark.operators.skew import skew_report  # noqa: E402
+
+
+@_register(
+    "q_skew_report",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events
+               GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS t FROM c)
+    SELECT user_id, n_rows, ROUND(n_rows / t, 6) AS share
+    FROM c CROSS JOIN tot
+    ORDER BY n_rows DESC, user_id ASC NULLS FIRST LIMIT 20
+    """,
+    "shuffle-skew diagnosis: top-20 heavy-hitter key values with their "
+    "row share (partial-agg groupBy + per-partition top-k heaps + "
+    "broadcast 1-row total; the report never concentrates the hot key)",
+    "ops: shuffle-key skew report",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top=20)
+
+
+@_register(
+    "q_vocab_coverage",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS t FROM cnt),
+    rk AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r
+      FROM cnt QUALIFY r <= 64),
+    ks AS (SELECT unnest([8, 16, 32, 64]) AS vocab_size)
+    SELECT vocab_size,
+           CAST(SUM(c) AS BIGINT) AS covered,
+           CAST(t AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(c) AS DOUBLE) / t, 6) AS coverage
+    FROM rk JOIN ks ON r <= vocab_size CROSS JOIN tot
+    GROUP BY vocab_size, t
+    """,
+    "tokenizer-sizing coverage curve: fraction of token occurrences "
+    "covered by the top-K vocabulary at K in {8,16,32,64} — q_oov_rate's "
+    "corpus-level dual, computed on the <=64-row ranked frame",
+    "text: vocabulary coverage curve",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return _text.vocab_coverage(d, sizes=(8, 16, 32, 64))
+
+
+@_register(
+    "q_winsorize",
+    """
+    WITH b AS (
+      SELECT lang,
+             PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+             PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+      FROM documents GROUP BY lang)
+    SELECT doc_id, lang, n_chars,
+           ROUND(LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi), 4)
+             AS n_chars_w
+    FROM documents JOIN b USING (lang)
+    """,
+    "per-group outlier trimming: clamp document length to its "
+    "language's interpolated p05/p95 (percentile aggregate + bounds "
+    "join-back; no window over the corpus) before length feeds a "
+    "sampler or mixture weight",
+    "profiling: winsorize per group",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.profiling import winsorize
+
+    d = t(spark, sf_dir, "documents")
+    out = winsorize(d, "n_chars", group_cols=["lang"])
+    return out.select(
+        "doc_id", "lang", "n_chars", F.round("n_chars_w", 4).alias("n_chars_w")
+    )

@@ -1,0 +1,99 @@
+"""Skew report, vocabulary coverage curve, and winsorization — checked
+against hand-computed and NumPy references."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators.profiling import winsorize
+from sample_dms_s3_kinesis_spark.operators.skew import skew_report
+from sample_dms_s3_kinesis_spark.operators.text import vocab_coverage
+
+
+def test_skew_report_counts_shares_and_null_key(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 2 + [("c",)] * 1,
+        "k string",
+    )
+    got = skew_report(df, "k", top=3).collect()
+    assert [(r["k"], r["n_rows"], r["share"]) for r in got] == [
+        ("a", 6, 0.5),
+        ("b", 3, 0.25),
+        (None, 2, round(2 / 12, 6)),
+    ]
+
+
+def test_skew_report_multi_key_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("x", 1)] * 2 + [("x", 2)] * 2 + [("y", 1)] * 1,
+        "a string, b int",
+    )
+    got = skew_report(df, ["a", "b"], top=2).collect()
+    # tie between (x,1) and (x,2) breaks ascending on the key
+    assert [(r["a"], r["b"]) for r in got] == [("x", 1), ("x", 2)]
+
+
+def test_vocab_coverage_matches_python(spark):
+    texts = ["a a a b b c", "a b d", "e e a"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    toks = " ".join(texts).split()
+    from collections import Counter
+
+    cnt = Counter(toks)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = len(toks)
+    got = {
+        r["vocab_size"]: (r["covered"], r["total_tokens"], r["coverage"])
+        for r in vocab_coverage(df, sizes=(1, 2, 4)).collect()
+    }
+    for k in (1, 2, 4):
+        covered = sum(c for _, c in ranked[:k])
+        assert got[k] == (covered, total, round(covered / total, 6))
+    # curve is monotone non-decreasing in K
+    assert got[1][2] <= got[2][2] <= got[4][2]
+
+
+def test_vocab_coverage_rejects_bad_sizes(spark):
+    df = spark.createDataFrame([("a",)], "text string")
+    with pytest.raises(ValueError):
+        vocab_coverage(df, sizes=(0, 4))
+
+
+def test_winsorize_grouped_matches_numpy(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: r["n_chars_w"]
+        for r in winsorize(docs, "n_chars", group_cols=["lang"]).collect()
+    }
+    rows = docs.select("doc_id", "lang", "n_chars").collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    bounds = {
+        lang: (
+            float(np.percentile(v, 5, method="linear")),
+            float(np.percentile(v, 95, method="linear")),
+        )
+        for lang, v in by_lang.items()
+    }
+    for r in rows:
+        lo, hi = bounds[r["lang"]]
+        assert abs(got[r["doc_id"]] - min(max(float(r["n_chars"]), lo), hi)) < 1e-9
+    # winsorized range is within bounds, raw range typically is not
+    assert all(
+        bounds[r["lang"]][0] - 1e-9 <= got[r["doc_id"]] <= bounds[r["lang"]][1] + 1e-9
+        for r in rows
+    )
+
+
+def test_winsorize_ungrouped_nulls_and_args(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 20.0), (4, 1000.0), (5, None)],
+        "id long, v double",
+    )
+    out = {r["id"]: r["v_w"] for r in winsorize(df, "v", lower=0.0, upper=0.5).collect()}
+    assert out[5] is None  # NULL stays NULL
+    assert out[4] == 15.0  # p50 of [0,10,20,1000] = 15 (linear interp)
+    assert out[1] == 0.0
+    with pytest.raises(ValueError):
+        winsorize(df, "v", lower=0.9, upper=0.1)
