@@ -175,3 +175,58 @@ def test_persisted_ivf_probe_prunes_partitions(spark, tmp_path):
     assert [r["vec_id"] for r in got.collect()] == [
         r["vec_id"] for r in idx.search(qv, k=5, nprobe=2).collect()
     ]
+
+
+def test_round5_queries_stay_jvm_side(spark):
+    """The late round-5 operators are all pure Catalyst — no Python
+    row evaluation anywhere in their plans."""
+    for name in (
+        "q_corpus_diff",
+        "q_weighted_sample",
+        "q_bigram_lm_score",
+        "q_skew_report",
+        "q_vocab_coverage",
+        "q_winsorize",
+        "q_oov_rate",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_weighted_sample_plans_as_take_ordered(spark):
+    """A-Res top-k must be per-partition heaps + driver merge, never a
+    global sort of the corpus."""
+    plan = _plan(spark, "q_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_skew_report_take_ordered_and_partial_agg(spark):
+    """The report aggregates map-side (two HashAggregate phases) and
+    takes its top-N with heaps — the hot key never concentrates."""
+    plan = _plan(spark, "q_skew_report")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_corpus_diff_shuffles_digests_not_text(spark):
+    """The full outer join must carry the md5 digest, not document
+    bodies: no 'text' column survives past the scan projection."""
+    plan = _plan(spark, "q_corpus_diff")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "md5" in plan
+    # the join's shuffle exchanges project (id, digest, flag) only
+    joins = plan.split("FullOuter")
+    assert len(joins) >= 2
+    assert "text" not in joins[0]
+
+
+def test_vocab_coverage_ranks_on_take_ordered_frame(spark):
+    """The rank window may only run over the <=max(K)-row TakeOrdered
+    result, never the full token-count frame."""
+    plan = _plan(spark, "q_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+    # Window must appear ABOVE (before, in toString order) the
+    # TakeOrdered that bounds its input
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
