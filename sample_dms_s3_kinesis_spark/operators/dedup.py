@@ -496,6 +496,31 @@ def minhash_lsh_pairs_against(
 
     sig_new = _cut_lineage(_sigs(new), checkpoint_dir)
     sig_old = _cut_lineage(_sigs(existing), checkpoint_dir)
+    return _cross_pairs_from_signatures(
+        sig_new,
+        sig_old,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_band_width=max_band_width,
+    )
+
+
+def _cross_pairs_from_signatures(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    *,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_band_width: int | None,
+) -> DataFrame:
+    """Shared new × existing tail of the incremental near-dup gate:
+    band join on (_band, _bh) → distinct candidates → signature-match
+    estimate ≥ τ.  Both inputs are (_id, _sig) frames; the width cap
+    applies to the EXISTING side (the boilerplate hazard grows with
+    corpus size)."""
+    rows = num_hashes // bands
 
     def _banded(sig_df: DataFrame) -> DataFrame:
         return sig_df.select(
@@ -1226,3 +1251,163 @@ def embedding_near_dup_pairs(
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------ persisted minhash index
+
+class MinhashIndex:
+    """Persisted minhash signatures of a corpus — the durable half of
+    the every-crawl admission gate.
+
+    :func:`minhash_lsh_pairs_against` recomputes the EXISTING corpus's
+    signatures on every call; at 100 TB that shingle+minhash pass over
+    all corpus text dominates the gate's cost and never changes between
+    crawls.  This index computes it once, persists the fixed-width
+    ``(id, signature)`` table (``num_hashes`` longs per doc — ~1 KB at
+    k=128, independent of document size), and serves each batch's gate
+    from storage: per crawl you pay signatures for the NEW batch plus a
+    band join, never a corpus re-scan.  ``add`` folds admitted docs in,
+    so the index grows with the corpus it guards.
+
+    Same banding/estimation code path as the recompute operators
+    (`_cross_pairs_from_signatures`), so gate decisions are identical
+    — pytest pins exact equality with `minhash_lsh_pairs_against`.
+    """
+
+    def __init__(
+        self,
+        signatures: DataFrame,
+        *,
+        num_hashes: int,
+        bands: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        if num_hashes % bands != 0:
+            raise ValueError(
+                f"bands ({bands}) must divide num_hashes ({num_hashes})"
+            )
+        self.signatures = signatures  # (_id, _sig)
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _sigs(self, corpus: DataFrame) -> DataFrame:
+        return spread(corpus).select(
+            F.col(self.id_col).alias("_id"),
+            minhash_signature(
+                F.col(self.text_col), num_hashes=self.num_hashes
+            ).alias("_sig"),
+        )
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 128,
+        bands: int = 32,
+        checkpoint_dir: str | None = None,
+    ) -> "MinhashIndex":
+        idx = cls(
+            None,  # type: ignore[arg-type]
+            num_hashes=num_hashes,
+            bands=bands,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        idx.signatures = _cut_lineage(idx._sigs(corpus), checkpoint_dir)
+        return idx
+
+    def pairs_against(
+        self,
+        new: DataFrame,
+        *,
+        threshold: float = 0.8,
+        max_band_width: int | None = 10_000,
+        checkpoint_dir: str | None = None,
+    ) -> DataFrame:
+        """(new_id, existing_id, est_jaccard ≥ τ) — the new batch's
+        near-dup matches into the indexed corpus, with only the batch
+        paying signature computation."""
+        sig_new = _cut_lineage(self._sigs(new), checkpoint_dir)
+        return _cross_pairs_from_signatures(
+            sig_new,
+            self.signatures,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            threshold=threshold,
+            max_band_width=max_band_width,
+        )
+
+    def admit(
+        self,
+        new: DataFrame,
+        *,
+        threshold: float = 0.8,
+        max_band_width: int | None = 10_000,
+        checkpoint_dir: str | None = None,
+    ) -> DataFrame:
+        """New docs that are NOT near-dups of anything indexed (the
+        admission decision): anti-join of the batch against its match
+        list — only the (small) match list shuffles the batch."""
+        matched = (
+            self.pairs_against(
+                new,
+                threshold=threshold,
+                max_band_width=max_band_width,
+                checkpoint_dir=checkpoint_dir,
+            )
+            .select(F.col("new_id").alias(self.id_col))
+            .distinct()
+        )
+        return new.join(matched, on=self.id_col, how="left_anti")
+
+    def add(
+        self,
+        admitted: DataFrame,
+        *,
+        checkpoint_dir: str | None = None,
+    ) -> "MinhashIndex":
+        """Fold an admitted batch's signatures into the index (ids
+        already present keep their existing signature — idempotent
+        under replay).  Returns a NEW index; ``save`` persists it."""
+        fresh = self._sigs(admitted).join(
+            self.signatures.select("_id"), on="_id", how="left_anti"
+        )
+        merged = _cut_lineage(
+            self.signatures.unionByName(fresh), checkpoint_dir
+        )
+        return MinhashIndex(
+            merged,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            id_col=self.id_col,
+            text_col=self.text_col,
+        )
+
+    # -- persistence ---------------------------------------------------
+
+    def save(self, path: str) -> None:
+        path = path.rstrip("/")
+        self.signatures.write.mode("overwrite").parquet(f"{path}/signatures")
+        meta = self.signatures.sparkSession.createDataFrame(
+            [(self.num_hashes, self.bands, self.id_col, self.text_col)],
+            "num_hashes int, bands int, id_col string, text_col string",
+        )
+        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "MinhashIndex":
+        path = path.rstrip("/")
+        meta = spark.read.json(f"{path}/meta").collect()[0]
+        return cls(
+            spark.read.parquet(f"{path}/signatures"),
+            num_hashes=int(meta["num_hashes"]),
+            bands=int(meta["bands"]),
+            id_col=meta["id_col"],
+            text_col=meta["text_col"],
+        )

@@ -1214,6 +1214,7 @@ DRIVER_WINDOW: list[str] = [
     "q_skew_report",
     "q_vocab_coverage",
     "q_winsorize",
+    "q_minhash_index_gate",      # rows-only: xxhash64 signature family
     # --- r2-stale (3 rounds): the oldest driver signal ---
     "q_top_orders",
     "q_rollup_orders",
@@ -1249,14 +1250,14 @@ DRIVER_WINDOW: list[str] = [
     "q_window_lag_lead",
     "q_window_rank_family",
     "q_session_window_events",
-    "q_sliding_window_events",
 ]
-# Swapped out for the thirteen queries registered this round
+# Swapped out for the fourteen queries registered this round
 # (never-checked beats 2-rounds-old): q_distinct_count, q_in_subquery,
 # q_cross_join_region_status, q_intersect_customers,
 # q_except_customers, q_window_first_last, q_window_agg_events,
 # q_stats_agg, q_array_agg_priorities, q05_local_supplier_volume,
-# q_text_fingerprint, q_text_normalize, q_text_tokens_bpe — all
+# q_text_fingerprint, q_text_normalize, q_text_tokens_bpe,
+# q_sliding_window_events — all
 # r3-green stable shapes whose operator families keep other in-window
 # representatives; they rotate back in r6.
 

@@ -1,0 +1,88 @@
+"""MinhashIndex: the persisted admission gate must make IDENTICAL
+decisions to the recompute-everything operator, survive a save/load
+roundtrip, and grow idempotently."""
+
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators.dedup import (
+    MinhashIndex,
+    minhash_lsh_pairs_against,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _halves(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return (
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _pairs_set(df):
+    return {
+        (r["new_id"], r["existing_id"], r["est_jaccard"]) for r in df.collect()
+    }
+
+
+def test_index_gate_equals_recompute_operator(spark):
+    existing, new = _halves(spark)
+    idx = MinhashIndex.build(existing, num_hashes=64, bands=16)
+    got = _pairs_set(idx.pairs_against(new, threshold=0.5))
+    exp = _pairs_set(
+        minhash_lsh_pairs_against(
+            new, existing, num_hashes=64, bands=16, threshold=0.5
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_index_save_load_roundtrip(spark, tmp_path):
+    existing, new = _halves(spark)
+    idx = MinhashIndex.build(existing, num_hashes=64, bands=16)
+    path = str(tmp_path / "mh-index")
+    idx.save(path)
+    loaded = MinhashIndex.load(spark, path)
+    assert (loaded.num_hashes, loaded.bands, loaded.id_col) == (64, 16, "doc_id")
+    assert _pairs_set(loaded.pairs_against(new, threshold=0.5)) == _pairs_set(
+        idx.pairs_against(new, threshold=0.5)
+    )
+
+
+def test_admit_drops_exactly_the_matched_new_ids(spark):
+    existing, new = _halves(spark)
+    idx = MinhashIndex.build(existing, num_hashes=64, bands=16)
+    matched = {
+        r["new_id"]
+        for r in idx.pairs_against(new, threshold=0.5).collect()
+    }
+    admitted = {r["doc_id"] for r in idx.admit(new, threshold=0.5).collect()}
+    all_new = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert admitted == all_new - matched and len(matched) > 0
+
+
+def test_add_grows_index_and_is_idempotent(spark):
+    existing, new = _halves(spark)
+    idx = MinhashIndex.build(existing, num_hashes=64, bands=16)
+    n0 = idx.signatures.count()
+    admitted = idx.admit(new, threshold=0.5)
+    grown = idx.add(admitted)
+    assert grown.signatures.count() == n0 + admitted.count()
+    # replaying the same batch must not duplicate signatures
+    again = grown.add(admitted)
+    assert again.signatures.count() == grown.signatures.count()
+    # a doc admitted into the index is now a near-dup of itself
+    one = admitted.limit(1)
+    hits = grown.pairs_against(one, threshold=0.99).collect()
+    one_id = one.collect()[0]["doc_id"]
+    assert any(r["existing_id"] == r["new_id"] == one_id for r in hits)
+
+
+def test_index_rejects_bad_band_shape(spark):
+    existing, _ = _halves(spark)
+    try:
+        MinhashIndex.build(existing, num_hashes=64, bands=10)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
