@@ -10,9 +10,12 @@ into the corpus only if it is
 1. exact-novel WITHIN the batch (min-id survivor per content digest),
 2. exact-novel vs the existing corpus (digest anti-join — the corpus
    ships 16-byte digests, never bodies), and
-3. optionally near-novel vs the corpus
-   (:func:`operators.dedup.near_dedup_against` — banded minhash, the
-   corpus side never self-joins).
+3. optionally near-novel vs the corpus (banded minhash via the same
+   `_cross_pairs_from_signatures` tail as `operators.dedup`'s gates;
+   the corpus side never self-joins and is served from PERSISTED
+   per-batch signatures, so each micro-batch pays shingle+minhash for
+   its own novel docs only — batches written without signatures fall
+   back to recompute-from-text for just those batches).
 
 Durability/idempotency: each batch's admissions land in their own
 ``batch_id=N`` parquet directory written with overwrite semantics, and
@@ -34,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sample_dms_s3_kinesis_spark.operators.dedup import near_dedup_against
+from sample_dms_s3_kinesis_spark.operators.dedup import (
+    _cross_pairs_from_signatures,
+    _cut_lineage,
+    minhash_signature,
+)
+from sample_dms_s3_kinesis_spark.operators.partitioning import spread
 from sample_dms_s3_kinesis_spark.tasks import ReplicationTask, TaskStatus
 
 DOC_SCHEMA = T.StructType(
@@ -123,6 +131,91 @@ class CorpusIngestTask(ReplicationTask):
             .parquet(*paths)
             .select("doc_id", "text", "digest", "batch_id")
         )
+
+    # -- persisted signatures ------------------------------------------
+    # The near gate's corpus side is served from SAVED minhash
+    # signatures (fixed-width, ~8·num_hashes bytes/doc): each admitted
+    # batch writes its docs' signatures next to its parquet, so a
+    # micro-batch pays shingle+minhash for the NEW docs only — the
+    # recompute-the-corpus-every-batch cost the bare
+    # near_dedup_against() call had grows with corpus size and is
+    # exactly what a 100 TB ingest loop cannot afford.  Batches that
+    # predate the signature store (near_dup armed later) or were
+    # written under different (num_hashes, bands) fall back to
+    # recompute-from-text for just those batches.
+
+    def _sig_dir(self) -> str:
+        return f"{self.corpus_dir}/_signatures"
+
+    def _sig_params_file(self) -> str:
+        return f"{self._sig_dir()}/_PARAMS.json"
+
+    def _sig_params_ok(self) -> bool:
+        try:
+            with open(self._sig_params_file()) as f:
+                p = json.load(f)
+            return (
+                int(p.get("num_hashes", -1)) == self.num_hashes
+                and int(p.get("bands", -1)) == self.bands
+            )
+        except (OSError, ValueError):
+            return False
+
+    def _write_sig_params(self) -> None:
+        os.makedirs(self._sig_dir(), exist_ok=True)
+        if not os.path.exists(self._sig_params_file()):
+            with open(self._sig_params_file(), "w") as f:
+                json.dump(
+                    {"num_hashes": self.num_hashes, "bands": self.bands}, f
+                )
+
+    def _sig_frame(self, docs: DataFrame) -> DataFrame:
+        return spread(docs).select(
+            F.col("doc_id").alias("_id"),
+            minhash_signature(
+                F.col("text"), num_hashes=self.num_hashes
+            ).alias("_sig"),
+        )
+
+    def signatures(self, *, before: int | None = None) -> DataFrame:
+        """(_id, _sig) for the admitted corpus (optionally batches
+        < ``before``): persisted signatures where available, recomputed
+        from text for batches written without them."""
+        manifest = self._load_manifest()
+        batches = [
+            int(b)
+            for b in sorted(manifest, key=int)
+            if manifest[b].get("admitted", 0) > 0
+            and (before is None or int(b) < before)
+        ]
+        params_ok = self._sig_params_ok()
+        stored = [
+            b
+            for b in batches
+            if params_ok and os.path.isdir(f"{self._sig_dir()}/batch_id={b}")
+        ]
+        missing = [b for b in batches if b not in set(stored)]
+        parts = []
+        if stored:
+            parts.append(
+                self.spark.read.parquet(
+                    *[f"{self._sig_dir()}/batch_id={b}" for b in stored]
+                ).select("_id", "_sig")
+            )
+        if missing:
+            manifest_paths = [
+                f"{self.corpus_dir}/batch_id={b}" for b in missing
+            ]
+            docs = self.spark.read.option(
+                "basePath", self.corpus_dir
+            ).parquet(*manifest_paths)
+            parts.append(self._sig_frame(docs))
+        if not parts:
+            return self.spark.createDataFrame([], "_id long, _sig array<bigint>")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def ingest_stats(self) -> dict[str, int]:
         """Cumulative admission counters, rebuilt from the manifest —
@@ -225,18 +318,27 @@ class CorpusIngestTask(ReplicationTask):
         )
 
         # (3) optional near-dup gate vs the corpus (banded minhash;
-        # the corpus is the existing side and never self-pairs)
+        # the corpus is the existing side and never self-pairs).  The
+        # corpus side is served from PERSISTED signatures — this batch
+        # pays shingle+minhash only for its own novel docs, and its
+        # admitted docs' signatures land next to the batch parquet
+        # (same overwrite idempotence) for every later batch to reuse.
+        sig_new = None
         if self.near_dup:
-            admitted_ids = near_dedup_against(
-                novel,
-                corpus,
-                text_col="text",
-                id_col="doc_id",
-                num_hashes=self.num_hashes,
-                bands=self.bands,
-                threshold=self.threshold,
+            sig_new = _cut_lineage(self._sig_frame(novel))
+            matched = (
+                _cross_pairs_from_signatures(
+                    sig_new,
+                    self.signatures(before=batch_id),
+                    num_hashes=self.num_hashes,
+                    bands=self.bands,
+                    threshold=self.threshold,
+                    max_band_width=10_000,
+                )
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
             )
-            admitted = novel.join(admitted_ids, on="doc_id")
+            admitted = novel.join(matched, on="doc_id", how="left_anti")
         else:
             admitted = novel
         admitted = admitted.select(
@@ -252,6 +354,16 @@ class CorpusIngestTask(ReplicationTask):
                 .write.mode("overwrite")
                 .parquet(f"{self.corpus_dir}/batch_id={batch_id}")
             )
+            if sig_new is not None:
+                self._write_sig_params()
+                (
+                    sig_new.join(
+                        admitted.select(F.col("doc_id").alias("_id")),
+                        on="_id",
+                    )
+                    .write.mode("overwrite")
+                    .parquet(f"{self._sig_dir()}/batch_id={batch_id}")
+                )
         n_novel = novel.count()
         self._record_batch(
             batch_id,

@@ -129,3 +129,77 @@ def test_streaming_path_admits_incrementally(spark, tmp_path):
     assert {2, 4} <= got
     assert len(got) == 3 and got - {2, 4} <= {1, 3}
     assert task.ingest_stats()["dropped_exact"] == 1
+
+
+def test_signature_store_written_and_served(spark, tmp_path):
+    """The near gate persists each admitted batch's signatures and
+    serves later gates from them; a batch whose signature dir is lost
+    (or predates the store) falls back to recompute-from-text."""
+    drop = str(tmp_path / "drop")
+    corpus = str(tmp_path / "corpus")
+    base = " ".join(f"w{i}" for i in range(60))
+    task = CorpusIngestTask(
+        spark, drop, corpus,
+        near_dup=True, num_hashes=64, bands=32, threshold=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop(drop, "crawl1.json", [(1, base), (2, " ".join(f"z{i}" for i in range(60)))])
+    task.process_available()
+    sig_dir = os.path.join(corpus, "_signatures")
+    assert os.path.isdir(os.path.join(sig_dir, "batch_id=0"))
+    assert task.signatures().count() == 2
+
+    # gate a second crawl: near-copy of doc 1 must drop, decided from
+    # the STORED signatures
+    for f in os.listdir(drop):
+        os.remove(os.path.join(drop, f))
+    _drop(drop, "crawl2.json", [(20, base + " extra"), (21, " ".join(f"q{i}" for i in range(60)))])
+    task.process_available()
+    assert {r["doc_id"] for r in task.corpus().collect()} == {1, 2, 21}
+    assert task.signatures().count() == 3
+
+    # lose batch 0's signature dir: signatures() recomputes that batch
+    import shutil
+
+    shutil.rmtree(os.path.join(sig_dir, "batch_id=0"))
+    assert task.signatures().count() == 3
+
+    # param mismatch: the whole store is ignored, everything recomputes
+    with open(os.path.join(sig_dir, "_PARAMS.json"), "w") as f:
+        json.dump({"num_hashes": 128, "bands": 16}, f)
+    sigs = task.signatures()
+    assert sigs.count() == 3
+    # recomputed signatures carry the task's CURRENT num_hashes
+    assert len(sigs.collect()[0]["_sig"]) == 64
+
+
+def test_signature_gate_decisions_match_recompute_operator(spark, tmp_path):
+    """Persisted-signature gating must make the same decision as the
+    recompute-everything operator on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.operators.dedup import near_dedup_against
+
+    drop = str(tmp_path / "drop")
+    base = " ".join(f"w{i}" for i in range(60))
+    docs2 = [(20, base + " extra"), (21, " ".join(f"q{i}" for i in range(60)))]
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        near_dup=True, num_hashes=64, bands=32, threshold=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop(drop, "crawl1.json", [(1, base)])
+    task.process_available()
+    for f in os.listdir(drop):
+        os.remove(os.path.join(drop, f))
+    _drop(drop, "crawl2.json", docs2)
+    task.process_available()
+    got = {r["doc_id"] for r in task.corpus().collect()}
+
+    new = spark.createDataFrame(docs2, "doc_id long, text string")
+    existing = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    admitted = near_dedup_against(
+        new, existing, num_hashes=64, bands=32, threshold=0.5
+    )
+    exp = {1} | {r["doc_id"] for r in admitted.collect()}
+    assert got == exp
