@@ -146,6 +146,43 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    *,
+    group_cols: str | Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Per-group A-Res weighted sampling without replacement: the ``k``
+    largest ``u^(1/w)`` keys WITHIN each group — e.g. k documents per
+    language/source with inclusion probability proportional to length,
+    the stratified twin of :func:`weighted_sample`.
+
+    Same md5-derived uniform, so fully deterministic.  Plan: one
+    row_number window partitioned by the group — the shuffle is keyed
+    on the group and each task heap-sorts only its groups' rows;
+    nothing global.  For a skewed group carrying most of the corpus,
+    pre-filter with :func:`deterministic_sample` or winsorize the
+    weight first (the window must sort that group's rows on one task).
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.conv(hash_bucket(F.col(id_col), seed), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(_SPACE))
+    w = F.col(weight_col).cast("double")
+    win = Window.partitionBy(*gcols).orderBy(
+        F.desc("_key"), F.asc(id_col)
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("_key", F.pow(u, F.lit(1.0) / w))
+        .withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= k)
+        .drop("_key", "_rk")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     *,

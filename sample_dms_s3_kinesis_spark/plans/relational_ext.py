@@ -2998,3 +2998,31 @@ def _minhash_index(spark: SparkSession, sf_dir: str):
 def q_minhash_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
     return _minhash_index(spark, sf_dir).pairs_against(new, threshold=0.5)
+
+
+@_register(
+    "q_weighted_sample_group",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || ':' || '7'), 1, 8))::UBIGINT
+                             + 0.5) / 4294967296.0,
+                            1.0 / CAST(n_chars AS DOUBLE)) DESC,
+                        doc_id ASC) AS rk
+      FROM documents WHERE n_chars > 0)
+    WHERE rk <= 10
+    """,
+    "per-group weighted sampling without replacement: the k largest "
+    "A-Res keys within each language (row_number window partitioned by "
+    "the group — shuffle keyed on the group, nothing global)",
+    "sampling: weighted per group",
+)
+def q_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return sampling.weighted_sample_per_group(
+        d, group_cols="lang", id_col="doc_id", weight_col="n_chars",
+        k=10, seed=7,
+    ).select("doc_id", "lang", "n_chars")

@@ -236,3 +236,28 @@ def test_semantic_dedup_pairs_are_true_cosines(spark):
         c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(c - r["cosine"]) <= 1e-5
         assert r["cosine"] >= 0.3 and r["id_a"] < r["id_b"]
+
+
+def test_weighted_sample_per_group_matches_reference(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = [(r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect()]
+    by_lang: dict = {}
+    for doc_id, lang, w in rows:
+        by_lang.setdefault(lang, []).append((doc_id, w))
+    exp = set()
+    for lang, items in by_lang.items():
+        exp |= {(doc_id, lang) for doc_id in _ares_reference(items, k=5, seed=9)}
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in sampling.weighted_sample_per_group(
+            docs, group_cols="lang", id_col="doc_id",
+            weight_col="n_chars", k=5, seed=9,
+        ).collect()
+    }
+    assert got == exp
+    # exactly min(k, group size) rows per group
+    from collections import Counter
+
+    per = Counter(lang for _, lang in got)
+    for lang, items in by_lang.items():
+        assert per[lang] == min(5, len(items))
