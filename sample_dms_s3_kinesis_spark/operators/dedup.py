@@ -1411,3 +1411,111 @@ class MinhashIndex:
             id_col=meta["id_col"],
             text_col=meta["text_col"],
         )
+
+
+# ---------------------------------------------- prefix-filter Jaccard join
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    broadcast_freq: bool | None = None,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join via prefix filtering
+    (the ppjoin family: Chaudhuri et al. SSJoin/ICDE'06, Xiao et al.
+    WWW'08) — every pair with ``J(A,B) ≥ threshold`` and nothing else,
+    without LSH's recall loss and without the O(n²) all-pairs join.
+
+    Candidate lemma: sort every doc's distinct tokens by global
+    rarity (document frequency asc, token asc — rare tokens first);
+    if ``J(A,B) ≥ τ`` then ``|A∩B| ≥ ⌈τ·max(|A|,|B|)⌉``, and two sets
+    with overlap ≥ α must collide within their first ``|X| - α + 1``
+    sorted elements — so docs sharing NO token in their length-
+    dependent prefixes cannot reach the threshold and never pair.
+    Because prefixes order by rarity, the join key is a RARE token:
+    bucket widths stay small exactly where LSH banding needs a width
+    cap.  Candidates then verify with an exact intersection count, so
+    the output is exact — the prefix only bounds how many pairs pay
+    verification.
+
+    Plan: distinct (id, token) explode → doc-frequency aggregate
+    (AQE-broadcast back onto the token stream) → per-doc sort +
+    prefix slice (array ops, no shuffle) → prefix-token equi-join →
+    intersection count over candidate docs' full token sets →
+    ``inter / (|A|+|B| - inter) ≥ τ``.  Shuffles carry tokens and ids
+    only; the verification join touches candidate docs, not the
+    corpus.  Output: (id_a < id_b, jaccard) rounded to 6.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tok = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(tokens(F.lower(F.col(text_col))))
+            ).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+    )
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    if broadcast_freq:
+        freq = F.broadcast(freq)
+    ranked = tok.join(freq, on="_tok")
+    # per-doc rarity-sorted token array; struct sort = (_df asc, _tok asc)
+    per_doc = ranked.groupBy("_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+        ).alias("_arr"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # prefix length p = n - ceil(τ·n) + 1 (epsilon keeps a float
+    # rounding error from SHORTENING the prefix — longer is only cost,
+    # shorter loses pairs)
+    p = F.col("_n") - F.ceil(
+        F.col("_n") * F.lit(threshold) - F.lit(1e-9)
+    ).cast("int") + F.lit(1)
+    prefix = per_doc.select(
+        "_id",
+        "_n",
+        F.explode(
+            F.transform(F.slice("_arr", 1, p), lambda s: s["_tok"])
+        ).alias("_tok"),
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            on=[
+                F.col("a._tok") == F.col("b._tok"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("a._n").alias("_na"),
+            F.col("b._id").alias("id_b"),
+            F.col("b._n").alias("_nb"),
+        )
+        .distinct()
+    )
+    # exact verification: count shared tokens per candidate pair
+    inter = (
+        cand.join(tok.alias("ta"), F.col("id_a") == F.col("ta._id"))
+        .join(
+            tok.alias("tb"),
+            (F.col("id_b") == F.col("tb._id"))
+            & (F.col("ta._tok") == F.col("tb._tok")),
+        )
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    ).cast("double")
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(jac >= F.lit(threshold))
+    )

@@ -3026,3 +3026,36 @@ def q_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, group_cols="lang", id_col="doc_id", weight_col="n_chars",
         k=10, seed=7,
     ).select("doc_id", "lang", "n_chars")
+
+
+@_register(
+    "q_prefix_jaccard_pairs",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+               x -> x <> '') AS tk
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.tk, b.tk)) AS inter,
+             len(a.tk) AS na, len(b.tk) AS nb
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.95
+    """,
+    "EXACT token-set Jaccard similarity join via prefix filtering "
+    "(ppjoin family): rarity-sorted prefixes bound the candidate join "
+    "to rare-token buckets, an exact intersection count verifies — "
+    "every qualifying pair, no LSH recall loss (the oracle is the "
+    "brute-force all-pairs join)",
+    "dedup: prefix-filter exact Jaccard join",
+)
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import prefix_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(d, threshold=0.95)

@@ -86,3 +86,45 @@ def test_index_rejects_bad_band_shape(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# ------------------------------------------ prefix-filter Jaccard join
+
+def _brute_jaccard(rows, tau):
+    sets = {r["doc_id"]: set(r["text"].lower().split()) for r in rows}
+    ids = sorted(sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= tau:
+                out.add((a, b, round(jac, 6)))
+    return out
+
+
+def test_prefix_jaccard_exact_vs_brute_force(spark):
+    from sample_dms_s3_kinesis_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for tau in (0.9, 0.7):
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in prefix_jaccard_pairs(docs, threshold=tau).collect()
+        }
+        exp = _brute_jaccard(docs.collect(), tau)
+        assert got == exp, f"tau={tau}: {len(got)} vs {len(exp)}"
+        assert len(exp) > 0
+
+
+def test_prefix_jaccard_rejects_bad_threshold(spark):
+    from sample_dms_s3_kinesis_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    try:
+        prefix_jaccard_pairs(docs, threshold=0.0)
+        assert False
+    except ValueError:
+        pass
