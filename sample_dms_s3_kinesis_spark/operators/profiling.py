@@ -104,3 +104,56 @@ def winsorize(
         v.isNotNull(), F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
     )
     return joined.withColumn(out, clamped).drop("_lo", "_hi")
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    columns: Sequence[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Column-level drift report between two snapshot releases: the
+    per-column profiles of ``old`` and ``new`` joined on column name
+    with their deltas — the release QA that catches a broken extractor
+    (null rate jump), an id-space reset (distinct collapse), or a unit
+    change (range shift) before 100 TB of it lands in training.
+
+    The column-level complement of ``versioning.corpus_diff`` (which
+    answers WHICH rows changed; this answers HOW the distributions
+    moved).  Cost: one wide aggregate pass per snapshot — the join is
+    over two O(columns)-row frames.
+
+    Returns ``(column, n_rows_old, n_rows_new, n_null_old, n_null_new,
+    n_distinct_old, n_distinct_new, min_changed, max_changed)``.
+    """
+    cols = list(columns) if columns is not None else None
+    po = profile_table(old, cols, exact=exact)
+    pn = profile_table(new, cols, exact=exact)
+    o = po.select(
+        "column",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_null").alias("n_null_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+        F.col("min_value").alias("_min_o"),
+        F.col("max_value").alias("_max_o"),
+    )
+    n = pn.select(
+        "column",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_null").alias("n_null_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+        F.col("min_value").alias("_min_n"),
+        F.col("max_value").alias("_max_n"),
+    )
+    return o.join(n, on="column").select(
+        "column",
+        "n_rows_old",
+        "n_rows_new",
+        "n_null_old",
+        "n_null_new",
+        "n_distinct_old",
+        "n_distinct_new",
+        (~F.col("_min_o").eqNullSafe(F.col("_min_n"))).alias("min_changed"),
+        (~F.col("_max_o").eqNullSafe(F.col("_max_n"))).alias("max_changed"),
+    )

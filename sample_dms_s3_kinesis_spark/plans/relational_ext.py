@@ -3059,3 +3059,64 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return prefix_jaccard_pairs(d, threshold=0.95)
+
+
+@_register(
+    "q_profile_drift",
+    """
+    WITH oldt AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+    newt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+             lang, n_chars
+      FROM documents WHERE doc_id % 5 <> 0),
+    po AS (
+      SELECT 'text' AS column, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(text) AS n_null,
+             COUNT(DISTINCT text) AS n_distinct,
+             MIN(text) AS mn, MAX(text) AS mx FROM oldt
+      UNION ALL
+      SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+             COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM oldt
+      UNION ALL
+      SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+             COUNT(DISTINCT n_chars), MIN(n_chars)::VARCHAR,
+             MAX(n_chars)::VARCHAR FROM oldt),
+    pn AS (
+      SELECT 'text' AS column, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(text) AS n_null,
+             COUNT(DISTINCT text) AS n_distinct,
+             MIN(text) AS mn, MAX(text) AS mx FROM newt
+      UNION ALL
+      SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+             COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM newt
+      UNION ALL
+      SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+             COUNT(DISTINCT n_chars), MIN(n_chars)::VARCHAR,
+             MAX(n_chars)::VARCHAR FROM newt)
+    SELECT po.column,
+           po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+           po.n_null AS n_null_old, pn.n_null AS n_null_new,
+           po.n_distinct AS n_distinct_old, pn.n_distinct AS n_distinct_new,
+           NOT (po.mn IS NOT DISTINCT FROM pn.mn) AS min_changed,
+           NOT (po.mx IS NOT DISTINCT FROM pn.mx) AS max_changed
+    FROM po JOIN pn ON po.column = pn.column
+    """,
+    "column-level drift between two snapshot releases: per-column "
+    "profiles joined with null/distinct/range deltas — the release QA "
+    "complement of q_corpus_diff (which rows changed vs how the "
+    "distributions moved); one wide aggregate pass per snapshot",
+    "profiling: snapshot drift report",
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.profiling import profile_drift
+
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return profile_drift(old, new, columns=["text", "lang", "n_chars"])

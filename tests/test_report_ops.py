@@ -97,3 +97,27 @@ def test_winsorize_ungrouped_nulls_and_args(spark):
     assert out[1] == 0.0
     with pytest.raises(ValueError):
         winsorize(df, "v", lower=0.9, upper=0.1)
+
+
+def test_profile_drift_detects_shifts(spark):
+    from sample_dms_s3_kinesis_spark.operators.profiling import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (4, "d", 99), (5, "d", 7)],
+        "id long, s string, v long",
+    )
+    got = {r["column"]: r for r in profile_drift(old, new).collect()}
+    assert set(got) == {"id", "s", "v"}
+    r = got["s"]
+    assert (r["n_rows_old"], r["n_rows_new"]) == (3, 4)
+    assert (r["n_null_old"], r["n_null_new"]) == (0, 1)
+    assert (r["n_distinct_old"], r["n_distinct_new"]) == (3, 2)
+    assert r["min_changed"] is False and r["max_changed"] is True  # c -> d
+    v = got["v"]
+    assert v["min_changed"] is True and v["max_changed"] is True  # 10->7, 30->99
+    i = got["id"]
+    assert i["min_changed"] is False and i["max_changed"] is True
