@@ -230,3 +230,28 @@ def test_vocab_coverage_ranks_on_take_ordered_frame(spark):
     # Window must appear ABOVE (before, in toString order) the
     # TakeOrdered that bounds its input
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_latest_round5_queries_stay_jvm_side(spark):
+    for name in (
+        "q_weighted_sample_group",
+        "q_prefix_jaccard_pairs",
+        "q_profile_drift",
+        "q_minhash_index_gate",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_prefix_jaccard_candidate_join_is_keyed(spark):
+    """The candidate and verification joins must be equi-joins on the
+    token (SortMerge/ShuffledHash/BroadcastHash), never a nested-loop
+    over doc pairs."""
+    plan = _plan(spark, "q_prefix_jaccard_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    keyed = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert keyed >= 3  # candidate join + two verification joins
