@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the round-5 operators:
+corpus_diff partition/conservation laws and weighted-sample selection
+laws over randomized snapshots — the shapes example-based tests only
+sample."""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sample_dms_s3_kinesis_spark.operators.sampling import weighted_sample
+from sample_dms_s3_kinesis_spark.operators.versioning import corpus_diff
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+snapshot = st.dictionaries(
+    st.integers(min_value=0, max_value=30),
+    st.text(alphabet="abc ", min_size=0, max_size=8),
+    max_size=12,
+)
+
+
+@_slow
+@given(old=snapshot, new=snapshot)
+def test_corpus_diff_partitions_the_id_space(spark, old, new):
+    o = spark.createDataFrame(
+        list(old.items()) or [(None, None)], "doc_id long, text string"
+    ).filter("doc_id is not null")
+    n = spark.createDataFrame(
+        list(new.items()) or [(None, None)], "doc_id long, text string"
+    ).filter("doc_id is not null")
+    got = {r["doc_id"]: r["change"] for r in corpus_diff(o, n).collect()}
+    # exactly one row per id in either snapshot
+    assert set(got) == set(old) | set(new)
+    for i, ch in got.items():
+        if i not in old:
+            assert ch == "added"
+        elif i not in new:
+            assert ch == "removed"
+        elif old[i] == new[i]:
+            assert ch == "unchanged"
+        else:
+            assert ch == "changed"
+
+
+weights = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-5, max_value=50, allow_nan=False, allow_infinity=False
+            ),
+        ),
+    ),
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@_slow
+@given(rows=weights, k=st.integers(min_value=1, max_value=6), seed=st.integers(0, 9))
+def test_weighted_sample_selection_laws(spark, rows, k, seed):
+    df = spark.createDataFrame(rows or [(None, None)], "id long, w double").filter(
+        "id is not null"
+    )
+    got = [
+        r["id"]
+        for r in weighted_sample(
+            df, id_col="id", weight_col="w", k=k, seed=seed
+        ).collect()
+    ]
+    positive = {i for i, w in rows if w is not None and w > 0}
+    # no duplicates, only positive-weight rows, exactly min(k, |positive|)
+    assert len(got) == len(set(got)) == min(k, len(positive))
+    assert set(got) <= positive
+    # matches the A-Res reference ranking exactly
+    keyed = sorted(
+        (
+            (
+                (
+                    (int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16) + 0.5)
+                    / 16**8
+                )
+                ** (1.0 / w),
+                -i,
+                i,
+            )
+            for i, w in rows
+            if w is not None and w > 0
+        ),
+        reverse=True,
+    )
+    assert set(got) == {t[2] for t in keyed[:k]}
