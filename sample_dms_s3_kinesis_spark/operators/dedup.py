@@ -1501,21 +1501,39 @@ def prefix_jaccard_pairs(
         )
         .distinct()
     )
-    # exact verification: count shared tokens per candidate pair
-    inter = (
-        cand.join(tok.alias("ta"), F.col("id_a") == F.col("ta._id"))
-        .join(
-            tok.alias("tb"),
-            (F.col("id_b") == F.col("tb._id"))
-            & (F.col("ta._tok") == F.col("tb._tok")),
+    # exact verification: intersect the two docs' (distinct) token
+    # arrays per candidate pair — two joins carrying one ~|tokens|
+    # array per doc and a JVM array_intersect, instead of exploding
+    # candidates × tokens into a row stream (~25% faster at sf0.1 on
+    # the synthetic tiny-vocab corpus, where 1.5% of ALL pairs qualify
+    # and any exact join is output-bound; the gap widens on real
+    # heavy-tailed vocabularies where rare-token prefixes make
+    # candidates sparse).  The arrays reuse the rarity-sorted frame
+    # already built for the prefixes.
+    arrs = per_doc.select(
+        "_id",
+        F.transform("_arr", lambda s: s["_tok"]).alias("_toks"),
+    )
+    inter_cnt = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    verified = (
+        cand.join(
+            arrs.select(
+                F.col("_id").alias("id_a"), F.col("_toks").alias("_ta")
+            ),
+            on="id_a",
         )
-        .groupBy("id_a", "id_b", "_na", "_nb")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .join(
+            arrs.select(
+                F.col("_id").alias("id_b"), F.col("_toks").alias("_tb")
+            ),
+            on="id_b",
+        )
+        .withColumn("_inter", inter_cnt)
     )
     jac = F.col("_inter").cast("double") / (
         F.col("_na") + F.col("_nb") - F.col("_inter")
     ).cast("double")
     return (
-        inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        verified.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(jac >= F.lit(threshold))
     )
