@@ -1422,6 +1422,7 @@ def prefix_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     broadcast_freq: bool | None = None,
+    shingle: int = 1,
 ) -> DataFrame:
     """EXACT token-set Jaccard similarity join via prefix filtering
     (the ppjoin family: Chaudhuri et al. SSJoin/ICDE'06, Xiao et al.
@@ -1450,14 +1451,18 @@ def prefix_jaccard_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # set elements: single lowercased tokens (default) or the SAME
+    # n-token shingles the minhash stack fingerprints (shingle=n) —
+    # the latter makes this the exact ground truth for
+    # :func:`lsh_quality_report`'s precision/recall measurement.
+    elems = (
+        F.array_distinct(tokens(F.lower(F.col(text_col))))
+        if shingle <= 1
+        else token_ngrams(F.col(text_col), shingle)
+    )
     tok = (
         spread(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                F.array_distinct(tokens(F.lower(F.col(text_col))))
-            ).alias("_tok"),
-        )
+        .select(F.col(id_col).alias("_id"), F.explode(elems).alias("_tok"))
         .filter(F.col("_tok") != "")
     )
     freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
@@ -1536,4 +1541,70 @@ def prefix_jaccard_pairs(
     return (
         verified.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(jac >= F.lit(threshold))
+    )
+
+
+def lsh_quality_report(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_band_width: int | None = 10_000,
+    shingle: int = 3,
+) -> DataFrame:
+    """Calibration harness for the approximate near-dup stack: measure
+    MinHash+LSH's precision/recall against the EXACT similarity-join
+    ground truth (:func:`prefix_jaccard_pairs` over the SAME n-token
+    shingle sets the minhash fingerprints — comparing against
+    single-token Jaccard would measure a different similarity
+    function) at the same threshold — the number a pipeline owner
+    needs before trusting (num_hashes, bands) on a new corpus, and the
+    honest answer to "what does the banding cap cost me HERE?".
+
+    Run it on a sampled slice of the real corpus (the exact join is
+    the expensive side); the measured rates transfer to the full run
+    because both operators' decision rules are per-pair.
+
+    Returns ONE row: (exact_pairs, lsh_pairs, true_positive,
+    precision, recall) — precision/recall of the LSH pair set against
+    the exact pair set, NULL when the denominator is zero.  The
+    agreement join is on (id_a, id_b): both operators emit id_a < id_b,
+    so pair identity is exact.
+    """
+    exact = prefix_jaccard_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        shingle=shingle,
+    ).select("id_a", "id_b")
+    approx = minhash_lsh_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_band_width=max_band_width,
+    ).select("id_a", "id_b")
+    e = _cut_lineage(exact)
+    a = _cut_lineage(approx)
+    tp = e.join(a, on=["id_a", "id_b"]).count()
+    n_e, n_a = e.count(), a.count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_e,
+                n_a,
+                tp,
+                round(tp / n_a, 6) if n_a else None,
+                round(tp / n_e, 6) if n_e else None,
+            )
+        ],
+        "exact_pairs long, lsh_pairs long, true_positive long, "
+        "precision double, recall double",
     )

@@ -1218,6 +1218,7 @@ DRIVER_WINDOW: list[str] = [
     "q_weighted_sample_group",
     "q_prefix_jaccard_pairs",
     "q_profile_drift",
+    "q_lsh_quality",         # rows-only: exact side oracle-checked separately
     # --- r2-stale (3 rounds): the oldest driver signal ---
     "q_top_orders",
     "q_rollup_orders",
@@ -1245,20 +1246,19 @@ DRIVER_WINDOW: list[str] = [
     "q_stratified_sample",
     "q_token_budget_sample",
     "q_pack_sequences",
-    "q_top_fraction_quality",
     "q_dedup_incremental",
     "q_window_lag_lead",
     "q_window_rank_family",
     "q_session_window_events",
 ]
-# Swapped out for the seventeen queries registered this round
+# Swapped out for the eighteen queries registered this round
 # (never-checked beats 2-rounds-old): q_distinct_count, q_in_subquery,
 # q_cross_join_region_status, q_intersect_customers,
 # q_except_customers, q_window_first_last, q_window_agg_events,
 # q_stats_agg, q_array_agg_priorities, q05_local_supplier_volume,
 # q_text_fingerprint, q_text_normalize, q_text_tokens_bpe,
 # q_sliding_window_events, q_group_sample_topk, q_ann_batch_topk,
-# q_embedding_normalize — all
+# q_embedding_normalize, q_top_fraction_quality — all
 # r3-green stable shapes whose operator families keep other in-window
 # representatives; they rotate back in r6.
 

@@ -3120,3 +3120,20 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return profile_drift(old, new, columns=["text", "lang", "n_chars"])
+
+
+@_register(
+    "q_lsh_quality",
+    None,  # both sides Spark-side; the EXACT side is itself oracle-
+    # checked (q_prefix_jaccard_pairs), the report is pytest-bounded
+    "LSH calibration report: MinHash+LSH precision/recall measured "
+    "against the EXACT prefix-filter similarity join at the same "
+    "threshold — the pipeline-owner's dial for trusting (num_hashes, "
+    "bands) on a corpus before the full run",
+    "dedup: LSH quality calibration",
+)
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import lsh_quality_report
+
+    d = t(spark, sf_dir, "documents")
+    return lsh_quality_report(d, threshold=0.9, num_hashes=128, bands=32)

@@ -128,3 +128,63 @@ def test_prefix_jaccard_rejects_bad_threshold(spark):
         assert False
     except ValueError:
         pass
+
+
+def test_lsh_quality_report_bounds(spark):
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        lsh_quality_report,
+        minhash_lsh_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    row = lsh_quality_report(
+        docs, threshold=0.5, num_hashes=64, bands=16, shingle=3
+    ).collect()[0]
+    # the exact side is the SAME shingle similarity the minhash stack
+    # fingerprints — counts must agree with the standalone operators
+    assert row["exact_pairs"] == prefix_jaccard_pairs(
+        docs, threshold=0.5, shingle=3
+    ).count()
+    assert row["lsh_pairs"] == minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.5
+    ).count()
+    assert 0 <= row["true_positive"] <= min(row["exact_pairs"], row["lsh_pairs"])
+    if row["lsh_pairs"]:
+        assert 0.0 <= row["precision"] <= 1.0
+    # at r=4 rows/band and 16 bands the s-curve at s=0.5 passes ~64%
+    # of true pairs into candidacy; a collapsed-join bug would read ~0
+    assert row["exact_pairs"] > 0
+    assert row["recall"] is not None and row["recall"] >= 0.2
+
+
+def _brute_shingle_jaccard(rows, tau, n=3):
+    def shingles(text):
+        tk = text.lower().strip().split()
+        return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+    sets = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= tau:
+                out.add((a, b, round(jac, 6)))
+    return out
+
+
+def test_prefix_jaccard_shingle_mode_vs_brute_force(spark):
+    from sample_dms_s3_kinesis_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_jaccard_pairs(docs, threshold=0.4, shingle=3).collect()
+    }
+    exp = _brute_shingle_jaccard(docs.collect(), 0.4)
+    assert got == exp and len(exp) > 0
