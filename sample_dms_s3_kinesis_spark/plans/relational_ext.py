@@ -3137,3 +3137,96 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return lsh_quality_report(d, threshold=0.9, num_hashes=128, bands=32)
+
+
+@_register(
+    "q_dedup_report",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           ROUND(1 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*),
+                 6) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+    "per-source duplication health report: docs, distinct contents "
+    "(16-byte digest, never bodies), dup rate — the ops dashboard row "
+    "that says which upstream source is flooding the corpus with "
+    "copies (digest-keyed partial-agg distinct)",
+    "ops: per-source dedup report",
+)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_unique"),
+        F.round(
+            F.lit(1)
+            - F.count_distinct(F.md5(F.col("text"))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@_register(
+    "q_corr_stats",
+    r"""
+    WITH m AS (
+      SELECT lang,
+             COUNT(*) AS n,
+             SUM(n_chars) AS sx,
+             SUM(n_chars * n_chars) AS sxx,
+             SUM(tk) AS sy,
+             SUM(tk * tk) AS syy,
+             SUM(n_chars * tk) AS sxy,
+             SUM(z) AS sz,
+             SUM(n_chars * z) AS sxz
+      FROM (SELECT lang, n_chars,
+                   len(string_split_regex(trim(lower(text)), '\s+')) AS tk,
+                   doc_id % 97 AS z
+            FROM documents)
+      GROUP BY lang)
+    SELECT lang,
+           ROUND((n * sxy - sx * sy) /
+                 sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                      * (n * syy - sy * sy)), 4) AS corr_chars_tokens,
+           ROUND((sxz - CAST(sx AS DOUBLE) * sz / n) / (n - 1), 4)
+             AS covar_noise
+    FROM m
+    """,
+    "correlation/covariance per group (SURVEY 2.4 generalized) from "
+    "EXACT integer moment sums — the float-determinism pattern: "
+    "engine-internal corr/covar accumulate in float and differ in the "
+    "last decimals across engines/partitionings, so the moments are "
+    "summed exactly (integers) and the division happens once at the "
+    "end; single pass, map-side partials",
+    "aggregations generalized (SURVEY 2.4): corr/covar",
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("long")
+    z = (F.col("doc_id") % 97).cast("long")
+    x = F.col("n_chars").cast("long")
+    base = d.select(F.col("lang"), x.alias("x"), tk.alias("y"), z.alias("z"))
+    m = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    covar = (
+        F.col("sxz") - F.col("sx").cast("double") * F.col("sz") / F.col("n")
+    ) / (F.col("n") - 1)
+    return m.select(
+        "lang",
+        F.round(corr, 4).alias("corr_chars_tokens"),
+        F.round(covar, 4).alias("covar_noise"),
+    )
