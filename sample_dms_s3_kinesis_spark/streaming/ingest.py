@@ -15,7 +15,11 @@ into the corpus only if it is
    the corpus side never self-joins and is served from PERSISTED
    per-batch signatures, so each micro-batch pays shingle+minhash for
    its own novel docs only — batches written without signatures fall
-   back to recompute-from-text for just those batches).
+   back to recompute-from-text for just those batches), and
+4. optionally SEMANTICALLY novel vs the corpus — cosine near-dup of
+   the batch's embedding column against previously admitted vectors
+   (sign-LSH blocked, exact at planes=0); docs shipped without an
+   embedding skip this gate.
 
 Durability/idempotency: each batch's admissions land in their own
 ``batch_id=N`` parquet directory written with overwrite semantics, and
@@ -49,6 +53,9 @@ DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
+        # optional: present when an upstream encoder ships vectors with
+        # the crawl; NULL otherwise (the semantic gate skips NULL rows)
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -69,6 +76,10 @@ class CorpusIngestTask(ReplicationTask):
         num_hashes: int = 64,
         bands: int = 16,
         threshold: float = 0.9,
+        embedding_gate: bool = False,
+        embedding_threshold: float = 0.99,
+        embedding_planes: int = 4,
+        embedding_dim: int | None = None,
         checkpoint_dir: str | None = None,
     ) -> None:
         super().__init__(identifier)
@@ -79,6 +90,12 @@ class CorpusIngestTask(ReplicationTask):
         self.num_hashes = num_hashes
         self.bands = bands
         self.threshold = threshold
+        if embedding_gate and not embedding_dim:
+            raise ValueError("embedding_gate=True requires embedding_dim")
+        self.embedding_gate = embedding_gate
+        self.embedding_threshold = embedding_threshold
+        self.embedding_planes = embedding_planes
+        self.embedding_dim = embedding_dim
         self.checkpoint_dir = (
             checkpoint_dir or f"/tmp/ingest-checkpoint-{uuid.uuid4()}"
         )
@@ -87,7 +104,8 @@ class CorpusIngestTask(ReplicationTask):
 
     # -- manifest ------------------------------------------------------
     # batch_id → {"admitted": n, "dropped_exact": n, "dropped_near": n,
-    # "rejected": n}; keyed upserts make replay re-recording idempotent.
+    # "dropped_sem": n, "rejected": n}; keyed upserts make replay
+    # re-recording idempotent (older manifests lack dropped_sem → 0).
 
     def _manifest_file(self) -> str:
         return f"{self.corpus_dir}/_MANIFEST.json"
@@ -110,11 +128,14 @@ class CorpusIngestTask(ReplicationTask):
     # -- public surface ------------------------------------------------
 
     def corpus(self, *, before: int | None = None) -> DataFrame:
-        """The admitted corpus: (doc_id, text, digest, batch_id).  An
-        empty corpus reads as an empty frame, not an error.  ``before``
-        restricts to batches with id < before — the corpus state a
-        given batch must gate against, which keeps a crash-REPLAY of
-        that batch from suppressing its own prior admissions."""
+        """The admitted corpus: (doc_id, text, digest, embedding,
+        batch_id) — ``embedding`` NULL for docs ingested without one
+        (including whole batches written before the column existed).
+        An empty corpus reads as an empty frame, not an error.
+        ``before`` restricts to batches with id < before — the corpus
+        state a given batch must gate against, which keeps a
+        crash-REPLAY of that batch from suppressing its own prior
+        admissions."""
         manifest = self._load_manifest()
         paths = [
             f"{self.corpus_dir}/batch_id={b}"
@@ -124,13 +145,20 @@ class CorpusIngestTask(ReplicationTask):
         ]
         if not paths:
             return self.spark.createDataFrame(
-                [], "doc_id long, text string, digest string, batch_id long"
+                [],
+                "doc_id long, text string, digest string, "
+                "embedding array<double>, batch_id long",
             )
-        return (
+        df = (
             self.spark.read.option("basePath", self.corpus_dir)
+            .option("mergeSchema", "true")
             .parquet(*paths)
-            .select("doc_id", "text", "digest", "batch_id")
         )
+        if "embedding" not in df.columns:
+            df = df.withColumn(
+                "embedding", F.lit(None).cast("array<double>")
+            )
+        return df.select("doc_id", "text", "digest", "embedding", "batch_id")
 
     # -- persisted signatures ------------------------------------------
     # The near gate's corpus side is served from SAVED minhash
@@ -226,6 +254,7 @@ class CorpusIngestTask(ReplicationTask):
             "admitted": 0,
             "dropped_exact": 0,
             "dropped_near": 0,
+            "dropped_sem": 0,
             "rejected": 0,
         }
         for counts in self._load_manifest().values():
@@ -274,6 +303,12 @@ class CorpusIngestTask(ReplicationTask):
     # -- the admission pipeline ----------------------------------------
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if "embedding" not in batch_df.columns:
+            # direct callers may ship (doc_id, text) frames; the
+            # streaming path always reads the full DOC_SCHEMA
+            batch_df = batch_df.withColumn(
+                "embedding", F.lit(None).cast("array<double>")
+            )
         valid = batch_df.filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
@@ -289,6 +324,7 @@ class CorpusIngestTask(ReplicationTask):
                     "admitted": 0,
                     "dropped_exact": 0,
                     "dropped_near": 0,
+                    "dropped_sem": 0,
                     "rejected": n_total,
                 },
             )
@@ -338,11 +374,61 @@ class CorpusIngestTask(ReplicationTask):
                 .select(F.col("new_id").alias("doc_id"))
                 .distinct()
             )
-            admitted = novel.join(matched, on="doc_id", how="left_anti")
+            kept = novel.join(matched, on="doc_id", how="left_anti")
         else:
-            admitted = novel
+            kept = novel
+        n_novel = novel.count()
+        n_after_near = kept.count() if self.near_dup else n_novel
+
+        # (4) optional SEMANTIC gate vs the corpus: cosine near-dup
+        # against previously admitted vectors, blocked by a
+        # deterministic sign-LSH key computed identically on both
+        # sides (2^planes blocks bound the pair join; planes=0 makes
+        # it exact).  Docs without an embedding skip this gate.
+        if self.embedding_gate:
+            from sample_dms_s3_kinesis_spark.operators.dedup import (
+                embedding_near_dup_against,
+            )
+            from sample_dms_s3_kinesis_spark.operators.similarity import (
+                hyperplane_signature,
+            )
+
+            def _blk(df: DataFrame) -> DataFrame:
+                return df.withColumn(
+                    "_eblk",
+                    hyperplane_signature(
+                        F.col("embedding"),
+                        planes=self.embedding_planes,
+                        dim=self.embedding_dim,
+                    ),
+                )
+
+            with_vec = kept.filter(F.col("embedding").isNotNull())
+            corpus_vec = self.corpus(before=batch_id).filter(
+                F.col("embedding").isNotNull()
+            )
+            sem_matched = (
+                embedding_near_dup_against(
+                    _blk(with_vec),
+                    _blk(corpus_vec),
+                    vec_col="embedding",
+                    id_col="doc_id",
+                    block_col="_eblk",
+                    threshold=self.embedding_threshold,
+                    broadcast=True,  # the batch is the build side
+                )
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            admitted = kept.join(sem_matched, on="doc_id", how="left_anti")
+        else:
+            admitted = kept
         admitted = admitted.select(
-            "doc_id", "text", "digest", F.lit(batch_id).alias("batch_id")
+            "doc_id",
+            "text",
+            "digest",
+            "embedding",
+            F.lit(batch_id).alias("batch_id"),
         ).persist()
 
         # Idempotent landing: the batch directory is overwritten whole,
@@ -350,7 +436,7 @@ class CorpusIngestTask(ReplicationTask):
         n_admitted = admitted.count()
         if n_admitted > 0:
             (
-                admitted.select("doc_id", "text", "digest")
+                admitted.select("doc_id", "text", "digest", "embedding")
                 .write.mode("overwrite")
                 .parquet(f"{self.corpus_dir}/batch_id={batch_id}")
             )
@@ -364,14 +450,14 @@ class CorpusIngestTask(ReplicationTask):
                     .write.mode("overwrite")
                     .parquet(f"{self._sig_dir()}/batch_id={batch_id}")
                 )
-        n_novel = novel.count()
         self._record_batch(
             batch_id,
             {
                 "admitted": n_admitted,
                 # exact drops: batch-internal dups + corpus digest hits
                 "dropped_exact": head["n_valid"] - n_novel,
-                "dropped_near": n_novel - n_admitted,
+                "dropped_near": n_novel - n_after_near,
+                "dropped_sem": n_after_near - n_admitted,
                 "rejected": n_total - head["n_valid"],
             },
         )

@@ -203,3 +203,59 @@ def test_signature_gate_decisions_match_recompute_operator(spark, tmp_path):
     )
     exp = {1} | {r["doc_id"] for r in admitted.collect()}
     assert got == exp
+
+
+def _drop_vec(drop_dir, name, docs):
+    os.makedirs(drop_dir, exist_ok=True)
+    path = os.path.join(drop_dir, name)
+    with open(path + ".tmp", "w") as f:
+        for doc_id, text, vec in docs:
+            rec = {"doc_id": doc_id, "text": text}
+            if vec is not None:
+                rec["embedding"] = vec
+            f.write(json.dumps(rec) + "\n")
+    os.replace(path, path) if False else os.replace(path + ".tmp", path)
+
+
+def test_embedding_gate_drops_semantic_copies(spark, tmp_path):
+    """Gate 4: a new doc whose VECTOR is near-identical to an admitted
+    one is dropped even though its text passes every lexical gate;
+    docs without an embedding skip the gate."""
+    drop = str(tmp_path / "drop")
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        embedding_gate=True, embedding_threshold=0.99,
+        embedding_planes=0,       # single block: exact gate
+        embedding_dim=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop_vec(drop, "crawl1.json", [(1, "first document text", [1.0, 0.0, 0.0, 0.0])])
+    task.process_available()
+    assert {r["doc_id"] for r in task.corpus().collect()} == {1}
+
+    for f in os.listdir(drop):
+        os.remove(os.path.join(drop, f))
+    _drop_vec(drop, "crawl2.json", [
+        (20, "completely different words", [0.999, 0.01, 0.0, 0.0]),  # same meaning
+        (21, "another unrelated document", [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (22, "no vector shipped here", None),                          # skips gate
+    ])
+    task.process_available()
+    got = {r["doc_id"] for r in task.corpus().collect()}
+    assert got == {1, 21, 22}
+    stats = task.ingest_stats()
+    assert stats["dropped_sem"] == 1 and stats["admitted"] == 3
+
+    # embeddings persist in the corpus parquet; NULL for doc 22
+    vecs = {r["doc_id"]: r["embedding"] for r in task.corpus().collect()}
+    assert vecs[21] == [0.0, 1.0, 0.0, 0.0] and vecs[22] is None
+
+
+def test_embedding_gate_requires_dim(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CorpusIngestTask(
+            spark, str(tmp_path / "d"), str(tmp_path / "c"),
+            embedding_gate=True,
+        )
