@@ -1608,3 +1608,130 @@ def lsh_quality_report(
         "exact_pairs long, lsh_pairs long, true_positive long, "
         "precision double, recall double",
     )
+
+
+# ------------------------------------------- exact term-vector cosine join
+
+def token_cosine_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_token_df: int | None = None,
+    binary: bool = False,
+) -> DataFrame:
+    """EXACT cosine similarity join over sparse TERM vectors, computed
+    from a self-join of the (doc, token, count) matrix on the token —
+    only docs SHARING a token ever pair and the shuffle key is the
+    token, never a doc pair.  ``binary=False`` (default) uses term
+    FREQUENCIES; ``binary=True`` uses 0/1 incidence — the set cosine
+    (Ochiai) that :func:`simhash` approximates, since its majority
+    vote runs over DISTINCT tokens.
+
+    Integer math until the final division: counts and dot products are
+    exact longs, the norms' sqrt and the division happen once per pair
+    — cross-engine bit-identical given the same counts (the oracle is
+    the same sparse join in SQL).
+
+    ``max_token_df`` drops token classes appearing in more than that
+    many documents BEFORE the pair join (the stop-token analogue of
+    the LSH band cap: a token shared by w docs emits w² pair terms;
+    dropping it LOWERS dot products, so with the cap armed the join
+    under-reports cosine for pairs whose only shared tokens are
+    stop-tokens — exactness holds only with the cap off).
+
+    Output: ``(id_a < id_b, cosine ≥ τ)`` rounded to 6.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    counts = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .groupBy("_id", "_tok")
+        .agg(
+            (
+                F.lit(1).cast("long")
+                if binary
+                else F.count(F.lit(1))
+            ).alias("_c")
+        )
+    )
+    if max_token_df is not None:
+        counts = _drop_hot_buckets(counts, max_token_df, keys=("_tok",))
+    norms = counts.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_c") * F.col("_c")).cast("double")).alias("_n")
+    )
+    dots = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            on=[
+                F.col("a._tok") == F.col("b._tok"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a._c") * F.col("b._c")).alias("_dot"))
+    )
+    cos = F.col("_dot").cast("double") / (F.col("_na") * F.col("_nb"))
+    return (
+        dots.join(norms.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(norms.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(cos >= F.lit(threshold))
+    )
+
+
+def simhash_quality_report(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    threshold: float = 0.99,
+    max_chunk_width: int | None = None,
+) -> DataFrame:
+    """SimHash calibration against the EXACT term-vector cosine join
+    (:func:`token_cosine_pairs`) — the hamming-side twin of
+    :func:`lsh_quality_report`.  The rule of thumb links the dials:
+    a 64-bit simhash hamming distance ``h`` estimates an angle of
+    ``π·h/64``, so ``max_hamming=3`` targets pairs with cosine ≳
+    ``cos(3π/64) ≈ 0.989`` — pass the ``threshold`` you actually care
+    about and read precision/recall at that operating point.
+
+    Returns ONE row: (exact_pairs, simhash_pairs, true_positive,
+    precision, recall); NULL rates when a denominator is zero."""
+    exact = token_cosine_pairs(
+        df, text_col=text_col, id_col=id_col, threshold=threshold,
+        binary=True,  # simhash votes over DISTINCT tokens
+    ).select("id_a", "id_b")
+    approx = simhash_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_chunk_width=max_chunk_width,
+    ).select("id_a", "id_b")
+    e, a = _cut_lineage(exact), _cut_lineage(approx)
+    tp = e.join(a, on=["id_a", "id_b"]).count()
+    n_e, n_a = e.count(), a.count()
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                n_e,
+                n_a,
+                tp,
+                round(tp / n_a, 6) if n_a else None,
+                round(tp / n_e, 6) if n_e else None,
+            )
+        ],
+        "exact_pairs long, simhash_pairs long, true_positive long, "
+        "precision double, recall double",
+    )

@@ -3230,3 +3230,54 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr, 4).alias("corr_chars_tokens"),
         F.round(covar, 4).alias("covar_noise"),
     )
+
+
+@_register(
+    "q_token_cosine_pairs",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk
+          WHERE tok <> '' GROUP BY doc_id, tok),
+    n AS (SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+          FROM c GROUP BY doc_id),
+    d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.c * b.c) AS dot
+          FROM c a JOIN c b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM d JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+    WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.95
+    """,
+    "EXACT cosine join over sparse term-frequency vectors: dot "
+    "products from a token-keyed self-join of the (doc, token, count) "
+    "matrix — only docs sharing a token pair, integer math to the "
+    "final division (the bag-of-words twin of the prefix Jaccard join)",
+    "dedup: exact term-vector cosine join",
+)
+def q_token_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import token_cosine_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return token_cosine_pairs(d, threshold=0.95)
+
+
+@_register(
+    "q_simhash_quality",
+    None,  # simhash side is Spark-hash-specific; the exact side is
+    # oracle-checked via q_token_cosine_pairs
+    "SimHash calibration report: precision/recall of the 64-bit "
+    "hamming gate measured against the EXACT binary term-vector "
+    "cosine join at the targeted operating point (hamming h estimates "
+    "angle pi*h/64) — the hamming-side twin of q_lsh_quality",
+    "dedup: SimHash quality calibration",
+)
+def q_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        simhash_quality_report,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_quality_report(d, max_hamming=6, threshold=0.97)

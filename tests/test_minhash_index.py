@@ -188,3 +188,69 @@ def test_prefix_jaccard_shingle_mode_vs_brute_force(spark):
     }
     exp = _brute_shingle_jaccard(docs.collect(), 0.4)
     assert got == exp and len(exp) > 0
+
+
+# ------------------------------------------- exact term-vector cosine
+
+def _brute_token_cosine(rows, tau, binary):
+    import math
+    from collections import Counter
+
+    vecs = {}
+    for r in rows:
+        cnt = Counter(r["text"].lower().strip().split())
+        if binary:
+            cnt = Counter(set(cnt))
+        vecs[r["doc_id"]] = cnt
+    out = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        va = vecs[a]
+        na = math.sqrt(sum(c * c for c in va.values()))
+        for b in ids[i + 1:]:
+            vb = vecs[b]
+            dot = sum(va[t] * vb[t] for t in va if t in vb)
+            if not dot:
+                continue
+            nb = math.sqrt(sum(c * c for c in vb.values()))
+            cos = dot / (na * nb)
+            if cos >= tau:
+                out.add((a, b, round(cos, 6)))
+    return out
+
+
+def test_token_cosine_exact_both_modes(spark):
+    from sample_dms_s3_kinesis_spark.operators.dedup import token_cosine_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = docs.collect()
+    for binary in (False, True):
+        got = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in token_cosine_pairs(
+                docs, threshold=0.9, binary=binary
+            ).collect()
+        }
+        exp = _brute_token_cosine(rows, 0.9, binary)
+        assert got == exp, f"binary={binary}: {len(got)} vs {len(exp)}"
+        assert len(exp) > 0
+
+
+def test_simhash_quality_report_bounds(spark):
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_quality_report,
+        token_cosine_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    row = simhash_quality_report(docs, max_hamming=8, threshold=0.95).collect()[0]
+    assert row["exact_pairs"] == token_cosine_pairs(
+        docs, threshold=0.95, binary=True
+    ).count()
+    assert row["simhash_pairs"] == simhash_pairs(docs, max_hamming=8).count()
+    assert 0 <= row["true_positive"] <= min(row["exact_pairs"], row["simhash_pairs"])
+    if row["simhash_pairs"]:
+        assert 0.0 <= row["precision"] <= 1.0
+    if row["exact_pairs"]:
+        assert 0.0 <= row["recall"] <= 1.0
