@@ -238,6 +238,9 @@ def test_latest_round5_queries_stay_jvm_side(spark):
         "q_prefix_jaccard_pairs",
         "q_profile_drift",
         "q_minhash_index_gate",
+        "q_dedup_report",
+        "q_corr_stats",
+        "q_token_cosine_pairs",
     ):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
