@@ -259,3 +259,35 @@ def test_embedding_gate_requires_dim(spark, tmp_path):
             spark, str(tmp_path / "d"), str(tmp_path / "c"),
             embedding_gate=True,
         )
+
+
+def test_all_gates_armed_together(spark, tmp_path):
+    """Exact, minhash and semantic gates in one task: each drops its
+    own class of duplicate from a single crawl."""
+    drop = str(tmp_path / "drop")
+    base = " ".join(f"w{i}" for i in range(60))
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        near_dup=True, num_hashes=64, bands=32, threshold=0.5,
+        embedding_gate=True, embedding_threshold=0.99,
+        embedding_planes=0, embedding_dim=3,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop_vec(drop, "crawl1.json", [(1, base, [1.0, 0.0, 0.0])])
+    task.process_available()
+
+    for f in os.listdir(drop):
+        os.remove(os.path.join(drop, f))
+    _drop_vec(drop, "crawl2.json", [
+        (20, base, [0.5, 0.5, 0.0]),                 # exact text dup of 1
+        (21, base + " extra", [0.0, 1.0, 0.0]),      # minhash near-dup of 1
+        (22, "totally different words here", [0.999, 0.01, 0.0]),  # semantic dup
+        (23, "novel in every axis", [0.0, 0.0, 1.0]),
+    ])
+    task.process_available()
+    assert {r["doc_id"] for r in task.corpus().collect()} == {1, 23}
+    stats = task.ingest_stats()
+    assert stats["dropped_exact"] == 1
+    assert stats["dropped_near"] == 1
+    assert stats["dropped_sem"] == 1
+    assert stats["admitted"] == 2
