@@ -76,6 +76,7 @@ class CorpusIngestTask(ReplicationTask):
         num_hashes: int = 64,
         bands: int = 16,
         threshold: float = 0.9,
+        max_band_width: int | None = 10_000,
         embedding_gate: bool = False,
         embedding_threshold: float = 0.99,
         embedding_planes: int = 4,
@@ -90,6 +91,7 @@ class CorpusIngestTask(ReplicationTask):
         self.num_hashes = num_hashes
         self.bands = bands
         self.threshold = threshold
+        self.max_band_width = max_band_width
         if embedding_gate and not embedding_dim:
             raise ValueError("embedding_gate=True requires embedding_dim")
         self.embedding_gate = embedding_gate
@@ -369,7 +371,10 @@ class CorpusIngestTask(ReplicationTask):
                     num_hashes=self.num_hashes,
                     bands=self.bands,
                     threshold=self.threshold,
-                    max_band_width=10_000,
+                    # None considers every candidate (a capped run can
+                    # admit a doc whose only agreeing band bucket was
+                    # dropped) — same dial as near_dedup_against
+                    max_band_width=self.max_band_width,
                 )
                 .select(F.col("new_id").alias("doc_id"))
                 .distinct()
