@@ -3281,3 +3281,36 @@ def q_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return simhash_quality_report(d, max_hamming=6, threshold=0.97)
+
+
+@_register(
+    "q_ann_recall",
+    None,  # approximate-method report; brute-force side is the
+    # oracle-checked q_ann_cosine_topk shape
+    "ANN calibration: recall@10 of the IVF probe and the multi-probe "
+    "hyperplane LSH against the exact brute-force top-10 for a query "
+    "vector — the third calibration report (lexical LSH, hamming "
+    "SimHash, now vector ANN), one row per method",
+    "similarity: ANN recall calibration",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    exact = {
+        r["vec_id"]
+        for r in _sim.brute_force_topk(emb, qv, k=10).collect()
+    }
+    rows = []
+    for method, df in (
+        ("ivf", _sim.ivf_topk(emb, qv, k=10, cells=8, nprobe=4)),
+        ("lsh", _sim.lsh_topk(emb, qv, k=10, planes=8)),
+    ):
+        got = {r["vec_id"] for r in df.collect()}
+        rows.append((method, len(got & exact), len(exact),
+                     round(len(got & exact) / len(exact), 6)))
+    return spark.createDataFrame(
+        rows, "method string, hits int, k int, recall double"
+    )

@@ -121,3 +121,17 @@ def test_profile_drift_detects_shifts(spark):
     assert v["min_changed"] is True and v["max_changed"] is True  # 10->7, 30->99
     i = got["id"]
     assert i["min_changed"] is False and i["max_changed"] is True
+
+
+def test_ann_recall_report_shape(spark):
+    from sample_dms_s3_kinesis_spark.plans.registry import REGISTRY
+
+    rows = {
+        r["method"]: r
+        for r in REGISTRY["q_ann_recall"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {"ivf", "lsh"}
+    for r in rows.values():
+        assert 0 <= r["hits"] <= r["k"] == 10
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["recall"] == round(r["hits"] / r["k"], 6)
