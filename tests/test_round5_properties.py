@@ -96,3 +96,75 @@ def test_weighted_sample_selection_laws(spark, rows, k, seed):
         reverse=True,
     )
     assert set(got) == {t[2] for t in keyed[:k]}
+
+
+corpus = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.text(alphabet="ab ", min_size=0, max_size=24),
+    ),
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@_slow
+@given(rows=corpus, tau=st.sampled_from([0.34, 0.5, 0.75, 1.0]))
+def test_prefix_jaccard_equals_brute_force_on_random_corpora(spark, rows, tau):
+    from sample_dms_s3_kinesis_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = spark.createDataFrame(
+        rows or [(None, None)], "doc_id long, text string"
+    ).filter("doc_id is not null")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_pairs(df, threshold=tau).collect()
+    }
+    sets = {
+        i: set(t.lower().split())
+        for i, t in rows
+        if set(t.lower().split()) - {""}
+    }
+    sets = {i: s - {""} for i, s in sets.items() if s - {""}}
+    exp = set()
+    ids = sorted(sets)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter and inter / union >= tau:
+                exp.add((a, b))
+    assert got == exp
+
+
+@_slow
+@given(rows=corpus, tau=st.sampled_from([0.4, 0.8, 1.0]))
+def test_token_cosine_equals_brute_force_on_random_corpora(spark, rows, tau):
+    import math
+    from collections import Counter
+
+    from sample_dms_s3_kinesis_spark.operators.dedup import token_cosine_pairs
+
+    df = spark.createDataFrame(
+        rows or [(None, None)], "doc_id long, text string"
+    ).filter("doc_id is not null")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in token_cosine_pairs(df, threshold=tau).collect()
+    }
+    vecs = {}
+    for i, t in rows:
+        c = Counter(w for w in t.lower().strip().split() if w)
+        if c:
+            vecs[i] = c
+    exp = set()
+    ids = sorted(vecs)
+    for x, a in enumerate(ids):
+        va = vecs[a]
+        na = math.sqrt(sum(v * v for v in va.values()))
+        for b in ids[x + 1:]:
+            vb = vecs[b]
+            dot = sum(va[t] * vb[t] for t in va if t in vb)
+            if dot and dot / (na * math.sqrt(sum(v * v for v in vb.values()))) >= tau:
+                exp.add((a, b))
+    assert got == exp
