@@ -171,3 +171,66 @@ def write_zorder_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def skipping_report(
+    path: str,
+    column: str,
+    *,
+    lo=None,
+    hi=None,
+) -> dict:
+    """Data-skipping effectiveness of the CURRENT layout for a range
+    predicate ``lo <= column <= hi``: walk every parquet footer under
+    ``path`` (metadata only — no row data is read, the same I/O a
+    query planner's pruning pass does) and report how many row groups
+    a min/max check would skip.
+
+    The number that justifies :func:`write_range_clustered` /
+    :func:`write_zorder_clustered`: on unclustered data every row
+    group straddles the predicate and ``skippable`` is ~0; after
+    clustering on ``column`` it approaches ``1 - selectivity``.
+    ``lo``/``hi`` of None mean unbounded on that side.
+
+    Returns ``{"files", "row_groups", "skippable", "skip_fraction",
+    "rows_total", "rows_skippable"}``.
+    """
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(dirpath, f)
+        for dirpath, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_groups = n_skip = rows_total = rows_skip = 0
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError as exc:
+            raise ValueError(
+                f"column {column!r} not in {fp}: {md.schema.names}"
+            ) from exc
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            n_groups += 1
+            rows_total += g.num_rows
+            st = g.column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue  # no stats → never skippable
+            # row group is skippable iff its [min, max] is DISJOINT
+            # from [lo, hi]
+            if (hi is not None and st.min > hi) or (
+                lo is not None and st.max < lo
+            ):
+                n_skip += 1
+                rows_skip += g.num_rows
+    return {
+        "files": len(files),
+        "row_groups": n_groups,
+        "skippable": n_skip,
+        "skip_fraction": round(n_skip / n_groups, 6) if n_groups else None,
+        "rows_total": rows_total,
+        "rows_skippable": rows_skip,
+    }

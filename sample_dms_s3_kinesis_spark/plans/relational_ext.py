@@ -3314,3 +3314,45 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, hits int, k int, recall double"
     )
+
+
+_LAYOUT_CACHE: dict = {}
+
+
+@_register(
+    "q_skipping_report",
+    None,  # filesystem-layout report (footer metadata, no row data)
+    "data-skipping effectiveness report: fraction of parquet row "
+    "groups a min/max footer check prunes for a range predicate, on "
+    "an unclustered vs a range-clustered copy of documents — the "
+    "measurement that justifies clustered write layouts at 100 TB",
+    "layout: skipping effectiveness report",
+)
+def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.layout import (
+        skipping_report,
+        write_range_clustered,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    paths = _LAYOUT_CACHE.get(key)
+    if paths is None:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="layout-report-")
+        d = t(spark, sf_dir, "documents")
+        d.repartition(8).write.parquet(f"{base}/flat")
+        write_range_clustered(
+            d, f"{base}/clustered", cluster_cols=["n_chars"], num_files=8
+        )
+        paths = (f"{base}/flat", f"{base}/clustered")
+        _LAYOUT_CACHE[key] = paths
+    rows = []
+    for layout, p in zip(("unclustered", "range_clustered"), paths):
+        r = skipping_report(p, "n_chars", lo=0, hi=120)
+        rows.append(
+            (layout, r["row_groups"], r["skippable"], r["skip_fraction"])
+        )
+    return spark.createDataFrame(
+        rows, "layout string, row_groups int, skippable int, skip_fraction double"
+    )

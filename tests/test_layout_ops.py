@@ -134,3 +134,49 @@ def test_zorder_requires_two_columns(spark, tmp_path):
         layout.write_zorder_clustered(
             df, str(tmp_path / "z"), cluster_cols=["x"], num_files=2
         )
+
+
+def test_skipping_report_clustered_vs_unclustered(spark, tmp_path):
+    from sample_dms_s3_kinesis_spark.operators.layout import (
+        skipping_report,
+        write_range_clustered,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flat = str(tmp_path / "flat")
+    clustered = str(tmp_path / "clustered")
+    # unclustered: shuffle rows so every small row group straddles the
+    # predicate; force many row groups via tiny groups
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    (
+        docs.orderBy(F.md5(F.col("doc_id").cast("string")))
+        .repartition(8)
+        .write.option("parquet.block.size", 4096)
+        .parquet(flat)
+    )
+    write_range_clustered(
+        docs, clustered, cluster_cols=["n_chars"], num_files=8
+    )
+    lo, hi = 0, 120  # a selective range on n_chars
+    r_flat = skipping_report(flat, "n_chars", lo=lo, hi=hi)
+    r_clu = skipping_report(clustered, "n_chars", lo=lo, hi=hi)
+    assert r_flat["row_groups"] > 0 and r_clu["row_groups"] > 0
+    # clustering must strictly improve skipping for the range predicate
+    assert r_clu["skip_fraction"] > (r_flat["skip_fraction"] or 0.0)
+    # sanity: skipped rows can never exceed total
+    for r in (r_flat, r_clu):
+        assert 0 <= r["rows_skippable"] <= r["rows_total"]
+    # an unbounded predicate skips nothing
+    assert skipping_report(flat, "n_chars")["skippable"] == 0
+
+
+def test_skipping_report_unknown_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from sample_dms_s3_kinesis_spark.operators.layout import skipping_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "d")
+    docs.write.parquet(p)
+    with _pytest.raises(ValueError):
+        skipping_report(p, "nope")
