@@ -764,6 +764,23 @@ def simhash_pairs(
         .select("_id", _simhash_from_hashes(F.col("_th")).alias("_sh"))
     )
     sig = _cut_lineage(sig, checkpoint_dir)
+    return hamming_pairs(
+        sig, max_hamming=max_hamming, max_chunk_width=max_chunk_width
+    )
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_chunk_width: int | None = None,
+) -> DataFrame:
+    """Generic 64-bit fingerprint near-dup tail shared by SimHash and
+    any other hamming-space signature (e.g. an image perceptual hash):
+    chunk-band the ``(_id, _sh)`` frame, self-join per chunk, verify
+    exact hamming ≤ ``max_hamming``.  Exact and complete while
+    ``max_hamming ≤ n_chunks - 1`` (pigeonhole over the 4×16-bit
+    banding ⇒ ≤ 3) and the chunk cap is off."""
     chunks = _simhash_chunks(sig)
     if max_chunk_width is not None:
         chunks = _drop_hot_buckets(

@@ -360,3 +360,87 @@ def synthetic_assets(spark, n: int = 16) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# -------------------------------------------------- perceptual hashing
+
+def average_hash(img: np.ndarray) -> int:
+    """64-bit average hash (aHash): sample the image down to an 8×8
+    grayscale grid and set bit i when cell i is brighter than the grid
+    mean — the classic perceptual fingerprint: stable under resize,
+    re-encode and small noise, flipped bits grow with visual change."""
+    h, w = img.shape[:2]
+    luma = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    # mean-pool into an 8x8 grid (block averages, not point samples —
+    # point sampling flips many bits on high-frequency content)
+    yb = (np.arange(9) * (h / 8)).astype(np.int64).clip(0, h)
+    xb = (np.arange(9) * (w / 8)).astype(np.int64).clip(0, w)
+    gray = np.empty((8, 8))
+    for r in range(8):
+        for c in range(8):
+            blk = luma[yb[r]:max(yb[r + 1], yb[r] + 1),
+                       xb[c]:max(xb[c + 1], xb[c] + 1)]
+            gray[r, c] = blk.mean()
+    bits = (gray > gray.mean()).flatten()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # reinterpret as signed 64-bit (Spark LongType)
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def compute_image_phash(df: DataFrame, *, on_error: str = "null") -> DataFrame:
+    """(asset_id, phash) via mapInPandas over the binary content column
+    — decode (real P6 kernel) + aHash per Arrow batch.  Undecodable
+    rows get a NULL phash (`on_error='null'`) for the error channel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                ids.append(asset_id)
+                try:
+                    img = decode_image(
+                        bytes(content) if content is not None else b""
+                    )
+                    hashes.append(average_hash(img))
+                except Exception:
+                    if on_error != "null":
+                        raise
+                    hashes.append(None)
+            yield pd.DataFrame({"asset_id": ids, "phash": hashes})
+
+    return df.select("asset_id", "content").mapInPandas(
+        batches, schema="asset_id long, phash long"
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_chunk_width: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: the multimodal
+    column's dedup story.  The ONLY Python is the per-asset decode+
+    aHash (Arrow-batched, embarrassingly parallel); candidate
+    generation and verification reuse :func:`dedup.hamming_pairs` —
+    the same chunk-banded self-join SimHash text dedup runs, so the
+    pair join never goes quadratic in the corpus.  Undecodable assets
+    (NULL phash) never pair.  Output: (id_a < id_b, hamming)."""
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        _cut_lineage,
+        hamming_pairs,
+    )
+
+    sig = (
+        compute_image_phash(df)
+        .filter(F.col("phash").isNotNull())
+        .select(F.col("asset_id").alias("_id"), F.col("phash").alias("_sh"))
+    )
+    return hamming_pairs(
+        _cut_lineage(sig),
+        max_hamming=max_hamming,
+        max_chunk_width=max_chunk_width,
+    )

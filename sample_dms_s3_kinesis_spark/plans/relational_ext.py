@@ -3356,3 +3356,26 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "layout string, row_groups int, skippable int, skip_fraction double"
     )
+
+
+@_register(
+    "q_image_near_dup",
+    None,  # binary media + perceptual hash: pytest-proven vs a Python
+    # reference (decode+aHash brute force)
+    "multimodal dedup: image near-duplicate pairs by 64-bit perceptual "
+    "hash (Arrow-batched P6 decode + block-mean aHash), candidates and "
+    "verification via the SAME chunk-banded hamming join SimHash text "
+    "dedup uses — re-encoded copies of each image must pair at "
+    "distance 0, corrupt payloads never pair",
+    "multimodal: perceptual-hash near-dup",
+)
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=64).filter(
+        F.col("media_type") == "image"
+    )
+    copies = assets.withColumn("asset_id", F.col("asset_id") + 1000)
+    return multimodal.image_near_dup_pairs(
+        assets.unionByName(copies), max_hamming=3
+    )

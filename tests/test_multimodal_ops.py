@@ -98,3 +98,84 @@ def test_frame_sample_plan_fanout(spark):
     assert per_asset and all(r["n"] == 3 for r in per_asset)
     ts = {r["frame_ts_ms"] for r in frames.collect()}
     assert ts == {0, 1000, 2000}
+
+
+# -------------------------------------------------- perceptual hashing
+
+def test_average_hash_stable_under_resize_and_noise(spark):
+    import numpy as np
+
+    from sample_dms_s3_kinesis_spark.operators.multimodal import (
+        average_hash,
+        decode_image,
+        resize_image,
+        _ppm_bytes,
+    )
+
+    # structured (low-frequency) content: a two-axis gradient — the
+    # case perceptual hashing is FOR; pure-noise images (the synthetic
+    # PPMs) have no structure for any resolution-robust hash to keep.
+    yy, xx = np.mgrid[0:64, 0:96]
+    img = np.stack(
+        [
+            (xx * 255 / 95),
+            (yy * 255 / 63),
+            ((xx + yy) * 255 / 158),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    h0 = average_hash(img)
+    # resize: same perceptual content, identical or near-identical hash
+    h_small = average_hash(resize_image(img, (24, 24)))
+    assert bin((h0 ^ h_small) & (2**64 - 1)).count("1") <= 6
+    # mild noise: few bits flip
+    noisy = np.clip(
+        img.astype(np.int16) + ((np.indices(img.shape).sum(axis=0) % 3) - 1),
+        0, 255,
+    ).astype(np.uint8)
+    assert bin((h0 ^ average_hash(noisy)) & (2**64 - 1)).count("1") <= 6
+    # different random images are far apart
+    a = average_hash(decode_image(_ppm_bytes(7)))
+    b = average_hash(decode_image(_ppm_bytes(23)))
+    assert bin((a ^ b) & (2**64 - 1)).count("1") > 6
+
+
+def test_image_near_dup_pairs_matches_reference(spark):
+    from sample_dms_s3_kinesis_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        average_hash,
+        decode_image,
+        image_near_dup_pairs,
+        _ppm_bytes,
+    )
+
+    # ids 0/100 share payload 3 (exact dup), 1/101 share payload 9,
+    # 2 is unique, 3 is corrupt (undecodable → never pairs)
+    payloads = {0: _ppm_bytes(3), 100: _ppm_bytes(3), 1: _ppm_bytes(9),
+                101: _ppm_bytes(9), 2: _ppm_bytes(40), 3: b"JUNK"}
+    rows = [
+        (i, "image", bytearray(p), 48, 36, None, None)
+        for i, p in payloads.items()
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    # python reference
+    hashes = {}
+    for i, p in payloads.items():
+        try:
+            hashes[i] = average_hash(decode_image(bytes(p)))
+        except Exception:
+            pass
+    exp = set()
+    ids = sorted(hashes)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            d = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            if d <= 3:
+                exp.add((a, b, d))
+    assert got == exp
+    assert (0, 100, 0) in got and (1, 101, 0) in got
+    assert all(3 not in (a, b) for a, b, _ in got)
