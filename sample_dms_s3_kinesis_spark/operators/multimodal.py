@@ -444,3 +444,78 @@ def image_near_dup_pairs(
         max_hamming=max_hamming,
         max_chunk_width=max_chunk_width,
     )
+
+
+def audio_hash(samples: np.ndarray) -> int:
+    """64-bit audio energy fingerprint: split the signal into 64 equal
+    frames and set bit i when frame i's RMS energy exceeds the median
+    frame energy — amplitude-scale-invariant (gain shifts every RMS
+    and the median together) and stable under resampling (frame
+    boundaries are fractions of the DURATION, not sample counts)."""
+    n = len(samples)
+    if n == 0:
+        raise ValueError("empty audio signal")
+    bounds = (np.arange(65) * (n / 64)).astype(np.int64).clip(0, n)
+    energies = np.empty(64)
+    for i in range(64):
+        seg = samples[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
+        energies[i] = float(np.sqrt(np.mean(seg * seg)))
+    med = float(np.median(energies))
+    out = 0
+    for i, e in enumerate(energies):
+        if e > med:
+            out |= 1 << i
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def compute_audio_phash(df: DataFrame, *, on_error: str = "null") -> DataFrame:
+    """(asset_id, phash) for audio assets — decode (real PCM16 WAV
+    kernel) + energy fingerprint per Arrow batch; undecodable rows get
+    a NULL phash for the error channel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                ids.append(asset_id)
+                try:
+                    _, samples = decode_wav(
+                        bytes(content) if content is not None else b""
+                    )
+                    hashes.append(audio_hash(samples))
+                except Exception:
+                    if on_error != "null":
+                        raise
+                    hashes.append(None)
+            yield pd.DataFrame({"asset_id": ids, "phash": hashes})
+
+    return df.select("asset_id", "content").mapInPandas(
+        batches, schema="asset_id long, phash long"
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_chunk_width: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs by energy fingerprint — the second
+    modality over the SAME chunk-banded hamming join
+    (:func:`dedup.hamming_pairs`); re-encoded/regained copies pair at
+    small distance, undecodable payloads never pair."""
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        _cut_lineage,
+        hamming_pairs,
+    )
+
+    sig = (
+        compute_audio_phash(df)
+        .filter(F.col("phash").isNotNull())
+        .select(F.col("asset_id").alias("_id"), F.col("phash").alias("_sh"))
+    )
+    return hamming_pairs(
+        _cut_lineage(sig),
+        max_hamming=max_hamming,
+        max_chunk_width=max_chunk_width,
+    )

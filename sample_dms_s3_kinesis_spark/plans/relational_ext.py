@@ -3379,3 +3379,25 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_near_dup_pairs(
         assets.unionByName(copies), max_hamming=3
     )
+
+
+@_register(
+    "q_audio_near_dup",
+    None,  # binary media + energy fingerprint: pytest-proven vs a
+    # Python reference (decode+hash brute force)
+    "multimodal dedup, audio side: near-duplicate pairs by 64-bit "
+    "energy fingerprint (Arrow-batched PCM16 WAV decode, "
+    "gain-invariant frame-RMS-vs-median bits) over the same "
+    "chunk-banded hamming join as SimHash and the image phash",
+    "multimodal: audio fingerprint near-dup",
+)
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=64).filter(
+        F.col("media_type") == "audio"
+    )
+    copies = assets.withColumn("asset_id", F.col("asset_id") + 1000)
+    return multimodal.audio_near_dup_pairs(
+        assets.unionByName(copies), max_hamming=3
+    )

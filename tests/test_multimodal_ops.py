@@ -179,3 +179,61 @@ def test_image_near_dup_pairs_matches_reference(spark):
     assert got == exp
     assert (0, 100, 0) in got and (1, 101, 0) in got
     assert all(3 not in (a, b) for a, b, _ in got)
+
+
+def test_audio_hash_gain_invariant_and_discriminative(spark):
+    import numpy as np
+
+    from sample_dms_s3_kinesis_spark.operators.multimodal import (
+        audio_hash,
+        decode_wav,
+        resample_linear,
+        _wav_bytes,
+    )
+
+    _, s = decode_wav(_wav_bytes(4))
+    h0 = audio_hash(s)
+    # gain change: identical fingerprint (RMS and median scale together)
+    assert audio_hash(s * 0.25) == h0
+    # resample: small drift only
+    rs = resample_linear(s, 8000, 16000)
+    assert bin((h0 ^ audio_hash(rs)) & (2**64 - 1)).count("1") <= 6
+    # different clip: far away
+    _, s2 = decode_wav(_wav_bytes(13))
+    assert bin((h0 ^ audio_hash(s2)) & (2**64 - 1)).count("1") > 6
+
+
+def test_audio_near_dup_pairs_matches_reference(spark):
+    from sample_dms_s3_kinesis_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        audio_hash,
+        audio_near_dup_pairs,
+        decode_wav,
+        _wav_bytes,
+    )
+
+    payloads = {0: _wav_bytes(4), 100: _wav_bytes(4), 1: _wav_bytes(13),
+                2: _wav_bytes(27), 3: b"JUNK"}
+    rows = [
+        (i, "audio", bytearray(p), None, None, 8000, None)
+        for i, p in payloads.items()
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in audio_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    hashes = {}
+    for i, p in payloads.items():
+        try:
+            hashes[i] = audio_hash(decode_wav(bytes(p))[1])
+        except Exception:
+            pass
+    exp = set()
+    ids = sorted(hashes)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            d = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            if d <= 3:
+                exp.add((a, b, d))
+    assert got == exp and (0, 100, 0) in got
