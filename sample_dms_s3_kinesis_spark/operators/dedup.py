@@ -863,6 +863,24 @@ def simhash_pairs_against(
 
     sig_new = _cut_lineage(_sigs(new), checkpoint_dir)
     sig_old = _cut_lineage(_sigs(existing), checkpoint_dir)
+    return _cross_hamming_pairs(
+        sig_new,
+        sig_old,
+        max_hamming=max_hamming,
+        max_chunk_width=max_chunk_width,
+    )
+
+
+def _cross_hamming_pairs(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    *,
+    max_hamming: int,
+    max_chunk_width: int | None,
+) -> DataFrame:
+    """Shared new × existing tail for 64-bit hamming gates: chunk-band
+    both ``(_id, _sh)`` frames, join on (chunk, value) with the width
+    cap on the EXISTING side, verify exact hamming."""
     cn, co = _simhash_chunks(sig_new), _simhash_chunks(sig_old)
     if max_chunk_width is not None:
         co = _drop_hot_buckets(co, max_chunk_width, keys=("_chunk", "_cv"))
@@ -1752,3 +1770,118 @@ def simhash_quality_report(
         "exact_pairs long, simhash_pairs long, true_positive long, "
         "precision double, recall double",
     )
+
+
+# ------------------------------------------------ persisted simhash index
+
+class SimhashIndex:
+    """Persisted SimHash fingerprints — the hamming-side twin of
+    :class:`MinhashIndex`, at 8 BYTES per document (one packed long vs
+    k longs for minhash): the cheapest durable near-dup index this
+    engine offers, the right one when the corpus is fingerprinted by
+    simhash anyway.  Same banding tail as the recompute operator
+    (`_cross_hamming_pairs`), so gate decisions are identical by
+    construction."""
+
+    def __init__(
+        self,
+        signatures: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.signatures = signatures  # (_id, _sh)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _sigs(self, corpus: DataFrame) -> DataFrame:
+        return (
+            spread(corpus)
+            .select(
+                F.col(self.id_col).alias("_id"),
+                _token_hashes(F.col(self.text_col)).alias("_th"),
+            )
+            .select("_id", _simhash_from_hashes(F.col("_th")).alias("_sh"))
+        )
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        checkpoint_dir: str | None = None,
+    ) -> "SimhashIndex":
+        idx = cls(None, id_col=id_col, text_col=text_col)  # type: ignore[arg-type]
+        idx.signatures = _cut_lineage(idx._sigs(corpus), checkpoint_dir)
+        return idx
+
+    def pairs_against(
+        self,
+        new: DataFrame,
+        *,
+        max_hamming: int = 3,
+        max_chunk_width: int | None = None,
+        checkpoint_dir: str | None = None,
+    ) -> DataFrame:
+        sig_new = _cut_lineage(self._sigs(new), checkpoint_dir)
+        return _cross_hamming_pairs(
+            sig_new,
+            self.signatures,
+            max_hamming=max_hamming,
+            max_chunk_width=max_chunk_width,
+        )
+
+    def admit(
+        self,
+        new: DataFrame,
+        *,
+        max_hamming: int = 3,
+        max_chunk_width: int | None = None,
+        checkpoint_dir: str | None = None,
+    ) -> DataFrame:
+        matched = (
+            self.pairs_against(
+                new,
+                max_hamming=max_hamming,
+                max_chunk_width=max_chunk_width,
+                checkpoint_dir=checkpoint_dir,
+            )
+            .select(F.col("new_id").alias(self.id_col))
+            .distinct()
+        )
+        return new.join(matched, on=self.id_col, how="left_anti")
+
+    def add(
+        self,
+        admitted: DataFrame,
+        *,
+        checkpoint_dir: str | None = None,
+    ) -> "SimhashIndex":
+        fresh = self._sigs(admitted).join(
+            self.signatures.select("_id"), on="_id", how="left_anti"
+        )
+        return SimhashIndex(
+            _cut_lineage(self.signatures.unionByName(fresh), checkpoint_dir),
+            id_col=self.id_col,
+            text_col=self.text_col,
+        )
+
+    def save(self, path: str) -> None:
+        path = path.rstrip("/")
+        self.signatures.write.mode("overwrite").parquet(f"{path}/signatures")
+        meta = self.signatures.sparkSession.createDataFrame(
+            [(self.id_col, self.text_col)], "id_col string, text_col string"
+        )
+        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SimhashIndex":
+        path = path.rstrip("/")
+        meta = spark.read.json(f"{path}/meta").collect()[0]
+        return cls(
+            spark.read.parquet(f"{path}/signatures"),
+            id_col=meta["id_col"],
+            text_col=meta["text_col"],
+        )

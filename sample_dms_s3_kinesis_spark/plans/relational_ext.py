@@ -3401,3 +3401,32 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_near_dup_pairs(
         assets.unionByName(copies), max_hamming=3
     )
+
+
+_SH_INDEX_CACHE: dict = {}
+
+
+@_register(
+    "q_simhash_index_gate",
+    None,  # xxhash64 fingerprint family — pytest pins exact equality
+    # with the recompute operator and the save/load roundtrip
+    "persisted hamming admission gate: near-dup matches of the odd-id "
+    "half of the corpus against a SAVED SimhashIndex of the even-id "
+    "half — 8 bytes per indexed document, the cheapest durable "
+    "near-dup index (the minhash twin is q_minhash_index_gate)",
+    "dedup: persisted simhash index gate",
+)
+def q_simhash_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import SimhashIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _SH_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sh-index-")
+        existing = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+        SimhashIndex.build(existing).save(path)
+        _SH_INDEX_CACHE[key] = path
+    new = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return SimhashIndex.load(spark, path).pairs_against(new, max_hamming=3)

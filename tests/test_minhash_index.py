@@ -254,3 +254,36 @@ def test_simhash_quality_report_bounds(spark):
         assert 0.0 <= row["precision"] <= 1.0
     if row["exact_pairs"]:
         assert 0.0 <= row["recall"] <= 1.0
+
+
+# ------------------------------------------------ persisted simhash index
+
+def test_simhash_index_matches_recompute_and_roundtrips(spark, tmp_path):
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        SimhashIndex,
+        simhash_pairs_against,
+    )
+
+    existing, new = _halves(spark)
+    idx = SimhashIndex.build(existing)
+    got = {
+        (r["new_id"], r["existing_id"], r["hamming"])
+        for r in idx.pairs_against(new, max_hamming=8).collect()
+    }
+    exp = {
+        (r["new_id"], r["existing_id"], r["hamming"])
+        for r in simhash_pairs_against(new, existing, max_hamming=8).collect()
+    }
+    assert got == exp and len(got) > 0
+    path = str(tmp_path / "sh-index")
+    idx.save(path)
+    loaded = SimhashIndex.load(spark, path)
+    assert {
+        (r["new_id"], r["existing_id"])
+        for r in loaded.pairs_against(new, max_hamming=8).collect()
+    } == {(a, b) for a, b, _ in exp}
+    # admit/add: replay-idempotent growth
+    admitted = loaded.admit(new, max_hamming=8)
+    grown = loaded.add(admitted)
+    assert grown.signatures.count() == existing.count() + admitted.count()
+    assert grown.add(admitted).signatures.count() == grown.signatures.count()
