@@ -1885,3 +1885,108 @@ class SimhashIndex:
             id_col=meta["id_col"],
             text_col=meta["text_col"],
         )
+
+
+def prefix_jaccard_pairs_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle: int = 1,
+) -> DataFrame:
+    """EXACT incremental similarity gate: every (new, existing) pair
+    with token-set Jaccard ≥ τ — the admission gate with NO recall
+    loss, for the batches where a missed near-dup is unacceptable
+    (the approximate twins are :func:`minhash_lsh_pairs_against` /
+    :func:`simhash_pairs_against`; the self-join form is
+    :func:`prefix_jaccard_pairs`).
+
+    Prefix lemma requirement: BOTH sides must sort their tokens by
+    the SAME global order — document frequencies are computed over
+    the UNION of the two corpora (at 100 TB, persist the existing
+    side's frequency table and merge the batch's counts into the
+    ordering instead of recounting).  Candidates join new-prefix ×
+    existing-prefix on the token; verification intersects the two
+    full token arrays.  Output: (new_id, existing_id, jaccard ≥ τ).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def _tok(df: DataFrame) -> DataFrame:
+        elems = (
+            F.array_distinct(tokens(F.lower(F.col(text_col))))
+            if shingle <= 1
+            else token_ngrams(F.col(text_col), shingle)
+        )
+        return (
+            spread(df)
+            .select(F.col(id_col).alias("_id"), F.explode(elems).alias("_tok"))
+            .filter(F.col("_tok") != "")
+        )
+
+    tn, te = _tok(new), _tok(existing)
+    freq = (
+        tn.unionByName(te).groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    )
+
+    def _prefix(tok: DataFrame):
+        per_doc = tok.join(freq, on="_tok").groupBy("_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_arr"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        p = F.col("_n") - F.ceil(
+            F.col("_n") * F.lit(threshold) - F.lit(1e-9)
+        ).cast("int") + F.lit(1)
+        prefix = per_doc.select(
+            "_id",
+            "_n",
+            F.explode(
+                F.transform(F.slice("_arr", 1, p), lambda s: s["_tok"])
+            ).alias("_tok"),
+        )
+        arrs = per_doc.select(
+            "_id", F.transform("_arr", lambda s: s["_tok"]).alias("_toks")
+        )
+        return prefix, arrs
+
+    pn, an = _prefix(tn)
+    pe, ae = _prefix(te)
+    cand = (
+        pn.alias("x")
+        .join(pe.alias("y"), on=[F.col("x._tok") == F.col("y._tok")])
+        .select(
+            F.col("x._id").alias("new_id"),
+            F.col("x._n").alias("_na"),
+            F.col("y._id").alias("existing_id"),
+            F.col("y._n").alias("_nb"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            an.select(F.col("_id").alias("new_id"), F.col("_toks").alias("_ta")),
+            on="new_id",
+        )
+        .join(
+            ae.select(
+                F.col("_id").alias("existing_id"), F.col("_toks").alias("_tb")
+            ),
+            on="existing_id",
+        )
+        .withColumn(
+            "_inter", F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+        )
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    ).cast("double")
+    return (
+        verified.select(
+            "new_id", "existing_id", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(jac >= F.lit(threshold))
+    )

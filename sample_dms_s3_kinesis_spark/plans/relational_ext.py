@@ -3430,3 +3430,42 @@ def q_simhash_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SH_INDEX_CACHE[key] = path
     new = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
     return SimhashIndex.load(spark, path).pairs_against(new, max_hamming=3)
+
+
+@_register(
+    "q_prefix_jaccard_against",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+               x -> x <> '') AS tk
+      FROM documents),
+    p AS (
+      SELECT n.doc_id AS new_id, e.doc_id AS existing_id,
+             len(list_intersect(n.tk, e.tk)) AS inter,
+             len(n.tk) AS na, len(e.tk) AS nb
+      FROM s n JOIN s e
+        ON n.doc_id % 2 = 1 AND e.doc_id % 2 = 0)
+    SELECT new_id, existing_id,
+           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.95
+    """,
+    "EXACT incremental admission gate: every (new, existing) pair with "
+    "token-set Jaccard >= tau via cross-corpus prefix filtering — the "
+    "no-recall-loss twin of the minhash/simhash *_against gates "
+    "(oracle = brute-force cross join)",
+    "dedup: exact incremental Jaccard gate",
+)
+def q_prefix_jaccard_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        prefix_jaccard_pairs_against,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs_against(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.95,
+    )

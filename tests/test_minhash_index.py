@@ -287,3 +287,40 @@ def test_simhash_index_matches_recompute_and_roundtrips(spark, tmp_path):
     grown = loaded.add(admitted)
     assert grown.signatures.count() == existing.count() + admitted.count()
     assert grown.add(admitted).signatures.count() == grown.signatures.count()
+
+
+def test_prefix_jaccard_against_equals_cross_brute_force(spark):
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        prefix_jaccard_pairs_against,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    for tau in (0.9, 0.7):
+        got = {
+            (r["new_id"], r["existing_id"], r["jaccard"])
+            for r in prefix_jaccard_pairs_against(
+                new, existing, threshold=tau
+            ).collect()
+        }
+        sets = {
+            r["doc_id"]: set(r["text"].lower().split()) for r in docs.collect()
+        }
+        exp = set()
+        for a in sets:
+            if a % 2 == 0:
+                continue
+            for b in sets:
+                if b % 2 == 1:
+                    continue
+                inter = len(sets[a] & sets[b])
+                if not inter:
+                    continue
+                jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if jac >= tau:
+                    exp.add((a, b, round(jac, 6)))
+        assert got == exp, f"tau={tau}: {len(got)} vs {len(exp)}"
+        assert len(exp) > 0
