@@ -1990,3 +1990,85 @@ def prefix_jaccard_pairs_against(
         )
         .filter(jac >= F.lit(threshold))
     )
+
+
+def token_cosine_pairs_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_token_df: int | None = None,
+    binary: bool = False,
+) -> DataFrame:
+    """EXACT incremental term-vector cosine gate: every (new, existing)
+    pair with cosine ≥ τ — the bag-of-words twin of
+    :func:`prefix_jaccard_pairs_against`, and the exact ground truth
+    for an incremental simhash gate.  Dot products come from a
+    token-keyed join of the two sparse count matrices (only pairs
+    sharing a token materialize; the corpus never self-joins);
+    ``max_token_df`` caps stop-token classes on the EXISTING side's
+    frequency (measured over both sides — the hazard grows with
+    corpus size), trading exactness exactly as documented on
+    :func:`token_cosine_pairs`.  Output: (new_id, existing_id,
+    cosine ≥ τ)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def _counts(df: DataFrame) -> DataFrame:
+        return (
+            spread(df)
+            .select(
+                F.col(id_col).alias("_id"),
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+            )
+            .filter(F.col("_tok") != "")
+            .groupBy("_id", "_tok")
+            .agg(
+                (
+                    F.lit(1).cast("long") if binary else F.count(F.lit(1))
+                ).alias("_c")
+            )
+        )
+
+    cn, ce = _counts(new), _counts(existing)
+    if max_token_df is not None:
+        hot = (
+            cn.unionByName(ce)
+            .groupBy("_tok")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .filter(F.col("_w") > max_token_df)
+            .select("_tok")
+        )
+        cn = cn.join(F.broadcast(hot), "_tok", "left_anti")
+        ce = ce.join(F.broadcast(hot), "_tok", "left_anti")
+
+    def _norms(c: DataFrame) -> DataFrame:
+        return c.groupBy("_id").agg(
+            F.sqrt(F.sum(F.col("_c") * F.col("_c")).cast("double")).alias("_n")
+        )
+
+    dots = (
+        cn.alias("a")
+        .join(ce.alias("b"), on=[F.col("a._tok") == F.col("b._tok")])
+        .groupBy(
+            F.col("a._id").alias("new_id"), F.col("b._id").alias("existing_id")
+        )
+        .agg(F.sum(F.col("a._c") * F.col("b._c")).alias("_dot"))
+    )
+    cos = F.col("_dot").cast("double") / (F.col("_na") * F.col("_nb"))
+    return (
+        dots.join(
+            _norms(cn).select(F.col("_id").alias("new_id"), F.col("_n").alias("_na")),
+            "new_id",
+        )
+        .join(
+            _norms(ce).select(
+                F.col("_id").alias("existing_id"), F.col("_n").alias("_nb")
+            ),
+            "existing_id",
+        )
+        .select("new_id", "existing_id", F.round(cos, 6).alias("cosine"))
+        .filter(cos >= F.lit(threshold))
+    )

@@ -1229,6 +1229,7 @@ DRIVER_WINDOW: list[str] = [
     "q_audio_near_dup",      # rows-only: binary media + energy fingerprint
     "q_simhash_index_gate",  # rows-only: xxhash64 fingerprint family
     "q_prefix_jaccard_against",
+    "q_token_cosine_against",
     # --- r2-stale (3 rounds): the oldest driver signal ---
     "q_top_orders",
     "q_rollup_orders",
@@ -1248,10 +1249,9 @@ DRIVER_WINDOW: list[str] = [
     "q_text_tfidf_topk",
     # --- r3-stale back-fill: north-star families + touched shapes ---
     "q_simhash_pairs",           # rows-only; chunk helper refactored in r5
-    "q_text_repetition",
     "q_hash_split",
 ]
-# Swapped out for the twenty-eight queries registered this round
+# Swapped out for the twenty-nine queries registered this round
 # (never-checked beats 2-rounds-old): q_distinct_count, q_in_subquery,
 # q_cross_join_region_status, q_intersect_customers,
 # q_except_customers, q_window_first_last, q_window_agg_events,
@@ -1261,7 +1261,8 @@ DRIVER_WINDOW: list[str] = [
 # q_embedding_normalize, q_top_fraction_quality, q_dedup_incremental,
 # q_text_tokens, q_stratified_sample, q_token_budget_sample,
 # q_text_langid, q_window_lag_lead, q_window_rank_family,
-# q_session_window_events, q_unigram_lm_score, q_pack_sequences — all
+# q_session_window_events, q_unigram_lm_score, q_pack_sequences,
+# q_text_repetition — all
 # r3-green stable shapes whose operator families keep other in-window
 # representatives; they rotate back in r6.
 

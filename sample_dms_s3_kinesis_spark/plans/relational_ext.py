@@ -3469,3 +3469,44 @@ def q_prefix_jaccard_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 0),
         threshold=0.95,
     )
+
+
+@_register(
+    "q_token_cosine_against",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk
+          WHERE tok <> '' GROUP BY doc_id, tok),
+    n AS (SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+          FROM c GROUP BY doc_id),
+    d AS (SELECT a.doc_id AS new_id, b.doc_id AS existing_id,
+                 SUM(a.c * b.c) AS dot
+          FROM c a JOIN c b
+            ON a.tok = b.tok AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          GROUP BY 1, 2)
+    SELECT new_id, existing_id,
+           ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM d JOIN n na ON na.doc_id = new_id
+           JOIN n nb ON nb.doc_id = existing_id
+    WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.95
+    """,
+    "EXACT incremental cosine gate: (new, existing) pairs with "
+    "term-frequency cosine >= tau from a token-keyed join of the two "
+    "sparse count matrices — the bag-of-words twin of "
+    "q_prefix_jaccard_against, integer math to the final division",
+    "dedup: exact incremental cosine gate",
+)
+def q_token_cosine_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        token_cosine_pairs_against,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return token_cosine_pairs_against(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.95,
+    )

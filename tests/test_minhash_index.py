@@ -324,3 +324,43 @@ def test_prefix_jaccard_against_equals_cross_brute_force(spark):
                     exp.add((a, b, round(jac, 6)))
         assert got == exp, f"tau={tau}: {len(got)} vs {len(exp)}"
         assert len(exp) > 0
+
+
+def test_token_cosine_against_equals_cross_brute_force(spark):
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        token_cosine_pairs_against,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (r["new_id"], r["existing_id"], r["cosine"])
+        for r in token_cosine_pairs_against(
+            new, existing, threshold=0.9
+        ).collect()
+    }
+    vecs = {
+        r["doc_id"]: Counter(w for w in r["text"].lower().strip().split() if w)
+        for r in docs.collect()
+    }
+    exp = set()
+    for a, va in vecs.items():
+        if a % 2 == 0 or not va:
+            continue
+        na = math.sqrt(sum(v * v for v in va.values()))
+        for b, vb in vecs.items():
+            if b % 2 == 1 or not vb:
+                continue
+            dot = sum(va[t] * vb[t] for t in va if t in vb)
+            if not dot:
+                continue
+            cos = dot / (na * math.sqrt(sum(v * v for v in vb.values())))
+            if cos >= 0.9:
+                exp.add((a, b, round(cos, 6)))
+    assert got == exp and len(exp) > 0
