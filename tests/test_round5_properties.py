@@ -168,3 +168,39 @@ def test_token_cosine_equals_brute_force_on_random_corpora(spark, rows, tau):
             if dot and dot / (na * math.sqrt(sum(v * v for v in vb.values()))) >= tau:
                 exp.add((a, b))
     assert got == exp
+
+
+sig64 = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    ),
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@_slow
+@given(sigs=sig64, h=st.integers(min_value=0, max_value=3))
+def test_hamming_pairs_equals_brute_force(spark, sigs, h):
+    """The shared hamming tail (SimHash text dedup + image/audio
+    perceptual hashes) is exact and complete for max_hamming <= 3 —
+    the 4x16-bit pigeonhole bound — on arbitrary signatures."""
+    from sample_dms_s3_kinesis_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        sigs or [(None, None)], "_id long, _sh long"
+    ).filter("_id is not null")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_pairs(df, max_hamming=h).collect()
+    }
+    exp = set()
+    ids = sorted(dict(sigs))
+    vals = dict(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((vals[a] ^ vals[b]) & (2**64 - 1)).count("1")
+            if d <= h:
+                exp.add((a, b, d))
+    assert got == exp
