@@ -291,3 +291,26 @@ def test_all_gates_armed_together(spark, tmp_path):
     assert stats["dropped_near"] == 1
     assert stats["dropped_sem"] == 1
     assert stats["admitted"] == 2
+
+
+def test_signature_store_plan_has_no_recompute(spark, tmp_path):
+    """When every admitted batch has stored signatures, signatures()
+    must be a pure parquet scan of the store — no shingle/minhash
+    recompute of corpus text anywhere in the plan."""
+    drop = str(tmp_path / "drop")
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        near_dup=True, num_hashes=64, bands=32, threshold=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop(drop, "c1.json", [(1, " ".join(f"w{i}" for i in range(40)))])
+    task.process_available()
+    for f in os.listdir(drop):
+        os.remove(os.path.join(drop, f))
+    _drop(drop, "c2.json", [(2, " ".join(f"z{i}" for i in range(40)))])
+    task.process_available()
+    plan = task.signatures()._jdf.queryExecution().executedPlan().toString()
+    # a pure parquet scan of the stored (_id, _sig) frame...
+    assert "FileScan parquet [_id" in plan and "_sig" in plan
+    # ...and the minhash pipeline never re-runs (no text hashing)
+    assert "xxhash64" not in plan
