@@ -1230,6 +1230,7 @@ DRIVER_WINDOW: list[str] = [
     "q_simhash_index_gate",  # rows-only: xxhash64 fingerprint family
     "q_prefix_jaccard_against",
     "q_token_cosine_against",
+    "q_mad_by_lang",
     # --- r2-stale (3 rounds): the oldest driver signal ---
     "q_top_orders",
     "q_rollup_orders",
@@ -1249,9 +1250,9 @@ DRIVER_WINDOW: list[str] = [
     "q_text_tfidf_topk",
     # --- r3-stale back-fill: north-star families + touched shapes ---
     "q_simhash_pairs",           # rows-only; chunk helper refactored in r5
-    "q_hash_split",
 ]
-# Swapped out for the twenty-nine queries registered this round
+# Swapped out for the thirty queries registered this round; q_entropy_by_source
+# (registered last) waits for the r6 rotation
 # (never-checked beats 2-rounds-old): q_distinct_count, q_in_subquery,
 # q_cross_join_region_status, q_intersect_customers,
 # q_except_customers, q_window_first_last, q_window_agg_events,
@@ -1262,7 +1263,7 @@ DRIVER_WINDOW: list[str] = [
 # q_text_tokens, q_stratified_sample, q_token_budget_sample,
 # q_text_langid, q_window_lag_lead, q_window_rank_family,
 # q_session_window_events, q_unigram_lm_score, q_pack_sequences,
-# q_text_repetition — all
+# q_text_repetition, q_hash_split — all
 # r3-green stable shapes whose operator families keep other in-window
 # representatives; they rotate back in r6.
 

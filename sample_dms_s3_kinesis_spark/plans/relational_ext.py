@@ -3510,3 +3510,78 @@ def q_token_cosine_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 0),
         threshold=0.95,
     )
+
+
+@_register(
+    "q_mad_by_lang",
+    """
+    WITH med AS (
+      SELECT lang,
+             PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY n_chars) AS m
+      FROM documents GROUP BY lang)
+    SELECT d.lang,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (
+                   ORDER BY ABS(d.n_chars - med.m)), 4) AS mad,
+           ROUND(ANY_VALUE(med.m), 4) AS median
+    FROM documents d JOIN med ON d.lang = med.lang
+    GROUP BY d.lang
+    """,
+    "robust spread per group: median absolute deviation of document "
+    "length per language (per-group median via percentile aggregate, "
+    "bounds joined back — no window over the corpus) — the "
+    "outlier-insensitive counterpart of q_stats_agg's stddev",
+    "aggregations generalized (SURVEY 2.4): robust spread",
+)
+def q_mad_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)).alias("m")
+    )
+    return (
+        d.join(med, on="lang")
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.percentile(
+                    F.abs(F.col("n_chars") - F.col("m")), F.lit(0.5)
+                ),
+                4,
+            ).alias("mad"),
+            F.round(F.any_value(F.col("m")), 4).alias("median"),
+        )
+    )
+
+
+@_register(
+    "q_entropy_by_source",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents
+      GROUP BY source, lang),
+    tot AS (SELECT source, SUM(n) AS tn FROM c GROUP BY source)
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(-SUM((CAST(n AS DOUBLE) / tn)
+                      * log2(CAST(n AS DOUBLE) / tn)), 6) AS lang_entropy
+    FROM c JOIN tot ON c.source = tot.source
+    GROUP BY c.source
+    """,
+    "corpus-mixture health: Shannon entropy of the language "
+    "distribution per source (exact integer counts to the final "
+    "division — cross-engine float determinism) — low entropy flags a "
+    "source collapsing to one language",
+    "profiling: distribution entropy report",
+)
+def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("tn"))
+    p = F.col("n").cast("double") / F.col("tn")
+    return (
+        c.join(tot, on="source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round((-F.sum(p * F.log2(p))), 6).alias("lang_entropy"),
+        )
+    )
