@@ -631,3 +631,29 @@ def test_winnowing_containment_fp_cap_drops_boilerplate(spark):
         df, shingle=6, window=3, min_shared=1, max_fp_width=7
     ).count()
     assert capped == 0
+
+
+def test_connected_components_driver_gate_equals_distributed(spark):
+    """The size-gated driver union-find must produce EXACTLY the
+    distributed large-star/small-star labeling (min id per component),
+    including chains and multi-component graphs."""
+    from sample_dms_s3_kinesis_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 1)],
+        "id_a long, id_b long",
+    )
+    fast = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
