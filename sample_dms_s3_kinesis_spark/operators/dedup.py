@@ -2101,3 +2101,79 @@ def token_cosine_pairs_against(
         .select("new_id", "existing_id", F.round(cos, 6).alias("cosine"))
         .filter(cos >= F.lit(threshold))
     )
+
+
+def winnowing_containment_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_width: int | None = 10_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incremental CONTAINMENT gate: (new_id, existing_id, shared,
+    containment) for new docs sharing ≥ ``min_shared`` winnowed
+    fingerprints with an existing-corpus doc — catches the crawl page
+    QUOTING 30% of an already-admitted document, which every
+    Jaccard/cosine gate scores low.  Cross form of
+    :func:`winnowing_containment_pairs`: the fingerprint join is
+    new × existing (the corpus never self-pairs; its fingerprint
+    table is what you persist), with the hot-fingerprint cap on the
+    EXISTING side (the licence-header hazard grows with the corpus).
+    """
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        winnowed_fingerprints,
+    )
+
+    def _fps(df: DataFrame) -> DataFrame:
+        return _cut_lineage(
+            spread(df).select(
+                F.col(id_col).alias("_id"),
+                winnowed_fingerprints(
+                    F.col(text_col), shingle=shingle, window=window
+                ).alias("_fps"),
+            ),
+            checkpoint_dir,
+        )
+
+    fn, fe = _fps(new), _fps(existing)
+    sn = fn.select("_id", F.size("_fps").alias("_nf"))
+    se = fe.select("_id", F.size("_fps").alias("_nf"))
+    xn = fn.select("_id", F.explode("_fps").alias("_fp"))
+    xe = fe.select("_id", F.explode("_fps").alias("_fp"))
+    if max_fp_width is not None:
+        xe = _drop_hot_buckets(xe, max_fp_width, keys=("_fp",))
+    pairs = (
+        xn.alias("x")
+        .join(xe.alias("y"), on=[F.col("x._fp") == F.col("y._fp")])
+        .groupBy(
+            F.col("x._id").alias("new_id"),
+            F.col("y._id").alias("existing_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sn.select(F.col("_id").alias("new_id"), F.col("_nf").alias("_na")),
+            "new_id",
+        )
+        .join(
+            se.select(
+                F.col("_id").alias("existing_id"), F.col("_nf").alias("_nb")
+            ),
+            "existing_id",
+        )
+        .select(
+            "new_id",
+            "existing_id",
+            "shared",
+            F.round(
+                F.col("shared") / F.least(F.col("_na"), F.col("_nb")), 6
+            ).alias("containment"),
+        )
+    )

@@ -3585,3 +3585,26 @@ def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((-F.sum(p * F.log2(p))), 6).alias("lang_entropy"),
         )
     )
+
+
+@_register(
+    "q_containment_against",
+    None,  # xxhash64 fingerprints; pytest pins cross-subset equality
+    # with the self-join operator (r6 window rotation)
+    "incremental containment gate: new docs sharing >= 3 winnowed "
+    "fingerprints with an admitted doc (quotation/boilerplate "
+    "inclusion the Jaccard/cosine gates score low) — fingerprint join "
+    "is new x existing with the hot-fingerprint cap on the corpus side",
+    "dedup: incremental winnowing containment gate",
+)
+def q_containment_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        winnowing_containment_against,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return winnowing_containment_against(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        shingle=6, window=4, min_shared=3,
+    )

@@ -364,3 +364,36 @@ def test_token_cosine_against_equals_cross_brute_force(spark):
             if cos >= 0.9:
                 exp.add((a, b, round(cos, 6)))
     assert got == exp and len(exp) > 0
+
+
+def test_winnowing_containment_against_equals_self_join_subset(spark):
+    """The cross gate must equal the cross subset of the self-join
+    operator (same fingerprints, same counting) with no self-pairs."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        winnowing_containment_against,
+        winnowing_containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (r["new_id"], r["existing_id"], r["shared"], r["containment"])
+        for r in winnowing_containment_against(
+            new, existing, shingle=6, window=4, min_shared=3
+        ).collect()
+    }
+    full = winnowing_containment_pairs(
+        docs, shingle=6, window=4, min_shared=3
+    ).collect()
+    exp = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        # self-join emits id_a < id_b; the cross gate emits (new, existing)
+        if a % 2 == 1 and b % 2 == 0:
+            exp.add((a, b, r["shared"], r["containment"]))
+        elif b % 2 == 1 and a % 2 == 0:
+            exp.add((b, a, r["shared"], r["containment"]))
+    assert got == exp and len(exp) > 0
