@@ -204,3 +204,48 @@ def test_hamming_pairs_equals_brute_force(spark, sigs, h):
             if d <= h:
                 exp.add((a, b, d))
     assert got == exp
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.sampled_from(["en", "fr", "de"]),
+            st.integers(min_value=1, max_value=40),
+        ),
+        max_size=18,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    seed=st.integers(0, 5),
+)
+def test_weighted_sample_per_group_laws(spark, rows, k, seed):
+    """Grouped A-Res: per group, exactly min(k, group size) rows, and
+    the selection matches the per-group reference ranking."""
+    from collections import Counter
+
+    from sample_dms_s3_kinesis_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+    from tests.test_versioning_ops import _ares_reference
+
+    df = spark.createDataFrame(
+        rows or [(None, None, None)], "id long, g string, w long"
+    ).filter("id is not null")
+    got = [
+        (r["id"], r["g"])
+        for r in weighted_sample_per_group(
+            df, group_cols="g", id_col="id", weight_col="w", k=k, seed=seed
+        ).collect()
+    ]
+    assert len(got) == len(set(got))
+    by_g: dict = {}
+    for i, g, w in rows:
+        by_g.setdefault(g, []).append((i, w))
+    per = Counter(g for _, g in got)
+    exp = set()
+    for g, items in by_g.items():
+        assert per[g] == min(k, len(items))
+        exp |= {(i, g) for i in _ares_reference(items, k=k, seed=seed)}
+    assert set(got) == exp
