@@ -249,3 +249,41 @@ def test_weighted_sample_per_group_laws(spark, rows, k, seed):
         assert per[g] == min(k, len(items))
         exp |= {(i, g) for i in _ares_reference(items, k=k, seed=seed)}
     assert set(got) == exp
+
+
+@_slow
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    bounds=st.tuples(
+        st.floats(min_value=0.0, max_value=0.4),
+        st.floats(min_value=0.6, max_value=1.0),
+    ),
+)
+def test_winsorize_laws(spark, vals, bounds):
+    """Winsorize: row count preserved, NULLs stay NULL, non-null
+    outputs clamped exactly to the NumPy linear percentiles."""
+    import numpy as np
+
+    from sample_dms_s3_kinesis_spark.operators.profiling import winsorize
+
+    lo, hi = bounds
+    df = spark.createDataFrame(vals, "id long, v long")
+    out = {r["id"]: r["v_w"] for r in winsorize(df, "v", lower=lo, upper=hi).collect()}
+    assert len(out) == len(vals)
+    nonnull = [w for _, w in vals if w is not None]
+    if nonnull:
+        p_lo = float(np.percentile(nonnull, lo * 100, method="linear"))
+        p_hi = float(np.percentile(nonnull, hi * 100, method="linear"))
+    for i, w in vals:
+        if w is None:
+            assert out[i] is None
+        else:
+            assert abs(out[i] - min(max(float(w), p_lo), p_hi)) < 1e-9
