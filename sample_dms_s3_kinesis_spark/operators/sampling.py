@@ -531,3 +531,61 @@ def corpus_composition(
             F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
         ).alias("token_share"),
     )
+
+
+def pack_sequence_spans(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    seq_len: int,
+    id_col: str,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Data-loader manifest for :func:`pack_sequences`: one row per
+    (training sequence, document) with the token span the document
+    occupies INSIDE that sequence — the information a loader needs to
+    build attention masks and split boundary-spanning documents,
+    which ``pack_sequences``'s start-bin assignment alone doesn't
+    carry.
+
+    A document starting at global offset ``s`` with weight ``w``
+    covers bins ``floor(s/L) … floor((s+w−1)/L)``; in bin ``b`` it
+    occupies ``[max(s, bL) − bL, min(s+w, (b+1)L) − bL)`` and
+    ``doc_offset`` is the document-internal position where the span
+    begins.  Zero-weight rows don't appear.
+
+    Plan: the same 256-bucket prefix cumsum as the other packers (no
+    global window), then a per-doc ``sequence`` explode over the bins
+    it touches — fan-out bounded by ``w/L + 1`` rows per document.
+    Output: (bin_id, id_col, bin_start, bin_end, doc_offset).
+    """
+    cum = _bucketed_prefix_cumsum(
+        df.filter(F.col(weight_col) > 0),
+        weight_col=weight_col,
+        id_col=id_col,
+        seed=seed,
+    )
+    spans = (
+        cum.withColumn("_s", F.col("_cum") - F.col(weight_col))
+        .withColumn("_e", F.col("_cum"))
+        .withColumn(
+            "bin_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_s") / F.lit(seq_len)),
+                    F.floor((F.col("_e") - 1) / F.lit(seq_len)),
+                )
+            ),
+        )
+    )
+    b0 = F.col("bin_id") * F.lit(seq_len)
+    span_start_global = F.greatest(F.col("_s"), b0)
+    return spans.select(
+        F.col("bin_id").cast("long"),
+        F.col(id_col),
+        (span_start_global - b0).cast("long").alias("bin_start"),
+        (F.least(F.col("_e"), b0 + F.lit(seq_len)) - b0)
+        .cast("long")
+        .alias("bin_end"),
+        (span_start_global - F.col("_s")).cast("long").alias("doc_offset"),
+    )

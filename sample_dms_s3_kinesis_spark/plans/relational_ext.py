@@ -3608,3 +3608,41 @@ def q_containment_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 0),
         shingle=6, window=4, min_shared=3,
     )
+
+
+@_register(
+    "q_pack_spans",
+    """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 8),
+                        doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents WHERE n_chars > 0),
+    s AS (
+      SELECT doc_id, cum - n_chars AS st, cum AS en FROM r),
+    x AS (
+      SELECT doc_id, st, en,
+             unnest(generate_series(CAST(FLOOR(CAST(st AS DOUBLE) / 4096) AS BIGINT),
+                                    CAST(FLOOR(CAST(en - 1 AS DOUBLE) / 4096) AS BIGINT)))
+               AS bin_id
+      FROM s)
+    SELECT bin_id, doc_id,
+           CAST(GREATEST(st, bin_id * 4096) - bin_id * 4096 AS BIGINT) AS bin_start,
+           CAST(LEAST(en, (bin_id + 1) * 4096) - bin_id * 4096 AS BIGINT) AS bin_end,
+           CAST(GREATEST(st, bin_id * 4096) - st AS BIGINT) AS doc_offset
+    FROM x
+    """,
+    "sequence-packing loader manifest: one row per (training sequence, "
+    "document) with the token span the doc occupies inside the "
+    "sequence and its doc-internal offset — what a loader needs for "
+    "attention masks and boundary splits (256-bucket prefix cumsum + "
+    "bounded per-doc bin explode)",
+    "sampling/packing: packed-sequence spans",
+)
+def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return sampling.pack_sequence_spans(
+        d, weight_col="n_chars", seq_len=4096, id_col="doc_id", seed=5
+    )

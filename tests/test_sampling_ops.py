@@ -411,3 +411,54 @@ def test_profile_table_python_reference(spark):
 
     approx = {r["column"]: r for r in profile_table(df, exact=False).collect()}
     assert approx["id"]["n_distinct"] >= 4  # sketch, not exact contract
+
+
+def test_pack_sequence_spans_invariants(spark):
+    """Spans reconstruct the packing exactly: per doc they sum to its
+    weight with contiguous doc_offsets; per bin they tile [0, L)
+    without overlap (full bins) and the bin ids match pack_sequences'
+    start-bin assignment."""
+    from sample_dms_s3_kinesis_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    L = 512
+    spans = sampling.pack_sequence_spans(
+        docs, weight_col="n_chars", seq_len=L, id_col="doc_id", seed=3
+    ).collect()
+    weights = {r["doc_id"]: r["n_chars"] for r in docs.collect() if r["n_chars"] > 0}
+    by_doc: dict = {}
+    by_bin: dict = {}
+    for r in spans:
+        assert 0 <= r["bin_start"] < r["bin_end"] <= L
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    assert set(by_doc) == set(weights)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["bin_id"])
+        total = sum(r["bin_end"] - r["bin_start"] for r in rs)
+        assert total == weights[doc_id]
+        # doc offsets are contiguous across the doc's spans
+        off = 0
+        for r in rs:
+            assert r["doc_offset"] == off
+            off += r["bin_end"] - r["bin_start"]
+    # full bins tile exactly: sorted spans abut with no gap/overlap
+    last_bin = max(by_bin)
+    for bin_id, rs in by_bin.items():
+        rs.sort(key=lambda r: r["bin_start"])
+        pos = 0
+        for r in rs:
+            assert r["bin_start"] == pos
+            pos = r["bin_end"]
+        if bin_id < last_bin:
+            assert pos == L  # interior bins are exactly full
+    # start-bin agreement with pack_sequences
+    packed = {
+        r["doc_id"]: r["bin_id"]
+        for r in sampling.pack_sequences(
+            docs.filter("n_chars > 0"), weight_col="n_chars",
+            seq_len=L, id_col="doc_id", seed=3,
+        ).collect()
+    }
+    for doc_id, rs in by_doc.items():
+        assert min(r["bin_id"] for r in rs) == packed[doc_id]
