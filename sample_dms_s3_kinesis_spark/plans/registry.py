@@ -1223,7 +1223,6 @@ DRIVER_WINDOW: list[str] = [
     "q_corr_stats",
     "q_token_cosine_pairs",
     "q_simhash_quality",     # rows-only: exact side oracle-checked separately
-    "q_skipping_report",     # rows-only: filesystem-layout report
     "q_image_near_dup",      # rows-only: binary media + perceptual hash
     "q_audio_near_dup",      # rows-only: binary media + energy fingerprint
     "q_simhash_index_gate",  # rows-only: xxhash64 fingerprint family
@@ -1231,6 +1230,7 @@ DRIVER_WINDOW: list[str] = [
     "q_token_cosine_against",
     "q_mad_by_lang",
     "q_pack_spans",
+    "q_curation_pipeline_v2",
     # --- r2-stale (3 rounds): the oldest driver signal ---
     "q_top_orders",
     "q_rollup_orders",
@@ -1251,9 +1251,10 @@ DRIVER_WINDOW: list[str] = [
     # --- r3-stale back-fill: north-star families + touched shapes ---
     "q_simhash_pairs",           # rows-only; chunk helper refactored in r5
 ]
-# Swapped out for the thirty-one queries registered this round; q_entropy_by_source,
-# q_containment_against and q_ann_recall (compositional over already-
-# verified parts) wait for the r6 rotation
+# Swapped out for the thirty-two queries registered this round; q_entropy_by_source,
+# q_containment_against, q_ann_recall and q_skipping_report
+# (compositional/report shapes over already-verified parts) wait for
+# the r6 rotation
 # (never-checked beats 2-rounds-old): q_distinct_count, q_in_subquery,
 # q_cross_join_region_status, q_intersect_customers,
 # q_except_customers, q_window_first_last, q_window_agg_events,

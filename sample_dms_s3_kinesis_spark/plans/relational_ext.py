@@ -3646,3 +3646,73 @@ def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequence_spans(
         d, weight_col="n_chars", seq_len=4096, id_col="doc_id", seed=5
     )
+
+
+@_register(
+    "q_curation_pipeline_v2",
+    r"""
+    WITH w AS (
+      SELECT lang,
+             PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+             PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+      FROM documents GROUP BY lang),
+    trimmed AS (
+      SELECT d.doc_id, d.lang, d.text, d.n_chars,
+             LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), w.lo), w.hi) AS ncw
+      FROM documents d JOIN w ON d.lang = w.lang),
+    q AS (
+      SELECT * FROM trimmed
+      WHERE ncw >= 100
+        AND len(string_split_regex(trim(lower(text)), '\s+')) >= 20),
+    dedup AS (
+      SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    kept AS (
+      SELECT q.* FROM q JOIN dedup USING (doc_id)),
+    sampled AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                               || ':' || '11'), 1, 8))::UBIGINT
+                               + 0.5) / 4294967296.0,
+                              1.0 / CAST(n_chars AS DOUBLE)) DESC,
+                          doc_id ASC) AS rk
+        FROM kept WHERE n_chars > 0)
+      WHERE rk <= 20)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sampled GROUP BY lang
+    """,
+    "end-to-end curation v2 over the round-5 layer: per-language "
+    "winsorized length floor -> token-count quality filter -> exact "
+    "dedup (md5 min-id) -> per-group A-Res weighted sample (k=20 per "
+    "language, length-proportional) -> per-language composition — "
+    "every stage oracle-checked individually, composed here in one "
+    "declarative plan",
+    "curation: end-to-end pipeline v2 (north-star)",
+)
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.profiling import winsorize
+    from sample_dms_s3_kinesis_spark.operators.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    trimmed = winsorize(d, "n_chars", group_cols=["lang"])
+    q = trimmed.filter(
+        (F.col("n_chars_w") >= 100) & (token_count(F.col("text")) >= 20)
+    )
+    survivors = (
+        q.select(F.md5("text").alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = q.join(survivors, on="doc_id")
+    sampled = sampling.weighted_sample_per_group(
+        kept, group_cols="lang", id_col="doc_id",
+        weight_col="n_chars", k=20, seed=11,
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
