@@ -462,3 +462,97 @@ def remove_duplicated_spans(
             .alias("n_removed"),
         )
     )
+
+
+def dedup_segments(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 12,
+) -> DataFrame:
+    """Global segment-level dedup, the C4/CCNet line-and-sentence-dedup
+    shape: split each document into consecutive ``width``-token
+    segments, keep only the corpus-wide FIRST occurrence of every
+    repeated segment (first = minimal (doc id, segment position) —
+    deterministic under any partitioning), and rebuild documents from
+    their surviving segments.  C4 removes repeated three-sentence
+    spans and CCNet dedups repeated lines; on a corpus with explicit
+    boundaries the segmenter would split there — the fixed token width
+    is the boundary-free equivalent and keeps the rebuild exactly
+    reproducible by the SQL oracle.  Segment identity is
+    case-insensitive (lowercased key); the rebuilt text preserves
+    original-case tokens, space-joined (the ``normalize_text``
+    whitespace contract).
+
+    Plan (100 TB shape): tokenize → per-doc segment slices (bounded
+    explode: ceil(len/width) rows per doc) → groupBy(lowered segment)
+    with a MIN(struct(doc, pos)) aggregate — partial map-side combine
+    makes hyper-common boilerplate segments skew-safe, unlike a
+    row_number window — → join occurrences back on the segment key
+    (AQE handles residual key skew) → keep rows matching their class
+    minimum → per-doc ordered reassembly (sort_array over
+    collect_list, bounded by document length).  Every input doc
+    appears in the output; a doc whose every segment first occurred
+    elsewhere yields ''.
+
+    Output: (id_col, clean_text, n_removed) where n_removed counts
+    dropped segments.
+    """
+    tks = tokens(F.col(text_col))
+    base = spread(corpus).select(
+        F.col(id_col), tks.alias("_tks"), F.size(tks).alias("_nt")
+    )
+    nseg = F.ceil(F.col("_nt") / F.lit(width)).cast("int")
+    segs = (
+        base.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - F.lit(1)),
+                    lambda i: F.array_join(
+                        F.slice(F.col("_tks"), i * width + 1, width), " "
+                    ),
+                )
+            ).alias("_pos", "_seg"),
+        )
+        .filter(F.col("_seg") != "")
+        .withColumn("_key", F.lower(F.col("_seg")))
+    )
+    firsts = segs.groupBy("_key").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("_d"), F.col("_pos").alias("_p"))
+        ).alias("_first")
+    )
+    kept = segs.join(firsts, on="_key").filter(
+        (F.col("_first._d") == F.col(id_col))
+        & (F.col("_first._p") == F.col("_pos"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_seg")))
+                ),
+                lambda s: s["_seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_ns"))
+    return (
+        corpus.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .join(totals, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (
+                F.coalesce(F.col("_ns"), F.lit(0))
+                - F.coalesce(F.col("_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

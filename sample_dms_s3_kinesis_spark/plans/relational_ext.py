@@ -3716,3 +3716,44 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@_register(
+    "q_dedup_segments",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tks,
+             len(string_split_regex(trim(text), '\s+')) AS nt
+      FROM documents),
+    segs0 AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(tks[i*12+1 : i*12+12], ' ') AS seg
+      FROM base, UNNEST(range(0, CAST(ceil(nt / 12.0) AS BIGINT))) AS t(i)),
+    segs AS (
+      SELECT doc_id, pos, seg, lower(seg) AS key FROM segs0 WHERE seg <> ''),
+    kept AS (
+      SELECT doc_id, pos, seg FROM (
+        SELECT doc_id, pos, seg,
+               ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+        FROM segs) WHERE rn = 1),
+    rb AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS ns FROM segs GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(rb.clean_text, '') AS clean_text,
+           CAST(COALESCE(tot.ns, 0) - COALESCE(rb.nk, 0) AS BIGINT)
+             AS n_removed
+    FROM documents d LEFT JOIN rb USING (doc_id) LEFT JOIN tot USING (doc_id)
+    """,
+    "global segment-level dedup (C4 sentence-dedup shape on fixed "
+    "12-token segments): corpus-wide keep-first of repeated segments, "
+    "per-doc ordered rebuild — exact string match cross-engine; the "
+    "oracle's row_number window equals the operator's skew-safe "
+    "MIN(struct) aggregate because both order by (doc_id, pos)",
+    "curation: segment-level global dedup",
+)
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.curation import dedup_segments
+
+    return dedup_segments(t(spark, sf_dir, "documents"), width=12)

@@ -322,3 +322,75 @@ def test_remove_duplicated_spans_python_reference(spark):
         assert out[d]["n_removed"] == len(covered), d
     assert out[4]["clean_text"] == "" and out[5]["clean_text"] == ""
     assert out[2]["n_removed"] == 0 and out[3]["n_removed"] == 0
+
+
+def _dedup_segments_ref(docs, width):
+    """Python model: global keep-first of repeated width-token segments
+    (first = minimal (doc_id, pos)), per-doc ordered rebuild."""
+    segs = []  # (doc_id, pos, seg)
+    for doc_id, s in docs:
+        toks = s.strip().split()
+        for pos in range(0, math.ceil(len(toks) / width)):
+            seg = " ".join(toks[pos * width : pos * width + width])
+            if seg:
+                segs.append((doc_id, pos, seg))
+    first = {}
+    for doc_id, pos, seg in sorted(segs):
+        first.setdefault(seg.lower(), (doc_id, pos))
+    out = {}
+    for doc_id, s in docs:
+        mine = sorted(
+            (p, g) for d, p, g in segs
+            if d == doc_id and first[g.lower()] == (d, p)
+        )
+        total = sum(1 for d, _, _ in segs if d == doc_id)
+        out[doc_id] = (" ".join(g for _, g in mine), total - len(mine))
+    return out
+
+
+def test_dedup_segments_python_reference(spark):
+    docs = [
+        (1, "a b c d e f g h"),            # segments: "a b c d", "e f g h"
+        (2, "a b c d x y z w tail"),       # first seg dups doc 1's
+        (3, "A B C D e f g h"),            # case-insensitive dup of doc 1
+        (4, "x y z w a b c d"),            # same WORDS, different segments
+        (5, "fresh words only appear here once more indeed"),
+        (6, "e f g h"),                    # whole doc is a dup segment
+    ]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in curation.dedup_segments(
+            spark.createDataFrame(docs, "doc_id long, text string"), width=4
+        ).collect()
+    }
+    exp = _dedup_segments_ref(docs, 4)
+    assert got == exp
+    # the fully-duplicated doc rebuilds to '' with its segment counted
+    assert got[6] == ("", 1)
+    # original case survives in the kept copy, dup dropped by lowered key
+    assert got[3][0] == "e f g h" or got[3][0] == ""
+    assert got[1] == ("a b c d e f g h", 0)  # first occurrences all kept
+
+
+def test_dedup_segments_idempotent(spark):
+    docs = [
+        (1, "p q r s t u v w"),
+        (2, "p q r s m n o k"),
+        (3, "t u v w t u v w"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    once = curation.dedup_segments(df, width=4).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = curation.dedup_segments(once, width=4)
+    again = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in twice.collect()
+    }
+    base = {
+        r["doc_id"]: r["clean_text"]
+        for r in curation.dedup_segments(df, width=4).collect()
+    }
+    # deduping an already-deduped corpus removes nothing
+    assert all(n == 0 for _, n in again.values())
+    assert {k: v for k, (v, _) in again.items()} == base
