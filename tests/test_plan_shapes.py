@@ -258,3 +258,16 @@ def test_prefix_jaccard_candidate_join_is_keyed(spark):
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert keyed >= 3  # candidate join + two verification joins
+
+
+def test_dedup_segments_keep_first_is_aggregate_not_window(spark):
+    """Global keep-first must compile to a partial-aggregated
+    MIN(struct) — a row_number Window over the segment key would
+    funnel every occurrence of a boilerplate segment through one
+    task (the skew hazard the operator exists to avoid)."""
+    plan = _plan(spark, "q_dedup_segments")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side combine on the segment key
+    # the only Window-free rebuild: sort_array over collect_list
+    assert plan.count("Window") == 0
