@@ -499,12 +499,22 @@ def dedup_segments(
     Output: (id_col, clean_text, n_removed) where n_removed counts
     dropped segments.
     """
+    segs = _doc_segments(corpus, text_col=text_col, id_col=id_col, width=width)
+    kept = _keep_first(segs, id_col=id_col)
+    return _rebuild_from_segments(corpus, segs, kept, id_col=id_col)
+
+
+def _doc_segments(
+    df: DataFrame, *, text_col: str, id_col: str, width: int
+) -> DataFrame:
+    """(id, _pos, _seg, _key) — one row per non-empty ``width``-token
+    segment; bounded explode (ceil(len/width) rows per doc)."""
     tks = tokens(F.col(text_col))
-    base = spread(corpus).select(
+    base = spread(df).select(
         F.col(id_col), tks.alias("_tks"), F.size(tks).alias("_nt")
     )
     nseg = F.ceil(F.col("_nt") / F.lit(width)).cast("int")
-    segs = (
+    return (
         base.select(
             F.col(id_col),
             F.posexplode(
@@ -519,15 +529,27 @@ def dedup_segments(
         .filter(F.col("_seg") != "")
         .withColumn("_key", F.lower(F.col("_seg")))
     )
+
+
+def _keep_first(segs: DataFrame, *, id_col: str) -> DataFrame:
+    """Corpus-wide first occurrence per segment class via the skew-safe
+    MIN(struct) aggregate (partial map-side combine; no window)."""
     firsts = segs.groupBy("_key").agg(
         F.min(
             F.struct(F.col(id_col).alias("_d"), F.col("_pos").alias("_p"))
         ).alias("_first")
     )
-    kept = segs.join(firsts, on="_key").filter(
+    return segs.join(firsts, on="_key").filter(
         (F.col("_first._d") == F.col(id_col))
         & (F.col("_first._p") == F.col("_pos"))
     )
+
+
+def _rebuild_from_segments(
+    docs: DataFrame, segs: DataFrame, kept: DataFrame, *, id_col: str
+) -> DataFrame:
+    """Per-doc ordered reassembly of surviving segments; every doc in
+    ``docs`` appears (all-removed → '')."""
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -542,7 +564,7 @@ def dedup_segments(
     )
     totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_ns"))
     return (
-        corpus.select(id_col)
+        docs.select(id_col)
         .join(rebuilt, on=id_col, how="left")
         .join(totals, on=id_col, how="left")
         .select(
@@ -556,3 +578,36 @@ def dedup_segments(
             .alias("n_removed"),
         )
     )
+
+
+def dedup_segments_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 12,
+) -> DataFrame:
+    """Incremental twin of :func:`dedup_segments` — the daily-crawl
+    remediation gate: rebuild each NEW document with (a) every segment
+    already present anywhere in the EXISTING corpus removed (anti-join
+    against the corpus's distinct segment keys — the corpus is reduced
+    to keys and never rebuilt or re-shuffled at occurrence grain) and
+    (b) the surviving repeats deduped keep-first WITHIN the new batch,
+    exactly as the self flavor would.  Running the self flavor over
+    existing∪new and projecting the new ids gives the same surviving
+    segments whenever the existing corpus is itself segment-deduped —
+    this form does it without touching existing occurrences.
+
+    Output: (id_col, clean_text, n_removed) over NEW docs only;
+    n_removed counts both corpus-hit and in-batch-duplicate segments.
+    """
+    segs_new = _doc_segments(new, text_col=text_col, id_col=id_col, width=width)
+    corpus_keys = (
+        _doc_segments(existing, text_col=text_col, id_col=id_col, width=width)
+        .select("_key")
+        .distinct()
+    )
+    fresh = segs_new.join(corpus_keys, on="_key", how="left_anti")
+    kept = _keep_first(fresh, id_col=id_col)
+    return _rebuild_from_segments(new, segs_new, kept, id_col=id_col)

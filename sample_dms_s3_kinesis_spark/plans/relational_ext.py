@@ -3757,3 +3757,56 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators.curation import dedup_segments
 
     return dedup_segments(t(spark, sf_dir, "documents"), width=12)
+
+
+@_register(
+    "q_dedup_segments_against",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tks,
+             len(string_split_regex(trim(text), '\s+')) AS nt
+      FROM documents),
+    segs0 AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(tks[i*12+1 : i*12+12], ' ') AS seg
+      FROM base, UNNEST(range(0, CAST(ceil(nt / 12.0) AS BIGINT))) AS t(i)),
+    segs AS (
+      SELECT doc_id, pos, seg, lower(seg) AS key FROM segs0 WHERE seg <> ''),
+    newsegs AS (SELECT * FROM segs WHERE doc_id % 2 = 1),
+    oldkeys AS (SELECT DISTINCT key FROM segs WHERE doc_id % 2 = 0),
+    fresh AS (
+      SELECT n.* FROM newsegs n LEFT JOIN oldkeys o USING (key)
+      WHERE o.key IS NULL),
+    kept AS (
+      SELECT doc_id, pos, seg FROM (
+        SELECT doc_id, pos, seg,
+               ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+        FROM fresh) WHERE rn = 1),
+    rb AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS ns FROM newsegs GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(rb.clean_text, '') AS clean_text,
+           CAST(COALESCE(tot.ns, 0) - COALESCE(rb.nk, 0) AS BIGINT)
+             AS n_removed
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      LEFT JOIN rb USING (doc_id) LEFT JOIN tot USING (doc_id)
+    """,
+    "incremental segment-level dedup gate: rebuild NEW (odd-id) docs "
+    "with segments already in the EXISTING (even-id) corpus anti-joined "
+    "away, then keep-first within the batch — exact string match "
+    "cross-engine; the corpus side reduces to distinct keys only",
+    "curation: incremental segment dedup (admission remediation)",
+)
+def q_dedup_segments_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.curation import (
+        dedup_segments_against,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return dedup_segments_against(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        width=12,
+    )

@@ -394,3 +394,35 @@ def test_dedup_segments_idempotent(spark):
     # deduping an already-deduped corpus removes nothing
     assert all(n == 0 for _, n in again.values())
     assert {k: v for k, (v, _) in again.items()} == base
+
+
+def test_dedup_segments_against_matches_self_flavor_on_union(spark):
+    """When the existing corpus is itself segment-deduped, gating NEW
+    against it must keep exactly the segments the self flavor keeps on
+    existing UNION new (projected to new ids) — provided every shared
+    class's global first occurrence lies in EXISTING, which holds here
+    because existing ids sort below new ids."""
+    existing = [
+        (1, "a b c d e f g h"),
+        (2, "m n o p q r s t"),
+    ]
+    new = [
+        (11, "a b c d fresh segment goes here"),   # 1st seg dup of doc 1
+        (12, "fresh segment goes here u v w x"),   # 1st seg dups doc 11's
+        (13, "e f g h e f g h"),                   # both segs dup doc 1
+    ]
+    e_df = spark.createDataFrame(existing, "doc_id long, text string")
+    n_df = spark.createDataFrame(new, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in curation.dedup_segments_against(n_df, e_df, width=4).collect()
+    }
+    via_union = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in curation.dedup_segments(e_df.union(n_df), width=4).collect()
+        if r["doc_id"] >= 11
+    }
+    assert got == via_union
+    assert got[13] == ("", 2)  # fully corpus-duplicated doc
+    assert got[11] == ("fresh segment goes here", 1)
+    assert got[12][1] == 1  # in-batch dup of doc 11's kept segment
