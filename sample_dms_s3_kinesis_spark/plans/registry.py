@@ -1252,9 +1252,11 @@ DRIVER_WINDOW: list[str] = [
     "q_simhash_pairs",           # rows-only; chunk helper refactored in r5
 ]
 # Swapped out for the thirty-two queries registered this round; q_entropy_by_source,
-# q_containment_against, q_ann_recall and q_skipping_report
-# (compositional/report shapes over already-verified parts) wait for
-# the r6 rotation
+# q_containment_against, q_ann_recall, q_skipping_report
+# (compositional/report shapes over already-verified parts) and the
+# final-session segment-dedup pair q_dedup_segments /
+# q_dedup_segments_against (exact-string oracles, pytest + subset
+# oracle-checked green) wait for the r6 rotation
 # (never-checked beats 2-rounds-old): q_distinct_count, q_in_subquery,
 # q_cross_join_region_status, q_intersect_customers,
 # q_except_customers, q_window_first_last, q_window_agg_events,
