@@ -287,3 +287,90 @@ def test_winsorize_laws(spark, vals, bounds):
             assert out[i] is None
         else:
             assert abs(out[i] - min(max(float(w), p_lo), p_hi)) < 1e-9
+
+
+# --- segment-level dedup laws ---------------------------------------
+
+_seg_corpus = st.dictionaries(
+    st.integers(min_value=0, max_value=20),
+    # tiny alphabet + short docs force cross-doc segment collisions
+    st.lists(st.sampled_from(["aa", "bb", "Cc"]), max_size=7).map(" ".join),
+    max_size=8,
+)
+
+
+def _segments_of(text, width):
+    toks = text.strip().split()
+    segs = []
+    pos = 0
+    while pos * width < len(toks) or (pos == 0 and not toks):
+        seg = " ".join(toks[pos * width : pos * width + width])
+        if seg:
+            segs.append((pos, seg))
+        pos += 1
+        if pos * width >= len(toks):
+            break
+    return segs
+
+
+def _dedup_segments_model(docs, width, corpus_keys=frozenset()):
+    """keep-first over lowered segment keys, minimal (doc_id, pos)
+    first; ``corpus_keys`` pre-bans keys (the *_against flavor)."""
+    occ = [
+        (d, p, s)
+        for d, t in docs.items()
+        for p, s in _segments_of(t, width)
+    ]
+    first = {}
+    for d, p, s in sorted(occ):
+        if s.lower() not in corpus_keys:
+            first.setdefault(s.lower(), (d, p))
+    out = {}
+    for d, t in docs.items():
+        mine = [(p, s) for dd, p, s in occ if dd == d]
+        kept = [
+            s for p, s in sorted(mine)
+            if first.get(s.lower()) == (d, p)
+        ]
+        out[d] = (" ".join(kept), len(mine) - len(kept))
+    return out
+
+
+@_slow
+@given(docs=_seg_corpus)
+def test_dedup_segments_matches_model(spark, docs):
+    from sample_dms_s3_kinesis_spark.operators.curation import dedup_segments
+
+    df = spark.createDataFrame(
+        list(docs.items()) or [(None, None)], "doc_id long, text string"
+    ).filter("doc_id is not null")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup_segments(df, width=2).collect()
+    }
+    assert got == _dedup_segments_model(docs, 2)
+
+
+@_slow
+@given(new=_seg_corpus, existing=_seg_corpus)
+def test_dedup_segments_against_matches_model(spark, new, existing):
+    from sample_dms_s3_kinesis_spark.operators.curation import (
+        dedup_segments_against,
+    )
+
+    n_df = spark.createDataFrame(
+        list(new.items()) or [(None, None)], "doc_id long, text string"
+    ).filter("doc_id is not null")
+    e_df = spark.createDataFrame(
+        list(existing.items()) or [(None, None)], "doc_id long, text string"
+    ).filter("doc_id is not null")
+    corpus_keys = frozenset(
+        s.lower()
+        for t in existing.values()
+        for _, s in _segments_of(t, 2)
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup_segments_against(n_df, e_df, width=2).collect()
+    }
+    assert got == _dedup_segments_model(new, 2, corpus_keys)
