@@ -611,3 +611,36 @@ def dedup_segments_against(
     fresh = segs_new.join(corpus_keys, on="_key", how="left_anti")
     kept = _keep_first(fresh, id_col=id_col)
     return _rebuild_from_segments(new, segs_new, kept, id_col=id_col)
+
+
+def dedup_segments_within(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 12,
+) -> DataFrame:
+    """Within-document repetition removal — the Gopher/FineWeb
+    "repeated lines within a page" rule, scoped to a single document:
+    keep only the FIRST occurrence of each repeated ``width``-token
+    segment inside the same document, leaving cross-document
+    duplication alone (that is :func:`dedup_segments`'s job).  The two
+    compose: within-doc first (cheap, per-doc), then the global pass
+    over the shrunken corpus.
+
+    Plan: unlike the global flavor there is no corpus-wide segment
+    class — the keep-first aggregate groups by (doc, key), so the
+    shuffle key always includes the document id and boilerplate
+    segments CANNOT concentrate on one reducer; this is the rare dedup
+    operator that is skew-proof by construction and needs no cap.
+
+    Output: (id_col, clean_text, n_removed).
+    """
+    segs = _doc_segments(corpus, text_col=text_col, id_col=id_col, width=width)
+    firsts = segs.groupBy(id_col, "_key").agg(F.min("_pos").alias("_p"))
+    kept = (
+        segs.join(firsts, on=[id_col, "_key"])
+        .filter(F.col("_pos") == F.col("_p"))
+        .select(id_col, "_pos", "_seg")
+    )
+    return _rebuild_from_segments(corpus, segs, kept, id_col=id_col)

@@ -589,3 +589,63 @@ def pack_sequence_spans(
         .alias("bin_end"),
         (span_start_global - F.col("_s")).cast("long").alias("doc_offset"),
     )
+
+
+def temperature_shares(
+    counts: Mapping[str, int], *, temperature: float
+) -> dict[str, float]:
+    """Temperature-scaled sampling shares over domain counts —
+    share_d ∝ count_d^(1/T), the multilingual/multi-domain rebalancing
+    rule (T=1 keeps natural proportions, T→∞ approaches uniform;
+    mBERT/XLM-R exponent-smoothing with alpha = 1/T).
+
+    Op order is fixed (weights in sorted-domain order, one final
+    normalization) so an oracle computing POW(n, 1/T)/SUM(...) over the
+    same doubles derives bit-identical shares.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    alpha = 1.0 / temperature
+    weights = {
+        d: float(n) ** alpha for d, n in sorted(counts.items()) if n > 0
+    }
+    tot = 0.0
+    for w in weights.values():  # sorted-domain accumulation order
+        tot += w
+    if tot == 0.0:
+        return {d: 0.0 for d in counts}
+    return {d: weights.get(d, 0.0) / tot for d in counts}
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    temperature: float,
+    id_col: str,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministically rebalance the corpus toward the
+    temperature-scaled mixture: derive share_d ∝ n_d^(1/T) from the
+    observed domain counts, then apply :func:`mixture_sample`'s
+    max-retention budget arithmetic and stratified hash filter.  With
+    T>1 the head domains are downsampled toward the tail (the scarcest
+    domain relative to its scaled share survives in full); the corpus
+    itself never shuffles — one O(domains) count aggregate picks the
+    fractions and a narrow hash filter applies them, same 100 TB shape
+    as every sampler here.
+    """
+    counts = {
+        r[domain_col]: r["n"]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    shares = temperature_shares(counts, temperature=temperature)
+    fractions = mixture_fractions(counts, shares)
+    return stratified_sample(
+        df,
+        strata_col=domain_col,
+        fractions=fractions,
+        id_col=id_col,
+        seed=seed,
+        default_fraction=0.0,
+    )

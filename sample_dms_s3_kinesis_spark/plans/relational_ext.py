@@ -3810,3 +3810,158 @@ def q_dedup_segments_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 0),
         width=12,
     )
+
+
+@_register(
+    "q_unpivot_metrics",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+             ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM a
+    """,
+    "UNPIVOT/melt: wide per-flag measure columns to long (metric, "
+    "value) rows — Spark's native unpivot operator (the oracle spells "
+    "it as the equivalent UNION ALL); long form is the shape metric "
+    "stores and plotting layers ingest",
+    "O17 generalized: wide-to-long reshape",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        _money(F.sum(_dec(F.col("l_quantity"))), 2).alias("sum_qty"),
+        _money(F.sum(_dec(F.col("l_extendedprice"))), 2).alias("sum_price"),
+        _money(F.sum(_dec(F.col("l_discount"))), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
+    )
+
+
+@_register(
+    "q_array_hof_stats",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(list_aggregate(
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+             'sum') AS BIGINT) AS sum_q6,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           list_max(
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           ) AS max_q6
+    FROM embeddings
+    """,
+    "higher-order array functions (transform / filter / aggregate) "
+    "over the embedding column, quantized to exact integers (floor at "
+    "1e-6) so the fold is bit-identical cross-engine — the "
+    "whole-stage-codegen path for array math, no explode and no UDF",
+    "§2.8 scalar functions generalized: array HOFs",
+)
+def q_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q6 = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.aggregate(q6, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "sum_q6"
+        ),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias(
+            "n_pos"
+        ),
+        F.array_max(q6).alias("max_q6"),
+    )
+
+
+@_register(
+    "q_dedup_segments_within",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tks,
+             len(string_split_regex(trim(text), '\s+')) AS nt
+      FROM documents),
+    segs0 AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(tks[i*12+1 : i*12+12], ' ') AS seg
+      FROM base, UNNEST(range(0, CAST(ceil(nt / 12.0) AS BIGINT))) AS t(i)),
+    segs AS (
+      SELECT doc_id, pos, seg, lower(seg) AS key FROM segs0 WHERE seg <> ''),
+    kept AS (
+      SELECT doc_id, pos, seg FROM (
+        SELECT doc_id, pos, seg,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, key ORDER BY pos) AS rn
+        FROM segs) WHERE rn = 1),
+    rb AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS ns FROM segs GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(rb.clean_text, '') AS clean_text,
+           CAST(COALESCE(tot.ns, 0) - COALESCE(rb.nk, 0) AS BIGINT)
+             AS n_removed
+    FROM documents d LEFT JOIN rb USING (doc_id) LEFT JOIN tot USING (doc_id)
+    """,
+    "within-document repetition removal (Gopher/FineWeb repeated-lines "
+    "rule): keep the first occurrence of each repeated 12-token segment "
+    "INSIDE the same document only — composes with q_dedup_segments' "
+    "corpus-wide pass; skew-proof because the aggregate key includes "
+    "the doc id",
+    "curation: within-doc segment dedup",
+)
+def q_dedup_segments_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.curation import (
+        dedup_segments_within,
+    )
+
+    return dedup_segments_within(t(spark, sf_dir, "documents"), width=12)
+
+
+@_register(
+    "q_temperature_mixture",
+    """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+               FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, POW(n, 1.0 / 2.0) AS w FROM c),
+    tot AS (SELECT MAX(cum) AS tot FROM (
+              SELECT SUM(w) OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING)
+                AS cum FROM w)),
+    s AS (SELECT lang, n, w / tot AS share FROM w CROSS JOIN tot),
+    b AS (SELECT MIN(n / share) AS budget FROM s),
+    f AS (SELECT lang, LEAST(budget * share / n, 1.0) AS frac
+          FROM s CROSS JOIN b),
+    thr AS (SELECT lang,
+                   CASE WHEN frac >= 1.0 THEN 'g'
+                        ELSE printf('%08x', CAST(FLOOR(frac * 4294967296.0) AS BIGINT))
+                   END AS bound
+            FROM f),
+    kept AS (SELECT d.lang
+             FROM documents d JOIN thr ON d.lang = thr.lang
+             WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':13'), 1, 8) < thr.bound)
+    SELECT lang, COUNT(*) AS n_docs FROM kept GROUP BY lang
+    """,
+    "temperature-scaled mixture sampling (share ∝ n^(1/T), T=2 — the "
+    "multilingual exponent-smoothing rule): head languages downsample "
+    "toward the tail, scarcest-relative-to-share language kept whole; "
+    "shares accumulate in sorted-lang order on both engines so the "
+    "budget arithmetic and hash thresholds match bit-for-bit",
+    "sampling: temperature rebalance (north-star)",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    out = sampling.temperature_mixture_sample(
+        d, domain_col="lang", temperature=2.0, id_col="doc_id", seed=13
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -426,3 +426,67 @@ def test_dedup_segments_against_matches_self_flavor_on_union(spark):
     assert got[13] == ("", 2)  # fully corpus-duplicated doc
     assert got[11] == ("fresh segment goes here", 1)
     assert got[12][1] == 1  # in-batch dup of doc 11's kept segment
+
+
+def _dedup_within_ref(docs, width):
+    import math as _math
+
+    out = {}
+    for doc_id, s in docs:
+        toks = s.strip().split()
+        segs = []
+        for pos in range(0, _math.ceil(len(toks) / width)):
+            seg = " ".join(toks[pos * width : pos * width + width])
+            if seg:
+                segs.append((pos, seg))
+        seen, mine = set(), []
+        for pos, seg in segs:
+            if seg.lower() not in seen:
+                seen.add(seg.lower())
+                mine.append(seg)
+        out[doc_id] = (" ".join(mine), len(segs) - len(mine))
+    return out
+
+
+def test_dedup_segments_within_python_reference(spark):
+    docs = [
+        (1, "a b c d a b c d e f g h"),   # in-doc repeat of seg 0
+        (2, "a b c d x y z w"),           # dups doc 1's seg ACROSS docs only
+        (3, "E F G H e f g h"),           # case-insensitive in-doc repeat
+        (4, "solo words here"),
+    ]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in curation.dedup_segments_within(
+            spark.createDataFrame(docs, "doc_id long, text string"), width=4
+        ).collect()
+    }
+    assert got == _dedup_within_ref(docs, 4)
+    # cross-document duplication is untouched — doc 2 keeps its copy
+    assert got[2] == ("a b c d x y z w", 0)
+    assert got[1] == ("a b c d e f g h", 1)
+    assert got[3] == ("E F G H", 1)  # first (original-case) copy survives
+
+
+def test_dedup_segments_within_then_global_matches_global(spark):
+    """The within-doc pass removes a subset of what the global pass
+    removes (global keep-first already keeps only the first in-doc
+    copy), so within→global must equal global alone."""
+    docs = [
+        (1, "a b c d a b c d e f g h"),
+        (2, "a b c d m n o p"),
+        (3, "e f g h e f g h"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    direct = {
+        r["doc_id"]: r["clean_text"]
+        for r in curation.dedup_segments(df, width=4).collect()
+    }
+    within = curation.dedup_segments_within(df, width=4).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    composed = {
+        r["doc_id"]: r["clean_text"]
+        for r in curation.dedup_segments(within, width=4).collect()
+    }
+    assert composed == direct

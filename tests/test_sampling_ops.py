@@ -462,3 +462,54 @@ def test_pack_sequence_spans_invariants(spark):
     }
     for doc_id, rs in by_doc.items():
         assert min(r["bin_id"] for r in rs) == packed[doc_id]
+
+
+def test_temperature_shares_laws():
+    counts = {"en": 8000, "de": 1500, "zh": 500}
+    nat = sampling.temperature_shares(counts, temperature=1.0)
+    tot = sum(counts.values())
+    # T=1 reproduces natural proportions
+    for d, n in counts.items():
+        assert abs(nat[d] - n / tot) < 1e-12
+    # higher T flattens: head share falls, tail share rises, sum stays 1
+    for T in (2.0, 5.0, 100.0):
+        s = sampling.temperature_shares(counts, temperature=T)
+        assert abs(sum(s.values()) - 1.0) < 1e-12
+        assert s["en"] < nat["en"] and s["zh"] > nat["zh"]
+    # T→∞ approaches uniform
+    s = sampling.temperature_shares(counts, temperature=1e9)
+    assert all(abs(v - 1 / 3) < 1e-6 for v in s.values())
+    # zero-count domains get share 0 and don't poison the rest
+    s = sampling.temperature_shares({"en": 10, "empty": 0}, temperature=2.0)
+    assert s["empty"] == 0.0 and abs(s["en"] - 1.0) < 1e-12
+
+
+def test_temperature_mixture_sample_rebalances(spark):
+    rows = [(i, "en" if i < 900 else ("de" if i < 980 else "zh"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.temperature_mixture_sample(
+        df, domain_col="lang", temperature=3.0, id_col="doc_id", seed=7
+    )
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the scarcest domain relative to its scaled share survives in full
+    assert got["zh"] == 20
+    # head domain is downsampled below natural proportion
+    assert got["en"] < 900
+    # achieved mixture is closer to the T-scaled target than natural was
+    shares = sampling.temperature_shares(
+        {"en": 900, "de": 80, "zh": 20}, temperature=3.0
+    )
+    tot = sum(got.values())
+    assert abs(got["en"] / tot - shares["en"]) < 0.05
+    # determinism under repartition: identical surviving ids
+    ids_a = {r["doc_id"] for r in out.collect()}
+    ids_b = {
+        r["doc_id"]
+        for r in sampling.temperature_mixture_sample(
+            df.repartition(17), domain_col="lang", temperature=3.0,
+            id_col="doc_id", seed=7,
+        ).collect()
+    }
+    assert ids_a == ids_b
