@@ -3965,3 +3965,25 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, domain_col="lang", temperature=2.0, id_col="doc_id", seed=13
     )
     return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_register(
+    "q_bpe_merges",
+    None,  # iterative (one argmax round per merge) — not SQL-expressible;
+    # pytest proves exact equality with a pure-Python Sennrich-style
+    # reference (tests/test_bpe_ops.py), including a hypothesis sweep
+    "BPE tokenizer induction over the corpus: 16 merge rounds on the "
+    "weighted vocabulary (corpus shuffles ONCE into (word, count); each "
+    "round is a vocabulary-sized pair-count aggregate + top-1 via "
+    "TakeOrderedAndProject — one driver row per round), merge rewrite "
+    "is a pure Catalyst array fold; deterministic count-then-lex "
+    "tie-break makes the merge list a pure function of the corpus",
+    "north-star: tokenizer induction (train the tokenizer ON the "
+    "curated corpus)",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import bpe
+
+    return bpe.merges_frame(
+        t(spark, sf_dir, "documents"), n_merges=16, min_pair_count=2
+    )
