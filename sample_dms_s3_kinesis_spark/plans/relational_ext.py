@@ -3987,3 +3987,63 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_frame(
         t(spark, sf_dir, "documents"), n_merges=16, min_pair_count=2
     )
+
+
+@_register(
+    "q_funnel_counts",
+    """
+    WITH t1 AS (SELECT user_id, MIN(ts) AS ts FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.ts
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.ts
+           GROUP BY e.user_id)
+    SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM t1
+    UNION ALL
+    SELECT 2 AS step, 'click' AS step_name, COUNT(*) AS n_users FROM t2
+    UNION ALL
+    SELECT 3 AS step, 'purchase' AS step_name, COUNT(*) AS n_users FROM t3
+    """,
+    "ordered funnel (view → click → purchase, strict event-time order "
+    "between steps): per-user matching is ONE sorted-array fold after "
+    "one user-key shuffle — the oracle's k-fold iterative-min CTE chain "
+    "is the semantic spec, the Spark plan touches the event table once "
+    "instead of k times",
+    "O17 generalized: event-sequence funnel",
+)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import analytics
+
+    return analytics.funnel_counts(
+        t(spark, sf_dir, "events"), steps=["view", "click", "purchase"]
+    )
+
+
+@_register(
+    "q_cohort_retention",
+    """
+    WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+          FROM events)
+    SELECT cohort,
+           CAST(date_diff('day', cohort, period) / 7 AS INT)
+             AS period_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY cohort, period_offset
+    """,
+    "cohort retention matrix: users bucketed by first-activity week "
+    "(Monday-truncated in both engines), exact distinct-user counts "
+    "per (cohort, week-offset) cell; two aggregates, never a per-user "
+    "matrix",
+    "O17 generalized: cohort retention",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import analytics
+
+    return analytics.cohort_retention(t(spark, sf_dir, "events"))
