@@ -271,3 +271,34 @@ def test_dedup_segments_keep_first_is_aggregate_not_window(spark):
     assert "partial_min" in plan  # map-side combine on the segment key
     # the only Window-free rebuild: sort_array over collect_list
     assert plan.count("Window") == 0
+
+
+def test_session_r5b_queries_stay_jvm_side(spark):
+    """The funnel/cohort/unpivot/HOF/temperature/segment-within batch
+    is pure Catalyst — no Python row evaluation in any plan."""
+    for name in (
+        "q_unpivot_metrics",
+        "q_array_hof_stats",
+        "q_dedup_segments_within",
+        "q_temperature_mixture",
+        "q_funnel_counts",
+        "q_cohort_retention",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_funnel_scans_events_once(spark):
+    """The funnel fold must touch the event table ONCE (the naive plan
+    joins it k times, once per step) and push the step-type filter to
+    the scan."""
+    plan = _plan(spark, "q_funnel_counts")
+    assert plan.count("Scan parquet") == 1
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_cohort_distinct_is_two_phase(spark):
+    """Exact distinct-user counts must run as partial/final aggregates
+    (map-side combine), never a single-phase global aggregate."""
+    plan = _plan(spark, "q_cohort_retention")
+    assert plan.count("HashAggregate") >= 4
