@@ -599,3 +599,206 @@ def semantic_dedup(
     return resolve_duplicates(
         df, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
     )
+
+
+# ----------------------------------------------- product quantization
+
+def _pq_dim(df: DataFrame, vec_col: str, dim: int | None, m: int) -> int:
+    if dim is None:
+        probe = df.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "pq: cannot infer dim from an empty/null-vector frame; "
+                "pass dim= explicitly"
+            )
+        dim = len(probe[0])
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    return dim
+
+
+def _pq_subvectors(
+    df: DataFrame, *, vec_col: str, id_col: str, m: int, dim: int
+) -> DataFrame:
+    """(id, sub, _sv) — each vector split into m contiguous subvectors.
+    Bounded explode: exactly m rows per vector."""
+    d_sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    slices = F.array(
+        *[F.slice(v, j * d_sub + 1, d_sub) for j in range(m)]
+    )
+    return spread(df).select(
+        F.col(id_col), F.posexplode(slices).alias("sub", "_sv")
+    )
+
+
+def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    """Nearest code per (vector, subspace): broadcast the m·codes-row
+    codebook, join on the subspace, per-group MIN(struct(dist, code))
+    aggregate — deterministic tie-break on code, map-side combinable,
+    no window over the corpus."""
+    joined = subs.join(F.broadcast(codebooks), on="sub")
+    d2 = F.aggregate(
+        F.zip_with(F.col("_sv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        joined.groupBy(id_col, "sub")
+        .agg(F.min(F.struct(d2.alias("_d"), F.col("code").alias("code"))).alias("_b"))
+        .select(id_col, "sub", F.col("_b.code").alias("code"))
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Train product-quantization codebooks: split every vector into
+    ``m`` contiguous subvectors and k-means each subspace into
+    ``codes`` centroids (Jégou et al. 2011 — the memory side of
+    billion-scale ANN: a vector becomes m small codes, 4-8 bytes total,
+    while distances stay computable against the codebooks alone).
+
+    Plan: ONE bounded explode (m rows/vector), seed centroids from the
+    subvectors of ``codes`` hash-sampled vectors (TakeOrderedAndProject
+    — no corpus window), then Lloyd rounds shared across all subspaces
+    at once: broadcast codebook join + per-(vector, subspace) MIN
+    aggregate + a wide per-(sub, code) mean — the driver sees only the
+    m·codes codebook rows per round.  Empty codes keep their previous
+    centroid; everything ties deterministically.
+
+    Output: (sub, code, centroid array<double>) — m·codes rows.
+    """
+    dim = _pq_dim(df, vec_col, dim, m)
+    d_sub = dim // m
+    subs = _pq_subvectors(df, vec_col=vec_col, id_col=id_col, m=m, dim=dim)
+    seed_ids = (
+        df.select(F.col(id_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(codes)
+        .withColumn(
+            "code", F.row_number().over(Window.orderBy(id_col)) - 1
+        )
+    )
+    codebooks = (
+        subs.join(F.broadcast(seed_ids), on=id_col)
+        .select("sub", "code", F.col("_sv").alias("centroid"))
+    )
+    spark = df.sparkSession
+    current = codebooks.collect()
+    codebooks = spark.createDataFrame(
+        current, "sub int, code int, centroid array<double>"
+    )
+    for _ in range(max(0, iters)):
+        assign = _pq_assign(subs, codebooks, id_col)
+        joined = subs.join(assign, on=[id_col, "sub"])
+        avgs = [
+            F.avg(F.get(F.col("_sv"), i)).alias(f"_c{i}") for i in range(d_sub)
+        ]
+        means = (
+            joined.groupBy("sub", "code")
+            .agg(*avgs)
+            .select(
+                "sub",
+                "code",
+                F.array(*[F.col(f"_c{i}") for i in range(d_sub)]).alias(
+                    "centroid"
+                ),
+            )
+            .collect()
+        )
+        got = {(r["sub"], r["code"]): r["centroid"] for r in means}
+        merged = [
+            (r["sub"], r["code"], got.get((r["sub"], r["code"]), r["centroid"]))
+            for r in codebooks.collect()
+        ]
+        codebooks = spark.createDataFrame(
+            merged, "sub int, code int, centroid array<double>"
+        )
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Encode every vector as its m nearest-code ids.  Output:
+    (id_col, codes array<int>) — the 100 TB resident form of the
+    corpus: m bytes-ish per vector instead of 4·dim."""
+    dim = _pq_dim(df, vec_col, dim, m)
+    subs = _pq_subvectors(df, vec_col=vec_col, id_col=id_col, m=m, dim=dim)
+    assign = _pq_assign(subs, codebooks, id_col)
+    return (
+        assign.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("sub"), F.col("code")))
+                ),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the driver turns the
+    (tiny) codebook into a per-(subspace, code) squared-distance table
+    against the query, and scoring a vector is m table lookups + a sum
+    — a pure Catalyst fold over the codes array; the corpus's float
+    vectors are never read.  TakeOrderedAndProject finishes (per-
+    partition heaps, no global sort).
+
+    Output: (id_col, approx_dist) ascending, ties broken on id.
+    """
+    rows = codebooks.collect()  # m·codes rows — driver-bounded
+    if not rows:
+        raise ValueError("pq_topk: empty codebook frame")
+    m = 1 + max(r["sub"] for r in rows)
+    n_codes = 1 + max(r["code"] for r in rows)
+    d_sub = len(rows[0]["centroid"])
+    table = [[0.0] * n_codes for _ in range(m)]
+    for r in rows:
+        q_sub = query_vec[r["sub"] * d_sub : (r["sub"] + 1) * d_sub]
+        table[r["sub"]][r["code"]] = sum(
+            (float(q) - c) ** 2 for q, c in zip(q_sub, r["centroid"])
+        )
+    tbl = F.array(
+        *[F.array(*[F.lit(d) for d in row]) for row in table]
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.lit(m)),
+            F.col("codes"),
+            lambda i, c: F.element_at(
+                F.element_at(tbl, i), (c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        encoded.select(F.col(id_col), F.round(dist, scale).alias("approx_dist"))
+        .orderBy("approx_dist", id_col)
+        .limit(k)
+    )

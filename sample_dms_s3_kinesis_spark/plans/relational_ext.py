@@ -4047,3 +4047,27 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators import analytics
 
     return analytics.cohort_retention(t(spark, sf_dir, "events"))
+
+
+@_register(
+    "q_pq_topk",
+    None,  # approximate ANN family (like IVF/LSH): iterative training +
+    # hash-seeded codebooks are not SQL-expressible; pytest pins encode
+    # vs a per-subspace nearest-code check, asymmetric-distance scoring
+    # vs a Python table reference, recall vs brute force, and train
+    # determinism under repartition (tests/test_similarity_ops.py)
+    "product-quantization ANN: train m=4 codebooks (one bounded explode "
+    "to subvectors, Lloyd rounds shared across subspaces, driver sees "
+    "only m·codes rows/round), encode the corpus to m small codes, and "
+    "serve top-k by asymmetric distance — m table lookups per vector "
+    "from a driver-built query table, TakeOrderedAndProject finish; "
+    "the float vectors are never read at query time",
+    "north-star: similarity search (PQ — the memory side of "
+    "billion-scale ANN)",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    query = [0.1] * 64
+    cb = _sim.pq_train(e, m=4, codes=16, iters=1, dim=64)
+    enc = _sim.pq_encode(e, cb, m=4, dim=64)
+    return _sim.pq_topk(enc, cb, query, k=10)

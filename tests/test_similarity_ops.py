@@ -387,3 +387,97 @@ def test_kmeans_refine_preserves_long_cell_ids(spark):
     refined = similarity.kmeans_refine(df, cents, iters=2, dim=2)
     assert refined.schema["cell"].dataType.simpleString() == "bigint"
     assert {r["cell"] for r in refined.collect()} == {big, big + 1}
+
+
+# ------------------------------------------------- product quantization
+
+def _pq_blobs(spark, n=120, dim=8, n_clusters=6, seed=5):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 5.0
+    rows = []
+    for i in range(n):
+        v = centers[i % n_clusters] + rng.normal(size=dim) * 0.2
+        rows.append((i, [float(x) for x in v]))
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_pq_encode_picks_nearest_code_per_subspace(spark):
+    rows, df = _pq_blobs(spark)
+    m, d_sub = 4, 2
+    cb = similarity.pq_train(df, m=m, codes=8, iters=2)
+    cb_rows = {(r["sub"], r["code"]): r["centroid"] for r in cb.collect()}
+    enc = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.pq_encode(df, cb, m=m).collect()
+    }
+    assert set(enc) == {i for i, _ in rows}
+    for vid, vec in rows:
+        for sub in range(m):
+            sv = vec[sub * d_sub : (sub + 1) * d_sub]
+            dists = {
+                code: sum((a - b) ** 2 for a, b in zip(sv, cen))
+                for (s, code), cen in cb_rows.items()
+                if s == sub
+            }
+            best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            assert enc[vid][sub] == best, (vid, sub)
+
+
+def test_pq_topk_matches_python_table_scoring(spark):
+    rows, df = _pq_blobs(spark)
+    m, d_sub = 4, 2
+    cb = similarity.pq_train(df, m=m, codes=8, iters=1)
+    cb_rows = {(r["sub"], r["code"]): r["centroid"] for r in cb.collect()}
+    enc_rows = similarity.pq_encode(df, cb, m=m).collect()
+    q = rows[7][1]
+    got = [
+        (r["vec_id"], r["approx_dist"])
+        for r in similarity.pq_topk(
+            df.sparkSession.createDataFrame(enc_rows), cb, q, k=10
+        ).collect()
+    ]
+    # python reference: asymmetric distance = sum of per-sub table entries
+    ref = []
+    for r in enc_rows:
+        d = 0.0
+        for sub, code in enumerate(r["codes"]):
+            cen = cb_rows[(sub, code)]
+            qs = q[sub * d_sub : (sub + 1) * d_sub]
+            d += sum((a - b) ** 2 for a, b in zip(qs, cen))
+        ref.append((round(d, 6), r["vec_id"]))
+    ref.sort(key=lambda t: (t[0], t[1]))
+    assert got == [(vid, d) for d, vid in ref[:10]]
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    rows, df = _pq_blobs(spark, n=150)
+    q = rows[3][1]
+    exact = sorted(
+        (sum((a - b) ** 2 for a, b in zip(vec, q)), vid) for vid, vec in rows
+    )[:5]
+    cb = similarity.pq_train(df, m=4, codes=12, iters=2)
+    enc = similarity.pq_encode(df, cb, m=4)
+    got = {
+        r["vec_id"] for r in similarity.pq_topk(enc, cb, q, k=5).collect()
+    }
+    recall = len(got & {vid for _, vid in exact}) / 5
+    assert recall >= 0.6, recall
+
+
+def test_pq_train_deterministic_and_validates(spark):
+    _, df = _pq_blobs(spark, n=40)
+    a = similarity.pq_train(df, m=4, codes=6, iters=1).collect()
+    b = similarity.pq_train(
+        df.repartition(13), m=4, codes=6, iters=1
+    ).collect()
+    key = lambda r: (r["sub"], r["code"])
+    assert sorted(a, key=key) == sorted(b, key=key)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(df, m=3, codes=4)
+    empty = df.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.pq_train(empty, m=4, codes=4)
