@@ -62,19 +62,31 @@ def user_funnel_depth(
     fold = F.aggregate(
         evs,
         F.struct(
-            F.lit(0).alias("step"), F.lit(_NEG_INF).cast("long").alias("t")
+            F.lit(0).alias("step"),
+            F.lit(_NEG_INF).cast("long").alias("t"),
+            F.lit(None).cast("long").alias("t0"),
         ),
         lambda acc, e: F.when(
             (acc["step"] < k)
             & (e["y"] == F.element_at(steps_arr, acc["step"] + 1))
             & (e["t"] > acc["t"]),
-            F.struct((acc["step"] + 1).alias("step"), e["t"].alias("t")),
+            F.struct(
+                (acc["step"] + 1).alias("step"),
+                e["t"].alias("t"),
+                F.coalesce(acc["t0"], e["t"]).alias("t0"),
+            ),
         ).otherwise(acc),
     )
     return (
         df.filter(F.col(type_col).isin(list(steps)))
         .groupBy(user_col)
-        .agg(fold["step"].alias("depth"))
+        .agg(fold.alias("_f"))  # one fold per group; fields projected below
+        .select(
+            user_col,
+            F.col("_f.step").alias("depth"),
+            F.col("_f.t0").alias("first_micros"),
+            F.col("_f.t").alias("last_micros"),
+        )
         .filter(F.col("depth") >= 1)
     )
 
@@ -147,4 +159,106 @@ def cohort_retention(
         )
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )
+
+
+def funnel_conversion_stats(
+    df: DataFrame,
+    *,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert for fully-converted users: count and mean
+    first-step→last-step latency.  The micros differences sum EXACTLY
+    (bigint) with one double division at the end, so the mean is
+    bit-identical cross-engine (the corr/covar lesson applied to
+    latency).  Output: one row (n_converted, avg_seconds)."""
+    depth = user_funnel_depth(
+        df, steps=steps, user_col=user_col, ts_col=ts_col, type_col=type_col
+    )
+    conv = depth.filter(F.col("depth") == len(steps))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(
+            F.sum(F.col("last_micros") - F.col("first_micros")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_seconds"),
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    step_hours: int = 6,
+) -> DataFrame:
+    """Regular time-grid resampling with forward fill: per key, emit
+    one row every ``step_hours`` from the key's first observation hour
+    to its last, carrying the latest value observed at or before each
+    grid instant — the gap-filling step before any windowed model
+    consumes an irregular series.
+
+    Plan: per-key min/max aggregate → bounded grid explode (span /
+    step rows per key, never data-dependent blowup) → one union with
+    the observations → a single per-key ordered window doing
+    last_value(ignore nulls).  Order is (instant, grid-after-obs,
+    id) — fully deterministic even with duplicate timestamps, and the
+    forward-filled value is an exact copy of an input value (no
+    arithmetic), so the result is engine-exact.
+
+    Output: (key_col, grid_ts, value).  The grid starts at the
+    TRUNCATED first-observation hour, so the first grid instant can
+    precede the first observation — its value is NULL (nothing to
+    carry yet), matching the oracle exactly.
+    """
+    from pyspark.sql import Window as W
+
+    bounds = df.groupBy(key_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("_s"),
+        F.date_trunc("hour", F.max(ts_col)).alias("_e"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                F.col("_s"),
+                F.col("_e"),
+                F.expr(f"INTERVAL {step_hours} HOURS"),
+            )
+        ).alias("grid_ts"),
+    )
+    _max_id = F.lit(2**62).cast("long")
+    obs = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_ot"),
+        F.col(value_col).alias("_v"),
+        F.lit(0).alias("_isg"),
+        F.col(id_col).cast("long").alias("_tie"),
+        F.lit(None).cast("timestamp").alias("grid_ts"),
+    )
+    gr = grid.select(
+        key_col,
+        F.col("grid_ts").alias("_ot"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(1).alias("_isg"),
+        _max_id.alias("_tie"),
+        "grid_ts",
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("_ot", "_isg", "_tie")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        obs.unionByName(gr)
+        .withColumn("_f", F.last("_v", ignorenulls=True).over(w))
+        .filter(F.col("_isg") == 1)
+        .select(key_col, "grid_ts", F.col("_f").alias("value"))
     )

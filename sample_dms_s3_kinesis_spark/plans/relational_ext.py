@@ -4071,3 +4071,72 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = _sim.pq_train(e, m=4, codes=16, iters=1, dim=64)
     enc = _sim.pq_encode(e, cb, m=4, dim=64)
     return _sim.pq_topk(enc, cb, query, k=10)
+
+
+@_register(
+    "q_funnel_conversion",
+    """
+    WITH t1 AS (SELECT user_id, MIN(ts) AS ts FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.ts
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.ts
+           GROUP BY e.user_id)
+    SELECT COUNT(*) AS n_converted,
+           ROUND(CAST(SUM(epoch_us(t3.ts) - epoch_us(t1.ts)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 6) AS avg_seconds
+    FROM t3 JOIN t1 USING (user_id)
+    """,
+    "funnel time-to-convert: mean first-view→purchase latency over "
+    "fully-converted users; microsecond differences sum exactly in "
+    "bigint with ONE double division at the end (the corr/covar "
+    "exact-moments lesson applied to latency), so the mean is "
+    "bit-identical cross-engine",
+    "O17 generalized: funnel conversion latency",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import analytics
+
+    return analytics.funnel_conversion_stats(
+        t(spark, sf_dir, "events"), steps=["view", "click", "purchase"]
+    )
+
+
+@_register(
+    "q_resample_ffill",
+    """
+    WITH b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS s,
+                      date_trunc('hour', MAX(ts)) AS e
+               FROM events GROUP BY user_id),
+    g AS (SELECT user_id,
+                 UNNEST(generate_series(s, e, INTERVAL 6 HOUR)) AS grid_ts
+          FROM b),
+    u AS (SELECT user_id, ts AS ot, value AS v, 0 AS isg,
+                 event_id AS tie, NULL::TIMESTAMP AS grid_ts
+          FROM events
+          UNION ALL
+          SELECT user_id, grid_ts AS ot, NULL AS v, 1 AS isg,
+                 4611686018427387904 AS tie, grid_ts
+          FROM g),
+    f AS (SELECT user_id, grid_ts, isg,
+                 LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ot, isg, tie
+                   ROWS UNBOUNDED PRECEDING) AS value
+          FROM u)
+    SELECT user_id, grid_ts, value FROM f WHERE isg = 1
+    """,
+    "time-grid resampling with forward fill (6-hour grid per user from "
+    "first to last observation hour): bounded grid explode + ONE "
+    "per-key ordered window carrying last_value(ignore nulls); order "
+    "(instant, grid-after-obs, event id) is deterministic under "
+    "duplicate timestamps and the filled value is an exact input copy",
+    "O17 generalized: gap-filling resample",
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import analytics
+
+    return analytics.resample_ffill(t(spark, sf_dir, "events"), step_hours=6)

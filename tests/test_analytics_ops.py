@@ -135,3 +135,53 @@ def test_cohort_retention_matrix(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_funnel_conversion_stats(spark):
+    rows = [
+        # u1 converts: view@d1 -> purchase@d3 (48h)
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        # u2 converts: view@d1 -> purchase@d2 (24h); later earlier-view ignored
+        (2, _ts(1), "view"), (2, _ts(1, 6), "click"), (2, _ts(2), "purchase"),
+        # u3 does not convert
+        (3, _ts(1), "view"), (3, _ts(2), "click"),
+    ]
+    got = analytics.funnel_conversion_stats(
+        _events(spark, rows), steps=["view", "click", "purchase"]
+    ).collect()[0]
+    assert got["n_converted"] == 2
+    assert got["avg_seconds"] == (48 * 3600 + 24 * 3600) / 2
+
+
+def test_resample_ffill_gaps_duplicates_and_nulls(spark):
+    rows = [
+        # u1: obs at 00:30 (v=1), 13:00 (v=2); 6h grid 00:00..12:00
+        (1, datetime(2024, 1, 1, 0, 30), 1.0),
+        (1, datetime(2024, 1, 1, 13, 0), 2.0),
+        # u2: duplicate timestamp — higher event_id wins the tie
+        (2, datetime(2024, 1, 1, 1, 0), 10.0),
+        (2, datetime(2024, 1, 1, 1, 0), 11.0),
+        (2, datetime(2024, 1, 1, 8, 0), 12.0),
+        # u3: NULL value is "no observation" — fill skips it
+        (3, datetime(2024, 1, 1, 0, 0), 30.0),
+        (3, datetime(2024, 1, 1, 7, 0), None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, ts, v) for i, (u, ts, v) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r["user_id"], r["grid_ts"].isoformat()): r["value"]
+        for r in analytics.resample_ffill(df, step_hours=6).collect()
+    }
+    assert got == {
+        # u1 grid: 00:00 (before first obs -> NULL fill is impossible;
+        # the 00:30 obs hasn't happened yet at the 00:00 instant)
+        (1, "2024-01-01T00:00:00"): None,
+        (1, "2024-01-01T06:00:00"): 1.0,
+        (1, "2024-01-01T12:00:00"): 1.0,
+        (2, "2024-01-01T01:00:00"): 11.0,   # duplicate-ts tie: id order
+        (2, "2024-01-01T07:00:00"): 11.0,
+        (3, "2024-01-01T00:00:00"): 30.0,
+        (3, "2024-01-01T06:00:00"): 30.0,
+    }
