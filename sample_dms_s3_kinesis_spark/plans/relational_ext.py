@@ -4140,3 +4140,101 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators import analytics
 
     return analytics.resample_ffill(t(spark, sf_dir, "events"), step_hours=6)
+
+
+@_register(
+    "q_rolling_7d_value",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS v_q6
+      FROM events GROUP BY event_type, day)
+    SELECT event_type, day, n,
+           CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(v_q6) OVER w AS BIGINT) AS v_q6_7d
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+    "rolling 7-day window per event type over daily aggregates: the "
+    "RANGE interval frame sums the trailing week even across missing "
+    "days (a ROWS frame would silently shrink the window); values are "
+    "floor-quantized to exact integers so the rolling sums are "
+    "bit-identical cross-engine; the window runs over the tiny "
+    "per-(type, day) frame, never the raw events",
+    "§2.7 window generalized: interval range frame",
+)
+def q_rolling_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+        .cast("long")
+        .alias("v_q6"),
+    )
+    # RANGE frame needs a numeric order key in Spark: days since epoch.
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).cast("long").alias("n_7d"),
+        F.sum("v_q6").over(w).cast("long").alias("v_q6_7d"),
+    )
+
+
+@_register(
+    "q_daily_anomaly",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY event_type, day),
+    m AS (
+      SELECT event_type, COUNT(*) AS k,
+             CAST(SUM(CAST(n AS BIGINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(n AS BIGINT) * CAST(n AS BIGINT)) AS DOUBLE) AS s2
+      FROM d GROUP BY event_type)
+    SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+           ROUND((d.n - s1 / k)
+                 / SQRT(s2 / k - (s1 / k) * (s1 / k)), 4) AS zscore
+    FROM d JOIN m ON d.event_type = m.event_type
+    WHERE ABS((d.n - s1 / k)
+              / SQRT(s2 / k - (s1 / k) * (s1 / k))) > 1.5
+    """,
+    "daily volume anomaly flags per event type: z-scores from EXACT "
+    "integer moment sums (SUM(n), SUM(n*n) in bigint, divided once at "
+    "the end — the engine-internal stddev accumulates in float and "
+    "differs cross-engine in the 4th decimal); the per-type moments "
+    "broadcast back onto the daily frame",
+    "O17 generalized: anomaly detection over volume series",
+)
+def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("double").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+    )
+    j = d.join(F.broadcast(m), on="event_type")
+    mean = F.col("s1") / F.col("k")
+    z = (F.col("n").cast("double") - mean) / F.sqrt(
+        F.col("s2") / F.col("k") - mean * mean
+    )
+    return j.filter(F.abs(z) > 1.5).select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(z, 4).alias("zscore"),
+    )
