@@ -185,3 +185,55 @@ def test_resample_ffill_gaps_duplicates_and_nulls(spark):
         (3, "2024-01-01T00:00:00"): 30.0,
         (3, "2024-01-01T06:00:00"): 30.0,
     }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=40),     # hour offset
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_resample_ffill_property(spark, raw):
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + timedelta(hours=h), float(v) if v is not None else None)
+        for i, (u, h, v) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["grid_ts"]): r["value"]
+        for r in analytics.resample_ffill(df, step_hours=6).collect()
+    }
+    # python model: per user, 6h grid from floor-hour(min) to floor-hour(max);
+    # fill = value of the last (ts, event_id)-ordered non-null obs with ts <= g
+    exp = {}
+    by_user = {}
+    for eid, u, ts, v in rows:
+        by_user.setdefault(u, []).append((ts, eid, v))
+    for u, obs in by_user.items():
+        s = min(t for t, _, _ in obs).replace(minute=0, second=0, microsecond=0)
+        e = max(t for t, _, _ in obs).replace(minute=0, second=0, microsecond=0)
+        g = s
+        while g <= e:
+            fills = [
+                (t, eid, v)
+                for t, eid, v in obs
+                if t <= g and v is not None
+            ]
+            exp[(u, g)] = max(fills)[2] if fills else None
+            g += timedelta(hours=6)
+    assert got == exp
