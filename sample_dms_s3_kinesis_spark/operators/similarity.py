@@ -802,3 +802,198 @@ def pq_topk(
         .orderBy("approx_dist", id_col)
         .limit(k)
     )
+
+
+def _l2_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Nearest-centroid cell by EUCLIDEAN distance (the PQ-side metric;
+    :func:`ivf_assign` is its cosine twin).  Broadcast centroids +
+    per-group MIN(struct) argmin — deterministic, no corpus window."""
+    v = spread(df).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    joined = v.join(F.broadcast(centroids))
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.min(F.struct(d2.alias("_d"), F.col("cell").alias("cell"))).alias("_b"))
+        .select(id_col, F.col("_b.cell").alias("cell"))
+    )
+
+
+class IvfPqIndex:
+    """IVF-PQ (IVFADC, Jégou et al. 2011): a coarse inverted file picks
+    candidate cells, and within each cell vectors live only as PQ codes
+    of their RESIDUAL from the cell centroid — the composition that
+    serves billion-vector corpora: the coarse quantizer prunes the
+    corpus to nprobe/cells, and the PQ codes shrink what remains to a
+    few bytes per vector.  Search never touches a float corpus vector:
+    the driver builds one m×codes asymmetric-distance table per probed
+    cell (against the query's residual in that cell) and scoring is m
+    table lookups + a sum per candidate, finished by
+    TakeOrderedAndProject.
+
+    All distances are Euclidean (the PQ metric); everything ties
+    deterministically, so build and search are pure functions of the
+    corpus.
+    """
+
+    def __init__(
+        self,
+        centroids: DataFrame,
+        codebooks: DataFrame,
+        encoded: DataFrame,
+        *,
+        m: int,
+        id_col: str,
+    ):
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.encoded = encoded  # (id, cell, codes)
+        self.m = m
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        *,
+        cells: int = 8,
+        m: int = 4,
+        codes: int = 16,
+        iters: int = 1,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        dim: int | None = None,
+    ) -> "IvfPqIndex":
+        dim = _pq_dim(df, vec_col, dim, m)
+        centroids = _deterministic_centroids(
+            df, vec_col=vec_col, id_col=id_col, cells=cells
+        ).localCheckpoint(eager=True)
+        assign = _l2_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+        residuals = (
+            df.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+            )
+            .join(assign, on=id_col)
+            .join(F.broadcast(centroids), on="cell")
+            .select(
+                id_col,
+                "cell",
+                F.zip_with(
+                    F.col("_v"), F.col("centroid"), lambda a, b: a - b
+                ).alias("_res"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        codebooks = pq_train(
+            residuals, vec_col="_res", id_col=id_col, m=m, codes=codes,
+            iters=iters, dim=dim,
+        ).localCheckpoint(eager=True)
+        enc = pq_encode(
+            residuals, codebooks, vec_col="_res", id_col=id_col, m=m, dim=dim
+        )
+        encoded = (
+            residuals.select(id_col, "cell")
+            .join(enc, on=id_col)
+            .localCheckpoint(eager=True)
+        )
+        return cls(centroids, codebooks, encoded, m=m, id_col=id_col)
+
+    def search(
+        self, query_vec: list[float], *, k: int = 10, nprobe: int = 2,
+        scale: int = 6,
+    ) -> DataFrame:
+        q = [float(x) for x in query_vec]
+        q_arr = F.array(*[F.lit(x) for x in q])
+        d2 = F.aggregate(
+            F.zip_with(F.col("centroid"), q_arr, lambda c, x: (c - x) * (c - x)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        probed = (
+            self.centroids.select("cell", "centroid", d2.alias("_d"))
+            .orderBy("_d", "cell")
+            .limit(nprobe)
+            .collect()
+        )
+        cb = self.codebooks.collect()
+        n_codes = 1 + max(r["code"] for r in cb)
+        d_sub = len(cb[0]["centroid"])
+        book = {(r["sub"], r["code"]): r["centroid"] for r in cb}
+        # per probed cell: the ADC table against the query's residual
+        dist_expr = None
+        for cr in probed:
+            qr = [x - c for x, c in zip(q, cr["centroid"])]
+            table = [[0.0] * n_codes for _ in range(self.m)]
+            for (sub, code), cen in book.items():
+                qs = qr[sub * d_sub : (sub + 1) * d_sub]
+                table[sub][code] = sum(
+                    (a - b) ** 2 for a, b in zip(qs, cen)
+                )
+            tbl = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+            branch = F.aggregate(
+                F.zip_with(
+                    F.sequence(F.lit(1), F.lit(self.m)),
+                    F.col("codes"),
+                    lambda i, c: F.element_at(
+                        F.element_at(tbl, i), (c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            cond = F.col("cell") == F.lit(cr["cell"])
+            dist_expr = (
+                F.when(cond, branch)
+                if dist_expr is None
+                else dist_expr.when(cond, branch)
+            )
+        cells = [cr["cell"] for cr in probed]
+        return (
+            self.encoded.filter(F.col("cell").isin(cells))
+            .select(
+                F.col(self.id_col),
+                F.round(dist_expr, scale).alias("approx_dist"),
+            )
+            .orderBy("approx_dist", self.id_col)
+            .limit(k)
+        )
+
+    # -- persistence: same durable shape as IvfIndex — codes partitioned
+    # by cell so a loaded index's probe prunes parquet partitions.
+
+    def save(self, path: str) -> None:
+        path = path.rstrip("/")
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        self.codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+        (
+            self.encoded.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/encoded")
+        )
+        meta = self.centroids.sparkSession.createDataFrame(
+            [(self.m, self.id_col)], "m int, id_col string"
+        )
+        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        path = path.rstrip("/")
+        meta = spark.read.json(f"{path}/meta").collect()[0]
+        return cls(
+            spark.read.parquet(f"{path}/centroids"),
+            spark.read.parquet(f"{path}/codebooks"),
+            spark.read.parquet(f"{path}/encoded"),
+            m=int(meta["m"]),
+            id_col=meta["id_col"],
+        )

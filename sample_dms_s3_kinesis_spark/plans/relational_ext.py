@@ -4238,3 +4238,22 @@ def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(z, 4).alias("zscore"),
     )
+
+
+@_register(
+    "q_ivfpq_topk",
+    None,  # approximate ANN (IVFADC); pytest pins search vs a Python
+    # asymmetric-distance reference over the same probed cells, recall
+    # vs brute force, and a save/load roundtrip whose loaded probe
+    # partition-prunes on the cell key (tests/test_similarity_ops.py)
+    "IVF-PQ ANN (IVFADC): coarse cells prune the corpus to "
+    "nprobe/cells, PQ codes of cell residuals shrink the rest to a few "
+    "bytes/vector; search builds one m×codes distance table per probed "
+    "cell on the driver and scores by table lookups — corpus floats "
+    "are never read at query time",
+    "north-star: similarity search (IVF-PQ composition)",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    idx = _sim.IvfPqIndex.build(e, cells=8, m=4, codes=16, iters=1, dim=64)
+    return idx.search([0.1] * 64, k=10, nprobe=3)

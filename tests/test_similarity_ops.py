@@ -481,3 +481,68 @@ def test_pq_train_deterministic_and_validates(spark):
     empty = df.filter("vec_id < 0")
     with _pytest.raises(ValueError, match="empty"):
         similarity.pq_train(empty, m=4, codes=4)
+
+
+def test_ivfpq_search_matches_python_adc_reference(spark):
+    rows, df = _pq_blobs(spark, n=100)
+    idx = similarity.IvfPqIndex.build(
+        df, cells=5, m=4, codes=8, iters=1
+    )
+    cents = {r["cell"]: r["centroid"] for r in idx.centroids.collect()}
+    book = {(r["sub"], r["code"]): r["centroid"] for r in idx.codebooks.collect()}
+    enc = {r["vec_id"]: (r["cell"], r["codes"]) for r in idx.encoded.collect()}
+    d_sub = 2
+    q = rows[11][1]
+    nprobe = 3
+    # python ADC reference over the same probed cells
+    probed = sorted(
+        cents,
+        key=lambda c: (
+            sum((a - b) ** 2 for a, b in zip(q, cents[c])),
+            c,
+        ),
+    )[:nprobe]
+    ref = []
+    for vid, (cell, codes) in enc.items():
+        if cell not in probed:
+            continue
+        qr = [a - b for a, b in zip(q, cents[cell])]
+        d = 0.0
+        for sub, code in enumerate(codes):
+            cen = book[(sub, code)]
+            qs = qr[sub * d_sub : (sub + 1) * d_sub]
+            d += sum((a - b) ** 2 for a, b in zip(qs, cen))
+        ref.append((round(d, 6), vid))
+    ref.sort()
+    got = [
+        (r["vec_id"], r["approx_dist"])
+        for r in idx.search(q, k=10, nprobe=nprobe).collect()
+    ]
+    assert got == [(vid, d) for d, vid in ref[:10]]
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    rows, df = _pq_blobs(spark, n=150)
+    q = rows[9][1]
+    exact = sorted(
+        (sum((a - b) ** 2 for a, b in zip(vec, q)), vid) for vid, vec in rows
+    )[:5]
+    idx = similarity.IvfPqIndex.build(df, cells=6, m=4, codes=12, iters=2)
+    got = {r["vec_id"] for r in idx.search(q, k=5, nprobe=3).collect()}
+    recall = len(got & {vid for _, vid in exact}) / 5
+    assert recall >= 0.6, recall
+
+
+def test_ivfpq_save_load_roundtrip_prunes_partitions(spark, tmp_path):
+    rows, df = _pq_blobs(spark, n=80)
+    idx = similarity.IvfPqIndex.build(df, cells=4, m=4, codes=8, iters=1)
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    loaded = similarity.IvfPqIndex.load(spark, path)
+    q = rows[2][1]
+    a = [(r["vec_id"], r["approx_dist"]) for r in idx.search(q, k=8, nprobe=2).collect()]
+    b = [(r["vec_id"], r["approx_dist"]) for r in loaded.search(q, k=8, nprobe=2).collect()]
+    assert a == b
+    # the loaded probe must prune parquet partitions on the cell key
+    plan = loaded.search(q, k=8, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
