@@ -4257,3 +4257,103 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     idx = _sim.IvfPqIndex.build(e, cells=8, m=4, codes=16, iters=1, dim=64)
     return idx.search([0.1] * 64, k=10, nprobe=3)
+
+
+@_register(
+    "q_cohort_ltv",
+    """
+    WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+               FROM events GROUP BY user_id),
+    r AS (SELECT e.user_id, f.cohort,
+                 CAST(date_diff('day', f.cohort,
+                                date_trunc('week', e.ts)) / 7 AS INT)
+                   AS period_offset,
+                 CAST(FLOOR(e.value * 1000000) AS BIGINT) AS v_q6
+          FROM events e JOIN f USING (user_id)
+          WHERE e.event_type = 'purchase'),
+    g AS (SELECT cohort, period_offset,
+                 CAST(SUM(v_q6) AS BIGINT) AS rev_q6
+          FROM r GROUP BY cohort, period_offset)
+    SELECT cohort, period_offset, rev_q6,
+           CAST(SUM(rev_q6) OVER (PARTITION BY cohort ORDER BY period_offset
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_rev_q6
+    FROM g
+    """,
+    "cohort lifetime value: purchase revenue per (first-activity-week "
+    "cohort, week offset) plus the running cumulative — the LTV curve; "
+    "revenue floor-quantized to exact integers so sums and cumsums are "
+    "bit-identical cross-engine; the running window orders the tiny "
+    "per-cohort frame, never the events",
+    "O17 generalized: cohort lifetime value",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, on="user_id")
+        .select(
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort"))
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("period_offset"),
+            F.floor(F.col("value") * 1000000).cast("long").alias("v_q6"),
+        )
+    )
+    g = r.groupBy("cohort", "period_offset").agg(
+        F.sum("v_q6").cast("long").alias("rev_q6")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort",
+        "period_offset",
+        "rev_q6",
+        F.sum("rev_q6").over(w).cast("long").alias("cum_rev_q6"),
+    )
+
+
+@_register(
+    "q_rolling_wau",
+    """
+    WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           COUNT(DISTINCT u.user_id) AS wau
+    FROM days d JOIN du u
+      ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+    "rolling 7-day active users per day (WAU): daily distinct "
+    "(day, user) pairs range-join the day grid within the trailing "
+    "week, then an exact two-phase distinct count — the join input is "
+    "the per-day distinct frame (≤ users × days rows), never raw "
+    "events, so the 7× fan-out is bounded and exact",
+    "§2.7 window generalized: sliding distinct users",
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    j = days.join(
+        du,
+        (F.col("day") >= F.date_sub(F.col("d"), 6)) & (F.col("day") <= F.col("d")),
+    )
+    return (
+        j.groupBy("d")
+        .agg(F.count_distinct(F.col("user_id")).alias("wau"))
+        .withColumnRenamed("d", "day")
+    )
