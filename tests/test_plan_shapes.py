@@ -302,3 +302,27 @@ def test_cohort_distinct_is_two_phase(spark):
     (map-side combine), never a single-phase global aggregate."""
     plan = _plan(spark, "q_cohort_retention")
     assert plan.count("HashAggregate") >= 4
+
+
+def test_session_r5c_queries_stay_jvm_side(spark):
+    """The analytics follow-ups (conversion latency, resample, rolling
+    frames, anomaly, LTV, WAU) are pure Catalyst."""
+    for name in (
+        "q_funnel_conversion",
+        "q_resample_ffill",
+        "q_rolling_7d_value",
+        "q_daily_anomaly",
+        "q_cohort_ltv",
+        "q_rolling_wau",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_rolling_7d_window_runs_over_daily_frame(spark):
+    """The RANGE window must order the per-(type, day) aggregate, never
+    the raw events: an aggregate appears below the window."""
+    plan = _plan(spark, "q_rolling_7d_value")
+    assert "Window" in plan
+    below = plan.split("Window")[-1]
+    assert "HashAggregate" in below
