@@ -255,3 +255,99 @@ def interval_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
     )
     return l.join(r, cond, how).drop(F.col(f"r.{by}"))
+
+
+# ---------------------------------------------------------------------
+# Custom stateful operator: streaming ordered-funnel progress
+# ---------------------------------------------------------------------
+
+FUNNEL_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("first_micros", T.LongType()),
+        T.StructField("last_micros", T.LongType()),
+    ]
+)
+
+FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("step", T.IntegerType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("t0", T.LongType()),
+    ]
+)
+
+_FUNNEL_NEG_INF = -(2**62)
+
+
+def streaming_funnel(
+    df: DataFrame,
+    *,
+    steps: Iterable[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``operators.analytics.user_funnel_depth``:
+    per-user greedy ordered-funnel progress maintained as three scalars
+    of state (current step, last matched micros, first matched micros)
+    — bounded per key forever, the property that keeps a live funnel
+    dashboard runnable on an unbounded stream.
+
+    Within a micro-batch events fold in (event-time, type) order —
+    identical to the batch fold's sorted array — so on in-order
+    arrival the stream converges to exactly the batch answer (the
+    equality the test asserts).  Events arriving across batches out of
+    event-time order fold in arrival order: a late step-1 event cannot
+    retroactively improve a user already past step 1 (the accepted
+    streaming trade; re-run the batch operator for the exact answer).
+
+    Output (update mode): one row per touched user per batch with the
+    latest (depth, first_micros, last_micros); depth-0 users emit
+    nothing.
+    """
+    step_list = list(steps)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        step, t, t0 = (
+            state.get if state.exists else (0, _FUNNEL_NEG_INF, None)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["_t", "_y"], kind="mergesort")
+            for _t, _y in zip(batch["_t"], batch["_y"]):
+                if step < len(step_list) and _y == step_list[step] and _t > t:
+                    step += 1
+                    t = int(_t)
+                    if t0 is None:
+                        t0 = int(_t)
+        state.update((step, t, t0))
+        if step >= 1:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "depth": [step],
+                    "first_micros": [t0],
+                    "last_micros": [t],
+                }
+            )
+
+    return (
+        df.filter(F.col(type_col).isin(step_list))
+        .select(
+            F.col(user_col).cast("long").alias("user_id"),
+            F.unix_micros(F.col(ts_col)).alias("_t"),
+            F.col(type_col).alias("_y"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_OUTPUT,
+            stateStructType=FUNNEL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

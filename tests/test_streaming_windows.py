@@ -36,7 +36,7 @@ def _run_stream(spark, stream_df, name):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if name != "firstseen" else "update")
+        .outputMode("update" if name in ("firstseen", "funnel") else "complete")
         .option("checkpointLocation", f"/tmp/ckpt-{name}-{uuid.uuid4()}")
         .trigger(availableNow=True)
         .start()
@@ -228,3 +228,26 @@ def test_streaming_dedup_one_row_per_key_matches_batch(spark, staged_events):
         (r["user_id"], r["event_type"])
         for r in batch_out.select("user_id", "event_type").collect()
     } == expected_keys
+
+
+def test_streaming_funnel_matches_batch(spark, staged_events):
+    """applyInPandasWithState funnel: final per-user (depth, first,
+    last) must equal the batch fold on the same data."""
+    from sample_dms_s3_kinesis_spark.operators import analytics
+
+    path, schema = staged_events
+    batch = spark.read.schema(schema).parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    steps = ["view", "click", "purchase"]
+
+    expected = {
+        r["user_id"]: (r["depth"], r["first_micros"], r["last_micros"])
+        for r in analytics.user_funnel_depth(batch, steps=steps).collect()
+    }
+
+    out = W.streaming_funnel(stream, steps=steps)
+    got_df = _run_stream(spark, out, "funnel")
+    final = {}
+    for r in got_df.collect():  # update mode: last row per user wins
+        final[r["user_id"]] = (r["depth"], r["first_micros"], r["last_micros"])
+    assert final == expected and len(final) > 0
