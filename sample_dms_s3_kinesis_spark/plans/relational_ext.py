@@ -4357,3 +4357,110 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("user_id")).alias("wau"))
         .withColumnRenamed("d", "day")
     )
+
+
+@_register(
+    "q_session_stats",
+    """
+    WITH marks AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marks),
+    g AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS dur_us
+      FROM sess GROUP BY user_id, session_id)
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+             AS avg_events_per_session,
+           ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS avg_duration_seconds
+    FROM g
+    """,
+    "session summary over 30-min-gap sessionization: counts and means "
+    "from exact bigint sums (durations in microseconds) with one "
+    "double division at the end — the session-window KPI rollup",
+    "§2.7 generalized: session statistics",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = tus - F.lag(tus).over(w)
+    marks = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(gap_us.isNull(), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marks.select(
+        "user_id", "ts", F.sum("new_sess").over(wsum).alias("session_id")
+    )
+    g = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("dur_us"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events_per_session"),
+        F.round(
+            F.sum("dur_us").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0),
+            6,
+        ).alias("avg_duration_seconds"),
+    )
+
+
+@_register(
+    "q_event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    "event-type transition matrix (first-order Markov counts): LEAD "
+    "per user in strict (ts, event id) order, then a grouped count — "
+    "the behavioral-flow input for journey analysis; one user-key "
+    "shuffle, the transition aggregate is 25 cells",
+    "§2.7 generalized: transition counts",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        s.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
