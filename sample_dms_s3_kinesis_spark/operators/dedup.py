@@ -25,7 +25,7 @@ Scale design notes (the whole point of these shapes):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators.partitioning import spread
@@ -2177,3 +2177,131 @@ def winnowing_containment_against(
             ).alias("containment"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    q: int = 3,
+    prefix_len: int | None = None,
+    broadcast_rows: int = BROADCAST_ROWS,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Exact edit-distance similarity join: all pairs with
+    ``levenshtein(key_a, key_b) <= k`` where the key is the (optionally
+    ``prefix_len``-truncated) text — the string-similarity member of
+    the exact-join family (Jaccard: ``prefix_jaccard_pairs``, cosine:
+    ``token_cosine_pairs``).
+
+    Lossless count-filter plan (Gravano et al. q-gram join): one edit
+    destroys at most ``q`` positional q-grams, so ed ≤ k implies the
+    q-gram MULTISETS share ≥ max(|Ga|,|Gb|) − k·q members.  Candidates
+    come from an equi-join on (gram, occurrence-index) — multiset
+    intersection as a plain count — plus the |len_a − len_b| ≤ k
+    bound; only candidates pay the verify ``levenshtein``.  Strings
+    with fewer than k·q+1 grams (shorter than ~q(k+1) chars) cannot be
+    count-filtered and take a separate short×short length-banded pass
+    — a bounded set, since it is capped by string length, not corpus
+    size.  The occurrence index is a row_number windowed by (id, gram):
+    the partition key contains the document id, so hyper-common grams
+    cannot concentrate on one reducer.
+
+    Output: (id_a, id_b, distance), id_a < id_b, distance ≤ k.
+    """
+    key = F.col(text_col)
+    if prefix_len is not None:
+        key = F.substring(key, 1, prefix_len)
+    base = spread(df).select(
+        F.col(id_col).alias("_id"), key.alias("_k"), F.length(key).alias("_l")
+    )
+    n_grams = F.greatest(F.col("_l") - (q - 1), F.lit(0))
+    base = base.withColumn("_ng", n_grams)
+    min_grams = k * q  # count filter powerless at or below this
+
+    long_side = base.filter(F.col("_ng") > min_grams)
+    grams = long_side.select(
+        "_id",
+        "_l",
+        "_ng",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_ng") - 1),
+                lambda i: F.col("_k").substr(i + 1, F.lit(q)),
+            )
+        ).alias("_pos", "_g"),
+    )
+    occ_w = Window.partitionBy("_id", "_g").orderBy("_pos")
+    grams = grams.withColumn("_occ", F.row_number().over(occ_w))
+    a = grams.select(
+        F.col("_id").alias("id_a"), F.col("_l").alias("_la"),
+        F.col("_ng").alias("_nga"), "_g", "_occ",
+    )
+    b = grams.select(
+        F.col("_id").alias("id_b"), F.col("_l").alias("_lb"),
+        F.col("_ng").alias("_ngb"), "_g", "_occ",
+    )
+    shared = (
+        a.join(b, on=["_g", "_occ"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+        )
+        .groupBy("id_a", "id_b", "_nga", "_ngb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(
+            F.col("_c") >= F.greatest("_nga", "_ngb") - F.lit(min_grams)
+        )
+        .select("id_a", "id_b")
+    )
+    keys = base.select("_id", "_k")
+    cand = (
+        shared.join(keys.withColumnRenamed("_id", "id_a").withColumnRenamed("_k", "_ka"), on="id_a")
+        .join(keys.withColumnRenamed("_id", "id_b").withColumnRenamed("_k", "_kb"), on="id_b")
+    )
+    long_pairs = cand.select(
+        "id_a", "id_b", F.levenshtein("_ka", "_kb").alias("distance")
+    ).filter(F.col("distance") <= k)
+
+    # short strings: too few grams for the count bound — length-banded
+    # pairwise pass over a set bounded by string length, plus the
+    # short×long boundary pairs (|len| ≤ k keeps it narrow).
+    shorts = base.filter(F.col("_ng") <= min_grams)
+    sa = shorts.select(
+        F.col("_id").alias("id_a"), F.col("_k").alias("_ka"),
+        F.col("_l").alias("_la"),
+    )
+    ob = base.select(
+        F.col("_id").alias("id_b"), F.col("_k").alias("_kb"),
+        F.col("_l").alias("_lb"),
+    )
+    short_pairs = (
+        sa.join(
+            ob,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k),
+        )
+        .select("id_a", "id_b", F.levenshtein("_ka", "_kb").alias("distance"))
+        .filter(F.col("distance") <= k)
+    )
+    # a short id_b paired with a long id_a (id order) is missed above:
+    sb = shorts.select(
+        F.col("_id").alias("id_b"), F.col("_k").alias("_kb"),
+        F.col("_l").alias("_lb"),
+    )
+    oa = long_side.select(
+        F.col("_id").alias("id_a"), F.col("_k").alias("_ka"),
+        F.col("_l").alias("_la"),
+    )
+    short_pairs2 = (
+        oa.join(
+            sb,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k),
+        )
+        .select("id_a", "id_b", F.levenshtein("_ka", "_kb").alias("distance"))
+        .filter(F.col("distance") <= k)
+    )
+    return long_pairs.unionByName(short_pairs).unionByName(short_pairs2).distinct()

@@ -4464,3 +4464,33 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@_register(
+    "q_edit_distance_pairs",
+    """
+    WITH d AS (SELECT doc_id, substr(text, 1, 24) AS k FROM documents),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 levenshtein(a.k, b.k) AS distance
+          FROM d a JOIN d b
+            ON a.doc_id < b.doc_id
+           AND abs(len(a.k) - len(b.k)) <= 2)
+    SELECT id_a, id_b, CAST(distance AS BIGINT) AS distance
+    FROM p WHERE distance <= 2
+    """,
+    "exact edit-distance similarity join (ed ≤ 2 on 24-char prefixes): "
+    "lossless q-gram count filter (one edit destroys ≤ q grams, so "
+    "near pairs share ≥ max−k·q multiset grams — an equi-join on "
+    "(gram, occurrence) plus a length band), levenshtein verifies "
+    "candidates only; the oracle is the brute-force quadratic join",
+    "dedup: exact string-similarity join (Gravano q-gram filter)",
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import dedup as _dd
+
+    out = _dd.edit_distance_pairs(
+        t(spark, sf_dir, "documents"), k=2, q=3, prefix_len=24
+    )
+    return out.select(
+        "id_a", "id_b", F.col("distance").cast("long").alias("distance")
+    )

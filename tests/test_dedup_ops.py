@@ -3,6 +3,7 @@ soundness/consistency properties that hold by construction."""
 
 import itertools
 
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators import dedup
@@ -657,3 +658,71 @@ def test_connected_components_driver_gate_equals_distributed(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+# ------------------------------------------------ edit-distance join
+
+def _lev(a, b):
+    m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        m[i][0] = i
+    for j in range(len(b) + 1):
+        m[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(
+                m[i - 1][j] + 1,
+                m[i][j - 1] + 1,
+                m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return m[len(a)][len(b)]
+
+
+def _ed_brute(docs, k):
+    import itertools
+
+    return sorted(
+        (a, b, _lev(ta, tb))
+        for (a, ta), (b, tb) in itertools.combinations(docs, 2)
+        if _lev(ta, tb) <= k
+    )
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    docs = [
+        (1, "hello world"),
+        (2, "hello worlds"),
+        (3, "hxllo world"),
+        (4, "completely different text"),
+        (5, "ab"), (6, "ac"), (7, ""),          # short-string branch
+        (8, "hello wxrld"),
+        (9, "abcabcabc"), (10, "abcabcabcx"),   # repeated grams (multiset)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in dedup.edit_distance_pairs(df, k=2, q=3).collect()
+    )
+    assert got == _ed_brute(docs, 2)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=12),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_edit_distance_pairs_property(spark, texts, k):
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in dedup.edit_distance_pairs(df, k=k, q=3).collect()
+    )
+    assert got == _ed_brute(docs, k)
