@@ -2305,3 +2305,106 @@ def edit_distance_pairs(
         .filter(F.col("distance") <= k)
     )
     return long_pairs.unionByName(short_pairs).unionByName(short_pairs2).distinct()
+
+
+def edit_distance_pairs_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    q: int = 3,
+    prefix_len: int | None = None,
+) -> DataFrame:
+    """Incremental twin of :func:`edit_distance_pairs` — the
+    string-similarity admission gate: every (new, existing) pair with
+    ``levenshtein ≤ k``, computed with the same lossless q-gram count
+    filter but joining NEW grams against EXISTING grams only, so the
+    existing corpus never self-pairs (completing the {Jaccard, cosine,
+    edit} × {self, incremental} exact-join matrix).  Pairs where
+    either side is too short for the count bound take the bounded
+    length-banded side passes.
+
+    Output: (id_new, id_existing, distance), distance ≤ k.
+    """
+
+    def prep(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        key = F.col(text_col)
+        if prefix_len is not None:
+            key = F.substring(key, 1, prefix_len)
+        base = spread(df).select(
+            F.col(id_col).alias(f"id_{tag}"),
+            key.alias(f"_k{tag}"),
+            F.length(key).alias(f"_l{tag}"),
+        ).withColumn(
+            f"_ng{tag}",
+            F.greatest(F.col(f"_l{tag}") - (q - 1), F.lit(0)),
+        )
+        long_side = base.filter(F.col(f"_ng{tag}") > k * q)
+        grams = long_side.select(
+            f"id_{tag}",
+            f"_l{tag}",
+            f"_ng{tag}",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col(f"_ng{tag}") - 1),
+                    lambda i: F.col(f"_k{tag}").substr(i + 1, F.lit(q)),
+                )
+            ).alias("_pos", "_g"),
+        )
+        occ_w = Window.partitionBy(f"id_{tag}", "_g").orderBy("_pos")
+        grams = grams.withColumn("_occ", F.row_number().over(occ_w)).drop(
+            "_pos"
+        )
+        return base, grams
+
+    nb, ng = prep(new, "new")
+    eb, eg = prep(existing, "existing")
+    min_grams = k * q
+    shared = (
+        ng.join(eg, on=["_g", "_occ"])
+        .filter(F.abs(F.col("_lnew") - F.col("_lexisting")) <= k)
+        .groupBy("id_new", "id_existing", "_ngnew", "_ngexisting")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(
+            F.col("_c")
+            >= F.greatest("_ngnew", "_ngexisting") - F.lit(min_grams)
+        )
+        .select("id_new", "id_existing")
+    )
+    cand = shared.join(
+        nb.select("id_new", "_knew"), on="id_new"
+    ).join(eb.select("id_existing", "_kexisting"), on="id_existing")
+    long_pairs = cand.select(
+        "id_new",
+        "id_existing",
+        F.levenshtein("_knew", "_kexisting").alias("distance"),
+    ).filter(F.col("distance") <= k)
+
+    def banded(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, F.abs(F.col("_lnew") - F.col("_lexisting")) <= k)
+            .select(
+                "id_new",
+                "id_existing",
+                F.levenshtein("_knew", "_kexisting").alias("distance"),
+            )
+            .filter(F.col("distance") <= k)
+        )
+
+    new_short = nb.filter(F.col("_ngnew") <= min_grams).select(
+        "id_new", "_knew", "_lnew"
+    )
+    ex_short = eb.filter(F.col("_ngexisting") <= min_grams).select(
+        "id_existing", "_kexisting", "_lexisting"
+    )
+    ex_all = eb.select("id_existing", "_kexisting", "_lexisting")
+    new_long = nb.filter(F.col("_ngnew") > min_grams).select(
+        "id_new", "_knew", "_lnew"
+    )
+    return (
+        long_pairs.unionByName(banded(new_short, ex_all))
+        .unionByName(banded(new_long, ex_short))
+        .distinct()
+    )

@@ -4494,3 +4494,37 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.col("distance").cast("long").alias("distance")
     )
+
+
+@_register(
+    "q_edit_distance_against",
+    """
+    WITH d AS (SELECT doc_id, substr(text, 1, 24) AS k FROM documents),
+    p AS (SELECT n.doc_id AS id_new, e.doc_id AS id_existing,
+                 levenshtein(n.k, e.k) AS distance
+          FROM (SELECT * FROM d WHERE doc_id % 2 = 1) n
+          JOIN (SELECT * FROM d WHERE doc_id % 2 = 0) e
+            ON abs(len(n.k) - len(e.k)) <= 2)
+    SELECT id_new, id_existing, CAST(distance AS BIGINT) AS distance
+    FROM p WHERE distance <= 2
+    """,
+    "incremental edit-distance admission gate: NEW (odd-id) documents "
+    "against the EXISTING (even-id) corpus with the same lossless "
+    "q-gram count filter — the corpus never self-pairs; completes the "
+    "{Jaccard, cosine, edit} × {self, incremental} exact-join matrix",
+    "dedup: incremental string-similarity gate",
+)
+def q_edit_distance_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import dedup as _dd
+
+    d = t(spark, sf_dir, "documents")
+    out = _dd.edit_distance_pairs_against(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        k=2,
+        q=3,
+        prefix_len=24,
+    )
+    return out.select(
+        "id_new", "id_existing", F.col("distance").cast("long").alias("distance")
+    )

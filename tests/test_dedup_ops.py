@@ -726,3 +726,39 @@ def test_edit_distance_pairs_property(spark, texts, k):
         tuple(r) for r in dedup.edit_distance_pairs(df, k=k, q=3).collect()
     )
     assert got == _ed_brute(docs, k)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=10),
+        min_size=1, max_size=5, unique=True,
+    ),
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=10),
+        min_size=1, max_size=5, unique=True,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_edit_distance_against_property(spark, new_texts, old_texts, kk):
+    new = [(100 + i, s) for i, s in enumerate(new_texts)]
+    old = [(i, s) for i, s in enumerate(old_texts)]
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    odf = spark.createDataFrame(old, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in dedup.edit_distance_pairs_against(
+            ndf, odf, k=kk, q=3
+        ).collect()
+    )
+    exp = sorted(
+        (a, b, _lev(ta, tb))
+        for (a, ta) in new
+        for (b, tb) in old
+        if _lev(ta, tb) <= kk
+    )
+    assert got == exp
