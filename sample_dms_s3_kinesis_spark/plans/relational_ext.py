@@ -4528,3 +4528,29 @@ def q_edit_distance_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_new", "id_existing", F.col("distance").cast("long").alias("distance")
     )
+
+
+@_register(
+    "q_hll_daily_union",
+    None,  # approximate (Apache DataSketches HLL) — no DuckDB oracle;
+    # pytest bounds the estimate against the exact distinct count
+    "mergeable distinct-count sketches: one HLL sketch per day "
+    "(hll_sketch_agg), merged with hll_union_agg into the monthly "
+    "distinct-user estimate — the re-aggregatable form a metrics store "
+    "keeps so ANY date range's uniques come from merging daily "
+    "sketches instead of rescanning events; per-day rows also carry "
+    "their own estimates",
+    "O17 generalized: mergeable sketch aggregation",
+)
+def q_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("_sk").alias("est_users")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("est_users")
+    ).select(F.lit(None).cast("date").alias("day"), "est_users")
+    return per_day.unionByName(merged).orderBy(F.col("day").asc_nulls_last())

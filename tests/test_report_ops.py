@@ -135,3 +135,34 @@ def test_ann_recall_report_shape(spark):
         assert 0 <= r["hits"] <= r["k"] == 10
         assert 0.0 <= r["recall"] <= 1.0
         assert r["recall"] == round(r["hits"] / r["k"], 6)
+
+
+def test_hll_daily_union_bounds(spark):
+    """Merged daily HLL sketches must estimate monthly uniques within
+    HLL error bounds, and per-day estimates must bound their exact
+    counts the same way."""
+    from sample_dms_s3_kinesis_spark.plans.registry import REGISTRY, t
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q_hll_daily_union"].fn(spark, sf).collect()
+    ev = t(spark, sf, "events")
+    exact_total = ev.select("user_id").distinct().count()
+    merged = [r for r in rows if r["day"] is None]
+    assert len(merged) == 1
+    est = merged[0]["est_users"]
+    assert abs(est - exact_total) <= max(3, 0.05 * exact_total)
+    # per-day rows: one per distinct day, estimates near exact
+    import pyspark.sql.functions as F
+
+    exact_daily = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    per_day = {r["day"]: r["est_users"] for r in rows if r["day"] is not None}
+    assert set(per_day) == set(exact_daily)
+    for day, n in exact_daily.items():
+        assert abs(per_day[day] - n) <= max(3, 0.05 * n), day
