@@ -1270,6 +1270,19 @@ DRIVER_WINDOW: list[str] = [
 # q_text_repetition, q_hash_split — all
 # r3-green stable shapes whose operator families keep other in-window
 # representatives; they rotate back in r6.
+#
+# The second round-5 session registered twenty more never-checked
+# queries for the r6 backlog — each already oracle-checked green by
+# tools/oracle_check.py at sf0.01 (and the new-analytics subset at
+# sf0.001 too) or pytest-pinned against a Python reference where
+# rows-only: q_unpivot_metrics, q_array_hof_stats,
+# q_dedup_segments_within, q_temperature_mixture, q_bpe_merges
+# (rows-only), q_funnel_counts, q_cohort_retention,
+# q_funnel_conversion, q_resample_ffill, q_rolling_7d_value,
+# q_daily_anomaly, q_cohort_ltv, q_rolling_wau, q_pq_topk (rows-only),
+# q_ivfpq_topk (rows-only), q_session_stats, q_event_transitions,
+# q_edit_distance_pairs, q_edit_distance_against, q_hll_daily_union
+# (rows-only).  r6 rotation priority: never-checked beats stale.
 
 _BY_NAME = {s.name: s for s in _SPECS}
 _unknown = [n for n in DRIVER_WINDOW if n not in _BY_NAME]
