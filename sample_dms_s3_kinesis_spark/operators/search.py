@@ -1,0 +1,168 @@
+"""Full-text retrieval over the corpus: boolean search, phrase search,
+and BM25 ranking — the read side of the curation stack (SURVEY §2.8's
+scalar surface generalized to an inverted-index workload).
+
+Scale shapes — everything is posting-list algebra on (token, doc)
+frames, never a scan-per-query:
+
+- ``boolean_search``: explode distinct tokens per doc ONCE, filter to
+  the query's terms (predicate pushes to the scan when the posting
+  frame is a stored table), and a conjunctive match is a groupBy(doc)
+  HAVING count = n_terms — the posting-list intersection as one
+  map-side-combined aggregate.
+- ``phrase_search``: positional postings (token, doc, pos); a phrase
+  match anchors on the first term and checks successors with a
+  grouped ANY over shifted positions — no self-join chain per term
+  pair (k-term phrase = one explode + one aggregate, not k-1 joins).
+- ``bm25_search``: document frequencies and lengths are tiny
+  aggregate frames broadcast back onto the matched postings; the
+  score is a per-(doc, term) expression summed per doc.  The
+  few-term float sum is the only cross-engine nondeterminism and is
+  rounded away at 4 decimals.
+
+At 100 TB the posting frame is the thing you persist (bucketed by
+token); these operators then read postings, not text.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+from sample_dms_s3_kinesis_spark.operators.text import tokens
+
+
+def postings(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional posting frame: (id, token, pos), lowercased, one row
+    per token OCCURRENCE.  The persistable inverted-index form."""
+    return spread(df).select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+
+
+def boolean_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) boolean retrieval: documents containing every
+    term.  Output: (id_col) — one row per matching doc."""
+    want = [t.lower() for t in terms]
+    p = postings(df, text_col=text_col, id_col=id_col)
+    return (
+        p.filter(F.col("token").isin(want))
+        .select(id_col, "token")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == len(want))
+        .select(id_col)
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: Sequence[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact consecutive-phrase retrieval: documents where the tokens
+    of ``phrase`` appear adjacently in order.  One explode + one
+    aggregate: anchor positions of term 0 must see term i at pos+i for
+    every i — checked with a per-doc aggregate over (term-index,
+    shifted-anchor) pairs, no join chain.  Output: (id_col,
+    n_occurrences)."""
+    want = [t.lower() for t in phrase]
+    k = len(want)
+    p = postings(df, text_col=text_col, id_col=id_col)
+    hits = None
+    for i, term in enumerate(want):
+        h = p.filter(F.col("token") == term).select(
+            id_col, (F.col("pos") - i).alias("_anchor"), F.lit(i).alias("_i")
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    return (
+        hits.distinct()
+        .groupBy(id_col, "_anchor")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == k)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    scale: int = 4,
+) -> DataFrame:
+    """BM25-ranked retrieval (Lucene idf variant:
+    ln(1 + (N - df + 0.5)/(df + 0.5))).  Corpus stats (N, avg doc
+    length, per-term document frequency) are tiny aggregates broadcast
+    onto the per-(doc, term) frequency frame; TakeOrderedAndProject
+    finishes.  Output: (id_col, score) descending, ties on id."""
+    want = [t.lower() for t in terms]
+    p = postings(df, text_col=text_col, id_col=id_col)
+    doclen = p.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_tot")
+    ).collect()[0]
+    n_docs, avg_len = int(stats["_n"]), float(stats["_tot"]) / float(stats["_n"])
+    tf = (
+        p.filter(F.col("token").isin(want))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = {
+        r["token"]: r["_df"]
+        for r in tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .collect()
+    }
+    idf_expr = None
+    for term in sorted(want):
+        d = dfreq.get(term, 0)
+        idf = math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+        clause = F.col("token") == term
+        idf_expr = (
+            F.when(clause, F.lit(idf))
+            if idf_expr is None
+            else idf_expr.when(clause, F.lit(idf))
+        )
+    scored = tf.join(doclen, on=id_col).select(
+        id_col,
+        (
+            idf_expr
+            * (F.col("_tf").cast("double") * (k1 + 1.0))
+            / (
+                F.col("_tf").cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("_dl").cast("double") / F.lit(avg_len)
+                )
+            )
+        ).alias("_s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), scale).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -4554,3 +4554,98 @@ def q_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("est_users")
     ).select(F.lit(None).cast("date").alias("day"), "est_users")
     return per_day.unionByName(merged).orderBy(F.col("day").asc_nulls_last())
+
+
+@_register(
+    "q_boolean_search",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents)
+    SELECT doc_id FROM (
+      SELECT DISTINCT doc_id, token FROM p
+      WHERE token IN ('table', 'spark', 'key'))
+    GROUP BY doc_id HAVING COUNT(*) = 3
+    """,
+    "conjunctive boolean retrieval (AND of three terms): posting-list "
+    "intersection as one distinct + grouped count — the inverted-index "
+    "read path; at scale the posting frame is a stored table bucketed "
+    "by token and the term filter prunes at the source",
+    "search: boolean retrieval",
+)
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import search
+
+    return search.boolean_search(
+        t(spark, sf_dir, "documents"), ["table", "spark", "key"]
+    )
+
+
+@_register(
+    "q_phrase_search",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tks
+      FROM documents),
+    p AS (SELECT doc_id, i AS pos, tks[i + 1] AS token
+          FROM base, UNNEST(range(0, len(tks))) AS t(i))
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM p a JOIN p b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = 'table' AND b.token = 'row'
+    GROUP BY a.doc_id
+    """,
+    "exact consecutive-phrase retrieval ('table row'): anchor-shifted "
+    "positional postings checked with ONE per-doc aggregate — a "
+    "k-term phrase stays one explode + one aggregate instead of k-1 "
+    "position self-joins (the oracle spells the 2-term join form)",
+    "search: phrase retrieval",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import search
+
+    return search.phrase_search(
+        t(spark, sf_dir, "documents"), ["table", "row"]
+    )
+
+
+@_register(
+    "q_bm25_search",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tks
+      FROM documents),
+    p AS (SELECT doc_id, tks[i + 1] AS token
+          FROM base, UNNEST(range(0, len(tks))) AS t(i)),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM p GROUP BY doc_id),
+    s AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen
+          FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM p
+           WHERE token IN ('table', 'spark') GROUP BY doc_id, token),
+    dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    sc AS (SELECT tf.doc_id,
+                  LN(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(tf.tf AS DOUBLE)
+                       + 1.2 * ((1.0 - 0.75)
+                                + 0.75 * CAST(dl.dl AS DOUBLE) / s.avglen))
+                    AS sc
+           FROM tf JOIN dl USING (doc_id) CROSS JOIN s
+                   JOIN dfq USING (token))
+    SELECT doc_id, ROUND(SUM(sc), 4) AS score FROM sc
+    GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "BM25-ranked retrieval (Lucene idf): corpus stats and per-term "
+    "document frequencies are tiny broadcast aggregates, scoring is a "
+    "per-(doc, term) expression summed per doc, TakeOrderedAndProject "
+    "finishes; identical op order on both engines so scores match at "
+    "4 decimals",
+    "search: BM25 ranking",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import search
+
+    return search.bm25_search(
+        t(spark, sf_dir, "documents"), ["table", "spark"], topk=10
+    )
