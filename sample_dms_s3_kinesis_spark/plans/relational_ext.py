@@ -4649,3 +4649,45 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_search(
         t(spark, sf_dir, "documents"), ["table", "spark"], topk=10
     )
+
+
+_POSTINGS_SAVE_CACHE: dict[str, str] = {}
+
+
+@_register(
+    "q_postings_search",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents),
+    hit AS (
+      SELECT doc_id FROM (
+        SELECT DISTINCT doc_id, token FROM p
+        WHERE token IN ('table', 'spark'))
+      GROUP BY doc_id HAVING COUNT(*) = 2),
+    bad AS (SELECT DISTINCT doc_id FROM p WHERE token = 'slow')
+    SELECT h.doc_id FROM hit h LEFT JOIN bad b USING (doc_id)
+    WHERE b.doc_id IS NULL
+    """,
+    "boolean AND-NOT retrieval served from a SAVED inverted index "
+    "(PostingsIndex.save/load): postings persist partitioned by a "
+    "256-way token hash bucket, so the loaded query's term filter "
+    "prunes storage partitions (pytest pins the PartitionFilters); "
+    "results are exactly the in-memory boolean form, which the SQL "
+    "oracle spells directly",
+    "search: persisted inverted index",
+)
+def q_postings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.operators import search as _search
+
+    key = f"{sf_dir}|postings"
+    path = _POSTINGS_SAVE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="postings-index-")
+        _search.PostingsIndex.build(t(spark, sf_dir, "documents")).save(path)
+        _POSTINGS_SAVE_CACHE[key] = path
+    loaded = _search.PostingsIndex.load(spark, path)
+    return loaded.search(["table", "spark"], exclude=["slow"])

@@ -123,3 +123,45 @@ def test_phrase_search_property(spark, texts, phrase):
         if c:
             exp[d] = c
     assert got == exp
+
+
+def test_boolean_search_with_exclusion(spark):
+    p = search.postings(_df(spark))
+    got = {
+        r["doc_id"]
+        for r in search.boolean_search_postings(
+            p, ["quick", "brown"], exclude=["lazy"]
+        ).collect()
+    }
+    # docs 1 (has lazy) drops; 2, 4, 6 keep quick+brown without lazy
+    assert got == {2, 4, 6}
+
+
+def test_postings_index_roundtrip_prunes_partitions(spark, tmp_path):
+    idx = search.PostingsIndex.build(_df(spark))
+    path = str(tmp_path / "postings")
+    idx.save(path)
+    loaded = search.PostingsIndex.load(spark, path)
+    fresh = {
+        r["doc_id"]
+        for r in search.boolean_search(_df(spark), ["quick", "fox"]).collect()
+    }
+    served = {
+        r["doc_id"] for r in loaded.search(["quick", "fox"]).collect()
+    }
+    assert served == fresh == {1, 4, 6}
+    # AND-NOT from the store matches the in-memory form
+    a = {r["doc_id"] for r in loaded.search(["quick"], exclude=["dog"]).collect()}
+    b = {
+        r["doc_id"]
+        for r in search.boolean_search_postings(
+            search.postings(_df(spark)), ["quick"], exclude=["dog"]
+        ).collect()
+    }
+    assert a == b
+    # the loaded term filter must prune storage partitions on _tb
+    plan = (
+        loaded.search(["quick", "fox"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "_tb" in plan
