@@ -1282,7 +1282,9 @@ DRIVER_WINDOW: list[str] = [
 # q_daily_anomaly, q_cohort_ltv, q_rolling_wau, q_pq_topk (rows-only),
 # q_ivfpq_topk (rows-only), q_session_stats, q_event_transitions,
 # q_edit_distance_pairs, q_edit_distance_against, q_hll_daily_union
-# (rows-only).  r6 rotation priority: never-checked beats stale.
+# (rows-only), q_session_stats, q_event_transitions, q_boolean_search,
+# q_phrase_search, q_bm25_search, q_postings_search.
+# r6 rotation priority: never-checked beats stale.
 
 _BY_NAME = {s.name: s for s in _SPECS}
 _unknown = [n for n in DRIVER_WINDOW if n not in _BY_NAME]
