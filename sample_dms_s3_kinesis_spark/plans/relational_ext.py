@@ -4691,3 +4691,103 @@ def q_postings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _POSTINGS_SAVE_CACHE[key] = path
     loaded = _search.PostingsIndex.load(spark, path)
     return loaded.search(["table", "spark"], exclude=["slow"])
+
+
+@_register(
+    "q_sql_entry_revenue",
+    """
+    SELECT o.o_orderpriority,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+    "the SQL ENTRY PATH: the same ANSI string runs through spark.sql "
+    "over registered temp views AND through the DuckDB oracle — "
+    "proving dialect-portable SQL is a first-class way into the "
+    "engine, not just the DataFrame API (Catalyst plans both "
+    "identically: pushed filter, broadcast-ability, partial aggs)",
+    "§3 query lifecycle: SQL entry point",
+)
+def q_sql_entry_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@_register(
+    "q_daily_trend",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, x),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM d GROUP BY event_type)
+    SELECT event_type,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    * sx)
+                 / n, 6) AS intercept
+    FROM m
+    """,
+    "per-type linear trend of daily event volume: OLS slope/intercept "
+    "from EXACT bigint moment sums (n, Σx, Σy, Σxx, Σxy) with the "
+    "divisions done once at the end — bit-identical cross-engine, the "
+    "same exact-moments discipline as corr/anomaly; the regression "
+    "runs over the tiny per-day frame",
+    "O17 generalized: volume trend fitting",
+)
+def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    slope = (nn * F.col("sxy") - sx * F.col("sy")) / (
+        nn * F.col("sxx") - sx * F.col("sx")
+    )
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        "event_type",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+    )
