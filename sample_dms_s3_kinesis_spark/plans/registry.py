@@ -1283,7 +1283,8 @@ DRIVER_WINDOW: list[str] = [
 # q_ivfpq_topk (rows-only), q_session_stats, q_event_transitions,
 # q_edit_distance_pairs, q_edit_distance_against, q_hll_daily_union
 # (rows-only), q_session_stats, q_event_transitions, q_boolean_search,
-# q_phrase_search, q_bm25_search, q_postings_search.
+# q_phrase_search, q_bm25_search, q_postings_search,
+# q_sql_entry_revenue, q_daily_trend.
 # r6 rotation priority: never-checked beats stale.
 
 _BY_NAME = {s.name: s for s in _SPECS}
