@@ -40,11 +40,18 @@ def user_funnel_depth(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_hours: int | None = None,
 ) -> DataFrame:
     """Per-user furthest funnel step reached, matching steps strictly
     in event-time order (greedy earliest-match, which maximizes the
     matched prefix): step i+1 counts only with an event strictly later
     than the event matched for step i.
+
+    ``within_hours`` adds the product-analytics conversion window:
+    steps beyond the first count only within that many hours of the
+    user's FIRST matched step-1 event (first-touch anchoring — the
+    standard attribution spec, and the one the SQL oracle can mirror
+    deterministically; a later step-1 event never re-anchors).
 
     Output: (user_col, depth) with depth in [1, len(steps)] — users
     with no step-1 event don't appear.
@@ -59,6 +66,17 @@ def user_funnel_depth(
             )
         )
     )
+    if within_hours is None:
+        def in_window(acc, e):
+            return F.lit(True)
+    else:
+        win_us = int(within_hours) * 3_600_000_000
+
+        def in_window(acc, e):
+            # NULL t0 (no step-1 match yet) → window not armed
+            return F.coalesce(
+                e["t"] <= acc["t0"] + F.lit(win_us), F.lit(True)
+            )
     fold = F.aggregate(
         evs,
         F.struct(
@@ -69,7 +87,8 @@ def user_funnel_depth(
         lambda acc, e: F.when(
             (acc["step"] < k)
             & (e["y"] == F.element_at(steps_arr, acc["step"] + 1))
-            & (e["t"] > acc["t"]),
+            & (e["t"] > acc["t"])
+            & in_window(acc, e),
             F.struct(
                 (acc["step"] + 1).alias("step"),
                 e["t"].alias("t"),
@@ -98,6 +117,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_hours: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel report: for each step, how many users reached at
     least that step (strict event-time ordering between steps).
@@ -106,7 +126,8 @@ def funnel_counts(
     1-based; n_users is non-increasing in step.
     """
     depth = user_funnel_depth(
-        df, steps=steps, user_col=user_col, ts_col=ts_col, type_col=type_col
+        df, steps=steps, user_col=user_col, ts_col=ts_col,
+        type_col=type_col, within_hours=within_hours,
     )
     ladder = depth.select(
         F.explode(F.sequence(F.lit(1), F.col("depth"))).alias("step")

@@ -4791,3 +4791,42 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_day"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@_register(
+    "q_funnel_windowed",
+    """
+    WITH t1 AS (SELECT user_id, MIN(ts) AS ts FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.ts
+             AND e.ts <= t1.ts + INTERVAL 48 HOUR
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.ts
+             AND e.ts <= t1.ts + INTERVAL 48 HOUR
+           GROUP BY e.user_id)
+    SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM t1
+    UNION ALL
+    SELECT 2 AS step, 'click' AS step_name, COUNT(*) AS n_users FROM t2
+    UNION ALL
+    SELECT 3 AS step, 'purchase' AS step_name, COUNT(*) AS n_users FROM t3
+    """,
+    "conversion-window funnel (steps 2+ must land within 48 h of the "
+    "user's FIRST view — first-touch anchoring): same single-scan "
+    "sorted-array fold, with the window armed by the fold's tracked "
+    "first-match time; the oracle's CTE chain carries t1 into every "
+    "later step's bound",
+    "O17 generalized: windowed funnel",
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import analytics
+
+    return analytics.funnel_counts(
+        t(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        within_hours=48,
+    )

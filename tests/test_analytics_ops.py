@@ -237,3 +237,33 @@ def test_resample_ffill_property(spark, raw):
             exp[(u, g)] = max(fills)[2] if fills else None
             g += timedelta(hours=6)
     assert got == exp
+
+
+def test_funnel_conversion_window(spark):
+    rows = [
+        # u1: click 1 day after view (inside 48h), purchase 3 days after
+        # the FIRST view (outside) -> depth 2
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(4), "purchase"),
+        # u2: everything within 48h of first view -> depth 3
+        (2, _ts(1), "view"), (2, _ts(1, 6), "click"), (2, _ts(2), "purchase"),
+        # u3: a LATER view would fit, but first-touch anchoring keeps
+        # the day-1 anchor -> click on day 9 is outside -> depth 1
+        (3, _ts(1), "view"), (3, _ts(8), "view"), (3, _ts(9), "click"),
+    ]
+    got = {
+        r["user_id"]: r["depth"]
+        for r in analytics.user_funnel_depth(
+            _events(spark, rows),
+            steps=["view", "click", "purchase"],
+            within_hours=48,
+        ).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 1}
+    # without the window, u1 and u3 convert further
+    unwindowed = {
+        r["user_id"]: r["depth"]
+        for r in analytics.user_funnel_depth(
+            _events(spark, rows), steps=["view", "click", "purchase"]
+        ).collect()
+    }
+    assert unwindowed == {1: 3, 2: 3, 3: 2}
