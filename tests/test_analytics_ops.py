@@ -267,3 +267,55 @@ def test_funnel_conversion_window(spark):
         ).collect()
     }
     assert unwindowed == {1: 3, 2: 3, 3: 2}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=200),       # hour offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=72),
+)
+def test_funnel_windowed_property(spark, raw, win_h):
+    from datetime import timedelta
+
+    steps = ["view", "click", "purchase"]
+    base = datetime(2024, 1, 1)
+    rows = [(u, base + timedelta(hours=h), y) for u, h, y in raw]
+    got = {
+        r["user_id"]: r["depth"]
+        for r in analytics.user_funnel_depth(
+            _events(spark, rows), steps=steps, within_hours=win_h
+        ).collect()
+    }
+    # python model: greedy fold with a first-touch-anchored window
+    exp = {}
+    by_user = {}
+    for u, ts, y in rows:
+        by_user.setdefault(u, []).append((ts, y))
+    for u, evs in by_user.items():
+        need, last_t, t0 = 0, None, None
+        for t, y in sorted(evs):
+            if need >= len(steps) or y != steps[need]:
+                continue
+            if last_t is not None and t <= last_t:
+                continue
+            if t0 is not None and t > t0 + timedelta(hours=win_h):
+                continue
+            need += 1
+            last_t = t
+            if t0 is None:
+                t0 = t
+        if need:
+            exp[u] = need
+    assert got == exp
