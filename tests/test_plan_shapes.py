@@ -326,3 +326,26 @@ def test_rolling_7d_window_runs_over_daily_frame(spark):
     assert "Window" in plan
     below = plan.split("Window")[-1]
     assert "HashAggregate" in below
+
+
+def test_session_r5d_queries_stay_jvm_side(spark):
+    """Search family, windowed funnel, SQL entry, and trend fitting
+    are pure Catalyst."""
+    for name in (
+        "q_boolean_search",
+        "q_phrase_search",
+        "q_bm25_search",
+        "q_funnel_windowed",
+        "q_sql_entry_revenue",
+        "q_daily_trend",
+        "q_session_stats",
+        "q_event_transitions",
+        "q_edit_distance_pairs",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_bm25_finishes_with_take_ordered(spark):
+    plan = _plan(spark, "q_bm25_search")
+    assert "TakeOrderedAndProject" in plan
