@@ -4830,3 +4830,141 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps=["view", "click", "purchase"],
         within_hours=48,
     )
+
+
+@_register(
+    "q_group_split",
+    """
+    WITH s AS (
+      SELECT source,
+             CASE WHEN substr(md5(source || ':17'), 1, 8)
+                       < printf('%08x', CAST(FLOOR(0.8 * 4294967296.0) AS BIGINT))
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM (SELECT DISTINCT source FROM documents)),
+    j AS (SELECT d.doc_id, d.source, s.split
+          FROM documents d JOIN s USING (source))
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources
+    FROM j GROUP BY split
+    """,
+    "group-aware train/heldout split: the hash runs on the GROUP key "
+    "(source), so every document of a source lands in the same split — "
+    "the leakage-safe split for grouped data (near-identical docs from "
+    "one source can never straddle the boundary); same deterministic "
+    "md5-threshold machinery as hash_split, keyed one level up",
+    "sampling: group-aware split (leakage-safe)",
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        d.select("source").distinct(),
+        id_col="source",
+        weights=(("train", 0.8), ("heldout", 0.2)),
+        seed=17,
+    )
+    return (
+        d.join(split, on="source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+
+
+@_register(
+    "q_split_leakage",
+    """
+    WITH sp AS (
+      SELECT doc_id, md5(text) AS h,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 8)
+                       < printf('%08x', CAST(FLOOR(0.8 * 4294967296.0) AS BIGINT))
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sp a JOIN sp b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+       AND a.split <> b.split)
+    SELECT COUNT(*) AS n_cross_dup_pairs,
+           COUNT(DISTINCT id_a) + COUNT(DISTINCT id_b) AS n_docs_involved
+    FROM pairs
+    """,
+    "split-leakage audit: exact-duplicate pairs that STRADDLE a "
+    "doc-id-hashed train/heldout split (the eval-contamination check a "
+    "pipeline runs before trusting a benchmark number) — digest "
+    "self-join restricted to cross-split pairs, shuffles 16-byte "
+    "hashes only; composes the dedup digest machinery with hash_split",
+    "curation: split-leakage audit",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = sampling.hash_split(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        weights=(("train", 0.8), ("heldout", 0.2)),
+        seed=3,
+    ).select("doc_id", F.md5("text").alias("h"), "split")
+    a = d.select(
+        F.col("doc_id").alias("id_a"), "h", F.col("split").alias("_sa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), "h", F.col("split").alias("_sb")
+    )
+    pairs = a.join(b, on="h").filter(
+        (F.col("id_a") < F.col("id_b")) & (F.col("_sa") != F.col("_sb"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_cross_dup_pairs"),
+        (
+            F.count_distinct("id_a") + F.count_distinct("id_b")
+        ).alias("n_docs_involved"),
+    )
+
+
+@_register(
+    "q_stickiness",
+    """
+    WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+    wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+            FROM days d JOIN du u
+              ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+            GROUP BY d.day)
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+    "engagement stickiness (DAU/WAU per day): daily exact distincts "
+    "joined to the trailing-week rolling distinct, one exact double "
+    "division — the classic engagement ratio over the bounded per-day "
+    "distinct frame",
+    "O17 generalized: engagement ratio",
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    wau = (
+        days.join(
+            du,
+            (F.col("day") >= F.date_sub(F.col("d"), 6))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .withColumnRenamed("d", "day")
+    )
+    return dau.join(wau, on="day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )
