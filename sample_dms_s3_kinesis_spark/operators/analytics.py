@@ -283,3 +283,85 @@ def resample_ffill(
         .filter(F.col("_isg") == 1)
         .select(key_col, "grid_ts", F.col("_f").alias("value"))
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    step_hours: int = 6,
+    scale: int = 6,
+) -> DataFrame:
+    """Linear-interpolation twin of :func:`resample_ffill`: each grid
+    instant takes v0 + (v1 − v0)·(g − t0)/(t1 − t0) between the last
+    observation at-or-before (t0, v0) and the first after (t1, v1);
+    before the first observation the value is NULL, after the last it
+    holds v0 (forward-fill tail).  Same single union + per-key ordered
+    window plan — one extra window pass (forward FIRST) over the same
+    sort, no extra shuffle.  The micros arithmetic is exact bigint
+    with one double division, mirrored op-for-op by the oracle, so
+    results match bit-for-bit at ``scale`` decimals.
+    """
+    from pyspark.sql import Window as W
+
+    bounds = df.groupBy(key_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("_s"),
+        F.date_trunc("hour", F.max(ts_col)).alias("_e"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                F.col("_s"), F.col("_e"),
+                F.expr(f"INTERVAL {step_hours} HOURS"),
+            )
+        ).alias("grid_ts"),
+    )
+    _max_id = F.lit(2**62).cast("long")
+    obs = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_ot"),
+        F.col(value_col).alias("_v"),
+        F.lit(0).alias("_isg"),
+        F.col(id_col).cast("long").alias("_tie"),
+        F.lit(None).cast("timestamp").alias("grid_ts"),
+    )
+    gr = grid.select(
+        key_col,
+        F.col("grid_ts").alias("_ot"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(1).alias("_isg"),
+        _max_id.alias("_tie"),
+        "grid_ts",
+    )
+    u = obs.unionByName(gr).withColumn("_ot_us", F.unix_micros("_ot"))
+    order = [F.col("_ot"), F.col("_isg"), F.col("_tie")]
+    w_back = (
+        W.partitionBy(key_col).orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy(key_col).orderBy(*order)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    vt = F.when(F.col("_v").isNotNull(), F.col("_ot_us"))
+    out = (
+        u.withColumn("_v0", F.last("_v", ignorenulls=True).over(w_back))
+        .withColumn("_t0", F.last(vt, ignorenulls=True).over(w_back))
+        .withColumn("_v1", F.first("_v", ignorenulls=True).over(w_fwd))
+        .withColumn("_t1", F.first(vt, ignorenulls=True).over(w_fwd))
+        .filter(F.col("_isg") == 1)
+    )
+    frac = (
+        (F.col("_ot_us") - F.col("_t0")).cast("double")
+        / (F.col("_t1") - F.col("_t0")).cast("double")
+    )
+    val = F.when(F.col("_v0").isNull(), F.lit(None).cast("double")).when(
+        F.col("_v1").isNull(), F.col("_v0")
+    ).otherwise(F.col("_v0") + (F.col("_v1") - F.col("_v0")) * frac)
+    return out.select(
+        key_col, "grid_ts", F.round(val, scale).alias("value")
+    )

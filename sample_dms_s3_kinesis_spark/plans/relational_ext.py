@@ -4968,3 +4968,56 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@_register(
+    "q_resample_interpolate",
+    """
+    WITH b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS s,
+                      date_trunc('hour', MAX(ts)) AS e
+               FROM events GROUP BY user_id),
+    g AS (SELECT user_id,
+                 UNNEST(generate_series(s, e, INTERVAL 6 HOUR)) AS grid_ts
+          FROM b),
+    u AS (SELECT user_id, ts AS ot, value AS v, 0 AS isg,
+                 event_id AS tie, NULL::TIMESTAMP AS grid_ts
+          FROM events
+          UNION ALL
+          SELECT user_id, grid_ts AS ot, NULL AS v, 1 AS isg,
+                 4611686018427387904 AS tie, grid_ts
+          FROM g),
+    w AS (SELECT user_id, grid_ts, isg, epoch_us(ot) AS ot_us,
+                 LAST_VALUE(v IGNORE NULLS) OVER wb AS v0,
+                 LAST_VALUE(CASE WHEN v IS NOT NULL THEN epoch_us(ot) END
+                            IGNORE NULLS) OVER wb AS t0,
+                 FIRST_VALUE(v IGNORE NULLS) OVER wf AS v1,
+                 FIRST_VALUE(CASE WHEN v IS NOT NULL THEN epoch_us(ot) END
+                             IGNORE NULLS) OVER wf AS t1
+          FROM u
+          WINDOW wb AS (PARTITION BY user_id ORDER BY ot, isg, tie
+                        ROWS UNBOUNDED PRECEDING),
+                 wf AS (PARTITION BY user_id ORDER BY ot, isg, tie
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT user_id, grid_ts,
+           ROUND(CASE WHEN v0 IS NULL THEN NULL
+                      WHEN v1 IS NULL THEN v0
+                      ELSE v0 + (v1 - v0)
+                           * (CAST(ot_us - t0 AS DOUBLE)
+                              / CAST(t1 - t0 AS DOUBLE))
+                 END, 6) AS value
+    FROM w WHERE isg = 1
+    """,
+    "linear-interpolation resampling (6h grid per user): each grid "
+    "instant blends the bracketing observations with exact bigint "
+    "micros arithmetic and ONE double division, mirrored op-for-op by "
+    "the oracle — NULL before the first observation, forward-fill "
+    "after the last; one extra window pass over the ffill plan's sort, "
+    "no extra shuffle",
+    "O17 generalized: interpolating resample",
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import analytics
+
+    return analytics.resample_interpolate(
+        t(spark, sf_dir, "events"), step_hours=6
+    )

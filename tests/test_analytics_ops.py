@@ -319,3 +319,31 @@ def test_funnel_windowed_property(spark, raw, win_h):
         if need:
             exp[u] = need
     assert got == exp
+
+
+def test_resample_interpolate_brackets_and_tails(spark):
+    rows = [
+        # u1: v=0 at 00:00, v=12 at 12:00 -> 06:00 interpolates to 6.0
+        (1, datetime(2024, 1, 1, 0, 0), 0.0),
+        (1, datetime(2024, 1, 1, 12, 0), 12.0),
+        # u2: first obs at 00:30 -> 00:00 grid point is NULL;
+        # after the last obs the value holds (ffill tail)
+        (2, datetime(2024, 1, 1, 0, 30), 5.0),
+        (2, datetime(2024, 1, 1, 3, 0), 10.0),
+        (2, datetime(2024, 1, 1, 14, 0), 20.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, ts, v) for i, (u, ts, v) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r["user_id"], r["grid_ts"].isoformat()): r["value"]
+        for r in analytics.resample_interpolate(df, step_hours=6).collect()
+    }
+    assert got[(1, "2024-01-01T00:00:00")] == 0.0
+    assert got[(1, "2024-01-01T06:00:00")] == 6.0
+    assert got[(1, "2024-01-01T12:00:00")] == 12.0
+    assert got[(2, "2024-01-01T00:00:00")] is None          # before first
+    # 06:00 between (03:00, 10) and (14:00, 20): 10 + 10*(3/11)
+    assert abs(got[(2, "2024-01-01T06:00:00")] - (10 + 10 * 3 / 11)) < 1e-5
+    assert got[(2, "2024-01-01T12:00:00")] == round(10 + 10 * 9 / 11, 6)
