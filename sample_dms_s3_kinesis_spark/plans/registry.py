@@ -1284,7 +1284,9 @@ DRIVER_WINDOW: list[str] = [
 # q_edit_distance_pairs, q_edit_distance_against, q_hll_daily_union
 # (rows-only), q_session_stats, q_event_transitions, q_boolean_search,
 # q_phrase_search, q_bm25_search, q_postings_search,
-# q_sql_entry_revenue, q_daily_trend, q_funnel_windowed.
+# q_sql_entry_revenue, q_daily_trend, q_funnel_windowed,
+# q_group_split, q_split_leakage, q_stickiness,
+# q_resample_interpolate.
 # r6 rotation priority: never-checked beats stale.
 
 _BY_NAME = {s.name: s for s in _SPECS}
