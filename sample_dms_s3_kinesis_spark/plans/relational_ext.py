@@ -5021,3 +5021,50 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.resample_interpolate(
         t(spark, sf_dir, "events"), step_hours=6
     )
+
+
+@_register(
+    "q_split_leakage_near",
+    None,  # xxhash64 minhash family — rows-only like its LSH siblings;
+    # the exact-dup side of the same audit is oracle-checked as
+    # q_split_leakage
+    "NEAR-duplicate split-leakage audit: MinHash-LSH candidate pairs "
+    "verified to Jaccard ≥ 0.8 that STRADDLE the train/heldout split — "
+    "exact-dup leakage (q_split_leakage) catches copies, this catches "
+    "the paraphrase/boilerplate overlap that actually contaminates "
+    "benchmarks; composes lsh_verified_jaccard_pairs with hash_split "
+    "at zero extra shuffle over the pair frame",
+    "curation: near-dup split-leakage audit",
+)
+def q_split_leakage_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import dedup as _dd
+
+    d = sampling.hash_split(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        weights=(("train", 0.8), ("heldout", 0.2)),
+        seed=3,
+    )
+    pairs = _dd.lsh_verified_jaccard_pairs(d, threshold=0.8)
+    sp = d.select("doc_id", "split")
+    j = (
+        pairs.join(
+            sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "split", "_sa"
+            ),
+            on="id_a",
+        )
+        .join(
+            sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "split", "_sb"
+            ),
+            on="id_b",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_cross_near_pairs"),
+        (
+            F.count_distinct("id_a") + F.count_distinct("id_b")
+        ).alias("n_docs_involved"),
+    )
