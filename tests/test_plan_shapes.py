@@ -349,3 +349,15 @@ def test_session_r5d_queries_stay_jvm_side(spark):
 def test_bm25_finishes_with_take_ordered(spark):
     plan = _plan(spark, "q_bm25_search")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_session_r5e_queries_stay_jvm_side(spark):
+    for name in (
+        "q_group_split",
+        "q_split_leakage",
+        "q_stickiness",
+        "q_resample_interpolate",
+        "q_unpivot_metrics",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
