@@ -1,0 +1,99 @@
+"""Declarative data-quality expectations — the Deequ/Great-Expectations
+shape on plain Catalyst: a rule set is ONE aggregate pass over the
+table (conditional sums + exact distinct counts share the same
+partial/final plan), emitting a long-form report a pipeline gates on.
+
+The reference's quality surface is the apply-exceptions side channel
+(SURVEY §2, O25 — bad rows diverted, pipeline continues); this is the
+proactive twin: assert the contract BEFORE the data ships.
+
+Scale: each row rule compiles to a conditional count inside one
+map-side-combined aggregate — k rules cost one scan, not k.  A
+uniqueness rule adds an exact distinct aggregate (two-phase).  NULL
+semantics are explicit: a row where the predicate evaluates to NULL
+counts as a VIOLATION (unknown is not a pass), mirrored by the oracle's
+``NOT COALESCE(cond, FALSE)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RowRule:
+    """A predicate every row must satisfy (NULL ⇒ violation)."""
+
+    name: str
+    cond: Column
+
+
+@dataclass(frozen=True)
+class UniqueRule:
+    """Columns whose combination must be unique across the table
+    (NULL-keyed rows are excluded from the distinct count, matching
+    COUNT(DISTINCT ...) semantics on both engines)."""
+
+    name: str
+    cols: tuple[str, ...]
+
+
+def not_null(name: str, col: str) -> RowRule:
+    return RowRule(name, F.col(col).isNotNull())
+
+
+def in_set(name: str, col: str, values: Sequence[str]) -> RowRule:
+    return RowRule(name, F.col(col).isin(list(values)))
+
+
+def check_expectations(
+    df: DataFrame, rules: Sequence[RowRule | UniqueRule]
+) -> DataFrame:
+    """Evaluate every rule in one aggregate pass.
+
+    Output: (rule, n_rows, n_violations, passed) — one row per rule in
+    declaration order (rule names must be unique).
+    """
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("expectation rule names must be unique")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, r in enumerate(rules):
+        if isinstance(r, RowRule):
+            aggs.append(
+                F.sum(
+                    F.when(~F.coalesce(r.cond, F.lit(False)), 1).otherwise(0)
+                ).alias(f"_v{i}")
+            )
+        else:
+            all_nn = None
+            for c in r.cols:
+                nn = F.col(c).isNotNull()
+                all_nn = nn if all_nn is None else (all_nn & nn)
+            aggs.append(
+                (
+                    F.sum(F.when(all_nn, 1).otherwise(0))
+                    - F.count_distinct(*[F.col(c) for c in r.cols])
+                ).alias(f"_v{i}")
+            )
+    one = df.agg(*aggs)
+    report = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r.name).alias("rule"),
+                        F.col("_n").cast("long").alias("n_rows"),
+                        F.col(f"_v{i}").cast("long").alias("n_violations"),
+                        (F.col(f"_v{i}") == 0).alias("passed"),
+                    )
+                    for i, r in enumerate(rules)
+                ]
+            )
+        ).alias("_r")
+    )
+    return report.select("_r.rule", "_r.n_rows", "_r.n_violations", "_r.passed")

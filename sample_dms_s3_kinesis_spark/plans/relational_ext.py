@@ -5068,3 +5068,131 @@ def q_split_leakage_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("id_a") + F.count_distinct("id_b")
         ).alias("n_docs_involved"),
     )
+
+
+@_register(
+    "q_top_journeys",
+    """
+    WITH marks AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marks),
+    j AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+      FROM sess GROUP BY user_id, session_id)
+    SELECT journey, COUNT(*) AS n_sessions
+    FROM j GROUP BY journey
+    ORDER BY n_sessions DESC, journey LIMIT 20
+    """,
+    "top user journeys: per 30-min session, the ordered event-type "
+    "path as a string (deterministic (ts, event id) order), then "
+    "frequency-ranked top-20 — the behavioral-pattern mining query; "
+    "journey assembly is a per-session sort_array fold, the ranking "
+    "is TakeOrderedAndProject over the journey-count frame",
+    "§2.7 generalized: session journey mining",
+)
+def q_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = tus - F.lag(tus).over(w)
+    marks = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(gap_us.isNull(), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marks.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("new_sess").over(wsum).alias("session_id"),
+    )
+    j = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                                "_t"
+                            ),
+                            F.col("event_id").alias("_i"),
+                            F.col("event_type").alias("_y"),
+                        )
+                    )
+                ),
+                lambda s: s["_y"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        j.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("journey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q_check_expectations",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE)
+                      THEN 1 ELSE 0 END) AS v_notnull,
+             SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                      THEN 1 ELSE 0 END) AS v_positive,
+             SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+                      THEN 1 ELSE 0 END) AS v_status,
+             SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+               - COUNT(DISTINCT o_orderkey) AS v_unique
+      FROM orders)
+    SELECT 'orderkey_unique' AS rule, n AS n_rows,
+           CAST(v_unique AS BIGINT) AS n_violations, v_unique = 0 AS passed
+    FROM a
+    UNION ALL
+    SELECT 'custkey_not_null', n, CAST(v_notnull AS BIGINT), v_notnull = 0 FROM a
+    UNION ALL
+    SELECT 'totalprice_positive', n, CAST(v_positive AS BIGINT), v_positive = 0 FROM a
+    UNION ALL
+    SELECT 'status_in_domain', n, CAST(v_status AS BIGINT), v_status = 0 FROM a
+    """,
+    "declarative data-quality expectations (Deequ shape): four rules — "
+    "key uniqueness, not-null, positivity, domain membership — checked "
+    "in ONE aggregate pass (k rules = one scan, not k); NULL predicate "
+    "results count as violations on both engines",
+    "O25 proactive twin: contract assertion before shipping",
+)
+def q_check_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import quality as _q
+
+    return _q.check_expectations(
+        t(spark, sf_dir, "orders"),
+        [
+            _q.UniqueRule("orderkey_unique", ("o_orderkey",)),
+            _q.not_null("custkey_not_null", "o_custkey"),
+            _q.RowRule("totalprice_positive", F.col("o_totalprice") > 0),
+            _q.in_set("status_in_domain", "o_orderstatus", ["O", "F", "P"]),
+        ],
+    )

@@ -1,0 +1,78 @@
+"""Declarative expectations: one-pass rule evaluation with explicit
+NULL-as-violation semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import quality
+
+
+def _df(spark):
+    rows = [
+        (1, 10, "O", 5.0),
+        (2, 11, "F", -1.0),     # violates positivity
+        (3, None, "O", 2.0),    # violates not-null
+        (4, 12, "X", 3.0),      # violates domain
+        (4, 13, "O", 4.0),      # duplicate key
+        (5, 14, None, None),    # NULL status+price -> both violations
+    ]
+    return spark.createDataFrame(
+        rows, "k long, cust long, status string, price double"
+    )
+
+
+def test_check_expectations_report(spark):
+    got = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in quality.check_expectations(
+            _df(spark),
+            [
+                quality.UniqueRule("k_unique", ("k",)),
+                quality.not_null("cust_not_null", "cust"),
+                quality.RowRule("price_positive", F.col("price") > 0),
+                quality.in_set("status_domain", "status", ["O", "F"]),
+            ],
+        ).collect()
+    }
+    assert got == {
+        "k_unique": (6, 1, False),
+        "cust_not_null": (6, 1, False),
+        "price_positive": (6, 2, False),   # -1 and NULL both violate
+        "status_domain": (6, 2, False),    # 'X' and NULL both violate
+    }
+
+
+def test_check_expectations_all_pass_and_order(spark):
+    out = quality.check_expectations(
+        _df(spark).filter("k = 1"),
+        [
+            quality.not_null("a", "cust"),
+            quality.RowRule("b", F.col("price") > 0),
+        ],
+    ).collect()
+    assert [r["rule"] for r in out] == ["a", "b"]  # declaration order
+    assert all(r["passed"] and r["n_violations"] == 0 for r in out)
+
+
+def test_check_expectations_rejects_duplicate_names(spark):
+    with pytest.raises(ValueError, match="unique"):
+        quality.check_expectations(
+            _df(spark), [quality.not_null("x", "k"), quality.not_null("x", "cust")]
+        )
+
+
+def test_check_expectations_single_scan(spark):
+    """k rules must cost one aggregate pass: exactly one scan of the
+    input in the physical plan."""
+    plan = (
+        quality.check_expectations(
+            _df(spark),
+            [
+                quality.UniqueRule("u", ("k",)),
+                quality.not_null("n", "cust"),
+                quality.RowRule("p", F.col("price") > 0),
+            ],
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 2
