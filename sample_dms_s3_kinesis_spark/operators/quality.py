@@ -97,3 +97,69 @@ def check_expectations(
         ).alias("_r")
     )
     return report.select("_r.rule", "_r.n_rows", "_r.n_violations", "_r.passed")
+
+
+def quarantine(
+    df: DataFrame, rules: Sequence[RowRule]
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (valid, invalid): the generalization of the
+    CDC apply-exceptions side channel (O25) to arbitrary contracts —
+    bad rows divert with the FIRST failing rule's name attached (rule
+    declaration order), good rows flow on untouched.
+
+    One narrow projection, no shuffle: the rule CASE evaluates per
+    row; both outputs share the same scan (Spark computes each filter
+    independently — at scale, persist the labeled frame if both sides
+    are consumed).
+
+    Returns (valid_df, invalid_df); invalid carries a ``failed_rule``
+    column.
+    """
+    label = None
+    for r in rules:
+        clause = ~F.coalesce(r.cond, F.lit(False))
+        label = (
+            F.when(clause, F.lit(r.name))
+            if label is None
+            else label.when(clause, F.lit(r.name))
+        )
+    labeled = df.withColumn("failed_rule", label)
+    valid = labeled.filter(F.col("failed_rule").isNull()).drop("failed_rule")
+    invalid = labeled.filter(F.col("failed_rule").isNotNull())
+    return valid, invalid
+
+
+def check_expectations_with_thresholds(
+    df: DataFrame,
+    rules: Sequence[tuple[RowRule | UniqueRule, float]],
+) -> DataFrame:
+    """Tolerance-aware expectations: each rule carries a maximum
+    violation RATE (0.0 = strict); ``passed`` compares the observed
+    rate against it — the form real pipelines gate on ("≤0.1% bad
+    rows ships, more pages someone").  Same one-pass plan.
+
+    Output: (rule, n_rows, n_violations, violation_rate, max_rate,
+    passed)."""
+    base = check_expectations(df, [r for r, _ in rules])
+    thr = base.sparkSession.createDataFrame(
+        [(r.name, float(mx)) for r, mx in rules], "rule string, max_rate double"
+    )
+    return (
+        base.join(F.broadcast(thr), on="rule")
+        .select(
+            "rule",
+            "n_rows",
+            "n_violations",
+            F.round(
+                F.col("n_violations").cast("double")
+                / F.greatest(F.col("n_rows"), F.lit(1)),
+                6,
+            ).alias("violation_rate"),
+            "max_rate",
+            (
+                F.col("n_violations").cast("double")
+                / F.greatest(F.col("n_rows"), F.lit(1))
+                <= F.col("max_rate")
+            ).alias("passed"),
+        )
+    )

@@ -5196,3 +5196,43 @@ def q_check_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             _q.in_set("status_in_domain", "o_orderstatus", ["O", "F", "P"]),
         ],
     )
+
+
+@_register(
+    "q_quarantine",
+    """
+    SELECT doc_id,
+           CASE WHEN NOT COALESCE(text IS NOT NULL, FALSE)
+                  THEN 'text_not_null'
+                WHEN NOT COALESCE(n_chars >= 100, FALSE)
+                  THEN 'min_length'
+                WHEN NOT COALESCE(lang IN ('en','de','zh'), FALSE)
+                  THEN 'lang_domain'
+           END AS failed_rule
+    FROM documents
+    WHERE CASE WHEN NOT COALESCE(text IS NOT NULL, FALSE)
+                 THEN 'text_not_null'
+               WHEN NOT COALESCE(n_chars >= 100, FALSE)
+                 THEN 'min_length'
+               WHEN NOT COALESCE(lang IN ('en','de','zh'), FALSE)
+                 THEN 'lang_domain'
+          END IS NOT NULL
+    """,
+    "contract quarantine over documents: rows failing the declared "
+    "contract divert with the FIRST failing rule's name (declaration "
+    "order) — the O25 apply-exceptions side channel generalized to "
+    "arbitrary rule sets; one narrow CASE projection, no shuffle",
+    "O25 generalized: rule-labeled quarantine",
+)
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import quality as _q
+
+    _, invalid = _q.quarantine(
+        t(spark, sf_dir, "documents"),
+        [
+            _q.not_null("text_not_null", "text"),
+            _q.RowRule("min_length", F.col("n_chars") >= 100),
+            _q.in_set("lang_domain", "lang", ["en", "de", "zh"]),
+        ],
+    )
+    return invalid.select("doc_id", "failed_rule")

@@ -76,3 +76,44 @@ def test_check_expectations_single_scan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 2
+
+
+def test_quarantine_first_failing_rule_wins(spark):
+    rules = [
+        quality.not_null("cust_not_null", "cust"),
+        quality.RowRule("price_positive", F.col("price") > 0),
+        quality.in_set("status_domain", "status", ["O", "F"]),
+    ]
+    valid, invalid = quality.quarantine(_df(spark), rules)
+    good = {r["k"] for r in valid.collect()}
+    bad = {r["k"]: r["failed_rule"] for r in invalid.collect()}
+    assert good == {1, 4}  # k=4 rows: ('X' row fails domain... see below)
+    # row (4, 12, 'X') fails domain; (4, 13, 'O') is fine
+    assert bad[3] == "cust_not_null"
+    assert bad[2] == "price_positive"
+    # k=5 has NULL price AND NULL status: first declared failure wins
+    assert bad[5] == "price_positive"
+    # duplicate keys are row-valid (uniqueness is a table-level rule)
+    assert valid.count() + invalid.count() == 6
+
+
+def test_quarantine_labels_domain_violation(spark):
+    rules = [quality.in_set("status_domain", "status", ["O", "F"])]
+    _, invalid = quality.quarantine(_df(spark), rules)
+    got = {r["k"]: r["failed_rule"] for r in invalid.collect()}
+    assert got == {4: "status_domain", 5: "status_domain"}
+
+
+def test_thresholded_expectations(spark):
+    out = {
+        r["rule"]: (r["violation_rate"], r["passed"])
+        for r in quality.check_expectations_with_thresholds(
+            _df(spark),
+            [
+                (quality.not_null("cust_not_null", "cust"), 0.2),   # 1/6 ok
+                (quality.RowRule("price_positive", F.col("price") > 0), 0.1),
+            ],
+        ).collect()
+    }
+    assert out["cust_not_null"] == (round(1 / 6, 6), True)
+    assert out["price_positive"] == (round(2 / 6, 6), False)
