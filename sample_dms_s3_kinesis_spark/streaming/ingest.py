@@ -81,6 +81,7 @@ class CorpusIngestTask(ReplicationTask):
         embedding_threshold: float = 0.99,
         embedding_planes: int = 4,
         embedding_dim: int | None = None,
+        contract_rules=None,
         checkpoint_dir: str | None = None,
     ) -> None:
         super().__init__(identifier)
@@ -98,6 +99,11 @@ class CorpusIngestTask(ReplicationTask):
         self.embedding_threshold = embedding_threshold
         self.embedding_planes = embedding_planes
         self.embedding_dim = embedding_dim
+        # optional gate 0: declarative quality contract (operators.
+        # quality RowRules); failing rows divert to the per-batch
+        # quarantine store with the first failing rule's name — the
+        # ingest twin of the CDC apply-exceptions channel.
+        self.contract_rules = list(contract_rules) if contract_rules else None
         self.checkpoint_dir = (
             checkpoint_dir or f"/tmp/ingest-checkpoint-{uuid.uuid4()}"
         )
@@ -258,11 +264,33 @@ class CorpusIngestTask(ReplicationTask):
             "dropped_near": 0,
             "dropped_sem": 0,
             "rejected": 0,
+            "rejected_contract": 0,
         }
         for counts in self._load_manifest().values():
             for k in totals:
                 totals[k] += int(counts.get(k, 0))
         return totals
+
+    def quarantined(self) -> DataFrame:
+        """(doc_id, failed_rule, batch_id) for every contract-rejected
+        row — the ingest twin of the CDC exceptions table."""
+        manifest = self._load_manifest()
+        paths = [
+            f"{self.corpus_dir}/_quarantine/batch_id={b}"
+            for b in sorted(manifest, key=int)
+            if int(manifest[b].get("rejected_contract", 0)) > 0
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "doc_id long, failed_rule string, batch_id long"
+            )
+        return (
+            self.spark.read.option(
+                "basePath", f"{self.corpus_dir}/_quarantine"
+            )
+            .parquet(*paths)
+            .select("doc_id", "failed_rule", "batch_id")
+        )
 
     # -- lifecycle -----------------------------------------------------
 
@@ -314,6 +342,25 @@ class CorpusIngestTask(ReplicationTask):
         valid = batch_df.filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
+        # gate 0 (optional): quality contract — failing rows land in
+        # the quarantine store (overwrite per batch: replay-idempotent
+        # like the corpus directories) and count as rejected_contract.
+        n_contract = 0
+        if self.contract_rules:
+            from sample_dms_s3_kinesis_spark.operators.quality import (
+                quarantine,
+            )
+
+            valid, bad = quarantine(valid, self.contract_rules)
+            bad = bad.persist()
+            n_contract = bad.count()
+            if n_contract > 0:
+                (
+                    bad.select("doc_id", "failed_rule")
+                    .write.mode("overwrite")
+                    .parquet(f"{self.corpus_dir}/_quarantine/batch_id={batch_id}")
+                )
+            bad.unpersist()
         docs = valid.withColumn("digest", F.md5(F.col("text"))).persist()
         head = docs.agg(
             F.count(F.lit(1)).alias("n_valid")
@@ -327,7 +374,8 @@ class CorpusIngestTask(ReplicationTask):
                     "dropped_exact": 0,
                     "dropped_near": 0,
                     "dropped_sem": 0,
-                    "rejected": n_total,
+                    "rejected": n_total - n_contract,
+                    "rejected_contract": n_contract,
                 },
             )
             docs.unpersist()
@@ -463,7 +511,8 @@ class CorpusIngestTask(ReplicationTask):
                 "dropped_exact": head["n_valid"] - n_novel,
                 "dropped_near": n_novel - n_after_near,
                 "dropped_sem": n_after_near - n_admitted,
-                "rejected": n_total - head["n_valid"],
+                "rejected": n_total - head["n_valid"] - n_contract,
+                "rejected_contract": n_contract,
             },
         )
         admitted.unpersist()

@@ -314,3 +314,71 @@ def test_signature_store_plan_has_no_recompute(spark, tmp_path):
     assert "FileScan parquet [_id" in plan and "_sig" in plan
     # ...and the minhash pipeline never re-runs (no text hashing)
     assert "xxhash64" not in plan
+
+
+def test_contract_gate_quarantines_and_counts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.operators import quality
+
+    drop = str(tmp_path / "drop")
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        contract_rules=[
+            quality.RowRule(
+                "min_tokens",
+                F.size(F.split(F.trim("text"), r"\s+")) >= 3,
+            ),
+            quality.RowRule("no_tabs", ~F.col("text").contains("\t")),
+        ],
+    )
+    _drop(drop, "crawl1.json", [
+        (1, "alpha beta gamma"),          # passes
+        (2, "too short"),                 # fails min_tokens
+        (3, "has\ta tab inside here"),    # fails no_tabs
+        (4, "delta epsilon zeta eta"),    # passes
+        (5, None),                        # schema-invalid, NOT contract
+    ])
+    task.process_available()
+    assert {r["doc_id"] for r in task.corpus().collect()} == {1, 4}
+    q = {
+        r["doc_id"]: r["failed_rule"] for r in task.quarantined().collect()
+    }
+    assert q == {2: "min_tokens", 3: "no_tabs"}
+    stats = task.ingest_stats()
+    assert stats["admitted"] == 2
+    assert stats["rejected_contract"] == 2
+    assert stats["rejected"] == 1        # the NULL-text row only
+
+    # replay idempotence: re-running the same batch id overwrites the
+    # quarantine directory and re-records the same counters
+    import json as _json
+
+    with open(task._manifest_file()) as f:
+        before = _json.load(f)
+    df = spark.read.schema(
+        __import__(
+            "sample_dms_s3_kinesis_spark.streaming.ingest",
+            fromlist=["DOC_SCHEMA"],
+        ).DOC_SCHEMA
+    ).json(drop)
+    task._process_batch(df, 0)
+    with open(task._manifest_file()) as f:
+        after = _json.load(f)
+    assert after == before
+    assert {r["doc_id"] for r in task.quarantined().collect()} == {2, 3}
+
+
+def test_contract_gate_off_by_default(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop(drop, "crawl1.json", [(1, "x"), (2, "alpha beta gamma")])
+    task.process_available()
+    # no contract: the one-token doc is admitted, quarantine is empty
+    assert {r["doc_id"] for r in task.corpus().collect()} == {1, 2}
+    assert task.quarantined().count() == 0
+    assert task.ingest_stats()["rejected_contract"] == 0
