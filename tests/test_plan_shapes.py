@@ -361,3 +361,16 @@ def test_session_r5e_queries_stay_jvm_side(spark):
     ):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_session_r5f_queries_stay_jvm_side(spark):
+    for name in (
+        "q_top_journeys",
+        "q_check_expectations",
+        "q_quarantine",
+        "q_hll_daily_union",
+        "q_cohort_ltv",
+        "q_rolling_wau",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
