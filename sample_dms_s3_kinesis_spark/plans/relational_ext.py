@@ -5236,3 +5236,70 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return invalid.select("doc_id", "failed_rule")
+
+
+@_register(
+    "q_funnel_by_cohort",
+    """
+    WITH t1 AS (SELECT user_id, MIN(ts) AS ts FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.ts
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.ts
+           GROUP BY e.user_id),
+    f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+          FROM events GROUP BY user_id),
+    d AS (SELECT f.user_id, f.cohort,
+                 CASE WHEN t3.user_id IS NOT NULL THEN 3
+                      WHEN t2.user_id IS NOT NULL THEN 2
+                      WHEN t1.user_id IS NOT NULL THEN 1
+                      ELSE 0 END AS depth
+          FROM f LEFT JOIN t1 USING (user_id)
+                 LEFT JOIN t2 USING (user_id)
+                 LEFT JOIN t3 USING (user_id))
+    SELECT cohort,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_entered,
+           CAST(SUM(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           ROUND(CAST(SUM(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS conversion_rate
+    FROM d GROUP BY cohort
+    """,
+    "conversion by signup cohort: funnel depth per user joined to the "
+    "first-activity-week cohort, rolled up to entered/converted counts "
+    "and a rate per cohort — the composition a growth team reads "
+    "weekly; the funnel fold and the cohort aggregate each shuffle the "
+    "user key once and the final rollup is cohort-sized",
+    "O17 generalized: cohort-sliced funnel",
+)
+def q_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import analytics
+
+    ev = t(spark, sf_dir, "events")
+    depth = analytics.user_funnel_depth(
+        ev, steps=["view", "click", "purchase"]
+    ).select("user_id", "depth")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    d = cohorts.join(depth, on="user_id", how="left").select(
+        "cohort", F.coalesce(F.col("depth"), F.lit(0)).alias("depth")
+    )
+    return d.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("depth") >= 1, 1).otherwise(0)).alias("n_entered"),
+        F.sum(F.when(F.col("depth") >= 3, 1).otherwise(0)).alias(
+            "n_converted"
+        ),
+        F.round(
+            F.sum(F.when(F.col("depth") >= 3, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("conversion_rate"),
+    )
