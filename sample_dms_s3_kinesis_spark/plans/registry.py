@@ -1287,7 +1287,8 @@ DRIVER_WINDOW: list[str] = [
 # q_sql_entry_revenue, q_daily_trend, q_funnel_windowed,
 # q_group_split, q_split_leakage, q_stickiness,
 # q_resample_interpolate, q_split_leakage_near (rows-only),
-# q_top_journeys, q_check_expectations, q_quarantine.
+# q_top_journeys, q_check_expectations, q_quarantine,
+# q_funnel_by_cohort.
 # r6 rotation priority: never-checked beats stale.
 
 _BY_NAME = {s.name: s for s in _SPECS}
