@@ -179,16 +179,35 @@ def apply_changes(
         F.lit("row-not-found-or-duplicate-key").alias("error"),
     )
     exceptions = apply_exceptions.unionByName(unkeyed)
-    counts = folded.agg(
-        F.sum("s.ins").alias("inserts"),
-        F.sum("s.upd").alias("updates"),
-        F.sum("s.del").alias("deletes"),
-        F.sum("s.exc").alias("exceptions"),
-        # Applied* exclude excepted ops (DMS TableStatistics semantics).
-        F.sum(F.col("s.ins") - F.col("s.exc_ins")).alias("applied_inserts"),
-        F.sum(F.col("s.upd") - F.col("s.exc_upd")).alias("applied_updates"),
-        F.sum(F.col("s.del") - F.col("s.exc_del")).alias("applied_deletes"),
-    ).na.fill(0)
+    counts = (
+        folded.agg(
+            F.sum("s.ins").alias("inserts"),
+            F.sum("s.upd").alias("updates"),
+            F.sum("s.del").alias("deletes"),
+            F.sum("s.exc").alias("exceptions"),
+            # Applied* exclude excepted ops (DMS TableStatistics
+            # semantics).
+            F.sum(F.col("s.ins") - F.col("s.exc_ins")).alias(
+                "applied_inserts"
+            ),
+            F.sum(F.col("s.upd") - F.col("s.exc_upd")).alias(
+                "applied_updates"
+            ),
+            F.sum(F.col("s.del") - F.col("s.exc_del")).alias(
+                "applied_deletes"
+            ),
+        )
+        # 1-row × 1-row: collecting counts answers "did this table
+        # produce ANY exception row (applied or unparseable-PK)?" in
+        # the same single action — CdcTask uses it to skip the
+        # exceptions-table merge without a take(1) probe per batch.
+        .crossJoin(
+            unkeyed.agg(
+                F.count(F.lit(1)).cast("long").alias("unkeyed_exceptions")
+            )
+        )
+        .na.fill(0)
+    )
     return ApplyResult(
         table=table,
         new_state=new_state,

@@ -25,11 +25,15 @@ Scale design notes (the whole point of these shapes):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators.partitioning import spread
 from sample_dms_s3_kinesis_spark.operators.text import _bind, tokens
+
+_LOG = logging.getLogger("sample_dms_s3_kinesis_spark.dedup")
 
 # Build sides at or below this row count broadcast; above it the pair
 # join falls back to a salted shuffle join (see _block_pair_join).
@@ -1149,6 +1153,16 @@ def connected_components(
     ``checkpoint_dir`` on a real cluster: ``localCheckpoint`` blocks
     live on executors and a lost executor aborts the fixpoint loop —
     a reliable ``checkpoint()`` to HDFS/S3 survives it.
+
+    ``driver_threshold``: edge graphs at or below this size (default
+    100 000 edges — a few MB) are ``collect()``-ed and union-found on
+    the DRIVER, skipping several rounds of distributed scheduling
+    latency; above it the distributed star loop engages
+    automatically.  The switch is logged (logger
+    ``sample_dms_s3_kinesis_spark.dedup``), so a caller profiling the
+    small case can see that a 100×-larger graph will take the other
+    path.  Pass ``driver_threshold=0`` to force the distributed loop
+    at any size.
     """
     ids = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
     edges = _cut_lineage(
@@ -1168,6 +1182,12 @@ def connected_components(
     # cheap count; the distributed O(log² n) path stays the engine of
     # record above the gate (pass ``driver_threshold=0`` to force it).
     if driver_threshold and edges.count() <= driver_threshold:
+        _LOG.info(
+            "connected_components: edge graph <= driver_threshold=%d, "
+            "taking the driver union-find path (the distributed "
+            "large-star/small-star loop engages above the gate)",
+            driver_threshold,
+        )
         parent: dict = {}
 
         def _find(x: int) -> int:
@@ -2203,9 +2223,12 @@ def edit_distance_pairs(
     intersection as a plain count — plus the |len_a − len_b| ≤ k
     bound; only candidates pay the verify ``levenshtein``.  Strings
     with fewer than k·q+1 grams (shorter than ~q(k+1) chars) cannot be
-    count-filtered and take a separate short×short length-banded pass
-    — a bounded set, since it is capped by string length, not corpus
-    size.  The occurrence index is a row_number windowed by (id, gram):
+    count-filtered and take separate length-banded passes; the short
+    ROW set is corpus-sized (only the distinct length space < k·q + q
+    is bounded), so each pass is an equi HASH join on an exploded
+    length band (len−k..len+k vs exact length), never a
+    nested-loop theta join.  The occurrence index is a row_number
+    windowed by (id, gram):
     the partition key contains the document id, so hyper-common grams
     cannot concentrate on one reducer.
 
@@ -2265,42 +2288,45 @@ def edit_distance_pairs(
         "id_a", "id_b", F.levenshtein("_ka", "_kb").alias("distance")
     ).filter(F.col("distance") <= k)
 
-    # short strings: too few grams for the count bound — length-banded
-    # pairwise pass over a set bounded by string length, plus the
-    # short×long boundary pairs (|len| ≤ k keeps it narrow).
+    # Short strings: too few grams for the count bound.  The short ROW
+    # set is corpus-sized (every doc shorter than ~q(k+1) chars lands
+    # here); only the distinct LENGTH space is bounded (< k·q + q).
+    # So the pass must be an equi hash join, never a theta-only
+    # broadcast-nested-loop: each short row explodes to its 2k+1
+    # admissible partner lengths (len−k..len+k) and equi-joins that
+    # band against the partner side's exact length — |Δlen| ≤ k as a
+    # hash key, with only the id-order tiebreak as residual.
     shorts = base.filter(F.col("_ng") <= min_grams)
     sa = shorts.select(
         F.col("_id").alias("id_a"), F.col("_k").alias("_ka"),
-        F.col("_l").alias("_la"),
+        F.explode(
+            F.sequence(F.col("_l") - k, F.col("_l") + k)
+        ).alias("_lband"),
     )
     ob = base.select(
         F.col("_id").alias("id_b"), F.col("_k").alias("_kb"),
-        F.col("_l").alias("_lb"),
+        F.col("_l").alias("_lband"),
     )
     short_pairs = (
-        sa.join(
-            ob,
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("_la") - F.col("_lb")) <= k),
-        )
+        sa.join(ob, on="_lband")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.levenshtein("_ka", "_kb").alias("distance"))
         .filter(F.col("distance") <= k)
     )
     # a short id_b paired with a long id_a (id order) is missed above:
     sb = shorts.select(
         F.col("_id").alias("id_b"), F.col("_k").alias("_kb"),
-        F.col("_l").alias("_lb"),
+        F.explode(
+            F.sequence(F.col("_l") - k, F.col("_l") + k)
+        ).alias("_lband"),
     )
     oa = long_side.select(
         F.col("_id").alias("id_a"), F.col("_k").alias("_ka"),
-        F.col("_l").alias("_la"),
+        F.col("_l").alias("_lband"),
     )
     short_pairs2 = (
-        oa.join(
-            sb,
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("_la") - F.col("_lb")) <= k),
-        )
+        oa.join(sb, on="_lband")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.levenshtein("_ka", "_kb").alias("distance"))
         .filter(F.col("distance") <= k)
     )
@@ -2323,8 +2349,10 @@ def edit_distance_pairs_against(
     filter but joining NEW grams against EXISTING grams only, so the
     existing corpus never self-pairs (completing the {Jaccard, cosine,
     edit} × {self, incremental} exact-join matrix).  Pairs where
-    either side is too short for the count bound take the bounded
-    length-banded side passes.
+    either side is too short for the count bound take length-banded
+    side passes — equi HASH joins on an exploded length band, since
+    the short row sets are corpus-sized (only the length key space is
+    bounded).
 
     Output: (id_new, id_existing, distance), distance ≤ k.
     """
@@ -2383,8 +2411,21 @@ def edit_distance_pairs_against(
     ).filter(F.col("distance") <= k)
 
     def banded(a: DataFrame, b: DataFrame) -> DataFrame:
+        # Same contract as the self-join short pass: the short side is
+        # corpus-sized, so explode its 2k+1 admissible partner lengths
+        # into an equi hash key instead of a nested-loop |Δlen| theta.
+        a = a.select(
+            "id_new", "_knew",
+            F.explode(
+                F.sequence(F.col("_lnew") - k, F.col("_lnew") + k)
+            ).alias("_lband"),
+        )
+        b = b.select(
+            "id_existing", "_kexisting",
+            F.col("_lexisting").alias("_lband"),
+        )
         return (
-            a.join(b, F.abs(F.col("_lnew") - F.col("_lexisting")) <= k)
+            a.join(b, on="_lband")
             .select(
                 "id_new",
                 "id_existing",

@@ -58,6 +58,10 @@ def check_expectations(
     Output: (rule, n_rows, n_violations, passed) — one row per rule in
     declaration order (rule names must be unique).
     """
+    if not rules:
+        # An empty rule list would build explode(F.array()) whose
+        # null-typed struct access fails analysis with an opaque error.
+        raise ValueError("at least one rule required")
     names = [r.name for r in rules]
     if len(set(names)) != len(names):
         raise ValueError("expectation rule names must be unique")
@@ -115,6 +119,9 @@ def quarantine(
     Returns (valid_df, invalid_df); invalid carries a ``failed_rule``
     column.
     """
+    if not rules:
+        # label would stay None and withColumn(None) fails opaquely.
+        raise ValueError("at least one rule required")
     label = None
     for r in rules:
         clause = ~F.coalesce(r.cond, F.lit(False))

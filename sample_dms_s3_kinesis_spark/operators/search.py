@@ -55,8 +55,10 @@ def boolean_search(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Conjunctive (AND) boolean retrieval: documents containing every
-    term.  Output: (id_col) — one row per matching doc."""
-    want = [t.lower() for t in terms]
+    term.  Output: (id_col) — one row per matching doc.  Terms are
+    deduplicated first: ['spark', 'spark'] means the one-term query,
+    not an unsatisfiable two-distinct-token count."""
+    want = sorted({t.lower() for t in terms})
     p = postings(df, text_col=text_col, id_col=id_col)
     return (
         p.filter(F.col("token").isin(want))
@@ -114,27 +116,46 @@ def bm25_search(
 ) -> DataFrame:
     """BM25-ranked retrieval (Lucene idf variant:
     ln(1 + (N - df + 0.5)/(df + 0.5))).  Corpus stats (N, avg doc
-    length, per-term document frequency) are tiny aggregates broadcast
-    onto the per-(doc, term) frequency frame; TakeOrderedAndProject
-    finishes.  Output: (id_col, score) descending, ties on id."""
-    want = [t.lower() for t in terms]
+    length, per-term document frequency) are tiny aggregates fetched
+    in ONE driver action (a union of the corpus-total row with the
+    per-term rows — one job, not two serialized ones) and broadcast
+    as literals onto the per-(doc, term) frequency frame;
+    TakeOrderedAndProject finishes.  An empty corpus — or one whose
+    docs all tokenize to nothing — returns an empty (id_col, score)
+    frame instead of dividing by zero.  Output: (id_col, score)
+    descending, ties on id."""
+    want = sorted({t.lower() for t in terms})
     p = postings(df, text_col=text_col, id_col=id_col)
     doclen = p.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_tot")
-    ).collect()[0]
-    n_docs, avg_len = int(stats["_n"]), float(stats["_tot"]) / float(stats["_n"])
     tf = (
         p.filter(F.col("token").isin(want))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
-    dfreq = {
-        r["token"]: r["_df"]
-        for r in tf.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    stat_rows = (
+        doclen.agg(
+            F.count(F.lit(1)).cast("long").alias("_a"),
+            F.coalesce(F.sum("_dl"), F.lit(0)).cast("long").alias("_b"),
+        )
+        .select(F.lit(None).cast("string").alias("token"), "_a", "_b")
+        .unionByName(
+            tf.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("_a"))
+            .select("token", "_a", F.lit(0).cast("long").alias("_b"))
+        )
         .collect()
-    }
+    )
+    n_docs, tot_len, dfreq = 0, 0, {}
+    for r in stat_rows:
+        if r["token"] is None:
+            n_docs, tot_len = int(r["_a"]), int(r["_b"])
+        else:
+            dfreq[r["token"]] = int(r["_a"])
+    if n_docs == 0:
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        ).filter(F.lit(False))
+    avg_len = float(tot_len) / float(n_docs)
     idf_expr = None
     for term in sorted(want):
         d = dfreq.get(term, 0)
@@ -178,8 +199,9 @@ def boolean_search_postings(
     """Boolean retrieval directly over a posting frame (the stored
     form — see :class:`PostingsIndex`): AND of ``terms`` minus docs
     containing any ``exclude`` term (AND-NOT as a digest anti-join).
-    Output: (id_col)."""
-    want = [t.lower() for t in terms]
+    Output: (id_col).  Terms are deduplicated before the distinct-token
+    count so repeated terms cannot raise the match threshold."""
+    want = sorted({t.lower() for t in terms})
     hit = (
         p.filter(F.col("token").isin(want))
         .select(id_col, "token")

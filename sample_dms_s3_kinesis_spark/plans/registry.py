@@ -1183,113 +1183,90 @@ from sample_dms_s3_kinesis_spark.plans import relational_ext  # noqa: E402,F401
 
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
-# budget.  Rounds 2-4 drove their 50-query windows all-green (zero
-# oracle-bearing failures in CORRECTNESS_r02/r03/r04.json).  Round 5
-# rotates with three goals: (1) the queries with NO driver row yet —
-# q_near_dedup_against (registered in r4's final commit, outside that
-# window) plus the two new round-5 operators (persisted-IVF probe,
-# cross-corpus SimHash gate); (2) the 16 queries whose last driver row
-# is r2 — three rounds stale — the oldest signal in the registry;
-# (3) back-fill with r3-stale queries, preferring the north-star
-# text/sampling/embedding families and the shapes touched by round-5
-# code changes (the SimHash chunk refactor, the hot-bucket cap).
-# Seventeen r3-green TPC-H queries (q02/q04/q06/q07/q09-q17/q19-q22,
-# q10) rotate out this round — at r5 their rows are exactly two rounds
-# old, within contract; they rotate back in r6.
+# budget.  Rounds 2-5 drove their 50-query windows all-green (zero
+# oracle-bearing failures in CORRECTNESS_r02..r05.json).  Round 6
+# executes the rotation the r5 verdict mandated: (1) ALL 42 queries
+# that have never earned a driver CORRECTNESS row — the six swapped
+# out at the end of r5 (entropy/containment/ann-recall/skipping +
+# the segment-dedup pair) and the thirty-six registered by the second
+# round-5 session (search, analytics, edit-distance joins, PQ/IVF-PQ,
+# HLL, quality contracts, SQL entry, splits/journeys) — every one
+# locally oracle-checked green or pytest-pinned; (2) back-fill to 50
+# with the eight oldest r3-stale queries, preferring distinct
+# operator families (set ops, subqueries, window functions, stats
+# aggregates).  After this window lands, every query registered
+# through round 5 has at least one driver row.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked: r4 holdback + round-5 additions ---
-    "q_near_dedup_against",      # rows-only: hash-family-specific
-    "q_ivf_persisted_topk",      # rows-only: approximate ANN, plan pytest
-    "q_simhash_pairs_against",   # rows-only: fingerprint-family-specific
-    "q_embedding_near_dup_against",
-    "q_nb_lang_classify",
-    "q_chunk_documents",
-    "q_winnowing_containment",   # rows-only: xxhash64 fingerprints
-    "q_profile_documents",
-    "q_oov_rate",
-    "q_corpus_diff",
-    "q_weighted_sample",
-    "q_bigram_lm_score",
-    "q_semantic_dedup",          # rows-only: Spark-seeded k-means cells
-    "q_skew_report",
-    "q_vocab_coverage",
-    "q_winsorize",
-    "q_minhash_index_gate",      # rows-only: xxhash64 signature family
-    "q_weighted_sample_group",
-    "q_prefix_jaccard_pairs",
-    "q_profile_drift",
-    "q_lsh_quality",         # rows-only: exact side oracle-checked separately
-    "q_dedup_report",
-    "q_corr_stats",
-    "q_token_cosine_pairs",
-    "q_simhash_quality",     # rows-only: exact side oracle-checked separately
-    "q_image_near_dup",      # rows-only: binary media + perceptual hash
-    "q_audio_near_dup",      # rows-only: binary media + energy fingerprint
-    "q_simhash_index_gate",  # rows-only: xxhash64 fingerprint family
-    "q_prefix_jaccard_against",
-    "q_token_cosine_against",
-    "q_mad_by_lang",
-    "q_pack_spans",
-    "q_curation_pipeline_v2",
-    # --- r2-stale (3 rounds): the oldest driver signal ---
-    "q_top_orders",
-    "q_rollup_orders",
-    "q_cube_documents",
-    "q_scalar_subquery",
-    "q_like_filter",
-    "q08_market_share",
-    "q_full_outer_nation_counts",
-    "q_percentile_agg",
-    "q_grouping_sets_orders",
-    "q_pivot_status_counts",
-    "q_string_functions",
-    "q_date_functions",
-    "q_tumbling_window_events",
-    "q_two_phase_distinct",
-    "q_mixture_sample",
-    "q_text_tfidf_topk",
-    # --- r3-stale back-fill: north-star families + touched shapes ---
-    "q_simhash_pairs",           # rows-only; chunk helper refactored in r5
+    # --- never driver-checked: swapped out at the end of round 5 ---
+    "q_entropy_by_source",
+    "q_containment_against",
+    "q_ann_recall",              # rows-only: recall vs exact ground truth
+    "q_skipping_report",
+    "q_dedup_segments",
+    "q_dedup_segments_against",
+    # --- never driver-checked: second round-5 session additions ---
+    "q_unpivot_metrics",
+    "q_array_hof_stats",
+    "q_dedup_segments_within",
+    "q_temperature_mixture",
+    "q_bpe_merges",              # rows-only: iterative merge induction
+    "q_funnel_counts",
+    "q_cohort_retention",
+    "q_funnel_conversion",
+    "q_resample_ffill",
+    "q_rolling_7d_value",
+    "q_daily_anomaly",
+    "q_cohort_ltv",
+    "q_rolling_wau",
+    "q_pq_topk",                 # rows-only: approximate ANN
+    "q_ivfpq_topk",              # rows-only: approximate ANN
+    "q_session_stats",
+    "q_event_transitions",
+    "q_edit_distance_pairs",
+    "q_edit_distance_against",
+    "q_hll_daily_union",         # rows-only: xxhash64 sketch family
+    "q_boolean_search",
+    "q_phrase_search",
+    "q_bm25_search",
+    "q_postings_search",
+    "q_sql_entry_revenue",
+    "q_daily_trend",
+    "q_funnel_windowed",
+    "q_group_split",
+    "q_split_leakage",
+    "q_stickiness",
+    "q_resample_interpolate",
+    "q_split_leakage_near",      # rows-only: minhash near-dup leakage
+    "q_top_journeys",
+    "q_check_expectations",
+    "q_quarantine",
+    "q_funnel_by_cohort",
+    # --- r3-stale back-fill (8): oldest signal, distinct families ---
+    "q_distinct_count",
+    "q_in_subquery",
+    "q_cross_join_region_status",
+    "q_intersect_customers",
+    "q_except_customers",
+    "q_window_first_last",
+    "q_window_agg_events",
+    "q_stats_agg",
 ]
-# Swapped out for the thirty-two queries registered this round; q_entropy_by_source,
-# q_containment_against, q_ann_recall, q_skipping_report
-# (compositional/report shapes over already-verified parts) and the
-# final-session segment-dedup pair q_dedup_segments /
-# q_dedup_segments_against (exact-string oracles, pytest + subset
-# oracle-checked green) wait for the r6 rotation
-# (never-checked beats 2-rounds-old): q_distinct_count, q_in_subquery,
-# q_cross_join_region_status, q_intersect_customers,
-# q_except_customers, q_window_first_last, q_window_agg_events,
-# q_stats_agg, q_array_agg_priorities, q05_local_supplier_volume,
-# q_text_fingerprint, q_text_normalize, q_text_tokens_bpe,
-# q_sliding_window_events, q_group_sample_topk, q_ann_batch_topk,
-# q_embedding_normalize, q_top_fraction_quality, q_dedup_incremental,
-# q_text_tokens, q_stratified_sample, q_token_budget_sample,
-# q_text_langid, q_window_lag_lead, q_window_rank_family,
-# q_session_window_events, q_unigram_lm_score, q_pack_sequences,
-# q_text_repetition, q_hash_split — all
-# r3-green stable shapes whose operator families keep other in-window
-# representatives; they rotate back in r6.
-#
-# The second round-5 session registered twenty more never-checked
-# queries for the r6 backlog — each already oracle-checked green by
-# tools/oracle_check.py at sf0.01 (and the new-analytics subset at
-# sf0.001 too) or pytest-pinned against a Python reference where
-# rows-only: q_unpivot_metrics, q_array_hof_stats,
-# q_dedup_segments_within, q_temperature_mixture, q_bpe_merges
-# (rows-only), q_funnel_counts, q_cohort_retention,
-# q_funnel_conversion, q_resample_ffill, q_rolling_7d_value,
-# q_daily_anomaly, q_cohort_ltv, q_rolling_wau, q_pq_topk (rows-only),
-# q_ivfpq_topk (rows-only), q_session_stats, q_event_transitions,
-# q_edit_distance_pairs, q_edit_distance_against, q_hll_daily_union
-# (rows-only), q_session_stats, q_event_transitions, q_boolean_search,
-# q_phrase_search, q_bm25_search, q_postings_search,
-# q_sql_entry_revenue, q_daily_trend, q_funnel_windowed,
-# q_group_split, q_split_leakage, q_stickiness,
-# q_resample_interpolate, q_split_leakage_near (rows-only),
-# q_top_journeys, q_check_expectations, q_quarantine,
-# q_funnel_by_cohort.
-# r6 rotation priority: never-checked beats stale.
+# r7 rotation backlog, in priority order (never-checked beats stale):
+# (a) any query registered during round 6 (they queue behind the
+#     window by construction);
+# (b) the remaining 22 r3-stale queries:
+#     q_array_agg_priorities, q05_local_supplier_volume,
+#     q_text_fingerprint, q_text_normalize, q_text_tokens_bpe,
+#     q_sliding_window_events, q_group_sample_topk, q_ann_batch_topk,
+#     q_embedding_normalize, q_top_fraction_quality,
+#     q_dedup_incremental, q_text_tokens, q_stratified_sample,
+#     q_token_budget_sample, q_text_langid, q_window_lag_lead,
+#     q_window_rank_family, q_session_window_events,
+#     q_unigram_lm_score, q_pack_sequences, q_text_repetition,
+#     q_hash_split;
+# (c) the 17 TPC-H queries whose last row is r3
+#     (q02/q04/q06/q07/q09-q17/q19-q22, q10);
+# (d) everything checked in r5/r6 rotates by age thereafter.
 
 _BY_NAME = {s.name: s for s in _SPECS}
 _unknown = [n for n in DRIVER_WINDOW if n not in _BY_NAME]

@@ -269,17 +269,40 @@ class CdcTask(ReplicationTask):
             )
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        # ONE action materializes the persisted parse AND answers both
-        # head questions (any rows? any ALTERs?) — the former separate
-        # batch_df.take(1) + alters.take(1) probes cost an extra Spark
-        # job per micro-batch even when no ALTER ever arrives.
+        # ONE action materializes the persisted parse AND answers every
+        # head question: any rows? any ALTERs? how many rows per
+        # catalog table? any unroutable rows?  The former separate
+        # batch_df.take(1) + alters.take(1) + per-table changes.take(1)
+        # + exceptions.take(1) probes each cost an extra Spark job per
+        # micro-batch; the per-table predicates here mirror
+        # route_changes exactly (same non-ALTER filter, same null-safe
+        # known/unknown complement) so a zero count is a safe skip.
         parsed = parse_cdc_lines(batch_df).persist()
-        head = parsed.agg(
+        non_alter = F.col("op") != F.lit("ALTER")
+        head_aggs = [
             F.count(F.lit(1)).alias("n_rows"),
             F.count(F.when(F.col("op") == F.lit("ALTER"), F.lit(1))).alias(
                 "n_alters"
             ),
-        ).collect()[0]
+        ]
+        known_pred = F.lit(False)
+        for i, t in enumerate(self.catalog):
+            match = (F.col("schema_name") == t.owner) & (
+                F.col("table_name") == t.name
+            )
+            known_pred = known_pred | match
+            head_aggs.append(
+                F.count(F.when(non_alter & match, F.lit(1))).alias(f"_t{i}")
+            )
+        head_aggs.append(
+            F.count(
+                F.when(
+                    non_alter & ~F.coalesce(known_pred, F.lit(False)),
+                    F.lit(1),
+                )
+            ).alias("n_unknown")
+        )
+        head = parsed.agg(*head_aggs).collect()[0]
         if head["n_rows"] == 0:
             parsed.unpersist()
             return
@@ -332,6 +355,12 @@ class CdcTask(ReplicationTask):
         event_frames: list[DataFrame] = []
         exception_frames: list[DataFrame] = []
         apply_results = []
+        # True iff the exceptions union below is known non-empty —
+        # derived from counts already collected (head aggregate +
+        # per-table apply counts), replacing the exceptions.take(1)
+        # probe job.  ALTER batches pay one small count() on the
+        # alters-derived split; they are rare by construction.
+        any_exceptions = int(head["n_unknown"]) > 0
 
         if head["n_alters"] > 0:
             supported, alter_exceptions = split_alter_rows(
@@ -343,12 +372,12 @@ class CdcTask(ReplicationTask):
                 )
             )
             exception_frames.append(alter_exceptions)
+            any_exceptions = any_exceptions or alter_exceptions.count() > 0
 
-        for table, changes in routed.items():
-            changes = changes.persist()
-            if len(changes.take(1)) == 0:
-                changes.unpersist()
+        for i, (table, changes) in enumerate(routed.items()):
+            if int(head[f"_t{i}"]) == 0:
                 continue
+            changes = changes.persist()
             # Data events: one per change row, operation lowercased
             # (O15).  The original (file_seq, line) seq passes through
             # UNCHANGED (O21): it is the global order across tables, so
@@ -370,8 +399,12 @@ class CdcTask(ReplicationTask):
             result = apply_changes(self.spark, table, current, changes)
             apply_results.append(result)
             self.store.write(table.qualified_name, result.new_state)
-            self.stats.add_apply_counts(
-                table.owner, table.name, result.counts.collect()[0]
+            counts_row = result.counts.collect()[0]
+            self.stats.add_apply_counts(table.owner, table.name, counts_row)
+            any_exceptions = (
+                any_exceptions
+                or (counts_row["exceptions"] or 0) > 0
+                or (counts_row["unkeyed_exceptions"] or 0) > 0
             )
             exception_frames.append(
                 result.exceptions.select(
@@ -397,8 +430,8 @@ class CdcTask(ReplicationTask):
             )
         )
 
-        exceptions = union_all(exception_frames)
-        if len(exceptions.take(1)) > 0:
+        if any_exceptions:
+            exceptions = union_all(exception_frames)
             existing = self.store.read_by_name(
                 self.spark, EXCEPTIONS_TABLE, EXCEPTIONS_SCHEMA
             )

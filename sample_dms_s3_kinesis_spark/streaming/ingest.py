@@ -284,12 +284,20 @@ class CorpusIngestTask(ReplicationTask):
             return self.spark.createDataFrame(
                 [], "doc_id long, failed_rule string, batch_id long"
             )
+        # Cast to the declared contract: the partition-inferred
+        # batch_id comes back int (the empty branch declares long),
+        # and doc_id is whatever dtype the batch carried — both paths
+        # must agree on (long, string, long).
         return (
             self.spark.read.option(
                 "basePath", f"{self.corpus_dir}/_quarantine"
             )
             .parquet(*paths)
-            .select("doc_id", "failed_rule", "batch_id")
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("failed_rule").cast("string").alias("failed_rule"),
+                F.col("batch_id").cast("long").alias("batch_id"),
+            )
         )
 
     # -- lifecycle -----------------------------------------------------

@@ -369,6 +369,17 @@ def test_contract_gate_quarantines_and_counts(spark, tmp_path):
     assert after == before
     assert {r["doc_id"] for r in task.quarantined().collect()} == {2, 3}
 
+    # r5 advice: both quarantined() branches must agree on the declared
+    # (long, string, long) schema — the parquet path used to surface a
+    # partition-inferred int batch_id.
+    empty_task = CorpusIngestTask(
+        spark, str(tmp_path / "drop2"), str(tmp_path / "corpus2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert (
+        task.quarantined().schema == empty_task.quarantined().schema
+    ), (task.quarantined().schema, empty_task.quarantined().schema)
+
 
 def test_contract_gate_off_by_default(spark, tmp_path):
     drop = str(tmp_path / "drop")

@@ -117,3 +117,11 @@ def test_thresholded_expectations(spark):
     }
     assert out["cust_not_null"] == (round(1 / 6, 6), True)
     assert out["price_positive"] == (round(2 / 6, 6), False)
+
+
+def test_empty_rule_lists_raise(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="at least one rule"):
+        quality.check_expectations(df, [])
+    with pytest.raises(ValueError, match="at least one rule"):
+        quality.quarantine(df, [])

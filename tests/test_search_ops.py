@@ -165,3 +165,61 @@ def test_postings_index_roundtrip_prunes_partitions(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "_tb" in plan
+
+
+def test_boolean_search_deduplicates_repeated_terms(spark):
+    # ['quick', 'quick'] is the one-term query, not an unsatisfiable
+    # two-distinct-token count (r5 advice).
+    got = {
+        r["doc_id"]
+        for r in search.boolean_search(_df(spark), ["quick", "QUICK"]).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in search.boolean_search(_df(spark), ["quick"]).collect()
+    }
+    assert got == want and got  # non-empty, identical to the deduped query
+
+
+def test_boolean_search_postings_deduplicates_repeated_terms(spark):
+    p = search.postings(_df(spark))
+    got = {
+        r["doc_id"]
+        for r in search.boolean_search_postings(
+            p, ["dog", "dog", "lazy"]
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in search.boolean_search_postings(p, ["dog", "lazy"]).collect()
+    }
+    assert got == want and got
+
+
+def test_bm25_empty_corpus_returns_empty_frame(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = search.bm25_search(empty, ["quick"])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "score"]
+    # docs that all tokenize to nothing hit the same guard
+    blank = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    assert search.bm25_search(blank, ["quick"]).count() == 0
+
+
+def test_bm25_single_stats_action(spark, monkeypatch):
+    """Corpus stats + per-term df must arrive in ONE driver action
+    (r5 verdict item: the two serialized collect()s fold into a
+    union-aggregate).  Counted by instrumenting DataFrame.collect —
+    AQE job counts are non-deterministic, collect calls are not."""
+    cls = type(_df(spark))  # the concrete (classic) DataFrame class
+    calls = []
+    orig = cls.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    out = search.bm25_search(_df(spark), ["dog", "fox"])
+    assert len(calls) == 1  # exactly one internal stats action
+    assert out.count() > 0  # and the plan still evaluates
