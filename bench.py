@@ -121,19 +121,47 @@ def main() -> None:
     # measures the plan's steady-state cost rather than JVM mood.
     timings = {name: round(min(run(name), run(name)), 3) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "load_avg_start": [round(x, 2) for x in load_start],
-                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
+
+    # Per-query delta vs the newest recorded BENCH_r{N}.json so the
+    # artifact itself shows regressions without cross-file diffing
+    # (read alongside the load averages before believing any delta).
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
     )
+    delta_vs_prev = None
+    prev_round = None
+    if prior:
+        try:
+            with open(os.path.join(here, prior[-1])) as f:
+                prev = json.load(f)
+            # driver BENCH files wrap the bench line under "parsed"
+            if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            prev_q = prev.get("queries") or {}
+            prev_round = prior[-1]
+            delta_vs_prev = {
+                name: round(t - prev_q[name], 3)
+                for name, t in timings.items()
+                if name in prev_q
+            }
+        except (OSError, ValueError):
+            pass
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+    }
+    if delta_vs_prev is not None:
+        out["delta_vs_prev"] = delta_vs_prev
+        out["delta_baseline_file"] = prev_round
+    print(json.dumps(out))
     spark.stop()
 
 

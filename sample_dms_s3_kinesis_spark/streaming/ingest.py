@@ -82,6 +82,7 @@ class CorpusIngestTask(ReplicationTask):
         embedding_planes: int = 4,
         embedding_dim: int | None = None,
         contract_rules=None,
+        postings: bool = False,
         checkpoint_dir: str | None = None,
     ) -> None:
         super().__init__(identifier)
@@ -104,6 +105,12 @@ class CorpusIngestTask(ReplicationTask):
         # quarantine store with the first failing rule's name — the
         # ingest twin of the CDC apply-exceptions channel.
         self.contract_rules = list(contract_rules) if contract_rules else None
+        # optional output: admitted batches also append their positional
+        # postings to the persisted inverted index (PostingsIndex
+        # layout), so the corpus is searchable as it grows — mirrors the
+        # reference's incremental-apply pattern (run.py:193-198: new
+        # data lands, derived state updates incrementally).
+        self.build_postings = postings
         self.checkpoint_dir = (
             checkpoint_dir or f"/tmp/ingest-checkpoint-{uuid.uuid4()}"
         )
@@ -252,6 +259,70 @@ class CorpusIngestTask(ReplicationTask):
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # -- persisted postings --------------------------------------------
+    # ``postings=True`` arms an incremental inverted index: each
+    # admitted batch writes its positional postings (token-bucketed
+    # like PostingsIndex.save) next to its parquet.  postings_index()
+    # serves searches from the stored copies — equal to a fresh
+    # PostingsIndex.build over the whole corpus, without re-tokenizing
+    # history — and recomputes from text only for batches admitted
+    # before the flag was armed (same fallback contract as
+    # ``signatures``).
+
+    def _postings_dir(self) -> str:
+        return f"{self.corpus_dir}/_postings"
+
+    def postings_index(self, *, before: int | None = None):
+        """A :class:`~sample_dms_s3_kinesis_spark.operators.search.
+        PostingsIndex` over the admitted corpus (optionally batches
+        < ``before``)."""
+        from sample_dms_s3_kinesis_spark.operators.search import (
+            PostingsIndex,
+            postings as _postings,
+        )
+
+        manifest = self._load_manifest()
+        batches = [
+            int(b)
+            for b in sorted(manifest, key=int)
+            if manifest[b].get("admitted", 0) > 0
+            and (before is None or int(b) < before)
+        ]
+        stored = [
+            b
+            for b in batches
+            if os.path.isdir(f"{self._postings_dir()}/batch_id={b}")
+        ]
+        missing = [b for b in batches if b not in set(stored)]
+        parts = []
+        if stored:
+            parts.append(
+                self.spark.read.option("basePath", self._postings_dir())
+                .parquet(
+                    *[f"{self._postings_dir()}/batch_id={b}" for b in stored]
+                )
+                .select("doc_id", "pos", "token", "_tb")
+            )
+        if missing:
+            docs = self.spark.read.option(
+                "basePath", self.corpus_dir
+            ).parquet(*[f"{self.corpus_dir}/batch_id={b}" for b in missing])
+            parts.append(
+                _postings(docs.select("doc_id", "text"))
+                .withColumn("_tb", PostingsIndex._bucket(F.col("token")))
+                .select("doc_id", "pos", "token", "_tb")
+            )
+        if not parts:
+            parts.append(
+                self.spark.createDataFrame(
+                    [], "doc_id long, pos int, token string, _tb int"
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return PostingsIndex(out, id_col="doc_id")
 
     def ingest_stats(self) -> dict[str, int]:
         """Cumulative admission counters, rebuilt from the manifest —
@@ -510,6 +581,25 @@ class CorpusIngestTask(ReplicationTask):
                     )
                     .write.mode("overwrite")
                     .parquet(f"{self._sig_dir()}/batch_id={batch_id}")
+                )
+            if self.build_postings:
+                # Incremental inverted index: the batch's postings land
+                # in their own overwrite-idempotent directory, bucketed
+                # the same way PostingsIndex.save partitions a full
+                # build, so loaded queries partition-prune identically.
+                from sample_dms_s3_kinesis_spark.operators.search import (
+                    PostingsIndex,
+                    postings as _postings,
+                )
+
+                (
+                    _postings(admitted.select("doc_id", "text"))
+                    .withColumn(
+                        "_tb", PostingsIndex._bucket(F.col("token"))
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("_tb")
+                    .parquet(f"{self._postings_dir()}/batch_id={batch_id}")
                 )
         self._record_batch(
             batch_id,

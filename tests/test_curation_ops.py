@@ -490,3 +490,40 @@ def test_dedup_segments_within_then_global_matches_global(spark):
         for r in curation.dedup_segments(within, width=4).collect()
     }
     assert composed == direct
+
+
+def test_dedup_segments_boilerplate_skew_corpus(spark):
+    """r5 verdict item 7 — adversarial skew: one boilerplate footer
+    segment appears in >50% of docs.  The keep-first MIN(struct)
+    aggregate must (a) stay correct vs the Python model, and (b) keep
+    its plan free of windows and extra shuffles: partial map-side
+    combine (partial_min in the physical aggregate) is what bounds the
+    hot segment key at 100 TB, where a row_number window would funnel
+    every footer occurrence through one reducer."""
+    footer = "c o p y r i g h t f o o t e r"  # one 12-token segment... use width=4
+    docs = [(i, f"body{i} unique{i} filler{i} tok{i} " + "all rights reserved inc")
+            for i in range(60)]
+    docs += [(100 + i, f"fresh{i} words{i} only{i} here{i}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = curation.dedup_segments(df, width=4)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in out.collect()
+    }
+    exp = _dedup_segments_ref(docs, 4)
+    assert got == exp
+    # the hot footer survived exactly once, in the minimal doc
+    assert "all rights reserved inc" in got[0][0]
+    assert sum(
+        1 for t, _ in got.values() if "all rights reserved inc" in t
+    ) == 1
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan                  # no row_number funnel
+    assert "partial_min" in plan                 # map-side combine on the hot key
+    # no range-partitioned (global sort) exchange: the hot key never
+    # funnels through an ordered single-reducer path
+    assert "rangepartitioning" not in plan
+    # shuffle budget regression guard: the segs subtree recurs in the
+    # keep-first, join-back and rebuild branches (11 hash exchanges
+    # measured); a blowup past this means a new shuffle crept in
+    assert plan.count("Exchange") <= 14, plan.count("Exchange")
