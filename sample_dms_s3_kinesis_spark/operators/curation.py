@@ -644,3 +644,49 @@ def dedup_segments_within(
         .select(id_col, "_pos", "_seg")
     )
     return _rebuild_from_segments(corpus, segs, kept, id_col=id_col)
+
+
+def dedup_segments_cdc(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_bits: int = 5,
+    min_tokens: int = 8,
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Global segment dedup over CONTENT-DEFINED chunks
+    (:func:`~sample_dms_s3_kinesis_spark.operators.text.cdc_chunks`)
+    instead of fixed ``width``-token windows.  Fixed-width
+    segmentation (:func:`dedup_segments`) misses a repeated passage
+    whenever an upstream insertion shifts its token offsets — the
+    window grid no longer lines up.  Rolling-hash boundaries
+    re-synchronize after any edit, so the SAME passage yields the SAME
+    chunks wherever it sits in a document, and the keep-first
+    aggregate catches it.
+
+    Plan: the chunking is shuffle-free per-document Catalyst; the
+    keep-first MIN(struct) aggregate and per-doc rebuild are identical
+    to :func:`dedup_segments` (partial map-side combine keeps
+    boilerplate chunks skew-safe).  Segment identity is the
+    case-folded chunk text.
+
+    Output: (id_col, clean_text, n_removed).
+    """
+    from sample_dms_s3_kinesis_spark.operators.text import cdc_chunks
+
+    segs = cdc_chunks(
+        corpus,
+        text_col=text_col,
+        id_col=id_col,
+        mask_bits=mask_bits,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").alias("_pos"),
+        F.col("chunk_text").alias("_seg"),
+        F.lower(F.col("chunk_text")).alias("_key"),
+    )
+    kept = _keep_first(segs, id_col=id_col)
+    return _rebuild_from_segments(corpus, segs, kept, id_col=id_col)

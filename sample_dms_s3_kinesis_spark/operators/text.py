@@ -499,3 +499,199 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def pmi_bigrams(
+    df: DataFrame, *, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Corpus-level PMI collocation extraction: pointwise mutual
+    information of consecutive token bigrams,
+    ``pmi = ln((c_ab/M) / ((c_a/N)(c_b/N)))`` computed as ONE ln over
+    an exact-count ratio (cross-engine float drift stays inside the
+    4-decimal round — the same integer-moments discipline as
+    ``corr_stats``).
+
+    Plan (100 TB shape): one tokenize feeds two map-side-combined
+    aggregates (vocab-keyed unigram counts, pair-keyed bigram counts);
+    the bigram frame joins the vocab frame twice on its token keys
+    (both corpus-bounded, hash join), and the two 1-row totals
+    broadcast on.  ``min_count`` prunes the pair frame BEFORE the
+    joins.  No windows, no driver loops.
+
+    Output: (w1, w2, n_pair, pmi), pairs with ``n_pair >= min_count``.
+    """
+    tks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda w: w != F.lit("")
+    )
+    base = spread(df).select(tks.alias("_tk"))
+    uni = (
+        base.select(F.explode("_tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    pairs = (
+        base.select(
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        F.col("_tk"),
+                        F.slice(
+                            F.col("_tk"),
+                            2,
+                            F.greatest(F.size("_tk") - 1, F.lit(0)),
+                        ),
+                        lambda a, b: F.struct(
+                            a.alias("w1"), b.alias("w2")
+                        ),
+                    ),
+                    lambda s: s["w2"].isNotNull(),
+                )
+            ).alias("_p")
+        )
+        .groupBy(
+            F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    tot = uni.agg(F.sum("c_w").alias("n_tok")).crossJoin(
+        pairs.agg(F.sum("n_pair").alias("n_big"))
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    return (
+        pairs.filter(F.col("n_pair") >= min_count)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            # + 0.0 folds IEEE negative zero to +0.0 — a pair with
+            # pmi exactly 0 otherwise renders '-0.0' on one engine
+            (
+                F.round(
+                    F.log(
+                        (
+                            F.col("n_pair").cast("double")
+                            * F.col("n_tok")
+                            * F.col("n_tok")
+                        )
+                        / (
+                            F.col("n_big").cast("double")
+                            * F.col("c_a")
+                            * F.col("c_b")
+                        )
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_bits: int = 5,
+    min_tokens: int = 8,
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rolling-hash/Rabin boundary idea
+    from dedup storage systems, applied to token streams): a token
+    opens a new chunk when its content hash lands in the boundary
+    class (``xxhash64(token) % 2^mask_bits == 0``), subject to
+    ``min_tokens``/``max_tokens`` bounds.  Because boundaries depend
+    only on LOCAL token content, an insertion near the start of a
+    document shifts only the chunks up to the next surviving boundary
+    — after that the chunk stream re-synchronizes, which fixed-width
+    segmenting (``dedup_segments``) can never do.
+
+    Pure Catalyst per-row pipeline: tokenize once, per-token boundary
+    flags, ONE O(n) ``aggregate`` fold collecting chunk-start
+    positions (the min/max constraints are sequential state — exactly
+    what the fold expresses), then an index-aware ``transform`` slices
+    the chunks out.  Every intermediate array is routed through
+    ``_bind`` — inlined, the flag array would re-hash every token once
+    per fold step (the HOF-CSE quadratic trap).  No shuffle at all:
+    the operator is embarrassingly per-document.
+
+    Docs with no tokens yield no rows.  Every chunk except a doc's
+    last has ``min_tokens <= n_tokens <= max_tokens``.
+
+    Output: (id_col, chunk_idx, chunk_text, n_tokens).
+    """
+    if min_tokens < 1 or max_tokens < min_tokens:
+        raise ValueError("need 1 <= min_tokens <= max_tokens")
+    struct_t = "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"
+    tks_expr = F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
+
+    def _chunks(tks: Column) -> Column:
+        n = F.size(tks)
+        flags = F.transform(
+            tks,
+            lambda w: F.pmod(F.xxhash64(w), F.lit(1 << mask_bits))
+            == F.lit(0),
+        )
+
+        def _with_flags(fl: Column) -> Column:
+            starts = F.aggregate(
+                F.sequence(F.lit(1), n - 1),
+                F.array(F.lit(0)),
+                lambda acc, i: F.when(
+                    (i - F.element_at(acc, -1) >= F.lit(max_tokens))
+                    | (
+                        F.element_at(fl, i + 1)
+                        & (
+                            i - F.element_at(acc, -1)
+                            >= F.lit(min_tokens)
+                        )
+                    ),
+                    F.concat(acc, F.array(i)),
+                ).otherwise(acc),
+            )
+
+            def _emit(st: Column) -> Column:
+                end_of = lambda j: F.coalesce(F.get(st, j + 1), n)  # noqa: E731
+                return F.transform(
+                    st,
+                    lambda s, j: F.struct(
+                        j.cast("int").alias("chunk_idx"),
+                        F.array_join(
+                            F.slice(tks, s + 1, end_of(j) - s), " "
+                        ).alias("chunk_text"),
+                        (end_of(j) - s).cast("int").alias("n_tokens"),
+                    ),
+                )
+
+            return _bind(starts, _emit)
+
+        return (
+            F.when(n >= 2, _bind(flags, _with_flags))
+            .when(
+                n == 1,
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("chunk_idx"),
+                        F.array_join(tks, " ").alias("chunk_text"),
+                        F.lit(1).alias("n_tokens"),
+                    )
+                ),
+            )
+            .otherwise(F.array().cast(struct_t))
+        )
+
+    return (
+        spread(df)
+        .select(F.col(id_col), _bind(tks_expr, _chunks).alias("_cs"))
+        .select(id_col, F.explode("_cs").alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+        )
+    )

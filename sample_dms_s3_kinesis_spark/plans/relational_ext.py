@@ -5303,3 +5303,113 @@ def q_funnel_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conversion_rate"),
     )
+
+
+_PMI_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+  FROM toks, UNNEST(tk) AS u(w) GROUP BY w
+),
+big AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST((SELECT SUM(c_w) FROM uni) AS BIGINT) AS n_tok,
+         CAST((SELECT SUM(n_pair) FROM big) AS BIGINT) AS n_big
+)
+SELECT b.w1, b.w2, b.n_pair,
+       ROUND(LN((CAST(b.n_pair AS DOUBLE) * t2.n_tok * t2.n_tok)
+                / (CAST(t2.n_big AS DOUBLE) * a.c_w * c.c_w)), 4) + 0.0
+         AS pmi
+FROM big b
+JOIN uni a ON b.w1 = a.w
+JOIN uni c ON b.w2 = c.w
+CROSS JOIN tot t2
+WHERE b.n_pair >= 5
+"""
+
+
+@_register(
+    "q_pmi_bigrams",
+    _PMI_SQL,
+    "PMI collocation extraction: one ln over exact integer counts "
+    "(unigram + bigram aggregates share the tokenize; min_count "
+    "prunes before the vocab joins)",
+    "text analysis: collocations (PMI)",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import text as _text
+
+    return _text.pmi_bigrams(t(spark, sf_dir, "documents"), min_count=5)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+       ROUND(CAST(t.o_totalprice AS DOUBLE), 2) AS top_price
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+) t
+"""
+
+
+@_register(
+    "q_lateral_top_order",
+    _LATERAL_SQL,
+    "LATERAL correlated subquery entry path: per-customer top order, "
+    "the SAME ANSI string through spark.sql and the oracle (Catalyst "
+    "decorrelates it into the window/aggregate plan q_topk_per_group "
+    "writes by hand — no per-row re-execution survives optimization)",
+    "§3 query lifecycle: SQL entry point (LATERAL)",
+)
+def q_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+@_register(
+    "q_cdc_chunks",
+    None,
+    "content-defined chunking: rolling-hash (xxhash64 token class) "
+    "boundaries with min/max bounds — shuffle-free per-doc Catalyst "
+    "fold; boundaries re-synchronize after edits where fixed-width "
+    "grids cannot (rows-only: engine-internal hash; reconstruction/"
+    "bounds/shift-resilience pytest-pinned)",
+    "text analysis: content-defined chunking",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import text as _text
+
+    return _text.cdc_chunks(
+        t(spark, sf_dir, "documents"), mask_bits=4, min_tokens=4,
+        max_tokens=32,
+    )
+
+
+@_register(
+    "q_dedup_segments_cdc",
+    None,
+    "global keep-first segment dedup over content-defined chunks: "
+    "catches repeated passages at ANY offset (insertion-shifted "
+    "copies that defeat the fixed-width grid); same skew-safe "
+    "MIN(struct) aggregate as q_dedup_segments (rows-only: hash "
+    "boundaries; equivalence-to-model pytest-pinned)",
+    "dedup: segment-level (content-defined)",
+)
+def q_dedup_segments_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import curation as _cur
+
+    return _cur.dedup_segments_cdc(
+        t(spark, sf_dir, "documents"), mask_bits=4, min_tokens=4,
+        max_tokens=32,
+    )

@@ -527,3 +527,58 @@ def test_dedup_segments_boilerplate_skew_corpus(spark):
     # keep-first, join-back and rebuild branches (11 hash exchanges
     # measured); a blowup past this means a new shuffle crept in
     assert plan.count("Exchange") <= 14, plan.count("Exchange")
+
+
+def test_dedup_segments_cdc_catches_shifted_copy(spark):
+    """The reason content-defined segmentation exists: a repeated
+    passage behind an inserted preamble.  The fixed-width grid no
+    longer lines up (dedup_segments keeps both copies); rolling-hash
+    boundaries re-synchronize and the CDC flavor removes the shifted
+    copy.  Also pins equivalence to the keep-first model applied to
+    the operator's own chunking."""
+    passage = " ".join(f"p{i}z{i + 3}" for i in range(120))
+    docs = [
+        (1, passage),
+        (2, "a little inserted preamble " + passage),
+        (3, "unrelated fresh content entirely here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in curation.dedup_segments_cdc(
+            df, mask_bits=3, min_tokens=4, max_tokens=24
+        ).collect()
+    }
+    assert out[1] == (passage, 0)         # first copy untouched
+    assert out[2][1] > 0                  # shifted copy: chunks removed
+    assert passage not in out[2][0]       # the repeated tail is gone
+    assert out[3][1] == 0
+
+    # the fixed-width flavor misses the shifted copy almost entirely
+    fixed = {
+        r["doc_id"]: r["n_removed"]
+        for r in curation.dedup_segments(df, width=8).collect()
+    }
+    assert out[2][1] > fixed[2]
+
+    # equivalence to the Python keep-first model over the SAME chunks
+    from sample_dms_s3_kinesis_spark.operators.text import cdc_chunks
+
+    chunks = [
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in cdc_chunks(
+            df, mask_bits=3, min_tokens=4, max_tokens=24
+        ).collect()
+    ]
+    first = {}
+    for d, p, g in sorted(chunks):
+        first.setdefault(g.lower(), (d, p))
+    exp = {}
+    for d, _ in docs:
+        mine = sorted(
+            (p, g) for dd, p, g in chunks
+            if dd == d and first[g.lower()] == (dd, p)
+        )
+        total = sum(1 for dd, _, _ in chunks if dd == d)
+        exp[d] = (" ".join(g for _, g in mine), total - len(mine))
+    assert out == exp

@@ -374,3 +374,28 @@ def test_session_r5f_queries_stay_jvm_side(spark):
     ):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_round6_queries_stay_jvm_side(spark):
+    """The four round-6 queries: no Python eval, no cartesian.  The
+    LATERAL entry must DECORRELATE (Catalyst rewrites the correlated
+    limit-1 subquery into the window plan — a surviving per-row
+    re-execution would show as a nested loop); PMI's only
+    nested-loop join is the 1-row broadcast totals frame."""
+    for name in (
+        "q_pmi_bigrams",
+        "q_lateral_top_order",
+        "q_cdc_chunks",
+        "q_dedup_segments_cdc",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    lateral = _plan(spark, "q_lateral_top_order")
+    assert "Window" in lateral           # decorrelated top-1
+    assert "BroadcastNestedLoop" not in lateral
+    # cdc chunking is per-document — the only exchange is spread()'s
+    # deliberate parallelism repartition, never a key shuffle
+    chunks = _plan(spark, "q_cdc_chunks")
+    assert chunks.count("Exchange") <= 1, chunks.count("Exchange")
+    assert "hashpartitioning" not in chunks and "rangepartitioning" not in chunks

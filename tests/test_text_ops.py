@@ -325,3 +325,101 @@ def test_public_function_library_surface(spark):
     assert row["pii"] >= 2  # email + ipv4
     # hash_bucket yields the first 8 md5 hex nibbles (a string key)
     assert len(row["hb"]) == 8 and int(row["hb"], 16) >= 0
+
+
+def test_pmi_bigrams_python_reference(spark):
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "the quick brown fox the quick brown dog"),
+        (2, "The Quick brown fox jumps over the dog"),
+        (3, "completely different words here now"),
+        (4, ""),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+        for r in text.pmi_bigrams(df, min_count=2).collect()
+    }
+    uni, big = Counter(), Counter()
+    for _, s in docs:
+        tk = [w for w in s.lower().split() if w]
+        uni.update(tk)
+        big.update(zip(tk, tk[1:]))
+    n_tok, n_big = sum(uni.values()), sum(big.values())
+    exp = {
+        (a, b): (
+            c,
+            round(
+                math.log((c * n_tok * n_tok) / (n_big * uni[a] * uni[b])), 4
+            )
+            + 0.0,
+        )
+        for (a, b), c in big.items()
+        if c >= 2
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 1e-9, k
+
+
+def test_cdc_chunks_invariants(spark):
+    """Reconstruction, size bounds, determinism, and the property the
+    operator exists for: chunk boundaries re-synchronize after a
+    prefix insertion, so the shared suffix produces IDENTICAL
+    chunks."""
+    body = " ".join(f"w{i % 13}q{i % 7}" for i in range(300))
+    shifted = "three extra preamble tokens " + body
+    df = spark.createDataFrame(
+        [(1, body), (2, shifted), (3, ""), (4, "one")],
+        "doc_id long, text string",
+    )
+    out = text.cdc_chunks(df, mask_bits=3, min_tokens=4, max_tokens=24)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in by_doc:
+        by_doc[d].sort(key=lambda r: r["chunk_idx"])
+
+    # reconstruction: chunks concatenate back to the tokenized doc
+    assert " ".join(c["chunk_text"] for c in by_doc[1]) == body
+    assert " ".join(c["chunk_text"] for c in by_doc[2]) == shifted
+    assert 3 not in by_doc                      # empty doc: no rows
+    assert [c["chunk_text"] for c in by_doc[4]] == ["one"]
+
+    # bounds: all but the final chunk respect [min, max]
+    for d in (1, 2):
+        lens = [c["n_tokens"] for c in by_doc[d]]
+        assert all(4 <= x <= 24 for x in lens[:-1]), lens
+        assert all(
+            c["n_tokens"] == len(c["chunk_text"].split()) for c in by_doc[d]
+        )
+
+    # shift-resilience: after the insertion point, the chunk STREAMS
+    # re-synchronize — the two docs share a long common chunk suffix
+    c1 = [c["chunk_text"] for c in by_doc[1]]
+    c2 = [c["chunk_text"] for c in by_doc[2]]
+    shared_suffix = 0
+    while (
+        shared_suffix < min(len(c1), len(c2))
+        and c1[-1 - shared_suffix] == c2[-1 - shared_suffix]
+    ):
+        shared_suffix += 1
+    assert shared_suffix >= len(c1) // 2, (shared_suffix, len(c1))
+
+    # determinism
+    again = text.cdc_chunks(
+        df, mask_bits=3, min_tokens=4, max_tokens=24
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.cdc_chunks(df, min_tokens=0)
+    with _pytest.raises(ValueError):
+        text.cdc_chunks(df, min_tokens=8, max_tokens=4)
