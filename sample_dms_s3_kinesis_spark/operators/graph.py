@@ -1,0 +1,146 @@
+"""Graph centrality over derived document/similarity graphs.
+
+Corpus-curation pipelines use link-graph centrality as a quality
+signal — the Common-Crawl lineage (and the C4/RefinedWeb descendants)
+seed and weight crawls by harmonic/PageRank centrality of the URL
+graph.  This engine has no URL column, but it derives graphs the same
+pipelines care about: the exact near-dup pair graph
+(``prefix_jaccard_pairs``) whose connected components feed
+``resolve_duplicates``, and whose centrality ranks how "hub-like" a
+duplicated document is.
+
+Scale notes (100 TB):
+
+- :func:`pagerank` is the standard distributed iteration: each round
+  is ONE shuffle keyed by destination node (contributions groupBy) —
+  hub nodes receive many contributions but SUM is map-side
+  combinable, so in-degree skew does not funnel rows through one
+  reducer.  Out-degrees are computed once and persisted; the rank
+  frame is the only thing that moves per round.
+- Every iteration is eagerly cut from the lineage
+  (``localCheckpoint``; pass ``checkpoint_dir`` for a reliable
+  HDFS/S3 checkpoint on a real cluster — same contract as
+  ``connected_components``, dedup.py:43).
+- Dangling mass (nodes with no out-edges) is folded in via a 1-row
+  aggregate broadcast — never a driver-side loop over nodes.
+- The iteration count is FIXED (power iteration), so the whole job is
+  ``iterations`` shuffles — no data-dependent convergence probe jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
+
+
+def degree_stats(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node degree of an undirected pair list (each row one edge,
+    endpoints in either column).  One explode + one map-side-combined
+    count — the degree histogram of the near-dup graph is the
+    standard first diagnostic before cluster resolution (a
+    boilerplate hub shows up as a degree spike long before the CC
+    job runs).
+
+    Output: (id, degree).
+    """
+    ends = pairs.select(F.col(src_col).alias("id")).unionAll(
+        pairs.select(F.col(dst_col).alias("id"))
+    )
+    return ends.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_dir: str | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Power-iteration PageRank over a DIRECTED edge list (symmetrize
+    first for an undirected similarity graph).  Ranks sum to ~1.
+
+    Per iteration: ``rank' = (1-d)/n + d * (in_contributions +
+    dangling_mass / n)`` — contributions are ``rank/out_degree``
+    summed per destination (one dst-keyed shuffle, map-side
+    combined); dangling mass is a 1-row aggregate cross-joined back
+    (broadcast nested loop over one row, the accepted tiny-frame
+    shape).  Nodes with no in-edges keep their teleport share via the
+    right join against the node frame.
+
+    Output: (id, rank) with ``rank`` rounded to ``scale`` decimals
+    (floating sums are order-dependent across partitionings; the
+    round pins a stable presentation, pytest compares against the
+    Python model with tolerance).
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct()
+    e = _cut_lineage(e, checkpoint_dir)
+    nodes = (
+        e.select(F.col("_s").alias("id"))
+        .unionAll(e.select(F.col("_d").alias("id")))
+        .distinct()
+    )
+    nodes = _cut_lineage(nodes, checkpoint_dir).persist()
+    n = nodes.count()  # bounded driver scalar: one long
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank"))
+    out_deg = e.groupBy(F.col("_s").alias("id")).agg(
+        F.count(F.lit(1)).alias("_out")
+    )
+    # node frame with out-degree 0 for dangling nodes; persisted once,
+    # reused every iteration
+    base = nodes.join(out_deg, on="id", how="left").select(
+        "id", F.coalesce(F.col("_out"), F.lit(0)).alias("_out")
+    )
+    base = _cut_lineage(base, checkpoint_dir).persist()
+
+    ranks = base.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        r = ranks.join(base, on="id")
+        dangling = r.filter(F.col("_out") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        contrib = (
+            r.filter(F.col("_out") > 0)
+            .join(e, r["id"] == e["_s"])
+            .select(
+                F.col("_d").alias("id"),
+                (F.col("rank") / F.col("_out")).alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, on="id", how="left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        ranks = _cut_lineage(ranks, checkpoint_dir)
+
+    out = ranks.select("id", F.round("rank", scale).alias("rank"))
+    base.unpersist()
+    nodes.unpersist()
+    return out

@@ -5413,3 +5413,66 @@ def q_dedup_segments_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"), mask_bits=4, min_tokens=4,
         max_tokens=32,
     )
+
+
+@_register(
+    "q_neardup_degrees",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+               x -> x <> '') AS tk
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.tk, b.tk)) AS inter,
+             len(a.tk) AS na, len(b.tk) AS nb
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+            / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+            >= 0.8),
+    ends AS (
+      SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM ends GROUP BY id
+    """,
+    "degree histogram of the exact near-dup pair graph (one explode + "
+    "map-side-combined count): the boilerplate-hub diagnostic run "
+    "before cluster resolution",
+    "dedup: near-dup graph diagnostics (degrees)",
+)
+def q_neardup_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import graph as _graph
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    pairs = prefix_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+    return _graph.degree_stats(pairs)
+
+
+@_register(
+    "q_pagerank_neardup",
+    None,
+    "PageRank centrality over the symmetrized near-dup pair graph "
+    "(the crawl-seeding quality signal applied to duplication "
+    "structure): fixed power iteration, one dst-keyed map-side-"
+    "combined shuffle per round, dangling mass via a broadcast 1-row "
+    "aggregate, lineage cut per iteration (rows-only: iterative "
+    "float fixpoint; Python-model equality pytest-pinned)",
+    "iterative: PageRank centrality",
+)
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import graph as _graph
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    pairs = prefix_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return _graph.pagerank(edges, iterations=8)
