@@ -283,18 +283,30 @@ def _signature_from_hashes(hashes: Column, *, num_hashes: int) -> Column:
     permutation.  (A Kirsch–Mitzenmacher h1 + i·h2 family is NOT
     min-wise independent: for large i the argmin is dominated by h2, so
     k slots collapse to ~2 effective permutations and the Jaccard
-    estimator turns bimodal — observed before this fix.)"""
-    return F.array(
-        *[
-            F.coalesce(
-                F.array_min(
-                    F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i)))
-                ),
-                F.lit(2**63 - 1),
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    estimator turns bimodal — observed before this fix.)
+
+    ``hashes`` is routed through ``_bind`` before the k slot
+    transforms: Catalyst does NOT common-subexpression-eliminate the
+    k sibling references, so an inline ``hashes`` expression
+    (tokenize → shingle → string-hash) would be re-evaluated once PER
+    SLOT — measured 8.95 s → 0.40 s for the k=128 signature scan at
+    sf0.1 (the same HOF-CSE trap text._bind fixed for winnowing in
+    r4, one level up)."""
+
+    def _slots(hs: Column) -> Column:
+        return F.array(
+            *[
+                F.coalesce(
+                    F.array_min(
+                        F.transform(hs, lambda h: F.xxhash64(h, F.lit(i)))
+                    ),
+                    F.lit(2**63 - 1),
+                )
+                for i in range(num_hashes)
+            ]
+        )
+
+    return _bind(hashes, _slots)
 
 
 def minhash_signature(col: Column, *, num_hashes: int = 128) -> Column:
@@ -306,21 +318,29 @@ def minhash_signature(col: Column, *, num_hashes: int = 128) -> Column:
 
 
 def _band_hashes(sig: Column, *, bands: int, rows: int) -> Column:
-    """One xxhash64 per band over its r signature slots."""
-    return F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(sig, b * rows + r + 1).cast("string")
-                        for r in range(rows)
-                    ],
+    """One xxhash64 per band over its r signature slots.  ``sig`` is
+    bound once (``_bind``): the b·r sibling ``element_at`` references
+    would otherwise re-evaluate an inline signature expression once
+    per slot (projection collapse can inline even a previously
+    projected column)."""
+
+    def _bands(s: Column) -> Column:
+        return F.array(
+            *[
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(s, b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ],
+                    )
                 )
-            )
-            for b in range(bands)
-        ]
-    )
+                for b in range(bands)
+            ]
+        )
+
+    return _bind(sig, _bands)
 
 
 def _drop_hot_buckets(
@@ -713,19 +733,32 @@ def _simhash_from_hashes(hashes: Column, *, bits: int = 64) -> Column:
     bit j set ⟺ Σ±1 over tokens > 0 ⟺ 2·count(bit j set) > n_tokens.
     Per bit this is a size/filter over a long array — no per-token
     array materialization (the naive ±1-vector fold allocates a
-    bits-wide array per token, which is pure GC pressure)."""
-    n = F.size(hashes)
-    packed = F.lit(0).cast("long")
-    for j in range(bits):
-        cnt = F.size(F.filter(hashes, lambda h: F.getbit(h, F.lit(j)) == 1))
-        # Bit 63 is the sign bit of the two's-complement long, hence the
-        # negative literal.
-        bit_val = (1 << j) if j < 63 else -(1 << 63)
-        packed = packed.bitwiseOR(
-            F.when(cnt * 2 > n, F.lit(bit_val).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return packed
+    bits-wide array per token, which is pure GC pressure).
+
+    ``hashes`` is bound once (``_bind``): the 64+1 sibling references
+    are NOT common-subexpression-eliminated by Catalyst, so an inline
+    token-hash expression would re-tokenize and re-hash the text once
+    per bit regardless of call-site projection discipline (projection
+    collapse can inline a previously projected column back into the
+    lambda)."""
+
+    def _pack(hs: Column) -> Column:
+        n = F.size(hs)
+        packed = F.lit(0).cast("long")
+        for j in range(bits):
+            cnt = F.size(
+                F.filter(hs, lambda h: F.getbit(h, F.lit(j)) == 1)
+            )
+            # Bit 63 is the sign bit of the two's-complement long,
+            # hence the negative literal.
+            bit_val = (1 << j) if j < 63 else -(1 << 63)
+            packed = packed.bitwiseOR(
+                F.when(cnt * 2 > n, F.lit(bit_val).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        return packed
+
+    return _bind(hashes, _pack)
 
 
 def simhash(col: Column, *, bits: int = 64) -> Column:

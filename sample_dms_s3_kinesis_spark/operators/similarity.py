@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators.dedup import cosine_similarity
 from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+from sample_dms_s3_kinesis_spark.operators.text import _bind
 
 
 def brute_force_topk(
@@ -158,29 +159,35 @@ def hyperplane_signature(vec: Column, *, planes: int = 16, dim: int = 64) -> Col
         h = F.xxhash64(F.lit(p), j)
         return (h % 10_000).cast("double") / F.lit(10_000.0)
 
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        lambda j: component(p, j),
+    # vec is bound once: the `planes` sibling dot-product aggregates
+    # would otherwise re-evaluate an inline vector expression once per
+    # plane (Catalyst does not CSE across HOF siblings).
+    def _sig(v: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(dim - 1)),
+                            lambda j: component(p, j),
+                        ),
+                        lambda x, c: x * c,
                     ),
-                    lambda x, c: x * c,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), p),
-        ).otherwise(F.lit(0).cast("long"))
-        for p in range(planes)
-    ]
-    out = F.lit(0).cast("long")
-    for b in bits:
-        out = out.bitwiseXOR(b)
-    return out
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.shiftleft(F.lit(1).cast("long"), p),
+            ).otherwise(F.lit(0).cast("long"))
+            for p in range(planes)
+        ]
+        out = F.lit(0).cast("long")
+        for b in bits:
+            out = out.bitwiseXOR(b)
+        return out
+
+    return _bind(vec, _sig)
 
 
 def lsh_topk(
@@ -623,9 +630,13 @@ def _pq_subvectors(
     """(id, sub, _sv) — each vector split into m contiguous subvectors.
     Bounded explode: exactly m rows per vector."""
     d_sub = dim // m
-    v = F.col(vec_col).cast("array<double>")
-    slices = F.array(
-        *[F.slice(v, j * d_sub + 1, d_sub) for j in range(m)]
+    # bind the cast: m sibling slices of an inline cast would copy the
+    # float→double conversion once per subvector
+    slices = _bind(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: F.array(
+            *[F.slice(v, j * d_sub + 1, d_sub) for j in range(m)]
+        ),
     )
     return spread(df).select(
         F.col(id_col), F.posexplode(slices).alias("sub", "_sv")
