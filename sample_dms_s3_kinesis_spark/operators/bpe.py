@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 
 from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
 from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+from sample_dms_s3_kinesis_spark.operators.text import _bind
 from sample_dms_s3_kinesis_spark.operators.text import tokens
 
 END_OF_WORD = "</w>"
@@ -69,16 +70,23 @@ def _initial_symbols(word: Column) -> Column:
 
 def _adjacent_pairs(sym: Column) -> Column:
     """array<struct<l,r>> of adjacent symbol pairs; [] for 1-symbol
-    words (sequence() DESCENDS when stop < start, so guard it)."""
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(sym) - 1),
-        lambda i: F.struct(
-            F.get(sym, i - 1).alias("l"), F.get(sym, i).alias("r")
-        ),
-    )
-    return F.when(F.size(sym) >= 2, pairs).otherwise(
-        F.array().cast("array<struct<l:string,r:string>>")
-    )
+    words (sequence() DESCENDS when stop < start, so guard it).
+    ``sym`` is bound once: the per-index lambda's two ``F.get``
+    references would re-evaluate an inline symbol expression per pair
+    (HOF lambdas are opaque to Catalyst CSE)."""
+
+    def _pairs(s: Column) -> Column:
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(s) - 1),
+            lambda i: F.struct(
+                F.get(s, i - 1).alias("l"), F.get(s, i).alias("r")
+            ),
+        )
+        return F.when(F.size(s) >= 2, pairs).otherwise(
+            F.array().cast("array<struct<l:string,r:string>>")
+        )
+
+    return _bind(sym, _pairs)
 
 
 def _merge_pair(sym: Column, left: str, right: str) -> Column:

@@ -420,11 +420,22 @@ def l2_norm(vec: Column) -> Column:
 def l2_normalize(vec: Column, *, scale: int | None = None) -> Column:
     """Unit-normalize a vector column (zero vectors pass through as
     zeros).  With ``scale``, components are rounded for cross-engine
-    comparison; leave None in compute pipelines."""
-    n = l2_norm(vec)
-    unit = F.when(
-        n > 0, F.transform(vec, lambda x: x / n)
-    ).otherwise(vec)
+    comparison; leave None in compute pipelines.
+
+    The norm is bound to a lambda variable before the division: a
+    captured norm EXPRESSION inside ``transform``'s lambda is
+    re-evaluated once per component — O(d²) per vector instead of
+    O(d) (HOF lambdas are opaque to Catalyst CSE)."""
+
+    def _unit(v: Column) -> Column:
+        return _bind(
+            l2_norm(v),
+            lambda n: F.when(
+                n > 0, F.transform(v, lambda x: x / n)
+            ).otherwise(v),
+        )
+
+    unit = _bind(vec, _unit)
     if scale is not None:
         unit = F.transform(unit, lambda x: F.round(x, scale))
     return unit

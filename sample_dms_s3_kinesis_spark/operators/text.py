@@ -201,19 +201,25 @@ def top_bigram_fraction(grams: Column) -> Column:
     bigram — the "repeated phrase" signal.  Quadratic in tokens-per-doc
     (count via per-element filter) but all JVM-side array ops; documents
     are short, and the whole computation is per-row/narrow so it scales
-    out linearly with the corpus.  Pass a MATERIALIZED ``grams`` column
-    (own projection): higher-order lambdas are opaque to Catalyst's
-    subexpression elimination, so inlining ``word_bigrams`` here would
-    rebuild the array once per lambda."""
-    counts = F.transform(
-        grams, lambda g: F.size(F.filter(grams, lambda x: x == g))
-    )
-    return F.when(
-        F.size(grams) > 0,
-        F.round(
-            F.array_max(counts).cast("double") / F.size(grams).cast("double"), 6
-        ),
-    ).otherwise(F.lit(0.0))
+    out linearly with the corpus.  ``grams`` is bound once (_bind), so
+    an inline ``word_bigrams`` expression is NOT rebuilt per lambda
+    (higher-order lambdas are opaque to Catalyst's subexpression
+    elimination) — no call-site materialization discipline needed."""
+
+    def _frac(gs: Column) -> Column:
+        counts = F.transform(
+            gs, lambda g: F.size(F.filter(gs, lambda x: x == g))
+        )
+        return F.when(
+            F.size(gs) > 0,
+            F.round(
+                F.array_max(counts).cast("double")
+                / F.size(gs).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return _bind(grams, _frac)
 
 
 def normalize_text(col: Column) -> Column:
