@@ -399,3 +399,35 @@ def test_round6_queries_stay_jvm_side(spark):
     chunks = _plan(spark, "q_cdc_chunks")
     assert chunks.count("Exchange") <= 1, chunks.count("Exchange")
     assert "hashpartitioning" not in chunks and "rangepartitioning" not in chunks
+
+
+def test_signature_builders_evaluate_tokenize_once(spark):
+    """r6 HOF-CSE fix: the k slot transforms (and 64 simhash bit
+    filters) must reference a BOUND base-hash array, not re-inline the
+    tokenize→shingle→hash pipeline per slot.  The physical plan shows
+    exactly one split() when bound; the unbound form shows one per
+    slot (measured 8.95 s vs 0.40 s for the k=128 signature scan at
+    sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.operators import dedup, similarity
+
+    d = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    sig = d.select(
+        dedup.minhash_signature(F.col("text"), num_hashes=64).alias("s")
+    )
+    assert (
+        sig._jdf.queryExecution().executedPlan().toString().count("split(")
+        <= 2
+    )
+    sh = d.select(dedup.simhash(F.col("text")).alias("s"))
+    assert (
+        sh._jdf.queryExecution().executedPlan().toString().count("split(")
+        <= 2
+    )
+    # l2_normalize: the norm aggregate must appear once, not per
+    # component (the captured-lambda O(d^2) trap)
+    e = spark.createDataFrame([(1, [3.0, 4.0])], "id long, v array<double>")
+    unit = e.select(similarity.l2_normalize(F.col("v")).alias("u"))
+    plan = unit._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("sqrt") <= 2, plan.lower().count("sqrt")

@@ -423,3 +423,56 @@ def test_cdc_chunks_invariants(spark):
         text.cdc_chunks(df, min_tokens=0)
     with _pytest.raises(ValueError):
         text.cdc_chunks(df, min_tokens=8, max_tokens=4)
+
+
+def test_cdc_chunks_property_random_corpora(spark):
+    """Property sweep on random corpora: reconstruction, bounds, and
+    per-document locality (a doc's chunks depend only on its own
+    text — adding corpus rows never changes them)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from([f"t{i}" for i in range(30)]),
+                min_size=0,
+                max_size=60,
+            ).map(" ".join),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(texts):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = text.cdc_chunks(
+            df, mask_bits=2, min_tokens=3, max_tokens=9
+        ).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for d, t_ in docs:
+            toks = t_.split()
+            toks = [w for w in toks if w]
+            cs = sorted(by_doc.get(d, []), key=lambda r: r["chunk_idx"])
+            # reconstruction + contiguous chunk indexes
+            assert " ".join(c["chunk_text"] for c in cs) == " ".join(toks)
+            assert [c["chunk_idx"] for c in cs] == list(range(len(cs)))
+            lens = [c["n_tokens"] for c in cs]
+            assert all(3 <= x <= 9 for x in lens[:-1]), lens
+            assert all(x >= 1 for x in lens)
+        # locality: chunking doc 0 alone gives identical chunks
+        solo = text.cdc_chunks(
+            spark.createDataFrame([docs[0]], "doc_id long, text string"),
+            mask_bits=2, min_tokens=3, max_tokens=9,
+        ).collect()
+        assert sorted(map(tuple, solo)) == sorted(
+            tuple(r) for r in by_doc.get(0, [])
+        )
+
+    check()
