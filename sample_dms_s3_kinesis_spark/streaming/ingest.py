@@ -83,6 +83,7 @@ class CorpusIngestTask(ReplicationTask):
         embedding_dim: int | None = None,
         contract_rules=None,
         postings: bool = False,
+        ivf_cells: int | None = None,
         checkpoint_dir: str | None = None,
     ) -> None:
         super().__init__(identifier)
@@ -111,6 +112,12 @@ class CorpusIngestTask(ReplicationTask):
         # reference's incremental-apply pattern (run.py:193-198: new
         # data lands, derived state updates incrementally).
         self.build_postings = postings
+        # optional output: admitted batches with embeddings append
+        # their cell assignments to a persisted IVF index (the vector
+        # twin of ``postings``).  The coarse quantizer is TRAINED ONCE
+        # on the first vector-carrying batch and frozen — standard IVF
+        # practice (retraining would orphan earlier assignments).
+        self.ivf_cells = ivf_cells
         self.checkpoint_dir = (
             checkpoint_dir or f"/tmp/ingest-checkpoint-{uuid.uuid4()}"
         )
@@ -323,6 +330,95 @@ class CorpusIngestTask(ReplicationTask):
         for p in parts[1:]:
             out = out.unionByName(p)
         return PostingsIndex(out, id_col="doc_id")
+
+    # -- persisted IVF assignment --------------------------------------
+    # ``ivf_cells=N`` arms the vector twin of the postings index: the
+    # coarse quantizer (deterministic seed centroids) is trained once
+    # on the first admitted batch that carries >= N embeddings and
+    # written to ``_ivf/centroids``; every admitted batch's vectors are
+    # assigned to their nearest frozen cell and land partitioned BY
+    # CELL under ``_ivf/assigned/batch_id=K`` (overwrite-idempotent),
+    # so a loaded probe partition-prunes across every batch at once.
+    # Batches admitted before the flag (or before the quantizer
+    # existed) recompute their assignment from the corpus copy — the
+    # same fallback contract as ``signatures``/``postings_index``.
+
+    def _ivf_dir(self) -> str:
+        return f"{self.corpus_dir}/_ivf"
+
+    def ivf_index(self, *, before: int | None = None):
+        """A :class:`~sample_dms_s3_kinesis_spark.operators.similarity.
+        IvfIndex` over the admitted corpus vectors (optionally batches
+        < ``before``).  Raises ``ValueError`` until a vector-carrying
+        batch has trained the quantizer."""
+        from sample_dms_s3_kinesis_spark.operators.similarity import (
+            IvfIndex,
+            ivf_assign,
+        )
+
+        cent_dir = f"{self._ivf_dir()}/centroids"
+        if not os.path.isdir(cent_dir):
+            raise ValueError(
+                "no IVF quantizer yet: no admitted batch carried "
+                f">= ivf_cells embeddings (corpus {self.corpus_dir})"
+            )
+        centroids = self.spark.read.parquet(cent_dir)
+        manifest = self._load_manifest()
+        batches = [
+            int(b)
+            for b in sorted(manifest, key=int)
+            if manifest[b].get("admitted", 0) > 0
+            and (before is None or int(b) < before)
+        ]
+        stored = [
+            b
+            for b in batches
+            if os.path.isdir(f"{self._ivf_dir()}/assigned/batch_id={b}")
+        ]
+        missing = [b for b in batches if b not in set(stored)]
+        parts = []
+        if stored:
+            parts.append(
+                self.spark.read.option(
+                    "basePath", f"{self._ivf_dir()}/assigned"
+                )
+                .parquet(
+                    *[
+                        f"{self._ivf_dir()}/assigned/batch_id={b}"
+                        for b in stored
+                    ]
+                )
+                .select("doc_id", "embedding", "cell")
+            )
+        if missing:
+            docs = (
+                self.spark.read.option("basePath", self.corpus_dir)
+                .parquet(
+                    *[f"{self.corpus_dir}/batch_id={b}" for b in missing]
+                )
+                .filter(F.col("embedding").isNotNull())
+                .select("doc_id", "embedding")
+            )
+            assigned = ivf_assign(
+                docs, centroids, vec_col="embedding", id_col="doc_id"
+            )
+            parts.append(
+                docs.join(assigned, on="doc_id").select(
+                    "doc_id", "embedding", "cell"
+                )
+            )
+        if not parts:
+            parts.append(
+                self.spark.createDataFrame(
+                    [], "doc_id long, embedding array<double>, cell int"
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return IvfIndex(
+            centroids, out, vec_col="embedding", id_col="doc_id"
+        )
 
     def ingest_stats(self) -> dict[str, int]:
         """Cumulative admission counters, rebuilt from the manifest —
@@ -601,6 +697,61 @@ class CorpusIngestTask(ReplicationTask):
                     .partitionBy("_tb")
                     .parquet(f"{self._postings_dir()}/batch_id={batch_id}")
                 )
+            if self.ivf_cells:
+                from sample_dms_s3_kinesis_spark.operators.similarity import (
+                    _deterministic_centroids,
+                    ivf_assign,
+                )
+
+                with_vec = admitted.filter(
+                    F.col("embedding").isNotNull()
+                ).select("doc_id", "embedding")
+                n_vec = with_vec.count()
+                cent_dir = f"{self._ivf_dir()}/centroids"
+                if (
+                    not os.path.isdir(cent_dir)
+                    and n_vec >= self.ivf_cells
+                ):
+                    # Train-once coarse quantizer: deterministic seed
+                    # centroids from the FIRST batch carrying enough
+                    # vectors.  A replay re-derives the identical
+                    # frame, so the existence check is only an I/O
+                    # saving, not a correctness gate.
+                    _deterministic_centroids(
+                        with_vec,
+                        vec_col="embedding",
+                        id_col="doc_id",
+                        cells=self.ivf_cells,
+                    ).write.mode("overwrite").parquet(cent_dir)
+                if n_vec > 0 and os.path.isdir(cent_dir):
+                    centroids = self.spark.read.parquet(cent_dir)
+                    assigned = ivf_assign(
+                        with_vec,
+                        centroids,
+                        vec_col="embedding",
+                        id_col="doc_id",
+                    )
+                    (
+                        with_vec.join(assigned, on="doc_id")
+                        .select("doc_id", "embedding", "cell")
+                        .write.mode("overwrite")
+                        .partitionBy("cell")
+                        .parquet(
+                            f"{self._ivf_dir()}/assigned/batch_id={batch_id}"
+                        )
+                    )
+            # A replay OVERWROTE directories this session may have read
+            # before (new part-file names); drop the stale file-listing
+            # cache entries or the next read of those paths fails with
+            # FILE_NOT_EXIST.
+            for p in (
+                f"{self.corpus_dir}/batch_id={batch_id}",
+                f"{self._sig_dir()}/batch_id={batch_id}",
+                f"{self._postings_dir()}/batch_id={batch_id}",
+                f"{self._ivf_dir()}/assigned/batch_id={batch_id}",
+            ):
+                if os.path.isdir(p):
+                    self.spark.catalog.refreshByPath(p)
         self._record_batch(
             batch_id,
             {

@@ -458,3 +458,115 @@ def test_postings_gate_output_incremental_search(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "k2"), postings=True,
     )
     assert empty.postings_index().search(["alpha"]).count() == 0
+
+
+def _drop_vec(drop_dir, name, docs):
+    os.makedirs(drop_dir, exist_ok=True)
+    path = os.path.join(drop_dir, name)
+    with open(path + ".tmp", "w") as f:
+        for doc_id, text, emb in docs:
+            f.write(
+                json.dumps({"doc_id": doc_id, "text": text, "embedding": emb})
+                + "\n"
+            )
+    os.replace(path + ".tmp", path)
+
+
+def test_ivf_gate_output_incremental_vector_search(spark, tmp_path):
+    """ivf_cells=N: the vector twin of the postings gate — a frozen
+    train-once quantizer, per-batch cell-partitioned assignment
+    appends, searches equal to assigning the whole corpus against the
+    same centroids, replay idempotence, and recompute fallback."""
+    import shutil
+
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        IvfIndex,
+        ivf_assign,
+    )
+    from pyspark.sql import functions as F
+
+    def vec(i):
+        return [float(i % 5), float((i * 3) % 7), float(i % 2), 1.0]
+
+    drop = str(tmp_path / "drop")
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        ivf_cells=4,
+    )
+    _drop_vec(drop, "c1.json", [
+        (i, f"doc number {i} body{i}", vec(i)) for i in range(8)
+    ])
+    task.process_available()
+    for f in os.listdir(drop):
+        os.remove(os.path.join(drop, f))
+    _drop_vec(drop, "c2.json", [
+        (100 + i, f"later doc {i} text{i}", vec(100 + i)) for i in range(6)
+    ] + [(200, "no vector doc here", None)])
+    task.process_available()
+
+    idx = task.ivf_index()
+    # reference: same frozen centroids, assignment recomputed over the
+    # whole admitted corpus
+    corpus_vec = task.corpus().filter(
+        F.col("embedding").isNotNull()
+    ).select("doc_id", "embedding")
+    ref = IvfIndex(
+        idx.centroids,
+        corpus_vec.join(
+            ivf_assign(
+                corpus_vec, idx.centroids,
+                vec_col="embedding", id_col="doc_id",
+            ),
+            on="doc_id",
+        ).select("doc_id", "embedding", "cell"),
+        vec_col="embedding",
+        id_col="doc_id",
+    )
+    for q in (vec(0), vec(101), [9.0, 9.0, 9.0, 9.0]):
+        got = [r["doc_id"] for r in idx.search(q, k=5, nprobe=2).collect()]
+        want = [r["doc_id"] for r in ref.search(q, k=5, nprobe=2).collect()]
+        assert got == want, q
+    assert idx.assigned.count() == 14      # the no-vector doc is absent
+
+    # replay: re-running batch 1 overwrites its assignment, results hold
+    from sample_dms_s3_kinesis_spark.streaming.ingest import DOC_SCHEMA
+
+    df = spark.read.schema(DOC_SCHEMA).json(drop)
+    task._process_batch(df, 1)
+    assert task.ivf_index().assigned.count() == 14
+
+    # fallback: lose the whole assigned store — recompute path serves
+    # identical searches from the frozen centroids.  (ref is rebuilt:
+    # the replay overwrote corpus part files under the old frame.)
+    shutil.rmtree(f"{task._ivf_dir()}/assigned")
+    again = task.ivf_index()
+    corpus_vec2 = task.corpus().filter(
+        F.col("embedding").isNotNull()
+    ).select("doc_id", "embedding")
+    ref2 = IvfIndex(
+        again.centroids,
+        corpus_vec2.join(
+            ivf_assign(
+                corpus_vec2, again.centroids,
+                vec_col="embedding", id_col="doc_id",
+            ),
+            on="doc_id",
+        ).select("doc_id", "embedding", "cell"),
+        vec_col="embedding",
+        id_col="doc_id",
+    )
+    for q in (vec(0), vec(101)):
+        assert [r["doc_id"] for r in again.search(q, k=5, nprobe=2).collect()] == [
+            r["doc_id"] for r in ref2.search(q, k=5, nprobe=2).collect()
+        ]
+
+    # no quantizer yet: clean error
+    import pytest as _pytest
+
+    bare = CorpusIngestTask(
+        spark, str(tmp_path / "d2"), str(tmp_path / "c2"),
+        checkpoint_dir=str(tmp_path / "k2"), ivf_cells=4,
+    )
+    with _pytest.raises(ValueError, match="no IVF quantizer"):
+        bare.ivf_index()
