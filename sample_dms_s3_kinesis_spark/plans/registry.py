@@ -1252,8 +1252,11 @@ DRIVER_WINDOW: list[str] = [
     "q_stats_agg",
 ]
 # r7 rotation backlog, in priority order (never-checked beats stale):
-# (a) any query registered during round 6 (they queue behind the
-#     window by construction);
+# (a) the six queries registered during round 6 (never checked):
+#     q_pmi_bigrams, q_lateral_top_order (oracle-bearing),
+#     q_cdc_chunks, q_dedup_segments_cdc, q_pagerank_neardup
+#     (rows-only), q_neardup_degrees (oracle-bearing) — all green
+#     under tools/oracle_check.py at sf0.01 AND sf0.001 this round;
 # (b) the remaining 22 r3-stale queries:
 #     q_array_agg_priorities, q05_local_supplier_volume,
 #     q_text_fingerprint, q_text_normalize, q_text_tokens_bpe,

@@ -431,3 +431,10 @@ def test_signature_builders_evaluate_tokenize_once(spark):
     unit = e.select(similarity.l2_normalize(F.col("v")).alias("u"))
     plan = unit._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("sqrt") <= 2, plan.lower().count("sqrt")
+
+
+def test_graph_queries_stay_jvm_side(spark):
+    for name in ("q_neardup_degrees", "q_pagerank_neardup"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
