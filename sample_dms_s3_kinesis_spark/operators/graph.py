@@ -29,10 +29,14 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
+
+_LOG = logging.getLogger("sample_dms_s3_kinesis_spark.graph")
 
 
 def degree_stats(
@@ -66,6 +70,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_dir: str | None = None,
+    driver_threshold: int = 100_000,
     scale: int = 6,
 ) -> DataFrame:
     """Power-iteration PageRank over a DIRECTED edge list (symmetrize
@@ -79,6 +84,14 @@ def pagerank(
     shape).  Nodes with no in-edges keep their teleport share via the
     right join against the node frame.
 
+    ``driver_threshold``: edge graphs at or below this size (default
+    100 000 edges — a few MB) run the identical power iteration on
+    the DRIVER, skipping ``iterations`` rounds of distributed
+    scheduling latency — the same size gate (and the same logged
+    switch) as ``connected_components``; the distributed loop
+    engages automatically above it (``driver_threshold=0`` forces
+    it).
+
     Output: (id, rank) with ``rank`` rounded to ``scale`` decimals
     (floating sums are order-dependent across partitionings; the
     round pins a stable presentation, pytest compares against the
@@ -88,6 +101,41 @@ def pagerank(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     ).distinct()
     e = _cut_lineage(e, checkpoint_dir)
+    if driver_threshold and e.count() <= driver_threshold:
+        _LOG.info(
+            "pagerank: edge graph <= driver_threshold=%d, taking the "
+            "driver power-iteration path (the distributed loop "
+            "engages above the gate)",
+            driver_threshold,
+        )
+        rows = e.collect()
+        id_type = dict(e.dtypes)["_s"]
+        nodes_l = sorted({r["_s"] for r in rows} | {r["_d"] for r in rows})
+        n = len(nodes_l)
+        if n == 0:
+            return e.sparkSession.createDataFrame(
+                [], f"id {id_type}, rank double"
+            )
+        out: dict = {}
+        for r in rows:
+            out[r["_s"]] = out.get(r["_s"], 0) + 1
+        rank = {v: 1.0 / n for v in nodes_l}
+        for _ in range(iterations):
+            dangling = sum(
+                x for v, x in rank.items() if out.get(v, 0) == 0
+            )
+            contrib = {v: 0.0 for v in nodes_l}
+            for r in rows:
+                contrib[r["_d"]] += rank[r["_s"]] / out[r["_s"]]
+            rank = {
+                v: (1.0 - damping) / n
+                + damping * (contrib[v] + dangling / n)
+                for v in nodes_l
+            }
+        return e.sparkSession.createDataFrame(
+            [(v, round(x, scale)) for v, x in rank.items()],
+            f"id {id_type}, rank double",
+        )
     nodes = (
         e.select(F.col("_s").alias("id"))
         .unionAll(e.select(F.col("_d").alias("id")))

@@ -64,3 +64,29 @@ def test_pagerank_plan_has_no_python_eval(spark):
     out = graph.pagerank(df, iterations=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_driver_gate_equals_distributed(spark, caplog):
+    """The size gate mirrors connected_components: small graphs run the
+    identical power iteration on the driver (logged), the distributed
+    loop engages when forced — same values either way."""
+    import logging
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with caplog.at_level(
+        logging.INFO, logger="sample_dms_s3_kinesis_spark.graph"
+    ):
+        fast = {
+            r["id"]: r["rank"]
+            for r in graph.pagerank(df, iterations=6).collect()
+        }
+    assert any("driver_threshold" in r.message for r in caplog.records)
+    dist = {
+        r["id"]: r["rank"]
+        for r in graph.pagerank(
+            df, iterations=6, driver_threshold=0
+        ).collect()
+    }
+    assert set(fast) == set(dist)
+    for v in fast:
+        assert abs(fast[v] - dist[v]) < 1e-6, v
