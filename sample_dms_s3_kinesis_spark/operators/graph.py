@@ -67,6 +67,7 @@ def pagerank(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_dir: str | None = None,
@@ -79,7 +80,9 @@ def pagerank(
     Per iteration: ``rank' = (1-d)/n + d * (in_contributions +
     dangling_mass / n)`` — contributions are ``rank/out_degree``
     summed per destination (one dst-keyed shuffle, map-side
-    combined); dangling mass is a 1-row aggregate cross-joined back
+    combined); with ``weight_col`` (e.g. the pair jaccard) each edge
+    carries ``rank * w / sum_of_out_weights`` instead — similarity-
+    weighted centrality; dangling mass is a 1-row aggregate cross-joined back
     (broadcast nested loop over one row, the accepted tiny-frame
     shape).  Nodes with no in-edges keep their teleport share via the
     right join against the node frame.
@@ -97,9 +100,27 @@ def pagerank(
     round pins a stable presentation, pytest compares against the
     Python model with tolerance).
     """
-    e = edges.select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).distinct()
+    if weight_col is not None:
+        # parallel edges merge by summing their weights
+        e = (
+            edges.select(
+                F.col(src_col).alias("_s"),
+                F.col(dst_col).alias("_d"),
+                F.col(weight_col).cast("double").alias("_w"),
+            )
+            .groupBy("_s", "_d")
+            .agg(F.sum("_w").alias("_w"))
+        )
+    else:
+        # unweighted contract: the edge LIST is a set — duplicates
+        # collapse to one unit edge
+        e = (
+            edges.select(
+                F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+            )
+            .distinct()
+            .withColumn("_w", F.lit(1.0))
+        )
     e = _cut_lineage(e, checkpoint_dir)
     if driver_threshold and e.count() <= driver_threshold:
         _LOG.info(
@@ -118,15 +139,15 @@ def pagerank(
             )
         out: dict = {}
         for r in rows:
-            out[r["_s"]] = out.get(r["_s"], 0) + 1
+            out[r["_s"]] = out.get(r["_s"], 0.0) + r["_w"]
         rank = {v: 1.0 / n for v in nodes_l}
         for _ in range(iterations):
             dangling = sum(
-                x for v, x in rank.items() if out.get(v, 0) == 0
+                x for v, x in rank.items() if out.get(v, 0.0) == 0.0
             )
             contrib = {v: 0.0 for v in nodes_l}
             for r in rows:
-                contrib[r["_d"]] += rank[r["_s"]] / out[r["_s"]]
+                contrib[r["_d"]] += rank[r["_s"]] * r["_w"] / out[r["_s"]]
             rank = {
                 v: (1.0 - damping) / n
                 + damping * (contrib[v] + dangling / n)
@@ -146,12 +167,12 @@ def pagerank(
     if n == 0:
         return nodes.select("id", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy(F.col("_s").alias("id")).agg(
-        F.count(F.lit(1)).alias("_out")
+        F.sum("_w").alias("_out")
     )
-    # node frame with out-degree 0 for dangling nodes; persisted once,
+    # node frame with out-weight 0 for dangling nodes; persisted once,
     # reused every iteration
     base = nodes.join(out_deg, on="id", how="left").select(
-        "id", F.coalesce(F.col("_out"), F.lit(0)).alias("_out")
+        "id", F.coalesce(F.col("_out"), F.lit(0.0)).alias("_out")
     )
     base = _cut_lineage(base, checkpoint_dir).persist()
 
@@ -166,7 +187,7 @@ def pagerank(
             .join(e, r["id"] == e["_s"])
             .select(
                 F.col("_d").alias("id"),
-                (F.col("rank") / F.col("_out")).alias("_c"),
+                (F.col("rank") * F.col("_w") / F.col("_out")).alias("_c"),
             )
             .groupBy("id")
             .agg(F.sum("_c").alias("_in"))

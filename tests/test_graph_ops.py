@@ -90,3 +90,88 @@ def test_pagerank_driver_gate_equals_distributed(spark, caplog):
     assert set(fast) == set(dist)
     for v in fast:
         assert abs(fast[v] - dist[v]) < 1e-6, v
+
+
+def _pagerank_w_ref(edges, d=0.85, iters=8):
+    """(src, dst, w) reference with weighted contributions."""
+    nodes = sorted({x for s, t, _ in edges for x in (s, t)})
+    n = len(nodes)
+    out = {}
+    for s, _, w in edges:
+        out[s] = out.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if out.get(v, 0.0) == 0.0)
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            contrib[t] += rank[s] * w / out[s]
+        rank = {
+            v: (1 - d) / n + d * (contrib[v] + dangling / n) for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_weighted(spark):
+    edges = [
+        (1, 2, 0.9), (1, 3, 0.1), (2, 3, 1.0), (3, 1, 0.5), (4, 1, 0.2),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, jac double")
+    for thresh in (100_000, 0):  # driver and distributed paths
+        got = {
+            r["id"]: r["rank"]
+            for r in graph.pagerank(
+                df, weight_col="jac", iterations=8, driver_threshold=thresh
+            ).collect()
+        }
+        exp = _pagerank_w_ref(edges)
+        assert set(got) == set(exp)
+        for v in exp:
+            assert abs(got[v] - exp[v]) < 1e-6, (thresh, v)
+    # heavier edge pulls more rank: node 2 (0.9 from 1) beats node 3's
+    # teleport-only competitor 4
+    assert got[2] > got[4]
+    # parallel weighted edges merge by weight sum
+    dup = spark.createDataFrame(
+        edges + [(1, 2, 0.9)], "src long, dst long, jac double"
+    )
+    merged = {
+        r["id"]: r["rank"]
+        for r in graph.pagerank(dup, weight_col="jac", iterations=8).collect()
+    }
+    exp2 = _pagerank_w_ref([(1, 2, 1.8)] + edges[1:])
+    for v in exp2:
+        assert abs(merged[v] - exp2[v]) < 1e-6, v
+
+
+def test_pagerank_property_random_graphs(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(edges):
+        edges = sorted(set(edges))
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["id"]: r["rank"]
+            for r in graph.pagerank(df, iterations=6).collect()
+        }
+        exp = _pagerank_ref(edges, iters=6)
+        assert set(got) == set(exp)
+        for v in exp:
+            assert abs(got[v] - exp[v]) < 1e-6, v
+        assert abs(sum(got.values()) - 1.0) < 1e-4
+
+    check()
