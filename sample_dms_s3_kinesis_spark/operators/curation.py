@@ -690,3 +690,51 @@ def dedup_segments_cdc(
     )
     kept = _keep_first(segs, id_col=id_col)
     return _rebuild_from_segments(corpus, segs, kept, id_col=id_col)
+
+
+def dedup_segments_cdc_against(
+    new: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_bits: int = 5,
+    min_tokens: int = 8,
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Incremental twin of :func:`dedup_segments_cdc`, completing the
+    segment-dedup matrix ({fixed-width, content-defined} × {self,
+    incremental, within}): each NEW document is rebuilt with (a) every
+    content-defined chunk already present anywhere in the EXISTING
+    corpus removed (anti-join against the corpus's distinct chunk
+    keys — the corpus side reduces to keys, never re-shuffled at
+    occurrence grain) and (b) surviving repeats deduped keep-first
+    WITHIN the new batch.  Because chunk boundaries are content-
+    defined, a passage lifted from the corpus into a new document
+    matches even behind an inserted preamble — the case the
+    fixed-width ``dedup_segments_against`` grid misses.
+
+    Output: (id_col, clean_text, n_removed) over NEW docs only.
+    """
+    from sample_dms_s3_kinesis_spark.operators.text import cdc_chunks
+
+    def segs(df: DataFrame) -> DataFrame:
+        return cdc_chunks(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            mask_bits=mask_bits,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+        ).select(
+            F.col(id_col),
+            F.col("chunk_idx").alias("_pos"),
+            F.col("chunk_text").alias("_seg"),
+            F.lower(F.col("chunk_text")).alias("_key"),
+        )
+
+    segs_new = segs(new)
+    corpus_keys = segs(existing).select("_key").distinct()
+    fresh = segs_new.join(corpus_keys, on="_key", how="left_anti")
+    kept = _keep_first(fresh, id_col=id_col)
+    return _rebuild_from_segments(new, segs_new, kept, id_col=id_col)

@@ -5476,3 +5476,50 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     return _graph.pagerank(edges, iterations=8)
+
+
+@_register(
+    "q_dedup_segments_cdc_against",
+    None,
+    "incremental content-defined segment dedup: NEW docs rebuilt with "
+    "corpus-present chunks removed (distinct-key anti-join) + in-batch "
+    "keep-first — catches passages lifted from the corpus behind an "
+    "inserted preamble, which the fixed-width incremental grid misses "
+    "(rows-only: hash boundaries; union-consistency pytest-pinned)",
+    "dedup: segment-level incremental (content-defined)",
+)
+def q_dedup_segments_cdc_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import curation as _cur
+
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    existing = d.filter(F.col("doc_id") % 5 != 0)
+    return _cur.dedup_segments_cdc_against(
+        new, existing, mask_bits=4, min_tokens=4, max_tokens=32
+    )
+
+
+@_register(
+    "q_cms_daily_freq",
+    None,
+    "mergeable FREQUENCY sketches (the Count-Min twin of "
+    "q_hll_daily_union, as a relational (d,b,cnt) table rather than "
+    "an opaque binary): one sketch per day over event_type, merged by "
+    "re-aggregation into range estimates probed engine-side — "
+    "never-undercount + overcount bounds pytest-pinned "
+    "(rows-only: xxhash64 bucketing)",
+    "O17 generalized: mergeable sketch aggregation (frequency)",
+)
+def q_cms_daily_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import sketches as _sk
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    daily = _sk.cms_table(
+        ev, "event_type", width=256, depth=5, group_cols=("day",)
+    )
+    merged = _sk.cms_merge(daily, drop_cols=("day",))
+    return _sk.cms_estimate(
+        merged, ev.select("event_type"), "event_type", width=256, depth=5
+    ).orderBy("event_type")

@@ -582,3 +582,49 @@ def test_dedup_segments_cdc_catches_shifted_copy(spark):
         total = sum(1 for dd, _, _ in chunks if dd == d)
         exp[d] = (" ".join(g for _, g in mine), total - len(mine))
     assert out == exp
+
+
+def test_dedup_segments_cdc_against_matches_self_on_union(spark):
+    """Same consistency contract as the fixed-width twin: running the
+    self flavor over existing∪new and projecting the new ids equals
+    the incremental form when existing is itself chunk-deduped — and
+    the shifted-lift case (corpus passage behind a new preamble) IS
+    caught, unlike dedup_segments_against."""
+    passage = " ".join(f"s{i}t{i + 7}" for i in range(80))
+    existing = spark.createDataFrame(
+        [(1, passage), (2, "some other corpus content words here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "fresh preamble words " + passage),   # shifted lift
+            (11, "entirely novel new document body"),
+            (12, "entirely novel new document body"),  # in-batch dup
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(mask_bits=3, min_tokens=4, max_tokens=24)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in curation.dedup_segments_cdc_against(
+            new, existing, **kw
+        ).collect()
+    }
+    assert set(got) == {10, 11, 12}
+    assert got[10][1] > 0 and passage not in got[10][0]  # lift removed
+    # union-consistency: self flavor over existing ∪ new, new ids only
+    union = existing.unionByName(new)
+    ref = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in curation.dedup_segments_cdc(union, **kw).collect()
+        if r["doc_id"] >= 10
+    }
+    assert got == ref
+    # the fixed-width incremental misses the shifted lift entirely
+    fixed = {
+        r["doc_id"]: r["n_removed"]
+        for r in curation.dedup_segments_against(
+            new, existing, width=8
+        ).collect()
+    }
+    assert got[10][1] > fixed[10]
