@@ -118,3 +118,141 @@ def cms_estimate(
             .alias("est_count")
         )
     )
+
+
+# ------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) distinct sketches: where
+# HLL only merges by UNION, KMV supports set ALGEBRA — intersection
+# estimates across sketches (Beyer et al., "On synopses for
+# distinct-value estimation under multiset operations", SIGMOD'07;
+# the Apache DataSketches theta family).  A sketch is the k smallest
+# normalized hashes of the distinct values — again a plain relational
+# table, so build/merge/estimate all stay inside Catalyst.
+#
+# Scale: the distinct pass is a map-side-combined aggregate keyed by
+# (group, hash) — duplicates collapse in the combiner; the bottom-k
+# is a per-group rank over the (bounded-cardinality) distinct frame.
+# Sketch size is exactly k rows per group.
+
+
+def _unit_hash(col: Column) -> Column:
+    """xxhash64 mapped into (0, 1): (h + 2^63 + 1) / (2^64 + 2) keeps
+    both endpoints open so theta = kth value is always usable."""
+    return (
+        (F.xxhash64(col).cast("double") + F.lit(float(2**63) + 1.0))
+        / F.lit(float(2**64) + 2.0)
+    )
+
+
+def kmv_table(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 256,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Bottom-k distinct sketch per ``group_cols`` combination.
+
+    Output: (*group_cols, h double, rn int) — the k smallest distinct
+    unit hashes, ranked ascending (rn = 1..k; fewer rows means the
+    group's EXACT distinct count is rn_max < k).
+    """
+    from pyspark.sql import Window
+
+    distinct = (
+        spread(df)
+        .select(*[F.col(g) for g in group_cols], _unit_hash(F.col(col)).alias("h"))
+        .distinct()
+    )
+    w = (
+        Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("h")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("h")
+    )
+    return (
+        distinct.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_estimate(kmv: DataFrame, *, k: int = 256) -> DataFrame:
+    """Distinct-count estimate per group from a bottom-k sketch:
+    (k-1)/theta when the sketch is full (theta = the kth smallest
+    hash), the exact row count when it is not.
+
+    Output: (*group_cols, est_distinct double).
+    """
+    group_cols = [c for c in kmv.columns if c not in ("h", "rn")]
+    agg = kmv.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_theta")
+    )
+    return agg.select(
+        *group_cols,
+        F.when(
+            F.col("_n") < k, F.col("_n").cast("double")
+        ).otherwise((F.lit(float(k - 1))) / F.col("_theta")).alias(
+            "est_distinct"
+        ),
+    )
+
+
+def kmv_union(*sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Union sketch: pool the hashes, dedupe, keep the k smallest —
+    the result is exactly the sketch of the concatenated inputs.
+    Group columns must already be dropped/aligned.  Output: (h, rn).
+    """
+    from pyspark.sql import Window
+
+    pooled = sketches[0].select("h")
+    for s in sketches[1:]:
+        pooled = pooled.unionByName(s.select("h"))
+    w = Window.partitionBy(F.lit(1)).orderBy("h")
+    return (
+        pooled.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, *, k: int = 256
+) -> DataFrame:
+    """|A ∩ B| estimate from two bottom-k sketches: theta = the union
+    sketch's threshold; every hash below theta present in BOTH
+    sketches is an intersection sample; est = matches / theta.
+    The same theta also yields the union estimate, so the row carries
+    a Jaccard estimate too.
+
+    Output: one row (est_intersection double, est_union double,
+    est_jaccard double).
+    """
+    u = kmv_union(a, b, k=k)
+    stats = u.agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_theta")
+    )
+    # exact-mode theta: when the pooled distinct count is below k the
+    # union sketch IS the union — every sample counts, theta = 1
+    both = (
+        a.select("h")
+        .join(b.select("h"), on="h")
+        .join(F.broadcast(u.select("h")), on="h", how="left_semi")
+    )
+    m = both.agg(F.count(F.lit(1)).cast("double").alias("_m"))
+    return (
+        stats.crossJoin(m)
+        .select(
+            F.when(F.col("_n") < k, F.col("_m"))
+            .otherwise(F.col("_m") / F.col("_theta"))
+            .alias("est_intersection"),
+            F.when(F.col("_n") < k, F.col("_n").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.col("_theta"))
+            .alias("est_union"),
+        )
+        .select(
+            "est_intersection",
+            "est_union",
+            (F.col("est_intersection") / F.col("est_union")).alias(
+                "est_jaccard"
+            ),
+        )
+    )

@@ -5523,3 +5523,34 @@ def q_cms_daily_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sk.cms_estimate(
         merged, ev.select("event_type"), "event_type", width=256, depth=5
     ).orderBy("event_type")
+
+
+@_register(
+    "q_kmv_user_overlap",
+    None,
+    "bottom-k theta sketch set ALGEBRA (the capability HLL lacks): "
+    "audience overlap between two event types estimated from their "
+    "KMV sketches — intersection / union / jaccard from k-row "
+    "synopses instead of a distinct-join over raw events "
+    "(rows-only: xxhash64 sketches; accuracy + exact-mode "
+    "pytest-pinned)",
+    "O17 generalized: mergeable sketch set operations",
+)
+def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import sketches as _sk
+
+    ev = t(spark, sf_dir, "events")
+    types = [
+        r["event_type"]
+        for r in ev.select("event_type").distinct().orderBy("event_type").limit(2).collect()
+    ]
+    a = _sk.kmv_table(ev.filter(F.col("event_type") == types[0]), "user_id", k=256)
+    b = _sk.kmv_table(ev.filter(F.col("event_type") == types[1]), "user_id", k=256)
+    out = _sk.kmv_intersect_estimate(a, b, k=256)
+    return out.select(
+        F.lit(types[0]).alias("type_a"),
+        F.lit(types[1]).alias("type_b"),
+        F.round("est_intersection", 2).alias("est_intersection"),
+        F.round("est_union", 2).alias("est_union"),
+        F.round("est_jaccard", 4).alias("est_jaccard"),
+    )

@@ -80,3 +80,74 @@ def test_cms_plan_is_jvm_only_with_partial_agg(spark):
     est.collect()  # AQE finalizes the physical plan only after execution
     plan2 = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan2
+
+
+def test_kmv_distinct_estimate_accuracy(spark):
+    import math
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(f"v{i}",) for i in range(n)] * 2, "x string"  # duplicates collapse
+    )
+    k = 256
+    sk = sketches.kmv_table(df, "x", k=k)
+    assert sk.count() == k
+    est = sketches.kmv_estimate(sk, k=k).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 4 / math.sqrt(k), est
+
+    # under-full sketch: exact
+    small = spark.createDataFrame([(f"s{i}",) for i in range(37)], "x string")
+    sk2 = sketches.kmv_table(small, "x", k=k)
+    assert sketches.kmv_estimate(sk2, k=k).collect()[0]["est_distinct"] == 37.0
+
+
+def test_kmv_grouped_and_union_consistency(spark):
+    rows = [(d, f"u{i % (200 * (d + 1))}") for d in range(3) for i in range(2000)]
+    df = spark.createDataFrame(rows, "day int, user string")
+    k = 128
+    daily = sketches.kmv_table(df, "user", k=k, group_cols=("day",))
+    # union of daily sketches == sketch of the whole frame
+    parts = [
+        daily.filter(F.col("day") == d).select("h", "rn") for d in range(3)
+    ]
+    u = sketches.kmv_union(*parts, k=k)
+    direct = sketches.kmv_table(df, "user", k=k)
+    assert [r["h"] for r in u.orderBy("rn").collect()] == [
+        r["h"] for r in direct.orderBy("rn").collect()
+    ]
+
+
+def test_kmv_intersection_estimate(spark):
+    import math
+
+    # A = 0..2999, B = 1500..4499 → |A∩B| = 1500, |A∪B| = 4500
+    a_df = spark.createDataFrame([(f"v{i}",) for i in range(3000)], "x string")
+    b_df = spark.createDataFrame(
+        [(f"v{i}",) for i in range(1500, 4500)], "x string"
+    )
+    k = 256
+    a = sketches.kmv_table(a_df, "x", k=k)
+    b = sketches.kmv_table(b_df, "x", k=k)
+    r = sketches.kmv_intersect_estimate(a, b, k=k).collect()[0]
+    tol = 6 / math.sqrt(k)
+    assert abs(r["est_union"] - 4500) / 4500 < tol, r
+    assert abs(r["est_intersection"] - 1500) / 1500 < 2 * tol, r
+    assert abs(r["est_jaccard"] - 1500 / 4500) < 0.12, r
+
+    # disjoint sets → zero intersection
+    c_df = spark.createDataFrame([(f"w{i}",) for i in range(3000)], "x string")
+    c = sketches.kmv_table(c_df, "x", k=k)
+    r2 = sketches.kmv_intersect_estimate(a, c, k=k).collect()[0]
+    assert r2["est_intersection"] == 0.0
+
+    # small exact mode: everything fits, numbers are exact
+    sa = sketches.kmv_table(
+        spark.createDataFrame([(f"e{i}",) for i in range(40)], "x string"),
+        "x", k=k,
+    )
+    sb = sketches.kmv_table(
+        spark.createDataFrame([(f"e{i}",) for i in range(20, 60)], "x string"),
+        "x", k=k,
+    )
+    r3 = sketches.kmv_intersect_estimate(sa, sb, k=k).collect()[0]
+    assert r3["est_intersection"] == 20.0 and r3["est_union"] == 60.0
