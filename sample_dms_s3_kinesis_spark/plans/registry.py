@@ -1252,11 +1252,13 @@ DRIVER_WINDOW: list[str] = [
     "q_stats_agg",
 ]
 # r7 rotation backlog, in priority order (never-checked beats stale):
-# (a) the six queries registered during round 6 (never checked):
-#     q_pmi_bigrams, q_lateral_top_order (oracle-bearing),
-#     q_cdc_chunks, q_dedup_segments_cdc, q_pagerank_neardup
-#     (rows-only), q_neardup_degrees (oracle-bearing) — all green
-#     under tools/oracle_check.py at sf0.01 AND sf0.001 this round;
+# (a) the TEN queries registered during round 6 (never checked):
+#     q_pmi_bigrams, q_lateral_top_order, q_neardup_degrees,
+#     q_recursive_reachability (oracle-bearing); q_cdc_chunks,
+#     q_dedup_segments_cdc, q_dedup_segments_cdc_against,
+#     q_pagerank_neardup, q_cms_daily_freq, q_kmv_user_overlap
+#     (rows-only) — all green under tools/oracle_check.py at
+#     sf0.01 (most also at sf0.001) this round;
 # (b) the remaining 22 r3-stale queries:
 #     q_array_agg_priorities, q05_local_supplier_volume,
 #     q_text_fingerprint, q_text_normalize, q_text_tokens_bpe,

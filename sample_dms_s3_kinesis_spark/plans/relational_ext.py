@@ -5554,3 +5554,39 @@ def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_union", 2).alias("est_union"),
         F.round("est_jaccard", 4).alias("est_jaccard"),
     )
+
+
+_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT event_type AS src, next_type AS dst FROM (
+    SELECT event_type,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events) x
+  WHERE next_type IS NOT NULL AND next_type <> event_type
+),
+reach(dst, depth) AS (
+  SELECT dst, 1 AS depth FROM edges WHERE src = 'signup'
+  UNION ALL
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.dst
+  WHERE r.depth < 3
+)
+SELECT dst, CAST(MIN(depth) AS BIGINT) AS min_depth
+FROM reach GROUP BY dst
+"""
+
+
+@_register(
+    "q_recursive_reachability",
+    _REACH_SQL,
+    "RECURSIVE CTE entry path (Spark 4 WITH RECURSIVE == DuckDB, same "
+    "ANSI string): min-hop reachability from 'signup' over the "
+    "observed per-user event-transition graph — depth-bounded "
+    "iteration, each step one src-keyed join over the distinct edge "
+    "frame (the transition graph is event-type-cardinality tiny; the "
+    "per-user LEAD feeding it is the only corpus-sized pass)",
+    "§3 query lifecycle: SQL entry point (recursive CTE)",
+)
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_REACH_SQL)
