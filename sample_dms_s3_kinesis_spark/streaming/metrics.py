@@ -1,0 +1,257 @@
+"""Streaming sketch-metrics maintenance — the metrics-store story
+wired into Structured Streaming.
+
+``q_hll_daily_union`` / ``q_cms_daily_freq`` / ``q_kmv_user_overlap``
+show the BATCH shape of mergeable synopses; this task keeps them
+CURRENT as events arrive, with the same incremental-apply pattern the
+reference's driver exercises (`/root/reference/run.py:193-198`: new
+data lands, derived state updates incrementally) and the same
+durability contract as ``CorpusIngestTask``:
+
+- each micro-batch writes its OWN per-day sketch tables under
+  ``_cms/batch_id=N`` and ``_kmv/batch_id=N`` with overwrite
+  semantics — a crash-replay of batch N overwrites the same
+  directories, so counters are never double-merged;
+- MERGING happens at read time, which is sound precisely because the
+  sketches are relational: CMS merge is a counter re-aggregation
+  (``cms_merge``), KMV merge is pool-distinct-rekeep (``kmv_union``)
+  — both indifferent to how the inputs were batched;
+- at 100 TB the per-batch directories become a table format's
+  transaction log and the read-time merge is a partition-pruned
+  aggregate over d·w (CMS) or k (KMV) rows per batch-day — the raw
+  events are never rescanned.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sample_dms_s3_kinesis_spark.operators.sketches import (
+    cms_table,
+    kmv_table,
+)
+from sample_dms_s3_kinesis_spark.tasks import ReplicationTask, TaskStatus
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+class SketchMetricsTask(ReplicationTask):
+    """Tail ``drop_dir`` for JSON-lines events and maintain per-day
+    frequency (CMS over ``freq_col``) and distinct (KMV over
+    ``distinct_col``) sketch stores under ``store_dir``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        drop_dir: str,
+        store_dir: str,
+        *,
+        identifier: str = "sketch-metrics",
+        freq_col: str = "event_type",
+        distinct_col: str = "user_id",
+        ts_col: str = "ts",
+        width: int = 1024,
+        depth: int = 5,
+        k: int = 256,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        super().__init__(identifier)
+        self.spark = spark
+        self.drop_dir = drop_dir
+        self.store_dir = store_dir.rstrip("/")
+        self.freq_col = freq_col
+        self.distinct_col = distinct_col
+        self.ts_col = ts_col
+        self.width = width
+        self.depth = depth
+        self.k = k
+        self.checkpoint_dir = (
+            checkpoint_dir or f"/tmp/metrics-checkpoint-{uuid.uuid4()}"
+        )
+        self._query = None
+        os.makedirs(self.store_dir, exist_ok=True)
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self) -> None:
+        self._set_status(TaskStatus.STARTING)
+        self._query = (
+            self.spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(self.drop_dir)
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+        self._set_status(TaskStatus.RUNNING)
+
+    def stop(self) -> None:
+        if self._query is not None:
+            try:
+                self._query.processAllAvailable()
+            except Exception:
+                pass
+            self._query.stop()
+            try:
+                self._query.awaitTermination(30)
+            except Exception:
+                pass
+        self._set_status(TaskStatus.STOPPED)
+
+    def process_available(self) -> None:
+        """Drain-and-return: every pending file as one batch under the
+        next unused batch id."""
+        if self.status == TaskStatus.READY.value:
+            self._set_status(TaskStatus.RUNNING)
+        next_id = max(self._batch_ids(), default=-1) + 1
+        df = self.spark.read.schema(EVENT_SCHEMA).json(self.drop_dir)
+        self._process_batch(df, next_id)
+
+    # -- store ---------------------------------------------------------
+
+    def _cms_dir(self) -> str:
+        return f"{self.store_dir}/_cms"
+
+    def _kmv_dir(self) -> str:
+        return f"{self.store_dir}/_kmv"
+
+    def _batch_ids(self) -> list[int]:
+        ids = set()
+        for d in (self._cms_dir(), self._kmv_dir()):
+            if os.path.isdir(d):
+                for name in os.listdir(d):
+                    if name.startswith("batch_id="):
+                        ids.add(int(name.split("=", 1)[1]))
+        return sorted(ids)
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        ev = batch_df.filter(
+            F.col(self.ts_col).isNotNull()
+        ).withColumn(
+            "day", F.date_trunc("day", F.col(self.ts_col)).cast("date")
+        )
+        if len(ev.take(1)) == 0:
+            return
+        (
+            cms_table(
+                ev,
+                self.freq_col,
+                width=self.width,
+                depth=self.depth,
+                group_cols=("day",),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{self._cms_dir()}/batch_id={batch_id}")
+        )
+        (
+            kmv_table(
+                ev, self.distinct_col, k=self.k, group_cols=("day",)
+            )
+            .drop("rn")
+            .write.mode("overwrite")
+            .parquet(f"{self._kmv_dir()}/batch_id={batch_id}")
+        )
+        for p in (
+            f"{self._cms_dir()}/batch_id={batch_id}",
+            f"{self._kmv_dir()}/batch_id={batch_id}",
+        ):
+            self.spark.catalog.refreshByPath(p)
+
+    # -- reads (merge at query time) -----------------------------------
+
+    def _read(self, root: str) -> DataFrame | None:
+        ids = [
+            b
+            for b in self._batch_ids()
+            if os.path.isdir(f"{root}/batch_id={b}")
+        ]
+        if not ids:
+            return None
+        return self.spark.read.option("basePath", root).parquet(
+            *[f"{root}/batch_id={b}" for b in ids]
+        )
+
+    def cms(self, *, day=None) -> DataFrame:
+        """The merged CMS counter table — per day (default) or for one
+        ``day``: (day?, d, b, cnt)."""
+        raw = self._read(self._cms_dir())
+        if raw is None:
+            return self.spark.createDataFrame(
+                [], "day date, d int, b int, cnt long"
+            )
+        if day is not None:
+            return (
+                raw.filter(F.col("day") == F.lit(day))
+                .groupBy("d", "b")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        return raw.groupBy("day", "d", "b").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+
+    def freq_estimate(self, probes: DataFrame) -> DataFrame:
+        """Range (all-days) frequency estimates for the probe values:
+        (freq_col, est_count)."""
+        from sample_dms_s3_kinesis_spark.operators.sketches import (
+            cms_estimate,
+        )
+
+        raw = self._read(self._cms_dir())
+        if raw is None:
+            return probes.select(self.freq_col).distinct().select(
+                F.col(self.freq_col),
+                F.lit(0).cast("long").alias("est_count"),
+            ).filter(F.lit(False))
+        merged = raw.groupBy("d", "b").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+        return cms_estimate(
+            merged, probes, self.freq_col,
+            width=self.width, depth=self.depth,
+        )
+
+    def distinct_estimate(self) -> DataFrame:
+        """Per-day distinct estimates from the merged KMV stores plus
+        one all-days row (day NULL) — the q_hll_daily_union shape
+        served from incrementally-maintained synopses:
+        (day, est_distinct)."""
+        from sample_dms_s3_kinesis_spark.operators.sketches import (
+            kmv_estimate,
+        )
+
+        raw = self._read(self._kmv_dir())
+        if raw is None:
+            return self.spark.createDataFrame(
+                [], "day date, est_distinct double"
+            )
+        w_day = Window.partitionBy("day").orderBy("h")
+        per_day = (
+            raw.select("day", "h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w_day))
+            .filter(F.col("rn") <= self.k)
+        )
+        days = kmv_estimate(per_day, k=self.k)
+        w_all = Window.partitionBy(F.lit(1)).orderBy("h")
+        overall = (
+            raw.select("h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w_all))
+            .filter(F.col("rn") <= self.k)
+        )
+        total = kmv_estimate(overall, k=self.k).select(
+            F.lit(None).cast("date").alias("day"), "est_distinct"
+        )
+        return days.unionByName(total)

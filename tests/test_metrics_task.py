@@ -1,0 +1,156 @@
+"""Streaming sketch-metrics task: per-batch sketch stores merged at
+read time — estimates equal direct batch computation, replay is
+idempotent, restarts see the stored state."""
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import sketches
+from sample_dms_s3_kinesis_spark.streaming.metrics import (
+    EVENT_SCHEMA,
+    SketchMetricsTask,
+)
+
+
+def _drop(drop_dir, name, events):
+    os.makedirs(drop_dir, exist_ok=True)
+    path = os.path.join(drop_dir, name)
+    with open(path + ".tmp", "w") as f:
+        for eid, ts, uid, et in events:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "ts": ts, "user_id": uid,
+                     "event_type": et}
+                ) + "\n"
+            )
+    os.replace(path + ".tmp", path)
+
+
+def _events(day, base_eid, n, n_users, types=("view", "click")):
+    return [
+        (base_eid + i, f"2024-03-{day:02d}T0{i % 10}:00:00.000Z",
+         (base_eid + i) % n_users, types[i % len(types)])
+        for i in range(n)
+    ]
+
+
+def test_metrics_task_estimates_match_direct(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    task = SketchMetricsTask(
+        spark, drop, str(tmp_path / "store"),
+        width=256, depth=5, k=128,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    ev1 = _events(1, 0, 300, 90)
+    ev2 = _events(2, 1000, 400, 120)  # <k so per-day AND union stay exact
+    _drop(drop, "e1.json", ev1)
+    task.process_available()
+    for f in os.listdir(drop):
+        os.remove(os.path.join(drop, f))
+    _drop(drop, "e2.json", ev2)
+    task.process_available()
+
+    allrows = ev1 + ev2
+    # frequency estimates across the whole range: never undercount,
+    # bounded overcount
+    from collections import Counter
+
+    exact = Counter(et for _, _, _, et in allrows)
+    probes = spark.createDataFrame(
+        [("view",), ("click",), ("ghost",)], "event_type string"
+    )
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in task.freq_estimate(probes).collect()
+    }
+    n = len(allrows)
+    eps = math.e / 256
+    for k_, c in exact.items():
+        assert est[k_] >= c, k_
+        assert est[k_] <= c + 3 * eps * n, k_
+    assert est["ghost"] <= 3 * eps * n
+
+    # per-day distinct estimates: small cardinalities are EXACT
+    # (under-full sketches), the all-days row unions correctly
+    got = {
+        (str(r["day"]) if r["day"] else None): r["est_distinct"]
+        for r in task.distinct_estimate().collect()
+    }
+    d1 = len({u for _, _, u, _ in ev1})
+    d2 = len({u for _, _, u, _ in ev2})
+    dall = len({u for _, _, u, _ in allrows})
+    assert got["2024-03-01"] == float(d1)
+    assert got["2024-03-02"] == float(d2)
+    assert got[None] == float(dall)
+
+    # merged CMS equals a direct build over the union of events
+    direct = sketches.cms_table(
+        spark.createDataFrame(
+            [(et,) for _, _, _, et in allrows], "event_type string"
+        ),
+        "event_type", width=256, depth=5,
+    )
+    a = {(r["d"], r["b"]): r["cnt"] for r in task.cms(day=None).drop("day").groupBy("d","b").agg(F.sum("cnt").alias("cnt")).collect()}
+    b = {(r["d"], r["b"]): r["cnt"] for r in direct.collect()}
+    assert a == b
+
+
+def test_metrics_task_replay_idempotent(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    task = SketchMetricsTask(
+        spark, drop, str(tmp_path / "store"),
+        width=128, depth=4, k=64,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop(drop, "e1.json", _events(5, 0, 200, 60))
+    df = spark.read.schema(EVENT_SCHEMA).json(drop)
+    task._process_batch(df, 0)
+    first = {
+        (str(r["day"]), r["d"], r["b"]): r["cnt"]
+        for r in task.cms().collect()
+    }
+    task._process_batch(df, 0)   # the replay
+    again = {
+        (str(r["day"]), r["d"], r["b"]): r["cnt"]
+        for r in task.cms().collect()
+    }
+    assert again == first        # counters not double-merged
+
+    # a SECOND task over the same store (restart) reads the same state
+    task2 = SketchMetricsTask(
+        spark, drop, str(tmp_path / "store"),
+        width=128, depth=4, k=64,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert {
+        (str(r["day"]), r["d"], r["b"]): r["cnt"]
+        for r in task2.cms().collect()
+    } == first
+
+
+def test_metrics_task_streaming_path(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    task = SketchMetricsTask(
+        spark, drop, str(tmp_path / "store"),
+        width=128, depth=4, k=64,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    task.start()
+    assert task.status == "running"
+    _drop(drop, "e1.json", _events(7, 0, 150, 40))
+    deadline = time.time() + 90
+    while time.time() < deadline and not task._batch_ids():
+        time.sleep(0.5)
+    task.stop()
+    assert task.status == "stopped"
+    assert task._batch_ids()
+    got = {
+        (str(r["day"]) if r["day"] else None): r["est_distinct"]
+        for r in task.distinct_estimate().collect()
+    }
+    assert got["2024-03-07"] == 40.0
