@@ -146,8 +146,10 @@ def main() -> None:
                 for name, t in timings.items()
                 if name in prev_q
             }
-        except (OSError, ValueError):
-            pass
+        except (OSError, ValueError, TypeError, KeyError):
+            # a malformed prior BENCH file costs the delta, never the
+            # timings this run just paid for
+            delta_vs_prev = None
 
     out = {
         "metric": "headline_queries_total_sec",

@@ -147,7 +147,13 @@ def pagerank(
             )
             contrib = {v: 0.0 for v in nodes_l}
             for r in rows:
-                contrib[r["_d"]] += rank[r["_s"]] * r["_w"] / out[r["_s"]]
+                # a node whose out-weights sum to 0 is dangling (the
+                # distributed path's _out > 0 filter) — its edges
+                # carry nothing, its rank teleports
+                if out[r["_s"]] != 0.0:
+                    contrib[r["_d"]] += (
+                        rank[r["_s"]] * r["_w"] / out[r["_s"]]
+                    )
             rank = {
                 v: (1.0 - damping) / n
                 + damping * (contrib[v] + dangling / n)

@@ -100,24 +100,43 @@ def cms_estimate(
     The probe set is broadcast — it is the small side by contract.
 
     Output: (col, est_count); ``est_count >= true_count`` always.
+
+    Join shape: an INNER join with the broadcast probe frame as the
+    build side (a broadcast hint on the PRESERVED side of an outer
+    join is silently unusable — BroadcastHashJoin cannot build the
+    preserved side — so the naive left-outer form degrades to a
+    shuffle once the sketch outgrows auto-broadcast).  A probe
+    missing ANY of its depth counters has a zero counter somewhere,
+    so its estimate is 0 — reconstructed from the hit count instead
+    of null rows.
     """
-    keyed = probes.select(F.col(col)).distinct().select(
+    probe_vals = probes.select(F.col(col)).distinct()
+    keyed = probe_vals.select(
         F.col(col),
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
     )
     keyed = keyed.select(
         col, "d", _bucket(F.col(col), F.col("d"), width).alias("b")
     )
-    return (
-        F.broadcast(keyed)
-        .join(cms, on=["d", "b"], how="left")
+    hits = (
+        cms.join(F.broadcast(keyed), on=["d", "b"])
         .groupBy(col)
         .agg(
-            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            F.count(F.lit(1)).alias("_nd"),
+            F.min("cnt").alias("_m"),
+        )
+        .select(
+            col,
+            F.when(F.col("_nd") < depth, F.lit(0))
+            .otherwise(F.col("_m"))
             .cast("long")
-            .alias("est_count")
+            .alias("est_count"),
         )
     )
+    absent = probe_vals.join(
+        F.broadcast(hits.select(col)), on=col, how="left_anti"
+    ).select(F.col(col), F.lit(0).cast("long").alias("est_count"))
+    return hits.unionByName(absent)
 
 
 # ------------------------------------------------------------------
@@ -130,9 +149,12 @@ def cms_estimate(
 # table, so build/merge/estimate all stay inside Catalyst.
 #
 # Scale: the distinct pass is a map-side-combined aggregate keyed by
-# (group, hash) — duplicates collapse in the combiner; the bottom-k
-# is a per-group rank over the (bounded-cardinality) distinct frame.
-# Sketch size is exactly k rows per group.
+# (group, hash) — duplicates collapse in the combiner.  The ungrouped
+# bottom-k is orderBy+limit → TakeOrderedAndProject (per-partition
+# bottom-k + tiny merge — never a single-reducer global sort); the
+# grouped form ranks within each GROUP partition, so the shuffle
+# spreads across group keys.  Sketch size is exactly k rows per
+# group.
 
 
 def _unit_hash(col: Column) -> Column:
@@ -157,22 +179,37 @@ def kmv_table(
     unit hashes, ranked ascending (rn = 1..k; fewer rows means the
     group's EXACT distinct count is rn_max < k).
     """
-    from pyspark.sql import Window
-
     distinct = (
         spread(df)
         .select(*[F.col(g) for g in group_cols], _unit_hash(F.col(col)).alias("h"))
         .distinct()
     )
-    w = (
-        Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("h")
-        if group_cols
-        else Window.partitionBy(F.lit(1)).orderBy("h")
-    )
-    return (
-        distinct.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
+    return _bottom_k(distinct, k=k, group_cols=group_cols)
+
+
+def _bottom_k(
+    distinct: DataFrame, *, k: int, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Keep the k smallest ``h`` per group, ranked.
+
+    Ungrouped: ``orderBy(h).limit(k)`` — Catalyst plans it as
+    TakeOrderedAndProject (per-partition bottom-k + a tiny merge),
+    never a global single-reducer sort; the rank window then runs
+    over <= k rows.  Grouped: a row_number window partitioned by the
+    GROUP key — the shuffle spreads across groups (per-day sketches
+    etc.), nothing funnels through one task.
+    """
+    from pyspark.sql import Window
+
+    if group_cols:
+        w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("h")
+        return (
+            distinct.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+        )
+    small = distinct.orderBy("h").limit(k)
+    w = Window.partitionBy(F.lit(1)).orderBy("h")  # <= k rows by now
+    return small.withColumn("rn", F.row_number().over(w))
 
 
 def kmv_estimate(kmv: DataFrame, *, k: int = 256) -> DataFrame:
@@ -201,17 +238,10 @@ def kmv_union(*sketches: DataFrame, k: int = 256) -> DataFrame:
     the result is exactly the sketch of the concatenated inputs.
     Group columns must already be dropped/aligned.  Output: (h, rn).
     """
-    from pyspark.sql import Window
-
     pooled = sketches[0].select("h")
     for s in sketches[1:]:
         pooled = pooled.unionByName(s.select("h"))
-    w = Window.partitionBy(F.lit(1)).orderBy("h")
-    return (
-        pooled.distinct()
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
+    return _bottom_k(pooled.distinct(), k=k)
 
 
 def kmv_intersect_estimate(

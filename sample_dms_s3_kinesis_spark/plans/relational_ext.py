@@ -5544,6 +5544,11 @@ def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["event_type"]
         for r in ev.select("event_type").distinct().orderBy("event_type").limit(2).collect()
     ]
+    if len(types) < 2:
+        raise ValueError(
+            "q_kmv_user_overlap needs >= 2 distinct event_type values; "
+            f"found {types}"
+        )
     a = _sk.kmv_table(ev.filter(F.col("event_type") == types[0]), "user_id", k=256)
     b = _sk.kmv_table(ev.filter(F.col("event_type") == types[1]), "user_id", k=256)
     out = _sk.kmv_intersect_estimate(a, b, k=256)

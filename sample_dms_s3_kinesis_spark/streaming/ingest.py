@@ -47,7 +47,11 @@ from sample_dms_s3_kinesis_spark.operators.dedup import (
     minhash_signature,
 )
 from sample_dms_s3_kinesis_spark.operators.partitioning import spread
-from sample_dms_s3_kinesis_spark.tasks import ReplicationTask, TaskStatus
+from sample_dms_s3_kinesis_spark.tasks import (
+    ReplicationTask,
+    TaskStatus,
+    union_all,
+)
 
 DOC_SCHEMA = T.StructType(
     [
@@ -227,10 +231,22 @@ class CorpusIngestTask(ReplicationTask):
             ).alias("_sig"),
         )
 
-    def signatures(self, *, before: int | None = None) -> DataFrame:
-        """(_id, _sig) for the admitted corpus (optionally batches
-        < ``before``): persisted signatures where available, recomputed
-        from text for batches written without them."""
+    def _derived_store(
+        self,
+        *,
+        before: int | None,
+        stored_ok,
+        read_stored,
+        recompute,
+        empty_schema: str,
+    ) -> DataFrame:
+        """Shared skeleton for every per-batch derived store
+        (signatures / postings / IVF assignment): admitted batches
+        with a stored directory are read from it, the rest recompute
+        from their corpus copy, and the union is the store's current
+        view.  ``stored_ok(batch_id)`` gates the stored path;
+        ``read_stored(batch_ids)`` and ``recompute(docs_frame)``
+        produce aligned frames."""
         manifest = self._load_manifest()
         batches = [
             int(b)
@@ -238,34 +254,35 @@ class CorpusIngestTask(ReplicationTask):
             if manifest[b].get("admitted", 0) > 0
             and (before is None or int(b) < before)
         ]
-        params_ok = self._sig_params_ok()
-        stored = [
-            b
-            for b in batches
-            if params_ok and os.path.isdir(f"{self._sig_dir()}/batch_id={b}")
-        ]
+        stored = [b for b in batches if stored_ok(b)]
         missing = [b for b in batches if b not in set(stored)]
         parts = []
         if stored:
-            parts.append(
-                self.spark.read.parquet(
-                    *[f"{self._sig_dir()}/batch_id={b}" for b in stored]
-                ).select("_id", "_sig")
-            )
+            parts.append(read_stored(stored))
         if missing:
-            manifest_paths = [
-                f"{self.corpus_dir}/batch_id={b}" for b in missing
-            ]
             docs = self.spark.read.option(
                 "basePath", self.corpus_dir
-            ).parquet(*manifest_paths)
-            parts.append(self._sig_frame(docs))
+            ).parquet(*[f"{self.corpus_dir}/batch_id={b}" for b in missing])
+            parts.append(recompute(docs))
         if not parts:
-            return self.spark.createDataFrame([], "_id long, _sig array<bigint>")
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            return self.spark.createDataFrame([], empty_schema)
+        return union_all(parts)
+
+    def signatures(self, *, before: int | None = None) -> DataFrame:
+        """(_id, _sig) for the admitted corpus (optionally batches
+        < ``before``): persisted signatures where available, recomputed
+        from text for batches written without them."""
+        params_ok = self._sig_params_ok()
+        return self._derived_store(
+            before=before,
+            stored_ok=lambda b: params_ok
+            and os.path.isdir(f"{self._sig_dir()}/batch_id={b}"),
+            read_stored=lambda ids: self.spark.read.parquet(
+                *[f"{self._sig_dir()}/batch_id={b}" for b in ids]
+            ).select("_id", "_sig"),
+            recompute=self._sig_frame,
+            empty_schema="_id long, _sig array<bigint>",
+        )
 
     # -- persisted postings --------------------------------------------
     # ``postings=True`` arms an incremental inverted index: each
@@ -289,47 +306,24 @@ class CorpusIngestTask(ReplicationTask):
             postings as _postings,
         )
 
-        manifest = self._load_manifest()
-        batches = [
-            int(b)
-            for b in sorted(manifest, key=int)
-            if manifest[b].get("admitted", 0) > 0
-            and (before is None or int(b) < before)
-        ]
-        stored = [
-            b
-            for b in batches
-            if os.path.isdir(f"{self._postings_dir()}/batch_id={b}")
-        ]
-        missing = [b for b in batches if b not in set(stored)]
-        parts = []
-        if stored:
-            parts.append(
-                self.spark.read.option("basePath", self._postings_dir())
-                .parquet(
-                    *[f"{self._postings_dir()}/batch_id={b}" for b in stored]
-                )
-                .select("doc_id", "pos", "token", "_tb")
+        frame = self._derived_store(
+            before=before,
+            stored_ok=lambda b: os.path.isdir(
+                f"{self._postings_dir()}/batch_id={b}"
+            ),
+            read_stored=lambda ids: self.spark.read.option(
+                "basePath", self._postings_dir()
             )
-        if missing:
-            docs = self.spark.read.option(
-                "basePath", self.corpus_dir
-            ).parquet(*[f"{self.corpus_dir}/batch_id={b}" for b in missing])
-            parts.append(
-                _postings(docs.select("doc_id", "text"))
-                .withColumn("_tb", PostingsIndex._bucket(F.col("token")))
-                .select("doc_id", "pos", "token", "_tb")
+            .parquet(
+                *[f"{self._postings_dir()}/batch_id={b}" for b in ids]
             )
-        if not parts:
-            parts.append(
-                self.spark.createDataFrame(
-                    [], "doc_id long, pos int, token string, _tb int"
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return PostingsIndex(out, id_col="doc_id")
+            .select("doc_id", "pos", "token", "_tb"),
+            recompute=lambda docs: _postings(docs.select("doc_id", "text"))
+            .withColumn("_tb", PostingsIndex._bucket(F.col("token")))
+            .select("doc_id", "pos", "token", "_tb"),
+            empty_schema="doc_id long, pos int, token string, _tb int",
+        )
+        return PostingsIndex(frame, id_col="doc_id")
 
     # -- persisted IVF assignment --------------------------------------
     # ``ivf_cells=N`` arms the vector twin of the postings index: the
@@ -363,61 +357,35 @@ class CorpusIngestTask(ReplicationTask):
                 f">= ivf_cells embeddings (corpus {self.corpus_dir})"
             )
         centroids = self.spark.read.parquet(cent_dir)
-        manifest = self._load_manifest()
-        batches = [
-            int(b)
-            for b in sorted(manifest, key=int)
-            if manifest[b].get("admitted", 0) > 0
-            and (before is None or int(b) < before)
-        ]
-        stored = [
-            b
-            for b in batches
-            if os.path.isdir(f"{self._ivf_dir()}/assigned/batch_id={b}")
-        ]
-        missing = [b for b in batches if b not in set(stored)]
-        parts = []
-        if stored:
-            parts.append(
-                self.spark.read.option(
-                    "basePath", f"{self._ivf_dir()}/assigned"
-                )
-                .parquet(
-                    *[
-                        f"{self._ivf_dir()}/assigned/batch_id={b}"
-                        for b in stored
-                    ]
-                )
-                .select("doc_id", "embedding", "cell")
-            )
-        if missing:
-            docs = (
-                self.spark.read.option("basePath", self.corpus_dir)
-                .parquet(
-                    *[f"{self.corpus_dir}/batch_id={b}" for b in missing]
-                )
-                .filter(F.col("embedding").isNotNull())
-                .select("doc_id", "embedding")
+
+        def _recompute(docs: DataFrame) -> DataFrame:
+            vecs = docs.filter(F.col("embedding").isNotNull()).select(
+                "doc_id", "embedding"
             )
             assigned = ivf_assign(
-                docs, centroids, vec_col="embedding", id_col="doc_id"
+                vecs, centroids, vec_col="embedding", id_col="doc_id"
             )
-            parts.append(
-                docs.join(assigned, on="doc_id").select(
-                    "doc_id", "embedding", "cell"
-                )
+            return vecs.join(assigned, on="doc_id").select(
+                "doc_id", "embedding", "cell"
             )
-        if not parts:
-            parts.append(
-                self.spark.createDataFrame(
-                    [], "doc_id long, embedding array<double>, cell int"
-                )
+
+        frame = self._derived_store(
+            before=before,
+            stored_ok=lambda b: os.path.isdir(
+                f"{self._ivf_dir()}/assigned/batch_id={b}"
+            ),
+            read_stored=lambda ids: self.spark.read.option(
+                "basePath", f"{self._ivf_dir()}/assigned"
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+            .parquet(
+                *[f"{self._ivf_dir()}/assigned/batch_id={b}" for b in ids]
+            )
+            .select("doc_id", "embedding", "cell"),
+            recompute=_recompute,
+            empty_schema="doc_id long, embedding array<double>, cell int",
+        )
         return IvfIndex(
-            centroids, out, vec_col="embedding", id_col="doc_id"
+            centroids, frame, vec_col="embedding", id_col="doc_id"
         )
 
     def ingest_stats(self) -> dict[str, int]:

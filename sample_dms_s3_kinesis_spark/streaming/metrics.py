@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -82,6 +82,46 @@ class SketchMetricsTask(ReplicationTask):
         )
         self._query = None
         os.makedirs(self.store_dir, exist_ok=True)
+        # Sketch parameters are part of the STORE's identity: counters
+        # bucketed mod one width are meaningless under another, and a
+        # KMV threshold moves with k — unlike the ingest signature
+        # store there are no raw events to recompute from, so a
+        # mismatch is an error, not a fallback (same hazard
+        # CorpusIngestTask._sig_params_ok guards).
+        self._check_or_write_params()
+
+    def _params_file(self) -> str:
+        return f"{self.store_dir}/_PARAMS.json"
+
+    def _params(self) -> dict:
+        return {
+            "width": self.width,
+            "depth": self.depth,
+            "k": self.k,
+            "freq_col": self.freq_col,
+            "distinct_col": self.distinct_col,
+        }
+
+    def _check_or_write_params(self) -> None:
+        import json as _json
+
+        pf = self._params_file()
+        if os.path.exists(pf):
+            with open(pf) as f:
+                stored = _json.load(f)
+            if stored != self._params():
+                raise ValueError(
+                    f"sketch store {self.store_dir} was built with "
+                    f"{stored}; this task was configured with "
+                    f"{self._params()} — sketches under different "
+                    "parameters cannot be merged and there are no raw "
+                    "events to rebuild from"
+                )
+        else:
+            tmp = pf + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(self._params(), f)
+            os.replace(tmp, pf)
 
     # -- lifecycle -----------------------------------------------------
 
@@ -231,26 +271,22 @@ class SketchMetricsTask(ReplicationTask):
             kmv_estimate,
         )
 
+        from sample_dms_s3_kinesis_spark.operators.sketches import (
+            _bottom_k,
+        )
+
         raw = self._read(self._kmv_dir())
         if raw is None:
             return self.spark.createDataFrame(
                 [], "day date, est_distinct double"
             )
-        w_day = Window.partitionBy("day").orderBy("h")
-        per_day = (
-            raw.select("day", "h")
-            .distinct()
-            .withColumn("rn", F.row_number().over(w_day))
-            .filter(F.col("rn") <= self.k)
+        per_day = _bottom_k(
+            raw.select("day", "h").distinct(),
+            k=self.k,
+            group_cols=("day",),
         )
         days = kmv_estimate(per_day, k=self.k)
-        w_all = Window.partitionBy(F.lit(1)).orderBy("h")
-        overall = (
-            raw.select("h")
-            .distinct()
-            .withColumn("rn", F.row_number().over(w_all))
-            .filter(F.col("rn") <= self.k)
-        )
+        overall = _bottom_k(raw.select("h").distinct(), k=self.k)
         total = kmv_estimate(overall, k=self.k).select(
             F.lit(None).cast("date").alias("day"), "est_distinct"
         )

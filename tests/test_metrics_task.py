@@ -154,3 +154,41 @@ def test_metrics_task_streaming_path(spark, tmp_path):
         for r in task.distinct_estimate().collect()
     }
     assert got["2024-03-07"] == 40.0
+
+
+def test_metrics_store_params_are_pinned(spark, tmp_path):
+    """Sketches under different parameters cannot be merged and there
+    are no raw events to rebuild from — a restart with different
+    width/depth/k must fail fast, not silently mis-estimate."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    SketchMetricsTask(
+        spark, str(tmp_path / "drop"), store,
+        width=256, depth=5, k=128,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # same params: fine
+    SketchMetricsTask(
+        spark, str(tmp_path / "drop"), store,
+        width=256, depth=5, k=128,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(ValueError, match="cannot be merged"):
+        SketchMetricsTask(
+            spark, str(tmp_path / "drop"), store,
+            width=1024, depth=5, k=128,
+            checkpoint_dir=str(tmp_path / "ckpt3"),
+        )
+
+
+def test_kmv_ungrouped_plans_as_take_ordered(spark):
+    """The ungrouped bottom-k must be TakeOrderedAndProject (per-
+    partition bottom-k + tiny merge), never a single-partition global
+    sort window over the corpus-cardinality distinct frame."""
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(500)], "x string"
+    )
+    sk = sketches.kmv_table(df, "x", k=32)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
