@@ -151,3 +151,44 @@ def test_kmv_intersection_estimate(spark):
     )
     r3 = sketches.kmv_intersect_estimate(sa, sb, k=k).collect()[0]
     assert r3["est_intersection"] == 20.0 and r3["est_union"] == 60.0
+
+
+def test_sketch_properties_random_multisets(spark):
+    """Universal guarantees on random inputs: CMS never undercounts
+    any value; KMV is exact whenever distinct cardinality <= k."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(40)]),
+            min_size=1,
+            max_size=300,
+        )
+    )
+    def check(values):
+        from collections import Counter
+
+        df = spark.createDataFrame([(v,) for v in values], "x string")
+        exact = Counter(values)
+        cms = sketches.cms_table(df, "x", width=64, depth=4)
+        est = {
+            r["x"]: r["est_count"]
+            for r in sketches.cms_estimate(
+                cms, df.select("x"), "x", width=64, depth=4
+            ).collect()
+        }
+        for v, c in exact.items():
+            assert est[v] >= c, (v, est[v], c)
+
+        k = 64
+        sk = sketches.kmv_table(df, "x", k=k)
+        got = sketches.kmv_estimate(sk, k=k).collect()[0]["est_distinct"]
+        if len(exact) <= k:
+            assert got == float(len(exact))
+
+    check()
