@@ -110,7 +110,12 @@ def cms_estimate(
     so its estimate is 0 — reconstructed from the hit count instead
     of null rows.
     """
-    probe_vals = probes.select(F.col(col)).distinct()
+    # NULL probes are dropped: xxhash64 skips null arguments, so a
+    # null would hash to the seed-only buckets AND evade the anti-join
+    # (null never equals null), yielding two contradictory rows.
+    probe_vals = (
+        probes.select(F.col(col)).filter(F.col(col).isNotNull()).distinct()
+    )
     keyed = probe_vals.select(
         F.col(col),
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),

@@ -50,7 +50,15 @@ EVENT_SCHEMA = T.StructType(
 class SketchMetricsTask(ReplicationTask):
     """Tail ``drop_dir`` for JSON-lines events and maintain per-day
     frequency (CMS over ``freq_col``) and distinct (KMV over
-    ``distinct_col``) sketch stores under ``store_dir``."""
+    ``distinct_col``) sketch stores under ``store_dir``.
+
+    Streaming restarts MUST reuse the same ``checkpoint_dir`` for a
+    given store (the standard Structured Streaming contract): epoch
+    ids name the batch directories, so a fresh checkpoint would
+    replay epoch 0 over a different batch's sketches.  Drain-mode
+    (:meth:`process_available`) batches are file-manifest-tracked and
+    live in a separate id range, so drains are repeat-safe and never
+    collide with stream epochs."""
 
     def __init__(
         self,
@@ -151,13 +159,42 @@ class SketchMetricsTask(ReplicationTask):
         self._set_status(TaskStatus.STOPPED)
 
     def process_available(self) -> None:
-        """Drain-and-return: every pending file as one batch under the
-        next unused batch id."""
+        """Drain-and-return: every NOT-YET-PROCESSED drop file as one
+        batch.  A file manifest makes repeated drains idempotent —
+        unlike the admission-gated ingest task, sketch counters have
+        no content dedup, so re-reading an already-sketched file would
+        silently double-merge it.  Drain batch ids live in a high
+        range (1e9+) so they can never collide with the streaming
+        path's checkpoint epoch ids (which ``mode=overwrite`` would
+        otherwise clobber)."""
+        import json as _json
+
         if self.status == TaskStatus.READY.value:
             self._set_status(TaskStatus.RUNNING)
-        next_id = max(self._batch_ids(), default=-1) + 1
-        df = self.spark.read.schema(EVENT_SCHEMA).json(self.drop_dir)
+        mf = f"{self.store_dir}/_FILES.json"
+        seen: list[str] = []
+        if os.path.exists(mf):
+            with open(mf) as f:
+                seen = _json.load(f)
+        pending = sorted(
+            os.path.join(self.drop_dir, n)
+            for n in os.listdir(self.drop_dir)
+            if not n.endswith(".tmp")
+            and os.path.join(self.drop_dir, n) not in set(seen)
+        )
+        if not pending:
+            return
+        next_id = (
+            max((b for b in self._batch_ids() if b >= 1_000_000_000),
+                default=999_999_999)
+            + 1
+        )
+        df = self.spark.read.schema(EVENT_SCHEMA).json(pending)
         self._process_batch(df, next_id)
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(seen + pending, f)
+        os.replace(tmp, mf)
 
     # -- store ---------------------------------------------------------
 
@@ -177,12 +214,17 @@ class SketchMetricsTask(ReplicationTask):
         return sorted(ids)
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # persisted: the head probe + the CMS and KMV writes would
+        # otherwise each re-read and re-parse the JSON source (the
+        # same reason cdc_task persists its parse and ingest persists
+        # its admitted frame)
         ev = batch_df.filter(
             F.col(self.ts_col).isNotNull()
         ).withColumn(
             "day", F.date_trunc("day", F.col(self.ts_col)).cast("date")
-        )
+        ).persist()
         if len(ev.take(1)) == 0:
+            ev.unpersist()
             return
         (
             cms_table(
@@ -208,6 +250,7 @@ class SketchMetricsTask(ReplicationTask):
             f"{self._kmv_dir()}/batch_id={batch_id}",
         ):
             self.spark.catalog.refreshByPath(p)
+        ev.unpersist()
 
     # -- reads (merge at query time) -----------------------------------
 
@@ -268,11 +311,8 @@ class SketchMetricsTask(ReplicationTask):
         served from incrementally-maintained synopses:
         (day, est_distinct)."""
         from sample_dms_s3_kinesis_spark.operators.sketches import (
-            kmv_estimate,
-        )
-
-        from sample_dms_s3_kinesis_spark.operators.sketches import (
             _bottom_k,
+            kmv_estimate,
         )
 
         raw = self._read(self._kmv_dir())

@@ -214,7 +214,7 @@ def _drop_vec(drop_dir, name, docs):
             if vec is not None:
                 rec["embedding"] = vec
             f.write(json.dumps(rec) + "\n")
-    os.replace(path, path) if False else os.replace(path + ".tmp", path)
+    os.replace(path + ".tmp", path)
 
 
 def test_embedding_gate_drops_semantic_copies(spark, tmp_path):
@@ -458,18 +458,6 @@ def test_postings_gate_output_incremental_search(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "k2"), postings=True,
     )
     assert empty.postings_index().search(["alpha"]).count() == 0
-
-
-def _drop_vec(drop_dir, name, docs):
-    os.makedirs(drop_dir, exist_ok=True)
-    path = os.path.join(drop_dir, name)
-    with open(path + ".tmp", "w") as f:
-        for doc_id, text, emb in docs:
-            f.write(
-                json.dumps({"doc_id": doc_id, "text": text, "embedding": emb})
-                + "\n"
-            )
-    os.replace(path + ".tmp", path)
 
 
 def test_ivf_gate_output_incremental_vector_search(spark, tmp_path):

@@ -34,11 +34,13 @@ from sample_dms_s3_kinesis_spark.plans.registry import REGISTRY
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
     top = None
-    if "--top" in sys.argv:
-        top = int(sys.argv[sys.argv.index("--top") + 1])
+    if "--top" in argv:
+        i = argv.index("--top")
+        top = int(argv[i + 1])
+        del argv[i : i + 2]  # drop the flag AND its value
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
     spark = (
         SparkSession.builder.master("local[32]")
