@@ -261,7 +261,13 @@ def resample_ffill(
         F.col(ts_col).alias("_ot"),
         F.col(value_col).alias("_v"),
         F.lit(0).alias("_isg"),
-        F.col(id_col).cast("long").alias("_tie"),
+        # numeric ids keep their exact order (the oracle's raw
+        # event_id tie); a non-numeric id would CRASH the ANSI cast —
+        # try_cast + deterministic hash fallback keeps the tie total
+        # (grid-vs-obs order is carried by _isg, never by _tie)
+        F.coalesce(
+            F.col(id_col).try_cast("long"), F.xxhash64(F.col(id_col))
+        ).alias("_tie"),
         F.lit(None).cast("timestamp").alias("grid_ts"),
     )
     gr = grid.select(
@@ -326,7 +332,13 @@ def resample_interpolate(
         F.col(ts_col).alias("_ot"),
         F.col(value_col).alias("_v"),
         F.lit(0).alias("_isg"),
-        F.col(id_col).cast("long").alias("_tie"),
+        # numeric ids keep their exact order (the oracle's raw
+        # event_id tie); a non-numeric id would CRASH the ANSI cast —
+        # try_cast + deterministic hash fallback keeps the tie total
+        # (grid-vs-obs order is carried by _isg, never by _tie)
+        F.coalesce(
+            F.col(id_col).try_cast("long"), F.xxhash64(F.col(id_col))
+        ).alias("_tie"),
         F.lit(None).cast("timestamp").alias("grid_ts"),
     )
     gr = grid.select(

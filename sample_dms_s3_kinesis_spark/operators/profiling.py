@@ -36,25 +36,33 @@ def profile_table(
     counts to ``approx_count_distinct`` (no SQL oracle then)."""
     cols = list(columns) if columns is not None else list(df.columns)
     distinct = F.count_distinct if exact else F.approx_count_distinct
+
+    # Backtick-quoted reads + positional alias ids: F.col (and the
+    # string form of df[...]) parses dots as struct access, so a
+    # column literally named "x.y" would otherwise fail analysis
+    # (r6 review find).
+    def _c(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("_total")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).alias(f"_nn_{c}"),
-            distinct(F.col(c)).alias(f"_d_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+            F.count(_c(c)).alias(f"_nn_{i}"),
+            distinct(_c(c)).alias(f"_d_{i}"),
+            F.min(_c(c)).cast("string").alias(f"_mn_{i}"),
+            F.max(_c(c)).cast("string").alias(f"_mx_{i}"),
         ]
     row = df.agg(*aggs)
     entries = [
         F.struct(
             F.lit(c).alias("column"),
             F.col("_total").alias("n_rows"),
-            (F.col("_total") - F.col(f"_nn_{c}")).alias("n_null"),
-            F.col(f"_d_{c}").alias("n_distinct"),
-            F.col(f"_mn_{c}").alias("min_value"),
-            F.col(f"_mx_{c}").alias("max_value"),
+            (F.col("_total") - F.col(f"_nn_{i}")).alias("n_null"),
+            F.col(f"_d_{i}").alias("n_distinct"),
+            F.col(f"_mn_{i}").alias("min_value"),
+            F.col(f"_mx_{i}").alias("max_value"),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return row.select(F.explode(F.array(*entries)).alias("_p")).select("_p.*")
 
@@ -94,9 +102,21 @@ def winsorize(
         F.percentile(v, F.lit(upper)).alias("_hi"),
     ]
     bounds = df.groupBy(*gcols).agg(*agg) if gcols else df.agg(*agg)
-    joined = (
-        df.join(bounds, on=gcols) if gcols else df.crossJoin(F.broadcast(bounds))
-    )
+    if gcols:
+        # NULL-SAFE bounds re-join: groupBy emits a NULL-group bounds
+        # row, but a plain equality join would never match it back —
+        # silently DROPPING every row whose group key is NULL from an
+        # operator documented to only add a column (r6 review find).
+        b = bounds
+        for g in gcols:
+            b = b.withColumnRenamed(g, f"_wg_{g}")
+        cond = None
+        for g in gcols:
+            c = F.col(g).eqNullSafe(F.col(f"_wg_{g}"))
+            cond = c if cond is None else cond & c
+        joined = df.join(b, cond).drop(*[f"_wg_{g}" for g in gcols])
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
     # least/greatest IGNORE nulls (they return the extreme non-null
     # argument), which would silently clamp a NULL value to the lower
     # bound — gate on nullity explicitly.
@@ -146,7 +166,11 @@ def profile_drift(
         F.col("min_value").alias("_min_n"),
         F.col("max_value").alias("_max_n"),
     )
-    return o.join(n, on="column").select(
+    # FULL OUTER on column name: a column present in only one snapshot
+    # (dropped/renamed by a broken extractor) is exactly the drift this
+    # report exists to catch — an inner join would silently hide it
+    # (r6 review find); its missing side reads as NULL counts.
+    return o.join(n, on="column", how="full_outer").select(
         "column",
         "n_rows_old",
         "n_rows_new",

@@ -45,7 +45,13 @@ def _hex_threshold(fraction: float) -> str:
 def hash_bucket(col: Column, seed: int | str = 0) -> Column:
     """First 8 hex nibbles of md5(col ':' seed) — the shared bucket
     expression (also the exact string the oracle SQL computes:
-    ``substr(md5(id || ':' || seed), 1, 8)``)."""
+    ``substr(md5(id || ':' || seed), 1, 8)``).
+
+    CONTRACT: ``col`` must be a non-null unique id.  NULL ids are
+    indistinguishable to any deterministic hash — ``concat_ws`` skips
+    them, so every NULL-id row lands in the SAME bucket and a sampler
+    keeps all of them or none (systematic bias, and a split-leakage
+    hazard in hash_split).  Clean or synthesize ids upstream."""
     return F.substring(
         F.md5(F.concat_ws(":", col.cast("string"), F.lit(str(seed)))), 1, 8
     )
@@ -198,8 +204,15 @@ def stratified_sample(
     no shuffle and no driver-side split like ``sampleBy``'s RNG."""
     h = hash_bucket(F.col(id_col), seed)
     bound = None
-    for stratum, frac in sorted(fractions.items()):
-        clause = F.col(strata_col) == F.lit(stratum)
+    # None sorts last (a NULL stratum is legal — the domain column may
+    # be nullable and mixture callers pass observed keys through);
+    # eqNullSafe makes the NULL stratum matchable while behaving
+    # exactly like == for every non-null one.
+    for stratum, frac in sorted(
+        fractions.items(),
+        key=lambda kv: (kv[0] is None, "" if kv[0] is None else str(kv[0])),
+    ):
+        clause = F.col(strata_col).eqNullSafe(F.lit(stratum))
         hexb = F.lit(_hex_threshold(frac))
         bound = F.when(clause, hexb) if bound is None else bound.when(clause, hexb)
     bound = (
@@ -300,7 +313,18 @@ def _bucketed_prefix_cumsum(
     for r in sorted(per_bucket, key=lambda r: r["_b"]):
         offsets.append((r["_b"], acc))
         acc += r["_w"] or 0
-    off_df = df.sparkSession.createDataFrame(offsets, "_b string, _off long")
+    # integer weights keep exact long offsets (the 100 TB cumsum must
+    # not round through a double); a floating weight column switches
+    # the offset type to match — the hard-coded long schema used to
+    # reject float sums outright (r6 review find)
+    if any(isinstance(o, float) for _, o in offsets):
+        off_type = "double"
+        offsets = [(b, float(o)) for b, o in offsets]
+    else:
+        off_type = "long"
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"_b string, _off {off_type}"
+    )
     w = (
         Window.partitionBy("_b")
         .orderBy(F.col("_h").asc(), F.col(id_col).asc())
@@ -352,9 +376,17 @@ def pack_sequences(
     happens downstream inside each bin.  Deterministic under re-runs,
     repartitioning, and engine changes, like every sampler in this
     module; scale shape per :func:`_bucketed_prefix_cumsum`.
+
+    Non-positive weights are dropped, matching
+    :func:`pack_sequence_spans` — a zero-weight doc occupies no span
+    and a negative one would walk the running sum BACKWARDS, silently
+    overlapping every later document's bin assignment.
     """
     cum = _bucketed_prefix_cumsum(
-        df, weight_col=weight_col, id_col=id_col, seed=seed
+        df.filter(F.col(weight_col) > 0),
+        weight_col=weight_col,
+        id_col=id_col,
+        seed=seed,
     )
     start = F.col("_cum") - F.col(weight_col)
     return cum.withColumn(
@@ -607,7 +639,15 @@ def temperature_shares(
         raise ValueError("temperature must be > 0")
     alpha = 1.0 / temperature
     weights = {
-        d: float(n) ** alpha for d, n in sorted(counts.items()) if n > 0
+        d: float(n) ** alpha
+        for d, n in sorted(
+            counts.items(),
+            key=lambda kv: (
+                kv[0] is None,
+                "" if kv[0] is None else str(kv[0]),
+            ),
+        )
+        if n > 0
     }
     tot = 0.0
     for w in weights.values():  # sorted-domain accumulation order

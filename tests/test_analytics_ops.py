@@ -347,3 +347,32 @@ def test_resample_interpolate_brackets_and_tails(spark):
     # 06:00 between (03:00, 10) and (14:00, 20): 10 + 10*(3/11)
     assert abs(got[(2, "2024-01-01T06:00:00")] - (10 + 10 * 3 / 11)) < 1e-5
     assert got[(2, "2024-01-01T12:00:00")] == round(10 + 10 * 9 / 11, 6)
+
+
+def test_resample_ffill_string_ids(spark):
+    """r6 review: the tie-break cast to long crashed ANSI mode for
+    non-numeric ids; try_cast + hash fallback keeps the order total
+    (and identical to before for numeric ids)."""
+    rows = [
+        ("u", datetime(2024, 1, 1, 0, 30), 1.0, "id-a"),
+        ("u", datetime(2024, 1, 1, 0, 30), 2.0, "id-b"),  # duplicate ts
+        ("u", datetime(2024, 1, 1, 6, 10), 5.0, "id-c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, value double, event_id string"
+    )
+    out = analytics.resample_ffill(
+        df, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", step_hours=6,
+    )
+    got = {str(r["grid_ts"]): r["value"] for r in out.collect()}
+    assert len(got) == 2
+    # deterministic: repeated runs agree
+    again = {
+        str(r["grid_ts"]): r["value"]
+        for r in analytics.resample_ffill(
+            df, key_col="user_id", ts_col="ts", value_col="value",
+            id_col="event_id", step_hours=6,
+        ).collect()
+    }
+    assert got == again

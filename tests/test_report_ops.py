@@ -166,3 +166,40 @@ def test_hll_daily_union_bounds(spark):
     assert set(per_day) == set(exact_daily)
     for day, n in exact_daily.items():
         assert abs(per_day[day] - n) <= max(3, 0.05 * n), day
+
+
+def test_winsorize_keeps_null_group_rows(spark):
+    """r6 review: the bounds re-join must be null-safe — rows whose
+    group key is NULL used to vanish from an operator documented to
+    only ADD a column."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 3.0), (None, 40.0)],
+        "g string, v double",
+    )
+    out = winsorize(df, "v", group_cols=["g"], lower=0.0, upper=0.5)
+    rows = out.collect()
+    assert len(rows) == 4                    # no silent row loss
+    got = {(r["g"], r["v"]): r["v_w"] for r in rows}
+    # NULL group clamps within ITS OWN bounds (median of 3, 40)
+    assert got[(None, 40.0)] < 40.0
+    assert got[("a", 1.0)] == 1.0
+
+
+def test_profile_table_handles_dotted_column_names(spark):
+    from sample_dms_s3_kinesis_spark.operators.profiling import (
+        profile_drift,
+        profile_table,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], ["a.b", "c"])
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["a.b"]["n_distinct"] == 2
+    assert prof["c"]["n_null"] == 1
+
+    # drift over snapshots with DIFFERENT columns surfaces both sides
+    old = spark.createDataFrame([(1, "x")], ["a", "b"])
+    new = spark.createDataFrame([(1, 2.0)], ["a", "c"])
+    drift = {r["column"]: r for r in profile_drift(old, new).collect()}
+    assert set(drift) == {"a", "b", "c"}
+    assert drift["b"]["n_rows_new"] is None   # dropped column visible
+    assert drift["c"]["n_rows_old"] is None   # added column visible

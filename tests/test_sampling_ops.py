@@ -513,3 +513,39 @@ def test_temperature_mixture_sample_rebalances(spark):
         ).collect()
     }
     assert ids_a == ids_b
+
+
+def test_mixture_sample_with_null_domain(spark):
+    """r6 review: a NULL domain value used to crash the driver-side
+    sort; it is now a real stratum (eqNullSafe clause)."""
+    rows = [(i, "en") for i in range(40)] + [(100 + i, None) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.mixture_sample(
+        df, domain_col="lang", target_shares={"en": 1.0}, id_col="doc_id"
+    )
+    got = {r["lang"] for r in out.collect()}
+    assert got <= {"en"}        # NULL domain has share 0: dropped
+    out2 = sampling.temperature_mixture_sample(
+        df, domain_col="lang", temperature=2.0, id_col="doc_id"
+    )
+    assert out2.count() > 0     # no TypeError with a NULL key present
+
+
+def test_token_budget_sample_float_weights(spark):
+    df = spark.createDataFrame(
+        [(i, 1.5) for i in range(30)], "doc_id long, w double"
+    )
+    kept = sampling.token_budget_sample(
+        df, weight_col="w", budget=15, id_col="doc_id"
+    )
+    assert kept.count() == 10   # 10 * 1.5 = 15 <= budget; 11th exceeds
+
+
+def test_pack_sequences_drops_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, 5)], "doc_id long, w long"
+    )
+    out = sampling.pack_sequences(df, weight_col="w", seq_len=8, id_col="doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 4}        # matches pack_sequence_spans' manifest
+    assert all(r["bin_id"] >= 0 for r in out.collect())
