@@ -65,9 +65,13 @@ def asof_join(
     # first ⇒ the frame-up-to-previous-row includes them (exact matches
     # allowed); rights last ⇒ excluded (strictly-before).
     tie = F.col("_is_right").desc() if allow_exact_matches else F.col("_is_right").asc()
+    # Final tiebreaker: multiple RIGHT rows sharing (by, ts) would
+    # otherwise leave the window order partial and the carried payload
+    # partition-order-dependent (nondeterministic across runs/retries).
+    # Struct order is total, so the MAX right payload wins — stable.
     w = (
         Window.partitionBy(*by_cols)
-        .orderBy(F.col("_ts").asc(), tie)
+        .orderBy(F.col("_ts").asc(), tie, F.col("_rpayload").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carried = merged.withColumn(

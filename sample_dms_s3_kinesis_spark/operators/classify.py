@@ -38,7 +38,12 @@ from sample_dms_s3_kinesis_spark.operators.text import tokens
 
 
 def _tokens(col: Column) -> Column:
-    return tokens(F.lower(col))
+    # NULL text coalesces to '' (one empty token, same as genuinely
+    # empty text): without it a NULL doc explodes to NO token rows —
+    # its label can vanish from the trained model, and at score time
+    # size(NULL) = -1 turns the unseen-token closure into a huge
+    # POSITIVE score that floats garbage docs to the top.
+    return tokens(F.lower(F.coalesce(col, F.lit(""))))
 
 
 def nb_train(
@@ -115,7 +120,6 @@ def nb_score(
     log_default, closed arithmetically via the per-doc token count."""
     toks = df.select(
         F.col(id_col),
-        F.size(_tokens(F.col(text_col))).alias("_n"),
         F.explode(_tokens(F.col(text_col))).alias("token"),
     )
     seen = (

@@ -77,7 +77,23 @@ def compact_small_files(
     The file count comes from the source's real on-disk size, so the
     operation converges: compacting an already-compacted directory
     plans the same file count again.
+
+    ``dst_path`` must differ from ``src_path``: Spark cannot overwrite
+    a path it is reading (the lazy write fails mid-operation, after
+    some committers have already deleted source files) — compact into
+    a sibling directory and swap atomically at the storage layer.
     """
+    import os as _os
+
+    if _os.path.abspath(src_path.rstrip("/")) == _os.path.abspath(
+        dst_path.rstrip("/")
+    ):
+        raise ValueError(
+            "compact_small_files cannot compact in place: write to a "
+            "sibling directory and swap (Spark refuses to overwrite a "
+            "path being read, and failure mid-write would lose source "
+            "files)"
+        )
     df = spark.read.parquet(src_path)
     n = max(1, math.ceil(directory_bytes(src_path) / (target_file_mb * 1024 * 1024)))
     if cluster_cols:

@@ -57,17 +57,14 @@ def boolean_search(
     """Conjunctive (AND) boolean retrieval: documents containing every
     term.  Output: (id_col) — one row per matching doc.  Terms are
     deduplicated first: ['spark', 'spark'] means the one-term query,
-    not an unsatisfiable two-distinct-token count."""
-    want = sorted({t.lower() for t in terms})
-    p = postings(df, text_col=text_col, id_col=id_col)
-    return (
-        p.filter(F.col("token").isin(want))
-        .select(id_col, "token")
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") == len(want))
-        .select(id_col)
+    not an unsatisfiable two-distinct-token count.  One seam: this is
+    :func:`boolean_search_postings` over a freshly exploded posting
+    frame, so the conjunctive-match semantics cannot diverge between
+    the ad-hoc and stored-index entry points."""
+    return boolean_search_postings(
+        postings(df, text_col=text_col, id_col=id_col),
+        terms,
+        id_col=id_col,
     )
 
 
@@ -85,6 +82,8 @@ def phrase_search(
     shifted-anchor) pairs, no join chain.  Output: (id_col,
     n_occurrences)."""
     want = [t.lower() for t in phrase]
+    if not want:
+        raise ValueError("phrase must contain at least one term")
     k = len(want)
     p = postings(df, text_col=text_col, id_col=id_col)
     hits = None

@@ -62,6 +62,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt < 1:
+        # pmod(x, 0) is NULL (never joins) and sequence(0, -1) descends
+        # — salt=0 would silently return an empty/all-NULL join
+        raise ValueError(f"salt must be >= 1, got {salt}")
     on_cols = [on] if isinstance(on, str) else list(on)
     big_s = big.withColumn("_salt", _salt_col(big, salt, salt_source))
     small_s = small.withColumn(
@@ -83,14 +87,18 @@ def two_phase_distinct_count(
     k's single reducer — the hot key's task receives its whole value
     universe.  Phase 1 here groups by (k, v), so rows spread across
     reducers by value too and map-side combine collapses duplicates
-    early; phase 2 counts one row per surviving (k, v)."""
+    early; phase 2 counts one row per surviving (k, v).
+
+    NULL values count as 0, matching COUNT(DISTINCT v) — the (k, NULL)
+    group survives phase 1 (so an all-NULL key still emits a row, as
+    the SQL GROUP BY does) but phase 2 counts only non-null values."""
     key_cols = [keys] if isinstance(keys, str) else list(keys)
     return (
         df.select(*key_cols, value_col)
         .groupBy(*key_cols, value_col)
         .agg(F.lit(1).alias("_one"))
         .groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias(alias))
+        .agg(F.count(F.col(value_col)).alias(alias))
     )
 
 

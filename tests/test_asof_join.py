@@ -121,3 +121,31 @@ def test_binned_range_join_produces_each_pair_once(spark):
         p, iv, point_col="p", start_col="s", end_col="e", bin_width=10
     ).collect()
     assert len(out) == 1
+
+
+def test_asof_join_deterministic_on_duplicate_right_ts(spark):
+    """r6 review: equal-(key, ts) right rows used to carry a partition-
+    order-dependent payload; the struct tiebreaker makes the MAX right
+    payload win, stably across runs and partitionings."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 0, 11), 1)],
+        "key string, ts timestamp, lv long",
+    )
+    t0 = datetime(2024, 1, 1, 0, 10)
+    right_rows = [("k", t0, float(p)) for p in (1, 2, 3)]
+    outs = set()
+    for nparts in (1, 2, 7):
+        right = spark.createDataFrame(
+            right_rows, "key string, ts timestamp, price double"
+        ).repartition(nparts)
+        out = asof_join(
+            left, right, by="key", ts_col="ts", right_cols=["price"]
+        ).collect()[0]["asof_price"]
+        outs.add(out)
+    assert outs == {3.0}   # max payload, same under every partitioning

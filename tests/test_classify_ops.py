@@ -115,3 +115,28 @@ def test_nb_sf_documents_classify_is_plan_clean(spark):
     assert len(preds) == test.count()
     train_labels = {r["lang"] for r in train.select("lang").distinct().collect()}
     assert {r["predicted"] for r in preds} <= train_labels
+
+
+def test_nb_handles_null_text(spark):
+    """r6 review: NULL text used to score a huge positive number
+    (size(NULL) = -1 flipped the unseen-token closure) and could drop
+    a label from the trained model entirely."""
+    from sample_dms_s3_kinesis_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [(1, "aa bb aa", "en"), (2, "cc dd cc", "fr"), (3, None, "unk")],
+        "doc_id long, text string, lang string",
+    )
+    tm, lm = classify.nb_train(train, text_col="text", label_col="lang")
+    labels = {r["label"] for r in lm.collect()}
+    assert labels == {"en", "fr", "unk"}      # NULL-text label survives
+    score_in = spark.createDataFrame(
+        [(10, "aa bb"), (11, None)], "doc_id long, text string"
+    )
+    scored = classify.nb_score(score_in, tm, lm).collect()
+    by_doc = {}
+    for r in scored:
+        by_doc.setdefault(r["doc_id"], {})[r["label"]] = r["score"]
+    # the NULL doc's scores are finite and no higher than the real
+    # doc's best (no positive-score blowup)
+    assert all(s < 0 for s in by_doc[11].values()), by_doc[11]

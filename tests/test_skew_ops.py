@@ -67,3 +67,37 @@ def test_two_phase_distinct_count_matches_count_distinct(spark):
         for r in skew.two_phase_distinct_count(ev, "user_id", "event_type").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_two_phase_distinct_null_values_match_count_distinct(spark):
+    """r6 review: NULL must count as 0 distinct values, matching
+    COUNT(DISTINCT v); an all-NULL key still emits a row (GROUP BY
+    semantics)."""
+    from sample_dms_s3_kinesis_spark.operators.skew import (
+        two_phase_distinct_count,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", None), ("k1", "a"), ("k2", None), ("k2", None)],
+        "k string, v string",
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in two_phase_distinct_count(df, "k", "v").collect()
+    }
+    ref = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert got == ref == {"k1": 1, "k2": 0}
+
+
+def test_salted_join_rejects_zero_salt(spark):
+    import pytest
+
+    from sample_dms_s3_kinesis_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, a string")
+    small = spark.createDataFrame([(1, "y")], "k long, b string")
+    with pytest.raises(ValueError, match="salt must be >= 1"):
+        salted_join(big, small, "k", salt=0)
