@@ -209,9 +209,13 @@ def bpe_encode(
     cost proportional to distinct words per batch, not tokens.
     """
     ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+    # the id keeps its INPUT type: a forced long cast crashed ANSI
+    # mode for string document ids (and NULLed them silently without
+    # ANSI) — every other operator in the repo preserves the id type
+    id_type = df.schema[id_col].dataType
     schema = T.StructType(
         [
-            T.StructField("_bpe_id", T.LongType()),
+            T.StructField("_bpe_id", id_type),
             T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
             T.StructField("n_bpe_tokens", T.LongType()),
         ]
@@ -240,7 +244,7 @@ def bpe_encode(
             )
 
     narrow = spread(df).select(
-        F.col(id_col).cast("long").alias("_bpe_id"),
+        F.col(id_col).alias("_bpe_id"),
         F.col(text_col).alias("_bpe_text"),
     )
     return narrow.mapInPandas(run, schema).withColumnRenamed("_bpe_id", id_col)

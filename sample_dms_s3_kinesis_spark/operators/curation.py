@@ -216,9 +216,16 @@ def unigram_lm_stats(
     Returns ``(id_col, n_tokens, cross_entropy)``; empty documents
     don't appear.
     """
+    # '' pseudo-tokens from empty/whitespace docs are filtered — they
+    # would otherwise enter the LM vocabulary, inflate N, and emit the
+    # very rows the contract says don't appear (r6 review find)
     tk = corpus.select(
         F.col(id_col),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+        F.explode(
+            F.filter(
+                tokens(F.lower(F.col(text_col))), lambda w: w != F.lit("")
+            )
+        ).alias("_tok"),
     )
     counts = tk.groupBy("_tok").agg(F.count("*").alias("_c"))
     total = counts.agg(F.sum("_c").cast("double").alias("_n"))
@@ -646,6 +653,36 @@ def dedup_segments_within(
     return _rebuild_from_segments(corpus, segs, kept, id_col=id_col)
 
 
+def _cdc_segments(
+    corpus: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    mask_bits: int,
+    min_tokens: int,
+    max_tokens: int,
+) -> DataFrame:
+    """Content-defined chunks in the keep-first segment shape
+    (id, _pos, _seg, _key) — ONE definition of the chunk-key
+    normalization shared by the self and incremental flavors, so the
+    two can never diverge on segment identity."""
+    from sample_dms_s3_kinesis_spark.operators.text import cdc_chunks
+
+    return cdc_chunks(
+        corpus,
+        text_col=text_col,
+        id_col=id_col,
+        mask_bits=mask_bits,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").alias("_pos"),
+        F.col("chunk_text").alias("_seg"),
+        F.lower(F.col("chunk_text")).alias("_key"),
+    )
+
+
 def dedup_segments_cdc(
     corpus: DataFrame,
     *,
@@ -673,20 +710,13 @@ def dedup_segments_cdc(
 
     Output: (id_col, clean_text, n_removed).
     """
-    from sample_dms_s3_kinesis_spark.operators.text import cdc_chunks
-
-    segs = cdc_chunks(
+    segs = _cdc_segments(
         corpus,
         text_col=text_col,
         id_col=id_col,
         mask_bits=mask_bits,
         min_tokens=min_tokens,
         max_tokens=max_tokens,
-    ).select(
-        F.col(id_col),
-        F.col("chunk_idx").alias("_pos"),
-        F.col("chunk_text").alias("_seg"),
-        F.lower(F.col("chunk_text")).alias("_key"),
     )
     kept = _keep_first(segs, id_col=id_col)
     return _rebuild_from_segments(corpus, segs, kept, id_col=id_col)
@@ -716,21 +746,14 @@ def dedup_segments_cdc_against(
 
     Output: (id_col, clean_text, n_removed) over NEW docs only.
     """
-    from sample_dms_s3_kinesis_spark.operators.text import cdc_chunks
-
     def segs(df: DataFrame) -> DataFrame:
-        return cdc_chunks(
+        return _cdc_segments(
             df,
             text_col=text_col,
             id_col=id_col,
             mask_bits=mask_bits,
             min_tokens=min_tokens,
             max_tokens=max_tokens,
-        ).select(
-            F.col(id_col),
-            F.col("chunk_idx").alias("_pos"),
-            F.col("chunk_text").alias("_seg"),
-            F.lower(F.col("chunk_text")).alias("_key"),
         )
 
     segs_new = segs(new)

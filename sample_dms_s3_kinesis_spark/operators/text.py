@@ -85,9 +85,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_chr.alias("n_chars_measured"),
         n_tok.alias("n_tokens"),
         avg_token_len(c).alias("avg_token_len"),
-        F.round(punct_count(c).cast("double") / n_chr.cast("double"), 4).alias(
-            "punct_ratio"
-        ),
+        # n_chars = 0 (empty text) would raise DIVIDE_BY_ZERO under
+        # ANSI mode and abort the whole scan — an empty doc has zero
+        # punctuation by definition (oracle mirrors the CASE)
+        F.when(
+            n_chr > 0,
+            F.round(punct_count(c).cast("double") / n_chr.cast("double"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
         F.round(stopword_count(c).cast("double") / n_tok.cast("double"), 4).alias(
             "stopword_ratio"
         ),
@@ -113,20 +119,36 @@ def quality_score(
     oracle-checkable.  Output: (id_col, quality_score, keep:int).
     One narrow projection, no shuffle, no UDFs."""
     c = F.col(text_col)
-    toks = tokens(F.lower(c))
-    n_tok = F.size(toks).cast("double")
-    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    # '' pseudo-tokens (empty/whitespace text) are filtered, and a doc
+    # with NO real tokens scores 0.0 instead of the old 0.30625
+    # freebie (one '' token counted as length + full uniqueness); the
+    # token array is BOUND once — size/filter/array_distinct are HOF
+    # siblings Catalyst will not CSE.
+    toks_expr = F.filter(tokens(F.lower(c)), lambda x: x != F.lit(""))
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    stop_ratio = (
-        F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double")
-        / n_tok
-    )
-    stop_score = F.least(F.lit(5.0) * stop_ratio, F.lit(1.0))
-    uniq_score = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    score = F.round(
-        F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * uniq_score,
-        6,
-    )
+
+    def _score(toks: Column) -> Column:
+        n_tok = F.size(toks).cast("double")
+        len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+        stop_ratio = (
+            F.size(
+                F.filter(toks, lambda x: F.array_contains(sw, x))
+            ).cast("double")
+            / n_tok
+        )
+        stop_score = F.least(F.lit(5.0) * stop_ratio, F.lit(1.0))
+        uniq_score = F.size(F.array_distinct(toks)).cast("double") / n_tok
+        return F.when(
+            F.size(toks) > 0,
+            F.round(
+                F.lit(0.4) * len_score
+                + F.lit(0.3) * stop_score
+                + F.lit(0.3) * uniq_score,
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    score = _bind(toks_expr, _score)
     return df.select(
         F.col(id_col),
         score.alias("quality_score"),
@@ -143,17 +165,37 @@ def lang_id(col: Column) -> Column:
     """N-gram-free marker-word language ID: argmax of marker hits with
     a deterministic preference order on ties.  Intentionally simple —
     the pipeline contract is a deterministic, cheap, shuffle-free
-    classifier; swap in a real model via mapInPandas when available."""
-    scores = {lang: _marker_score(col, lang) for lang in LANG_ORDER}
-    expr = F.lit(LANG_ORDER[-1])
-    # Build the CASE chain back-to-front so earlier langs win ties.
-    for lang in reversed(LANG_ORDER[:-1]):
-        later = [scores[l] for l in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]]
-        cond = F.lit(True)
-        for other in later:
-            cond = cond & (scores[lang] >= other)
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+    classifier; swap in a real model via mapInPandas when available.
+
+    Double _bind: the token array is evaluated ONCE and the five
+    marker scores are packed into one bound array — inlined, each of
+    the ~20 CASE references re-tokenized and re-filtered the text
+    (Catalyst does not CSE across HOF siblings; measured 20 split()
+    invocations per row in the unbound plan)."""
+
+    def _pick(toks: Column) -> Column:
+        def score(lang: str) -> Column:
+            markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+            return F.size(
+                F.filter(toks, lambda t: F.array_contains(markers, t))
+            )
+
+        def _case(arr: Column) -> Column:
+            def sc(lang: str) -> Column:
+                return F.element_at(arr, LANG_ORDER.index(lang) + 1)
+
+            expr = F.lit(LANG_ORDER[-1])
+            # CASE chain back-to-front so earlier langs win ties.
+            for lang in reversed(LANG_ORDER[:-1]):
+                cond = F.lit(True)
+                for other in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]:
+                    cond = cond & (sc(lang) >= sc(other))
+                expr = F.when(cond, F.lit(lang)).otherwise(expr)
+            return expr
+
+        return _bind(F.array(*[score(l) for l in LANG_ORDER]), _case)
+
+    return _bind(tokens(F.lower(col)), _pick)
 
 
 def fingerprint(col: Column) -> Column:
@@ -298,10 +340,15 @@ def tfidf_topk(
     and a per-doc top-k window.  The corpus size N rides along as a
     broadcast scalar.  No driver-side vocabulary; terms stay
     distributed end to end."""
-    from pyspark.sql import Window
-
+    # '' pseudo-tokens (empty/whitespace text) would otherwise emit a
+    # bogus term='' row and pollute the document-frequency table
     terms = df.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                tokens(F.lower(F.col(text_col))), lambda w: w != F.lit("")
+            )
+        ).alias("term"),
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = terms.groupBy("term").agg(
@@ -430,8 +477,6 @@ def vocab_topk(
     AGGREGATED frame, which is O(vocab) rows, not O(token stream).
     Ties break on token asc for determinism.
     Output: (group_col, rank, token, n_occurrences)."""
-    from pyspark.sql import Window
-
     counts = (
         df.select(
             F.col(group_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")

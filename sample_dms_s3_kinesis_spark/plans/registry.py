@@ -882,7 +882,9 @@ def _oracle_quality() -> str:
            CAST(length(text) AS BIGINT) AS n_chars_measured,
            CAST(len(tk) AS BIGINT) AS n_tokens,
            ROUND(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 4) AS avg_token_len,
-           ROUND(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+           CASE WHEN length(text) > 0
+                THEN ROUND(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text), 4)
+                ELSE 0.0 END AS punct_ratio,
            ROUND(CAST(len(list_filter(tkl, x -> x IN ({sw}))) AS DOUBLE) / len(tk), 4) AS stopword_ratio
     FROM toks
     """

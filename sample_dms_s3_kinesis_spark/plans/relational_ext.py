@@ -1800,7 +1800,9 @@ def q_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_tfidf_topk",
     r"""
     WITH terms AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
     dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
@@ -2120,7 +2122,9 @@ def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS tok
       FROM documents),
     cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
     tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt)
@@ -2269,17 +2273,18 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(trim(lower(text)), '\\s+') AS tkl
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tkl
       FROM documents),
     s AS (
       SELECT doc_id,
-             ROUND(
+             CASE WHEN len(tkl) > 0 THEN ROUND(
                0.4 * LEAST(CAST(len(tkl) AS DOUBLE) / 64, 1.0)
              + 0.3 * LEAST(5.0 * CAST(len(list_filter(tkl, x -> x IN
                  ('the','a','an','of','and','to','in','is','it','for')))
                  AS DOUBLE) / len(tkl), 1.0)
              + 0.3 * CAST(len(list_distinct(tkl)) AS DOUBLE) / len(tkl),
-             6) AS quality_score
+             6) ELSE 0.0 END AS quality_score
       FROM toks)
     SELECT doc_id, quality_score,
            CAST(quality_score >= 0.5 AS INT) AS keep

@@ -51,6 +51,8 @@ def tumbling_counts(
     date_trunc batch twin; on a stream it bounds state and drops data
     later than ``watermark``.
     """
+    keys = list(keys)  # a generator would be exhausted by groupBy and
+    # silently DROP the key columns from the select below
     aggs = [F.count(F.lit(1)).alias("n")]
     if value_col is not None:
         aggs.append(
@@ -83,6 +85,7 @@ def sliding_counts(
 ) -> DataFrame:
     """Sliding (hopping) windowed counts — each event lands in
     window/slide overlapping windows."""
+    keys = list(keys)  # generator-safety: see tumbling_counts
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window, slide), *keys)

@@ -142,3 +142,18 @@ def test_bpe_encode_empty_and_null(spark):
     assert out[0]["bpe_tokens"] == [] and out[0]["n_bpe_tokens"] == 0
     assert out[1]["bpe_tokens"] == []
     assert out[2]["bpe_tokens"] == ["ab", bpe.END_OF_WORD]
+
+
+def test_bpe_encode_preserves_string_ids(spark):
+    """r6 review: the forced long cast crashed ANSI mode for string
+    document ids (and NULLed them without ANSI)."""
+    from sample_dms_s3_kinesis_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [("doc-a", "low lower"), ("doc-b", "lowest")],
+        "doc_id string, text string",
+    )
+    merges = bpe.bpe_train_merges(df, n_merges=4, min_pair_count=2)
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe.bpe_encode(df, merges).collect()}
+    assert set(out) == {"doc-a", "doc-b"}
+    assert all(n > 0 for n in out.values())

@@ -628,3 +628,23 @@ def test_dedup_segments_cdc_against_matches_self_on_union(spark):
         ).collect()
     }
     assert got[10][1] > fixed[10]
+
+
+def test_unigram_lm_ignores_empty_docs(spark):
+    """r6 review: empty/whitespace docs used to appear with a ''
+    pseudo-token and inflate N for every document."""
+    base = [(1, "the cat sat"), (2, "the dog ran")]
+    with_empty = base + [(3, ""), (4, "   ")]
+    a = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in curation.unigram_lm_stats(
+            spark.createDataFrame(base, "doc_id long, text string")
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in curation.unigram_lm_stats(
+            spark.createDataFrame(with_empty, "doc_id long, text string")
+        ).collect()
+    }
+    assert a == b          # empty docs absent AND other docs unchanged

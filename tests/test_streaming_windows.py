@@ -251,3 +251,25 @@ def test_streaming_funnel_matches_batch(spark, staged_events):
     for r in got_df.collect():  # update mode: last row per user wins
         final[r["user_id"]] = (r["depth"], r["first_micros"], r["last_micros"])
     assert final == expected and len(final) > 0
+
+
+def test_window_counts_accept_generator_keys(spark):
+    """r6 review: a generator `keys` was exhausted by groupBy and the
+    key columns silently vanished from the output."""
+    from datetime import datetime
+
+    from sample_dms_s3_kinesis_spark.streaming.windows import (
+        sliding_counts,
+        tumbling_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 5), "view", 1.0),
+         (datetime(2024, 1, 1, 0, 6), "click", 2.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    out = tumbling_counts(df, keys=(k for k in ["event_type"]))
+    assert "event_type" in out.columns
+    assert out.count() == 2
+    out2 = sliding_counts(df, keys=(k for k in ["event_type"]))
+    assert "event_type" in out2.columns

@@ -476,3 +476,27 @@ def test_cdc_chunks_property_random_corpora(spark):
         )
 
     check()
+
+
+def test_empty_and_whitespace_docs_are_safe(spark):
+    """r6 review: empty text used to DIVIDE_BY_ZERO quality_features
+    under ANSI, score a 0.30625 freebie in quality_score, and emit a
+    bogus '' term from tfidf_topk."""
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    feats = {r["doc_id"]: r for r in text.quality_features(df).collect()}
+    assert feats[2]["punct_ratio"] == 0.0
+    assert feats[3]["punct_ratio"] == 0.0
+
+    scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in text.quality_score(df).collect()
+    }
+    assert scores[2] == 0.0 and scores[3] == 0.0
+    assert scores[1] > 0.0
+
+    tfidf = text.tfidf_topk(df, k=3).collect()
+    assert all(r["term"] != "" for r in tfidf)
+    assert {r["doc_id"] for r in tfidf} == {1}
