@@ -55,6 +55,14 @@ def bucketed_join(
 
 def has_shuffle(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle exchange — the
-    assertion hook for co-location tests and plan audits."""
+    assertion hook for co-location tests and plan audits.  Matches ANY
+    shuffle exchange (hash, range, round-robin, single-partition) —
+    only BroadcastExchange is not a shuffle; the former two-pattern
+    match reported global aggregates and repartitions shuffle-free."""
+    import re as _re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
+    return bool(
+        _re.search(r"(?<!Broadcast)Exchange[ (]", plan)
+        or plan.startswith("Exchange")
+    )

@@ -987,7 +987,15 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     norm_b = F.sqrt(
         F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
     )
-    return dot / (norm_a * norm_b)
+    # zero-norm guard: ANSI mode throws DIVIDE_BY_ZERO even for
+    # doubles, so one all-zeros vector would abort the whole scan —
+    # cosine is undefined there, surfaced as NULL (threshold filters
+    # drop it; top-k filters it explicitly).  The denominator is bound
+    # once: the when + divide sibling references would re-run both
+    # norm aggregates (HOF siblings are opaque to Catalyst CSE).
+    return _bind(
+        norm_a * norm_b, lambda d: F.when(d > 0, dot / d)
+    )
 
 
 def winnowing_containment_pairs(

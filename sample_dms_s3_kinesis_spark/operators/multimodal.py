@@ -178,7 +178,9 @@ def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     container demuxing stays NotImplementedError territory in this
     environment."""
     return (
-        df.filter(F.col("media_type") == "video")
+        df.filter(
+            (F.col("media_type") == "video") & (F.col("duration_ms") > 0)
+        )  # zero/NULL-duration assets have no frame to sample
         .select(
             "asset_id",
             F.explode(
@@ -292,7 +294,9 @@ def extract_audio_features(
                     resampled = resample_linear(samples, rate, target_rate)
                     out["n_bytes"].append(len(blob))
                     out["resampled_rate"].append(target_rate)
-                    out["n_windows"].append(max(len(resampled) // win, 1))
+                    # honest count: a clip shorter than one window
+                    # reports 0, not a phantom full window
+                    out["n_windows"].append(len(resampled) // win)
                     out["feature"].append(audio_feature(resampled))
                 except Exception:
                     if on_error != "null":

@@ -44,8 +44,12 @@ def brute_force_topk(
         else query_vec
     )
     cos = cosine_similarity(F.col(vec_col).cast("array<double>"), q)
+    # zero-norm vectors have undefined (NULL) cosine — excluded, so
+    # garbage rows can neither outrank a perfect match nor pad the
+    # "exact" top-k (an all-zeros query returns an empty frame)
     return (
         spread(df).select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -95,12 +99,22 @@ def ivf_assign(
     )
     joined = v.join(F.broadcast(centroids))
     cos = cosine_similarity(F.col("_v"), F.col("centroid"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("cell"))
+    # argmax as a map-side-combinable MAX(struct(cos, -cell)) — the
+    # same shape as _l2_assign; the former row_number window shuffled
+    # cells x corpus rows with no partial aggregation and sorted them
+    # (struct order: higher cos wins, ties -> smaller cell, identical
+    # to the window's (desc _cos, asc cell))
     return (
         joined.select(F.col(id_col), F.col("cell"), cos.alias("_cos"))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, "cell")
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_cos"), (-F.col("cell")).alias("_negcell")
+                )
+            ).alias("_best")
+        )
+        .select(id_col, (-F.col("_best._negcell")).alias("cell"))
     )
 
 
@@ -210,7 +224,18 @@ def lsh_topk(
     ``hamming_probes=0`` is the single-bucket recall cliff; 1 is the
     production default; 2 for high recall on coarse (few-plane)
     signatures."""
+    import itertools
+
     dim = len(query_vec)
+    # a corpus/query dimension mismatch would NULL-poison every corpus
+    # signature to 0 (zip_with pads nulls) and silently return an
+    # empty top-k — fail loudly instead (one 1-row probe)
+    first = df.select(F.size(F.col(vec_col)).alias("_d")).first()
+    if first is not None and first["_d"] != dim:
+        raise ValueError(
+            f"query vector has {dim} components but the corpus "
+            f"{vec_col} column has {first['_d']}"
+        )
     sig = hyperplane_signature(
         F.col(vec_col).cast("array<double>"), planes=planes, dim=dim
     )
@@ -221,15 +246,16 @@ def lsh_topk(
         .collect()
     )
     qsig = qsig_row[0]["s"]
+    # generalized multi-probe: every signature within hamming_probes
+    # bit flips (the former hard-coded >=1/>=2 branches silently
+    # capped any larger request at distance 2)
     probe_sigs = {qsig}
-    if hamming_probes >= 1:
-        probe_sigs |= {qsig ^ (1 << p) for p in range(planes)}
-    if hamming_probes >= 2:
-        probe_sigs |= {
-            qsig ^ (1 << p) ^ (1 << r)
-            for p in range(planes)
-            for r in range(p + 1, planes)
-        }
+    for d in range(1, hamming_probes + 1):
+        for flips in itertools.combinations(range(planes), d):
+            x = qsig
+            for b in flips:
+                x ^= 1 << b
+            probe_sigs.add(x)
     bucket = spread(df).filter(sig.isin([int(s) for s in sorted(probe_sigs)]))
     return brute_force_topk(bucket, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
@@ -515,9 +541,17 @@ def quantize_embeddings(
                 lambda x, mn: x - mn,
             ),
             F.zip_with(F.col("maxs"), F.col("mins"), lambda mx, mn: mx - mn),
+            # clamp to [0, 255] BEFORE the -128 shift: a component
+            # outside the calibrated [min, max] (params fit on a
+            # sample, corpus quantized in full — the standard 100 TB
+            # workflow) would otherwise produce codes outside int8
             lambda d, rng: F.when(
                 rng > 0,
-                F.round(d / rng * F.lit(255.0)).cast("int") - F.lit(128),
+                F.least(
+                    F.greatest(F.round(d / rng * F.lit(255.0)), F.lit(0.0)),
+                    F.lit(255.0),
+                ).cast("int")
+                - F.lit(128),
             ).otherwise(F.lit(0)),
         )
     )
@@ -775,6 +809,37 @@ def pq_encode(
     )
 
 
+def _adc_table_expr(query, entries, *, m: int, n_codes: int, d_sub: int) -> Column:
+    """Squared-distance lookup table of ``query`` against each
+    (sub, code) centroid, as a nested array literal — the shared ADC
+    table builder for :func:`pq_topk` and :meth:`IvfPqIndex.search`
+    (one definition of the table layout the lookup fold indexes)."""
+    table = [[0.0] * n_codes for _ in range(m)]
+    for sub, code, cen in entries:
+        qs = query[sub * d_sub : (sub + 1) * d_sub]
+        table[sub][code] = sum(
+            (float(a) - float(b)) ** 2 for a, b in zip(qs, cen)
+        )
+    return F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+
+
+def _adc_dist(tbl: Column, m: int) -> Column:
+    """m table lookups + a sum over the codes array — the shared ADC
+    scoring fold (1-based element_at on both levels; codes are
+    0-based, hence the (c + 1) cast)."""
+    return F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.lit(m)),
+            F.col("codes"),
+            lambda i, c: F.element_at(
+                F.element_at(tbl, i), (c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
 def pq_topk(
     encoded: DataFrame,
     codebooks: DataFrame,
@@ -799,26 +864,14 @@ def pq_topk(
     m = 1 + max(r["sub"] for r in rows)
     n_codes = 1 + max(r["code"] for r in rows)
     d_sub = len(rows[0]["centroid"])
-    table = [[0.0] * n_codes for _ in range(m)]
-    for r in rows:
-        q_sub = query_vec[r["sub"] * d_sub : (r["sub"] + 1) * d_sub]
-        table[r["sub"]][r["code"]] = sum(
-            (float(q) - c) ** 2 for q, c in zip(q_sub, r["centroid"])
-        )
-    tbl = F.array(
-        *[F.array(*[F.lit(d) for d in row]) for row in table]
+    tbl = _adc_table_expr(
+        query_vec,
+        ((r["sub"], r["code"], r["centroid"]) for r in rows),
+        m=m,
+        n_codes=n_codes,
+        d_sub=d_sub,
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.sequence(F.lit(1), F.lit(m)),
-            F.col("codes"),
-            lambda i, c: F.element_at(
-                F.element_at(tbl, i), (c + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+    dist = _adc_dist(tbl, m)
     return (
         encoded.select(F.col(id_col), F.round(dist, scale).alias("approx_dist"))
         .orderBy("approx_dist", id_col)
@@ -956,24 +1009,14 @@ class IvfPqIndex:
         dist_expr = None
         for cr in probed:
             qr = [x - c for x, c in zip(q, cr["centroid"])]
-            table = [[0.0] * n_codes for _ in range(self.m)]
-            for (sub, code), cen in book.items():
-                qs = qr[sub * d_sub : (sub + 1) * d_sub]
-                table[sub][code] = sum(
-                    (a - b) ** 2 for a, b in zip(qs, cen)
-                )
-            tbl = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
-            branch = F.aggregate(
-                F.zip_with(
-                    F.sequence(F.lit(1), F.lit(self.m)),
-                    F.col("codes"),
-                    lambda i, c: F.element_at(
-                        F.element_at(tbl, i), (c + 1).cast("int")
-                    ),
-                ),
-                F.lit(0.0),
-                lambda s, x: s + x,
+            tbl = _adc_table_expr(
+                qr,
+                ((sub, code, cen) for (sub, code), cen in book.items()),
+                m=self.m,
+                n_codes=n_codes,
+                d_sub=d_sub,
             )
+            branch = _adc_dist(tbl, self.m)
             cond = F.col("cell") == F.lit(cr["cell"])
             dist_expr = (
                 F.when(cond, branch)

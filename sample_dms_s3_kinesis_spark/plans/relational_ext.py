@@ -2409,7 +2409,9 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT v.vec_id, p.i,
              CASE WHEN p.mx > p.mn
-                  THEN CAST(ROUND((v.e[p.i] - p.mn) / (p.mx - p.mn) * 255) AS INT) - 128
+                  THEN CAST(LEAST(GREATEST(
+                         ROUND((v.e[p.i] - p.mn) / (p.mx - p.mn) * 255),
+                         0), 255) AS INT) - 128
                   ELSE 0 END AS qc
       FROM v, params p)
     SELECT vec_id,

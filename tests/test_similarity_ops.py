@@ -546,3 +546,69 @@ def test_ivfpq_save_load_roundtrip_prunes_partitions(spark, tmp_path):
     # the loaded probe must prune parquet partitions on the cell key
     plan = loaded.search(q, k=8, nprobe=2)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_brute_force_topk_excludes_zero_norm_vectors(spark):
+    """r6 review: NaN cosine (zero-norm corpus vector) sorted ABOVE
+    every real score in the 'exact' top-k."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    got = [r["vec_id"] for r in similarity.brute_force_topk(emb, [1.0, 0.0], k=3).collect()]
+    assert got == [1, 3]          # the zero vector is excluded, not rank 1
+    # all-zero query: empty, never k arbitrary rows
+    assert similarity.brute_force_topk(emb, [0.0, 0.0], k=3).count() == 0
+
+
+def test_ivf_assign_plans_as_partial_aggregate(spark):
+    """r6 review: the argmax is a map-side-combinable MAX(struct), not
+    a cells-x-corpus row_number window sort."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cent_plan = similarity._deterministic_centroids(
+        emb, vec_col="embedding", id_col="vec_id", cells=4
+    )
+    # materialized centroids (the IvfIndex/ivf_topk shape) so the plan
+    # under test is the assignment alone, not the seed-pick window
+    cents = spark.createDataFrame(cent_plan.collect(), cent_plan.schema)
+    out = similarity.ivf_assign(emb, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_lsh_topk_guards_dim_mismatch_and_generalizes_probes(spark):
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 2.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="components"):
+        similarity.lsh_topk(emb, [1.0, 2.0], k=3)     # 2-dim query, 4-dim corpus
+    # hamming_probes=3 probes strictly more buckets than 2 (monotone recall)
+    r2 = {r["vec_id"] for r in similarity.lsh_topk(emb, [1.0, 1.0, 0.5, 2.0], k=20, planes=6, hamming_probes=2).collect()}
+    r3 = {r["vec_id"] for r in similarity.lsh_topk(emb, [1.0, 1.0, 0.5, 2.0], k=20, planes=6, hamming_probes=3).collect()}
+    assert r2 <= r3
+
+
+def test_quantize_clamps_out_of_calibration_values(spark):
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        quantization_params,
+        quantize_embeddings,
+    )
+
+    cal = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    params = quantization_params(cal, vec_col="embedding")
+    full = spark.createDataFrame(
+        [(3, [2.0, -1.0])],  # outside the calibrated [0, 1] range
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize_embeddings(full, params, vec_col="embedding").collect()[0]["qvec"]
+    assert q == [127, -128]       # clamped into int8, never 382
