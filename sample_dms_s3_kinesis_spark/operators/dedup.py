@@ -975,7 +975,16 @@ def simhash_dedup_against(
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine over two array<double> columns — zip_with/aggregate,
-    fully JVM-side."""
+    fully JVM-side.
+
+    Degenerate inputs yield NULL, never a throw or a NaN: a zero-norm
+    vector (ANSI division would abort the scan) and any NaN component
+    (NaN passes ``> threshold`` filters and sorts FIRST under desc —
+    it would outrank every real match).  NULL fails every threshold
+    and is filtered by the top-k paths, so degenerate vectors are
+    never near-duplicates of anything — pipelines catch byte-identical
+    garbage (e.g. repeated all-zeros encoder output) with the EXACT
+    digest gates that precede every embedding gate."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -987,14 +996,14 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     norm_b = F.sqrt(
         F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
     )
-    # zero-norm guard: ANSI mode throws DIVIDE_BY_ZERO even for
-    # doubles, so one all-zeros vector would abort the whole scan —
-    # cosine is undefined there, surfaced as NULL (threshold filters
-    # drop it; top-k filters it explicitly).  The denominator is bound
-    # once: the when + divide sibling references would re-run both
-    # norm aggregates (HOF siblings are opaque to Catalyst CSE).
+    # try_divide: NULL on a zero denominator (ANSI would otherwise
+    # throw and abort the scan), denominator evaluated once by
+    # construction; the NaN wrap is bound because the when + value
+    # sibling references would re-run the whole division (HOF
+    # siblings are opaque to Catalyst CSE).
     return _bind(
-        norm_a * norm_b, lambda d: F.when(d > 0, dot / d)
+        F.try_divide(dot, norm_a * norm_b),
+        lambda c: F.when(~F.isnan(c), c),
     )
 
 

@@ -294,7 +294,12 @@ def batch_topk(
         F.desc("cosine"), F.asc(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # degenerate (NULL-cosine) rows are excluded BEFORE the rank
+        # window — they would otherwise pad the per-query top-k when a
+        # query has fewer than k real matches (same contract as
+        # brute_force_topk)
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cosine")
     )

@@ -612,3 +612,38 @@ def test_quantize_clamps_out_of_calibration_values(spark):
     )
     q = quantize_embeddings(full, params, vec_col="embedding").collect()[0]["qvec"]
     assert q == [127, -128]       # clamped into int8, never 382
+
+
+def test_cosine_degenerate_inputs_are_null_never_nan(spark):
+    """r6 review round 2: NaN components bypass `> 0` guards (NaN > x
+    is true in Spark) and sort FIRST under desc — cosine must surface
+    BOTH zero-norm and NaN-component vectors as NULL."""
+    from sample_dms_s3_kinesis_spark.operators.dedup import cosine_similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),             # zero norm
+            (3, [float("nan"), 1.0]),    # NaN component
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = F.array(F.lit(1.0), F.lit(0.0))
+    got = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", cosine_similarity(F.col("embedding"), q).alias("c")
+        ).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] is None and got[3] is None
+    # top-k paths exclude them
+    assert [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(df, [1.0, 0.0], k=3).collect()
+    ] == [1]
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    got_batch = similarity.batch_topk(df, queries, k=3).collect()
+    assert [r["vec_id"] for r in got_batch] == [1]  # no NULL padding
