@@ -138,23 +138,32 @@ def dedup_canonical(
     16-byte md5 digest, never the body, and the survivor is picked with
     ``min_by`` inside the aggregate (one shuffle, no window, no second
     pass).  Output: (id_col, group_size, src_priority) where
-    src_priority is the surviving copy's priority.
+    src_priority is the SURVIVING copy's priority.  A NULL priority
+    ranks LAST (an un-ranked source never beats a ranked one — struct
+    min would otherwise sort NULL first and a missed priority lookup
+    would win every group, while the reported min skipped NULLs and
+    disagreed with the survivor).
     """
     keyed = df.select(
         F.col(id_col),
         priority.cast("long").alias("_prio"),
         F.md5(F.col(text_col)).alias("_h"),
     )
+    prio_key = F.coalesce(F.col("_prio"), F.lit(2**63 - 1))
     return (
         keyed.groupBy("_h")
         .agg(
             F.min_by(
-                F.col(id_col), F.struct(F.col("_prio"), F.col(id_col))
-            ).alias(id_col),
+                F.struct(F.col(id_col), F.col("_prio")),
+                F.struct(prio_key, F.col(id_col)),
+            ).alias("_win"),
             F.count(F.lit(1)).alias("group_size"),
-            F.min("_prio").alias("src_priority"),
         )
-        .select(id_col, "group_size", "src_priority")
+        .select(
+            F.col(f"_win.{id_col}").alias(id_col),
+            "group_size",
+            F.col("_win._prio").alias("src_priority"),
+        )
     )
 
 
@@ -262,9 +271,14 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb"))).cast("double")
     union = (F.col("_na") + F.col("_nb")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # filter on the RAW similarity, round only for output: a pair at
+    # 0.7999999 would otherwise round to 0.8 and pass a 0.8 threshold
+    # it does not satisfy (and disagree with prefix_jaccard_pairs,
+    # which filters unrounded)
     return (
-        pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        pairs.select("id_a", "id_b", jac.alias("_raw"))
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("_raw"), 6).alias("jaccard"))
     )
 
 
@@ -294,16 +308,22 @@ def _signature_from_hashes(hashes: Column, *, num_hashes: int) -> Column:
     r4, one level up)."""
 
     def _slots(hs: Column) -> Column:
-        return F.array(
-            *[
-                F.coalesce(
+        # a doc with NO shingles has NO minhash: the former per-slot
+        # sentinel (2^63-1) made every short doc's signature identical
+        # — all sub-shingle-length docs became mutual "near-dups" with
+        # est_jaccard 1.0 and shared one quadratic band bucket.  NULL
+        # signatures are excluded from banding; exact digest gates
+        # catch identical short docs.
+        return F.when(
+            F.size(hs) > 0,
+            F.array(
+                *[
                     F.array_min(
                         F.transform(hs, lambda h: F.xxhash64(h, F.lit(i)))
-                    ),
-                    F.lit(2**63 - 1),
-                )
-                for i in range(num_hashes)
-            ]
+                    )
+                    for i in range(num_hashes)
+                ]
+            ),
         )
 
     return _bind(hashes, _slots)
@@ -341,6 +361,22 @@ def _band_hashes(sig: Column, *, bands: int, rows: int) -> Column:
         )
 
     return _bind(sig, _bands)
+
+
+def _band_geometry(num_hashes: int, bands: int) -> int:
+    """Validated banding geometry: rows-per-band.  ``bands`` must
+    divide ``num_hashes`` exactly — ``bands > num_hashes`` gives
+    rows = 0 (every doc's band hash collapses to the hash of zero
+    slots: a single universal bucket, i.e. an O(n²) cross join or,
+    capped, zero candidates), and a non-dividing combo silently drops
+    the trailing signature slots and changes the advertised recall
+    curve.  Fail loudly instead."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes: got num_hashes={num_hashes}, "
+            f"bands={bands}"
+        )
+    return num_hashes // bands
 
 
 def _drop_hot_buckets(
@@ -393,7 +429,7 @@ def _band_candidates(
     genuinely similar docs agree on other bands too; with b bands the
     chance a true near-dup pair survives in no other band is
     (1-s^r)^(b-1), negligible at the default shapes."""
-    banded = sig_df.select(
+    banded = sig_df.filter(F.col("_sig").isNotNull()).select(
         "_id",
         F.posexplode(_band_hashes(F.col("_sig"), bands=bands, rows=rows)).alias(
             "_band", "_bh"
@@ -436,11 +472,11 @@ def minhash_lsh_pairs(
     ``max_band_width`` drops boilerplate band buckets before the
     self-join (see :func:`_band_candidates`); None disables the cap.
     """
-    rows = num_hashes // bands
-    # Two-step projection: materialize per-shingle base hashes once,
-    # then derive the k-wide signature — higher-order lambdas are opaque
-    # to Catalyst CSE, so inlining would re-shingle and re-hash the text
-    # once per signature slot.
+    rows = _band_geometry(num_hashes, bands)
+    # Two-step projection kept for plan readability; correctness-wise
+    # _signature_from_hashes binds its input itself (r6), so even a
+    # single-step minhash_signature call no longer re-shingles per
+    # slot (MinhashIndex uses the single-step form).
     sig = (
         spread(df).select(
             F.col(id_col).alias("_id"),
@@ -501,7 +537,7 @@ def minhash_lsh_pairs_against(
     applies to the EXISTING side (the boilerplate hazard grows with
     corpus size).  Output: (new_id, existing_id, est_jaccard ≥ τ).
     """
-    rows = num_hashes // bands
+    rows = _band_geometry(num_hashes, bands)
 
     def _sigs(df: DataFrame) -> DataFrame:
         return (
@@ -544,10 +580,11 @@ def _cross_pairs_from_signatures(
     estimate ≥ τ.  Both inputs are (_id, _sig) frames; the width cap
     applies to the EXISTING side (the boilerplate hazard grows with
     corpus size)."""
-    rows = num_hashes // bands
+    rows = _band_geometry(num_hashes, bands)
 
     def _banded(sig_df: DataFrame) -> DataFrame:
-        return sig_df.select(
+        # NULL signatures (shingle-less docs) never band
+        return sig_df.filter(F.col("_sig").isNotNull()).select(
             "_id",
             F.posexplode(
                 _band_hashes(F.col("_sig"), bands=bands, rows=rows)
@@ -657,7 +694,7 @@ def lsh_verified_jaccard_pairs(
     than r=2 — candidate volume, not recall, is the scale cost.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    rows = num_hashes // bands
+    rows = _band_geometry(num_hashes, bands)
     base = (
         spread(df)
         .select(
@@ -714,9 +751,11 @@ def lsh_verified_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb"))).cast("double")
     union = (F.col("_na") + F.col("_nb")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # raw-value filter (round only for output) — see ngram_jaccard_pairs
     return (
-        screened.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        screened.select("id_a", "id_b", jac.alias("_raw"))
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("_raw"), 6).alias("jaccard"))
     )
 
 
@@ -1133,10 +1172,14 @@ def embedding_near_dup_against(
         broadcast=broadcast,
     )
     cos = cosine_similarity(F.col("_vn"), F.col("_ve"))
+    # raw-value filter (round only for output) — see ngram_jaccard_pairs
     return (
-        pairs.select(
-            "new_id", "existing_id", F.round(cos, 6).alias("cosine")
-        ).filter(F.col("cosine") >= threshold)
+        pairs.select("new_id", "existing_id", cos.alias("_raw"))
+        .filter(F.col("_raw") >= threshold)
+        .select(
+            "new_id", "existing_id",
+            F.round(F.col("_raw"), 6).alias("cosine"),
+        )
     )
 
 
@@ -1214,13 +1257,18 @@ def connected_components(
     path.  Pass ``driver_threshold=0`` to force the distributed loop
     at any size.
     """
-    ids = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    # ids keep their INPUT type: every pair-producing operator is
+    # id-type agnostic, and the star algorithm only needs an ORDERABLE
+    # id (min labels compare fine for strings) — the former long cast
+    # crashed ANSI mode for uuid/hash ids and silently dropped every
+    # edge without it
     edges = _cut_lineage(
-        pairs.select(ids[0].alias("u"), ids[1].alias("v"))
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct(),
         checkpoint_dir,
     )
+    id_type = dict(edges.dtypes)["u"]
 
     # Size-gated driver fallback: near-dup pair graphs are usually
     # MUCH smaller than the corpus (they hold only the duplicated
@@ -1253,7 +1301,7 @@ def connected_components(
                 parent[max(ru, rv)] = min(ru, rv)
         rows = [(n, _find(n)) for n in parent]
         return pairs.sparkSession.createDataFrame(
-            rows, f"{id_out} long, {cluster_out} long"
+            rows, f"{id_out} {id_type}, {cluster_out} {id_type}"
         )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -1381,9 +1429,11 @@ def embedding_near_dup_pairs(
         a, b, build_rows, broadcast_rows=broadcast_rows, broadcast=broadcast
     ).filter(F.col("id_a") < F.col("id_b"))
     cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    # raw-value filter (round only for output) — see ngram_jaccard_pairs
     return (
-        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        pairs.select("id_a", "id_b", cos.alias("_raw"))
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("_raw"), 6).alias("cosine"))
     )
 
 

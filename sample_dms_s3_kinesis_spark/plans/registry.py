@@ -976,7 +976,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
     """,
     "embedding-cosine near-dup pairs within blocking key (label)",
     "dedup: embedding cosine",
@@ -994,7 +994,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT a.vec_id AS src, b.vec_id AS dst
       FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
     ),
     edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
     nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -1067,9 +1067,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN CAST(inter AS DOUBLE) / uni
                       ELSE 0.0 END, 6) AS jaccard
     FROM pairs
-    WHERE ROUND(CASE WHEN uni > 0
-                     THEN CAST(inter AS DOUBLE) / uni
-                     ELSE 0.0 END, 6) >= 0.2
+    WHERE (CASE WHEN uni > 0
+                THEN CAST(inter AS DOUBLE) / uni
+                ELSE 0.0 END) >= 0.2
     """,
     "exact n-gram Jaccard near-dup pairs within language block "
     "(exact set math — full DuckDB oracle; also verified against a "

@@ -2553,7 +2553,7 @@ def q_simhash_pairs_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.vec_id AS new_id, o.vec_id AS existing_id,
            ROUND(list_cosine_similarity(n.v, o.v), 6) AS cosine
     FROM n JOIN o ON n.label = o.label
-    WHERE ROUND(list_cosine_similarity(n.v, o.v), 6) >= 0.4
+    WHERE list_cosine_similarity(n.v, o.v) >= 0.4
     """,
     "incremental cross-corpus embedding near-dup: new batch's vectors "
     "block-joined against the existing corpus (never self-paired), "

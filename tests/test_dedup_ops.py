@@ -834,3 +834,50 @@ def test_edit_distance_short_pass_is_hash_join(spark):
     )
     plan2 = against._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan2 and "Cartesian" not in plan2
+
+
+def test_short_docs_are_not_mutual_near_dups(spark):
+    """r6 review: docs with fewer than n tokens have no shingles; the
+    per-slot sentinel used to make ALL of them mutual near-dups with
+    est_jaccard 1.0 (and one quadratic band bucket).  They now have
+    NULL signatures and never band."""
+    df = spark.createDataFrame(
+        [(1, "hi there"), (2, "goodbye cruel"), (3, "totally different"),
+         (4, "a much longer document with plenty of shingles inside it"),
+         (5, "a much longer document with plenty of shingles inside it")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=32, bands=8, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(4, 5)}           # only the true duplicates
+    # incremental flavor: a short new doc is never flagged against a
+    # short existing doc
+    flagged = dedup.minhash_lsh_pairs_against(
+        df.filter(F.col("doc_id") == 1), df.filter(F.col("doc_id") == 2),
+        num_hashes=32, bands=8, threshold=0.5,
+    )
+    assert flagged.count() == 0
+
+
+def test_band_geometry_is_validated(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands must divide"):
+        dedup.minhash_lsh_pairs(df, num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="bands must divide"):
+        dedup.minhash_lsh_pairs(df, num_hashes=100, bands=32)
+
+
+def test_dedup_canonical_null_priority_ranks_last(spark):
+    """r6 review: a NULL priority used to WIN survivor selection
+    (struct min sorts NULL first) while src_priority reported the
+    non-null min — survivor and reported priority disagreed."""
+    df = spark.createDataFrame(
+        [(10, "same text", None), (20, "same text", 5)],
+        "doc_id long, text string, prio int",
+    )
+    out = dedup.dedup_canonical(df, F.col("prio")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 20 and r["src_priority"] == 5
