@@ -72,8 +72,17 @@ def _fold_merge(ops_col: Column, init: Column) -> Column:
         is_ins = x["op"] == F.lit("INSERT")
         is_upd = x["op"] == F.lit("UPDATE")
         is_del = x["op"] == F.lit("DELETE")
+        # an op outside the DMS trio (null-safe: a NULL op is unknown
+        # too) is an exception — it used to vanish from state, counts,
+        # AND exc_seqs, violating the surface-as-exceptions contract
+        is_unknown = ~F.coalesce(is_ins | is_upd | is_del, F.lit(False))
         exists = state["exists"]
-        is_exc = (is_ins & exists) | (is_upd & ~exists) | (is_del & ~exists)
+        is_exc = (
+            (is_ins & exists)
+            | (is_upd & ~exists)
+            | (is_del & ~exists)
+            | is_unknown
+        )
         new_exists = F.when(is_del, F.lit(False)).otherwise(
             F.when(is_ins | is_upd, F.lit(True)).otherwise(exists)
         )
@@ -252,9 +261,21 @@ class ParquetTargetStore:
         import os
 
         os.makedirs(self.root, exist_ok=True)
+        # merge-on-save: reload the on-disk map and overlay this
+        # store's entries — a concurrent writer sharing the store root
+        # (the case rewind_versions explicitly supports) would
+        # otherwise have its pointers erased by our stale snapshot
+        on_disk: dict = {}
+        if os.path.exists(self._versions_file()):
+            try:
+                with open(self._versions_file()) as f:
+                    on_disk = json.load(f)
+            except (OSError, ValueError):
+                on_disk = {}
+        merged = {**on_disk, **self._versions}
         tmp = self._versions_file() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(self._versions, f)
+            json.dump(merged, f)
         os.replace(tmp, self._versions_file())
 
     def _dir(self, name: str, version: int) -> str:
@@ -271,12 +292,6 @@ class ParquetTargetStore:
     def write(self, table_name: str, df: DataFrame) -> None:
         v = self._versions.get(table_name, 0) + 1
         df.write.mode("overwrite").parquet(self._dir(table_name, v))
-        self._versions[table_name] = v
-        self._save_versions()
-
-    def append(self, table_name: str, df: DataFrame) -> None:
-        v = self._versions.get(table_name, 1)
-        df.write.mode("append").parquet(self._dir(table_name, v))
         self._versions[table_name] = v
         self._save_versions()
 

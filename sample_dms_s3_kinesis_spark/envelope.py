@@ -63,7 +63,13 @@ def event_timestamp(fixed: str | None = None) -> Column:
     deterministic clock in tests (SURVEY §7 'deterministic metadata')."""
     if fixed is not None:
         return F.lit(fixed)
-    return F.date_format(F.current_timestamp(), _TS_FORMAT)
+    # render in UTC regardless of the session time zone: the format
+    # appends a literal 'Z', so stamping session-local wall time would
+    # claim a wrong UTC instant on any non-UTC session
+    return F.date_format(
+        F.to_utc_timestamp(F.current_timestamp(), F.current_timezone()),
+        _TS_FORMAT,
+    )
 
 
 def _metadata_struct(

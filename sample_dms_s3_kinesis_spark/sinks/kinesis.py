@@ -50,12 +50,19 @@ def _emit_partition(rows, stream_name: str, client_factory):
             resp = client.put_records(StreamName=stream_name, Records=pending)
             if resp.get("FailedRecordCount", 0) == 0:
                 return
-            # Retry only the failed tail, preserving order.
-            pending = [
-                rec
-                for rec, res in zip(pending, resp["Records"])
+            # FIFO-preserving retry: re-send from the FIRST failed
+            # index onward.  Retrying only the failed subset would
+            # land a throttled record AFTER later records that already
+            # reached the shard — reordering, which seq-keyed dedup
+            # downstream cannot repair (duplicates from re-sending the
+            # successful tail are the documented at-least-once cost
+            # and ARE repairable).
+            first_fail = next(
+                i
+                for i, res in enumerate(resp["Records"])
                 if "ErrorCode" in res
-            ]
+            )
+            pending = pending[first_fail:]
             attempts += 1
             if attempts > 10:
                 raise RuntimeError(

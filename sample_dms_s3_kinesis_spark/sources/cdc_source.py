@@ -87,9 +87,15 @@ def _with_order(lines: DataFrame) -> DataFrame:
         # metadata; a single-split assumption is then explicit, not
         # silent.
         lines = lines.withColumn("_blk", F.lit(0).cast("long"))
+    # try_cast: a file matching the glob but not the seq pattern
+    # extracts '' — the plain cast would abort with a cryptic ANSI
+    # CAST error; NULL instead, which CdcTask._process_batch rejects
+    # loudly with the naming contract
     lines = lines.withColumn(
         "file_seq",
-        F.regexp_extract(F.col("_file"), r"cdc(\d+)\.csv$", 1).cast("long"),
+        F.regexp_extract(F.col("_file"), r"cdc(\d+)\.csv$", 1).try_cast(
+            "long"
+        ),
     )
     # monotonically_increasing_id is line-ordered only WITHIN one input
     # split; a file larger than spark.sql.files.maxPartitionBytes spans
@@ -116,7 +122,22 @@ def parse_cdc_lines(lines: DataFrame) -> DataFrame:
     """
     if "seq" not in lines.columns:
         lines = _with_order(lines)
-    parts = F.split(F.col("value"), ",")
+    # Quote-aware split (the full-load path reads with Spark's real CSV
+    # reader, so the two ingest paths must agree on the dialect): commas
+    # inside double-quoted fields do not split, and an exactly-quoted
+    # field is unquoted with "" -> " unescaping.  Unquoted lines (the
+    # reference's entire fixture dialect) split byte-identically to the
+    # former plain comma split.
+    raw = F.split(F.col("value"), r',(?=(?:[^"]*"[^"]*")*[^"]*$)')
+    parts = F.transform(
+        raw,
+        lambda x: F.when(
+            x.rlike('^".*"$'),
+            F.regexp_replace(
+                x.substr(F.lit(2), F.length(x) - 2), '""', '"'
+            ),
+        ).otherwise(x),
+    )
     # F.get (not getItem/element_at): ANSI mode throws on out-of-bounds
     # for short/garbage lines; get returns null, which routes the row to
     # the exceptions channel instead of failing the task.

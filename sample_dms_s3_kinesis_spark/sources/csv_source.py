@@ -31,9 +31,16 @@ def read_table(
 ) -> DataFrame:
     """Read one declared table: all CSV under ``{root}/{table.path}``.
 
-    ``with_order_columns`` adds ``_src_file`` (input file) and
-    ``_line_id`` (monotonic per-partition id) so callers can establish a
+    ``with_order_columns`` adds ``_src_file`` (input file), ``_blk``
+    (the split's byte offset within the file) and ``_line_id``
+    (monotonic per-partition id) so callers can establish a
     deterministic within-table event order before any shuffle (O21).
+    The ``_blk`` column matters for files larger than one input split:
+    monotonically_increasing_id is line-ordered only WITHIN a split,
+    and cross-split id order follows Spark's size-descending split
+    packing, not the file's byte order — the same hazard
+    cdc_source._with_order guards (order by ``(_src_file, _blk,
+    _line_id)``).
     """
     df = (
         spark.read.schema(table.schema)
@@ -44,7 +51,10 @@ def read_table(
         .csv(table.data_path(root))
     )
     if with_order_columns:
-        df = df.withColumn("_src_file", F.input_file_name()).withColumn(
-            "_line_id", F.monotonically_increasing_id()
+        df = (
+            df.select("*", "_metadata.file_block_start")
+            .withColumnRenamed("file_block_start", "_blk")
+            .withColumn("_src_file", F.input_file_name())
+            .withColumn("_line_id", F.monotonically_increasing_id())
         )
     return df

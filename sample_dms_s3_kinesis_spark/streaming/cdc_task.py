@@ -284,6 +284,13 @@ class CdcTask(ReplicationTask):
             F.count(F.when(F.col("op") == F.lit("ALTER"), F.lit(1))).alias(
                 "n_alters"
             ),
+            # a file matching cdc*.csv but not cdc<digits>.csv yields
+            # NULL file_seq -> NULL line seqs that would sort first and
+            # interleave arbitrarily; that is an operational error the
+            # batch must fail LOUDLY on, not apply out of order
+            F.count(F.when(F.col("seq").isNull(), F.lit(1))).alias(
+                "n_null_seq"
+            ),
         ]
         known_pred = F.lit(False)
         for i, t in enumerate(self.catalog):
@@ -306,6 +313,14 @@ class CdcTask(ReplicationTask):
         if head["n_rows"] == 0:
             parsed.unpersist()
             return
+        if head["n_null_seq"] > 0:
+            parsed.unpersist()
+            raise ValueError(
+                f"{head['n_null_seq']} CDC line(s) carry a NULL seq: "
+                "change files must be named cdc<digits>.csv (a file "
+                "matching the cdc*.csv glob but not the sequence "
+                "pattern cannot be ordered)"
+            )
         # Floor for the post-batch seq high-water: a crash-restart's
         # start-control events may already hold seqs ABOVE the rewound
         # range (folded into the mark as restart_seq_high) — the next
@@ -446,9 +461,16 @@ class CdcTask(ReplicationTask):
             events = union_all(event_frames)
             events = envelope.assign_global_seq(events, "seq")
             events = events.withColumn("seq", F.col("seq") + F.lit(self._seq_offset))
+            # one computation for the sink write, the stats pass and
+            # the seq advance — unpersisted the batch re-runs the whole
+            # union + global-seq window three times (and the window
+            # over a recomputed union is the kind of thing that should
+            # never be given a second chance to differ)
+            events = events.persist()
             self.sink.write(events)
             self.stats.add_events(events)
             self._seq_offset += events.count()
+            events.unpersist()
         # On replay, jump past any seqs the restart's control events
         # already consumed (replay_seq_floor ≥ rewound offset + batch).
         self._seq_offset = max(self._seq_offset, replay_seq_floor)

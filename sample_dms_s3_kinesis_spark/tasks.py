@@ -94,6 +94,11 @@ def union_all(frames: Sequence[DataFrame]) -> DataFrame:
     """O22: event-stream union.  ``unionByName`` over homogeneous
     event-log frames; reduce-tree shape is fine since every input shares
     one schema and Catalyst collapses adjacent unions."""
+    if not frames:
+        raise ValueError(
+            "union_all: no frames to union (did the table selection "
+            "rules match zero tables?)"
+        )
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
@@ -144,7 +149,11 @@ class FullLoadTask(ReplicationTask):
                 table,
                 "load",
                 event_time=self.event_time,
-                order_by=[F.col("_src_file"), F.col("_line_id")],
+                order_by=[
+                    F.col("_src_file"),
+                    F.col("_blk"),
+                    F.col("_line_id"),
+                ],
             ).select("*", F.lit(idx).alias("_tbl"), F.lit(1).alias("_kind"))
             frames.append(controls)
             frames.append(data)
@@ -157,9 +166,16 @@ class FullLoadTask(ReplicationTask):
         self._set_status(TaskStatus.STARTING)
         try:
             self._set_status(TaskStatus.RUNNING)
-            events = self.build_events()
-            self.sink.write(events)
-            self.stats.add_events(events)
+            # persisted: the sink write and the stats pass would
+            # otherwise each re-run the whole scan + envelope + global
+            # seq window (and re-derived monotonic ids are not
+            # guaranteed identical across recomputations)
+            events = self.build_events().persist()
+            try:
+                self.sink.write(events)
+                self.stats.add_events(events)
+            finally:
+                events.unpersist()
         except Exception:
             self._set_status(TaskStatus.FAILED)
             raise

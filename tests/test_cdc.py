@@ -353,3 +353,73 @@ def test_cdc_table_alter_streaming_path(spark, catalog, cdc_dir, tmp_path):
     ops = [e["metadata"]["operation"] for e in sink.events]
     assert ops[-2:] == ["insert", "add-column"]
     assert sink.events[-1]["metadata"]["record-type"] == "control"
+
+
+def test_cdc_rejects_unorderable_file_names(spark, catalog, tmp_path):
+    """r6 review: a file matching cdc*.csv but not cdc<digits>.csv got
+    NULL seqs that sorted first and interleaved arbitrarily — the
+    batch now fails loudly naming the contract."""
+    import os
+
+    import pytest
+
+    from sample_dms_s3_kinesis_spark.apply import ParquetTargetStore
+    from sample_dms_s3_kinesis_spark.sinks.memory import MemorySink
+    from sample_dms_s3_kinesis_spark.sources.cdc_source import read_cdc_lines
+    from sample_dms_s3_kinesis_spark.streaming.cdc_task import CdcTask
+
+    cdc_dir = str(tmp_path / "cdc")
+    os.makedirs(cdc_dir)
+    with open(os.path.join(cdc_dir, "cdc_fix.csv"), "w") as f:
+        f.write("INSERT,department,hr,401,Eng\n")
+    task = CdcTask(
+        spark, catalog, cdc_dir, MemorySink(),
+        ParquetTargetStore(str(tmp_path / "t")),
+        event_time="2026-01-01T00:00:00.000Z",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    task._emit_start_controls()
+    with pytest.raises(ValueError, match="cdc<digits>"):
+        task._process_batch(read_cdc_lines(spark, cdc_dir), batch_id=-1)
+
+
+def test_cdc_quoted_payload_commas(spark, catalog, tmp_path):
+    """r6 review: a quoted payload value containing a comma used to
+    shift every later positional column; the parse is now quote-aware
+    like the full-load CSV reader."""
+    from sample_dms_s3_kinesis_spark.sources.cdc_source import (
+        parse_cdc_lines,
+    )
+
+    lines = spark.createDataFrame(
+        [(1, 'INSERT,project,hr,301,"Migration, phase 2",desc')],
+        "seq long, value string",
+    )
+    row = parse_cdc_lines(lines).collect()[0]
+    assert row["payload"] == ["301", "Migration, phase 2", "desc"]
+    # unquoted lines split byte-identically to the former plain split
+    plain = spark.createDataFrame(
+        [(2, "INSERT,employee,hr,101,Smith, J ,x")], "seq long, value string"
+    )
+    row2 = parse_cdc_lines(plain).collect()[0]
+    assert row2["payload"] == ["101", "Smith", " J ", "x"]
+
+
+def test_apply_unknown_op_surfaces_as_exception(spark, catalog):
+    """r6 review: an op outside INSERT/UPDATE/DELETE used to vanish
+    from state, counts, and exceptions."""
+    from sample_dms_s3_kinesis_spark.apply import apply_changes
+
+    table = next(t for t in catalog if t.name == "department")
+    current = spark.createDataFrame([], table.schema)
+    changes = spark.createDataFrame(
+        [(1, "INSERT", 301, "Eng"), (2, "MERGE", 302, "Sales")],
+        "seq long, op string, Id long, DepartmentName string",
+    )
+    res = apply_changes(spark, table, current, changes)
+    assert {r["Id"] for r in res.new_state.collect()} == {301}
+    exc = res.exceptions.collect()
+    assert len(exc) == 1 and exc[0]["op"] == "MERGE" and exc[0]["seq"] == 2
+    counts = res.counts.collect()[0]
+    assert counts["exceptions"] == 1
+    res.unpersist()

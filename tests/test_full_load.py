@@ -112,3 +112,37 @@ def test_full_load_selection_rules(spark, catalog, source_root):
     # employee only: drop + create + 4 loads.
     assert len(sink.events) == 6
     assert {r["partition_key"] for r in sink.records} == {"hr.employee"}
+
+
+def test_full_load_multisplit_file_preserves_line_order(spark, catalog, tmp_path):
+    """r6 review: a LOAD file larger than one input split used to
+    order lines by monotonic id alone, which is not comparable across
+    splits — the (_src_file, _blk, _line_id) order is stable at any
+    maxPartitionBytes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.sources.csv_source import read_table
+
+    root = str(tmp_path / "src")
+    os.makedirs(f"{root}/hr/department")
+    n = 5000
+    with open(f"{root}/hr/department/LOAD001.csv", "w") as f:
+        for i in range(n):
+            f.write(f"{i},name-{i:05d}\n")
+    dept = next(t for t in catalog if t.name == "department")
+    # force many tiny splits so the file genuinely spans several
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        df = read_table(spark, dept, root, with_order_columns=True)
+        assert df.rdd.getNumPartitions() > 1   # multi-split achieved
+        ordered = [
+            r["Id"]
+            for r in df.orderBy("_src_file", "_blk", "_line_id")
+            .select("Id")
+            .collect()
+        ]
+        assert ordered == list(range(n))
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")

@@ -73,14 +73,25 @@ def test_batching_respects_put_records_cap():
     ]
 
 
-def test_failed_tail_retried_in_order():
-    # first call fails records 2 and 3; retry call succeeds
+def test_partial_failure_retries_from_first_failed_index():
+    """r6 review: retrying only the failed SUBSET left a throttled
+    record stranded after later records with no way to recover order.
+    Retrying from the first failed index re-sends the whole tail
+    (at-least-once duplicates), so the stream's LAST occurrence of
+    every seq is in correct order — keep-last-per-seq dedup recovers
+    exact FIFO, which the subset retry could never do."""
     client = FakeKinesis(fail_plan=[{2, 3}])
     _emit_partition(_rows(5), "s", lambda: client)
-    assert client.calls == [5, 2]
-    assert [r["Data"].decode() for r in client.records] == [
-        '{"seq": 0}', '{"seq": 1}', '{"seq": 4}', '{"seq": 2}', '{"seq": 3}',
+    assert client.calls == [5, 3]           # tail 2,3,4 re-sent whole
+    datas = [r["Data"].decode() for r in client.records]
+    assert datas == [
+        '{"seq": 0}', '{"seq": 1}', '{"seq": 4}',   # first call's landings
+        '{"seq": 2}', '{"seq": 3}', '{"seq": 4}',   # contiguous retried tail
     ]
+    # keep-LAST occurrence per seq = exact original order
+    last_pos = {d: i for i, d in enumerate(datas)}
+    recovered = sorted(last_pos, key=last_pos.get)
+    assert recovered == [f'{{"seq": {i}}}' for i in range(5)]
 
 
 def test_drain_stream_pages_and_arrival_filter():
