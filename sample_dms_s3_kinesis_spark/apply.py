@@ -422,6 +422,22 @@ class ParquetTargetStore:
     def _stats_file(self) -> str:
         return f"{self.root}/_STATS.json"
 
+    # drained-files ledger: CdcTask.process_available consumes files
+    # exactly once across repeated drains (re-reading a consumed file
+    # would re-emit its events under NEW seqs — duplicates downstream
+    # seq-keyed dedup cannot drop — and re-apply its changes).
+
+    def _drained_file(self) -> str:
+        return f"{self.root}/_DRAINED.json"
+
+    def load_drained(self, task_id: str) -> list[str]:
+        return list(self._sidecar_load(self._drained_file()).get(task_id, []))
+
+    def save_drained(self, task_id: str, files: list[str]) -> None:
+        marks = self._sidecar_load(self._drained_file())
+        marks[task_id] = sorted(set(files))
+        self._sidecar_save(self._drained_file(), marks)
+
     def load_stats(self, task_id: str) -> dict:
         return self._sidecar_load(self._stats_file()).get(task_id, {})
 

@@ -36,6 +36,7 @@ def binned_range_join(
     start_col: str,
     end_col: str,
     bin_width: int,
+    max_bins_per_interval: int = 1_000_000,
 ) -> DataFrame:
     """Inner-join each point row to every interval row with
     ``start <= point < end`` (end-exclusive), all columns of both inputs
@@ -47,6 +48,13 @@ def binned_range_join(
     Empty intervals (start >= end) match nothing.  Left/anti variants
     compose from this: e.g. unmatched points = points left-anti the
     matched point ids.
+
+    ``max_bins_per_interval`` caps the per-row explode: an open-ended
+    sentinel interval (end = Long.MAX, the common SCD "still open"
+    encoding) would otherwise ask F.sequence for billions of elements
+    and kill the job with an opaque array-size error — the cap fails
+    the offending ROW loudly instead (widen ``bin_width`` or close the
+    sentinel before joining).
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
@@ -55,14 +63,32 @@ def binned_range_join(
     def to_bin(c: Column) -> Column:
         return F.floor(c.cast("double") / w.cast("double")).cast("long")
 
+    n_bins = to_bin(F.col(end_col) - 1) - to_bin(F.col(start_col)) + 1
+    guard = F.assert_true(
+        n_bins <= F.lit(int(max_bins_per_interval)),
+        F.concat(
+            F.lit(
+                "binned_range_join: interval spans more than "
+                f"{max_bins_per_interval} bins (bin_width={bin_width}"
+                "); widen bin_width or close open-ended intervals"
+            )
+        ),
+    )
     pb = points.withColumn(_BIN, to_bin(F.col(point_col)))
     ib = (
         intervals.filter(F.col(start_col) < F.col(end_col))
         .withColumn(
             _BIN,
             F.explode(
-                # end is exclusive, so the last covered bin holds end-1.
-                F.sequence(to_bin(F.col(start_col)), to_bin(F.col(end_col) - 1))
+                # end is exclusive, so the last covered bin holds end-1;
+                # assert_true is NULL on success, so the when() always
+                # takes the otherwise branch after evaluating the guard
+                F.when(guard.isNotNull(), F.array(F.lit(0).cast("long")))
+                .otherwise(
+                    F.sequence(
+                        to_bin(F.col(start_col)), to_bin(F.col(end_col) - 1)
+                    )
+                )
             ),
         )
     )

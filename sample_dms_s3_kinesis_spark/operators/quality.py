@@ -89,11 +89,20 @@ def check_expectations(
         F.explode(
             F.array(
                 *[
+                    # coalesce: over ZERO rows the sums are NULL and
+                    # passed would be NULL too — a gate doing
+                    # all(passed) spuriously fails while a NOT-passed
+                    # filter spuriously passes; an empty frame
+                    # violates nothing
                     F.struct(
                         F.lit(r.name).alias("rule"),
                         F.col("_n").cast("long").alias("n_rows"),
-                        F.col(f"_v{i}").cast("long").alias("n_violations"),
-                        (F.col(f"_v{i}") == 0).alias("passed"),
+                        F.coalesce(F.col(f"_v{i}"), F.lit(0))
+                        .cast("long")
+                        .alias("n_violations"),
+                        (F.coalesce(F.col(f"_v{i}"), F.lit(0)) == 0).alias(
+                            "passed"
+                        ),
                     )
                     for i, r in enumerate(rules)
                 ]

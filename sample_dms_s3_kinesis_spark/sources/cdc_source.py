@@ -40,17 +40,20 @@ CDC_FILE_PATTERN = "cdc*.csv"
 _LINES_PER_FILE = 1_000_000_000
 
 
-def read_cdc_lines(spark: SparkSession, cdc_dir: str) -> DataFrame:
-    """Batch read of all pending CDC files → (value, file_seq, line_no)."""
-    lines = (
-        spark.read.format("text")
-        .option("pathGlobFilter", CDC_FILE_PATTERN)
-        .load(cdc_dir)
-        .select(
-            "value",
-            F.col("_metadata.file_path").alias("_file"),
-            F.col("_metadata.file_block_start").alias("_blk"),
-        )
+def read_cdc_lines(
+    spark: SparkSession, cdc_dir: str, *, paths: list[str] | None = None
+) -> DataFrame:
+    """Batch read of all pending CDC files → (value, file_seq, line_no).
+    ``paths`` restricts the read to an explicit file list (the drain
+    path's not-yet-consumed subset)."""
+    reader = spark.read.format("text").option(
+        "pathGlobFilter", CDC_FILE_PATTERN
+    )
+    loaded = reader.load(paths) if paths else reader.load(cdc_dir)
+    lines = loaded.select(
+        "value",
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.file_block_start").alias("_blk"),
     )
     return _with_order(lines)
 

@@ -131,9 +131,16 @@ class StatsAccumulator:
     @classmethod
     def from_mapping(cls, data: dict[str, dict[str, int]]) -> "StatsAccumulator":
         acc = cls()
+        known = set(vars(_Counters()))
         for key, fields in data.items():
-            schema, _, table = key.partition(".")
-            acc._stats[(schema, table)] = _Counters(**fields)
+            # rpartition: the TABLE name follows the LAST dot, so a
+            # dotted schema ('hr.eu') round-trips; unknown counter
+            # fields from a newer format are dropped instead of
+            # raising TypeError and bricking task construction
+            schema, _, table = key.rpartition(".")
+            acc._stats[(schema, table)] = _Counters(
+                **{k: v for k, v in fields.items() if k in known}
+            )
         return acc
 
     def to_dataframe(self, spark: SparkSession) -> DataFrame:

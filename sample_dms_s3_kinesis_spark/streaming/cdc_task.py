@@ -136,6 +136,7 @@ class CdcTask(ReplicationTask):
         self.sink = sink
         self.store = store
         self.event_time = event_time
+        self._default_checkpoint = checkpoint_dir is None
         self.checkpoint_dir = checkpoint_dir or f"/tmp/cdc-checkpoint-{uuid.uuid4()}"
         self._query = None
         # Recover the emitted-seq high-water mark alongside the store:
@@ -161,6 +162,14 @@ class CdcTask(ReplicationTask):
         """start-replication: emit start-of-task control events, then
         begin tailing ``cdc_dir``; status reaches ``running`` before any
         change file exists (run.py:189-190)."""
+        if self._default_checkpoint and self._seq_offset > 0:
+            raise ValueError(
+                "restarting CdcTask over a persistent store (seq "
+                f"high-water {self._seq_offset}) with a fresh default "
+                "checkpoint would re-deliver every cdc file as new "
+                "batches and re-emit/re-apply all history — pass the "
+                "original checkpoint_dir"
+            )
         self._set_status(TaskStatus.STARTING)
         self._emit_or_defer_start_controls()
         self._query = (
@@ -209,8 +218,27 @@ class CdcTask(ReplicationTask):
             self._set_status(TaskStatus.STARTING)
             self._emit_or_defer_start_controls()
             self._set_status(TaskStatus.RUNNING)
-        lines = read_cdc_lines(self.spark, self.cdc_dir)
+        # Consume each file exactly ONCE across repeated drains (the
+        # store keeps the ledger): re-reading a consumed file would
+        # re-emit its events under NEW seqs — duplicates downstream
+        # seq-keyed dedup cannot drop — and re-apply its changes.
+        import os as _os
+        import re as _re
+
+        drained = set(self.store.load_drained(self.identifier))
+        pending = sorted(
+            _os.path.join(self.cdc_dir, n)
+            for n in _os.listdir(self.cdc_dir)
+            if _re.fullmatch(r"cdc.*\.csv", n)
+            and _os.path.join(self.cdc_dir, n) not in drained
+        )
+        if not pending:
+            return
+        lines = read_cdc_lines(self.spark, self.cdc_dir, paths=pending)
         self._process_batch(lines, batch_id=-1)
+        self.store.save_drained(
+            self.identifier, list(drained) + pending
+        )
 
     # -- internals -----------------------------------------------------
 

@@ -217,6 +217,18 @@ class CorpusIngestTask(ReplicationTask):
 
     def _write_sig_params(self) -> None:
         os.makedirs(self._sig_dir(), exist_ok=True)
+        if os.path.exists(self._sig_params_file()) and not self._sig_params_ok():
+            # the store was built under DIFFERENT (num_hashes, bands):
+            # new batches are about to write current-geometry
+            # signatures next to stale ones, and a later session
+            # reverting to the old params would trust the mixed store
+            # wholesale.  Signatures are derived data — drop the whole
+            # store and let reads recompute; the params file then pins
+            # the current geometry.
+            import shutil
+
+            shutil.rmtree(self._sig_dir())
+            os.makedirs(self._sig_dir(), exist_ok=True)
         if not os.path.exists(self._sig_params_file()):
             with open(self._sig_params_file(), "w") as f:
                 json.dump(
@@ -260,9 +272,17 @@ class CorpusIngestTask(ReplicationTask):
         if stored:
             parts.append(read_stored(stored))
         if missing:
-            docs = self.spark.read.option(
-                "basePath", self.corpus_dir
-            ).parquet(*[f"{self.corpus_dir}/batch_id={b}" for b in missing])
+            docs = (
+                self.spark.read.option("basePath", self.corpus_dir)
+                .option("mergeSchema", "true")
+                .parquet(*[f"{self.corpus_dir}/batch_id={b}" for b in missing])
+            )
+            if "embedding" not in docs.columns:
+                # batches admitted before the embedding column existed
+                # (same fallback corpus() applies)
+                docs = docs.withColumn(
+                    "embedding", F.lit(None).cast("array<double>")
+                )
             parts.append(recompute(docs))
         if not parts:
             return self.spark.createDataFrame([], empty_schema)
@@ -437,8 +457,34 @@ class CorpusIngestTask(ReplicationTask):
 
     # -- lifecycle -----------------------------------------------------
 
+    def _checkpoint_marker(self) -> str:
+        return f"{self.corpus_dir}/_CHECKPOINT"
+
     def start(self) -> None:
         self._set_status(TaskStatus.STARTING)
+        # Stream epoch ids name the batch directories, so restarting a
+        # populated corpus with a DIFFERENT (or fresh-uuid) checkpoint
+        # would renumber batches from 0: corpus(before=0) bypasses
+        # every dedup gate and overwrite clobbers batch 0's admitted
+        # docs.  Pin the checkpoint the corpus was built with (drains
+        # are manifest-keyed and unaffected).
+        marker = self._checkpoint_marker()
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prior = f.read().strip()
+            if prior != self.checkpoint_dir and self._load_manifest():
+                raise ValueError(
+                    f"corpus {self.corpus_dir} was streamed with "
+                    f"checkpoint {prior}; restarting with "
+                    f"{self.checkpoint_dir} would replay epoch ids "
+                    "over existing batches — reuse the original "
+                    "checkpoint_dir (or a fresh corpus_dir)"
+                )
+        else:
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(self.checkpoint_dir)
+            os.replace(tmp, marker)
         self._query = (
             self.spark.readStream.schema(DOC_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -498,11 +544,16 @@ class CorpusIngestTask(ReplicationTask):
             bad = bad.persist()
             n_contract = bad.count()
             if n_contract > 0:
+                qdir = f"{self.corpus_dir}/_quarantine/batch_id={batch_id}"
                 (
                     bad.select("doc_id", "failed_rule")
                     .write.mode("overwrite")
-                    .parquet(f"{self.corpus_dir}/_quarantine/batch_id={batch_id}")
+                    .parquet(qdir)
                 )
+                # refresh HERE (not in the admitted-write loop): the
+                # quarantine dir is overwritten even when the batch
+                # admits nothing and the loop below never runs
+                self.spark.catalog.refreshByPath(qdir)
             bad.unpersist()
         docs = valid.withColumn("digest", F.md5(F.col("text"))).persist()
         head = docs.agg(
@@ -542,9 +593,13 @@ class CorpusIngestTask(ReplicationTask):
         # idempotent: a re-run of batch N cannot be suppressed by its
         # own previously landed admissions.
         corpus = self.corpus(before=batch_id)
+        # persisted: n_novel, the near-gate candidate build, and the
+        # admitted write would otherwise each re-run the within-batch
+        # window + corpus anti-join (and, with the near gate armed,
+        # the whole shingle+minhash pipeline twice)
         novel = survivors.join(
             corpus.select("digest"), on="digest", how="left_anti"
-        )
+        ).persist()
 
         # (3) optional near-dup gate vs the corpus (banded minhash;
         # the corpus is the existing side and never self-pairs).  The
@@ -733,4 +788,5 @@ class CorpusIngestTask(ReplicationTask):
             },
         )
         admitted.unpersist()
+        novel.unpersist()
         docs.unpersist()

@@ -149,3 +149,31 @@ def test_asof_join_deterministic_on_duplicate_right_ts(spark):
         ).collect()[0]["asof_price"]
         outs.add(out)
     assert outs == {3.0}   # max payload, same under every partitioning
+
+
+def test_binned_range_join_rejects_open_ended_sentinel(spark):
+    """r6 review: an open-ended sentinel interval used to ask
+    F.sequence for billions of elements and kill the job opaquely —
+    the per-row cap fails loudly with an actionable message."""
+    import pytest
+
+    from sample_dms_s3_kinesis_spark.operators.intervals import (
+        binned_range_join,
+    )
+
+    pts = spark.createDataFrame([(1, 100)], "pid long, v long")
+    iv = spark.createDataFrame(
+        [(9, 0, 2**62)], "iid long, s long, e long"  # "still open"
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        binned_range_join(
+            pts, iv, point_col="v", start_col="s", end_col="e",
+            bin_width=1000, max_bins_per_interval=10_000,
+        ).collect()
+    # a sane interval under the cap still joins
+    ok = binned_range_join(
+        pts,
+        spark.createDataFrame([(9, 0, 5000)], "iid long, s long, e long"),
+        point_col="v", start_col="s", end_col="e", bin_width=1000,
+    ).collect()
+    assert len(ok) == 1

@@ -423,3 +423,57 @@ def test_apply_unknown_op_surfaces_as_exception(spark, catalog):
     counts = res.counts.collect()[0]
     assert counts["exceptions"] == 1
     res.unpersist()
+
+
+def test_process_available_is_repeat_safe(spark, catalog, tmp_path):
+    """r6 review: a second drain used to re-read every file —
+    re-emitting all events under NEW seqs and re-applying changes;
+    the store's drained-files ledger consumes each file exactly once
+    and picks up genuinely new files incrementally."""
+    import os
+
+    from sample_dms_s3_kinesis_spark.apply import ParquetTargetStore
+    from sample_dms_s3_kinesis_spark.sinks.memory import MemorySink
+    from sample_dms_s3_kinesis_spark.streaming.cdc_task import CdcTask
+
+    cdc_dir = str(tmp_path / "cdc")
+    os.makedirs(cdc_dir)
+    sink = MemorySink()
+    task = CdcTask(
+        spark, catalog, cdc_dir, sink,
+        ParquetTargetStore(str(tmp_path / "t")),
+        event_time="2026-01-01T00:00:00.000Z",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    with open(os.path.join(cdc_dir, "cdc0000000001.csv"), "w") as f:
+        f.write("INSERT,department,hr,401,Eng\n")
+    task.process_available()
+    n1 = len(sink.events)
+    dept = next(t for t in catalog if t.name == "department")
+    task.process_available()          # nothing new: full no-op
+    assert len(sink.events) == n1
+    assert task.table_state(dept).count() == 1
+    assert task.exceptions_table().count() == 0   # no spurious re-INSERT
+    with open(os.path.join(cdc_dir, "cdc0000000002.csv"), "w") as f:
+        f.write("INSERT,department,hr,402,Sales\n")
+    task.process_available()          # only the new file
+    assert len(sink.events) == n1 + 1
+    assert task.table_state(dept).count() == 2
+
+
+def test_cdc_restart_requires_original_checkpoint(spark, catalog, tmp_path):
+    import os
+
+    import pytest
+
+    from sample_dms_s3_kinesis_spark.apply import ParquetTargetStore
+    from sample_dms_s3_kinesis_spark.sinks.memory import MemorySink
+    from sample_dms_s3_kinesis_spark.streaming.cdc_task import CdcTask
+
+    cdc_dir = str(tmp_path / "cdc")
+    os.makedirs(cdc_dir)
+    store = ParquetTargetStore(str(tmp_path / "t"))
+    store.save_seq("cdc-task", 42)     # a prior session's high-water
+    task = CdcTask(spark, catalog, cdc_dir, MemorySink(), store)
+    with pytest.raises(ValueError, match="original checkpoint_dir"):
+        task.start()

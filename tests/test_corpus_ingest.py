@@ -558,3 +558,46 @@ def test_ivf_gate_output_incremental_vector_search(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="no IVF quantizer"):
         bare.ivf_index()
+
+
+def test_stream_restart_requires_original_checkpoint(spark, tmp_path):
+    """r6 review: restarting a populated corpus with a different
+    checkpoint would replay epoch ids over existing batch dirs."""
+    import pytest
+
+    drop = str(tmp_path / "drop")
+    corpus = str(tmp_path / "corpus")
+    task = CorpusIngestTask(
+        spark, drop, corpus, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop(drop, "c1.json", [(1, "alpha beta gamma")])
+    task.start()
+    deadline = time.time() + 90
+    while time.time() < deadline and not task._load_manifest():
+        time.sleep(0.5)
+    task.stop()
+    assert task.corpus().count() == 1
+    # same checkpoint: fine
+    t2 = CorpusIngestTask(
+        spark, drop, corpus, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    t2.start()
+    t2.stop()
+    # different checkpoint over a populated corpus: refused
+    t3 = CorpusIngestTask(
+        spark, drop, corpus, checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(ValueError, match="reuse the original"):
+        t3.start()
+
+
+def test_check_expectations_empty_frame_passes(spark):
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.operators import quality
+
+    empty = spark.createDataFrame([], "x long")
+    rows = quality.check_expectations(
+        empty, [quality.not_null("x_nn", "x")]
+    ).collect()
+    assert rows[0]["n_violations"] == 0 and rows[0]["passed"] is True
