@@ -261,22 +261,38 @@ class ParquetTargetStore:
         import os
 
         os.makedirs(self.root, exist_ok=True)
-        # merge-on-save: reload the on-disk map and overlay this
-        # store's entries — a concurrent writer sharing the store root
-        # (the case rewind_versions explicitly supports) would
-        # otherwise have its pointers erased by our stale snapshot
-        on_disk: dict = {}
-        if os.path.exists(self._versions_file()):
+        # merge-on-save under an advisory lock: reload the on-disk map
+        # and overlay this store's entries — a concurrent writer
+        # sharing the store root (the case rewind_versions explicitly
+        # supports) would otherwise have its pointers erased by our
+        # stale snapshot, and without the lock two writers could still
+        # interleave load/replace and lose each other's pointers.  A
+        # single-host flock is the right scope for this local parquet
+        # stand-in; a table format's transaction log replaces it at
+        # scale.
+        lock_path = self._versions_file() + ".lock"
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
             try:
-                with open(self._versions_file()) as f:
-                    on_disk = json.load(f)
-            except (OSError, ValueError):
-                on_disk = {}
-        merged = {**on_disk, **self._versions}
-        tmp = self._versions_file() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(merged, f)
-        os.replace(tmp, self._versions_file())
+                import fcntl
+
+                fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: best-effort, no lock
+                pass
+            on_disk: dict = {}
+            if os.path.exists(self._versions_file()):
+                try:
+                    with open(self._versions_file()) as f:
+                        on_disk = json.load(f)
+                except (OSError, ValueError):
+                    on_disk = {}
+            merged = {**on_disk, **self._versions}
+            tmp = self._versions_file() + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(merged, f)
+            os.replace(tmp, self._versions_file())
+        finally:
+            os.close(lock_fd)
 
     def _dir(self, name: str, version: int) -> str:
         return f"{self.root}/{name}/v{version:06d}"
@@ -362,9 +378,10 @@ class ParquetTargetStore:
         stats: dict,
         *,
         checkpoint: str | None = None,
+        drain_files: list[str] | None = None,
     ) -> None:
         marks = self._sidecar_load(self._seq_file())
-        marks[f"{task_id}#batch"] = {
+        mark = {
             "batch_id": int(batch_id),
             "offset": int(offset),
             "stats": stats,
@@ -375,6 +392,11 @@ class ParquetTargetStore:
             # at 0 and could otherwise spuriously match a stale mark.
             "checkpoint": checkpoint,
         }
+        if drain_files is not None:
+            # batch_id=-1 drain marks: the file list is the batch's
+            # identity (drains have no checkpoint-issued batch number)
+            mark["drain_files"] = sorted(drain_files)
+        marks[f"{task_id}#batch"] = mark
         self._sidecar_save(self._seq_file(), marks)
 
     def update_batch_mark(self, task_id: str, **fields) -> None:

@@ -58,11 +58,15 @@ def has_shuffle(df: DataFrame) -> bool:
     assertion hook for co-location tests and plan audits.  Matches ANY
     shuffle exchange (hash, range, round-robin, single-partition) —
     only BroadcastExchange is not a shuffle; the former two-pattern
-    match reported global aggregates and repartitions shuffle-free."""
+    match reported global aggregates and repartitions shuffle-free.
+    ``ReusedExchange`` nodes are excluded too: reuse of a broadcast
+    exchange is not a shuffle, and reuse of a shuffle exchange always
+    coexists with the original ``Exchange`` node it points at, which
+    this still matches."""
     import re as _re
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     return bool(
-        _re.search(r"(?<!Broadcast)Exchange[ (]", plan)
+        _re.search(r"(?<!Broadcast)(?<!Reused)Exchange[ (]", plan)
         or plan.startswith("Exchange")
     )

@@ -159,9 +159,15 @@ def pagerank(
                 + damping * (contrib[v] + dangling / n)
                 for v in nodes_l
             }
-        return e.sparkSession.createDataFrame(
-            [(v, round(x, scale)) for v, x in rank.items()],
-            f"id {id_type}, rank double",
+        # round with F.round (HALF_UP) like the distributed path —
+        # Python round() is banker's rounding, and the two paths are
+        # documented as producing identical ranks either side of the
+        # driver_threshold gate
+        return (
+            e.sparkSession.createDataFrame(
+                list(rank.items()), f"id {id_type}, rank double"
+            )
+            .select("id", F.round("rank", scale).alias("rank"))
         )
     nodes = (
         e.select(F.col("_s").alias("id"))

@@ -229,8 +229,17 @@ def lsh_topk(
     dim = len(query_vec)
     # a corpus/query dimension mismatch would NULL-poison every corpus
     # signature to 0 (zip_with pads nulls) and silently return an
-    # empty top-k — fail loudly instead (one 1-row probe)
-    first = df.select(F.size(F.col(vec_col)).alias("_d")).first()
+    # empty top-k — fail loudly instead.  Probe the first NON-NULL
+    # vector: a leading NULL embedding is legal (the brute-force/IVF
+    # paths tolerate it) and F.size(NULL) is NULL, which must not
+    # read as a mismatch.  Per-row stragglers of a different length
+    # hash to NULL signatures and fall out of the bucket filter, the
+    # same degenerate-row tolerance as the exact path.
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("_d"))
+        .first()
+    )
     if first is not None and first["_d"] != dim:
         raise ValueError(
             f"query vector has {dim} components but the corpus "

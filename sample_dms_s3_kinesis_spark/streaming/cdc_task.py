@@ -234,11 +234,64 @@ class CdcTask(ReplicationTask):
         )
         if not pending:
             return
-        lines = read_cdc_lines(self.spark, self.cdc_dir, paths=pending)
-        self._process_batch(lines, batch_id=-1)
-        self.store.save_drained(
-            self.identifier, list(drained) + pending
-        )
+        # Drain replay mark: _process_batch advances seqs, stats and
+        # version pointers, but save_drained below is what records the
+        # files as consumed — a crash in that window would re-process
+        # the same files on the next drain under NEW seqs (the exact
+        # hazard the streaming path's batch mark closes).  Drains have
+        # no checkpoint-issued batch number, so the marked FILE LIST is
+        # the batch identity: a surviving mark whose files are still
+        # un-drained is an interrupted drain.  The replay rewinds to
+        # the recorded pre-drain state and re-processes EXACTLY the
+        # marked files — never a superset: files that arrived after the
+        # crash would allocate seqs past the replayed range, colliding
+        # with any start controls a restart emitted there.  They drain
+        # as a fresh marked batch on the second loop pass instead.
+        mark = self.store.load_batch_mark(self.identifier)
+        while pending:
+            rewound_mark = None
+            if (
+                mark is not None
+                and mark.get("batch_id") == -1
+                and mark.get("checkpoint") == self.checkpoint_dir
+                and set(mark.get("drain_files") or []) <= set(pending)
+            ):
+                rewound_mark = mark
+                batch_files = sorted(mark["drain_files"])
+                self._seq_offset = mark["offset"]
+                self.stats = StatsAccumulator.from_mapping(mark["stats"])
+                self.store.rewind_versions(
+                    mark["versions"], owned=self._owned_table_names()
+                )
+            else:
+                batch_files = pending
+                self.store.save_batch_mark(
+                    self.identifier,
+                    -1,
+                    self._seq_offset,
+                    self.stats.to_mapping(),
+                    checkpoint=self.checkpoint_dir,
+                    drain_files=batch_files,
+                )
+            lines = read_cdc_lines(
+                self.spark, self.cdc_dir, paths=batch_files
+            )
+            self._process_batch(lines, batch_id=-1)
+            if rewound_mark is not None:
+                # Same floor the streaming replay applies: a restart
+                # after the interrupted drain's save_seq emits start
+                # controls ABOVE the drained range (folded into the
+                # mark as restart_seq_high); the next allocation must
+                # land past them, never inside.
+                floor = int(rewound_mark.get("restart_seq_high") or 0)
+                if floor > self._seq_offset:
+                    self._seq_offset = floor
+                    self.store.save_seq(self.identifier, self._seq_offset)
+            drained |= set(batch_files)
+            self.store.save_drained(self.identifier, sorted(drained))
+            self.store.clear_batch_mark(self.identifier)
+            mark = None
+            pending = [p for p in pending if p not in drained]
 
     # -- internals -----------------------------------------------------
 

@@ -169,6 +169,8 @@ class SketchMetricsTask(ReplicationTask):
         otherwise clobber)."""
         import json as _json
 
+        import shutil as _shutil
+
         if self.status == TaskStatus.READY.value:
             self._set_status(TaskStatus.RUNNING)
         mf = f"{self.store_dir}/_FILES.json"
@@ -176,6 +178,30 @@ class SketchMetricsTask(ReplicationTask):
         if os.path.exists(mf):
             with open(mf) as f:
                 seen = _json.load(f)
+        # Reconcile an interrupted drain: _process_batch writes the
+        # sketch partitions BEFORE the manifest update below records
+        # the files as seen, so a crash in that window would re-sketch
+        # the same files on the next drain under a NEW batch id —
+        # silently double-merging counters (sketches have no content
+        # dedup to catch it).  The in-flight marker written before
+        # processing makes the window detectable: if its files never
+        # reached the manifest, the drain did not commit — roll its
+        # (possibly partial) sketch partitions back and let the files
+        # re-drain; if they did, only the marker removal was lost.
+        pf = f"{self.store_dir}/_PENDING.json"
+        if os.path.exists(pf):
+            try:
+                with open(pf) as f:
+                    inflight = _json.load(f)
+            except (OSError, ValueError):
+                inflight = None
+            if inflight and not set(inflight.get("files", [])) <= set(seen):
+                for d in (self._cms_dir(), self._kmv_dir()):
+                    _shutil.rmtree(
+                        f"{d}/batch_id={int(inflight['id'])}",
+                        ignore_errors=True,
+                    )
+            os.remove(pf)
         pending = sorted(
             os.path.join(self.drop_dir, n)
             for n in os.listdir(self.drop_dir)
@@ -189,12 +215,20 @@ class SketchMetricsTask(ReplicationTask):
                 default=999_999_999)
             + 1
         )
+        tmp = pf + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"id": next_id, "files": pending}, f)
+        os.replace(tmp, pf)
         df = self.spark.read.schema(EVENT_SCHEMA).json(pending)
         self._process_batch(df, next_id)
         tmp = mf + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(seen + pending, f)
         os.replace(tmp, mf)
+        try:
+            os.remove(pf)
+        except OSError:
+            pass
 
     # -- store ---------------------------------------------------------
 

@@ -270,3 +270,86 @@ def test_restarted_task_resumes_from_checkpoint(spark, catalog, cdc_dir, tmp_pat
         for r in store2.read(spark, dept).collect()
     }
     assert final == {401: "Platform", 402: "Sales", 403: "Legal"}
+
+
+def test_drain_crash_before_ledger_replays_same_seq_range(
+    spark, catalog, cdc_dir, tmp_path
+):
+    """Crash between a drain's ``_process_batch`` and ``save_drained``:
+    the drained-files ledger never records the files, so the next drain
+    re-reads them.  The drain mark (r6 advice) must make that replay
+    rewind — the files re-emit under the SAME seqs and their changes
+    apply exactly once, even when new files arrived in between."""
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "target")
+    ts = "2026-01-01T00:00:00.000Z"
+
+    sink1 = MemorySink()
+    store1 = ParquetTargetStore(target)
+    task1 = CdcTask(
+        spark, catalog, cdc_dir, sink1, store1,
+        event_time=ts, checkpoint_dir=ckpt,
+    )
+    write_cdc_file(cdc_dir, 1, FILE_1)
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before ledger")
+
+    store1.save_drained = boom  # crash in the exact hazard window
+    try:
+        task1.process_available()
+    except RuntimeError:
+        pass
+    crashed_data_seqs = [
+        r["seq"]
+        for r, e in zip(sink1.records, sink1.events)
+        if e["metadata"]["record-type"] == "data"
+    ]
+    assert len(crashed_data_seqs) == 2  # file 1 applied and emitted
+
+    # Process restart: fresh task over the same store root; a new CDC
+    # file arrived meanwhile, so the replay drain covers a SUPERSET.
+    write_cdc_file(cdc_dir, 2, FILE_2)
+    sink2 = MemorySink()
+    store2 = ParquetTargetStore(target)
+    task2 = CdcTask(
+        spark, catalog, cdc_dir, sink2, store2,
+        event_time=ts, checkpoint_dir=ckpt,
+    )
+    task2.process_available()
+    replay = [
+        (r["seq"], e["metadata"]["record-type"],
+         (e["data"] or {}).get("Id"), e["metadata"]["operation"])
+        for r, e in zip(sink2.records, sink2.events)
+    ]
+    data = [x for x in replay if x[1] == "data"]
+    controls = [x for x in replay if x[1] == "control"]
+    # file 1's rows re-emitted under the SAME seqs (idempotent
+    # downstream), file 2's rows continue after them
+    assert [s for s, *_ in data[:2]] == crashed_data_seqs
+    assert [(i, op) for _, _, i, op in data] == [
+        (401, "insert"), (402, "insert"), (401, "update"), (403, "insert"),
+    ]
+    # restart controls never collide with replayed data seqs
+    assert not {s for s, *_ in controls} & {s for s, *_ in data}
+    all_seqs = [s for s, *_ in replay]
+    assert len(all_seqs) == len(set(all_seqs))
+
+    # applied exactly once: final state and statistics count file 1 once
+    dept = next(t for t in catalog if t.name == "department")
+    final = {
+        r["Id"]: r["DepartmentName"]
+        for r in store2.read(spark, dept).collect()
+    }
+    assert final == {401: "Platform", 402: "Sales", 403: "Legal"}
+    stats = {
+        (r["SchemaName"], r["TableName"]): r
+        for r in task2.table_statistics(spark).collect()
+    }
+    assert stats[("hr", "department")]["Inserts"] == 3
+    assert stats[("hr", "department")]["Updates"] == 1
+
+    # a committed drain clears the mark: one more drain is a no-op
+    n = len(sink2.records)
+    task2.process_available()
+    assert len(sink2.records) == n

@@ -236,3 +236,63 @@ def test_cms_estimate_drops_null_probes(spark):
     rows = sketches.cms_estimate(cms, probes, "x", width=32, depth=3).collect()
     got = {r["x"]: r["est_count"] for r in rows}
     assert len(rows) == 1 and got["a"] >= 2  # one row per non-null probe
+
+
+def test_drain_crash_before_manifest_does_not_double_merge(spark, tmp_path):
+    """Crash between the sketch-batch write and the _FILES.json manifest
+    update (r6 advice): the next drain would re-sketch the same files
+    under a NEW batch id, silently double-merging CMS counters.  The
+    in-flight marker written before processing lets the next drain roll
+    the uncommitted batch's partitions back and re-drain exactly once."""
+    drop = str(tmp_path / "drop")
+    task = SketchMetricsTask(
+        spark, drop, str(tmp_path / "store"),
+        width=256, depth=5, k=128,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop(drop, "e1.json", _events(3, 0, 100, 30))
+    task.process_available()  # committed baseline drain
+
+    # Second drain crashes AFTER the sketches land, BEFORE the manifest
+    # records the files: fail only the manifest's os.replace.
+    _drop(drop, "e2.json", _events(4, 500, 100, 30))
+    mf = f"{task.store_dir}/_FILES.json"
+    real_replace = os.replace
+
+    def crash_on_manifest(src, dst):
+        if dst == mf:
+            raise RuntimeError("crash before manifest")
+        return real_replace(src, dst)
+
+    import sample_dms_s3_kinesis_spark.streaming.metrics as metrics_mod
+    metrics_mod.os.replace = crash_on_manifest
+    try:
+        task.process_available()
+        raised = False
+    except RuntimeError:
+        raised = True
+    finally:
+        metrics_mod.os.replace = real_replace
+    assert raised
+
+    # Restarted task over the same store: reconcile + re-drain e2 once.
+    task2 = SketchMetricsTask(
+        spark, drop, str(tmp_path / "store"),
+        width=256, depth=5, k=128,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    task2.process_available()
+    probes = spark.createDataFrame(
+        [("view",), ("click",)], "event_type string"
+    )
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in task2.freq_estimate(probes).collect()
+    }
+    # 200 events total; a double merge of e2 would push this to ~300
+    assert est["view"] + est["click"] <= 220, est
+    # marker consumed; a further drain is a no-op
+    assert not os.path.exists(f"{task.store_dir}/_PENDING.json")
+    ids = task2._batch_ids()
+    task2.process_available()
+    assert task2._batch_ids() == ids

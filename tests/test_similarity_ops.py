@@ -647,3 +647,23 @@ def test_cosine_degenerate_inputs_are_null_never_nan(spark):
     )
     got_batch = similarity.batch_topk(df, queries, k=3).collect()
     assert [r["vec_id"] for r in got_batch] == [1]  # no NULL padding
+
+
+def test_lsh_topk_tolerates_leading_null_vector(spark):
+    """A NULL embedding in the probed row must not read as a dimension
+    mismatch (r6 advice): F.size(NULL) is NULL != dim.  The guard probes
+    the first NON-NULL vector; NULL rows simply never match a bucket."""
+    emb = spark.createDataFrame(
+        [(0, None)] + [(i, [float(i), 1.0, 0.5, 2.0]) for i in range(1, 20)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)  # deterministic scan order: the NULL row is first
+    got = similarity.lsh_topk(
+        emb, [1.0, 1.0, 0.5, 2.0], k=5, planes=6, hamming_probes=2
+    ).collect()
+    assert got  # searched instead of raising
+    assert all(r["vec_id"] != 0 for r in got)
+    # an all-NULL corpus is degenerate, not a mismatch error
+    all_null = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>"
+    )
+    assert similarity.lsh_topk(all_null, [1.0, 2.0], k=3).collect() == []
