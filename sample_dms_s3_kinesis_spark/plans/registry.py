@@ -1183,6 +1183,90 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # import sits below every symbol it needs from this module.
 from sample_dms_s3_kinesis_spark.plans import relational_ext  # noqa: E402,F401
 
+
+# =====================================================================
+# Replication-core E2E (driver-visible row for the CDC pipeline)
+# =====================================================================
+
+# The reference's own CDC golden (run.py:194-198, README.md:84 and the
+# table-statistics composition run.py:141-148), hand-derived from the
+# fixture change files at lib/query.py:16-27: per (schema, table) —
+# event-log op counts (4 create-table controls incl. the exceptions
+# pseudo-table, 4 inserts / 3 updates / 4 deletes) and apply outcomes
+# (department's DELETE of never-inserted PK 301 is the one apply
+# exception; everything else applies).
+_CDC_E2E_FILE_1 = """INSERT,employee,hr,101,Smith,Bob,2014-06-04,New York
+UPDATE,employee,hr,101,Smith,Bob,2015-10-08,Los Angeles
+UPDATE,employee,hr,101,Smith,Bob,2017-03-13,Dallas
+DELETE,employee,hr,101,Smith,Bob,2017-03-13,Dallas"""
+_CDC_E2E_FILE_2 = """INSERT,department,hr,204,Software
+INSERT,employee,hr,101,Smith,Bob,2015-10-08,Los Angeles
+INSERT,project,hr,101,Project1,Description1
+DELETE,project,hr,101,Project1,Description1
+DELETE,department,hr,301,Software
+UPDATE,employee,hr,101,Smith,Bob,2017-03-13,Dallas
+DELETE,employee,hr,101,Smith,Bob,2017-03-13,Dallas"""
+
+
+@_register(
+    "q_cdc_e2e_stats",
+    """
+    SELECT * FROM (VALUES
+      ('hr', 'awsdms_apply_exceptions', 0, 0, 0, 0, 1, 0, 0, 0, 0),
+      ('hr', 'department',              0, 1, 0, 1, 1, 1, 0, 0, 1),
+      ('hr', 'employee',               0, 2, 3, 2, 1, 2, 3, 2, 0),
+      ('hr', 'project',                0, 1, 0, 1, 1, 1, 0, 1, 0)
+    ) AS t(SchemaName, TableName, FullLoadRows, Inserts, Updates,
+           Deletes, Ddls, AppliedInserts, AppliedUpdates,
+           AppliedDeletes, ApplyExceptions)
+    ORDER BY SchemaName, TableName
+    """,
+    "replication core E2E: replay the reference CDC fixture through "
+    "parse→route→envelope→apply in one batch drain and return "
+    "describe_table_statistics; oracle = the hand-derived reference "
+    "golden (run.py:198, README.md:84)",
+    "O1/O2/O9/O16/O17/O24/O25 end-to-end",
+)
+def q_cdc_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.apply import ParquetTargetStore
+    from sample_dms_s3_kinesis_spark.catalog import (
+        REFERENCE_TABLE_DEFINITION,
+        Catalog,
+    )
+    from sample_dms_s3_kinesis_spark.sinks import MemorySink
+    from sample_dms_s3_kinesis_spark.streaming.cdc_task import CdcTask
+
+    root = tempfile.mkdtemp(prefix="q_cdc_e2e_stats_")
+    try:
+        cdc_dir = os.path.join(root, "changedata")
+        os.makedirs(cdc_dir)
+        for seq, body in ((1, _CDC_E2E_FILE_1), (2, _CDC_E2E_FILE_2)):
+            with open(
+                os.path.join(cdc_dir, f"cdc{seq:010d}.csv"), "w"
+            ) as f:
+                f.write(body + "\n")
+        task = CdcTask(
+            spark,
+            Catalog.from_external_table_definition(
+                REFERENCE_TABLE_DEFINITION
+            ),
+            cdc_dir,
+            MemorySink(),
+            ParquetTargetStore(os.path.join(root, "target")),
+            event_time="2026-01-01T00:00:00.000Z",
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        task.process_available()
+        # table_statistics builds from driver-side accumulator rows
+        # (no file lineage), so the scratch dir can go immediately
+        return task.table_statistics(spark)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero
@@ -1199,81 +1283,71 @@ from sample_dms_s3_kinesis_spark.plans import relational_ext  # noqa: E402,F401
 # aggregates).  After this window lands, every query registered
 # through round 5 has at least one driver row.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked: swapped out at the end of round 5 ---
-    "q_entropy_by_source",
-    "q_containment_against",
-    "q_ann_recall",              # rows-only: recall vs exact ground truth
-    "q_skipping_report",
-    "q_dedup_segments",
-    "q_dedup_segments_against",
-    # --- never driver-checked: second round-5 session additions ---
-    "q_unpivot_metrics",
-    "q_array_hof_stats",
-    "q_dedup_segments_within",
-    "q_temperature_mixture",
-    "q_bpe_merges",              # rows-only: iterative merge induction
-    "q_funnel_counts",
-    "q_cohort_retention",
-    "q_funnel_conversion",
-    "q_resample_ffill",
-    "q_rolling_7d_value",
-    "q_daily_anomaly",
-    "q_cohort_ltv",
-    "q_rolling_wau",
-    "q_pq_topk",                 # rows-only: approximate ANN
-    "q_ivfpq_topk",              # rows-only: approximate ANN
-    "q_session_stats",
-    "q_event_transitions",
-    "q_edit_distance_pairs",
-    "q_edit_distance_against",
-    "q_hll_daily_union",         # rows-only: xxhash64 sketch family
-    "q_boolean_search",
-    "q_phrase_search",
-    "q_bm25_search",
-    "q_postings_search",
-    "q_sql_entry_revenue",
-    "q_daily_trend",
-    "q_funnel_windowed",
-    "q_group_split",
-    "q_split_leakage",
-    "q_stickiness",
-    "q_resample_interpolate",
-    "q_split_leakage_near",      # rows-only: minhash near-dup leakage
-    "q_top_journeys",
-    "q_check_expectations",
-    "q_quarantine",
-    "q_funnel_by_cohort",
-    # --- r3-stale back-fill (8): oldest signal, distinct families ---
-    "q_distinct_count",
-    "q_in_subquery",
-    "q_cross_join_region_status",
-    "q_intersect_customers",
-    "q_except_customers",
-    "q_window_first_last",
-    "q_window_agg_events",
-    "q_stats_agg",
+    # --- never driver-checked: registered during round 6 ---
+    "q_pmi_bigrams",
+    "q_lateral_top_order",
+    "q_neardup_degrees",         # rows-only: xxhash64 minhash family
+    "q_recursive_reachability",
+    "q_cdc_chunks",              # rows-only: content-defined chunking
+    "q_dedup_segments_cdc",      # rows-only: CDC-chunk keep-first
+    "q_dedup_segments_cdc_against",  # rows-only: CDC-chunk vs corpus
+    "q_pagerank_neardup",        # rows-only: near-dup graph ranks
+    "q_cms_daily_freq",          # rows-only: CMS sketch estimates
+    "q_kmv_user_overlap",        # rows-only: KMV sketch estimates
+    # --- never driver-checked: registered this round (r7) ---
+    "q_cdc_e2e_stats",
+    # --- r3-stale back-fill: operator families (22) ---
+    "q_array_agg_priorities",
+    "q05_local_supplier_volume",
+    "q_text_fingerprint",
+    "q_text_normalize",
+    "q_text_tokens_bpe",
+    "q_sliding_window_events",
+    "q_group_sample_topk",
+    "q_ann_batch_topk",          # rows-only: approximate ANN
+    "q_embedding_normalize",
+    "q_top_fraction_quality",
+    "q_dedup_incremental",
+    "q_text_tokens",
+    "q_stratified_sample",
+    "q_token_budget_sample",
+    "q_text_langid",
+    "q_window_lag_lead",
+    "q_window_rank_family",
+    "q_session_window_events",
+    "q_unigram_lm_score",
+    "q_pack_sequences",
+    "q_text_repetition",
+    "q_hash_split",
+    # --- r3-stale back-fill: TPC-H shapes (17) ---
+    "q02_min_cost_supplier",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_nation_volume",
+    "q09_product_profit",
+    "q10_returned_revenue",
+    "q11_supplier_value",
+    "q12_status_priority",
+    "q13_order_count_dist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_part_suppliers",
+    "q21_multi_supplier_orders",
+    "q22_idle_rich_customers",
 ]
-# r7 rotation backlog, in priority order (never-checked beats stale):
-# (a) the TEN queries registered during round 6 (never checked):
-#     q_pmi_bigrams, q_lateral_top_order, q_neardup_degrees,
-#     q_recursive_reachability (oracle-bearing); q_cdc_chunks,
-#     q_dedup_segments_cdc, q_dedup_segments_cdc_against,
-#     q_pagerank_neardup, q_cms_daily_freq, q_kmv_user_overlap
-#     (rows-only) — all green under tools/oracle_check.py at
-#     sf0.01 (most also at sf0.001) this round;
-# (b) the remaining 22 r3-stale queries:
-#     q_array_agg_priorities, q05_local_supplier_volume,
-#     q_text_fingerprint, q_text_normalize, q_text_tokens_bpe,
-#     q_sliding_window_events, q_group_sample_topk, q_ann_batch_topk,
-#     q_embedding_normalize, q_top_fraction_quality,
-#     q_dedup_incremental, q_text_tokens, q_stratified_sample,
-#     q_token_budget_sample, q_text_langid, q_window_lag_lead,
-#     q_window_rank_family, q_session_window_events,
-#     q_unigram_lm_score, q_pack_sequences, q_text_repetition,
-#     q_hash_split;
-# (c) the 17 TPC-H queries whose last row is r3
-#     (q02/q04/q06/q07/q09-q17/q19-q22, q10);
-# (d) everything checked in r5/r6 rotates by age thereafter.
+# r8 rotation backlog, in priority order (never-checked beats stale):
+# (a) any query registered during r7 after this window was frozen;
+# (b) r4-stale rows next round: the r4 window families
+#     (envelope/partition-key/union/semi-anti-join/latest-wins/SCD2/
+#     conditional-agg/running-sum/ts-filter/json-extract) plus the r5
+#     window (LIKE filters, top-orders, rollup/cube/grouping sets,
+#     pivot, percentile, as-of/range joins, streaming windows) rotate
+#     by age — no query's latest driver row should be older than two
+#     rounds;
+# (c) everything checked in r6/r7 rotates by age thereafter.
 
 _BY_NAME = {s.name: s for s in _SPECS}
 _unknown = [n for n in DRIVER_WINDOW if n not in _BY_NAME]
