@@ -661,6 +661,7 @@ def _cdc_segments(
     mask_bits: int,
     min_tokens: int,
     max_tokens: int,
+    boundary: str = "xxhash64",
 ) -> DataFrame:
     """Content-defined chunks in the keep-first segment shape
     (id, _pos, _seg, _key) — ONE definition of the chunk-key
@@ -675,6 +676,7 @@ def _cdc_segments(
         mask_bits=mask_bits,
         min_tokens=min_tokens,
         max_tokens=max_tokens,
+        boundary=boundary,
     ).select(
         F.col(id_col),
         F.col("chunk_idx").alias("_pos"),
@@ -691,6 +693,7 @@ def dedup_segments_cdc(
     mask_bits: int = 5,
     min_tokens: int = 8,
     max_tokens: int = 64,
+    boundary: str = "xxhash64",
 ) -> DataFrame:
     """Global segment dedup over CONTENT-DEFINED chunks
     (:func:`~sample_dms_s3_kinesis_spark.operators.text.cdc_chunks`)
@@ -717,6 +720,7 @@ def dedup_segments_cdc(
         mask_bits=mask_bits,
         min_tokens=min_tokens,
         max_tokens=max_tokens,
+        boundary=boundary,
     )
     kept = _keep_first(segs, id_col=id_col)
     return _rebuild_from_segments(corpus, segs, kept, id_col=id_col)
@@ -731,6 +735,7 @@ def dedup_segments_cdc_against(
     mask_bits: int = 5,
     min_tokens: int = 8,
     max_tokens: int = 64,
+    boundary: str = "xxhash64",
 ) -> DataFrame:
     """Incremental twin of :func:`dedup_segments_cdc`, completing the
     segment-dedup matrix ({fixed-width, content-defined} × {self,
@@ -754,6 +759,7 @@ def dedup_segments_cdc_against(
             mask_bits=mask_bits,
             min_tokens=min_tokens,
             max_tokens=max_tokens,
+            boundary=boundary,
         )
 
     segs_new = segs(new)

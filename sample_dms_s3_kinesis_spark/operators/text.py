@@ -650,12 +650,20 @@ def cdc_chunks(
     mask_bits: int = 5,
     min_tokens: int = 8,
     max_tokens: int = 64,
+    boundary: str = "xxhash64",
 ) -> DataFrame:
     """Content-defined chunking (the rolling-hash/Rabin boundary idea
     from dedup storage systems, applied to token streams): a token
     opens a new chunk when its content hash lands in the boundary
     class (``xxhash64(token) % 2^mask_bits == 0``), subject to
-    ``min_tokens``/``max_tokens`` bounds.  Because boundaries depend
+    ``min_tokens``/``max_tokens`` bounds.
+
+    ``boundary="md5"`` selects the class by the first ``mask_bits/4``
+    hex chars of ``md5(token)`` being zero — the SAME boundary rate
+    (2^-mask_bits) with a hash every engine renders identically, so an
+    external oracle (DuckDB ``md5``) can reproduce chunk boundaries
+    exactly; ``mask_bits`` must be a multiple of 4.  Chunking quality
+    is equivalent (both are uniform content-hash classes).  Because boundaries depend
     only on LOCAL token content, an insertion near the start of a
     document shifts only the chunks up to the next surviving boundary
     — after that the chunk stream re-synchronizes, which fixed-width
@@ -677,16 +685,28 @@ def cdc_chunks(
     """
     if min_tokens < 1 or max_tokens < min_tokens:
         raise ValueError("need 1 <= min_tokens <= max_tokens")
+    if boundary == "xxhash64":
+        def _flag(w: Column) -> Column:
+            return F.pmod(F.xxhash64(w), F.lit(1 << mask_bits)) == F.lit(0)
+    elif boundary == "md5":
+        if mask_bits % 4:
+            raise ValueError(
+                "boundary='md5' selects by hex-nibble prefix: mask_bits "
+                f"must be a multiple of 4, got {mask_bits}"
+            )
+        _nibbles = mask_bits // 4
+        def _flag(w: Column) -> Column:
+            return F.substring(
+                F.md5(F.encode(w, "UTF-8")), 1, _nibbles
+            ) == F.lit("0" * _nibbles)
+    else:
+        raise ValueError(f"unknown boundary hash {boundary!r}")
     struct_t = "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"
     tks_expr = F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
 
     def _chunks(tks: Column) -> Column:
         n = F.size(tks)
-        flags = F.transform(
-            tks,
-            lambda w: F.pmod(F.xxhash64(w), F.lit(1 << mask_bits))
-            == F.lit(0),
-        )
+        flags = F.transform(tks, _flag)
 
         def _with_flags(fl: Column) -> Column:
             starts = F.aggregate(

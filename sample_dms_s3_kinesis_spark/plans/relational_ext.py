@@ -5384,14 +5384,59 @@ def q_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
+# Shared oracle CTE: content-defined chunk starts as a recursive fold —
+# the md5 hex-nibble boundary class renders identically in DuckDB and
+# Spark, so boundaries (and therefore chunks) match exactly.  Mirrors
+# cdc_chunks' aggregate fold: s0=0; s_{k+1} = min(s_k + max_tokens,
+# first boundary position >= s_k + min_tokens), appended while <= n-1.
+_CDC_CHUNK_CTE = r"""
+WITH RECURSIVE tokf AS (
+  SELECT doc_id, tks, len(tks) AS n,
+         [i for i in range(1, len(tks))
+            if substr(md5(tks[i+1]), 1, 1) = '0'] AS bpos
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '') AS tks
+    FROM documents)
+  WHERE len(tks) > 0),
+starts(doc_id, s, k) AS (
+  SELECT doc_id, 0, 0 FROM tokf
+  UNION ALL
+  SELECT doc_id, nxt, k + 1 FROM (
+    SELECT t.doc_id,
+           LEAST(st.s + 32,
+                 COALESCE(list_min(list_filter(t.bpos,
+                                               i -> i >= st.s + 4)),
+                          st.s + 32)) AS nxt,
+           st.k AS k, t.n AS n
+    FROM starts st JOIN tokf t USING (doc_id)) q
+  WHERE nxt <= n - 1),
+chunks AS (
+  SELECT st.doc_id, st.k AS chunk_idx,
+         array_to_string(t.tks[st.s + 1 : COALESCE(nx.s, t.n)],
+                         ' ') AS chunk_text,
+         CAST(COALESCE(nx.s, t.n) - st.s AS INT) AS n_tokens
+  FROM starts st JOIN tokf t USING (doc_id)
+  LEFT JOIN starts nx
+    ON nx.doc_id = st.doc_id AND nx.k = st.k + 1)
+"""
+
+
 @_register(
     "q_cdc_chunks",
-    None,
-    "content-defined chunking: rolling-hash (xxhash64 token class) "
-    "boundaries with min/max bounds — shuffle-free per-doc Catalyst "
-    "fold; boundaries re-synchronize after edits where fixed-width "
-    "grids cannot (rows-only: engine-internal hash; reconstruction/"
-    "bounds/shift-resilience pytest-pinned)",
+    _CDC_CHUNK_CTE
+    + """
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+           n_tokens
+    FROM chunks
+    """,
+    "content-defined chunking: content-hash token-class boundaries "
+    "with min/max bounds — shuffle-free per-doc Catalyst fold; "
+    "boundaries re-synchronize after edits where fixed-width grids "
+    "cannot.  md5 hex-nibble boundary class (same 2^-4 rate as the "
+    "xxhash64 default) so the DuckDB oracle reproduces every boundary "
+    "exactly via a recursive-CTE fold",
     "text analysis: content-defined chunking",
 )
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5399,18 +5444,41 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _text.cdc_chunks(
         t(spark, sf_dir, "documents"), mask_bits=4, min_tokens=4,
-        max_tokens=32,
+        max_tokens=32, boundary="md5",
     )
 
 
 @_register(
     "q_dedup_segments_cdc",
-    None,
+    _CDC_CHUNK_CTE
+    + """
+    , segs AS (
+      SELECT doc_id, chunk_idx AS pos, chunk_text AS seg,
+             lower(chunk_text) AS key
+      FROM chunks),
+    kept AS (
+      SELECT doc_id, pos, seg FROM (
+        SELECT doc_id, pos, seg,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY doc_id, pos) AS rn
+        FROM segs) WHERE rn = 1),
+    rb AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS ns FROM segs GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(rb.clean_text, '') AS clean_text,
+           CAST(COALESCE(tot.ns, 0) - COALESCE(rb.nk, 0) AS BIGINT)
+             AS n_removed
+    FROM documents d LEFT JOIN rb USING (doc_id)
+                     LEFT JOIN tot USING (doc_id)
+    """,
     "global keep-first segment dedup over content-defined chunks: "
     "catches repeated passages at ANY offset (insertion-shifted "
     "copies that defeat the fixed-width grid); same skew-safe "
-    "MIN(struct) aggregate as q_dedup_segments (rows-only: hash "
-    "boundaries; equivalence-to-model pytest-pinned)",
+    "MIN(struct) aggregate as q_dedup_segments.  md5 boundary class "
+    "makes the chunk grid DuckDB-replicable, so the oracle is the "
+    "exact rebuilt string",
     "dedup: segment-level (content-defined)",
 )
 def q_dedup_segments_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5418,7 +5486,7 @@ def q_dedup_segments_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _cur.dedup_segments_cdc(
         t(spark, sf_dir, "documents"), mask_bits=4, min_tokens=4,
-        max_tokens=32,
+        max_tokens=32, boundary="md5",
     )
 
 
@@ -5487,12 +5555,40 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q_dedup_segments_cdc_against",
-    None,
+    _CDC_CHUNK_CTE
+    + """
+    , segs AS (
+      SELECT doc_id, chunk_idx AS pos, chunk_text AS seg,
+             lower(chunk_text) AS key
+      FROM chunks),
+    newsegs AS (SELECT * FROM segs WHERE doc_id % 5 = 0),
+    oldkeys AS (SELECT DISTINCT key FROM segs WHERE doc_id % 5 <> 0),
+    fresh AS (
+      SELECT n.* FROM newsegs n LEFT JOIN oldkeys o USING (key)
+      WHERE o.key IS NULL),
+    kept AS (
+      SELECT doc_id, pos, seg FROM (
+        SELECT doc_id, pos, seg,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY doc_id, pos) AS rn
+        FROM fresh) WHERE rn = 1),
+    rb AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS ns FROM newsegs GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(rb.clean_text, '') AS clean_text,
+           CAST(COALESCE(tot.ns, 0) - COALESCE(rb.nk, 0) AS BIGINT)
+             AS n_removed
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN rb USING (doc_id) LEFT JOIN tot USING (doc_id)
+    """,
     "incremental content-defined segment dedup: NEW docs rebuilt with "
     "corpus-present chunks removed (distinct-key anti-join) + in-batch "
     "keep-first — catches passages lifted from the corpus behind an "
-    "inserted preamble, which the fixed-width incremental grid misses "
-    "(rows-only: hash boundaries; union-consistency pytest-pinned)",
+    "inserted preamble, which the fixed-width incremental grid misses. "
+    "md5 boundary class makes the chunk grid DuckDB-replicable, so the "
+    "oracle is the exact rebuilt string",
     "dedup: segment-level incremental (content-defined)",
 )
 def q_dedup_segments_cdc_against(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5502,7 +5598,8 @@ def q_dedup_segments_cdc_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 5 == 0)
     existing = d.filter(F.col("doc_id") % 5 != 0)
     return _cur.dedup_segments_cdc_against(
-        new, existing, mask_bits=4, min_tokens=4, max_tokens=32
+        new, existing, mask_bits=4, min_tokens=4, max_tokens=32,
+        boundary="md5",
     )
 
 

@@ -500,3 +500,55 @@ def test_empty_and_whitespace_docs_are_safe(spark):
     tfidf = text.tfidf_topk(df, k=3).collect()
     assert all(r["term"] != "" for r in tfidf)
     assert {r["doc_id"] for r in tfidf} == {1}
+
+
+def test_cdc_chunks_md5_boundary_flavor(spark):
+    """boundary='md5' (the DuckDB-replicable hex-nibble class): same
+    invariants as the xxhash64 default — reconstruction, bounds,
+    shift-resilience — plus the boundary definition itself: every
+    non-initial chunk start token hashes into the nibble-prefix class
+    or closes a max_tokens run."""
+    import hashlib
+
+    body = " ".join(f"t{i % 17}x{i % 5}" for i in range(400))
+    shifted = "an inserted preamble " + body
+    df = spark.createDataFrame(
+        [(1, body), (2, shifted)], "doc_id long, text string"
+    )
+    out = text.cdc_chunks(
+        df, mask_bits=4, min_tokens=4, max_tokens=32, boundary="md5"
+    )
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in by_doc:
+        by_doc[d].sort(key=lambda r: r["chunk_idx"])
+    assert " ".join(c["chunk_text"] for c in by_doc[1]) == body
+    lens = [c["n_tokens"] for c in by_doc[1]]
+    assert all(4 <= x <= 32 for x in lens[:-1]), lens
+    # boundary definition: each chunk start (after the first) either
+    # opens with a token whose md5 starts '0' or follows a full-width
+    # (max_tokens) chunk
+    for prev, cur in zip(by_doc[1], by_doc[1][1:]):
+        first_tok = cur["chunk_text"].split()[0]
+        in_class = hashlib.md5(
+            first_tok.encode()
+        ).hexdigest().startswith("0")
+        assert in_class or prev["n_tokens"] == 32, (prev, cur)
+    # shift-resilience carries over
+    c1 = [c["chunk_text"] for c in by_doc[1]]
+    c2 = [c["chunk_text"] for c in by_doc[2]]
+    shared = 0
+    while (
+        shared < min(len(c1), len(c2))
+        and c1[-1 - shared] == c2[-1 - shared]
+    ):
+        shared += 1
+    assert shared >= len(c1) // 2, (shared, len(c1))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 4"):
+        text.cdc_chunks(df, mask_bits=5, boundary="md5")
+    with _pytest.raises(ValueError, match="unknown boundary"):
+        text.cdc_chunks(df, boundary="sha9000")
