@@ -2,13 +2,15 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The decode kernels are REAL for the formats a no-media-library
-container can parse — binary PPM (P6) images and PCM16 WAV audio are
-decoded, resized/resampled, and featurized in pure numpy.  Other
-formats (JPEG/PNG/MP3/…) raise ``NotImplementedError`` — clearly
-disclosed, and routed to the null-feature error channel exactly like a
-corrupt file.  Swapping in Pillow/torchaudio extends one decoder
-function; the Spark-side plumbing (schemas, batch iteration, partition
-sizing, UDF signatures, metadata contract) is unchanged and tested.
+container can parse — binary PPM (P6) images, baseline JPEG (pure
+numpy Huffman+IDCT codec in :mod:`.jpeg`) and PCM16 WAV audio are
+decoded, resized/resampled, and featurized in pure numpy.  Remaining
+formats (PNG/MP3/progressive JPEG/…) raise ``NotImplementedError`` —
+clearly disclosed, and routed to the null-feature error channel
+exactly like a corrupt file.  Swapping in Pillow/torchaudio extends
+one decoder function; the Spark-side plumbing (schemas, batch
+iteration, partition sizing, UDF signatures, metadata contract) is
+unchanged and tested.
 
 Scale notes: media blobs dominate row size, so
 - keep blobs out of shuffles: derive features first, then join/agg the
@@ -61,16 +63,23 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def decode_image(content: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 array.
 
-    REAL decoder for binary PPM (P6) — pure numpy header + raster
-    parse, no image library needed.  Any other format raises
-    ``NotImplementedError`` (JPEG/PNG need a codec library this
-    container doesn't ship); callers route that to the error channel.
+    REAL decoders for binary PPM (P6) — pure numpy header + raster
+    parse — and baseline JPEG (pure-numpy Huffman + IDCT,
+    :mod:`.jpeg`; progressive/arithmetic variants raise inside the
+    codec).  Other formats (PNG needs zlib-inflate bit-level work,
+    MP3 a full subband codec) raise ``NotImplementedError``; callers
+    route that to the error channel.
     """
     if not content:
         raise ValueError("empty media content")
+    if content.startswith(b"\xff\xd8"):
+        from sample_dms_s3_kinesis_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     if not content.startswith(b"P6"):
         raise NotImplementedError(
-            "only binary PPM (P6) decode is implemented in-container"
+            "only binary PPM (P6) and baseline JPEG decode are "
+            "implemented in-container"
         )
     # Header: "P6" <ws> width <ws> height <ws> maxval <1 ws byte> raster,
     # with optional '#' comment lines inside the whitespace.
@@ -337,17 +346,34 @@ def _wav_bytes(i: int, rate: int = 8_000, ms: int = 200) -> bytes:
 
 
 def synthetic_assets(spark, n: int = 16) -> DataFrame:
-    """Deterministic asset table: REAL P6 payloads for images, REAL
-    PCM16 WAV payloads for audio, opaque bytes for video (no demuxer
-    in-container).  Every 5th id (except 0) has empty content to
-    exercise the corrupt-row channel."""
+    """Deterministic asset table: REAL P6 and baseline-JPEG payloads
+    for images (alternating, so both decode kernels are exercised),
+    REAL PCM16 WAV payloads for audio, opaque bytes for video (no
+    demuxer in-container).  Every 5th id (except 0) has empty content
+    to exercise the corrupt-row channel."""
+    from sample_dms_s3_kinesis_spark.operators.jpeg import encode_jpeg
+
     rows = []
     for i in range(n):
         media = ["image", "audio", "video"][i % 3]
         if i % 5 == 0 and i != 0:
             content = b""
         elif media == "image":
-            content = _ppm_bytes(i)
+            if (i // 3) % 2 == 1:  # alternate PPM / JPEG payloads
+                y, x = np.mgrid[0:36, 0:48]
+                img = np.stack(
+                    [
+                        (x * 29 + i * 11) % 256,
+                        (y * 19 + i * 5) % 256,
+                        (x + 2 * y + i) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                content = encode_jpeg(
+                    img, subsample=(i % 2 == 0), restart_interval=i % 3
+                )
+            else:
+                content = _ppm_bytes(i)
         elif media == "audio":
             content = _wav_bytes(i)
         else:

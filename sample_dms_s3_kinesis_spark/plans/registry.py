@@ -1162,8 +1162,9 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q_multimodal_features",
     None,
-    "multimodal image pipeline: REAL P6/PPM decode + nearest-neighbor "
-    "resize + statistical featurization via mapInPandas (other codecs "
+    "multimodal image pipeline: REAL P6/PPM + baseline-JPEG decode "
+    "(pure-numpy Huffman+IDCT codec) + nearest-neighbor resize + "
+    "statistical featurization via mapInPandas (remaining codecs "
     "raise NotImplementedError into the null-feature error channel)",
     "multimodal columns",
 )

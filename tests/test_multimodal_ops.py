@@ -45,11 +45,17 @@ def test_image_features_schema_and_error_channel(spark):
     assert set(rows) == {0, 3, 6, 9, 12, 15}
     corrupt = {i for i, r in rows.items() if r["content_sha256"] is None}
     assert corrupt == {15}
-    ok = rows[3]
-    assert ok["n_bytes"] == len(M._ppm_bytes(3))
+    # id 6 carries a PPM payload, id 3 a baseline-JPEG one (the table
+    # alternates so both decode kernels are exercised)
+    ok = rows[6]
+    assert ok["n_bytes"] == len(M._ppm_bytes(6))
     assert len(ok["feature"]) == 8
     # 48x36 source is below the 224 target: no upscale
     assert (ok["resized_width"], ok["resized_height"]) == (48, 36)
+    jp = rows[3]
+    assert jp["content_sha256"] is not None
+    assert len(jp["feature"]) == 8
+    assert (jp["resized_width"], jp["resized_height"]) == (48, 36)
 
 
 def test_unsupported_codec_routes_to_error_channel(spark):
