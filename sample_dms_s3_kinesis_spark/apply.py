@@ -256,7 +256,9 @@ class ParquetTargetStore:
         except (OSError, ValueError):
             return {}
 
-    def _save_versions(self) -> None:
+    def _save_versions(
+        self, removed: Iterable[str] | None = None
+    ) -> None:
         import json
         import os
 
@@ -269,7 +271,9 @@ class ParquetTargetStore:
         # interleave load/replace and lose each other's pointers.  A
         # single-host flock is the right scope for this local parquet
         # stand-in; a table format's transaction log replaces it at
-        # scale.
+        # scale.  ``removed`` lists pointers deliberately deleted (a
+        # rewind's reset-to-absent) — without it the merge would
+        # resurrect them from disk.
         lock_path = self._versions_file() + ".lock"
         lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
         try:
@@ -277,7 +281,9 @@ class ParquetTargetStore:
                 import fcntl
 
                 fcntl.flock(lock_fd, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: best-effort, no lock
+            except (ImportError, OSError):
+                # non-POSIX or a filesystem without flock (e.g. some
+                # network mounts): best-effort, no lock
                 pass
             on_disk: dict = {}
             if os.path.exists(self._versions_file()):
@@ -286,6 +292,8 @@ class ParquetTargetStore:
                         on_disk = json.load(f)
                 except (OSError, ValueError):
                     on_disk = {}
+            for name in removed or ():
+                on_disk.pop(name, None)
             merged = {**on_disk, **self._versions}
             tmp = self._versions_file() + f".tmp.{os.getpid()}"
             with open(tmp, "w") as f:
@@ -427,7 +435,9 @@ class ParquetTargetStore:
         root between mark save and replay must not be rolled back with
         them.  A table the task owns that is absent from the snapshot
         (created mid-batch) is reset to absent."""
+        removed: list[str] = []
         if owned is None:
+            removed = [k for k in self._versions if k not in versions]
             self._versions = {k: int(v) for k, v in versions.items()}
         else:
             for name in owned:
@@ -435,7 +445,11 @@ class ParquetTargetStore:
                     self._versions[name] = int(versions[name])
                 else:
                     self._versions.pop(name, None)
-        self._save_versions()
+                    removed.append(name)
+        # pass the popped keys down so the merge-on-save deletes them on
+        # disk too (a plain merge would resurrect mid-batch creations
+        # the rewind reset to absent)
+        self._save_versions(removed=removed)
 
     # -- replication statistics ---------------------------------------
     # describe_table_statistics must survive restarts like the seq mark

@@ -5,10 +5,11 @@ VERDICT r6 asked for baseline-JPEG decode as the one scope-edge
 capability users hit immediately).
 
 Decoder: baseline DCT (SOF0) and extended-sequential (SOF1) Huffman
-streams — DQT (8/16-bit), multi-table DHT, arbitrary sampling factors
-(4:4:4 / 4:2:2 / 4:2:0 / anything the (h,v) grammar allows), restart
-markers, grayscale or 3-component YCbCr.  Progressive (SOF2),
-arithmetic coding, hierarchical and lossless variants raise
+streams — DQT (8/16-bit), multi-table DHT, integer-ratio sampling
+factors (4:4:4 / 4:2:2 / 4:2:0 and any (h,v) pair dividing the max),
+restart markers, grayscale or 3-component YCbCr.  Progressive (SOF2),
+arithmetic coding, hierarchical, lossless, and non-divisor sampling
+factor variants raise
 ``NotImplementedError`` — callers route that to the null-feature error
 channel like any undecodable payload.
 
@@ -234,6 +235,20 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
+            # Integer-ratio upsampling only: a spec-valid but
+            # non-divisor factor pair like (3,1)/(2,1) would need
+            # fractional resampling — reject at parse time so callers'
+            # unsupported-codec channel sees a clean NotImplementedError
+            # instead of a downstream shape error.
+            _hmax = max(c[1] for c in comps)
+            _vmax = max(c[2] for c in comps)
+            for _cid, _h, _v, _tq in comps:
+                if _h == 0 or _v == 0 or _hmax % _h or _vmax % _v:
+                    raise NotImplementedError(
+                        f"non-divisor chroma sampling factors "
+                        f"({_h},{_v}) vs max ({_hmax},{_vmax}) "
+                        f"unsupported"
+                    )
             frame = (H, W, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -276,6 +291,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     full = []
     for cid, h, v, _tq in comps:
+        # non-divisor (h, v) pairs were rejected at SOF parse time, so
+        # integer-ratio upsampling is safe here
         p = planes[cid]
         p = p.repeat(vmax // v, axis=0).repeat(hmax // h, axis=1)
         full.append(p[:H, :W])
@@ -467,8 +484,11 @@ def encode_jpeg(
             samp = [(1, 1, 0), (1, 1, 1), (1, 1, 1)]
         comps_px = [y, cb, cr]
     H, W = img.shape[:2]
-    q0 = np.maximum(_Q_RAMP * quality_scale, 1)
-    q1 = np.maximum(_Q_RAMP * quality_scale * 2, 1)
+    # Baseline DQT entries are 8-bit: clamp to 255 so large
+    # quality_scale values coarsen quantization instead of crashing
+    # the bytes() write with values outside range(256).
+    q0 = np.clip(_Q_RAMP * quality_scale, 1, 255)
+    q1 = np.clip(_Q_RAMP * quality_scale * 2, 1, 255)
     qtabs = [q0, q1]
     dc_counts, dc_syms, dc_enc = _flat_huffman(list(range(12)))
     ac_syms = sorted({0x00, 0xF0} | {

@@ -369,8 +369,16 @@ def synthetic_assets(spark, n: int = 16) -> DataFrame:
                     ],
                     axis=-1,
                 ).astype(np.uint8)
+                # k cycles 1,3,5,... over the JPEG ids; alternate the
+                # chroma layout and restart markers on it so the
+                # decoder's 4:2:0 upsampling AND RSTn-resync paths are
+                # both exercised through the pipeline (i is always odd
+                # here, so i%2/i%3 would be constants).
+                k = i // 3
                 content = encode_jpeg(
-                    img, subsample=(i % 2 == 0), restart_interval=i % 3
+                    img,
+                    subsample=(k % 4 == 1),
+                    restart_interval=2 if k % 4 == 3 else 0,
                 )
             else:
                 content = _ppm_bytes(i)

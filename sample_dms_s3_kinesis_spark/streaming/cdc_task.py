@@ -146,11 +146,20 @@ class CdcTask(ReplicationTask):
         # Likewise table statistics: describe_table_statistics reports
         # cumulative counters across restarts, not batch-local ones.
         self.stats = StatsAccumulator.from_mapping(store.load_stats(identifier))
-        # A batch mark belonging to a DIFFERENT checkpoint can never be
-        # a genuine replay of ours (fresh checkpoints renumber batches
-        # from 0, so batch_id alone could spuriously match) — drop it.
+        # A STREAMING batch mark belonging to a DIFFERENT checkpoint can
+        # never be a genuine replay of ours (fresh checkpoints renumber
+        # batches from 0, so batch_id alone could spuriously match) —
+        # drop it.  DRAIN marks (batch_id == -1) are exempt: their batch
+        # identity is the recorded FILE LIST, which is store-scoped, not
+        # checkpoint-scoped — dropping one here would let a restarted
+        # default-checkpoint task re-emit the interrupted drain's files
+        # under NEW seqs, the exact duplicate-seq hazard the mark closes.
         mark = store.load_batch_mark(identifier)
-        if mark is not None and mark.get("checkpoint") != self.checkpoint_dir:
+        if (
+            mark is not None
+            and mark.get("batch_id") != -1
+            and mark.get("checkpoint") != self.checkpoint_dir
+        ):
             store.clear_batch_mark(identifier)
         # Set when start-of-task control emission must wait for an
         # in-flight batch to resolve (see _emit_or_defer_start_controls).
@@ -250,10 +259,13 @@ class CdcTask(ReplicationTask):
         mark = self.store.load_batch_mark(self.identifier)
         while pending:
             rewound_mark = None
+            # No checkpoint match required: the drain mark's identity is
+            # its file list (store-scoped), so a restarted task with a
+            # fresh default checkpoint still replays the interrupted
+            # drain instead of re-emitting its files under new seqs.
             if (
                 mark is not None
                 and mark.get("batch_id") == -1
-                and mark.get("checkpoint") == self.checkpoint_dir
                 and set(mark.get("drain_files") or []) <= set(pending)
             ):
                 rewound_mark = mark

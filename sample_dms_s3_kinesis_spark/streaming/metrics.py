@@ -197,10 +197,19 @@ class SketchMetricsTask(ReplicationTask):
                 inflight = None
             if inflight and not set(inflight.get("files", [])) <= set(seen):
                 for d in (self._cms_dir(), self._kmv_dir()):
-                    _shutil.rmtree(
-                        f"{d}/batch_id={int(inflight['id'])}",
-                        ignore_errors=True,
-                    )
+                    part = f"{d}/batch_id={int(inflight['id'])}"
+                    _shutil.rmtree(part, ignore_errors=True)
+                    # A partially-failed rollback (e.g. EACCES on one
+                    # partition) must KEEP the marker — removing it
+                    # would forget the surviving partitions and double-
+                    # merge them once the files re-drain.  Fail loudly;
+                    # the next drain retries the rollback.
+                    if os.path.exists(part):
+                        raise OSError(
+                            f"interrupted-drain rollback could not "
+                            f"remove {part}; keeping _PENDING marker "
+                            f"for retry"
+                        )
             os.remove(pf)
         pending = sorted(
             os.path.join(self.drop_dir, n)

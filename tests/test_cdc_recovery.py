@@ -353,3 +353,85 @@ def test_drain_crash_before_ledger_replays_same_seq_range(
     n = len(sink2.records)
     task2.process_available()
     assert len(sink2.records) == n
+
+def test_drain_crash_replays_across_default_checkpoint_restart(
+    spark, catalog, cdc_dir, tmp_path
+):
+    """Same interrupted-drain hazard, but the restarted task uses the
+    DEFAULT (fresh-uuid) checkpoint.  Drain marks are identified by
+    their file list, not a checkpoint-issued batch number, so the
+    replay rewind must still fire — a dropped mark would re-emit the
+    interrupted files under NEW seqs."""
+    target = str(tmp_path / "target")
+    ts = "2026-01-01T00:00:00.000Z"
+
+    sink1 = MemorySink()
+    store1 = ParquetTargetStore(target)
+    task1 = CdcTask(
+        spark, catalog, cdc_dir, sink1, store1, event_time=ts,
+    )
+    write_cdc_file(cdc_dir, 1, FILE_1)
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before ledger")
+
+    store1.save_drained = boom
+    try:
+        task1.process_available()
+    except RuntimeError:
+        pass
+    crashed_data_seqs = [
+        r["seq"]
+        for r, e in zip(sink1.records, sink1.events)
+        if e["metadata"]["record-type"] == "data"
+    ]
+    assert len(crashed_data_seqs) == 2
+
+    # restart with a DIFFERENT (fresh default) checkpoint over the same
+    # store root — the surviving drain mark must not be discarded
+    sink2 = MemorySink()
+    store2 = ParquetTargetStore(target)
+    task2 = CdcTask(
+        spark, catalog, cdc_dir, sink2, store2, event_time=ts,
+    )
+    task2.process_available()
+    data = [
+        (r["seq"], (e["data"] or {}).get("Id"), e["metadata"]["operation"])
+        for r, e in zip(sink2.records, sink2.events)
+        if e["metadata"]["record-type"] == "data"
+    ]
+    # file 1 re-emitted under the SAME seqs, not a fresh range
+    assert [s for s, *_ in data] == crashed_data_seqs
+    assert [(i, op) for _, i, op in data] == [
+        (401, "insert"), (402, "insert"),
+    ]
+    all_seqs = [r["seq"] for r in sink2.records]
+    assert len(all_seqs) == len(set(all_seqs))
+
+    # applied exactly once
+    dept = next(t for t in catalog if t.name == "department")
+    final = {
+        r["Id"]: r["DepartmentName"]
+        for r in store2.read(spark, dept).collect()
+    }
+    assert final == {401: "Eng", 402: "Sales"}
+    stats = {
+        (r["SchemaName"], r["TableName"]): r
+        for r in task2.table_statistics(spark).collect()
+    }
+    assert stats[("hr", "department")]["Inserts"] == 2
+
+def test_rewind_versions_persists_deletions_on_disk(tmp_path):
+    """A mid-batch table creation reset to absent by the rewind must be
+    absent for a FRESH store over the same root too — the merge-on-save
+    must not resurrect the popped pointer from disk."""
+    root = str(tmp_path / "t")
+    store = ParquetTargetStore(root)
+    store._versions = {"hr.department": 2, "awsdms_apply_exceptions": 1}
+    store._save_versions()  # both pointers now on disk
+    store.rewind_versions(
+        {"hr.department": 1},
+        owned=["hr.department", "awsdms_apply_exceptions"],
+    )
+    fresh = ParquetTargetStore(root)
+    assert fresh._versions == {"hr.department": 1}

@@ -115,3 +115,28 @@ def test_multimodal_pipeline_exercises_jpeg_rows(spark):
     assert len(decoded) == n_nonempty
     assert all(len(r["feature"]) == 8 for r in decoded)
     assert failed, "empty-content rows should hit the error channel"
+
+def test_encode_high_quality_scale_clamps_dqt():
+    """quality_scale >= 4 pushes chroma quant values past 255; the
+    8-bit DQT write must clamp, not crash."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality_scale=6)
+    out = decode_jpeg(data)
+    assert out.shape == (24, 32, 3)  # coarser, but decodable
+
+
+def test_non_divisor_sampling_factors_raise_not_implemented():
+    """A spec-valid SOF with factors (3,1)/(2,1)/(1,1) needs fractional
+    resampling; the decoder must raise a clean NotImplementedError at
+    parse time (callers route it to the null-feature channel)."""
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img))
+    # patch the SOF0 component (h,v) nibbles: find marker 0xFFC0
+    sof = data.index(b"\xff\xc0")
+    comp0 = sof + 4 + 6  # marker(2) + len(2) + prec(1) + H(2) + W(2) + ncomp(1)
+    data[comp0 + 1] = 0x31  # Y: (3,1)
+    data[comp0 + 4] = 0x21  # Cb: (2,1)
+    data[comp0 + 7] = 0x11  # Cr: (1,1)
+    with pytest.raises(NotImplementedError, match="non-divisor"):
+        decode_jpeg(bytes(data))
