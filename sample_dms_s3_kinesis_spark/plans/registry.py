@@ -1268,6 +1268,210 @@ def q_cdc_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+
+def _drive_ingest_e2e(spark: SparkSession):
+    """Shared drive for the CorpusIngestTask E2E queries: stage a
+    deterministic two-batch crawl (within-batch exact dup, cross-batch
+    corpus dup, one contract-quarantined row, one invalid row) and
+    drain it through the admission gates.  Returns the task plus the
+    scratch root the caller must remove."""
+    import os
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.operators.quality import RowRule
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        CorpusIngestTask,
+    )
+
+    root = tempfile.mkdtemp(prefix="q_ingest_e2e_")
+    drop = os.path.join(root, "drop")
+    os.makedirs(drop)
+    task = CorpusIngestTask(
+        spark,
+        drop,
+        os.path.join(root, "corpus"),
+        contract_rules=[
+            RowRule("min_len", F.length(F.col("text")) >= F.lit(10))
+        ],
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    batch1 = [
+        '{"doc_id": 1, "text": "alpha bravo charlie delta"}',
+        '{"doc_id": 2, "text": "echo foxtrot golf hotel"}',
+        '{"doc_id": 3, "text": "alpha bravo charlie delta"}',
+        '{"doc_id": 4, "text": "tiny"}',
+    ]
+    batch2 = [
+        '{"doc_id": 5, "text": "echo foxtrot golf hotel"}',
+        '{"doc_id": 6, "text": "india juliet kilo lima"}',
+        '{"doc_id": 7, "text": null}',
+    ]
+    # process_available drains EVERY file currently in the drop dir
+    # (admission gates, not a file manifest, make re-drains idempotent
+    # for admissions) — hand each batch over as its own drop, removing
+    # the consumed file, so the per-attempt counters stay per-batch.
+    for n, lines in (("b1.jsonl", batch1), ("b2.jsonl", batch2)):
+        path = os.path.join(drop, n)
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        task.process_available()
+        os.remove(path)
+    return task, root
+
+
+@_register(
+    "q_ingest_e2e_corpus",
+    """
+    SELECT * FROM (VALUES
+      (1, 'alpha bravo charlie delta', 0, 'admitted'),
+      (2, 'echo foxtrot golf hotel',   0, 'admitted'),
+      (4, 'min_len',                   0, 'quarantined'),
+      (6, 'india juliet kilo lima',    1, 'admitted')
+    ) AS t(doc_id, info, batch_id, status)
+    ORDER BY doc_id
+    """,
+    "streaming corpus-ingest E2E: drain a deterministic two-batch "
+    "crawl through the admission gates (within-batch min-id survivor, "
+    "digest anti-join vs the corpus, quality-contract quarantine) and "
+    "return admitted corpus rows plus the quarantine side channel; "
+    "oracle = the hand-derived admission outcome",
+    "CorpusIngestTask end-to-end (gates 0-2, reference task shape "
+    "run.py:193-198)",
+)
+def q_ingest_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    task, root = _drive_ingest_e2e(spark)
+    try:
+        admitted = task.corpus().select(
+            F.col("doc_id"),
+            F.col("text").alias("info"),
+            F.col("batch_id"),
+            F.lit("admitted").alias("status"),
+        )
+        quarantined = task.quarantined().select(
+            F.col("doc_id"),
+            F.col("failed_rule").alias("info"),
+            F.col("batch_id"),
+            F.lit("quarantined").alias("status"),
+        )
+        # materialize before the scratch parquet dirs are removed
+        rows = admitted.unionByName(quarantined).orderBy("doc_id")
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@_register(
+    "q_ingest_e2e_stats",
+    """
+    SELECT * FROM (VALUES
+      ('admitted',          3),
+      ('dropped_exact',     2),
+      ('dropped_near',      0),
+      ('dropped_sem',       0),
+      ('rejected',          1),
+      ('rejected_contract', 1)
+    ) AS t(counter, value)
+    ORDER BY counter
+    """,
+    "streaming corpus-ingest E2E counters: the manifest-rebuilt "
+    "cumulative admission statistics after the two-batch drive — the "
+    "ingest twin of describe_table_statistics; oracle = hand-derived",
+    "CorpusIngestTask.ingest_stats end-to-end",
+)
+def q_ingest_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    task, root = _drive_ingest_e2e(spark)
+    try:
+        totals = task.ingest_stats()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((k, int(v)) for k, v in totals.items()),
+        "counter string, value long",
+    ).orderBy("counter")
+
+
+@_register(
+    "q_metrics_e2e_sketches",
+    """
+    SELECT * FROM (VALUES
+      ('freq',     'click',    4),
+      ('freq',     'purchase', 2),
+      ('freq',     'view',     3),
+      ('distinct', '2026-03-01', 3),
+      ('distinct', '2026-03-02', 2),
+      ('distinct', 'ALL',        4)
+    ) AS t(metric, key, value)
+    ORDER BY metric, key
+    """,
+    "streaming sketch-metrics E2E: drain a deterministic two-day event "
+    "fixture through SketchMetricsTask (per-batch CMS/KMV stores, "
+    "merge-at-read), then serve frequency and per-day distinct "
+    "estimates; the fixture is far below sketch capacity so estimates "
+    "are exact and the oracle is the hand-derived truth",
+    "SketchMetricsTask end-to-end (CMS probe + KMV daily distinct)",
+)
+def q_metrics_e2e_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.streaming.metrics import (
+        SketchMetricsTask,
+    )
+
+    root = tempfile.mkdtemp(prefix="q_metrics_e2e_")
+    drop = os.path.join(root, "drop")
+    os.makedirs(drop)
+    task = SketchMetricsTask(
+        spark,
+        drop,
+        os.path.join(root, "store"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    day1 = [
+        '{"event_id": 1, "ts": "2026-03-01T01:00:00Z", "user_id": 10, "event_type": "click"}',
+        '{"event_id": 2, "ts": "2026-03-01T02:00:00Z", "user_id": 11, "event_type": "click"}',
+        '{"event_id": 3, "ts": "2026-03-01T03:00:00Z", "user_id": 12, "event_type": "view"}',
+        '{"event_id": 4, "ts": "2026-03-01T04:00:00Z", "user_id": 10, "event_type": "view"}',
+        '{"event_id": 5, "ts": "2026-03-01T05:00:00Z", "user_id": 11, "event_type": "purchase"}',
+    ]
+    day2 = [
+        '{"event_id": 6, "ts": "2026-03-02T01:00:00Z", "user_id": 11, "event_type": "click"}',
+        '{"event_id": 7, "ts": "2026-03-02T02:00:00Z", "user_id": 13, "event_type": "click"}',
+        '{"event_id": 8, "ts": "2026-03-02T03:00:00Z", "user_id": 13, "event_type": "view"}',
+        '{"event_id": 9, "ts": "2026-03-02T04:00:00Z", "user_id": 11, "event_type": "purchase"}',
+    ]
+    try:
+        for n, lines in (("d1.jsonl", day1), ("d2.jsonl", day2)):
+            with open(os.path.join(drop, n), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            task.process_available()
+        probes = spark.createDataFrame(
+            [("click",), ("view",), ("purchase",)], "event_type string"
+        )
+        freq = task.freq_estimate(probes).select(
+            F.lit("freq").alias("metric"),
+            F.col("event_type").alias("key"),
+            F.col("est_count").cast("long").alias("value"),
+        )
+        distinct = task.distinct_estimate().select(
+            F.lit("distinct").alias("metric"),
+            F.coalesce(
+                F.col("day").cast("string"), F.lit("ALL")
+            ).alias("key"),
+            F.col("est_distinct").cast("long").alias("value"),
+        )
+        rows = freq.unionByName(distinct).orderBy("metric", "key")
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero
