@@ -284,13 +284,24 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------- MinHash + LSH
 
-def _gram_hashes(grams: Column) -> Column:
+def _gram_hashes(grams: Column, *, hash_family: str = "xxhash64") -> Column:
     """Per-shingle 64-bit base hash — the only STRING hashing in the
-    minhash pipeline (one pass over each shingle's bytes)."""
+    minhash pipeline (one pass over each shingle's bytes).
+
+    ``hash_family="md5"`` swaps in a cross-engine-replicable family
+    (first 16 hex chars of md5, compared lexicographically — identical
+    ordering to the unsigned numeric value): slower than xxhash64, but
+    DuckDB computes the very same signatures, so the md5 flavor's LSH
+    output is EXACT-oracle-checkable end to end.  Default stays
+    xxhash64 for the production path."""
+    if hash_family == "md5":
+        return F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
     return F.transform(grams, lambda g: F.xxhash64(g))
 
 
-def _signature_from_hashes(hashes: Column, *, num_hashes: int) -> Column:
+def _signature_from_hashes(
+    hashes: Column, *, num_hashes: int, hash_family: str = "xxhash64"
+) -> Column:
     """k minhashes from the base hashes: slot i re-hashes each 8-byte
     base value as xxhash64(h, i).  Hashing a long is a few multiplies —
     k passes stay cheap — and each slot is a genuinely independent
@@ -307,6 +318,17 @@ def _signature_from_hashes(hashes: Column, *, num_hashes: int) -> Column:
     sf0.1 (the same HOF-CSE trap text._bind fixed for winnowing in
     r4, one level up)."""
 
+    if hash_family == "md5":
+        # slot i re-hashes each 16-hex base value as md5(h || ':i');
+        # lexicographic min over fixed-length lowercase hex == numeric
+        # min, and DuckDB's list_aggregate(..., 'min') agrees — this
+        # flavor exists so the whole LSH pipeline is oracle-replicable.
+        def _slot_hash(h: Column, i: int) -> Column:
+            return F.md5(F.concat(h, F.lit(f":{i}")))
+    else:
+        def _slot_hash(h: Column, i: int) -> Column:
+            return F.xxhash64(h, F.lit(i))
+
     def _slots(hs: Column) -> Column:
         # a doc with NO shingles has NO minhash: the former per-slot
         # sentinel (2^63-1) made every short doc's signature identical
@@ -319,7 +341,7 @@ def _signature_from_hashes(hashes: Column, *, num_hashes: int) -> Column:
             F.array(
                 *[
                     F.array_min(
-                        F.transform(hs, lambda h: F.xxhash64(h, F.lit(i)))
+                        F.transform(hs, lambda h: _slot_hash(h, i))
                     )
                     for i in range(num_hashes)
                 ]
@@ -329,25 +351,40 @@ def _signature_from_hashes(hashes: Column, *, num_hashes: int) -> Column:
     return _bind(hashes, _slots)
 
 
-def minhash_signature(col: Column, *, num_hashes: int = 128) -> Column:
+def minhash_signature(
+    col: Column, *, num_hashes: int = 128, hash_family: str = "xxhash64"
+) -> Column:
     """k minhashes of the doc's 3-gram shingle set (independent
     per-slot re-hash of per-shingle base hashes)."""
     return _signature_from_hashes(
-        _gram_hashes(token_ngrams(col)), num_hashes=num_hashes
+        _gram_hashes(token_ngrams(col), hash_family=hash_family),
+        num_hashes=num_hashes,
+        hash_family=hash_family,
     )
 
 
-def _band_hashes(sig: Column, *, bands: int, rows: int) -> Column:
+def _band_hashes(
+    sig: Column, *, bands: int, rows: int, hash_family: str = "xxhash64"
+) -> Column:
     """One xxhash64 per band over its r signature slots.  ``sig`` is
     bound once (``_bind``): the b·r sibling ``element_at`` references
     would otherwise re-evaluate an inline signature expression once
     per slot (projection collapse can inline even a previously
     projected column)."""
 
+    if hash_family == "md5":
+        # slots are already hex strings; md5 over the joined band
+        # mirrors DuckDB's md5(string_agg(slot, ',' ORDER BY i))
+        def _band_hash(c: Column) -> Column:
+            return F.md5(c)
+    else:
+        def _band_hash(c: Column) -> Column:
+            return F.xxhash64(c)
+
     def _bands(s: Column) -> Column:
         return F.array(
             *[
-                F.xxhash64(
+                _band_hash(
                     F.concat_ws(
                         ",",
                         *[
@@ -407,6 +444,7 @@ def _band_candidates(
     bands: int,
     rows: int,
     max_band_width: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs: docs sharing any band hash.
     ``sig_df`` must have columns (_id, _sig).  The self-join key is
@@ -431,9 +469,12 @@ def _band_candidates(
     (1-s^r)^(b-1), negligible at the default shapes."""
     banded = sig_df.filter(F.col("_sig").isNotNull()).select(
         "_id",
-        F.posexplode(_band_hashes(F.col("_sig"), bands=bands, rows=rows)).alias(
-            "_band", "_bh"
-        ),
+        F.posexplode(
+            _band_hashes(
+                F.col("_sig"), bands=bands, rows=rows,
+                hash_family=hash_family,
+            )
+        ).alias("_band", "_bh"),
     )
     if max_band_width is not None:
         banded = _drop_hot_buckets(banded, max_band_width)
@@ -462,6 +503,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     checkpoint_dir: str | None = None,
     max_band_width: int | None = 10_000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
@@ -480,17 +522,22 @@ def minhash_lsh_pairs(
     sig = (
         spread(df).select(
             F.col(id_col).alias("_id"),
-            _gram_hashes(token_ngrams(F.col(text_col))).alias("_gh"),
+            _gram_hashes(
+                token_ngrams(F.col(text_col)), hash_family=hash_family
+            ).alias("_gh"),
         )
         .select(
             "_id",
-            _signature_from_hashes(F.col("_gh"), num_hashes=num_hashes).alias("_sig"),
+            _signature_from_hashes(
+                F.col("_gh"), num_hashes=num_hashes, hash_family=hash_family
+            ).alias("_sig"),
         )
     )
     sig = _cut_lineage(sig, checkpoint_dir)
 
     cand = _band_candidates(
-        sig, bands=bands, rows=rows, max_band_width=max_band_width
+        sig, bands=bands, rows=rows, max_band_width=max_band_width,
+        hash_family=hash_family,
     )
     verified = (
         cand.join(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
@@ -524,6 +571,7 @@ def minhash_lsh_pairs_against(
     threshold: float = 0.8,
     checkpoint_dir: str | None = None,
     max_band_width: int | None = 10_000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Incremental cross-corpus NEAR-dup: candidate pairs between a NEW
     batch and an EXISTING corpus — the every-crawl operation (is this
@@ -544,12 +592,16 @@ def minhash_lsh_pairs_against(
             spread(df)
             .select(
                 F.col(id_col).alias("_id"),
-                _gram_hashes(token_ngrams(F.col(text_col))).alias("_gh"),
+                _gram_hashes(
+                    token_ngrams(F.col(text_col)), hash_family=hash_family
+                ).alias("_gh"),
             )
             .select(
                 "_id",
                 _signature_from_hashes(
-                    F.col("_gh"), num_hashes=num_hashes
+                    F.col("_gh"),
+                    num_hashes=num_hashes,
+                    hash_family=hash_family,
                 ).alias("_sig"),
             )
         )
@@ -563,6 +615,7 @@ def minhash_lsh_pairs_against(
         bands=bands,
         threshold=threshold,
         max_band_width=max_band_width,
+        hash_family=hash_family,
     )
 
 
@@ -574,6 +627,7 @@ def _cross_pairs_from_signatures(
     bands: int,
     threshold: float,
     max_band_width: int | None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Shared new × existing tail of the incremental near-dup gate:
     band join on (_band, _bh) → distinct candidates → signature-match
@@ -587,7 +641,10 @@ def _cross_pairs_from_signatures(
         return sig_df.filter(F.col("_sig").isNotNull()).select(
             "_id",
             F.posexplode(
-                _band_hashes(F.col("_sig"), bands=bands, rows=rows)
+                _band_hashes(
+                    F.col("_sig"), bands=bands, rows=rows,
+                    hash_family=hash_family,
+                )
             ).alias("_band", "_bh"),
         )
 

@@ -1472,6 +1472,118 @@ def q_metrics_e2e_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Cross-engine-replicable MinHash-LSH: the md5 hash family computes the
+# SAME signatures in DuckDB (16-hex base, md5(h||':'||i) slots compared
+# lexicographically, md5-joined band hashes), so the full pipeline —
+# shingle → k minhash slots → banded candidates → signature-match
+# estimate — is exact-oracle-checked end to end, not rows-only like the
+# production xxhash64 flavor.  k=12/b=4 keeps the oracle tractable; the
+# geometry is the operator's, not a special case.
+_MINHASH_MD5_SIG_SQL = r"""
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM toks),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, s -> substring(md5(s), 1, 16)) AS hs
+      FROM g WHERE len(grams) > 0),
+    slots AS (
+      SELECT doc_id, r.i,
+             list_aggregate(
+               list_transform(hs, x -> md5(x || ':' || r.i)), 'min') AS slot
+      FROM h CROSS JOIN (SELECT unnest(range(12)) AS i) r),
+    sig AS (
+      SELECT doc_id, list(slot ORDER BY i) AS sig
+      FROM slots GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, CAST(i // 3 AS INT) AS band,
+             md5(string_agg(slot, ',' ORDER BY i)) AS bh
+      FROM slots GROUP BY doc_id, band)
+"""
+
+
+@_register(
+    "q_minhash_md5_pairs",
+    f"""
+    WITH {_MINHASH_MD5_SIG_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(range(1, 13),
+                             i -> sa.sig[i] = sb.sig[i])) / 12.0 AS ej
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, ROUND(ej, 6) AS est_jaccard
+    FROM est WHERE ej >= 0.5
+    """,
+    "MinHash-LSH near-dup pairs under the md5 hash family — the whole "
+    "approximate pipeline (shingle, k=12 minhash slots, 4-band "
+    "candidates, signature-match estimate) replicated verbatim in "
+    "DuckDB: an exact cross-engine check of the LSH core the "
+    "xxhash64 flavor can only rows-check",
+    "dedup: MinHash-LSH (oracle-replicable hash family)",
+)
+def q_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, num_hashes=12, bands=4, threshold=0.5, hash_family="md5"
+    ).select(
+        "id_a", "id_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
+    )
+
+
+@_register(
+    "q_minhash_md5_against",
+    f"""
+    WITH {_MINHASH_MD5_SIG_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS existing_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+    est AS (
+      SELECT c.new_id, c.existing_id,
+             len(list_filter(range(1, 13),
+                             i -> sa.sig[i] = sb.sig[i])) / 12.0 AS ej
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.new_id
+      JOIN sig sb ON sb.doc_id = c.existing_id)
+    SELECT new_id, existing_id, ROUND(ej, 6) AS est_jaccard
+    FROM est WHERE ej >= 0.5
+    """,
+    "incremental cross-corpus MinHash gate under the md5 hash family "
+    "(odd doc_ids as the new batch vs even as the corpus) — the "
+    "admission gate's band join and estimate exactly replicated in "
+    "DuckDB",
+    "dedup: MinHash-LSH incremental gate (oracle-replicable hash "
+    "family)",
+)
+def q_minhash_md5_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_against(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        num_hashes=12,
+        bands=4,
+        threshold=0.5,
+        hash_family="md5",
+    ).select(
+        "new_id",
+        "existing_id",
+        F.round(F.col("est_jaccard"), 6).alias("est_jaccard"),
+    )
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero

@@ -881,3 +881,103 @@ def test_dedup_canonical_null_priority_ranks_last(spark):
     assert len(out) == 1
     r = out[0]
     assert r["doc_id"] == 20 and r["src_priority"] == 5
+
+
+def test_minhash_md5_signature_matches_python_reference(spark):
+    """The md5 hash family must compute exactly the signature a
+    straight Python transcription computes — this is the property the
+    DuckDB oracle for q_minhash_md5_pairs relies on (base = first 16
+    md5 hex chars per shingle, slot i = lexicographic min of
+    md5(base || ':i'), NULL for shingle-less docs)."""
+    import hashlib
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the quick  brown fox   jumps over a lazy cat"),
+        (3, "too short"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id",
+            dedup.minhash_signature(
+                F.col("text"), num_hashes=8, hash_family="md5"
+            ).alias("sig"),
+        ).collect()
+    }
+
+    def ref(text):
+        if text is None:
+            return None
+        toks = text.strip().lower().split()
+        if len(toks) < 3:
+            return None
+        grams = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+        )
+        hs = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+        return [
+            min(hashlib.md5(f"{h}:{i}".encode()).hexdigest() for h in hs)
+            for i in range(8)
+        ]
+
+    for doc_id, text in rows:
+        assert got[doc_id] == ref(text), doc_id
+
+
+def test_minhash_md5_pairs_agree_with_bruteforce_model(spark):
+    """md5-family LSH pairs equal a pure-Python model of the same
+    pipeline (signatures → band buckets → candidates → estimate)."""
+    import hashlib
+
+    corpus = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight nine"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        (5, "completely different words entirely here now ok"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 6)
+        for r in dedup.minhash_lsh_pairs(
+            df, num_hashes=12, bands=4, threshold=0.5, hash_family="md5"
+        ).collect()
+    }
+
+    def sig(text):
+        toks = text.strip().lower().split()
+        grams = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+        )
+        if not grams:
+            return None
+        hs = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+        return [
+            min(hashlib.md5(f"{h}:{i}".encode()).hexdigest() for h in hs)
+            for i in range(12)
+        ]
+
+    sigs = {i: sig(t) for i, t in corpus}
+    want = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        sa, sb = sigs[a], sigs[b]
+        if sa is None or sb is None:
+            continue
+        shares_band = any(
+            hashlib.md5(",".join(sa[k * 3 : k * 3 + 3]).encode()).hexdigest()
+            == hashlib.md5(",".join(sb[k * 3 : k * 3 + 3]).encode()).hexdigest()
+            for k in range(4)
+        )
+        if not shares_band:
+            continue
+        est = sum(x == y for x, y in zip(sa, sb)) / 12.0
+        if est >= 0.5:
+            want[(a, b)] = round(est, 6)
+    assert got == want and want  # non-vacuous: the dup pair must appear
