@@ -818,10 +818,27 @@ def lsh_verified_jaccard_pairs(
 
 # ------------------------------------------------------------ SimHash
 
-def _token_hashes(col: Column) -> Column:
-    """Per-distinct-token xxhash64 — one string hash per token, shared
-    by every SimHash bit below."""
-    return F.transform(F.array_distinct(tokens(F.lower(col))), lambda t: F.xxhash64(t))
+def _hex16_to_long(h: Column) -> Column:
+    """First-16-hex-chars → the long with that exact 64-bit pattern
+    (two 8-hex halves; the high half's shift may wrap into the sign
+    bit, which is precisely the bit pattern we want)."""
+    return F.shiftleft(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), 32
+    ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("long"))
+
+
+def _token_hashes(col: Column, *, hash_family: str = "xxhash64") -> Column:
+    """Per-distinct-token 64-bit hash — one string hash per token,
+    shared by every SimHash bit below.  ``hash_family="md5"`` derives
+    the 64 bits from the first 16 md5 hex chars, which DuckDB can
+    reproduce nibble-by-nibble — the oracle-replicable flavor (see
+    :func:`_gram_hashes`)."""
+    toks = F.array_distinct(tokens(F.lower(col)))
+    if hash_family == "md5":
+        return F.transform(
+            toks, lambda t: _hex16_to_long(F.md5(t))
+        )
+    return F.transform(toks, lambda t: F.xxhash64(t))
 
 
 def _simhash_from_hashes(hashes: Column, *, bits: int = 64) -> Column:
@@ -857,11 +874,15 @@ def _simhash_from_hashes(hashes: Column, *, bits: int = 64) -> Column:
     return _bind(hashes, _pack)
 
 
-def simhash(col: Column, *, bits: int = 64) -> Column:
+def simhash(
+    col: Column, *, bits: int = 64, hash_family: str = "xxhash64"
+) -> Column:
     """64-bit SimHash over distinct tokens: majority vote per bit of the
-    per-token xxhash64, packed into a long.  One pass, no explode, no
+    per-token hash, packed into a long.  One pass, no explode, no
     shuffle."""
-    return _simhash_from_hashes(_token_hashes(col), bits=bits)
+    return _simhash_from_hashes(
+        _token_hashes(col, hash_family=hash_family), bits=bits
+    )
 
 
 def simhash_pairs(
@@ -872,6 +893,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     checkpoint_dir: str | None = None,
     max_chunk_width: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into 4
     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal),
@@ -893,7 +915,12 @@ def simhash_pairs(
     # re-tokenize and re-hash the text.
     sig = (
         spread(df)
-        .select(F.col(id_col).alias("_id"), _token_hashes(F.col(text_col)).alias("_th"))
+        .select(
+            F.col(id_col).alias("_id"),
+            _token_hashes(
+                F.col(text_col), hash_family=hash_family
+            ).alias("_th"),
+        )
         .select("_id", _simhash_from_hashes(F.col("_th")).alias("_sh"))
     )
     sig = _cut_lineage(sig, checkpoint_dir)
@@ -970,6 +997,7 @@ def simhash_pairs_against(
     max_hamming: int = 3,
     checkpoint_dir: str | None = None,
     max_chunk_width: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Incremental cross-corpus SimHash near-dup: (new_id, existing_id,
     hamming ≤ ``max_hamming``) pairs between a NEW batch and an EXISTING
@@ -989,7 +1017,9 @@ def simhash_pairs_against(
             spread(df)
             .select(
                 F.col(id_col).alias("_id"),
-                _token_hashes(F.col(text_col)).alias("_th"),
+                _token_hashes(
+                    F.col(text_col), hash_family=hash_family
+                ).alias("_th"),
             )
             .select("_id", _simhash_from_hashes(F.col("_th")).alias("_sh"))
         )

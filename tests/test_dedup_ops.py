@@ -981,3 +981,38 @@ def test_minhash_md5_pairs_agree_with_bruteforce_model(spark):
         if est >= 0.5:
             want[(a, b)] = round(est, 6)
     assert got == want and want  # non-vacuous: the dup pair must appear
+
+
+def test_simhash_md5_fingerprint_matches_python_reference(spark):
+    """md5-family SimHash bits must equal a hashlib transcription —
+    the property q_simhash_md5_pairs's DuckDB oracle (nibble-wise bit
+    extraction) relies on."""
+    import hashlib
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id",
+            dedup.simhash(F.col("text"), hash_family="md5").alias("fp"),
+        ).collect()
+    }
+
+    def ref(text):
+        toks = list(dict.fromkeys(text.strip().lower().split()))
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks
+        ]
+        fp = 0
+        for j in range(64):
+            if 2 * sum((h >> j) & 1 for h in hs) > len(hs):
+                fp |= 1 << j
+        return fp - (1 << 64) if fp >= (1 << 63) else fp  # signed long
+
+    for doc_id, text in rows:
+        assert got[doc_id] == ref(text), doc_id
