@@ -1143,6 +1143,7 @@ def winnowing_containment_pairs(
     min_shared: int = 2,
     max_fp_width: int | None = 10_000,
     checkpoint_dir: str | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Substring-level CONTAINMENT candidates via shared winnowing
     fingerprints: (id_a < id_b, shared, containment).
@@ -1168,7 +1169,8 @@ def winnowing_containment_pairs(
     fps = spread(df).select(
         F.col(id_col).alias("_id"),
         winnowed_fingerprints(
-            F.col(text_col), shingle=shingle, window=window
+            F.col(text_col), shingle=shingle, window=window,
+            hash_family=hash_family,
         ).alias("_fps"),
     )
     fps = _cut_lineage(fps, checkpoint_dir)

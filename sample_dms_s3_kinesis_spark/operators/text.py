@@ -288,19 +288,30 @@ def _bind(expr: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
-def rolling_hashes(col: Column, window: int = 8) -> Column:
-    """Winnowing-style rolling token-window hashes: xxhash64 over each
-    consecutive ``window``-token span.  Spark-side only (xxhash64), used
-    by near-dup candidate generation; no SQL oracle.  The token array
-    is bound once (:func:`_bind`) — inlining it into the per-position
-    lambda would re-split the text once per position."""
+def rolling_hashes(
+    col: Column, window: int = 8, *, hash_family: str = "xxhash64"
+) -> Column:
+    """Winnowing-style rolling token-window hashes: one 64-bit hash
+    over each consecutive ``window``-token span, used by near-dup
+    candidate generation.  ``hash_family="md5"`` (first 16 md5 hex
+    chars, compared lexicographically) is DuckDB-replicable, making
+    downstream winnowing operators exact-oracle-checkable; the default
+    xxhash64 stays the production flavor.  The token array is bound
+    once (:func:`_bind`) — inlining it into the per-position lambda
+    would re-split the text once per position."""
+    if hash_family == "md5":
+        def _span_hash(c: Column) -> Column:
+            return F.substring(F.md5(c), 1, 16)
+    else:
+        def _span_hash(c: Column) -> Column:
+            return F.xxhash64(c)
 
     def _roll(toks: Column) -> Column:
         n = F.size(toks)
         idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
         return F.transform(
             idx,
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+            lambda i: _span_hash(F.concat_ws(" ", F.slice(toks, i + 1, window))),
         )
 
     return _bind(tokens(F.lower(col)), _roll)
@@ -379,7 +390,11 @@ def tfidf_topk(
 
 
 def winnowed_fingerprints(
-    col: Column, *, shingle: int = 8, window: int = 4
+    col: Column,
+    *,
+    shingle: int = 8,
+    window: int = 4,
+    hash_family: str = "xxhash64",
 ) -> Column:
     """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): over the rolling ``shingle``-token hashes, keep the
@@ -404,7 +419,10 @@ def winnowed_fingerprints(
         )
         return F.array_distinct(mins)
 
-    return _bind(rolling_hashes(col, window=shingle), _winnow)
+    return _bind(
+        rolling_hashes(col, window=shingle, hash_family=hash_family),
+        _winnow,
+    )
 
 
 # ------------------------------------------------------ PII redaction

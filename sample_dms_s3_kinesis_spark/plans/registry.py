@@ -1634,6 +1634,66 @@ def q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+# Winnowing twin of the md5-family conversion: rolling 6-token span
+# hashes and min-of-window-4 fingerprints replicate in DuckDB list
+# algebra, so the substring-containment candidate join — previously
+# rows-only (xxhash64) — gets an exact cross-engine twin.
+@_register(
+    "q_winnowing_md5_containment",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    rh AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, greatest(len(t) - 6, 0) + 1),
+               i -> substring(md5(array_to_string(t[i+1:i+6], ' ')), 1, 16)
+             ) AS rh
+      FROM toks),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(rh) >= 4
+               THEN list_transform(range(0, len(rh) - 3),
+                                   i -> list_aggregate(rh[i+1:i+4], 'min'))
+               ELSE CAST([] AS VARCHAR[]) END) AS fps
+      FROM rh),
+    ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 3)
+    SELECT p.id_a, p.id_b, p.shared,
+           ROUND(p.shared / least(len(fa.fps), len(fb.fps)), 6)
+             AS containment
+    FROM pairs p
+    JOIN fp fa ON fa.doc_id = p.id_a
+    JOIN fp fb ON fb.doc_id = p.id_b
+    """,
+    "substring-level containment candidates under the md5 hash family "
+    "(rolling 6-token hashes, min-of-4 winnowing, shared-fingerprint "
+    "join) — the MOSS-style pipeline replicated verbatim in DuckDB "
+    "list algebra: an exact cross-engine check of the containment "
+    "core the xxhash64 flavor can only rows-check",
+    "dedup: winnowing containment (oracle-replicable hash family)",
+)
+def q_winnowing_md5_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        winnowing_containment_pairs,
+    )
+
+    return winnowing_containment_pairs(
+        t(spark, sf_dir, "documents"),
+        shingle=6,
+        window=4,
+        min_shared=3,
+        hash_family="md5",
+    )
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero
