@@ -238,6 +238,11 @@ class ParquetTargetStore:
     def __init__(self, root: str):
         self.root = root.rstrip("/")
         self._versions: dict[str, int] = self._load_versions()
+        # Keys THIS instance has written or rewound.  The merge-on-save
+        # overlays only these onto the on-disk map: overlaying the whole
+        # snapshot would resurrect pointers another live instance
+        # deleted and regress ones it advanced after our load.
+        self._dirty: set[str] = set()
 
     def _versions_file(self) -> str:
         return f"{self.root}/_VERSIONS.json"
@@ -256,24 +261,24 @@ class ParquetTargetStore:
         except (OSError, ValueError):
             return {}
 
-    def _save_versions(
-        self, removed: Iterable[str] | None = None
-    ) -> None:
+    def _save_versions(self) -> None:
         import json
         import os
 
         os.makedirs(self.root, exist_ok=True)
         # merge-on-save under an advisory lock: reload the on-disk map
-        # and overlay this store's entries — a concurrent writer
-        # sharing the store root (the case rewind_versions explicitly
-        # supports) would otherwise have its pointers erased by our
-        # stale snapshot, and without the lock two writers could still
-        # interleave load/replace and lose each other's pointers.  A
+        # and overlay ONLY the keys this instance has touched
+        # (``self._dirty``) — a concurrent writer sharing the store
+        # root (the case rewind_versions explicitly supports) would
+        # otherwise have its pointers erased (or deleted ones
+        # resurrected, or advanced ones regressed) by our stale
+        # snapshot; without the lock two writers could still interleave
+        # load/replace and lose each other's pointers.  A dirty key
+        # absent from ``self._versions`` is a deliberate deletion (a
+        # rewind's reset-to-absent) and is removed from disk.  A
         # single-host flock is the right scope for this local parquet
         # stand-in; a table format's transaction log replaces it at
-        # scale.  ``removed`` lists pointers deliberately deleted (a
-        # rewind's reset-to-absent) — without it the merge would
-        # resurrect them from disk.
+        # scale.
         lock_path = self._versions_file() + ".lock"
         lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
         try:
@@ -292,9 +297,12 @@ class ParquetTargetStore:
                         on_disk = json.load(f)
                 except (OSError, ValueError):
                     on_disk = {}
-            for name in removed or ():
-                on_disk.pop(name, None)
-            merged = {**on_disk, **self._versions}
+            merged = dict(on_disk)
+            for name in self._dirty:
+                if name in self._versions:
+                    merged[name] = self._versions[name]
+                else:
+                    merged.pop(name, None)
             tmp = self._versions_file() + f".tmp.{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(merged, f)
@@ -317,6 +325,7 @@ class ParquetTargetStore:
         v = self._versions.get(table_name, 0) + 1
         df.write.mode("overwrite").parquet(self._dir(table_name, v))
         self._versions[table_name] = v
+        self._dirty.add(table_name)
         self._save_versions()
 
     def read_by_name(
@@ -435,9 +444,11 @@ class ParquetTargetStore:
         root between mark save and replay must not be rolled back with
         them.  A table the task owns that is absent from the snapshot
         (created mid-batch) is reset to absent."""
-        removed: list[str] = []
         if owned is None:
-            removed = [k for k in self._versions if k not in versions]
+            # every key of old ∪ new is touched: keys reset to absent
+            # become dirty-deletions the merge-on-save removes on disk
+            self._dirty.update(self._versions)
+            self._dirty.update(versions)
             self._versions = {k: int(v) for k, v in versions.items()}
         else:
             for name in owned:
@@ -445,11 +456,8 @@ class ParquetTargetStore:
                     self._versions[name] = int(versions[name])
                 else:
                     self._versions.pop(name, None)
-                    removed.append(name)
-        # pass the popped keys down so the merge-on-save deletes them on
-        # disk too (a plain merge would resurrect mid-batch creations
-        # the rewind reset to absent)
-        self._save_versions(removed=removed)
+                self._dirty.add(name)
+        self._save_versions()
 
     # -- replication statistics ---------------------------------------
     # describe_table_statistics must survive restarts like the seq mark

@@ -31,7 +31,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators.partitioning import spread
-from sample_dms_s3_kinesis_spark.operators.text import _bind, tokens
+from sample_dms_s3_kinesis_spark.operators.text import (
+    _bind,
+    _check_hash_family,
+    tokens,
+)
 
 _LOG = logging.getLogger("sample_dms_s3_kinesis_spark.dedup")
 
@@ -294,6 +298,7 @@ def _gram_hashes(grams: Column, *, hash_family: str = "xxhash64") -> Column:
     DuckDB computes the very same signatures, so the md5 flavor's LSH
     output is EXACT-oracle-checkable end to end.  Default stays
     xxhash64 for the production path."""
+    _check_hash_family(hash_family)
     if hash_family == "md5":
         return F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
     return F.transform(grams, lambda g: F.xxhash64(g))
@@ -833,6 +838,7 @@ def _token_hashes(col: Column, *, hash_family: str = "xxhash64") -> Column:
     the 64 bits from the first 16 md5 hex chars, which DuckDB can
     reproduce nibble-by-nibble — the oracle-replicable flavor (see
     :func:`_gram_hashes`)."""
+    _check_hash_family(hash_family)
     toks = F.array_distinct(tokens(F.lower(col)))
     if hash_family == "md5":
         return F.transform(
@@ -869,7 +875,13 @@ def _simhash_from_hashes(hashes: Column, *, bits: int = 64) -> Column:
                 F.when(cnt * 2 > n, F.lit(bit_val).cast("long"))
                 .otherwise(F.lit(0).cast("long"))
             )
-        return packed
+        # A NULL token array (NULL text) must give a NULL fingerprint,
+        # not 0: the when().otherwise(0) fold above would otherwise
+        # stamp every NULL-text doc with fingerprint 0 and report all
+        # of them as mutual hamming-0 near-dups (the simhash analog of
+        # the minhash no-shingle NULL-signature rule; pair generation
+        # filters NULL fingerprints).
+        return F.when(hs.isNotNull(), packed)
 
     return _bind(hashes, _pack)
 
@@ -973,7 +985,10 @@ def hamming_pairs(
 
 def _simhash_chunks(sig: DataFrame) -> DataFrame:
     """Explode a (_id, _sh) fingerprint frame into its 4 16-bit chunks:
-    (_id, _sh, _chunk, _cv) — the pigeonhole join key for hamming ≤ 3."""
+    (_id, _sh, _chunk, _cv) — the pigeonhole join key for hamming ≤ 3.
+    NULL fingerprints (NULL-text docs) never chunk, mirroring the
+    NULL-signature exclusion in the minhash band join."""
+    sig = sig.filter(F.col("_sh").isNotNull())
     return sig.select(
         "_id",
         "_sh",

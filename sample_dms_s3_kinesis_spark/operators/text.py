@@ -288,6 +288,18 @@ def _bind(expr: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
+def _check_hash_family(hash_family: str) -> None:
+    """Every md5/xxhash64 fork validates here: a typo'd family silently
+    falling through to xxhash64 would make an oracle cross-check (or an
+    against-gate over corpora hashed under the 'other' spelling) report
+    spurious mismatches instead of an error."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"unknown hash_family {hash_family!r}: "
+            "expected 'xxhash64' or 'md5'"
+        )
+
+
 def rolling_hashes(
     col: Column, window: int = 8, *, hash_family: str = "xxhash64"
 ) -> Column:
@@ -299,6 +311,7 @@ def rolling_hashes(
     xxhash64 stays the production flavor.  The token array is bound
     once (:func:`_bind`) — inlining it into the per-position lambda
     would re-split the text once per position."""
+    _check_hash_family(hash_family)
     if hash_family == "md5":
         def _span_hash(c: Column) -> Column:
             return F.substring(F.md5(c), 1, 16)

@@ -1269,6 +1269,13 @@ def q_cdc_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# One drive serves BOTH ingest E2E queries: the fixture is
+# deterministic, so the collected corpus/quarantine rows and the
+# manifest counters are cached per Spark app instead of paying the
+# multi-second two-batch drive twice per correctness-gate run.
+_INGEST_E2E_CACHE: dict[str, tuple[list, object, dict]] = {}
+
+
 def _drive_ingest_e2e(spark: SparkSession):
     """Shared drive for the CorpusIngestTask E2E queries: stage a
     deterministic two-batch crawl (within-batch exact dup, cross-batch
@@ -1319,6 +1326,39 @@ def _drive_ingest_e2e(spark: SparkSession):
     return task, root
 
 
+def _ingest_e2e_results(spark: SparkSession):
+    """(corpus+quarantine rows, their schema, counter totals) from one
+    cached drive of the ingest E2E fixture."""
+    import shutil
+
+    key = spark.sparkContext.applicationId
+    if key not in _INGEST_E2E_CACHE:
+        task, root = _drive_ingest_e2e(spark)
+        try:
+            admitted = task.corpus().select(
+                F.col("doc_id"),
+                F.col("text").alias("info"),
+                F.col("batch_id"),
+                F.lit("admitted").alias("status"),
+            )
+            quarantined = task.quarantined().select(
+                F.col("doc_id"),
+                F.col("failed_rule").alias("info"),
+                F.col("batch_id"),
+                F.lit("quarantined").alias("status"),
+            )
+            # materialize before the scratch parquet dirs are removed
+            frame = admitted.unionByName(quarantined)
+            _INGEST_E2E_CACHE[key] = (
+                frame.collect(),
+                frame.schema,
+                task.ingest_stats(),
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _INGEST_E2E_CACHE[key]
+
+
 @_register(
     "q_ingest_e2e_corpus",
     """
@@ -1339,28 +1379,8 @@ def _drive_ingest_e2e(spark: SparkSession):
     "run.py:193-198)",
 )
 def q_ingest_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
-    task, root = _drive_ingest_e2e(spark)
-    try:
-        admitted = task.corpus().select(
-            F.col("doc_id"),
-            F.col("text").alias("info"),
-            F.col("batch_id"),
-            F.lit("admitted").alias("status"),
-        )
-        quarantined = task.quarantined().select(
-            F.col("doc_id"),
-            F.col("failed_rule").alias("info"),
-            F.col("batch_id"),
-            F.lit("quarantined").alias("status"),
-        )
-        # materialize before the scratch parquet dirs are removed
-        rows = admitted.unionByName(quarantined).orderBy("doc_id")
-        out = spark.createDataFrame(rows.collect(), rows.schema)
-        return out
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    rows, schema, _ = _ingest_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("doc_id")
 
 
 @_register(
@@ -1382,13 +1402,7 @@ def q_ingest_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CorpusIngestTask.ingest_stats end-to-end",
 )
 def q_ingest_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
-    task, root = _drive_ingest_e2e(spark)
-    try:
-        totals = task.ingest_stats()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    _, _, totals = _ingest_e2e_results(spark)
     return spark.createDataFrame(
         sorted((k, int(v)) for k, v in totals.items()),
         "counter string, value long",
@@ -1681,11 +1695,7 @@ def q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnowing_md5_containment(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from sample_dms_s3_kinesis_spark.operators.dedup import (
-        winnowing_containment_pairs,
-    )
-
-    return winnowing_containment_pairs(
+    return dedup.winnowing_containment_pairs(
         t(spark, sf_dir, "documents"),
         shingle=6,
         window=4,

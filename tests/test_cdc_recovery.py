@@ -428,6 +428,7 @@ def test_rewind_versions_persists_deletions_on_disk(tmp_path):
     root = str(tmp_path / "t")
     store = ParquetTargetStore(root)
     store._versions = {"hr.department": 2, "awsdms_apply_exceptions": 1}
+    store._dirty = set(store._versions)
     store._save_versions()  # both pointers now on disk
     store.rewind_versions(
         {"hr.department": 1},
@@ -435,3 +436,29 @@ def test_rewind_versions_persists_deletions_on_disk(tmp_path):
     )
     fresh = ParquetTargetStore(root)
     assert fresh._versions == {"hr.department": 1}
+
+
+def test_concurrent_store_saves_do_not_clobber_each_other(tmp_path):
+    """Two live stores over one root: each save overlays only the keys
+    that instance touched, so B's save cannot resurrect a pointer A
+    deleted nor regress one A advanced after B loaded its snapshot."""
+    root = str(tmp_path / "t")
+    a = ParquetTargetStore(root)
+    a._versions, a._dirty = {"hr.x": 1}, {"hr.x"}
+    a._save_versions()
+
+    b = ParquetTargetStore(root)  # loads {hr.x: 1}
+    # A advances x and deletes nothing; then rewinds x away entirely
+    a._versions, a._dirty = {"hr.x": 2}, {"hr.x"}
+    a._save_versions()
+    # B saves its own table: must keep A's advance
+    b._versions["hr.y"] = 1
+    b._dirty.add("hr.y")
+    b._save_versions()
+    assert ParquetTargetStore(root)._versions == {"hr.x": 2, "hr.y": 1}
+
+    # A deletes x (rewind to absent); B saves again — x must STAY gone
+    a.rewind_versions({}, owned=["hr.x"])
+    b._versions["hr.y"] = 2
+    b._save_versions()
+    assert ParquetTargetStore(root)._versions == {"hr.y": 2}

@@ -1016,3 +1016,35 @@ def test_simhash_md5_fingerprint_matches_python_reference(spark):
 
     for doc_id, text in rows:
         assert got[doc_id] == ref(text), doc_id
+
+
+def test_simhash_null_text_gives_null_fingerprint_and_no_pairs(spark):
+    """NULL-text docs must not collapse to fingerprint 0 and pair with
+    each other at hamming 0 (the DuckDB oracle for the md5 flavor drops
+    NULL docs, so Spark must too)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "some real text here ok then")],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", dedup.simhash(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] is None and fps[2] is None and fps[3] is not None
+    assert dedup.simhash_pairs(df, max_hamming=3).count() == 0
+
+
+def test_unknown_hash_family_raises(spark):
+    import pytest as _pytest
+
+    from sample_dms_s3_kinesis_spark.operators import text as _text
+
+    for fn in (
+        lambda: dedup.minhash_signature(F.col("text"), hash_family="Md5"),
+        lambda: dedup.simhash(F.col("text"), hash_family="sha1"),
+        lambda: _text.rolling_hashes(F.col("text"), hash_family="MD5"),
+    ):
+        with _pytest.raises(ValueError, match="hash_family"):
+            fn()
