@@ -291,3 +291,130 @@ def kmv_intersect_estimate(
             ),
         )
     )
+
+
+# ------------------------------------------------- quantile sketches
+
+def _row_rank(id_col: Column, *, hash_family: str = "xxhash64") -> Column:
+    """Deterministic per-row sampling rank from the row's unique id.
+    xxhash64 (long) for production; ``"md5"`` gives the first 16 md5
+    hex chars of the id's decimal rendering — lexicographically
+    ordered like the unsigned numeric value and computable verbatim in
+    DuckDB, so the whole sketch is exact-oracle-checkable."""
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        _check_hash_family,
+    )
+
+    _check_hash_family(hash_family)
+    if hash_family == "md5":
+        return F.substring(F.md5(id_col.cast("string")), 1, 16)
+    return F.xxhash64(id_col)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    id_col: str,
+    k: int = 256,
+    group_cols: Sequence[str] = (),
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Mergeable quantile synopsis: a bottom-k uniform row sample per
+    group, keyed by a deterministic hash rank of the row id — the
+    quantile member of the synopsis family (HLL/KMV distinct, CMS
+    frequency).  NULL values are excluded (no rank can order them).
+
+    Output: (*group_cols, r, v) — the k sample rows with the smallest
+    ranks.  Merging sketches of disjoint batches = pool + re-keep
+    bottom-k (:func:`quantile_merge`), exactly the sketch of the
+    concatenated input, so per-batch stores can serve any range.
+    Estimate error is the uniform-sample rank error O(1/sqrt(k)).
+
+    Scale: same shape as :func:`kmv_table` — ungrouped bottom-k plans
+    as TakeOrderedAndProject (no global sort); grouped runs one
+    window shuffle spread across groups.  The sketch is <= k rows per
+    group regardless of input size."""
+    rows = (
+        spread(df)
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            *[F.col(g) for g in group_cols],
+            _row_rank(F.col(id_col), hash_family=hash_family).alias("r"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+    )
+    return _bottom_k_rows(rows, k=k, group_cols=group_cols)
+
+
+def _bottom_k_rows(
+    rows: DataFrame, *, k: int, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Keep the k smallest-``r`` rows per group (ties broken by ``v``
+    so repeated drains are deterministic).  Same plan shapes as
+    :func:`_bottom_k`."""
+    from pyspark.sql import Window
+
+    order = [F.col("r"), F.col("v")]
+    if group_cols:
+        w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+            *order
+        )
+        return (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    small = rows.orderBy(*order).limit(k)
+    return small
+
+
+def quantile_merge(
+    *sketches: DataFrame, k: int = 256, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merged sketch over the concatenated inputs: pool the sample
+    rows and re-keep the bottom-k per group.  Sound because every row
+    of the true merged bottom-k carries a rank no larger than each
+    input sketch's cutoff, so it is present in one of the pools."""
+    pooled = sketches[0]
+    for s in sketches[1:]:
+        pooled = pooled.unionByName(s)
+    return _bottom_k_rows(pooled, k=k, group_cols=group_cols)
+
+
+def quantile_estimate(
+    sk: DataFrame,
+    *,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from the sample: per group, the type-1
+    empirical quantile v_(ceil(q*m)) of the m sampled values.
+
+    Output: (*group_cols, q double, est double).  The per-group state
+    is <= k values (collect_list is bounded by the sketch size)."""
+    if group_cols is None:
+        group_cols = [c for c in sk.columns if c not in ("r", "v")]
+    agg = sk.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.sort_array(F.collect_list("v")).alias("_vs"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    q_rows = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        agg.select(
+            *[F.col(g) for g in group_cols],
+            F.explode(q_rows).alias("q"),
+            F.col("_vs"),
+            F.col("_m"),
+        )
+        .select(
+            *[F.col(g) for g in group_cols],
+            "q",
+            F.element_at(
+                F.col("_vs"),
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("q") * F.col("_m")).cast("int")
+                ),
+            ).alias("est"),
+        )
+    )

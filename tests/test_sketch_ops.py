@@ -192,3 +192,67 @@ def test_sketch_properties_random_multisets(spark):
             assert got == float(len(exact))
 
     check()
+
+
+def test_quantile_sketch_merge_equals_direct_build(spark):
+    """Sketch(batch1 ∪ batch2) == merge(sketch(batch1), sketch(batch2))
+    — the mergeability law that lets per-batch stores serve ranges."""
+    from sample_dms_s3_kinesis_spark.operators.sketches import (
+        quantile_merge,
+        quantile_sketch,
+    )
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(1, 1201)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    b1, b2 = df.filter("event_id <= 600"), df.filter("event_id > 600")
+    direct = quantile_sketch(df, "value", id_col="event_id", k=64)
+    merged = quantile_merge(
+        quantile_sketch(b1, "value", id_col="event_id", k=64),
+        quantile_sketch(b2, "value", id_col="event_id", k=64),
+        k=64,
+    )
+    key = lambda f: sorted((r["r"], r["v"]) for r in f.collect())
+    assert key(direct) == key(merged)
+    assert direct.count() == 64
+
+
+def test_quantile_estimate_tracks_exact_quantiles(spark):
+    """Uniform-sample rank error: with k=256 over 4000 rows the
+    estimated quantile's TRUE rank must be within ~4/sqrt(k) of q."""
+    from sample_dms_s3_kinesis_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    n, k = 4000, 256
+    rows = [(i, float((i * 997) % n)) for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    sk = quantile_sketch(df, "value", id_col="event_id", k=k)
+    ests = {
+        r["q"]: r["est"]
+        for r in quantile_estimate(sk, qs=(0.25, 0.5, 0.9)).collect()
+    }
+    values = sorted(v for _, v in rows)
+    import bisect
+
+    for q, est in ests.items():
+        true_rank = bisect.bisect_right(values, est) / n
+        assert abs(true_rank - q) < 4 / (k ** 0.5), (q, est, true_rank)
+
+
+def test_quantile_sketch_excludes_nulls_and_validates_family(spark):
+    import pytest as _pytest
+
+    from sample_dms_s3_kinesis_spark.operators.sketches import (
+        quantile_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0)], "event_id long, value double"
+    )
+    out = quantile_sketch(df, "value", id_col="event_id", k=8).collect()
+    assert [r["v"] for r in out] == [5.0]
+    with _pytest.raises(ValueError, match="hash_family"):
+        quantile_sketch(
+            df, "value", id_col="event_id", k=8, hash_family="crc32"
+        )
