@@ -179,3 +179,52 @@ def check_expectations_with_thresholds(
             ).alias("passed"),
         )
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    *,
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l: int | None = None,
+) -> DataFrame:
+    """Privacy QA over quasi-identifier combinations: groups violating
+    k-anonymity (fewer than ``k`` rows share the combination) and,
+    with ``sensitive_col``/``l``, l-diversity (fewer than ``l``
+    distinct sensitive values in the group).  The release gate a
+    training-data pipeline runs before shipping columns that could be
+    joined to an external identity table.
+
+    NULL quasi values group like any value (NULL is itself
+    identifying); the sensitive distinct count ignores NULLs,
+    matching COUNT(DISTINCT) on both engines.
+
+    Output: (*quasi_cols, n_rows[, n_sensitive], violations) where
+    ``violations`` lists the failed properties.  One map-side-combined
+    aggregate pass; the report is at most one row per violating
+    combination."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report requires quasi_cols")
+    if (sensitive_col is None) != (l is None):
+        raise ValueError("sensitive_col and l must be given together")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive")
+        )
+    out = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    k_viol = F.col("n_rows") < k
+    if sensitive_col is None:
+        return out.filter(k_viol).withColumn(
+            "violations", F.lit("k_anonymity")
+        )
+    l_viol = F.col("n_sensitive") < l
+    return out.filter(k_viol | l_viol).withColumn(
+        "violations",
+        F.concat_ws(
+            ",",
+            F.when(k_viol, F.lit("k_anonymity")),
+            F.when(l_viol, F.lit("l_diversity")),
+        ),
+    )

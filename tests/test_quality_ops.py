@@ -125,3 +125,40 @@ def test_empty_rule_lists_raise(spark):
         quality.check_expectations(df, [])
     with pytest.raises(ValueError, match="at least one rule"):
         quality.quarantine(df, [])
+
+
+def test_k_anonymity_report_flags_small_and_uniform_groups(spark):
+    from sample_dms_s3_kinesis_spark.operators.quality import (
+        k_anonymity_report,
+    )
+
+    rows = (
+        [("a", "x", float(i)) for i in range(5)]       # k ok, l ok
+        + [("b", "x", 1.0)] * 4                         # k viol, l viol
+        + [("c", "x", 7.0)] * 6                         # k ok, l viol
+        + [(None, "y", float(i)) for i in range(5)]     # NULL quasi ok
+    )
+    df = spark.createDataFrame(rows, "qa string, qb string, s double")
+    out = {
+        (r["qa"], r["qb"]): (r["n_rows"], r["n_sensitive"], r["violations"])
+        for r in k_anonymity_report(
+            df, ["qa", "qb"], k=5, sensitive_col="s", l=3
+        ).collect()
+    }
+    assert out == {
+        ("b", "x"): (4, 1, "k_anonymity,l_diversity"),
+        ("c", "x"): (6, 1, "l_diversity"),
+    }
+    # k-only form
+    only_k = {
+        (r["qa"], r["qb"])
+        for r in k_anonymity_report(df, ["qa", "qb"], k=5).collect()
+    }
+    assert only_k == {("b", "x")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_report(df, [], k=5)
+    with _pytest.raises(ValueError, match="together"):
+        k_anonymity_report(df, ["qa"], k=5, sensitive_col="s")
