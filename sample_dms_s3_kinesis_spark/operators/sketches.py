@@ -193,11 +193,18 @@ def kmv_table(
 
 
 def _bottom_k(
-    distinct: DataFrame, *, k: int, group_cols: Sequence[str] = ()
+    distinct: DataFrame,
+    *,
+    k: int,
+    group_cols: Sequence[str] = (),
+    order_cols: Sequence[str] = ("h",),
+    with_rank: bool = True,
 ) -> DataFrame:
-    """Keep the k smallest ``h`` per group, ranked.
+    """Keep the k smallest rows per group by ``order_cols``, optionally
+    ranked — shared by the KMV distinct sketch (orders on "h", keeps
+    rn) and the quantile sample sketch (orders on ("r", "v"), no rank).
 
-    Ungrouped: ``orderBy(h).limit(k)`` — Catalyst plans it as
+    Ungrouped: ``orderBy(...).limit(k)`` — Catalyst plans it as
     TakeOrderedAndProject (per-partition bottom-k + a tiny merge),
     never a global single-reducer sort; the rank window then runs
     over <= k rows.  Grouped: a row_number window partitioned by the
@@ -206,14 +213,20 @@ def _bottom_k(
     """
     from pyspark.sql import Window
 
+    order = [F.col(c) for c in order_cols]
     if group_cols:
-        w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("h")
-        return (
+        w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+            *order
+        )
+        out = (
             distinct.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
         )
-    small = distinct.orderBy("h").limit(k)
-    w = Window.partitionBy(F.lit(1)).orderBy("h")  # <= k rows by now
+        return out if with_rank else out.drop("rn")
+    small = distinct.orderBy(*order).limit(k)
+    if not with_rank:
+        return small
+    w = Window.partitionBy(F.lit(1)).orderBy(*order)  # <= k rows by now
     return small.withColumn("rn", F.row_number().over(w))
 
 
@@ -337,49 +350,43 @@ def quantile_sketch(
     group regardless of input size."""
     rows = (
         spread(df)
-        .filter(F.col(value_col).isNotNull())
+        # NULL values carry no quantile information; NULL ids have no
+        # orderable rank (md5(NULL) sorts first and would FILL the
+        # sample; xxhash64(NULL) collapses to one seed value) — both
+        # would silently bias the "uniform" sample, so both are out.
+        .filter(
+            F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+        )
         .select(
             *[F.col(g) for g in group_cols],
             _row_rank(F.col(id_col), hash_family=hash_family).alias("r"),
             F.col(value_col).cast("double").alias("v"),
         )
     )
-    return _bottom_k_rows(rows, k=k, group_cols=group_cols)
-
-
-def _bottom_k_rows(
-    rows: DataFrame, *, k: int, group_cols: Sequence[str] = ()
-) -> DataFrame:
-    """Keep the k smallest-``r`` rows per group (ties broken by ``v``
-    so repeated drains are deterministic).  Same plan shapes as
-    :func:`_bottom_k`."""
-    from pyspark.sql import Window
-
-    order = [F.col("r"), F.col("v")]
-    if group_cols:
-        w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
-            *order
-        )
-        return (
-            rows.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
-        )
-    small = rows.orderBy(*order).limit(k)
-    return small
+    return _bottom_k(
+        rows, k=k, group_cols=group_cols, order_cols=("r", "v"),
+        with_rank=False,
+    )
 
 
 def quantile_merge(
-    *sketches: DataFrame, k: int = 256, group_cols: Sequence[str] = ()
+    *sketches: DataFrame, k: int, group_cols: Sequence[str] = ()
 ) -> DataFrame:
     """Merged sketch over the concatenated inputs: pool the sample
     rows and re-keep the bottom-k per group.  Sound because every row
     of the true merged bottom-k carries a rank no larger than each
-    input sketch's cutoff, so it is present in one of the pools."""
+    input sketch's cutoff, so it is present in one of the pools —
+    PROVIDED ``k`` is at most each input's k (hence no default: a
+    merge k larger than an input's would treat that input's rank
+    cutoff as if it covered the whole pooled range and overweight
+    small batches)."""
     pooled = sketches[0]
     for s in sketches[1:]:
         pooled = pooled.unionByName(s)
-    return _bottom_k_rows(pooled, k=k, group_cols=group_cols)
+    return _bottom_k(
+        pooled, k=k, group_cols=group_cols, order_cols=("r", "v"),
+        with_rank=False,
+    )
 
 
 def quantile_estimate(

@@ -1810,6 +1810,11 @@ def q_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.agg(
         F.min("value"), F.max("value"), F.min("user_id"), F.max("user_id")
     ).first()
+    if b is None or any(v is None for v in b):
+        # empty / all-NULL input: no bounds to scale against — the
+        # oracle's CROSS JOIN over an empty bounds row is also empty
+        # (same guard write_zorder_clustered takes)
+        return spark.createDataFrame([], "bucket long, n long")
     z = layout.zorder_key(
         F.col("value"),
         F.col("user_id"),
@@ -1875,15 +1880,30 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokenizers: unigram-LM trainer (BPE's sibling family)",
 )
 def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _unigram_vocab(spark, sf_dir).select(
+        "piece", F.round(F.col("prob"), 8).alias("prob")
+    )
+
+
+# Deterministic and expensive (seed scan + 3 EM mapInPandas rounds):
+# train once per (app, sf_dir) and share between the vocab and encode
+# queries — same pattern as _IVF_INDEX_CACHE / _INGEST_E2E_CACHE.
+_UNIGRAM_VOCAB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators import unigram
 
-    return unigram.unigram_train(
-        t(spark, sf_dir, "documents"),
-        vocab_size=64,
-        seed_size=512,
-        max_piece_len=6,
-        n_iter=2,
-    ).select("piece", F.round(F.col("prob"), 8).alias("prob"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _UNIGRAM_VOCAB_CACHE:
+        _UNIGRAM_VOCAB_CACHE[key] = unigram.unigram_train(
+            t(spark, sf_dir, "documents"),
+            vocab_size=64,
+            seed_size=512,
+            max_piece_len=6,
+            n_iter=2,
+        )
+    return _UNIGRAM_VOCAB_CACHE[key]
 
 
 @_register(
@@ -1898,10 +1918,7 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators import unigram
 
     d = t(spark, sf_dir, "documents")
-    vocab = unigram.unigram_train(
-        d, vocab_size=64, seed_size=512, max_piece_len=6, n_iter=2
-    )
-    enc = unigram.unigram_encode(d, vocab)
+    enc = unigram.unigram_encode(d, _unigram_vocab(spark, sf_dir))
     return (
         enc.select("doc_id", F.size("pieces").alias("n_pieces"))
         .orderBy("doc_id")

@@ -256,3 +256,20 @@ def test_quantile_sketch_excludes_nulls_and_validates_family(spark):
         quantile_sketch(
             df, "value", id_col="event_id", k=8, hash_family="crc32"
         )
+
+
+def test_quantile_sketch_excludes_null_ids(spark):
+    from sample_dms_s3_kinesis_spark.operators.sketches import (
+        quantile_sketch,
+    )
+
+    rows = [(None, 0.0)] * 10 + [(1, 5.0), (2, 6.0)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    for fam in ("xxhash64", "md5"):
+        vs = sorted(
+            r["v"]
+            for r in quantile_sketch(
+                df, "value", id_col="event_id", k=8, hash_family=fam
+            ).collect()
+        )
+        assert vs == [5.0, 6.0], fam
