@@ -1076,3 +1076,164 @@ class IvfPqIndex:
             m=int(meta["m"]),
             id_col=meta["id_col"],
         )
+
+
+# ------------------------------------------------------ PCA / whitening
+
+def pca_fit(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_components: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """Fit PCA over an embedding column — the standard rotation before
+    product quantization / dimensionality reduction (PQ subspaces
+    assume roughly isotropic residuals; PCA + optional whitening is
+    what makes that assumption true on real embedding sets).
+
+    Scale shape: ONE Arrow mapInPandas pass emits per-batch moment
+    partials (n, Σv, flattened Σvvᵀ — numpy outer products, d² floats
+    per PARTITION, never per row); the partials (≤ one row per batch,
+    driver-bounded like the PQ codebook collect) combine on the
+    driver, where the d×d eigendecomposition is O(d³) scalar work.
+    The corpus is scanned once; nothing corpus-sized ever leaves the
+    executors.
+
+    Sign convention: each component's largest-|coefficient| entry is
+    made positive, so the decomposition is deterministic (numpy eigh
+    sign ambiguity would otherwise flip runs).
+
+    Output model frame: one row per component — (component int,
+    eigval double, explained double, vec array<double>) — plus the
+    mean as component = -1 (eigval/explained NULL).
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    rows = df.filter(F.col(vec_col).isNotNull())
+    if dim is None:
+        probe = rows.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "pca_fit: cannot infer dim from an empty frame; "
+                "pass dim= explicitly"
+            )
+        dim = len(probe[0])
+    if not (1 <= n_components <= dim):
+        raise ValueError(
+            f"pca_fit: n_components must be in [1, {dim}], "
+            f"got {n_components}"
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("ss", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    d = dim
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = np.array(
+                [v for v in pdf[vec_col] if v is not None and len(v) == d],
+                dtype=np.float64,
+            )
+            if len(vecs) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(vecs)],
+                    "s": [vecs.sum(axis=0).tolist()],
+                    "ss": [(vecs.T @ vecs).ravel().tolist()],
+                }
+            )
+
+    parts = rows.select(vec_col).mapInPandas(_partials, schema).collect()
+    if not parts:
+        raise ValueError("pca_fit: no usable vectors")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([p["s"] for p in parts], axis=0)
+    ss = np.sum([p["ss"] for p in parts], axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigval)[::-1][:n_components]
+    eigval = np.maximum(eigval[order], 0.0)
+    comps = eigvec[:, order].T  # (n_components, d)
+    # deterministic sign: largest-|coeff| entry positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(np.trace(cov)) or 1.0
+    spark = df.sparkSession
+    model_rows = [(-1, None, None, mean.tolist())] + [
+        (
+            int(i),
+            float(eigval[i]),
+            float(eigval[i] / total_var),
+            comps[i].tolist(),
+        )
+        for i in range(len(comps))
+    ]
+    return spark.createDataFrame(
+        model_rows,
+        "component int, eigval double, explained double, vec array<double>",
+    )
+
+
+def pca_transform(
+    df: DataFrame,
+    model: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project vectors onto the fitted components (center → rotate →
+    optionally scale by 1/√eigval).  The model is collected once
+    (≤ dim+1 rows) and inlined as literals, so the projection is pure
+    Catalyst: k dot products over the BOUND centered vector — JVM-side
+    whole-stage codegen, no Python in the hot path."""
+    rows = {r["component"]: r for r in model.collect()}
+    if -1 not in rows:
+        raise ValueError("pca_transform: model is missing the mean row")
+    mean = rows.pop(-1)["vec"]
+    comps = [rows[c] for c in sorted(rows)]
+    if not comps:
+        raise ValueError("pca_transform: model has no components")
+
+    def _proj(centered: Column) -> Column:
+        outs = []
+        for r in comps:
+            w = r["vec"]
+            dot = F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(x)) for x in w]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            if whiten:
+                dot = dot / F.lit(float((r["eigval"] or 0.0) + eps) ** 0.5)
+            outs.append(dot)
+        return F.array(*outs)
+
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(x)) for x in mean]),
+        lambda a, b: a - b,
+    )
+    # bind: the k sibling dot products would re-center the vector once
+    # per component (HOF lambdas are opaque to Catalyst CSE)
+    return df.withColumn(out_col, _bind(centered, _proj))

@@ -1925,6 +1925,59 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_pca_explained",
+    None,  # eigendecomposition is not SQL-expressible; pytest pins the
+    # model against a full numpy PCA reference
+    "PCA over the embedding corpus: one mapInPandas moments pass "
+    "(per-partition numpy partials, d^2 floats per partition), driver "
+    "d×d eigh, deterministic component signs — eigenvalues and "
+    "explained-variance ratios of the top components",
+    "similarity: PCA fit (pre-PQ rotation)",
+)
+def q_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    model = similarity.pca_fit(emb, n_components=8)
+    return (
+        model.filter(F.col("component") >= 0)
+        .select(
+            "component",
+            F.round(F.col("eigval"), 6).alias("eigval"),
+            F.round(F.col("explained"), 6).alias("explained"),
+        )
+        .orderBy("component")
+    )
+
+
+@_register(
+    "q_pca_whitened_norms",
+    None,  # projection of an eigh-derived model: same non-SQL channel
+    "whitened PCA projection served as pure Catalyst (model inlined "
+    "as literals, k dot products over the bound centered vector): "
+    "per-label mean projected norm — the isotropy check run before "
+    "product quantization",
+    "similarity: PCA whitening transform",
+)
+def q_pca_whitened_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    model = similarity.pca_fit(emb, n_components=8)
+    proj = similarity.pca_transform(emb, model, whiten=True)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("pca"), F.lit(0.0), lambda s, x: s + x * x
+        )
+    )
+    return (
+        proj.select("label", norm.alias("_n"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("_n"), 6).alias("avg_norm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label")
+    )
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero

@@ -2,6 +2,7 @@
 soundness (returned cosines correct, results drawn from the corpus)."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators import similarity
@@ -667,3 +668,78 @@ def test_lsh_topk_tolerates_leading_null_vector(spark):
         [(0, None), (1, None)], "vec_id long, embedding array<double>"
     )
     assert similarity.lsh_topk(all_null, [1.0, 2.0], k=3).collect() == []
+
+
+def test_pca_matches_numpy_reference(spark):
+    import numpy as np
+
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(300, 8)) @ np.diag([5, 3, 2, 1, 0.5, 0.2, 0.1, 0.05])
+    rows = [(i, base[i].tolist()) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    model = pca_fit(df, n_components=4, id_col="vec_id")
+    got = {r["component"]: r for r in model.collect()}
+
+    mean = base.mean(axis=0)
+    cov = np.cov(base.T, bias=True)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:4]
+    ref_ev = ev[order]
+    ref_comps = evec[:, order].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(ref_comps[i])))
+        if ref_comps[i][j] < 0:
+            ref_comps[i] = -ref_comps[i]
+
+    assert np.allclose(got[-1]["vec"], mean, atol=1e-9)
+    for i in range(4):
+        assert got[i]["eigval"] == pytest.approx(ref_ev[i], rel=1e-9)
+        assert np.allclose(got[i]["vec"], ref_comps[i], atol=1e-8), i
+    # explained variance ratios descend and stay in (0, 1]
+    ratios = [got[i]["explained"] for i in range(4)]
+    assert ratios == sorted(ratios, reverse=True) and ratios[0] < 1.0
+
+    # projection matches numpy; whitened projection has ~unit variance
+    out = {
+        r["vec_id"]: np.array(r["pca"])
+        for r in pca_transform(df, model).collect()
+    }
+    ref_proj = (base - mean) @ ref_comps.T
+    for i in range(len(base)):
+        assert np.allclose(out[i], ref_proj[i], atol=1e-8)
+    wout = np.array(
+        [
+            r["pca"]
+            for r in pca_transform(df, model, whiten=True)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    assert np.allclose(wout.var(axis=0), 1.0, atol=1e-3)
+
+
+def test_pca_validates_inputs(spark):
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="n_components"):
+        pca_fit(df, n_components=3)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        pca_fit(empty, n_components=1)
+    with pytest.raises(ValueError, match="mean row"):
+        pca_transform(df, df.select(F.lit(0).alias("component"),
+                                    F.lit(1.0).alias("eigval"),
+                                    F.lit(1.0).alias("explained"),
+                                    F.col("embedding").alias("vec")))
