@@ -225,3 +225,102 @@ def pagerank(
     base.unpersist()
     nodes.unpersist()
     return out
+
+
+def triangle_count(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected pair list —
+    with :func:`degree_stats` this gives local clustering coefficients,
+    the standard density diagnostic of a near-dup graph (a boilerplate
+    clique shows up as triangle mass long before cluster resolution).
+
+    Algorithm: canonicalize each edge to (lo, hi), dedupe, drop
+    self-loops, then count ordered wedges lo<mid<hi closed by the
+    (lo, hi) edge — each triangle counted exactly once, credited to
+    all three corners via one explode.
+
+    Scale: two shuffles on node keys (the wedge join and the closing
+    semi-equi-join); skewed hubs are bounded by the canonical
+    orientation (a degree-d node forms at most d(d-1)/2 ordered wedges
+    as the LOW endpoint, the classic degree-ordering trick — at most
+    O(m^{3/2}) wedge rows in total, never d² per hub across both
+    orientations).
+
+    Output: (id, triangles long).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    # ordered wedges a<b<c around the low corner a: (a,b) + (a,c)
+    wedges = (
+        e.alias("x")
+        .join(e.alias("y"), on=F.col("x.lo") == F.col("y.lo"))
+        .filter(F.col("x.hi") < F.col("y.hi"))
+        .select(
+            F.col("x.lo").alias("a"),
+            F.col("x.hi").alias("b"),
+            F.col("y.hi").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        e.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+        on=["b", "c"],
+        how="left_semi",
+    )
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+
+
+def clustering_coefficients(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Local clustering coefficient per node: triangles / possible
+    wedges (deg·(deg−1)/2), 0.0 for degree-1 nodes.  Degrees are
+    computed over the DEDUPED undirected edge set so repeated input
+    rows cannot inflate them.
+
+    Output: (id, degree, triangles, coefficient)."""
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    deg = degree_stats(e, src_col="lo", dst_col="hi")
+    tri = triangle_count(e, src_col="lo", dst_col="hi")
+    poss = F.col("degree") * (F.col("degree") - 1) / F.lit(2.0)
+    return (
+        deg.join(tri, on="id", how="left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.coalesce(F.col("triangles"), F.lit(0)) / poss,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("coefficient"),
+        )
+    )

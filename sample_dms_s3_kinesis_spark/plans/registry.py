@@ -1978,6 +1978,60 @@ def q_pca_whitened_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_neardup_clustering",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+               x -> x <> '') AS tk
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+            / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+            >= 0.95),
+    tri AS (
+      SELECT x.id_a AS a, x.id_b AS b, y.id_b AS c
+      FROM p x JOIN p y ON x.id_a = y.id_a AND x.id_b < y.id_b
+      JOIN p z ON z.id_a = x.id_b AND z.id_b = y.id_b),
+    corners AS (
+      SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri),
+    tcnt AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id),
+    deg AS (
+      SELECT id, COUNT(*) AS degree FROM (
+        SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)
+      GROUP BY id)
+    SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                 THEN COALESCE(t.triangles, 0)
+                      / (d.degree * (d.degree - 1) / 2.0)
+                 ELSE 0.0 END, 6) AS coefficient
+    FROM deg d LEFT JOIN tcnt t ON t.id = d.id
+    ORDER BY d.id
+    """,
+    "local clustering coefficients of the exact near-dup graph "
+    "(canonical-orientation wedge join closes each triangle once, "
+    "O(m^1.5) wedge rows): the clique-density diagnostic over "
+    "duplication structure, brute-force-verified in DuckDB",
+    "graph: triangle counting / clustering coefficients",
+)
+def q_neardup_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import graph as _graph
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    pairs = prefix_jaccard_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.95
+    )
+    return _graph.clustering_coefficients(pairs).orderBy("id")
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero

@@ -175,3 +175,35 @@ def test_pagerank_property_random_graphs(spark):
         assert abs(sum(got.values()) - 1.0) < 1e-4
 
     check()
+
+
+def test_triangle_count_and_clustering_reference(spark):
+    """Known graph: K4 on {1,2,3,4} plus pendant 5—1 and isolated
+    edge 6—7.  Every K4 node sits on 3 triangles; duplicate and
+    reversed input edges must not change anything."""
+    from sample_dms_s3_kinesis_spark.operators.graph import (
+        clustering_coefficients,
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(5, 1), (6, 7)] + [(2, 1), (3, 1)]  # dups reversed
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    tri = {r["id"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert tri == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    cc = {
+        r["id"]: (r["degree"], r["triangles"], r["coefficient"])
+        for r in clustering_coefficients(df).collect()
+    }
+    # node 1: degree 4 (K4 + pendant), 3 triangles of possible 6
+    assert cc[1] == (4, 3, 0.5)
+    assert cc[2] == (3, 3, 1.0) and cc[3] == (3, 3, 1.0)
+    assert cc[4] == (3, 3, 1.0)
+    assert cc[5] == (1, 0, 0.0)
+    assert cc[6] == (1, 0, 0.0) and cc[7] == (1, 0, 0.0)
+
+    # self-loops are dropped
+    loop = spark.createDataFrame([(1, 1), (1, 2)], "id_a long, id_b long")
+    assert triangle_count(loop).count() == 0
