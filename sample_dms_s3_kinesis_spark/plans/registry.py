@@ -2032,6 +2032,70 @@ def q_neardup_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.clustering_coefficients(pairs).orderBy("id")
 
 
+@_register(
+    "q_aggview_e2e",
+    """
+    SELECT * FROM (VALUES
+      (CAST('2026-03-01' AS DATE), 'click', 3, 3,
+       CAST(6.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       CAST(4.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+      (CAST('2026-03-01' AS DATE), 'view', 1, 0,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+      (CAST('2026-03-02' AS DATE), 'click', 1, 1,
+       CAST(6.0 AS DOUBLE), CAST(6.0 AS DOUBLE),
+       CAST(6.0 AS DOUBLE), CAST(6.0 AS DOUBLE))
+    ) AS t(day, event_type, cnt, cnt_value, sum_value, min_value,
+           max_value, avg_value)
+    ORDER BY day, event_type
+    """,
+    "incremental materialized-view E2E: drain a deterministic two-"
+    "batch event fixture through AggregateViewTask (per-batch partial "
+    "aggregates, overwrite-idempotent, algebraic merge-at-read with "
+    "avg derived post-merge) and return the exact per-day/type view; "
+    "oracle = the hand-derived truth",
+    "AggregateViewTask end-to-end (exact incremental rollups)",
+)
+def q_aggview_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.streaming.aggregates import (
+        AggregateViewTask,
+    )
+
+    d1 = [
+        '{"event_id": 1, "ts": "2026-03-01T01:00:00Z", "user_id": 10, "event_type": "click", "value": 2.0}',
+        '{"event_id": 2, "ts": "2026-03-01T02:00:00Z", "user_id": 11, "event_type": "click", "value": 4.0}',
+        '{"event_id": 3, "ts": "2026-03-01T03:00:00Z", "user_id": 12, "event_type": "view", "value": null}',
+        '{"event_id": 4, "ts": null, "user_id": 13, "event_type": "view", "value": 9.0}',
+    ]
+    d2 = [
+        '{"event_id": 5, "ts": "2026-03-02T01:00:00Z", "user_id": 11, "event_type": "click", "value": 6.0}',
+        '{"event_id": 6, "ts": "2026-03-01T04:00:00Z", "user_id": 14, "event_type": "click", "value": 0.0}',
+    ]
+    root = tempfile.mkdtemp(prefix="q_aggview_e2e_")
+    drop = os.path.join(root, "drop")
+    os.makedirs(drop)
+    try:
+        task = AggregateViewTask(
+            spark,
+            drop,
+            os.path.join(root, "store"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        for n, lines in (("d1.jsonl", d1), ("d2.jsonl", d2)):
+            with open(os.path.join(drop, n), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            task.process_available()
+        view = task.view().orderBy("day", "event_type")
+        # materialize before the scratch parquet dirs are removed
+        return spark.createDataFrame(view.collect(), view.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero

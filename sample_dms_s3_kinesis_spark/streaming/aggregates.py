@@ -1,0 +1,150 @@
+"""Incrementally-maintained EXACT aggregates — the materialized-view
+story next to the sketch metrics store.
+
+``SketchMetricsTask`` keeps approximate synopses current;
+``AggregateViewTask`` does the same for the exact algebraic aggregates
+(count / sum / min / max, avg derived at read) a dashboard or training
+run actually joins against.  Same incremental-apply pattern as the
+reference driver (`/root/reference/run.py:193-198`: new data lands,
+derived state updates incrementally) and the same durability contract
+as the other batch-partition stores:
+
+- each micro-batch writes its OWN per-group partial-aggregate table
+  under ``_agg/batch_id=N`` with overwrite semantics — a crash-replay
+  of batch N overwrites the same directory, so totals are never
+  double-merged;
+- MERGING happens at read time and is sound precisely because the
+  aggregates are algebraic: count/sum merge by summation, min/max by
+  re-min/re-max — indifferent to how the inputs were batched; avg is
+  derived (sum/count) only after the merge, never stored (stored
+  averages do not merge);
+- at 100 TB the per-batch directories become a table format's
+  transaction log and the read-time merge is a partition-pruned
+  re-aggregation over |groups| rows per batch — raw events are never
+  rescanned.
+
+Drain-mode idempotence (file manifest + interrupted-drain rollback
+marker) and checkpoint discipline come from
+:class:`~sample_dms_s3_kinesis_spark.streaming.metrics.BatchPartitionStoreTask`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sample_dms_s3_kinesis_spark.streaming.metrics import (
+    BatchPartitionStoreTask,
+)
+
+EVENT_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+class AggregateViewTask(BatchPartitionStoreTask):
+    """Tail ``drop_dir`` for JSON-lines events and maintain an exact
+    per-``group_cols`` aggregate view of ``value_col`` under
+    ``store_dir`` (rows with a NULL timestamp are dropped like the
+    sketch task; NULL values count rows but contribute no sum/min/
+    max, matching SQL aggregate semantics on both engines)."""
+
+    INPUT_SCHEMA = EVENT_VALUE_SCHEMA
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        drop_dir: str,
+        store_dir: str,
+        *,
+        identifier: str = "aggregate-view",
+        group_cols: Sequence[str] = ("day", "event_type"),
+        value_col: str = "value",
+        ts_col: str = "ts",
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        self.group_cols = tuple(group_cols)
+        self.value_col = value_col
+        self.ts_col = ts_col
+        super().__init__(
+            spark,
+            drop_dir,
+            store_dir,
+            identifier=identifier,
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    def _params(self) -> dict:
+        return {
+            "group_cols": list(self.group_cols),
+            "value_col": self.value_col,
+            "ts_col": self.ts_col,
+        }
+
+    def _agg_dir(self) -> str:
+        return f"{self.store_dir}/_agg"
+
+    def _store_dirs(self) -> tuple[str, ...]:
+        return (self._agg_dir(),)
+
+    def _with_day(self, df: DataFrame) -> DataFrame:
+        if "day" in self.group_cols:
+            df = df.withColumn(
+                "day", F.date_trunc("day", F.col(self.ts_col)).cast("date")
+            )
+        return df
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        ev = self._with_day(
+            batch_df.filter(F.col(self.ts_col).isNotNull())
+        )
+        if len(ev.take(1)) == 0:
+            return
+        v = F.col(self.value_col)
+        part = ev.groupBy(*[F.col(g) for g in self.group_cols]).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(v).alias("cnt_value"),
+            F.sum(v).alias("sum_value"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+        )
+        dst = f"{self._agg_dir()}/batch_id={batch_id}"
+        part.write.mode("overwrite").parquet(dst)
+        self.spark.catalog.refreshByPath(dst)
+
+    # -- reads (merge at query time) -----------------------------------
+
+    def view(self) -> DataFrame:
+        """The merged exact aggregate view: (*group_cols, cnt,
+        cnt_value, sum_value, min_value, max_value, avg_value)."""
+        raw = self._read(self._agg_dir())
+        if raw is None:
+            fields = ", ".join(f"{g} string" for g in self.group_cols)
+            return self.spark.createDataFrame(
+                [],
+                f"{fields}, cnt long, cnt_value long, sum_value double, "
+                "min_value double, max_value double, avg_value double",
+            )
+        merged = raw.groupBy(*[F.col(g) for g in self.group_cols]).agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("cnt_value").cast("long").alias("cnt_value"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        return merged.withColumn(
+            "avg_value",
+            F.when(
+                F.col("cnt_value") > 0,
+                F.col("sum_value") / F.col("cnt_value"),
+            ),
+        )

@@ -47,18 +47,24 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-class SketchMetricsTask(ReplicationTask):
-    """Tail ``drop_dir`` for JSON-lines events and maintain per-day
-    frequency (CMS over ``freq_col``) and distinct (KMV over
-    ``distinct_col``) sketch stores under ``store_dir``.
+class BatchPartitionStoreTask(ReplicationTask):
+    """Shared skeleton for tasks that tail a JSON-lines drop directory
+    and maintain per-batch overwrite-idempotent parquet partitions
+    under a store: the streaming lifecycle, the drain-mode file
+    manifest with its interrupted-drain rollback marker, and the
+    store-parameter pinning.  Subclasses implement ``_store_dirs()``
+    (the partitioned table roots to roll back), ``_params()`` (the
+    store's identity) and ``_process_batch``.
 
     Streaming restarts MUST reuse the same ``checkpoint_dir`` for a
     given store (the standard Structured Streaming contract): epoch
     ids name the batch directories, so a fresh checkpoint would
-    replay epoch 0 over a different batch's sketches.  Drain-mode
+    replay epoch 0 over a different batch's partitions.  Drain-mode
     (:meth:`process_available`) batches are file-manifest-tracked and
     live in a separate id range, so drains are repeat-safe and never
     collide with stream epochs."""
+
+    INPUT_SCHEMA = EVENT_SCHEMA
 
     def __init__(
         self,
@@ -66,49 +72,35 @@ class SketchMetricsTask(ReplicationTask):
         drop_dir: str,
         store_dir: str,
         *,
-        identifier: str = "sketch-metrics",
-        freq_col: str = "event_type",
-        distinct_col: str = "user_id",
-        ts_col: str = "ts",
-        width: int = 1024,
-        depth: int = 5,
-        k: int = 256,
+        identifier: str,
         checkpoint_dir: str | None = None,
     ) -> None:
         super().__init__(identifier)
         self.spark = spark
         self.drop_dir = drop_dir
         self.store_dir = store_dir.rstrip("/")
-        self.freq_col = freq_col
-        self.distinct_col = distinct_col
-        self.ts_col = ts_col
-        self.width = width
-        self.depth = depth
-        self.k = k
         self.checkpoint_dir = (
-            checkpoint_dir or f"/tmp/metrics-checkpoint-{uuid.uuid4()}"
+            checkpoint_dir or f"/tmp/{identifier}-checkpoint-{uuid.uuid4()}"
         )
         self._query = None
         os.makedirs(self.store_dir, exist_ok=True)
-        # Sketch parameters are part of the STORE's identity: counters
-        # bucketed mod one width are meaningless under another, and a
-        # KMV threshold moves with k — unlike the ingest signature
-        # store there are no raw events to recompute from, so a
-        # mismatch is an error, not a fallback (same hazard
+        # Store parameters are part of the STORE's identity — there
+        # are no raw events to recompute from, so a mismatch is an
+        # error, not a fallback (same hazard
         # CorpusIngestTask._sig_params_ok guards).
         self._check_or_write_params()
 
-    def _params_file(self) -> str:
-        return f"{self.store_dir}/_PARAMS.json"
+    def _store_dirs(self) -> tuple[str, ...]:
+        raise NotImplementedError
 
     def _params(self) -> dict:
-        return {
-            "width": self.width,
-            "depth": self.depth,
-            "k": self.k,
-            "freq_col": self.freq_col,
-            "distinct_col": self.distinct_col,
-        }
+        raise NotImplementedError
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        raise NotImplementedError
+
+    def _params_file(self) -> str:
+        return f"{self.store_dir}/_PARAMS.json"
 
     def _check_or_write_params(self) -> None:
         import json as _json
@@ -136,7 +128,7 @@ class SketchMetricsTask(ReplicationTask):
     def start(self) -> None:
         self._set_status(TaskStatus.STARTING)
         self._query = (
-            self.spark.readStream.schema(EVENT_SCHEMA)
+            self.spark.readStream.schema(self.INPUT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .json(self.drop_dir)
             .writeStream.foreachBatch(self._process_batch)
@@ -196,7 +188,7 @@ class SketchMetricsTask(ReplicationTask):
             except (OSError, ValueError):
                 inflight = None
             if inflight and not set(inflight.get("files", [])) <= set(seen):
-                for d in (self._cms_dir(), self._kmv_dir()):
+                for d in self._store_dirs():
                     part = f"{d}/batch_id={int(inflight['id'])}"
                     _shutil.rmtree(part, ignore_errors=True)
                     # A partially-failed rollback (e.g. EACCES on one
@@ -228,7 +220,7 @@ class SketchMetricsTask(ReplicationTask):
         with open(tmp, "w") as f:
             _json.dump({"id": next_id, "files": pending}, f)
         os.replace(tmp, pf)
-        df = self.spark.read.schema(EVENT_SCHEMA).json(pending)
+        df = self.spark.read.schema(self.INPUT_SCHEMA).json(pending)
         self._process_batch(df, next_id)
         tmp = mf + ".tmp"
         with open(tmp, "w") as f:
@@ -241,20 +233,84 @@ class SketchMetricsTask(ReplicationTask):
 
     # -- store ---------------------------------------------------------
 
+    def _batch_ids(self) -> list[int]:
+        ids = set()
+        for d in self._store_dirs():
+            if os.path.isdir(d):
+                for name in os.listdir(d):
+                    if name.startswith("batch_id="):
+                        ids.add(int(name.split("=", 1)[1]))
+        return sorted(ids)
+
+    def _read(self, root: str) -> DataFrame | None:
+        ids = [
+            b
+            for b in self._batch_ids()
+            if os.path.isdir(f"{root}/batch_id={b}")
+        ]
+        if not ids:
+            return None
+        return self.spark.read.option("basePath", root).parquet(
+            *[f"{root}/batch_id={b}" for b in ids]
+        )
+
+
+class SketchMetricsTask(BatchPartitionStoreTask):
+    """Tail ``drop_dir`` for JSON-lines events and maintain per-day
+    frequency (CMS over ``freq_col``) and distinct (KMV over
+    ``distinct_col``) sketch stores under ``store_dir``.  Sketch
+    parameters are pinned as the store's identity: counters bucketed
+    mod one width are meaningless under another, and a KMV threshold
+    moves with k."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        drop_dir: str,
+        store_dir: str,
+        *,
+        identifier: str = "sketch-metrics",
+        freq_col: str = "event_type",
+        distinct_col: str = "user_id",
+        ts_col: str = "ts",
+        width: int = 1024,
+        depth: int = 5,
+        k: int = 256,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        # subclass attrs land BEFORE super().__init__: the base
+        # constructor validates _params() against the store
+        self.freq_col = freq_col
+        self.distinct_col = distinct_col
+        self.ts_col = ts_col
+        self.width = width
+        self.depth = depth
+        self.k = k
+        super().__init__(
+            spark,
+            drop_dir,
+            store_dir,
+            identifier=identifier,
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    def _params(self) -> dict:
+        return {
+            "width": self.width,
+            "depth": self.depth,
+            "k": self.k,
+            "freq_col": self.freq_col,
+            "distinct_col": self.distinct_col,
+        }
+
     def _cms_dir(self) -> str:
         return f"{self.store_dir}/_cms"
 
     def _kmv_dir(self) -> str:
         return f"{self.store_dir}/_kmv"
 
-    def _batch_ids(self) -> list[int]:
-        ids = set()
-        for d in (self._cms_dir(), self._kmv_dir()):
-            if os.path.isdir(d):
-                for name in os.listdir(d):
-                    if name.startswith("batch_id="):
-                        ids.add(int(name.split("=", 1)[1]))
-        return sorted(ids)
+    def _store_dirs(self) -> tuple[str, ...]:
+        return (self._cms_dir(), self._kmv_dir())
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # persisted: the head probe + the CMS and KMV writes would
@@ -296,18 +352,6 @@ class SketchMetricsTask(ReplicationTask):
         ev.unpersist()
 
     # -- reads (merge at query time) -----------------------------------
-
-    def _read(self, root: str) -> DataFrame | None:
-        ids = [
-            b
-            for b in self._batch_ids()
-            if os.path.isdir(f"{root}/batch_id={b}")
-        ]
-        if not ids:
-            return None
-        return self.spark.read.option("basePath", root).parquet(
-            *[f"{root}/batch_id={b}" for b in ids]
-        )
 
     def cms(self, *, day=None) -> DataFrame:
         """The merged CMS counter table — per day (default) or for one
