@@ -336,6 +336,49 @@ class ParquetTargetStore:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(self._dir(table_name, v))
 
+    # -- time travel ---------------------------------------------------
+    # Every write lands in its own v-dir and only the POINTER advances,
+    # so superseded versions stay readable — the local analog of a
+    # table format's snapshot history (at scale the version dirs are
+    # the format's snapshots and vacuum policy decides retention).
+
+    def table_history(self, table_name: str) -> list[int]:
+        """Version numbers present on disk for ``table_name``,
+        ascending.  The current pointer is ``max`` unless a rewind
+        moved it back; versions above the pointer are superseded
+        replay leftovers and still listed (they exist on disk)."""
+        import os
+        import re
+
+        root = f"{self.root}/{table_name}"
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for name in os.listdir(root):
+            m = re.fullmatch(r"v(\d{6})", name)
+            if m and os.path.isdir(os.path.join(root, name)):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def read_version(
+        self,
+        spark: SparkSession,
+        table: TableDef,
+        version: int,
+    ) -> DataFrame:
+        """The table's state AS OF ``version`` (time travel).  Raises
+        on a version that never landed — a silent empty frame would
+        read as 'the table was empty then', which is a different
+        fact."""
+        if version not in self.table_history(table.qualified_name):
+            raise ValueError(
+                f"version {version} of {table.qualified_name} does not "
+                f"exist; on disk: {self.table_history(table.qualified_name)}"
+            )
+        return spark.read.schema(table.schema).parquet(
+            self._dir(table.qualified_name, version)
+        )
+
     # -- sequence high-water marks ------------------------------------
     # The emitted event seq must survive task restarts: the documented
     # recovery path (checkpointLocation) rebuilds the task object, and a

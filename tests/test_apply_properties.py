@@ -192,3 +192,44 @@ def test_applied_counts_exclude_excepted_ops(spark):
     assert s["AppliedDeletes"] == 0
     assert s["AppliedUpdates"] == 0
     assert s["ApplyExceptions"] == 2
+
+
+def test_time_travel_reads_superseded_versions(spark, tmp_path):
+    """Every write keeps its v-dir; read_version serves any historical
+    state and table_history lists them ascending."""
+    import pytest
+
+    from sample_dms_s3_kinesis_spark.apply import ParquetTargetStore
+    from sample_dms_s3_kinesis_spark.catalog import (
+        REFERENCE_TABLE_DEFINITION,
+        Catalog,
+    )
+
+    catalog = Catalog.from_external_table_definition(
+        REFERENCE_TABLE_DEFINITION
+    )
+    dept = next(t for t in catalog if t.name == "department")
+    store = ParquetTargetStore(str(tmp_path / "t"))
+
+    states = [
+        [(1, "Eng")],
+        [(1, "Eng"), (2, "Sales")],
+        [(2, "Sales")],
+    ]
+    for rows in states:
+        df = spark.createDataFrame(rows, dept.schema)
+        store.write(dept.qualified_name, df)
+
+    assert store.table_history(dept.qualified_name) == [1, 2, 3]
+    for v, rows in zip((1, 2, 3), states):
+        got = sorted(
+            tuple(r) for r in store.read_version(spark, dept, v).collect()
+        )
+        assert got == sorted(rows), v
+    # current read == latest version
+    assert sorted(
+        tuple(r) for r in store.read(spark, dept).collect()
+    ) == sorted(states[-1])
+    with pytest.raises(ValueError, match="does not exist"):
+        store.read_version(spark, dept, 9)
+    assert store.table_history("hr.never_written") == []
