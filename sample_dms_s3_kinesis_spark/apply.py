@@ -355,7 +355,9 @@ class ParquetTargetStore:
             return []
         out = []
         for name in os.listdir(root):
-            m = re.fullmatch(r"v(\d{6})", name)
+            # :06d is a MINIMUM width — version 1,000,000 writes
+            # v1000000 (7 digits), so match any digit run
+            m = re.fullmatch(r"v(\d+)", name)
             if m and os.path.isdir(os.path.join(root, name)):
                 out.append(int(m.group(1)))
         return sorted(out)

@@ -227,32 +227,12 @@ def pagerank(
     return out
 
 
-def triangle_count(
-    pairs: DataFrame,
-    *,
-    src_col: str = "id_a",
-    dst_col: str = "id_b",
+def _canonical_edges(
+    pairs: DataFrame, src_col: str, dst_col: str
 ) -> DataFrame:
-    """Per-node triangle participation over an undirected pair list —
-    with :func:`degree_stats` this gives local clustering coefficients,
-    the standard density diagnostic of a near-dup graph (a boilerplate
-    clique shows up as triangle mass long before cluster resolution).
-
-    Algorithm: canonicalize each edge to (lo, hi), dedupe, drop
-    self-loops, then count ordered wedges lo<mid<hi closed by the
-    (lo, hi) edge — each triangle counted exactly once, credited to
-    all three corners via one explode.
-
-    Scale: two shuffles on node keys (the wedge join and the closing
-    semi-equi-join); skewed hubs are bounded by the canonical
-    orientation (a degree-d node forms at most d(d-1)/2 ordered wedges
-    as the LOW endpoint, the classic degree-ordering trick — at most
-    O(m^{3/2}) wedge rows in total, never d² per hub across both
-    orientations).
-
-    Output: (id, triangles long).
-    """
-    e = (
+    """(lo, hi) canonical undirected edge set: deduped, self-loops
+    dropped — the shared base for degrees and triangles."""
+    return (
         pairs.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
@@ -260,19 +240,59 @@ def triangle_count(
         .filter(F.col("lo") < F.col("hi"))
         .distinct()
     )
-    # ordered wedges a<b<c around the low corner a: (a,b) + (a,c)
-    wedges = (
-        e.alias("x")
-        .join(e.alias("y"), on=F.col("x.lo") == F.col("y.lo"))
-        .filter(F.col("x.hi") < F.col("y.hi"))
+
+
+def _triangles_from_canonical(
+    e: DataFrame, deg: DataFrame
+) -> DataFrame:
+    """Per-node triangle counts over a canonical (lo, hi) edge frame
+    (caller has cut its lineage) with its (id, degree) frame.
+
+    Degree-ordered counting: each edge is directed from its lower-
+    (degree, id)-rank endpoint to the higher; wedges form only around
+    a node's HIGHER-rank neighbors, so a degree-d hub contributes
+    wedges only through the ≤ √(2m) neighbors that out-rank it —
+    the classic O(m^{3/2}) total-wedge bound that plain id-ordering
+    does NOT give (an id-0 star would emit d² wedges).  Each triangle
+    is counted once at its minimum-rank corner and credited to all
+    three corners."""
+    dl = deg.select(
+        F.col("id").alias("lo"),
+        F.struct(F.col("degree"), F.col("id")).alias("_rl"),
+    )
+    dh = deg.select(
+        F.col("id").alias("hi"),
+        F.struct(F.col("degree"), F.col("id")).alias("_rh"),
+    )
+    low_first = F.col("_rl") < F.col("_rh")  # ranks unique (id unique)
+    directed = (
+        e.join(dl, "lo")
+        .join(dh, "hi")
         .select(
-            F.col("x.lo").alias("a"),
-            F.col("x.hi").alias("b"),
-            F.col("y.hi").alias("c"),
+            F.when(low_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+            F.when(low_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+            F.when(low_first, F.col("_rh")).otherwise(F.col("_rl")).alias("_rd"),
+        )
+    )
+    # wedges (a; b, c) with rank(a) < rank(b) < rank(c): the closing
+    # edge, if present, is directed b→c by construction
+    wedges = (
+        directed.alias("x")
+        .join(
+            directed.alias("y"),
+            on=[
+                F.col("x.src") == F.col("y.src"),
+                F.col("x._rd") < F.col("y._rd"),
+            ],
+        )
+        .select(
+            F.col("x.src").alias("a"),
+            F.col("x.dst").alias("b"),
+            F.col("y.dst").alias("c"),
         )
     )
     tri = wedges.join(
-        e.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+        directed.select(F.col("src").alias("b"), F.col("dst").alias("c")),
         on=["b", "c"],
         how="left_semi",
     )
@@ -286,6 +306,31 @@ def triangle_count(
     )
 
 
+def triangle_count(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected pair list —
+    with :func:`degree_stats` this gives local clustering coefficients,
+    the standard density diagnostic of a near-dup graph (a boilerplate
+    clique shows up as triangle mass long before cluster resolution).
+
+    Scale: the canonical edge set is materialized once (lineage cut —
+    it feeds the degree aggregate and three join sides), and wedges
+    are DEGREE-ordered, bounding total wedge rows at O(m^{3/2}) even
+    when one hub holds most edges (see
+    :func:`_triangles_from_canonical`).
+
+    Output: (id, triangles long) — nodes on ≥1 triangle.
+    """
+    from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
+
+    e = _cut_lineage(_canonical_edges(pairs, src_col, dst_col))
+    return _triangles_from_canonical(e, degree_stats(e, src_col="lo", dst_col="hi"))
+
+
 def clustering_coefficients(
     pairs: DataFrame,
     *,
@@ -295,19 +340,17 @@ def clustering_coefficients(
     """Local clustering coefficient per node: triangles / possible
     wedges (deg·(deg−1)/2), 0.0 for degree-1 nodes.  Degrees are
     computed over the DEDUPED undirected edge set so repeated input
-    rows cannot inflate them.
+    rows cannot inflate them; the edge set and degree frame are each
+    computed ONCE and shared with the triangle pass (the upstream
+    pair pipeline — e.g. an exact-jaccard join — is not re-executed
+    per reference).
 
     Output: (id, degree, triangles, coefficient)."""
-    e = (
-        pairs.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
-        )
-        .filter(F.col("lo") < F.col("hi"))
-        .distinct()
-    )
-    deg = degree_stats(e, src_col="lo", dst_col="hi")
-    tri = triangle_count(e, src_col="lo", dst_col="hi")
+    from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
+
+    e = _cut_lineage(_canonical_edges(pairs, src_col, dst_col))
+    deg = _cut_lineage(degree_stats(e, src_col="lo", dst_col="hi"))
+    tri = _triangles_from_canonical(e, deg)
     poss = F.col("degree") * (F.col("degree") - 1) / F.lit(2.0)
     return (
         deg.join(tri, on="id", how="left")

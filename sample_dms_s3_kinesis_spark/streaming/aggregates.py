@@ -104,22 +104,28 @@ class AggregateViewTask(BatchPartitionStoreTask):
         return df
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # persisted: the emptiness probe and the aggregate write would
+        # otherwise each re-read and re-parse the JSON source (same
+        # reason SketchMetricsTask persists its batch)
         ev = self._with_day(
             batch_df.filter(F.col(self.ts_col).isNotNull())
-        )
-        if len(ev.take(1)) == 0:
-            return
-        v = F.col(self.value_col)
-        part = ev.groupBy(*[F.col(g) for g in self.group_cols]).agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.count(v).alias("cnt_value"),
-            F.sum(v).alias("sum_value"),
-            F.min(v).alias("min_value"),
-            F.max(v).alias("max_value"),
-        )
-        dst = f"{self._agg_dir()}/batch_id={batch_id}"
-        part.write.mode("overwrite").parquet(dst)
-        self.spark.catalog.refreshByPath(dst)
+        ).persist()
+        try:
+            if len(ev.take(1)) == 0:
+                return
+            v = F.col(self.value_col)
+            part = ev.groupBy(*[F.col(g) for g in self.group_cols]).agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.count(v).alias("cnt_value"),
+                F.sum(v).alias("sum_value"),
+                F.min(v).alias("min_value"),
+                F.max(v).alias("max_value"),
+            )
+            dst = f"{self._agg_dir()}/batch_id={batch_id}"
+            part.write.mode("overwrite").parquet(dst)
+            self.spark.catalog.refreshByPath(dst)
+        finally:
+            ev.unpersist()
 
     # -- reads (merge at query time) -----------------------------------
 
@@ -128,7 +134,16 @@ class AggregateViewTask(BatchPartitionStoreTask):
         cnt_value, sum_value, min_value, max_value, avg_value)."""
         raw = self._read(self._agg_dir())
         if raw is None:
-            fields = ", ".join(f"{g} string" for g in self.group_cols)
+            # the empty view must carry the SAME schema the populated
+            # path yields (day is a derived DATE; other group columns
+            # keep their input types) — a string-typed placeholder
+            # would make the view's shape depend on whether data landed
+            by_name = {f.name: f.dataType.simpleString()
+                       for f in self.INPUT_SCHEMA.fields}
+            by_name["day"] = "date"
+            fields = ", ".join(
+                f"{g} {by_name.get(g, 'string')}" for g in self.group_cols
+            )
             return self.spark.createDataFrame(
                 [],
                 f"{fields}, cnt long, cnt_value long, sum_value double, "

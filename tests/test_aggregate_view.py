@@ -128,3 +128,11 @@ def test_live_stream_matches_drain(spark, tmp_path):
         task.stop()
     total = task.view().agg(F.sum("cnt")).first()[0]
     assert total == 5  # all rows with a timestamp
+
+
+def test_empty_view_schema_matches_populated(spark, tmp_path):
+    task, drop = _mk(spark, tmp_path)
+    empty_schema = task.view().schema
+    _drop(drop, "d1.jsonl", D1)
+    task.process_available()
+    assert task.view().schema == empty_schema

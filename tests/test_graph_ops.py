@@ -207,3 +207,20 @@ def test_triangle_count_and_clustering_reference(spark):
     # self-loops are dropped
     loop = spark.createDataFrame([(1, 1), (1, 2)], "id_a long, id_b long")
     assert triangle_count(loop).count() == 0
+
+
+def test_triangle_hub_star_emits_no_wedges(spark):
+    """Degree-ordering bound: a star around the MINIMUM id must not
+    pay d^2 wedges — with degree-ordered direction every star edge
+    points INTO the hub, so the star yields zero wedges and zero
+    triangles (id-ordering would have emitted C(d,2) wedges here)."""
+    from sample_dms_s3_kinesis_spark.operators.graph import triangle_count
+
+    star = [(0, i) for i in range(1, 40)]
+    df = spark.createDataFrame(star, "id_a long, id_b long")
+    assert triangle_count(df).count() == 0
+
+    # star + one rim edge closes exactly one triangle
+    df2 = spark.createDataFrame(star + [(1, 2)], "id_a long, id_b long")
+    tri = {r["id"]: r["triangles"] for r in triangle_count(df2).collect()}
+    assert tri == {0: 1, 1: 1, 2: 1}
