@@ -264,8 +264,12 @@ def _triangles_from_canonical(
         F.col("id").alias("hi"),
         F.struct(F.col("degree"), F.col("id")).alias("_rh"),
     )
+    from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
+
     low_first = F.col("_rl") < F.col("_rh")  # ranks unique (id unique)
-    directed = (
+    # lineage cut: three references below (wedge x, wedge y, closing
+    # semi-join) would otherwise each replan the rank-attach joins
+    directed = _cut_lineage(
         e.join(dl, "lo")
         .join(dh, "hi")
         .select(
