@@ -1,5 +1,6 @@
 """Graph centrality operators vs pure-Python references."""
 
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators import graph
@@ -224,3 +225,46 @@ def test_triangle_hub_star_emits_no_wedges(spark):
     df2 = spark.createDataFrame(star + [(1, 2)], "id_a long, id_b long")
     tri = {r["id"]: r["triangles"] for r in triangle_count(df2).collect()}
     assert tri == {0: 1, 1: 1, 2: 1}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        max_size=40,
+    )
+)
+def test_triangle_count_matches_bruteforce_on_random_graphs(spark, edges):
+    from sample_dms_s3_kinesis_spark.operators.graph import triangle_count
+
+    canon = {
+        (min(a, b), max(a, b)) for a, b in edges if a != b
+    }
+    adj: dict = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b not in adj[a]:
+                continue
+            for c in nodes:
+                if c > b and c in adj[a] and c in adj[b]:
+                    for n in (a, b, c):
+                        want[n] = want.get(n, 0) + 1
+    if not edges:
+        return
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == want

@@ -117,3 +117,35 @@ def test_unigram_train_validates_params(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     with pytest.raises(ValueError, match="unigram_train"):
         unigram.unigram_train(df, vocab_size=0)
+
+
+def test_unigram_train_matches_reference_on_random_corpora(spark):
+    """Hypothesis sweep: tiny random corpora, trained vocab equal to
+    the independent reference (membership exact, probs at 1e-9)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def inner(docs):
+        rows = [(i, t) for i, t in enumerate(docs)]
+        params = dict(
+            vocab_size=12, seed_size=24, max_piece_len=3, n_iter=2
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["piece"]: r["prob"]
+            for r in unigram.unigram_train(df, **params).collect()
+        }
+        want = _ref_train(rows, **params)
+        assert set(got) == set(want)
+        for p, w in want.items():
+            assert got[p] == pytest.approx(w, rel=1e-9, abs=1e-12), p
+
+    inner()
