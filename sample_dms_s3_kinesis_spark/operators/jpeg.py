@@ -177,6 +177,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     frame = None  # (H, W, [(cid, h, v, tq), ...])
     restart_interval = 0
     planes = None
+    app14_transform = None  # Adobe APP14 color-transform flag
     pos = 2
     n = len(content)
     while pos < n:
@@ -230,6 +231,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     f"{precision}-bit JPEG precision unsupported"
                 )
             H, W = struct.unpack_from(">HH", seg, 1)
+            if H == 0:
+                # T.81 B.2.2: lines=0 defers the height to a DNL
+                # marker after the scan — unsupported; raising beats
+                # silently returning a 0-row "decoded" image
+                raise NotImplementedError(
+                    "DNL-deferred number of lines unsupported"
+                )
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
@@ -258,6 +266,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            # transform flag: 0 = components stored as-is (RGB for
+            # 3-comp), 1 = YCbCr.  Photoshop emits transform=0 RGB
+            # JPEGs; running those through the YCbCr matrix silently
+            # mangles every pixel.
+            if len(seg) >= 12:
+                app14_transform = seg[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -296,11 +311,20 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         p = planes[cid]
         p = p.repeat(vmax // v, axis=0).repeat(hmax // h, axis=1)
         full.append(p[:H, :W])
-    y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
+    cids = tuple(c[0] for c in comps)
+    stored_rgb = app14_transform == 0 or (
+        app14_transform is None and cids == (0x52, 0x47, 0x42)  # 'R','G','B'
+    )
+    if stored_rgb:
+        # components are already R, G, B (Adobe transform=0 or
+        # RGB-lettered component ids) — no color matrix
+        rgb = np.stack(full, axis=2)
+    else:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
@@ -320,8 +344,19 @@ def _decode_scan(
         raise NotImplementedError(
             "non-interleaved multi-scan baseline JPEG unsupported"
         )
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
+    if len(scan_comps) == 1:
+        # T.81 A.2.2: an Ns=1 scan is NON-interleaved — the MCU is one
+        # 8x8 block over the component's own sample grid and the SOF
+        # sampling factors play no layout role ('jpegtran -grayscale'
+        # keeps the (2,2) factors of its 4:2:0 source on the single
+        # remaining component).  Treating the factors as (1,1) over a
+        # (1,1)-max grid reduces the interleaved loop below to exactly
+        # the spec's ceil(W/8) × ceil(H/8) row-major block order, with
+        # restart intervals counted per block.
+        cid0 = comps[0][0]
+        by_id = {cid0: (1, 1, by_id[cid0][2])}
+    hmax = max(h for h, _v, _tq in by_id.values())
+    vmax = max(v for _h, v, _tq in by_id.values())
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
     # per-component coefficient planes sized to the MCU grid

@@ -140,3 +140,76 @@ def test_non_divisor_sampling_factors_raise_not_implemented():
     data[comp0 + 7] = 0x11  # Cr: (1,1)
     with pytest.raises(NotImplementedError, match="non-divisor"):
         decode_jpeg(bytes(data))
+
+
+def _patch_sof_hv(data: bytes, comp_index: int, hv: int) -> bytes:
+    buf = bytearray(data)
+    sof = buf.index(b"\xff\xc0")
+    buf[sof + 4 + 6 + 3 * comp_index + 1] = hv
+    return bytes(buf)
+
+
+def test_grayscale_nonone_sampling_factors_decode_noninterleaved():
+    """T.81 A.2.2: an Ns=1 scan ignores SOF sampling factors (MCU =
+    one 8x8 block).  'jpegtran -grayscale' keeps (2,2) factors on the
+    surviving component; decode must equal the (1,1) stream's."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    data = encode_jpeg(img)  # 2-D input -> grayscale stream
+    base = decode_jpeg(data)
+    for hv in (0x22, 0x21, 0x12):
+        assert np.array_equal(decode_jpeg(_patch_sof_hv(data, 0, hv)), base)
+
+
+def test_rgb_component_ids_skip_color_matrix():
+    """Component ids 'R','G','B' (or Adobe APP14 transform=0) mean the
+    planes are stored as RGB — the YCbCr matrix must not run."""
+    rng = np.random.default_rng(5)
+    # mid-range smooth image: flat 8x8 blocks → quantization error is
+    # DC-only and tiny, keeping the plane comparison tight
+    blocks = rng.integers(80, 176, size=(3, 5, 3), dtype=np.uint8)
+    img = blocks.repeat(8, axis=0).repeat(8, axis=1)
+    data = encode_jpeg(img, subsample=False)
+
+    buf = bytearray(data)
+    sof = buf.index(b"\xff\xc0")
+    sos = buf.index(b"\xff\xda")
+    for i, cid in enumerate((0x52, 0x47, 0x42)):  # R, G, B
+        buf[sof + 4 + 6 + 3 * i] = cid
+        buf[sos + 5 + 2 * i] = cid
+    got = decode_jpeg(bytes(buf)).astype(np.float64)
+
+    # expected: the stored planes ARE the encoder's YCbCr of img
+    f = img.astype(np.float64)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    cb = 128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2]
+    cr = 128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2]
+    want = np.stack([y, cb, cr], axis=2)
+    assert np.abs(got - want).max() <= 4.0
+
+
+def test_adobe_app14_transform_flags():
+    rng = np.random.default_rng(6)
+    img = rng.integers(60, 200, size=(16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(img, subsample=False)
+    base = decode_jpeg(data)
+
+    def with_app14(transform):
+        seg = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+        app14 = b"\xff\xee" + (len(seg) + 2).to_bytes(2, "big") + seg
+        return data[:2] + app14 + data[2:]
+
+    # transform=1: explicit YCbCr — identical to the bare stream
+    assert np.array_equal(decode_jpeg(with_app14(1)), base)
+    # transform=0: stored RGB — color matrix skipped, so the output
+    # differs from the YCbCr interpretation of the same planes
+    assert not np.array_equal(decode_jpeg(with_app14(0)), base)
+
+
+def test_dnl_deferred_height_raises():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 5 : sof + 7] = b"\x00\x00"  # lines = 0 → DNL
+    with pytest.raises(NotImplementedError, match="DNL"):
+        decode_jpeg(bytes(data))
