@@ -16,13 +16,14 @@ Families:
                ``lang_id``, ``fingerprint``, ``rolling_hashes``,
                ``bpe_ish_tokens``, ``bpe_ish_token_count``,
                ``dup_token_fraction``, ``normalize_text``,
-               ``redact_pii``, ``pii_count``
+               ``redact_pii``, ``pii_count``, ``winnowed_fingerprints``
 - shingling:   ``token_ngrams``, ``minhash_signature``, ``simhash``
 - similarity:  ``cosine_similarity``, ``hyperplane_signature``,
                ``l2_norm``, ``l2_normalize``, ``dequantize``
 - sampling:    ``hash_bucket`` (deterministic md5 bucket — the seed of
                every split/sample operator)
 - curation:    ``gram_digest``
+- layout:      ``zorder_key`` (Morton interleave clustering key)
 """
 
 from sample_dms_s3_kinesis_spark.operators.curation import gram_digest
@@ -32,6 +33,7 @@ from sample_dms_s3_kinesis_spark.operators.dedup import (
     simhash,
     token_ngrams,
 )
+from sample_dms_s3_kinesis_spark.operators.layout import zorder_key
 from sample_dms_s3_kinesis_spark.operators.sampling import hash_bucket
 from sample_dms_s3_kinesis_spark.operators.similarity import (
     dequantize,
@@ -55,6 +57,7 @@ from sample_dms_s3_kinesis_spark.operators.text import (
     stopword_count,
     token_count,
     tokens,
+    winnowed_fingerprints,
 )
 
 __all__ = [
@@ -83,4 +86,6 @@ __all__ = [
     "token_count",
     "token_ngrams",
     "tokens",
+    "winnowed_fingerprints",
+    "zorder_key",
 ]
