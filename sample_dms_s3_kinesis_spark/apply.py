@@ -296,7 +296,13 @@ class ParquetTargetStore:
                     with open(self._versions_file()) as f:
                         on_disk = json.load(f)
                 except (OSError, ValueError):
-                    on_disk = {}
+                    # unreadable (NOT merely absent) file: fall back to
+                    # this instance's snapshot as the floor — with the
+                    # dirty-only overlay, an empty fallback would
+                    # silently DELETE every pointer this instance never
+                    # touched (a concurrent writer's advance may regress
+                    # in this rare window, but nothing vanishes)
+                    on_disk = dict(self._versions)
             merged = dict(on_disk)
             for name in self._dirty:
                 if name in self._versions:

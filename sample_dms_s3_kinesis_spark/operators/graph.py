@@ -256,6 +256,7 @@ def _triangles_from_canonical(
     does NOT give (an id-0 star would emit d² wedges).  Each triangle
     is counted once at its minimum-rank corner and credited to all
     three corners."""
+
     dl = deg.select(
         F.col("id").alias("lo"),
         F.struct(F.col("degree"), F.col("id")).alias("_rl"),
@@ -264,7 +265,6 @@ def _triangles_from_canonical(
         F.col("id").alias("hi"),
         F.struct(F.col("degree"), F.col("id")).alias("_rh"),
     )
-    from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
 
     low_first = F.col("_rl") < F.col("_rh")  # ranks unique (id unique)
     # lineage cut: three references below (wedge x, wedge y, closing
@@ -329,7 +329,6 @@ def triangle_count(
 
     Output: (id, triangles long) — nodes on ≥1 triangle.
     """
-    from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
 
     e = _cut_lineage(_canonical_edges(pairs, src_col, dst_col))
     return _triangles_from_canonical(e, degree_stats(e, src_col="lo", dst_col="hi"))
@@ -350,7 +349,6 @@ def clustering_coefficients(
     per reference).
 
     Output: (id, degree, triangles, coefficient)."""
-    from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
 
     e = _cut_lineage(_canonical_edges(pairs, src_col, dst_col))
     deg = _cut_lineage(degree_stats(e, src_col="lo", dst_col="hi"))

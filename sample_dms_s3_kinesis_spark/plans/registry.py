@@ -1925,6 +1925,20 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic and scan-heavy (moments pass + driver eigh): fit once
+# per (app, sf_dir) — same pattern as _UNIGRAM_VOCAB_CACHE.
+_PCA_MODEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pca_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PCA_MODEL_CACHE:
+        _PCA_MODEL_CACHE[key] = similarity.pca_fit(
+            t(spark, sf_dir, "embeddings"), n_components=8
+        )
+    return _PCA_MODEL_CACHE[key]
+
+
 @_register(
     "q_pca_explained",
     None,  # eigendecomposition is not SQL-expressible; pytest pins the
@@ -1936,8 +1950,7 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity: PCA fit (pre-PQ rotation)",
 )
 def q_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    model = similarity.pca_fit(emb, n_components=8)
+    model = _pca_model(spark, sf_dir)
     return (
         model.filter(F.col("component") >= 0)
         .select(
@@ -1960,8 +1973,9 @@ def q_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pca_whitened_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    model = similarity.pca_fit(emb, n_components=8)
-    proj = similarity.pca_transform(emb, model, whiten=True)
+    proj = similarity.pca_transform(
+        emb, _pca_model(spark, sf_dir), whiten=True
+    )
     norm = F.sqrt(
         F.aggregate(
             F.col("pca"), F.lit(0.0), lambda s, x: s + x * x

@@ -180,6 +180,11 @@ class CdcTask(ReplicationTask):
                 "original checkpoint_dir"
             )
         self._set_status(TaskStatus.STARTING)
+        # Resolve a surviving interrupted-drain mark BEFORE the stream
+        # runs: the batch-mark slot holds ONE mark, so a stream epoch
+        # saving its own mark over an unresolved drain would orphan
+        # the drain's replay and let its files re-emit under new seqs.
+        self._maybe_replay_interrupted_drain()
         self._emit_or_defer_start_controls()
         self._query = (
             read_cdc_lines_stream(self.spark, self.cdc_dir)
@@ -258,7 +263,6 @@ class CdcTask(ReplicationTask):
         # as a fresh marked batch on the second loop pass instead.
         mark = self.store.load_batch_mark(self.identifier)
         while pending:
-            rewound_mark = None
             # No checkpoint match required: the drain mark's identity is
             # its file list (store-scoped), so a restarted task with a
             # fresh default checkpoint still replays the interrupted
@@ -268,13 +272,8 @@ class CdcTask(ReplicationTask):
                 and mark.get("batch_id") == -1
                 and set(mark.get("drain_files") or []) <= set(pending)
             ):
-                rewound_mark = mark
-                batch_files = sorted(mark["drain_files"])
-                self._seq_offset = mark["offset"]
-                self.stats = StatsAccumulator.from_mapping(mark["stats"])
-                self.store.rewind_versions(
-                    mark["versions"], owned=self._owned_table_names()
-                )
+                self._replay_drain(mark)
+                drained = set(self.store.load_drained(self.identifier))
             else:
                 batch_files = pending
                 self.store.save_batch_mark(
@@ -285,25 +284,60 @@ class CdcTask(ReplicationTask):
                     checkpoint=self.checkpoint_dir,
                     drain_files=batch_files,
                 )
-            lines = read_cdc_lines(
-                self.spark, self.cdc_dir, paths=batch_files
-            )
-            self._process_batch(lines, batch_id=-1)
-            if rewound_mark is not None:
-                # Same floor the streaming replay applies: a restart
-                # after the interrupted drain's save_seq emits start
-                # controls ABOVE the drained range (folded into the
-                # mark as restart_seq_high); the next allocation must
-                # land past them, never inside.
-                floor = int(rewound_mark.get("restart_seq_high") or 0)
-                if floor > self._seq_offset:
-                    self._seq_offset = floor
-                    self.store.save_seq(self.identifier, self._seq_offset)
-            drained |= set(batch_files)
-            self.store.save_drained(self.identifier, sorted(drained))
-            self.store.clear_batch_mark(self.identifier)
+                lines = read_cdc_lines(
+                    self.spark, self.cdc_dir, paths=batch_files
+                )
+                self._process_batch(lines, batch_id=-1)
+                drained |= set(batch_files)
+                self.store.save_drained(self.identifier, sorted(drained))
+                self.store.clear_batch_mark(self.identifier)
             mark = None
             pending = [p for p in pending if p not in drained]
+
+    def _replay_drain(self, mark) -> None:
+        """Re-run an interrupted drain from its mark: rewind to the
+        recorded pre-drain state, re-process EXACTLY the marked files
+        under the SAME seq range (never a superset — later files drain
+        as a fresh marked batch), then record them drained."""
+        batch_files = sorted(mark["drain_files"])
+        self._seq_offset = mark["offset"]
+        self.stats = StatsAccumulator.from_mapping(mark["stats"])
+        self.store.rewind_versions(
+            mark["versions"], owned=self._owned_table_names()
+        )
+        lines = read_cdc_lines(self.spark, self.cdc_dir, paths=batch_files)
+        self._process_batch(lines, batch_id=-1)
+        # Same floor the streaming replay applies: a restart after the
+        # interrupted drain's save_seq emits start controls ABOVE the
+        # drained range (folded into the mark as restart_seq_high);
+        # the next allocation must land past them, never inside.
+        floor = int(mark.get("restart_seq_high") or 0)
+        if floor > self._seq_offset:
+            self._seq_offset = floor
+            self.store.save_seq(self.identifier, self._seq_offset)
+        drained = set(self.store.load_drained(self.identifier)) | set(
+            batch_files
+        )
+        self.store.save_drained(self.identifier, sorted(drained))
+        self.store.clear_batch_mark(self.identifier)
+
+    def _maybe_replay_interrupted_drain(self) -> None:
+        """Resolve a surviving interrupted-drain mark at start():
+        either replay it (files still present, not yet in the drained
+        ledger) or clear a mark that survived a crash between
+        save_drained and clear_batch_mark."""
+        import os as _os
+
+        mark = self.store.load_batch_mark(self.identifier)
+        if mark is None or mark.get("batch_id") != -1:
+            return
+        files = sorted(mark.get("drain_files") or [])
+        drained = set(self.store.load_drained(self.identifier))
+        if not files or set(files) <= drained:
+            self.store.clear_batch_mark(self.identifier)
+            return
+        if all(_os.path.exists(f) for f in files):
+            self._replay_drain(mark)
 
     # -- internals -----------------------------------------------------
 
@@ -362,6 +396,29 @@ class CdcTask(ReplicationTask):
             )
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Files already consumed by a DRAIN must not re-enter through
+        # the stream: a restart with a fresh (explicit) checkpoint
+        # re-discovers every file in the directory, and without this
+        # gate the drained files' events would re-emit under NEW seqs
+        # and re-apply (double-counting statistics).  The ledger holds
+        # paths; stream rows carry the source path as ``_file`` —
+        # compare by basename (cdc file names are unique by the
+        # sequence-naming contract).  The drained list is bounded by
+        # the drain history; at table-format scale this gate is the
+        # format's own file-level commit log.
+        if batch_id >= 0 and "_file" in batch_df.columns:
+            import os as _os
+
+            drained_names = [
+                _os.path.basename(p)
+                for p in self.store.load_drained(self.identifier)
+            ]
+            if drained_names:
+                batch_df = batch_df.filter(
+                    ~F.element_at(
+                        F.split(F.col("_file"), "/"), -1
+                    ).isin(drained_names)
+                )
         # ONE action materializes the persisted parse AND answers every
         # head question: any rows? any ALTERs? how many rows per
         # catalog table? any unroutable rows?  The former separate
@@ -445,6 +502,17 @@ class CdcTask(ReplicationTask):
                 )
                 replay_seq_floor = int(mark.get("restart_seq_high") or 0)
             else:
+                if mark is not None and mark.get("batch_id") == -1:
+                    drained = set(self.store.load_drained(self.identifier))
+                    if not set(mark.get("drain_files") or []) <= drained:
+                        # defense in depth: start() replays unresolved
+                        # drain marks before streaming; clobbering one
+                        # here would re-emit its files under new seqs
+                        raise RuntimeError(
+                            "stream batch arrived while an interrupted "
+                            "drain mark is unresolved — do not mix "
+                            "drain and stream processing mid-flight"
+                        )
                 self.store.save_batch_mark(
                     self.identifier,
                     batch_id,

@@ -111,11 +111,11 @@ class BatchPartitionStoreTask(ReplicationTask):
                 stored = _json.load(f)
             if stored != self._params():
                 raise ValueError(
-                    f"sketch store {self.store_dir} was built with "
+                    f"store {self.store_dir} was built with "
                     f"{stored}; this task was configured with "
-                    f"{self._params()} — sketches under different "
-                    "parameters cannot be merged and there are no raw "
-                    "events to rebuild from"
+                    f"{self._params()} — partitions written under "
+                    "different parameters cannot be merged and there "
+                    "are no raw events to rebuild from"
                 )
         else:
             tmp = pf + ".tmp"

@@ -462,3 +462,77 @@ def test_concurrent_store_saves_do_not_clobber_each_other(tmp_path):
     b._versions["hr.y"] = 2
     b._save_versions()
     assert ParquetTargetStore(root)._versions == {"hr.y": 2}
+
+
+def test_stream_start_replays_interrupted_drain_first(
+    spark, catalog, cdc_dir, tmp_path
+):
+    """An unresolved drain mark must be REPLAYED at start(), before any
+    stream epoch can clobber the single batch-mark slot with its own
+    mark — otherwise the interrupted drain's files re-emit under new
+    seqs on the next drain."""
+    target = str(tmp_path / "target")
+    ts = "2026-01-01T00:00:00.000Z"
+
+    sink1 = MemorySink()
+    store1 = ParquetTargetStore(target)
+    task1 = CdcTask(
+        spark, catalog, cdc_dir, sink1, store1, event_time=ts,
+    )
+    write_cdc_file(cdc_dir, 1, FILE_1)
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before ledger")
+
+    store1.save_drained = boom
+    try:
+        task1.process_available()
+    except RuntimeError:
+        pass
+    crashed_seqs = [
+        r["seq"]
+        for r, e in zip(sink1.records, sink1.events)
+        if e["metadata"]["record-type"] == "data"
+    ]
+    assert len(crashed_seqs) == 2
+
+    # restart in STREAMING mode with a new file already waiting (an
+    # explicit checkpoint: the default-checkpoint restart guard is a
+    # separate contract)
+    write_cdc_file(cdc_dir, 2, FILE_2)
+    sink2 = MemorySink()
+    store2 = ParquetTargetStore(target)
+    task2 = CdcTask(
+        spark, catalog, cdc_dir, sink2, store2, event_time=ts,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    task2.start()
+    try:
+        _wait_for(sink2, 10)
+    finally:
+        task2.stop()
+    data = [
+        (r["seq"], (e["data"] or {}).get("Id"), e["metadata"]["operation"])
+        for r, e in zip(sink2.records, sink2.events)
+        if e["metadata"]["record-type"] == "data"
+    ]
+    # file 1 replayed under the SAME seqs; the stream (fresh
+    # checkpoint, so it re-discovers file 1 too) must NOT re-deliver
+    # the drained file — exactly one data event per change row
+    replayed = [d for d in data if d[0] in set(crashed_seqs)]
+    assert sorted(i for _, i, _ in replayed) == [401, 402]
+    assert len(data) == 4  # 2 replayed + 2 from file 2, nothing twice
+    all_seqs = [r["seq"] for r in sink2.records]
+    assert len(all_seqs) == len(set(all_seqs))
+
+    dept = next(t for t in catalog if t.name == "department")
+    final = {
+        r["Id"]: r["DepartmentName"]
+        for r in store2.read(spark, dept).collect()
+    }
+    assert final == {401: "Platform", 402: "Sales", 403: "Legal"}
+    stats = {
+        (r["SchemaName"], r["TableName"]): r
+        for r in task2.table_statistics(spark).collect()
+    }
+    assert stats[("hr", "department")]["Inserts"] == 3  # 401,402,403 once
