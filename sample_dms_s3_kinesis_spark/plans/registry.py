@@ -2328,8 +2328,19 @@ DRIVER_WINDOW: list[str] = [
     "q22_idle_rich_customers",
 ]
 # r8 rotation backlog, in priority order (never-checked beats stale):
-# (a) any query registered during r7 after this window was frozen;
-# (b) r4-stale rows next round: the r4 window families
+# (a) the 19 queries registered during the r7 main session, all local
+#     oracle/smoke green, none with a driver row yet:
+#       exact-oracle: q_ingest_e2e_corpus, q_ingest_e2e_stats,
+#       q_metrics_e2e_sketches, q_aggview_e2e, q_time_travel_states,
+#       q_minhash_md5_pairs, q_minhash_md5_against,
+#       q_simhash_md5_pairs, q_winnowing_md5_containment,
+#       q_quantile_sketch_daily, q_zorder_buckets, q_k_anonymity,
+#       q_neardup_clustering;
+#       rows-only: q_unigram_vocab, q_unigram_encode, q_pca_explained,
+#       q_pca_whitened_norms, q_pq_whitened_recall
+#       (that is 18 — q_cdc_e2e_stats, the 19th r7 registration, is
+#       already in THIS window);
+# (b) r4-stale rows next: the r4 window families
 #     (envelope/partition-key/union/semi-anti-join/latest-wins/SCD2/
 #     conditional-agg/running-sum/ts-filter/json-extract) plus the r5
 #     window (LIKE filters, top-orders, rollup/cube/grouping sets,
