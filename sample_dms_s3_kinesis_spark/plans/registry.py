@@ -2328,7 +2328,7 @@ DRIVER_WINDOW: list[str] = [
     "q22_idle_rich_customers",
 ]
 # r8 rotation backlog, in priority order (never-checked beats stale):
-# (a) the 19 queries registered during the r7 main session, all local
+# (a) the 18 queries registered during the r7 main session, all local
 #     oracle/smoke green, none with a driver row yet:
 #       exact-oracle: q_ingest_e2e_corpus, q_ingest_e2e_stats,
 #       q_metrics_e2e_sketches, q_aggview_e2e, q_time_travel_states,
@@ -2338,8 +2338,8 @@ DRIVER_WINDOW: list[str] = [
 #       q_neardup_clustering;
 #       rows-only: q_unigram_vocab, q_unigram_encode, q_pca_explained,
 #       q_pca_whitened_norms, q_pq_whitened_recall
-#       (that is 18 — q_cdc_e2e_stats, the 19th r7 registration, is
-#       already in THIS window);
+#       (13 exact + 5 rows-only; q_cdc_e2e_stats, registered by the
+#       earlier r7 session, is already in THIS window);
 # (b) r4-stale rows next: the r4 window families
 #     (envelope/partition-key/union/semi-anti-join/latest-wins/SCD2/
 #     conditional-agg/running-sum/ts-filter/json-extract) plus the r5
