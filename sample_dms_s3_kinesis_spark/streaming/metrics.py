@@ -127,11 +127,43 @@ class BatchPartitionStoreTask(ReplicationTask):
 
     def start(self) -> None:
         self._set_status(TaskStatus.STARTING)
-        self._query = (
+        src = (
             self.spark.readStream.schema(self.INPUT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .json(self.drop_dir)
-            .writeStream.foreachBatch(self._process_batch)
+            # the source file path rides along so the batch callback
+            # can drop rows from drain-consumed files (resolved here:
+            # inside foreachBatch the frame is a LogicalRDD and
+            # _metadata no longer binds)
+            .withColumn("_src_file", F.col("_metadata.file_path"))
+        )
+
+        def _gated_batch(df: DataFrame, batch_id: int) -> None:
+            # Files consumed by a DRAIN must not re-enter through the
+            # stream: a restart under a different checkpoint
+            # re-discovers every drop file, and these stores have no
+            # content dedup — re-sketching/re-aggregating a drained
+            # file silently double-merges it.  The manifest holds
+            # paths; compare by basename (drop-file names are unique
+            # in one directory).
+            import json as _json
+            import os as _os
+
+            mf = f"{self.store_dir}/_FILES.json"
+            names: set = set()
+            if _os.path.exists(mf):
+                with open(mf) as f:
+                    names = {_os.path.basename(p) for p in _json.load(f)}
+            if names:
+                df = df.filter(
+                    ~F.element_at(
+                        F.split(F.col("_src_file"), "/"), -1
+                    ).isin(sorted(names))
+                )
+            self._process_batch(df.drop("_src_file"), batch_id)
+
+        self._query = (
+            src.writeStream.foreachBatch(_gated_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .start()
         )

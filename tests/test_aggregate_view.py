@@ -136,3 +136,32 @@ def test_empty_view_schema_matches_populated(spark, tmp_path):
     _drop(drop, "d1.jsonl", D1)
     task.process_available()
     assert task.view().schema == empty_schema
+
+
+def test_stream_restart_skips_drain_consumed_files(spark, tmp_path):
+    """Same drained-file gate as the sketch store: a fresh-checkpoint
+    stream restart must not re-aggregate drained files."""
+    task, drop = _mk(spark, tmp_path)
+    _drop(drop, "d1.jsonl", D1)
+    task.process_available()
+    before = {
+        (str(r["day"]), r["event_type"]): r["cnt"]
+        for r in task.view().collect()
+    }
+
+    task2 = AggregateViewTask(
+        spark,
+        drop,
+        task.store_dir,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    task2.start()
+    try:
+        task2._query.processAllAvailable()
+    finally:
+        task2.stop()
+    after = {
+        (str(r["day"]), r["event_type"]): r["cnt"]
+        for r in task2.view().collect()
+    }
+    assert after == before

@@ -296,3 +296,40 @@ def test_drain_crash_before_manifest_does_not_double_merge(spark, tmp_path):
     ids = task2._batch_ids()
     task2.process_available()
     assert task2._batch_ids() == ids
+
+
+def test_stream_restart_skips_drain_consumed_files(spark, tmp_path):
+    """A stream restart under a different checkpoint re-discovers every
+    drop file; files already consumed by a drain (the _FILES manifest)
+    must not re-merge into the sketch store."""
+    import os
+    import time
+
+    from sample_dms_s3_kinesis_spark.streaming.metrics import (
+        SketchMetricsTask,
+    )
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    store = str(tmp_path / "store")
+    t1 = SketchMetricsTask(
+        spark, drop, store, checkpoint_dir=str(tmp_path / "ck1")
+    )
+    with open(os.path.join(drop, "d1.jsonl"), "w") as f:
+        f.write(
+            '{"event_id": 1, "ts": "2026-03-01T01:00:00Z", '
+            '"user_id": 10, "event_type": "click"}\n'
+        )
+    t1.process_available()
+    probe = spark.createDataFrame([("click",)], "event_type string")
+    assert t1.freq_estimate(probe).collect()[0]["est_count"] == 1
+
+    t2 = SketchMetricsTask(
+        spark, drop, store, checkpoint_dir=str(tmp_path / "ck2")
+    )
+    t2.start()
+    try:
+        t2._query.processAllAvailable()
+    finally:
+        t2.stop()
+    assert t2.freq_estimate(probe).collect()[0]["est_count"] == 1
