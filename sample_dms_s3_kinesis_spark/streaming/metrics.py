@@ -125,8 +125,37 @@ class BatchPartitionStoreTask(ReplicationTask):
 
     # -- lifecycle -----------------------------------------------------
 
+    def _checkpoint_marker(self) -> str:
+        return f"{self.store_dir}/_CHECKPOINT"
+
     def start(self) -> None:
         self._set_status(TaskStatus.STARTING)
+        # Stream epoch ids name the batch directories, so restarting a
+        # populated store with a DIFFERENT checkpoint would replay
+        # epoch 0 over another batch's partitions (mode=overwrite
+        # clobbers them).  Pin the checkpoint the store was streamed
+        # with — the same enforcement CorpusIngestTask has; DRAIN
+        # batches (ids >= 1e9) are manifest-keyed and unaffected.
+        marker = self._checkpoint_marker()
+        has_stream_batches = any(
+            b < 1_000_000_000 for b in self._batch_ids()
+        )
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prior = f.read().strip()
+            if prior != self.checkpoint_dir and has_stream_batches:
+                raise ValueError(
+                    f"store {self.store_dir} was streamed with "
+                    f"checkpoint {prior}; restarting with "
+                    f"{self.checkpoint_dir} would replay epoch ids "
+                    "over existing batch partitions — reuse the "
+                    "original checkpoint_dir (drain-mode "
+                    "process_available is unaffected)"
+                )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self.checkpoint_dir)
+        os.replace(tmp, marker)
         src = (
             self.spark.readStream.schema(self.INPUT_SCHEMA)
             .option("maxFilesPerTrigger", 1)

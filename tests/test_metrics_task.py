@@ -333,3 +333,49 @@ def test_stream_restart_skips_drain_consumed_files(spark, tmp_path):
     finally:
         t2.stop()
     assert t2.freq_estimate(probe).collect()[0]["est_count"] == 1
+
+
+def test_stream_checkpoint_pinned_against_epoch_replay(spark, tmp_path):
+    """A store with STREAM-written batches refuses a different
+    checkpoint (epoch ids would replay over existing partitions);
+    drain-only stores are unaffected (drain ids are manifest-keyed)."""
+    import os
+
+    import pytest
+
+    from sample_dms_s3_kinesis_spark.streaming.metrics import (
+        SketchMetricsTask,
+    )
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    store = str(tmp_path / "store")
+    with open(os.path.join(drop, "d1.jsonl"), "w") as f:
+        f.write(
+            '{"event_id": 1, "ts": "2026-03-01T01:00:00Z", '
+            '"user_id": 10, "event_type": "click"}\n'
+        )
+    t1 = SketchMetricsTask(
+        spark, drop, store, checkpoint_dir=str(tmp_path / "ck1")
+    )
+    t1.start()
+    try:
+        t1._query.processAllAvailable()
+    finally:
+        t1.stop()
+    assert any(b < 1_000_000_000 for b in t1._batch_ids())
+
+    t2 = SketchMetricsTask(
+        spark, drop, store, checkpoint_dir=str(tmp_path / "ck2")
+    )
+    with pytest.raises(ValueError, match="was streamed with"):
+        t2.start()
+    # same checkpoint restarts fine
+    t3 = SketchMetricsTask(
+        spark, drop, store, checkpoint_dir=str(tmp_path / "ck1")
+    )
+    t3.start()
+    try:
+        t3._query.processAllAvailable()
+    finally:
+        t3.stop()
