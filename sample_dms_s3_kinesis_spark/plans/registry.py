@@ -2256,6 +2256,73 @@ def q_pq_whitened_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_aggview_quantiles_e2e",
+    """
+    SELECT * FROM (VALUES
+      (CAST('2026-03-01' AS DATE), 'click',
+       CAST(0.5 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+      (CAST('2026-03-01' AS DATE), 'click',
+       CAST(0.9 AS DOUBLE), CAST(4.0 AS DOUBLE)),
+      (CAST('2026-03-02' AS DATE), 'click',
+       CAST(0.5 AS DOUBLE), CAST(6.0 AS DOUBLE)),
+      (CAST('2026-03-02' AS DATE), 'click',
+       CAST(0.9 AS DOUBLE), CAST(6.0 AS DOUBLE))
+    ) AS t(day, event_type, q, est)
+    ORDER BY day, event_type, q
+    """,
+    "incremental quantile-store E2E: the materialized-view task with "
+    "quantiles=True drains the two-batch fixture, each batch landing "
+    "its own bottom-k sample; quantile_view merges (pool + re-keep) "
+    "and serves type-1 empirical quantiles — with k above the fixture "
+    "size the sample is the full distribution, so the oracle is the "
+    "hand-derived exact quantile (null-value groups absent)",
+    "AggregateViewTask quantile store end-to-end",
+)
+def q_aggview_quantiles_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.streaming.aggregates import (
+        AggregateViewTask,
+    )
+
+    d1 = [
+        '{"event_id": 1, "ts": "2026-03-01T01:00:00Z", "user_id": 10, "event_type": "click", "value": 2.0}',
+        '{"event_id": 2, "ts": "2026-03-01T02:00:00Z", "user_id": 11, "event_type": "click", "value": 4.0}',
+        '{"event_id": 3, "ts": "2026-03-01T03:00:00Z", "user_id": 12, "event_type": "view", "value": null}',
+        '{"event_id": 4, "ts": null, "user_id": 13, "event_type": "view", "value": 9.0}',
+    ]
+    d2 = [
+        '{"event_id": 5, "ts": "2026-03-02T01:00:00Z", "user_id": 11, "event_type": "click", "value": 6.0}',
+        '{"event_id": 6, "ts": "2026-03-01T04:00:00Z", "user_id": 14, "event_type": "click", "value": 0.0}',
+    ]
+    root = tempfile.mkdtemp(prefix="q_aggview_q_e2e_")
+    drop = os.path.join(root, "drop")
+    os.makedirs(drop)
+    try:
+        task = AggregateViewTask(
+            spark,
+            drop,
+            os.path.join(root, "store"),
+            quantiles=True,
+            q_k=64,
+            hash_family="md5",
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        for n, lines in (("d1.jsonl", d1), ("d2.jsonl", d2)):
+            with open(os.path.join(drop, n), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            task.process_available()
+        out = task.quantile_view(qs=(0.5, 0.9)).orderBy(
+            "day", "event_type", "q"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero
@@ -2328,17 +2395,17 @@ DRIVER_WINDOW: list[str] = [
     "q22_idle_rich_customers",
 ]
 # r8 rotation backlog, in priority order (never-checked beats stale):
-# (a) the 18 queries registered during the r7 main session, all local
+# (a) the 19 queries registered during the r7 main session, all local
 #     oracle/smoke green, none with a driver row yet:
 #       exact-oracle: q_ingest_e2e_corpus, q_ingest_e2e_stats,
 #       q_metrics_e2e_sketches, q_aggview_e2e, q_time_travel_states,
 #       q_minhash_md5_pairs, q_minhash_md5_against,
 #       q_simhash_md5_pairs, q_winnowing_md5_containment,
 #       q_quantile_sketch_daily, q_zorder_buckets, q_k_anonymity,
-#       q_neardup_clustering;
+#       q_neardup_clustering, q_aggview_quantiles_e2e;
 #       rows-only: q_unigram_vocab, q_unigram_encode, q_pca_explained,
 #       q_pca_whitened_norms, q_pq_whitened_recall
-#       (13 exact + 5 rows-only; q_cdc_e2e_stats, registered by the
+#       (14 exact + 5 rows-only; q_cdc_e2e_stats, registered by the
 #       earlier r7 session, is already in THIS window);
 # (b) r4-stale rows next: the r4 window families
 #     (envelope/partition-key/union/semi-anti-join/latest-wins/SCD2/

@@ -56,7 +56,14 @@ class AggregateViewTask(BatchPartitionStoreTask):
     per-``group_cols`` aggregate view of ``value_col`` under
     ``store_dir`` (rows with a NULL timestamp are dropped like the
     sketch task; NULL values count rows but contribute no sum/min/
-    max, matching SQL aggregate semantics on both engines)."""
+    max, matching SQL aggregate semantics on both engines).
+
+    ``quantiles=True`` additionally maintains a mergeable bottom-k
+    quantile sample per group (``operators.sketches.quantile_sketch``
+    keyed by ``id_col``): each batch lands its own <=k-row sample and
+    :meth:`quantile_view` merges at read by pool + re-keep — the
+    quantile column algebraic aggregates cannot provide, in the same
+    store with the same durability contract."""
 
     INPUT_SCHEMA = EVENT_VALUE_SCHEMA
 
@@ -70,11 +77,19 @@ class AggregateViewTask(BatchPartitionStoreTask):
         group_cols: Sequence[str] = ("day", "event_type"),
         value_col: str = "value",
         ts_col: str = "ts",
+        quantiles: bool = False,
+        q_k: int = 128,
+        id_col: str = "event_id",
+        hash_family: str = "xxhash64",
         checkpoint_dir: str | None = None,
     ) -> None:
         self.group_cols = tuple(group_cols)
         self.value_col = value_col
         self.ts_col = ts_col
+        self.quantiles = quantiles
+        self.q_k = q_k
+        self.id_col = id_col
+        self.hash_family = hash_family
         super().__init__(
             spark,
             drop_dir,
@@ -84,16 +99,31 @@ class AggregateViewTask(BatchPartitionStoreTask):
         )
 
     def _params(self) -> dict:
-        return {
+        p = {
             "group_cols": list(self.group_cols),
             "value_col": self.value_col,
             "ts_col": self.ts_col,
         }
+        if self.quantiles:
+            # sketch geometry is part of the store identity: samples
+            # kept under one k cannot merge under a larger one
+            p.update(
+                quantiles=True,
+                q_k=self.q_k,
+                id_col=self.id_col,
+                hash_family=self.hash_family,
+            )
+        return p
 
     def _agg_dir(self) -> str:
         return f"{self.store_dir}/_agg"
 
+    def _qsk_dir(self) -> str:
+        return f"{self.store_dir}/_qsk"
+
     def _store_dirs(self) -> tuple[str, ...]:
+        if self.quantiles:
+            return (self._agg_dir(), self._qsk_dir())
         return (self._agg_dir(),)
 
     def _with_day(self, df: DataFrame) -> DataFrame:
@@ -124,8 +154,54 @@ class AggregateViewTask(BatchPartitionStoreTask):
             dst = f"{self._agg_dir()}/batch_id={batch_id}"
             part.write.mode("overwrite").parquet(dst)
             self.spark.catalog.refreshByPath(dst)
+            if self.quantiles:
+                from sample_dms_s3_kinesis_spark.operators.sketches import (
+                    quantile_sketch,
+                )
+
+                qdst = f"{self._qsk_dir()}/batch_id={batch_id}"
+                quantile_sketch(
+                    ev,
+                    self.value_col,
+                    id_col=self.id_col,
+                    k=self.q_k,
+                    group_cols=self.group_cols,
+                    hash_family=self.hash_family,
+                ).write.mode("overwrite").parquet(qdst)
+                self.spark.catalog.refreshByPath(qdst)
         finally:
             ev.unpersist()
+
+    def quantile_view(self, qs: Sequence[float] = (0.5, 0.9, 0.99)) -> DataFrame:
+        """Quantile estimates from the merged per-batch samples:
+        (*group_cols, q, est).  Merge = pool + re-keep bottom-q_k per
+        group (valid: every batch sample was kept under the same k),
+        then the type-1 empirical quantile."""
+        if not self.quantiles:
+            raise ValueError("quantile_view requires quantiles=True")
+        from sample_dms_s3_kinesis_spark.operators.sketches import (
+            quantile_estimate,
+            quantile_merge,
+        )
+
+        raw = self._read(self._qsk_dir())
+        if raw is None:
+            # schema-stable empty view, same discipline as view()
+            by_name = {f.name: f.dataType.simpleString()
+                       for f in self.INPUT_SCHEMA.fields}
+            by_name["day"] = "date"
+            fields = ", ".join(
+                f"{g} {by_name.get(g, 'string')}" for g in self.group_cols
+            )
+            return self.spark.createDataFrame(
+                [], f"{fields}, q double, est double"
+            )
+        merged = quantile_merge(
+            raw.drop("batch_id"), k=self.q_k, group_cols=self.group_cols
+        )
+        return quantile_estimate(
+            merged, qs=qs, group_cols=list(self.group_cols)
+        )
 
     # -- reads (merge at query time) -----------------------------------
 

@@ -165,3 +165,38 @@ def test_stream_restart_skips_drain_consumed_files(spark, tmp_path):
         for r in task2.view().collect()
     }
     assert after == before
+
+
+def test_quantile_store_merges_across_batches(spark, tmp_path):
+    """quantiles=True maintains per-batch bottom-k samples; the merged
+    estimates equal a direct quantile over all events (k above the
+    data size -> the sample is the full distribution)."""
+    task, drop = _mk(spark, tmp_path, quantiles=True, q_k=64)
+    _drop(drop, "d1.jsonl", D1)
+    task.process_available()
+    _drop(drop, "d2.jsonl", D2)
+    task.process_available()
+
+    got = {
+        (str(r["day"]), r["event_type"], r["q"]): r["est"]
+        for r in task.quantile_view(qs=(0.5, 0.9)).collect()
+    }
+    # day1 click values [0, 2, 4]: q0.5 -> v_ceil(1.5)=v2=2, q0.9 -> v3=4
+    # day1 view has no non-null values -> absent; day2 click [6]
+    assert got == {
+        ("2026-03-01", "click", 0.5): 2.0,
+        ("2026-03-01", "click", 0.9): 4.0,
+        ("2026-03-02", "click", 0.5): 6.0,
+        ("2026-03-02", "click", 0.9): 6.0,
+    }
+    # empty store: schema-stable
+    t2, _ = _mk(
+        spark, tmp_path / "fresh", quantiles=True, q_k=64
+    )
+    shape = lambda df: [(f.name, f.dataType) for f in df.schema.fields]
+    assert shape(t2.quantile_view()) == shape(task.quantile_view())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="quantiles=True"):
+        _mk(spark, tmp_path / "noq")[0].quantile_view()
