@@ -2323,6 +2323,134 @@ def q_aggview_quantiles_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Time-series similarity (PAA/SAX, Keogh-family reduced
+# representations): the per-key bucketed series, z-normalization, and
+# symbol quantization are all exact relational math, so DuckDB
+# replicates the whole pipeline — including the top-k distances.
+def _ts_series_sql(buckets: int) -> str:
+    return f"""
+    par AS (
+      SELECT user_id,
+             CAST(floor((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                        * {buckets} / (epoch_us(TIMESTAMP '2024-01-31')
+                                - epoch_us(TIMESTAMP '2024-01-01')))
+                  AS INT) AS bk,
+             avg(CAST(value AS DOUBLE)) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+      GROUP BY user_id, bk),
+    grid AS (
+      SELECT u.user_id, g.i, COALESCE(p.v, 0.0) AS v
+      FROM (SELECT DISTINCT user_id FROM par) u
+      CROSS JOIN (SELECT unnest(range({buckets})) AS i) g
+      LEFT JOIN par p ON p.user_id = u.user_id AND p.bk = g.i),
+    series AS (
+      SELECT user_id, list(v ORDER BY i) AS s
+      FROM grid GROUP BY user_id),
+    z AS (
+      SELECT user_id,
+             list_transform(s, x -> CASE
+               WHEN sqrt(greatest(
+                      list_aggregate(list_transform(s, y -> y * y), 'sum')
+                        / len(s)
+                      - pow(list_aggregate(s, 'sum') / len(s), 2),
+                      0.0)) > 0
+               THEN (x - list_aggregate(s, 'sum') / len(s))
+                    / sqrt(greatest(
+                        list_aggregate(list_transform(s, y -> y * y),
+                                       'sum') / len(s)
+                        - pow(list_aggregate(s, 'sum') / len(s), 2),
+                        0.0))
+               ELSE 0.0 END) AS zs
+      FROM series)
+"""
+
+
+
+
+@_register(
+    "q_series_topk_users",
+    f"""
+    WITH {_ts_series_sql(30)},
+    q AS (SELECT zs FROM z WHERE user_id = 0),
+    d AS (
+      SELECT z.user_id,
+             sqrt(list_aggregate(
+               list_transform(range(1, 31),
+                 i -> pow(z.zs[i] - q.zs[i], 2)), 'sum')) AS dist
+      FROM z CROSS JOIN q WHERE z.user_id <> 0)
+    SELECT user_id, ROUND(dist, 6) AS dist
+    FROM d ORDER BY dist, user_id LIMIT 10
+    """,
+    "time-series similarity search: top-10 users by z-normalized "
+    "Euclidean distance between 30-bucket PAA daily-value series "
+    "(Keogh PAA; one key-shuffle aggregate builds every series, "
+    "TakeOrderedAndProject finishes) — whole pipeline replicated "
+    "verbatim in DuckDB",
+    "timeseries: PAA series top-k similarity",
+)
+def q_series_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import timeseries as _ts
+
+    series = _ts.paa_series(
+        t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        start="2024-01-01 00:00:00",
+        end="2024-01-31 00:00:00",
+        buckets=30,
+    )
+    return _ts.series_topk(series, 0, key_col="user_id", k=10)
+
+
+@_register(
+    "q_sax_words",
+    f"""
+    WITH {_ts_series_sql(8)},
+    sax AS (
+      SELECT user_id,
+             list_aggregate(list_transform(zs, x ->
+               CAST(CASE WHEN x >= 0.0 THEN 1 ELSE 0 END AS VARCHAR)),
+               'string_agg', '') AS word
+      FROM z)
+    SELECT word, COUNT(*) AS n_users
+    FROM sax GROUP BY word HAVING COUNT(*) >= 2
+    ORDER BY n_users DESC, word
+    """,
+    "SAX motif buckets: users sharing an identical 8-symbol SAX word "
+    "(alphabet 2, Gaussian breakpoints) — the equality-banded "
+    "candidate join for near-identical behavior shapes, exact and "
+    "engine-independent",
+    "timeseries: SAX symbolic words",
+)
+def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import timeseries as _ts
+
+    series = _ts.paa_series(
+        t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        start="2024-01-01 00:00:00",
+        end="2024-01-31 00:00:00",
+        buckets=8,
+    )
+    words = series.select(
+        "user_id",
+        _ts.sax_symbols(
+            _ts.znormalize_series(F.col("series")), alphabet=2
+        ).alias("word"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= 2)
+        .orderBy(F.desc("n_users"), "word")
+    )
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero
@@ -2395,17 +2523,18 @@ DRIVER_WINDOW: list[str] = [
     "q22_idle_rich_customers",
 ]
 # r8 rotation backlog, in priority order (never-checked beats stale):
-# (a) the 19 queries registered during the r7 main session, all local
+# (a) the 21 queries registered during the r7 main session, all local
 #     oracle/smoke green, none with a driver row yet:
 #       exact-oracle: q_ingest_e2e_corpus, q_ingest_e2e_stats,
 #       q_metrics_e2e_sketches, q_aggview_e2e, q_time_travel_states,
 #       q_minhash_md5_pairs, q_minhash_md5_against,
 #       q_simhash_md5_pairs, q_winnowing_md5_containment,
 #       q_quantile_sketch_daily, q_zorder_buckets, q_k_anonymity,
-#       q_neardup_clustering, q_aggview_quantiles_e2e;
+#       q_neardup_clustering, q_aggview_quantiles_e2e,
+#       q_series_topk_users, q_sax_words;
 #       rows-only: q_unigram_vocab, q_unigram_encode, q_pca_explained,
 #       q_pca_whitened_norms, q_pq_whitened_recall
-#       (14 exact + 5 rows-only; q_cdc_e2e_stats, registered by the
+#       (16 exact + 5 rows-only; q_cdc_e2e_stats, registered by the
 #       earlier r7 session, is already in THIS window);
 # (b) r4-stale rows next: the r4 window families
 #     (envelope/partition-key/union/semi-anti-join/latest-wins/SCD2/
