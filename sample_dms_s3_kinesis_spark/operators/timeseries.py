@@ -178,8 +178,15 @@ def series_topk(
 
     Output: (key_col, dist) ascending, ``dist`` rounded to ``scale``
     decimals."""
-    z = series_df.select(
-        F.col(key_col), znormalize_series(F.col("series")).alias("_z")
+    from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
+
+    # lineage cut: the one-row query collect and the distance scan
+    # would otherwise each re-run the upstream PAA aggregation
+    z = _cut_lineage(
+        series_df.select(
+            F.col(key_col),
+            znormalize_series(F.col("series")).alias("_z"),
+        )
     )
     row = z.filter(F.col(key_col) == F.lit(query_key)).collect()
     if not row:

@@ -126,6 +126,21 @@ class AggregateViewTask(BatchPartitionStoreTask):
             return (self._agg_dir(), self._qsk_dir())
         return (self._agg_dir(),)
 
+    def _empty_view(self, measures: str) -> DataFrame:
+        """Schema-stable empty frame: group columns at their input
+        types (day is the derived DATE) + the given measure columns —
+        shared by view() and quantile_view() so the two cannot
+        drift."""
+        by_name = {
+            f.name: f.dataType.simpleString()
+            for f in self.INPUT_SCHEMA.fields
+        }
+        by_name["day"] = "date"
+        fields = ", ".join(
+            f"{g} {by_name.get(g, 'string')}" for g in self.group_cols
+        )
+        return self.spark.createDataFrame([], f"{fields}, {measures}")
+
     def _with_day(self, df: DataFrame) -> DataFrame:
         if "day" in self.group_cols:
             df = df.withColumn(
@@ -186,16 +201,7 @@ class AggregateViewTask(BatchPartitionStoreTask):
 
         raw = self._read(self._qsk_dir())
         if raw is None:
-            # schema-stable empty view, same discipline as view()
-            by_name = {f.name: f.dataType.simpleString()
-                       for f in self.INPUT_SCHEMA.fields}
-            by_name["day"] = "date"
-            fields = ", ".join(
-                f"{g} {by_name.get(g, 'string')}" for g in self.group_cols
-            )
-            return self.spark.createDataFrame(
-                [], f"{fields}, q double, est double"
-            )
+            return self._empty_view("q double, est double")
         merged = quantile_merge(
             raw.drop("batch_id"), k=self.q_k, group_cols=self.group_cols
         )
@@ -210,20 +216,9 @@ class AggregateViewTask(BatchPartitionStoreTask):
         cnt_value, sum_value, min_value, max_value, avg_value)."""
         raw = self._read(self._agg_dir())
         if raw is None:
-            # the empty view must carry the SAME schema the populated
-            # path yields (day is a derived DATE; other group columns
-            # keep their input types) — a string-typed placeholder
-            # would make the view's shape depend on whether data landed
-            by_name = {f.name: f.dataType.simpleString()
-                       for f in self.INPUT_SCHEMA.fields}
-            by_name["day"] = "date"
-            fields = ", ".join(
-                f"{g} {by_name.get(g, 'string')}" for g in self.group_cols
-            )
-            return self.spark.createDataFrame(
-                [],
-                f"{fields}, cnt long, cnt_value long, sum_value double, "
-                "min_value double, max_value double, avg_value double",
+            return self._empty_view(
+                "cnt long, cnt_value long, sum_value double, "
+                "min_value double, max_value double, avg_value double"
             )
         merged = raw.groupBy(*[F.col(g) for g in self.group_cols]).agg(
             F.sum("cnt").cast("long").alias("cnt"),

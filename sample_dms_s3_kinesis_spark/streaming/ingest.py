@@ -50,6 +50,7 @@ from sample_dms_s3_kinesis_spark.operators.partitioning import spread
 from sample_dms_s3_kinesis_spark.tasks import (
     ReplicationTask,
     TaskStatus,
+    pin_checkpoint,
     union_all,
 )
 
@@ -466,25 +467,20 @@ class CorpusIngestTask(ReplicationTask):
         # populated corpus with a DIFFERENT (or fresh-uuid) checkpoint
         # would renumber batches from 0: corpus(before=0) bypasses
         # every dedup gate and overwrite clobbers batch 0's admitted
-        # docs.  Pin the checkpoint the corpus was built with (drains
-        # are manifest-keyed and unaffected).
-        marker = self._checkpoint_marker()
-        if os.path.exists(marker):
-            with open(marker) as f:
-                prior = f.read().strip()
-            if prior != self.checkpoint_dir and self._load_manifest():
-                raise ValueError(
-                    f"corpus {self.corpus_dir} was streamed with "
-                    f"checkpoint {prior}; restarting with "
-                    f"{self.checkpoint_dir} would replay epoch ids "
-                    "over existing batches — reuse the original "
-                    "checkpoint_dir (or a fresh corpus_dir)"
-                )
-        else:
-            tmp = marker + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(self.checkpoint_dir)
-            os.replace(tmp, marker)
+        # docs.  Pin the checkpoint the corpus was built with (ingest
+        # drains share the manifest id space, so ANY populated
+        # manifest pins).  Shared helper: path-normalized compare +
+        # fail-loud on a populated store without a marker.
+        try:
+            pin_checkpoint(
+                self._checkpoint_marker(),
+                self.checkpoint_dir,
+                populated=bool(self._load_manifest()),
+                what=f"corpus {self.corpus_dir}",
+            )
+        except Exception:
+            self._set_status(TaskStatus.FAILED)
+            raise
         self._query = (
             self.spark.readStream.schema(DOC_SCHEMA)
             .option("maxFilesPerTrigger", 1)

@@ -35,7 +35,11 @@ from sample_dms_s3_kinesis_spark.operators.sketches import (
     cms_table,
     kmv_table,
 )
-from sample_dms_s3_kinesis_spark.tasks import ReplicationTask, TaskStatus
+from sample_dms_s3_kinesis_spark.tasks import (
+    ReplicationTask,
+    TaskStatus,
+    pin_checkpoint,
+)
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -130,32 +134,28 @@ class BatchPartitionStoreTask(ReplicationTask):
 
     def start(self) -> None:
         self._set_status(TaskStatus.STARTING)
+        try:
+            self._start_stream()
+        except Exception:
+            # a refused start (checkpoint pin) must not strand the
+            # status at STARTING — pollers watch for terminal states
+            self._set_status(TaskStatus.FAILED)
+            raise
+        self._set_status(TaskStatus.RUNNING)
+
+    def _start_stream(self) -> None:
         # Stream epoch ids name the batch directories, so restarting a
         # populated store with a DIFFERENT checkpoint would replay
         # epoch 0 over another batch's partitions (mode=overwrite
         # clobbers them).  Pin the checkpoint the store was streamed
-        # with — the same enforcement CorpusIngestTask has; DRAIN
+        # with — shared enforcement with CorpusIngestTask; DRAIN
         # batches (ids >= 1e9) are manifest-keyed and unaffected.
-        marker = self._checkpoint_marker()
-        has_stream_batches = any(
-            b < 1_000_000_000 for b in self._batch_ids()
+        pin_checkpoint(
+            self._checkpoint_marker(),
+            self.checkpoint_dir,
+            populated=any(b < 1_000_000_000 for b in self._batch_ids()),
+            what=f"store {self.store_dir}",
         )
-        if os.path.exists(marker):
-            with open(marker) as f:
-                prior = f.read().strip()
-            if prior != self.checkpoint_dir and has_stream_batches:
-                raise ValueError(
-                    f"store {self.store_dir} was streamed with "
-                    f"checkpoint {prior}; restarting with "
-                    f"{self.checkpoint_dir} would replay epoch ids "
-                    "over existing batch partitions — reuse the "
-                    "original checkpoint_dir (drain-mode "
-                    "process_available is unaffected)"
-                )
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(self.checkpoint_dir)
-        os.replace(tmp, marker)
         src = (
             self.spark.readStream.schema(self.INPUT_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -179,24 +179,43 @@ class BatchPartitionStoreTask(ReplicationTask):
             import os as _os
 
             mf = f"{self.store_dir}/_FILES.json"
-            names: set = set()
+            seen: list = []
             if _os.path.exists(mf):
                 with open(mf) as f:
-                    names = {_os.path.basename(p) for p in _json.load(f)}
-            if names:
+                    seen = _json.load(f)
+            names = {_os.path.basename(p) for p in seen}
+            # the epoch's file set: tiny (maxFilesPerTrigger=1) and
+            # needed twice — to gate, and to record below so a later
+            # DRAIN cannot re-consume stream-processed files (the
+            # manifest is the unified consumed-files ledger for BOTH
+            # paths; re-recording on a crash-replayed epoch is a
+            # set-union no-op, and the overwrite-idempotent partition
+            # write keeps the data correct either way)
+            batch_files = [
+                r[0] for r in df.select("_src_file").distinct().collect()
+            ]
+            fresh = [
+                p for p in batch_files
+                if _os.path.basename(p) not in names
+            ]
+            if names and len(fresh) < len(batch_files):
                 df = df.filter(
                     ~F.element_at(
                         F.split(F.col("_src_file"), "/"), -1
                     ).isin(sorted(names))
                 )
             self._process_batch(df.drop("_src_file"), batch_id)
+            if fresh:
+                tmp = mf + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump(seen + sorted(fresh), f)
+                _os.replace(tmp, mf)
 
         self._query = (
             src.writeStream.foreachBatch(_gated_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .start()
         )
-        self._set_status(TaskStatus.RUNNING)
 
     def stop(self) -> None:
         if self._query is not None:
@@ -248,7 +267,13 @@ class BatchPartitionStoreTask(ReplicationTask):
                     inflight = _json.load(f)
             except (OSError, ValueError):
                 inflight = None
-            if inflight and not set(inflight.get("files", [])) <= set(seen):
+            # basename comparison throughout: drains record local
+            # paths while the stream gate records source URIs
+            # (file:/...); the two spellings must read as one ledger
+            seen_names = {os.path.basename(p) for p in seen}
+            if inflight and not {
+                os.path.basename(p) for p in inflight.get("files", [])
+            } <= seen_names:
                 for d in self._store_dirs():
                     part = f"{d}/batch_id={int(inflight['id'])}"
                     _shutil.rmtree(part, ignore_errors=True)
@@ -264,11 +289,11 @@ class BatchPartitionStoreTask(ReplicationTask):
                             f"for retry"
                         )
             os.remove(pf)
+        consumed = {os.path.basename(p) for p in seen}
         pending = sorted(
             os.path.join(self.drop_dir, n)
             for n in os.listdir(self.drop_dir)
-            if not n.endswith(".tmp")
-            and os.path.join(self.drop_dir, n) not in set(seen)
+            if not n.endswith(".tmp") and n not in consumed
         )
         if not pending:
             return

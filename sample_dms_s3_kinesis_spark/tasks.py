@@ -184,3 +184,49 @@ class FullLoadTask(ReplicationTask):
 
     def stop(self) -> None:
         self._set_status(TaskStatus.STOPPED)
+
+
+def pin_checkpoint(
+    marker_path: str,
+    checkpoint_dir: str,
+    *,
+    populated: bool,
+    what: str,
+) -> None:
+    """Enforce the streaming-checkpoint pin shared by every
+    batch-partition store (corpus ingest, sketch metrics, aggregate
+    view): stream epoch ids name batch directories, so a populated
+    store must keep streaming under the checkpoint that wrote them —
+    a different one would replay epoch 0 over existing partitions
+    with overwrite semantics.
+
+    Paths are compared by ``os.path.abspath`` (a trailing slash or a
+    relative spelling must not false-raise, and an equal relative
+    string resolved from a different cwd must not false-pass).  A
+    populated store with NO marker (written before the pin existed)
+    fails loudly rather than silently adopting — verify the original
+    checkpoint and write it to the marker file to proceed."""
+    import os
+
+    cur = os.path.abspath(checkpoint_dir)
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            prior = f.read().strip()
+        if os.path.abspath(prior) != cur and populated:
+            raise ValueError(
+                f"{what} was streamed with checkpoint {prior}; "
+                f"restarting with {checkpoint_dir} would replay epoch "
+                "ids over existing batch partitions — reuse the "
+                "original checkpoint_dir"
+            )
+    elif populated:
+        raise ValueError(
+            f"{what} has stream-written batches but no checkpoint "
+            f"marker (it predates the pin); verify the original "
+            f"checkpoint and write it to {marker_path} before "
+            "streaming again"
+        )
+    tmp = marker_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(cur)
+    os.replace(tmp, marker_path)

@@ -379,3 +379,36 @@ def test_stream_checkpoint_pinned_against_epoch_replay(spark, tmp_path):
         t3._query.processAllAvailable()
     finally:
         t3.stop()
+
+
+def test_drain_skips_stream_consumed_files(spark, tmp_path):
+    """The reverse direction of the drained-file gate: files the STREAM
+    already processed are recorded in the manifest, so a later drain
+    must not re-sketch them."""
+    import os
+
+    from sample_dms_s3_kinesis_spark.streaming.metrics import (
+        SketchMetricsTask,
+    )
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    store = str(tmp_path / "store")
+    t1 = SketchMetricsTask(
+        spark, drop, store, checkpoint_dir=str(tmp_path / "ck1")
+    )
+    with open(os.path.join(drop, "d1.jsonl"), "w") as f:
+        f.write(
+            '{"event_id": 1, "ts": "2026-03-01T01:00:00Z", '
+            '"user_id": 10, "event_type": "click"}\n'
+        )
+    t1.start()
+    try:
+        t1._query.processAllAvailable()
+    finally:
+        t1.stop()
+    probe = spark.createDataFrame([("click",)], "event_type string")
+    assert t1.freq_estimate(probe).collect()[0]["est_count"] == 1
+
+    t1.process_available()  # must be a no-op for the streamed file
+    assert t1.freq_estimate(probe).collect()[0]["est_count"] == 1
