@@ -182,10 +182,10 @@ def extract_image_features(
 
 def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per (asset, frame_ts)
-    — the Spark-side fan-out is real (sequence+explode, no Python); the
-    per-frame decode would plug into extract_image_features.  Video
-    container demuxing stays NotImplementedError territory in this
-    environment."""
+    — the Spark-side fan-out is real (sequence+explode, no Python).
+    :func:`extract_video_frames` is the decode-backed counterpart for
+    FVID payloads; real MP4/MKV demuxing stays NotImplementedError
+    territory in this environment."""
     return (
         df.filter(
             (F.col("media_type") == "video") & (F.col("duration_ms") > 0)
@@ -321,6 +321,347 @@ def extract_audio_features(
     )
 
 
+# ------------------------------------------------------------ video
+
+# FVID: the in-container video format — a documented stand-in for an
+# MP4/MKV demuxer (which needs an entropy codec this environment does
+# not ship).  Layout: b"FVID" + <HHHI little-endian> width, height,
+# fps, n_frames, then n_frames consecutive raw RGB24 rasters.  The
+# container property that MATTERS for the pipeline is real: frame k
+# lives at a computable offset, so sampling N frames from an hour of
+# video touches N rasters, never the whole payload.
+_FVID_MAGIC = b"FVID"
+_FVID_HEADER = struct.Struct("<HHHI")
+
+
+def encode_fvid(frames: np.ndarray, fps: int) -> bytes:
+    """Pack an (n, h, w, 3) uint8 frame stack into an FVID payload."""
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError("frames must be (n, h, w, 3)")
+    if not 1 <= fps <= 0xFFFF:
+        raise ValueError(f"fps out of range: {fps}")
+    n, h, w, _ = frames.shape
+    return (
+        _FVID_MAGIC
+        + _FVID_HEADER.pack(w, h, fps, n)
+        + np.ascontiguousarray(frames, dtype=np.uint8).tobytes()
+    )
+
+
+def decode_video_header(content: bytes) -> dict:
+    """Parse an FVID header → dict(width, height, fps, n_frames,
+    duration_ms).  O(header) regardless of payload size.  Non-FVID
+    payloads (real MP4/MKV/…) raise ``NotImplementedError`` into the
+    error channel, truncated FVID raises ``ValueError``."""
+    if not content:
+        raise ValueError("empty media content")
+    if content[:4] != _FVID_MAGIC:
+        raise NotImplementedError(
+            "only FVID video decode is implemented in-container"
+        )
+    if len(content) < 4 + _FVID_HEADER.size:
+        raise ValueError("truncated FVID header")
+    w, h, fps, n = _FVID_HEADER.unpack_from(content, 4)
+    if fps < 1 or n < 1 or w < 1 or h < 1:
+        raise ValueError("degenerate FVID header")
+    if len(content) < 4 + _FVID_HEADER.size + n * w * h * 3:
+        raise ValueError("truncated FVID frame data")
+    return {
+        "width": w,
+        "height": h,
+        "fps": fps,
+        "n_frames": n,
+        "duration_ms": n * 1000 // fps,
+    }
+
+
+def decode_video_frame(content: bytes, idx: int) -> np.ndarray:
+    """Decode frame ``idx`` of an FVID payload to (h, w, 3) uint8 —
+    a single O(1) offset seek + one raster copy; frames before/after
+    ``idx`` are never touched."""
+    hdr = decode_video_header(content)
+    n, w, h = hdr["n_frames"], hdr["width"], hdr["height"]
+    if not 0 <= idx < n:
+        raise ValueError(f"frame {idx} out of range [0, {n})")
+    frame_bytes = w * h * 3
+    off = 4 + _FVID_HEADER.size + idx * frame_bytes
+    raster = np.frombuffer(content, dtype=np.uint8, count=frame_bytes,
+                           offset=off)
+    return raster.reshape(h, w, 3)
+
+
+def sample_frame_indices(n_frames: int, fps: int, every_ms: int) -> list[int]:
+    """Deterministic frame-sampling schedule: the frame under each
+    timestamp 0, every_ms, 2*every_ms, … < duration; de-duplicated
+    (a sub-frame-period every_ms never emits the same frame twice),
+    always non-empty for a non-empty video (frame 0 is always kept)."""
+    if every_ms < 1:
+        raise ValueError("every_ms must be >= 1")
+    duration_ms = n_frames * 1000 // fps
+    out: list[int] = []
+    for ts in range(0, max(duration_ms, 1), every_ms):
+        idx = min(ts * fps // 1000, n_frames - 1)
+        if not out or idx != out[-1]:
+            out.append(idx)
+    return out
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_ts_ms", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("content_sha256", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def extract_video_frames(
+    df: DataFrame,
+    *,
+    every_ms: int = 1000,
+    target_size: tuple[int, int] = (224, 224),
+    on_error: str = "null",
+) -> DataFrame:
+    """Frame-sample + featurize video assets with mapInPandas: one
+    output row per SAMPLED frame (fan-out happens inside the Arrow
+    batch, so a 2-hour asset costs rows proportional to its sampled
+    frames, and only those rasters are ever decoded — O(1) seek per
+    frame).  Each frame reuses the image kernel (resize + 8-dim
+    descriptor).  Undecodable assets yield ONE row with NULL frame
+    columns (`on_error='null'`) for the exceptions channel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list = []
+            idxs: list = []
+            tss: list = []
+            feats: list = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                try:
+                    blob = bytes(content) if content is not None else b""
+                    hdr = decode_video_header(blob)
+                    for idx in sample_frame_indices(
+                        hdr["n_frames"], hdr["fps"], every_ms
+                    ):
+                        frame = decode_video_frame(blob, idx)
+                        resized = resize_image(frame, target_size)
+                        ids.append(asset_id)
+                        idxs.append(idx)
+                        tss.append(idx * 1000 // hdr["fps"])
+                        feats.append(image_feature(resized))
+                except Exception:
+                    if on_error != "null":
+                        raise
+                    ids.append(asset_id)
+                    idxs.append(None)
+                    tss.append(None)
+                    feats.append(None)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_ms": tss,
+                    "feature": feats,
+                }
+            )
+
+    return df.select("asset_id", "content").mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def video_asset_meta(df: DataFrame, *, on_error: str = "null") -> DataFrame:
+    """Header-only video metadata per asset — O(14 bytes) per payload
+    no matter how long the video is (the demux property that makes
+    metadata sweeps over a 100-TB media lake cheap)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in VIDEO_META_SCHEMA.fields}
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                out["asset_id"].append(asset_id)
+                try:
+                    blob = bytes(content) if content is not None else b""
+                    hdr = decode_video_header(blob)
+                    out["content_sha256"].append(
+                        hashlib.sha256(blob).hexdigest()
+                    )
+                    out["n_bytes"].append(len(blob))
+                    out["width"].append(hdr["width"])
+                    out["height"].append(hdr["height"])
+                    out["fps"].append(hdr["fps"])
+                    out["n_frames"].append(hdr["n_frames"])
+                    out["duration_ms"].append(hdr["duration_ms"])
+                except Exception:
+                    if on_error != "null":
+                        raise
+                    for k in out:
+                        if k != "asset_id":
+                            out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "content").mapInPandas(
+        batches, schema=VIDEO_META_SCHEMA
+    )
+
+
+def extract_video_features(
+    df: DataFrame,
+    *,
+    every_ms: int = 1000,
+    target_size: tuple[int, int] = (224, 224),
+) -> DataFrame:
+    """Per-asset temporal video summary: the ONLY Python is the
+    per-frame decode (:func:`extract_video_frames`) and the O(1)
+    header walk (:func:`video_asset_meta`); the temporal aggregation —
+    element-wise mean of the sampled frame descriptors and a motion
+    score (mean |Δ mean-luma| between consecutive sampled frames) —
+    is pure Catalyst over the SMALL feature frame, so media blobs
+    never enter a shuffle.
+
+    Output: (asset_id, n_frames, fps, duration_ms, n_sampled,
+    mean_feature array<float>, motion_score) — NULL analysis columns
+    for undecodable assets (error channel)."""
+    from pyspark.sql import Window
+
+    frames = extract_video_frames(
+        df, every_ms=every_ms, target_size=target_size
+    )
+    w = Window.partitionBy("asset_id").orderBy("frame_ts_ms")
+    luma = F.element_at("feature", 7)  # image_feature[6] = mean luma
+    per_frame = frames.filter(F.col("frame_idx").isNotNull()).withColumn(
+        "luma_delta", F.abs(luma - F.lag(luma).over(w))
+    )
+    # element-wise mean of the 8-dim descriptors: posexplode → per-pos
+    # avg → re-assemble in pos order (tiny frame; all JVM-side)
+    mean_feat = (
+        per_frame.select("asset_id", F.posexplode("feature"))
+        .groupBy("asset_id", "pos")
+        .agg(F.avg("col").alias("v"))
+        .groupBy("asset_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: F.round(s["v"], 6).cast("float"),
+            ).alias("mean_feature")
+        )
+    )
+    temporal = per_frame.groupBy("asset_id").agg(
+        F.count("*").cast("int").alias("n_sampled"),
+        F.round(F.coalesce(F.avg("luma_delta"), F.lit(0.0)), 6).alias(
+            "motion_score"
+        ),
+    )
+    return (
+        video_asset_meta(df)
+        .join(mean_feat, "asset_id", "left")
+        .join(temporal, "asset_id", "left")
+        .select(
+            "asset_id",
+            "n_frames",
+            "fps",
+            "duration_ms",
+            "n_sampled",
+            "mean_feature",
+            "motion_score",
+        )
+    )
+
+
+def video_hash(content: bytes) -> int:
+    """64-bit temporal video fingerprint: mean luma of the frame under
+    each of 64 evenly-spaced DURATION fractions (so the bit layout is
+    stable under fps resampling, like the audio fingerprint), bit i
+    set when luma_i exceeds the median — invariant to global gain and
+    to re-encoding that preserves content."""
+    hdr = decode_video_header(content)
+    n = hdr["n_frames"]
+    idxs = (np.arange(64) * (n / 64)).astype(np.int64).clip(0, n - 1)
+    lumas = np.empty(64)
+    last_idx, last_val = -1, 0.0
+    for i, idx in enumerate(idxs):
+        if idx != last_idx:  # consecutive fractions often share a frame
+            frame = decode_video_frame(content, int(idx))
+            last_val = float(
+                (frame.astype(np.float64)
+                 @ np.array([0.299, 0.587, 0.114])).mean()
+            )
+            last_idx = idx
+        lumas[i] = last_val
+    med = float(np.median(lumas))
+    out = 0
+    for i, v in enumerate(lumas):
+        if v > med:
+            out |= 1 << i
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def compute_video_phash(df: DataFrame, *, on_error: str = "null") -> DataFrame:
+    """(asset_id, phash) for video assets — temporal luma fingerprint
+    per Arrow batch; undecodable rows get NULL for the error channel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                ids.append(asset_id)
+                try:
+                    hashes.append(
+                        video_hash(bytes(content) if content is not None
+                                   else b"")
+                    )
+                except Exception:
+                    if on_error != "null":
+                        raise
+                    hashes.append(None)
+            yield pd.DataFrame({"asset_id": ids, "phash": hashes})
+
+    return df.select("asset_id", "content").mapInPandas(
+        batches, schema="asset_id long, phash long"
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_chunk_width: int | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs by temporal fingerprint — the THIRD
+    modality over the same chunk-banded hamming join
+    (:func:`dedup.hamming_pairs`): fps-resampled / brightness-shifted
+    copies pair at small distance, undecodable payloads never pair."""
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        _cut_lineage,
+        hamming_pairs,
+    )
+
+    sig = (
+        compute_video_phash(df)
+        .filter(F.col("phash").isNotNull())
+        .select(F.col("asset_id").alias("_id"), F.col("phash").alias("_sh"))
+    )
+    return hamming_pairs(
+        _cut_lineage(sig),
+        max_hamming=max_hamming,
+        max_chunk_width=max_chunk_width,
+    )
+
+
 # ------------------------------------------------- synthetic fixtures
 
 def _ppm_bytes(i: int, w: int = 48, h: int = 36) -> bytes:
@@ -331,6 +672,33 @@ def _ppm_bytes(i: int, w: int = 48, h: int = 36) -> bytes:
     b = (x + y + i * 3) % 256
     img = np.stack([r, g, b], axis=-1).astype(np.uint8)
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _fvid_bytes(
+    i: int,
+    w: int = 32,
+    h: int = 24,
+    fps: int = 10,
+    n: int = 30,
+    brightness: int = 0,
+) -> bytes:
+    """Deterministic real FVID payload: a gradient that PANS over time
+    plus a sinusoidal luma ENVELOPE keyed by (frame fraction, id) —
+    real motion AND a real temporal-brightness profile (a wrapped
+    gradient alone averages to constant luma, which would make any
+    luma-profile fingerprint degenerate).  The envelope is added with
+    clipping, not mod-wrap, so a small ``brightness`` offset is a true
+    near-duplicate, not a bit-scrambled one."""
+    frames = np.empty((n, h, w, 3), dtype=np.uint8)
+    y, x = np.mgrid[0:h, 0:w]
+    for f in range(n):
+        env = 90.0 * np.sin(2 * np.pi * f / n + 0.7 * i)
+        r = (x * 23 + f * 9 + i * 13) % 128
+        g = (y * 11 + f * 5 + i * 7) % 128
+        b = (x + y + f * 2 + i * 3) % 128
+        frame = np.stack([r, g, b], axis=-1).astype(np.float64)
+        frames[f] = np.clip(frame + env + 64 + brightness, 0, 255)
+    return encode_fvid(frames, fps)
 
 
 def _wav_bytes(i: int, rate: int = 8_000, ms: int = 200) -> bytes:
@@ -348,9 +716,10 @@ def _wav_bytes(i: int, rate: int = 8_000, ms: int = 200) -> bytes:
 def synthetic_assets(spark, n: int = 16) -> DataFrame:
     """Deterministic asset table: REAL P6 and baseline-JPEG payloads
     for images (alternating, so both decode kernels are exercised),
-    REAL PCM16 WAV payloads for audio, opaque bytes for video (no
-    demuxer in-container).  Every 5th id (except 0) has empty content
-    to exercise the corrupt-row channel."""
+    REAL PCM16 WAV payloads for audio, REAL FVID payloads for video
+    (30 frames @ 10 fps — the in-container stand-in for an MP4
+    demuxer).  Every 5th id (except 0) has empty content to exercise
+    the corrupt-row channel."""
     from sample_dms_s3_kinesis_spark.operators.jpeg import encode_jpeg
 
     rows = []
@@ -385,7 +754,7 @@ def synthetic_assets(spark, n: int = 16) -> DataFrame:
         elif media == "audio":
             content = _wav_bytes(i)
         else:
-            content = hashlib.sha256(str(i).encode()).digest() * 4
+            content = _fvid_bytes(i)  # 30 frames @ 10 fps = 3000 ms
         rows.append(
             (
                 i,

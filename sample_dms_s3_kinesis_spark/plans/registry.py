@@ -2451,6 +2451,67 @@ def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_video_frame_features",
+    None,
+    "video frame-sampling pipeline: REAL FVID demux (header parse + "
+    "O(1) per-frame seek — sampled frames are the only rasters ever "
+    "decoded), per-frame resize + 8-dim descriptor via mapInPandas "
+    "fan-out inside the Arrow batch; undecodable assets emit one "
+    "NULL-frame row for the exceptions channel (rows-only: synthetic "
+    "binary fixture; kernels pinned vs numpy reference in pytest)",
+    "multimodal columns: video frame sampling",
+)
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=64)
+    out = multimodal.extract_video_frames(
+        assets.filter(F.col("media_type") == "video"), every_ms=500
+    )
+    return out.withColumn("feature", F.to_json("feature"))
+
+
+@_register(
+    "q_video_summary",
+    None,
+    "per-asset temporal video summary: header-only metadata walk "
+    "(O(14 bytes) per payload), sampled-frame descriptor mean and "
+    "|Δ mean-luma| motion score — Python only decodes; the temporal "
+    "aggregation is pure Catalyst over the small feature frame, so "
+    "media blobs never enter a shuffle (rows-only: synthetic binary)",
+    "multimodal columns: video temporal features",
+)
+def q_video_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=64)
+    out = multimodal.extract_video_features(
+        assets.filter(F.col("media_type") == "video"), every_ms=500
+    )
+    return out.withColumn("mean_feature", F.to_json("mean_feature"))
+
+
+@_register(
+    "q_video_near_dup",
+    None,
+    "video near-duplicate pairs by 64-bit temporal luma fingerprint "
+    "(frame under each of 64 duration fractions -> bit = luma above "
+    "median; stable under fps resampling and small gain shifts) — "
+    "the THIRD modality through the SAME chunk-banded hamming join "
+    "as SimHash text and image/audio phash dedup (rows-only: "
+    "synthetic binary; vs Python brute force in pytest)",
+    "multimodal: video fingerprint near-dup",
+)
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=64).filter(
+        F.col("media_type") == "video"
+    )
+    return multimodal.video_near_dup_pairs(assets, max_hamming=3)
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero
@@ -2472,9 +2533,9 @@ DRIVER_WINDOW: list[str] = [
     "q_lateral_top_order",
     "q_neardup_degrees",         # rows-only: xxhash64 minhash family
     "q_recursive_reachability",
-    "q_cdc_chunks",              # rows-only: content-defined chunking
-    "q_dedup_segments_cdc",      # rows-only: CDC-chunk keep-first
-    "q_dedup_segments_cdc_against",  # rows-only: CDC-chunk vs corpus
+    "q_cdc_chunks",              # exact since r7: md5 boundary class
+    "q_dedup_segments_cdc",      # exact since r7: md5 boundary class
+    "q_dedup_segments_cdc_against",  # exact since r7: md5 boundary class
     "q_pagerank_neardup",        # rows-only: near-dup graph ranks
     "q_cms_daily_freq",          # rows-only: CMS sketch estimates
     "q_kmv_user_overlap",        # rows-only: KMV sketch estimates
@@ -2536,6 +2597,9 @@ DRIVER_WINDOW: list[str] = [
 #       q_pca_whitened_norms, q_pq_whitened_recall
 #       (16 exact + 5 rows-only; q_cdc_e2e_stats, registered by the
 #       earlier r7 session, is already in THIS window);
+#     plus the r7 follow-up session's registrations, rows-only
+#     (synthetic media fixture): q_video_frame_features,
+#     q_video_summary, q_video_near_dup;
 # (b) r4-stale rows next: the r4 window families
 #     (envelope/partition-key/union/semi-anti-join/latest-wins/SCD2/
 #     conditional-agg/running-sum/ts-filter/json-extract) plus the r5

@@ -243,3 +243,125 @@ def test_audio_near_dup_pairs_matches_reference(spark):
             if d <= 3:
                 exp.add((a, b, d))
     assert got == exp and (0, 100, 0) in got
+
+
+# ------------------------------------------------------------ video
+
+def test_fvid_roundtrip_and_frame_seek():
+    raw = M._fvid_bytes(2, w=32, h=24, fps=10, n=30)
+    hdr = M.decode_video_header(raw)
+    assert hdr == {"width": 32, "height": 24, "fps": 10, "n_frames": 30,
+                   "duration_ms": 3000}
+    # O(1) frame seek returns exactly the frame that was packed
+    y, x = np.mgrid[0:24, 0:32]
+    env = 90.0 * np.sin(2 * np.pi * 7 / 30 + 0.7 * 2)
+    f7 = M.decode_video_frame(raw, 7)
+    exp_r = np.clip((x * 23 + 7 * 9 + 2 * 13) % 128 + env + 64, 0, 255)
+    exp_g = np.clip((y * 11 + 7 * 5 + 2 * 7) % 128 + env + 64, 0, 255)
+    assert (f7[..., 0] == exp_r.astype(np.uint8)).all()
+    assert (f7[..., 1] == exp_g.astype(np.uint8)).all()
+    # non-FVID payloads route to the NotImplementedError channel,
+    # truncated FVID is a hard ValueError
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.decode_video_header(b"\x00\x00\x01\xba mpeg-ps")
+    with pytest.raises(ValueError):
+        M.decode_video_header(raw[: len(raw) // 2])
+    with pytest.raises(ValueError):
+        M.decode_video_frame(raw, 30)
+
+
+def test_sample_frame_indices_schedule():
+    # 30 frames @ 10 fps = 3000 ms; 1000 ms cadence -> frames 0/10/20
+    assert M.sample_frame_indices(30, 10, 1000) == [0, 10, 20]
+    # sub-frame-period cadence never repeats a frame
+    idxs = M.sample_frame_indices(5, 1, 200)
+    assert idxs == sorted(set(idxs)) and idxs[0] == 0 and max(idxs) <= 4
+    # cadence longer than the clip still samples frame 0
+    assert M.sample_frame_indices(3, 30, 60_000) == [0]
+
+
+def test_video_frames_and_error_channel(spark):
+    assets = M.synthetic_assets(spark, n=16).filter(
+        F.col("media_type") == "video"
+    )
+    frames = M.extract_video_frames(assets, every_ms=1000)
+    assert frames.schema == M.VIDEO_FRAME_SCHEMA
+    rows = frames.collect()
+    # video ids are 2,5,8,11,14; id 5 has empty content -> one NULL row
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["asset_id"], []).append(r)
+    assert set(by_id) == {2, 5, 8, 11, 14}
+    assert len(by_id[5]) == 1 and by_id[5][0]["frame_idx"] is None
+    for i in (2, 8, 11, 14):
+        got = sorted((r["frame_idx"], r["frame_ts_ms"]) for r in by_id[i])
+        assert got == [(0, 0), (10, 1000), (20, 2000)]
+        assert all(len(r["feature"]) == 8 for r in by_id[i])
+
+
+def test_video_summary_matches_numpy_reference(spark):
+    assets = M.synthetic_assets(spark, n=16).filter(
+        F.col("media_type") == "video"
+    )
+    out = {r["asset_id"]: r
+           for r in M.extract_video_features(assets, every_ms=1000).collect()}
+    assert set(out) == {2, 5, 8, 11, 14}
+    # corrupt asset: NULL analysis columns (error channel)
+    assert out[5]["n_frames"] is None and out[5]["mean_feature"] is None
+    ref_blob = M._fvid_bytes(8)
+    feats = []
+    lumas = []
+    for idx in (0, 10, 20):
+        frame = M.decode_video_frame(ref_blob, idx)
+        resized = M.resize_image(frame, (224, 224))
+        fv = M.image_feature(resized)
+        feats.append(fv)
+        lumas.append(fv[6])
+    r = out[8]
+    assert (r["n_frames"], r["fps"], r["duration_ms"], r["n_sampled"]) == (
+        30, 10, 3000, 3)
+    exp_mean = [round(sum(c) / 3, 6) for c in zip(*feats)]
+    assert all(abs(a - b) < 1e-5 for a, b in zip(r["mean_feature"], exp_mean))
+    exp_motion = round(
+        (abs(lumas[1] - lumas[0]) + abs(lumas[2] - lumas[1])) / 2, 6)
+    assert abs(r["motion_score"] - exp_motion) < 1e-6
+    # the panning gradient has real motion
+    assert r["motion_score"] > 0
+
+
+def test_video_near_dup_pairs_matches_reference(spark):
+    base = M._fvid_bytes(0)
+    bright = M._fvid_bytes(0, brightness=2)
+    # temporal subsample: every other frame at half the fps — same
+    # content timeline, so the duration-fraction fingerprint is stable
+    stack = np.stack([M.decode_video_frame(base, k) for k in range(0, 30, 2)])
+    slow = M.encode_fvid(stack, 5)
+    rng = np.random.RandomState(7)
+    noise = M.encode_fvid(
+        rng.randint(0, 256, (30, 24, 32, 3)).astype(np.uint8), 10)
+    payloads = {0: base, 1: bright, 2: slow, 3: noise, 4: b""}
+    rows = [(i, "video", bytearray(p), None, None, None, None)
+            for i, p in payloads.items()]
+    df = spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in M.video_near_dup_pairs(df, max_hamming=3).collect()}
+    hashes = {}
+    for i, p in payloads.items():
+        try:
+            hashes[i] = M.video_hash(bytes(p))
+        except Exception:
+            pass
+    exp = set()
+    ids = sorted(hashes)
+    for xi, a in enumerate(ids):
+        for b in ids[xi + 1:]:
+            d = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            if d <= 3:
+                exp.add((a, b, d))
+    assert got == exp
+    assert any(p[:2] == (0, 1) for p in got)  # brightness variant pairs
+    assert any(p[:2] == (0, 2) for p in got)  # fps-resampled copy pairs
+    assert not any(3 in p[:2] for p in got)   # unrelated noise never pairs
+    assert not any(4 in p[:2] for p in got)   # corrupt never pairs
