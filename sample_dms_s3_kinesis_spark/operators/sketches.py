@@ -425,3 +425,186 @@ def quantile_estimate(
             ).alias("est"),
         )
     )
+
+
+# ------------------------------------------------------------- bloom
+
+def bloom_table(
+    df: DataFrame,
+    col: str,
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over ``df[col]`` as a relational bit table:
+    (word_idx int, bits long) — bit ``p`` of the filter lives at bit
+    ``p % 64`` of word ``p // 64``; absent words are implicitly zero.
+
+    Same design argument as the CMS table: Spark's own
+    ``bloom_filter_agg`` yields an opaque JVM binary, while the
+    relational form keeps build, merge and probe inside Catalyst and
+    visible to oracles.  The build is one bounded explode (×k) into
+    ONE map-side-combined ``bit_or`` aggregate; the table is at most
+    ``n_bits/64`` rows (16 Ki rows = 128 KiB for the 2^20 default)
+    regardless of input size — always broadcastable.
+
+    NULL keys are skipped (SQL semantics: ``x IN (...)`` is never
+    true for NULL on the fast path; the exact verifier agrees).
+    """
+    if n_bits % 64 or n_bits < 64:
+        raise ValueError("n_bits must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(h)), F.lit(n_bits))
+                for h in range(k)
+            ]
+        )
+    ).alias("pos")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union Bloom filters built with the SAME (n_bits, k): OR the
+    word tables — merge-of-builds == build-of-union, pytest-pinned."""
+    if not blooms:
+        raise ValueError("need at least one bloom table")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Add ``out_col``: true iff all k filter bits for ``df[col]`` are
+    set — i.e. the key is POSSIBLY in the build set (never a false
+    negative).  The probe is k BROADCAST hash joins against the word
+    table: no shuffle of ``df``, no row fan-out, everything JVM-side —
+    the shape that lets a 100-TB fact scan drop non-matching rows
+    before its first exchange.  NULL keys probe false."""
+    out = df
+    checks = []
+    for h in range(k):
+        pos = F.pmod(F.xxhash64(F.col(col), F.lit(h)), F.lit(n_bits))
+        wcol, bcol = f"_bw{h}", f"_bb{h}"
+        words = bloom.select(
+            F.col("word_idx").alias(wcol), F.col("bits").alias(bcol)
+        )
+        out = out.withColumn(wcol, (pos / 64).cast("int")).join(
+            F.broadcast(words), wcol, "left"
+        )
+        checks.append(
+            F.call_function(
+                "shiftright",
+                F.coalesce(F.col(bcol), F.lit(0).cast("long")),
+                (pos % 64).cast("int"),
+            ).bitwiseAND(F.lit(1).cast("long"))
+            == F.lit(1)
+        )
+    keep = [c for c in out.columns if not c.startswith(("_bw", "_bb"))]
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    return out.select(*keep, cond.alias(out_col))
+
+
+def bloom_semijoin(
+    fact: DataFrame,
+    key_col: str,
+    dim_keys: DataFrame,
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """EXACT semi-join accelerated by a Bloom prefilter: build the
+    filter over the (distinct, non-null) dim keys, drop fact rows the
+    filter rejects — no shuffle, no false negatives — then verify the
+    survivors with a real left-semi join so false positives never
+    escape.  Output == ``fact LEFT SEMI JOIN dim_keys`` exactly, which
+    is what the DuckDB oracle checks; the filter only changes WHERE
+    rows die (before the exchange instead of inside the join).
+
+    ``dim_keys``: one column named like ``key_col``."""
+    keys = dim_keys.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
+    bloom = bloom_table(keys, key_col, n_bits=n_bits, k=k)
+    pre = bloom_probe(
+        fact, key_col, bloom, n_bits=n_bits, k=k, out_col="_bloom_maybe"
+    ).filter(F.col("_bloom_maybe")).drop("_bloom_maybe")
+    return pre.join(keys, key_col, "left_semi")
+
+
+def bloom_fpp_report(
+    fact: DataFrame,
+    key_col: str,
+    dim_keys: DataFrame,
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Calibration report for the Bloom prefilter: probed / passed /
+    true-member / false-positive counts, measured false-positive rate
+    over true negatives, and the theoretical rate
+    (1 - e^{-k·n/m})^k for n distinct build keys.  One row."""
+    keys = dim_keys.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
+    bloom = bloom_table(keys, key_col, n_bits=n_bits, k=k)
+    probed = bloom_probe(
+        fact.filter(F.col(key_col).isNotNull()),
+        key_col,
+        bloom,
+        n_bits=n_bits,
+        k=k,
+        out_col="_maybe",
+    )
+    marked = probed.join(
+        keys.withColumn("_member", F.lit(True)), key_col, "left"
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("_maybe"), 1).otherwise(0)).alias("n_passed"),
+        F.sum(
+            F.when(F.col("_member").isNotNull(), 1).otherwise(0)
+        ).alias("n_members"),
+        F.sum(
+            F.when(F.col("_maybe") & F.col("_member").isNull(), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    )
+    n_keys = keys.count()
+    import math
+
+    theory = (1.0 - math.exp(-k * n_keys / float(n_bits))) ** k
+    return agg.select(
+        "n_probed",
+        "n_passed",
+        "n_members",
+        "n_false_pos",
+        F.round(
+            F.when(
+                F.col("n_probed") > F.col("n_members"),
+                F.col("n_false_pos")
+                / (F.col("n_probed") - F.col("n_members")).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("measured_fpp"),
+        F.lit(round(theory, 6)).alias("theoretical_fpp"),
+    )

@@ -2452,6 +2452,68 @@ def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_bloom_semijoin",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS revenue
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o.o_orderpriority
+    """,
+    "Bloom-prefiltered EXACT semi-join: the dim-key Bloom filter is a "
+    "16Ki-row relational bit table broadcast into k shuffle-free hash "
+    "joins, dropping non-matching fact rows BEFORE the first exchange "
+    "(never a false negative); the left-semi verify tail makes the "
+    "result exactly the plain semi-join the oracle runs — at 100 TB "
+    "the filter changes where rows die, not what survives",
+    "O23 generalized: Bloom-accelerated semi-join",
+)
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import sketches as _sk
+
+    orders = t(spark, sf_dir, "orders")
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return (
+        _sk.bloom_semijoin(orders, "o_custkey", dim)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money(F.sum(_dec(F.col("o_totalprice")))).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "q_bloom_fpp",
+    None,
+    "Bloom prefilter calibration: probed/passed/member/false-positive "
+    "counts plus measured vs theoretical (1-e^{-kn/m})^k false-"
+    "positive rate for the dim-key filter over the orders fact scan "
+    "(rows-only: xxhash64 bit table; no-false-negative, merge==union "
+    "and count-consistency pytest-pinned)",
+    "O17 generalized: sketch calibration report",
+)
+def q_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import sketches as _sk
+
+    orders = t(spark, sf_dir, "orders")
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    # an undersized filter so the measured rate is non-degenerate
+    return _sk.bloom_fpp_report(orders, "o_custkey", dim, n_bits=4096, k=3)
+
+
+@_register(
     "q_video_frame_features",
     None,
     "video frame-sampling pipeline: REAL FVID demux (header parse + "
@@ -2597,9 +2659,10 @@ DRIVER_WINDOW: list[str] = [
 #       q_pca_whitened_norms, q_pq_whitened_recall
 #       (16 exact + 5 rows-only; q_cdc_e2e_stats, registered by the
 #       earlier r7 session, is already in THIS window);
-#     plus the r7 follow-up session's registrations, rows-only
-#     (synthetic media fixture): q_video_frame_features,
-#     q_video_summary, q_video_near_dup;
+#     plus the r7 follow-up session's registrations:
+#       exact-oracle: q_bloom_semijoin;
+#       rows-only: q_video_frame_features, q_video_summary,
+#       q_video_near_dup (synthetic media fixture), q_bloom_fpp;
 # (b) r4-stale rows next: the r4 window families
 #     (envelope/partition-key/union/semi-anti-join/latest-wins/SCD2/
 #     conditional-agg/running-sum/ts-filter/json-extract) plus the r5

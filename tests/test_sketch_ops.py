@@ -273,3 +273,93 @@ def test_quantile_sketch_excludes_null_ids(spark):
             ).collect()
         )
         assert vs == [5.0, 6.0], fam
+
+
+# ------------------------------------------------------------- bloom
+
+def _keyed(spark):
+    fact = spark.createDataFrame(
+        [(i, f"k{i % 50}") for i in range(2000)] + [(9999, None)],
+        "row_id int, key string",
+    )
+    dim = spark.createDataFrame(
+        [(f"k{v}",) for v in range(0, 50, 3)] + [(None,)], "key string"
+    )
+    return fact, dim
+
+
+def test_bloom_no_false_negatives_and_exact_semijoin(spark):
+    fact, dim = _keyed(spark)
+    probed = sketches.bloom_probe(
+        fact, "key", sketches.bloom_table(dim, "key"), out_col="maybe"
+    )
+    members = {f"k{v}" for v in range(0, 50, 3)}
+    for r in probed.collect():
+        if r["key"] in members:
+            assert r["maybe"]  # a Bloom filter never false-negatives
+        if r["key"] is None:
+            assert not r["maybe"]
+    got = sketches.bloom_semijoin(fact, "key", dim)
+    exp = fact.join(dim.filter(F.col("key").isNotNull()), "key", "left_semi")
+    assert sorted(r["row_id"] for r in got.collect()) == sorted(
+        r["row_id"] for r in exp.collect()
+    )
+
+
+def test_bloom_tiny_filter_has_false_positives_never_negatives(spark):
+    # 64-bit filter saturates: everything passes, nothing is missed —
+    # the exact-verify tail still makes the semijoin exact
+    fact, dim = _keyed(spark)
+    got = sketches.bloom_semijoin(fact, "key", dim, n_bits=64, k=2)
+    exp = fact.join(dim.filter(F.col("key").isNotNull()), "key", "left_semi")
+    assert sorted(r["row_id"] for r in got.collect()) == sorted(
+        r["row_id"] for r in exp.collect()
+    )
+
+
+def test_bloom_merge_equals_union_build(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(200)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(200)], "key string")
+    merged = {
+        (r["word_idx"], r["bits"])
+        for r in sketches.bloom_merge(
+            sketches.bloom_table(a, "key"), sketches.bloom_table(b, "key")
+        ).collect()
+    }
+    direct = {
+        (r["word_idx"], r["bits"])
+        for r in sketches.bloom_table(a.unionByName(b), "key").collect()
+    }
+    assert merged == direct
+
+
+def test_bloom_probe_is_shuffle_free(spark):
+    from sample_dms_s3_kinesis_spark.operators.bucketing import has_shuffle
+
+    fact, dim = _keyed(spark)
+    # materialize the (tiny) word table so the plan under test is the
+    # probe alone — in a composed plan the build's own 16Ki-row groupBy
+    # is the only exchange, on the broadcast side, never on the fact side
+    bloom = spark.createDataFrame(
+        sketches.bloom_table(dim, "key").collect(), "word_idx int, bits long"
+    )
+    probed = sketches.bloom_probe(fact, "key", bloom)
+    # k broadcast joins, no exchange on the fact side
+    assert not has_shuffle(probed)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_fpp_report_counts_consistent(spark):
+    fact, dim = _keyed(spark)
+    r = sketches.bloom_fpp_report(fact, "key", dim, n_bits=256, k=3).collect()[0]
+    # 2000 non-null probes; 17 member keys * 40 rows each = 680 members
+    assert r["n_probed"] == 2000
+    assert r["n_members"] == 680
+    assert r["n_passed"] >= r["n_members"]  # no false negatives
+    assert r["n_false_pos"] == r["n_passed"] - r["n_members"]
+    assert 0.0 <= r["measured_fpp"] <= 1.0
+    assert 0.0 < r["theoretical_fpp"] < 1.0
+    # a roomy filter has (near-)zero false positives on this key space
+    r2 = sketches.bloom_fpp_report(fact, "key", dim).collect()[0]
+    assert r2["n_false_pos"] == 0
