@@ -301,6 +301,104 @@ def bigram_lm_stats(
     )
 
 
+def lm_score_against(
+    score: DataFrame,
+    train: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score HELD-OUT documents under a bigram LM trained on a
+    DIFFERENT corpus, with stupid backoff (Brants et al. 2007) — the
+    real perplexity-filter shape: incoming data scored against a
+    trusted reference corpus, where unseen bigrams are the norm and
+    need a backoff path (the self-trained ops above never see one).
+
+    ``S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c_ctx(w_{i-1})`` when the
+    bigram was observed in training, else ``alpha * c(w_i) / N`` with
+    an OOV floor of ``alpha * 1 / N`` for words the training corpus
+    never saw (deterministic, oracle-replicable; a true probability
+    normalization is deliberately skipped, as in the paper).
+
+    ``cross_entropy = -(1/n_bigrams) Σ log2 S``; ``n_backoff`` counts
+    the bigrams that took the backoff path — itself a useful domain-
+    shift signal (backoff fraction ~ how alien the new data is).
+
+    Returns ``(id_col, n_bigrams, n_backoff, cross_entropy)``; scored
+    documents with fewer than two tokens don't appear.
+
+    Plan: three training aggregates (bigram, context, unigram — the
+    context table re-groups the bigram aggregate, so training is ONE
+    pass over the train corpus plus vocab-sized work), then the
+    scored bigram stream left-joins the count tables; AQE broadcasts
+    them when the vocabulary is small, and at 100 TB they are
+    token-keyed shuffle joins with map-side-combined builds — never a
+    corpus×corpus join."""
+    from sample_dms_s3_kinesis_spark.operators.text import tokens, word_bigrams
+
+    bg_train = spread(train).select(
+        F.explode(word_bigrams(F.col(text_col))).alias("_bg")
+    )
+    bg_counts = bg_train.groupBy("_bg").agg(F.count(F.lit(1)).alias("_cbg"))
+    ctx = bg_counts.groupBy(
+        F.substring_index(F.col("_bg"), " ", 1).alias("_wc")
+    ).agg(F.sum("_cbg").alias("_cc"))
+    uni = (
+        spread(train)
+        .select(
+            F.explode(
+                F.filter(
+                    tokens(F.lower(F.col(text_col))), lambda w: w != F.lit("")
+                )
+            ).alias("_w")
+        )
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    total = uni.agg(F.sum("_cu").cast("double").alias("_n"))
+
+    bg_score = spread(score).select(
+        F.col(id_col),
+        F.explode(word_bigrams(F.col(text_col))).alias("_bg"),
+    )
+    joined = (
+        bg_score.join(bg_counts, "_bg", "left")
+        .join(
+            ctx,
+            F.substring_index(bg_score["_bg"], " ", 1) == ctx["_wc"],
+            "left",
+        )
+        .join(
+            uni,
+            F.substring_index(bg_score["_bg"], " ", -1) == uni["_w"],
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    backoff = F.col("_cbg").isNull()
+    lp = F.when(
+        ~backoff,
+        F.log2(F.col("_cbg").cast("double") / F.col("_cc")),
+    ).otherwise(
+        F.log2(
+            F.lit(alpha)
+            * F.coalesce(F.col("_cu"), F.lit(1)).cast("double")
+            / F.col("_n")
+        )
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(backoff.cast("long")).alias("n_backoff"),
+            F.round((-F.sum(lp)) / F.count(F.lit(1)), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )
+
+
 # ------------------------------------------- duplicated-span coverage
 
 def dup_span_coverage(

@@ -2452,6 +2452,66 @@ def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_lm_backoff_score",
+    r"""
+    WITH tr AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents WHERE doc_id % 2 = 0),
+    big AS (
+      SELECT tk[i] || ' ' || tk[i + 1] AS bg, COUNT(*) AS cbg
+      FROM tr, UNNEST(range(1, len(tk))) AS r(i) GROUP BY 1),
+    ctx AS (
+      SELECT tk[i] AS w, COUNT(*) AS cc
+      FROM tr, UNNEST(range(1, len(tk))) AS r(i) GROUP BY 1),
+    uni AS (
+      SELECT w, COUNT(*) AS cu FROM tr, UNNEST(tk) AS u(w) GROUP BY w),
+    tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM uni),
+    sc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents WHERE doc_id % 2 = 1),
+    sbg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+             tk[i] || ' ' || tk[i + 1] AS bg
+      FROM sc, UNNEST(range(1, len(tk))) AS r(i))
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN b.cbg IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_backoff,
+           ROUND(-SUM(CASE WHEN b.cbg IS NOT NULL
+                           THEN log2(CAST(b.cbg AS DOUBLE) / c.cc)
+                           ELSE log2(0.4 * CAST(COALESCE(u.cu, 1)
+                                                AS DOUBLE) / t.n)
+                      END) / COUNT(*), 6) AS cross_entropy
+    FROM sbg s
+    LEFT JOIN big b USING (bg)
+    LEFT JOIN ctx c ON s.w1 = c.w
+    LEFT JOIN uni u ON s.w2 = u.w
+    CROSS JOIN tot t
+    GROUP BY s.doc_id
+    """,
+    "held-out perplexity filtering: odd documents scored under a "
+    "bigram LM trained on the even half, STUPID BACKOFF (Brants 2007) "
+    "for the unseen bigrams a self-trained model never meets — "
+    "alpha*c(w)/N with an OOV floor; n_backoff doubles as a "
+    "domain-shift signal.  Training is one pass over the train "
+    "corpus (context table re-groups the bigram aggregate); scoring "
+    "left-joins the count tables, AQE-broadcast when small",
+    "curation: cross-corpus LM scoring (stupid backoff)",
+)
+def q_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import curation as _cur
+
+    docs = t(spark, sf_dir, "documents")
+    return _cur.lm_score_against(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+@_register(
     "q_bloom_semijoin",
     """
     SELECT o.o_orderpriority,
@@ -2660,7 +2720,7 @@ DRIVER_WINDOW: list[str] = [
 #       (16 exact + 5 rows-only; q_cdc_e2e_stats, registered by the
 #       earlier r7 session, is already in THIS window);
 #     plus the r7 follow-up session's registrations:
-#       exact-oracle: q_bloom_semijoin;
+#       exact-oracle: q_bloom_semijoin, q_lm_backoff_score;
 #       rows-only: q_video_frame_features, q_video_summary,
 #       q_video_near_dup (synthetic media fixture), q_bloom_fpp;
 # (b) r4-stale rows next: the r4 window families

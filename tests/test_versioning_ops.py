@@ -167,6 +167,87 @@ def test_bigram_lm_order_sensitivity(spark):
     assert got[1] < got[2]
 
 
+# ------------------------------------------- stupid-backoff LM scoring
+
+def _backoff_reference(train_texts, score_texts, alpha=0.4):
+    tr = [t.strip().lower().split() for t in train_texts]
+    bc: dict = {}
+    uni: dict = {}
+    for tk in tr:
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+        for g in zip(tk, tk[1:]):
+            bc[g] = bc.get(g, 0) + 1
+    ctx: dict = {}
+    for g, c in bc.items():
+        ctx[g[0]] = ctx.get(g[0], 0) + c
+    n = sum(uni.values())
+    out = {}
+    for i, t in score_texts:
+        tk = t.strip().lower().split()
+        gs = list(zip(tk, tk[1:]))
+        if not gs:
+            continue
+        lp = 0.0
+        nb = 0
+        for g in gs:
+            if g in bc:
+                lp += math.log2(bc[g] / ctx[g[0]])
+            else:
+                nb += 1
+                lp += math.log2(alpha * uni.get(g[1], 1) / n)
+        out[i] = (len(gs), nb, round(-lp / len(gs), 6))
+    return out
+
+
+def test_lm_score_against_matches_python(spark):
+    from sample_dms_s3_kinesis_spark.operators.curation import lm_score_against
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    exp = _backoff_reference(
+        [r["text"] for r in train.collect()],
+        [(r["doc_id"], r["text"]) for r in score.collect()],
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_backoff"], r["cross_entropy"])
+        for r in lm_score_against(score, train).collect()
+    }
+    assert set(got) == set(exp)
+    assert any(v[1] > 0 for v in exp.values())  # held-out data backs off
+    for k in exp:
+        assert got[k][:2] == exp[k][:2]
+        assert abs(got[k][2] - exp[k][2]) <= 1e-6
+
+
+def test_lm_score_against_backoff_paths(spark):
+    from sample_dms_s3_kinesis_spark.operators.curation import lm_score_against
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], ["doc_id", "text"]
+    )
+    score = spark.createDataFrame(
+        [
+            (10, "the cat sat"),       # fully in-model: no backoff
+            (11, "the dog sat"),       # unseen bigrams, one OOV word
+            (12, "zz"),                # single token: no row
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in lm_score_against(score, train).collect()}
+    assert set(rows) == {10, 11}
+    assert rows[10]["n_backoff"] == 0
+    # "the dog" and "dog sat" both back off; "dog" is OOV (floor c=1),
+    # "sat" has train count 1 -> identical floor term
+    assert rows[11]["n_backoff"] == 2
+    n = 6  # train tokens
+    exp11 = -(
+        math.log2(0.4 * 1 / n) + math.log2(0.4 * 1 / n)
+    ) / 2
+    assert abs(rows[11]["cross_entropy"] - round(exp11, 6)) <= 1e-6
+
+
 # ---------------------------------------------------- semantic dedup
 
 def test_semantic_dedup_single_cell_is_brute_force(spark):
