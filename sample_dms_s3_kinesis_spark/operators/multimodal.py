@@ -3,9 +3,11 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The decode kernels are REAL for the formats a no-media-library
 container can parse — binary PPM (P6) images, baseline JPEG (pure
-numpy Huffman+IDCT codec in :mod:`.jpeg`) and PCM16 WAV audio are
-decoded, resized/resampled, and featurized in pure numpy.  Remaining
-formats (PNG/MP3/progressive JPEG/…) raise ``NotImplementedError`` —
+numpy Huffman+IDCT codec in :mod:`.jpeg`), 8-bit PNG (stdlib-zlib
+inflate + filter reconstruction in :mod:`.png`) and PCM16 WAV audio
+are decoded, resized/resampled, and featurized in pure numpy.
+Remaining formats (MP3/progressive JPEG/Adam7 PNG/…) raise
+``NotImplementedError`` —
 clearly disclosed, and routed to the null-feature error channel
 exactly like a corrupt file.  Swapping in Pillow/torchaudio extends
 one decoder function; the Spark-side plumbing (schemas, batch
@@ -64,11 +66,12 @@ def decode_image(content: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 array.
 
     REAL decoders for binary PPM (P6) — pure numpy header + raster
-    parse — and baseline JPEG (pure-numpy Huffman + IDCT,
-    :mod:`.jpeg`; progressive/arithmetic variants raise inside the
-    codec).  Other formats (PNG needs zlib-inflate bit-level work,
-    MP3 a full subband codec) raise ``NotImplementedError``; callers
-    route that to the error channel.
+    parse — baseline JPEG (pure-numpy Huffman + IDCT, :mod:`.jpeg`;
+    progressive/arithmetic variants raise inside the codec) and 8-bit
+    PNG (stdlib-zlib inflate + filter reconstruction, :mod:`.png`;
+    Adam7/16-bit variants raise inside the codec).  Other formats
+    (MP3 needs a full subband codec) raise ``NotImplementedError``;
+    callers route that to the error channel.
     """
     if not content:
         raise ValueError("empty media content")
@@ -76,10 +79,14 @@ def decode_image(content: bytes) -> np.ndarray:
         from sample_dms_s3_kinesis_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content.startswith(b"\x89PNG\r\n\x1a\n"):
+        from sample_dms_s3_kinesis_spark.operators.png import decode_png
+
+        return decode_png(content)
     if not content.startswith(b"P6"):
         raise NotImplementedError(
-            "only binary PPM (P6) and baseline JPEG decode are "
-            "implemented in-container"
+            "only binary PPM (P6), baseline JPEG and 8-bit PNG decode "
+            "are implemented in-container"
         )
     # Header: "P6" <ws> width <ws> height <ws> maxval <1 ws byte> raster,
     # with optional '#' comment lines inside the whitespace.
@@ -714,13 +721,17 @@ def _wav_bytes(i: int, rate: int = 8_000, ms: int = 200) -> bytes:
 
 
 def synthetic_assets(spark, n: int = 16) -> DataFrame:
-    """Deterministic asset table: REAL P6 and baseline-JPEG payloads
-    for images (alternating, so both decode kernels are exercised),
-    REAL PCM16 WAV payloads for audio, REAL FVID payloads for video
-    (30 frames @ 10 fps — the in-container stand-in for an MP4
-    demuxer).  Every 5th id (except 0) has empty content to exercise
-    the corrupt-row channel."""
+    """Deterministic asset table: REAL P6, baseline-JPEG and PNG
+    payloads for images (alternating, so all three decode kernels are
+    exercised), REAL PCM16 WAV payloads for audio, REAL FVID payloads
+    for video (30 frames @ 10 fps — the in-container stand-in for an
+    MP4 demuxer).  Every 5th id (except 0) has empty content to
+    exercise the corrupt-row channel."""
     from sample_dms_s3_kinesis_spark.operators.jpeg import encode_jpeg
+    from sample_dms_s3_kinesis_spark.operators.png import (
+        decode_png,
+        encode_png,
+    )
 
     rows = []
     for i in range(n):
@@ -728,7 +739,14 @@ def synthetic_assets(spark, n: int = 16) -> DataFrame:
         if i % 5 == 0 and i != 0:
             content = b""
         elif media == "image":
-            if (i // 3) % 2 == 1:  # alternate PPM / JPEG payloads
+            k = i // 3
+            if k % 4 == 0 and k > 0:
+                # every 4th k>0 slot carries PNG: the PPM gradient
+                # re-encoded with mixed row filters, so every unfilter
+                # path runs through the pipeline (k=0,2 keep raw PPM)
+                img = decode_image(_ppm_bytes(i))
+                content = encode_png(img, filter_type="mixed")
+            elif (i // 3) % 2 == 1:  # alternate PPM / JPEG payloads
                 y, x = np.mgrid[0:36, 0:48]
                 img = np.stack(
                     [

@@ -1,0 +1,169 @@
+"""PNG codec tests: exact roundtrips through every filter path, the
+non-truecolor color types via hand-built spec-compliant payloads, and
+the NotImplementedError / ValueError contract for out-of-profile and
+corrupt streams.  No Spark needed — the codec is pure numpy."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sample_dms_s3_kinesis_spark.operators.multimodal import decode_image
+from sample_dms_s3_kinesis_spark.operators.png import (
+    decode_png,
+    encode_png,
+)
+
+
+def _gradient(h=23, w=31, seed=5):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 29 + seed) % 256, (y * 19 + seed * 3) % 256, (x + 2 * y) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _raw_png(w, h, color_type, raster_rows, extra=b"", depth=8, interlace=0):
+    """Hand-build a PNG: raster_rows = list of (filter, bytes) rows."""
+    body = b"".join(bytes([ft]) + row for ft, row in raster_rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(body))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4, "mixed"])
+def test_rgb_roundtrip_every_filter(ft):
+    img = _gradient()
+    out = decode_png(encode_png(img, filter_type=ft))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_grey_roundtrip_replicates_channels():
+    grey = (_gradient()[:, :, 0]).astype(np.uint8)
+    out = decode_png(encode_png(grey, filter_type="mixed"))
+    assert out.shape == (*grey.shape, 3)
+    for c in range(3):
+        assert np.array_equal(out[:, :, c], grey)
+
+
+def test_multi_idat_chunks_concatenate():
+    img = _gradient(h=9, w=7)
+    payload = encode_png(img)
+    # split the single IDAT into two: re-walk the chunks and rebuild
+    sig, pos, chunks = payload[:8], 8, []
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        chunks.append((payload[pos + 4 : pos + 8], payload[pos + 8 : pos + 8 + ln]))
+        pos += 12 + ln
+    rebuilt = sig
+    for ctype, body in chunks:
+        if ctype == b"IDAT":
+            mid = len(body) // 2
+            rebuilt += _chunk(b"IDAT", body[:mid]) + _chunk(b"IDAT", body[mid:])
+        else:
+            rebuilt += _chunk(ctype, body)
+    assert np.array_equal(decode_png(rebuilt), img)
+
+
+def test_rgba_drops_alpha():
+    h, w = 5, 6
+    rgb = _gradient(h, w)
+    rgba = np.dstack([rgb, np.full((h, w), 77, np.uint8)])
+    rows = [(0, rgba[r].tobytes()) for r in range(h)]
+    out = decode_png(_raw_png(w, h, 6, rows))
+    assert np.array_equal(out, rgb)
+
+
+def test_grey_alpha_drops_alpha():
+    h, w = 4, 5
+    grey = (_gradient(h, w)[:, :, 1]).astype(np.uint8)
+    ga = np.dstack([grey, np.full((h, w), 9, np.uint8)])
+    rows = [(2, None) for _ in range(h)]  # Up filter everywhere
+    raster, prev = [], np.zeros(w * 2, np.int64)
+    flat = ga.reshape(h, w * 2).astype(np.int64)
+    for r in range(h):
+        raster.append((2, ((flat[r] - prev) % 256).astype(np.uint8).tobytes()))
+        prev = flat[r]
+    out = decode_png(_raw_png(w, h, 4, raster))
+    for c in range(3):
+        assert np.array_equal(out[:, :, c], grey)
+
+
+def test_palette_resolves_plte():
+    h, w = 3, 4
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 3, 0]], np.uint8)
+    rows = [(0, idx[r].tobytes()) for r in range(h)]
+    payload = _raw_png(w, h, 3, rows, extra=_chunk(b"PLTE", palette.tobytes()))
+    assert np.array_equal(decode_png(payload), palette[idx])
+
+
+def test_palette_index_out_of_range_raises():
+    rows = [(0, bytes([5]))]
+    payload = _raw_png(
+        1, 1, 3, rows, extra=_chunk(b"PLTE", bytes([1, 2, 3, 4, 5, 6]))
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(payload)
+
+
+def test_palette_missing_plte_raises():
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(_raw_png(1, 1, 3, [(0, b"\x00")]))
+
+
+def test_crc_corruption_raises():
+    payload = bytearray(encode_png(_gradient(h=4, w=4)))
+    payload[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+
+def test_out_of_profile_raises_notimplemented():
+    rows = [(0, b"\x00" * 6)]
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(_raw_png(2, 1, 2, rows, interlace=1))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(_raw_png(1, 1, 2, [(0, b"\x00" * 6)], depth=16))
+
+
+def test_truncated_and_malformed_raise_valueerror():
+    payload = encode_png(_gradient(h=4, w=4))
+    with pytest.raises(ValueError):
+        decode_png(payload[:20])
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNKJUNKJUNK")
+    # raster shorter than h*(1+stride): drop the last row from the body
+    img = _gradient(h=3, w=2)
+    body = b"".join(b"\x00" + img[r].tobytes() for r in range(2))
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 3, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(body))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(bad)
+
+
+def test_decode_image_dispatches_png():
+    img = _gradient()
+    assert np.array_equal(decode_image(encode_png(img, filter_type=4)), img)
