@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -180,4 +180,97 @@ def profile_drift(
         "n_distinct_new",
         (~F.col("_min_o").eqNullSafe(F.col("_min_n"))).alias("min_changed"),
         (~F.col("_max_o").eqNullSafe(F.col("_max_n"))).alias("max_changed"),
+    )
+
+
+def binary_metrics_report(df: DataFrame, *, score: str, label: str) -> DataFrame:
+    """Exact ROC-AUC and average precision for a binary ``label``
+    ranked by ``score`` — the calibration report behind every
+    threshold a curation pipeline picks (quality-filter cutoffs,
+    classifier gates, dedup score floors).
+
+    Semantics are the standard unique-threshold definitions, so both
+    metrics are tie-invariant and deterministic across engines and
+    partitionings:
+
+    - ROC-AUC: tie-aware rank statistic (= trapezoidal area over
+      unique-score operating points).  Each positive earns the count
+      of negatives scored strictly below plus half the negatives tied
+      with it, normalized by ``n_pos * n_neg``.
+    - Average precision: step-function PR area over unique-score
+      thresholds — AP = Σ_g (n_pos(g)/n_pos) · P(g) with P(g) =
+      cum_pos/cum_total at the end of score group ``g`` in descending
+      score order.
+
+    Rows with a NULL score or label are excluded and counted in
+    ``n_excluded``; degenerate inputs (no positives / no negatives)
+    yield NULL metrics instead of a division error.
+
+    Scale: one groupBy collapses the corpus to O(distinct scores)
+    rows; the cumulative window and the broadcast totals join run over
+    that small frame, never the raw table.  The ROC numerator stays in
+    exact integers (2·U form) until the single final division.
+
+    Returns one row: ``(n_pos, n_neg, n_excluded, roc_auc,
+    avg_precision)``, metrics rounded to 6 decimals.
+    """
+    valid = F.col("_score").isNotNull() & F.col("_y").isNotNull()
+    g = (
+        df.select(
+            F.col(score).alias("_score"),
+            F.col(label).cast("bigint").alias("_y"),
+        )
+        .groupBy("_score")
+        .agg(
+            F.sum(F.when(valid, F.col("_y")).otherwise(F.lit(0))).alias("_pos"),
+            F.sum(
+                F.when(valid, F.lit(1) - F.col("_y")).otherwise(F.lit(0))
+            ).alias("_neg"),
+            F.sum(F.when(valid, F.lit(0)).otherwise(F.lit(1))).alias("_excl"),
+        )
+    )
+    tot = g.agg(
+        F.coalesce(F.sum("_pos"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum("_neg"), F.lit(0)).alias("n_neg"),
+        F.coalesce(F.sum("_excl"), F.lit(0)).alias("n_excluded"),
+    )
+    w = Window.orderBy(F.col("_score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        g.filter((F.col("_pos") + F.col("_neg")) > 0)
+        .select(
+            "_pos",
+            "_neg",
+            F.sum("_pos").over(w).alias("_cum_pos"),
+            F.sum("_neg").over(w).alias("_cum_neg"),
+            (F.sum("_pos").over(w) + F.sum("_neg").over(w)).alias("_cum_total"),
+        )
+        .crossJoin(F.broadcast(tot.select("n_neg")))
+    )
+    contrib = cum.agg(
+        F.sum(
+            F.col("_pos")
+            * (
+                2 * (F.col("n_neg") - F.col("_cum_neg"))
+                + F.col("_neg")
+            )
+        ).alias("_auc2"),
+        F.sum(
+            F.col("_pos") * F.col("_cum_pos") / F.col("_cum_total")
+        ).alias("_apnum"),
+    )
+    return tot.crossJoin(F.broadcast(contrib)).select(
+        "n_pos",
+        "n_neg",
+        "n_excluded",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("_auc2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+            ),
+        ).alias("roc_auc"),
+        F.when(
+            F.col("n_pos") > 0, F.round(F.col("_apnum") / F.col("n_pos"), 6)
+        ).alias("avg_precision"),
     )

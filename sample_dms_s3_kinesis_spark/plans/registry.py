@@ -2634,6 +2634,77 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_near_dup_pairs(assets, max_hamming=3)
 
 
+@_register(
+    "q_auc_metrics",
+    """
+    WITH scored AS (
+      SELECT ((LENGTH(LOWER(text)) - LENGTH(REPLACE(LOWER(text), ' the ', ''))) // 5)
+               * 1000000 // NULLIF(n_chars, 0) AS score,
+             CASE WHEN lang IS NULL THEN NULL
+                  WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    g AS (
+      SELECT score,
+             SUM(CASE WHEN score IS NOT NULL AND label IS NOT NULL THEN label ELSE 0 END) AS pos,
+             SUM(CASE WHEN score IS NOT NULL AND label IS NOT NULL THEN 1 - label ELSE 0 END) AS neg,
+             SUM(CASE WHEN score IS NULL OR label IS NULL THEN 1 ELSE 0 END) AS excl
+      FROM scored GROUP BY score
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM(excl) AS BIGINT) AS n_excluded
+      FROM g
+    ),
+    cum AS (
+      SELECT pos, neg,
+             SUM(pos) OVER (ORDER BY score DESC) AS cum_pos,
+             SUM(neg) OVER (ORDER BY score DESC) AS cum_neg,
+             SUM(pos + neg) OVER (ORDER BY score DESC) AS cum_total
+      FROM g WHERE pos + neg > 0
+    ),
+    contrib AS (
+      SELECT SUM(pos * (2 * (tot.n_neg - cum_neg) + neg)) AS auc2,
+             SUM(pos * cum_pos / cum_total) AS apnum
+      FROM cum, tot
+    )
+    SELECT tot.n_pos, tot.n_neg, tot.n_excluded,
+           CASE WHEN tot.n_pos > 0 AND tot.n_neg > 0
+                THEN ROUND(CAST(auc2 AS DOUBLE) / (2.0 * tot.n_pos * tot.n_neg), 6)
+           END AS roc_auc,
+           CASE WHEN tot.n_pos > 0
+                THEN ROUND(CAST(apnum AS DOUBLE) / tot.n_pos, 6)
+           END AS avg_precision
+    FROM tot, contrib
+    """,
+    "exact ROC-AUC + average precision over unique-score thresholds "
+    "(tie-aware rank statistic / step-function PR area): label = "
+    "lang='en', score = integer-scaled ' the '-hit rate; one groupBy "
+    "collapses the corpus to O(distinct scores) rows before the "
+    "cumulative window — the calibration report behind every "
+    "quality-filter threshold choice",
+    "O17 generalized: classifier/threshold calibration report",
+)
+def q_auc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.profiling import (
+        binary_metrics_report,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr(
+            "((length(lower(text)) - length(replace(lower(text), ' the ', '')))"
+            " div 5) * 1000000 div nullif(n_chars, 0)"
+        ).alias("score"),
+        F.when(F.col("lang").isNull(), F.lit(None).cast("int"))
+        .when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return binary_metrics_report(scored, score="score", label="label")
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero
@@ -2719,8 +2790,9 @@ DRIVER_WINDOW: list[str] = [
 #       q_pca_whitened_norms, q_pq_whitened_recall
 #       (16 exact + 5 rows-only; q_cdc_e2e_stats, registered by the
 #       earlier r7 session, is already in THIS window);
-#     plus the r7 follow-up session's registrations:
-#       exact-oracle: q_bloom_semijoin, q_lm_backoff_score;
+#     plus the r7 follow-up sessions' registrations:
+#       exact-oracle: q_bloom_semijoin, q_lm_backoff_score,
+#       q_auc_metrics;
 #       rows-only: q_video_frame_features, q_video_summary,
 #       q_video_near_dup (synthetic media fixture), q_bloom_fpp;
 # (b) r4-stale rows next: the r4 window families

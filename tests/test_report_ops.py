@@ -203,3 +203,78 @@ def test_profile_table_handles_dotted_column_names(spark):
     assert set(drift) == {"a", "b", "c"}
     assert drift["b"]["n_rows_new"] is None   # dropped column visible
     assert drift["c"]["n_rows_old"] is None   # added column visible
+
+
+# ------------------------------------------------- binary_metrics_report
+
+def _auc_reference(pairs):
+    """Independent tie-aware ROC-AUC (pairwise comparison count) and
+    unique-threshold average precision, straight from the definitions."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if pos and neg:
+        wins = sum(
+            1.0 if p > q else (0.5 if p == q else 0.0)
+            for p in pos
+            for q in neg
+        )
+        auc = wins / (len(pos) * len(neg))
+    else:
+        auc = None
+    if pos:
+        ap = 0.0
+        for thr in sorted({s for s, _ in pairs}, reverse=True):
+            kept = [(s, y) for s, y in pairs if s >= thr]
+            tp = sum(y for _, y in kept)
+            tp_at = sum(1 for s, y in kept if y == 1 and s == thr)
+            ap += (tp_at / len(pos)) * (tp / len(kept))
+        return auc, ap
+    return auc, None
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # distinct scores, mixed labels
+        [(10, 1), (9, 0), (8, 1), (7, 0), (6, 0), (5, 1)],
+        # heavy ties across labels
+        [(3, 1), (3, 0), (3, 1), (2, 0), (2, 1), (1, 0), (1, 0)],
+        # perfect separation
+        [(5, 1), (4, 1), (3, 0), (2, 0)],
+        # inverted ranking
+        [(1, 1), (2, 1), (3, 0), (4, 0)],
+    ],
+)
+def test_binary_metrics_match_reference(spark, pairs):
+    from sample_dms_s3_kinesis_spark.operators.profiling import (
+        binary_metrics_report,
+    )
+
+    df = spark.createDataFrame(pairs, "score int, label int")
+    row = binary_metrics_report(df, score="score", label="label").collect()[0]
+    auc, ap = _auc_reference(pairs)
+    assert row["n_pos"] == sum(y for _, y in pairs)
+    assert row["n_neg"] == sum(1 - y for _, y in pairs)
+    assert row["n_excluded"] == 0
+    assert row["roc_auc"] == pytest.approx(auc, abs=1e-6)
+    assert row["avg_precision"] == pytest.approx(ap, abs=1e-6)
+
+
+def test_binary_metrics_nulls_and_degenerate(spark):
+    from sample_dms_s3_kinesis_spark.operators.profiling import (
+        binary_metrics_report,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 1), (None, 1), (4, None), (3, 1)], "score int, label int"
+    )
+    row = binary_metrics_report(df, score="score", label="label").collect()[0]
+    # no negatives: ROC undefined, AP degenerates to 1.0
+    assert (row["n_pos"], row["n_neg"], row["n_excluded"]) == (2, 0, 2)
+    assert row["roc_auc"] is None
+    assert row["avg_precision"] == pytest.approx(1.0)
+
+    empty = spark.createDataFrame([], "score int, label int")
+    row = binary_metrics_report(empty, score="score", label="label").collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["n_excluded"]) == (0, 0, 0)
+    assert row["roc_auc"] is None and row["avg_precision"] is None
