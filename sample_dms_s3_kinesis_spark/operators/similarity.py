@@ -314,6 +314,116 @@ def batch_topk(
     )
 
 
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    lambda_: float = 0.7,
+    pool: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): diversify a retrieval result by greedily picking the
+    candidate that maximizes ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)``
+    — the standard redundancy-reduction step between an ANN search and
+    a RAG context window.
+
+    Two stages:
+
+    1. distributed candidate pool — exact cosine top-``pool`` against
+       the corpus (TakeOrderedAndProject, same contract as
+       :func:`brute_force_topk`), and the pool's pairwise similarity
+       matrix via a crossJoin of the tiny pool frame (O(pool²) rows,
+       broadcast);
+    2. greedy selection over those O(pool²) collected scalars on the
+       driver — the greedy recurrence is inherently sequential, and
+       bounding it by ``pool`` (not the corpus) is what makes MMR
+       scale: the corpus pass stays distributed, the driver never
+       holds vectors.
+
+    Determinism: relevance and pairwise similarities are rounded to 6
+    decimals BEFORE the greedy (cross-engine float contract, same as
+    brute_force_topk); ties break on id ascending.  Distinct rounded
+    inputs keep mmr scores ≥1e-7 apart, so a last-ulp evaluation
+    difference can never flip the argmax — any engine replaying the
+    recurrence selects the same sequence.  ``mmr_score`` is emitted as
+    the raw double ``λ·rel − (1−λ)·penalty`` (oracle comparisons
+    round it, since engines may differ in the last ulp).
+
+    Returns ``(step, <id_col>, relevance, penalty, mmr_score)`` with
+    ``step`` 1..k in selection order (fewer if the pool runs dry).
+    """
+    if k < 1 or pool < 1:
+        raise ValueError("k and pool must be >= 1")
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError("lambda_ must be in [0, 1]")
+    cand = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .withColumn(
+            "rel",
+            F.round(
+                cosine_similarity(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)) for x in query_vec]),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("rel").isNotNull())
+        .orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(pool)
+    )
+    a = cand.select(F.col(id_col).alias("_ida"), F.col("_v").alias("_va"))
+    b = cand.select(F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"))
+    sims_df = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            "_ida",
+            "_idb",
+            F.round(
+                cosine_similarity(F.col("_va"), F.col("_vb")), 6
+            ).alias("_sim"),
+        )
+    )
+    rel = {r[id_col]: r["rel"] for r in cand.select(id_col, "rel").collect()}
+    sim: dict[int, dict[int, float]] = {}
+    for r in sims_df.collect():
+        sim.setdefault(r["_ida"], {})[r["_idb"]] = r["_sim"]
+    chosen: list[tuple[int, int, float, float, float]] = []
+    selected: list = []
+    remaining = set(rel)
+    for step in range(1, min(k, len(rel)) + 1):
+        best = None
+        for d in remaining:
+            penalty = (
+                max(sim[d][s] for s in selected) if selected else 0.0
+            )
+            score = lambda_ * rel[d] - (1.0 - lambda_) * penalty
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, penalty, score)
+        _, d, penalty, score = best
+        chosen.append((step, d, rel[d], penalty, score))
+        selected.append(d)
+        remaining.discard(d)
+    spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
+    return spark.createDataFrame(
+        chosen,
+        schema=(
+            f"step int, {id_col} {id_type}, relevance double, "
+            "penalty double, mmr_score double"
+        ),
+    )
+
+
 class IvfIndex:
     """Built-once IVF index: centroids + cell assignment are computed a
     single time (eagerly checkpointed) and every ``search`` only scores

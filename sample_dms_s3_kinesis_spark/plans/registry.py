@@ -2705,6 +2705,71 @@ def q_auc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metrics_report(scored, score="score", label="label")
 
 
+@_register(
+    "q_mmr_rerank",
+    """
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, ROUND(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS rel, v
+      FROM e
+      WHERE list_cosine_similarity(v, (SELECT qv FROM q)) IS NOT NULL
+      ORDER BY rel DESC, vec_id ASC LIMIT 50
+    ),
+    sims AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel AS (
+      SELECT * FROM (
+        SELECT 1 AS step, c.vec_id, c.rel, CAST(0.0 AS DOUBLE) AS penalty,
+               CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * CAST(0.0 AS DOUBLE) AS mmr_score,
+               [c.vec_id] AS chosen
+        FROM cand c
+        ORDER BY CAST(0.7 AS DOUBLE) * c.rel DESC, c.vec_id ASC LIMIT 1
+      )
+      UNION ALL
+      SELECT sel.step + 1, nxt.vec_id, nxt.rel, nxt.penalty, nxt.mmr_score,
+             list_append(sel.chosen, nxt.vec_id)
+      FROM sel, LATERAL (
+         SELECT c.vec_id, c.rel,
+                (SELECT MAX(s.sim) FROM sims s
+                  WHERE s.ida = c.vec_id AND list_contains(sel.chosen, s.idb)) AS penalty,
+                CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * (SELECT MAX(s.sim) FROM sims s
+                  WHERE s.ida = c.vec_id AND list_contains(sel.chosen, s.idb)) AS mmr_score
+         FROM cand c
+         WHERE NOT list_contains(sel.chosen, c.vec_id)
+         ORDER BY mmr_score DESC, c.vec_id ASC
+         LIMIT 1
+      ) nxt
+      WHERE sel.step < 10
+    )
+    SELECT step, vec_id, rel AS relevance, penalty,
+           ROUND(mmr_score, 6) AS mmr_score
+    FROM sel
+    """,
+    "MMR diversified re-ranking (Carbonell-Goldstein greedy, λ=0.7) "
+    "over the exact cosine top-50 pool for query vec_id=0: stage 1 is "
+    "the distributed TakeOrderedAndProject pool + O(pool²) pairwise "
+    "sims, stage 2 the pool-bounded greedy recurrence; sims rounded "
+    "to 6 decimals before selection so both engines replay the "
+    "identical recurrence (oracle = recursive CTE + LATERAL argmax)",
+    "similarity: diversified re-ranking between ANN and a RAG context",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    out = similarity.mmr_rerank(emb, qv, k=10, lambda_=0.7, pool=50)
+    # raw doubles can differ in the last ulp across engines' expression
+    # evaluators; the oracle rounds identically
+    return out.withColumn("mmr_score", F.round("mmr_score", 6))
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero
@@ -2792,7 +2857,7 @@ DRIVER_WINDOW: list[str] = [
 #       earlier r7 session, is already in THIS window);
 #     plus the r7 follow-up sessions' registrations:
 #       exact-oracle: q_bloom_semijoin, q_lm_backoff_score,
-#       q_auc_metrics;
+#       q_auc_metrics, q_mmr_rerank;
 #       rows-only: q_video_frame_features, q_video_summary,
 #       q_video_near_dup (synthetic media fixture), q_bloom_fpp;
 # (b) r4-stale rows next: the r4 window families

@@ -743,3 +743,100 @@ def test_pca_validates_inputs(spark):
                                     F.lit(1.0).alias("eigval"),
                                     F.lit(1.0).alias("explained"),
                                     F.col("embedding").alias("vec")))
+
+
+# ------------------------------------------------------------- MMR
+
+def _python_mmr(rows, q, *, k, lam, pool):
+    """Independent greedy MMR over numpy cosines (round-6 inputs)."""
+    qv = np.array(q, dtype=np.float64)
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], np.float64) for r in rows}
+    rel = sorted(
+        ((cos(v, qv), i) for i, v in vecs.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:pool]
+    rel = {i: c for c, i in rel}
+    selected, out = [], []
+    for step in range(1, min(k, len(rel)) + 1):
+        best = None
+        for d in rel:
+            if d in selected:
+                continue
+            pen = max((cos(vecs[d], vecs[s]) for s in selected), default=0.0)
+            score = lam * rel[d] - (1.0 - lam) * pen
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, pen, score)
+        _, d, pen, score = best
+        out.append((step, d, rel[d], pen, score))
+        selected.append(d)
+    return out
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    emb = _emb(spark)
+    rows = emb.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    got = [
+        (r["step"], r["vec_id"], r["relevance"], r["penalty"], r["mmr_score"])
+        for r in similarity.mmr_rerank(emb, q, k=8, lambda_=0.6, pool=25)
+        .orderBy("step")
+        .collect()
+    ]
+    exp = _python_mmr(rows, q, k=8, lam=0.6, pool=25)
+    assert [g[:2] for g in got] == [e[:2] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[2] == pytest.approx(e[2], abs=2e-6)  # relevance
+        assert g[3] == pytest.approx(e[3], abs=2e-6)  # penalty
+        assert g[4] == pytest.approx(e[4], abs=2e-6)  # mmr score
+
+
+def test_mmr_rerank_diversifies_vs_pure_relevance(spark):
+    """Near-duplicate cluster at the top: λ=1 keeps the clones, a
+    diversity-weighted λ spreads the picks."""
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0]),
+        (1, [1.0, 0.99, 0.0, 0.0]),  # clone of 0
+        (2, [0.99, 1.0, 0.0, 0.0]),  # clone of 0
+        (3, [1.0, 0.0, 0.0, 0.0]),   # half-relevant, far from the clones
+        (4, [0.0, 1.0, 0.0, 0.0]),   # half-relevant, orthogonal to 3
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = [1.0, 1.0, 0.0, 0.0]
+    relevance_only = [
+        r["vec_id"]
+        for r in similarity.mmr_rerank(df, q, k=3, lambda_=1.0, pool=5)
+        .orderBy("step")
+        .collect()
+    ]
+    assert relevance_only == [0, 1, 2]
+    # diversity-weighted: mmr = 0.3·rel − 0.7·pen makes the clones
+    # (pen≈1) lose to the half-relevant orthogonal pair (pen≈0.707)
+    diversified = [
+        r["vec_id"]
+        for r in similarity.mmr_rerank(df, q, k=3, lambda_=0.3, pool=5)
+        .orderBy("step")
+        .collect()
+    ]
+    assert diversified[0] == 0
+    assert set(diversified[1:]) == {3, 4}
+
+
+def test_mmr_rerank_pool_short_and_validation(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = similarity.mmr_rerank(df, [1.0, 0.0], k=10, pool=5).collect()
+    assert [r["step"] for r in sorted(got, key=lambda r: r["step"])] == [1, 2]
+    with pytest.raises(ValueError, match="lambda_"):
+        similarity.mmr_rerank(df, [1.0, 0.0], lambda_=1.5)
+    with pytest.raises(ValueError, match="k and pool"):
+        similarity.mmr_rerank(df, [1.0, 0.0], k=0)
