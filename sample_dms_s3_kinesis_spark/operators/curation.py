@@ -399,6 +399,123 @@ def lm_score_against(
     )
 
 
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every RAW
+    document by how target-like it is under two hashed-unigram
+    bag-of-words models, ``log w(x) = log p_target(x) − log p_raw(x)``.
+    Feeding the weights to :func:`sampling.weighted_sample` completes
+    the paper's pipeline (importance resampling toward the target
+    distribution).
+
+    Each token hashes into one of ``buckets`` slots; bucket counts are
+    add-one smoothed, so
+
+    ``log₂ w(x) = Σ_tok [log₂(c_t(b)+1) − log₂(c_r(b)+1)]
+                  + n_tok · [log₂(N_r+B) − log₂(N_t+B)]``
+
+    with c_t/c_r the target/raw bucket counts, N_t/N_r the corpus
+    token totals and B = ``buckets``.  Hashing is the point: the
+    feature space is O(buckets) regardless of vocabulary, so both
+    models stay broadcastable at any corpus size.
+
+    ``hash_family="md5"`` (first 8 md5 hex chars → int) is
+    DuckDB-replicable for exact cross-engine oracles; the default
+    xxhash64 stays the production flavor.
+
+    Scale: one explode pass per corpus with a map-side-combined bucket
+    aggregate (model build), then the raw corpus explodes once more
+    and joins the O(buckets) model frames (AQE-broadcast) — never a
+    corpus×corpus join; per-doc reduction is one groupBy.
+
+    Returns ``(id_col, n_tokens, log_weight)`` for every raw document
+    (NULL text → 0 tokens, weight 0), log_weight rounded to 6.
+    """
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        _check_hash_family,
+        tokens,
+    )
+
+    _check_hash_family(hash_family)
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+
+    def bucket_of(tok: Column) -> Column:
+        if hash_family == "md5":
+            h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+        else:
+            h = F.xxhash64(tok)
+        return F.pmod(h, F.lit(buckets))
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            spread(df)
+            .select(
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok")
+            )
+            .groupBy(bucket_of(F.col("_tok")).alias("_b"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    t_counts = bucket_counts(target, "_ct")
+    r_counts = bucket_counts(raw, "_cr")
+    totals = (
+        t_counts.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
+        .crossJoin(
+            r_counts.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_nr"))
+        )
+        .select(
+            (
+                F.log2(F.col("_nr") + F.lit(buckets))
+                - F.log2(F.col("_nt") + F.lit(buckets))
+            ).alias("_const")
+        )
+    )
+    toks = (
+        spread(raw)
+        .select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+        )
+        .select(F.col(id_col), bucket_of(F.col("_tok")).alias("_b"))
+    )
+    per_doc = (
+        toks.join(t_counts, "_b", "left")
+        .join(r_counts, "_b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.log2(F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1))
+                - F.log2(F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(1))
+            ).alias("_s"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_tokens"),
+            F.round(
+                F.coalesce(
+                    F.col("_s") + F.col("_n") * F.col("_const"), F.lit(0.0)
+                ),
+                6,
+            ).alias("log_weight"),
+        )
+    )
+
+
 # ------------------------------------------- duplicated-span coverage
 
 def dup_span_coverage(

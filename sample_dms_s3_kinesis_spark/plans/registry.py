@@ -2770,6 +2770,65 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("mmr_score", F.round("mmr_score", 6))
 
 
+@_register(
+    "q_dsir_weights",
+    """
+    WITH rtok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE lang <> 'en'
+    ),
+    ttok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE lang = 'en'
+    ),
+    rb AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS b
+      FROM rtok
+    ),
+    tb AS (
+      SELECT CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS b
+      FROM ttok
+    ),
+    rcnt AS (SELECT b, COUNT(*) AS cr FROM rb GROUP BY b),
+    tcnt AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY b),
+    tot AS (
+      SELECT log2((SELECT COALESCE(SUM(cr), 0) FROM rcnt) + 256)
+             - log2((SELECT COALESCE(SUM(ct), 0) FROM tcnt) + 256) AS cst
+    ),
+    perdoc AS (
+      SELECT rb.doc_id, COUNT(*) AS n,
+             SUM(log2(COALESCE(tcnt.ct, 0) + 1)
+                 - log2(COALESCE(rcnt.cr, 0) + 1)) AS s
+      FROM rb
+      LEFT JOIN tcnt ON rb.b = tcnt.b
+      LEFT JOIN rcnt ON rb.b = rcnt.b
+      GROUP BY rb.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(p.s + p.n * (SELECT cst FROM tot), 0.0), 6)
+             AS log_weight
+    FROM (SELECT doc_id FROM documents WHERE lang <> 'en') d
+    LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    """,
+    "DSIR importance weights (hashed-unigram log p_target − log p_raw, "
+    "256 md5 buckets, add-one smoothing): raw = non-English documents "
+    "scored toward the English target slice; the hashed feature space "
+    "keeps both models O(buckets)-broadcastable at any corpus size — "
+    "feeding weighted_sample completes importance resampling",
+    "curation: DSIR importance weighting toward a target corpus",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.curation import dsir_weights
+
+    docs = t(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("lang") != "en")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_weights(raw, target, buckets=256, hash_family="md5")
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero
@@ -2857,7 +2916,7 @@ DRIVER_WINDOW: list[str] = [
 #       earlier r7 session, is already in THIS window);
 #     plus the r7 follow-up sessions' registrations:
 #       exact-oracle: q_bloom_semijoin, q_lm_backoff_score,
-#       q_auc_metrics, q_mmr_rerank;
+#       q_auc_metrics, q_mmr_rerank, q_dsir_weights;
 #       rows-only: q_video_frame_features, q_video_summary,
 #       q_video_near_dup (synthetic media fixture), q_bloom_fpp;
 # (b) r4-stale rows next: the r4 window families

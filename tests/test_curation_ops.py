@@ -648,3 +648,74 @@ def test_unigram_lm_ignores_empty_docs(spark):
         ).collect()
     }
     assert a == b          # empty docs absent AND other docs unchanged
+
+
+# ------------------------------------------------------- DSIR weights
+
+def _python_dsir(raw_docs, target_docs, buckets):
+    """Pure-Python hashed-unigram importance weights (md5 family)."""
+    import hashlib
+    from collections import Counter
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % buckets
+
+    def toks(s):
+        return re.split(r"\s+", s.lower().strip())
+
+    ct = Counter(bucket(w) for _, s in target_docs for w in toks(s))
+    cr = Counter(bucket(w) for _, s in raw_docs for w in toks(s))
+    nt, nr = sum(ct.values()), sum(cr.values())
+    const = math.log2(nr + buckets) - math.log2(nt + buckets)
+    out = {}
+    for doc_id, s in raw_docs:
+        ws = toks(s)
+        lw = sum(
+            math.log2(ct[bucket(w)] + 1) - math.log2(cr[bucket(w)] + 1)
+            for w in ws
+        ) + len(ws) * const
+        out[doc_id] = (len(ws), round(lw, 6))
+    return out
+
+
+def test_dsir_weights_match_python_reference(spark):
+    raw = [(1, "alpha beta gamma"), (2, "one two three beta"),
+           (3, "unique words only here"), (4, "alpha alpha alpha")]
+    target = [(10, "alpha beta beta gamma gamma gamma"),
+              (11, "alpha beta delta")]
+    raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(target, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in curation.dsir_weights(
+            raw_df, tgt_df, buckets=16, hash_family="md5"
+        ).collect()
+    }
+    exp = _python_dsir(raw, target, 16)
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        assert abs(got[d][1] - exp[d][1]) <= 2e-6
+    # target-like docs (shared vocabulary) must outrank alien ones
+    assert got[1][1] > got[3][1]
+
+
+def test_dsir_weights_null_text_and_validation(spark):
+    import pytest as _pytest
+
+    raw_df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+    )
+    tgt_df = spark.createDataFrame([(9, "alpha")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in curation.dsir_weights(
+            raw_df, tgt_df, buckets=8, hash_family="md5"
+        ).collect()
+    }
+    assert got[2] == (0, 0.0)
+    assert got[1][0] == 2
+    with _pytest.raises(ValueError, match="buckets"):
+        curation.dsir_weights(raw_df, tgt_df, buckets=0)
+    with _pytest.raises(ValueError, match="hash_family"):
+        curation.dsir_weights(raw_df, tgt_df, hash_family="sha1")
