@@ -57,6 +57,33 @@ def hash_bucket(col: Column, seed: int | str = 0) -> Column:
     )
 
 
+def kfold_assign(
+    df: DataFrame,
+    *,
+    id_col: str,
+    folds: int = 5,
+    seed: int | str = 0,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: ``fold =
+    md5_bucket(id:seed) mod folds`` — every row lands in exactly one
+    of ``folds`` disjoint, exhaustive folds, stable across runs,
+    partitionings, engines and appends (the same digest family as
+    :func:`hash_split` / :func:`deterministic_sample`, so the whole
+    split surface shares one reproducibility contract).
+
+    Fold i's validation set is ``fold == i`` and its training set is
+    everything else — no materialization per fold, just a filter.
+    Hashing a GROUP key (author, source domain) instead of the row id
+    gives leakage-safe folds, same as the group-split flavor of
+    hash_split.  Same NULL-id contract as :func:`hash_bucket`.
+    """
+    if folds < 2:
+        raise ValueError(f"folds must be >= 2, got {folds}")
+    h = F.conv(hash_bucket(F.col(id_col), seed), 16, 10).cast("bigint")
+    return df.withColumn(out_col, F.pmod(h, F.lit(folds)).cast("int"))
+
+
 def hash_split(
     df: DataFrame,
     *,

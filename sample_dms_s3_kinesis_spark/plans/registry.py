@@ -2829,6 +2829,42 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(raw, target, buckets=256, hash_family="md5")
 
 
+@_register(
+    "q_kfold_report",
+    """
+    WITH folds AS (
+      SELECT CAST(CAST(concat('0x', substr(md5(doc_id || ':0'), 1, 8)) AS BIGINT)
+               % 5 AS INT) AS fold,
+             lang, n_chars
+      FROM documents
+    )
+    SELECT fold,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM folds GROUP BY fold
+    """,
+    "deterministic 5-fold cross-validation assignment (md5 digest "
+    "family shared with hash_split — one reproducibility contract "
+    "across the split surface): per-fold doc/lang/char totals prove "
+    "folds are disjoint, exhaustive and replay-stable",
+    "sampling: k-fold cross-validation splits",
+)
+def q_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.sampling import kfold_assign
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        kfold_assign(docs, id_col="doc_id", folds=5, seed=0)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero
@@ -2916,7 +2952,8 @@ DRIVER_WINDOW: list[str] = [
 #       earlier r7 session, is already in THIS window);
 #     plus the r7 follow-up sessions' registrations:
 #       exact-oracle: q_bloom_semijoin, q_lm_backoff_score,
-#       q_auc_metrics, q_mmr_rerank, q_dsir_weights;
+#       q_auc_metrics, q_mmr_rerank, q_dsir_weights,
+#       q_kfold_report;
 #       rows-only: q_video_frame_features, q_video_summary,
 #       q_video_near_dup (synthetic media fixture), q_bloom_fpp;
 # (b) r4-stale rows next: the r4 window families

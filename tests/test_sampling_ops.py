@@ -549,3 +549,39 @@ def test_pack_sequences_drops_nonpositive_weights(spark):
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {1, 4}        # matches pack_sequence_spans' manifest
     assert all(r["bin_id"] >= 0 for r in out.collect())
+
+
+# ------------------------------------------------------------ k-fold
+
+def test_kfold_assign_matches_python_and_is_stable(spark):
+    import hashlib
+
+    from sample_dms_s3_kinesis_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+
+    def ref_fold(i, folds=5, seed=0):
+        h = hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8]
+        return int(h, 16) % folds
+
+    got = {r["id"]: r["fold"] for r in kfold_assign(df, id_col="id").collect()}
+    assert got == {i: ref_fold(i) for i in range(200)}
+    # disjoint + exhaustive by construction; every fold populated at n=200
+    assert set(got.values()) == {0, 1, 2, 3, 4}
+    # stable under repartition (hash depends only on the id)
+    got2 = {
+        r["id"]: r["fold"]
+        for r in kfold_assign(df.repartition(7), id_col="id").collect()
+    }
+    assert got2 == got
+    # seed changes the assignment
+    got3 = {
+        r["id"]: r["fold"]
+        for r in kfold_assign(df, id_col="id", seed=1).collect()
+    }
+    assert got3 != got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="folds"):
+        kfold_assign(df, id_col="id", folds=1)
