@@ -168,3 +168,198 @@ def nb_classify(
         .filter(F.col("_r") == 1)
         .select(id_col, F.col("label").alias("predicted"), "score")
     )
+
+
+# ------------------------- hashed-feature logistic regression (binary)
+
+_LR_BIAS_BUCKET = -1  # the model frame's bias row
+
+
+def _lr_features(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    hash_family: str,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Hashed term-frequency features: one row per (doc, bucket) with
+    ``_tf = count/n_tokens`` — the hashing trick keeps the feature
+    space O(buckets) regardless of vocabulary."""
+    from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        bucketed_token_hash,
+    )
+
+    cols = [F.col(id_col).alias("_id")]
+    if label_col is not None:
+        cols.append(F.col(label_col).cast("double").alias("_y"))
+    tok = (
+        spread(df)
+        .select(*cols, F.explode(_tokens(F.col(text_col))).alias("_tok"))
+        .withColumn(
+            "_b",
+            bucketed_token_hash(
+                F.col("_tok"), buckets=buckets, hash_family=hash_family
+            ),
+        )
+        .drop("_tok")
+    )
+    keys = ["_id", "_y"] if label_col is not None else ["_id"]
+    counts = tok.groupBy(*keys, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    ntok = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    return counts.join(ntok, "_id").select(
+        *keys, "_b", (F.col("_c") / F.col("_n")).alias("_tf")
+    )
+
+
+def lr_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    epochs: int = 10,
+    learning_rate: float = 1.0,
+    l2: float = 0.0,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Binary logistic regression over hashed term-frequency features,
+    trained by full-batch distributed gradient descent — the
+    fastText/CCNet-style quality-classifier shape (a labeled seed set
+    trains a model that scores the whole corpus), linear instead of
+    generative where :func:`nb_train` is the generative flavor.
+
+    ``label_col`` must be 0/1.  Per epoch: one broadcast join of the
+    O(buckets) weight frame, one (doc)-keyed margin aggregate, one
+    (bucket)-keyed gradient aggregate, one O(buckets) driver collect —
+    the classic iterative-refinement shape (kmeans_refine, pagerank).
+    The feature frame is built once and cached across epochs; the
+    driver only ever holds O(buckets) scalars.  Float gradients sum in
+    partition order, so training is deterministic up to last-ulp
+    aggregation order (pytest pins it against a pure-Python reference;
+    downstream queries are rows-only like the other iterative ops).
+
+    Returns the model as a ``(bucket, weight)`` frame with the bias at
+    ``bucket = -1`` (:data:`_LR_BIAS_BUCKET`) — one broadcastable
+    artifact, O(buckets) rows.
+    """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if learning_rate <= 0:
+        raise ValueError(f"learning_rate must be > 0, got {learning_rate}")
+    spark = df.sparkSession
+    feats = _lr_features(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        buckets=buckets,
+        hash_family=hash_family,
+        label_col=label_col,
+    ).persist()
+    try:
+        n_docs = feats.select("_id").distinct().count()
+        if n_docs == 0:
+            raise ValueError("lr_train needs a non-empty corpus")
+        weights: dict[int, float] = {}
+        bias = 0.0
+        for _ in range(epochs):
+            wdf = spark.createDataFrame(
+                list(weights.items()) or [(0, 0.0)], "_b bigint, _w double"
+            )
+            resid = (
+                feats.join(F.broadcast(wdf), "_b", "left")
+                .groupBy("_id", "_y")
+                .agg(
+                    F.sum(
+                        F.col("_tf") * F.coalesce(F.col("_w"), F.lit(0.0))
+                    ).alias("_m")
+                )
+                .select(
+                    "_id",
+                    (
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-(F.col("_m") + F.lit(bias))))
+                        - F.col("_y")
+                    ).alias("_r"),
+                )
+            )
+            grad = (
+                feats.join(resid, "_id")
+                .groupBy("_b")
+                .agg(F.sum(F.col("_tf") * F.col("_r")).alias("_g"))
+                .union(
+                    resid.agg(
+                        F.lit(_LR_BIAS_BUCKET).cast("bigint").alias("_b"),
+                        F.sum("_r").alias("_g"),
+                    )
+                )
+            )
+            grads = {r["_b"]: r["_g"] for r in grad.collect()}
+            bias -= learning_rate * grads.pop(_LR_BIAS_BUCKET) / n_docs
+            for b in set(weights) | set(grads):
+                g = grads.get(b, 0.0) / n_docs + l2 * weights.get(b, 0.0)
+                w = weights.get(b, 0.0) - learning_rate * g
+                weights[b] = w
+    finally:
+        feats.unpersist()
+    rows = [(int(b), float(w)) for b, w in sorted(weights.items())]
+    rows.append((_LR_BIAS_BUCKET, float(bias)))
+    return spark.createDataFrame(rows, "bucket bigint, weight double")
+
+
+def lr_score(
+    df: DataFrame,
+    model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    hash_family: str = "xxhash64",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score documents under an :func:`lr_train` model: one explode
+    pass, a broadcast join of the O(buckets) model, one per-doc
+    aggregate.  ``buckets``/``hash_family`` must match training (the
+    hashed feature space IS the model's coordinate system).
+
+    Returns ``(id_col, prob, predicted)`` with ``prob`` the positive-
+    class probability (rounded to 6) and ``predicted`` = 1 when
+    ``prob >= threshold``.
+    """
+    bias_rows = model.filter(F.col("bucket") == _LR_BIAS_BUCKET).collect()
+    if len(bias_rows) != 1:
+        raise ValueError(
+            "model frame must contain exactly one bias row "
+            f"(bucket = {_LR_BIAS_BUCKET})"
+        )
+    bias = float(bias_rows[0]["weight"])
+    wdf = model.filter(F.col("bucket") != _LR_BIAS_BUCKET).select(
+        F.col("bucket").alias("_b"), F.col("weight").alias("_w")
+    )
+    feats = _lr_features(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        buckets=buckets,
+        hash_family=hash_family,
+    )
+    prob = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("_m") + F.lit(bias)))
+    )
+    return (
+        feats.join(F.broadcast(wdf), "_b", "left")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("_tf") * F.coalesce(F.col("_w"), F.lit(0.0))).alias(
+                "_m"
+            )
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(prob, 6).alias("prob"),
+            (prob >= F.lit(threshold)).cast("int").alias("predicted"),
+        )
+    )

@@ -440,20 +440,14 @@ def dsir_weights(
     (NULL text → 0 tokens, weight 0), log_weight rounded to 6.
     """
     from sample_dms_s3_kinesis_spark.operators.text import (
-        _check_hash_family,
+        bucketed_token_hash,
         tokens,
     )
 
-    _check_hash_family(hash_family)
-    if buckets < 1:
-        raise ValueError("buckets must be >= 1")
-
     def bucket_of(tok: Column) -> Column:
-        if hash_family == "md5":
-            h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
-        else:
-            h = F.xxhash64(tok)
-        return F.pmod(h, F.lit(buckets))
+        return bucketed_token_hash(
+            tok, buckets=buckets, hash_family=hash_family
+        )
 
     def bucket_counts(df: DataFrame, name: str) -> DataFrame:
         return (

@@ -300,6 +300,25 @@ def _check_hash_family(hash_family: str) -> None:
         )
 
 
+def bucketed_token_hash(
+    tok: Column, *, buckets: int, hash_family: str = "xxhash64"
+) -> Column:
+    """Token → [0, buckets) feature slot — the shared hashing-trick
+    expression behind the hashed bag-of-words operators (DSIR weights,
+    the logistic-regression classifier).  ``hash_family="md5"`` (first
+    8 md5 hex chars → int) is DuckDB-replicable:
+    ``CAST(concat('0x', substr(md5(tok),1,8)) AS BIGINT) % buckets``;
+    the default xxhash64 stays the production flavor."""
+    _check_hash_family(hash_family)
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if hash_family == "md5":
+        h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64(tok)
+    return F.pmod(h, F.lit(buckets))
+
+
 def rolling_hashes(
     col: Column, window: int = 8, *, hash_family: str = "xxhash64"
 ) -> Column:

@@ -2865,6 +2865,45 @@ def q_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_lr_quality",
+    None,
+    "hashed-feature binary logistic regression (fastText/CCNet-style "
+    "quality-classifier shape): full-batch distributed GD on the "
+    "English-vs-rest label over 64 md5 buckets, then one scoring pass; "
+    "per-lang prediction report (rows-only: iterative float training; "
+    "training + scoring pinned against a pure-Python replica in "
+    "pytest)",
+    "classify: linear quality classifier, train + corpus scoring",
+)
+def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import classify
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    model = classify.lr_train(
+        docs,
+        buckets=64,
+        epochs=5,
+        learning_rate=2.0,
+        hash_family="md5",
+    )
+    scored = classify.lr_score(docs, model, buckets=64, hash_family="md5")
+    return (
+        scored.join(docs.select("doc_id", "lang", "label"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("predicted").alias("n_pred_en"),
+            F.sum(
+                (F.col("predicted") == F.col("label")).cast("long")
+            ).alias("n_correct"),
+            F.round(F.avg("prob"), 4).alias("mean_prob"),
+        )
+    )
+
+
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
 # budget.  Rounds 2-5 drove their 50-query windows all-green (zero
@@ -2955,7 +2994,8 @@ DRIVER_WINDOW: list[str] = [
 #       q_auc_metrics, q_mmr_rerank, q_dsir_weights,
 #       q_kfold_report;
 #       rows-only: q_video_frame_features, q_video_summary,
-#       q_video_near_dup (synthetic media fixture), q_bloom_fpp;
+#       q_video_near_dup (synthetic media fixture), q_bloom_fpp,
+#       q_lr_quality;
 # (b) r4-stale rows next: the r4 window families
 #     (envelope/partition-key/union/semi-anti-join/latest-wins/SCD2/
 #     conditional-agg/running-sum/ts-filter/json-extract) plus the r5

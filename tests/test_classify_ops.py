@@ -140,3 +140,121 @@ def test_nb_handles_null_text(spark):
     # the NULL doc's scores are finite and no higher than the real
     # doc's best (no positive-score blowup)
     assert all(s < 0 for s in by_doc[11].values()), by_doc[11]
+
+
+# ------------------------- hashed-feature logistic regression
+
+LR_DOCS = [
+    (0, "good clean prose with varied words", 1),
+    (1, "prose clean varied thoughtful words", 1),
+    (2, "varied clean good thoughtful prose", 1),
+    (3, "spam spam buy now buy now", 0),
+    (4, "buy now spam click click now", 0),
+    (5, "click buy spam spam click", 0),
+]
+
+
+def _python_lr(docs, *, buckets, epochs, lr, l2=0.0):
+    """Pure-Python replica of lr_train/lr_score (md5 hash family)."""
+    import hashlib
+    import re as _re
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % buckets
+
+    feats = {}
+    for doc_id, text, y in docs:
+        toks = _re.split(r"\s+", (text or "").lower().strip())
+        tf = collections.Counter(bucket(w) for w in toks)
+        feats[doc_id] = ({b: c / len(toks) for b, c in tf.items()}, float(y))
+    n = len(feats)
+    w, bias = {}, 0.0
+    for _ in range(epochs):
+        resid = {}
+        for d, (tf, y) in feats.items():
+            m = bias + sum(v * w.get(b, 0.0) for b, v in tf.items())
+            resid[d] = 1.0 / (1.0 + math.exp(-m)) - y
+        grads = collections.defaultdict(float)
+        for d, (tf, _) in feats.items():
+            for b, v in tf.items():
+                grads[b] += v * resid[d]
+        bias -= lr * sum(resid.values()) / n
+        for b in set(w) | set(grads):
+            w[b] = w.get(b, 0.0) - lr * (grads.get(b, 0.0) / n + l2 * w.get(b, 0.0))
+    probs = {}
+    for d, (tf, _) in feats.items():
+        m = bias + sum(v * w.get(b, 0.0) for b, v in tf.items())
+        probs[d] = 1.0 / (1.0 + math.exp(-m))
+    return w, bias, probs
+
+
+def test_lr_train_score_match_python_reference(spark):
+    df = spark.createDataFrame(LR_DOCS, "doc_id long, text string, label int")
+    model = classify.lr_train(
+        df, buckets=32, epochs=20, learning_rate=2.0, hash_family="md5"
+    )
+    ref_w, ref_bias, ref_probs = _python_lr(
+        LR_DOCS, buckets=32, epochs=20, lr=2.0
+    )
+    got = {r["bucket"]: r["weight"] for r in model.collect()}
+    assert abs(got.pop(-1) - ref_bias) <= 1e-9
+    assert set(got) == set(ref_w)
+    for b in ref_w:
+        assert abs(got[b] - ref_w[b]) <= 1e-9
+    scored = {
+        r["doc_id"]: (r["prob"], r["predicted"])
+        for r in classify.lr_score(
+            df, model, buckets=32, hash_family="md5"
+        ).collect()
+    }
+    for d, p in ref_probs.items():
+        assert scored[d][0] == round(p, 6) or abs(scored[d][0] - p) <= 2e-6
+    # separable data: the classifier separates it
+    for doc_id, _, y in LR_DOCS:
+        assert scored[doc_id][1] == y
+
+
+def test_lr_l2_shrinks_weights_and_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(LR_DOCS, "doc_id long, text string, label int")
+    plain = classify.lr_train(
+        df, buckets=32, epochs=10, learning_rate=1.0, hash_family="md5"
+    )
+    shrunk = classify.lr_train(
+        df, buckets=32, epochs=10, learning_rate=1.0, l2=0.5,
+        hash_family="md5",
+    )
+    norm = lambda m: sum(
+        r["weight"] ** 2 for r in m.collect() if r["bucket"] >= 0
+    )
+    assert norm(shrunk) < norm(plain)
+    with _pytest.raises(ValueError, match="epochs"):
+        classify.lr_train(df, epochs=0)
+    with _pytest.raises(ValueError, match="learning_rate"):
+        classify.lr_train(df, learning_rate=0.0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        classify.lr_train(
+            spark.createDataFrame([], "doc_id long, text string, label int")
+        )
+    with _pytest.raises(ValueError, match="bias"):
+        classify.lr_score(df, plain.filter(F.col("bucket") >= 0))
+
+
+def test_lr_unseen_tokens_score_at_bias(spark):
+    df = spark.createDataFrame(LR_DOCS, "doc_id long, text string, label int")
+    model = classify.lr_train(
+        df, buckets=32, epochs=5, learning_rate=1.0, hash_family="md5"
+    )
+    bias = [
+        r["weight"] for r in model.collect() if r["bucket"] == -1
+    ][0]
+    out = spark.createDataFrame(
+        [(9, "zz qq vv")], "doc_id long, text string"
+    )
+    # tokens all unseen -> margin = bias exactly... unless a hash
+    # collision lands one in a trained bucket; with 32 buckets assume
+    # the margin is within the trained-weight envelope
+    row = classify.lr_score(out, model, buckets=32, hash_family="md5").collect()[0]
+    assert 0.0 < row["prob"] < 1.0
+    assert row["doc_id"] == 9
