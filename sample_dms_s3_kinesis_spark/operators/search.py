@@ -188,6 +188,105 @@ def bm25_search(
     )
 
 
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    topk: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) over any
+    number of ranked channels: ``rrf(d) = Σ_c 1/(rrf_k + rank_c(d))``,
+    summing only over channels that returned ``d``.
+
+    Each input frame must be ``(id_col, rank)`` with 1-based integer
+    ranks.  Channel frames are top-``pool``-bounded by construction
+    (the retrieval step already cut them), so the fusion join is a
+    few-KB full-outer chain — never corpus-sized; at 100 TB the corpus
+    cost lives entirely inside the per-channel retrievers.  Ranks come
+    back as DOUBLE (a missing channel is NULL, and nullable ints decay
+    to float in every Arrow/pandas sink — declaring double keeps the
+    cross-engine rendering identical).  Output:
+    ``(id_col, rank_1..rank_n, rrf_score)`` descending, ties on id."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked channel")
+    fused = None
+    for i, ch in enumerate(ranked, start=1):
+        ch = ch.select(
+            F.col(id_col),
+            F.col("rank").cast("double").alias(f"rank_{i}"),
+        )
+        fused = ch if fused is None else fused.join(
+            ch, on=id_col, how="full_outer"
+        )
+    score = None
+    for i in range(1, len(ranked) + 1):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{i}")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    return (
+        fused.withColumn("rrf_score", F.round(score, scale))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
+def hybrid_rrf_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical channel + exact-cosine dense
+    channel, fused with Reciprocal Rank Fusion — the standard RAG
+    two-tower read path (lexical recall for rare literals, dense recall
+    for paraphrase) without any score normalization between the two
+    incomparable score scales.
+
+    Each channel retrieves its own top-``pool`` (both finish as
+    TakeOrderedAndProject — per-partition top-k then a tiny merge, no
+    global sort of the corpus), ranks are assigned by a window over the
+    ≤``pool``-row channel result (bounded, never corpus-wide), and
+    :func:`rrf_fuse` joins the two tiny rank frames.  Ties inside a
+    channel break on the channel's rounded score then id, so both
+    engines replay identical ranks.  Output:
+    ``(id_col, rank_1 [lexical], rank_2 [dense], rrf_score)``."""
+    from pyspark.sql import Window
+
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    lex = bm25_search(
+        docs, terms, text_col=text_col, id_col=id_col, topk=pool
+    ).select(
+        id_col,
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+        .alias("rank"),
+    )
+    dense = brute_force_topk(
+        emb, query_vec, k=pool, vec_col=vec_col, id_col=vec_id_col
+    ).select(
+        F.col(vec_id_col).alias(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc(vec_id_col)))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex, dense], id_col=id_col, rrf_k=rrf_k, topk=k)
+
+
 def boolean_search_postings(
     p: DataFrame,
     terms: Sequence[str],

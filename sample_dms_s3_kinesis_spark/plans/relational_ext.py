@@ -4658,6 +4658,84 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_hybrid_rrf_search",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tks
+      FROM documents),
+    p AS (SELECT doc_id, tks[i + 1] AS token
+          FROM base, UNNEST(range(0, len(tks))) AS t(i)),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM p GROUP BY doc_id),
+    s AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avglen
+          FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM p
+           WHERE token IN ('table', 'spark') GROUP BY doc_id, token),
+    dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    sc AS (SELECT tf.doc_id,
+                  LN(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(tf.tf AS DOUBLE)
+                       + 1.2 * ((1.0 - 0.75)
+                                + 0.75 * CAST(dl.dl AS DOUBLE) / s.avglen))
+                    AS sc
+           FROM tf JOIN dl USING (doc_id) CROSS JOIN s
+                   JOIN dfq USING (token)),
+    lexpool AS (SELECT doc_id, ROUND(SUM(sc), 4) AS score FROM sc
+                GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+    lex AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS DOUBLE) AS rank_1
+            FROM lexpool),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    densepool AS (
+      SELECT vec_id,
+             ROUND(list_cosine_similarity(v, (SELECT qv FROM q)), 6)
+               AS cosine
+      FROM e
+      WHERE list_cosine_similarity(v, (SELECT qv FROM q)) IS NOT NULL
+      ORDER BY cosine DESC, vec_id ASC LIMIT 50),
+    dense AS (SELECT vec_id AS doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC,
+                                             vec_id ASC)
+                          AS DOUBLE) AS rank_2
+              FROM densepool),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.rank_1, d.rank_2
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+    SELECT doc_id, rank_1, rank_2,
+           ROUND(COALESCE(1.0 / (60.0 + rank_1), 0.0)
+                 + COALESCE(1.0 / (60.0 + rank_2), 0.0), 6) AS rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
+    "hybrid RAG retrieval: BM25 lexical top-50 + exact-cosine dense "
+    "top-50 (query = embedding of vec_id 0, doc_id-aligned corpus) "
+    "fused by Reciprocal Rank Fusion 1/(60+rank) — each channel ends "
+    "as TakeOrderedAndProject, ranks are windows over the ≤50-row "
+    "channel results, and the fusion full-outer join is pool-bounded; "
+    "ranks surface as DOUBLE (missing channel = NULL) so both "
+    "engines' pandas sinks render identically",
+    "search: hybrid lexical+dense retrieval (RRF fusion)",
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import search
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return search.hybrid_rrf_search(
+        t(spark, sf_dir, "documents"),
+        emb,
+        ["table", "spark"],
+        qv,
+        k=10,
+        pool=50,
+    )
+
+
 _POSTINGS_SAVE_CACHE: dict[str, str] = {}
 
 

@@ -223,3 +223,79 @@ def test_bm25_single_stats_action(spark, monkeypatch):
     out = search.bm25_search(_df(spark), ["dog", "fox"])
     assert len(calls) == 1  # exactly one internal stats action
     assert out.count() > 0  # and the plan still evaluates
+
+
+def _rrf_ref(lex_ranked, dense_ranked, rrf_k=60):
+    """Pure-Python RRF over two (id -> rank) channel dicts."""
+    ids = set(lex_ranked) | set(dense_ranked)
+    out = {}
+    for d in ids:
+        s = 0.0
+        if d in lex_ranked:
+            s += 1.0 / (rrf_k + lex_ranked[d])
+        if d in dense_ranked:
+            s += 1.0 / (rrf_k + dense_ranked[d])
+        out[d] = round(s, 6)
+    return out
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(3, 1), (4, 2), (1, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["rank_1"], r["rank_2"], r["rrf_score"])
+        for r in search.rrf_fuse([lex, dense], topk=10).collect()
+    }
+    ref = _rrf_ref({1: 1, 2: 2, 3: 3}, {3: 1, 4: 2, 1: 3})
+    assert {d: s for d, (_, _, s) in got.items()} == ref
+    # channel-missing ids carry a NULL rank for that channel
+    assert got[2] == (2.0, None, round(1.0 / 62, 6))
+    assert got[4] == (None, 2.0, round(1.0 / 62, 6))
+    # doc in both channels outranks single-channel docs here
+    top = search.rrf_fuse([lex, dense], topk=1).collect()[0]
+    assert top["doc_id"] in (1, 3)  # 1/(60+1)+1/(60+3) == 1/63+1/61
+
+
+def test_rrf_fuse_rejects_empty_channel_list(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        search.rrf_fuse([])
+
+
+def test_hybrid_rrf_search_end_to_end(spark):
+    """Dense channel built so doc 5 (lexically unrelated) is the
+    nearest neighbor: hybrid search must surface it via the dense
+    rank while BM25 alone never would."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [0.5, 0.5]),
+            (5, [0.99, 0.01]),
+            (6, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = search.hybrid_rrf_search(
+        _df(spark), emb, ["dog", "fox"], [1.0, 0.0], k=10, pool=4
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 5 has no query term -> no lexical rank, but dense rank 2
+    assert by_id[5]["rank_1"] is None and by_id[5]["rank_2"] == 2.0
+    # dense top-1 is the query vector itself (doc 1), which also
+    # matches lexically -> it must lead the fused ranking
+    assert out[0]["doc_id"] == 1
+    # every fused score is the RRF of its surfaced ranks
+    for r in out:
+        want = 0.0
+        if r["rank_1"] is not None:
+            want += 1.0 / (60 + r["rank_1"])
+        if r["rank_2"] is not None:
+            want += 1.0 / (60 + r["rank_2"])
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
