@@ -5777,3 +5777,70 @@ FROM reach GROUP BY dst
 def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_REACH_SQL)
+
+
+@_register(
+    "q_record_linkage",
+    """
+    WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                      c_acctbal
+               FROM customer),
+    p AS (
+      SELECT a.c_custkey AS c_custkey_a, b.c_custkey AS c_custkey_b,
+             ROUND(1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+                   / GREATEST(LENGTH(a.c_name), LENGTH(b.c_name)), 6)
+               AS name_sim,
+             1.0 / (1.0 + CAST(ABS(a.c_acctbal - b.c_acctbal) AS DOUBLE)
+                          / 100.0) AS bal_sim
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey),
+    s AS (
+      SELECT c_custkey_a, c_custkey_b,
+             ROUND(0.8 * name_sim + 0.2 * bal_sim, 6) AS score
+      FROM p WHERE name_sim >= 0.9)
+    SELECT c_custkey_a, c_custkey_b, score,
+           (ROW_NUMBER() OVER (PARTITION BY c_custkey_a
+                               ORDER BY score DESC, c_custkey_b) = 1
+            AND ROW_NUMBER() OVER (PARTITION BY c_custkey_b
+                                   ORDER BY score DESC, c_custkey_a) = 1)
+             AS is_mutual
+    FROM s
+    """,
+    "record linkage / entity resolution over customer: candidates "
+    "blocked on (nation, mktsegment) — an equi join, never a cross "
+    "join — scored by 0.8·levenshtein name similarity + 0.2·account-"
+    "balance proximity, gated at name_sim ≥ 0.9 via the NULL-score "
+    "drop contract, then mutual-best-match flagged with two "
+    "endpoint-partitioned windows over the thresholded pair frame "
+    "(bounded by match volume, not corpus size)",
+    "linkage: blocked multi-field entity resolution + mutual best match",
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import linkage
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    name_sim = F.round(
+        F.lit(1.0)
+        - F.levenshtein(F.col("c_name_a"), F.col("c_name_b"))
+        / F.greatest(F.length("c_name_a"), F.length("c_name_b")),
+        6,
+    )
+    bal_sim = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.abs(F.col("c_acctbal_a") - F.col("c_acctbal_b")).cast("double")
+        / F.lit(100.0)
+    )
+    score = F.when(
+        name_sim >= 0.9, F.round(0.8 * name_sim + 0.2 * bal_sim, 6)
+    )
+    pairs = linkage.self_linkage(
+        cust,
+        block_on=["c_nationkey", "c_mktsegment"],
+        id_col="c_custkey",
+        score=score,
+    )
+    return linkage.mutual_best_flag(pairs, "c_custkey_a", "c_custkey_b")
