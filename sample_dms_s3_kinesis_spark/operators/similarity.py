@@ -616,6 +616,59 @@ def label_centroids(
     return out.select(label_col, F.array(*comps).alias("centroid"))
 
 
+def embedding_diversity(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Mean pairwise cosine similarity of the corpus (or of each
+    ``label_col`` group) WITHOUT the O(n²) pair join: for unit
+    vectors, ``Σ_{i≠j} cos(v_i, v_j) = ||Σ v̂||² − n``, so the mean is
+    ``(||S||² − n) / (n·(n−1))`` — the mixture-collapse / diversity
+    KPI a curation pipeline tracks per source, computed from ONE
+    linear pass.
+
+    Plan shape: normalize (per-row HOF fold), posexplode to
+    (group, dim, component), one map-side-combined per-dim SUM, then a
+    dim-sized per-group reduce — the corpus is touched once and the
+    shuffle carries dim doubles per group, never a pair frame.  NULL
+    and zero-norm vectors are excluded from both n and S (they have no
+    defined cosine).  Groups with n < 2 report NULL.  Output:
+    ``([label,] n_vectors, mean_pairwise_cosine)``."""
+    keys = [label_col] if label_col else []
+    v = F.col(vec_col).cast("array<double>")
+    unit = (
+        spread(df)
+        .filter(v.isNotNull() & (l2_norm(v) > 0))
+        .select(*keys, l2_normalize(v).alias("_u"))
+    )
+    comp = unit.select(*keys, F.posexplode("_u").alias("_pos", "_c"))
+    per_dim = comp.groupBy(*keys, "_pos").agg(F.sum("_c").alias("_s"))
+    ssq = per_dim.groupBy(*keys).agg(
+        F.sum(F.col("_s") * F.col("_s")).alias("_ssq")
+    )
+    n = unit.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_vectors"))
+    joined = (
+        n.join(ssq, on=keys)
+        if keys
+        # ungrouped: both sides are one row — broadcast cross join
+        else n.crossJoin(F.broadcast(ssq))
+    )
+    mean = F.when(
+        F.col("n_vectors") >= 2,
+        F.round(
+            (F.col("_ssq") - F.col("n_vectors"))
+            / (F.col("n_vectors") * (F.col("n_vectors") - F.lit(1.0))),
+            scale,
+        ),
+    )
+    return joined.select(
+        *keys, "n_vectors", mean.alias("mean_pairwise_cosine")
+    )
+
+
 def quantization_params(
     df: DataFrame, *, vec_col: str = "embedding", dim: int | None = None
 ) -> DataFrame:

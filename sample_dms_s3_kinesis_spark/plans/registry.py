@@ -2992,7 +2992,8 @@ DRIVER_WINDOW: list[str] = [
 #     plus the r7 follow-up sessions' registrations:
 #       exact-oracle: q_bloom_semijoin, q_lm_backoff_score,
 #       q_auc_metrics, q_mmr_rerank, q_dsir_weights,
-#       q_kfold_report, q_hybrid_rrf_search, q_record_linkage;
+#       q_kfold_report, q_hybrid_rrf_search, q_record_linkage,
+#       q_corpus_diversity;
 #       rows-only: q_video_frame_features, q_video_summary,
 #       q_video_near_dup (synthetic media fixture), q_bloom_fpp,
 #       q_lr_quality;

@@ -5844,3 +5844,45 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         score=score,
     )
     return linkage.mutual_best_flag(pairs, "c_custkey_a", "c_custkey_b")
+
+
+@_register(
+    "q_corpus_diversity",
+    """
+    WITH e AS (
+      SELECT label,
+             list_transform(embedding::DOUBLE[], x -> CAST(x AS DOUBLE))
+               AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    w AS (
+      SELECT label, v,
+             sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+               AS nrm
+      FROM e),
+    f AS (SELECT label, list_transform(v, x -> x / nrm) AS uv
+          FROM w WHERE nrm > 0),
+    d AS (SELECT label, i AS pos, uv[i + 1] AS comp
+          FROM f, UNNEST(range(0, len(uv))) AS t(i)),
+    s AS (SELECT label, pos, SUM(comp) AS sdim
+          FROM d GROUP BY label, pos),
+    agg AS (SELECT label, SUM(sdim * sdim) AS ssq
+            FROM s GROUP BY label),
+    cnt AS (SELECT label, COUNT(*) AS n_vectors FROM f GROUP BY label)
+    SELECT c.label, c.n_vectors,
+           CASE WHEN c.n_vectors >= 2 THEN
+             ROUND((a.ssq - c.n_vectors)
+                   / (c.n_vectors * (c.n_vectors - 1.0)), 6)
+           END AS mean_pairwise_cosine
+    FROM cnt c JOIN agg a USING (label)
+    """,
+    "per-label corpus diversity: mean pairwise cosine from the "
+    "centroid identity Σ_{i≠j}cos = ||Σ v̂||² − n — an O(n²) KPI in "
+    "ONE linear pass (normalize, posexplode, per-dim map-side-combined "
+    "sum, dim-sized per-group reduce); the oracle replays the same "
+    "algebra and pytest proves it equals the brute-force pair mean",
+    "similarity: one-pass corpus diversity (mixture-collapse KPI)",
+)
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.embedding_diversity(
+        t(spark, sf_dir, "embeddings"), label_col="label"
+    )

@@ -840,3 +840,49 @@ def test_mmr_rerank_pool_short_and_validation(spark):
         similarity.mmr_rerank(df, [1.0, 0.0], lambda_=1.5)
     with pytest.raises(ValueError, match="k and pool"):
         similarity.mmr_rerank(df, [1.0, 0.0], k=0)
+
+
+def test_embedding_diversity_matches_brute_force(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 6)
+    rows = [
+        (i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(20)
+    ]
+    # a zero vector and a NULL vector must be excluded from n and S
+    rows.append((20, [0.0] * 6, 0))
+    rows.append((21, None, 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["label"]: (r["n_vectors"], r["mean_pairwise_cosine"])
+        for r in similarity.embedding_diversity(
+            df, label_col="label"
+        ).collect()
+    }
+    for lab in (0, 1, 2):
+        sub = vecs[[i for i in range(20) if i % 3 == lab]]
+        unit = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+        sims = unit @ unit.T
+        n = len(sub)
+        ref = (sims.sum() - n) / (n * (n - 1))
+        assert got[lab][0] == n
+        assert abs(got[lab][1] - ref) < 1e-6, lab
+    # ungrouped variant: one row over all valid vectors
+    allrow = similarity.embedding_diversity(df).collect()
+    assert len(allrow) == 1 and allrow[0]["n_vectors"] == 20
+
+
+def test_embedding_diversity_small_group_is_null(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 1), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {
+        r["label"]: (r["n_vectors"], r["mean_pairwise_cosine"])
+        for r in similarity.embedding_diversity(
+            df, label_col="label"
+        ).collect()
+    }
+    assert got[0] == (1, None)          # n < 2 -> NULL KPI
+    assert got[1] == (2, 0.0)           # orthogonal pair
