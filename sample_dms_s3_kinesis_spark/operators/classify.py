@@ -31,6 +31,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -363,3 +365,106 @@ def lr_score(
             (prob >= F.lit(threshold)).cast("int").alias("predicted"),
         )
     )
+
+
+# ------------------------------------------------- weak supervision
+
+def weak_vote(
+    df: DataFrame,
+    labelers: dict[str, Column],
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Snorkel-style label-model baseline: apply k labeling functions
+    (Catalyst Columns yielding a string label or NULL = ABSTAIN) and
+    resolve each row by majority vote.
+
+    Ties break to the lexicographically smallest tied label and the
+    vote among k labelers is O(k²) per-row HOF arithmetic — k is
+    single digits while the corpus is not, so everything stays in
+    whole-stage codegen with zero shuffles (the vote is a projection).
+
+    Output per row: ``(*id_cols, <labeler cols>, n_votes,
+    majority_label, n_majority, unanimous, conflict)``; rows where
+    every labeler abstains carry NULL majority and n_votes = 0."""
+    if not labelers:
+        raise ValueError("weak_vote requires at least one labeler")
+    named = [(name, expr.alias(name)) for name, expr in labelers.items()]
+    base = df.select(*id_cols, *[e for _, e in named])
+    votes = F.filter(
+        F.array(*[F.col(name) for name, _ in named]),
+        lambda x: x.isNotNull(),
+    )
+
+    def _best(vs: Column) -> Column:
+        # min over (-count, label) structs == max count, tie -> smallest
+        return F.array_min(
+            F.transform(
+                F.array_distinct(vs),
+                lambda lab: F.struct(
+                    (-F.size(F.filter(vs, lambda x: x == lab))).alias(
+                        "nc"
+                    ),
+                    lab.alias("lab"),
+                ),
+            )
+        )
+
+    out = base.withColumn("_votes", votes).withColumn(
+        "_best", _best(F.col("_votes"))
+    )
+    n_votes = F.size("_votes")
+    return out.select(
+        *id_cols,
+        *[F.col(name) for name, _ in named],
+        n_votes.alias("n_votes"),
+        F.col("_best.lab").alias("majority_label"),
+        F.coalesce(-F.col("_best.nc"), F.lit(0)).alias("n_majority"),
+        ((n_votes > 0) & (-F.col("_best.nc") == n_votes)).alias(
+            "unanimous"
+        ),
+        (F.size(F.array_distinct("_votes")) > 1).alias("conflict"),
+    )
+
+
+def weak_vote_report(
+    voted: DataFrame, labeler_names: Sequence[str]
+) -> DataFrame:
+    """Per-labeler diagnostics over a :func:`weak_vote` frame: coverage
+    (fraction of rows with a non-NULL vote) and agreement (fraction of
+    its votes matching the majority) — the two numbers that tell you
+    which labeling function to fix first.  One map-side-combined
+    aggregate; output one row per labeler, ordered by name."""
+    if not labeler_names:
+        raise ValueError("weak_vote_report requires labeler names")
+    aggs = []
+    for name in labeler_names:
+        aggs.append(
+            F.round(
+                F.avg(F.col(name).isNotNull().cast("double")), 6
+            ).alias(f"_cov_{name}")
+        )
+        aggs.append(
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        (F.col(name) == F.col("majority_label")).cast(
+                            "long"
+                        )
+                    )
+                    / F.sum(F.col(name).isNotNull().cast("long")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias(f"_agr_{name}")
+        )
+    row = voted.agg(*aggs)
+    per = None
+    for name in labeler_names:
+        one = row.select(
+            F.lit(name).alias("labeler"),
+            F.col(f"_cov_{name}").alias("coverage"),
+            F.col(f"_agr_{name}").alias("agreement"),
+        )
+        per = one if per is None else per.unionByName(one)
+    return per.orderBy("labeler")
