@@ -38,7 +38,38 @@ from pyspark.sql import functions as F
 from sample_dms_s3_kinesis_spark.operators.partitioning import spread
 
 
-def _bucket(col: Column, d: Column, width: int) -> Column:
+def _bucket(
+    col: Column, d: Column, width: int, *, hash_family: str = "xxhash64"
+) -> Column:
+    """Seeded bucket hash.  ``hash_family="md5"`` derives the bucket
+    from the first 8 md5 hex chars of ``"<value>:<seed>"`` — the value
+    is a 32-bit non-negative integer, so ``pmod`` == ``%`` and DuckDB
+    computes the identical bucket via
+    ``CAST(('0x' || substr(md5(v || ':' || d), 1, 8)) AS BIGINT) % w``,
+    making the whole sketch exact-oracle-checkable.  NOTE the NULL
+    edge: md5(concat(NULL, ...)) is NULL (null-bucket rows), while
+    xxhash64 skips null arguments (seed-only bucket) — callers that
+    admit NULL keys should filter first."""
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        _check_hash_family,
+    )
+
+    _check_hash_family(hash_family)
+    if hash_family == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        col.cast("string"), F.lit(":"), d.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(width)).cast("int")
     return F.pmod(F.xxhash64(col, d), F.lit(width)).cast("int")
 
 
@@ -49,6 +80,7 @@ def cms_table(
     width: int = 1024,
     depth: int = 5,
     group_cols: Sequence[str] = (),
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Build a Count-Min sketch table over ``df[col]`` — one sketch
     per ``group_cols`` combination (e.g. per day) or one global
@@ -67,7 +99,9 @@ def cms_table(
         rows.select(
             *[F.col(g) for g in group_cols],
             "d",
-            _bucket(F.col("_v"), F.col("d"), width).alias("b"),
+            _bucket(
+                F.col("_v"), F.col("d"), width, hash_family=hash_family
+            ).alias("b"),
         )
         .groupBy(*group_cols, "d", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -94,6 +128,7 @@ def cms_estimate(
     *,
     width: int = 1024,
     depth: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Estimate each probe value's frequency from a (merged) sketch:
     min over the depth rows of its counters (a missing counter is 0).
@@ -121,7 +156,11 @@ def cms_estimate(
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
     )
     keyed = keyed.select(
-        col, "d", _bucket(F.col(col), F.col("d"), width).alias("b")
+        col,
+        "d",
+        _bucket(
+            F.col(col), F.col("d"), width, hash_family=hash_family
+        ).alias("b"),
     )
     hits = (
         cms.join(F.broadcast(keyed), on=["d", "b"])
@@ -162,9 +201,24 @@ def cms_estimate(
 # group.
 
 
-def _unit_hash(col: Column) -> Column:
-    """xxhash64 mapped into (0, 1): (h + 2^63 + 1) / (2^64 + 2) keeps
-    both endpoints open so theta = kth value is always usable."""
+def _unit_hash(col: Column, *, hash_family: str = "xxhash64") -> Column:
+    """Hash mapped into (0, 1) — both endpoints open so theta = kth
+    value is always usable.  xxhash64: (h + 2^63 + 1) / (2^64 + 2).
+    ``"md5"``: the first 12 md5 hex chars as a 48-bit integer x, then
+    (x + 1) / (2^48 + 1) — x is exact in a double (48 < 53 bits) and
+    the single division rounds identically under IEEE 754 in Spark and
+    DuckDB (``CAST(('0x' || substr(md5(v), 1, 12)) AS BIGINT)``), so
+    the md5 sketch is exact-oracle-checkable."""
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        _check_hash_family,
+    )
+
+    _check_hash_family(hash_family)
+    if hash_family == "md5":
+        x = F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        return (x + F.lit(1.0)) / F.lit(float(2**48 + 1))
     return (
         (F.xxhash64(col).cast("double") + F.lit(float(2**63) + 1.0))
         / F.lit(float(2**64) + 2.0)
@@ -177,6 +231,7 @@ def kmv_table(
     *,
     k: int = 256,
     group_cols: Sequence[str] = (),
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Bottom-k distinct sketch per ``group_cols`` combination.
 
@@ -186,7 +241,10 @@ def kmv_table(
     """
     distinct = (
         spread(df)
-        .select(*[F.col(g) for g in group_cols], _unit_hash(F.col(col)).alias("h"))
+        .select(
+            *[F.col(g) for g in group_cols],
+            _unit_hash(F.col(col), hash_family=hash_family).alias("h"),
+        )
         .distinct()
     )
     return _bottom_k(distinct, k=k, group_cols=group_cols)
@@ -429,12 +487,36 @@ def quantile_estimate(
 
 # ------------------------------------------------------------- bloom
 
+def _bloom_pos(
+    col: Column, h: int, n_bits: int, *, hash_family: str = "xxhash64"
+) -> Column:
+    """Bit position of seed ``h`` for a key.  ``"md5"``: first 8 md5
+    hex chars of ``"<key>:<seed>"`` as a 32-bit integer mod n_bits —
+    DuckDB-replicable (same pattern as the CMS bucket)."""
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        _check_hash_family,
+    )
+
+    _check_hash_family(hash_family)
+    if hash_family == "md5":
+        x = F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f":{h}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(x, F.lit(n_bits))
+    return F.pmod(F.xxhash64(col, F.lit(h)), F.lit(n_bits))
+
+
 def bloom_table(
     df: DataFrame,
     col: str,
     *,
     n_bits: int = 1 << 20,
     k: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Build a Bloom filter over ``df[col]`` as a relational bit table:
     (word_idx int, bits long) — bit ``p`` of the filter lives at bit
@@ -458,7 +540,9 @@ def bloom_table(
     pos = F.explode(
         F.array(
             *[
-                F.pmod(F.xxhash64(F.col(col), F.lit(h)), F.lit(n_bits))
+                _bloom_pos(
+                    F.col(col), h, n_bits, hash_family=hash_family
+                )
                 for h in range(k)
             ]
         )
@@ -496,6 +580,7 @@ def bloom_probe(
     n_bits: int = 1 << 20,
     k: int = 5,
     out_col: str = "bloom_maybe",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Add ``out_col``: true iff all k filter bits for ``df[col]`` are
     set — i.e. the key is POSSIBLY in the build set (never a false
@@ -503,11 +588,16 @@ def bloom_probe(
     table: no shuffle of ``df``, no row fan-out, everything JVM-side —
     the shape that lets a 100-TB fact scan drop non-matching rows
     before its first exchange.  NULL keys probe false."""
+    # Internal join columns carry a fixed random tag so a caller
+    # column can never collide (a caller column named `_bw0` would
+    # previously be overwritten by withColumn and then silently
+    # dropped by the prefix filter below).
+    tag = "j9q4"
     out = df
     checks = []
     for h in range(k):
-        pos = F.pmod(F.xxhash64(F.col(col), F.lit(h)), F.lit(n_bits))
-        wcol, bcol = f"_bw{h}", f"_bb{h}"
+        pos = _bloom_pos(F.col(col), h, n_bits, hash_family=hash_family)
+        wcol, bcol = f"_bw_{tag}_{h}", f"_bb_{tag}_{h}"
         words = bloom.select(
             F.col("word_idx").alias(wcol), F.col("bits").alias(bcol)
         )
@@ -522,7 +612,10 @@ def bloom_probe(
             ).bitwiseAND(F.lit(1).cast("long"))
             == F.lit(1)
         )
-    keep = [c for c in out.columns if not c.startswith(("_bw", "_bb"))]
+    generated = {f"_bw_{tag}_{h}" for h in range(k)} | {
+        f"_bb_{tag}_{h}" for h in range(k)
+    }
+    keep = [c for c in out.columns if c not in generated]
     cond = checks[0]
     for c in checks[1:]:
         cond = cond & c
@@ -536,6 +629,7 @@ def bloom_semijoin(
     *,
     n_bits: int = 1 << 20,
     k: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """EXACT semi-join accelerated by a Bloom prefilter: build the
     filter over the (distinct, non-null) dim keys, drop fact rows the
@@ -547,9 +641,10 @@ def bloom_semijoin(
 
     ``dim_keys``: one column named like ``key_col``."""
     keys = dim_keys.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
-    bloom = bloom_table(keys, key_col, n_bits=n_bits, k=k)
+    bloom = bloom_table(keys, key_col, n_bits=n_bits, k=k, hash_family=hash_family)
     pre = bloom_probe(
-        fact, key_col, bloom, n_bits=n_bits, k=k, out_col="_bloom_maybe"
+        fact, key_col, bloom, n_bits=n_bits, k=k, out_col="_bloom_maybe",
+        hash_family=hash_family,
     ).filter(F.col("_bloom_maybe")).drop("_bloom_maybe")
     return pre.join(keys, key_col, "left_semi")
 
@@ -561,13 +656,14 @@ def bloom_fpp_report(
     *,
     n_bits: int = 1 << 20,
     k: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Calibration report for the Bloom prefilter: probed / passed /
     true-member / false-positive counts, measured false-positive rate
     over true negatives, and the theoretical rate
     (1 - e^{-k·n/m})^k for n distinct build keys.  One row."""
     keys = dim_keys.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
-    bloom = bloom_table(keys, key_col, n_bits=n_bits, k=k)
+    bloom = bloom_table(keys, key_col, n_bits=n_bits, k=k, hash_family=hash_family)
     probed = bloom_probe(
         fact.filter(F.col(key_col).isNotNull()),
         key_col,
@@ -575,6 +671,7 @@ def bloom_fpp_report(
         n_bits=n_bits,
         k=k,
         out_col="_maybe",
+        hash_family=hash_family,
     )
     marked = probed.join(
         keys.withColumn("_member", F.lit(True)), key_col, "left"

@@ -2552,12 +2552,58 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q_bloom_fpp",
-    None,
+    """
+    WITH seeds AS (SELECT UNNEST(range(3)) AS s),
+    dimk AS (SELECT DISTINCT c_custkey AS key FROM customer
+             WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL),
+    bits AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5(CAST(d.key AS VARCHAR) || ':' ||
+              CAST(s.s AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS p
+      FROM dimk d CROSS JOIN seeds s),
+    fact AS (SELECT o_orderkey, o_custkey FROM orders
+             WHERE o_custkey IS NOT NULL),
+    fp AS (
+      SELECT f.o_orderkey, f.o_custkey,
+        CAST(('0x' || substr(md5(CAST(f.o_custkey AS VARCHAR) || ':' ||
+              CAST(s.s AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS p
+      FROM fact f CROSS JOIN seeds s),
+    hits AS (
+      SELECT fp.o_orderkey, COUNT(*) AS nhit
+      FROM fp JOIN bits USING (p) GROUP BY fp.o_orderkey),
+    probed AS (
+      SELECT f.o_orderkey, f.o_custkey,
+             COALESCE(h.nhit, 0) = 3 AS maybe
+      FROM fact f LEFT JOIN hits h USING (o_orderkey)),
+    marked AS (
+      SELECT p.maybe, (d.key IS NOT NULL) AS member
+      FROM probed p LEFT JOIN dimk d ON p.o_custkey = d.key)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_passed,
+           CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN maybe AND NOT member THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           ROUND(CASE WHEN COUNT(*) >
+                        SUM(CASE WHEN member THEN 1 ELSE 0 END)
+                 THEN SUM(CASE WHEN maybe AND NOT member
+                          THEN 1 ELSE 0 END)
+                      / CAST(COUNT(*) -
+                             SUM(CASE WHEN member THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+                 ELSE 0.0 END, 6) AS measured_fpp,
+           ROUND(POW(1.0 - EXP(-3.0 * (SELECT COUNT(*) FROM dimk)
+                               / 4096.0), 3.0), 6) AS theoretical_fpp
+    FROM marked
+    """,
     "Bloom prefilter calibration: probed/passed/member/false-positive "
     "counts plus measured vs theoretical (1-e^{-kn/m})^k false-"
-    "positive rate for the dim-key filter over the orders fact scan "
-    "(rows-only: xxhash64 bit table; no-false-negative, merge==union "
-    "and count-consistency pytest-pinned)",
+    "positive rate for the dim-key filter over the orders fact scan. "
+    "Exact since r8: the md5 hash family (bit position = first-8-hex "
+    "of md5('key:seed') mod n_bits) lets DuckDB rebuild the bit set "
+    "and replay every probe verbatim; no-false-negative, merge==union "
+    "and count-consistency stay pytest-pinned",
     "O17 generalized: sketch calibration report",
 )
 def q_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2570,7 +2616,9 @@ def q_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("o_custkey"))
     )
     # an undersized filter so the measured rate is non-degenerate
-    return _sk.bloom_fpp_report(orders, "o_custkey", dim, n_bits=4096, k=3)
+    return _sk.bloom_fpp_report(
+        orders, "o_custkey", dim, n_bits=4096, k=3, hash_family="md5"
+    )
 
 
 @_register(
@@ -2906,105 +2954,91 @@ def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
-# budget.  Rounds 2-5 drove their 50-query windows all-green (zero
-# oracle-bearing failures in CORRECTNESS_r02..r05.json).  Round 6
-# executes the rotation the r5 verdict mandated: (1) ALL 42 queries
-# that have never earned a driver CORRECTNESS row — the six swapped
-# out at the end of r5 (entropy/containment/ann-recall/skipping +
-# the segment-dedup pair) and the thirty-six registered by the second
-# round-5 session (search, analytics, edit-distance joins, PQ/IVF-PQ,
-# HLL, quality contracts, SQL entry, splits/journeys) — every one
-# locally oracle-checked green or pytest-pinned; (2) back-fill to 50
-# with the eight oldest r3-stale queries, preferring distinct
-# operator families (set ops, subqueries, window functions, stats
-# aggregates).  After this window lands, every query registered
-# through round 5 has at least one driver row.
+# budget.  Rounds 2-7 drove their 50-query windows all-green (zero
+# oracle-bearing failures in CORRECTNESS_r02..r07.json).  Round 8
+# executes the rotation the r7 verdict mandated: (1) ALL 35 queries
+# registered during the round-7 sessions — none has a driver row yet;
+# every one is locally oracle-checked green or pytest-pinned;
+# (2) q_cms_daily_freq / q_kmv_user_overlap, converted this round from
+# rows-only sketch estimates to EXACT md5-hash-family oracles (the r7
+# md5-twin pattern), so their first exact driver rows land now;
+# (3) back-fill to 50 with the 13 highest-value r4-stale queries —
+# the replication-core family (envelope/partition-key/semi/anti/
+# latest-wins/SCD2/conditional-agg/ts-filter/union/json-extract) plus
+# the three TPC-H bench flagships.  After this window lands, zero
+# registered queries lack a driver row.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked: registered during round 6 ---
-    "q_pmi_bigrams",
-    "q_lateral_top_order",
-    "q_neardup_degrees",         # rows-only: xxhash64 minhash family
-    "q_recursive_reachability",
-    "q_cdc_chunks",              # exact since r7: md5 boundary class
-    "q_dedup_segments_cdc",      # exact since r7: md5 boundary class
-    "q_dedup_segments_cdc_against",  # exact since r7: md5 boundary class
-    "q_pagerank_neardup",        # rows-only: near-dup graph ranks
-    "q_cms_daily_freq",          # rows-only: CMS sketch estimates
-    "q_kmv_user_overlap",        # rows-only: KMV sketch estimates
-    # --- never driver-checked: registered this round (r7) ---
-    "q_cdc_e2e_stats",
-    # --- r3-stale back-fill: operator families (22) ---
-    "q_array_agg_priorities",
-    "q05_local_supplier_volume",
-    "q_text_fingerprint",
-    "q_text_normalize",
-    "q_text_tokens_bpe",
-    "q_sliding_window_events",
-    "q_group_sample_topk",
-    "q_ann_batch_topk",          # rows-only: approximate ANN
-    "q_embedding_normalize",
-    "q_top_fraction_quality",
-    "q_dedup_incremental",
-    "q_text_tokens",
-    "q_stratified_sample",
-    "q_token_budget_sample",
-    "q_text_langid",
-    "q_window_lag_lead",
-    "q_window_rank_family",
-    "q_session_window_events",
-    "q_unigram_lm_score",
-    "q_pack_sequences",
-    "q_text_repetition",
-    "q_hash_split",
-    # --- r3-stale back-fill: TPC-H shapes (17) ---
-    "q02_min_cost_supplier",
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q07_nation_volume",
-    "q09_product_profit",
-    "q10_returned_revenue",
-    "q11_supplier_value",
-    "q12_status_priority",
-    "q13_order_count_dist",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_part_suppliers",
-    "q21_multi_supplier_orders",
-    "q22_idle_rich_customers",
+    # --- never driver-checked: r7 main session (21) ---
+    "q_ingest_e2e_corpus",
+    "q_ingest_e2e_stats",
+    "q_metrics_e2e_sketches",
+    "q_aggview_e2e",
+    "q_aggview_quantiles_e2e",
+    "q_time_travel_states",
+    "q_minhash_md5_pairs",
+    "q_minhash_md5_against",
+    "q_simhash_md5_pairs",
+    "q_winnowing_md5_containment",
+    "q_quantile_sketch_daily",
+    "q_zorder_buckets",
+    "q_k_anonymity",
+    "q_neardup_clustering",
+    "q_series_topk_users",
+    "q_sax_words",
+    "q_unigram_vocab",           # rows-only: iterative EM training
+    "q_unigram_encode",          # rows-only: Viterbi over EM vocab
+    "q_pca_explained",           # rows-only: eigendecomposition
+    "q_pca_whitened_norms",      # rows-only: eigendecomposition
+    "q_pq_whitened_recall",      # rows-only: k-means codebooks
+    # --- never driver-checked: r7 follow-up sessions (14) ---
+    "q_bloom_semijoin",
+    "q_lm_backoff_score",
+    "q_auc_metrics",
+    "q_mmr_rerank",
+    "q_dsir_weights",
+    "q_kfold_report",
+    "q_hybrid_rrf_search",
+    "q_record_linkage",
+    "q_corpus_diversity",
+    "q_video_frame_features",    # rows-only: synthetic media fixture
+    "q_video_summary",           # rows-only: synthetic media fixture
+    "q_video_near_dup",          # rows-only: synthetic media fixture
+    "q_bloom_fpp",               # exact since r8: md5 hash family
+    "q_lr_quality",              # rows-only: iterative float training
+    # --- rows-only -> exact conversions this round (r8) ---
+    "q_cms_daily_freq",          # exact since r8: md5 hash family
+    "q_kmv_user_overlap",        # exact since r8: md5 hash family
+    # --- r4-stale back-fill: replication core + TPC-H flagships (13) ---
+    "q_envelope_events",
+    "q_partition_key",
+    "q_semi_join",
+    "q_anti_join",
+    "q_latest_wins_events",
+    "q_scd2_history",
+    "q_conditional_agg_events",
+    "q_ts_filter_events",
+    "q_union_priorities",
+    "q_json_extract_events",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q18_large_orders",
 ]
-# r8 rotation backlog, in priority order (never-checked beats stale):
-# (a) the 21 queries registered during the r7 main session, all local
-#     oracle/smoke green, none with a driver row yet:
-#       exact-oracle: q_ingest_e2e_corpus, q_ingest_e2e_stats,
-#       q_metrics_e2e_sketches, q_aggview_e2e, q_time_travel_states,
-#       q_minhash_md5_pairs, q_minhash_md5_against,
-#       q_simhash_md5_pairs, q_winnowing_md5_containment,
-#       q_quantile_sketch_daily, q_zorder_buckets, q_k_anonymity,
-#       q_neardup_clustering, q_aggview_quantiles_e2e,
-#       q_series_topk_users, q_sax_words;
-#       rows-only: q_unigram_vocab, q_unigram_encode, q_pca_explained,
-#       q_pca_whitened_norms, q_pq_whitened_recall
-#       (16 exact + 5 rows-only; q_cdc_e2e_stats, registered by the
-#       earlier r7 session, is already in THIS window);
-#     plus the r7 follow-up sessions' registrations:
-#       exact-oracle: q_bloom_semijoin, q_lm_backoff_score,
-#       q_auc_metrics, q_mmr_rerank, q_dsir_weights,
-#       q_kfold_report, q_hybrid_rrf_search, q_record_linkage,
-#       q_corpus_diversity;
-#       rows-only: q_video_frame_features, q_video_summary,
-#       q_video_near_dup (synthetic media fixture), q_bloom_fpp,
-#       q_lr_quality;
-# (b) r4-stale rows next: the r4 window families
-#     (envelope/partition-key/union/semi-anti-join/latest-wins/SCD2/
-#     conditional-agg/running-sum/ts-filter/json-extract) plus the r5
-#     window (LIKE filters, top-orders, rollup/cube/grouping sets,
-#     pivot, percentile, as-of/range joins, streaming windows) rotate
-#     by age — no query's latest driver row should be older than two
-#     rounds;
-# (c) everything checked in r6/r7 rotates by age thereafter.
+# r9 rotation backlog, in priority order (never-checked beats stale):
+# (a) any query registered during the r8 sessions (enumerate here as
+#     they land): q_html_extract, q_neardup_clustering_lsh;
+# (b) the 37 remaining r4-stale rows (q_ann_cosine_topk, q_asof_join,
+#     q_assign_shards, q_binned_range_join, q_corpus_composition,
+#     q_curation_pipeline, q_decontaminate, q_dedup_* families,
+#     q_embedding_* families, q_ivf/lsh_ann_topk, q_lsh_jaccard_verified,
+#     q_minhash_lsh_pairs, q_multimodal_*, q_ngram_jaccard_pairs,
+#     q_null_handling, q_quality_score_filter, q_range_join,
+#     q_redact_pii, q_remove_dup_spans, q_running_sum_events,
+#     q_salted_join_agg, q_sessionize_events, q_text_quality,
+#     q_topk_per_group, q_vocab_topk, q_winnowed_fingerprints,
+#     q_dup_ngram_stats, q_dup_span_coverage, q_length_histogram,
+#     q_approx_distinct_users) — fill all remaining slots from these;
+# (c) r5-stale families thereafter, rotating by age so no query's
+#     latest driver row is older than three rounds.
 
 _BY_NAME = {s.name: s for s in _SPECS}
 _unknown = [n for n in DRIVER_WINDOW if n not in _BY_NAME]

@@ -5683,13 +5683,36 @@ def q_dedup_segments_cdc_against(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q_cms_daily_freq",
-    None,
+    """
+    WITH seeds AS (SELECT UNNEST(range(5)) AS d),
+    counters AS (
+      SELECT s.d,
+             CAST(('0x' || substr(md5(e.event_type || ':' ||
+                   CAST(s.d AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS b,
+             COUNT(*) AS cnt
+      FROM events e CROSS JOIN seeds s
+      GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT event_type FROM events
+               WHERE event_type IS NOT NULL),
+    pb AS (
+      SELECT p.event_type, s.d,
+             CAST(('0x' || substr(md5(p.event_type || ':' ||
+                   CAST(s.d AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS b
+      FROM probes p CROSS JOIN seeds s)
+    SELECT pb.event_type, CAST(MIN(c.cnt) AS BIGINT) AS est_count
+    FROM pb JOIN counters c USING (d, b)
+    GROUP BY pb.event_type
+    ORDER BY pb.event_type
+    """,
     "mergeable FREQUENCY sketches (the Count-Min twin of "
     "q_hll_daily_union, as a relational (d,b,cnt) table rather than "
     "an opaque binary): one sketch per day over event_type, merged by "
     "re-aggregation into range estimates probed engine-side — "
-    "never-undercount + overcount bounds pytest-pinned "
-    "(rows-only: xxhash64 bucketing)",
+    "never-undercount + overcount bounds pytest-pinned.  Exact since "
+    "r8: the md5 hash family (bucket = first-8-hex of md5('v:d') mod "
+    "width) is replicated verbatim in DuckDB, and per-day build + "
+    "counter-sum merge == the oracle's global counters, so every "
+    "estimate hash-matches cross-engine",
     "O17 generalized: mergeable sketch aggregation (frequency)",
 )
 def q_cms_daily_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5699,23 +5722,71 @@ def q_cms_daily_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.date_trunc("day", F.col("ts")).cast("date")
     )
     daily = _sk.cms_table(
-        ev, "event_type", width=256, depth=5, group_cols=("day",)
+        ev, "event_type", width=256, depth=5, group_cols=("day",),
+        hash_family="md5",
     )
     merged = _sk.cms_merge(daily, drop_cols=("day",))
     return _sk.cms_estimate(
-        merged, ev.select("event_type"), "event_type", width=256, depth=5
+        merged, ev.select("event_type"), "event_type", width=256, depth=5,
+        hash_family="md5",
     ).orderBy("event_type")
 
 
 @_register(
     "q_kmv_user_overlap",
-    None,
+    """
+    WITH types AS (
+      SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) AS rn
+      FROM (SELECT DISTINCT event_type FROM events)),
+    ka AS (
+      SELECT h FROM (
+        SELECT DISTINCT
+          CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+               AS BIGINT) + 1 AS DOUBLE) / 281474976710657.0 AS h
+        FROM events
+        WHERE event_type = (SELECT event_type FROM types WHERE rn = 1))
+      ORDER BY h LIMIT 256),
+    kb AS (
+      SELECT h FROM (
+        SELECT DISTINCT
+          CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+               AS BIGINT) + 1 AS DOUBLE) / 281474976710657.0 AS h
+        FROM events
+        WHERE event_type = (SELECT event_type FROM types WHERE rn = 2))
+      ORDER BY h LIMIT 256),
+    u AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM (
+          SELECT h FROM ka UNION ALL SELECT h FROM kb))
+      ORDER BY h LIMIT 256),
+    stats AS (SELECT COUNT(*) AS n, MAX(h) AS theta FROM u),
+    mm AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m
+      FROM (SELECT h FROM ka INTERSECT SELECT h FROM kb) x
+      JOIN u USING (h)),
+    est AS (
+      SELECT CASE WHEN s.n < 256 THEN mm.m ELSE mm.m / s.theta END
+               AS est_intersection,
+             CASE WHEN s.n < 256 THEN CAST(s.n AS DOUBLE)
+                  ELSE 255.0 / s.theta END AS est_union
+      FROM stats s, mm)
+    SELECT (SELECT event_type FROM types WHERE rn = 1) AS type_a,
+           (SELECT event_type FROM types WHERE rn = 2) AS type_b,
+           ROUND(est_intersection, 2) AS est_intersection,
+           ROUND(est_union, 2) AS est_union,
+           ROUND(est_intersection / est_union, 4) AS est_jaccard
+    FROM est
+    """,
     "bottom-k theta sketch set ALGEBRA (the capability HLL lacks): "
     "audience overlap between two event types estimated from their "
     "KMV sketches — intersection / union / jaccard from k-row "
-    "synopses instead of a distinct-join over raw events "
-    "(rows-only: xxhash64 sketches; accuracy + exact-mode "
-    "pytest-pinned)",
+    "synopses instead of a distinct-join over raw events.  Exact "
+    "since r8: the md5 hash family (first-12-hex of md5(user_id) as "
+    "a 48-bit integer, exact in a double, mapped to (0,1) by one "
+    "IEEE division both engines round identically) lets DuckDB "
+    "rebuild both sketches, the union sketch, theta and the "
+    "intersection samples verbatim; accuracy + exact-mode "
+    "pytest-pinned",
     "O17 generalized: mergeable sketch set operations",
 )
 def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5731,8 +5802,14 @@ def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_kmv_user_overlap needs >= 2 distinct event_type values; "
             f"found {types}"
         )
-    a = _sk.kmv_table(ev.filter(F.col("event_type") == types[0]), "user_id", k=256)
-    b = _sk.kmv_table(ev.filter(F.col("event_type") == types[1]), "user_id", k=256)
+    a = _sk.kmv_table(
+        ev.filter(F.col("event_type") == types[0]), "user_id", k=256,
+        hash_family="md5",
+    )
+    b = _sk.kmv_table(
+        ev.filter(F.col("event_type") == types[1]), "user_id", k=256,
+        hash_family="md5",
+    )
     out = _sk.kmv_intersect_estimate(a, b, k=256)
     return out.select(
         F.lit(types[0]).alias("type_a"),

@@ -363,3 +363,55 @@ def test_bloom_fpp_report_counts_consistent(spark):
     # a roomy filter has (near-)zero false positives on this key space
     r2 = sketches.bloom_fpp_report(fact, "key", dim).collect()[0]
     assert r2["n_false_pos"] == 0
+
+
+def test_md5_families_preserve_sketch_semantics(spark):
+    # the md5 (oracle-replicable) hash family must satisfy the same
+    # guarantees as xxhash64: CMS never undercounts, KMV tracks the
+    # exact distinct count, Bloom never false-negatives
+    df = _events(spark)
+    exact = {
+        r["user"]: r["c"]
+        for r in df.groupBy("user").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    cms = sketches.cms_table(df, "user", width=256, depth=5, hash_family="md5")
+    est = {
+        r["user"]: r["est_count"]
+        for r in sketches.cms_estimate(
+            cms, df.select("user"), "user", width=256, depth=5,
+            hash_family="md5",
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[u] >= exact[u] for u in exact)
+
+    kmv = sketches.kmv_table(df, "user", k=64, hash_family="md5")
+    n_true = len(exact)
+    est_d = sketches.kmv_estimate(kmv, k=64).collect()[0]["est_distinct"]
+    if n_true < 64:
+        assert est_d == float(n_true)  # exact mode
+    else:
+        assert abs(est_d - n_true) / n_true < 0.5
+
+    fact, dim = _keyed(spark)
+    semij = sketches.bloom_semijoin(
+        fact, "key", dim, n_bits=256, k=3, hash_family="md5"
+    )
+    expected = fact.join(dim.distinct(), "key", "left_semi")
+    assert sorted(map(tuple, semij.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+
+def test_bloom_probe_survives_reserved_caller_columns(spark):
+    # regression: caller columns named like the old internal `_bw0` /
+    # `_bb0` join columns were overwritten then silently dropped
+    fact, dim = _keyed(spark)
+    fact2 = fact.withColumn("_bw0", F.lit("keepme")).withColumn(
+        "_bb1", F.lit(7)
+    )
+    bloom = sketches.bloom_table(dim, "key")
+    probed = sketches.bloom_probe(fact2, "key", bloom)
+    assert "_bw0" in probed.columns and "_bb1" in probed.columns
+    row = probed.limit(1).collect()[0]
+    assert row["_bw0"] == "keepme" and row["_bb1"] == 7
