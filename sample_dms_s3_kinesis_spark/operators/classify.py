@@ -252,6 +252,17 @@ def lr_train(
         raise ValueError(f"epochs must be >= 1, got {epochs}")
     if learning_rate <= 0:
         raise ValueError(f"learning_rate must be > 0, got {learning_rate}")
+    # Fail on invalid labels instead of silently tolerating them: a
+    # NULL label yields NULL residuals that drop out of both gradient
+    # sums while the row still counts in n_docs — shrinking the
+    # effective learning rate with no error.  One cheap pre-pass.
+    _lbl = F.col(label_col).try_cast("int")
+    n_bad = df.filter(_lbl.isNull() | ~_lbl.isin(0, 1)).count()
+    if n_bad:
+        raise ValueError(
+            f"lr_train requires {label_col} in (0, 1); "
+            f"{n_bad} row(s) are NULL or out of domain"
+        )
     spark = df.sparkSession
     feats = _lr_features(
         df,

@@ -501,6 +501,14 @@ def encode_jpeg(
     (1 = mild); ``subsample=True`` writes 4:2:0 chroma;
     ``restart_interval=N`` emits RSTn markers every N MCUs (DRI).
     Deterministic: same pixels -> same bytes."""
+    if quality_scale < 1:
+        # quality_scale=0 (or negative) would clip the quant tables to
+        # all-1s, where a high-frequency block can yield an AC
+        # magnitude of size 11 — absent from the flat Huffman table
+        # (sizes 1-10) — and raise a bare KeyError mid-encode.
+        raise ValueError(
+            f"quality_scale must be >= 1, got {quality_scale}"
+        )
     gray = img.ndim == 2
     if gray:
         comps_px = [img.astype(np.float64)]

@@ -548,7 +548,10 @@ def extract_video_features(
     frames = extract_video_frames(
         df, every_ms=every_ms, target_size=target_size
     )
-    w = Window.partitionBy("asset_id").orderBy("frame_ts_ms")
+    # frame_idx tiebreak: for fps > 1000 two sampled frames can share
+    # a frame_ts_ms (idx*1000//fps collides) and a ts-only ordering
+    # would make lag — hence motion_score — nondeterministic
+    w = Window.partitionBy("asset_id").orderBy("frame_ts_ms", "frame_idx")
     luma = F.element_at("feature", 7)  # image_feature[6] = mean luma
     per_frame = frames.filter(F.col("frame_idx").isNotNull()).withColumn(
         "luma_delta", F.abs(luma - F.lag(luma).over(w))

@@ -275,6 +275,24 @@ class CdcTask(ReplicationTask):
                 self._replay_drain(mark)
                 drained = set(self.store.load_drained(self.identifier))
             else:
+                if (
+                    mark is not None
+                    and int(mark.get("batch_id", -1)) >= 0
+                    and mark.get("checkpoint") == self.checkpoint_dir
+                ):
+                    # Converse of the stream-side guard below: saving
+                    # the drain mark here would clobber an unresolved
+                    # STREAMING batch mark left by a crash mid-batch —
+                    # its rewind info (versions/offset/stats) would be
+                    # lost, and the drain would re-read the stream-
+                    # consumed files (never in the drained ledger),
+                    # re-emitting their events under new seqs.
+                    raise RuntimeError(
+                        "drain requested while an unresolved streaming "
+                        "batch mark is pending — restart the stream so "
+                        "its checkpoint replays the interrupted batch "
+                        "before draining"
+                    )
                 batch_files = pending
                 self.store.save_batch_mark(
                     self.identifier,

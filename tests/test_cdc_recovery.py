@@ -536,3 +536,40 @@ def test_stream_start_replays_interrupted_drain_first(
         for r in task2.table_statistics(spark).collect()
     }
     assert stats[("hr", "department")]["Inserts"] == 3  # 401,402,403 once
+
+
+def test_drain_refuses_unresolved_stream_mark(
+    spark, catalog, cdc_dir, tmp_path
+):
+    """Converse of the stream-side guard: a drain arriving while an
+    unresolved STREAMING batch mark is pending must refuse (saving the
+    drain mark would clobber the stream mark's rewind info, and the
+    drain would re-emit the stream-consumed files under new seqs)."""
+    import pytest
+
+    from sample_dms_s3_kinesis_spark.sources.cdc_source import read_cdc_lines
+
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "target")
+    ts = "2026-01-01T00:00:00.000Z"
+    sink1 = MemorySink()
+    task1 = CdcTask(
+        spark, catalog, cdc_dir, sink1, ParquetTargetStore(target),
+        event_time=ts, checkpoint_dir=ckpt,
+    )
+    task1._emit_start_controls()
+    write_cdc_file(cdc_dir, 1, FILE_1)
+    lines = read_cdc_lines(spark, cdc_dir)
+    # "crash" before the checkpoint commit: the stream mark survives
+    task1._process_batch(lines, batch_id=0)
+
+    store2 = ParquetTargetStore(target)
+    task2 = CdcTask(
+        spark, catalog, cdc_dir, MemorySink(), store2,
+        event_time=ts, checkpoint_dir=ckpt,
+    )
+    with pytest.raises(RuntimeError, match="unresolved streaming"):
+        task2.process_available()
+    # the mark's rewind info survived the refused drain
+    mark = store2.load_batch_mark(task2.identifier)
+    assert mark is not None and mark["batch_id"] == 0

@@ -258,3 +258,23 @@ def test_lr_unseen_tokens_score_at_bias(spark):
     row = classify.lr_score(out, model, buckets=32, hash_family="md5").collect()[0]
     assert 0.0 < row["prob"] < 1.0
     assert row["doc_id"] == 9
+
+
+def test_lr_train_rejects_invalid_labels(spark):
+    import pytest
+
+    from sample_dms_s3_kinesis_spark.operators import classify
+
+    base = [("a", "alpha beta", 1), ("b", "beta gamma", 0)]
+    null_lbl = spark.createDataFrame(
+        base + [("c", "gamma delta", None)],
+        "doc_id string, text string, label int",
+    )
+    with pytest.raises(ValueError, match="NULL or out of domain"):
+        classify.lr_train(null_lbl, buckets=16, epochs=1)
+    out_of_domain = spark.createDataFrame(
+        base + [("c", "gamma delta", 2)],
+        "doc_id string, text string, label int",
+    )
+    with pytest.raises(ValueError, match="NULL or out of domain"):
+        classify.lr_train(out_of_domain, buckets=16, epochs=1)

@@ -213,3 +213,15 @@ def test_dnl_deferred_height_raises():
     data[sof + 5 : sof + 7] = b"\x00\x00"  # lines = 0 → DNL
     with pytest.raises(NotImplementedError, match="DNL"):
         decode_jpeg(bytes(data))
+
+
+def test_encode_rejects_nonpositive_quality_scale():
+    import numpy as np
+    import pytest
+
+    from sample_dms_s3_kinesis_spark.operators.jpeg import encode_jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    for q in (0, -1):
+        with pytest.raises(ValueError, match="quality_scale"):
+            encode_jpeg(img, quality_scale=q)

@@ -365,3 +365,25 @@ def test_video_near_dup_pairs_matches_reference(spark):
     assert any(p[:2] == (0, 2) for p in got)  # fps-resampled copy pairs
     assert not any(3 in p[:2] for p in got)   # unrelated noise never pairs
     assert not any(4 in p[:2] for p in got)   # corrupt never pairs
+
+
+def test_video_motion_deterministic_at_high_fps(spark):
+    # fps > 1000 collides frame_ts_ms (idx*1000//fps): at 1500 fps the
+    # sampled frames 0 and 1 both land on ts 0, so the motion window
+    # must tiebreak on frame_idx or the lag order is nondeterministic
+    raw = M._fvid_bytes(3, w=16, h=12, fps=1500, n=5)
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(raw), None, None, None, 3)], M.ASSET_SCHEMA
+    )
+    frames = M.extract_video_frames(df, every_ms=1)
+    rows = sorted(
+        (r["frame_idx"], r["frame_ts_ms"], r["feature"][6])
+        for r in frames.collect()
+    )
+    assert [(i, t) for i, t, _ in rows] == [(0, 0), (1, 0), (3, 2)]
+    lumas = [l for _, _, l in rows]
+    exp = (abs(lumas[1] - lumas[0]) + abs(lumas[2] - lumas[1])) / 2
+    got = M.extract_video_features(df, every_ms=1).collect()[0][
+        "motion_score"
+    ]
+    assert abs(got - exp) < 1e-6
