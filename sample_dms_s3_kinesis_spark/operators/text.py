@@ -816,3 +816,183 @@ def cdc_chunks(
             F.col("_c.n_tokens").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML / markup text extraction
+# ---------------------------------------------------------------------------
+# The first step of every real web-crawl pipeline: strip markup, decode
+# entities, and keep block boundaries so the result feeds directly into
+# block-level dedup (cdc_chunks / remove_dup_spans operate on the
+# extracted text).  Pure Catalyst regexp chains + higher-order array
+# functions — no Python in the row path, per-row/narrow, scales linearly.
+# Every regex is RE2/Java-identical so the DuckDB oracle reproduces the
+# chain byte-for-byte (see plans.registry q_html_extract).
+#
+# Scope (documented, deterministic): tags are recognized lexically (no
+# DOM); <script>/<style>/<noscript>/<template>/<head> drop with their
+# content; block-level tags become newlines; all other tags are
+# stripped; entities decoded are the common named set, decimal numeric
+# entities in the printable-ASCII range 32..126 (the only range where
+# Spark's chr() and DuckDB's chr() agree byte-for-byte — Spark is
+# mod-256 ASCII, DuckDB is Unicode), and the common typographic
+# codepoints mapped to ASCII equivalents.  Everything else is left
+# intact rather than guessed at.
+
+# Tags whose content is invisible text — dropped wholesale.
+_HTML_DROP_CONTENT = ("script", "style", "noscript", "template", "head")
+# Tags that terminate a text block — open OR close becomes '\n'.
+_HTML_BLOCK_TAGS = (
+    "p|div|br|hr|li|ul|ol|dl|dt|dd|h[1-6]|tr|td|th|table|thead|tbody|"
+    "blockquote|pre|section|article|header|footer|nav|aside|main|form|"
+    "figure|figcaption|option|select|fieldset|legend|address|summary|details"
+)
+# Typographic codepoints folded to ASCII before the generic numeric
+# decode (their chr() differs between engines, so they get a fixed map).
+_HTML_TYPOGRAPHIC = [
+    ("8211", "-"), ("8212", "-"),
+    ("8216", "'"), ("8217", "'"),
+    ("8220", '"'), ("8221", '"'),
+    ("8230", "..."), ("160", " "),
+]
+# Named entities, decoded after numerics; amp LAST so "&amp;lt;" yields
+# the literal "&lt;" (single-decode semantics).
+_HTML_NAMED = [
+    ("nbsp", " "), ("lt", "<"), ("gt", ">"), ("quot", '"'),
+    ("apos", "'"), ("ndash", "-"), ("mdash", "-"), ("hellip", "..."),
+    ("lsquo", "'"), ("rsquo", "'"), ("ldquo", '"'), ("rdquo", '"'),
+    ("copy", "(c)"), ("reg", "(r)"), ("trade", "(tm)"), ("amp", "&"),
+]
+# Decimal numeric entities we decode generically: codes 32..126, the
+# range where both engines' chr() agree.  The alternation IS the range
+# check, so the decode lambda needs no conditional restore path.
+_HTML_NUM_RE = r"&#(3[2-9]|[4-9][0-9]|1[01][0-9]|12[0-6]);"
+# Sentinels: control chars stripped from input in step 1, so they are
+# collision-free markers for the numeric-entity split/decode.
+_S1, _S2 = "\x01", "\x02"
+
+
+def _html_pre_clean(col: Column) -> Column:
+    """Steps shared by every HTML op: strip control chars (frees the
+    sentinels), fold source newlines/tabs to spaces (in HTML they are
+    inter-word whitespace — only block TAGS delimit blocks, and the
+    '\\n' those become is inserted downstream, after this fold), drop
+    comments and invisible-content elements."""
+    c = F.regexp_replace(col, "[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    c = F.regexp_replace(c, "[\r\n\t]+", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    for tag in _HTML_DROP_CONTENT:
+        c = F.regexp_replace(c, rf"(?is)<{tag}\b.*?</{tag}\s*>", " ")
+    return c
+
+
+def _html_block_breaks(col: Column) -> Column:
+    """Open/close block-level tags -> newline (block boundary)."""
+    return F.regexp_replace(
+        col, rf"(?i)</?(?:{_HTML_BLOCK_TAGS})\b[^>]*>", "\n"
+    )
+
+
+# '<' opens a tag only when followed by a letter, '/', '!' or '?' —
+# the HTML5 tokenizer rule.  "3 < 5 and x > 1" is text, not markup.
+_HTML_TAG_RE = r"(?s)<[/!?a-zA-Z][^>]*>"
+
+
+def _html_strip_tags(col: Column) -> Column:
+    """Remaining (inline) tags -> space.  A lone '<' that never closes,
+    or one not opening a tag per _HTML_TAG_RE, stays literal text
+    rather than eating the document."""
+    return F.regexp_replace(col, _HTML_TAG_RE, " ")
+
+
+def decode_html_entities(col: Column) -> Column:
+    """Decode typographic + decimal-numeric-ASCII + named entities.
+    Numeric decode: mark '&#NN;' with sentinel-wrapped code, split on
+    the sentinel, chr() each marked head — pure HOF, no Python."""
+    c = col
+    for code, repl in _HTML_TYPOGRAPHIC:
+        c = F.regexp_replace(c, rf"&#{code};", repl.replace("$", r"\$"))
+    c = F.regexp_replace(c, _HTML_NUM_RE, f"{_S1}$1{_S2}")
+    parts = F.split(c, _S1, -1)
+    dec = F.transform(
+        parts,
+        lambda p: F.when(
+            p.rlike(f"^[0-9]{{2,3}}{_S2}"),
+            F.concat(
+                F.char(F.regexp_extract(p, f"^([0-9]+){_S2}", 1).cast("int")),
+                F.regexp_replace(p, f"^[0-9]+{_S2}", ""),
+            ),
+        ).otherwise(p),
+    )
+    c = F.array_join(dec, "")
+    for name, repl in _HTML_NAMED:
+        c = F.regexp_replace(c, rf"&{name};", repl.replace("$", r"\$"))
+    return c
+
+
+def _html_ws_normalize(col: Column) -> Column:
+    """Collapse intra-block whitespace, trim block edges, drop empty
+    blocks, trim the document."""
+    c = F.regexp_replace(col, "[ \t\r ]+", " ")
+    c = F.regexp_replace(c, " ?\n ?", "\n")
+    c = F.regexp_replace(c, "\n+", "\n")
+    return F.regexp_replace(F.trim(c), "^\n+|\n+$", "")
+
+
+def html_extract(col: Column) -> Column:
+    """Extracted text of an HTML document: one line per block, entities
+    decoded, whitespace collapsed.  Feed to html_blocks / cdc_chunks
+    for block-level dedup."""
+    c = _html_pre_clean(col)
+    c = _html_block_breaks(c)
+    c = _html_strip_tags(c)
+    c = decode_html_entities(c)
+    return _html_ws_normalize(c)
+
+
+def html_blocks(col: Column) -> Column:
+    """array<string> of non-empty extracted blocks — the block-dedup
+    unit (hash each element, groupBy digest)."""
+    return F.filter(F.split(html_extract(col), "\n", -1), lambda b: b != "")
+
+
+def html_main_content(
+    col: Column,
+    *,
+    min_text_chars: int = 15,
+    max_link_density: float = 0.5,
+) -> Column:
+    """Boilerplate-stripped main content: blocks are scored while the
+    inline markup is still present — link density = chars of <a>…</a>
+    anchor text / chars of block text (both tag-stripped, pre-entity
+    -decode) — and a block survives iff it has >= min_text_chars of
+    text and link density <= max_link_density.  Nav bars, footers and
+    link farms (short, link-dense blocks) drop; survivors then get the
+    normal strip/decode/normalize chain.  Lengths are measured before
+    entity decode ('&amp;' counts 5 chars) — deterministic and cheap;
+    the bias is identical in numerator and denominator."""
+
+    def _txt_len(b: Column) -> Column:
+        return F.length(F.trim(F.regexp_replace(
+            F.regexp_replace(b, _HTML_TAG_RE, " "), r"\s+", " ")))
+
+    def _keep(b: Column) -> Column:
+        anchors = F.regexp_extract_all(
+            b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), 1
+        )
+        link_chars = F.aggregate(
+            anchors, F.lit(0), lambda acc, a: acc + _txt_len(a)
+        )
+        n = _txt_len(b)
+        return (n >= F.lit(min_text_chars)) & (
+            link_chars.cast("double")
+            <= F.lit(float(max_link_density)) * n.cast("double")
+        )
+
+    c = _html_pre_clean(col)
+    c = _html_block_breaks(c)
+    kept = F.filter(F.split(c, "\n", -1), _keep)
+    c = F.array_join(kept, "\n")
+    c = _html_strip_tags(c)
+    c = decode_html_entities(c)
+    return _html_ws_normalize(c)

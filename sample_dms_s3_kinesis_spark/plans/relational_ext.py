@@ -5963,3 +5963,170 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_diversity(
         t(spark, sf_dir, "embeddings"), label_col="label"
     )
+
+
+# ------------------------------------------------------------------
+# HTML / markup text extraction (operators/text.py html_* family).
+# The oracle replays the operator's regexp chain step-for-step in
+# DuckDB SQL; the builders below mirror text._html_pre_clean /
+# _html_block_breaks / _html_strip_tags / decode_html_entities /
+# _html_ws_normalize one regexp_replace per line, so a diff between
+# engine and oracle is a diff between two readable chains.
+# ------------------------------------------------------------------
+
+def _sqlq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _duck_html_pre_clean(e: str) -> str:
+    e = f"regexp_replace({e}, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')"
+    e = f"regexp_replace({e}, '[\\r\\n\\t]+', ' ', 'g')"
+    e = f"regexp_replace({e}, '(?s)<!--.*?-->', ' ', 'g')"
+    for tag in _text._HTML_DROP_CONTENT:
+        e = f"regexp_replace({e}, '(?is)<{tag}\\b.*?</{tag}\\s*>', ' ', 'g')"
+    return e
+
+
+def _duck_html_block_breaks(e: str) -> str:
+    return (
+        f"regexp_replace({e}, '(?i)</?(?:{_text._HTML_BLOCK_TAGS})\\b[^>]*>',"
+        " chr(10), 'g')"
+    )
+
+
+def _duck_html_strip_tags(e: str) -> str:
+    return f"regexp_replace({e}, '(?s)<[/!?a-zA-Z][^>]*>', ' ', 'g')"
+
+
+def _duck_html_entities(e: str) -> str:
+    for code, repl in _text._HTML_TYPOGRAPHIC:
+        e = f"regexp_replace({e}, '&#{code};', '{_sqlq(repl)}', 'g')"
+    e = (
+        f"regexp_replace({e}, '{_text._HTML_NUM_RE}',"
+        " chr(1)||'\\1'||chr(2), 'g')"
+    )
+    e = (
+        f"list_aggregate(list_transform(string_split({e}, chr(1)), p -> "
+        "CASE WHEN regexp_matches(p, '^[0-9]{2,3}'||chr(2)) THEN "
+        "chr(CAST(regexp_extract(p, '^([0-9]+)'||chr(2), 1) AS INT)) || "
+        "regexp_replace(p, '^[0-9]+'||chr(2), '') ELSE p END), "
+        "'string_agg', '')"
+    )
+    for name, repl in _text._HTML_NAMED:
+        e = f"regexp_replace({e}, '&{name};', '{_sqlq(repl)}', 'g')"
+    return e
+
+
+def _duck_html_ws(e: str) -> str:
+    e = f"regexp_replace({e}, '[ \\t\\r ]+', ' ', 'g')"
+    e = f"regexp_replace({e}, ' ?\\n ?', chr(10), 'g')"
+    e = f"regexp_replace({e}, '\\n+', chr(10), 'g')"
+    e = f"trim({e}, ' ')"
+    return f"regexp_replace({e}, '^\\n+|\\n+$', '', 'g')"
+
+
+def _duck_html_extract(e: str) -> str:
+    return _duck_html_ws(_duck_html_entities(_duck_html_strip_tags(
+        _duck_html_block_breaks(_duck_html_pre_clean(e)))))
+
+
+_DUCK_TXTLEN = (
+    "length(trim(regexp_replace(regexp_replace({x}, '(?s)<[/!?a-zA-Z][^>]*>', ' ',"
+    " 'g'), '\\s+', ' ', 'g'), ' '))"
+)
+
+
+def _duck_html_main(e: str, min_chars: int = 15, max_ld: float = 0.5) -> str:
+    blocks = (
+        f"string_split({_duck_html_block_breaks(_duck_html_pre_clean(e))},"
+        " chr(10))"
+    )
+    tl_b = _DUCK_TXTLEN.format(x="b")
+    tl_a = _DUCK_TXTLEN.format(x="a")
+    keep = (
+        f"list_filter({blocks}, b -> {tl_b} >= {min_chars} AND "
+        f"coalesce(list_sum(list_transform(regexp_extract_all(b, "
+        f"'(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1), a -> {tl_a})), 0)::DOUBLE "
+        f"<= {max_ld} * ({tl_b})::DOUBLE)"
+    )
+    joined = f"coalesce(list_aggregate({keep}, 'string_agg', chr(10)), '')"
+    return _duck_html_ws(_duck_html_entities(_duck_html_strip_tags(joined)))
+
+
+# Deterministic wrapper that turns each document into an HTML page with
+# every feature class the extractor handles: nav/footer link farms (the
+# boilerplate heuristic's target), heading, comment, invisible <script>
+# and <style> content, named + numeric + typographic entities, and the
+# body text with every 'e' re-encoded as '&#101;' so the generic
+# numeric decode runs thousands of times per doc.  Single-quote-free so
+# both engines embed it as a plain literal.
+_HTML_WRAP_PREFIX = (
+    '<html><head><title>T</title><style>p{x:1}</style></head><body>'
+    '<div id="nav"><a href="/">Home</a> <a href="/a">About</a> '
+    '<a href="/b">Blog</a></div><h1>Doc '
+)
+_HTML_WRAP_MID = " &amp; notes</h1><!-- c --><p>"
+_HTML_WRAP_TAIL = (
+    "</p><p>Tail &lt;b&gt; &#8220;q&#8221;&nbsp;end of tail block</p>"
+    "<script>var x = 1 < 2;</script>"
+    '<div><a href="/p">Privacy</a> <a href="/t">Terms</a></div>'
+    "</body></html>"
+)
+
+_DUCK_WRAPPED_HTML = (
+    f"'{_HTML_WRAP_PREFIX}' || CAST(doc_id AS VARCHAR) || "
+    f"'{_HTML_WRAP_MID}' || replace(text, 'e', '&#101;') || "
+    f"'{_HTML_WRAP_TAIL}'"
+)
+
+
+@_register(
+    "q_html_extract",
+    f"""
+    WITH h AS (SELECT doc_id, {_DUCK_WRAPPED_HTML} AS html FROM documents),
+    x AS (SELECT doc_id, {_duck_html_extract("html")} AS extracted,
+                 {_duck_html_main("html")} AS main_content
+          FROM h)
+    SELECT doc_id,
+           md5(extracted) AS extracted_md5,
+           CAST(length(extracted) AS BIGINT) AS extracted_len,
+           CAST(len(list_filter(string_split(extracted, chr(10)),
+                                b -> b != '')) AS INT) AS n_blocks,
+           md5(main_content) AS main_md5,
+           CAST(length(main_content) AS BIGINT) AS main_len,
+           left(main_content, 80) AS main_prefix
+    FROM x
+    """,
+    "HTML text extraction: tag-strip + entity decode (named, numeric-"
+    "ASCII, typographic) + block boundaries + link-density boilerplate "
+    "removal, as pure Catalyst regexp/HOF chains over synthesized "
+    "per-document pages; oracle replays the identical chain in DuckDB",
+    "text: HTML/markup extraction (web-crawl ingest step)",
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_WRAP_PREFIX),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_WRAP_MID),
+        F.replace(F.col("text"), F.lit("e"), F.lit("&#101;")),
+        F.lit(_HTML_WRAP_TAIL),
+    )
+    # Bind the two extracted strings once (projection barrier) — the
+    # downstream md5/length/split reference them several times and the
+    # chain is ~40 regexps deep.
+    x = d.select(
+        "doc_id",
+        _text.html_extract(html).alias("extracted"),
+        _text.html_main_content(html).alias("main_content"),
+    )
+    return x.select(
+        "doc_id",
+        F.md5("extracted").alias("extracted_md5"),
+        F.length("extracted").cast("long").alias("extracted_len"),
+        F.size(F.filter(F.split("extracted", "\n", -1), lambda b: b != ""))
+        .alias("n_blocks"),
+        F.md5("main_content").alias("main_md5"),
+        F.length("main_content").cast("long").alias("main_len"),
+        F.substring("main_content", 1, 80).alias("main_prefix"),
+    )

@@ -552,3 +552,134 @@ def test_cdc_chunks_md5_boundary_flavor(spark):
         text.cdc_chunks(df, mask_bits=5, boundary="md5")
     with _pytest.raises(ValueError, match="unknown boundary"):
         text.cdc_chunks(df, boundary="sha9000")
+
+
+# ---------------------------------------------------------------------------
+# HTML / markup extraction
+# ---------------------------------------------------------------------------
+
+def _html_one(spark, col_fn, html):
+    df = spark.createDataFrame([(1, html)], "id int, html string")
+    return df.select(col_fn(F.col("html")).alias("v")).collect()[0]["v"]
+
+
+def test_html_extract_tags_blocks_entities(spark):
+    html = (
+        '<html><head><style>p{c:1}</style></head><body>'
+        "<h1>Title &amp; more</h1><!-- gone -->"
+        "<p>H&#101;llo <b>world</b> &lt;tag&gt; &#8217;q&#8217;</p>"
+        "<p>line\nbreak   inside</p>"
+        "<script>var x = 1 < 2;</script></body></html>"
+    )
+    got = _html_one(spark, text.html_extract, html)
+    assert got == (
+        "Title & more\nHello world <tag> 'q'\nline break inside"
+    )
+
+
+def test_html_extract_single_decode_amp_last(spark):
+    # "&amp;lt;" must decode ONCE, to the literal "&lt;" — not to "<".
+    got = _html_one(spark, text.html_extract, "<p>&amp;lt; &amp;#65;</p>")
+    assert got == "&lt; &#65;"
+
+
+def test_html_numeric_entity_range_gate(spark):
+    # 32..126 decode; 31 and 127 stay literal (outside the range where
+    # Spark chr and DuckDB chr agree); hex entities stay literal.
+    got = _html_one(
+        spark, text.html_extract, "a&#65;b &#31;c &#127;d &#x41;e"
+    )
+    assert got == "aAb &#31;c &#127;d &#x41;e"
+
+
+def test_html_extract_unclosed_tag_and_plain_text(spark):
+    assert _html_one(spark, text.html_extract, "3 < 5 and x > 1") == (
+        "3 < 5 and x > 1"
+    )
+    # a '<' that never closes stays literal; the closed tag strips
+    assert _html_one(spark, text.html_extract, "a < b <i>c</i>") == "a < b c"
+
+
+def test_html_blocks_and_empty_input(spark):
+    got = _html_one(
+        spark, text.html_blocks, "<ul><li>one</li><li></li><li>two</li></ul>"
+    )
+    assert got == ["one", "two"]
+    assert _html_one(spark, text.html_extract, "") == ""
+    assert _html_one(spark, text.html_blocks, "") == []
+
+
+def test_html_main_content_drops_link_farms(spark):
+    html = (
+        '<div><a href="/">Home</a> <a href="/a">About</a></div>'
+        "<p>This paragraph is long enough to keep and has no links.</p>"
+        '<p>A sentence with one <a href="/x">link</a> inside stays put.</p>'
+        "<p>short</p>"
+        '<div class="footer"><a href="/p">Privacy</a> <a href="/t">Terms</a></div>'
+    )
+    got = _html_one(spark, text.html_main_content, html)
+    assert got == (
+        "This paragraph is long enough to keep and has no links.\n"
+        "A sentence with one link inside stays put."
+    )
+    # all-boilerplate page -> empty string, not NULL
+    nav_only = '<div><a href="/">Home</a> <a href="/a">About</a></div>'
+    assert _html_one(spark, text.html_main_content, nav_only) == ""
+
+
+def test_html_extract_python_reference_on_corpus(spark):
+    """Engine chain vs an independent pure-Python reference over real
+    corpus text wrapped in markup (entity-encoding every 'e')."""
+    import html as _pyhtml
+    import re
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").orderBy("doc_id").limit(40).collect()
+    )
+
+    def py_extract(raw: str) -> str:
+        c = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", raw)
+        c = re.sub(r"[\r\n\t]+", " ", c)
+        c = re.sub(r"(?s)<!--.*?-->", " ", c)
+        for tag in ("script", "style", "noscript", "template", "head"):
+            c = re.sub(rf"(?is)<{tag}\b.*?</{tag}\s*>", " ", c)
+        c = re.sub(
+            rf"(?i)</?(?:{text._HTML_BLOCK_TAGS})\b[^>]*>", "\n", c
+        )
+        c = re.sub(r"(?s)<[/!?a-zA-Z][^>]*>", " ", c)
+        for code, repl in text._HTML_TYPOGRAPHIC:
+            c = c.replace(f"&#{code};", repl)
+        c = re.sub(
+            r"&#(3[2-9]|[4-9][0-9]|1[01][0-9]|12[0-6]);",
+            lambda m: chr(int(m.group(1))), c,
+        )
+        for name, repl in text._HTML_NAMED:
+            c = c.replace(f"&{name};", repl)
+        c = re.sub(r"[ \t\r]+", " ", c)
+        c = re.sub(r" ?\n ?", "\n", c)
+        c = re.sub(r"\n+", "\n", c)
+        return re.sub(r"^\n+|\n+$", "", c.strip(" "))
+
+    def wrap(doc_id, txt):
+        return (
+            f"<h1>Doc {doc_id}</h1><p>" + txt.replace("e", "&#101;")
+            + "</p><script>x</script>"
+        )
+
+    df = spark.createDataFrame(
+        [(r["doc_id"], wrap(r["doc_id"], r["text"])) for r in rows],
+        "doc_id long, html string",
+    )
+    got = {
+        r["doc_id"]: r["v"]
+        for r in df.select(
+            "doc_id", text.html_extract(F.col("html")).alias("v")
+        ).collect()
+    }
+    for r in rows:
+        expect = py_extract(wrap(r["doc_id"], r["text"]))
+        assert got[r["doc_id"]] == expect, r["doc_id"]
+        # sanity: the reference decode matches stdlib html.unescape on
+        # the ASCII-range numerics it handles
+        assert _pyhtml.unescape("&#101;") == "e"
