@@ -1598,6 +1598,75 @@ def q_minhash_md5_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The scale-default near-dup clustering composition, as ONE query:
+# banded LSH candidate pairs (O(collisions), never all-pairs) ->
+# connected components (large-star/small-star above the driver gate) ->
+# cluster sizes + min-id survivor flags.  This is the path a 100-TB
+# corpus actually takes (q_dedup_clusters' exact pair graph is the
+# small-corpus flavor); under the md5 hash family the WHOLE composition
+# is exact-oracle-checked — DuckDB rebuilds the same signatures, bands
+# and estimates, then closes the graph with a recursive min-label walk.
+@_register(
+    "q_neardup_clustering_lsh",
+    f"""
+    WITH RECURSIVE {_MINHASH_MD5_SIG_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    p AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE len(list_filter(range(1, 13),
+                            i -> sa.sig[i] = sb.sig[i])) / 12.0 >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+    cl AS (SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+           FROM cl GROUP BY cluster_id)
+    SELECT c.id, c.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN c.id = c.cluster_id THEN 1 ELSE 0 END AS INT)
+             AS is_survivor
+    FROM cl c JOIN sz s USING (cluster_id)
+    ORDER BY c.id
+    """,
+    "the scale-default near-dup clustering flagship: MinHash-LSH "
+    "banded pairs (md5 family) -> connected components -> cluster "
+    "sizes + min-id survivor flags, exact-oracle-checked end to end "
+    "(DuckDB replays signatures, bands, estimate AND the recursive "
+    "min-label closure)",
+    "dedup: LSH-composed clustering (scale path of q_dedup_clusters)",
+)
+def q_neardup_clustering_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, num_hashes=12, bands=4, threshold=0.5, hash_family="md5"
+    )
+    cc = dedup.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("id") == F.col("cluster_id")).cast("int")
+            .alias("is_survivor"),
+        )
+        .orderBy("id")
+    )
+
+
 # SimHash twin of the md5-family conversion: the fingerprint's 64 bits
 # derive from md5 hex nibbles, which DuckDB reproduces bit-by-bit; the
 # oracle then brute-forces ALL pairs (no banding mirror needed — the
