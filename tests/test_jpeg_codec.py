@@ -68,14 +68,16 @@ def test_grayscale_single_component():
 def test_unsupported_variants_raise_not_implemented():
     import struct
 
-    prog = (
+    # arithmetic-coded sequential (SOF9) stays on the error channel
+    # (progressive SOF2 decodes since r8)
+    arith = (
         b"\xff\xd8"
-        + struct.pack(">BBH", 0xFF, 0xC2, 8)
+        + struct.pack(">BBH", 0xFF, 0xC9, 8)
         + b"\x08\x00\x08\x00\x08\x01"
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="0xFFC2"):
-        decode_jpeg(prog)
+    with pytest.raises(NotImplementedError, match="0xFFC9"):
+        decode_jpeg(arith)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
 
@@ -225,3 +227,110 @@ def test_encode_rejects_nonpositive_quality_scale():
     for q in (0, -1):
         with pytest.raises(ValueError, match="quality_scale"):
             encode_jpeg(img, quality_scale=q)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode
+# ---------------------------------------------------------------------------
+
+def _prog():
+    from sample_dms_s3_kinesis_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+    return encode_jpeg_progressive
+
+
+def test_progressive_equals_baseline_gray_and_color():
+    """The progressive scan script encodes the SAME quantized
+    coefficients as the baseline encoder, so the two decodes must agree
+    EXACTLY — pixel-identical, not within-epsilon."""
+    enc_p = _prog()
+    rng = np.random.default_rng(7)
+    gray = (
+        np.linspace(0, 255, 48 * 64).reshape(48, 64)
+        + rng.integers(0, 40, (48, 64))
+    ).clip(0, 255).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray)), decode_jpeg(enc_p(gray))
+    )
+    rgb = _gradient(41, 53)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(rgb)), decode_jpeg(enc_p(rgb))
+    )
+
+
+def test_progressive_subsampled_odd_sizes_and_quality():
+    """4:2:0 with odd dimensions exercises the non-interleaved AC block
+    grid being smaller than the MCU-padded grid; a coarser quant table
+    exercises sparse bands (long EOB runs)."""
+    enc_p = _prog()
+    rng = np.random.default_rng(11)
+    for h, w, qs in ((33, 17, 1), (16, 33, 3), (25, 31, 2)):
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(rgb, subsample=True, quality_scale=qs))
+        prog = decode_jpeg(enc_p(rgb, subsample=True, quality_scale=qs))
+        assert np.array_equal(base, prog), (h, w, qs)
+
+
+def test_progressive_restart_markers():
+    enc_p = _prog()
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (33, 17, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(rgb, subsample=True))
+    for ri in (1, 2, 5):
+        assert np.array_equal(
+            base, decode_jpeg(enc_p(rgb, subsample=True, restart_interval=ri))
+        ), ri
+
+
+def test_progressive_eob_runs_and_flat_regions():
+    """A mostly-flat image maximizes EOB-run coding (including runs
+    spanning many blocks) and the sharp edge forces ZRL + refinement
+    correction bits in the same scan."""
+    enc_p = _prog()
+    img = np.full((80, 96), 130, np.uint8)
+    img[10:20, 40:41] = 255
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img)), decode_jpeg(enc_p(img))
+    )
+
+
+def test_progressive_random_sweep():
+    enc_p = _prog()
+    rng = np.random.default_rng(29)
+    for i in range(12):
+        h, w = int(rng.integers(8, 70)), int(rng.integers(8, 70))
+        if i % 2:
+            im = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            sub = i % 4 == 1
+            a = decode_jpeg(encode_jpeg(im, subsample=sub))
+            b = decode_jpeg(enc_p(im, subsample=sub))
+        else:
+            im = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            a = decode_jpeg(encode_jpeg(im))
+            b = decode_jpeg(enc_p(im))
+        assert np.array_equal(a, b), (i, h, w)
+
+
+def test_progressive_rejects_bad_quality_scale():
+    with pytest.raises(ValueError, match="quality_scale"):
+        _prog()(np.zeros((8, 8), np.uint8), quality_scale=0)
+
+
+def test_progressive_through_multimodal_pipeline(spark):
+    """A progressive JPEG asset row decodes through the same
+    mapInPandas feature path as baseline rows."""
+    enc_p = _prog()
+    img = _gradient(24, 16)
+    rows = [
+        (1, "image", bytearray(encode_jpeg(img))),
+        (2, "image", bytearray(enc_p(img))),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, content binary"
+    )
+    out = multimodal.extract_image_features(df).orderBy("asset_id").collect()
+    assert [r["asset_id"] for r in out] == [1, 2]
+    assert all(r["feature"] is not None for r in out)
+    # identical decoded pixels in -> identical features out
+    assert out[0]["feature"] == out[1]["feature"]
