@@ -5619,10 +5619,16 @@ def q_neardup_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators import graph as _graph
     from sample_dms_s3_kinesis_spark.operators.dedup import (
-        prefix_jaccard_pairs,
+        minhash_lsh_pairs,
     )
 
-    pairs = prefix_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+    # Edge source is the LSH near-dup graph — the scale-default pair
+    # path (O(collisions) banded join).  The exact prefix-filter join
+    # at this threshold materializes ~3M edges on the sf0.1 corpus
+    # (dense synthetic near-dup structure, ~125 s) and times the pair
+    # join, not the centrality op this query exists to exercise
+    # (bench tier-2 finding, r8).
+    pairs = minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
