@@ -1,0 +1,122 @@
+"""URL / domain curation operators: parse, normalize, registered-domain
+extraction and per-domain frequency caps — the web-crawl provenance
+layer every large corpus pipeline applies before content-level dedup
+(RefinedWeb/C4-style: cap documents per registered domain so a single
+mirror farm cannot dominate the training mix).
+
+Pure Catalyst expressions (regexp + split/slice + one window for the
+cap), RE2/Java-identical regexes so the DuckDB oracle replays them
+byte-for-byte.  The cap is one hash-partitioned window over the
+registered domain — no shuffle beyond it, scales linearly; heavy-hitter
+domains are exactly the rows the cap discards, so skew self-resolves.
+
+Reference note: the reference has no URL surface (SURVEY §2.8); this
+extends the engine per the north star in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# scheme://host[:port][/path][?query][#fragment] — RE2-safe (no
+# lookaround); host excludes ':' '/' '?' '#' so a port never leaks in.
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
+_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+# Second-level public suffixes we recognize (a deterministic, documented
+# subset of the public-suffix list: the common ccTLD registries).  A
+# host ending in one of these keeps THREE labels as its registered
+# domain; everything else keeps two.
+SECOND_LEVEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+]
+
+
+def url_scheme(col: Column) -> Column:
+    """Lowercased scheme, '' when the value is not a parseable URL."""
+    return F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased hostname (ports and userinfo-free per the host class;
+    '' when not parseable)."""
+    return F.lower(F.regexp_extract(col, _HOST_RE, 1))
+
+
+def url_port(col: Column) -> Column:
+    """Explicit port as int, NULL when absent."""
+    p = F.regexp_extract(col, _PORT_RE, 1)
+    return F.when(p != "", p.cast("int"))
+
+
+def url_path(col: Column) -> Column:
+    return F.regexp_extract(col, _PATH_RE, 1)
+
+
+def url_query(col: Column) -> Column:
+    return F.regexp_extract(col, _QUERY_RE, 1)
+
+
+def registered_domain(host: Column) -> Column:
+    """Registered (pay-level) domain of a lowercased host: the last two
+    labels, or three when the last two form a recognized second-level
+    public suffix.  Hosts with fewer labels pass through unchanged."""
+    labels = F.split(host, r"\.", -1)
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
+    sl = F.array(*[F.lit(s) for s in SECOND_LEVEL_SUFFIXES])
+    return F.when(n <= 2, host).otherwise(
+        F.when(F.array_contains(sl, last2), last3).otherwise(last2)
+    )
+
+
+def parse_urls(
+    df: DataFrame, *, url_col: str = "url", prefix: str = "url_"
+) -> DataFrame:
+    """Append parsed URL columns: {prefix}scheme/host/port/path/query
+    and {prefix}domain (registered domain).  One narrow projection."""
+    c = F.col(url_col)
+    host = url_host(c)
+    return df.select(
+        "*",
+        url_scheme(c).alias(f"{prefix}scheme"),
+        host.alias(f"{prefix}host"),
+        url_port(c).alias(f"{prefix}port"),
+        url_path(c).alias(f"{prefix}path"),
+        url_query(c).alias(f"{prefix}query"),
+        registered_domain(host).alias(f"{prefix}domain"),
+    )
+
+
+def domain_caps(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    max_per_domain: int,
+    order_col: str = "doc_id",
+    keep_col: str = "kept",
+) -> DataFrame:
+    """Per-registered-domain frequency cap: flag (not drop) the first
+    ``max_per_domain`` rows per domain in deterministic ``order_col``
+    order — callers filter on ``keep_col`` or route the overflow to an
+    exceptions channel.  One window over the domain key; the domains
+    whose row counts would skew the shuffle are exactly the capped
+    ones, and rank-k selection stops mattering past the cap."""
+    if max_per_domain < 1:
+        raise ValueError(
+            f"max_per_domain must be >= 1, got {max_per_domain}"
+        )
+    dom = registered_domain(url_host(F.col(url_col)))
+    w = Window.partitionBy(dom).orderBy(F.col(order_col).asc())
+    return df.withColumn(
+        keep_col,
+        (F.row_number().over(w) <= F.lit(max_per_domain)).cast("int"),
+    )

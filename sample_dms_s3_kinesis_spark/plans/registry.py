@@ -3094,7 +3094,8 @@ DRIVER_WINDOW: list[str] = [
 ]
 # r9 rotation backlog, in priority order (never-checked beats stale):
 # (a) any query registered during the r8 sessions (enumerate here as
-#     they land): q_html_extract, q_neardup_clustering_lsh;
+#     they land): q_html_extract, q_neardup_clustering_lsh,
+#     q_url_domain_caps;
 # (b) the 37 remaining r4-stale rows (q_ann_cosine_topk, q_asof_join,
 #     q_assign_shards, q_binned_range_join, q_corpus_composition,
 #     q_curation_pipeline, q_decontaminate, q_dedup_* families,

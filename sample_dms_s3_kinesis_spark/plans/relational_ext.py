@@ -6136,3 +6136,103 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("main_content").cast("long").alias("main_len"),
         F.substring("main_content", 1, 80).alias("main_prefix"),
     )
+
+
+# ------------------------------------------------------------------
+# URL / domain curation (operators/urls.py): parse + registered domain
+# + per-domain frequency caps over deterministically synthesized crawl
+# URLs (scheme/case/port/query/ccTLD variety so every parse branch and
+# the second-level-suffix rule execute).
+# ------------------------------------------------------------------
+
+from sample_dms_s3_kinesis_spark.operators import urls as _urls  # noqa: E402
+
+_URL_SL_SQL = "[" + ", ".join(
+    f"'{s}'" for s in _urls.SECOND_LEVEL_SUFFIXES
+) + "]"
+
+
+@_register(
+    "q_url_domain_caps",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                      WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN upper(source) ELSE source END)
+             || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk'
+                      WHEN doc_id % 4 = 1 THEN '.org'
+                      WHEN doc_id % 4 = 2 THEN '.com' ELSE '.net.au' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+             || '/p/' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 5 = 0
+                      THEN '?ref=r8&x=' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END) AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS url_scheme,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS url_host,
+             NULLIF(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)', 1),
+               '')::INT AS url_port,
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+               AS url_path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS url_query
+      FROM u),
+    d AS (
+      SELECT *,
+             CASE WHEN len(string_split(url_host, '.')) <= 2 THEN url_host
+                  WHEN list_contains({_URL_SL_SQL},
+                       array_to_string(string_split(url_host, '.')[-2:], '.'))
+                  THEN array_to_string(string_split(url_host, '.')[-3:], '.')
+                  ELSE array_to_string(string_split(url_host, '.')[-2:], '.')
+             END AS url_domain
+      FROM p)
+    SELECT doc_id, url_scheme, url_host, url_port, url_path, url_query,
+           url_domain,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+                  PARTITION BY url_domain ORDER BY doc_id) <= 3
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM d
+    """,
+    "URL curation: parse scheme/host/port/path/query, registered "
+    "domain with second-level-suffix rule (co.uk/net.au), and a "
+    "3-per-domain frequency cap (RefinedWeb-style) over synthesized "
+    "crawl URLs — regexp chain + one domain window, exact oracle",
+    "curation: URL parse + per-domain caps",
+)
+def q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("www."))
+        .when(did % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.when(did % 4 == 0, F.lit(".co.uk"))
+        .when(did % 4 == 1, F.lit(".org"))
+        .when(did % 4 == 2, F.lit(".com"))
+        .otherwise(F.lit(".net.au")),
+        F.when(did % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        did.cast("string"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("?ref=r8&x="), did.cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    with_url = d.select("doc_id", "source", url.alias("url"))
+    parsed = _urls.parse_urls(with_url)
+    capped = _urls.domain_caps(parsed, max_per_domain=3)
+    return capped.select(
+        "doc_id", "url_scheme", "url_host", "url_port", "url_path",
+        "url_query", "url_domain", "kept",
+    )

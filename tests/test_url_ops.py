@@ -1,0 +1,84 @@
+"""URL / domain curation operators vs hand-computed expectations."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import urls
+
+
+def _parse_one(spark, url):
+    df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+    return urls.parse_urls(df).collect()[0]
+
+
+def test_url_parse_full_and_minimal(spark):
+    r = _parse_one(
+        spark, "HTTPS://WWW.Example.CO.UK:8443/a/b%20c?x=1&y=2#frag"
+    )
+    assert r["url_scheme"] == "https"
+    assert r["url_host"] == "www.example.co.uk"
+    assert r["url_port"] == 8443
+    assert r["url_path"] == "/a/b%20c"
+    assert r["url_query"] == "x=1&y=2"
+    assert r["url_domain"] == "example.co.uk"
+
+    r = _parse_one(spark, "http://example.com")
+    assert (
+        r["url_scheme"], r["url_host"], r["url_port"],
+        r["url_path"], r["url_query"], r["url_domain"],
+    ) == ("http", "example.com", None, "", "", "example.com")
+
+
+def test_url_parse_unparseable_and_single_label(spark):
+    r = _parse_one(spark, "not a url at all")
+    assert r["url_scheme"] == "" and r["url_host"] == ""
+    assert r["url_port"] is None and r["url_domain"] == ""
+    r = _parse_one(spark, "https://localhost/x")
+    assert r["url_host"] == "localhost"
+    assert r["url_domain"] == "localhost"  # <= 2 labels pass through
+
+
+def test_registered_domain_second_level_suffixes(spark):
+    cases = {
+        "a.b.example.co.uk": "example.co.uk",
+        "x.shop.com.au": "shop.com.au",
+        "deep.sub.example.org": "example.org",
+        "example.org": "example.org",
+        "co.uk": "co.uk",  # 2 labels pass through, even a suffix
+    }
+    df = spark.createDataFrame(
+        [(h,) for h in cases], "host string"
+    ).select(
+        "host", urls.registered_domain(F.col("host")).alias("dom")
+    )
+    got = {r["host"]: r["dom"] for r in df.collect()}
+    assert got == cases
+
+
+def test_domain_caps_flags_overflow_deterministically(spark):
+    rows = [
+        (i, f"https://{'a' if i < 5 else 'b'}.example.com/{i}")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_caps(df, max_per_domain=2).collect()
+    }
+    # one registered domain (example.com): first 2 doc_ids kept
+    assert out == {i: (1 if i < 2 else 0) for i in range(8)}
+
+    # distinct domains each get their own budget
+    rows = [(i, f"https://s{i % 3}.net/{i}") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_caps(df, max_per_domain=2).collect()
+    }
+    assert sum(out.values()) == 6
+    assert out[0] == out[1] == out[2] == out[3] == out[4] == out[5] == 1
+    assert out[6] == out[7] == out[8] == 0
+
+    with pytest.raises(ValueError, match="max_per_domain"):
+        urls.domain_caps(df, max_per_domain=0)
