@@ -438,3 +438,21 @@ def test_graph_queries_stay_jvm_side(spark):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_html_extract_is_jvm_only_single_scan(spark):
+    """The HTML extraction chain is ~40 regexp/HOF expressions but ONE
+    narrow projection: no Python eval, no shuffle, one documents scan."""
+    plan = _plan(spark, "q_html_extract")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_url_domain_caps_single_window_shuffle(spark):
+    """URL parse + registered domain are narrow; the per-domain cap is
+    exactly ONE shuffle (the window's domain-key exchange)."""
+    plan = _plan(spark, "q_url_domain_caps")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
