@@ -764,39 +764,14 @@ def encode_jpeg(
     baseline JPEG.  ``quality_scale`` multiplies the quantization ramp
     (1 = mild); ``subsample=True`` writes 4:2:0 chroma;
     ``restart_interval=N`` emits RSTn markers every N MCUs (DRI).
-    Deterministic: same pixels -> same bytes."""
-    if quality_scale < 1:
-        # quality_scale=0 (or negative) would clip the quant tables to
-        # all-1s, where a high-frequency block can yield an AC
-        # magnitude of size 11 — absent from the flat Huffman table
-        # (sizes 1-10) — and raise a bare KeyError mid-encode.
-        raise ValueError(
-            f"quality_scale must be >= 1, got {quality_scale}"
-        )
-    gray = img.ndim == 2
-    if gray:
-        comps_px = [img.astype(np.float64)]
-        samp = [(1, 1, 0)]
-    else:
-        x = img.astype(np.float64)
-        r, g, b = x[..., 0], x[..., 1], x[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample:
-            cb = _box2(cb)
-            cr = _box2(cr)
-            samp = [(2, 2, 0), (1, 1, 1), (1, 1, 1)]
-        else:
-            samp = [(1, 1, 0), (1, 1, 1), (1, 1, 1)]
-        comps_px = [y, cb, cr]
-    H, W = img.shape[:2]
-    # Baseline DQT entries are 8-bit: clamp to 255 so large
-    # quality_scale values coarsen quantization instead of crashing
-    # the bytes() write with values outside range(256).
-    q0 = np.clip(_Q_RAMP * quality_scale, 1, 255)
-    q1 = np.clip(_Q_RAMP * quality_scale * 2, 1, 255)
-    qtabs = [q0, q1]
+    Deterministic: same pixels -> same bytes.  The coefficient front
+    half is shared with ``encode_jpeg_progressive`` via
+    ``_quantized_comp_blocks`` — ONE float pipeline, so the exact
+    progressive==baseline decode contract cannot drift."""
+    H, W, samp, qtabs, comp_zz = _quantized_comp_blocks(
+        img, quality_scale, subsample
+    )
+    gray = len(samp) == 1
     dc_counts, dc_syms, dc_enc = _flat_huffman(list(range(12)))
     ac_syms = sorted({0x00, 0xF0} | {
         (r << 4) | s for r in range(16) for s in range(1, 11)
@@ -807,18 +782,6 @@ def encode_jpeg(
     vmax = max(s[1] for s in samp)
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
-    # pad every component plane to its MCU-grid size (edge replicate)
-    padded = []
-    for px, (h, v, _tq) in zip(comps_px, samp):
-        ph, pw = mcus_y * v * 8, mcus_x * h * 8
-        ch, cw = px.shape
-        out = np.empty((ph, pw))
-        out[:ch, :cw] = px
-        if pw > cw:
-            out[:ch, cw:] = px[:, -1:]
-        if ph > ch:
-            out[ch:, :] = out[ch - 1 : ch, :]
-        padded.append(out)
 
     w = _BitWriter()
     preds = [0] * len(samp)
@@ -836,17 +799,10 @@ def encode_jpeg(
                 rst_n = (rst_n + 1) % 8
                 preds = [0] * len(samp)
             mcu_index += 1
-            for ci, (plane, (h, v, tq)) in enumerate(zip(padded, samp)):
-                q = qtabs[tq]
+            for ci, (h, v, _tq) in enumerate(samp):
                 for bv in range(v):
                     for bh in range(h):
-                        py = (my * v + bv) * 8
-                        px_ = (mx * h + bh) * 8
-                        block = plane[py : py + 8, px_ : px_ + 8] - 128.0
-                        coef = _DCT @ block @ _DCT.T
-                        zz = np.rint(
-                            coef.reshape(64)[ZIGZAG] / q[ZIGZAG]
-                        ).astype(np.int64)
+                        zz = comp_zz[ci][my * v + bv, mx * h + bh]
                         diff = int(zz[0]) - preds[ci]
                         preds[ci] = int(zz[0])
                         s, off = _magnitude(diff)
@@ -1032,26 +988,34 @@ def encode_jpeg_progressive(
         w.out += bytes([0xFF, 0xD0 + rst_n])
         return (rst_n + 1) % 8
 
+    def dc_groups() -> list[list[tuple[int, int, int]]]:
+        """DC-scan restart units: one (ci, by, bx) block per unit in
+        the single-component (non-interleaved) case, one MCU's worth
+        of blocks per unit otherwise — ONE definition, shared by the
+        first and refinement scans, because the decoder's DC path must
+        mirror this order exactly."""
+        if gray:
+            nby, nbx = nonint_grid(0)
+            return [
+                [(0, by, bx)] for by in range(nby) for bx in range(nbx)
+            ]
+        groups = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                g = []
+                for ci, (h, v, _tq) in enumerate(samp):
+                    for bv in range(v):
+                        for bh in range(h):
+                            g.append((ci, my * v + bv, mx * h + bh))
+                groups.append(g)
+        return groups
+
     def dc_first_scan(al: int) -> bytes:
         w = _BitWriter()
         preds = [0] * len(samp)
         rst_n = 0
         unit = 0
-        if gray:
-            nby, nbx = nonint_grid(0)
-            order = [(0, by, bx) for by in range(nby) for bx in range(nbx)]
-            groups = [[o] for o in order]
-        else:
-            groups = []
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    g = []
-                    for ci, (h, v, _tq) in enumerate(samp):
-                        for bv in range(v):
-                            for bh in range(h):
-                                g.append((ci, my * v + bv, mx * h + bh))
-                    groups.append(g)
-        for g in groups:
+        for g in dc_groups():
             if restart_interval and unit and unit % restart_interval == 0:
                 rst_n = restart(w, rst_n)
                 preds = [0] * len(samp)
@@ -1071,22 +1035,7 @@ def encode_jpeg_progressive(
         w = _BitWriter()
         rst_n = 0
         unit = 0
-        if gray:
-            nby, nbx = nonint_grid(0)
-            groups = [
-                [(0, by, bx)] for by in range(nby) for bx in range(nbx)
-            ]
-        else:
-            groups = []
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    g = []
-                    for ci, (h, v, _tq) in enumerate(samp):
-                        for bv in range(v):
-                            for bh in range(h):
-                                g.append((ci, my * v + bv, mx * h + bh))
-                    groups.append(g)
-        for g in groups:
+        for g in dc_groups():
             if restart_interval and unit and unit % restart_interval == 0:
                 rst_n = restart(w, rst_n)
             unit += 1

@@ -864,9 +864,12 @@ _HTML_NAMED = [
     ("copy", "(c)"), ("reg", "(r)"), ("trade", "(tm)"), ("amp", "&"),
 ]
 # Decimal numeric entities we decode generically: codes 32..126, the
-# range where both engines' chr() agree.  The alternation IS the range
-# check, so the decode lambda needs no conditional restore path.
-_HTML_NUM_RE = r"&#(3[2-9]|[4-9][0-9]|1[01][0-9]|12[0-6]);"
+# range where both engines' chr() agree — EXCEPT 38 ('&'), which must
+# decode LAST like &amp; ('&#38;lt;' means the literal '&lt;', and an
+# early decode would re-trigger the named pass and double-decode).
+# The alternation IS the range check, so the decode lambda needs no
+# conditional restore path.
+_HTML_NUM_RE = r"&#(3[2-7]|39|[4-9][0-9]|1[01][0-9]|12[0-6]);"
 # Sentinels: control chars stripped from input in step 1, so they are
 # collision-free markers for the numeric-entity split/decode.
 _S1, _S2 = "\x01", "\x02"
@@ -908,8 +911,13 @@ def _html_strip_tags(col: Column) -> Column:
 def decode_html_entities(col: Column) -> Column:
     """Decode typographic + decimal-numeric-ASCII + named entities.
     Numeric decode: mark '&#NN;' with sentinel-wrapped code, split on
-    the sentinel, chr() each marked head — pure HOF, no Python."""
-    c = col
+    the sentinel, chr() each marked head — pure HOF, no Python.  The
+    two ampersand spellings ('&amp;' and '&#38;') decode LAST so an
+    escaped entity ('&amp;lt;', '&#38;lt;') yields the literal '&lt;'
+    — single-decode semantics.  Raw \\x01/\\x02 bytes in the input are
+    stripped first (they are the decode's internal sentinels; the
+    html_* entry points already remove all control chars)."""
+    c = F.regexp_replace(col, f"[{_S1}{_S2}]", "")
     for code, repl in _HTML_TYPOGRAPHIC:
         c = F.regexp_replace(c, rf"&#{code};", repl.replace("$", r"\$"))
     c = F.regexp_replace(c, _HTML_NUM_RE, f"{_S1}$1{_S2}")
@@ -927,7 +935,7 @@ def decode_html_entities(col: Column) -> Column:
     c = F.array_join(dec, "")
     for name, repl in _HTML_NAMED:
         c = F.regexp_replace(c, rf"&{name};", repl.replace("$", r"\$"))
-    return c
+    return F.regexp_replace(c, r"&#38;", "&")
 
 
 def _html_ws_normalize(col: Column) -> Column:

@@ -19,11 +19,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# scheme://host[:port][/path][?query][#fragment] — RE2-safe (no
-# lookaround); host excludes ':' '/' '?' '#' so a port never leaks in.
+# scheme://[userinfo@]host[:port][/path][?query][#fragment] — RE2-safe
+# (no lookaround); an optional userinfo@ is skipped before the host
+# (else 'a@spam.com', 'b@spam.com', ... would each mint a fresh
+# "domain" and evade the per-domain cap), and the host class excludes
+# ':' '/' '?' '#' '@' so neither a port nor userinfo leaks in.
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
-_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)"
+_AUTH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?"
+_HOST_RE = _AUTH + r"([^/?#:@]+)"
+_PORT_RE = _AUTH + r"[^/?#:@]+:([0-9]+)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
@@ -45,9 +49,14 @@ def url_scheme(col: Column) -> Column:
 
 
 def url_host(col: Column) -> Column:
-    """Lowercased hostname (ports and userinfo-free per the host class;
-    '' when not parseable)."""
-    return F.lower(F.regexp_extract(col, _HOST_RE, 1))
+    """Lowercased hostname, userinfo/port-free, trailing root-dot
+    stripped ('example.com.' is the same site as 'example.com' — and
+    an un-stripped empty last label would collapse every FQDN-form
+    host to the bare TLD in registered_domain); '' when not
+    parseable."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(col, _HOST_RE, 1)), r"\.+$", ""
+    )
 
 
 def url_port(col: Column) -> Column:
@@ -100,6 +109,7 @@ def domain_caps(
     df: DataFrame,
     *,
     url_col: str = "url",
+    domain_col: str | None = None,
     max_per_domain: int,
     order_col: str = "doc_id",
     keep_col: str = "kept",
@@ -109,12 +119,20 @@ def domain_caps(
     order — callers filter on ``keep_col`` or route the overflow to an
     exceptions channel.  One window over the domain key; the domains
     whose row counts would skew the shuffle are exactly the capped
-    ones, and rank-k selection stops mattering past the cap."""
+    ones, and rank-k selection stops mattering past the cap.
+
+    Pass ``domain_col`` when the frame already carries the registered
+    domain (e.g. from :func:`parse_urls`) — else the full parse chain
+    re-evaluates per row just to key the window."""
     if max_per_domain < 1:
         raise ValueError(
             f"max_per_domain must be >= 1, got {max_per_domain}"
         )
-    dom = registered_domain(url_host(F.col(url_col)))
+    dom = (
+        F.col(domain_col)
+        if domain_col is not None
+        else registered_domain(url_host(F.col(url_col)))
+    )
     w = Window.partitionBy(dom).orderBy(F.col(order_col).asc())
     return df.withColumn(
         keep_col,

@@ -1550,8 +1550,12 @@ _MINHASH_MD5_SIG_SQL = r"""
 )
 def q_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
+    # max_band_width=None: the DuckDB oracle's bands self-join has no
+    # hot-bucket cap, so the engine side must not drop buckets either
+    # (the cap is a production-skew control, not a semantic)
     return dedup.minhash_lsh_pairs(
-        d, num_hashes=12, bands=4, threshold=0.5, hash_family="md5"
+        d, num_hashes=12, bands=4, threshold=0.5, hash_family="md5",
+        max_band_width=None,
     ).select(
         "id_a", "id_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
     )
@@ -1591,6 +1595,7 @@ def q_minhash_md5_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         threshold=0.5,
         hash_family="md5",
+        max_band_width=None,  # oracle's band join is uncapped
     ).select(
         "new_id",
         "existing_id",
@@ -1647,8 +1652,12 @@ def q_minhash_md5_against(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_neardup_clustering_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
+    # max_band_width=None: the oracle's band join is uncapped, and a
+    # capped-away candidate pair would split a component and flip
+    # cluster ids for every member
     pairs = dedup.minhash_lsh_pairs(
-        d, num_hashes=12, bands=4, threshold=0.5, hash_family="md5"
+        d, num_hashes=12, bands=4, threshold=0.5, hash_family="md5",
+        max_band_width=None,
     )
     cc = dedup.connected_components(pairs)
     sizes = cc.groupBy("cluster_id").agg(
@@ -3095,7 +3104,9 @@ DRIVER_WINDOW: list[str] = [
 # r9 rotation backlog, in priority order (never-checked beats stale):
 # (a) any query registered during the r8 sessions (enumerate here as
 #     they land): q_html_extract, q_neardup_clustering_lsh,
-#     q_url_domain_caps;
+#     q_url_domain_caps, and q_pagerank_neardup (not new, but its
+#     edge source changed to the LSH graph in r8 — its newest
+#     rows-only row describes the old prefix-filter graph);
 # (b) the 37 remaining r4-stale rows (q_ann_cosine_topk, q_asof_join,
 #     q_assign_shards, q_binned_range_join, q_corpus_composition,
 #     q_curation_pipeline, q_decontaminate, q_dedup_* families,

@@ -6005,6 +6005,7 @@ def _duck_html_strip_tags(e: str) -> str:
 
 
 def _duck_html_entities(e: str) -> str:
+    e = f"regexp_replace({e}, '[\\x01\\x02]', '', 'g')"
     for code, repl in _text._HTML_TYPOGRAPHIC:
         e = f"regexp_replace({e}, '&#{code};', '{_sqlq(repl)}', 'g')"
     e = (
@@ -6020,7 +6021,7 @@ def _duck_html_entities(e: str) -> str:
     )
     for name, repl in _text._HTML_NAMED:
         e = f"regexp_replace({e}, '&{name};', '{_sqlq(repl)}', 'g')"
-    return e
+    return f"regexp_replace({e}, '&#38;', '&', 'g')"
 
 
 def _duck_html_ws(e: str) -> str:
@@ -6175,11 +6176,12 @@ _URL_SL_SQL = "[" + ", ".join(
       SELECT doc_id, url,
              lower(regexp_extract(url,
                '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS url_scheme,
-             lower(regexp_extract(url,
-               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS url_host,
+             regexp_replace(lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
+               '\.+$', '', 'g') AS url_host,
              NULLIF(regexp_extract(url,
-               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:([0-9]+)', 1),
-               '')::INT AS url_port,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:@]+:([0-9]+)',
+               1), '')::INT AS url_port,
              regexp_extract(url,
                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
                AS url_path,
@@ -6231,7 +6233,11 @@ def q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_url = d.select("doc_id", "source", url.alias("url"))
     parsed = _urls.parse_urls(with_url)
-    capped = _urls.domain_caps(parsed, max_per_domain=3)
+    # key the cap window on the already-parsed domain column — else
+    # the full parse chain re-evaluates per row inside the window key
+    capped = _urls.domain_caps(
+        parsed, domain_col="url_domain", max_per_domain=3
+    )
     return capped.select(
         "doc_id", "url_scheme", "url_host", "url_port", "url_path",
         "url_query", "url_domain", "kept",

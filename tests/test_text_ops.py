@@ -592,6 +592,15 @@ def test_html_numeric_entity_range_gate(spark):
     assert got == "aAb &#31;c &#127;d &#x41;e"
 
 
+def test_html_numeric_amp_decodes_last(spark):
+    # '&#38;' is the numeric spelling of '&amp;' and must follow the
+    # same decode-LAST rule: '&#38;lt;' means the literal '&lt;'.
+    got = _html_one(
+        spark, text.html_extract, "<p>&#38;lt;b&#38;gt; x &#38; y</p>"
+    )
+    assert got == "&lt;b&gt; x & y"
+
+
 def test_html_extract_unclosed_tag_and_plain_text(spark):
     assert _html_one(spark, text.html_extract, "3 < 5 and x > 1") == (
         "3 < 5 and x > 1"
@@ -651,11 +660,12 @@ def test_html_extract_python_reference_on_corpus(spark):
         for code, repl in text._HTML_TYPOGRAPHIC:
             c = c.replace(f"&#{code};", repl)
         c = re.sub(
-            r"&#(3[2-9]|[4-9][0-9]|1[01][0-9]|12[0-6]);",
+            r"&#(3[2-7]|39|[4-9][0-9]|1[01][0-9]|12[0-6]);",
             lambda m: chr(int(m.group(1))), c,
         )
         for name, repl in text._HTML_NAMED:
             c = c.replace(f"&{name};", repl)
+        c = c.replace("&#38;", "&")
         c = re.sub(r"[ \t\r]+", " ", c)
         c = re.sub(r" ?\n ?", "\n", c)
         c = re.sub(r"\n+", "\n", c)

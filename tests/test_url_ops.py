@@ -82,3 +82,36 @@ def test_domain_caps_flags_overflow_deterministically(spark):
 
     with pytest.raises(ValueError, match="max_per_domain"):
         urls.domain_caps(df, max_per_domain=0)
+
+
+def test_url_parse_userinfo_and_trailing_dot(spark):
+    """Userinfo must not leak into the host (each 'a@spam.com' would
+    otherwise mint a fresh domain and evade the per-domain cap), and a
+    trailing root-dot FQDN is the same site as the undotted host."""
+    r = _parse_one(spark, "https://alice@example.com/x")
+    assert r["url_host"] == "example.com"
+    assert r["url_domain"] == "example.com"
+    r = _parse_one(spark, "https://u:p@example.com:8080/x?q=1")
+    assert r["url_host"] == "example.com"
+    assert r["url_port"] == 8080
+    assert r["url_path"] == "/x" and r["url_query"] == "q=1"
+    r = _parse_one(spark, "https://example.com./x")
+    assert r["url_host"] == "example.com"
+    assert r["url_domain"] == "example.com"
+    # '@' later in the path is not userinfo
+    r = _parse_one(spark, "https://example.com/a@b")
+    assert r["url_host"] == "example.com" and r["url_path"] == "/a@b"
+
+
+def test_domain_caps_reuses_precomputed_domain(spark):
+    rows = [(i, f"https://d{i % 2}.net/{i}") for i in range(6)]
+    df = urls.parse_urls(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    )
+    out = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_caps(
+            df, domain_col="url_domain", max_per_domain=1
+        ).collect()
+    }
+    assert out == {0: 1, 1: 1, 2: 0, 3: 0, 4: 0, 5: 0}
