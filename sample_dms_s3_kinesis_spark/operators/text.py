@@ -870,6 +870,9 @@ _HTML_NAMED = [
 # The alternation IS the range check, so the decode lambda needs no
 # conditional restore path.
 _HTML_NUM_RE = r"&#(3[2-7]|39|[4-9][0-9]|1[01][0-9]|12[0-6]);"
+# Hex numeric entities, same range/rules (0x20..0x7E minus 0x26 '&'),
+# two hex digits either case.
+_HTML_HEX_RE = r"&#[xX](2[0-57-9a-fA-F]|[3-6][0-9a-fA-F]|7[0-9a-eA-E]);"
 # Sentinels: control chars stripped from input in step 1, so they are
 # collision-free markers for the numeric-entity split/decode.
 _S1, _S2 = "\x01", "\x02"
@@ -909,7 +912,8 @@ def _html_strip_tags(col: Column) -> Column:
 
 
 def decode_html_entities(col: Column) -> Column:
-    """Decode typographic + decimal-numeric-ASCII + named entities.
+    """Decode typographic + numeric-ASCII (decimal and hex) + named
+    entities.
     Numeric decode: mark '&#NN;' with sentinel-wrapped code, split on
     the sentinel, chr() each marked head — pure HOF, no Python.  The
     two ampersand spellings ('&amp;' and '&#38;') decode LAST so an
@@ -933,9 +937,30 @@ def decode_html_entities(col: Column) -> Column:
         ).otherwise(p),
     )
     c = F.array_join(dec, "")
+    # hex entities: second sentinel pass, conv(16) instead of cast
+    c = F.regexp_replace(c, _HTML_HEX_RE, f"{_S1}$1{_S2}")
+    parts = F.split(c, _S1, -1)
+    dec = F.transform(
+        parts,
+        lambda p: F.when(
+            p.rlike(f"^[0-9a-fA-F]{{2}}{_S2}"),
+            F.concat(
+                F.char(
+                    F.conv(
+                        F.regexp_extract(p, f"^([0-9a-fA-F]+){_S2}", 1),
+                        16,
+                        10,
+                    ).cast("int")
+                ),
+                F.regexp_replace(p, f"^[0-9a-fA-F]+{_S2}", ""),
+            ),
+        ).otherwise(p),
+    )
+    c = F.array_join(dec, "")
     for name, repl in _HTML_NAMED:
         c = F.regexp_replace(c, rf"&{name};", repl.replace("$", r"\$"))
-    return F.regexp_replace(c, r"&#38;", "&")
+    c = F.regexp_replace(c, r"&#38;", "&")
+    return F.regexp_replace(c, r"&#[xX]26;", "&")
 
 
 def _html_ws_normalize(col: Column) -> Column:

@@ -6019,9 +6019,22 @@ def _duck_html_entities(e: str) -> str:
         "regexp_replace(p, '^[0-9]+'||chr(2), '') ELSE p END), "
         "'string_agg', '')"
     )
+    e = (
+        f"regexp_replace({e}, '{_text._HTML_HEX_RE}',"
+        " chr(1)||'\\1'||chr(2), 'g')"
+    )
+    e = (
+        f"list_aggregate(list_transform(string_split({e}, chr(1)), p -> "
+        "CASE WHEN regexp_matches(p, '^[0-9a-fA-F]{2}'||chr(2)) THEN "
+        "chr(('0x' || regexp_extract(p, '^([0-9a-fA-F]+)'||chr(2), 1))"
+        "::INT) || "
+        "regexp_replace(p, '^[0-9a-fA-F]+'||chr(2), '') ELSE p END), "
+        "'string_agg', '')"
+    )
     for name, repl in _text._HTML_NAMED:
         e = f"regexp_replace({e}, '&{name};', '{_sqlq(repl)}', 'g')"
-    return f"regexp_replace({e}, '&#38;', '&', 'g')"
+    e = f"regexp_replace({e}, '&#38;', '&', 'g')"
+    return f"regexp_replace({e}, '&#[xX]26;', '&', 'g')"
 
 
 def _duck_html_ws(e: str) -> str:

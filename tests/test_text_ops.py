@@ -587,9 +587,14 @@ def test_html_numeric_entity_range_gate(spark):
     # 32..126 decode; 31 and 127 stay literal (outside the range where
     # Spark chr and DuckDB chr agree); hex entities stay literal.
     got = _html_one(
-        spark, text.html_extract, "a&#65;b &#31;c &#127;d &#x41;e"
+        spark, text.html_extract, "a&#65;b &#31;c &#127;d &#x41;e &#x7e;f"
     )
-    assert got == "aAb &#31;c &#127;d &#x41;e"
+    assert got == "aAb &#31;c &#127;d Ae ~f"
+    # outside 0x20..0x7E (or 0x26) stays literal
+    got = _html_one(
+        spark, text.html_extract, "&#x1f; &#x7f; &#xfc; &#x26;lt;"
+    )
+    assert got == "&#x1f; &#x7f; &#xfc; &lt;"
 
 
 def test_html_numeric_amp_decodes_last(spark):
@@ -663,9 +668,14 @@ def test_html_extract_python_reference_on_corpus(spark):
             r"&#(3[2-7]|39|[4-9][0-9]|1[01][0-9]|12[0-6]);",
             lambda m: chr(int(m.group(1))), c,
         )
+        c = re.sub(
+            r"&#[xX](2[0-57-9a-fA-F]|[3-6][0-9a-fA-F]|7[0-9a-eA-E]);",
+            lambda m: chr(int(m.group(1), 16)), c,
+        )
         for name, repl in text._HTML_NAMED:
             c = c.replace(f"&{name};", repl)
         c = c.replace("&#38;", "&")
+        c = re.sub(r"&#[xX]26;", "&", c)
         c = re.sub(r"[ \t\r]+", " ", c)
         c = re.sub(r" ?\n ?", "\n", c)
         c = re.sub(r"\n+", "\n", c)
