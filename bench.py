@@ -78,6 +78,8 @@ TIER2 = [
     "q_hybrid_rrf_search",
     "q_neardup_clustering_lsh",
     "q_multimodal_features",
+    "q_html_extract",
+    "q_url_domain_caps",
 ]
 
 

@@ -304,7 +304,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     restart_interval,
                 )
             else:
-                planes, pos_after = _decode_scan(
+                if planes is None:
+                    planes = {}
+                pos_after = _decode_scan(
                     content,
                     pos + seg_len,
                     frame,
@@ -313,6 +315,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     dc_tables,
                     ac_tables,
                     restart_interval,
+                    planes,
                 )
         pos = pos_after
     if progressive and coefs is not None:
@@ -339,9 +342,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                         Tt @ block @ _DCT + 128.0
                     )
             planes[cid] = plane
-    if frame is None or planes is None:
+    if frame is None or not planes:
         raise ValueError("JPEG stream has no decoded scan")
     H, W, comps = frame
+    missing = [cid for cid, _h, _v, _tq in comps if cid not in planes]
+    if missing:
+        # a non-interleaved stream whose per-component scans were
+        # truncated: fail clearly instead of KeyError-ing in assembly
+        raise ValueError(
+            f"JPEG stream has no scan for component id(s) {missing}"
+        )
     if len(comps) == 1:
         y = planes[comps[0][0]][:H, :W]
         return np.clip(np.rint(y), 0, 255).astype(np.uint8)[..., None].repeat(
@@ -624,33 +634,57 @@ def _decode_scan(
     dc_tables,
     ac_tables,
     restart_interval: int,
+    planes: dict[int, np.ndarray],
 ):
+    """Decode ONE sequential-Huffman scan into ``planes`` (shared
+    across scans so a non-interleaved stream's per-component scans
+    accumulate); returns the position after the entropy data."""
     H, W, comps = frame
     by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError(
-            "non-interleaved multi-scan baseline JPEG unsupported"
-        )
     if len(scan_comps) == 1:
         # T.81 A.2.2: an Ns=1 scan is NON-interleaved — the MCU is one
-        # 8x8 block over the component's own sample grid and the SOF
-        # sampling factors play no layout role ('jpegtran -grayscale'
-        # keeps the (2,2) factors of its 4:2:0 source on the single
-        # remaining component).  Treating the factors as (1,1) over a
-        # (1,1)-max grid reduces the interleaved loop below to exactly
-        # the spec's ceil(W/8) × ceil(H/8) row-major block order, with
-        # restart intervals counted per block.
-        cid0 = comps[0][0]
-        by_id = {cid0: (1, 1, by_id[cid0][2])}
+        # 8x8 block over the COMPONENT'S own sample grid (xi = ceil(
+        # W·h/hmax) wide) and the SOF factors play no layout role
+        # beyond sizing that grid ('jpegtran -grayscale' keeps the
+        # (2,2) factors of its 4:2:0 source on the single remaining
+        # component, where the grid degenerates to ceil(W/8)).
+        # Treating the factors as (1,1) over the component dimensions
+        # reduces the interleaved loop below to exactly the spec's
+        # row-major block order, restart intervals counted per block.
+        cid0, _td, _ta = scan_comps[0]
+        h, v, tq0 = by_id[cid0]
+        hmax_f = max(c[1] for c in comps)
+        vmax_f = max(c[2] for c in comps)
+        W_eff = _ceil_div(W * h, hmax_f)
+        H_eff = _ceil_div(H * v, vmax_f)
+        by_id = {cid0: (1, 1, tq0)}
+    elif len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "partially-interleaved JPEG scan unsupported"
+        )
+    else:
+        W_eff, H_eff = W, H
     hmax = max(h for h, _v, _tq in by_id.values())
     vmax = max(v for _h, v, _tq in by_id.values())
-    mcus_x = -(-W // (8 * hmax))
-    mcus_y = -(-H // (8 * vmax))
-    # per-component coefficient planes sized to the MCU grid
-    planes = {
-        cid: np.zeros((mcus_y * v * 8, mcus_x * h * 8), dtype=np.float64)
-        for cid, (h, v, _tq) in by_id.items()
-    }
+    mcus_x = -(-W_eff // (8 * hmax))
+    mcus_y = -(-H_eff // (8 * vmax))
+    # per-component planes sized to the scan's block grid; a plane
+    # already allocated by an earlier scan of a non-interleaved stream
+    # is reused (and grown only if this scan's grid is larger)
+    for cid, (h, v, _tq) in by_id.items():
+        need = (mcus_y * v * 8, mcus_x * h * 8)
+        cur = planes.get(cid)
+        if cur is None or cur.shape[0] < need[0] or cur.shape[1] < need[1]:
+            grown = np.zeros(
+                (
+                    max(need[0], 0 if cur is None else cur.shape[0]),
+                    max(need[1], 0 if cur is None else cur.shape[1]),
+                ),
+                dtype=np.float64,
+            )
+            if cur is not None:
+                grown[: cur.shape[0], : cur.shape[1]] = cur
+            planes[cid] = grown
     reader = _BitReader(data, pos)
     preds = {cid: 0 for cid, _, _ in scan_comps}
     Tt = _DCT.T
@@ -695,7 +729,7 @@ def _decode_scan(
                         px = (mx * h + bh) * 8
                         planes[cid][py : py + 8, px : px + 8] = spatial
             mcu_index += 1
-    return planes, _scan_end_pos(reader, data)
+    return _scan_end_pos(reader, data)
 
 
 # ------------------------------------------------------------------
@@ -753,20 +787,57 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, v if v > 0 else v + (1 << s) - 1
 
 
+def _encode_block(w: _BitWriter, zz, pred: int, dc_enc: dict,
+                  ac_enc: dict) -> int:
+    """Sequential-Huffman entropy coding of one zigzag-ordered block
+    (DC diff + AC run/size pairs); returns the new DC predictor.
+    Shared by the interleaved and non-interleaved encoders."""
+    diff = int(zz[0]) - pred
+    s, off = _magnitude(diff)
+    ln, code = dc_enc[s]
+    w.write(code, ln)
+    if s:
+        w.write(off, s)
+    run = 0
+    for k in range(1, 64):
+        val = int(zz[k])
+        if val == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_enc[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s, off = _magnitude(val)
+        ln, code = ac_enc[(run << 4) | s]
+        w.write(code, ln)
+        w.write(off, s)
+        run = 0
+    if run:
+        ln, code = ac_enc[0x00]
+        w.write(code, ln)
+    return int(zz[0])
+
+
 def encode_jpeg(
     img: np.ndarray,
     *,
     quality_scale: int = 1,
     subsample: bool = False,
     restart_interval: int = 0,
+    noninterleaved: bool = False,
 ) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array (or (H, W) grayscale) as a
     baseline JPEG.  ``quality_scale`` multiplies the quantization ramp
     (1 = mild); ``subsample=True`` writes 4:2:0 chroma;
-    ``restart_interval=N`` emits RSTn markers every N MCUs (DRI).
-    Deterministic: same pixels -> same bytes.  The coefficient front
-    half is shared with ``encode_jpeg_progressive`` via
-    ``_quantized_comp_blocks`` — ONE float pipeline, so the exact
+    ``restart_interval=N`` emits RSTn markers every N MCUs (DRI);
+    ``noninterleaved=True`` writes one Ns=1 SOS per component (the
+    T.81 A.2.2 layout, restart intervals counted per block) — the
+    fixture for the decoder's non-interleaved path, decoding pixel-
+    identically to the interleaved stream (same quantized
+    coefficients).  Deterministic: same pixels -> same bytes.  The
+    coefficient front half is shared with ``encode_jpeg_progressive``
+    via ``_quantized_comp_blocks`` — ONE float pipeline, so the exact
     progressive==baseline decode contract cannot drift."""
     H, W, samp, qtabs, comp_zz = _quantized_comp_blocks(
         img, quality_scale, subsample
@@ -783,52 +854,62 @@ def encode_jpeg(
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
 
-    w = _BitWriter()
-    preds = [0] * len(samp)
-    mcu_index = 0
-    rst_n = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if (
-                restart_interval
-                and mcu_index
-                and mcu_index % restart_interval == 0
-            ):
-                w.flush()
-                w.out += bytes([0xFF, 0xD0 + rst_n])
-                rst_n = (rst_n + 1) % 8
-                preds = [0] * len(samp)
-            mcu_index += 1
-            for ci, (h, v, _tq) in enumerate(samp):
-                for bv in range(v):
-                    for bh in range(h):
-                        zz = comp_zz[ci][my * v + bv, mx * h + bh]
-                        diff = int(zz[0]) - preds[ci]
-                        preds[ci] = int(zz[0])
-                        s, off = _magnitude(diff)
-                        ln, code = dc_enc[s]
-                        w.write(code, ln)
-                        if s:
-                            w.write(off, s)
-                        run = 0
-                        for k in range(1, 64):
-                            val = int(zz[k])
-                            if val == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                ln, code = ac_enc[0xF0]
-                                w.write(code, ln)
-                                run -= 16
-                            s, off = _magnitude(val)
-                            ln, code = ac_enc[(run << 4) | s]
-                            w.write(code, ln)
-                            w.write(off, s)
-                            run = 0
-                        if run:
-                            ln, code = ac_enc[0x00]
-                            w.write(code, ln)
-    w.flush()
+    def _restart(w: _BitWriter, rst_n: int) -> int:
+        w.flush()
+        w.out += bytes([0xFF, 0xD0 + rst_n])
+        return (rst_n + 1) % 8
+
+    scan_payloads: list[tuple[list[int], bytes]] = []
+    if noninterleaved and not gray:
+        for ci, (h, v, _tq) in enumerate(samp):
+            w = _BitWriter()
+            pred = 0
+            rst_n = 0
+            unit = 0
+            nbx = _ceil_div(_ceil_div(W * h, hmax), 8)
+            nby = _ceil_div(_ceil_div(H * v, vmax), 8)
+            for by in range(nby):
+                for bx in range(nbx):
+                    if (
+                        restart_interval
+                        and unit
+                        and unit % restart_interval == 0
+                    ):
+                        rst_n = _restart(w, rst_n)
+                        pred = 0
+                    unit += 1
+                    pred = _encode_block(
+                        w, comp_zz[ci][by, bx], pred, dc_enc, ac_enc
+                    )
+            w.flush()
+            scan_payloads.append(([ci], bytes(w.out)))
+    else:
+        w = _BitWriter()
+        preds = [0] * len(samp)
+        mcu_index = 0
+        rst_n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_index
+                    and mcu_index % restart_interval == 0
+                ):
+                    rst_n = _restart(w, rst_n)
+                    preds = [0] * len(samp)
+                mcu_index += 1
+                for ci, (h, v, _tq) in enumerate(samp):
+                    for bv in range(v):
+                        for bh in range(h):
+                            preds[ci] = _encode_block(
+                                w,
+                                comp_zz[ci][my * v + bv, mx * h + bh],
+                                preds[ci],
+                                dc_enc,
+                                ac_enc,
+                            )
+        w.flush()
+        scan_payloads.append((list(range(len(samp))), bytes(w.out)))
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -848,13 +929,14 @@ def encode_jpeg(
         out += seg(0xC4, bytes([0x11]) + bytes(ac_counts) + bytes(ac_vals))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        td_ta = 0x00 if (gray or ci == 0) else 0x11
-        sos += bytes([ci + 1, td_ta])
-    sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al (baseline fixed)
-    out += seg(0xDA, sos)
-    out += w.out
+    for cis, payload in scan_payloads:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            td_ta = 0x00 if (gray or ci == 0) else 0x11
+            sos += bytes([ci + 1, td_ta])
+        sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al (baseline fixed)
+        out += seg(0xDA, sos)
+        out += payload
     out += b"\xff\xd9"
     return bytes(out)
 

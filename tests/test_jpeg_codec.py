@@ -334,3 +334,39 @@ def test_progressive_through_multimodal_pipeline(spark):
     assert all(r["feature"] is not None for r in out)
     # identical decoded pixels in -> identical features out
     assert out[0]["feature"] == out[1]["feature"]
+
+
+def test_noninterleaved_sequential_equals_interleaved():
+    """T.81 A.2.2 non-interleaved layout (one Ns=1 scan per component,
+    block grid over the component's own sample grid): same quantized
+    coefficients -> pixel-identical decode vs the interleaved stream,
+    including 4:2:0 where luma's non-interleaved grid differs from the
+    MCU grid, and per-block restart intervals."""
+    rng = np.random.default_rng(17)
+    for h, w, sub, ri in (
+        (33, 17, True, 0), (16, 33, True, 2), (24, 24, False, 0),
+        (25, 31, False, 3),
+    ):
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        a = decode_jpeg(encode_jpeg(rgb, subsample=sub, restart_interval=ri))
+        b = decode_jpeg(
+            encode_jpeg(
+                rgb, subsample=sub, restart_interval=ri, noninterleaved=True
+            )
+        )
+        assert np.array_equal(a, b), (h, w, sub, ri)
+
+
+def test_noninterleaved_missing_component_scan_errors():
+    import struct
+
+    rgb = np.full((8, 8, 3), 100, np.uint8)
+    data = encode_jpeg(rgb, noninterleaved=True)
+    # truncate after the SECOND scan's payload: drop the last SOS
+    last_sos = data.rfind(b"\xff\xda")
+    truncated = data[:last_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no scan for component"):
+        decode_jpeg(truncated)
+    # sanity: the untouched stream decodes
+    assert decode_jpeg(data).shape == (8, 8, 3)
+    assert struct is not None
