@@ -703,3 +703,47 @@ def test_html_extract_python_reference_on_corpus(spark):
         # sanity: the reference decode matches stdlib html.unescape on
         # the ASCII-range numerics it handles
         assert _pyhtml.unescape("&#101;") == "e"
+
+
+def test_html_lexical_scope_edges(spark):
+    """The extractor is a LEXICAL tokenizer (documented scope, no DOM):
+    a '>' inside an attribute value ends the tag early, and a
+    '</script>' inside a JS string ends the script block early.  These
+    pins make the behavior a contract rather than an accident."""
+    got = _html_one(
+        spark, text.html_extract, '<div title="a>b">text</div>'
+    )
+    assert got == 'b">text'
+    got = _html_one(
+        spark,
+        text.html_extract,
+        "<script>var s = \"</script>\"; more</script><p>body</p>",
+    )
+    assert got == '"; more\nbody'
+
+
+def test_html_blocks_feed_block_dedup(spark):
+    """The block-dedup composition the operator exists for: two pages
+    sharing a boilerplate footer block -> digest groupBy finds exactly
+    the shared block."""
+    pages = [
+        (1, "<p>unique alpha content</p><div>shared footer text</div>"),
+        (2, "<p>unique beta content</p><div>shared footer text</div>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    blocks = df.select(
+        "doc_id",
+        F.explode(text.html_blocks(F.col("html"))).alias("block"),
+    )
+    shared = (
+        blocks.groupBy(F.md5("block").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("block").alias("block"),
+        )
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert len(shared) == 1
+    assert shared[0]["block"] == "shared footer text"
+    assert shared[0]["n"] == 2
