@@ -138,3 +138,67 @@ def domain_caps(
         keep_col,
         (F.row_number().over(w) <= F.lit(max_per_domain)).cast("int"),
     )
+
+
+def domain_caps_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    url_col: str = "url",
+    domain_col: str | None = None,
+    max_per_domain: int,
+    order_col: str = "doc_id",
+    keep_col: str = "kept",
+) -> DataFrame:
+    """Incremental per-domain frequency cap — the admission-gate twin
+    of :func:`domain_caps` (same pattern as ``dedup_against``): a new
+    row is kept iff its rank within its registered domain, counting
+    rows ALREADY ADMITTED to ``corpus_df`` plus earlier new rows in
+    ``order_col`` order, stays within ``max_per_domain``.  A domain
+    that already filled its budget in the corpus admits nothing.
+
+    Cost: one aggregate over the corpus (domain -> count; output is
+    domain-cardinality-sized, tiny next to the corpus), one join of
+    the new batch against it, one window over the new batch.  The
+    corpus ships COUNTS, never rows — the incremental contract every
+    ``_against`` gate in this engine keeps."""
+    if max_per_domain < 1:
+        raise ValueError(
+            f"max_per_domain must be >= 1, got {max_per_domain}"
+        )
+
+    def _dom(df_cols_have_domain: bool):
+        if domain_col is not None and df_cols_have_domain:
+            return F.col(domain_col)
+        return registered_domain(url_host(F.col(url_col)))
+
+    # collision-proof internal names (the bloom_probe lesson: a prefix
+    # convention silently clobbers same-named caller columns)
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    c_dom, c_rk, c_prior = f"_dom_{tag}", f"_rk_{tag}", f"_prior_{tag}"
+
+    prior = (
+        corpus_df.select(
+            _dom(domain_col in corpus_df.columns).alias(c_dom)
+        )
+        .groupBy(c_dom)
+        .agg(F.count(F.lit(1)).alias(c_prior))
+    )
+    dom_new = _dom(domain_col in new_df.columns)
+    w = Window.partitionBy(dom_new).orderBy(F.col(order_col).asc())
+    ranked = new_df.withColumn(c_rk, F.row_number().over(w)).withColumn(
+        c_dom, dom_new
+    )
+    return (
+        ranked.join(prior, c_dom, "left")
+        .withColumn(
+            keep_col,
+            (
+                F.col(c_rk) + F.coalesce(F.col(c_prior), F.lit(0))
+                <= F.lit(max_per_domain)
+            ).cast("int"),
+        )
+        .drop(c_rk, c_dom, c_prior)
+    )

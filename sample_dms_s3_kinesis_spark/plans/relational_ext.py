@@ -6166,10 +6166,11 @@ _URL_SL_SQL = "[" + ", ".join(
 ) + "]"
 
 
-@_register(
-    "q_url_domain_caps",
-    f"""
-    WITH u AS (
+# Shared synthesized-URL + parse + registered-domain CTE chain (the
+# oracle twin of _urls.parse_urls over the deterministic URL wrapper);
+# both URL queries build on it.
+_URL_PARSED_CTE = f"""
+    u AS (
       SELECT doc_id,
              (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
              || '://'
@@ -6208,24 +6209,15 @@ _URL_SL_SQL = "[" + ", ".join(
                   THEN array_to_string(string_split(url_host, '.')[-3:], '.')
                   ELSE array_to_string(string_split(url_host, '.')[-2:], '.')
              END AS url_domain
-      FROM p)
-    SELECT doc_id, url_scheme, url_host, url_port, url_path, url_query,
-           url_domain,
-           CAST(CASE WHEN ROW_NUMBER() OVER (
-                  PARTITION BY url_domain ORDER BY doc_id) <= 3
-                THEN 1 ELSE 0 END AS INT) AS kept
-    FROM d
-    """,
-    "URL curation: parse scheme/host/port/path/query, registered "
-    "domain with second-level-suffix rule (co.uk/net.au), and a "
-    "3-per-domain frequency cap (RefinedWeb-style) over synthesized "
-    "crawl URLs — regexp chain + one domain window, exact oracle",
-    "curation: URL parse + per-domain caps",
-)
-def q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+      FROM p)"""
+
+
+def _wrapped_url() -> F.Column:
+    """Deterministic per-document crawl URL (the Spark twin of
+    _URL_PARSED_CTE's u): mixed-case scheme/host, ports, queries and
+    ccTLD suffixes so every parse branch executes."""
     did = F.col("doc_id")
-    url = F.concat(
+    return F.concat(
         F.when(did % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
         F.lit("://"),
         F.when(did % 3 == 0, F.lit("www."))
@@ -6244,7 +6236,30 @@ def q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("?ref=r8&x="), did.cast("string")),
         ).otherwise(F.lit("")),
     )
-    with_url = d.select("doc_id", "source", url.alias("url"))
+
+
+@_register(
+    "q_url_domain_caps",
+    f"""
+    WITH {_URL_PARSED_CTE}
+    SELECT doc_id, url_scheme, url_host, url_port, url_path, url_query,
+           url_domain,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+                  PARTITION BY url_domain ORDER BY doc_id) <= 3
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM d
+    """,
+    "URL curation: parse scheme/host/port/path/query, registered "
+    "domain with second-level-suffix rule (co.uk/net.au), and a "
+    "3-per-domain frequency cap (RefinedWeb-style) over synthesized "
+    "crawl URLs — regexp chain + one domain window, exact oracle",
+    "curation: URL parse + per-domain caps",
+)
+def q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    with_url = d.select(
+        "doc_id", "source", _wrapped_url().alias("url")
+    )
     parsed = _urls.parse_urls(with_url)
     # key the cap window on the already-parsed domain column — else
     # the full parse chain re-evaluates per row inside the window key
@@ -6255,3 +6270,37 @@ def q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "url_scheme", "url_host", "url_port", "url_path",
         "url_query", "url_domain", "kept",
     )
+
+
+@_register(
+    "q_url_caps_incremental",
+    f"""
+    WITH {_URL_PARSED_CTE},
+    prior AS (
+      SELECT url_domain AS dom, COUNT(*) AS n_prior
+      FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+    nw AS (
+      SELECT doc_id, url_domain,
+             ROW_NUMBER() OVER (
+               PARTITION BY url_domain ORDER BY doc_id) AS rk
+      FROM d WHERE doc_id % 2 = 1)
+    SELECT n.doc_id, n.url_domain,
+           CAST(CASE WHEN n.rk + COALESCE(p.n_prior, 0) <= 3
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM nw n LEFT JOIN prior p ON p.dom = n.url_domain
+    """,
+    "incremental per-domain admission gate (domain_caps_against): new "
+    "batch rows keep only while corpus-admitted + earlier-batch counts "
+    "stay within the domain budget — corpus ships COUNTS, never rows "
+    "(even doc_ids as corpus, odd as the new batch; exact oracle)",
+    "curation: URL per-domain caps, incremental gate",
+)
+def q_url_caps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    with_url = d.select("doc_id", _wrapped_url().alias("url"))
+    corpus = with_url.filter(did % 2 == 0)
+    new = with_url.filter(did % 2 == 1)
+    out = _urls.domain_caps_against(new, corpus, max_per_domain=3)
+    dom = _urls.registered_domain(_urls.url_host(F.col("url")))
+    return out.select("doc_id", dom.alias("url_domain"), "kept")

@@ -77,6 +77,7 @@ class CorpusIngestTask(ReplicationTask):
         corpus_dir: str,
         *,
         identifier: str = "corpus-ingest",
+        extract_html: bool = False,
         near_dup: bool = False,
         num_hashes: int = 64,
         bands: int = 16,
@@ -95,6 +96,12 @@ class CorpusIngestTask(ReplicationTask):
         self.spark = spark
         self.drop_dir = drop_dir
         self.corpus_dir = corpus_dir.rstrip("/")
+        # extract_html: drops carry RAW crawl pages; each batch runs
+        # operators.text.html_extract before any gate, so digests,
+        # minhash signatures and contract rules all see extracted
+        # CONTENT (two mirrors differing only in markup dedup exactly)
+        # and boilerplate-only pages reject like null-text rows.
+        self.extract_html = extract_html
         self.near_dup = near_dup
         self.num_hashes = num_hashes
         self.bands = bands
@@ -527,6 +534,15 @@ class CorpusIngestTask(ReplicationTask):
         valid = batch_df.filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
+        if self.extract_html:
+            from sample_dms_s3_kinesis_spark.operators import text as _text
+
+            # extraction precedes every gate; pages whose extracted
+            # content is empty (pure boilerplate/markup) reject here,
+            # in the same bucket as null-text rows
+            valid = valid.withColumn(
+                "text", _text.html_extract(F.col("text"))
+            ).filter(F.col("text") != "")
         # gate 0 (optional): quality contract — failing rows land in
         # the quarantine store (overwrite per batch: replay-idempotent
         # like the corpus directories) and count as rejected_contract.

@@ -601,3 +601,31 @@ def test_check_expectations_empty_frame_passes(spark):
         empty, [quality.not_null("x_nn", "x")]
     ).collect()
     assert rows[0]["n_violations"] == 0 and rows[0]["passed"] is True
+
+
+def test_html_extraction_mode_gates_on_content(spark, tmp_path):
+    """extract_html=True: raw crawl pages extract BEFORE the gates —
+    markup-variant mirrors dedup exactly, boilerplate-only pages
+    reject, and the corpus stores extracted text."""
+    drop = str(tmp_path / "drop")
+    task = CorpusIngestTask(
+        spark, drop, str(tmp_path / "corpus"),
+        extract_html=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    _drop(drop, "crawl1.json", [
+        (1, "<html><body><p>alpha beta gamma</p>"
+            "<script>var x=1;</script></body></html>"),
+        # same CONTENT as 1 under different markup -> exact dup
+        (2, "<div><b>alpha</b> beta   gamma</div>"),
+        # boilerplate-only page -> empty extraction -> rejected
+        (3, "<style>p{}</style><!-- tracking pixel -->"),
+        (4, "<h1>delta &amp; epsilon</h1>"),
+    ])
+    task.process_available()
+    rows = {r["doc_id"]: r["text"] for r in task.corpus().collect()}
+    assert rows == {1: "alpha beta gamma", 4: "delta & epsilon"}
+    stats = task.ingest_stats()
+    assert stats["admitted"] == 2
+    assert stats["dropped_exact"] == 1   # doc 2, markup variant of 1
+    assert stats["rejected"] == 1        # doc 3, empty extraction

@@ -115,3 +115,41 @@ def test_domain_caps_reuses_precomputed_domain(spark):
         ).collect()
     }
     assert out == {0: 1, 1: 1, 2: 0, 3: 0, 4: 0, 5: 0}
+
+
+def test_domain_caps_against_counts_corpus(spark):
+    """Incremental gate: a domain with 2 corpus docs and cap 3 admits
+    exactly 1 more; a full domain admits none; a fresh domain gets the
+    whole budget; collision-prone caller column names survive."""
+    corpus = spark.createDataFrame(
+        [(i, "https://full.com/x") for i in range(3)]
+        + [(10 + i, "https://half.com/y") for i in range(2)],
+        "doc_id long, url string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "https://full.com/a"),
+            (101, "https://half.com/b"),
+            (102, "https://half.com/c"),
+            (103, "https://fresh.org/d"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_caps_against(
+            new, corpus, max_per_domain=3
+        ).collect()
+    }
+    assert out == {100: 0, 101: 1, 102: 0, 103: 1}
+
+    # caller columns named like internals must pass through untouched
+    new2 = new.withColumn("_rk", F.lit(7)).withColumn("_dom", F.lit("z"))
+    got = urls.domain_caps_against(new2, corpus, max_per_domain=3)
+    row = got.filter(F.col("doc_id") == 100).collect()[0]
+    assert row["_rk"] == 7 and row["_dom"] == "z" and row["kept"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_per_domain"):
+        urls.domain_caps_against(new, corpus, max_per_domain=0)
