@@ -9,10 +9,15 @@ Scope — the profile a no-media-library container can honestly decode:
 - all five row filters (None / Sub / Up / Average / Paeth);
 - multi-chunk IDAT streams, CRC-verified chunk walk.
 
-Interlaced (Adam7), 16-bit and sub-byte depths raise
-``NotImplementedError`` — routed by callers to the same null-feature
-error channel as corrupt files (see :mod:`.multimodal`), mirroring the
-baseline-vs-progressive split in :mod:`.jpeg`.
+- 16-bit samples (reduced to 8-bit by taking the high byte, the spec's
+  recommended depth scaling) for color types 0/2/4/6;
+- Adam7 interlacing (seven sub-image passes, each filtered
+  independently, scattered back on the pass grid — spec §8.2).
+
+Sub-byte depths (1/2/4-bit) raise ``NotImplementedError`` — routed by
+callers to the same null-feature error channel as corrupt files (see
+:mod:`.multimodal`), mirroring the unsupported-variant split in
+:mod:`.jpeg`.
 
 Alpha is dropped on decode (features are computed over RGB); palette
 entries resolve through PLTE.  The encoder exists so tests and the
@@ -30,8 +35,14 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# channels per pixel by color type (8-bit depth only)
+# channels per pixel by color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -102,12 +113,33 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _deinterlace(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-rasters, decoded in
+    order from ONE decompressed stream and scattered back on the pass
+    grid.  Returns (h, w, bpp) uint8 pixel bytes."""
+    full = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, -(-(w - x0) // dx))
+        ph = max(0, -(-(h - y0) // dy))
+        if pw == 0 or ph == 0:
+            continue  # a pass can be empty for small images (spec 8.2)
+        nbytes = ph * (1 + pw * bpp)
+        sub = _unfilter(raw[pos : pos + nbytes], pw, ph, bpp)
+        pos += nbytes
+        full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+    if pos != len(raw):
+        raise ValueError("PNG interlaced raster length mismatch")
+    return full
+
+
 def decode_png(content: bytes) -> np.ndarray:
     """Decode a PNG payload to an (H, W, 3) uint8 RGB array.
 
-    Supports the 8-bit non-interlaced profile (all color types, all
-    filters); Adam7 / 16-bit / sub-byte depths raise
-    ``NotImplementedError`` into the caller's error channel."""
+    Supports 8-bit and 16-bit samples (16-bit reduced via the high
+    byte), all color types, all filters, straight or Adam7-interlaced;
+    sub-byte depths raise ``NotImplementedError`` into the caller's
+    error channel."""
     if not content.startswith(_SIGNATURE):
         raise ValueError("not a PNG stream")
     ihdr = None
@@ -127,17 +159,26 @@ def decode_png(content: bytes) -> np.ndarray:
     w, h, depth, color_type, compression, filter_method, interlace = ihdr
     if compression != 0 or filter_method != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG is not supported")
-    if depth != 8:
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if depth not in (8, 16):
         raise NotImplementedError(f"PNG bit depth {depth} is not supported")
     if color_type not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("palette PNG cannot be 16-bit (spec 11.2.2)")
     if w <= 0 or h <= 0:
         raise ValueError("empty PNG image")
-    bpp = _CHANNELS[color_type]
-    raster = _unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
-    px = raster.reshape(h, w, bpp)
+    channels = _CHANNELS[color_type]
+    bpp = channels * (2 if depth == 16 else 1)  # filters work on BYTES
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        px = _deinterlace(raw, w, h, bpp)
+    else:
+        px = _unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+    if depth == 16:
+        # big-endian sample pairs -> high byte (the spec's 16->8 scale)
+        px = px.reshape(h, w, channels, 2)[:, :, :, 0]
     if color_type == 0:  # greyscale
         return np.repeat(px, 3, axis=2)
     if color_type == 2:  # truecolor
@@ -175,28 +216,59 @@ def _filter_row(
     raise ValueError(f"unknown PNG filter type {ft}")
 
 
-def encode_png(img: np.ndarray, *, filter_type: int | str = 0) -> bytes:
-    """Encode an (H, W, 3) RGB or (H, W) greyscale uint8 array as a
-    non-interlaced 8-bit PNG.  ``filter_type`` is 0–4 applied to every
-    row, or ``'mixed'`` to cycle all five filters row-by-row (the
-    fixture mode that exercises every decode path in one payload)."""
+def encode_png(
+    img: np.ndarray,
+    *,
+    filter_type: int | str = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an (H, W, 3) RGB or (H, W) greyscale array as a PNG —
+    8-bit from uint8 input, 16-bit from uint16 (big-endian sample
+    pairs, the high byte carrying the uint8-visible value).
+    ``filter_type`` is 0–4 applied to every row, or ``'mixed'`` to
+    cycle all five filters row-by-row (the fixture mode that exercises
+    every decode path in one payload); ``interlace=True`` writes the
+    Adam7 seven-pass layout, each pass filtered independently."""
+    depth16 = img.dtype == np.uint16
     if img.ndim == 2:
-        color_type, bpp = 0, 1
+        color_type, channels = 0, 1
         px = img[:, :, None]
     elif img.ndim == 3 and img.shape[2] == 3:
-        color_type, bpp = 2, 3
+        color_type, channels = 2, 3
         px = img
     else:
         raise ValueError("encode_png expects (H, W, 3) RGB or (H, W) grey")
     h, w = px.shape[:2]
-    rows = px.reshape(h, w * bpp).astype(np.int64)
-    prev = np.zeros(w * bpp, dtype=np.int64)
-    body = bytearray()
-    for r in range(h):
-        ft = (r % 5) if filter_type == "mixed" else int(filter_type)
-        body.append(ft)
-        body += _filter_row(ft, rows[r], prev, bpp).astype(np.uint8).tobytes()
-        prev = rows[r]
+    if depth16:
+        plane = np.stack(
+            [(px >> 8) & 0xFF, px & 0xFF], axis=-1
+        ).reshape(h, w, channels * 2).astype(np.uint8)
+    else:
+        plane = px.astype(np.uint8)
+    bpp = channels * (2 if depth16 else 1)
+
+    def filtered_rows(region: np.ndarray) -> bytearray:
+        ph, pw = region.shape[:2]
+        rows = region.reshape(ph, pw * bpp).astype(np.int64)
+        prev = np.zeros(pw * bpp, dtype=np.int64)
+        body = bytearray()
+        for r in range(ph):
+            ft = (r % 5) if filter_type == "mixed" else int(filter_type)
+            body.append(ft)
+            body += (
+                _filter_row(ft, rows[r], prev, bpp).astype(np.uint8).tobytes()
+            )
+            prev = rows[r]
+        return body
+
+    if interlace:
+        body = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = plane[y0::dy, x0::dx, :]
+            if sub.shape[0] and sub.shape[1]:
+                body += filtered_rows(sub)
+    else:
+        body = filtered_rows(plane)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -206,7 +278,10 @@ def encode_png(img: np.ndarray, *, filter_type: int | str = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 16 if depth16 else 8, color_type, 0, 0,
+        1 if interlace else 0,
+    )
     return (
         _SIGNATURE
         + chunk(b"IHDR", ihdr)

@@ -138,11 +138,11 @@ def test_crc_corruption_raises():
 
 
 def test_out_of_profile_raises_notimplemented():
-    rows = [(0, b"\x00" * 6)]
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(_raw_png(2, 1, 2, rows, interlace=1))
+    # Adam7 and 16-bit decode since r8 — sub-byte depths stay out
     with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(_raw_png(1, 1, 2, [(0, b"\x00" * 6)], depth=16))
+        decode_png(_raw_png(8, 1, 0, [(0, b"\x00")], depth=4))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(_raw_png(2, 1, 2, [(0, b"\x00" * 6)], interlace=7))
 
 
 def test_truncated_and_malformed_raise_valueerror():
@@ -167,3 +167,42 @@ def test_truncated_and_malformed_raise_valueerror():
 def test_decode_image_dispatches_png():
     img = _gradient()
     assert np.array_equal(decode_image(encode_png(img, filter_type=4)), img)
+
+
+def test_adam7_interlaced_equals_straight():
+    """Adam7: every filter mode, plus tiny shapes where whole passes
+    are empty, decode pixel-identically to the non-interlaced stream."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (21, 13, 3)).astype(np.uint8)
+    for ft in (0, 1, 2, 3, 4, "mixed"):
+        assert np.array_equal(
+            decode_png(encode_png(img, filter_type=ft)),
+            decode_png(encode_png(img, filter_type=ft, interlace=True)),
+        ), ft
+    for h, w in ((1, 1), (2, 3), (5, 1), (7, 7), (8, 8), (3, 9)):
+        t = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(t)),
+            decode_png(encode_png(t, interlace=True)),
+        ), (h, w)
+
+
+def test_16bit_reduces_to_high_byte():
+    """16-bit samples decode via the high byte (the spec's 16->8
+    scaling), for grey and RGB, straight and interlaced."""
+    rng = np.random.default_rng(29)
+    img8 = rng.integers(0, 256, (11, 7, 3)).astype(np.uint8)
+    low = rng.integers(0, 256, img8.shape).astype(np.uint16)
+    img16 = (img8.astype(np.uint16) << 8) | low
+    assert np.array_equal(
+        decode_png(encode_png(img16, filter_type="mixed")), img8
+    )
+    assert np.array_equal(
+        decode_png(encode_png(img16, filter_type="mixed", interlace=True)),
+        img8,
+    )
+    g8 = rng.integers(0, 256, (6, 9)).astype(np.uint8)
+    g16 = (g8.astype(np.uint16) << 8) | 0x7F
+    out = decode_png(encode_png(g16))
+    assert np.array_equal(out[..., 0], g8)
+    assert np.array_equal(out[..., 0], out[..., 2])
