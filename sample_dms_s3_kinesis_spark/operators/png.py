@@ -11,13 +11,13 @@ Scope — the profile a no-media-library container can honestly decode:
 
 - 16-bit samples (reduced to 8-bit by taking the high byte, the spec's
   recommended depth scaling) for color types 0/2/4/6;
+- sub-byte depths (1/2/4-bit, color types 0 and 3): MSB-first packed
+  samples, scanlines padded to byte boundaries, filters on bytes with
+  the spec's bpp=1 filter distance; greyscale scales by 255/(2^d-1)
+  (spec sample depth scaling), palette indexes resolve as-is;
 - Adam7 interlacing (seven sub-image passes, each filtered
-  independently, scattered back on the pass grid — spec §8.2).
-
-Sub-byte depths (1/2/4-bit) raise ``NotImplementedError`` — routed by
-callers to the same null-feature error channel as corrupt files (see
-:mod:`.multimodal`), mirroring the unsupported-variant split in
-:mod:`.jpeg`.
+  independently, scattered back on the pass grid — spec §8.2), at any
+  supported depth.
 
 Alpha is dropped on decode (features are computed over RGB); palette
 entries resolve through PLTE.  The encoder exists so tests and the
@@ -74,11 +74,19 @@ def _chunks(content: bytes):
     raise ValueError("PNG stream missing IEND")
 
 
-def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
-    """Reverse the per-row filters → (h, w*bpp) uint8 reconstruction."""
-    stride = w * bpp
+def _scanline(w: int, channels: int, depth: int) -> int:
+    """Bytes per scanline: samples pack MSB-first, rows pad to byte
+    boundaries (spec §7.2)."""
+    return -(-w * channels * depth // 8)
+
+
+def _unfilter(raw: bytes, stride: int, h: int, bpp: int) -> np.ndarray:
+    """Reverse the per-row filters → (h, stride) uint8 reconstruction.
+    ``stride`` is bytes per scanline; ``bpp`` the spec's filter
+    distance (1 for sub-byte depths)."""
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG raster length mismatch")
+    n_units = stride // bpp
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
@@ -88,16 +96,18 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
         if ft == 0:  # None
             recon = cur
         elif ft == 1:  # Sub: running sum along the row, per channel
-            recon = (cur.reshape(w, bpp).cumsum(axis=0) % 256).reshape(stride)
+            recon = (
+                cur.reshape(n_units, bpp).cumsum(axis=0) % 256
+            ).reshape(stride)
         elif ft == 2:  # Up
             recon = (cur + prev) % 256
         elif ft in (3, 4):  # Average / Paeth: sequential in x
-            px = cur.reshape(w, bpp)
-            pr = prev.reshape(w, bpp)
-            rec = np.empty((w, bpp), dtype=np.int64)
+            px = cur.reshape(n_units, bpp)
+            pr = prev.reshape(n_units, bpp)
+            rec = np.empty((n_units, bpp), dtype=np.int64)
             left = np.zeros(bpp, dtype=np.int64)
             upleft = np.zeros(bpp, dtype=np.int64)
-            for x in range(w):
+            for x in range(n_units):
                 if ft == 3:
                     pred = (left + pr[x]) >> 1
                 else:
@@ -113,21 +123,47 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     return out
 
 
-def _deinterlace(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+def _pass_raster(
+    raw: bytes, w: int, h: int, channels: int, depth: int
+) -> np.ndarray:
+    """One (sub)image's filtered scanlines → (h, w, B) uint8 pixel
+    bytes (B = channels, or channels*2 at depth 16).  Sub-byte depths
+    unfilter at the spec's bpp=1 distance, then unpack MSB-first."""
+    if depth in (8, 16):
+        bpp = channels * (depth // 8)
+        return _unfilter(raw, w * bpp, h, bpp).reshape(h, w, bpp)
+    stride = _scanline(w, channels, depth)
+    rows = _unfilter(raw, stride, h, 1)
+    bits = np.unpackbits(rows, axis=1)
+    nsamp = stride * 8 // depth
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (bits.reshape(h, nsamp, depth) * weights).sum(axis=2)
+    return (
+        samples[:, : w * channels].astype(np.uint8).reshape(h, w, channels)
+    )
+
+
+def _deinterlace(
+    raw: bytes, w: int, h: int, channels: int, depth: int
+) -> np.ndarray:
     """Adam7: seven independently-filtered sub-rasters, decoded in
     order from ONE decompressed stream and scattered back on the pass
-    grid.  Returns (h, w, bpp) uint8 pixel bytes."""
-    full = np.zeros((h, w, bpp), dtype=np.uint8)
+    grid.  Returns (h, w, B) uint8 pixel bytes."""
+    B = channels * (2 if depth == 16 else 1)
+    full = np.zeros((h, w, B), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = max(0, -(-(w - x0) // dx))
         ph = max(0, -(-(h - y0) // dy))
         if pw == 0 or ph == 0:
             continue  # a pass can be empty for small images (spec 8.2)
-        nbytes = ph * (1 + pw * bpp)
-        sub = _unfilter(raw[pos : pos + nbytes], pw, ph, bpp)
+        if depth in (8, 16):
+            nbytes = ph * (1 + pw * B)
+        else:
+            nbytes = ph * (1 + _scanline(pw, channels, depth))
+        sub = _pass_raster(raw[pos : pos + nbytes], pw, ph, channels, depth)
         pos += nbytes
-        full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+        full[y0::dy, x0::dx, :] = sub
     if pos != len(raw):
         raise ValueError("PNG interlaced raster length mismatch")
     return full
@@ -161,24 +197,33 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ValueError("unknown PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    if depth not in (8, 16):
-        raise NotImplementedError(f"PNG bit depth {depth} is not supported")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     if color_type not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color_type}")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"sub-byte depth {depth} is only valid for greyscale/"
+            f"palette (spec 11.2.2), got color type {color_type}"
+        )
     if depth == 16 and color_type == 3:
         raise ValueError("palette PNG cannot be 16-bit (spec 11.2.2)")
     if w <= 0 or h <= 0:
         raise ValueError("empty PNG image")
     channels = _CHANNELS[color_type]
-    bpp = channels * (2 if depth == 16 else 1)  # filters work on BYTES
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
-        px = _deinterlace(raw, w, h, bpp)
+        px = _deinterlace(raw, w, h, channels, depth)
     else:
-        px = _unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+        px = _pass_raster(raw, w, h, channels, depth)
     if depth == 16:
         # big-endian sample pairs -> high byte (the spec's 16->8 scale)
         px = px.reshape(h, w, channels, 2)[:, :, :, 0]
+    elif depth < 8 and color_type == 0:
+        # spec sample-depth scaling: 255/(2^d - 1) is exact for 1/2/4
+        px = (px.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     if color_type == 0:  # greyscale
         return np.repeat(px, 3, axis=2)
     if color_type == 2:  # truecolor
@@ -221,6 +266,7 @@ def encode_png(
     *,
     filter_type: int | str = 0,
     interlace: bool = False,
+    depth: int | None = None,
 ) -> bytes:
     """Encode an (H, W, 3) RGB or (H, W) greyscale array as a PNG —
     8-bit from uint8 input, 16-bit from uint16 (big-endian sample
@@ -228,29 +274,48 @@ def encode_png(
     ``filter_type`` is 0–4 applied to every row, or ``'mixed'`` to
     cycle all five filters row-by-row (the fixture mode that exercises
     every decode path in one payload); ``interlace=True`` writes the
-    Adam7 seven-pass layout, each pass filtered independently."""
+    Adam7 seven-pass layout, each pass filtered independently;
+    ``depth=1/2/4`` packs a 2-D greyscale array of small sample values
+    (< 2^depth) into a sub-byte stream."""
     depth16 = img.dtype == np.uint16
-    if img.ndim == 2:
+    if depth is not None and depth < 8:
+        if img.ndim != 2:
+            raise ValueError("sub-byte encode_png expects (H, W) grey")
+        if int(img.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample values exceed {depth}-bit range")
         color_type, channels = 0, 1
         px = img[:, :, None]
+    elif img.ndim == 2:
+        color_type, channels = 0, 1
+        px = img[:, :, None]
+        depth = 16 if depth16 else 8
     elif img.ndim == 3 and img.shape[2] == 3:
         color_type, channels = 2, 3
         px = img
+        depth = 16 if depth16 else 8
     else:
         raise ValueError("encode_png expects (H, W, 3) RGB or (H, W) grey")
     h, w = px.shape[:2]
-    if depth16:
+    if depth == 16:
         plane = np.stack(
             [(px >> 8) & 0xFF, px & 0xFF], axis=-1
         ).reshape(h, w, channels * 2).astype(np.uint8)
     else:
         plane = px.astype(np.uint8)
-    bpp = channels * (2 if depth16 else 1)
+    bpp = channels * 2 if depth == 16 else 1 if depth < 8 else channels
 
     def filtered_rows(region: np.ndarray) -> bytearray:
         ph, pw = region.shape[:2]
-        rows = region.reshape(ph, pw * bpp).astype(np.int64)
-        prev = np.zeros(pw * bpp, dtype=np.int64)
+        if depth < 8:
+            # pack samples MSB-first, pad each row to a byte boundary
+            bits = (
+                (region.reshape(ph, pw)[:, :, None]
+                 >> np.arange(depth - 1, -1, -1)) & 1
+            ).reshape(ph, pw * depth).astype(np.uint8)
+            rows = np.packbits(bits, axis=1).astype(np.int64)
+        else:
+            rows = region.reshape(ph, pw * bpp).astype(np.int64)
+        prev = np.zeros(rows.shape[1], dtype=np.int64)
         body = bytearray()
         for r in range(ph):
             ft = (r % 5) if filter_type == "mixed" else int(filter_type)
@@ -279,7 +344,7 @@ def encode_png(
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 16 if depth16 else 8, color_type, 0, 0,
+        ">IIBBBBB", w, h, depth, color_type, 0, 0,
         1 if interlace else 0,
     )
     return (

@@ -137,10 +137,11 @@ def test_crc_corruption_raises():
         decode_png(bytes(payload))
 
 
-def test_out_of_profile_raises_notimplemented():
-    # Adam7 and 16-bit decode since r8 — sub-byte depths stay out
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(_raw_png(8, 1, 0, [(0, b"\x00")], depth=4))
+def test_out_of_profile_raises():
+    # every spec depth decodes since r8; non-spec depths and unknown
+    # interlace methods fail clearly
+    with pytest.raises(ValueError, match="invalid PNG bit depth"):
+        decode_png(_raw_png(8, 1, 0, [(0, b"\x00")], depth=3))
     with pytest.raises(ValueError, match="interlace"):
         decode_png(_raw_png(2, 1, 2, [(0, b"\x00" * 6)], interlace=7))
 
@@ -206,3 +207,51 @@ def test_16bit_reduces_to_high_byte():
     out = decode_png(encode_png(g16))
     assert np.array_equal(out[..., 0], g8)
     assert np.array_equal(out[..., 0], out[..., 2])
+
+
+def test_sub_byte_greyscale_scales_samples():
+    """1/2/4-bit greyscale: MSB-first packed samples, byte-padded rows,
+    bpp=1 filters, decode scales by 255/(2^d - 1) — straight and
+    Adam7, across filter modes and widths that pad mid-byte."""
+    rng = np.random.default_rng(31)
+    for d in (1, 2, 4):
+        for h, w in ((5, 5), (3, 17), (1, 1)):
+            g = rng.integers(0, 1 << d, (h, w)).astype(np.uint8)
+            want = (g.astype(int) * (255 // ((1 << d) - 1))).astype(np.uint8)
+            for il in (False, True):
+                out = decode_png(
+                    encode_png(g, depth=d, filter_type="mixed", interlace=il)
+                )
+                assert np.array_equal(out[..., 0], want), (d, h, w, il)
+                assert np.array_equal(out[..., 0], out[..., 2])
+
+
+def test_sub_byte_palette_resolves_plte():
+    """Hand-built 4-bit palette image: indexes pack two per byte and
+    resolve through PLTE unscaled."""
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], np.uint8
+    )
+    # 2x3 image of indexes: rows [0,1,2], [3,0,1] -> packed nibbles
+    rows = [(0, bytes([0x01, 0x20])), (0, bytes([0x30, 0x10]))]
+    data = _raw_png(
+        3, 2, 3, rows, depth=4,
+        extra=_chunk(b"PLTE", palette.tobytes()),
+    )
+    out = decode_png(data)
+    want = palette[np.array([[0, 1, 2], [3, 0, 1]])]
+    assert np.array_equal(out, want)
+
+
+def test_sub_byte_invalid_combinations_raise():
+    # sub-byte truecolor is out of spec
+    with pytest.raises(ValueError, match="sub-byte"):
+        decode_png(_raw_png(1, 1, 2, [(0, b"\x00")], depth=4))
+    # depth 3 is not a PNG depth at all
+    with pytest.raises(ValueError, match="invalid PNG bit depth"):
+        decode_png(_raw_png(1, 1, 0, [(0, b"\x00")], depth=3))
+    # encoder guards: range and shape
+    with pytest.raises(ValueError, match="range"):
+        encode_png(np.array([[4]], np.uint8), depth=2)
+    with pytest.raises(ValueError, match="grey"):
+        encode_png(np.zeros((2, 2, 3), np.uint8), depth=4)
