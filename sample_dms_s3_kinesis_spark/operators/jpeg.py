@@ -1,24 +1,26 @@
-"""Baseline JPEG codec in pure numpy — the in-container decode path
+"""Huffman JPEG codec in pure numpy — the in-container decode path
 for the single most common image payload a multimodal pipeline meets
-(reference scope: the engine treats media as opaque binary columns;
-VERDICT r6 asked for baseline-JPEG decode as the one scope-edge
-capability users hit immediately).
+(reference scope: the engine treats media as opaque binary columns).
 
 Decoder: baseline DCT (SOF0), extended-sequential (SOF1) and
 progressive (SOF2, T.81 Annex G.2: spectral selection + successive
 approximation, DC/AC first and refinement scans, EOB runs) Huffman
-streams — DQT (8/16-bit), multi-table DHT, integer-ratio sampling
+streams, interleaved or non-interleaved (one Ns=1 scan per component,
+A.2.2) — DQT (8/16-bit), multi-table DHT, integer-ratio sampling
 factors (4:4:4 / 4:2:2 / 4:2:0 and any (h,v) pair dividing the max),
 restart markers, grayscale or 3-component YCbCr.  Arithmetic coding,
 hierarchical, lossless, and non-divisor sampling factor variants raise
 ``NotImplementedError`` — callers route that to the null-feature error
 channel like any undecodable payload.
 
-Encoder: baseline 4:4:4 or 4:2:0, used for deterministic fixtures and
-thumbnails; it writes its Huffman tables into the stream (flat-length
-canonical tables — valid JPEG, no reliance on remembering the spec's
-Annex-K code lists).  ``decode(encode(img))`` equals ``img`` within
-quantization error, which is the codec's pytest contract.
+Encoder: 4:4:4 or 4:2:0, sequential (interleaved or non-interleaved)
+or progressive, used for deterministic fixtures and thumbnails; it
+writes its Huffman tables into the stream (flat-length canonical
+tables — valid JPEG, no reliance on remembering the spec's Annex-K
+code lists) and every mode shares ONE quantizer front half
+(``_quantized_comp_blocks``), so all encodings of the same pixels
+decode identically — the codec's pytest contract, alongside
+``decode(encode(img)) == img`` within quantization error.
 
 Everything here derives from the public JPEG specification (ITU-T
 T.81): marker grammar, zigzag order, canonical Huffman code
@@ -787,6 +789,14 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, v if v > 0 else v + (1 << s) - 1
 
 
+def _emit_restart(w: _BitWriter, rst_n: int) -> int:
+    """Byte-align (1-padded flush) and write RSTn; returns the next
+    marker index (mod 8).  Shared by every encoder mode."""
+    w.flush()
+    w.out += bytes([0xFF, 0xD0 + rst_n])
+    return (rst_n + 1) % 8
+
+
 def _encode_block(w: _BitWriter, zz, pred: int, dc_enc: dict,
                   ac_enc: dict) -> int:
     """Sequential-Huffman entropy coding of one zigzag-ordered block
@@ -854,11 +864,6 @@ def encode_jpeg(
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
 
-    def _restart(w: _BitWriter, rst_n: int) -> int:
-        w.flush()
-        w.out += bytes([0xFF, 0xD0 + rst_n])
-        return (rst_n + 1) % 8
-
     scan_payloads: list[tuple[list[int], bytes]] = []
     if noninterleaved and not gray:
         for ci, (h, v, _tq) in enumerate(samp):
@@ -875,7 +880,7 @@ def encode_jpeg(
                         and unit
                         and unit % restart_interval == 0
                     ):
-                        rst_n = _restart(w, rst_n)
+                        rst_n = _emit_restart(w, rst_n)
                         pred = 0
                     unit += 1
                     pred = _encode_block(
@@ -895,7 +900,7 @@ def encode_jpeg(
                     and mcu_index
                     and mcu_index % restart_interval == 0
                 ):
-                    rst_n = _restart(w, rst_n)
+                    rst_n = _emit_restart(w, rst_n)
                     preds = [0] * len(samp)
                 mcu_index += 1
                 for ci, (h, v, _tq) in enumerate(samp):
@@ -1065,11 +1070,6 @@ def encode_jpeg_progressive(
         ln, code = enc[sym]
         w.write(code, ln)
 
-    def restart(w: _BitWriter, rst_n: int) -> int:
-        w.flush()
-        w.out += bytes([0xFF, 0xD0 + rst_n])
-        return (rst_n + 1) % 8
-
     def dc_groups() -> list[list[tuple[int, int, int]]]:
         """DC-scan restart units: one (ci, by, bx) block per unit in
         the single-component (non-interleaved) case, one MCU's worth
@@ -1099,7 +1099,7 @@ def encode_jpeg_progressive(
         unit = 0
         for g in dc_groups():
             if restart_interval and unit and unit % restart_interval == 0:
-                rst_n = restart(w, rst_n)
+                rst_n = _emit_restart(w, rst_n)
                 preds = [0] * len(samp)
             unit += 1
             for ci, by, bx in g:
@@ -1119,7 +1119,7 @@ def encode_jpeg_progressive(
         unit = 0
         for g in dc_groups():
             if restart_interval and unit and unit % restart_interval == 0:
-                rst_n = restart(w, rst_n)
+                rst_n = _emit_restart(w, rst_n)
             unit += 1
             for ci, by, bx in g:
                 w.write((int(comp_zz[ci][by, bx, 0]) >> al) & 1, 1)
@@ -1151,7 +1151,7 @@ def encode_jpeg_progressive(
                     and unit % restart_interval == 0
                 ):
                     emit_eobrun()
-                    rst_n = restart(w, rst_n)
+                    rst_n = _emit_restart(w, rst_n)
                 unit += 1
                 zz = zzc[by, bx]
                 r = 0
@@ -1206,7 +1206,7 @@ def encode_jpeg_progressive(
                     and unit % restart_interval == 0
                 ):
                     emit_eobrun()
-                    rst_n = restart(w, rst_n)
+                    rst_n = _emit_restart(w, rst_n)
                 unit += 1
                 zz = zzc[by, bx]
                 absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]

@@ -2,12 +2,13 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The decode kernels are REAL for the formats a no-media-library
-container can parse — binary PPM (P6) images, baseline JPEG (pure
-numpy Huffman+IDCT codec in :mod:`.jpeg`), 8-bit PNG (stdlib-zlib
-inflate + filter reconstruction in :mod:`.png`) and PCM16 WAV audio
-are decoded, resized/resampled, and featurized in pure numpy.
-Remaining formats (MP3/progressive JPEG/Adam7 PNG/…) raise
-``NotImplementedError`` —
+container can parse — binary PPM (P6) images, Huffman JPEG
+(baseline/extended-sequential/progressive, interleaved or not — pure
+numpy codec in :mod:`.jpeg`), PNG at every spec depth (1/2/4/8/16-bit,
+straight or Adam7-interlaced — stdlib-zlib inflate + filter
+reconstruction in :mod:`.png`) and PCM16 WAV audio are decoded,
+resized/resampled, and featurized in pure numpy.  Remaining formats
+(MP3/arithmetic-coded JPEG/…) raise ``NotImplementedError`` —
 clearly disclosed, and routed to the null-feature error channel
 exactly like a corrupt file.  Swapping in Pillow/torchaudio extends
 one decoder function; the Spark-side plumbing (schemas, batch
@@ -66,12 +67,13 @@ def decode_image(content: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 array.
 
     REAL decoders for binary PPM (P6) — pure numpy header + raster
-    parse — baseline JPEG (pure-numpy Huffman + IDCT, :mod:`.jpeg`;
-    progressive/arithmetic variants raise inside the codec) and 8-bit
-    PNG (stdlib-zlib inflate + filter reconstruction, :mod:`.png`;
-    Adam7/16-bit variants raise inside the codec).  Other formats
-    (MP3 needs a full subband codec) raise ``NotImplementedError``;
-    callers route that to the error channel.
+    parse — Huffman JPEG (baseline/extended-sequential/progressive,
+    pure-numpy Huffman + IDCT, :mod:`.jpeg`; arithmetic/hierarchical/
+    lossless variants raise inside the codec) and PNG at every spec
+    depth, straight or Adam7 (stdlib-zlib inflate + filter
+    reconstruction, :mod:`.png`).  Other formats (MP3 needs a full
+    subband codec) raise ``NotImplementedError``; callers route that
+    to the error channel.
     """
     if not content:
         raise ValueError("empty media content")
@@ -85,8 +87,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_png(content)
     if not content.startswith(b"P6"):
         raise NotImplementedError(
-            "only binary PPM (P6), baseline JPEG and 8-bit PNG decode "
-            "are implemented in-container"
+            "only binary PPM (P6), Huffman JPEG and PNG decode are "
+            "implemented in-container"
         )
     # Header: "P6" <ws> width <ws> height <ws> maxval <1 ws byte> raster,
     # with optional '#' comment lines inside the whitespace.

@@ -172,10 +172,11 @@ def _deinterlace(
 def decode_png(content: bytes) -> np.ndarray:
     """Decode a PNG payload to an (H, W, 3) uint8 RGB array.
 
-    Supports 8-bit and 16-bit samples (16-bit reduced via the high
-    byte), all color types, all filters, straight or Adam7-interlaced;
-    sub-byte depths raise ``NotImplementedError`` into the caller's
-    error channel."""
+    Supports every spec depth — 1/2/4-bit (greyscale + palette),
+    8-bit, and 16-bit (reduced via the high byte) — all color types,
+    all filters, straight or Adam7-interlaced.  Out-of-spec headers
+    (non-PNG depths, sub-byte truecolor, 16-bit palette) raise
+    ``ValueError`` into the caller's error channel."""
     if not content.startswith(_SIGNATURE):
         raise ValueError("not a PNG stream")
     ihdr = None

@@ -924,7 +924,16 @@ def decode_html_entities(col: Column) -> Column:
     c = F.regexp_replace(col, f"[{_S1}{_S2}]", "")
     for code, repl in _HTML_TYPOGRAPHIC:
         c = F.regexp_replace(c, rf"&#{code};", repl.replace("$", r"\$"))
+    # Mark BOTH numeric spellings against the SAME (original) text
+    # before decoding anything — decoding decimal first and re-scanning
+    # would let decoded characters assemble a fresh hex entity (e.g.
+    # '&&#35;x41;' -> '&#x41;' -> 'A'), a double decode.  Marking only
+    # inserts sentinels+digits, which neither numeric pattern can
+    # re-match, so the two marking passes commute.  Hex heads carry an
+    # 'x' tag so the single decode pass can tell '41' (decimal) from
+    # 'x41' (hex).
     c = F.regexp_replace(c, _HTML_NUM_RE, f"{_S1}$1{_S2}")
+    c = F.regexp_replace(c, _HTML_HEX_RE, f"{_S1}x$1{_S2}")
     parts = F.split(c, _S1, -1)
     dec = F.transform(
         parts,
@@ -934,27 +943,21 @@ def decode_html_entities(col: Column) -> Column:
                 F.char(F.regexp_extract(p, f"^([0-9]+){_S2}", 1).cast("int")),
                 F.regexp_replace(p, f"^[0-9]+{_S2}", ""),
             ),
-        ).otherwise(p),
-    )
-    c = F.array_join(dec, "")
-    # hex entities: second sentinel pass, conv(16) instead of cast
-    c = F.regexp_replace(c, _HTML_HEX_RE, f"{_S1}$1{_S2}")
-    parts = F.split(c, _S1, -1)
-    dec = F.transform(
-        parts,
-        lambda p: F.when(
-            p.rlike(f"^[0-9a-fA-F]{{2}}{_S2}"),
+        )
+        .when(
+            p.rlike(f"^x[0-9a-fA-F]{{2}}{_S2}"),
             F.concat(
                 F.char(
                     F.conv(
-                        F.regexp_extract(p, f"^([0-9a-fA-F]+){_S2}", 1),
+                        F.regexp_extract(p, f"^x([0-9a-fA-F]+){_S2}", 1),
                         16,
                         10,
                     ).cast("int")
                 ),
-                F.regexp_replace(p, f"^[0-9a-fA-F]+{_S2}", ""),
+                F.regexp_replace(p, f"^x[0-9a-fA-F]+{_S2}", ""),
             ),
-        ).otherwise(p),
+        )
+        .otherwise(p),
     )
     c = F.array_join(dec, "")
     for name, repl in _HTML_NAMED:

@@ -6008,27 +6008,25 @@ def _duck_html_entities(e: str) -> str:
     e = f"regexp_replace({e}, '[\\x01\\x02]', '', 'g')"
     for code, repl in _text._HTML_TYPOGRAPHIC:
         e = f"regexp_replace({e}, '&#{code};', '{_sqlq(repl)}', 'g')"
+    # both numeric spellings mark against the SAME text, then ONE
+    # decode pass (hex heads tagged 'x') — mirrors text.py exactly
     e = (
         f"regexp_replace({e}, '{_text._HTML_NUM_RE}',"
         " chr(1)||'\\1'||chr(2), 'g')"
     )
     e = (
+        f"regexp_replace({e}, '{_text._HTML_HEX_RE}',"
+        " chr(1)||'x\\1'||chr(2), 'g')"
+    )
+    e = (
         f"list_aggregate(list_transform(string_split({e}, chr(1)), p -> "
         "CASE WHEN regexp_matches(p, '^[0-9]{2,3}'||chr(2)) THEN "
         "chr(CAST(regexp_extract(p, '^([0-9]+)'||chr(2), 1) AS INT)) || "
-        "regexp_replace(p, '^[0-9]+'||chr(2), '') ELSE p END), "
-        "'string_agg', '')"
-    )
-    e = (
-        f"regexp_replace({e}, '{_text._HTML_HEX_RE}',"
-        " chr(1)||'\\1'||chr(2), 'g')"
-    )
-    e = (
-        f"list_aggregate(list_transform(string_split({e}, chr(1)), p -> "
-        "CASE WHEN regexp_matches(p, '^[0-9a-fA-F]{2}'||chr(2)) THEN "
-        "chr(('0x' || regexp_extract(p, '^([0-9a-fA-F]+)'||chr(2), 1))"
+        "regexp_replace(p, '^[0-9]+'||chr(2), '') "
+        "WHEN regexp_matches(p, '^x[0-9a-fA-F]{2}'||chr(2)) THEN "
+        "chr(('0x' || regexp_extract(p, '^x([0-9a-fA-F]+)'||chr(2), 1))"
         "::INT) || "
-        "regexp_replace(p, '^[0-9a-fA-F]+'||chr(2), '') ELSE p END), "
+        "regexp_replace(p, '^x[0-9a-fA-F]+'||chr(2), '') ELSE p END), "
         "'string_agg', '')"
     )
     for name, repl in _text._HTML_NAMED:
@@ -6298,9 +6296,18 @@ def q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_url_caps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    with_url = d.select("doc_id", _wrapped_url().alias("url"))
-    corpus = with_url.filter(did % 2 == 0)
-    new = with_url.filter(did % 2 == 1)
-    out = _urls.domain_caps_against(new, corpus, max_per_domain=3)
-    dom = _urls.registered_domain(_urls.url_host(F.col("url")))
-    return out.select("doc_id", dom.alias("url_domain"), "kept")
+    # project the registered domain ONCE per frame and key everything
+    # on it — unparameterized, the ~10-regex parse chain would run for
+    # the corpus aggregate, the window key AND the output column
+    with_dom = d.select(
+        "doc_id",
+        _urls.registered_domain(
+            _urls.url_host(_wrapped_url())
+        ).alias("url_domain"),
+    )
+    corpus = with_dom.filter(did % 2 == 0)
+    new = with_dom.filter(did % 2 == 1)
+    out = _urls.domain_caps_against(
+        new, corpus, domain_col="url_domain", max_per_domain=3
+    )
+    return out.select("doc_id", "url_domain", "kept")

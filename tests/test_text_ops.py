@@ -666,11 +666,18 @@ def test_html_extract_python_reference_on_corpus(spark):
             c = c.replace(f"&#{code};", repl)
         c = re.sub(
             r"&#(3[2-7]|39|[4-9][0-9]|1[01][0-9]|12[0-6]);",
-            lambda m: chr(int(m.group(1))), c,
+            lambda m: "\x01" + m.group(1) + "\x02", c,
         )
         c = re.sub(
             r"&#[xX](2[0-57-9a-fA-F]|[3-6][0-9a-fA-F]|7[0-9a-eA-E]);",
+            lambda m: "\x01x" + m.group(1) + "\x02", c,
+        )
+        c = re.sub(
+            r"\x01x([0-9a-fA-F]+)\x02",
             lambda m: chr(int(m.group(1), 16)), c,
+        )
+        c = re.sub(
+            r"\x01([0-9]+)\x02", lambda m: chr(int(m.group(1))), c,
         )
         for name, repl in text._HTML_NAMED:
             c = c.replace(f"&{name};", repl)
@@ -747,3 +754,11 @@ def test_html_blocks_feed_block_dedup(spark):
     assert len(shared) == 1
     assert shared[0]["block"] == "shared footer text"
     assert shared[0]["n"] == 2
+
+
+def test_html_numeric_passes_cannot_compose(spark):
+    """Decoded characters must not assemble a fresh entity for a later
+    pass: '&&#35;x41;' (decimal '#' between '&' and 'x41;') stays the
+    literal '&#x41;', and '&&#x23;57;' (hex '#') stays '&#57;'."""
+    assert _html_one(spark, text.html_extract, "&&#35;x41;") == "&#x41;"
+    assert _html_one(spark, text.html_extract, "&&#x23;57;") == "&#57;"
