@@ -395,3 +395,95 @@ class PostingsIndex:
         return boolean_search_postings(
             pruned, terms, id_col=self.id_col, exclude=exclude
         )
+
+
+def ranking_metrics_report(
+    run: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-query ranking quality for a retrieval run: nDCG@k (graded,
+    exponential gain, log2 position discount), MRR@k (reciprocal rank
+    of the first relevant hit) and Recall@k (relevant retrieved /
+    relevant total) — the standard TREC-style eval triple, closing the
+    loop on the BM25/RRF read side.
+
+    ``run``: (query_col, doc_col, rank_col) with rank 1-based within
+    each query.  ``qrels``: (query_col, doc_col, rel_col) integer
+    grades >= 0; pairs absent from qrels count as grade 0.  Queries
+    with no relevant documents are dropped from the report (IDCG and
+    recall are undefined for them — trec_eval semantics); a query with
+    relevant documents but an empty/missing run row scores 0.
+
+    Shapes: one left join of the rank-filtered run against qrels, one
+    window over qrels for the ideal ordering (deterministic tie-break
+    on doc id), two grouped aggregates joined per query — every
+    aggregate is map-side combinable and the frames after the top-k
+    filter are k-bounded per query.  Output: (query_col, ndcg, mrr,
+    recall), rounded to ``scale`` (the log2/division float is the only
+    cross-engine nondeterminism; integer gains and counts are exact).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    q, d, r, g = query_col, doc_col, rank_col, rel_col
+    topk = run.filter(F.col(r) <= k)
+    hits = topk.join(
+        qrels.select(q, d, g), [q, d], "left"
+    ).withColumn("_g", F.coalesce(F.col(g), F.lit(0)))
+    per_q = hits.groupBy(q).agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("_g")) - 1.0)
+            / F.log2(F.col(r).cast("double") + 1.0)
+        ).alias("_dcg"),
+        F.min(
+            F.when(F.col("_g") > 0, F.col(r))
+        ).alias("_first_rel"),
+        F.count(F.when(F.col("_g") > 0, F.lit(1))).alias("_n_hit"),
+    )
+    w = Window.partitionBy(q).orderBy(
+        F.col(g).desc(), F.col(d).asc()
+    )
+    ideal = (
+        qrels.filter(F.col(g) > 0)
+        .withColumn("_irk", F.row_number().over(w))
+        .groupBy(q)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_irk") <= k,
+                    (F.pow(F.lit(2.0), F.col(g)) - 1.0)
+                    / F.log2(F.col("_irk").cast("double") + 1.0),
+                )
+            ).alias("_idcg"),
+            F.count(F.lit(1)).alias("_n_rel"),
+        )
+    )
+    return (
+        ideal.join(per_q, q, "left")
+        .select(
+            q,
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"),
+                scale,
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(
+                    1.0 / F.col("_first_rel").cast("double"), F.lit(0.0)
+                ),
+                scale,
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("_n_hit"), F.lit(0)).cast("double")
+                / F.col("_n_rel").cast("double"),
+                scale,
+            ).alias("recall"),
+        )
+    )

@@ -3104,7 +3104,8 @@ DRIVER_WINDOW: list[str] = [
 # r9 rotation backlog, in priority order (never-checked beats stale):
 # (a) any query registered during the r8 sessions (enumerate here as
 #     they land): q_html_extract, q_neardup_clustering_lsh,
-#     q_url_domain_caps, q_url_caps_incremental, and q_pagerank_neardup (not new, but its
+#     q_url_domain_caps, q_url_caps_incremental, q_ranking_metrics,
+#     and q_pagerank_neardup (not new, but its
 #     edge source changed to the LSH graph in r8 — its newest
 #     rows-only row describes the old prefix-filter graph);
 # (b) the 37 remaining r4-stale rows (q_ann_cosine_topk, q_asof_join,

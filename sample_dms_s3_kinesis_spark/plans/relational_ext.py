@@ -6311,3 +6311,124 @@ def q_url_caps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, corpus, domain_col="url_domain", max_per_domain=3
     )
     return out.select("doc_id", "url_domain", "kept")
+
+
+# ------------------------------------------------------------------
+# Retrieval ranking-quality eval (search.ranking_metrics_report).
+# Run and qrels are synthesized from md5 so both engines rank and
+# grade identically: rank = md5 order, grade = first hex nibble % 4
+# over a sparsified doc subset.
+# ------------------------------------------------------------------
+
+@_register(
+    "q_ranking_metrics",
+    """
+    WITH qs AS (SELECT unnest(range(5)) AS query_id),
+    scored AS (
+      SELECT q.query_id, d.doc_id,
+             md5(CAST(q.query_id AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS h
+      FROM qs q CROSS JOIN documents d),
+    run AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY h, doc_id) AS rank
+        FROM scored)
+      WHERE rank <= 10),
+    rel AS (
+      SELECT * FROM (
+        SELECT q.query_id, d.doc_id,
+               ('0x' || substring(md5('r' || CAST(q.query_id AS VARCHAR)
+                  || ':' || CAST(d.doc_id AS VARCHAR)), 1, 1))::INT % 4
+                 AS rel
+        FROM qs q CROSS JOIN documents d
+        WHERE d.doc_id % 3 = 0)
+      WHERE rel > 0),
+    hits AS (
+      SELECT r.query_id, r.rank, COALESCE(g.rel, 0) AS g
+      FROM run r LEFT JOIN rel g
+        ON g.query_id = r.query_id AND g.doc_id = r.doc_id),
+    perq AS (
+      SELECT query_id,
+             SUM((POWER(2, g) - 1) / LOG2(rank + 1)) AS dcg,
+             MIN(CASE WHEN g > 0 THEN rank END) AS first_rel,
+             COUNT(CASE WHEN g > 0 THEN 1 END) AS n_hit
+      FROM hits GROUP BY query_id),
+    ideal AS (
+      SELECT query_id,
+             SUM(CASE WHEN irk <= 10
+                 THEN (POWER(2, rel) - 1) / LOG2(irk + 1) END) AS idcg,
+             COUNT(*) AS n_rel
+      FROM (SELECT query_id, rel, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, doc_id) AS irk
+            FROM rel)
+      GROUP BY query_id)
+    SELECT i.query_id,
+           ROUND(COALESCE(p.dcg, 0) / i.idcg, 6) AS ndcg,
+           ROUND(COALESCE(1.0 / p.first_rel, 0), 6) AS mrr,
+           ROUND(COALESCE(p.n_hit, 0)::DOUBLE / i.n_rel, 6) AS recall
+    FROM ideal i LEFT JOIN perq p USING (query_id)
+    ORDER BY i.query_id
+    """,
+    "retrieval ranking-quality eval: nDCG@10 (graded exponential "
+    "gain, log2 discount), MRR@10 and Recall@10 per query over an "
+    "md5-synthesized run and graded qrels — the TREC-style triple "
+    "closing the loop on the BM25/RRF read side; exact oracle",
+    "retrieval: ranking metrics (nDCG/MRR/recall)",
+)
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from sample_dms_s3_kinesis_spark.operators import search as _search
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    qs = spark.range(5).select(F.col("id").alias("query_id"))
+    scored = qs.crossJoin(d).select(
+        "query_id",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("query_id"), F.col("doc_id"))
+        ).alias("_h"),
+    )
+    run = (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                _W.partitionBy("query_id").orderBy("_h", "doc_id")
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = (
+        qs.crossJoin(d.filter(F.col("doc_id") % 3 == 0))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("r"),
+                                F.col("query_id").cast("string"),
+                                F.lit(":"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 4
+            ).alias("rel"),
+        )
+        .filter(F.col("rel") > 0)
+    )
+    return _search.ranking_metrics_report(
+        run, qrels, k=10, query_col="query_id"
+    ).orderBy("query_id")

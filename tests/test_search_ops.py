@@ -299,3 +299,67 @@ def test_hybrid_rrf_search_end_to_end(spark):
         if r["rank_2"] is not None:
             want += 1.0 / (60 + r["rank_2"])
         assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """nDCG/MRR/Recall vs a hand-worked example (k=3)."""
+    import math
+
+    # q1: run = [d1(rel2), d2(rel0), d3(rel1)]; qrels also d4(rel3)
+    # unretrieved.  q2: relevant docs exist, run has no hits.
+    run = spark.createDataFrame(
+        [(1, "d1", 1), (1, "d2", 2), (1, "d3", 3),
+         (2, "x1", 1), (2, "x2", 2)],
+        "query_id long, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "d1", 2), (1, "d3", 1), (1, "d4", 3),
+         (2, "y1", 1),
+         (3, "z1", 0)],  # q3: no relevant docs -> dropped
+        "query_id long, doc_id string, rel long",
+    )
+    from sample_dms_s3_kinesis_spark.operators.search import (
+        ranking_metrics_report,
+    )
+
+    out = {
+        r["query_id"]: r
+        for r in ranking_metrics_report(run, qrels, k=3).collect()
+    }
+    assert set(out) == {1, 2}
+    dcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+    idcg = (
+        (2**3 - 1) / math.log2(2)
+        + (2**2 - 1) / math.log2(3)
+        + (2**1 - 1) / math.log2(4)
+    )
+    assert abs(out[1]["ndcg"] - round(dcg / idcg, 6)) < 1e-9
+    assert out[1]["mrr"] == 1.0
+    assert abs(out[1]["recall"] - round(2 / 3, 6)) < 1e-9
+    assert out[2]["ndcg"] == 0.0
+    assert out[2]["mrr"] == 0.0
+    assert out[2]["recall"] == 0.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        ranking_metrics_report(run, qrels, k=0)
+
+
+def test_ranking_metrics_perfect_run(spark):
+    """A run that returns the relevant docs in ideal order scores
+    nDCG = MRR = recall = 1."""
+    qrels = spark.createDataFrame(
+        [(1, "a", 3), (1, "b", 2), (1, "c", 1)],
+        "query_id long, doc_id string, rel long",
+    )
+    run = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3)],
+        "query_id long, doc_id string, rank long",
+    )
+    from sample_dms_s3_kinesis_spark.operators.search import (
+        ranking_metrics_report,
+    )
+
+    row = ranking_metrics_report(run, qrels, k=10).collect()[0]
+    assert (row["ndcg"], row["mrr"], row["recall"]) == (1.0, 1.0, 1.0)
