@@ -410,9 +410,10 @@ def ranking_metrics_report(
 ) -> DataFrame:
     """Per-query ranking quality for a retrieval run: nDCG@k (graded,
     exponential gain, log2 position discount), MRR@k (reciprocal rank
-    of the first relevant hit) and Recall@k (relevant retrieved /
-    relevant total) — the standard TREC-style eval triple, closing the
-    loop on the BM25/RRF read side.
+    of the first relevant hit), AP@k (average precision: mean of
+    precision-at-rank over relevant hits, normalized by min(n_rel, k))
+    and Recall@k (relevant retrieved / relevant total) — the standard
+    TREC-style eval set, closing the loop on the BM25/RRF read side.
 
     ``run``: (query_col, doc_col, rank_col) with rank 1-based within
     each query.  ``qrels``: (query_col, doc_col, rel_col) integer
@@ -438,6 +439,16 @@ def ranking_metrics_report(
     hits = topk.join(
         qrels.select(q, d, g), [q, d], "left"
     ).withColumn("_g", F.coalesce(F.col(g), F.lit(0)))
+    # precision@rank needs the cumulative relevant count in rank
+    # order — one window over the k-bounded hits
+    cum_w = (
+        Window.partitionBy(q)
+        .orderBy(F.col(r).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = hits.withColumn(
+        "_cum_rel", F.sum((F.col("_g") > 0).cast("int")).over(cum_w)
+    )
     per_q = hits.groupBy(q).agg(
         F.sum(
             (F.pow(F.lit(2.0), F.col("_g")) - 1.0)
@@ -447,6 +458,12 @@ def ranking_metrics_report(
             F.when(F.col("_g") > 0, F.col(r))
         ).alias("_first_rel"),
         F.count(F.when(F.col("_g") > 0, F.lit(1))).alias("_n_hit"),
+        F.sum(
+            F.when(
+                F.col("_g") > 0,
+                F.col("_cum_rel").cast("double") / F.col(r).cast("double"),
+            )
+        ).alias("_ap_num"),
     )
     w = Window.partitionBy(q).orderBy(
         F.col(g).desc(), F.col(d).asc()
@@ -480,6 +497,11 @@ def ranking_metrics_report(
                 ),
                 scale,
             ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("_ap_num"), F.lit(0.0))
+                / F.least(F.col("_n_rel"), F.lit(k)).cast("double"),
+                scale,
+            ).alias("ap"),
             F.round(
                 F.coalesce(F.col("_n_hit"), F.lit(0)).cast("double")
                 / F.col("_n_rel").cast("double"),

@@ -6346,14 +6346,19 @@ def q_url_caps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id % 3 = 0)
       WHERE rel > 0),
     hits AS (
-      SELECT r.query_id, r.rank, COALESCE(g.rel, 0) AS g
+      SELECT r.query_id, r.rank, COALESCE(g.rel, 0) AS g,
+             SUM(CASE WHEN COALESCE(g.rel, 0) > 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY r.query_id ORDER BY r.rank
+                     ROWS UNBOUNDED PRECEDING) AS cum_rel
       FROM run r LEFT JOIN rel g
         ON g.query_id = r.query_id AND g.doc_id = r.doc_id),
     perq AS (
       SELECT query_id,
              SUM((POWER(2, g) - 1) / LOG2(rank + 1)) AS dcg,
              MIN(CASE WHEN g > 0 THEN rank END) AS first_rel,
-             COUNT(CASE WHEN g > 0 THEN 1 END) AS n_hit
+             COUNT(CASE WHEN g > 0 THEN 1 END) AS n_hit,
+             SUM(CASE WHEN g > 0
+                 THEN cum_rel::DOUBLE / rank END) AS ap_num
       FROM hits GROUP BY query_id),
     ideal AS (
       SELECT query_id,
@@ -6368,6 +6373,7 @@ def q_url_caps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT i.query_id,
            ROUND(COALESCE(p.dcg, 0) / i.idcg, 6) AS ndcg,
            ROUND(COALESCE(1.0 / p.first_rel, 0), 6) AS mrr,
+           ROUND(COALESCE(p.ap_num, 0) / LEAST(i.n_rel, 10), 6) AS ap,
            ROUND(COALESCE(p.n_hit, 0)::DOUBLE / i.n_rel, 6) AS recall
     FROM ideal i LEFT JOIN perq p USING (query_id)
     ORDER BY i.query_id

@@ -335,9 +335,13 @@ def test_ranking_metrics_hand_computed(spark):
     )
     assert abs(out[1]["ndcg"] - round(dcg / idcg, 6)) < 1e-9
     assert out[1]["mrr"] == 1.0
+    # AP@3: precision at the relevant ranks 1 and 3 = 1/1 and 2/3,
+    # normalized by min(n_rel=3, k=3)
+    assert abs(out[1]["ap"] - round((1.0 + 2.0 / 3.0) / 3.0, 6)) < 1e-9
     assert abs(out[1]["recall"] - round(2 / 3, 6)) < 1e-9
     assert out[2]["ndcg"] == 0.0
     assert out[2]["mrr"] == 0.0
+    assert out[2]["ap"] == 0.0
     assert out[2]["recall"] == 0.0
 
     import pytest as _pytest
@@ -362,4 +366,6 @@ def test_ranking_metrics_perfect_run(spark):
     )
 
     row = ranking_metrics_report(run, qrels, k=10).collect()[0]
-    assert (row["ndcg"], row["mrr"], row["recall"]) == (1.0, 1.0, 1.0)
+    assert (row["ndcg"], row["mrr"], row["ap"], row["recall"]) == (
+        1.0, 1.0, 1.0, 1.0,
+    )
