@@ -288,27 +288,97 @@ def batch_topk(
     pairs, so batch the queries (thousands, not millions) and loop
     batches at larger scale.  Output: (query_id, rank, vec_id, cosine).
     """
-    c = spread(corpus).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
-    q = queries.select(
-        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_q")
-    )
-    scored = c.join(F.broadcast(q)).select(
-        query_id_col,
-        id_col,
-        F.round(cosine_similarity(F.col("_v"), F.col("_q")), 6).alias("cosine"),
+    scored = _batch_scored(
+        corpus, queries,
+        vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
     )
     return (
-        # degenerate (NULL-cosine) rows are excluded BEFORE the rank
-        # window — they would otherwise pad the per-query top-k when a
-        # query has fewer than k real matches (same contract as
-        # brute_force_topk)
-        scored.filter(F.col("cosine").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+def _batch_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """(query_id, id, cosine) for every (query, corpus) pair: broadcast
+    queries against the spread corpus; degenerate (NULL-cosine) rows
+    are dropped so they never pad a downstream top-k (the
+    brute_force_topk contract).  Shared by batch_topk and
+    mine_hard_negatives."""
+    c = spread(corpus).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_q"),
+    )
+    return (
+        c.join(F.broadcast(q))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(F.col("_v"), F.col("_q")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    lo: float = 0.3,
+    hi: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: per
+    query (anchor), the top-``k`` corpus vectors whose cosine falls in
+    ``[lo, hi)`` — similar enough to be informative negatives, below
+    the near-duplicate band (``hi``) that would make them FALSE
+    negatives; the anchor itself and its near-copies sit at cosine ~1
+    and are excluded by the band, not by id bookkeeping.
+
+    Same broadcast-queries + rank-window shape as :func:`batch_topk`
+    (shuffles (query_id, id, cosine) triples only); at corpus scale,
+    generate the candidate pool with the IVF/LSH index families first
+    and band-filter their output — the ranking contract is identical.
+    Output: (query_id, rank, id_col, cosine), rank 1 = hardest."""
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    scored = _batch_scored(
+        corpus, queries,
+        vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    banded = scored.filter(
+        (F.col("cosine") >= F.lit(float(lo)))
+        & (F.col("cosine") < F.lit(float(hi)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cosine")
     )

@@ -6438,3 +6438,41 @@ def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search.ranking_metrics_report(
         run, qrels, k=10, query_col="query_id"
     ).orderBy("query_id")
+
+
+@_register(
+    "q_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vec
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          q.query_vec), 6) AS cosine
+      FROM embeddings e CROSS JOIN q),
+    banded AS (
+      SELECT * FROM scored WHERE cosine >= 0.2 AND cosine < 0.99),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM banded)
+    SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+    """,
+    "hard-negative mining for contrastive training: per anchor, the "
+    "top-5 most similar corpus vectors inside the [0.2, 0.99) cosine "
+    "band — informative negatives below the near-duplicate band that "
+    "would poison training as false negatives; exact oracle",
+    "similarity: hard-negative mining (contrastive training prep)",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return mine_hard_negatives(emb, queries, k=5, lo=0.2, hi=0.99)

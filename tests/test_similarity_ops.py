@@ -886,3 +886,46 @@ def test_embedding_diversity_small_group_is_null(spark):
     }
     assert got[0] == (1, None)          # n < 2 -> NULL KPI
     assert got[1] == (2, 0.0)           # orthogonal pair
+
+
+def test_mine_hard_negatives_band_and_rank(spark):
+    """Hand-built geometry: the anchor's duplicate (cosine 1) is
+    excluded by the band, the in-band vectors rank by similarity, and
+    out-of-band dissimilar vectors never appear."""
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    corpus = spark.createDataFrame(
+        [
+            (0, vec(0.0)),          # the anchor itself (cos 1)
+            (1, vec(0.05)),         # near-dup (cos ~0.9988) - above hi
+            (2, vec(0.6)),          # cos ~0.825  - hard negative
+            (3, vec(1.0)),          # cos ~0.540  - hard negative
+            (4, vec(1.3)),          # cos ~0.2675 - hard negative
+            (5, vec(2.5)),          # cos ~-0.80  - below lo
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, vec(0.0))], "query_id long, query_vec array<double>"
+    )
+    from sample_dms_s3_kinesis_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    rows = mine_hard_negatives(
+        corpus, queries, k=5, lo=0.2, hi=0.99
+    ).collect()
+    assert [(r["rank"], r["vec_id"]) for r in rows] == [
+        (1, 2), (2, 3), (3, 4)
+    ]
+    assert all(0.2 <= r["cosine"] < 0.99 for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lo < hi"):
+        mine_hard_negatives(corpus, queries, lo=0.9, hi=0.2)
+    with _pytest.raises(ValueError, match="k must"):
+        mine_hard_negatives(corpus, queries, k=0)
