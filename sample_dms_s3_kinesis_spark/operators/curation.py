@@ -976,3 +976,70 @@ def dedup_segments_cdc_against(
     fresh = segs_new.join(corpus_keys, on="_key", how="left_anti")
     kept = _keep_first(fresh, id_col=id_col)
     return _rebuild_from_segments(new, segs_new, kept, id_col=id_col)
+
+
+def drop_frequent_lines(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: a LINE (newline-
+    delimited, trimmed) that appears in MORE than ``max_docs`` distinct
+    documents is boilerplate — nav bars, footers, cookie banners, ToS
+    blurbs — and is removed from every document; each survivor document
+    is rebuilt with its remaining lines in original order.  Feed the
+    output of :func:`..text.html_extract` (one line per block) and this
+    is the cross-document half of main-content extraction.
+
+    Shapes: one posexplode of lines, one distinct-doc count per line
+    digest (map-side combined; the digest frame never carries bodies
+    past the aggregate), one semi-join back, one per-doc reassembly
+    window.  Lines shorter than ``min_line_chars`` are kept
+    unconditionally (an empty or one-char line is structure, not
+    boilerplate — and counting it would shuffle a mega-bucket).
+    Output: (id_col, text_col) with cleaned text; a document whose
+    every line was boilerplate keeps an empty string (the caller's
+    quality gate drops it, mirroring the ingest empty-extraction
+    rule)."""
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    lines = spread(corpus).select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), "\n", -1)
+        ).alias("_pos", "_line"),
+    )
+    counted = (
+        lines.filter(F.length(F.trim(F.col("_line"))) >= min_line_chars)
+        .select(F.col(id_col), F.md5(F.trim(F.col("_line"))).alias("_lh"))
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") > max_docs)
+        .select("_lh")
+    )
+    short = F.length(F.trim(F.col("_line"))) < min_line_chars
+    kept = lines.filter(short).unionByName(
+        lines.filter(~short).join(
+            counted,
+            F.md5(F.trim(F.col("_line"))) == counted["_lh"],
+            "left_anti",
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    # a document whose every line was boilerplate keeps '' (it has no
+    # surviving line rows, so the groupBy alone would drop the row)
+    return corpus.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )

@@ -6476,3 +6476,68 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     return mine_hard_negatives(emb, queries, k=5, lo=0.2, hi=0.99)
+
+
+@_register(
+    "q_line_boilerplate",
+    f"""
+    WITH h AS (SELECT doc_id, {_DUCK_WRAPPED_HTML} AS html FROM documents),
+    x AS (SELECT doc_id, {_duck_html_extract("html")} AS txt FROM h),
+    x2 AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM x),
+    lines AS (
+      SELECT doc_id, i AS pos, ls[i + 1] AS line
+      FROM x2, UNNEST(range(0, len(ls))) AS t(i)),
+    boiler AS (
+      SELECT lh FROM (
+        SELECT DISTINCT doc_id, md5(trim(line, ' ')) AS lh
+        FROM lines WHERE length(trim(line, ' ')) >= 1)
+      GROUP BY lh HAVING COUNT(*) > 2),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l LEFT JOIN boiler b
+        ON length(trim(l.line, ' ')) >= 1
+           AND md5(trim(l.line, ' ')) = b.lh
+      WHERE b.lh IS NULL),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt
+      FROM kept GROUP BY doc_id),
+    final AS (
+      SELECT d.doc_id, COALESCE(r.txt, '') AS txt
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN rebuilt r USING (doc_id))
+    SELECT doc_id, md5(txt) AS clean_md5,
+           CAST(length(txt) AS BIGINT) AS clean_len,
+           CAST(len(list_filter(string_split(txt, chr(10)),
+                                x -> x <> '')) AS INT) AS n_lines
+    FROM final
+    """,
+    "C4-style line-level boilerplate removal composed with HTML "
+    "extraction: lines (blocks) appearing in > 2 distinct documents — "
+    "the shared nav/tail/footer every synthesized page carries — are "
+    "removed corpus-wide and documents rebuilt in line order; exact "
+    "oracle replays the extraction chain + distinct-doc line counts",
+    "curation: line-level boilerplate removal (cross-document)",
+)
+def q_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import curation as _cur
+
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_WRAP_PREFIX),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_WRAP_MID),
+        F.replace(F.col("text"), F.lit("e"), F.lit("&#101;")),
+        F.lit(_HTML_WRAP_TAIL),
+    )
+    extracted = d.select(
+        "doc_id", _text.html_extract(html).alias("text")
+    )
+    clean = _cur.drop_frequent_lines(extracted, max_docs=2)
+    return clean.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.length("text").cast("long").alias("clean_len"),
+        F.size(
+            F.filter(F.split("text", "\n", -1), lambda x: x != "")
+        ).alias("n_lines"),
+    )

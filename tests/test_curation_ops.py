@@ -719,3 +719,55 @@ def test_dsir_weights_null_text_and_validation(spark):
         curation.dsir_weights(raw_df, tgt_df, buckets=0)
     with _pytest.raises(ValueError, match="hash_family"):
         curation.dsir_weights(raw_df, tgt_df, hash_family="sha1")
+
+
+def test_drop_frequent_lines_removes_cross_doc_boilerplate(spark):
+    from sample_dms_s3_kinesis_spark.operators.curation import (
+        drop_frequent_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nCOOKIE BANNER\nbody one\nfooter text"),
+            (2, "COOKIE BANNER\nbody two\nfooter text"),
+            (3, "body three\nfooter text\nCOOKIE BANNER"),
+            (4, "all mine\nno shared lines here"),
+            (5, "COOKIE BANNER\nfooter text"),  # all boilerplate -> ''
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in drop_frequent_lines(docs, max_docs=2).collect()
+    }
+    # COOKIE BANNER (4 docs) and footer text (4 docs) exceed max_docs=2;
+    # everything else survives in original order
+    assert out == {
+        1: "unique alpha\nbody one",
+        2: "body two",
+        3: "body three",
+        4: "all mine\nno shared lines here",
+        5: "",
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_docs"):
+        drop_frequent_lines(docs, max_docs=0)
+
+
+def test_drop_frequent_lines_short_line_exemption(spark):
+    """Lines below min_line_chars are structure, not boilerplate —
+    kept everywhere and never counted (no mega-bucket shuffle)."""
+    from sample_dms_s3_kinesis_spark.operators.curation import (
+        drop_frequent_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x\nshared body line\nx") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = drop_frequent_lines(
+        docs, max_docs=2, min_line_chars=2
+    ).collect()
+    assert all(r["text"] == "x\nx" for r in out)
