@@ -1021,13 +1021,13 @@ def drop_frequent_lines(
         .filter(F.col("_n_docs") > max_docs)
         .select("_lh")
     )
+    # ONE anti-join over ONE explode: a short line never matches the
+    # compound condition, so it survives without a second scan branch
     short = F.length(F.trim(F.col("_line"))) < min_line_chars
-    kept = lines.filter(short).unionByName(
-        lines.filter(~short).join(
-            counted,
-            F.md5(F.trim(F.col("_line"))) == counted["_lh"],
-            "left_anti",
-        )
+    kept = lines.join(
+        counted,
+        (~short) & (F.md5(F.trim(F.col("_line"))) == counted["_lh"]),
+        "left_anti",
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(

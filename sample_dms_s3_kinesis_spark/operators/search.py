@@ -427,8 +427,9 @@ def ranking_metrics_report(
     on doc id), two grouped aggregates joined per query — every
     aggregate is map-side combinable and the frames after the top-k
     filter are k-bounded per query.  Output: (query_col, ndcg, mrr,
-    recall), rounded to ``scale`` (the log2/division float is the only
-    cross-engine nondeterminism; integer gains and counts are exact).
+    ap, recall), rounded to ``scale`` (the log2/division float is the
+    only cross-engine nondeterminism; integer gains and counts are
+    exact).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

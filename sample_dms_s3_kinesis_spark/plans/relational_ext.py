@@ -6379,9 +6379,9 @@ def q_url_caps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY i.query_id
     """,
     "retrieval ranking-quality eval: nDCG@10 (graded exponential "
-    "gain, log2 discount), MRR@10 and Recall@10 per query over an "
-    "md5-synthesized run and graded qrels — the TREC-style triple "
-    "closing the loop on the BM25/RRF read side; exact oracle",
+    "gain, log2 discount), MRR@10, AP@10 and Recall@10 per query over "
+    "an md5-synthesized run and graded qrels — the TREC-style eval "
+    "set closing the loop on the BM25/RRF read side; exact oracle",
     "retrieval: ranking metrics (nDCG/MRR/recall)",
 )
 def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
