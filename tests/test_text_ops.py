@@ -762,3 +762,84 @@ def test_html_numeric_passes_cannot_compose(spark):
     literal '&#x41;', and '&&#x23;57;' (hex '#') stays '&#57;'."""
     assert _html_one(spark, text.html_extract, "&&#35;x41;") == "&#x41;"
     assert _html_one(spark, text.html_extract, "&&#x23;57;") == "&#57;"
+
+
+def test_html_extract_seeded_fuzz_vs_python_reference(spark):
+    """300 seeded-random adversarial strings — fragment soup of tags,
+    half-tags, entities (valid, truncated, out-of-range), sentinel
+    bytes, newlines and nested anchors — must match the independent
+    Python reference byte-for-byte through the whole chain.  The
+    corpus test covers realistic text; this covers the inputs a regexp
+    chain actually breaks on."""
+    import random
+    import re
+
+    rng = random.Random(813)
+    frags = [
+        "<p>", "</p>", "<div class='x'>", "</div>", "<br>", "<hr/>",
+        "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
+        "<a href='/x'>", "</a>", "<b", ">", "<", "&", ";", "#",
+        "&amp;", "&lt;", "&gt;", "&nbsp;", "&#65;", "&#101;", "&#x41;",
+        "&#x7e;", "&#38;", "&#x26;", "&#8217;", "&#31;", "&#127;",
+        "&#xfc;", "&#", "&#x", "&bogus;", "x", "word", "tail",
+        " ", "\n", "\t", "\x01", "\x02", "0", "7", "a", "f", "<i>",
+        "</i>", "<SCRIPT>", "</SCRIPT>", "3 < 5", "x > 1",
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 30)))
+        for _ in range(300)
+    ]
+
+    def py_extract(raw: str) -> str:
+        c = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", raw)
+        c = re.sub(r"[\r\n\t]+", " ", c)
+        c = re.sub(r"(?s)<!--.*?-->", " ", c)
+        for tag in text._HTML_DROP_CONTENT:
+            c = re.sub(rf"(?is)<{tag}\b.*?</{tag}\s*>", " ", c)
+        c = re.sub(rf"(?i)</?(?:{text._HTML_BLOCK_TAGS})\b[^>]*>", "\n", c)
+        c = re.sub(r"(?s)<[/!?a-zA-Z][^>]*>", " ", c)
+        for code, repl in text._HTML_TYPOGRAPHIC:
+            c = c.replace(f"&#{code};", repl)
+        c = re.sub(
+            r"&#(3[2-7]|39|[4-9][0-9]|1[01][0-9]|12[0-6]);",
+            lambda m: "\x01" + m.group(1) + "\x02", c,
+        )
+        c = re.sub(
+            r"&#[xX](2[0-57-9a-fA-F]|[3-6][0-9a-fA-F]|7[0-9a-eA-E]);",
+            lambda m: "\x01x" + m.group(1) + "\x02", c,
+        )
+        c = re.sub(
+            r"\x01x([0-9a-fA-F]+)\x02",
+            lambda m: chr(int(m.group(1), 16)), c,
+        )
+        c = re.sub(r"\x01([0-9]+)\x02", lambda m: chr(int(m.group(1))), c)
+        for name, repl in text._HTML_NAMED:
+            c = c.replace(f"&{name};", repl)
+        c = c.replace("&#38;", "&")
+        c = re.sub(r"&#[xX]26;", "&", c)
+        c = re.sub(r"[ \t\r]+", " ", c)
+        c = re.sub(r" ?\n ?", "\n", c)
+        c = re.sub(r"\n+", "\n", c)
+        return re.sub(r"^\n+|\n+$", "", c.strip(" "))
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in df.select(
+            "i", text.html_extract(F.col("html")).alias("v")
+        ).collect()
+    }
+    # the python reference strips sentinels at the decode stage only;
+    # the engine strips them in decode_html_entities too — mirror that
+    # by removing raw sentinel bytes before the reference decode
+    def py_full(raw):
+        return py_extract(raw.replace("\x01", "").replace("\x02", ""))
+
+    bad = [
+        (i, cases[i], got[i], py_full(cases[i]))
+        for i in range(len(cases))
+        if got[i] != py_full(cases[i])
+    ]
+    assert not bad, bad[:3]
