@@ -874,8 +874,10 @@ _HTML_NUM_RE = r"&#(3[2-7]|39|[4-9][0-9]|1[01][0-9]|12[0-6]);"
 # two hex digits either case.
 _HTML_HEX_RE = r"&#[xX](2[0-57-9a-fA-F]|[3-6][0-9a-fA-F]|7[0-9a-eA-E]);"
 # Sentinels: control chars stripped from input in step 1, so they are
-# collision-free markers for the numeric-entity split/decode.
-_S1, _S2 = "\x01", "\x02"
+# collision-free markers for the numeric-entity split/decode; _S3
+# stands in for a '&#38;'/'&#x26;' marked BEFORE the named pass and
+# resolved to '&' after it (the numeric half of amp-decodes-last).
+_S1, _S2, _S3 = "\x01", "\x02", "\x03"
 
 
 def _html_pre_clean(col: Column) -> Column:
@@ -921,7 +923,7 @@ def decode_html_entities(col: Column) -> Column:
     — single-decode semantics.  Raw \\x01/\\x02 bytes in the input are
     stripped first (they are the decode's internal sentinels; the
     html_* entry points already remove all control chars)."""
-    c = F.regexp_replace(col, f"[{_S1}{_S2}]", "")
+    c = F.regexp_replace(col, f"[{_S1}{_S2}{_S3}]", "")
     for code, repl in _HTML_TYPOGRAPHIC:
         c = F.regexp_replace(c, rf"&#{code};", repl.replace("$", r"\$"))
     # Mark BOTH numeric spellings against the SAME (original) text
@@ -934,6 +936,12 @@ def decode_html_entities(col: Column) -> Column:
     # 'x41' (hex).
     c = F.regexp_replace(c, _HTML_NUM_RE, f"{_S1}$1{_S2}")
     c = F.regexp_replace(c, _HTML_HEX_RE, f"{_S1}x$1{_S2}")
+    # the ampersand spellings mark HERE (against the same original
+    # text) but resolve only after the named pass — resolving them in
+    # a trailing regexp_replace instead would re-scan text the named
+    # pass already decoded ('&amp;#38;' -> '&' + '#38;' -> '&', a
+    # double decode)
+    c = F.regexp_replace(c, r"&#38;|&#[xX]26;", _S3)
     parts = F.split(c, _S1, -1)
     dec = F.transform(
         parts,
@@ -962,14 +970,14 @@ def decode_html_entities(col: Column) -> Column:
     c = F.array_join(dec, "")
     for name, repl in _HTML_NAMED:
         c = F.regexp_replace(c, rf"&{name};", repl.replace("$", r"\$"))
-    c = F.regexp_replace(c, r"&#38;", "&")
-    return F.regexp_replace(c, r"&#[xX]26;", "&")
+    return F.regexp_replace(c, _S3, "&")
 
 
 def _html_ws_normalize(col: Column) -> Column:
-    """Collapse intra-block whitespace, trim block edges, drop empty
-    blocks, trim the document."""
-    c = F.regexp_replace(col, "[ \t\r ]+", " ")
+    """Collapse intra-block whitespace (including raw U+00A0 — a
+    non-breaking space renders as whitespace), trim block edges, drop
+    empty blocks, trim the document."""
+    c = F.regexp_replace(col, "[ \\t\\r\\u00a0]+", " ")
     c = F.regexp_replace(c, " ?\n ?", "\n")
     c = F.regexp_replace(c, "\n+", "\n")
     return F.regexp_replace(F.trim(c), "^\n+|\n+$", "")

@@ -29,7 +29,10 @@ _AUTH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?"
 _HOST_RE = _AUTH + r"([^/?#:@]+)"
 _PORT_RE = _AUTH + r"[^/?#:@]+:([0-9]+)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# anchored through the authority+path: a '?' AFTER the fragment
+# delimiter is fragment content, not a query (RFC 3986), and a '?' in
+# a non-URL string must not invent one
+_QUERY_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*\?([^#]*)"
 
 # Second-level public suffixes we recognize (a deterministic, documented
 # subset of the public-suffix list: the common ccTLD registries).  A

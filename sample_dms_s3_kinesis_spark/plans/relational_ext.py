@@ -6005,7 +6005,7 @@ def _duck_html_strip_tags(e: str) -> str:
 
 
 def _duck_html_entities(e: str) -> str:
-    e = f"regexp_replace({e}, '[\\x01\\x02]', '', 'g')"
+    e = f"regexp_replace({e}, '[\\x01\\x02\\x03]', '', 'g')"
     for code, repl in _text._HTML_TYPOGRAPHIC:
         e = f"regexp_replace({e}, '&#{code};', '{_sqlq(repl)}', 'g')"
     # both numeric spellings mark against the SAME text, then ONE
@@ -6018,6 +6018,7 @@ def _duck_html_entities(e: str) -> str:
         f"regexp_replace({e}, '{_text._HTML_HEX_RE}',"
         " chr(1)||'x\\1'||chr(2), 'g')"
     )
+    e = f"regexp_replace({e}, '&#38;|&#[xX]26;', chr(3), 'g')"
     e = (
         f"list_aggregate(list_transform(string_split({e}, chr(1)), p -> "
         "CASE WHEN regexp_matches(p, '^[0-9]{2,3}'||chr(2)) THEN "
@@ -6031,12 +6032,13 @@ def _duck_html_entities(e: str) -> str:
     )
     for name, repl in _text._HTML_NAMED:
         e = f"regexp_replace({e}, '&{name};', '{_sqlq(repl)}', 'g')"
-    e = f"regexp_replace({e}, '&#38;', '&', 'g')"
-    return f"regexp_replace({e}, '&#[xX]26;', '&', 'g')"
+    return f"regexp_replace({e}, chr(3), '&', 'g')"
 
 
 def _duck_html_ws(e: str) -> str:
-    e = f"regexp_replace({e}, '[ \\t\\r ]+', ' ', 'g')"
+    # \x{00A0}: raw non-breaking spaces collapse like the engine's
+    # \u00a0 class (RE2 spelling of the same codepoint)
+    e = f"regexp_replace({e}, '[ \\t\\r\\x{{00A0}}]+', ' ', 'g')"
     e = f"regexp_replace({e}, ' ?\\n ?', chr(10), 'g')"
     e = f"regexp_replace({e}, '\\n+', chr(10), 'g')"
     e = f"trim({e}, ' ')"
@@ -6098,6 +6100,18 @@ _DUCK_WRAPPED_HTML = (
 )
 
 
+def _wrapped_html() -> F.Column:
+    """The Spark twin of _DUCK_WRAPPED_HTML (kept in lockstep with it
+    and shared by every query that synthesizes pages)."""
+    return F.concat(
+        F.lit(_HTML_WRAP_PREFIX),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_WRAP_MID),
+        F.replace(F.col("text"), F.lit("e"), F.lit("&#101;")),
+        F.lit(_HTML_WRAP_TAIL),
+    )
+
+
 @_register(
     "q_html_extract",
     f"""
@@ -6123,13 +6137,7 @@ _DUCK_WRAPPED_HTML = (
 )
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    html = F.concat(
-        F.lit(_HTML_WRAP_PREFIX),
-        F.col("doc_id").cast("string"),
-        F.lit(_HTML_WRAP_MID),
-        F.replace(F.col("text"), F.lit("e"), F.lit("&#101;")),
-        F.lit(_HTML_WRAP_TAIL),
-    )
+    html = _wrapped_html()
     # Bind the two extracted strings once (projection barrier) — the
     # downstream md5/length/split reference them several times and the
     # chain is ~40 regexps deep.
@@ -6197,7 +6205,9 @@ _URL_PARSED_CTE = f"""
              regexp_extract(url,
                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
                AS url_path,
-             regexp_extract(url, '\\?([^#]*)', 1) AS url_query
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*\\?([^#]*)', 1)
+               AS url_query
       FROM u),
     d AS (
       SELECT *,
@@ -6522,13 +6532,7 @@ def q_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators import curation as _cur
 
     d = t(spark, sf_dir, "documents")
-    html = F.concat(
-        F.lit(_HTML_WRAP_PREFIX),
-        F.col("doc_id").cast("string"),
-        F.lit(_HTML_WRAP_MID),
-        F.replace(F.col("text"), F.lit("e"), F.lit("&#101;")),
-        F.lit(_HTML_WRAP_TAIL),
-    )
+    html = _wrapped_html()
     extracted = d.select(
         "doc_id", _text.html_extract(html).alias("text")
     )

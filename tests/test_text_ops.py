@@ -679,11 +679,11 @@ def test_html_extract_python_reference_on_corpus(spark):
         c = re.sub(
             r"\x01([0-9]+)\x02", lambda m: chr(int(m.group(1))), c,
         )
+        c = re.sub(r"&#38;|&#[xX]26;", "\x03", c)
         for name, repl in text._HTML_NAMED:
             c = c.replace(f"&{name};", repl)
-        c = c.replace("&#38;", "&")
-        c = re.sub(r"&#[xX]26;", "&", c)
-        c = re.sub(r"[ \t\r]+", " ", c)
+        c = c.replace("\x03", "&")
+        c = re.sub(r"[ \t\r\u00a0]+", " ", c)
         c = re.sub(r" ?\n ?", "\n", c)
         c = re.sub(r"\n+", "\n", c)
         return re.sub(r"^\n+|\n+$", "", c.strip(" "))
@@ -782,7 +782,8 @@ def test_html_extract_seeded_fuzz_vs_python_reference(spark):
         "&amp;", "&lt;", "&gt;", "&nbsp;", "&#65;", "&#101;", "&#x41;",
         "&#x7e;", "&#38;", "&#x26;", "&#8217;", "&#31;", "&#127;",
         "&#xfc;", "&#", "&#x", "&bogus;", "x", "word", "tail",
-        " ", "\n", "\t", "\x01", "\x02", "0", "7", "a", "f", "<i>",
+        " ", "\n", "\t", "\x01", "\x02", "\u00a0", "0", "7", "a",
+        "f", "<i>",
         "</i>", "<SCRIPT>", "</SCRIPT>", "3 < 5", "x > 1",
     ]
     cases = [
@@ -813,11 +814,11 @@ def test_html_extract_seeded_fuzz_vs_python_reference(spark):
             lambda m: chr(int(m.group(1), 16)), c,
         )
         c = re.sub(r"\x01([0-9]+)\x02", lambda m: chr(int(m.group(1))), c)
+        c = re.sub(r"&#38;|&#[xX]26;", "\x03", c)
         for name, repl in text._HTML_NAMED:
             c = c.replace(f"&{name};", repl)
-        c = c.replace("&#38;", "&")
-        c = re.sub(r"&#[xX]26;", "&", c)
-        c = re.sub(r"[ \t\r]+", " ", c)
+        c = c.replace("\x03", "&")
+        c = re.sub(r"[ \t\r\u00a0]+", " ", c)
         c = re.sub(r" ?\n ?", "\n", c)
         c = re.sub(r"\n+", "\n", c)
         return re.sub(r"^\n+|\n+$", "", c.strip(" "))
@@ -843,3 +844,15 @@ def test_html_extract_seeded_fuzz_vs_python_reference(spark):
         if got[i] != py_full(cases[i])
     ]
     assert not bad, bad[:3]
+
+
+def test_html_nbsp_and_escaped_numeric_amp(spark):
+    """Raw U+00A0 collapses like whitespace (it renders as a space),
+    and '&amp;#38;' decodes ONCE: the named pass yields '&', leaving
+    the literal '#38;' as text — not a second decode to '&'."""
+    assert _html_one(
+        spark, text.html_extract, "a\u00a0\u00a0b"
+    ) == "a b"
+    assert _html_one(spark, text.html_extract, "&amp;#38;") == "&#38;"
+    assert _html_one(spark, text.html_extract, "&amp;#x26;") == "&#x26;"
+    assert _html_one(spark, text.html_extract, "&#38;#x26;") == "&#x26;"

@@ -153,3 +153,15 @@ def test_domain_caps_against_counts_corpus(spark):
 
     with _pytest.raises(ValueError, match="max_per_domain"):
         urls.domain_caps_against(new, corpus, max_per_domain=0)
+
+
+def test_url_query_is_anchored_before_fragment(spark):
+    """RFC 3986: everything after '#' is fragment — a '?' inside it is
+    not a query; a '?' in a non-URL string invents nothing."""
+    r = _parse_one(spark, "https://example.com/p#sec?note")
+    assert r["url_query"] == ""
+    assert r["url_path"] == "/p"
+    r = _parse_one(spark, "not a url? really")
+    assert r["url_query"] == "" and r["url_scheme"] == ""
+    r = _parse_one(spark, "https://example.com/p?a=1#frag?x")
+    assert r["url_query"] == "a=1"
