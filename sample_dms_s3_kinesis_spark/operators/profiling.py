@@ -274,3 +274,94 @@ def binary_metrics_report(df: DataFrame, *, score: str, label: str) -> DataFrame
             F.col("n_pos") > 0, F.round(F.col("_apnum") / F.col("n_pos"), 6)
         ).alias("avg_precision"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    *,
+    score: str,
+    label: str,
+    bins: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a binary
+    classifier: scores in [0, 1] bucket into ``bins`` equal-width bins
+    (score 1.0 folds into the last bin), and each bin reports its row
+    count, mean predicted score (confidence) and empirical positive
+    rate (accuracy).  ECE — Σ_b (n_b/N)·|acc_b − conf_b| — rides along
+    on every row, so the report is one frame, not two.
+
+    The companion to :func:`binary_metrics_report`: AUC ranks, ECE
+    says whether the scores MEAN anything as probabilities (a quality
+    classifier gating a corpus at 'p ≥ 0.8' needs calibrated p).
+
+    Rows with NULL score/label, or score outside [0, 1], are excluded
+    (count in ``n_excluded`` on every row).  One groupBy over at most
+    ``bins`` keys; means derive from exact sums divided once at the
+    end, so the only cross-engine float is the final division —
+    rounded at ``scale``.  Output: (bin, n, conf, acc, n_excluded,
+    ece), one row per non-empty bin, ordered by bin."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    s = F.col(score).cast("double")
+    y = F.col(label).cast("bigint")
+    ok = (
+        s.isNotNull() & y.isNotNull() & (s >= 0.0) & (s <= 1.0)
+        & y.isin(0, 1)
+    )
+    b = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    per_bin = (
+        df.select(
+            F.when(ok, b).alias("_b"),
+            F.when(ok, s).alias("_s"),
+            F.when(ok, y).alias("_y"),
+            F.when(ok, F.lit(0)).otherwise(F.lit(1)).alias("_excl"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.count(F.col("_s")).alias("_n"),
+            F.sum("_s").alias("_sum_s"),
+            F.sum("_y").alias("_sum_y"),
+            F.sum("_excl").alias("_nx"),
+        )
+    )
+    # excluded rows land in a NULL bin; fold their count into a
+    # broadcast total and drop the row
+    tot = per_bin.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("_N"),
+        F.coalesce(F.sum("_nx"), F.lit(0)).alias("n_excluded"),
+        F.coalesce(
+            F.sum(
+                F.abs(
+                    F.col("_sum_y").cast("double")
+                    - F.col("_sum_s").cast("double")
+                )
+            ),
+            F.lit(0.0),
+        ).alias("_ece_num"),
+    )
+    # tot derives from per_bin, so the join below is a self-join by
+    # lineage — qualify both sides or Spark flags every shared column
+    # reference as ambiguous
+    pb = per_bin.filter(F.col("_b").isNotNull()).alias("pb")
+    tt = tot.alias("tt")
+    return (
+        pb.crossJoin(F.broadcast(tt))
+        .select(
+            F.col("pb._b").alias("bin"),
+            F.col("pb._n").cast("long").alias("n"),
+            F.round(
+                F.col("pb._sum_s") / F.col("pb._n").cast("double"), scale
+            ).alias("conf"),
+            F.round(
+                F.col("pb._sum_y").cast("double")
+                / F.col("pb._n").cast("double"),
+                scale,
+            ).alias("acc"),
+            F.col("tt.n_excluded").cast("long").alias("n_excluded"),
+            F.round(
+                F.col("tt._ece_num") / F.col("tt._N").cast("double"), scale
+            ).alias("ece"),
+        )
+        .orderBy("bin")
+    )

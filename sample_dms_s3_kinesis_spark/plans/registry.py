@@ -3105,7 +3105,7 @@ DRIVER_WINDOW: list[str] = [
 # (a) any query registered during the r8 sessions (enumerate here as
 #     they land): q_html_extract, q_neardup_clustering_lsh,
 #     q_url_domain_caps, q_url_caps_incremental, q_ranking_metrics,
-#     q_hard_negatives, q_line_boilerplate,
+#     q_hard_negatives, q_line_boilerplate, q_calibration_report,
 #     and q_pagerank_neardup (not new, but its
 #     edge source changed to the LSH graph in r8 — its newest
 #     rows-only row describes the old prefix-filter graph);

@@ -6545,3 +6545,72 @@ def q_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", "\n", -1), lambda x: x != "")
         ).alias("n_lines"),
     )
+
+
+@_register(
+    "q_calibration_report",
+    """
+    WITH scored AS (
+      SELECT ('0x' || substring(md5('s' || CAST(event_id AS VARCHAR)),
+                                1, 6))::INT / 16777216.0 AS s,
+             CASE WHEN ('0x' || substring(
+                          md5('y' || CAST(event_id AS VARCHAR)),
+                          1, 6))::INT / 16777216.0
+                       < ('0x' || substring(
+                            md5('s' || CAST(event_id AS VARCHAR)),
+                            1, 6))::INT / 16777216.0
+                  THEN 1 ELSE 0 END AS y
+      FROM events),
+    per_bin AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin,
+             COUNT(*) AS n, SUM(s) AS sum_s, SUM(y) AS sum_y
+      FROM scored GROUP BY 1),
+    tot AS (
+      SELECT SUM(n) AS N, SUM(ABS(sum_y - sum_s)) AS ece_num
+      FROM per_bin)
+    SELECT p.bin, CAST(p.n AS BIGINT) AS n,
+           ROUND(p.sum_s / p.n, 6) AS conf,
+           ROUND(p.sum_y::DOUBLE / p.n, 6) AS acc,
+           CAST(0 AS BIGINT) AS n_excluded,
+           ROUND(t.ece_num / t.N, 6) AS ece
+    FROM per_bin p CROSS JOIN tot t
+    ORDER BY p.bin
+    """,
+    "reliability diagram + expected calibration error over a "
+    "synthesized perfectly-calibrated-in-expectation classifier "
+    "(md5-fraction scores, Bernoulli(score) labels from an "
+    "independent md5 fraction — both exact binary fractions, so the "
+    "engines agree bit-for-bit); ECE from exact per-bin sums, one "
+    "division at the end",
+    "eval: calibration / reliability (ECE)",
+)
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.profiling import (
+        calibration_report,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_id")
+
+    def frac(prefix: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix), F.col("event_id").cast("string")
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(16777216.0)
+        )
+
+    scored = ev.select(
+        frac("s").alias("score"),
+        (frac("y") < frac("s")).cast("bigint").alias("label"),
+    )
+    return calibration_report(scored, score="score", label="label", bins=10)

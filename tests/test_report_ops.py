@@ -278,3 +278,70 @@ def test_binary_metrics_nulls_and_degenerate(spark):
     row = binary_metrics_report(empty, score="score", label="label").collect()[0]
     assert (row["n_pos"], row["n_neg"], row["n_excluded"]) == (0, 0, 0)
     assert row["roc_auc"] is None and row["avg_precision"] is None
+
+
+def test_calibration_report_hand_computed(spark):
+    """Two populated bins with known sums; NULL/out-of-range rows count
+    as excluded; ECE = Σ|sum_y - sum_s| / N."""
+    rows = [
+        (0.05, 0), (0.15, 0), (0.12, 1),   # bin 0 (x1), bin 1 (x2)
+        (0.95, 1), (1.0, 1),               # bin 9 (score 1.0 folds in)
+        (None, 1), (0.5, None), (1.5, 0), (-0.1, 1), (0.5, 2),
+    ]
+    df = spark.createDataFrame(rows, "score double, label long")
+    from sample_dms_s3_kinesis_spark.operators.profiling import (
+        calibration_report,
+    )
+
+    out = {r["bin"]: r for r in calibration_report(
+        df, score="score", label="label", bins=10
+    ).collect()}
+    assert set(out) == {0, 1, 9}
+    assert out[0]["n"] == 1 and out[0]["conf"] == 0.05 and out[0]["acc"] == 0.0
+    assert out[1]["n"] == 2
+    assert abs(out[1]["conf"] - round((0.15 + 0.12) / 2, 6)) < 1e-9
+    assert out[1]["acc"] == 0.5
+    assert out[9]["n"] == 2 and out[9]["acc"] == 1.0
+    assert all(r["n_excluded"] == 5 for r in out.values())
+    ece = (abs(0 - 0.05) + abs(1 - 0.27) + abs(2 - 1.95)) / 5
+    assert abs(out[0]["ece"] - round(ece, 6)) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        calibration_report(df, score="score", label="label", bins=0)
+
+
+def test_calibration_report_perfectly_calibrated(spark):
+    """A classifier whose score IS the positive rate per bin has
+    near-zero ECE on enough samples (exact-construction check: labels
+    deterministic threshold of an independent uniform hash)."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.operators.profiling import (
+        calibration_report,
+    )
+
+    n = 20_000
+    base = spark.range(n)
+
+    def frac(prefix):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("id"))), 1, 6
+                ), 16, 10,
+            ).cast("double") / F.lit(16777216.0)
+        )
+
+    df = base.select(
+        frac("s").alias("score"),
+        (frac("y") < frac("s")).cast("bigint").alias("label"),
+    )
+    rows = calibration_report(
+        df, score="score", label="label", bins=10
+    ).collect()
+    assert len(rows) == 10
+    assert rows[0]["ece"] < 0.02  # ~1/sqrt(2000 per bin) noise floor
+    for r in rows:
+        assert abs(r["acc"] - r["conf"]) < 0.05, (r["bin"], r["acc"], r["conf"])
