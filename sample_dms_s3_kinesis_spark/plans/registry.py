@@ -3032,95 +3032,99 @@ def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
-# budget.  Rounds 2-7 drove their 50-query windows all-green (zero
-# oracle-bearing failures in CORRECTNESS_r02..r07.json).  Round 8
-# executes the rotation the r7 verdict mandated: (1) ALL 35 queries
-# registered during the round-7 sessions — none has a driver row yet;
-# every one is locally oracle-checked green or pytest-pinned;
-# (2) q_cms_daily_freq / q_kmv_user_overlap, converted this round from
-# rows-only sketch estimates to EXACT md5-hash-family oracles (the r7
-# md5-twin pattern), so their first exact driver rows land now;
-# (3) back-fill to 50 with the 13 highest-value r4-stale queries —
-# the replication-core family (envelope/partition-key/semi/anti/
-# latest-wins/SCD2/conditional-agg/ts-filter/union/json-extract) plus
-# the three TPC-H bench flagships.  After this window lands, zero
-# registered queries lack a driver row.
+# budget.  Rounds 2-8 drove their 50-query windows all-green (zero
+# oracle-bearing failures in CORRECTNESS_r02..r08.json).  Round 9
+# executes the rotation the r8 verdict mandated: (1) ALL 8 queries
+# registered during the round-8 sessions — none has a driver row yet;
+# every one passed tools/oracle_check.py locally and was re-verified
+# by the r8 judge; (2) q_pagerank_neardup, whose edge source switched
+# to the LSH candidate graph in r8 (its newest driver row, r7,
+# describes the old exact prefix-filter graph); (3) ALL 37 queries
+# whose newest driver row is r4 — after this window lands, maximum
+# staleness is r5 and every registered query has a driver row;
+# (4) back-fill to 50 with four r5-stale anchors (TPC-H q08, the O19
+# stats-sort anchor, the O10 wildcard-filter anchor, and the
+# watermarked tumbling window).
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked: r7 main session (21) ---
-    "q_ingest_e2e_corpus",
-    "q_ingest_e2e_stats",
-    "q_metrics_e2e_sketches",
-    "q_aggview_e2e",
-    "q_aggview_quantiles_e2e",
-    "q_time_travel_states",
-    "q_minhash_md5_pairs",
-    "q_minhash_md5_against",
-    "q_simhash_md5_pairs",
-    "q_winnowing_md5_containment",
-    "q_quantile_sketch_daily",
-    "q_zorder_buckets",
-    "q_k_anonymity",
-    "q_neardup_clustering",
-    "q_series_topk_users",
-    "q_sax_words",
-    "q_unigram_vocab",           # rows-only: iterative EM training
-    "q_unigram_encode",          # rows-only: Viterbi over EM vocab
-    "q_pca_explained",           # rows-only: eigendecomposition
-    "q_pca_whitened_norms",      # rows-only: eigendecomposition
-    "q_pq_whitened_recall",      # rows-only: k-means codebooks
-    # --- never driver-checked: r7 follow-up sessions (14) ---
-    "q_bloom_semijoin",
-    "q_lm_backoff_score",
-    "q_auc_metrics",
-    "q_mmr_rerank",
-    "q_dsir_weights",
-    "q_kfold_report",
-    "q_hybrid_rrf_search",
-    "q_record_linkage",
-    "q_corpus_diversity",
-    "q_video_frame_features",    # rows-only: synthetic media fixture
-    "q_video_summary",           # rows-only: synthetic media fixture
-    "q_video_near_dup",          # rows-only: synthetic media fixture
-    "q_bloom_fpp",               # exact since r8: md5 hash family
-    "q_lr_quality",              # rows-only: iterative float training
-    # --- rows-only -> exact conversions this round (r8) ---
-    "q_cms_daily_freq",          # exact since r8: md5 hash family
-    "q_kmv_user_overlap",        # exact since r8: md5 hash family
-    # --- r4-stale back-fill: replication core + TPC-H flagships (13) ---
-    "q_envelope_events",
-    "q_partition_key",
-    "q_semi_join",
-    "q_anti_join",
-    "q_latest_wins_events",
-    "q_scd2_history",
-    "q_conditional_agg_events",
-    "q_ts_filter_events",
-    "q_union_priorities",
-    "q_json_extract_events",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q18_large_orders",
+    # --- never driver-checked: r8 session registrations (8) ---
+    "q_html_extract",
+    "q_neardup_clustering_lsh",
+    "q_url_domain_caps",
+    "q_url_caps_incremental",
+    "q_ranking_metrics",
+    "q_hard_negatives",
+    "q_line_boilerplate",
+    "q_calibration_report",
+    # --- semantics changed in r8: LSH edge source (1) ---
+    "q_pagerank_neardup",        # rows-only: iterative centrality
+    # --- r4-stale: every remaining query whose newest row is r4 (37) ---
+    "q_ann_cosine_topk",         # rows-only: float cosine ranking
+    "q_approx_distinct_users",
+    "q_asof_join",
+    "q_assign_shards",
+    "q_binned_range_join",
+    "q_corpus_composition",
+    "q_curation_pipeline",
+    "q_decontaminate",
+    "q_dedup_canonical",
+    "q_dedup_clusters",
+    "q_dedup_exact_events",
+    "q_dedup_md5_documents",
+    "q_dup_ngram_stats",
+    "q_dup_span_coverage",
+    "q_embedding_centroids",     # rows-only: float centroid means
+    "q_embedding_near_dup",      # rows-only: float cosine threshold
+    "q_embedding_quantize",
+    "q_ivf_ann_topk",            # rows-only: k-means cells
+    "q_length_histogram",
+    "q_lsh_ann_topk",            # rows-only: hyperplane buckets
+    "q_lsh_jaccard_verified",
+    "q_minhash_lsh_pairs",       # rows-only: xxhash64 production flavor
+    "q_multimodal_audio_features",  # rows-only: synthetic media fixture
+    "q_multimodal_features",     # rows-only: synthetic media fixture
+    "q_ngram_jaccard_pairs",
+    "q_null_handling",
+    "q_quality_score_filter",
+    "q_range_join",
+    "q_redact_pii",
+    "q_remove_dup_spans",
+    "q_running_sum_events",
+    "q_salted_join_agg",
+    "q_sessionize_events",
+    "q_text_quality",
+    "q_topk_per_group",
+    "q_vocab_topk",
+    "q_winnowed_fingerprints",   # rows-only: xxhash64 production flavor
+    # --- r5-stale back-fill anchors (4) ---
+    "q08_market_share",
+    "q_top_orders",
+    "q_like_filter",
+    "q_tumbling_window_events",
 ]
-# r9 rotation backlog, in priority order (never-checked beats stale):
-# (a) any query registered during the r8 sessions (enumerate here as
-#     they land): q_html_extract, q_neardup_clustering_lsh,
-#     q_url_domain_caps, q_url_caps_incremental, q_ranking_metrics,
-#     q_hard_negatives, q_line_boilerplate, q_calibration_report,
-#     and q_pagerank_neardup (not new, but its
-#     edge source changed to the LSH graph in r8 — its newest
-#     rows-only row describes the old prefix-filter graph);
-# (b) the 37 remaining r4-stale rows (q_ann_cosine_topk, q_asof_join,
-#     q_assign_shards, q_binned_range_join, q_corpus_composition,
-#     q_curation_pipeline, q_decontaminate, q_dedup_* families,
-#     q_embedding_* families, q_ivf/lsh_ann_topk, q_lsh_jaccard_verified,
-#     q_minhash_lsh_pairs, q_multimodal_*, q_ngram_jaccard_pairs,
-#     q_null_handling, q_quality_score_filter, q_range_join,
-#     q_redact_pii, q_remove_dup_spans, q_running_sum_events,
-#     q_salted_join_agg, q_sessionize_events, q_text_quality,
-#     q_topk_per_group, q_vocab_topk, q_winnowed_fingerprints,
-#     q_dup_ngram_stats, q_dup_span_coverage, q_length_histogram,
-#     q_approx_distinct_users) — fill all remaining slots from these;
-# (c) r5-stale families thereafter, rotating by age so no query's
+# r10 rotation backlog, in priority order (never-checked beats stale):
+# (a) any query registered during the r9 sessions (enumerate here as
+#     they land): q_warc_ingest, q_jsonl_ingest, q_ingest_e2e_html,
+#     q_winnowed_md5_fingerprints, q_text_md5_fingerprint,
+#     q_daily_distinct_md5_rank;
+# (b) the 46 remaining r5-stale rows (q_audio_near_dup,
+#     q_bigram_lm_score, q_chunk_documents, q_corpus_diff,
+#     q_corr_stats, q_cube_documents, q_curation_pipeline_v2,
+#     q_date_functions, q_dedup_report, q_embedding_near_dup_against,
+#     q_full_outer_nation_counts, q_grouping_sets_orders,
+#     q_image_near_dup, q_ivf_persisted_topk, q_lsh_quality,
+#     q_mad_by_lang, q_minhash_index_gate, q_mixture_sample,
+#     q_nb_lang_classify, q_near_dedup_against, q_oov_rate,
+#     q_pack_spans, q_percentile_agg, q_pivot_status_counts,
+#     q_prefix_jaccard_against, q_prefix_jaccard_pairs,
+#     q_profile_documents, q_profile_drift, q_rollup_orders,
+#     q_scalar_subquery, q_semantic_dedup, q_simhash_index_gate,
+#     q_simhash_pairs, q_simhash_pairs_against, q_simhash_quality,
+#     q_skew_report, q_string_functions, q_text_tfidf_topk,
+#     q_token_cosine_against, q_token_cosine_pairs,
+#     q_two_phase_distinct, q_vocab_coverage, q_weighted_sample,
+#     q_weighted_sample_group, q_winnowing_containment, q_winsorize)
+#     — fill all remaining slots from these;
+# (c) r6-stale families thereafter, rotating by age so no query's
 #     latest driver row is older than three rounds.
 
 _BY_NAME = {s.name: s for s in _SPECS}
