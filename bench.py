@@ -1,8 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints a detail JSON line (tier2 map + per-query deltas) followed by the
+record-of-note JSON line LAST:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+The last line is what the driver's tail capture parses; it carries only
+the headline map and totals so it can never outgrow the capture window.
 
 Each query is materialized through the noop sink (full execution, no
 driver collect overhead).  A warmup query first absorbs JVM/codegen
@@ -164,15 +167,22 @@ def main() -> None:
     delta_vs_prev = None
     tier2_delta = None
     prev_round = None
-    if prior:
+    # Walk newest-first until a record with a usable per-query map turns
+    # up: a driver BENCH file whose tail capture truncated (r8's
+    # "parsed": null) must cost only one rung of recency, never the
+    # delta feature.  A malformed file costs the delta, never the
+    # timings this run just paid for.
+    for fname in reversed(prior):
         try:
-            with open(os.path.join(here, prior[-1])) as f:
+            with open(os.path.join(here, fname)) as f:
                 prev = json.load(f)
             # driver BENCH files wrap the bench line under "parsed"
             if "queries" not in prev and isinstance(prev.get("parsed"), dict):
                 prev = prev["parsed"]
             prev_q = prev.get("queries") or {}
-            prev_round = prior[-1]
+            if not prev_q:
+                continue
+            prev_round = fname
             delta_vs_prev = {
                 name: round(t - prev_q[name], 3)
                 for name, t in timings.items()
@@ -184,28 +194,38 @@ def main() -> None:
                 for name, t in tier2.items()
                 if name in prev_t2
             }
+            break
         except (OSError, ValueError, TypeError, KeyError):
-            # a malformed prior BENCH file costs the delta, never the
-            # timings this run just paid for
-            delta_vs_prev = None
-            tier2_delta = None
+            continue
 
+    load_end = [round(x, 2) for x in os.getloadavg()]
+    # Two lines, detail first: the r8 record grew past the driver's tail
+    # capture once tier2 + two delta maps joined the single line, so the
+    # driver recorded "parsed": null.  The LAST line is the record of
+    # note — it keeps the contractual metric/value/unit/queries/sf shape
+    # plus totals, and stays well under any tail window; the preceding
+    # detail line carries the tier2 map and per-query deltas for humans.
+    detail = {
+        "metric": "bench_detail",
+        "tier2": tier2,
+        "tier2_total_sec": tier2_total,
+    }
+    if delta_vs_prev is not None:
+        detail["delta_vs_prev"] = delta_vs_prev
+        detail["delta_baseline_file"] = prev_round
+    if tier2_delta:
+        detail["tier2_delta_vs_prev"] = tier2_delta
+    print(json.dumps(detail))
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "tier2": tier2,
         "tier2_total_sec": tier2_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load_avg_start": [round(x, 2) for x in load_start],
-        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "load_avg_end": load_end,
     }
-    if delta_vs_prev is not None:
-        out["delta_vs_prev"] = delta_vs_prev
-        out["delta_baseline_file"] = prev_round
-    if tier2_delta:
-        out["tier2_delta_vs_prev"] = tier2_delta
     print(json.dumps(out))
     spark.stop()
 
