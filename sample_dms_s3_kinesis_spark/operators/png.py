@@ -9,8 +9,10 @@ Scope — the profile a no-media-library container can honestly decode:
 - all five row filters (None / Sub / Up / Average / Paeth);
 - multi-chunk IDAT streams, CRC-verified chunk walk.
 
-- 16-bit samples (reduced to 8-bit by taking the high byte, the spec's
-  recommended depth scaling) for color types 0/2/4/6;
+- 16-bit samples (reduced to 8-bit by taking the high byte — the
+  spec-sanctioned approximation; the spec's recommended exact scaling
+  is round(v*255/65535), which differs from the high byte by 1 for
+  roughly half of all 16-bit values) for color types 0/2/4/6;
 - sub-byte depths (1/2/4-bit, color types 0 and 3): MSB-first packed
   samples, scanlines padded to byte boundaries, filters on bytes with
   the spec's bpp=1 filter distance; greyscale scales by 255/(2^d-1)

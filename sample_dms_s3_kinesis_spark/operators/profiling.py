@@ -296,7 +296,12 @@ def calibration_report(
     classifier gating a corpus at 'p ≥ 0.8' needs calibrated p).
 
     Rows with NULL score/label, or score outside [0, 1], are excluded
-    (count in ``n_excluded`` on every row).  One groupBy over at most
+    (count in ``n_excluded`` on every row).  Edge: when NO row is
+    valid (empty input, or every row NULL/out-of-range) the report is
+    EMPTY — zero rows, so ``n_excluded`` is unobservable; callers that
+    must distinguish 'empty input' from 'all rows invalid' should
+    count the input frame separately before gating on the report.
+    One groupBy over at most
     ``bins`` keys; means derive from exact sums divided once at the
     end, so the only cross-engine float is the final division —
     rounded at ``scale``.  Output: (bin, n, conf, acc, n_excluded,

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _AUTH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?"
 _HOST_RE = _AUTH + r"([^/?#:@]+)"
-_PORT_RE = _AUTH + r"[^/?#:@]+:([0-9]+)"
+# the digits must run to a path/query/fragment delimiter or the end of
+# the authority (RE2-safe, no lookaround) — else a malformed authority
+# like 'https://x.com:80abc/' would report port 80 with the invalid
+# trailing 'abc' silently dropped
+_PORT_RE = _AUTH + r"[^/?#:@]+:([0-9]+)(?:[/?#]|$)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
 # anchored through the authority+path: a '?' AFTER the fragment
 # delimiter is fragment content, not a query (RFC 3986), and a '?' in
@@ -176,10 +180,11 @@ def domain_caps_against(
         return registered_domain(url_host(F.col(url_col)))
 
     # collision-proof internal names (the bloom_probe lesson: a prefix
-    # convention silently clobbers same-named caller columns)
-    import uuid as _uuid
-
-    tag = _uuid.uuid4().hex[:8]
+    # convention silently clobbers same-named caller columns).  Fixed
+    # random tag, not per-call uuid — per-call randomness would make
+    # column names and query plans nondeterministic run-to-run (noisy
+    # plan diffs/fingerprints) without buying extra collision safety.
+    tag = "v7k2"
     c_dom, c_rk, c_prior = f"_dom_{tag}", f"_rk_{tag}", f"_prior_{tag}"
 
     prior = (

@@ -6200,7 +6200,7 @@ _URL_PARSED_CTE = f"""
                '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
                '\.+$', '', 'g') AS url_host,
              NULLIF(regexp_extract(url,
-               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:@]+:([0-9]+)',
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:@]+:([0-9]+)(?:[/?#]|$)',
                1), '')::INT AS url_port,
              regexp_extract(url,
                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)

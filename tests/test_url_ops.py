@@ -155,6 +155,19 @@ def test_domain_caps_against_counts_corpus(spark):
         urls.domain_caps_against(new, corpus, max_per_domain=0)
 
 
+def test_url_port_requires_delimiter_after_digits(spark):
+    """A malformed authority like ':80abc' must not report port 80 —
+    the digits must run to a /?# delimiter or the end of the URL."""
+    r = _parse_one(spark, "https://example.com:80abc/x")
+    assert r["url_port"] is None
+    r = _parse_one(spark, "https://example.com:8080")  # end-anchored
+    assert r["url_port"] == 8080
+    r = _parse_one(spark, "https://example.com:8080?q=1")
+    assert r["url_port"] == 8080
+    r = _parse_one(spark, "https://example.com:8080#f")
+    assert r["url_port"] == 8080
+
+
 def test_url_query_is_anchored_before_fragment(spark):
     """RFC 3986: everything after '#' is fragment — a '?' inside it is
     not a query; a '?' in a non-URL string invents nothing."""
