@@ -1782,6 +1782,62 @@ def q_winnowing_md5_containment(
     )
 
 
+# r9 conversion: the per-document fingerprint SET itself (not just the
+# containment join over it) under the md5 rolling-hash family — the
+# whole winnowing selection (rolling 6-token hashes, min-of-window-4,
+# distinct) replicated in DuckDB list algebra, with the set identity
+# pinned by an order-insensitive digest (md5 of the sorted,
+# comma-joined fingerprints).  The xxhash64 flavor
+# (q_winnowed_fingerprints) stays the production default and remains
+# rows-only; this is its exact-oracle twin.
+@_register(
+    "q_winnowed_md5_fingerprints",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    rh AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, greatest(len(t) - 6, 0) + 1),
+               i -> substring(md5(array_to_string(t[i+1:i+6], ' ')), 1, 16)
+             ) AS rh
+      FROM toks),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(rh) >= 4
+               THEN list_transform(range(0, len(rh) - 3),
+                                   i -> list_aggregate(rh[i+1:i+4], 'min'))
+               ELSE CAST([] AS VARCHAR[]) END) AS fps
+      FROM rh)
+    SELECT doc_id,
+           CAST(len(fps) AS INT) AS n_fingerprints,
+           md5(array_to_string(list_sort(fps), ',')) AS fps_md5
+    FROM fp
+    """,
+    "winnowing (MOSS) fingerprint sets under the md5 hash family: "
+    "per-document fingerprint count plus an order-insensitive digest "
+    "of the full set — the selection algorithm itself (rolling span "
+    "hashes, min-of-window, distinct) exact-oracle-checked, not just "
+    "the downstream containment join",
+    "text: winnowing fingerprints (oracle-replicable hash family)",
+)
+def q_winnowed_md5_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+
+    d = t(spark, sf_dir, "documents")
+    fps = text.winnowed_fingerprints(
+        F.col("text"), shingle=6, window=4, hash_family="md5"
+    )
+    return spread(d).select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.array_sort(fps))).alias("fps_md5"),
+    )
+
+
 # Quantile member of the synopsis family (HLL/KMV distinct, CMS
 # frequency): a bottom-k hash-rank uniform sample is mergeable like
 # KMV (pool + re-keep), and under the md5 rank family every stage —
