@@ -3088,100 +3088,92 @@ def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
-# budget.  Rounds 2-8 drove their 50-query windows all-green (zero
-# oracle-bearing failures in CORRECTNESS_r02..r08.json).  Round 9
-# executes the rotation the r8 verdict mandated: (1) ALL 8 queries
-# registered during the round-8 sessions — none has a driver row yet;
-# every one passed tools/oracle_check.py locally and was re-verified
-# by the r8 judge; (2) q_pagerank_neardup, whose edge source switched
-# to the LSH candidate graph in r8 (its newest driver row, r7,
-# describes the old exact prefix-filter graph); (3) ALL 37 queries
-# whose newest driver row is r4 — after this window lands, maximum
-# staleness is r5 and every registered query has a driver row;
-# (4) back-fill to 50 with four r5-stale anchors (TPC-H q08, the O19
-# stats-sort anchor, the O10 wildcard-filter anchor, and the
-# watermarked tumbling window).
+# budget.  Rounds 2-9 drove their 50-query windows all-green (zero
+# oracle-bearing failures in CORRECTNESS_r02..r09.json).  Round 10
+# executes the rotation the r9 verdict mandated: (1) the single
+# never-driver-checked query, q_winnowed_md5_fingerprints (registered
+# after the r9 window froze; verified green locally and by the r9
+# judge); (2) ALL 46 queries whose newest driver row is r5 — after
+# this window lands, maximum staleness is r6; (3) back-fill to 50
+# with the 3 oldest r6-stale queries in registration order.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked: r8 session registrations (8) ---
-    "q_html_extract",
-    "q_neardup_clustering_lsh",
-    "q_url_domain_caps",
-    "q_url_caps_incremental",
-    "q_ranking_metrics",
-    "q_hard_negatives",
-    "q_line_boilerplate",
-    "q_calibration_report",
-    # --- semantics changed in r8: LSH edge source (1) ---
-    "q_pagerank_neardup",        # rows-only: iterative centrality
-    # --- r4-stale: every remaining query whose newest row is r4 (37) ---
-    "q_ann_cosine_topk",         # rows-only: float cosine ranking
-    "q_approx_distinct_users",
-    "q_asof_join",
-    "q_assign_shards",
-    "q_binned_range_join",
-    "q_corpus_composition",
-    "q_curation_pipeline",
-    "q_decontaminate",
-    "q_dedup_canonical",
-    "q_dedup_clusters",
-    "q_dedup_exact_events",
-    "q_dedup_md5_documents",
-    "q_dup_ngram_stats",
-    "q_dup_span_coverage",
-    "q_embedding_centroids",     # rows-only: float centroid means
-    "q_embedding_near_dup",      # rows-only: float cosine threshold
-    "q_embedding_quantize",
-    "q_ivf_ann_topk",            # rows-only: k-means cells
-    "q_length_histogram",
-    "q_lsh_ann_topk",            # rows-only: hyperplane buckets
-    "q_lsh_jaccard_verified",
-    "q_minhash_lsh_pairs",       # rows-only: xxhash64 production flavor
-    "q_multimodal_audio_features",  # rows-only: synthetic media fixture
-    "q_multimodal_features",     # rows-only: synthetic media fixture
-    "q_ngram_jaccard_pairs",
-    "q_null_handling",
-    "q_quality_score_filter",
-    "q_range_join",
-    "q_redact_pii",
-    "q_remove_dup_spans",
-    "q_running_sum_events",
-    "q_salted_join_agg",
-    "q_sessionize_events",
-    "q_text_quality",
-    "q_topk_per_group",
-    "q_vocab_topk",
-    "q_winnowed_fingerprints",   # rows-only: xxhash64 production flavor
-    # --- r5-stale back-fill anchors (4) ---
-    "q08_market_share",
-    "q_top_orders",
-    "q_like_filter",
-    "q_tumbling_window_events",
+    # --- never driver-checked: r9 session registration (1) ---
+    "q_winnowed_md5_fingerprints",
+    # --- r5-stale: every query whose newest driver row is r5 (46) ---
+    "q_audio_near_dup",          # rows-only: synthetic media fixture
+    "q_bigram_lm_score",
+    "q_chunk_documents",
+    "q_corpus_diff",
+    "q_corr_stats",
+    "q_cube_documents",
+    "q_curation_pipeline_v2",
+    "q_date_functions",
+    "q_dedup_report",
+    "q_embedding_near_dup_against",  # rows-only: float cosine threshold
+    "q_full_outer_nation_counts",
+    "q_grouping_sets_orders",
+    "q_image_near_dup",          # rows-only: synthetic media fixture
+    "q_ivf_persisted_topk",      # rows-only: k-means cells
+    "q_lsh_quality",
+    "q_mad_by_lang",
+    "q_minhash_index_gate",      # rows-only: xxhash64 production flavor
+    "q_mixture_sample",
+    "q_nb_lang_classify",
+    "q_near_dedup_against",      # rows-only: xxhash64 production flavor
+    "q_oov_rate",
+    "q_pack_spans",
+    "q_percentile_agg",
+    "q_pivot_status_counts",
+    "q_prefix_jaccard_against",
+    "q_prefix_jaccard_pairs",
+    "q_profile_documents",
+    "q_profile_drift",
+    "q_rollup_orders",
+    "q_scalar_subquery",
+    "q_semantic_dedup",          # rows-only: float cosine clustering
+    "q_simhash_index_gate",      # rows-only: xxhash64 production flavor
+    "q_simhash_pairs",           # rows-only: xxhash64 production flavor
+    "q_simhash_pairs_against",   # rows-only: xxhash64 production flavor
+    "q_simhash_quality",
+    "q_skew_report",
+    "q_string_functions",
+    "q_text_tfidf_topk",
+    "q_token_cosine_against",
+    "q_token_cosine_pairs",
+    "q_two_phase_distinct",
+    "q_vocab_coverage",
+    "q_weighted_sample",
+    "q_weighted_sample_group",
+    "q_winnowing_containment",
+    "q_winsorize",
+    # --- r6-stale back-fill, oldest 3 in registration order ---
+    "q_distinct_count",
+    "q_in_subquery",
+    "q_cross_join_region_status",
 ]
-# r10 rotation backlog, in priority order (never-checked beats stale):
-# (a) any query registered during the r9 sessions (enumerate here as
-#     they land): q_warc_ingest, q_jsonl_ingest, q_ingest_e2e_html,
-#     q_winnowed_md5_fingerprints, q_text_md5_fingerprint,
-#     q_daily_distinct_md5_rank;
-# (b) the 46 remaining r5-stale rows (q_audio_near_dup,
-#     q_bigram_lm_score, q_chunk_documents, q_corpus_diff,
-#     q_corr_stats, q_cube_documents, q_curation_pipeline_v2,
-#     q_date_functions, q_dedup_report, q_embedding_near_dup_against,
-#     q_full_outer_nation_counts, q_grouping_sets_orders,
-#     q_image_near_dup, q_ivf_persisted_topk, q_lsh_quality,
-#     q_mad_by_lang, q_minhash_index_gate, q_mixture_sample,
-#     q_nb_lang_classify, q_near_dedup_against, q_oov_rate,
-#     q_pack_spans, q_percentile_agg, q_pivot_status_counts,
-#     q_prefix_jaccard_against, q_prefix_jaccard_pairs,
-#     q_profile_documents, q_profile_drift, q_rollup_orders,
-#     q_scalar_subquery, q_semantic_dedup, q_simhash_index_gate,
-#     q_simhash_pairs, q_simhash_pairs_against, q_simhash_quality,
-#     q_skew_report, q_string_functions, q_text_tfidf_topk,
-#     q_token_cosine_against, q_token_cosine_pairs,
-#     q_two_phase_distinct, q_vocab_coverage, q_weighted_sample,
-#     q_weighted_sample_group, q_winnowing_containment, q_winsorize)
-#     — fill all remaining slots from these;
-# (c) r6-stale families thereafter, rotating by age so no query's
+# r11 rotation backlog, in priority order (never-checked beats stale):
+# (a) any query registered during the r10 sessions (enumerate here as
+#     they land);
+# (b) the 47 remaining r6-stale rows (q_ann_recall, q_array_hof_stats,
+#     q_bm25_search, q_boolean_search, q_bpe_merges,
+#     q_check_expectations, q_cohort_ltv, q_cohort_retention,
+#     q_containment_against, q_daily_anomaly, q_daily_trend,
+#     q_dedup_segments, q_dedup_segments_against,
+#     q_dedup_segments_within, q_edit_distance_against,
+#     q_edit_distance_pairs, q_entropy_by_source, q_event_transitions,
+#     q_except_customers, q_funnel_by_cohort, q_funnel_conversion,
+#     q_funnel_counts, q_funnel_windowed, q_group_split,
+#     q_hll_daily_union, q_intersect_customers, q_ivfpq_topk,
+#     q_phrase_search, q_postings_search, q_pq_topk, q_quarantine,
+#     q_resample_ffill, q_resample_interpolate, q_rolling_7d_value,
+#     q_rolling_wau, q_session_stats, q_skipping_report,
+#     q_split_leakage, q_split_leakage_near, q_sql_entry_revenue,
+#     q_stats_agg, q_stickiness, q_temperature_mixture,
+#     q_top_journeys, q_unpivot_metrics, q_window_agg_events,
+#     q_window_first_last) — fill all remaining slots from these;
+# (c) r7-stale families thereafter, rotating by age so no query's
 #     latest driver row is older than three rounds.
+
 
 _BY_NAME = {s.name: s for s in _SPECS}
 _unknown = [n for n in DRIVER_WINDOW if n not in _BY_NAME]
