@@ -153,7 +153,15 @@ def main() -> None:
     # Tier 2 runs AFTER the headline suite so it cannot perturb the
     # baseline-comparable numbers (see TIER2 comment for single-shot
     # rationale).
-    tier2 = {name: round(run(name), 3) for name in TIER2}
+    tier2 = {}
+    for name in TIER2:
+        first = run(name)
+        # Single-shot totals were too noisy to adjudicate: one slow
+        # materialization (q_html_extract 2.8 -> 3.5 s across r8/r9
+        # runs) moves the 12-query total ~16%.  Queries over 2 s get a
+        # second pass and keep the best; sub-2 s queries stay
+        # single-shot so tier 2 cost stays bounded.
+        tier2[name] = round(min(first, run(name)) if first > 2.0 else first, 3)
     tier2_total = round(sum(tier2.values()), 3)
 
     # Per-query delta vs the newest recorded BENCH_r{N}.json so the
@@ -182,21 +190,27 @@ def main() -> None:
             prev_q = prev.get("queries") or {}
             if not prev_q:
                 continue
-            prev_round = fname
-            delta_vs_prev = {
+            built_delta = {
                 name: round(t - prev_q[name], 3)
                 for name, t in timings.items()
                 if name in prev_q
             }
             prev_t2 = prev.get("tier2") or {}
-            tier2_delta = {
+            built_t2_delta = {
                 name: round(t - prev_t2[name], 3)
                 for name, t in tier2.items()
                 if name in prev_t2
             }
-            break
         except (OSError, ValueError, TypeError, KeyError):
             continue
+        # Assign all three together only once the whole record parsed:
+        # a file that fails mid-build must leave no partial state, or
+        # delta_baseline_file could name a different file than the one
+        # the deltas came from.
+        prev_round = fname
+        delta_vs_prev = built_delta
+        tier2_delta = built_t2_delta
+        break
 
     load_end = [round(x, 2) for x in os.getloadavg()]
     # Two lines, detail first: the r8 record grew past the driver's tail

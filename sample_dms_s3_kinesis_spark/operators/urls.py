@@ -186,6 +186,13 @@ def domain_caps_against(
     # plan diffs/fingerprints) without buying extra collision safety.
     tag = "v7k2"
     c_dom, c_rk, c_prior = f"_dom_{tag}", f"_rk_{tag}", f"_prior_{tag}"
+    clash = {c_dom, c_rk, c_prior} & (
+        set(new_df.columns) | set(corpus_df.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"input columns collide with internal names: {sorted(clash)}"
+        )
 
     prior = (
         corpus_df.select(

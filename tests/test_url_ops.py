@@ -154,6 +154,13 @@ def test_domain_caps_against_counts_corpus(spark):
     with _pytest.raises(ValueError, match="max_per_domain"):
         urls.domain_caps_against(new, corpus, max_per_domain=0)
 
+    # a caller column that exactly matches an internal name must fail
+    # loudly, never be silently clobbered (fixed tag means the old
+    # per-call-uuid impossibility no longer holds)
+    clashing = new.withColumn("_rk_v7k2", F.lit(1))
+    with _pytest.raises(ValueError, match="_rk_v7k2"):
+        urls.domain_caps_against(clashing, corpus, max_per_domain=3)
+
 
 def test_url_port_requires_delimiter_after_digits(spark):
     """A malformed authority like ':80abc' must not report port 80 —
