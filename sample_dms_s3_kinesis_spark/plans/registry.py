@@ -3153,7 +3153,7 @@ DRIVER_WINDOW: list[str] = [
 ]
 # r11 rotation backlog, in priority order (never-checked beats stale):
 # (a) any query registered during the r10 sessions (enumerate here as
-#     they land);
+#     they land): q_jsonl_ingest, q_warc_ingest;
 # (b) the 47 remaining r6-stale rows (q_ann_recall, q_array_hof_stats,
 #     q_bm25_search, q_boolean_search, q_bpe_merges,
 #     q_check_expectations, q_cohort_ltv, q_cohort_retention,

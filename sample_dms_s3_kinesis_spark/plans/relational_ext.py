@@ -6614,3 +6614,162 @@ def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (frac("y") < frac("s")).cast("bigint").alias("label"),
     )
     return calibration_report(scored, score="score", label="label", bins=10)
+
+
+# ------------------------------------------------------------------
+# Crawl-container ingestion (sources/crawl.py): WARC + JSON-lines
+# readers — the actual first step of the RefinedWeb/C4 pipeline the
+# curation operators model.  Fixtures are synthesized FROM the
+# documents table with Spark itself (distributed write, no driver
+# loop), cached per (app, sf); the oracles recompute the expected
+# admitted rows directly from the table, so the whole container
+# round-trip (record framing, header parse, corrupt/ non-response/
+# non-200 rejection, HTML extraction) is exact-checked cross-engine.
+# ------------------------------------------------------------------
+
+from sample_dms_s3_kinesis_spark.sources import crawl as _crawl  # noqa: E402
+
+_CRAWL_FIXTURE_CACHE: dict = {}
+
+
+def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Write the JSONL / WARC fixture for ``sf_dir`` once per app and
+    return its directory.  Deterministic: contents derive only from the
+    documents table, so the oracle can predict every record."""
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    path = _CRAWL_FIXTURE_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"crawl-{kind}-")
+        out = f"{path}/data"
+        d = t(spark, sf_dir, "documents")
+        if kind == "jsonl":
+            # one JSON object per doc; every 37th line is truncated by
+            # one character (drops the closing brace -> malformed), so
+            # the corrupt channel is exercised at a known key set
+            lines = d.select(
+                F.col("doc_id"),
+                F.to_json(F.struct("doc_id", "text", "lang", "source")).alias(
+                    "_js"
+                ),
+            ).select(
+                F.when(
+                    F.col("doc_id") % 37 == 0,
+                    F.expr("substring(_js, 1, length(_js) - 1)"),
+                )
+                .otherwise(F.col("_js"))
+                .alias("value")
+            )
+        else:
+            # WARC: every 11th doc ships only a request record (filter
+            # coverage), every 13th a 404 response (status coverage),
+            # the rest 200 responses carrying the synthesized HTML page
+            uri = F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/p/"),
+                F.col("doc_id").cast("string"),
+            )
+            lines = d.select(
+                F.when(
+                    F.col("doc_id") % 11 == 0,
+                    _crawl.warc_request_record(target_uri=uri),
+                )
+                .when(
+                    F.col("doc_id") % 13 == 0,
+                    _crawl.warc_response_record(
+                        target_uri=uri,
+                        body=F.lit("<html><body>404 not found</body></html>"),
+                        http_status=F.lit(404),
+                    ),
+                )
+                .otherwise(
+                    _crawl.warc_response_record(target_uri=uri, body=_wrapped_html())
+                )
+                .alias("value")
+            )
+        lines.write.mode("overwrite").text(out)
+        _CRAWL_FIXTURE_CACHE[key] = path
+    return f"{path}/data"
+
+
+@_register(
+    "q_jsonl_ingest",
+    """
+    SELECT doc_id, md5(text) AS text_md5, lang, source,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE doc_id % 37 = 0) AS n_rejects
+    FROM documents
+    WHERE doc_id % 37 <> 0
+    """,
+    "JSON-lines crawl-container ingestion: write the corpus as a JSONL "
+    "dump (one truncated line per 37 docs), read it back schema-on-read "
+    "through sources/crawl.read_jsonl, split the corrupt-line rejects "
+    "channel, and return the admitted records (text digested) plus the "
+    "reject count; oracle recomputes both directly from the table",
+    "crawl ingestion: JSONL container (reference parity: containerized "
+    "files from object storage bound schema-on-read, run.py:162-164)",
+)
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "jsonl")
+    df = _crawl.read_jsonl(
+        spark, path, "doc_id long, text string, lang string, source string"
+    )
+    records = _crawl.jsonl_records(df)
+    n_rejects = _crawl.jsonl_rejects(df).agg(
+        F.count(F.lit(1)).alias("n_rejects")
+    )
+    return records.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "lang",
+        "source",
+    ).crossJoin(F.broadcast(n_rejects))
+
+
+@_register(
+    "q_warc_ingest",
+    f"""
+    WITH h AS (SELECT doc_id, source, {_DUCK_WRAPPED_HTML} AS html
+               FROM documents
+               WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0),
+    x AS (SELECT doc_id, source, {_duck_html_extract("html")} AS extracted
+          FROM h)
+    SELECT doc_id,
+           'https://' || source || '.example.com/p/'
+             || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(200 AS INT) AS http_status,
+           md5(extracted) AS extracted_md5,
+           CAST(length(extracted) AS BIGINT) AS extracted_len
+    FROM x
+    """,
+    "WARC crawl-container ingestion: frame the corpus as WARC response/"
+    "request records (Spark-built, text-sink written), fold records "
+    "back out of the container via the lineSep boundary split, keep "
+    "only intact 200 responses, extract page text from the HTTP body "
+    "and digest it; oracle recomputes the surviving doc set and the "
+    "extraction chain straight from the table",
+    "crawl ingestion: WARC container (text-source fold; html_extract "
+    "chain is the q_html_extract oracle twin)",
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "warc")
+    responses = _crawl.warc_responses(
+        _crawl.read_warc_records(spark, path)
+    ).filter(F.col("length_ok") & (F.col("http_status") == 200))
+    extracted = responses.select(
+        F.regexp_extract("target_uri", r"/p/([0-9]+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "http_status",
+        _text.html_extract(F.col("body")).alias("extracted"),
+    )
+    return extracted.select(
+        "doc_id",
+        "target_uri",
+        "http_status",
+        F.md5("extracted").alias("extracted_md5"),
+        F.length("extracted").cast("long").alias("extracted_len"),
+    )

@@ -1,0 +1,318 @@
+"""Crawl-container ingestion: WARC and JSON-lines readers.
+
+The LLM-data layer's curation operators (``operators/text.py``
+``html_extract``, ``operators/urls.py`` domain caps, the
+``CorpusIngestTask`` admission gates) all assume the page/document is
+already a DataFrame column.  Real crawl corpora arrive in CONTAINERS —
+Common-Crawl-style WARC files or JSON-lines dumps — so this module is
+the actual first step of the RefinedWeb/C4-shaped pipeline: container
+bytes in, one row per record out, rejects on a side channel.
+
+Reference parity: the reference ingests containerized change files from
+object storage and binds them to rows schema-on-read
+(/root/reference/run.py:162-164 stages LOADnnn.csv objects;
+/root/reference/stack.py:176-182 declares the external table the files
+bind to).  The crawl readers keep that shape — path in, bound rows +
+exceptions channel out — for web-crawl containers.
+
+Scale notes:
+- Both readers are pure Catalyst (text source + ``from_json`` /
+  ``regexp_extract``): no Python in the row path, whole-stage codegen
+  end to end, and they work identically under ``spark.read`` and
+  ``spark.readStream`` (pass ``streaming=True``).
+- WARC records are folded out of the text source with a custom record
+  delimiter (``lineSep = "WARC/1.0\\r\\n"``).  Hadoop's line reader
+  aligns split starts to the NEXT delimiter and reads records that
+  span split ends to completion, so uncompressed WARC splits cleanly
+  at ``spark.sql.files.maxPartitionBytes`` with no record straddling
+  bugs.  ``.warc.gz`` is a non-splittable codec: there the FILE is the
+  parallel unit (Common Crawl ships ~1 GB files, which parallelizes
+  fine at file granularity on a large cluster).
+- The readers target TEXT payloads (UTF-8 HTML/JSON — the curation
+  case).  Binary payloads (images in WARC, per-record gzip) would need
+  the binaryFile source plus a decode step; that path is out of scope
+  here and documented rather than half-supported.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------
+# JSON-lines
+# --------------------------------------------------------------------
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    streaming: bool = False,
+) -> DataFrame:
+    """Read JSON-lines files under ``path`` with an EXPLICIT schema.
+
+    Returns one row per non-blank line with the schema's fields plus
+    ``_raw_line`` (the original line) and ``_corrupt`` (true when the
+    line failed to parse — those rows have NULL in every schema field
+    and are split out by :func:`jsonl_rejects`).
+
+    Implementation is ``text`` source + ``from_json`` rather than the
+    JSON source's top-level corrupt-record channel: identical JVM
+    parser, but the raw line is retained for the rejects channel and
+    the corrupt split has none of the JSON source's restrictions on
+    referencing the corrupt column alone.  Corruption is detected via
+    ``from_json``'s own ``columnNameOfCorruptRecord`` field (PERMISSIVE
+    mode fills it for malformed lines AND for type-mismatched fields —
+    an all-null parse is indistinguishable from corrupt otherwise).
+    The schema is always explicit — schema INFERENCE is a second full
+    pass over the corpus and is never acceptable at scale (same rule
+    as the CSV source).
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    cr = "_crawl_corrupt_record"
+    if cr in schema.fieldNames():
+        raise ValueError(f"schema field name {cr!r} is reserved")
+    # NOT schema.add(...): StructType.add mutates the receiver, which
+    # would leak the probe field into the caller's schema and ours
+    probe = T.StructType(
+        list(schema.fields) + [T.StructField(cr, T.StringType())]
+    )
+    reader = spark.readStream if streaming else spark.read
+    lines = reader.text(path)
+    parsed = (
+        lines.filter(F.col("value") != "")
+        .select(
+            F.col("value").alias("_raw_line"),
+            F.from_json(
+                F.col("value"),
+                probe,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": cr},
+            ).alias("_rec"),
+        )
+        .select(
+            *[F.col(f"_rec.{f}") for f in schema.fieldNames()],
+            "_raw_line",
+            F.col(f"_rec.{cr}").isNotNull().alias("_corrupt"),
+        )
+    )
+    return parsed
+
+
+def jsonl_records(df: DataFrame) -> DataFrame:
+    """The admitted side of :func:`read_jsonl`: parsed rows, container
+    plumbing columns dropped."""
+    return df.filter(~F.col("_corrupt")).drop("_raw_line", "_corrupt")
+
+
+def jsonl_rejects(df: DataFrame) -> DataFrame:
+    """The exceptions channel of :func:`read_jsonl`: unparseable lines,
+    raw text preserved — the crawl twin of the CDC exceptions table."""
+    return df.filter(F.col("_corrupt")).select("_raw_line")
+
+
+# --------------------------------------------------------------------
+# WARC
+# --------------------------------------------------------------------
+
+# Record boundary for the text-source fold.  WARC/1.1 files differ only
+# in this version string; pass version="1.1" for them.
+_WARC_BOUNDARY = "WARC/{version}\r\n"
+
+
+def _warc_header(hdr: Column, name: str) -> Column:
+    # (?m) anchors per line, (?i) per spec: header names are
+    # case-insensitive; value runs to end of line (trailing \r excluded
+    # because the block was split on \r\n pairs below)
+    return F.nullif(
+        F.regexp_extract(hdr, rf"(?mi)^{name}:[ \t]*([^\r\n]*)", 1),
+        F.lit(""),
+    )
+
+
+def read_warc_records(
+    spark: SparkSession,
+    path: str,
+    *,
+    streaming: bool = False,
+    version: str = "1.0",
+) -> DataFrame:
+    """Read WARC files under ``path``, one row per WARC record.
+
+    Columns: ``warc_type``, ``target_uri``, ``record_id``,
+    ``warc_date``, ``content_type``, ``content_length`` (the declared
+    value), ``payload`` (everything after the header block, record
+    separator stripped), ``payload_len`` (actual UTF-8 byte length) and
+    ``length_ok``.
+
+    ``length_ok`` is the honesty bit of the fold: records are split on
+    the ``WARC/1.0\\r\\n`` boundary marker, so a payload that itself
+    contains the marker splits early — the declared ``Content-Length``
+    then disagrees with ``payload_len`` and BOTH fragments flag
+    ``length_ok = false`` (a fragment lacking the mandatory
+    Content-Length header flags false too).  Callers route those to
+    the rejects channel
+    (the admission pipeline filters on it) instead of ingesting
+    silently truncated pages.  Inter-record padding (stray newlines
+    from non-spec writers) is tolerated and stripped.
+    """
+    boundary = _WARC_BOUNDARY.format(version=version)
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.option("lineSep", boundary).text(path)
+    rec = raw.filter(F.trim(F.col("value")) != "")
+    # A record with no header/payload blank-line split is malformed:
+    # nullif folds the failed extract ("") to NULL so every downstream
+    # probe reads NULL and length_ok lands false.
+    hdr = F.nullif(
+        F.regexp_extract("value", r"(?s)^(.*?)\r\n\r\n", 1), F.lit("")
+    )
+    payload = F.regexp_replace(
+        F.regexp_extract("value", r"(?s)^.*?\r\n\r\n(.*)$", 1),
+        r"(?s)\r\n\r\n\s*$",
+        "",
+    )
+    # Bind hdr/payload once through a projection: five header probes
+    # plus two length checks reference them repeatedly and the source
+    # string is a whole record.
+    bound = rec.select(hdr.alias("_hdr"), payload.alias("payload"))
+    h = F.col("_hdr")
+    declared = _warc_header(h, "Content-Length").try_cast("long")
+    return bound.select(
+        _warc_header(h, "WARC-Type").alias("warc_type"),
+        _warc_header(h, "WARC-Target-URI").alias("target_uri"),
+        _warc_header(h, "WARC-Record-ID").alias("record_id"),
+        _warc_header(h, "WARC-Date").alias("warc_date"),
+        _warc_header(h, "Content-Type").alias("content_type"),
+        declared.alias("content_length"),
+        F.col("payload"),
+        F.octet_length("payload").cast("long").alias("payload_len"),
+        F.coalesce(
+            F.col("_hdr").isNotNull()
+            # Content-Length is MANDATORY (WARC spec §5.3): a record
+            # without one is either non-compliant or a fragment of a
+            # marker-collision split — both belong on the rejects side
+            # (coalesce: NULL declared must read as false, not NULL)
+            & (declared == F.octet_length("payload").cast("long")),
+            F.lit(False),
+        ).alias("length_ok"),
+    )
+
+
+def warc_responses(records: DataFrame) -> DataFrame:
+    """HTTP response records out of :func:`read_warc_records` output:
+    parses the HTTP status line and splits headers from body.
+
+    Adds ``http_status`` (int), ``http_content_type`` and ``body``;
+    keeps the WARC columns.  Non-response records (request, warcinfo,
+    metadata, …) are filtered out — crawl curation ingests fetched
+    pages, not the crawler's own bookkeeping."""
+    resp = records.filter(F.lower(F.col("warc_type")) == "response")
+    http_hdr = F.regexp_extract("payload", r"(?s)^(.*?)\r\n\r\n", 1)
+    body = F.regexp_extract("payload", r"(?s)^.*?\r\n\r\n(.*)$", 1)
+    bound = resp.select(
+        "warc_type",
+        "target_uri",
+        "record_id",
+        "warc_date",
+        "content_length",
+        "payload_len",
+        "length_ok",
+        http_hdr.alias("_http_hdr"),
+        body.alias("body"),
+    )
+    return bound.select(
+        "warc_type",
+        "target_uri",
+        "record_id",
+        "warc_date",
+        "content_length",
+        "payload_len",
+        "length_ok",
+        F.nullif(
+            F.regexp_extract(
+                "_http_hdr", r"^HTTP/[0-9.]+[ \t]+([0-9]{3})", 1
+            ),
+            F.lit(""),
+        )
+        .try_cast("int")
+        .alias("http_status"),
+        F.nullif(
+            F.regexp_extract(
+                "_http_hdr", r"(?mi)^Content-Type:[ \t]*([^\r\n;]*)", 1
+            ),
+            F.lit(""),
+        ).alias("http_content_type"),
+        "body",
+    )
+
+
+def warc_response_record(
+    *,
+    target_uri: Column,
+    body: Column,
+    http_status: Column | None = None,
+    warc_date: Column | None = None,
+    record_id: Column | None = None,
+    http_content_type: str = "text/html",
+    warc_type: str = "response",
+) -> Column:
+    """Build a spec-shaped WARC record STRING as a Column expression —
+    the write direction of the fold, used to synthesize fixtures and to
+    spill curated pages back out as WARC.  Content-Length is computed
+    from the payload's UTF-8 byte length, so a re-read round-trips with
+    ``length_ok = true``.  Fully distributed (pure concat — no driver
+    loop, no UDF)."""
+    status = (
+        http_status if http_status is not None else F.lit(200)
+    ).cast("string")
+    payload = F.concat(
+        F.lit("HTTP/1.1 "),
+        status,
+        F.lit(" \r\nContent-Type: "),
+        F.lit(http_content_type),
+        F.lit("\r\n\r\n"),
+        body,
+    )
+    hdr = F.concat(
+        F.lit(f"WARC-Type: {warc_type}\r\nWARC-Target-URI: "),
+        target_uri,
+        F.lit("\r\nWARC-Record-ID: "),
+        (
+            record_id
+            if record_id is not None
+            else F.concat(F.lit("<urn:uuid:"), F.md5(target_uri), F.lit(">"))
+        ),
+        F.lit("\r\nWARC-Date: "),
+        (
+            warc_date
+            if warc_date is not None
+            else F.lit("2026-01-01T00:00:00Z")
+        ),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+    )
+    # The leading boundary is written here; the trailing \r\n\r\n is
+    # the record separator.  Readers tolerate sink-appended newline
+    # padding between records (see read_warc_records).
+    return F.concat(
+        F.lit("WARC/1.0\r\n"), hdr, F.lit("\r\n\r\n"), payload,
+        F.lit("\r\n\r\n"),
+    )
+
+
+def warc_request_record(*, target_uri: Column) -> Column:
+    """A minimal non-response record (crawler bookkeeping) for fixtures
+    and filter tests."""
+    payload = F.concat(F.lit("GET "), target_uri, F.lit(" HTTP/1.1"))
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: "),
+        target_uri,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )

@@ -1,0 +1,202 @@
+"""Crawl-container readers (sources/crawl.py): JSONL and WARC.
+
+Covers the record/rejects split contract for both containers, the WARC
+text-source fold (header parse, response split, non-response filtering,
+Content-Length honesty bit) and the builder round-trip the registry
+fixtures rely on."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.sources import crawl
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    p = tmp_path / "jsonl"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "bye"}\n'
+        "NOT JSON AT ALL\n"
+        '{"doc_id": 3, "text": "truncated"\n'
+        '{"doc_id": "notanumber", "text": "type mismatch"}\n'
+        "\n"
+        '{"doc_id": 4}\n'
+    )
+    return str(p)
+
+
+def test_jsonl_records_and_rejects(spark, jsonl_dir):
+    df = crawl.read_jsonl(spark, jsonl_dir, "doc_id long, text string")
+    good = {
+        r["doc_id"]: r["text"] for r in crawl.jsonl_records(df).collect()
+    }
+    # a MISSING field is not corruption (4 parses with NULL text);
+    # malformed JSON and type-mismatched fields are
+    assert good == {1: "hello world", 2: "bye", 4: None}
+    bad = {r["_raw_line"] for r in crawl.jsonl_rejects(df).collect()}
+    assert bad == {
+        '{"doc_id": "notanumber", "text": "type mismatch"}',
+        '{"doc_id": 3, "text": "truncated"',
+        "NOT JSON AT ALL",
+    }
+    # blank lines are neither records nor rejects
+    assert df.count() == 6
+
+
+def test_jsonl_reserved_field_guard(spark, jsonl_dir):
+    with pytest.raises(ValueError, match="reserved"):
+        crawl.read_jsonl(
+            spark, jsonl_dir, "doc_id long, _crawl_corrupt_record string"
+        )
+
+
+def _write_warc_fixture(spark, out_dir):
+    """Four records via the builders: three responses (one 404) and a
+    request, written through the text sink like the registry fixture."""
+    src = spark.range(4).select(
+        F.concat(F.lit("https://ex.com/p/"), F.col("id").cast("string")).alias(
+            "uri"
+        ),
+        F.concat(
+            F.lit("<html><body><p>page "),
+            F.col("id").cast("string"),
+            F.lit(" text</p></body></html>"),
+        ).alias("body"),
+        F.col("id"),
+    )
+    recs = src.select(
+        F.when(
+            F.col("id") == 3,
+            crawl.warc_request_record(target_uri=F.col("uri")),
+        )
+        .otherwise(
+            crawl.warc_response_record(
+                target_uri=F.col("uri"),
+                body=F.col("body"),
+                http_status=F.when(F.col("id") == 2, F.lit(404)).otherwise(
+                    F.lit(200)
+                ),
+            )
+        )
+        .alias("value")
+    )
+    recs.coalesce(1).write.mode("overwrite").text(out_dir)
+
+
+def test_warc_roundtrip_and_response_split(spark, tmp_path):
+    out = str(tmp_path / "warc")
+    _write_warc_fixture(spark, out)
+    rec = crawl.read_warc_records(spark, out)
+    rows = {r["target_uri"]: r for r in rec.collect()}
+    assert len(rows) == 4
+    assert {r["warc_type"] for r in rows.values()} == {"response", "request"}
+    # builder-computed Content-Length survives the sink round-trip
+    assert all(r["length_ok"] for r in rows.values())
+    assert all(
+        r["content_length"] == r["payload_len"] for r in rows.values()
+    )
+
+    resp = {
+        r["target_uri"]: r for r in crawl.warc_responses(rec).collect()
+    }
+    # the request record is crawler bookkeeping, not a page
+    assert set(resp) == {f"https://ex.com/p/{i}" for i in range(3)}
+    assert resp["https://ex.com/p/2"]["http_status"] == 404
+    assert resp["https://ex.com/p/0"]["http_status"] == 200
+    assert resp["https://ex.com/p/0"]["http_content_type"] == "text/html"
+    assert (
+        resp["https://ex.com/p/1"]["body"]
+        == "<html><body><p>page 1 text</p></body></html>"
+    )
+
+
+def test_warc_marker_collision_flags_length(spark, tmp_path):
+    """A payload containing the record boundary splits early — both
+    fragments must flag length_ok=false instead of silently truncating."""
+    p = tmp_path / "warc2"
+    p.mkdir()
+    evil_body = "before WARC/1.0\r\nWARC-Type: fake\r\n\r\nafter"
+    payload = f"HTTP/1.1 200 \r\n\r\n{evil_body}"
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://ex.com/evil\r\n"
+        f"Content-Length: {len(payload.encode())}\r\n\r\n"
+        f"{payload}\r\n\r\n"
+    )
+    (p / "f.warc").write_text(rec)
+    rows = crawl.read_warc_records(spark, str(p)).collect()
+    assert len(rows) == 2  # split at the embedded marker
+    assert not any(r["length_ok"] for r in rows)
+    # and the honest filter the ingest path uses drops both
+    ok = crawl.warc_responses(
+        crawl.read_warc_records(spark, str(p))
+    ).filter(F.col("length_ok"))
+    assert ok.count() == 0
+
+
+def test_warc_malformed_record_no_blank_line(spark, tmp_path):
+    p = tmp_path / "warc3"
+    p.mkdir()
+    (p / "f.warc").write_text(
+        "WARC/1.0\r\nWARC-Type: response\r\nno blank line ever"
+    )
+    rows = crawl.read_warc_records(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0]["length_ok"] is False
+    assert rows[0]["warc_type"] is None  # header block never terminated
+
+
+def test_warc_spec_exact_separators_parse(spark, tmp_path):
+    """A hand-written spec-compliant file (no sink padding) parses
+    identically — the reader must not DEPEND on the text sink's
+    trailing newline."""
+    p = tmp_path / "warc4"
+    p.mkdir()
+    body = "<html><body>x</body></html>"
+    payload = f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n{body}"
+    recs = ""
+    for i in range(2):
+        recs += (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: https://s.com/{i}\r\n"
+            f"Content-Length: {len(payload.encode())}\r\n\r\n"
+            f"{payload}\r\n\r\n"
+        )
+    (p / "f.warc").write_text(recs)
+    out = crawl.warc_responses(crawl.read_warc_records(spark, str(p)))
+    rows = {r["target_uri"]: r for r in out.collect()}
+    assert set(rows) == {"https://s.com/0", "https://s.com/1"}
+    assert all(r["length_ok"] and r["body"] == body for r in rows.values())
+    assert rows["https://s.com/0"]["http_status"] == 200
+
+
+def test_warc_streaming_reader_matches_batch(spark, tmp_path):
+    """streaming=True builds the same frame through readStream — drain
+    one micro-batch and compare to the batch read."""
+    out = str(tmp_path / "warc5")
+    _write_warc_fixture(spark, out)
+    batch = {
+        (r["target_uri"], r["warc_type"])
+        for r in crawl.read_warc_records(spark, out).collect()
+    }
+    sink = f"{tmp_path}/sink"
+    q = (
+        crawl.read_warc_records(spark, out, streaming=True)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["target_uri"], r["warc_type"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == batch
