@@ -1409,6 +1409,111 @@ def q_ingest_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("counter")
 
 
+_INGEST_HTML_E2E_CACHE: dict[str, tuple[list, object]] = {}
+
+
+def _ingest_html_e2e_results(spark: SparkSession):
+    """Cached two-batch RAW-PAGE drive through extract_html=True: the
+    streaming twin of q_html_extract — extraction runs BEFORE every
+    admission gate, so markup-variant mirrors dedup exactly, a
+    boilerplate-only page rejects, and the contract rule judges
+    extracted CONTENT length, not markup length."""
+    import os
+    import shutil
+    import tempfile
+
+    key = spark.sparkContext.applicationId
+    if key not in _INGEST_HTML_E2E_CACHE:
+        import json as _json
+
+        from sample_dms_s3_kinesis_spark.operators.quality import RowRule
+        from sample_dms_s3_kinesis_spark.streaming.ingest import (
+            CorpusIngestTask,
+        )
+
+        root = tempfile.mkdtemp(prefix="q_ingest_e2e_html_")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        task = CorpusIngestTask(
+            spark,
+            drop,
+            os.path.join(root, "corpus"),
+            extract_html=True,
+            contract_rules=[
+                RowRule("min_len", F.length(F.col("text")) >= F.lit(10))
+            ],
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        batch1 = [
+            (1, "<html><body><p>alpha beta gamma</p>"
+                "<script>var x=1;</script></body></html>"),
+            # same CONTENT as 1 under different markup -> exact dup
+            (2, "<div><b>alpha</b> beta   gamma</div>"),
+            # boilerplate-only page -> empty extraction -> rejected
+            (3, "<style>p{}</style><!-- tracking pixel -->"),
+            (4, "<h1>delta &amp; epsilon</h1>"),
+        ]
+        batch2 = [
+            # cross-batch mirror of 1 (third markup variant)
+            (5, "<p>alpha   beta gamma</p>"),
+            (6, "<p>zeta eta theta</p>"),
+            # extracts to 'hi' -> fails the min_len CONTENT contract
+            (7, "<article><p>hi</p></article>"),
+        ]
+        try:
+            for n, docs in (("b1.jsonl", batch1), ("b2.jsonl", batch2)):
+                path = os.path.join(drop, n)
+                with open(path, "w") as f:
+                    for doc_id, page in docs:
+                        f.write(
+                            _json.dumps({"doc_id": doc_id, "text": page})
+                            + "\n"
+                        )
+                task.process_available()
+                os.remove(path)
+            admitted = task.corpus().select(
+                F.col("doc_id"),
+                F.col("text").alias("info"),
+                F.col("batch_id"),
+                F.lit("admitted").alias("status"),
+            )
+            quarantined = task.quarantined().select(
+                F.col("doc_id"),
+                F.col("failed_rule").alias("info"),
+                F.col("batch_id"),
+                F.lit("quarantined").alias("status"),
+            )
+            frame = admitted.unionByName(quarantined)
+            _INGEST_HTML_E2E_CACHE[key] = (frame.collect(), frame.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _INGEST_HTML_E2E_CACHE[key]
+
+
+@_register(
+    "q_ingest_e2e_html",
+    """
+    SELECT * FROM (VALUES
+      (1, 'alpha beta gamma', 0, 'admitted'),
+      (4, 'delta & epsilon',  0, 'admitted'),
+      (6, 'zeta eta theta',   1, 'admitted'),
+      (7, 'min_len',          1, 'quarantined')
+    ) AS t(doc_id, info, batch_id, status)
+    ORDER BY doc_id
+    """,
+    "streaming HTML-ingest E2E: two batches of RAW crawl pages drain "
+    "through extract_html=True — markup-variant mirrors dedup exactly "
+    "(within-batch AND vs the corpus), a boilerplate-only page rejects "
+    "as empty extraction, and the quality contract judges extracted "
+    "content; oracle = the hand-derived admission outcome",
+    "CorpusIngestTask(extract_html=True) end-to-end (crawl-page "
+    "admission; composes sources/crawl with the gates)",
+)
+def q_ingest_e2e_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema = _ingest_html_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("doc_id")
+
+
 @_register(
     "q_metrics_e2e_sketches",
     """
@@ -3153,7 +3258,7 @@ DRIVER_WINDOW: list[str] = [
 ]
 # r11 rotation backlog, in priority order (never-checked beats stale):
 # (a) any query registered during the r10 sessions (enumerate here as
-#     they land): q_jsonl_ingest, q_warc_ingest;
+#     they land): q_jsonl_ingest, q_warc_ingest, q_ingest_e2e_html;
 # (b) the 47 remaining r6-stale rows (q_ann_recall, q_array_hof_stats,
 #     q_bm25_search, q_boolean_search, q_bpe_merges,
 #     q_check_expectations, q_cohort_ltv, q_cohort_retention,

@@ -51,6 +51,7 @@ def read_jsonl(
     schema: T.StructType | str,
     *,
     streaming: bool = False,
+    options: dict | None = None,
 ) -> DataFrame:
     """Read JSON-lines files under ``path`` with an EXPLICIT schema.
 
@@ -82,7 +83,7 @@ def read_jsonl(
         list(schema.fields) + [T.StructField(cr, T.StringType())]
     )
     reader = spark.readStream if streaming else spark.read
-    lines = reader.text(path)
+    lines = reader.options(**(options or {})).text(path)
     parsed = (
         lines.filter(F.col("value") != "")
         .select(
@@ -139,6 +140,7 @@ def read_warc_records(
     *,
     streaming: bool = False,
     version: str = "1.0",
+    options: dict | None = None,
 ) -> DataFrame:
     """Read WARC files under ``path``, one row per WARC record.
 
@@ -161,7 +163,11 @@ def read_warc_records(
     """
     boundary = _WARC_BOUNDARY.format(version=version)
     reader = spark.readStream if streaming else spark.read
-    raw = reader.option("lineSep", boundary).text(path)
+    raw = (
+        reader.options(**(options or {}))
+        .option("lineSep", boundary)
+        .text(path)
+    )
     rec = raw.filter(F.trim(F.col("value")) != "")
     # A record with no header/payload blank-line split is malformed:
     # nullif folds the failed extract ("") to NULL so every downstream

@@ -66,9 +66,10 @@ DOC_SCHEMA = T.StructType(
 
 
 class CorpusIngestTask(ReplicationTask):
-    """Tail ``drop_dir`` for JSON-lines document files and build a
-    deduplicated corpus under ``corpus_dir``.  ``near_dup=True`` arms
-    the minhash admission gate on top of the exact digest gate."""
+    """Tail ``drop_dir`` for document containers (JSON-lines by
+    default; ``input_format="warc"`` for WARC crawl containers) and
+    build a deduplicated corpus under ``corpus_dir``.  ``near_dup=True``
+    arms the minhash admission gate on top of the exact digest gate."""
 
     def __init__(
         self,
@@ -77,6 +78,7 @@ class CorpusIngestTask(ReplicationTask):
         corpus_dir: str,
         *,
         identifier: str = "corpus-ingest",
+        input_format: str = "jsonl",
         extract_html: bool = False,
         near_dup: bool = False,
         num_hashes: int = 64,
@@ -96,6 +98,18 @@ class CorpusIngestTask(ReplicationTask):
         self.spark = spark
         self.drop_dir = drop_dir
         self.corpus_dir = corpus_dir.rstrip("/")
+        # input_format: "jsonl" drops are DOC_SCHEMA JSON-lines files;
+        # "warc" drops are WARC containers — intact 200 responses
+        # become (doc_id, text=HTTP body) rows (doc_id from a /p/<n>
+        # URI path when present, else xxhash64 of the URI), everything
+        # else (requests, warcinfo, non-200, marker-collision
+        # fragments) is dropped at the container boundary.  Pair with
+        # extract_html=True for raw crawl pages.
+        if input_format not in ("jsonl", "warc"):
+            raise ValueError(
+                f"input_format must be 'jsonl' or 'warc', got {input_format!r}"
+            )
+        self.input_format = input_format
         # extract_html: drops carry RAW crawl pages; each batch runs
         # operators.text.html_extract before any gate, so digests,
         # minhash signatures and contract rules all see extracted
@@ -489,9 +503,7 @@ class CorpusIngestTask(ReplicationTask):
             self._set_status(TaskStatus.FAILED)
             raise
         self._query = (
-            self.spark.readStream.schema(DOC_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .json(self.drop_dir)
+            self._source_frame(streaming=True)
             .writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .start()
@@ -519,8 +531,38 @@ class CorpusIngestTask(ReplicationTask):
             self._set_status(TaskStatus.RUNNING)
         manifest = self._load_manifest()
         next_id = max((int(b) for b in manifest), default=-1) + 1
-        df = self.spark.read.schema(DOC_SCHEMA).json(self.drop_dir)
-        self._process_batch(df, next_id)
+        self._process_batch(self._source_frame(streaming=False), next_id)
+
+    def _source_frame(self, *, streaming: bool) -> DataFrame:
+        """The drop-dir as a DOC_SCHEMA-shaped frame, batch or
+        streaming, per ``input_format``."""
+        opts = {"maxFilesPerTrigger": 1} if streaming else None
+        if self.input_format == "jsonl":
+            reader = self.spark.readStream if streaming else self.spark.read
+            if streaming:
+                reader = reader.option("maxFilesPerTrigger", 1)
+            return reader.schema(DOC_SCHEMA).json(self.drop_dir)
+        from sample_dms_s3_kinesis_spark.sources import crawl
+
+        responses = crawl.warc_responses(
+            crawl.read_warc_records(
+                self.spark, self.drop_dir, streaming=streaming, options=opts
+            )
+        )
+        return responses.filter(
+            F.col("length_ok")
+            & (F.col("http_status") == 200)
+            & F.col("body").isNotNull()
+        ).select(
+            F.coalesce(
+                F.regexp_extract("target_uri", r"/p/([0-9]+)$", 1).try_cast(
+                    "long"
+                ),
+                F.xxhash64("target_uri"),
+            ).alias("doc_id"),
+            F.col("body").alias("text"),
+            F.lit(None).cast("array<double>").alias("embedding"),
+        )
 
     # -- the admission pipeline ----------------------------------------
 

@@ -629,3 +629,123 @@ def test_html_extraction_mode_gates_on_content(spark, tmp_path):
     assert stats["admitted"] == 2
     assert stats["dropped_exact"] == 1   # doc 2, markup variant of 1
     assert stats["rejected"] == 1        # doc 3, empty extraction
+
+
+def _warc_record(uri, body, status=200):
+    payload = (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n\r\n{body}"
+    )
+    return (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(payload.encode())}\r\n\r\n"
+        f"{payload}\r\n\r\n"
+    )
+
+
+def test_warc_input_mode_e2e(spark, tmp_path):
+    """input_format='warc' + extract_html=True: WARC containers in the
+    drop dir feed the same admission pipeline — container-level filters
+    (request records, non-200) apply before the gates, markup variants
+    dedup exactly, boilerplate pages reject, cross-batch dedup holds,
+    and URIs without a /p/<n> path get a stable xxhash64 doc_id."""
+    from pyspark.sql import functions as F
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    b1 = (
+        _warc_record(
+            "https://a.com/p/1",
+            "<html><body><p>alpha beta gamma</p></body></html>",
+        )
+        # same CONTENT as doc 1 under different markup -> exact dup
+        + _warc_record("https://b.com/p/2", "<div><b>alpha</b> beta   gamma</div>")
+        # boilerplate-only page -> empty extraction -> rejected
+        + _warc_record("https://c.com/p/3", "<style>p{}</style>")
+        # crawler bookkeeping: filtered at the container boundary
+        + (
+            "WARC/1.0\r\nWARC-Type: request\r\n"
+            "WARC-Target-URI: https://a.com/p/1\r\n"
+            "Content-Length: 3\r\n\r\nGET\r\n\r\n"
+        )
+        # non-200: filtered at the container boundary
+        + _warc_record("https://d.com/p/4", "<p>gone away now</p>", status=404)
+    )
+    (drop / "b1.warc").write_text(b1)
+    task.process_available()
+    rows = {r["doc_id"]: r["text"] for r in task.corpus().collect()}
+    assert rows == {1: "alpha beta gamma"}
+    stats = task.ingest_stats()
+    assert stats["admitted"] == 1
+    assert stats["dropped_exact"] == 1  # doc 2, markup variant of 1
+    assert stats["rejected"] == 1  # doc 3, boilerplate-only
+
+    b2 = (
+        # cross-batch dup vs the corpus state
+        _warc_record("https://e.com/p/5", "<p>alpha beta gamma</p>")
+        + _warc_record("https://f.com/page", "<p>delta epsilon</p>")
+    )
+    (drop / "b1.warc").unlink()
+    (drop / "b2.warc").write_text(b2)
+    task.process_available()
+    hashed_id = (
+        spark.range(1)
+        .select(F.xxhash64(F.lit("https://f.com/page")))
+        .collect()[0][0]
+    )
+    rows = {r["doc_id"]: r["text"] for r in task.corpus().collect()}
+    assert rows == {1: "alpha beta gamma", hashed_id: "delta epsilon"}
+    stats = task.ingest_stats()
+    assert stats["admitted"] == 2
+    assert stats["dropped_exact"] == 2
+
+
+def test_warc_input_mode_streaming(spark, tmp_path):
+    """The streaming path reads WARC drops too (readStream text fold
+    behind the same source frame)."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    (drop / "b1.warc").write_text(
+        _warc_record("https://a.com/p/7", "<p>seven seas content</p>")
+    )
+    task.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            task._query.processAllAvailable()
+            if task.ingest_stats().get("admitted", 0) >= 1:
+                break
+            time.sleep(0.5)
+    finally:
+        task.stop()
+    rows = {r["doc_id"]: r["text"] for r in task.corpus().collect()}
+    assert rows == {7: "seven seas content"}
+
+
+def test_input_format_validation(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="input_format"):
+        CorpusIngestTask(
+            spark,
+            str(tmp_path / "d"),
+            str(tmp_path / "c"),
+            input_format="parquet",
+        )
