@@ -1943,6 +1943,57 @@ def q_winnowed_md5_fingerprints(
     )
 
 
+# r10 conversion: the rolling-hash k-gram fingerprint itself — the
+# pre-selection stage the winnowing queries build on — under the md5
+# family at the operator's DEFAULT window (8 tokens, distinct from the
+# winnowing queries' shingle=6 configuration, so the generic span path
+# is what gets checked).  Span count, distinct count, an
+# order-insensitive set digest and the minimum span hash (the 1-perm
+# minhash this family degenerates to) all replicate in DuckDB list
+# algebra.  The xxhash64 flavor stays the production default.
+@_register(
+    "q_text_md5_fingerprint",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    rh AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, greatest(len(t) - 8, 0) + 1),
+               i -> substring(md5(array_to_string(t[i+1:i+8], ' ')), 1, 16)
+             ) AS rh
+      FROM toks)
+    SELECT doc_id,
+           CAST(len(rh) AS INT) AS n_spans,
+           CAST(len(list_distinct(rh)) AS INT) AS n_distinct,
+           md5(array_to_string(list_sort(list_distinct(rh)), ','))
+             AS fps_md5,
+           list_aggregate(rh, 'min') AS min_fp
+    FROM rh
+    """,
+    "rolling-hash document fingerprints under the md5 hash family: "
+    "per-document span count, distinct-span count, order-insensitive "
+    "set digest and minimum span hash — the k-gram fingerprint stage "
+    "exact-oracle-checked at the operator default window",
+    "text: rolling-hash fingerprinting (oracle-replicable hash family)",
+)
+def q_text_md5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+
+    d = t(spark, sf_dir, "documents")
+    rh = text.rolling_hashes(F.col("text"), window=8, hash_family="md5")
+    bound = spread(d).select("doc_id", rh.alias("rh"))
+    distinct = F.array_distinct(F.col("rh"))
+    return bound.select(
+        "doc_id",
+        F.size("rh").alias("n_spans"),
+        F.size(distinct).alias("n_distinct"),
+        F.md5(F.concat_ws(",", F.array_sort(distinct))).alias("fps_md5"),
+        F.array_min("rh").alias("min_fp"),
+    )
+
+
 # Quantile member of the synopsis family (HLL/KMV distinct, CMS
 # frequency): a bottom-k hash-rank uniform sample is mergeable like
 # KMV (pool + re-keep), and under the md5 rank family every stage —
@@ -1998,6 +2049,74 @@ def q_quantile_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_estimate(sk, qs=(0.5, 0.9, 0.99)).select(
         "day", "q", F.round(F.col("est"), 6).alias("est")
     )
+
+
+# r10 conversion: the DISTINCT member of the synopsis family under the
+# md5 rank family — per-day bottom-k (KMV) distinct-user estimates plus
+# the merged ALL row (pool + re-keep, proving mergeability on the same
+# data the per-day sketches saw).  The md5 unit hash is exact in a
+# double (48-bit mantissa, one division), so sketch membership, theta
+# and the (k-1)/theta estimate replicate bit-for-bit in DuckDB; the
+# HLL flavor (q_hll_daily_union) stays rows-only by nature.
+@_register(
+    "q_daily_distinct_md5_rank",
+    """
+    WITH u AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+             (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) + 1) / 281474976710657.0 AS h
+      FROM events),
+    sk AS (
+      SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM u QUALIFY rn <= 64),
+    daily AS (
+      SELECT CAST(day AS VARCHAR) AS day,
+             CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 / max(h) END AS est
+      FROM sk GROUP BY day),
+    pooled AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM sk) QUALIFY rn <= 64),
+    alls AS (
+      SELECT 'ALL' AS day,
+             CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 / max(h) END AS est
+      FROM pooled)
+    SELECT day, ROUND(est, 6) AS est_distinct
+    FROM (SELECT * FROM daily UNION ALL SELECT * FROM alls)
+    """,
+    "per-day distinct-user estimates from a mergeable bottom-k (KMV) "
+    "sketch under the md5 rank family, plus the pooled ALL row — "
+    "sketch membership, theta and the (k-1)/theta estimate replicated "
+    "verbatim in DuckDB: the distinct twin of the quantile/CMS "
+    "synopses, exact-oracle-checked",
+    "sketches: KMV distinct (oracle-replicable rank)",
+)
+def q_daily_distinct_md5_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_table,
+        kmv_union,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    sk = kmv_table(
+        ev, "user_id", k=64, group_cols=("day",), hash_family="md5"
+    )
+    daily = kmv_estimate(sk, k=64).select(
+        F.col("day").cast("string").alias("day"),
+        F.round("est_distinct", 6).alias("est_distinct"),
+    )
+    merged = kmv_estimate(kmv_union(sk, k=64), k=64).select(
+        F.lit("ALL").alias("day"),
+        F.round("est_distinct", 6).alias("est_distinct"),
+    )
+    return daily.unionByName(merged)
 
 
 # Z-order layout math, exact-checked: the Morton interleave behind
@@ -3258,7 +3377,8 @@ DRIVER_WINDOW: list[str] = [
 ]
 # r11 rotation backlog, in priority order (never-checked beats stale):
 # (a) any query registered during the r10 sessions (enumerate here as
-#     they land): q_jsonl_ingest, q_warc_ingest, q_ingest_e2e_html;
+#     they land): q_jsonl_ingest, q_warc_ingest, q_ingest_e2e_html,
+#     q_text_md5_fingerprint, q_daily_distinct_md5_rank;
 # (b) the 47 remaining r6-stale rows (q_ann_recall, q_array_hof_stats,
 #     q_bm25_search, q_boolean_search, q_bpe_merges,
 #     q_check_expectations, q_cohort_ltv, q_cohort_retention,
