@@ -324,6 +324,16 @@ class SourceConfig:
             scheme=data.get("scheme", "s3a"),
         )
 
+    @classmethod
+    def from_secrets_manager(cls, client, secret_id: str) -> "SourceConfig":
+        """Resolve the config from a live Secrets Manager secret — the
+        reference's own wiring (run.py:69-72 reads the secret the CDK
+        stack wrote at stack.py:286-295).  ``client`` is a boto3
+        secretsmanager client (caller owns endpoint/credentials, so
+        LocalStack/moto endpoints inject cleanly)."""
+        resp = client.get_secret_value(SecretId=secret_id)
+        return cls.from_secret_payload(resp["SecretString"])
+
     def _base(self) -> str:
         # Local paths (tests) need no scheme; buckets get s3a://.
         if self.bucket_name.startswith("/"):

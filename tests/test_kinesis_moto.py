@@ -173,3 +173,26 @@ def test_cdc_task_to_kinesis_end_to_end(spark, moto_kinesis, catalog, cdc_dir, t
         "hr.employee", "hr.department", "hr.project",
         "hr.awsdms_apply_exceptions",
     }
+
+
+def test_source_config_from_secrets_manager(moto_kinesis):
+    """O6 over the wire: SourceConfig resolves from a real (moto)
+    Secrets Manager secret — the reference's run.py:69-72 read of the
+    stack-written secret (stack.py:286-295)."""
+    from sample_dms_s3_kinesis_spark.catalog import SourceConfig
+
+    _, kw = moto_kinesis
+    sm = boto3.client("secretsmanager", **kw)
+    sm.create_secret(
+        Name="dms-source",
+        SecretString=json.dumps(
+            {
+                "bucket_name": "dms-bucket",
+                "bucket_folder": "sourceData",
+                "change_data": "changedata",
+            }
+        ),
+    )
+    cfg = SourceConfig.from_secrets_manager(sm, "dms-source")
+    assert cfg.source_root == "s3a://dms-bucket/sourceData"
+    assert cfg.cdc_dir == "s3a://dms-bucket/changedata"
