@@ -296,11 +296,11 @@ def calibration_report(
     classifier gating a corpus at 'p ≥ 0.8' needs calibrated p).
 
     Rows with NULL score/label, or score outside [0, 1], are excluded
-    (count in ``n_excluded`` on every row).  Edge: when NO row is
-    valid (empty input, or every row NULL/out-of-range) the report is
-    EMPTY — zero rows, so ``n_excluded`` is unobservable; callers that
-    must distinguish 'empty input' from 'all rows invalid' should
-    count the input frame separately before gating on the report.
+    (count in ``n_excluded`` on every row).  Edge: empty input yields
+    an EMPTY report; a non-empty input where NO row is valid yields
+    ONE summary row (bin NULL, n 0, conf/acc/ece NULL) carrying
+    ``n_excluded`` — so 'all rows invalid' is observable and
+    distinguishable from 'no input' without a second pass.
     One groupBy over at most
     ``bins`` keys; means derive from exact sums divided once at the
     end, so the only cross-engine float is the final division —
@@ -348,24 +348,36 @@ def calibration_report(
     # tot derives from per_bin, so the join below is a self-join by
     # lineage — qualify both sides or Spark flags every shared column
     # reference as ambiguous
-    pb = per_bin.filter(F.col("_b").isNotNull()).alias("pb")
+    pb = per_bin.alias("pb")
     tt = tot.alias("tt")
     return (
         pb.crossJoin(F.broadcast(tt))
+        # the excluded rows' NULL bin is dropped while any valid bin
+        # exists, but KEPT as the single summary row when none does —
+        # try_divide (not /) because its n is 0 under ANSI mode
+        .filter(F.col("pb._b").isNotNull() | (F.col("tt._N") == 0))
         .select(
             F.col("pb._b").alias("bin"),
             F.col("pb._n").cast("long").alias("n"),
             F.round(
-                F.col("pb._sum_s") / F.col("pb._n").cast("double"), scale
+                F.try_divide(
+                    F.col("pb._sum_s"), F.col("pb._n").cast("double")
+                ),
+                scale,
             ).alias("conf"),
             F.round(
-                F.col("pb._sum_y").cast("double")
-                / F.col("pb._n").cast("double"),
+                F.try_divide(
+                    F.col("pb._sum_y").cast("double"),
+                    F.col("pb._n").cast("double"),
+                ),
                 scale,
             ).alias("acc"),
             F.col("tt.n_excluded").cast("long").alias("n_excluded"),
             F.round(
-                F.col("tt._ece_num") / F.col("tt._N").cast("double"), scale
+                F.try_divide(
+                    F.col("tt._ece_num"), F.col("tt._N").cast("double")
+                ),
+                scale,
             ).alias("ece"),
         )
         .orderBy("bin")

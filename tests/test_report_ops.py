@@ -345,3 +345,31 @@ def test_calibration_report_perfectly_calibrated(spark):
     assert rows[0]["ece"] < 0.02  # ~1/sqrt(2000 per bin) noise floor
     for r in rows:
         assert abs(r["acc"] - r["conf"]) < 0.05, (r["bin"], r["acc"], r["conf"])
+
+
+def test_calibration_report_all_invalid_vs_empty(spark):
+    """All-rows-invalid is observable: one NULL-bin summary row carries
+    n_excluded; truly empty input stays an empty report."""
+    from sample_dms_s3_kinesis_spark.operators.profiling import (
+        calibration_report,
+    )
+
+    bad = spark.createDataFrame(
+        [(None, 1), (1.5, 0), (-0.1, 1), (0.5, None)],
+        "score double, label long",
+    )
+    rows = calibration_report(
+        bad, score="score", label="label", bins=10
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bin"] is None and r["n"] == 0 and r["n_excluded"] == 4
+    assert r["conf"] is None and r["acc"] is None and r["ece"] is None
+
+    empty = spark.createDataFrame([], "score double, label long")
+    assert (
+        calibration_report(
+            empty, score="score", label="label", bins=10
+        ).count()
+        == 0
+    )
