@@ -332,6 +332,12 @@ class SourceConfig:
         secretsmanager client (caller owns endpoint/credentials, so
         LocalStack/moto endpoints inject cleanly)."""
         resp = client.get_secret_value(SecretId=secret_id)
+        if "SecretString" not in resp:
+            raise ValueError(
+                f"secret {secret_id!r} has no string payload "
+                "(SecretBinary secrets are not supported — the source "
+                "config is a JSON string, run.py:69-72)"
+            )
         return cls.from_secret_payload(resp["SecretString"])
 
     def _base(self) -> str:

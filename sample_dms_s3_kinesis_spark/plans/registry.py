@@ -1326,6 +1326,25 @@ def _drive_ingest_e2e(spark: SparkSession):
     return task, root
 
 
+def _ingest_outcome_frame(task):
+    """Admitted corpus rows + the quarantine side channel as one
+    (doc_id, info, batch_id, status) frame — the shared result shape
+    of every CorpusIngestTask E2E query."""
+    admitted = task.corpus().select(
+        F.col("doc_id"),
+        F.col("text").alias("info"),
+        F.col("batch_id"),
+        F.lit("admitted").alias("status"),
+    )
+    quarantined = task.quarantined().select(
+        F.col("doc_id"),
+        F.col("failed_rule").alias("info"),
+        F.col("batch_id"),
+        F.lit("quarantined").alias("status"),
+    )
+    return admitted.unionByName(quarantined)
+
+
 def _ingest_e2e_results(spark: SparkSession):
     """(corpus+quarantine rows, their schema, counter totals) from one
     cached drive of the ingest E2E fixture."""
@@ -1335,20 +1354,8 @@ def _ingest_e2e_results(spark: SparkSession):
     if key not in _INGEST_E2E_CACHE:
         task, root = _drive_ingest_e2e(spark)
         try:
-            admitted = task.corpus().select(
-                F.col("doc_id"),
-                F.col("text").alias("info"),
-                F.col("batch_id"),
-                F.lit("admitted").alias("status"),
-            )
-            quarantined = task.quarantined().select(
-                F.col("doc_id"),
-                F.col("failed_rule").alias("info"),
-                F.col("batch_id"),
-                F.lit("quarantined").alias("status"),
-            )
             # materialize before the scratch parquet dirs are removed
-            frame = admitted.unionByName(quarantined)
+            frame = _ingest_outcome_frame(task)
             _INGEST_E2E_CACHE[key] = (
                 frame.collect(),
                 frame.schema,
@@ -1471,19 +1478,7 @@ def _ingest_html_e2e_results(spark: SparkSession):
                         )
                 task.process_available()
                 os.remove(path)
-            admitted = task.corpus().select(
-                F.col("doc_id"),
-                F.col("text").alias("info"),
-                F.col("batch_id"),
-                F.lit("admitted").alias("status"),
-            )
-            quarantined = task.quarantined().select(
-                F.col("doc_id"),
-                F.col("failed_rule").alias("info"),
-                F.col("batch_id"),
-                F.lit("quarantined").alias("status"),
-            )
-            frame = admitted.unionByName(quarantined)
+            frame = _ingest_outcome_frame(task)
             _INGEST_HTML_E2E_CACHE[key] = (frame.collect(), frame.schema)
         finally:
             shutil.rmtree(root, ignore_errors=True)

@@ -175,15 +175,24 @@ def read_warc_records(
     hdr = F.nullif(
         F.regexp_extract("value", r"(?s)^(.*?)\r\n\r\n", 1), F.lit("")
     )
-    payload = F.regexp_replace(
-        F.regexp_extract("value", r"(?s)^.*?\r\n\r\n(.*)$", 1),
-        r"(?s)\r\n\r\n\s*$",
-        "",
-    )
+    raw_payload = F.regexp_extract("value", r"(?s)^.*?\r\n\r\n(.*)$", 1)
+    staged = rec.select(hdr.alias("_hdr"), raw_payload.alias("_rp"))
+    # Strip exactly ONE trailing record separator (+ sink padding): the
+    # greedy leading group pins the match to the LAST \r\n\r\n, so a
+    # payload whose body itself ends with CRLF keeps it (a leftmost
+    # regexp_replace would eat the body's CRLF too and fail the length
+    # check on spec-valid records).  No trailing separator at all
+    # (truncated tail record) -> payload kept as-is; the length check
+    # judges it.
+    one_sep = r"(?s)^(.*)\r\n\r\n\s*$"
+    payload = F.when(
+        F.col("_rp").rlike(one_sep),
+        F.regexp_extract("_rp", one_sep, 1),
+    ).otherwise(F.col("_rp"))
     # Bind hdr/payload once through a projection: five header probes
     # plus two length checks reference them repeatedly and the source
     # string is a whole record.
-    bound = rec.select(hdr.alias("_hdr"), payload.alias("payload"))
+    bound = staged.select("_hdr", payload.alias("payload"))
     h = F.col("_hdr")
     declared = _warc_header(h, "Content-Length").try_cast("long")
     return bound.select(

@@ -539,9 +539,11 @@ class CorpusIngestTask(ReplicationTask):
         opts = {"maxFilesPerTrigger": 1} if streaming else None
         if self.input_format == "jsonl":
             reader = self.spark.readStream if streaming else self.spark.read
-            if streaming:
-                reader = reader.option("maxFilesPerTrigger", 1)
-            return reader.schema(DOC_SCHEMA).json(self.drop_dir)
+            return (
+                reader.options(**(opts or {}))
+                .schema(DOC_SCHEMA)
+                .json(self.drop_dir)
+            )
         from sample_dms_s3_kinesis_spark.sources import crawl
 
         responses = crawl.warc_responses(
@@ -549,10 +551,14 @@ class CorpusIngestTask(ReplicationTask):
                 self.spark, self.drop_dir, streaming=streaming, options=opts
             )
         )
+        # target_uri must exist: the URI is the doc identity, and
+        # xxhash64(NULL) is a fixed constant — URI-less responses would
+        # all collapse onto one doc_id.  They drop here instead.
         return responses.filter(
             F.col("length_ok")
             & (F.col("http_status") == 200)
             & F.col("body").isNotNull()
+            & F.col("target_uri").isNotNull()
         ).select(
             F.coalesce(
                 F.regexp_extract("target_uri", r"/p/([0-9]+)$", 1).try_cast(

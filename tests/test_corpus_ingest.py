@@ -749,3 +749,32 @@ def test_input_format_validation(spark, tmp_path):
             str(tmp_path / "c"),
             input_format="parquet",
         )
+
+
+def test_warc_uri_less_response_dropped(spark, tmp_path):
+    """A response without WARC-Target-URI has no doc identity
+    (xxhash64(NULL) is a constant) — it must drop at the container
+    boundary, not collapse onto a shared doc_id."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    payload = "HTTP/1.1 200 OK\r\n\r\n<p>anonymous page content</p>"
+    no_uri = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"Content-Length: {len(payload.encode())}\r\n\r\n"
+        f"{payload}\r\n\r\n"
+    )
+    (drop / "b1.warc").write_text(
+        no_uri + _warc_record("https://a.com/p/9", "<p>named page content</p>")
+    )
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    task.process_available()
+    rows = {r["doc_id"]: r["text"] for r in task.corpus().collect()}
+    assert rows == {9: "named page content"}

@@ -200,3 +200,39 @@ def test_warc_streaming_reader_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == batch
+
+
+def test_warc_body_ending_with_crlf_roundtrips(spark, tmp_path):
+    """A body that itself ends in CRLF must keep it: only the ONE
+    trailing record separator strips, so Content-Length still matches
+    and the record stays length_ok (regression: a leftmost strip ate
+    the body's own CRLF and silently rejected spec-valid pages)."""
+    p = tmp_path / "warc6"
+    p.mkdir()
+    body = "line one\r\nline two\r\n"
+    payload = f"HTTP/1.1 200 OK\r\n\r\n{body}"
+    (p / "f.warc").write_text(
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://s.com/crlf\r\n"
+        f"Content-Length: {len(payload.encode())}\r\n\r\n"
+        f"{payload}\r\n\r\n"
+    )
+    rows = crawl.warc_responses(
+        crawl.read_warc_records(spark, str(p))
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["length_ok"] is True
+    assert rows[0]["body"] == body
+
+    # and through the sink round-trip (adds newline padding)
+    out = str(tmp_path / "warc7")
+    spark.range(1).select(
+        crawl.warc_response_record(
+            target_uri=F.lit("https://s.com/crlf2"), body=F.lit(body)
+        ).alias("value")
+    ).coalesce(1).write.text(out)
+    rows = crawl.warc_responses(
+        crawl.read_warc_records(spark, out)
+    ).collect()
+    assert rows[0]["length_ok"] is True and rows[0]["body"] == body
