@@ -168,7 +168,10 @@ def read_warc_records(
         .option("lineSep", boundary)
         .text(path)
     )
-    rec = raw.filter(F.trim(F.col("value")) != "")
+    # whitespace-ONLY fragments are inter-record padding, not records
+    # (rlike \S rather than trim: trim only strips spaces, and the
+    # Python gz twin must apply the identical rule)
+    rec = raw.filter(F.col("value").rlike(r"\S"))
     # A record with no header/payload blank-line split is malformed:
     # nullif folds the failed extract ("") to NULL so every downstream
     # probe reads NULL and length_ok lands false.
@@ -214,6 +217,139 @@ def read_warc_records(
             F.lit(False),
         ).alias("length_ok"),
     )
+
+
+_WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("payload_len", T.LongType()),
+        T.StructField("length_ok", T.BooleanType()),
+    ]
+)
+
+
+def _parse_warc_piece(piece: str) -> tuple | None:
+    """Python twin of the Catalyst record parse in
+    :func:`read_warc_records` — kept in LOCKSTEP with it (the
+    equivalence is pinned by ``test_warc_gz_matches_text_reader``).
+    ``piece`` is one boundary-split fragment; returns a `_WARC_SCHEMA`
+    tuple, or None for blank padding fragments."""
+    import re as _re
+
+    if not piece.strip():
+        return None
+    m = _re.match(r"(?s)^(.*?)\r\n\r\n", piece)
+    hdr = m.group(1) if m and m.group(1) else None
+    raw_payload = piece[m.end():] if m else ""
+    sep = _re.match(r"(?s)^(.*)\r\n\r\n\s*$", raw_payload)
+    payload = sep.group(1) if sep else raw_payload
+
+    def probe(name):
+        if hdr is None:
+            return None
+        h = _re.search(rf"(?mi)^{name}:[ \t]*([^\r\n]*)", hdr)
+        return (h.group(1) or None) if h else None
+
+    cl_raw = probe("Content-Length")
+    try:
+        declared = int(cl_raw.strip()) if cl_raw is not None else None
+    except ValueError:
+        declared = None
+    payload_len = len(payload.encode("utf-8"))
+    return (
+        probe("WARC-Type"),
+        probe("WARC-Target-URI"),
+        probe("WARC-Record-ID"),
+        probe("WARC-Date"),
+        probe("Content-Type"),
+        declared,
+        payload,
+        payload_len,
+        hdr is not None and declared is not None and declared == payload_len,
+    )
+
+
+def read_warc_gz(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: str = "1.0",
+    batch_rows: int = 512,
+) -> DataFrame:
+    """Read gzip-compressed WARC containers (``.warc.gz`` — the format
+    Common Crawl actually ships) into the same frame as
+    :func:`read_warc_records`.
+
+    gzip is a non-splittable codec, so the FILE is the parallel unit:
+    ``binaryFile`` source + ``mapInPandas``, one task per container
+    (Common Crawl's ~1 GB files parallelize at file granularity on a
+    real cluster).  Crawl ``.warc.gz`` files are MULTI-MEMBER — each
+    record is its own gzip member, concatenated — so decompression
+    streams member-by-member through an incremental UTF-8 decoder and
+    records are emitted in ``batch_rows`` chunks: peak memory is one
+    decompression buffer plus one output batch, never the whole
+    decompressed container.  The record parse is the Python twin of
+    the Catalyst parse (same header/payload/length_ok semantics,
+    equivalence pinned by test)."""
+    import codecs
+    import gzip
+    import io
+
+    import pandas as pd
+
+    boundary = _WARC_BOUNDARY.format(version=version)
+    cols = _WARC_SCHEMA.fieldNames()
+
+    def parse_files(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                gz = gzip.GzipFile(fileobj=io.BytesIO(bytes(content)))
+                decoder = codecs.getincrementaldecoder("utf-8")("replace")
+                buf = ""
+                out = []
+
+                def take_complete(buf):
+                    # split off every COMPLETE record; the residual —
+                    # a partial record (or partial boundary string)
+                    # whose closing boundary hasn't arrived — stays
+                    # buffered for the next chunk
+                    pieces = buf.split(boundary)
+                    tail = pieces.pop()
+                    for piece in pieces:
+                        rec = _parse_warc_piece(piece)
+                        if rec is not None:
+                            out.append(rec)
+                    return tail
+
+                while True:
+                    chunk = gz.read(1 << 20)
+                    if not chunk:
+                        break
+                    buf += decoder.decode(chunk)
+                    if len(buf) >= (1 << 21):
+                        buf = take_complete(buf)
+                    while len(out) >= batch_rows:
+                        yield pd.DataFrame(
+                            out[:batch_rows], columns=cols
+                        )
+                        out = out[batch_rows:]
+                buf += decoder.decode(b"", True)
+                buf = take_complete(buf)
+                rec = _parse_warc_piece(buf)  # the final record
+                if rec is not None:
+                    out.append(rec)
+                while out:
+                    yield pd.DataFrame(out[:batch_rows], columns=cols)
+                    out = out[batch_rows:]
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("content").mapInPandas(parse_files, _WARC_SCHEMA)
 
 
 def warc_responses(records: DataFrame) -> DataFrame:

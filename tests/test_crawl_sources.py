@@ -236,3 +236,74 @@ def test_warc_body_ending_with_crlf_roundtrips(spark, tmp_path):
         crawl.read_warc_records(spark, out)
     ).collect()
     assert rows[0]["length_ok"] is True and rows[0]["body"] == body
+
+
+def test_warc_gz_matches_text_reader(spark, tmp_path):
+    """read_warc_gz is the Python twin of the Catalyst parse: over a
+    fixture hitting every branch (normal, CRLF body, 404, request,
+    marker collision, malformed, padding), the gz frame must equal the
+    text-reader frame row-for-row — single-member AND multi-member
+    (Common Crawl style, one gzip member per record) containers."""
+    import gzip
+
+    body_a = "<html><body><p>alpha page</p></body></html>"
+    body_crlf = "line one\r\nline two\r\n"
+    evil = "x WARC/1.0\r\nWARC-Type: fake\r\n\r\ny"
+    records = []
+    for uri, body, status in [
+        ("https://g.com/p/1", body_a, 200),
+        ("https://g.com/p/2", body_crlf, 200),
+        ("https://g.com/p/3", "<p>gone for good</p>", 404),
+        ("https://g.com/evil", evil, 200),
+    ]:
+        payload = f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n\r\n{body}"
+        records.append(
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(payload.encode())}\r\n\r\n"
+            f"{payload}\r\n\r\n"
+        )
+    records.append(
+        "WARC/1.0\r\nWARC-Type: request\r\n"
+        "WARC-Target-URI: https://g.com/p/1\r\n"
+        "Content-Length: 3\r\n\r\nGET\r\n\r\n"
+    )
+    # trailing malformed record: header never terminated
+    records.append("WARC/1.0\r\nWARC-Type: metadata\r\nno blank line")
+
+    plain = "".join(records)
+    tdir = tmp_path / "txt"
+    tdir.mkdir()
+    (tdir / "f.warc").write_text(plain)
+
+    gdir = tmp_path / "gz"
+    gdir.mkdir()
+    (gdir / "single.warc.gz").write_bytes(gzip.compress(plain.encode()))
+    # multi-member: one gzip member per record, concatenated
+    (gdir / "multi.warc.gz").write_bytes(
+        b"".join(gzip.compress(r.encode()) for r in records)
+    )
+
+    want = sorted(
+        map(tuple, crawl.read_warc_records(spark, str(tdir)).collect()),
+        key=repr,
+    )
+    for f in ["single.warc.gz", "multi.warc.gz"]:
+        got = sorted(
+            map(
+                tuple,
+                crawl.read_warc_gz(
+                    spark, str(gdir / f), batch_rows=2
+                ).collect(),
+            ),
+            key=repr,
+        )
+        assert got == want, f
+    # and the response split composes identically on top
+    resp = crawl.warc_responses(
+        crawl.read_warc_gz(spark, str(gdir / "single.warc.gz"))
+    )
+    rows = {r["target_uri"]: r for r in resp.collect()}
+    assert rows["https://g.com/p/2"]["body"] == body_crlf
+    assert rows["https://g.com/p/2"]["length_ok"] is True
