@@ -2338,6 +2338,7 @@ def winnowing_containment_against(
     min_shared: int = 2,
     max_fp_width: int | None = 10_000,
     checkpoint_dir: str | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Incremental CONTAINMENT gate: (new_id, existing_id, shared,
     containment) for new docs sharing ≥ ``min_shared`` winnowed
@@ -2348,6 +2349,8 @@ def winnowing_containment_against(
     new × existing (the corpus never self-pairs; its fingerprint
     table is what you persist), with the hot-fingerprint cap on the
     EXISTING side (the licence-header hazard grows with the corpus).
+    ``hash_family="md5"`` makes the gate DuckDB-replicable (same rule
+    as the self-join twin).
     """
     from sample_dms_s3_kinesis_spark.operators.text import (
         winnowed_fingerprints,
@@ -2358,7 +2361,10 @@ def winnowing_containment_against(
             spread(df).select(
                 F.col(id_col).alias("_id"),
                 winnowed_fingerprints(
-                    F.col(text_col), shingle=shingle, window=window
+                    F.col(text_col),
+                    shingle=shingle,
+                    window=window,
+                    hash_family=hash_family,
                 ).alias("_fps"),
             ),
             checkpoint_dir,

@@ -1882,6 +1882,71 @@ def q_winnowing_md5_containment(
     )
 
 
+# r10 conversion: the INCREMENTAL containment gate under the md5
+# family — the cross (new × existing) form the xxhash64 flavor
+# (q_containment_against) can only rows-check.  Same winnowing CTE as
+# the self-join twin; the pair join restricts to odd (new) × even
+# (existing) and the denominator is the smaller fingerprint set.  No
+# hot-fingerprint cap (max_fp_width=None): the SQL join has none, and
+# a capped-away fingerprint would drop a pair (the r8 band-cap
+# lesson).
+@_register(
+    "q_containment_md5_against",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    rh AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, greatest(len(t) - 6, 0) + 1),
+               i -> substring(md5(array_to_string(t[i+1:i+6], ' ')), 1, 16)
+             ) AS rh
+      FROM toks),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(rh) >= 4
+               THEN list_transform(range(0, len(rh) - 3),
+                                   i -> list_aggregate(rh[i+1:i+4], 'min'))
+               ELSE CAST([] AS VARCHAR[]) END) AS fps
+      FROM rh),
+    ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+    pairs AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS existing_id,
+             COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.f = b.f
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 3)
+    SELECT p.new_id, p.existing_id, p.shared,
+           ROUND(p.shared / least(len(fa.fps), len(fb.fps)), 6)
+             AS containment
+    FROM pairs p
+    JOIN fp fa ON fa.doc_id = p.new_id
+    JOIN fp fb ON fb.doc_id = p.existing_id
+    """,
+    "incremental winnowing-containment gate under the md5 hash family "
+    "(new odd docs vs the even admitted corpus, >= 3 shared winnowed "
+    "fingerprints) — the cross-corpus admission decision replicated "
+    "verbatim in DuckDB, exact-checking what the xxhash64 production "
+    "flavor can only rows-check",
+    "dedup: incremental containment (oracle-replicable hash family)",
+)
+def q_containment_md5_against(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedup.winnowing_containment_against(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        shingle=6,
+        window=4,
+        min_shared=3,
+        max_fp_width=None,
+        hash_family="md5",
+    )
+
+
 # r9 conversion: the per-document fingerprint SET itself (not just the
 # containment join over it) under the md5 rolling-hash family — the
 # whole winnowing selection (rolling 6-token hashes, min-of-window-4,
@@ -3373,7 +3438,8 @@ DRIVER_WINDOW: list[str] = [
 # r11 rotation backlog, in priority order (never-checked beats stale):
 # (a) any query registered during the r10 sessions (enumerate here as
 #     they land): q_jsonl_ingest, q_warc_ingest, q_ingest_e2e_html,
-#     q_text_md5_fingerprint, q_daily_distinct_md5_rank;
+#     q_text_md5_fingerprint, q_daily_distinct_md5_rank,
+#     q_containment_md5_against;
 # (b) the 47 remaining r6-stale rows (q_ann_recall, q_array_hof_stats,
 #     q_bm25_search, q_boolean_search, q_bpe_merges,
 #     q_check_expectations, q_cohort_ltv, q_cohort_retention,
