@@ -1826,6 +1826,65 @@ def q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+# r10 conversion: the INCREMENTAL SimHash admission gate under md5 —
+# the cross (new odd × existing even) form the xxhash64 flavor
+# (q_simhash_pairs_against) can only rows-check.  No chunk-width cap:
+# the pigeonhole stays exact+complete, so the brute-force cross join
+# is the precise semantics.
+@_register(
+    "q_simhash_md5_against",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(
+               string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(t, s -> substring(md5(s), 1, 16)) AS hs,
+             len(t) AS n
+      FROM toks WHERE len(t) > 0),
+    bits AS (
+      SELECT doc_id, j.j,
+             CASE WHEN 2 * len(list_filter(hs, x ->
+                    ((strpos('0123456789abcdef',
+                             substring(x, 16 - j.j // 4, 1)) - 1)
+                     >> (j.j % 4)) & 1 = 1)) > n
+                  THEN 1 ELSE 0 END AS b
+      FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) j),
+    fp AS (
+      SELECT doc_id,
+             bit_or(CASE WHEN b = 1 THEN CAST(1 AS UBIGINT) << j
+                         ELSE CAST(0 AS UBIGINT) END) AS fp
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS new_id, b.doc_id AS existing_id,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fp a JOIN fp b
+      ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+    "incremental SimHash admission gate under the md5 hash family "
+    "(new odd docs vs the even admitted corpus, hamming <= 3) — the "
+    "cross-corpus hamming decision replicated brute-force in DuckDB, "
+    "exact-checking what the xxhash64 production flavor can only "
+    "rows-check",
+    "dedup: incremental SimHash (oracle-replicable hash family)",
+)
+def q_simhash_md5_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs_against(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        max_hamming=3,
+        max_chunk_width=None,
+        hash_family="md5",
+    ).select(
+        "new_id",
+        "existing_id",
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 # Winnowing twin of the md5-family conversion: rolling 6-token span
 # hashes and min-of-window-4 fingerprints replicate in DuckDB list
 # algebra, so the substring-containment candidate join — previously
@@ -3439,7 +3498,7 @@ DRIVER_WINDOW: list[str] = [
 # (a) any query registered during the r10 sessions (enumerate here as
 #     they land): q_jsonl_ingest, q_warc_ingest, q_ingest_e2e_html,
 #     q_text_md5_fingerprint, q_daily_distinct_md5_rank,
-#     q_containment_md5_against;
+#     q_containment_md5_against, q_simhash_md5_against;
 # (b) the 47 remaining r6-stale rows (q_ann_recall, q_array_hof_stats,
 #     q_bm25_search, q_boolean_search, q_bpe_merges,
 #     q_check_expectations, q_cohort_ltv, q_cohort_retention,
