@@ -83,6 +83,10 @@ TIER2 = [
     "q_multimodal_features",
     "q_html_extract",
     "q_url_domain_caps",
+    # r10: WARC container ingestion (fold + parse + extract digest);
+    # the first call synthesizes the fixture (harness cost, cached per
+    # app), so best-of-2 records the read path
+    "q_warc_ingest",
 ]
 
 
