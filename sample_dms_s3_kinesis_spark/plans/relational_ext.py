@@ -6689,7 +6689,12 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
                 )
                 .alias("value")
             )
-        lines.write.mode("overwrite").text(out)
+        writer = lines.write.mode("overwrite")
+        if kind == "warc_gz":
+            # whole-file gzip members via the sink codec — the
+            # non-splittable container shape read_warc_gz targets
+            writer = writer.option("compression", "gzip")
+        writer.text(out)
         _CRAWL_FIXTURE_CACHE[key] = path
     return f"{path}/data"
 
@@ -6728,9 +6733,11 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(n_rejects))
 
 
-@_register(
-    "q_warc_ingest",
-    f"""
+# Shared oracle for both WARC ingest flavors (text fold and gz): the
+# container round-trip must reproduce exactly the 200-response
+# survivors and their extraction digests, whatever the container
+# encoding.
+_WARC_INGEST_ORACLE = f"""
     WITH h AS (SELECT doc_id, source, {_DUCK_WRAPPED_HTML} AS html
                FROM documents
                WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0),
@@ -6743,22 +6750,15 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(extracted) AS extracted_md5,
            CAST(length(extracted) AS BIGINT) AS extracted_len
     FROM x
-    """,
-    "WARC crawl-container ingestion: frame the corpus as WARC response/"
-    "request records (Spark-built, text-sink written), fold records "
-    "back out of the container via the lineSep boundary split, keep "
-    "only intact 200 responses, extract page text from the HTTP body "
-    "and digest it; oracle recomputes the surviving doc set and the "
-    "extraction chain straight from the table",
-    "crawl ingestion: WARC container (text-source fold; html_extract "
-    "chain is the q_html_extract oracle twin)",
-)
-def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _crawl_fixture(spark, sf_dir, "warc")
-    responses = _crawl.warc_responses(
-        _crawl.read_warc_records(spark, path)
-    ).filter(F.col("length_ok") & (F.col("http_status") == 200))
-    extracted = responses.select(
+    """
+
+
+def _warc_ingest_result(responses: DataFrame) -> DataFrame:
+    """Shared tail of the WARC ingest queries: intact 200 responses →
+    (doc_id from URI, extraction digest)."""
+    extracted = responses.filter(
+        F.col("length_ok") & (F.col("http_status") == 200)
+    ).select(
         F.regexp_extract("target_uri", r"/p/([0-9]+)$", 1)
         .try_cast("long")
         .alias("doc_id"),
@@ -6772,4 +6772,41 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         F.md5("extracted").alias("extracted_md5"),
         F.length("extracted").cast("long").alias("extracted_len"),
+    )
+
+
+@_register(
+    "q_warc_ingest",
+    _WARC_INGEST_ORACLE,
+    "WARC crawl-container ingestion: frame the corpus as WARC response/"
+    "request records (Spark-built, text-sink written), fold records "
+    "back out of the container via the lineSep boundary split, keep "
+    "only intact 200 responses, extract page text from the HTTP body "
+    "and digest it; oracle recomputes the surviving doc set and the "
+    "extraction chain straight from the table",
+    "crawl ingestion: WARC container (text-source fold; html_extract "
+    "chain is the q_html_extract oracle twin)",
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "warc")
+    return _warc_ingest_result(
+        _crawl.warc_responses(_crawl.read_warc_records(spark, path))
+    )
+
+
+@_register(
+    "q_warc_gz_ingest",
+    _WARC_INGEST_ORACLE,
+    "gzip-WARC crawl-container ingestion: the same record set framed "
+    "into .warc.gz containers (sink gzip codec, non-splittable — one "
+    "task per file) and read back through the binaryFile+mapInPandas "
+    "path; identical oracle to q_warc_ingest, so the Python parse "
+    "twin is exact-checked cross-engine, not just frame-equivalent",
+    "crawl ingestion: gzip WARC container (file-granularity "
+    "parallelism, streaming member decompression)",
+)
+def q_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "warc_gz")
+    return _warc_ingest_result(
+        _crawl.warc_responses(_crawl.read_warc_gz(spark, path))
     )
