@@ -275,12 +275,24 @@ def _parse_warc_piece(piece: str) -> tuple | None:
     )
 
 
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
 def read_warc_gz(
     spark: SparkSession,
     path: str,
     *,
     version: str = "1.0",
     batch_rows: int = 512,
+    streaming: bool = False,
+    options: dict | None = None,
 ) -> DataFrame:
     """Read gzip-compressed WARC containers (``.warc.gz`` — the format
     Common Crawl actually ships) into the same frame as
@@ -348,7 +360,14 @@ def read_warc_gz(
                     yield pd.DataFrame(out[:batch_rows], columns=cols)
                     out = out[batch_rows:]
 
-    files = spark.read.format("binaryFile").load(path)
+    reader = (
+        spark.readStream if streaming else spark.read
+    ).format("binaryFile").options(**(options or {}))
+    if streaming:
+        # the streaming file source requires an explicit schema; the
+        # batch binaryFile source rejects one — apply only here
+        reader = reader.schema(_BINARY_FILE_SCHEMA)
+    files = reader.load(path)
     return files.select("content").mapInPandas(parse_files, _WARC_SCHEMA)
 
 

@@ -99,15 +99,17 @@ class CorpusIngestTask(ReplicationTask):
         self.drop_dir = drop_dir
         self.corpus_dir = corpus_dir.rstrip("/")
         # input_format: "jsonl" drops are DOC_SCHEMA JSON-lines files;
-        # "warc" drops are WARC containers — intact 200 responses
-        # become (doc_id, text=HTTP body) rows (doc_id from a /p/<n>
-        # URI path when present, else xxhash64 of the URI), everything
-        # else (requests, warcinfo, non-200, marker-collision
-        # fragments) is dropped at the container boundary.  Pair with
+        # "warc" drops are WARC containers ("warc_gz" for gzipped
+        # ones) — intact 200 responses become (doc_id, text=HTTP body)
+        # rows (doc_id from a /p/<n> URI path when present, else
+        # xxhash64 of the URI), everything else (requests, warcinfo,
+        # non-200, marker-collision fragments, URI-less responses) is
+        # dropped at the container boundary.  Pair with
         # extract_html=True for raw crawl pages.
-        if input_format not in ("jsonl", "warc"):
+        if input_format not in ("jsonl", "warc", "warc_gz"):
             raise ValueError(
-                f"input_format must be 'jsonl' or 'warc', got {input_format!r}"
+                "input_format must be 'jsonl', 'warc' or 'warc_gz', "
+                f"got {input_format!r}"
             )
         self.input_format = input_format
         # extract_html: drops carry RAW crawl pages; each batch runs
@@ -546,10 +548,13 @@ class CorpusIngestTask(ReplicationTask):
             )
         from sample_dms_s3_kinesis_spark.sources import crawl
 
+        read = (
+            crawl.read_warc_gz
+            if self.input_format == "warc_gz"
+            else crawl.read_warc_records
+        )
         responses = crawl.warc_responses(
-            crawl.read_warc_records(
-                self.spark, self.drop_dir, streaming=streaming, options=opts
-            )
+            read(self.spark, self.drop_dir, streaming=streaming, options=opts)
         )
         # target_uri must exist: the URI is the doc identity, and
         # xxhash64(NULL) is a fixed constant — URI-less responses would

@@ -778,3 +778,57 @@ def test_warc_uri_less_response_dropped(spark, tmp_path):
     task.process_available()
     rows = {r["doc_id"]: r["text"] for r in task.corpus().collect()}
     assert rows == {9: "named page content"}
+
+
+def test_warc_gz_input_mode(spark, tmp_path):
+    """input_format='warc_gz': gzipped containers drain through the
+    same admission pipeline, batch and streaming."""
+    import gzip
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    recs = _warc_record(
+        "https://a.com/p/11", "<p>eleven plus content</p>"
+    ) + _warc_record("https://a.com/p/12", "<p>twelve more content</p>")
+    (drop / "b1.warc.gz").write_bytes(gzip.compress(recs.encode()))
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc_gz",
+        extract_html=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    task.process_available()
+    rows = {r["doc_id"]: r["text"] for r in task.corpus().collect()}
+    assert rows == {11: "eleven plus content", 12: "twelve more content"}
+
+    # streaming: a second container arrives while the stream runs
+    task2 = CorpusIngestTask(
+        spark,
+        str(tmp_path / "drop2"),
+        str(tmp_path / "corpus2"),
+        input_format="warc_gz",
+        extract_html=True,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    os.makedirs(str(tmp_path / "drop2"))
+    (tmp_path / "drop2" / "s1.warc.gz").write_bytes(
+        gzip.compress(
+            _warc_record(
+                "https://b.com/p/21", "<p>stream twenty one</p>"
+            ).encode()
+        )
+    )
+    task2.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            task2._query.processAllAvailable()
+            if task2.ingest_stats().get("admitted", 0) >= 1:
+                break
+            time.sleep(0.5)
+    finally:
+        task2.stop()
+    rows = {r["doc_id"]: r["text"] for r in task2.corpus().collect()}
+    assert rows == {21: "stream twenty one"}
