@@ -6810,3 +6810,103 @@ def q_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc_ingest_result(
         _crawl.warc_responses(_crawl.read_warc_gz(spark, path))
     )
+
+
+@_register(
+    "q_crawl_pipeline",
+    f"""
+    WITH h AS (SELECT doc_id, source, {_DUCK_WRAPPED_HTML} AS html
+               FROM documents
+               WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0),
+    pages AS (
+      SELECT doc_id, source || '.example.com' AS host,
+             {_duck_html_extract("html")} AS text
+      FROM h),
+    q AS (
+      SELECT *,
+             CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20
+                  THEN 1 ELSE 0 END AS ok
+      FROM pages),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM q WHERE ok = 1 GROUP BY md5(text)),
+    ranked AS (
+      SELECT q.doc_id, q.host,
+             ROW_NUMBER() OVER (PARTITION BY q.host
+                                ORDER BY q.doc_id) AS rk
+      FROM q JOIN surv USING (doc_id)),
+    adm AS (
+      SELECT doc_id, host,
+             CASE WHEN rk <= 40 THEN 1 ELSE 0 END AS admitted
+      FROM ranked)
+    SELECT q.host,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(q.ok) AS BIGINT) AS n_quality,
+           CAST(COUNT(a.doc_id) AS BIGINT) AS n_unique,
+           CAST(COALESCE(SUM(a.admitted), 0) AS BIGINT) AS n_admitted
+    FROM q LEFT JOIN adm a ON q.doc_id = a.doc_id
+    GROUP BY q.host
+    """,
+    "crawl-container-to-corpus admission funnel, per host: WARC "
+    "fixture -> intact-200 container filter -> HTML extraction -> "
+    "token-count quality gate -> exact dedup (md5 min-id among "
+    "quality survivors) -> per-host frequency cap (40, doc_id order) "
+    "-> 4-stage funnel counts.  Every stage is the production "
+    "operator (crawl reader, html_extract, token_count, dedup "
+    "min-id, urls.domain_caps) and every stage replays in DuckDB — "
+    "the container-borne twin of q_curation_pipeline_v2",
+    "curation: crawl-to-corpus pipeline (north-star composition)",
+)
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators.text import token_count
+
+    path = _crawl_fixture(spark, sf_dir, "warc")
+    resp = _crawl.warc_responses(
+        _crawl.read_warc_records(spark, path)
+    ).filter(
+        F.col("length_ok")
+        & (F.col("http_status") == 200)
+        & F.col("target_uri").isNotNull()
+    )
+    pages = resp.select(
+        F.regexp_extract("target_uri", r"/p/([0-9]+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        _urls.url_host(F.col("target_uri")).alias("host"),
+        _text.html_extract(F.col("body")).alias("text"),
+    )
+    q = pages.withColumn(
+        "ok", (token_count(F.col("text")) >= 20).cast("int")
+    )
+    surv = (
+        q.filter(F.col("ok") == 1)
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    admitted = _urls.domain_caps(
+        q.join(surv, "doc_id").select("doc_id", "host"),
+        domain_col="host",
+        max_per_domain=40,
+        order_col="doc_id",
+        keep_col="admitted",
+    ).select("doc_id", F.col("admitted").cast("int").alias("admitted"))
+    return (
+        q.join(admitted, "doc_id", "left")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("ok").cast("long").alias("n_quality"),
+            F.count("admitted").cast("long").alias("n_unique"),
+            F.coalesce(F.sum("admitted").cast("long"), F.lit(0)).alias(
+                "n_admitted"
+            ),
+        )
+        .select(
+            "host",
+            F.col("n_pages").cast("long").alias("n_pages"),
+            "n_quality",
+            "n_unique",
+            "n_admitted",
+        )
+    )
