@@ -234,33 +234,60 @@ _WARC_SCHEMA = T.StructType(
 )
 
 
+# Precompiled pieces of the Python parse twin: _parse_warc_piece runs
+# once per record — ~50-100k times per Common Crawl container — so
+# imports, closures and pattern builds must not be per-call.
+import re as _re  # noqa: E402
+
+_HDR_SPLIT = _re.compile(r"(?s)^(.*?)\r\n\r\n")
+_ONE_SEP = _re.compile(r"(?s)^(.*)\r\n\r\n\s*$")
+_HEADER_PROBES = {
+    name: _re.compile(rf"(?mi)^{name}:[ \t]*([^\r\n]*)")
+    for name in (
+        "WARC-Type",
+        "WARC-Target-URI",
+        "WARC-Record-ID",
+        "WARC-Date",
+        "Content-Type",
+        "Content-Length",
+    )
+}
+# try_cast('long') semantics: trimmed ASCII sign+digits only, int64
+# range; '1_0', unicode digits and overflow all fold to NULL
+_LONG_LITERAL = _re.compile(r"[+-]?[0-9]+")
+
+
+def _try_cast_long(s: str | None) -> int | None:
+    if s is None:
+        return None
+    s = s.strip()
+    if not _LONG_LITERAL.fullmatch(s):
+        return None
+    v = int(s)
+    return v if -(2**63) <= v < 2**63 else None
+
+
 def _parse_warc_piece(piece: str) -> tuple | None:
     """Python twin of the Catalyst record parse in
     :func:`read_warc_records` — kept in LOCKSTEP with it (the
     equivalence is pinned by ``test_warc_gz_matches_text_reader``).
     ``piece`` is one boundary-split fragment; returns a `_WARC_SCHEMA`
     tuple, or None for blank padding fragments."""
-    import re as _re
-
     if not piece.strip():
         return None
-    m = _re.match(r"(?s)^(.*?)\r\n\r\n", piece)
+    m = _HDR_SPLIT.match(piece)
     hdr = m.group(1) if m and m.group(1) else None
     raw_payload = piece[m.end():] if m else ""
-    sep = _re.match(r"(?s)^(.*)\r\n\r\n\s*$", raw_payload)
+    sep = _ONE_SEP.match(raw_payload)
     payload = sep.group(1) if sep else raw_payload
 
     def probe(name):
         if hdr is None:
             return None
-        h = _re.search(rf"(?mi)^{name}:[ \t]*([^\r\n]*)", hdr)
+        h = _HEADER_PROBES[name].search(hdr)
         return (h.group(1) or None) if h else None
 
-    cl_raw = probe("Content-Length")
-    try:
-        declared = int(cl_raw.strip()) if cl_raw is not None else None
-    except ValueError:
-        declared = None
+    declared = _try_cast_long(probe("Content-Length"))
     payload_len = len(payload.encode("utf-8"))
     return (
         probe("WARC-Type"),
@@ -315,6 +342,8 @@ def read_warc_gz(
 
     import pandas as pd
 
+    if batch_rows < 1:
+        raise ValueError(f"batch_rows must be >= 1, got {batch_rows}")
     boundary = _WARC_BOUNDARY.format(version=version)
     cols = _WARC_SCHEMA.fieldNames()
 

@@ -79,6 +79,7 @@ class CorpusIngestTask(ReplicationTask):
         *,
         identifier: str = "corpus-ingest",
         input_format: str = "jsonl",
+        doc_id_pattern: str | None = None,
         extract_html: bool = False,
         near_dup: bool = False,
         num_hashes: int = 64,
@@ -112,6 +113,13 @@ class CorpusIngestTask(ReplicationTask):
                 f"got {input_format!r}"
             )
         self.input_format = input_format
+        # doc_id_pattern (WARC modes): a regex whose group 1 is a
+        # numeric doc id embedded in the target URI.  OPT-IN, for URI
+        # spaces where that id is known globally unique — a suffix
+        # pattern like '/p/([0-9]+)$' ALIASES across hosts otherwise
+        # (a.com/p/7 and b.com/p/7 would share an id).  Default: the
+        # 64-bit hash of the full URI, collision-safe by construction.
+        self.doc_id_pattern = doc_id_pattern
         # extract_html: drops carry RAW crawl pages; each batch runs
         # operators.text.html_extract before any gate, so digests,
         # minhash signatures and contract rules all see extracted
@@ -559,18 +567,23 @@ class CorpusIngestTask(ReplicationTask):
         # target_uri must exist: the URI is the doc identity, and
         # xxhash64(NULL) is a fixed constant — URI-less responses would
         # all collapse onto one doc_id.  They drop here instead.
-        return responses.filter(
+        filtered = responses.filter(
             F.col("length_ok")
             & (F.col("http_status") == 200)
             & F.col("body").isNotNull()
             & F.col("target_uri").isNotNull()
-        ).select(
-            F.coalesce(
-                F.regexp_extract("target_uri", r"/p/([0-9]+)$", 1).try_cast(
-                    "long"
-                ),
+        )
+        if self.doc_id_pattern:
+            doc_id = F.coalesce(
+                F.regexp_extract(
+                    "target_uri", self.doc_id_pattern, 1
+                ).try_cast("long"),
                 F.xxhash64("target_uri"),
-            ).alias("doc_id"),
+            )
+        else:
+            doc_id = F.xxhash64("target_uri")
+        return filtered.select(
+            doc_id.alias("doc_id"),
             F.col("body").alias("text"),
             F.lit(None).cast("array<double>").alias("embedding"),
         )

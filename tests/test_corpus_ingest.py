@@ -659,6 +659,7 @@ def test_warc_input_mode_e2e(spark, tmp_path):
         str(drop),
         str(tmp_path / "corpus"),
         input_format="warc",
+        doc_id_pattern=r"/p/([0-9]+)$",
         extract_html=True,
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
@@ -719,6 +720,7 @@ def test_warc_input_mode_streaming(spark, tmp_path):
         str(drop),
         str(tmp_path / "corpus"),
         input_format="warc",
+        doc_id_pattern=r"/p/([0-9]+)$",
         extract_html=True,
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
@@ -772,6 +774,7 @@ def test_warc_uri_less_response_dropped(spark, tmp_path):
         str(drop),
         str(tmp_path / "corpus"),
         input_format="warc",
+        doc_id_pattern=r"/p/([0-9]+)$",
         extract_html=True,
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
@@ -796,6 +799,7 @@ def test_warc_gz_input_mode(spark, tmp_path):
         str(drop),
         str(tmp_path / "corpus"),
         input_format="warc_gz",
+        doc_id_pattern=r"/p/([0-9]+)$",
         extract_html=True,
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
@@ -809,6 +813,7 @@ def test_warc_gz_input_mode(spark, tmp_path):
         str(tmp_path / "drop2"),
         str(tmp_path / "corpus2"),
         input_format="warc_gz",
+        doc_id_pattern=r"/p/([0-9]+)$",
         extract_html=True,
         checkpoint_dir=str(tmp_path / "ckpt2"),
     )
@@ -832,3 +837,27 @@ def test_warc_gz_input_mode(spark, tmp_path):
         task2.stop()
     rows = {r["doc_id"]: r["text"] for r in task2.corpus().collect()}
     assert rows == {21: "stream twenty one"}
+
+
+def test_warc_default_doc_id_no_cross_host_aliasing(spark, tmp_path):
+    """Without an explicit doc_id_pattern, identity is the URI hash:
+    a.com/p/7 and b.com/p/7 are DIFFERENT documents (a suffix pattern
+    would alias them — that is why the pattern is opt-in)."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "b1.warc").write_text(
+        _warc_record("https://a.com/p/7", "<p>page from host a</p>")
+        + _warc_record("https://b.com/p/7", "<p>page from host b</p>")
+    )
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    task.process_available()
+    rows = {r["doc_id"]: r["text"] for r in task.corpus().collect()}
+    assert len(rows) == 2
+    assert sorted(rows.values()) == ["page from host a", "page from host b"]

@@ -269,6 +269,23 @@ def test_warc_gz_matches_text_reader(spark, tmp_path):
         "WARC-Target-URI: https://g.com/p/1\r\n"
         "Content-Length: 3\r\n\r\nGET\r\n\r\n"
     )
+    # Content-Length literals where Python int() and Spark's
+    # try_cast('long') historically disagreed: underscore separator
+    # (int('2_9')==29, try_cast NULL) and int64 overflow (int fine,
+    # try_cast NULL) — both must fold to NULL/length_ok=false in BOTH
+    # readers
+    records.append(
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://g.com/weird1\r\n"
+        "Content-Length: 2_9\r\n\r\n"
+        "HTTP/1.1 200 OK\r\n\r\nunderscore length body here\r\n\r\n"
+    )
+    records.append(
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://g.com/weird2\r\n"
+        "Content-Length: 99999999999999999999\r\n\r\n"
+        "HTTP/1.1 200 OK\r\n\r\noverflow length body\r\n\r\n"
+    )
     # trailing malformed record: header never terminated
     records.append("WARC/1.0\r\nWARC-Type: metadata\r\nno blank line")
 
