@@ -112,6 +112,76 @@ def parse_urls(
     )
 
 
+def domain_blocklist(
+    df: DataFrame,
+    blocked,
+    *,
+    url_col: str = "url",
+    domain_col: str | None = None,
+    keep_col: str = "kept",
+) -> DataFrame:
+    """RefinedWeb-style domain blocklist: flag (not drop) rows whose
+    REGISTERED domain is on ``blocked`` — subdomain evasion is closed
+    by construction, since ``cdn.evil.com`` and ``evil.com`` share a
+    registered domain.  Callers filter on ``keep_col`` or route the
+    overflow to an exceptions channel (the flag-not-drop contract every
+    curation gate in this engine keeps).
+
+    ``blocked`` is a Python sequence of domains (small lists become an
+    IN literal — Catalyst folds it into the scan) or a one-column
+    DataFrame for the multi-million-entry lists real curation uses
+    (broadcast LEFT join — blocklists are domain-cardinality, tiny
+    next to the corpus).  Entries are normalized to lowercase
+    registered domains on BOTH paths, so a host-shaped entry
+    ('cdn.evil.com') blocks its whole registered domain.
+
+    Pass ``domain_col`` when the frame already carries the registered
+    domain (e.g. from :func:`parse_urls`)."""
+    dom = (
+        F.col(domain_col)
+        if domain_col is not None
+        else registered_domain(url_host(F.col(url_col)))
+    )
+    if isinstance(blocked, DataFrame):
+        bcols = blocked.columns
+        if len(bcols) != 1:
+            raise ValueError(
+                f"blocklist frame must have exactly 1 column, got {bcols}"
+            )
+        bl = blocked.select(
+            registered_domain(F.lower(F.col(bcols[0]))).alias("_bl_dom")
+        ).distinct()
+        joined = df.withColumn("_dom_bl", dom).join(
+            F.broadcast(bl),
+            F.col("_dom_bl") == F.col("_bl_dom"),
+            "left",
+        )
+        return joined.withColumn(
+            keep_col, F.col("_bl_dom").isNull().cast("int")
+        ).drop("_dom_bl", "_bl_dom")
+    entries = sorted(
+        {_registered_domain_py(str(b).lower()) for b in blocked}
+    )
+    if not entries:
+        return df.withColumn(keep_col, F.lit(1))
+    return df.withColumn(
+        keep_col, (~dom.isin(entries)).cast("int")
+    )
+
+
+def _registered_domain_py(host: str) -> str:
+    """Python twin of :func:`registered_domain` for normalizing
+    driver-side blocklist entries (same last-2/last-3 + second-level
+    suffix rule)."""
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    last2 = ".".join(labels[-2:])
+    if last2 in SECOND_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return last2
+
+
 def domain_caps(
     df: DataFrame,
     *,

@@ -6910,3 +6910,38 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_admitted",
         )
     )
+
+
+@_register(
+    "q_url_blocklist",
+    f"""
+    WITH {_URL_PARSED_CTE}
+    SELECT doc_id, url_domain,
+           CAST(CASE WHEN url_domain IN
+                  ('src0.org', 'src1.com', 'src2.net.au', 'src3.co.uk')
+                THEN 0 ELSE 1 END AS INT) AS kept
+    FROM d
+    """,
+    "URL curation: RefinedWeb-style domain blocklist over synthesized "
+    "crawl URLs — registered-domain match closes subdomain evasion "
+    "(the host-shaped entry 'cdn.src2.net.au' normalizes to its "
+    "registered domain under the second-level-suffix rule), broadcast "
+    "LEFT join against the blocklist frame; exact oracle",
+    "curation: URL domain blocklist",
+)
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    parsed = _urls.parse_urls(
+        d.select("doc_id", "source", _wrapped_url().alias("url"))
+    )
+    # frame path — the shape real multi-million-entry lists use; the
+    # host-shaped entry exercises entry normalization
+    blocklist = spark.createDataFrame(
+        [("src0.org",), ("src1.com",), ("cdn.src2.net.au",),
+         ("src3.co.uk",)],
+        "domain string",
+    )
+    flagged = _urls.domain_blocklist(
+        parsed, blocklist, domain_col="url_domain"
+    )
+    return flagged.select("doc_id", "url_domain", "kept")

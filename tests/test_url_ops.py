@@ -185,3 +185,49 @@ def test_url_query_is_anchored_before_fragment(spark):
     assert r["url_query"] == "" and r["url_scheme"] == ""
     r = _parse_one(spark, "https://example.com/p?a=1#frag?x")
     assert r["url_query"] == "a=1"
+
+
+def test_domain_blocklist_flags_registered_domain(spark):
+    """Blocklist matches on REGISTERED domain: subdomains of a blocked
+    domain are blocked (no evasion via cdn./www. hosts); host-shaped
+    blocklist entries normalize to their registered domain; list and
+    frame paths agree."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://evil.com/x"),
+            (2, "https://cdn.evil.com/y"),       # subdomain of blocked
+            (3, "https://good.org/z"),
+            (4, "https://sub.bad.co.uk/w"),       # blocked via host entry
+            (5, "https://notbad.co.uk/v"),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = ["evil.com", "www.bad.co.uk"]  # host-shaped 2nd entry
+    want = {1: 0, 2: 0, 3: 1, 4: 0, 5: 1}
+
+    got_list = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_blocklist(df, blocked).collect()
+    }
+    assert got_list == want
+
+    frame = spark.createDataFrame([(b,) for b in blocked], "d string")
+    got_frame = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_blocklist(df, frame).collect()
+    }
+    assert got_frame == want
+
+    # empty list: everything kept
+    all_kept = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_blocklist(df, []).collect()
+    }
+    assert set(all_kept.values()) == {1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly 1 column"):
+        urls.domain_blocklist(
+            df, spark.createDataFrame([(1, "a")], "x long, y string")
+        )
