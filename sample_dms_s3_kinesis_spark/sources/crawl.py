@@ -448,6 +448,28 @@ def warc_responses(records: DataFrame) -> DataFrame:
     )
 
 
+def warc_conversions(records: DataFrame) -> DataFrame:
+    """Text records out of a WET container (Common Crawl's
+    *.warc.wet.gz sidecar: one ``conversion`` record per page whose
+    payload IS the extracted text — no HTTP framing, no HTML).  Works
+    on either reader's output; pair with :func:`read_warc_gz` for the
+    shipped gzip form.  Keeps the WARC columns and aliases the payload
+    to ``text``; intact records only (``length_ok``) — the honesty-bit
+    contract is the same as :func:`warc_responses`."""
+    return records.filter(
+        (F.lower(F.col("warc_type")) == "conversion")
+        & F.col("length_ok")
+    ).select(
+        "warc_type",
+        "target_uri",
+        "record_id",
+        "warc_date",
+        "content_length",
+        "payload_len",
+        F.col("payload").alias("text"),
+    )
+
+
 def warc_response_record(
     *,
     target_uri: Column,

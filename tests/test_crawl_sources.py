@@ -324,3 +324,46 @@ def test_warc_gz_matches_text_reader(spark, tmp_path):
     rows = {r["target_uri"]: r for r in resp.collect()}
     assert rows["https://g.com/p/2"]["body"] == body_crlf
     assert rows["https://g.com/p/2"]["length_ok"] is True
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """WET sidecar support: 'conversion' records carry extracted text
+    as the raw payload (no HTTP framing); warc_conversions keeps
+    intact ones as (text) rows and both readers feed it."""
+    import gzip
+
+    texts = {
+        "https://w.com/1": "extracted text of page one\nsecond line",
+        "https://w.com/2": "page two words here",
+    }
+    recs = ""
+    for uri, text in texts.items():
+        recs += (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(text.encode())}\r\n\r\n"
+            f"{text}\r\n\r\n"
+        )
+    # one warcinfo record: filtered by type
+    recs += (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        "Content-Length: 4\r\n\r\ninfo\r\n\r\n"
+    )
+    p = tmp_path / "wet"
+    p.mkdir()
+    (p / "f.warc.wet").write_text(recs)
+    g = tmp_path / "wetgz"
+    g.mkdir()
+    (g / "f.warc.wet.gz").write_bytes(gzip.compress(recs.encode()))
+
+    for frame in [
+        crawl.read_warc_records(spark, str(p)),
+        crawl.read_warc_gz(spark, str(g)),
+    ]:
+        got = {
+            r["target_uri"]: r["text"]
+            for r in crawl.warc_conversions(frame).collect()
+        }
+        assert got == texts
