@@ -1,0 +1,201 @@
+"""robots.txt parsing and allow/deny decisions (RFC 9309 subset).
+
+Crawl curation needs robots compliance twice: the crawler honors it at
+fetch time, and the CURATION side re-checks it when a corpus arrives
+from a third-party crawl whose politeness is unknown (licensing/ToS
+audits key on exactly this).  Reference parity: like the other crawl
+operators this is schema-on-read over fetched objects — the reference
+binds containerized objects to rows the same way (run.py:162-164).
+
+Semantics implemented (the deterministic RFC 9309 core):
+- ``#`` starts a comment; blank lines are separators.
+- Directives are case-insensitive ``User-agent`` / ``Allow`` /
+  ``Disallow``; unknown directives are ignored.
+- Consecutive ``User-agent`` lines form ONE group header; the rules
+  that follow attach to every agent in the header.
+- Agent selection: if any group names the requested agent exactly
+  (case-insensitive), only those groups apply; otherwise the ``*``
+  groups apply; otherwise everything is allowed.
+- Matching: patterns are path prefixes with ``*`` wildcards and an
+  optional ``$`` end anchor (translated to SQL LIKE, which both Spark
+  and DuckDB evaluate identically with explicit escapes).
+- Precedence: the LONGEST matching pattern wins; on a length tie,
+  ``Allow`` wins.  No matching rule ⇒ allowed.
+- An empty ``Disallow:`` value means "no restriction" (RFC) and is
+  dropped at parse time.
+
+Scale notes: parsing is posexplode + two windows PER HOST KEY (robots
+files are small and per-host, so the window partitions are tiny and
+uniformly distributed); decisions are a broadcast-or-shuffle equi-join
+on the host key followed by a per-(page, rule) LIKE and one
+aggregation — no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DIRECTIVES = ("user-agent", "allow", "disallow")
+
+
+def parse_robots(
+    df: DataFrame,
+    *,
+    content_col: str = "robots_txt",
+    key_cols: Sequence[str] = ("host",),
+) -> DataFrame:
+    """Parse robots.txt contents into one row per (agent, rule).
+
+    Input: one row per robots.txt file with ``key_cols`` identifying
+    it (normally the host) and ``content_col`` holding the raw text.
+    Output: (*key_cols, agent, directive, pattern, rule_order) — one
+    row per agent × rule in its group, ``directive`` in
+    ('allow', 'disallow'), ``rule_order`` the line position (stable
+    tie-break material).  Group structure follows the RFC: consecutive
+    User-agent lines share the rules that follow them.
+    """
+    keys = [F.col(k) for k in key_cols]
+    lines = df.select(
+        *keys,
+        F.posexplode(
+            F.split(F.coalesce(F.col(content_col), F.lit("")), "\n", -1)
+        ).alias("_pos", "_line"),
+    )
+    cleaned = lines.select(
+        *keys,
+        "_pos",
+        F.trim(F.regexp_replace("_line", "#.*$", "")).alias("_l"),
+    )
+    parsed = cleaned.select(
+        *keys,
+        "_pos",
+        F.lower(F.regexp_extract("_l", r"^([A-Za-z-]+)\s*:", 1)).alias(
+            "_key"
+        ),
+        F.trim(F.regexp_extract("_l", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "_val"
+        ),
+    ).filter(F.col("_key").isin(*_DIRECTIVES))
+    # Group ids: a User-agent line opens a NEW group unless the
+    # previous recognized directive was also User-agent (consecutive
+    # headers share one group).  Window per robots file — tiny
+    # partitions, uniformly spread across hosts.
+    w = Window.partitionBy(*keys).orderBy("_pos")
+    grouped = parsed.withColumn(
+        "_start",
+        (
+            (F.col("_key") == "user-agent")
+            & (
+                F.coalesce(F.lag("_key").over(w), F.lit(""))
+                != "user-agent"
+            )
+        ).cast("int"),
+    ).withColumn("_gid", F.sum("_start").over(w))
+    agents = grouped.filter(F.col("_key") == "user-agent").select(
+        *keys,
+        F.col("_gid"),
+        F.lower(F.col("_val")).alias("agent"),
+    )
+    # empty Disallow means "no restriction" (RFC) — and an empty Allow
+    # matches nothing either way — both drop here
+    rules = grouped.filter(
+        F.col("_key").isin("allow", "disallow") & (F.col("_val") != "")
+    ).select(
+        *keys,
+        F.col("_gid"),
+        F.col("_key").alias("directive"),
+        F.col("_val").alias("pattern"),
+        F.col("_pos").alias("rule_order"),
+    )
+    return agents.join(rules, [*key_cols, "_gid"]).select(
+        *key_cols, "agent", "directive", "pattern", "rule_order"
+    )
+
+
+def robots_decisions(
+    pages: DataFrame,
+    rules: DataFrame,
+    *,
+    agent: str = "*",
+    url_path_col: str = "url_path",
+    key_cols: Sequence[str] = ("host",),
+    keep_col: str = "allowed",
+) -> DataFrame:
+    """Allow/deny decision per page for ``agent`` against parsed
+    ``rules`` (output of :func:`parse_robots`).
+
+    Agent selection per host: exact-agent groups when any exist, else
+    the ``*`` groups, else allowed.  Longest matching pattern wins;
+    Allow wins length ties; no match ⇒ allowed.  Flag-not-drop
+    (``keep_col``), like every curation gate here.  Returns ONE row
+    per distinct (*key_cols, url_path) — decisions are a property of
+    the path, so callers join the flag back onto their page frame.
+
+    Plan shape: one equi-join pages × host rules (rules frames are
+    host-cardinality — broadcast when small), LIKE per candidate rule,
+    then a max_by aggregation back to one row per page.
+    """
+    a = agent.lower()
+    keys = list(key_cols)
+    mine = rules.filter(F.col("agent").isin(a, "*"))
+    # exact-agent groups shadow '*' groups per host
+    best = mine.groupBy(*keys).agg(
+        F.min(F.when(F.col("agent") == a, 0).otherwise(1)).alias("_rk")
+    )
+    chosen = (
+        mine.join(best, keys)
+        .filter(
+            F.when(F.col("_rk") == 0, F.col("agent") == a).otherwise(
+                F.col("agent") == "*"
+            )
+        )
+        .drop("_rk")
+    )
+    # pattern → LIKE: escape \ % _ , '*' → '%', trailing '$' anchors
+    esc = F.regexp_replace(F.col("pattern"), r"([\\%_])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", "%")
+    like_pat = F.when(
+        F.col("pattern").endswith("$"),
+        F.regexp_replace(esc, r"\\?\$$", ""),
+    ).otherwise(F.concat(esc, F.lit("%")))
+    prepared = chosen.select(
+        *keys,
+        "directive",
+        "pattern",
+        F.length("pattern").alias("_plen"),
+        like_pat.alias("_like"),
+    )
+    # page × rule candidates within the host key; LIKE with explicit
+    # backslash escape (Spark's default; DuckDB needs it spelled out,
+    # which the oracle twin does)
+    joined = pages.join(prepared, keys, "left").withColumn(
+        "_hit",
+        F.col("_like").isNotNull()
+        & F.expr(f"{url_path_col} LIKE _like ESCAPE '\\\\'"),
+    )
+    decided = joined.groupBy(*keys, url_path_col).agg(
+        F.max_by(
+            F.col("directive") == "allow",
+            F.when(
+                F.col("_hit"),
+                # longest pattern wins; Allow beats Disallow on ties
+                F.struct(
+                    F.col("_plen").alias("l"),
+                    (F.col("directive") == "allow")
+                    .cast("int")
+                    .alias("a"),
+                ),
+            ),
+        ).alias("_verdict"),
+        F.max(F.col("_hit").cast("int")).alias("_any"),
+    )
+    return decided.select(
+        *keys,
+        url_path_col,
+        F.when(F.coalesce(F.col("_any"), F.lit(0)) == 0, F.lit(1))
+        .otherwise(F.col("_verdict").cast("int"))
+        .alias(keep_col),
+    )

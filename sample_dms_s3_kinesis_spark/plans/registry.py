@@ -3499,7 +3499,8 @@ DRIVER_WINDOW: list[str] = [
 #     they land): q_jsonl_ingest, q_warc_ingest, q_ingest_e2e_html,
 #     q_text_md5_fingerprint, q_daily_distinct_md5_rank,
 #     q_containment_md5_against, q_simhash_md5_against,
-#     q_warc_gz_ingest, q_crawl_pipeline, q_url_blocklist;
+#     q_warc_gz_ingest, q_crawl_pipeline, q_url_blocklist,
+#     q_robots_gate;
 # (b) the 47 remaining r6-stale rows (q_ann_recall, q_array_hof_stats,
 #     q_bm25_search, q_boolean_search, q_bpe_merges,
 #     q_check_expectations, q_cohort_ltv, q_cohort_retention,

@@ -6945,3 +6945,75 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed, blocklist, domain_col="url_domain"
     )
     return flagged.select("doc_id", "url_domain", "kept")
+
+
+from sample_dms_s3_kinesis_spark.operators import robots as _robots  # noqa: E402
+
+
+@_register(
+    "q_robots_gate",
+    """
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           CASE doc_id % 4
+             WHEN 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN '/private/ok' || CAST(doc_id AS VARCHAR)
+             ELSE '/private/okay/' || CAST(doc_id AS VARCHAR)
+           END AS url_path,
+           CAST(CASE WHEN length(source) = 4
+                THEN CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END
+                ELSE CASE WHEN doc_id % 4 IN (2, 3) THEN 0 ELSE 1 END
+           END AS INT) AS allowed
+    FROM documents
+    """,
+    "robots.txt compliance gate: per-host robots files (two variants "
+    "with comments, multi-group structure and an unrelated agent "
+    "group) parse into agent rules, and every synthesized page gets "
+    "an allow/deny decision for agent '*' under RFC 9309 semantics — "
+    "longest match wins, Allow wins ties, unmatched paths allowed; "
+    "oracle = the hand-derived decision table (parser internals are "
+    "pinned by test_robots_ops.py)",
+    "curation: robots.txt compliance (crawl-politeness audit)",
+)
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.when(did % 4 == 0, F.concat(F.lit("/p/"), did.cast("string")))
+        .when(did % 4 == 1, F.concat(F.lit("/private/"), did.cast("string")))
+        .when(
+            did % 4 == 2, F.concat(F.lit("/private/ok"), did.cast("string"))
+        )
+        .otherwise(F.concat(F.lit("/private/okay/"), did.cast("string")))
+        .alias("url_path"),
+    )
+    files = (
+        d.select("source")
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.when(
+                F.length("source") == 4,
+                F.lit(
+                    "# variant A\nUser-agent: *\nDisallow: /private\n"
+                    "Allow: /private/ok\n\nUser-agent: otherbot\n"
+                    "Disallow: /\n"
+                ),
+            )
+            .otherwise(
+                F.lit(
+                    "User-agent: *\nDisallow: /private/ok\n"
+                    "# variant B comment\nUnknown: x\n"
+                )
+            )
+            .alias("robots_txt"),
+        )
+    )
+    rules = _robots.parse_robots(files)
+    decisions = _robots.robots_decisions(pages, rules, agent="*")
+    return pages.join(decisions, ["host", "url_path"]).select(
+        "doc_id", "host", "url_path", "allowed"
+    )

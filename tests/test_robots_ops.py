@@ -1,0 +1,122 @@
+"""robots.txt parse + decision semantics vs hand-worked expectations
+(RFC 9309 core: grouping, agent precedence, longest-match, Allow tie
+wins, * wildcard, $ anchor, comments, empty Disallow)."""
+
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import robots
+
+ROBOTS_A = """\
+# politeness file for host a
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+
+User-Agent: goodbot
+User-agent: nicebot
+Disallow: /tmp/
+Allow: /tmp/*.html$
+
+User-agent: badbot
+Disallow: /
+"""
+
+ROBOTS_B = """\
+User-agent: *
+Disallow:
+Unknown-directive: ignored
+disallow: /b%20dir
+"""
+
+
+def _frames(spark):
+    files = spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)],
+        "host string, robots_txt string",
+    )
+    return robots.parse_robots(files)
+
+
+def test_parse_groups_and_directives(spark):
+    rules = _frames(spark)
+    got = {
+        (r["host"], r["agent"], r["directive"], r["pattern"])
+        for r in rules.collect()
+    }
+    assert got == {
+        ("a.com", "*", "disallow", "/private"),
+        ("a.com", "*", "allow", "/private/ok"),
+        # consecutive User-agent headers share ONE group's rules
+        ("a.com", "goodbot", "disallow", "/tmp/"),
+        ("a.com", "goodbot", "allow", "/tmp/*.html$"),
+        ("a.com", "nicebot", "disallow", "/tmp/"),
+        ("a.com", "nicebot", "allow", "/tmp/*.html$"),
+        ("a.com", "badbot", "disallow", "/"),
+        # empty Disallow dropped (no restriction); unknown directive
+        # ignored; lowercase directive key accepted
+        ("b.com", "*", "disallow", "/b%20dir"),
+    }
+
+
+def _decide(spark, agent, paths):
+    pages = spark.createDataFrame(
+        [("a.com", p) for p in paths], "host string, url_path string"
+    )
+    out = robots.robots_decisions(
+        pages, _frames(spark), agent=agent
+    ).collect()
+    return {r["url_path"]: r["allowed"] for r in out}
+
+
+def test_star_agent_longest_match_and_tie(spark):
+    got = _decide(
+        spark,
+        "*",
+        ["/", "/public/x", "/private", "/private/no", "/private/ok/f"],
+    )
+    # /private* disallowed EXCEPT the longer /private/ok allow
+    assert got == {
+        "/": 1,
+        "/public/x": 1,
+        "/private": 0,
+        "/private/no": 0,
+        "/private/ok/f": 1,
+    }
+
+
+def test_specific_agent_shadows_star(spark):
+    # goodbot has its own group -> '*' rules do NOT apply
+    got = _decide(
+        spark,
+        "goodbot",
+        ["/private/no", "/tmp/x", "/tmp/page.html", "/tmp/page.html?q"],
+    )
+    assert got == {
+        "/private/no": 1,  # '*' group shadowed
+        "/tmp/x": 0,
+        # wildcard + $ anchor: allow /tmp/*.html$ beats /tmp/ (longer)
+        "/tmp/page.html": 1,
+        "/tmp/page.html?q": 0,  # anchor: not an .html-terminal path
+    }
+
+
+def test_unknown_agent_falls_back_to_star_and_badbot_blocked(spark):
+    got = _decide(spark, "somebot", ["/private/no", "/tmp/x"])
+    assert got == {"/private/no": 0, "/tmp/x": 1}
+    got = _decide(spark, "BadBot", ["/", "/anything"])
+    assert got == {"/": 0, "/anything": 0}
+
+
+def test_host_without_rules_allows_everything(spark):
+    pages = spark.createDataFrame(
+        [("b.com", "/b%20dir/x"), ("b.com", "/free"), ("c.com", "/y")],
+        "host string, url_path string",
+    )
+    out = robots.robots_decisions(pages, _frames(spark), agent="*")
+    got = {(r["host"], r["url_path"]): r["allowed"] for r in out.collect()}
+    # LIKE metacharacters in the pattern are escaped: %20 is literal
+    assert got == {
+        ("b.com", "/b%20dir/x"): 0,
+        ("b.com", "/free"): 1,
+        ("c.com", "/y"): 1,  # no robots for host at all
+    }
