@@ -64,10 +64,15 @@ def parse_robots(
             F.split(F.coalesce(F.col(content_col), F.lit("")), "\n", -1)
         ).alias("_pos", "_line"),
     )
+    # regexp trims, not F.trim: RFC whitespace includes TABS around
+    # the colon and the value (WS = %x20 / %x09) and F.trim strips
+    # spaces only — a '\t/private' pattern would silently never match
     cleaned = lines.select(
         *keys,
         "_pos",
-        F.trim(F.regexp_replace("_line", "#.*$", "")).alias("_l"),
+        F.regexp_replace(
+            F.regexp_replace("_line", "#.*$", ""), r"^\s+|\s+$", ""
+        ).alias("_l"),
     )
     parsed = cleaned.select(
         *keys,
@@ -75,9 +80,11 @@ def parse_robots(
         F.lower(F.regexp_extract("_l", r"^([A-Za-z-]+)\s*:", 1)).alias(
             "_key"
         ),
-        F.trim(F.regexp_extract("_l", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
-            "_val"
-        ),
+        F.regexp_replace(
+            F.regexp_extract("_l", r"^[A-Za-z-]+\s*:(.*)$", 1),
+            r"^\s+|\s+$",
+            "",
+        ).alias("_val"),
     ).filter(F.col("_key").isin(*_DIRECTIVES))
     # Group ids: a User-agent line opens a NEW group unless the
     # previous recognized directive was also User-agent (consecutive
@@ -140,6 +147,14 @@ def robots_decisions(
     """
     a = agent.lower()
     keys = list(key_cols)
+    clash = (
+        {"directive", "pattern", "_plen", "_like", "_hit"}
+        & set(pages.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"pages columns collide with internal names: {sorted(clash)}"
+        )
     mine = rules.filter(F.col("agent").isin(a, "*"))
     # exact-agent groups shadow '*' groups per host
     best = mine.groupBy(*keys).agg(

@@ -132,8 +132,11 @@ def domain_blocklist(
     DataFrame for the multi-million-entry lists real curation uses
     (broadcast LEFT join — blocklists are domain-cardinality, tiny
     next to the corpus).  Entries are normalized to lowercase
-    registered domains on BOTH paths, so a host-shaped entry
-    ('cdn.evil.com') blocks its whole registered domain.
+    registered domains on BOTH paths — host-shaped ('cdn.evil.com'),
+    FQDN-shaped ('evil.com.'), URL-shaped ('https://u@evil.com:8080/x')
+    and bare-domain entries all block the same registered domain.
+    Rows whose domain is NULL (unparseable URL) are kept on both
+    paths — they are the URL parser's problem, not the blocklist's.
 
     Pass ``domain_col`` when the frame already carries the registered
     domain (e.g. from :func:`parse_urls`)."""
@@ -148,9 +151,23 @@ def domain_blocklist(
             raise ValueError(
                 f"blocklist frame must have exactly 1 column, got {bcols}"
             )
-        bl = blocked.select(
-            registered_domain(F.lower(F.col(bcols[0]))).alias("_bl_dom")
-        ).distinct()
+        clash = {"_dom_bl", "_bl_dom"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"input columns collide with internal names: {sorted(clash)}"
+            )
+        bl = (
+            blocked.select(
+                _normalize_blocklist_entry_col(F.col(bcols[0])).alias(
+                    "_bl_dom"
+                )
+            )
+            # empty after normalization (blank entry) must not match
+            # the ""-domain rows unparseable URLs produce — same rule
+            # as the list path's - {""}
+            .filter(F.col("_bl_dom") != "")
+            .distinct()
+        )
         joined = df.withColumn("_dom_bl", dom).join(
             F.broadcast(bl),
             F.col("_dom_bl") == F.col("_bl_dom"),
@@ -160,13 +177,44 @@ def domain_blocklist(
             keep_col, F.col("_bl_dom").isNull().cast("int")
         ).drop("_dom_bl", "_bl_dom")
     entries = sorted(
-        {_registered_domain_py(str(b).lower()) for b in blocked}
+        {_normalize_blocklist_entry_py(str(b)) for b in blocked} - {""}
     )
     if not entries:
         return df.withColumn(keep_col, F.lit(1))
+    # NULL domain -> isin is NULL -> keep (parity with the frame path,
+    # where a NULL join key simply misses)
     return df.withColumn(
-        keep_col, (~dom.isin(entries)).cast("int")
+        keep_col, F.coalesce((~dom.isin(entries)).cast("int"), F.lit(1))
     )
+
+
+# Blocklist entries arrive in the wild as bare domains, hosts, FQDNs
+# with trailing root-dots, or full URLs.  Both normalizers apply the
+# same chain: lowercase -> strip scheme -> cut at path/query/fragment
+# -> drop userinfo -> drop port -> strip trailing dots -> registered
+# domain.  (Kept in lockstep; the list/frame agreement test pins it.)
+
+
+def _normalize_blocklist_entry_col(c: Column) -> Column:
+    e = F.lower(F.trim(c))
+    e = F.regexp_replace(e, r"^[a-z][a-z0-9+.-]*://", "")
+    e = F.regexp_replace(e, r"[/?#].*$", "")
+    e = F.regexp_replace(e, r"^[^@]*@", "")
+    e = F.regexp_replace(e, r":[0-9]*$", "")
+    e = F.regexp_replace(e, r"\.+$", "")
+    return registered_domain(e)
+
+
+def _normalize_blocklist_entry_py(entry: str) -> str:
+    import re as _re
+
+    e = entry.strip().lower()
+    e = _re.sub(r"^[a-z][a-z0-9+.-]*://", "", e)
+    e = _re.sub(r"[/?#].*$", "", e)
+    e = _re.sub(r"^[^@]*@", "", e)
+    e = _re.sub(r":[0-9]*$", "", e)
+    e = _re.sub(r"\.+$", "", e)
+    return _registered_domain_py(e)
 
 
 def _registered_domain_py(host: str) -> str:

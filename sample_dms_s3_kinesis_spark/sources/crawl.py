@@ -253,14 +253,21 @@ _HEADER_PROBES = {
     )
 }
 # try_cast('long') semantics: trimmed ASCII sign+digits only, int64
-# range; '1_0', unicode digits and overflow all fold to NULL
+# range; '1_0', unicode digits/spaces and overflow all fold to NULL
 _LONG_LITERAL = _re.compile(r"[+-]?[0-9]+")
+# ASCII whitespace only — Python's unicode-aware str.strip() would
+# accept a U+2007-padded value Spark's try_cast rejects
+_ASCII_WS = " \t\n\r\f\v"
+# Java's default (non-UNICODE_CHARACTER_CLASS) \S — the Catalyst
+# padding filter rlike(r"\S") keeps a U+00A0-only fragment; Python's
+# unicode-aware strip() would drop it
+_ASCII_NONWS = _re.compile(r"[^ \t\n\x0b\f\r]")
 
 
 def _try_cast_long(s: str | None) -> int | None:
     if s is None:
         return None
-    s = s.strip()
+    s = s.strip(_ASCII_WS)
     if not _LONG_LITERAL.fullmatch(s):
         return None
     v = int(s)
@@ -273,7 +280,7 @@ def _parse_warc_piece(piece: str) -> tuple | None:
     equivalence is pinned by ``test_warc_gz_matches_text_reader``).
     ``piece`` is one boundary-split fragment; returns a `_WARC_SCHEMA`
     tuple, or None for blank padding fragments."""
-    if not piece.strip():
+    if not _ASCII_NONWS.search(piece):
         return None
     m = _HDR_SPLIT.match(piece)
     hdr = m.group(1) if m and m.group(1) else None

@@ -102,11 +102,11 @@ class CorpusIngestTask(ReplicationTask):
         # input_format: "jsonl" drops are DOC_SCHEMA JSON-lines files;
         # "warc" drops are WARC containers ("warc_gz" for gzipped
         # ones) — intact 200 responses become (doc_id, text=HTTP body)
-        # rows (doc_id from a /p/<n> URI path when present, else
-        # xxhash64 of the URI), everything else (requests, warcinfo,
-        # non-200, marker-collision fragments, URI-less responses) is
-        # dropped at the container boundary.  Pair with
-        # extract_html=True for raw crawl pages.
+        # rows (doc_id = xxhash64 of the full URI unless the opt-in
+        # doc_id_pattern below extracts one), everything else
+        # (requests, warcinfo, non-200, marker-collision fragments,
+        # URI-less responses) is dropped at the container boundary.
+        # Pair with extract_html=True for raw crawl pages.
         if input_format not in ("jsonl", "warc", "warc_gz"):
             raise ValueError(
                 "input_format must be 'jsonl', 'warc' or 'warc_gz', "

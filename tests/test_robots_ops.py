@@ -120,3 +120,35 @@ def test_host_without_rules_allows_everything(spark):
         ("b.com", "/free"): 1,
         ("c.com", "/y"): 1,  # no robots for host at all
     }
+
+
+def test_tab_whitespace_and_collision_guard(spark):
+    """RFC WS includes tabs: a tab after the colon (or around the
+    line) must not leak into the pattern/agent value; internal-name
+    collisions on the pages frame fail loudly."""
+    files = spark.createDataFrame(
+        [("t.com", "User-agent:\t*\n\tDisallow:\t/private\t\n")],
+        "host string, robots_txt string",
+    )
+    rules = robots.parse_robots(files)
+    got = {
+        (r["agent"], r["directive"], r["pattern"])
+        for r in rules.collect()
+    }
+    assert got == {("*", "disallow", "/private")}
+    pages = spark.createDataFrame(
+        [("t.com", "/private/x"), ("t.com", "/pub")],
+        "host string, url_path string",
+    )
+    out = {
+        r["url_path"]: r["allowed"]
+        for r in robots.robots_decisions(pages, rules).collect()
+    }
+    assert out == {"/private/x": 0, "/pub": 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pattern"):
+        robots.robots_decisions(
+            pages.withColumn("pattern", F.lit(1)), rules
+        )

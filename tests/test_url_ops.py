@@ -231,3 +231,42 @@ def test_domain_blocklist_flags_registered_domain(spark):
         urls.domain_blocklist(
             df, spark.createDataFrame([(1, "a")], "x long, y string")
         )
+
+
+def test_domain_blocklist_entry_normalization_and_nulls(spark):
+    """Wild-form entries (FQDN root-dot, full URL with userinfo/port,
+    blank) normalize to the registered domain on both paths; NULL/
+    unparseable-URL rows are kept (the parser's problem, not the
+    blocklist's); blank entries block nothing — not even the ''
+    domain unparseable URLs produce."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://evil.com/x"),
+            (2, "https://sub.worse.org/y"),
+            (3, "https://fine.net/z"),
+            (4, None),
+            (5, "not a url"),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = ["evil.com.", "https://u:p@www.worse.org:8080/path?q#f", "  "]
+    want = {1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    got_list = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_blocklist(df, blocked).collect()
+    }
+    assert got_list == want
+    frame = spark.createDataFrame([(b,) for b in blocked], "d string")
+    got_frame = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_blocklist(df, frame).collect()
+    }
+    assert got_frame == want
+
+    # internal-name collision fails loudly on the frame path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_bl_dom"):
+        urls.domain_blocklist(
+            df.withColumn("_bl_dom", F.lit("x")), frame
+        )
