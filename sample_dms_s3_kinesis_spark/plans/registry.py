@@ -3431,93 +3431,75 @@ def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
-# budget.  Rounds 2-9 drove their 50-query windows all-green (zero
-# oracle-bearing failures in CORRECTNESS_r02..r09.json).  Round 10
-# executes the rotation the r9 verdict mandated: (1) the single
-# never-driver-checked query, q_winnowed_md5_fingerprints (registered
-# after the r9 window froze; verified green locally and by the r9
-# judge); (2) ALL 46 queries whose newest driver row is r5 — after
-# this window lands, maximum staleness is r6; (3) back-fill to 50
-# with the 3 oldest r6-stale queries in registration order.
+# budget.  Rounds 2-10 drove their 50-query windows all-green (zero
+# oracle-bearing failures in CORRECTNESS_r02..r10.json).  Round 11
+# executes the rotation the r10 verdict mandated: (1) all 11 queries
+# registered during the r10 session (never driver-checked; each was
+# verified exact green locally and by the r10 judge); (2) the first 39
+# of the 47 remaining r6-stale queries in registration order — after
+# this window lands, only 8 queries have a newest driver row older
+# than r7, all enumerated in the r12 backlog below.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked: r9 session registration (1) ---
-    "q_winnowed_md5_fingerprints",
-    # --- r5-stale: every query whose newest driver row is r5 (46) ---
-    "q_audio_near_dup",          # rows-only: synthetic media fixture
-    "q_bigram_lm_score",
-    "q_chunk_documents",
-    "q_corpus_diff",
-    "q_corr_stats",
-    "q_cube_documents",
-    "q_curation_pipeline_v2",
-    "q_date_functions",
-    "q_dedup_report",
-    "q_embedding_near_dup_against",  # rows-only: float cosine threshold
-    "q_full_outer_nation_counts",
-    "q_grouping_sets_orders",
-    "q_image_near_dup",          # rows-only: synthetic media fixture
-    "q_ivf_persisted_topk",      # rows-only: k-means cells
-    "q_lsh_quality",
-    "q_mad_by_lang",
-    "q_minhash_index_gate",      # rows-only: xxhash64 production flavor
-    "q_mixture_sample",
-    "q_nb_lang_classify",
-    "q_near_dedup_against",      # rows-only: xxhash64 production flavor
-    "q_oov_rate",
-    "q_pack_spans",
-    "q_percentile_agg",
-    "q_pivot_status_counts",
-    "q_prefix_jaccard_against",
-    "q_prefix_jaccard_pairs",
-    "q_profile_documents",
-    "q_profile_drift",
-    "q_rollup_orders",
-    "q_scalar_subquery",
-    "q_semantic_dedup",          # rows-only: float cosine clustering
-    "q_simhash_index_gate",      # rows-only: xxhash64 production flavor
-    "q_simhash_pairs",           # rows-only: xxhash64 production flavor
-    "q_simhash_pairs_against",   # rows-only: xxhash64 production flavor
-    "q_simhash_quality",
-    "q_skew_report",
-    "q_string_functions",
-    "q_text_tfidf_topk",
-    "q_token_cosine_against",
-    "q_token_cosine_pairs",
-    "q_two_phase_distinct",
-    "q_vocab_coverage",
-    "q_weighted_sample",
-    "q_weighted_sample_group",
-    "q_winnowing_containment",
-    "q_winsorize",
-    # --- r6-stale back-fill, oldest 3 in registration order ---
-    "q_distinct_count",
-    "q_in_subquery",
-    "q_cross_join_region_status",
+    # --- never driver-checked: r10 session registrations (11) ---
+    "q_jsonl_ingest",
+    "q_warc_ingest",
+    "q_warc_gz_ingest",
+    "q_ingest_e2e_html",
+    "q_crawl_pipeline",
+    "q_url_blocklist",
+    "q_robots_gate",
+    "q_text_md5_fingerprint",
+    "q_daily_distinct_md5_rank",
+    "q_containment_md5_against",
+    "q_simhash_md5_against",
+    # --- r6-stale: first 39 of 47 in registration order ---
+    "q_ann_recall",              # rows-only: recall vs exact ground truth
+    "q_array_hof_stats",
+    "q_bm25_search",
+    "q_boolean_search",
+    "q_bpe_merges",
+    "q_check_expectations",
+    "q_cohort_ltv",
+    "q_cohort_retention",
+    "q_containment_against",     # rows-only: xxhash64 production flavor
+    "q_daily_anomaly",
+    "q_daily_trend",
+    "q_dedup_segments",
+    "q_dedup_segments_against",
+    "q_dedup_segments_within",
+    "q_edit_distance_against",
+    "q_edit_distance_pairs",
+    "q_entropy_by_source",
+    "q_event_transitions",
+    "q_except_customers",
+    "q_funnel_by_cohort",
+    "q_funnel_conversion",
+    "q_funnel_counts",
+    "q_funnel_windowed",
+    "q_group_split",
+    "q_hll_daily_union",         # rows-only: HLL sketch internals
+    "q_intersect_customers",
+    "q_ivfpq_topk",              # rows-only: k-means cells
+    "q_phrase_search",
+    "q_postings_search",
+    "q_pq_topk",                 # rows-only: k-means codebooks
+    "q_quarantine",
+    "q_resample_ffill",
+    "q_resample_interpolate",
+    "q_rolling_7d_value",
+    "q_rolling_wau",
+    "q_session_stats",
+    "q_skipping_report",
+    "q_split_leakage",
+    "q_split_leakage_near",
 ]
-# r11 rotation backlog, in priority order (never-checked beats stale):
-# (a) any query registered during the r10 sessions (enumerate here as
-#     they land): q_jsonl_ingest, q_warc_ingest, q_ingest_e2e_html,
-#     q_text_md5_fingerprint, q_daily_distinct_md5_rank,
-#     q_containment_md5_against, q_simhash_md5_against,
-#     q_warc_gz_ingest, q_crawl_pipeline, q_url_blocklist,
-#     q_robots_gate;
-# (b) the 47 remaining r6-stale rows (q_ann_recall, q_array_hof_stats,
-#     q_bm25_search, q_boolean_search, q_bpe_merges,
-#     q_check_expectations, q_cohort_ltv, q_cohort_retention,
-#     q_containment_against, q_daily_anomaly, q_daily_trend,
-#     q_dedup_segments, q_dedup_segments_against,
-#     q_dedup_segments_within, q_edit_distance_against,
-#     q_edit_distance_pairs, q_entropy_by_source, q_event_transitions,
-#     q_except_customers, q_funnel_by_cohort, q_funnel_conversion,
-#     q_funnel_counts, q_funnel_windowed, q_group_split,
-#     q_hll_daily_union, q_intersect_customers, q_ivfpq_topk,
-#     q_phrase_search, q_postings_search, q_pq_topk, q_quarantine,
-#     q_resample_ffill, q_resample_interpolate, q_rolling_7d_value,
-#     q_rolling_wau, q_session_stats, q_skipping_report,
-#     q_split_leakage, q_split_leakage_near, q_sql_entry_revenue,
-#     q_stats_agg, q_stickiness, q_temperature_mixture,
-#     q_top_journeys, q_unpivot_metrics, q_window_agg_events,
-#     q_window_first_last) — fill all remaining slots from these;
+# r12 rotation backlog, in priority order (never-checked beats stale):
+# (a) any query registered during the r11 sessions (enumerate here as
+#     they land): q_lsh_quality_md5, q_simhash_quality_md5,
+#     q_warc_encoded_ingest, q_ingest_robots_funnel;
+# (b) the 8 remaining r6-stale rows (q_sql_entry_revenue, q_stats_agg,
+#     q_stickiness, q_temperature_mixture, q_top_journeys,
+#     q_unpivot_metrics, q_window_agg_events, q_window_first_last);
 # (c) r7-stale families thereafter, rotating by age so no query's
 #     latest driver row is older than three rounds.
 
