@@ -21,8 +21,12 @@ Semantics implemented (the deterministic RFC 9309 core):
   and DuckDB evaluate identically with explicit escapes).
 - Precedence: the LONGEST matching pattern wins; on a length tie,
   ``Allow`` wins.  No matching rule ⇒ allowed.
-- An empty ``Disallow:`` value means "no restriction" (RFC) and is
-  dropped at parse time.
+- An empty ``Disallow:`` value means "no restriction" (RFC).  The
+  VALUE is dropped, but the GROUP survives: a group whose only rule
+  is ``Disallow:`` (the common allow-all idiom) emits one sentinel
+  row per agent with NULL directive/pattern, so an exact-agent
+  allow-all group still shadows the ``*`` groups in
+  :func:`robots_decisions` instead of vanishing at parse time.
 
 Scale notes: parsing is posexplode + two windows PER HOST KEY (robots
 files are small and per-host, so the window partitions are tiny and
@@ -55,7 +59,11 @@ def parse_robots(
     row per agent × rule in its group, ``directive`` in
     ('allow', 'disallow'), ``rule_order`` the line position (stable
     tie-break material).  Group structure follows the RFC: consecutive
-    User-agent lines share the rules that follow them.
+    User-agent lines share the rules that follow them.  A group with
+    no effective rules (empty ``Disallow:`` only, or no rule lines at
+    all) emits ONE row per agent with NULL directive/pattern/
+    rule_order — a presence sentinel that never matches a path but
+    keeps the group visible to agent selection downstream.
     """
     keys = [F.col(k) for k in key_cols]
     lines = df.select(
@@ -117,7 +125,11 @@ def parse_robots(
         F.col("_val").alias("pattern"),
         F.col("_pos").alias("rule_order"),
     )
-    return agents.join(rules, [*key_cols, "_gid"]).select(
+    # LEFT join: a rule-less group (e.g. the allow-all idiom
+    # 'User-agent: x\nDisallow:') must still emit its agents as
+    # sentinel rows, or an exact-agent allow-all group would vanish
+    # and robots_decisions would wrongly fall back to the '*' group
+    return agents.join(rules, [*key_cols, "_gid"], "left").select(
         *key_cols, "agent", "directive", "pattern", "rule_order"
     )
 
@@ -169,13 +181,24 @@ def robots_decisions(
         )
         .drop("_rk")
     )
-    # pattern → LIKE: escape \ % _ , '*' → '%', trailing '$' anchors
-    esc = F.regexp_replace(F.col("pattern"), r"([\\%_])", r"\\$1")
+    # pattern → LIKE: escape \ % _ , '*' → '%', trailing '$' anchors.
+    # The anchor '$' is stripped from the ORIGINAL pattern BEFORE
+    # escaping — stripping after escaping broke 'foo\$' (the escape
+    # pass doubled the backslash, then the strip regex ate one
+    # backslash with the '$', leaving a dangling LIKE escape that
+    # throws at execution on one odd robots line).  In robots.txt a
+    # backslash is an ordinary path byte, so 'foo\$' is the path
+    # 'foo\' anchored at end.
+    anchored = F.col("pattern").endswith("$")
+    base = F.when(
+        anchored,
+        F.col("pattern").substr(F.lit(1), F.length("pattern") - 1),
+    ).otherwise(F.col("pattern"))
+    esc = F.regexp_replace(base, r"([\\%_])", r"\\$1")
     esc = F.regexp_replace(esc, r"\*", "%")
-    like_pat = F.when(
-        F.col("pattern").endswith("$"),
-        F.regexp_replace(esc, r"\\?\$$", ""),
-    ).otherwise(F.concat(esc, F.lit("%")))
+    like_pat = F.when(anchored, esc).otherwise(
+        F.concat(esc, F.lit("%"))
+    )
     prepared = chosen.select(
         *keys,
         "directive",

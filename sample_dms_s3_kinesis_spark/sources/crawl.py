@@ -125,11 +125,14 @@ _WARC_BOUNDARY = "WARC/{version}\r\n"
 
 
 def _warc_header(hdr: Column, name: str) -> Column:
-    # (?m) anchors per line, (?i) per spec: header names are
-    # case-insensitive; value runs to end of line (trailing \r excluded
-    # because the block was split on \r\n pairs below)
+    # Explicit (?:^|\n) line anchor, NOT (?m)^: Java multiline ^ also
+    # fires after bare \r / U+0085 / U+2028 / U+2029; Python fires after
+    # \n only — the gz twin must apply the identical rule, and header
+    # lines in the block are \r\n-separated anyway.  (?i) per spec:
+    # header names are case-insensitive; value runs to end of line
+    # (trailing \r excluded because the block was split on \r\n pairs).
     return F.nullif(
-        F.regexp_extract(hdr, rf"(?mi)^{name}:[ \t]*([^\r\n]*)", 1),
+        F.regexp_extract(hdr, rf"(?i)(?:^|\n){name}:[ \t]*([^\r\n]*)", 1),
         F.lit(""),
     )
 
@@ -187,7 +190,14 @@ def read_warc_records(
     # check on spec-valid records).  No trailing separator at all
     # (truncated tail record) -> payload kept as-is; the length check
     # judges it.
-    one_sep = r"(?s)^(.*)\r\n\r\n\s*$"
+    # ASCII class + absolute \z end anchor, not \s*$: Java \s is
+    # already ASCII-only but Java $ ALSO matches before a final line
+    # terminator (U+0085/U+2028/U+2029), and Python's \s is
+    # Unicode-aware — either would let the two readers strip different
+    # separators on exotic padding (e.g. a U+00A0 tail).  The explicit
+    # class and \z (Python twin: \Z) mean both engines read the
+    # pattern identically.
+    one_sep = r"(?s)^(.*)\r\n\r\n[ \t\n\x0b\f\r]*\z"
     payload = F.when(
         F.col("_rp").rlike(one_sep),
         F.regexp_extract("_rp", one_sep, 1),
@@ -240,9 +250,15 @@ _WARC_SCHEMA = T.StructType(
 import re as _re  # noqa: E402
 
 _HDR_SPLIT = _re.compile(r"(?s)^(.*?)\r\n\r\n")
-_ONE_SEP = _re.compile(r"(?s)^(.*)\r\n\r\n\s*$")
+# ASCII class + \Z, in lockstep with the Catalyst one_sep (Java \z):
+# Python's \s is Unicode-aware and would strip e.g. U+00A0 padding the
+# Java side keeps; Python's $ also differs from Java's before final
+# line terminators.
+_ONE_SEP = _re.compile(r"(?s)^(.*)\r\n\r\n[ \t\n\x0b\f\r]*\Z")
 _HEADER_PROBES = {
-    name: _re.compile(rf"(?mi)^{name}:[ \t]*([^\r\n]*)")
+    # (?:^|\n), not (?m)^ — see _warc_header: Java and Python disagree
+    # on which line terminators multiline ^ fires after
+    name: _re.compile(rf"(?i)(?:^|\n){name}:[ \t]*([^\r\n]*)")
     for name in (
         "WARC-Type",
         "WARC-Target-URI",

@@ -118,7 +118,13 @@ class CorpusIngestTask(ReplicationTask):
         # spaces where that id is known globally unique — a suffix
         # pattern like '/p/([0-9]+)$' ALIASES across hosts otherwise
         # (a.com/p/7 and b.com/p/7 would share an id).  Default: the
-        # 64-bit hash of the full URI, collision-safe by construction.
+        # 64-bit xxhash64 of the full URI.  NOTE the birthday bound: a
+        # 64-bit id space reaches ~50% collision probability around
+        # 5e9 distinct URIs (and ~0.3% at 1e8) — a collision silently
+        # merges two distinct pages under the exact-dup admission
+        # gate.  For corpora approaching 1e8+ pages, supply a
+        # doc_id_pattern with a truly unique id, or key dedup decisions
+        # on the md5 digest column (128-bit) the gate already computes.
         self.doc_id_pattern = doc_id_pattern
         # extract_html: drops carry RAW crawl pages; each batch runs
         # operators.text.html_extract before any gate, so digests,

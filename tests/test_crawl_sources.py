@@ -286,6 +286,30 @@ def test_warc_gz_matches_text_reader(spark, tmp_path):
         "Content-Length: 99999999999999999999\r\n\r\n"
         "HTTP/1.1 200 OK\r\n\r\noverflow length body\r\n\r\n"
     )
+    # separator-padding divergence literals: non-ASCII whitespace after
+    # the record separator — U+00A0 (Python's unicode \s used to strip
+    # it; Java's ASCII \s never did) and U+2028 (Java's $ used to match
+    # before it as a final line terminator; Python's never did).  With
+    # the shared ASCII class + \z/\Z anchor BOTH readers must keep the
+    # tail (payload_len mismatch -> length_ok false) identically.
+    records.append(
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://g.com/nbsp\r\n"
+        "Content-Length: 4\r\n\r\nbody\r\n\r\n\u00a0 "
+    )
+    records.append(
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://g.com/ls\r\n"
+        "Content-Length: 4\r\n\r\nbody\r\n\r\n\u2028"
+    )
+    # header-anchor divergence literal: a header name after a bare \r
+    # (Java (?m)^ fired there; Python's only after \n) — invisible to
+    # BOTH readers under the explicit (?:^|\n) anchor
+    records.append(
+        "WARC/1.0\r\nWARC-Type: response\rContent-Type: text/html\r\n"
+        "WARC-Target-URI: https://g.com/cr\r\n"
+        "Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
     # trailing malformed record: header never terminated
     records.append("WARC/1.0\r\nWARC-Type: metadata\r\nno blank line")
 

@@ -152,3 +152,88 @@ def test_tab_whitespace_and_collision_guard(spark):
         robots.robots_decisions(
             pages.withColumn("pattern", F.lit(1)), rules
         )
+
+
+def test_empty_disallow_group_shadows_star(spark):
+    """RFC allow-all idiom: an exact-agent group whose ONLY rule is an
+    empty 'Disallow:' must still shadow the '*' group (the group emits
+    a sentinel row instead of vanishing at parse time)."""
+    files = spark.createDataFrame(
+        [
+            (
+                "s.com",
+                "User-agent: *\nDisallow: /\n\n"
+                "User-agent: nicebot\nDisallow:\n",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots.parse_robots(files)
+    # sentinel row: agent present, NULL directive/pattern/rule_order
+    sent = rules.filter(F.col("agent") == "nicebot").collect()
+    assert len(sent) == 1
+    assert sent[0]["directive"] is None
+    assert sent[0]["pattern"] is None
+    assert sent[0]["rule_order"] is None
+    pages = spark.createDataFrame(
+        [("s.com", "/"), ("s.com", "/anything/x")],
+        "host string, url_path string",
+    )
+    got = {
+        r["url_path"]: r["allowed"]
+        for r in robots.robots_decisions(
+            pages, rules, agent="nicebot"
+        ).collect()
+    }
+    # nicebot's allow-all group shadows the '*' deny-all group
+    assert got == {"/": 1, "/anything/x": 1}
+    star = {
+        r["url_path"]: r["allowed"]
+        for r in robots.robots_decisions(pages, rules, agent="*").collect()
+    }
+    assert star == {"/": 0, "/anything/x": 0}
+
+
+def test_backslash_patterns_do_not_break_like(spark):
+    """A robots pattern ending in '\\$' is the path '...\\' anchored at
+    end (backslash is an ordinary path byte in robots.txt); a bare
+    trailing '\\' is an unanchored prefix.  Neither may produce a
+    dangling LIKE escape (which would throw at execution)."""
+    files = spark.createDataFrame(
+        [
+            (
+                "bs.com",
+                "User-agent: *\nDisallow: /dir\\$\nDisallow: /raw\\\n",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots.parse_robots(files)
+    got = {
+        (r["directive"], r["pattern"]) for r in rules.collect()
+    }
+    assert got == {
+        ("disallow", "/dir\\$"),
+        ("disallow", "/raw\\"),
+    }
+    pages = spark.createDataFrame(
+        [
+            ("bs.com", "/dir\\"),      # exact anchored match -> deny
+            ("bs.com", "/dir\\more"),  # anchor: longer path allowed
+            ("bs.com", "/dir"),        # shorter -> allowed
+            ("bs.com", "/raw\\x"),     # unanchored prefix -> deny
+            ("bs.com", "/rawx"),       # prefix requires the backslash
+        ],
+        "host string, url_path string",
+    )
+    got = {
+        r["url_path"]: r["allowed"]
+        for r in robots.robots_decisions(pages, rules).collect()
+    }
+    assert got == {
+        "/dir\\": 0,
+        "/dir\\more": 1,
+        "/dir": 1,
+        "/raw\\x": 0,
+        "/rawx": 1,
+    }
