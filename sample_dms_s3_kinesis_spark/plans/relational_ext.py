@@ -6664,7 +6664,10 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
         else:
             # WARC: every 11th doc ships only a request record (filter
             # coverage), every 13th a 404 response (status coverage),
-            # the rest 200 responses carrying the synthesized HTML page
+            # every 17th a CHUNKED-transfer-coded 200 (the decode
+            # branch — warc_responses must reassemble the entity or
+            # these docs digest wrong / go missing vs the oracle),
+            # the rest plain 200 responses with the synthesized HTML
             uri = F.concat(
                 F.lit("https://"),
                 F.col("source"),
@@ -6682,6 +6685,18 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
                         target_uri=uri,
                         body=F.lit("<html><body>404 not found</body></html>"),
                         http_status=F.lit(404),
+                    ),
+                )
+                .when(
+                    F.col("doc_id") % 17 == 0,
+                    _crawl.warc_response_record(
+                        target_uri=uri,
+                        body=_crawl.http_chunked_body(
+                            _wrapped_html(), chunk_chars=256
+                        ),
+                        extra_http_headers=(
+                            "Transfer-Encoding: chunked",
+                        ),
                     ),
                 )
                 .otherwise(

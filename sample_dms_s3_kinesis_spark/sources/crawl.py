@@ -28,14 +28,22 @@ Scale notes:
   bugs.  ``.warc.gz`` is a non-splittable codec: there the FILE is the
   parallel unit (Common Crawl ships ~1 GB files, which parallelizes
   fine at file granularity on a large cluster).
-- The readers target TEXT payloads (UTF-8 HTML/JSON — the curation
-  case).  Binary payloads (images in WARC, per-record gzip) would need
-  the binaryFile source plus a decode step; that path is out of scope
-  here and documented rather than half-supported.
+- The readers target TEXT entities (UTF-8 HTML/JSON — the curation
+  case), but real-crawl HTTP encodings around them ARE handled:
+  ``warc_responses`` decodes ``Transfer-Encoding: chunked`` bodies in
+  pure Catalyst on BOTH readers' output, and ``Content-Encoding:
+  gzip`` (incl. chunked+gzipped) via an Arrow-batched gunzip when the
+  record bytes survive — i.e. through ``read_warc_gz(
+  binary_payload=True)``; through the text source gzip bytes are
+  already mangled and such records honestly reject (``body = NULL``).
+  Truly binary entities (images in WARC) remain out of scope.
 """
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -243,6 +251,13 @@ _WARC_SCHEMA = T.StructType(
     ]
 )
 
+# read_warc_gz(binary_payload=True): the base schema plus the raw
+# payload bytes — the only field binary HTTP bodies can survive in
+_WARC_BIN_SCHEMA = T.StructType(
+    list(_WARC_SCHEMA.fields)
+    + [T.StructField("payload_bin", T.BinaryType())]
+)
+
 
 # Precompiled pieces of the Python parse twin: _parse_warc_piece runs
 # once per record — ~50-100k times per Common Crawl container — so
@@ -288,6 +303,53 @@ def _try_cast_long(s: str | None) -> int | None:
         return None
     v = int(s)
     return v if -(2**63) <= v < 2**63 else None
+
+
+_HDR_SPLIT_B = _re.compile(rb"(?s)^(.*?)\r\n\r\n")
+_ONE_SEP_B = _re.compile(rb"(?s)^(.*)\r\n\r\n[ \t\n\x0b\f\r]*\Z")
+_ASCII_NONWS_B = _re.compile(rb"[^ \t\n\x0b\f\r]")
+
+
+def _parse_warc_piece_bytes(piece: bytes) -> tuple | None:
+    """Byte-level twin of :func:`_parse_warc_piece` for
+    ``read_warc_gz(binary_payload=True)``: identical split/probe rules
+    (the regexes are the ``rb`` twins of the str ones — header bytes
+    are ASCII, \\r\\n bytes can never occur inside a UTF-8 multibyte
+    sequence, so split-then-decode equals decode-then-split), but the
+    RAW payload bytes survive in a trailing ``payload_bin`` field and
+    ``payload_len``/``length_ok`` are computed on the raw bytes.  That
+    is what makes binary HTTP bodies (Content-Encoding: gzip) readable:
+    the text path's decode-to-str mangles them irreversibly and such
+    records can only ever flag ``length_ok = false`` there."""
+    if not _ASCII_NONWS_B.search(piece):
+        return None
+    m = _HDR_SPLIT_B.match(piece)
+    hdr_b = m.group(1) if m and m.group(1) else None
+    raw_payload = piece[m.end():] if m else b""
+    sep = _ONE_SEP_B.match(raw_payload)
+    payload_b = sep.group(1) if sep else raw_payload
+    hdr = hdr_b.decode("utf-8", "replace") if hdr_b is not None else None
+
+    def probe(name):
+        if hdr is None:
+            return None
+        h = _HEADER_PROBES[name].search(hdr)
+        return (h.group(1) or None) if h else None
+
+    declared = _try_cast_long(probe("Content-Length"))
+    payload_len = len(payload_b)
+    return (
+        probe("WARC-Type"),
+        probe("WARC-Target-URI"),
+        probe("WARC-Record-ID"),
+        probe("WARC-Date"),
+        probe("Content-Type"),
+        declared,
+        payload_b.decode("utf-8", "replace"),
+        payload_len,
+        hdr is not None and declared is not None and declared == payload_len,
+        payload_b,
+    )
 
 
 def _parse_warc_piece(piece: str) -> tuple | None:
@@ -342,6 +404,7 @@ def read_warc_gz(
     version: str = "1.0",
     batch_rows: int = 512,
     streaming: bool = False,
+    binary_payload: bool = False,
     options: dict | None = None,
 ) -> DataFrame:
     """Read gzip-compressed WARC containers (``.warc.gz`` — the format
@@ -358,24 +421,39 @@ def read_warc_gz(
     decompression buffer plus one output batch, never the whole
     decompressed container.  The record parse is the Python twin of
     the Catalyst parse (same header/payload/length_ok semantics,
-    equivalence pinned by test)."""
+    equivalence pinned by test).
+
+    ``binary_payload=True`` appends a ``payload_bin`` BINARY column
+    with the RAW payload bytes and computes ``payload_len`` /
+    ``length_ok`` on those bytes instead of the decoded string.  This
+    is the real-crawl mode: a record whose HTTP body is binary
+    (``Content-Encoding: gzip``) keeps its bytes intact for
+    :func:`warc_responses` to decode, and flags ``length_ok = true``
+    when the declared Content-Length matches the raw bytes.  The
+    default mode stays byte-for-byte in lockstep with the text reader
+    (which can only see the lossy decoded string, so such records flag
+    false there — the honest reject)."""
     import codecs
     import gzip
     import io
 
-    import pandas as pd
-
     if batch_rows < 1:
         raise ValueError(f"batch_rows must be >= 1, got {batch_rows}")
     boundary = _WARC_BOUNDARY.format(version=version)
-    cols = _WARC_SCHEMA.fieldNames()
+    schema = _WARC_BIN_SCHEMA if binary_payload else _WARC_SCHEMA
+    cols = schema.fieldNames()
 
     def parse_files(batches):
         for pdf in batches:
             for content in pdf["content"]:
                 gz = gzip.GzipFile(fileobj=io.BytesIO(bytes(content)))
-                decoder = codecs.getincrementaldecoder("utf-8")("replace")
-                buf = ""
+                if binary_payload:
+                    decode_chunk = lambda chunk, final=False: chunk  # noqa: E731
+                    sep, buf, parse = boundary.encode(), b"", _parse_warc_piece_bytes
+                else:
+                    decoder = codecs.getincrementaldecoder("utf-8")("replace")
+                    decode_chunk = decoder.decode
+                    sep, buf, parse = boundary, "", _parse_warc_piece
                 out = []
 
                 def take_complete(buf):
@@ -383,10 +461,10 @@ def read_warc_gz(
                     # a partial record (or partial boundary string)
                     # whose closing boundary hasn't arrived — stays
                     # buffered for the next chunk
-                    pieces = buf.split(boundary)
+                    pieces = buf.split(sep)
                     tail = pieces.pop()
                     for piece in pieces:
-                        rec = _parse_warc_piece(piece)
+                        rec = parse(piece)
                         if rec is not None:
                             out.append(rec)
                     return tail
@@ -395,7 +473,7 @@ def read_warc_gz(
                     chunk = gz.read(1 << 20)
                     if not chunk:
                         break
-                    buf += decoder.decode(chunk)
+                    buf += decode_chunk(chunk)
                     if len(buf) >= (1 << 21):
                         buf = take_complete(buf)
                     while len(out) >= batch_rows:
@@ -403,9 +481,9 @@ def read_warc_gz(
                             out[:batch_rows], columns=cols
                         )
                         out = out[batch_rows:]
-                buf += decoder.decode(b"", True)
+                buf += decode_chunk(b"", True)
                 buf = take_complete(buf)
-                rec = _parse_warc_piece(buf)  # the final record
+                rec = parse(buf)  # the final record
                 if rec is not None:
                     out.append(rec)
                 while out:
@@ -420,18 +498,203 @@ def read_warc_gz(
         # batch binaryFile source rejects one — apply only here
         reader = reader.schema(_BINARY_FILE_SCHEMA)
     files = reader.load(path)
-    return files.select("content").mapInPandas(parse_files, _WARC_SCHEMA)
+    return files.select("content").mapInPandas(parse_files, schema)
+
+
+# Chunked size line (RFC 9112 §7.1): 1-7 hex digits (256 MB-1 chunk
+# cap — a hostile larger claim fails the in-bounds check) + optional
+# ASCII-printable chunk extension of at most 254 bytes (so the whole
+# line fits the fixed 266-byte probe slice — the Python twin applies
+# the identical bound).  The extension class is [ -~], NOT [^\r\n]: a
+# non-ASCII byte in it would make the matched string's char length
+# diverge from its byte length after the lossy binary->string cast,
+# corrupting the byte-offset walk — rejecting it keeps every offset
+# exact.
+_CHUNK_SIZE_LINE = r"^([0-9a-fA-F]{1,7})(?:;[ -~]{0,254})?\r\n"
+_CHUNK_SIZE_LINE_B = _re.compile(rb"([0-9a-fA-F]{1,7})(?:;[ -~]{0,254})?\r\n")
+
+
+def _dechunk_py(b: bytes, max_chunks: int = 1024) -> bytes | None:
+    """Python twin of :func:`_dechunk`, for the gzip decode path
+    (chunked+gzipped bodies reassemble inside the gunzip UDF — a
+    Python UDF whose input expression contains HOF lambdas cannot be
+    extracted for batch evaluation, so the Catalyst fold cannot feed
+    it directly).  Kept in LOCKSTEP with the Catalyst fold; the
+    equivalence is pinned by test_chunked_decoder_twins_agree."""
+    off, acc = 0, bytearray()
+    for _ in range(max_chunks + 1):
+        m = _CHUNK_SIZE_LINE_B.match(b, off)
+        if not m:
+            return None
+        n = int(m.group(1), 16)
+        if n == 0:
+            return bytes(acc)
+        start = m.end()
+        chunk = b[start : start + n]
+        if len(chunk) != n or b[start + n : start + n + 2] != b"\r\n":
+            return None
+        acc += chunk
+        off = start + n + 2
+    return None
+
+
+def _dechunk(data: Column, *, max_chunks: int = 1024) -> Column:
+    """Decode HTTP chunked transfer framing from BINARY ``data``:
+    returns ``struct(ok boolean, data binary)`` — ``ok`` true and the
+    reassembled entity bytes when the framing is well-formed, false /
+    NULL otherwise (bad size line, missing chunk CRLF, truncated
+    chunk, or more than ``max_chunks`` chunks).
+
+    Pure Catalyst: an ``aggregate`` fold over ``sequence(1, N)`` walks
+    the framing one chunk per step with a (byte-offset, accumulator,
+    state) struct; finished rows short-circuit each remaining step to
+    a no-op ``when``.  Byte arithmetic throughout — chunk sizes count
+    BYTES, so the walk runs on binary and only ASCII-safe slices are
+    ever cast to string (cast, not decode: decode throws on malformed
+    bytes under ANSI, cast wraps them).  Trailer fields after the
+    terminal 0-chunk are tolerated and ignored.  The input expression
+    is routed through a bound lambda variable so the fold reads it
+    once, not once per step (HOF lambdas are opaque to Catalyst CSE).
+    """
+    from sample_dms_s3_kinesis_spark.operators.text import _bind
+
+    def run(b):
+        def step(s, _i):
+            off = s.getField("off")
+            acc = s.getField("acc")
+            st = s.getField("st")
+            probe = F.substring(b, off.cast("int"), 266).try_cast(
+                "string"
+            )
+            m0 = F.regexp_extract(probe, _CHUNK_SIZE_LINE, 0)
+            m1 = F.regexp_extract(probe, _CHUNK_SIZE_LINE, 1)
+            n = F.conv(m1, 16, 10).try_cast("long")
+            data_off = off + F.octet_length(m0).cast("long")
+            chunk = F.substring(b, data_off.cast("int"), n.cast("int"))
+            intact = (
+                F.octet_length(chunk).cast("long") == n
+            ) & (
+                F.substring(b, (data_off + n).cast("int"), 2)
+                == F.lit(b"\r\n")
+            )
+            keep = F.struct(off.alias("off"), acc.alias("acc"))
+
+            def halt(code):
+                return F.struct(
+                    keep.getField("off").alias("off"),
+                    keep.getField("acc").alias("acc"),
+                    F.lit(code).alias("st"),
+                )
+
+            return F.when(st != 0, s).otherwise(
+                F.when(m0 == "", halt(2))
+                .when(n == 0, halt(1))
+                .when(
+                    intact,
+                    F.struct(
+                        (data_off + n + 2).alias("off"),
+                        F.concat(acc, chunk).alias("acc"),
+                        F.lit(0).alias("st"),
+                    ),
+                )
+                .otherwise(halt(2))
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(max_chunks + 1)),
+            F.struct(
+                F.lit(1).cast("long").alias("off"),
+                F.lit(b"").alias("acc"),
+                F.lit(0).alias("st"),
+            ),
+            step,
+            lambda s: F.struct(
+                (s.getField("st") == 1).alias("ok"),
+                F.when(s.getField("st") == 1, s.getField("acc")).alias(
+                    "data"
+                ),
+            ),
+        )
+
+    return _bind(data, run)
+
+
+_GUNZIP_UDF = None
+
+
+def _gzip_entity_udf():
+    """Arrow-batched decoder for gzip HTTP entities (raw body bytes +
+    transfer coding -> entity string, NULL on any failure).  The one
+    Python step in the response decode path — Catalyst has no gunzip
+    expression; everything around it (header probes, dispatch, and the
+    common text-chunked case) stays JVM-side, and the udf only ever
+    sees non-NULL input on rows whose Content-Encoding is gzip.
+    Chunked+gzipped bodies de-chunk HERE via :func:`_dechunk_py` (the
+    pinned twin of the Catalyst fold): a Python UDF whose input
+    expression contains HOF lambdas is not extractable for batch
+    evaluation, so the fold's output cannot feed the udf directly.
+    Decompressed bytes read as UTF-8 with replacement, matching what
+    the text source does to a page that was never compressed."""
+    global _GUNZIP_UDF
+    if _GUNZIP_UDF is None:
+        import gzip
+
+        @F.pandas_udf("string")
+        def gzip_entity(data: pd.Series, te: pd.Series) -> pd.Series:
+            def one(v, t):
+                if v is None:
+                    return None
+                b = bytes(v)
+                if t == "chunked":
+                    b = _dechunk_py(b)
+                    if b is None:
+                        return None
+                try:
+                    return gzip.decompress(b).decode("utf-8", "replace")
+                except Exception:
+                    return None
+
+            return pd.Series(
+                [one(v, t) for v, t in zip(data, te)], dtype=object
+            )
+
+        _GUNZIP_UDF = gzip_entity
+    return _GUNZIP_UDF
+
+
+def _http_header(hdr: Column, name: str) -> Column:
+    # same anchor discipline as _warc_header (explicit \n, never (?m))
+    return F.nullif(
+        F.regexp_extract(hdr, rf"(?i)(?:^|\n){name}:[ \t]*([^\r\n]*)", 1),
+        F.lit(""),
+    )
 
 
 def warc_responses(records: DataFrame) -> DataFrame:
-    """HTTP response records out of :func:`read_warc_records` output:
-    parses the HTTP status line and splits headers from body.
+    """HTTP response records out of :func:`read_warc_records` /
+    :func:`read_warc_gz` output: parses the HTTP status line, splits
+    headers from body and DECODES the body's HTTP encodings.
 
-    Adds ``http_status`` (int), ``http_content_type`` and ``body``;
+    Adds ``http_status`` (int), ``http_content_type``,
+    ``http_transfer_encoding``, ``http_content_encoding`` and ``body``;
     keeps the WARC columns.  Non-response records (request, warcinfo,
     metadata, …) are filtered out — crawl curation ingests fetched
-    pages, not the crawler's own bookkeeping."""
+    pages, not the crawler's own bookkeeping.
+
+    ``body`` is the DECODED entity: the raw body for unencoded
+    responses, the reassembled entity for ``Transfer-Encoding:
+    chunked`` (pure-Catalyst :func:`_dechunk`, works on both readers'
+    output), and the decompressed text for ``Content-Encoding: gzip``
+    WHEN the input carries a ``payload_bin`` column
+    (``read_warc_gz(binary_payload=True)`` — gzip bytes cannot survive
+    the text source's decode, so on the text path such records get
+    ``body = NULL``).  ``body IS NULL`` means undecodable — bad
+    chunked framing, gzip failure, an unsupported coding, or binary
+    content on the text path — and is the reject signal callers filter
+    on, exactly like ``length_ok``.  Chunked+gzipped responses decode
+    in RFC order (de-chunk, then gunzip)."""
     resp = records.filter(F.lower(F.col("warc_type")) == "response")
+    has_bin = "payload_bin" in records.columns
     http_hdr = F.regexp_extract("payload", r"(?s)^(.*?)\r\n\r\n", 1)
     body = F.regexp_extract("payload", r"(?s)^.*?\r\n\r\n(.*)$", 1)
     bound = resp.select(
@@ -443,9 +706,69 @@ def warc_responses(records: DataFrame) -> DataFrame:
         "payload_len",
         "length_ok",
         http_hdr.alias("_http_hdr"),
-        body.alias("body"),
+        body.alias("_body_raw"),
+        *([F.col("payload_bin")] if has_bin else []),
     )
-    return bound.select(
+    te = F.lower(F.rtrim(_http_header(F.col("_http_hdr"), "Transfer-Encoding")))
+    ce = F.lower(F.rtrim(_http_header(F.col("_http_hdr"), "Content-Encoding")))
+    staged = bound.select(
+        "*",
+        te.alias("http_transfer_encoding"),
+        ce.alias("http_content_encoding"),
+    )
+    te_c = F.col("http_transfer_encoding")
+    ce_c = F.col("http_content_encoding")
+    te_none = te_c.isNull() | (te_c == "identity")
+    ce_none = ce_c.isNull() | (ce_c == "identity")
+    ce_gzip = ce_c.isin("gzip", "x-gzip")
+    if has_bin:
+        # entity bytes = the raw payload minus the HTTP header block.
+        # The header is ASCII in any response we can decode, so its
+        # re-encoded length is the exact byte offset; a non-ASCII
+        # header would skew the slice and the decode below would fail
+        # to NULL — the honest outcome for such a record.
+        ebin = F.substring(
+            F.col("payload_bin"),
+            F.octet_length(F.encode(F.col("_http_hdr"), "UTF-8")) + 5,
+            F.octet_length(F.col("payload_bin")),
+        )
+    else:
+        # text path: recover the body bytes from the (valid-UTF-8)
+        # string — exact for every record the text source didn't
+        # already mangle
+        ebin = F.encode(F.col("_body_raw"), "UTF-8")
+    from sample_dms_s3_kinesis_spark.operators.text import _bind
+
+    def _dechunked_bytes():
+        # bind the fold output: .ok and .data both read it, and an
+        # unbound struct would re-run the whole aggregate per field
+        return _bind(
+            _dechunk(ebin),
+            lambda d: F.when(d.getField("ok"), d.getField("data")),
+        )
+
+    decoded = F.when(te_none & ce_none, F.col("_body_raw")).when(
+        (te_c == "chunked") & ce_none,
+        # make_valid_utf8, not decode: U+FFFD replacement for invalid
+        # bytes — the same convention the text source applies to
+        # uncompressed pages (ANSI decode throws)
+        F.make_valid_utf8(_dechunked_bytes()),
+    )
+    if has_bin:
+        # One udf call on PRE-GATED inputs: NULL bytes for every
+        # non-gzip row (the decompressor sees nothing to do), and the
+        # input expressions are lambda-free so the UDF is extractable
+        # into its Arrow batch projection.  De-chunking for the
+        # chunked+gzip combo happens inside the udf (_dechunk_py).
+        gz_rows = ce_gzip & (te_none | (te_c == "chunked"))
+        decoded = decoded.when(
+            gz_rows,
+            _gzip_entity_udf()(
+                F.when(gz_rows, ebin), F.when(gz_rows, te_c)
+            ),
+        )
+    # any other coding combination falls through to NULL: undecodable
+    return staged.select(
         "warc_type",
         "target_uri",
         "record_id",
@@ -463,11 +786,15 @@ def warc_responses(records: DataFrame) -> DataFrame:
         .alias("http_status"),
         F.nullif(
             F.regexp_extract(
-                "_http_hdr", r"(?mi)^Content-Type:[ \t]*([^\r\n;]*)", 1
+                "_http_hdr",
+                r"(?i)(?:^|\n)Content-Type:[ \t]*([^\r\n;]*)",
+                1,
             ),
             F.lit(""),
         ).alias("http_content_type"),
-        "body",
+        "http_transfer_encoding",
+        "http_content_encoding",
+        decoded.alias("body"),
     )
 
 
@@ -493,6 +820,46 @@ def warc_conversions(records: DataFrame) -> DataFrame:
     )
 
 
+def http_chunked_body(body: Column, *, chunk_chars: int = 2048) -> Column:
+    """Frame a text ``body`` with HTTP chunked transfer coding (the
+    write direction of :func:`_dechunk`, for fixtures and for spilling
+    curated pages back out as spec-shaped WARC).  Splits on CHARACTER
+    boundaries every ``chunk_chars`` chars but declares each chunk's
+    size in BYTES (hex), per RFC 9112 — multibyte text frames
+    correctly.  Pure Catalyst (sequence + transform + concat_ws); NULL
+    body stays NULL."""
+    from sample_dms_s3_kinesis_spark.operators.text import _bind
+
+    if chunk_chars < 1:
+        raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+
+    def run(b):
+        n_chunks = F.ceil(F.length(b) / F.lit(chunk_chars)).cast("int")
+        idx = F.when(n_chunks > 0, F.sequence(F.lit(1), n_chunks)).otherwise(
+            F.array().cast("array<int>")
+        )
+        parts = F.transform(
+            idx,
+            lambda i: _bind(
+                F.substring(
+                    b, (i - 1) * chunk_chars + 1, F.lit(chunk_chars)
+                ),
+                lambda c: F.concat(
+                    F.lower(F.hex(F.octet_length(c))),
+                    F.lit("\r\n"),
+                    c,
+                    F.lit("\r\n"),
+                ),
+            ),
+        )
+        return F.when(
+            b.isNotNull(),
+            F.concat(F.concat_ws("", parts), F.lit("0\r\n\r\n")),
+        )
+
+    return _bind(body, run)
+
+
 def warc_response_record(
     *,
     target_uri: Column,
@@ -502,22 +869,26 @@ def warc_response_record(
     record_id: Column | None = None,
     http_content_type: str = "text/html",
     warc_type: str = "response",
+    extra_http_headers: Sequence[str] = (),
 ) -> Column:
     """Build a spec-shaped WARC record STRING as a Column expression —
     the write direction of the fold, used to synthesize fixtures and to
     spill curated pages back out as WARC.  Content-Length is computed
     from the payload's UTF-8 byte length, so a re-read round-trips with
     ``length_ok = true``.  Fully distributed (pure concat — no driver
-    loop, no UDF)."""
+    loop, no UDF).  ``extra_http_headers`` appends literal header
+    lines (e.g. ``"Transfer-Encoding: chunked"`` with a
+    :func:`http_chunked_body`-framed body) after Content-Type."""
     status = (
         http_status if http_status is not None else F.lit(200)
     ).cast("string")
+    extra = "".join(f"{h}\r\n" for h in extra_http_headers)
     payload = F.concat(
         F.lit("HTTP/1.1 "),
         status,
         F.lit(" \r\nContent-Type: "),
         F.lit(http_content_type),
-        F.lit("\r\n\r\n"),
+        F.lit("\r\n" + extra + "\r\n"),
         body,
     )
     hdr = F.concat(

@@ -562,14 +562,23 @@ class CorpusIngestTask(ReplicationTask):
             )
         from sample_dms_s3_kinesis_spark.sources import crawl
 
-        read = (
-            crawl.read_warc_gz
-            if self.input_format == "warc_gz"
-            else crawl.read_warc_records
-        )
-        responses = crawl.warc_responses(
-            read(self.spark, self.drop_dir, streaming=streaming, options=opts)
-        )
+        if self.input_format == "warc_gz":
+            # binary_payload: real-crawl mode — gzip-encoded HTTP
+            # bodies keep their bytes so warc_responses can decode
+            # them; undecodable ones surface as body NULL and drop in
+            # the filter below
+            records = crawl.read_warc_gz(
+                self.spark,
+                self.drop_dir,
+                streaming=streaming,
+                binary_payload=True,
+                options=opts,
+            )
+        else:
+            records = crawl.read_warc_records(
+                self.spark, self.drop_dir, streaming=streaming, options=opts
+            )
+        responses = crawl.warc_responses(records)
         # target_uri must exist: the URI is the doc identity, and
         # xxhash64(NULL) is a fixed constant — URI-less responses would
         # all collapse onto one doc_id.  They drop here instead.
