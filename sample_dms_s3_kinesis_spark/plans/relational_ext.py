@@ -6644,6 +6644,59 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
         path = tempfile.mkdtemp(prefix=f"crawl-{kind}-")
         out = f"{path}/data"
         d = t(spark, sf_dir, "documents")
+        if kind == "warc_enc":
+            # HTTP-encoded .warc.gz containers: doc_id % 4 selects the
+            # body coding (0 plain, 1 chunked, 2 gzip, 3 chunked+gzip).
+            # gzip members need REAL compressed bytes, which no Spark
+            # sink emits — each partition writes one multi-member
+            # .warc.gz via the Python record builder (executor-local
+            # file I/O: fine for a local-mode test fixture; production
+            # WARC spill would go through an object-store client).
+            import os as _os
+
+            _os.makedirs(out, exist_ok=True)
+            rows = d.select("doc_id", "source", _wrapped_html().alias("html"))
+
+            def _write_part(it):
+                import gzip as _gz
+
+                from pyspark import TaskContext
+
+                recs = []
+                for r in it:
+                    uri = (
+                        f"https://{r['source']}.example.com/p/"
+                        f"{r['doc_id']}"
+                    )
+                    body = r["html"].encode()
+                    v = r["doc_id"] % 4
+                    te = "chunked" if v in (1, 3) else None
+                    ce = "gzip" if v in (2, 3) else None
+                    if ce:
+                        body = _gz.compress(body, mtime=0)
+                    if te:
+                        body = _crawl.http_chunk_bytes(body, 512)
+                    recs.append(
+                        _gz.compress(
+                            _crawl.warc_response_record_bytes(
+                                uri,
+                                body,
+                                transfer_encoding=te,
+                                content_encoding=ce,
+                            ),
+                            mtime=0,
+                        )
+                    )
+                if recs:
+                    pid = TaskContext.get().partitionId()
+                    with open(
+                        f"{out}/part-{pid:05d}.warc.gz", "wb"
+                    ) as f:
+                        f.write(b"".join(recs))
+
+            rows.repartition(8).foreachPartition(_write_part)
+            _CRAWL_FIXTURE_CACHE[key] = path
+            return out
         if kind == "jsonl":
             # one JSON object per doc; every 37th line is truncated by
             # one character (drops the closing brace -> malformed), so
@@ -6824,6 +6877,62 @@ def q_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _crawl_fixture(spark, sf_dir, "warc_gz")
     return _warc_ingest_result(
         _crawl.warc_responses(_crawl.read_warc_gz(spark, path))
+    )
+
+
+@_register(
+    "q_warc_encoded_ingest",
+    f"""
+    WITH h AS (SELECT doc_id, source, {_DUCK_WRAPPED_HTML} AS html
+               FROM documents),
+    x AS (SELECT doc_id, source, {_duck_html_extract("html")} AS extracted
+          FROM h)
+    SELECT doc_id,
+           'https://' || source || '.example.com/p/'
+             || CAST(doc_id AS VARCHAR) AS target_uri,
+           CASE WHEN doc_id % 4 IN (1, 3) THEN 'chunked' END
+             AS http_transfer_encoding,
+           CASE WHEN doc_id % 4 IN (2, 3) THEN 'gzip' END
+             AS http_content_encoding,
+           md5(extracted) AS extracted_md5,
+           CAST(length(extracted) AS BIGINT) AS extracted_len
+    FROM x
+    """,
+    "HTTP-encoded WARC ingestion: every doc framed into .warc.gz with "
+    "doc_id%4 selecting the body coding (plain / chunked / gzip / "
+    "chunked+gzip), read back through read_warc_gz(binary_payload="
+    "True) and decoded by warc_responses — Catalyst chunked fold, "
+    "Arrow gunzip, RFC decode order — then the standard extraction "
+    "digest.  The oracle recomputes every row straight from the "
+    "table, so a decode fault in ANY coding variant hash-mismatches; "
+    "coverage the real Common Crawl corpus shape requires",
+    "crawl ingestion: HTTP-encoded bodies (chunked / gzip / both)",
+)
+def q_warc_encoded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "warc_enc")
+    resp = _crawl.warc_responses(
+        _crawl.read_warc_gz(spark, path, binary_payload=True)
+    )
+    extracted = resp.filter(
+        F.col("length_ok")
+        & (F.col("http_status") == 200)
+        & F.col("body").isNotNull()
+    ).select(
+        F.regexp_extract("target_uri", r"/p/([0-9]+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "http_transfer_encoding",
+        "http_content_encoding",
+        _text.html_extract(F.col("body")).alias("extracted"),
+    )
+    return extracted.select(
+        "doc_id",
+        "target_uri",
+        "http_transfer_encoding",
+        "http_content_encoding",
+        F.md5("extracted").alias("extracted_md5"),
+        F.length("extracted").cast("long").alias("extracted_len"),
     )
 
 

@@ -918,6 +918,63 @@ def warc_response_record(
     )
 
 
+def http_chunk_bytes(data: bytes, chunk_size: int = 2048) -> bytes:
+    """Python twin of :func:`http_chunked_body` for BINARY entities
+    (the Catalyst framer is text-only): frame ``data`` with HTTP
+    chunked transfer coding, ``chunk_size`` bytes per chunk."""
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    out = bytearray()
+    for i in range(0, len(data), chunk_size):
+        c = data[i : i + chunk_size]
+        out += format(len(c), "x").encode() + b"\r\n" + c + b"\r\n"
+    return bytes(out + b"0\r\n\r\n")
+
+
+def warc_response_record_bytes(
+    target_uri: str,
+    body: bytes,
+    *,
+    http_status: int = 200,
+    http_content_type: str = "text/html",
+    transfer_encoding: str | None = None,
+    content_encoding: str | None = None,
+) -> bytes:
+    """Python/bytes twin of :func:`warc_response_record`, for records
+    whose HTTP body is BINARY (gzip Content-Encoding) or chunk-framed
+    — the Catalyst builder is a string expression and cannot carry
+    non-UTF-8 bytes.  ``body`` must already be encoded as declared
+    (pair with :mod:`gzip` and :func:`http_chunk_bytes`).  Used by
+    binary fixtures and by tests; spec-shaped so a re-read through
+    ``read_warc_gz(binary_payload=True)`` round-trips with
+    ``length_ok = true``."""
+    extra = b""
+    if transfer_encoding:
+        extra += f"Transfer-Encoding: {transfer_encoding}\r\n".encode()
+    if content_encoding:
+        extra += f"Content-Encoding: {content_encoding}\r\n".encode()
+    payload = (
+        f"HTTP/1.1 {http_status} \r\n"
+        f"Content-Type: {http_content_type}\r\n".encode()
+        + extra
+        + b"\r\n"
+        + body
+    )
+    import hashlib
+
+    rid = hashlib.md5(target_uri.encode()).hexdigest()
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + target_uri.encode() + b"\r\n"
+        b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        + payload
+        + b"\r\n\r\n"
+    )
+
+
 def warc_request_record(*, target_uri: Column) -> Column:
     """A minimal non-response record (crawler bookkeeping) for fixtures
     and filter tests."""
