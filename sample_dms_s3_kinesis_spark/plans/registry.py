@@ -1399,7 +1399,8 @@ def q_ingest_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('dropped_near',      0),
       ('dropped_sem',       0),
       ('rejected',          1),
-      ('rejected_contract', 1)
+      ('rejected_contract', 1),
+      ('rejected_robots',   0)
     ) AS t(counter, value)
     ORDER BY counter
     """,
@@ -1506,6 +1507,132 @@ def _ingest_html_e2e_results(spark: SparkSession):
 )
 def q_ingest_e2e_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, schema = _ingest_html_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("doc_id")
+
+
+_INGEST_ROBOTS_E2E_CACHE: dict[str, tuple[list, object]] = {}
+
+
+def _ingest_robots_e2e_results(spark: SparkSession):
+    """Cached WARC-drop drive with the robots politeness gate armed:
+    a.com disallows /private but allows the /private/ok subtree for
+    '*'; rule-less hosts pass; denied pages land in the
+    _quarantine_robots side channel, not the corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    key = spark.sparkContext.applicationId
+    if key not in _INGEST_ROBOTS_E2E_CACHE:
+        from sample_dms_s3_kinesis_spark.operators.robots import (
+            parse_robots,
+        )
+        from sample_dms_s3_kinesis_spark.streaming.ingest import (
+            CorpusIngestTask,
+        )
+
+        root = tempfile.mkdtemp(prefix="q_ingest_robots_")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        rules = parse_robots(
+            spark.createDataFrame(
+                [
+                    (
+                        "a.com",
+                        "User-agent: *\nDisallow: /private\n"
+                        "Allow: /private/ok\n",
+                    )
+                ],
+                "host string, robots_txt string",
+            )
+        )
+        task = CorpusIngestTask(
+            spark,
+            drop,
+            os.path.join(root, "corpus"),
+            input_format="warc",
+            doc_id_pattern=r"/p/([0-9]+)$",
+            extract_html=True,
+            robots_rules=rules,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+
+        def _rec(uri, html):
+            payload = (
+                f"HTTP/1.1 200 \r\nContent-Type: text/html\r\n\r\n{html}"
+            )
+            return (
+                "WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(payload.encode())}\r\n\r\n"
+                f"{payload}\r\n\r\n"
+            )
+
+        b1 = (
+            _rec("https://a.com/p/1", "<p>alpha public page</p>")
+            # under the Disallow /private prefix -> robots-denied
+            + _rec("https://a.com/private/p/2", "<p>hidden page two</p>")
+            # longest-match: Allow /private/ok beats Disallow /private
+            + _rec(
+                "https://a.com/private/okzone/p/3",
+                "<p>allowed subtree page</p>",
+            )
+            # same path shape on a RULE-LESS host -> allowed
+            + _rec(
+                "https://b.com/private/p/4", "<p>ruleless host page</p>"
+            )
+            # exact content dup of doc 1 -> dropped by the digest gate
+            + _rec("https://b.com/p/5", "<p>alpha public page</p>")
+        )
+        try:
+            with open(os.path.join(drop, "b1.warc"), "w") as f:
+                f.write(b1)
+            task.process_available()
+            admitted = task.corpus().select(
+                F.col("doc_id"),
+                F.col("text").alias("info"),
+                F.col("batch_id"),
+                F.lit("admitted").alias("status"),
+            )
+            denied = task.robots_quarantined().select(
+                F.col("doc_id"),
+                F.col("target_uri").alias("info"),
+                F.col("batch_id"),
+                F.lit("robots").alias("status"),
+            )
+            frame = admitted.unionByName(denied)
+            _INGEST_ROBOTS_E2E_CACHE[key] = (
+                frame.collect(),
+                frame.schema,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _INGEST_ROBOTS_E2E_CACHE[key]
+
+
+@_register(
+    "q_ingest_robots_funnel",
+    """
+    SELECT * FROM (VALUES
+      (1, 'alpha public page',          0, 'admitted'),
+      (2, 'https://a.com/private/p/2',  0, 'robots'),
+      (3, 'allowed subtree page',       0, 'admitted'),
+      (4, 'ruleless host page',         0, 'admitted')
+    ) AS t(doc_id, info, batch_id, status)
+    ORDER BY doc_id
+    """,
+    "streaming corpus-ingest with the robots.txt POLITENESS gate "
+    "armed: a WARC drop drains through robots_decisions before any "
+    "content gate — a /private page quarantines to the "
+    "_quarantine_robots side channel (rejected_robots counter), the "
+    "Allow /private/ok longest-match subtree and rule-less hosts "
+    "admit, and the exact-dup digest gate still applies downstream; "
+    "oracle = the hand-derived admission outcome",
+    "CorpusIngestTask(robots_rules=...) end-to-end (crawl politeness "
+    "enforcement in the admission funnel)",
+)
+def q_ingest_robots_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema = _ingest_robots_e2e_results(spark)
     return spark.createDataFrame(rows, schema).orderBy("doc_id")
 
 

@@ -91,6 +91,8 @@ class CorpusIngestTask(ReplicationTask):
         embedding_planes: int = 4,
         embedding_dim: int | None = None,
         contract_rules=None,
+        robots_rules: DataFrame | None = None,
+        robots_agent: str = "*",
         postings: bool = False,
         ivf_cells: int | None = None,
         checkpoint_dir: str | None = None,
@@ -148,6 +150,20 @@ class CorpusIngestTask(ReplicationTask):
         # quarantine store with the first failing rule's name — the
         # ingest twin of the CDC apply-exceptions channel.
         self.contract_rules = list(contract_rules) if contract_rules else None
+        # optional POLITENESS gate (runs before every content gate):
+        # robots_rules is a parse_robots output frame; pages whose
+        # (host, path) the rules disallow for robots_agent divert to
+        # the per-batch _quarantine_robots store and count as
+        # rejected_robots next to rejected_contract.  WARC modes only:
+        # the decision keys off the target URI, which JSONL drops
+        # don't carry.
+        if robots_rules is not None and input_format == "jsonl":
+            raise ValueError(
+                "robots_rules requires a WARC input_format (the "
+                "robots decision keys off each page's target URI)"
+            )
+        self.robots_rules = robots_rules
+        self.robots_agent = robots_agent
         # optional output: admitted batches also append their positional
         # postings to the persisted inverted index (PostingsIndex
         # layout), so the corpus is searchable as it grows — mirrors the
@@ -168,8 +184,9 @@ class CorpusIngestTask(ReplicationTask):
 
     # -- manifest ------------------------------------------------------
     # batch_id → {"admitted": n, "dropped_exact": n, "dropped_near": n,
-    # "dropped_sem": n, "rejected": n}; keyed upserts make replay
-    # re-recording idempotent (older manifests lack dropped_sem → 0).
+    # "dropped_sem": n, "rejected": n, "rejected_contract": n,
+    # "rejected_robots": n}; keyed upserts make replay re-recording
+    # idempotent (older manifests lack newer counters → 0).
 
     def _manifest_file(self) -> str:
         return f"{self.corpus_dir}/_MANIFEST.json"
@@ -458,6 +475,7 @@ class CorpusIngestTask(ReplicationTask):
             "dropped_sem": 0,
             "rejected": 0,
             "rejected_contract": 0,
+            "rejected_robots": 0,
         }
         for counts in self._load_manifest().values():
             for k in totals:
@@ -489,6 +507,31 @@ class CorpusIngestTask(ReplicationTask):
             .select(
                 F.col("doc_id").cast("long").alias("doc_id"),
                 F.col("failed_rule").cast("string").alias("failed_rule"),
+                F.col("batch_id").cast("long").alias("batch_id"),
+            )
+        )
+
+    def robots_quarantined(self) -> DataFrame:
+        """(doc_id, target_uri, batch_id) for every robots-disallowed
+        page — the politeness twin of :meth:`quarantined`."""
+        manifest = self._load_manifest()
+        paths = [
+            f"{self.corpus_dir}/_quarantine_robots/batch_id={b}"
+            for b in sorted(manifest, key=int)
+            if int(manifest[b].get("rejected_robots", 0)) > 0
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "doc_id long, target_uri string, batch_id long"
+            )
+        return (
+            self.spark.read.option(
+                "basePath", f"{self.corpus_dir}/_quarantine_robots"
+            )
+            .parquet(*paths)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("target_uri").cast("string").alias("target_uri"),
                 F.col("batch_id").cast("long").alias("batch_id"),
             )
         )
@@ -601,6 +644,14 @@ class CorpusIngestTask(ReplicationTask):
             doc_id.alias("doc_id"),
             F.col("body").alias("text"),
             F.lit(None).cast("array<double>").alias("embedding"),
+            # the robots gate judges (host, path) of the fetched URI —
+            # carried as a plumbing column and dropped right after the
+            # gate, before anything reaches the corpus store
+            *(
+                [F.col("target_uri").alias("_uri")]
+                if self.robots_rules is not None
+                else []
+            ),
         )
 
     # -- the admission pipeline ----------------------------------------
@@ -615,6 +666,55 @@ class CorpusIngestTask(ReplicationTask):
         valid = batch_df.filter(
             F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
+        # POLITENESS gate: robots.txt compliance, before every content
+        # gate (a disallowed page must not even be inspected for
+        # quality).  Denied rows land in the per-batch
+        # _quarantine_robots store (overwrite: replay-idempotent) and
+        # count as rejected_robots.
+        n_robots = 0
+        if self.robots_rules is not None and "_uri" in valid.columns:
+            from sample_dms_s3_kinesis_spark.operators import (
+                robots as _robots,
+            )
+            from sample_dms_s3_kinesis_spark.operators import urls as _urls
+
+            pages = valid.withColumn(
+                "host", _urls.url_host(F.col("_uri"))
+            ).withColumn(
+                "url_path",
+                # RFC 9309 matches the root as "/": a bare-host URI
+                # parses to an empty path and must still hit "/" rules
+                F.when(
+                    _urls.url_path(F.col("_uri")) == "", F.lit("/")
+                ).otherwise(_urls.url_path(F.col("_uri"))),
+            )
+            decisions = _robots.robots_decisions(
+                pages.select("host", "url_path"),
+                self.robots_rules,
+                agent=self.robots_agent,
+            )
+            pages = pages.join(decisions, ["host", "url_path"], "left")
+            denied = pages.filter(F.col("allowed") == 0).persist()
+            n_robots = denied.count()
+            if n_robots > 0:
+                rdir = (
+                    f"{self.corpus_dir}/_quarantine_robots"
+                    f"/batch_id={batch_id}"
+                )
+                (
+                    denied.select(
+                        "doc_id", F.col("_uri").alias("target_uri")
+                    )
+                    .write.mode("overwrite")
+                    .parquet(rdir)
+                )
+                self.spark.catalog.refreshByPath(rdir)
+            denied.unpersist()
+            valid = pages.filter(
+                F.coalesce(F.col("allowed"), F.lit(1)) == 1
+            ).drop("host", "url_path", "allowed")
+        if "_uri" in valid.columns:
+            valid = valid.drop("_uri")
         if self.extract_html:
             from sample_dms_s3_kinesis_spark.operators import text as _text
 
@@ -661,8 +761,9 @@ class CorpusIngestTask(ReplicationTask):
                     "dropped_exact": 0,
                     "dropped_near": 0,
                     "dropped_sem": 0,
-                    "rejected": n_total - n_contract,
+                    "rejected": n_total - n_contract - n_robots,
                     "rejected_contract": n_contract,
+                    "rejected_robots": n_robots,
                 },
             )
             docs.unpersist()
@@ -876,8 +977,12 @@ class CorpusIngestTask(ReplicationTask):
                 "dropped_exact": head["n_valid"] - n_novel,
                 "dropped_near": n_novel - n_after_near,
                 "dropped_sem": n_after_near - n_admitted,
-                "rejected": n_total - head["n_valid"] - n_contract,
+                "rejected": n_total
+                - head["n_valid"]
+                - n_contract
+                - n_robots,
                 "rejected_contract": n_contract,
+                "rejected_robots": n_robots,
             },
         )
         admitted.unpersist()
