@@ -1842,6 +1842,7 @@ def lsh_quality_report(
     bands: int = 32,
     max_band_width: int | None = 10_000,
     shingle: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Calibration harness for the approximate near-dup stack: measure
     MinHash+LSH's precision/recall against the EXACT similarity-join
@@ -1877,6 +1878,7 @@ def lsh_quality_report(
         bands=bands,
         threshold=threshold,
         max_band_width=max_band_width,
+        hash_family=hash_family,
     ).select("id_a", "id_b")
     e = _cut_lineage(exact)
     a = _cut_lineage(approx)
@@ -1985,6 +1987,7 @@ def simhash_quality_report(
     max_hamming: int = 3,
     threshold: float = 0.99,
     max_chunk_width: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash calibration against the EXACT term-vector cosine join
     (:func:`token_cosine_pairs`) — the hamming-side twin of
@@ -2006,6 +2009,7 @@ def simhash_quality_report(
         id_col=id_col,
         max_hamming=max_hamming,
         max_chunk_width=max_chunk_width,
+        hash_family=hash_family,
     ).select("id_a", "id_b")
     e, a = _cut_lineage(exact), _cut_lineage(approx)
     tp = e.join(a, on=["id_a", "id_b"]).count()

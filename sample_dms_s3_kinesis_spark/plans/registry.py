@@ -2012,6 +2012,173 @@ def q_simhash_md5_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r11 conversion: the LSH CALIBRATION REPORT under md5 — both of its
+# sides (the exact shingle-Jaccard join AND the banded md5 minhash
+# pipeline) replicate in DuckDB, so the precision/recall summary the
+# xxhash64 report (q_lsh_quality) can only rows-check becomes
+# exact-oracle-checked.  Rates are single IEEE divisions of exact
+# counts (no rounding — cross-engine bit-identical).
+@_register(
+    "q_lsh_quality_md5",
+    f"""
+    WITH {_MINHASH_MD5_SIG_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    lsh AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE len(list_filter(range(1, 13),
+                            i -> sa.sig[i] = sb.sig[i])) / 12.0 >= 0.5),
+    ex AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(a.grams) > 0 AND len(b.grams) > 0
+        AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams))) >= 0.5),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM ex) AS exact_pairs,
+             (SELECT COUNT(*) FROM lsh) AS lsh_pairs,
+             (SELECT COUNT(*) FROM ex JOIN lsh USING (id_a, id_b))
+               AS true_positive)
+    SELECT CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           CAST(lsh_pairs AS BIGINT) AS lsh_pairs,
+           CAST(true_positive AS BIGINT) AS true_positive,
+           CASE WHEN lsh_pairs = 0 THEN NULL
+                ELSE CAST(true_positive AS DOUBLE) / lsh_pairs
+           END AS "precision",
+           CASE WHEN exact_pairs = 0 THEN NULL
+                ELSE CAST(true_positive AS DOUBLE) / exact_pairs
+           END AS recall
+    FROM m
+    """,
+    "LSH calibration report under the md5 hash family: MinHash+LSH "
+    "(k=12, 4 bands, tau=0.5) measured against the exact 3-gram "
+    "shingle-Jaccard join — BOTH sides replicated in DuckDB, so the "
+    "whole precision/recall summary is exact-checked cross-engine "
+    "(rates as single divisions of exact counts, no rounding)",
+    "dedup: LSH quality calibration (oracle-replicable hash family)",
+)
+def q_lsh_quality_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    rep = dedup.lsh_quality_report(
+        d,
+        threshold=0.5,
+        num_hashes=12,
+        bands=4,
+        shingle=3,
+        hash_family="md5",
+        max_band_width=None,  # the oracle's band join is uncapped
+    )
+    return rep.select(
+        "exact_pairs",
+        "lsh_pairs",
+        "true_positive",
+        F.try_divide(
+            F.col("true_positive").cast("double"), F.col("lsh_pairs")
+        ).alias("precision"),
+        F.try_divide(
+            F.col("true_positive").cast("double"), F.col("exact_pairs")
+        ).alias("recall"),
+    )
+
+
+# r11 conversion: the SimHash CALIBRATION REPORT under md5 — the
+# hamming side brute-forces in DuckDB off md5-nibble fingerprints and
+# the exact side is the binary (Ochiai) token cosine, so the
+# hamming-gate precision/recall summary is exact-oracle-checked.
+@_register(
+    "q_simhash_quality_md5",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(
+               string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(t, s -> substring(md5(s), 1, 16)) AS hs,
+             len(t) AS n
+      FROM toks WHERE len(t) > 0),
+    bits AS (
+      SELECT doc_id, j.j,
+             CASE WHEN 2 * len(list_filter(hs, x ->
+                    ((strpos('0123456789abcdef',
+                             substring(x, 16 - j.j // 4, 1)) - 1)
+                     >> (j.j % 4)) & 1 = 1)) > n
+                  THEN 1 ELSE 0 END AS b
+      FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) j),
+    fp AS (
+      SELECT doc_id,
+             bit_or(CASE WHEN b = 1 THEN CAST(1 AS UBIGINT) << j
+                         ELSE CAST(0 AS UBIGINT) END) AS fp
+      FROM bits GROUP BY doc_id),
+    sh AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+    tk AS (
+      SELECT doc_id,
+             list_filter(
+               list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+               x -> x <> '') AS t
+      FROM documents),
+    ex AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+      WHERE len(a.t) > 0 AND len(b.t) > 0
+        AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / sqrt(CAST(len(a.t) AS DOUBLE) * len(b.t)) >= 0.98),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM ex) AS exact_pairs,
+             (SELECT COUNT(*) FROM sh) AS simhash_pairs,
+             (SELECT COUNT(*) FROM ex JOIN sh USING (id_a, id_b))
+               AS true_positive)
+    SELECT CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           CAST(simhash_pairs AS BIGINT) AS simhash_pairs,
+           CAST(true_positive AS BIGINT) AS true_positive,
+           CASE WHEN simhash_pairs = 0 THEN NULL
+                ELSE CAST(true_positive AS DOUBLE) / simhash_pairs
+           END AS "precision",
+           CASE WHEN exact_pairs = 0 THEN NULL
+                ELSE CAST(true_positive AS DOUBLE) / exact_pairs
+           END AS recall
+    FROM m
+    """,
+    "SimHash calibration report under the md5 hash family: the "
+    "hamming<=3 gate (md5-nibble fingerprints, brute-force in DuckDB) "
+    "measured against the exact BINARY token-cosine join at the "
+    "rule-of-thumb operating point cos(3*pi/64)~=0.99 (tau=0.98) — "
+    "both sides replicated, the summary exact-checked cross-engine",
+    "dedup: SimHash quality calibration (oracle-replicable hash "
+    "family)",
+)
+def q_simhash_quality_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    rep = dedup.simhash_quality_report(
+        d,
+        max_hamming=3,
+        threshold=0.98,
+        max_chunk_width=None,  # the oracle brute-forces uncapped
+        hash_family="md5",
+    )
+    return rep.select(
+        "exact_pairs",
+        "simhash_pairs",
+        "true_positive",
+        F.try_divide(
+            F.col("true_positive").cast("double"), F.col("simhash_pairs")
+        ).alias("precision"),
+        F.try_divide(
+            F.col("true_positive").cast("double"), F.col("exact_pairs")
+        ).alias("recall"),
+    )
+
+
 # Winnowing twin of the md5-family conversion: rolling 6-token span
 # hashes and min-of-window-4 fingerprints replicate in DuckDB list
 # algebra, so the substring-containment candidate join — previously
