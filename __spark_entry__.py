@@ -48,7 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
     training-data path.  Schema: (split string, lang string,
     n_docs bigint)."""
     _tune(spark)
-    return REGISTRY["q_curation_pipeline"].fn(spark, "/root/testdata/sf0.001")
+    root = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    return REGISTRY["q_curation_pipeline"].fn(spark, f"{root}/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2330,7 +2330,12 @@ def q_containment_md5_against(
       FROM rh)
     SELECT doc_id,
            CAST(len(fps) AS INT) AS n_fingerprints,
-           md5(array_to_string(list_sort(fps), ',')) AS fps_md5
+           -- coalesce: array_to_string([]) is NULL in DuckDB but
+           -- concat_ws over an empty array is '' in Spark — a doc
+           -- with fewer spans than the window has an EMPTY
+           -- fingerprint set and both engines must digest md5('')
+           md5(coalesce(array_to_string(list_sort(fps), ','), ''))
+             AS fps_md5
     FROM fp
     """,
     "winnowing (MOSS) fingerprint sets under the md5 hash family: "
@@ -2380,7 +2385,8 @@ def q_winnowed_md5_fingerprints(
     SELECT doc_id,
            CAST(len(rh) AS INT) AS n_spans,
            CAST(len(list_distinct(rh)) AS INT) AS n_distinct,
-           md5(array_to_string(list_sort(list_distinct(rh)), ','))
+           md5(coalesce(
+             array_to_string(list_sort(list_distinct(rh)), ','), ''))
              AS fps_md5,
            list_aggregate(rh, 'min') AS min_fp
     FROM rh

@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators import bucketing as B
 
-SF_DIR = "/root/testdata/sf0.001"
+from tdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 
 @pytest.fixture(scope="module")

@@ -8,6 +8,7 @@ import math
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators import classify
+from tdata import sf_dir
 
 DOCS = [
     (0, "spark table join join scan", "a"),
@@ -104,7 +105,7 @@ def test_nb_sf_documents_classify_is_plan_clean(spark):
     """The full train+classify pipeline over the test tables stays
     JVM-side (no Python row evaluation) and predicts only training
     labels."""
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet")
     train = docs.filter(F.col("doc_id") % 2 == 0)
     test = docs.filter(F.col("doc_id") % 2 == 1)
     tm, lm = classify.nb_train(train, label_col="lang")

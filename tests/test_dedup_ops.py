@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators import dedup
 
-SF_DIR = "/root/testdata/sf0.001"
+from tdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 
 def _docs(spark, n=120):
@@ -530,7 +532,7 @@ def test_embedding_near_dup_against_matches_cross_subset(spark):
     self-join operator over the union, for both the broadcast and the
     salted-shuffle strategies, and the gate admits the unflagged new
     ids."""
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir('0.001')}/embeddings.parquet")
     new = emb.filter(F.col("vec_id") % 2 == 1)
     existing = emb.filter(F.col("vec_id") % 2 == 0)
 

@@ -8,6 +8,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators import layout
+from tdata import sf_dir
 
 
 def _part_files(path):
@@ -142,7 +143,7 @@ def test_skipping_report_clustered_vs_unclustered(spark, tmp_path):
         write_range_clustered,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet")
     flat = str(tmp_path / "flat")
     clustered = str(tmp_path / "clustered")
     # unclustered: shuffle rows so every small row group straddles the
@@ -175,7 +176,7 @@ def test_skipping_report_unknown_column(spark, tmp_path):
 
     from sample_dms_s3_kinesis_spark.operators.layout import skipping_report
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet")
     p = str(tmp_path / "d")
     docs.write.parquet(p)
     with _pytest.raises(ValueError):

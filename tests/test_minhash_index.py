@@ -9,7 +9,9 @@ from sample_dms_s3_kinesis_spark.operators.dedup import (
     minhash_lsh_pairs_against,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+from tdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 
 def _halves(spark):

@@ -6,7 +6,9 @@ on 60k rows would never notice but a 100 TB cluster would."""
 
 from sample_dms_s3_kinesis_spark.plans.registry import REGISTRY
 
-SF_DIR = "/root/testdata/sf0.001"
+from tdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 
 def _plan(spark, name: str, *, execute: bool = False) -> str:

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from sample_dms_s3_kinesis_spark.operators.profiling import winsorize
 from sample_dms_s3_kinesis_spark.operators.skew import skew_report
 from sample_dms_s3_kinesis_spark.operators.text import vocab_coverage
+from tdata import sf_dir
 
 
 def test_skew_report_counts_shares_and_null_key(spark):
@@ -60,7 +61,7 @@ def test_vocab_coverage_rejects_bad_sizes(spark):
 
 
 def test_winsorize_grouped_matches_numpy(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet")
     got = {
         r["doc_id"]: r["n_chars_w"]
         for r in winsorize(docs, "n_chars", group_cols=["lang"]).collect()
@@ -128,7 +129,7 @@ def test_ann_recall_report_shape(spark):
 
     rows = {
         r["method"]: r
-        for r in REGISTRY["q_ann_recall"].fn(spark, "/root/testdata/sf0.001").collect()
+        for r in REGISTRY["q_ann_recall"].fn(spark, sf_dir("0.001")).collect()
     }
     assert set(rows) == {"ivf", "lsh"}
     for r in rows.values():
@@ -143,7 +144,7 @@ def test_hll_daily_union_bounds(spark):
     counts the same way."""
     from sample_dms_s3_kinesis_spark.plans.registry import REGISTRY, t
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir("0.001")
     rows = REGISTRY["q_hll_daily_union"].fn(spark, sf).collect()
     ev = t(spark, sf, "events")
     exact_total = ev.select("user_id").distinct().count()

@@ -4,6 +4,7 @@ independence, append stability, per-group exactness."""
 from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators import sampling
+from tdata import sf_dir
 
 
 def _ids(spark, n=2000, parts=4):
@@ -119,7 +120,7 @@ def test_hash_bucket_matches_python_hashlib(spark):
 def test_mixture_sample_rebalances_to_target_shares(spark):
     from sample_dms_s3_kinesis_spark.operators import sampling
 
-    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir('0.01')}/documents.parquet")
     shares = {"en": 0.4, "de": 0.3, "zh": 0.3}
     out = sampling.mixture_sample(
         d, domain_col="lang", target_shares=shares, id_col="doc_id", seed=11
@@ -163,7 +164,7 @@ def test_token_budget_sample_matches_naive_global_cumsum(spark):
     from pyspark.sql import Window
     from sample_dms_s3_kinesis_spark.operators import sampling
 
-    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir('0.01')}/documents.parquet")
     budget = 50_000
     out = sampling.token_budget_sample(
         d, weight_col="n_chars", budget=budget, id_col="doc_id", seed=5
@@ -199,7 +200,7 @@ def test_token_budget_sample_matches_naive_global_cumsum(spark):
 def test_token_budget_sample_avoids_single_partition_window(spark):
     from sample_dms_s3_kinesis_spark.operators import sampling
 
-    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir('0.01')}/documents.parquet")
     out = sampling.token_budget_sample(
         d, weight_col="n_chars", budget=50_000, id_col="doc_id", seed=5
     )
@@ -213,7 +214,7 @@ def test_top_fraction_per_group_exact_counts(spark):
     from sample_dms_s3_kinesis_spark.operators import sampling
     import math
 
-    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir('0.01')}/documents.parquet")
     out = sampling.top_fraction_per_group(
         d, value_col="n_chars", group_col="lang", fraction=0.25, id_col="doc_id"
     )
@@ -239,7 +240,7 @@ def test_top_fraction_per_group_exact_counts(spark):
 def test_pack_sequences_layout_properties(spark):
     from sample_dms_s3_kinesis_spark.operators import sampling
 
-    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir('0.01')}/documents.parquet")
     L = 4096
     out = sampling.pack_sequences(
         d, weight_col="n_chars", seq_len=L, id_col="doc_id", seed=5
@@ -420,7 +421,7 @@ def test_pack_sequence_spans_invariants(spark):
     start-bin assignment."""
     from sample_dms_s3_kinesis_spark.operators import sampling
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet")
     L = 512
     spans = sampling.pack_sequence_spans(
         docs, weight_col="n_chars", seq_len=L, id_col="doc_id", seed=3

@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 
 from sample_dms_s3_kinesis_spark.operators import text
 
-SF_DIR = "/root/testdata/sf0.001"
+from tdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 
 def test_quality_features_python_reference(spark):
@@ -82,7 +84,7 @@ def test_bpe_ish_tokens_python_reference(spark):
 
     from sample_dms_s3_kinesis_spark.operators.text import bpe_ish_token_count
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    docs = spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet").limit(200)
     got = {
         r["doc_id"]: r["n"]
         for r in docs.select(
@@ -97,7 +99,7 @@ def test_bpe_ish_tokens_python_reference(spark):
 def test_approx_count_distinct_within_rsd(spark):
     from sample_dms_s3_kinesis_spark.plans.registry import REGISTRY, t as load
 
-    ev = load(spark, "/root/testdata/sf0.001", "events")
+    ev = load(spark, sf_dir("0.001"), "events")
     exact = {
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type")
@@ -107,7 +109,7 @@ def test_approx_count_distinct_within_rsd(spark):
     approx = {
         r["event_type"]: r["approx_users"]
         for r in REGISTRY["q_approx_distinct_users"]
-        .fn(spark, "/root/testdata/sf0.001")
+        .fn(spark, sf_dir("0.001"))
         .collect()
     }
     for k, n in exact.items():

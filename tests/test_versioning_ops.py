@@ -16,7 +16,9 @@ from sample_dms_s3_kinesis_spark.operators.versioning import (
     corpus_diff_stats,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+from tdata import sf_dir
+
+SF_DIR = sf_dir("0.001")
 
 
 # ------------------------------------------------------- corpus diff

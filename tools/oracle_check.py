@@ -100,7 +100,9 @@ def main() -> int:
         i = args.index("--first")
         first_n = int(args[i + 1])
         del args[i:i + 2]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    sf_dir = args[0] if args else os.environ.get(
+        "SPARK_GRAFT_TESTDATA", "/root/testdata"
+    ) + "/sf0.001"
     only = set(args[1:])
 
     from pyspark.sql import SparkSession
