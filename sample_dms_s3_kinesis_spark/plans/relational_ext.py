@@ -6645,13 +6645,14 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
         out = f"{path}/data"
         d = t(spark, sf_dir, "documents")
         if kind == "warc_enc":
-            # HTTP-encoded .warc.gz containers: doc_id % 4 selects the
-            # body coding (0 plain, 1 chunked, 2 gzip, 3 chunked+gzip).
-            # gzip members need REAL compressed bytes, which no Spark
-            # sink emits — each partition writes one multi-member
-            # .warc.gz via the Python record builder (executor-local
-            # file I/O: fine for a local-mode test fixture; production
-            # WARC spill would go through an object-store client).
+            # HTTP-encoded .warc.gz containers: doc_id % 5 selects the
+            # body coding (0 plain, 1 chunked, 2 gzip, 3 chunked+gzip,
+            # 4 deflate).  Compressed members need REAL codec bytes,
+            # which no Spark sink emits — each partition writes one
+            # multi-member .warc.gz via the Python record builder
+            # (executor-local file I/O: fine for a local-mode test
+            # fixture; production WARC spill would go through an
+            # object-store client).
             import os as _os
 
             _os.makedirs(out, exist_ok=True)
@@ -6659,6 +6660,7 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
 
             def _write_part(it):
                 import gzip as _gz
+                import zlib as _zlib
 
                 from pyspark import TaskContext
 
@@ -6669,11 +6671,17 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
                         f"{r['doc_id']}"
                     )
                     body = r["html"].encode()
-                    v = r["doc_id"] % 4
+                    v = r["doc_id"] % 5
                     te = "chunked" if v in (1, 3) else None
-                    ce = "gzip" if v in (2, 3) else None
-                    if ce:
+                    ce = (
+                        "gzip"
+                        if v in (2, 3)
+                        else ("deflate" if v == 4 else None)
+                    )
+                    if ce == "gzip":
                         body = _gz.compress(body, mtime=0)
+                    elif ce == "deflate":
+                        body = _zlib.compress(body)
                     if te:
                         body = _crawl.http_chunk_bytes(body, 512)
                     recs.append(
@@ -6890,22 +6898,24 @@ def q_warc_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            'https://' || source || '.example.com/p/'
              || CAST(doc_id AS VARCHAR) AS target_uri,
-           CASE WHEN doc_id % 4 IN (1, 3) THEN 'chunked' END
+           CASE WHEN doc_id % 5 IN (1, 3) THEN 'chunked' END
              AS http_transfer_encoding,
-           CASE WHEN doc_id % 4 IN (2, 3) THEN 'gzip' END
+           CASE WHEN doc_id % 5 IN (2, 3) THEN 'gzip'
+                WHEN doc_id % 5 = 4 THEN 'deflate' END
              AS http_content_encoding,
            md5(extracted) AS extracted_md5,
            CAST(length(extracted) AS BIGINT) AS extracted_len
     FROM x
     """,
     "HTTP-encoded WARC ingestion: every doc framed into .warc.gz with "
-    "doc_id%4 selecting the body coding (plain / chunked / gzip / "
-    "chunked+gzip), read back through read_warc_gz(binary_payload="
-    "True) and decoded by warc_responses — Catalyst chunked fold, "
-    "Arrow gunzip, RFC decode order — then the standard extraction "
-    "digest.  The oracle recomputes every row straight from the "
-    "table, so a decode fault in ANY coding variant hash-mismatches; "
-    "coverage the real Common Crawl corpus shape requires",
+    "doc_id%5 selecting the body coding (plain / chunked / gzip / "
+    "chunked+gzip / deflate), read back through read_warc_gz("
+    "binary_payload=True) and decoded by warc_responses — Catalyst "
+    "chunked fold, Arrow decompressors, RFC decode order — then the "
+    "standard extraction digest.  The oracle recomputes every row "
+    "straight from the table, so a decode fault in ANY coding variant "
+    "hash-mismatches; coverage the real Common Crawl corpus shape "
+    "requires",
     "crawl ingestion: HTTP-encoded bodies (chunked / gzip / both)",
 )
 def q_warc_encoded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,11 +32,12 @@ Scale notes:
   case), but real-crawl HTTP encodings around them ARE handled:
   ``warc_responses`` decodes ``Transfer-Encoding: chunked`` bodies in
   pure Catalyst on BOTH readers' output, and ``Content-Encoding:
-  gzip`` (incl. chunked+gzipped) via an Arrow-batched gunzip when the
-  record bytes survive — i.e. through ``read_warc_gz(
-  binary_payload=True)``; through the text source gzip bytes are
-  already mangled and such records honestly reject (``body = NULL``).
-  Truly binary entities (images in WARC) remain out of scope.
+  gzip``/``deflate`` (incl. chunked+compressed) via one Arrow-batched
+  decompressor UDF when the record bytes survive — i.e. through
+  ``read_warc_gz(binary_payload=True)``; through the text source
+  compressed bytes are already mangled and such records honestly
+  reject (``body = NULL``).  Truly binary entities (images in WARC)
+  remain out of scope.
 """
 
 from __future__ import annotations
@@ -638,10 +639,13 @@ def _gzip_entity_udf():
     global _GUNZIP_UDF
     if _GUNZIP_UDF is None:
         import gzip
+        import zlib
 
         @F.pandas_udf("string")
-        def gzip_entity(data: pd.Series, te: pd.Series) -> pd.Series:
-            def one(v, t):
+        def encoded_entity(
+            data: pd.Series, te: pd.Series, ce: pd.Series
+        ) -> pd.Series:
+            def one(v, t, c):
                 if v is None:
                     return None
                 b = bytes(v)
@@ -650,15 +654,25 @@ def _gzip_entity_udf():
                     if b is None:
                         return None
                 try:
-                    return gzip.decompress(b).decode("utf-8", "replace")
+                    if c == "deflate":
+                        # RFC says zlib-wrapped; plenty of servers send
+                        # raw DEFLATE — try the wrapper, fall back raw
+                        try:
+                            b = zlib.decompress(b)
+                        except zlib.error:
+                            b = zlib.decompress(b, -15)
+                    else:
+                        b = gzip.decompress(b)
+                    return b.decode("utf-8", "replace")
                 except Exception:
                     return None
 
             return pd.Series(
-                [one(v, t) for v, t in zip(data, te)], dtype=object
+                [one(v, t, c) for v, t, c in zip(data, te, ce)],
+                dtype=object,
             )
 
-        _GUNZIP_UDF = gzip_entity
+        _GUNZIP_UDF = encoded_entity
     return _GUNZIP_UDF
 
 
@@ -684,15 +698,16 @@ def warc_responses(records: DataFrame) -> DataFrame:
     ``body`` is the DECODED entity: the raw body for unencoded
     responses, the reassembled entity for ``Transfer-Encoding:
     chunked`` (pure-Catalyst :func:`_dechunk`, works on both readers'
-    output), and the decompressed text for ``Content-Encoding: gzip``
-    WHEN the input carries a ``payload_bin`` column
-    (``read_warc_gz(binary_payload=True)`` — gzip bytes cannot survive
-    the text source's decode, so on the text path such records get
+    output), and the decompressed text for ``Content-Encoding:
+    gzip``/``x-gzip``/``deflate`` (zlib-wrapped or raw) WHEN the input
+    carries a ``payload_bin`` column (``read_warc_gz(
+    binary_payload=True)`` — compressed bytes cannot survive the text
+    source's decode, so on the text path such records get
     ``body = NULL``).  ``body IS NULL`` means undecodable — bad
-    chunked framing, gzip failure, an unsupported coding, or binary
-    content on the text path — and is the reject signal callers filter
-    on, exactly like ``length_ok``.  Chunked+gzipped responses decode
-    in RFC order (de-chunk, then gunzip)."""
+    chunked framing, decompression failure, an unsupported coding, or
+    binary content on the text path — and is the reject signal callers
+    filter on, exactly like ``length_ok``.  Chunked+compressed
+    responses decode in RFC order (de-chunk, then decompress)."""
     resp = records.filter(F.lower(F.col("warc_type")) == "response")
     has_bin = "payload_bin" in records.columns
     http_hdr = F.regexp_extract("payload", r"(?s)^(.*?)\r\n\r\n", 1)
@@ -720,7 +735,7 @@ def warc_responses(records: DataFrame) -> DataFrame:
     ce_c = F.col("http_content_encoding")
     te_none = te_c.isNull() | (te_c == "identity")
     ce_none = ce_c.isNull() | (ce_c == "identity")
-    ce_gzip = ce_c.isin("gzip", "x-gzip")
+    ce_codec = ce_c.isin("gzip", "x-gzip", "deflate")
     if has_bin:
         # entity bytes = the raw payload minus the HTTP header block.
         # The header is ASCII in any response we can decode, so its
@@ -756,15 +771,18 @@ def warc_responses(records: DataFrame) -> DataFrame:
     )
     if has_bin:
         # One udf call on PRE-GATED inputs: NULL bytes for every
-        # non-gzip row (the decompressor sees nothing to do), and the
-        # input expressions are lambda-free so the UDF is extractable
-        # into its Arrow batch projection.  De-chunking for the
-        # chunked+gzip combo happens inside the udf (_dechunk_py).
-        gz_rows = ce_gzip & (te_none | (te_c == "chunked"))
+        # non-compressed row (the decompressor sees nothing to do),
+        # and the input expressions are lambda-free so the UDF is
+        # extractable into its Arrow batch projection.  De-chunking
+        # for the chunked+compressed combo happens inside the udf
+        # (_dechunk_py).
+        gz_rows = ce_codec & (te_none | (te_c == "chunked"))
         decoded = decoded.when(
             gz_rows,
             _gzip_entity_udf()(
-                F.when(gz_rows, ebin), F.when(gz_rows, te_c)
+                F.when(gz_rows, ebin),
+                F.when(gz_rows, te_c),
+                F.when(gz_rows, ce_c),
             ),
         )
     # any other coding combination falls through to NULL: undecodable

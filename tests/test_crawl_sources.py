@@ -393,9 +393,23 @@ def test_wet_conversion_records(spark, tmp_path):
         assert got == texts
 
 
+def _zlib_c(data):
+    import zlib
+
+    return zlib.compress(data)
+
+
+def _raw_deflate(data):
+    import zlib
+
+    c = zlib.compressobj(wbits=-15)
+    return c.compress(data) + c.flush()
+
+
 def _enc_records(body):
     """WARC records covering every HTTP-encoding variant of ``body``:
-    plain, chunked, gzip, chunked+gzip, plus an unsupported coding."""
+    plain, chunked, gzip, chunked+gzip, deflate (zlib-wrapped and
+    raw), plus an unsupported coding."""
     import gzip as _gz
 
     def chunk_bytes(data, n=100):
@@ -450,6 +464,16 @@ def _enc_records(body):
             "https://e.com/br",
             http(b"Content-Encoding: br\r\n", raw),
         ),
+        # deflate both ways servers actually send it: zlib-wrapped
+        # (the RFC meaning) and raw DEFLATE (the common violation)
+        "https://e.com/deflate": rec(
+            "https://e.com/deflate",
+            http(b"Content-Encoding: deflate\r\n", _zlib_c(raw)),
+        ),
+        "https://e.com/deflate-raw": rec(
+            "https://e.com/deflate-raw",
+            http(b"Content-Encoding: deflate\r\n", _raw_deflate(raw)),
+        ),
     }
 
 
@@ -481,6 +505,8 @@ def test_encoded_bodies_decode_on_binary_path(spark, tmp_path):
         ("https://e.com/chunked", "chunked", None),
         ("https://e.com/gzip", None, "gzip"),
         ("https://e.com/both", "chunked", "gzip"),
+        ("https://e.com/deflate", None, "deflate"),
+        ("https://e.com/deflate-raw", None, "deflate"),
     ]:
         assert rows[u]["body"] == body, u
         assert rows[u]["http_transfer_encoding"] == te, u
