@@ -601,8 +601,17 @@ def _dechunk(data: Column, *, max_chunks: int = 1024) -> Column:
                 .otherwise(halt(2))
             )
 
+        # Adaptive step count: a well-formed chunk occupies >= 6 bytes
+        # ("1\r\n" + 1 data byte + "\r\n") and the terminal >= 3, so
+        # len/6 + 2 steps suffice for ANY valid framing of this input
+        # — iterating the full max_chunks ceiling would pay ~1000
+        # guarded struct copies per row even for a 3-chunk body.
+        n_iter = F.least(
+            F.lit(max_chunks + 1),
+            (F.octet_length(b) / F.lit(6)).cast("int") + F.lit(2),
+        )
         return F.aggregate(
-            F.sequence(F.lit(1), F.lit(max_chunks + 1)),
+            F.sequence(F.lit(1), n_iter),
             F.struct(
                 F.lit(1).cast("long").alias("off"),
                 F.lit(b"").alias("acc"),
