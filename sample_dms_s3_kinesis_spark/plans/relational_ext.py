@@ -6705,6 +6705,65 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
             rows.repartition(8).foreachPartition(_write_part)
             _CRAWL_FIXTURE_CACHE[key] = path
             return out
+        if kind == "cdx":
+            # CDXJ index sidecar: TWO captures per doc (an older 'v1'
+            # content digest, then the current one ~10 weeks later);
+            # every 29th doc's SECOND capture line is truncated by one
+            # char (malformed JSON -> rejects channel), so for those
+            # urlkeys the latest VALID capture is the older one
+            did = F.col("doc_id").cast("string")
+            urlkey = F.concat(
+                F.lit("com,"), F.col("source"), F.lit(")/p/"), did
+            )
+            url = F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/p/"),
+                did,
+            )
+            status = F.when(
+                F.col("doc_id") % 13 == 0, F.lit("404")
+            ).otherwise(F.lit("200"))
+            ss = F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0")
+
+            def _line(ts_prefix, digest):
+                js = F.to_json(
+                    F.struct(
+                        url.alias("url"),
+                        status.alias("status"),
+                        digest.alias("digest"),
+                        F.col("n_chars").cast("string").alias("length"),
+                    )
+                )
+                return F.concat(
+                    urlkey,
+                    F.lit(" "),
+                    F.concat(F.lit(ts_prefix), ss),
+                    F.lit(" "),
+                    js,
+                )
+
+            l1 = _line(
+                "202401010000", F.md5(F.concat(F.col("text"), F.lit("v1")))
+            )
+            lines = (
+                d.withColumn(
+                    "_l2", _line("202403150000", F.md5(F.col("text")))
+                )
+                .withColumn(
+                    "_l2",
+                    F.when(
+                        F.col("doc_id") % 29 == 0,
+                        F.expr("substring(_l2, 1, length(_l2) - 1)"),
+                    ).otherwise(F.col("_l2")),
+                )
+                .select(
+                    F.explode(F.array(l1, F.col("_l2"))).alias("value")
+                )
+            )
+            lines.write.mode("overwrite").text(out)
+            _CRAWL_FIXTURE_CACHE[key] = path
+            return out
         if kind == "jsonl":
             # one JSON object per doc; every 37th line is truncated by
             # one character (drops the closing brace -> malformed), so
@@ -6806,6 +6865,56 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         "lang",
         "source",
+    ).crossJoin(F.broadcast(n_rejects))
+
+
+@_register(
+    "q_cdx_ingest",
+    """
+    SELECT 'com,' || source || ')/p/' || CAST(doc_id AS VARCHAR)
+             AS urlkey,
+           CASE WHEN doc_id % 29 = 0
+                THEN '202401010000' ELSE '202403150000' END
+             || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             AS capture_ts,
+           CASE WHEN doc_id % 13 = 0 THEN '404' ELSE '200' END
+             AS status,
+           CASE WHEN doc_id % 29 = 0 THEN md5(text || 'v1')
+                ELSE md5(text) END AS digest,
+           CAST(CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 2 END AS BIGINT)
+             AS n_captures,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE doc_id % 29 = 0) AS n_rejects
+    FROM documents
+    """,
+    "CDX crawl-index ingestion + latest-capture selection: the corpus "
+    "framed as a CDXJ index sidecar (two captures per URL, one "
+    "truncated line per 29 docs), read back schema-on-read through "
+    "read_cdx, malformed lines split to the rejects channel, and "
+    "cdx_latest_captures picks the newest VALID capture per urlkey — "
+    "the index-side selection a real corpus build runs before "
+    "touching any WARC byte; oracle recomputes every row from the "
+    "table (corrupted second captures fall back to the older digest)",
+    "crawl ingestion: CDX index sidecar + latest-capture selection",
+)
+def q_cdx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "cdx")
+    df = _crawl.read_cdx(
+        spark,
+        path,
+        "url string, status string, digest string, length string",
+    )
+    records = _crawl.jsonl_records(df)
+    latest = _crawl.cdx_latest_captures(records)
+    n_rejects = _crawl.jsonl_rejects(df).agg(
+        F.count(F.lit(1)).alias("n_rejects")
+    )
+    return latest.select(
+        "urlkey",
+        "capture_ts",
+        "status",
+        "digest",
+        "n_captures",
     ).crossJoin(F.broadcast(n_rejects))
 
 

@@ -125,6 +125,106 @@ def jsonl_rejects(df: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# CDX (crawl index)
+# --------------------------------------------------------------------
+
+
+def read_cdx(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    streaming: bool = False,
+    options: dict | None = None,
+) -> DataFrame:
+    """Read CDXJ crawl-index files (Common Crawl's cdx-*.gz sidecars:
+    one line per capture, ``<urlkey SURT> <14-digit timestamp>
+    <json>``) — the SELECTION entry point of a crawl pipeline: real
+    corpus builds query the index to pick captures (latest per URL,
+    status 200, text mime, unseen digest) BEFORE touching any WARC
+    byte, because the index is ~1/1000 the size of the crawl.
+
+    Same contract as :func:`read_jsonl`: explicit ``schema`` for the
+    JSON block (no inference pass), one row per line with ``urlkey``,
+    ``capture_ts`` (the raw 14-digit string — fixed-width digits, so
+    lexicographic order IS chronological and no cross-engine timestamp
+    parsing is involved) plus the schema's fields, ``_raw_line`` and
+    ``_corrupt`` (missing fields or unparseable JSON -> rejects
+    channel via :func:`jsonl_rejects`).  Pure Catalyst; gzip'd index
+    files decompress through the text source codec (non-splittable:
+    file-granularity parallelism, same story as .warc.gz)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    cr = "_crawl_corrupt_record"
+    if cr in schema.fieldNames():
+        raise ValueError(f"schema field name {cr!r} is reserved")
+    probe = T.StructType(
+        list(schema.fields) + [T.StructField(cr, T.StringType())]
+    )
+    reader = spark.readStream if streaming else spark.read
+    lines = reader.options(**(options or {})).text(path)
+    # split on the first two spaces only: SURT keys never contain
+    # spaces, the JSON block may
+    parts = F.split(F.col("value"), " ", 3)
+    staged = (
+        lines.filter(F.col("value") != "")
+        .select(
+            F.col("value").alias("_raw_line"),
+            F.get(parts, 0).alias("urlkey"),
+            F.get(parts, 1).alias("capture_ts"),
+            F.from_json(
+                F.get(parts, 2),
+                probe,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": cr},
+            ).alias("_rec"),
+        )
+    )
+    shape_ok = (
+        F.col("urlkey").isNotNull()
+        & F.col("capture_ts").rlike(r"^[0-9]{14}$")
+        # _rec itself NULL = the line had no JSON block at all
+        # (from_json(NULL) is a NULL struct whose corrupt field reads
+        # NULL too — checking only the probe field would admit it)
+        & F.col("_rec").isNotNull()
+        & F.col(f"_rec.{cr}").isNull()
+    )
+    return staged.select(
+        "urlkey",
+        "capture_ts",
+        *[F.col(f"_rec.{f}") for f in schema.fieldNames()],
+        "_raw_line",
+        (~shape_ok).alias("_corrupt"),
+    )
+
+
+def cdx_latest_captures(
+    records: DataFrame,
+    *,
+    key_col: str = "urlkey",
+    ts_col: str = "capture_ts",
+) -> DataFrame:
+    """One row per ``key_col``: the LATEST capture (max ``ts_col``)
+    plus ``n_captures`` — the standard index-side selection (fetch one
+    capture per URL) as a single partial-aggregating groupBy; feed it
+    :func:`jsonl_records` output.  Ties on the timestamp pick an
+    unspecified capture of the tie set (CDX timestamps are
+    second-resolution; recrawls of one URL within a second do not
+    happen in practice)."""
+    payload = [c for c in records.columns if c not in (key_col, ts_col)]
+    picked = records.groupBy(key_col).agg(
+        F.max(ts_col).alias(ts_col),
+        F.max_by(F.struct(*payload), F.col(ts_col)).alias("_best"),
+        F.count(F.lit(1)).alias("n_captures"),
+    )
+    return picked.select(
+        key_col,
+        ts_col,
+        *[F.col(f"_best.{c}").alias(c) for c in payload],
+        "n_captures",
+    )
+
+
+# --------------------------------------------------------------------
 # WARC
 # --------------------------------------------------------------------
 

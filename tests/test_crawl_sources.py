@@ -626,3 +626,56 @@ def test_chunked_builder_roundtrips(spark):
         crawl.http_chunked_body(F.lit(None).cast("string")).alias("f")
     ).collect()[0]["f"]
     assert n is None
+
+
+def test_cdx_reader_and_latest_selection(spark, tmp_path):
+    """CDXJ index lines: (urlkey, 14-digit ts, json) parse
+    schema-on-read; malformed shapes (bad timestamp, missing fields,
+    truncated json) reject; latest-capture selection picks the newest
+    valid capture per urlkey with a capture count."""
+    p = tmp_path / "cdx"
+    p.mkdir()
+    (p / "idx.cdx").write_text(
+        "com,a)/x 20240101000000 "
+        '{"url": "https://a.com/x", "status": "200", "digest": "d1"}\n'
+        "com,a)/x 20240301000000 "
+        '{"url": "https://a.com/x", "status": "200", "digest": "d2"}\n'
+        "com,b)/y 20240102000000 "
+        '{"url": "https://b.com/y", "status": "404", "digest": "d3"}\n'
+        # malformed: truncated JSON
+        "com,c)/z 20240103000000 "
+        '{"url": "https://c.com/z", "status": "200"\n'
+        # malformed: timestamp not 14 digits
+        "com,d)/w 2024010 "
+        '{"url": "https://d.com/w", "status": "200", "digest": "d4"}\n'
+        # malformed: no json block at all
+        "com,e)/v 20240104000000\n"
+        "\n"
+    )
+    df = crawl.read_cdx(
+        spark, str(p), "url string, status string, digest string"
+    )
+    good = crawl.jsonl_records(df)
+    assert {
+        (r["urlkey"], r["capture_ts"], r["digest"])
+        for r in good.collect()
+    } == {
+        ("com,a)/x", "20240101000000", "d1"),
+        ("com,a)/x", "20240301000000", "d2"),
+        ("com,b)/y", "20240102000000", "d3"),
+    }
+    assert crawl.jsonl_rejects(df).count() == 3
+
+    latest = crawl.cdx_latest_captures(good.drop("_raw_line", "_corrupt"))
+    rows = {r["urlkey"]: r for r in latest.collect()}
+    assert rows["com,a)/x"]["capture_ts"] == "20240301000000"
+    assert rows["com,a)/x"]["digest"] == "d2"
+    assert rows["com,a)/x"]["n_captures"] == 2
+    assert rows["com,b)/y"]["n_captures"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        crawl.read_cdx(
+            spark, str(p), "_crawl_corrupt_record string"
+        )
