@@ -2131,8 +2131,13 @@ def q_lsh_quality_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM tk a JOIN tk b ON a.doc_id < b.doc_id
       WHERE len(a.t) > 0 AND len(b.t) > 0
+        -- sqrt(na)*sqrt(nb), NOT sqrt(na*nb): the engine side
+        -- (token_cosine_pairs) divides by the product of per-doc
+        -- norms, and the two associativities differ by ulps exactly
+        -- at the threshold boundary
         AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-            / sqrt(CAST(len(a.t) AS DOUBLE) * len(b.t)) >= 0.98),
+            / (sqrt(CAST(len(a.t) AS DOUBLE))
+               * sqrt(CAST(len(b.t) AS DOUBLE))) >= 0.98),
     m AS (
       SELECT (SELECT COUNT(*) FROM ex) AS exact_pairs,
              (SELECT COUNT(*) FROM sh) AS simhash_pairs,
@@ -3796,7 +3801,7 @@ DRIVER_WINDOW: list[str] = [
 # r12 rotation backlog, in priority order (never-checked beats stale):
 # (a) any query registered during the r11 sessions (enumerate here as
 #     they land): q_lsh_quality_md5, q_simhash_quality_md5,
-#     q_warc_encoded_ingest, q_ingest_robots_funnel;
+#     q_warc_encoded_ingest, q_ingest_robots_funnel, q_cdx_ingest;
 # (b) the 8 remaining r6-stale rows (q_sql_entry_revenue, q_stats_agg,
 #     q_stickiness, q_temperature_mixture, q_top_journeys,
 #     q_unpivot_metrics, q_window_agg_events, q_window_first_last);

@@ -180,7 +180,10 @@ def read_cdx(
         )
     )
     shape_ok = (
-        F.col("urlkey").isNotNull()
+        # split never yields NULL for part 0, but a line starting with
+        # a space yields urlkey = '' — which would collapse every such
+        # line into one group downstream
+        (F.coalesce(F.col("urlkey"), F.lit("")) != "")
         & F.col("capture_ts").rlike(r"^[0-9]{14}$")
         # _rec itself NULL = the line had no JSON block at all
         # (from_json(NULL) is a NULL struct whose corrupt field reads
@@ -785,14 +788,6 @@ def _gzip_entity_udf():
     return _GUNZIP_UDF
 
 
-def _http_header(hdr: Column, name: str) -> Column:
-    # same anchor discipline as _warc_header (explicit \n, never (?m))
-    return F.nullif(
-        F.regexp_extract(hdr, rf"(?i)(?:^|\n){name}:[ \t]*([^\r\n]*)", 1),
-        F.lit(""),
-    )
-
-
 def warc_responses(records: DataFrame) -> DataFrame:
     """HTTP response records out of :func:`read_warc_records` /
     :func:`read_warc_gz` output: parses the HTTP status line, splits
@@ -833,8 +828,13 @@ def warc_responses(records: DataFrame) -> DataFrame:
         body.alias("_body_raw"),
         *([F.col("payload_bin")] if has_bin else []),
     )
-    te = F.lower(F.rtrim(_http_header(F.col("_http_hdr"), "Transfer-Encoding")))
-    ce = F.lower(F.rtrim(_http_header(F.col("_http_hdr"), "Content-Encoding")))
+    # trailing OWS is SP *or* HTAB (RFC 7230); rtrim strips spaces
+    # only and a 'chunked\t' value would defeat every dispatch compare
+    def _ows(c):
+        return F.regexp_replace(c, r"[ \t]+$", "")
+
+    te = F.lower(_ows(_warc_header(F.col("_http_hdr"), "Transfer-Encoding")))
+    ce = F.lower(_ows(_warc_header(F.col("_http_hdr"), "Content-Encoding")))
     staged = bound.select(
         "*",
         te.alias("http_transfer_encoding"),

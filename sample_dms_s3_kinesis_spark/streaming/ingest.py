@@ -672,6 +672,7 @@ class CorpusIngestTask(ReplicationTask):
         # _quarantine_robots store (overwrite: replay-idempotent) and
         # count as rejected_robots.
         n_robots = 0
+        _robots_pages = None  # persisted parse, released after `head`
         if self.robots_rules is not None and "_uri" in valid.columns:
             from sample_dms_s3_kinesis_spark.operators import (
                 robots as _robots,
@@ -688,13 +689,20 @@ class CorpusIngestTask(ReplicationTask):
                     _urls.url_path(F.col("_uri")) == "", F.lit("/")
                 ).otherwise(_urls.url_path(F.col("_uri"))),
             )
+            # persisted: decisions joins pages back onto ITSELF, and
+            # unpersisted that plan would embed the full WARC container
+            # parse once per side, then again for the denied count and
+            # the admitted pipeline — 4 container re-parses per batch
+            _robots_pages = pages.persist()
             decisions = _robots.robots_decisions(
-                pages.select("host", "url_path"),
+                _robots_pages.select("host", "url_path"),
                 self.robots_rules,
                 agent=self.robots_agent,
             )
-            pages = pages.join(decisions, ["host", "url_path"], "left")
-            denied = pages.filter(F.col("allowed") == 0).persist()
+            joined = _robots_pages.join(
+                decisions, ["host", "url_path"], "left"
+            )
+            denied = joined.filter(F.col("allowed") == 0).persist()
             n_robots = denied.count()
             if n_robots > 0:
                 rdir = (
@@ -710,7 +718,7 @@ class CorpusIngestTask(ReplicationTask):
                 )
                 self.spark.catalog.refreshByPath(rdir)
             denied.unpersist()
-            valid = pages.filter(
+            valid = joined.filter(
                 F.coalesce(F.col("allowed"), F.lit(1)) == 1
             ).drop("host", "url_path", "allowed")
         if "_uri" in valid.columns:
@@ -753,6 +761,10 @@ class CorpusIngestTask(ReplicationTask):
             F.count(F.lit(1)).alias("n_valid")
         ).collect()[0]
         n_total = batch_df.count()
+        if _robots_pages is not None:
+            # docs (persisted) materialized in the head collect; the
+            # cached container parse has served every consumer
+            _robots_pages.unpersist()
         if head["n_valid"] == 0:
             self._record_batch(
                 batch_id,
