@@ -45,26 +45,17 @@ from pyspark.sql import functions as F
 _DIRECTIVES = ("user-agent", "allow", "disallow")
 
 
-def parse_robots(
+def _grouped_lines(
     df: DataFrame,
-    *,
-    content_col: str = "robots_txt",
-    key_cols: Sequence[str] = ("host",),
+    content_col: str,
+    key_cols: Sequence[str],
+    directives: Sequence[str],
 ) -> DataFrame:
-    """Parse robots.txt contents into one row per (agent, rule).
-
-    Input: one row per robots.txt file with ``key_cols`` identifying
-    it (normally the host) and ``content_col`` holding the raw text.
-    Output: (*key_cols, agent, directive, pattern, rule_order) — one
-    row per agent × rule in its group, ``directive`` in
-    ('allow', 'disallow'), ``rule_order`` the line position (stable
-    tie-break material).  Group structure follows the RFC: consecutive
-    User-agent lines share the rules that follow them.  A group with
-    no effective rules (empty ``Disallow:`` only, or no rule lines at
-    all) emits ONE row per agent with NULL directive/pattern/
-    rule_order — a presence sentinel that never matches a path but
-    keeps the group visible to agent selection downstream.
-    """
+    """Shared front half of every robots.txt parser: comment strip,
+    RFC-whitespace trim (tabs count), directive/value split, and RFC
+    group ids (consecutive User-agent lines share one group).  Returns
+    (*key_cols, _pos, _key, _val, _gid) for the recognized
+    ``directives``."""
     keys = [F.col(k) for k in key_cols]
     lines = df.select(
         *keys,
@@ -93,13 +84,13 @@ def parse_robots(
             r"^\s+|\s+$",
             "",
         ).alias("_val"),
-    ).filter(F.col("_key").isin(*_DIRECTIVES))
+    ).filter(F.col("_key").isin(*directives))
     # Group ids: a User-agent line opens a NEW group unless the
     # previous recognized directive was also User-agent (consecutive
     # headers share one group).  Window per robots file — tiny
     # partitions, uniformly spread across hosts.
-    w = Window.partitionBy(*keys).orderBy("_pos")
-    grouped = parsed.withColumn(
+    w = Window.partitionBy(*key_cols).orderBy("_pos")
+    return parsed.withColumn(
         "_start",
         (
             (F.col("_key") == "user-agent")
@@ -109,6 +100,30 @@ def parse_robots(
             )
         ).cast("int"),
     ).withColumn("_gid", F.sum("_start").over(w))
+
+
+def parse_robots(
+    df: DataFrame,
+    *,
+    content_col: str = "robots_txt",
+    key_cols: Sequence[str] = ("host",),
+) -> DataFrame:
+    """Parse robots.txt contents into one row per (agent, rule).
+
+    Input: one row per robots.txt file with ``key_cols`` identifying
+    it (normally the host) and ``content_col`` holding the raw text.
+    Output: (*key_cols, agent, directive, pattern, rule_order) — one
+    row per agent × rule in its group, ``directive`` in
+    ('allow', 'disallow'), ``rule_order`` the line position (stable
+    tie-break material).  Group structure follows the RFC: consecutive
+    User-agent lines share the rules that follow them.  A group with
+    no effective rules (empty ``Disallow:`` only, or no rule lines at
+    all) emits ONE row per agent with NULL directive/pattern/
+    rule_order — a presence sentinel that never matches a path but
+    keeps the group visible to agent selection downstream.
+    """
+    keys = [F.col(k) for k in key_cols]
+    grouped = _grouped_lines(df, content_col, key_cols, _DIRECTIVES)
     agents = grouped.filter(F.col("_key") == "user-agent").select(
         *keys,
         F.col("_gid"),
@@ -236,4 +251,77 @@ def robots_decisions(
         F.when(F.coalesce(F.col("_any"), F.lit(0)) == 0, F.lit(1))
         .otherwise(F.col("_verdict").cast("int"))
         .alias(keep_col),
+    )
+
+
+def robots_crawl_delays(
+    df: DataFrame,
+    *,
+    agent: str = "*",
+    content_col: str = "robots_txt",
+    key_cols: Sequence[str] = ("host",),
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` for ``agent`` (the de-facto politeness
+    extension most crawlers honor even though RFC 9309 omits it).
+    Agent selection matches :func:`robots_decisions`: exact-agent
+    groups shadow ``*`` groups.  Returns (*key_cols, crawl_delay
+    double) for hosts whose applicable groups declare one — the
+    STRICTEST (max) delay when several applicable groups disagree;
+    non-numeric values are ignored (try_cast).  Hosts with no
+    applicable delay emit no row: callers left-join and treat NULL as
+    'no delay requested'."""
+    a = agent.lower()
+    grouped = _grouped_lines(
+        df, content_col, key_cols, ("user-agent", "crawl-delay")
+    )
+    agents = grouped.filter(F.col("_key") == "user-agent").select(
+        *key_cols, "_gid", F.lower(F.col("_val")).alias("agent")
+    )
+    delays = grouped.filter(
+        (F.col("_key") == "crawl-delay")
+        & F.col("_val").try_cast("double").isNotNull()
+    ).select(
+        *key_cols, "_gid", F.col("_val").try_cast("double").alias("_delay")
+    )
+    mine = agents.filter(F.col("agent").isin(a, "*")).join(
+        delays, [*key_cols, "_gid"]
+    )
+    best = mine.groupBy(*key_cols).agg(
+        F.min(F.when(F.col("agent") == a, 0).otherwise(1)).alias("_rk")
+    )
+    return (
+        mine.join(best, list(key_cols))
+        .filter(
+            F.when(F.col("_rk") == 0, F.col("agent") == a).otherwise(
+                F.col("agent") == "*"
+            )
+        )
+        .groupBy(*key_cols)
+        .agg(F.max("_delay").alias("crawl_delay"))
+    )
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    *,
+    content_col: str = "robots_txt",
+    key_cols: Sequence[str] = ("host",),
+) -> DataFrame:
+    """Per-host ``Sitemap`` URLs.  Sitemap lines are GROUP-INDEPENDENT
+    per RFC 9309 §2.3 / sitemaps.org (they may appear anywhere in the
+    file and apply to every agent), so no group machinery — one output
+    row per (host, sitemap) with the line position for stable
+    ordering."""
+    grouped = _grouped_lines(
+        df, content_col, key_cols, ("user-agent", "sitemap")
+    )
+    return (
+        grouped.filter(
+            (F.col("_key") == "sitemap") & (F.col("_val") != "")
+        )
+        .select(
+            *key_cols,
+            F.col("_val").alias("sitemap"),
+            F.col("_pos").alias("line_no"),
+        )
     )

@@ -7219,6 +7219,75 @@ from sample_dms_s3_kinesis_spark.operators import robots as _robots  # noqa: E40
     "pinned by test_robots_ops.py)",
     "curation: robots.txt compliance (crawl-politeness audit)",
 )
+@_register(
+    "q_robots_politeness",
+    """
+    SELECT DISTINCT source || '.example.com' AS host,
+           CASE WHEN length(source) = 4 THEN 0.5 END AS crawl_delay,
+           CAST(CASE WHEN length(source) = 4 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_sitemaps
+    FROM documents
+    """,
+    "robots.txt politeness metadata: per-host Crawl-delay for a "
+    "specific agent (exact-agent group shadows '*', strictest-of-many "
+    "wins, non-numeric values ignored -> NULL delay) and the "
+    "group-independent Sitemap count — the fetch-scheduling inputs a "
+    "polite crawler needs next to the allow/deny gate; oracle = the "
+    "hand-derived per-variant table",
+    "curation: robots.txt politeness metadata (Crawl-delay + Sitemap)",
+)
+def q_robots_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    files = (
+        d.select("source")
+        .distinct()
+        .select(
+            host.alias("host"),
+            F.when(
+                F.length("source") == 4,
+                F.concat(
+                    F.lit(
+                        "User-agent: *\nCrawl-delay: 2\n"
+                        "Disallow: /private\n\n"
+                        "User-agent: fastbot\nCrawl-delay: 0.25\n"
+                        "Crawl-delay: 0.5\nSitemap: https://"
+                    ),
+                    host,
+                    F.lit("/sitemap.xml\nSitemap: https://"),
+                    host,
+                    F.lit("/sitemap2.xml\n"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(
+                        "User-agent: *\nDisallow: /x\n"
+                        "Crawl-delay: notanumber\nSitemap: https://"
+                    ),
+                    host,
+                    F.lit("/s.xml\n"),
+                )
+            )
+            .alias("robots_txt"),
+        )
+    )
+    delays = _robots.robots_crawl_delays(files, agent="fastbot")
+    maps = _robots.robots_sitemaps(files).groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_sitemaps")
+    )
+    return (
+        files.select("host")
+        .join(delays, "host", "left")
+        .join(maps, "host", "left")
+        .select(
+            "host",
+            "crawl_delay",
+            F.coalesce(F.col("n_sitemaps"), F.lit(0)).alias("n_sitemaps"),
+        )
+    )
+
+
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     did = F.col("doc_id")

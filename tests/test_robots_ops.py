@@ -237,3 +237,41 @@ def test_backslash_patterns_do_not_break_like(spark):
         "/raw\\x": 0,
         "/rawx": 1,
     }
+
+
+def test_crawl_delay_and_sitemaps(spark):
+    """Crawl-delay: exact-agent shadowing, strictest-of-many,
+    non-numeric ignored, no-delay hosts emit no row; Sitemap lines are
+    group-independent and keep file order."""
+    files = spark.createDataFrame(
+        [
+            (
+                "cd.com",
+                "User-agent: *\nCrawl-delay: 2\n\n"
+                "User-agent: nicebot\nCrawl-delay: 0.25\n"
+                "Crawl-delay: 0.5\n"
+                "Sitemap: https://cd.com/a.xml\n"
+                "Sitemap: https://cd.com/b.xml\n",
+            ),
+            ("bad.com", "User-agent: *\nCrawl-delay: soon\n"),
+            ("none.com", "User-agent: *\nDisallow: /x\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in robots.robots_crawl_delays(files, agent="nicebot").collect()
+    }
+    # exact group shadows '*' (2 never applies); max of 0.25/0.5 wins
+    assert got == {"cd.com": 0.5}
+    star = {
+        r["host"]: r["crawl_delay"]
+        for r in robots.robots_crawl_delays(files, agent="*").collect()
+    }
+    assert star == {"cd.com": 2.0}
+
+    maps = robots.robots_sitemaps(files).orderBy("host", "line_no")
+    assert [(r["host"], r["sitemap"]) for r in maps.collect()] == [
+        ("cd.com", "https://cd.com/a.xml"),
+        ("cd.com", "https://cd.com/b.xml"),
+    ]
