@@ -7219,6 +7219,49 @@ from sample_dms_s3_kinesis_spark.operators import robots as _robots  # noqa: E40
     "pinned by test_robots_ops.py)",
     "curation: robots.txt compliance (crawl-politeness audit)",
 )
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.when(did % 4 == 0, F.concat(F.lit("/p/"), did.cast("string")))
+        .when(did % 4 == 1, F.concat(F.lit("/private/"), did.cast("string")))
+        .when(
+            did % 4 == 2, F.concat(F.lit("/private/ok"), did.cast("string"))
+        )
+        .otherwise(F.concat(F.lit("/private/okay/"), did.cast("string")))
+        .alias("url_path"),
+    )
+    files = (
+        d.select("source")
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.when(
+                F.length("source") == 4,
+                F.lit(
+                    "# variant A\nUser-agent: *\nDisallow: /private\n"
+                    "Allow: /private/ok\n\nUser-agent: otherbot\n"
+                    "Disallow: /\n"
+                ),
+            )
+            .otherwise(
+                F.lit(
+                    "User-agent: *\nDisallow: /private/ok\n"
+                    "# variant B comment\nUnknown: x\n"
+                )
+            )
+            .alias("robots_txt"),
+        )
+    )
+    rules = _robots.parse_robots(files)
+    decisions = _robots.robots_decisions(pages, rules, agent="*")
+    return pages.join(decisions, ["host", "url_path"]).select(
+        "doc_id", "host", "url_path", "allowed"
+    )
+
+
 @_register(
     "q_robots_politeness",
     """
@@ -7287,45 +7330,3 @@ def q_robots_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    pages = d.select(
-        "doc_id",
-        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
-        F.when(did % 4 == 0, F.concat(F.lit("/p/"), did.cast("string")))
-        .when(did % 4 == 1, F.concat(F.lit("/private/"), did.cast("string")))
-        .when(
-            did % 4 == 2, F.concat(F.lit("/private/ok"), did.cast("string"))
-        )
-        .otherwise(F.concat(F.lit("/private/okay/"), did.cast("string")))
-        .alias("url_path"),
-    )
-    files = (
-        d.select("source")
-        .distinct()
-        .select(
-            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
-            F.when(
-                F.length("source") == 4,
-                F.lit(
-                    "# variant A\nUser-agent: *\nDisallow: /private\n"
-                    "Allow: /private/ok\n\nUser-agent: otherbot\n"
-                    "Disallow: /\n"
-                ),
-            )
-            .otherwise(
-                F.lit(
-                    "User-agent: *\nDisallow: /private/ok\n"
-                    "# variant B comment\nUnknown: x\n"
-                )
-            )
-            .alias("robots_txt"),
-        )
-    )
-    rules = _robots.parse_robots(files)
-    decisions = _robots.robots_decisions(pages, rules, agent="*")
-    return pages.join(decisions, ["host", "url_path"]).select(
-        "doc_id", "host", "url_path", "allowed"
-    )
