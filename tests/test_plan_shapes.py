@@ -458,3 +458,50 @@ def test_url_domain_caps_single_window_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_warc_text_decode_path_has_no_python(spark, tmp_path):
+    """The text-reader response path (incl. the chunked-decode fold)
+    is pure Catalyst: no Arrow/Python evaluation node may appear in
+    its plan.  The binary path pays exactly ONE Arrow eval (the
+    pre-gated decompressor) — never one per coding branch."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_s3_kinesis_spark.sources import crawl
+
+    body = "plan shape page body"
+    payload = f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n{body}"
+    rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://p.com/x\r\n"
+        f"Content-Length: {len(payload.encode())}\r\n\r\n{payload}\r\n\r\n"
+    )
+    t = tmp_path / "txt"
+    t.mkdir()
+    (t / "f.warc").write_text(rec)
+    g = tmp_path / "gz"
+    g.mkdir()
+    (g / "f.warc.gz").write_bytes(gzip.compress(rec.encode()))
+
+    text_plan = (
+        crawl.warc_responses(crawl.read_warc_records(spark, str(t)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "pythonUDF"):
+        assert marker not in text_plan, marker
+
+    bin_plan = (
+        crawl.warc_responses(
+            crawl.read_warc_gz(spark, str(g), binary_payload=True)
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one decompressor eval for the whole response frame (plus the
+    # container reader's own mapInPandas)
+    assert bin_plan.count("ArrowEvalPython") == 1
