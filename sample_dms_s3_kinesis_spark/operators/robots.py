@@ -42,20 +42,26 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_DIRECTIVES = ("user-agent", "allow", "disallow")
+# Every directive the parsers understand; grouping considers all of
+# them EXCEPT sitemap, which is group-independent per sitemaps.org.
+_KNOWN_DIRECTIVES = (
+    "user-agent",
+    "allow",
+    "disallow",
+    "crawl-delay",
+    "sitemap",
+)
 
 
-def _grouped_lines(
+def _parsed_lines(
     df: DataFrame,
     content_col: str,
     key_cols: Sequence[str],
-    directives: Sequence[str],
 ) -> DataFrame:
     """Shared front half of every robots.txt parser: comment strip,
-    RFC-whitespace trim (tabs count), directive/value split, and RFC
-    group ids (consecutive User-agent lines share one group).  Returns
-    (*key_cols, _pos, _key, _val, _gid) for the recognized
-    ``directives``."""
+    RFC-whitespace trim (tabs count) and directive/value split.
+    Returns (*key_cols, _pos, _key, _val) for every recognized
+    directive line."""
     keys = [F.col(k) for k in key_cols]
     lines = df.select(
         *keys,
@@ -73,7 +79,7 @@ def _grouped_lines(
             F.regexp_replace("_line", "#.*$", ""), r"^\s+|\s+$", ""
         ).alias("_l"),
     )
-    parsed = cleaned.select(
+    return cleaned.select(
         *keys,
         "_pos",
         F.lower(F.regexp_extract("_l", r"^([A-Za-z-]+)\s*:", 1)).alias(
@@ -84,11 +90,26 @@ def _grouped_lines(
             r"^\s+|\s+$",
             "",
         ).alias("_val"),
-    ).filter(F.col("_key").isin(*directives))
-    # Group ids: a User-agent line opens a NEW group unless the
-    # previous recognized directive was also User-agent (consecutive
-    # headers share one group).  Window per robots file — tiny
-    # partitions, uniformly spread across hosts.
+    ).filter(F.col("_key").isin(*_KNOWN_DIRECTIVES))
+
+
+def _grouped_lines(
+    df: DataFrame,
+    content_col: str,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """:func:`_parsed_lines` plus RFC group ids (consecutive
+    User-agent lines share one group; ANY recognized rule line —
+    allow/disallow/crawl-delay — in between ends the header block, so
+    the next User-agent opens a NEW group).  Group detection must see
+    EVERY grouping directive: filtering to a caller's subset first
+    made rule-separated headers look consecutive and merged unrelated
+    groups (an agent inherited another group's Crawl-delay).  Sitemap
+    lines are group-independent and excluded from the walk."""
+    parsed = _parsed_lines(df, content_col, key_cols).filter(
+        F.col("_key") != "sitemap"
+    )
+    # Window per robots file — tiny partitions, uniform across hosts.
     w = Window.partitionBy(*key_cols).orderBy("_pos")
     return parsed.withColumn(
         "_start",
@@ -123,7 +144,7 @@ def parse_robots(
     keeps the group visible to agent selection downstream.
     """
     keys = [F.col(k) for k in key_cols]
-    grouped = _grouped_lines(df, content_col, key_cols, _DIRECTIVES)
+    grouped = _grouped_lines(df, content_col, key_cols)
     agents = grouped.filter(F.col("_key") == "user-agent").select(
         *keys,
         F.col("_gid"),
@@ -271,9 +292,7 @@ def robots_crawl_delays(
     applicable delay emit no row: callers left-join and treat NULL as
     'no delay requested'."""
     a = agent.lower()
-    grouped = _grouped_lines(
-        df, content_col, key_cols, ("user-agent", "crawl-delay")
-    )
+    grouped = _grouped_lines(df, content_col, key_cols)
     agents = grouped.filter(F.col("_key") == "user-agent").select(
         *key_cols, "_gid", F.lower(F.col("_val")).alias("agent")
     )
@@ -283,19 +302,22 @@ def robots_crawl_delays(
     ).select(
         *key_cols, "_gid", F.col("_val").try_cast("double").alias("_delay")
     )
-    mine = agents.filter(F.col("agent").isin(a, "*")).join(
-        delays, [*key_cols, "_gid"]
-    )
-    best = mine.groupBy(*key_cols).agg(
+    # Agent selection ranks over GROUP PRESENCE, not delay presence:
+    # an exact-agent group whose only Crawl-delay is invalid (or that
+    # declares none) must still shadow the '*' group — ranking the
+    # joined frame let the '*' delay leak through, the same
+    # vanishing-group defect parse_robots' sentinel rows fix.
+    present = agents.filter(F.col("agent").isin(a, "*"))
+    best = present.groupBy(*key_cols).agg(
         F.min(F.when(F.col("agent") == a, 0).otherwise(1)).alias("_rk")
     )
-    return (
-        mine.join(best, list(key_cols))
-        .filter(
-            F.when(F.col("_rk") == 0, F.col("agent") == a).otherwise(
-                F.col("agent") == "*"
-            )
+    chosen = present.join(best, list(key_cols)).filter(
+        F.when(F.col("_rk") == 0, F.col("agent") == a).otherwise(
+            F.col("agent") == "*"
         )
+    )
+    return (
+        chosen.join(delays, [*key_cols, "_gid"])
         .groupBy(*key_cols)
         .agg(F.max("_delay").alias("crawl_delay"))
     )
@@ -312,13 +334,9 @@ def robots_sitemaps(
     file and apply to every agent), so no group machinery — one output
     row per (host, sitemap) with the line position for stable
     ordering."""
-    grouped = _grouped_lines(
-        df, content_col, key_cols, ("user-agent", "sitemap")
-    )
     return (
-        grouped.filter(
-            (F.col("_key") == "sitemap") & (F.col("_val") != "")
-        )
+        _parsed_lines(df, content_col, key_cols)
+        .filter((F.col("_key") == "sitemap") & (F.col("_val") != ""))
         .select(
             *key_cols,
             F.col("_val").alias("sitemap"),

@@ -149,8 +149,11 @@ def read_cdx(
     ``capture_ts`` (the raw 14-digit string — fixed-width digits, so
     lexicographic order IS chronological and no cross-engine timestamp
     parsing is involved) plus the schema's fields, ``_raw_line`` and
-    ``_corrupt`` (missing fields or unparseable JSON -> rejects
-    channel via :func:`jsonl_rejects`).  Pure Catalyst; gzip'd index
+    ``_corrupt`` (malformed JSON, type-mismatched fields, a bad/
+    missing timestamp or a missing JSON block -> rejects channel via
+    :func:`jsonl_rejects`; a MISSING schema field is NOT corruption —
+    it parses as NULL, same contract as :func:`read_jsonl`).  Pure
+    Catalyst; gzip'd index
     files decompress through the text source codec (non-splittable:
     file-granularity parallelism, same story as .warc.gz)."""
     if isinstance(schema, str):

@@ -275,3 +275,55 @@ def test_crawl_delay_and_sitemaps(spark):
         ("cd.com", "https://cd.com/a.xml"),
         ("cd.com", "https://cd.com/b.xml"),
     ]
+
+
+def test_crawl_delay_group_isolation(spark):
+    """Two regressions caught by review: (1) groups separated only by
+    rule lines must NOT merge — an agent never inherits another
+    group's Crawl-delay; (2) an exact-agent group with no VALID delay
+    still shadows '*' (no delay leaks through)."""
+    files = spark.createDataFrame(
+        [
+            (
+                "g1.com",
+                # rule line between headers: two distinct groups
+                "User-agent: googlebot\nDisallow: /x\n"
+                "User-agent: slowbot\nCrawl-delay: 10\n",
+            ),
+            (
+                "g2.com",
+                # exact group's delay invalid -> shadows '*' anyway
+                "User-agent: fastbot\nCrawl-delay: zz\n\n"
+                "User-agent: *\nCrawl-delay: 10\n",
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in robots.robots_crawl_delays(
+            files, agent="googlebot"
+        ).collect()
+    }
+    assert "g1.com" not in got  # googlebot's group declares no delay
+    fast = {
+        r["host"]: r["crawl_delay"]
+        for r in robots.robots_crawl_delays(
+            files, agent="fastbot"
+        ).collect()
+    }
+    assert "g2.com" not in fast  # '*' delay must not leak to fastbot
+    star = {
+        r["host"]: r["crawl_delay"]
+        for r in robots.robots_crawl_delays(files, agent="*").collect()
+    }
+    assert star == {"g2.com": 10.0}
+    # slowbot reads its own group's delay on g1 and, having no exact
+    # group on g2, correctly falls back to g2's '*' delay
+    slow = {
+        r["host"]: r["crawl_delay"]
+        for r in robots.robots_crawl_delays(
+            files, agent="slowbot"
+        ).collect()
+    }
+    assert slow == {"g1.com": 10.0, "g2.com": 10.0}
