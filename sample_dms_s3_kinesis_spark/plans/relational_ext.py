@@ -7263,6 +7263,85 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_sitemap_ingest",
+    """
+    SELECT source || '.example.com' AS host,
+           'url' AS kind,
+           'https://' || source || '.example.com/p/'
+             || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 0 THEN '&src=cdx' ELSE '' END
+             AS loc,
+           '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             AS lastmod
+    FROM documents
+    UNION ALL
+    SELECT DISTINCT source || '.example.com', 'sitemap',
+           'https://' || source || '.example.com/sitemap-2.xml',
+           NULL
+    FROM documents
+    """,
+    "sitemap XML ingestion (URL discovery): per-host <urlset> docs "
+    "(one <url> entry per page, every 4th loc XML-escaped with &amp;) "
+    "plus a <sitemapindex> doc with a child sitemap entry, parsed by "
+    "sitemap_entries — entity-decoded locs, lastmod carried, "
+    "mandatory-loc rule enforced; the step between "
+    "robots_sitemaps and the crawl frontier.  Oracle recomputes every "
+    "entry straight from the table (decoded '&' and all)",
+    "crawl ingestion: sitemap XML (urlset + sitemapindex)",
+)
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    entry = F.concat(
+        F.lit("<url><loc> https://"),
+        host,
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("&amp;src=cdx")).otherwise(
+            F.lit("")
+        ),
+        F.lit(" </loc><lastmod>2024-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>"),
+    )
+    urlsets = (
+        d.select(host.alias("host"), entry.alias("_e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0"?><urlset '
+                    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.concat_ws("", F.collect_list("_e")),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    indexes = (
+        d.select(host.alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://"),
+                F.col("host"),
+                F.lit(
+                    "/sitemap-2.xml</loc></sitemap>"
+                    "<!-- entry without a loc: dropped -->"
+                    "<sitemap><lastmod>2024-01-01</lastmod></sitemap>"
+                    "</sitemapindex>"
+                ),
+            ).alias("xml"),
+        )
+    )
+    files = urlsets.unionByName(indexes)
+    return _crawl.sitemap_entries(files).select(
+        "host", "kind", "loc", "lastmod"
+    )
+
+
+@_register(
     "q_robots_politeness",
     """
     SELECT DISTINCT source || '.example.com' AS host,

@@ -231,6 +231,77 @@ def cdx_latest_captures(
 
 
 # --------------------------------------------------------------------
+# Sitemap XML
+# --------------------------------------------------------------------
+
+
+def sitemap_entries(
+    df: DataFrame,
+    *,
+    xml_col: str = "xml",
+    key_cols: Sequence[str] = ("host",),
+) -> DataFrame:
+    """Extract URL entries from sitemap XML documents (sitemaps.org
+    protocol) — the URL-DISCOVERY step between robots.txt (which names
+    the sitemaps, :func:`operators.robots.robots_sitemaps`) and the
+    crawl frontier.
+
+    Input: one row per fetched sitemap document (``key_cols`` identify
+    it, ``xml_col`` holds the text).  Output: one row per entry —
+    (*key_cols, kind, loc, lastmod) with ``kind`` 'url' (a ``<urlset>``
+    page entry) or 'sitemap' (a ``<sitemapindex>`` child sitemap).
+    ``loc`` is XML-entity-decoded (sitemaps MUST escape '&' etc.;
+    :func:`operators.text.decode_html_entities` applies the same
+    single-decode rules as the HTML path); ``lastmod`` is the raw
+    value string or NULL.  Entries without a ``<loc>`` are dropped —
+    the protocol makes it mandatory.
+
+    Pure Catalyst (regexp_extract_all over entry blocks + per-block
+    probes); tolerant of namespace attributes and whitespace, and of
+    malformed surrounding XML — it keys on the entry elements only,
+    the right trade for crawl-scale inputs where a DOM parse would be
+    a Python hop that dies on the first stray byte."""
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        decode_html_entities,
+    )
+
+    loc_re = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
+    lastmod_re = r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
+
+    def _entries(kind: str, element: str) -> DataFrame:
+        # \b keeps <url> from matching <urlset> (and <sitemap> from
+        # <sitemapindex>); [^>]* tolerates attributes
+        block_re = rf"(?is)<{element}\b[^>]*>(.*?)</{element}\s*>"
+        return (
+            df.select(
+                *key_cols,
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col(xml_col), F.lit(block_re), F.lit(1)
+                    )
+                ).alias("_b"),
+            )
+            .select(
+                *key_cols,
+                F.lit(kind).alias("kind"),
+                decode_html_entities(
+                    F.nullif(
+                        F.regexp_extract("_b", loc_re, 1), F.lit("")
+                    )
+                ).alias("loc"),
+                F.nullif(
+                    F.regexp_extract("_b", lastmod_re, 1), F.lit("")
+                ).alias("lastmod"),
+            )
+            .filter(F.col("loc").isNotNull())
+        )
+
+    return _entries("url", "url").unionByName(
+        _entries("sitemap", "sitemap")
+    )
+
+
+# --------------------------------------------------------------------
 # WARC
 # --------------------------------------------------------------------
 

@@ -679,3 +679,38 @@ def test_cdx_reader_and_latest_selection(spark, tmp_path):
         crawl.read_cdx(
             spark, str(p), "_crawl_corrupt_record string"
         )
+
+
+def test_sitemap_entries(spark):
+    """Sitemap XML extraction: urlset vs sitemapindex kinds, entity
+    decode, whitespace/namespace/attribute tolerance, mandatory-loc
+    rule, and <url> not matching <urlset>."""
+    files = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                '<?xml version="1.0"?>\n<urlset '
+                'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                "<url><loc> https://a.com/p?x=1&amp;y=2 </loc>"
+                "<lastmod>2024-03-01</lastmod></url>"
+                "<url>\n<loc>https://a.com/q</loc>\n</url>"
+                "<url><lastmod>2024-01-01</lastmod></url>"  # no loc
+                "</urlset>",
+            ),
+            (
+                "b.com",
+                "<sitemapindex><sitemap><loc>https://b.com/s1.xml"
+                "</loc></sitemap></sitemapindex>",
+            ),
+        ],
+        "host string, xml string",
+    )
+    got = {
+        (r["host"], r["kind"], r["loc"], r["lastmod"])
+        for r in crawl.sitemap_entries(files).collect()
+    }
+    assert got == {
+        ("a.com", "url", "https://a.com/p?x=1&y=2", "2024-03-01"),
+        ("a.com", "url", "https://a.com/q", None),
+        ("b.com", "sitemap", "https://b.com/s1.xml", None),
+    }
