@@ -3802,7 +3802,8 @@ DRIVER_WINDOW: list[str] = [
 # (a) any query registered during the r11 sessions (enumerate here as
 #     they land): q_lsh_quality_md5, q_simhash_quality_md5,
 #     q_warc_encoded_ingest, q_ingest_robots_funnel, q_cdx_ingest,
-#     q_sitemap_ingest, q_robots_politeness;
+#     q_sitemap_ingest, q_robots_politeness,
+#     q_cdx_selection_pipeline;
 # (b) the 8 remaining r6-stale rows (q_sql_entry_revenue, q_stats_agg,
 #     q_stickiness, q_temperature_mixture, q_top_journeys,
 #     q_unpivot_metrics, q_window_agg_events, q_window_first_last);

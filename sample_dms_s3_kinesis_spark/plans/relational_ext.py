@@ -7263,6 +7263,105 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_cdx_selection_pipeline",
+    """
+    WITH cap AS (
+      SELECT doc_id, source,
+             source || '.example.com' AS host,
+             'com,' || source || ')/p/' || CAST(doc_id AS VARCHAR)
+               AS urlkey,
+             CASE WHEN doc_id % 13 = 0 THEN '404' ELSE '200' END
+               AS status,
+             CASE WHEN doc_id % 29 = 0 THEN md5(text || 'v1')
+                  ELSE md5(text) END AS digest
+      FROM documents),
+    agg1 AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_latest,
+             CAST(SUM(CASE WHEN status = '200' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_200
+      FROM cap GROUP BY host),
+    corp AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents
+      WHERE doc_id % 2 = 0),
+    u AS (
+      SELECT c.* FROM cap c
+      WHERE c.status = '200'
+        AND NOT EXISTS (SELECT 1 FROM corp WHERE corp.digest = c.digest)),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY urlkey)
+               AS rk
+      FROM u),
+    agg2 AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_unseen,
+             CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected
+      FROM r GROUP BY host)
+    SELECT a1.host, a1.n_latest, a1.n_200,
+           COALESCE(a2.n_unseen, 0) AS n_unseen,
+           COALESCE(a2.n_selected, 0) AS n_selected
+    FROM agg1 a1 LEFT JOIN agg2 a2 USING (host)
+    """,
+    "index-side capture SELECTION funnel, per host: CDX sidecar -> "
+    "latest valid capture per urlkey -> status-200 filter -> "
+    "unseen-digest gate (anti-join against the already-ingested "
+    "corpus digests — the exact admission shape CorpusIngestTask "
+    "runs, applied BEFORE any fetch) -> per-host frequency cap (15, "
+    "urlkey order) -> 4-stage funnel counts.  The fetch tier of a "
+    "real corpus build only ever touches n_selected records — this "
+    "query IS the reason the CDX reader exists; every stage replays "
+    "in DuckDB (corrupted second captures fall back to the older "
+    "digest, which the unseen gate then treats as novel)",
+    "curation: CDX-driven capture selection (index-side twin of "
+    "q_crawl_pipeline)",
+)
+def q_cdx_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "cdx")
+    records = _crawl.jsonl_records(
+        _crawl.read_cdx(
+            spark,
+            path,
+            "url string, status string, digest string, length string",
+        )
+    )
+    latest = _crawl.cdx_latest_captures(records).withColumn(
+        "host", _urls.url_host(F.col("url"))
+    )
+    agg1 = latest.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_latest"),
+        F.sum((F.col("status") == "200").cast("long")).alias("n_200"),
+    )
+    # the already-ingested corpus side: digests only, bodies never
+    # shuffle — the same projection the streaming ingest gate uses
+    d = t(spark, sf_dir, "documents")
+    corp = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    unseen = latest.filter(F.col("status") == "200").join(
+        corp, "digest", "left_anti"
+    )
+    capped = _urls.domain_caps(
+        unseen,
+        domain_col="host",
+        max_per_domain=15,
+        order_col="urlkey",
+        keep_col="selected",
+    )
+    agg2 = capped.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_unseen"),
+        F.sum(F.col("selected").cast("long")).alias("n_selected"),
+    )
+    return agg1.join(agg2, "host", "left").select(
+        "host",
+        "n_latest",
+        "n_200",
+        F.coalesce(F.col("n_unseen"), F.lit(0)).alias("n_unseen"),
+        F.coalesce(F.col("n_selected"), F.lit(0)).alias("n_selected"),
+    )
+
+
+@_register(
     "q_sitemap_ingest",
     """
     SELECT source || '.example.com' AS host,
