@@ -123,6 +123,31 @@ def _grouped_lines(
     ).withColumn("_gid", F.sum("_start").over(w))
 
 
+def _shadow_filter(
+    df: DataFrame, agent: str, key_cols: Sequence[str]
+) -> DataFrame:
+    """RFC 9309 agent selection over any frame carrying an ``agent``
+    column: per key, keep exact-``agent`` rows when any exist, else
+    the ``*`` rows (exact-agent groups shadow the wildcard).  Shared
+    by :func:`robots_decisions` and :func:`robots_crawl_delays` so the
+    selection rule can never drift between them.  Adds and removes an
+    internal ``_rk`` column."""
+    a = agent.lower()
+    mine = df.filter(F.col("agent").isin(a, "*"))
+    best = mine.groupBy(*key_cols).agg(
+        F.min(F.when(F.col("agent") == a, 0).otherwise(1)).alias("_rk")
+    )
+    return (
+        mine.join(best, list(key_cols))
+        .filter(
+            F.when(F.col("_rk") == 0, F.col("agent") == a).otherwise(
+                F.col("agent") == "*"
+            )
+        )
+        .drop("_rk")
+    )
+
+
 def parse_robots(
     df: DataFrame,
     *,
@@ -203,20 +228,8 @@ def robots_decisions(
         raise ValueError(
             f"pages columns collide with internal names: {sorted(clash)}"
         )
-    mine = rules.filter(F.col("agent").isin(a, "*"))
-    # exact-agent groups shadow '*' groups per host
-    best = mine.groupBy(*keys).agg(
-        F.min(F.when(F.col("agent") == a, 0).otherwise(1)).alias("_rk")
-    )
-    chosen = (
-        mine.join(best, keys)
-        .filter(
-            F.when(F.col("_rk") == 0, F.col("agent") == a).otherwise(
-                F.col("agent") == "*"
-            )
-        )
-        .drop("_rk")
-    )
+    # exact-agent groups shadow '*' groups per host (shared rule)
+    chosen = _shadow_filter(rules, a, keys)
     # pattern → LIKE: escape \ % _ , '*' → '%', trailing '$' anchors.
     # The anchor '$' is stripped from the ORIGINAL pattern BEFORE
     # escaping — stripping after escaping broke 'foo\$' (the escape
@@ -307,15 +320,7 @@ def robots_crawl_delays(
     # declares none) must still shadow the '*' group — ranking the
     # joined frame let the '*' delay leak through, the same
     # vanishing-group defect parse_robots' sentinel rows fix.
-    present = agents.filter(F.col("agent").isin(a, "*"))
-    best = present.groupBy(*key_cols).agg(
-        F.min(F.when(F.col("agent") == a, 0).otherwise(1)).alias("_rk")
-    )
-    chosen = present.join(best, list(key_cols)).filter(
-        F.when(F.col("_rk") == 0, F.col("agent") == a).otherwise(
-            F.col("agent") == "*"
-        )
-    )
+    chosen = _shadow_filter(agents, a, key_cols)
     return (
         chosen.join(delays, [*key_cols, "_gid"])
         .groupBy(*key_cols)

@@ -7435,9 +7435,7 @@ def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     files = urlsets.unionByName(indexes)
-    return _crawl.sitemap_entries(files).select(
-        "host", "kind", "loc", "lastmod"
-    )
+    return _crawl.sitemap_entries(files)
 
 
 @_register(

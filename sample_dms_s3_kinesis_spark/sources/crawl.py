@@ -265,40 +265,35 @@ def sitemap_entries(
         decode_html_entities,
     )
 
-    loc_re = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
-    lastmod_re = r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
-
-    def _entries(kind: str, element: str) -> DataFrame:
-        # \b keeps <url> from matching <urlset> (and <sitemap> from
-        # <sitemapindex>); [^>]* tolerates attributes
-        block_re = rf"(?is)<{element}\b[^>]*>(.*?)</{element}\s*>"
-        return (
-            df.select(
-                *key_cols,
-                F.explode(
-                    F.regexp_extract_all(
-                        F.col(xml_col), F.lit(block_re), F.lit(1)
-                    )
-                ).alias("_b"),
-            )
-            .select(
-                *key_cols,
-                F.lit(kind).alias("kind"),
-                decode_html_entities(
-                    F.nullif(
-                        F.regexp_extract("_b", loc_re, 1), F.lit("")
-                    )
-                ).alias("loc"),
-                F.nullif(
-                    F.regexp_extract("_b", lastmod_re, 1), F.lit("")
-                ).alias("lastmod"),
-            )
-            .filter(F.col("loc").isNotNull())
-        )
-
-    return _entries("url", "url").unionByName(
-        _entries("sitemap", "sitemap")
+    # One alternation pass over each document ("(url|sitemap)" with a
+    # backreferenced close tag) instead of one full scan per element
+    # kind; "(?:[\w.-]+:)?" tolerates namespace prefixes (ElementTree
+    # default output is <ns0:urlset>...), \b keeps <url> from matching
+    # <urlset> (and <sitemap> from <sitemapindex>), [^>]* tolerates
+    # attributes on every tag incl. <loc>.
+    ns = r"(?:[\w.-]+:)?"
+    block_re = rf"(?is)<{ns}(url|sitemap)\b[^>]*>.*?</{ns}\1\s*>"
+    kind_re = rf"(?is)^<{ns}(url|sitemap)\b"
+    loc_re = rf"(?is)<{ns}loc\b[^>]*>\s*(.*?)\s*</{ns}loc\s*>"
+    lastmod_re = (
+        rf"(?is)<{ns}lastmod\b[^>]*>\s*(.*?)\s*</{ns}lastmod\s*>"
     )
+    blocks = df.select(
+        *key_cols,
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(block_re), F.lit(0))
+        ).alias("_b"),
+    )
+    return blocks.select(
+        *key_cols,
+        F.lower(F.regexp_extract("_b", kind_re, 1)).alias("kind"),
+        decode_html_entities(
+            F.nullif(F.regexp_extract("_b", loc_re, 1), F.lit(""))
+        ).alias("loc"),
+        F.nullif(
+            F.regexp_extract("_b", lastmod_re, 1), F.lit("")
+        ).alias("lastmod"),
+    ).filter(F.col("loc").isNotNull())
 
 
 # --------------------------------------------------------------------

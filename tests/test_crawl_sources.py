@@ -702,6 +702,17 @@ def test_sitemap_entries(spark):
                 "<sitemapindex><sitemap><loc>https://b.com/s1.xml"
                 "</loc></sitemap></sitemapindex>",
             ),
+            (
+                # namespace-prefixed output (ElementTree default) and
+                # an attribute-carrying <loc> must both extract
+                "c.com",
+                '<ns0:urlset xmlns:ns0="http://www.sitemaps.org/'
+                'schemas/sitemap/0.9"><ns0:url>'
+                "<ns0:loc>https://c.com/n</ns0:loc></ns0:url>"
+                "</ns0:urlset>"
+                '<urlset><url><loc xml:space="preserve">'
+                "https://c.com/attr</loc></url></urlset>",
+            ),
         ],
         "host string, xml string",
     )
@@ -713,4 +724,6 @@ def test_sitemap_entries(spark):
         ("a.com", "url", "https://a.com/p?x=1&y=2", "2024-03-01"),
         ("a.com", "url", "https://a.com/q", None),
         ("b.com", "sitemap", "https://b.com/s1.xml", None),
+        ("c.com", "url", "https://c.com/n", None),
+        ("c.com", "url", "https://c.com/attr", None),
     }
