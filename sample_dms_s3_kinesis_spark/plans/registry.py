@@ -3736,78 +3736,81 @@ def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
-# budget.  Rounds 2-10 drove their 50-query windows all-green (zero
-# oracle-bearing failures in CORRECTNESS_r02..r10.json).  Round 11
-# executes the rotation the r10 verdict mandated: (1) all 11 queries
-# registered during the r10 session (never driver-checked; each was
-# verified exact green locally and by the r10 judge); (2) the first 39
-# of the 47 remaining r6-stale queries in registration order — after
-# this window lands, only 8 queries have a newest driver row older
-# than r7, all enumerated in the r12 backlog below.
+# budget.  Rounds 2-11 drove their 50-query windows all-green (zero
+# oracle-bearing failures in CORRECTNESS_r02..r11.json).  Round 12
+# executes the rotation the r11 verdict mandated: (1) all 8 queries
+# registered during the r11 session (never driver-checked; each was
+# verified exact green locally and by the r11 judge); (2) the 8
+# remaining r6-stale rows; (3) the first 34 of the 47 r7-stale queries
+# in registration order — after this window lands, no query's newest
+# driver row is older than r8 except the 13 r7 rows enumerated in the
+# r13 backlog below.  Every member of this window is oracle-bearing.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked: r10 session registrations (11) ---
-    "q_jsonl_ingest",
-    "q_warc_ingest",
-    "q_warc_gz_ingest",
-    "q_ingest_e2e_html",
-    "q_crawl_pipeline",
-    "q_url_blocklist",
-    "q_robots_gate",
-    "q_text_md5_fingerprint",
-    "q_daily_distinct_md5_rank",
-    "q_containment_md5_against",
-    "q_simhash_md5_against",
-    # --- r6-stale: first 39 of 47 in registration order ---
-    "q_ann_recall",              # rows-only: recall vs exact ground truth
-    "q_array_hof_stats",
-    "q_bm25_search",
-    "q_boolean_search",
-    "q_bpe_merges",
-    "q_check_expectations",
-    "q_cohort_ltv",
-    "q_cohort_retention",
-    "q_containment_against",     # rows-only: xxhash64 production flavor
-    "q_daily_anomaly",
-    "q_daily_trend",
-    "q_dedup_segments",
-    "q_dedup_segments_against",
-    "q_dedup_segments_within",
-    "q_edit_distance_against",
-    "q_edit_distance_pairs",
-    "q_entropy_by_source",
-    "q_event_transitions",
-    "q_except_customers",
-    "q_funnel_by_cohort",
-    "q_funnel_conversion",
-    "q_funnel_counts",
-    "q_funnel_windowed",
-    "q_group_split",
-    "q_hll_daily_union",         # rows-only: HLL sketch internals
-    "q_intersect_customers",
-    "q_ivfpq_topk",              # rows-only: k-means cells
-    "q_phrase_search",
-    "q_postings_search",
-    "q_pq_topk",                 # rows-only: k-means codebooks
-    "q_quarantine",
-    "q_resample_ffill",
-    "q_resample_interpolate",
-    "q_rolling_7d_value",
-    "q_rolling_wau",
-    "q_session_stats",
-    "q_skipping_report",
-    "q_split_leakage",
-    "q_split_leakage_near",
+    # --- never driver-checked: r11 session registrations (8) ---
+    "q_cdx_ingest",
+    "q_warc_encoded_ingest",
+    "q_cdx_selection_pipeline",
+    "q_sitemap_ingest",
+    "q_robots_politeness",
+    "q_ingest_robots_funnel",
+    "q_lsh_quality_md5",
+    "q_simhash_quality_md5",
+    # --- r6-stale: the remaining 8 ---
+    "q_window_first_last",
+    "q_stats_agg",
+    "q_window_agg_events",
+    "q_unpivot_metrics",
+    "q_temperature_mixture",
+    "q_sql_entry_revenue",
+    "q_stickiness",
+    "q_top_journeys",
+    # --- r7-stale: first 34 of 47 in registration order ---
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_revenue",
+    "q_text_tokens",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q04_order_priority",
+    "q07_nation_volume",
+    "q09_product_profit",
+    "q11_supplier_value",
+    "q13_order_count_dist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_idle_rich_customers",
+    "q_window_lag_lead",
+    "q_window_rank_family",
+    "q_session_window_events",
+    "q_text_tokens_bpe",
+    "q_ann_batch_topk",
+    "q_array_agg_priorities",
+    "q02_min_cost_supplier",
+    "q12_status_priority",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_part_suppliers",
+    "q21_multi_supplier_orders",
+    "q_hash_split",
+    "q_stratified_sample",
+    "q_group_sample_topk",
+    "q_token_budget_sample",
+    "q_pack_sequences",
+    "q_top_fraction_quality",
+    "q_sliding_window_events",
 ]
-# r12 rotation backlog, in priority order (never-checked beats stale):
-# (a) any query registered during the r11 sessions (enumerate here as
-#     they land): q_lsh_quality_md5, q_simhash_quality_md5,
-#     q_warc_encoded_ingest, q_ingest_robots_funnel, q_cdx_ingest,
-#     q_sitemap_ingest, q_robots_politeness,
-#     q_cdx_selection_pipeline;
-# (b) the 8 remaining r6-stale rows (q_sql_entry_revenue, q_stats_agg,
-#     q_stickiness, q_temperature_mixture, q_top_journeys,
-#     q_unpivot_metrics, q_window_agg_events, q_window_first_last);
-# (c) r7-stale families thereafter, rotating by age so no query's
+# r13 rotation backlog, in priority order (never-checked beats stale):
+# (a) any query registered during the r12 sessions (enumerate here as
+#     they land): q_frontier_pipeline, q_split_leakage_near_md5,
+#     q_warc_reject_reasons, q_cdx_ingest_e2e;
+# (b) the 13 remaining r7-stale rows (q_text_repetition,
+#     q_text_normalize, q_embedding_normalize, q_unigram_lm_score,
+#     q_dedup_incremental, q_pmi_bigrams, q_lateral_top_order,
+#     q_cdc_chunks, q_dedup_segments_cdc, q_neardup_degrees,
+#     q_dedup_segments_cdc_against, q_recursive_reachability,
+#     q_cdc_e2e_stats);
+# (c) r8-stale families thereafter, rotating by age so no query's
 #     latest driver row is older than three rounds.
 
 

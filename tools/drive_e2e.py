@@ -1,4 +1,7 @@
-import os, tempfile, time
+import os, sys, tempfile, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import SparkSession
 from sample_dms_s3_kinesis_spark.catalog import Catalog, REFERENCE_TABLE_DEFINITION
 from sample_dms_s3_kinesis_spark.tasks import FullLoadTask
