@@ -212,14 +212,26 @@ def cdx_latest_captures(
     """One row per ``key_col``: the LATEST capture (max ``ts_col``)
     plus ``n_captures`` — the standard index-side selection (fetch one
     capture per URL) as a single partial-aggregating groupBy; feed it
-    :func:`jsonl_records` output.  Ties on the timestamp pick an
-    unspecified capture of the tie set (CDX timestamps are
-    second-resolution; recrawls of one URL within a second do not
-    happen in practice)."""
+    :func:`jsonl_records` output.  Ties on the timestamp (CDX
+    timestamps are second-resolution; same-second recrawls are rare
+    but replay determinism matters) break on the greatest payload
+    struct — a total order over the remaining columns, so repeated
+    runs of the same input always pick the same capture."""
     payload = [c for c in records.columns if c not in (key_col, ts_col)]
+    if not payload:
+        raise ValueError(
+            "cdx_latest_captures needs at least one payload column "
+            f"besides {key_col!r} and {ts_col!r}; got only "
+            f"{records.columns}"
+        )
     picked = records.groupBy(key_col).agg(
         F.max(ts_col).alias(ts_col),
-        F.max_by(F.struct(*payload), F.col(ts_col)).alias("_best"),
+        F.max_by(
+            F.struct(*payload),
+            # deterministic tie-break: order by (ts, payload struct) —
+            # struct comparison is lexicographic over the fields
+            F.struct(F.col(ts_col), *[F.col(c) for c in payload]),
+        ).alias("_best"),
         F.count(F.lit(1)).alias("n_captures"),
     )
     return picked.select(
@@ -616,18 +628,115 @@ def read_warc_gz(
     schema = _WARC_BIN_SCHEMA if binary_payload else _WARC_SCHEMA
     cols = schema.fieldNames()
 
+    sep_b = boundary.encode()
+
+    def walk_records(buf: bytes, out: list, final: bool) -> bytes:
+        """Length-driven record walk for the binary path: a record
+        whose header declares a sane Content-Length consumes exactly
+        that many payload bytes plus the ``\\r\\n\\r\\n`` separator, so
+        a RAW BINARY payload that happens to contain the boundary byte
+        sequence (gzip/deflate bodies are uniform bytes — at 100 TB
+        the ~10-byte marker does occur) no longer splits mid-payload
+        into two length_ok=false fragments.  Records without a
+        parseable length, with a hostile (>2 GiB) one, or whose
+        declared length doesn't land on a separator fall back to
+        boundary scanning for that record — the same honest-reject
+        shape as before.  Returns the unconsumed residual (b'' when
+        ``final``)."""
+        pos, n = 0, len(buf)
+
+        def emit(piece):
+            rec = _parse_warc_piece_bytes(piece)
+            if rec is not None:
+                out.append(rec)
+
+        while True:
+            j = pos
+            while j < n and buf[j] in b" \t\n\x0b\f\r":
+                j += 1  # inter-record padding
+            if j >= n:
+                return b""
+            if not buf.startswith(sep_b, j):
+                # garbage/preamble before a boundary: emit up to the
+                # next boundary as one piece (the parse flags it)
+                nxt = buf.find(sep_b, j)
+                if nxt < 0:
+                    if not final:
+                        return buf[j:]
+                    emit(buf[j:])
+                    return b""
+                emit(buf[j:nxt])
+                pos = nxt
+                continue
+            body_start = j + len(sep_b)
+            he = buf.find(b"\r\n\r\n", body_start)
+            declared = None
+            if he >= 0:
+                hdr = buf[body_start:he].decode("utf-8", "replace")
+                m = _HEADER_PROBES["Content-Length"].search(hdr)
+                declared = _try_cast_long(m.group(1)) if m else None
+                if declared is not None and not (
+                    0 <= declared <= (1 << 31)
+                ):
+                    declared = None  # hostile/absurd: don't buffer it
+            if declared is not None:
+                rec_end = he + 4 + declared
+                if rec_end + 4 <= n and buf.startswith(
+                    b"\r\n\r\n", rec_end
+                ):
+                    emit(buf[body_start : rec_end + 4])
+                    pos = rec_end + 4
+                    continue
+                if rec_end <= n <= rec_end + 4 and final:
+                    # tail record: declared bytes present, separator
+                    # (fully or partly) truncated at EOF
+                    emit(buf[body_start:])
+                    return b""
+                if rec_end + 4 > n:
+                    if not final:
+                        return buf[j:]  # need more data
+                    emit(buf[body_start:])  # truncated tail record
+                    return b""
+                # declared length doesn't land on a separator: the
+                # header lies — boundary-scan fallback for this record
+            nxt = buf.find(sep_b, body_start)
+            if nxt < 0:
+                if not final:
+                    return buf[j:]
+                emit(buf[body_start:])
+                return b""
+            emit(buf[body_start:nxt])
+            pos = nxt
+
     def parse_files(batches):
         for pdf in batches:
             for content in pdf["content"]:
                 gz = gzip.GzipFile(fileobj=io.BytesIO(bytes(content)))
-                if binary_payload:
-                    decode_chunk = lambda chunk, final=False: chunk  # noqa: E731
-                    sep, buf, parse = boundary.encode(), b"", _parse_warc_piece_bytes
-                else:
-                    decoder = codecs.getincrementaldecoder("utf-8")("replace")
-                    decode_chunk = decoder.decode
-                    sep, buf, parse = boundary, "", _parse_warc_piece
                 out = []
+                if binary_payload:
+                    buf = b""
+                    while True:
+                        chunk = gz.read(1 << 20)
+                        if not chunk:
+                            break
+                        buf += chunk
+                        if len(buf) >= (1 << 21):
+                            buf = walk_records(buf, out, final=False)
+                        while len(out) >= batch_rows:
+                            yield pd.DataFrame(
+                                out[:batch_rows], columns=cols
+                            )
+                            out = out[batch_rows:]
+                    walk_records(buf, out, final=True)
+                    while out:
+                        yield pd.DataFrame(
+                            out[:batch_rows], columns=cols
+                        )
+                        out = out[batch_rows:]
+                    continue
+                decoder = codecs.getincrementaldecoder("utf-8")("replace")
+                decode_chunk = decoder.decode
+                sep, buf, parse = boundary, "", _parse_warc_piece
 
                 def take_complete(buf):
                     # split off every COMPLETE record; the residual —
@@ -687,7 +796,7 @@ _CHUNK_SIZE_LINE = r"^([0-9a-fA-F]{1,7})(?:;[ -~]{0,254})?\r\n"
 _CHUNK_SIZE_LINE_B = _re.compile(rb"([0-9a-fA-F]{1,7})(?:;[ -~]{0,254})?\r\n")
 
 
-def _dechunk_py(b: bytes, max_chunks: int = 1024) -> bytes | None:
+def _dechunk_py(b: bytes, max_chunks: int = 8192) -> bytes | None:
     """Python twin of :func:`_dechunk`, for the gzip decode path
     (chunked+gzipped bodies reassemble inside the gunzip UDF — a
     Python UDF whose input expression contains HOF lambdas cannot be
@@ -711,12 +820,17 @@ def _dechunk_py(b: bytes, max_chunks: int = 1024) -> bytes | None:
     return None
 
 
-def _dechunk(data: Column, *, max_chunks: int = 1024) -> Column:
+def _dechunk(data: Column, *, max_chunks: int = 8192) -> Column:
     """Decode HTTP chunked transfer framing from BINARY ``data``:
     returns ``struct(ok boolean, data binary)`` — ``ok`` true and the
     reassembled entity bytes when the framing is well-formed, false /
     NULL otherwise (bad size line, missing chunk CRLF, truncated
-    chunk, or more than ``max_chunks`` chunks).
+    chunk, or more than ``max_chunks`` chunks).  The default ceiling
+    (8192 chunks ≈ a 64 MB page at the common ~8 KB chunk size) is a
+    safety bound on the per-row ``sequence`` array, not a tuning knob —
+    the adaptive step count below keeps typical rows cheap — and
+    :func:`warc_responses` exposes it for corpora that legitimately
+    exceed it.
 
     Pure Catalyst: an ``aggregate`` fold over ``sequence(1, N)`` walks
     the framing one chunk per step with a (byte-offset, accumulator,
@@ -801,39 +915,95 @@ def _dechunk(data: Column, *, max_chunks: int = 1024) -> Column:
     return _bind(data, run)
 
 
-_GUNZIP_UDF = None
+# Content-Encoding values the binary decode path dispatches to the
+# entity UDF.  br/zstd decode only when their (optional) codec package
+# is importable ON THE WORKER — absent packages reject each row with a
+# distinct machine-readable reason instead of a silent NULL, so a
+# corpus owner can see exactly how many pages a missing codec costs.
+SUPPORTED_CONTENT_CODINGS = ("gzip", "x-gzip", "deflate", "br", "zstd")
+
+_BR_MODULE = ()  # () = not probed yet; None = probed, unavailable
+_ZSTD_DECOMPRESS = ()
 
 
-def _gzip_entity_udf():
-    """Arrow-batched decoder for gzip HTTP entities (raw body bytes +
-    transfer coding -> entity string, NULL on any failure).  The one
-    Python step in the response decode path — Catalyst has no gunzip
-    expression; everything around it (header probes, dispatch, and the
-    common text-chunked case) stays JVM-side, and the udf only ever
-    sees non-NULL input on rows whose Content-Encoding is gzip.
-    Chunked+gzipped bodies de-chunk HERE via :func:`_dechunk_py` (the
-    pinned twin of the Catalyst fold): a Python UDF whose input
+def _load_brotli():
+    """Per-process probe for a brotli decompressor (``brotli`` or
+    ``brotlicffi`` — API-compatible).  Runs on the WORKER, so a
+    heterogeneous cluster rejects per-row with ``br_unavailable``
+    exactly where the package is missing rather than failing at plan
+    time."""
+    global _BR_MODULE
+    if _BR_MODULE == ():
+        _BR_MODULE = None
+        for name in ("brotli", "brotlicffi"):
+            try:
+                _BR_MODULE = __import__(name)
+                break
+            except ImportError:
+                pass
+    return _BR_MODULE
+
+
+def _load_zstd():
+    """Per-process probe for a zstd decompress callable: stdlib
+    ``compression.zstd`` (3.14+) first, then the ``zstandard``
+    package."""
+    global _ZSTD_DECOMPRESS
+    if _ZSTD_DECOMPRESS == ():
+        _ZSTD_DECOMPRESS = None
+        try:
+            from compression import zstd as _z  # Python 3.14+
+
+            _ZSTD_DECOMPRESS = _z.decompress
+        except ImportError:
+            try:
+                import zstandard as _z
+
+                _ZSTD_DECOMPRESS = _z.ZstdDecompressor().decompress
+            except ImportError:
+                pass
+    return _ZSTD_DECOMPRESS
+
+
+_ENTITY_UDFS: dict = {}
+
+
+def _encoded_entity_udf(max_chunks: int = 8192):
+    """Arrow-batched decoder for compressed HTTP entities (raw body
+    bytes + codings -> ``struct(body string, reason string)`` — the
+    decoded entity, or NULL plus a machine-readable reject reason).
+    The one Python step in the response decode path — Catalyst has no
+    decompression expression; everything around it (header probes,
+    dispatch, and the common text-chunked case) stays JVM-side, and
+    the udf only ever sees non-NULL input on rows whose
+    Content-Encoding names a member of ``SUPPORTED_CONTENT_CODINGS``.
+    Chunked+compressed bodies de-chunk HERE via :func:`_dechunk_py`
+    (the pinned twin of the Catalyst fold): a Python UDF whose input
     expression contains HOF lambdas is not extractable for batch
     evaluation, so the fold's output cannot feed the udf directly.
     Decompressed bytes read as UTF-8 with replacement, matching what
-    the text source does to a page that was never compressed."""
-    global _GUNZIP_UDF
-    if _GUNZIP_UDF is None:
+    the text source does to a page that was never compressed.
+    Reasons: ``bad_chunked_framing``, ``decompress_failed``,
+    ``br_unavailable`` / ``zstd_unavailable`` (optional codec package
+    absent on the worker — brotli / brotlicffi, compression.zstd /
+    zstandard)."""
+    cached = _ENTITY_UDFS.get(max_chunks)
+    if cached is None:
         import gzip
         import zlib
 
-        @F.pandas_udf("string")
+        @F.pandas_udf("body string, reason string")
         def encoded_entity(
             data: pd.Series, te: pd.Series, ce: pd.Series
-        ) -> pd.Series:
+        ) -> pd.DataFrame:
             def one(v, t, c):
                 if v is None:
-                    return None
+                    return (None, None)
                 b = bytes(v)
                 if t == "chunked":
-                    b = _dechunk_py(b)
+                    b = _dechunk_py(b, max_chunks)
                     if b is None:
-                        return None
+                        return (None, "bad_chunked_framing")
                 try:
                     if c == "deflate":
                         # RFC says zlib-wrapped; plenty of servers send
@@ -842,45 +1012,71 @@ def _gzip_entity_udf():
                             b = zlib.decompress(b)
                         except zlib.error:
                             b = zlib.decompress(b, -15)
-                    else:
+                    elif c == "br":
+                        br = _load_brotli()
+                        if br is None:
+                            return (None, "br_unavailable")
+                        b = br.decompress(b)
+                    elif c == "zstd":
+                        zd = _load_zstd()
+                        if zd is None:
+                            return (None, "zstd_unavailable")
+                        b = zd(b)
+                    else:  # gzip / x-gzip
                         b = gzip.decompress(b)
-                    return b.decode("utf-8", "replace")
+                    return (b.decode("utf-8", "replace"), None)
                 except Exception:
-                    return None
+                    return (None, "decompress_failed")
 
-            return pd.Series(
-                [one(v, t, c) for v, t, c in zip(data, te, ce)],
-                dtype=object,
+            out = [one(v, t, c) for v, t, c in zip(data, te, ce)]
+            return pd.DataFrame(
+                {
+                    "body": pd.Series([o[0] for o in out], dtype=object),
+                    "reason": pd.Series(
+                        [o[1] for o in out], dtype=object
+                    ),
+                }
             )
 
-        _GUNZIP_UDF = encoded_entity
-    return _GUNZIP_UDF
+        cached = _ENTITY_UDFS[max_chunks] = encoded_entity
+    return cached
 
 
-def warc_responses(records: DataFrame) -> DataFrame:
+def warc_responses(
+    records: DataFrame, *, max_chunks: int = 8192
+) -> DataFrame:
     """HTTP response records out of :func:`read_warc_records` /
     :func:`read_warc_gz` output: parses the HTTP status line, splits
     headers from body and DECODES the body's HTTP encodings.
 
     Adds ``http_status`` (int), ``http_content_type``,
-    ``http_transfer_encoding``, ``http_content_encoding`` and ``body``;
-    keeps the WARC columns.  Non-response records (request, warcinfo,
-    metadata, …) are filtered out — crawl curation ingests fetched
-    pages, not the crawler's own bookkeeping.
+    ``http_transfer_encoding``, ``http_content_encoding``, ``body``
+    and ``body_reject_reason``; keeps the WARC columns.  Non-response
+    records (request, warcinfo, metadata, …) are filtered out — crawl
+    curation ingests fetched pages, not the crawler's own bookkeeping.
 
     ``body`` is the DECODED entity: the raw body for unencoded
     responses, the reassembled entity for ``Transfer-Encoding:
     chunked`` (pure-Catalyst :func:`_dechunk`, works on both readers'
     output), and the decompressed text for ``Content-Encoding:
-    gzip``/``x-gzip``/``deflate`` (zlib-wrapped or raw) WHEN the input
-    carries a ``payload_bin`` column (``read_warc_gz(
-    binary_payload=True)`` — compressed bytes cannot survive the text
-    source's decode, so on the text path such records get
-    ``body = NULL``).  ``body IS NULL`` means undecodable — bad
-    chunked framing, decompression failure, an unsupported coding, or
-    binary content on the text path — and is the reject signal callers
-    filter on, exactly like ``length_ok``.  Chunked+compressed
-    responses decode in RFC order (de-chunk, then decompress)."""
+    gzip``/``x-gzip``/``deflate`` (zlib-wrapped or raw) — plus ``br``
+    and ``zstd`` when their optional codec package is importable on
+    the worker — WHEN the input carries a ``payload_bin`` column
+    (``read_warc_gz(binary_payload=True)`` — compressed bytes cannot
+    survive the text source's decode, so on the text path such
+    records get ``body = NULL``).  ``body IS NULL`` means undecodable,
+    and ``body_reject_reason`` says WHY — a machine-readable reason a
+    corpus owner can aggregate to see what a funnel loses per coding:
+    ``bad_chunked_framing``, ``decompress_failed``, ``br_unavailable``
+    / ``zstd_unavailable`` (optional codec absent),
+    ``unsupported_transfer_encoding``,
+    ``unsupported_content_encoding``, or
+    ``compressed_body_on_text_path``.  The reason is NULL wherever
+    ``body`` decoded (and for uncoded records, whose raw body needs no
+    decode step).  Chunked+compressed responses decode in RFC order
+    (de-chunk, then decompress).  ``max_chunks`` bounds the chunked
+    walk per row (default 8192 ≈ a 64 MB entity at ~8 KB chunks);
+    framings that exceed it reject as ``bad_chunked_framing``."""
     resp = records.filter(F.lower(F.col("warc_type")) == "response")
     has_bin = "payload_bin" in records.columns
     http_hdr = F.regexp_extract("payload", r"(?s)^(.*?)\r\n\r\n", 1)
@@ -913,7 +1109,10 @@ def warc_responses(records: DataFrame) -> DataFrame:
     ce_c = F.col("http_content_encoding")
     te_none = te_c.isNull() | (te_c == "identity")
     ce_none = ce_c.isNull() | (ce_c == "identity")
-    ce_codec = ce_c.isin("gzip", "x-gzip", "deflate")
+    te_ok = te_none | (te_c == "chunked")
+    ce_codec = ce_c.isin(*SUPPORTED_CONTENT_CODINGS)
+    chunk_rows = (te_c == "chunked") & ce_none
+    udf_rows = ce_codec & te_ok
     if has_bin:
         # entity bytes = the raw payload minus the HTTP header block.
         # The header is ASCII in any response we can decode, so its
@@ -930,23 +1129,18 @@ def warc_responses(records: DataFrame) -> DataFrame:
         # string — exact for every record the text source didn't
         # already mangle
         ebin = F.encode(F.col("_body_raw"), "UTF-8")
-    from sample_dms_s3_kinesis_spark.operators.text import _bind
-
-    def _dechunked_bytes():
-        # bind the fold output: .ok and .data both read it, and an
-        # unbound struct would re-run the whole aggregate per field
-        return _bind(
-            _dechunk(ebin),
-            lambda d: F.when(d.getField("ok"), d.getField("data")),
-        )
-
-    decoded = F.when(te_none & ce_none, F.col("_body_raw")).when(
-        (te_c == "chunked") & ce_none,
-        # make_valid_utf8, not decode: U+FFFD replacement for invalid
-        # bytes — the same convention the text source applies to
-        # uncompressed pages (ANSI decode throws)
-        F.make_valid_utf8(_dechunked_bytes()),
-    )
+    # Stage the two expensive decode structs as GATED alias columns:
+    # body and body_reject_reason below both read their fields, and
+    # CollapseProject refuses to inline a non-cheap alias referenced
+    # more than once — so the chunked fold and the entity udf each
+    # evaluate exactly once per row, not once per output column
+    # (pinned by test_warc_responses_plan_stays_jvm_side's single
+    # ArrowEvalPython count and test_chunked_fold_evaluates_once).
+    stage_cols = [
+        F.when(
+            chunk_rows, _dechunk(ebin, max_chunks=max_chunks)
+        ).alias("_chunk")
+    ]
     if has_bin:
         # One udf call on PRE-GATED inputs: NULL bytes for every
         # non-compressed row (the decompressor sees nothing to do),
@@ -954,17 +1148,46 @@ def warc_responses(records: DataFrame) -> DataFrame:
         # extractable into its Arrow batch projection.  De-chunking
         # for the chunked+compressed combo happens inside the udf
         # (_dechunk_py).
-        gz_rows = ce_codec & (te_none | (te_c == "chunked"))
-        decoded = decoded.when(
-            gz_rows,
-            _gzip_entity_udf()(
-                F.when(gz_rows, ebin),
-                F.when(gz_rows, te_c),
-                F.when(gz_rows, ce_c),
-            ),
+        stage_cols.append(
+            _encoded_entity_udf(max_chunks)(
+                F.when(udf_rows, ebin),
+                F.when(udf_rows, te_c),
+                F.when(udf_rows, ce_c),
+            ).alias("_ent")
         )
-    # any other coding combination falls through to NULL: undecodable
-    return staged.select(
+    staged2 = staged.select("*", *stage_cols)
+    chunk_s = F.col("_chunk")
+    body = F.when(te_none & ce_none, F.col("_body_raw")).when(
+        chunk_rows,
+        # make_valid_utf8, not decode: U+FFFD replacement for invalid
+        # bytes — the same convention the text source applies to
+        # uncompressed pages (ANSI decode throws)
+        F.when(
+            chunk_s.getField("ok"),
+            F.make_valid_utf8(chunk_s.getField("data")),
+        ),
+    )
+    # reason is NULL wherever body decoded; every reject names why
+    reason = F.when(te_none & ce_none, F.lit(None).cast("string")).when(
+        chunk_rows,
+        F.when(
+            ~F.coalesce(chunk_s.getField("ok"), F.lit(False)),
+            F.lit("bad_chunked_framing"),
+        ),
+    )
+    if has_bin:
+        body = body.when(udf_rows, F.col("_ent").getField("body"))
+        reason = reason.when(
+            udf_rows, F.col("_ent").getField("reason")
+        )
+    else:
+        reason = reason.when(
+            udf_rows, F.lit("compressed_body_on_text_path")
+        )
+    reason = reason.when(
+        ~te_ok, F.lit("unsupported_transfer_encoding")
+    ).otherwise(F.lit("unsupported_content_encoding"))
+    return staged2.select(
         "warc_type",
         "target_uri",
         "record_id",
@@ -990,7 +1213,8 @@ def warc_responses(records: DataFrame) -> DataFrame:
         ).alias("http_content_type"),
         "http_transfer_encoding",
         "http_content_encoding",
-        decoded.alias("body"),
+        body.alias("body"),
+        reason.alias("body_reject_reason"),
     )
 
 

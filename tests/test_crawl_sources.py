@@ -727,3 +727,235 @@ def test_sitemap_entries(spark):
         ("c.com", "url", "https://c.com/n", None),
         ("c.com", "url", "https://c.com/attr", None),
     }
+
+
+def test_body_reject_reasons(spark, tmp_path):
+    """body_reject_reason names WHY every undecodable body is NULL —
+    the per-coding observability a corpus owner aggregates to see what
+    an ingest funnel loses (br pages on a brotli-less cluster, corrupt
+    gzip, bad chunked framing, exotic codings) — and stays NULL on
+    every decoded row."""
+    import gzip as _gz
+
+    body = "reject reason page text " * 40
+    raw = body.encode()
+    gz = _gz.compress(raw, mtime=0)
+    bad_chunk = b"Z" + crawl.http_chunk_bytes(raw, 64)[1:]  # size line broken
+    bad_chunk_gz = b"Z" + crawl.http_chunk_bytes(gz, 64)[1:]
+    recs = {
+        "https://r.com/plain": (raw, None, None),
+        "https://r.com/gzip": (gz, None, "gzip"),
+        "https://r.com/br": (raw, None, "br"),
+        "https://r.com/zstd": (raw, None, "zstd"),
+        "https://r.com/corrupt-gzip": (gz[:-4], None, "gzip"),
+        "https://r.com/bad-chunked": (bad_chunk, "chunked", None),
+        "https://r.com/bad-chunked-gzip": (bad_chunk_gz, "chunked", "gzip"),
+        "https://r.com/te-gzip": (gz, "gzip", None),
+        "https://r.com/ce-compress": (raw, None, "compress"),
+    }
+    g = tmp_path / "rej"
+    g.mkdir()
+    (g / "f.warc.gz").write_bytes(
+        b"".join(
+            _gz.compress(
+                crawl.warc_response_record_bytes(
+                    u, b, transfer_encoding=te, content_encoding=ce
+                )
+            )
+            for u, (b, te, ce) in recs.items()
+        )
+    )
+    rows = {
+        r["target_uri"]: r
+        for r in crawl.warc_responses(
+            crawl.read_warc_gz(spark, str(g), binary_payload=True)
+        ).collect()
+    }
+    assert rows["https://r.com/plain"]["body"] == body
+    assert rows["https://r.com/plain"]["body_reject_reason"] is None
+    assert rows["https://r.com/gzip"]["body"] == body
+    assert rows["https://r.com/gzip"]["body_reject_reason"] is None
+    # optional codecs: decode when the package exists, otherwise the
+    # distinct *_unavailable reason (never a silent NULL)
+    if crawl._load_brotli() is None:
+        assert rows["https://r.com/br"]["body"] is None
+        assert (
+            rows["https://r.com/br"]["body_reject_reason"]
+            == "br_unavailable"
+        )
+    if crawl._load_zstd() is None:
+        assert rows["https://r.com/zstd"]["body"] is None
+        assert (
+            rows["https://r.com/zstd"]["body_reject_reason"]
+            == "zstd_unavailable"
+        )
+    expect = {
+        "https://r.com/corrupt-gzip": "decompress_failed",
+        "https://r.com/bad-chunked": "bad_chunked_framing",
+        "https://r.com/bad-chunked-gzip": "bad_chunked_framing",
+        "https://r.com/te-gzip": "unsupported_transfer_encoding",
+        "https://r.com/ce-compress": "unsupported_content_encoding",
+    }
+    for u, reason in expect.items():
+        assert rows[u]["body"] is None, u
+        assert rows[u]["body_reject_reason"] == reason, u
+    # text path: compressed bodies carry their own distinct reason
+    p = tmp_path / "rejtxt"
+    p.mkdir()
+    (p / "f.warc").write_bytes(
+        crawl.warc_response_record_bytes(
+            "https://r.com/gzip", gz, content_encoding="gzip"
+        )
+    )
+    (trow,) = crawl.warc_responses(
+        crawl.read_warc_records(spark, str(p))
+    ).collect()
+    assert trow["body"] is None
+    assert trow["body_reject_reason"] == "compressed_body_on_text_path"
+
+
+def test_warc_responses_max_chunks_knob(spark, tmp_path):
+    """A well-formed chunked body with more chunks than ``max_chunks``
+    rejects as bad_chunked_framing; raising the knob (or the 8192
+    default) decodes it — on the Catalyst fold AND the in-UDF Python
+    twin (chunked+gzip, whose ~40 gzip bytes still make >8 chunks at
+    2 bytes each)."""
+    import gzip as _gz
+
+    body = "x" * 4000  # 2000 chunks at 2 bytes each
+    chunked = crawl.http_chunk_bytes(body.encode(), 2)
+    chunked_gz = crawl.http_chunk_bytes(
+        _gz.compress(body.encode(), mtime=0), 2
+    )
+    g = tmp_path / "mc"
+    g.mkdir()
+    (g / "f.warc.gz").write_bytes(
+        b"".join(
+            _gz.compress(
+                crawl.warc_response_record_bytes(
+                    u, b, transfer_encoding="chunked", content_encoding=ce
+                )
+            )
+            for u, b, ce in [
+                ("https://m.com/fold", chunked, None),
+                ("https://m.com/udf", chunked_gz, "gzip"),
+            ]
+        )
+    )
+    frame = crawl.read_warc_gz(spark, str(g), binary_payload=True)
+    low = {
+        r["target_uri"]: r
+        for r in crawl.warc_responses(frame, max_chunks=8).collect()
+    }
+    for u in ("https://m.com/fold", "https://m.com/udf"):
+        assert low[u]["body"] is None, u
+        assert low[u]["body_reject_reason"] == "bad_chunked_framing", u
+    high = {
+        r["target_uri"]: r
+        for r in crawl.warc_responses(frame).collect()
+    }
+    for u in ("https://m.com/fold", "https://m.com/udf"):
+        assert high[u]["body"] == body, u
+        assert high[u]["body_reject_reason"] is None, u
+
+
+def test_chunked_fold_evaluates_once(spark, tmp_path):
+    """body and body_reject_reason both read the chunked fold's output
+    struct; the fold must appear ONCE in the optimized plan (the gated
+    alias stays staged — CollapseProject refuses to duplicate a
+    non-cheap multiply-referenced alias), not once per output column."""
+    import gzip as _gz
+
+    rec = crawl.warc_response_record_bytes(
+        "https://o.com/c",
+        crawl.http_chunk_bytes(b"once is enough", 4),
+        transfer_encoding="chunked",
+    )
+    g = tmp_path / "once"
+    g.mkdir()
+    (g / "f.warc.gz").write_bytes(_gz.compress(rec))
+    for frame in (
+        crawl.read_warc_gz(spark, str(g), binary_payload=True),
+        crawl.read_warc_gz(spark, str(g)),
+    ):
+        plan = (
+            crawl.warc_responses(frame)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("aggregate(") == 1, plan.count("aggregate(")
+
+
+def test_binary_walk_survives_embedded_boundary(spark, tmp_path):
+    """A raw binary payload CONTAINING the b'WARC/1.0\\r\\n' boundary
+    byte sequence must survive intact in binary_payload mode: the
+    reader walks records by declared Content-Length instead of blind
+    boundary splitting (a compressed body is uniform bytes — at corpus
+    scale the marker does occur), and falls back to boundary scanning
+    only for records without a parseable length."""
+    import gzip as _gz
+
+    evil = b"AAAA" + b"WARC/1.0\r\n" + b"BBBB"  # marker mid-payload
+    rec_evil = crawl.warc_response_record_bytes(
+        "https://w.com/evil", evil, content_encoding="gzip"
+    )
+    rec_plain = crawl.warc_response_record_bytes(
+        "https://w.com/plain", b"plain body"
+    )
+    # a record whose Content-Length header is unparseable exercises the
+    # boundary-scan fallback and must still reject honestly
+    rec_nolen = rec_plain.replace(
+        b"Content-Length: " + str(len(b"HTTP/1.1 200 \r\nContent-Type: text/html\r\n\r\nplain body")).encode(),
+        b"Content-Length: banana",
+    ).replace(b"/plain", b"/nolen")
+    g = tmp_path / "emb"
+    g.mkdir()
+    (g / "f.warc.gz").write_bytes(
+        b"".join(_gz.compress(r) for r in (rec_evil, rec_plain, rec_nolen))
+    )
+    rows = {
+        r["target_uri"]: r
+        for r in crawl.read_warc_gz(
+            spark, str(g), binary_payload=True
+        ).collect()
+    }
+    assert rows["https://w.com/evil"]["length_ok"] is True
+    assert bytes(rows["https://w.com/evil"]["payload_bin"]).endswith(evil)
+    assert rows["https://w.com/plain"]["length_ok"] is True
+    assert rows["https://w.com/nolen"]["length_ok"] is False
+    # and warc_responses sees the intact payload (raw bytes, no ce
+    # decode needed here: the 'gzip' label on evil is a lie, so the
+    # decoder rejects it with a reason rather than crashing)
+    resp = {
+        r["target_uri"]: r
+        for r in crawl.warc_responses(
+            crawl.read_warc_gz(spark, str(g), binary_payload=True)
+        ).collect()
+    }
+    assert resp["https://w.com/evil"]["body_reject_reason"] == "decompress_failed"
+    assert resp["https://w.com/plain"]["body"] == "plain body"
+
+
+def test_cdx_latest_captures_ties_and_empty_payload(spark):
+    """Exact capture_ts ties break deterministically (greatest payload
+    struct), and a frame with ONLY the key and timestamp columns
+    raises a clear ValueError instead of an opaque struct() error."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            ("k1", "20240101000000", "a", "d1"),
+            ("k1", "20240101000000", "b", "d2"),  # tie: picks ('b','d2')
+            ("k2", "20240201000000", "x", "d3"),
+            ("k2", "20240101000000", "z", "d4"),  # older: loses
+        ],
+        "urlkey string, capture_ts string, status string, digest string",
+    )
+    got = {
+        r["urlkey"]: (r["status"], r["digest"], r["n_captures"])
+        for r in crawl.cdx_latest_captures(df).collect()
+    }
+    assert got == {"k1": ("b", "d2", 2), "k2": ("x", "d3", 2)}
+    with pytest.raises(ValueError, match="payload column"):
+        crawl.cdx_latest_captures(df.select("urlkey", "capture_ts"))
