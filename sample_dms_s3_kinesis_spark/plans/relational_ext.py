@@ -6705,6 +6705,96 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
             rows.repartition(8).foreachPartition(_write_part)
             _CRAWL_FIXTURE_CACHE[key] = path
             return out
+        if kind == "warc_enc_rej":
+            # Reject-reason observability fixture: doc_id % 8 selects
+            # the coding (0 plain, 1 chunked, 2 gzip, 3 chunked+gzip,
+            # 4 deflate, 5 br, 6 zstd, 7 unsupported — split by
+            # doc_id % 16: 7 -> Content-Encoding 'compress', 15 ->
+            # Transfer-Encoding 'gzip'), and doc_id % 32 < 8 corrupts
+            # variants 1-3 (broken chunk size line / truncated gzip)
+            # so every reject reason appears at an oracle-predictable
+            # key set.  br/zstd bodies carry REAL codec bytes when the
+            # optional package is importable, raw bytes otherwise (the
+            # decoder never touches them without the package).
+            import os as _os
+
+            _os.makedirs(out, exist_ok=True)
+            rows = d.select("doc_id", "source", _wrapped_html().alias("html"))
+
+            def _write_rej_part(it):
+                import gzip as _gz
+                import zlib as _zlib
+
+                from pyspark import TaskContext
+
+                br = _crawl._load_brotli()
+                zc = None
+                if _crawl._load_zstd() is not None:
+                    try:
+                        from compression import zstd as _zs
+
+                        zc = _zs.compress
+                    except ImportError:
+                        import zstandard as _zs
+
+                        zc = _zs.ZstdCompressor().compress
+                recs = []
+                for r in it:
+                    uri = (
+                        f"https://{r['source']}.example.com/p/"
+                        f"{r['doc_id']}"
+                    )
+                    body = r["html"].encode()
+                    v = r["doc_id"] % 8
+                    corrupt = r["doc_id"] % 32 < 8
+                    te = "chunked" if v in (1, 3) else None
+                    ce = {
+                        2: "gzip",
+                        3: "gzip",
+                        4: "deflate",
+                        5: "br",
+                        6: "zstd",
+                    }.get(v)
+                    if v == 7:
+                        if r["doc_id"] % 16 == 7:
+                            ce = "compress"
+                        else:
+                            te = "gzip"
+                    if ce == "gzip":
+                        body = _gz.compress(body, mtime=0)
+                        if v == 2 and corrupt:
+                            body = body[:-4]  # CRC/length trailer gone
+                    elif ce == "deflate":
+                        body = _zlib.compress(body)
+                    elif ce == "br" and br is not None:
+                        body = br.compress(body)
+                    elif ce == "zstd" and zc is not None:
+                        body = zc(body)
+                    if te == "chunked":
+                        body = _crawl.http_chunk_bytes(body, 512)
+                        if corrupt:
+                            body = b"Z" + body[1:]  # size line broken
+                    recs.append(
+                        _gz.compress(
+                            _crawl.warc_response_record_bytes(
+                                uri,
+                                body,
+                                transfer_encoding=te,
+                                content_encoding=ce,
+                            ),
+                            mtime=0,
+                        )
+                    )
+                if recs:
+                    pid = TaskContext.get().partitionId()
+                    with open(
+                        f"{out}/part-{pid:05d}.warc.gz", "wb"
+                    ) as f:
+                        f.write(b"".join(recs))
+
+            rows.repartition(8).foreachPartition(_write_rej_part)
+            _CRAWL_FIXTURE_CACHE[key] = path
+            return out
         if kind == "cdx":
             # CDXJ index sidecar: TWO captures per doc (an older 'v1'
             # content digest, then the current one ~10 weeks later);
@@ -7052,6 +7142,79 @@ def q_warc_encoded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_content_encoding",
         F.md5("extracted").alias("extracted_md5"),
         F.length("extracted").cast("long").alias("extracted_len"),
+    )
+
+
+_HAS_BR = _crawl._load_brotli() is not None
+_HAS_ZSTD = _crawl._load_zstd() is not None
+
+
+@_register(
+    "q_warc_reject_reasons",
+    f"""
+    WITH v AS (
+      SELECT doc_id % 8 AS v, doc_id % 16 AS v16,
+             (doc_id % 32 < 8) AS corrupt
+      FROM documents),
+    m AS (
+      SELECT CASE WHEN v IN (1, 3) THEN 'chunked'
+                  WHEN v = 7 AND v16 = 15 THEN 'gzip' END
+               AS http_transfer_encoding,
+             CASE WHEN v IN (2, 3) THEN 'gzip'
+                  WHEN v = 4 THEN 'deflate'
+                  WHEN v = 5 THEN 'br'
+                  WHEN v = 6 THEN 'zstd'
+                  WHEN v = 7 AND v16 = 7 THEN 'compress' END
+               AS http_content_encoding,
+             CASE WHEN v IN (1, 3) AND corrupt
+                    THEN 'bad_chunked_framing'
+                  WHEN v = 2 AND corrupt THEN 'decompress_failed'
+                  WHEN v = 5 AND NOT {str(_HAS_BR).upper()}
+                    THEN 'br_unavailable'
+                  WHEN v = 6 AND NOT {str(_HAS_ZSTD).upper()}
+                    THEN 'zstd_unavailable'
+                  WHEN v = 7 AND v16 = 7
+                    THEN 'unsupported_content_encoding'
+                  WHEN v = 7 AND v16 = 15
+                    THEN 'unsupported_transfer_encoding'
+             END AS body_reject_reason
+      FROM v)
+    SELECT http_transfer_encoding, http_content_encoding,
+           body_reject_reason,
+           CAST(count(*) AS BIGINT) AS n_responses,
+           CAST(sum(CASE WHEN body_reject_reason IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded
+    FROM m
+    GROUP BY 1, 2, 3
+    """,
+    "per-coding decode observability: the corpus framed into .warc.gz "
+    "with doc_id%8 selecting the body coding (plain / chunked / gzip "
+    "/ chunked+gzip / deflate / br / zstd / unsupported) and "
+    "doc_id%32<8 corrupting variants 1-3, read back through "
+    "read_warc_gz(binary_payload=True) + warc_responses, then grouped "
+    "on (transfer-coding, content-coding, body_reject_reason) — the "
+    "funnel report a corpus owner reads to see exactly WHAT a crawl "
+    "ingest loses and why (br pages on a brotli-less cluster, corrupt "
+    "members, exotic codings).  The oracle recomputes every group "
+    "from doc_id arithmetic, with the optional-codec availability "
+    "flags embedded at import (brotli/zstd decode exactly when their "
+    "package is importable; absent packages reject with the distinct "
+    "*_unavailable reason, never a silent NULL)",
+    "crawl ingestion: per-coding reject-reason funnel (br/zstd "
+    "optional-codec observability)",
+)
+def q_warc_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "warc_enc_rej")
+    resp = _crawl.warc_responses(
+        _crawl.read_warc_gz(spark, path, binary_payload=True)
+    )
+    return resp.groupBy(
+        "http_transfer_encoding",
+        "http_content_encoding",
+        "body_reject_reason",
+    ).agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.sum(F.col("body").isNotNull().cast("long")).alias("n_decoded"),
     )
 
 
