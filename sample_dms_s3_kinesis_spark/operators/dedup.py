@@ -742,9 +742,13 @@ def lsh_verified_jaccard_pairs(
     threshold: float = 0.5,
     checkpoint_dir: str | None = None,
     max_band_width: int | None = 10_000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """The 100 TB near-dup shape: MinHash-LSH candidate generation, then
     EXACT n-gram Jaccard verification of candidates only.
+    ``hash_family="md5"`` swaps in the cross-engine-replicable family
+    (same contract as minhash_lsh_pairs) so compositions over this
+    operator can be exact-oracle-checked.
 
     ``ngram_jaccard_pairs`` is exact but O(n²) within its block;
     ``minhash_lsh_pairs`` is subquadratic but returns estimates.  This
@@ -763,12 +767,18 @@ def lsh_verified_jaccard_pairs(
             F.col(id_col).alias("_id"),
             token_ngrams(F.col(text_col)).alias("_g"),
         )
-        .select("_id", "_g", _gram_hashes(F.col("_g")).alias("_gh"))
+        .select(
+            "_id",
+            "_g",
+            _gram_hashes(F.col("_g"), hash_family=hash_family).alias("_gh"),
+        )
         .select(
             "_id",
             "_g",
             F.size("_g").alias("_n"),
-            _signature_from_hashes(F.col("_gh"), num_hashes=num_hashes).alias("_sig"),
+            _signature_from_hashes(
+                F.col("_gh"), num_hashes=num_hashes, hash_family=hash_family
+            ).alias("_sig"),
         )
     )
     base = _cut_lineage(base, checkpoint_dir)
@@ -777,6 +787,7 @@ def lsh_verified_jaccard_pairs(
         bands=bands,
         rows=rows,
         max_band_width=max_band_width,
+        hash_family=hash_family,
     )
     joined = (
         cand.join(

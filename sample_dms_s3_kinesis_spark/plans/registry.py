@@ -2087,6 +2087,111 @@ def q_lsh_quality_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r12 conversion: the NEAR-dup split-leakage audit under md5 — the
+# whole composition (banded candidates -> signature screen -> exact
+# shingle-Jaccard verify -> hash_split straddle test) replicates in
+# DuckDB, exact-checking what q_split_leakage_near's xxhash64 flavor
+# can only rows-check.  The signature-screen literal is computed in
+# PYTHON and embedded, so both engines compare against the identical
+# double (est values are multiples of 1/12, nowhere near the
+# boundary).
+_LSH_SCREEN_08 = 0.8 - 2.0 / (12 ** 0.5)
+
+
+@_register(
+    "q_split_leakage_near_md5",
+    f"""
+    WITH {_MINHASH_MD5_SIG_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    scr AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE len(list_filter(range(1, 13),
+                            i -> sa.sig[i] = sb.sig[i])) / 12.0
+            >= {_LSH_SCREEN_08!r}),
+    ver AS (
+      SELECT s.id_a, s.id_b
+      FROM scr s
+      JOIN g a ON a.doc_id = s.id_a
+      JOIN g b ON b.doc_id = s.id_b
+      WHERE (len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams))) > 0
+        AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams))) >= 0.8),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 8)
+                       < printf('%08x',
+                                CAST(FLOOR(0.8 * 4294967296.0) AS BIGINT))
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM documents),
+    x AS (
+      SELECT v.id_a, v.id_b
+      FROM ver v
+      JOIN sp a ON a.doc_id = v.id_a
+      JOIN sp b ON b.doc_id = v.id_b
+      WHERE a.split <> b.split)
+    SELECT COUNT(*) AS n_cross_near_pairs,
+           COUNT(DISTINCT id_a) + COUNT(DISTINCT id_b) AS n_docs_involved
+    FROM x
+    """,
+    "NEAR-dup split-leakage audit under the md5 hash family: "
+    "lsh_verified_jaccard_pairs (k=12, 4 bands, signature screen, "
+    "exact 3-gram Jaccard >= 0.8 verify) x hash_split straddle test — "
+    "every stage of the composition replicated in DuckDB, so the last "
+    "audit family gains a cross-engine-exact member (the xxhash64 "
+    "production flavor q_split_leakage_near stays rows-only by "
+    "nature)",
+    "curation: near-dup split-leakage audit (oracle-replicable hash "
+    "family)",
+)
+def q_split_leakage_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import sampling
+
+    d = sampling.hash_split(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        weights=(("train", 0.8), ("heldout", 0.2)),
+        seed=3,
+    )
+    pairs = dedup.lsh_verified_jaccard_pairs(
+        d,
+        num_hashes=12,
+        bands=4,
+        threshold=0.8,
+        hash_family="md5",
+        max_band_width=None,  # the oracle's band join is uncapped
+    )
+    sp = d.select("doc_id", "split")
+    j = (
+        pairs.join(
+            sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "split", "_sa"
+            ),
+            on="id_a",
+        )
+        .join(
+            sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "split", "_sb"
+            ),
+            on="id_b",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_cross_near_pairs"),
+        (
+            F.count_distinct("id_a") + F.count_distinct("id_b")
+        ).alias("n_docs_involved"),
+    )
+
+
 # r11 conversion: the SimHash CALIBRATION REPORT under md5 — the
 # hamming side brute-forces in DuckDB off md5-nibble fingerprints and
 # the exact side is the binary (Ochiai) token cosine, so the

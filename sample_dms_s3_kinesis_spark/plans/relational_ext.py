@@ -7669,3 +7669,182 @@ def q_robots_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+@_register(
+    "q_frontier_pipeline",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT source, source || '.org' AS host FROM documents),
+    urls AS (
+      SELECT source || '.org' AS host, doc_id,
+             'https://' || source || '.org/p/' || CAST(doc_id AS VARCHAR)
+               AS url
+      FROM documents),
+    f AS (
+      SELECT *, CASE WHEN host IN ('src1.org', 'src3.org', 'src15.org')
+                THEN 0 ELSE 1 END AS kept
+      FROM urls),
+    agg1 AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+             CAST(SUM(1 - kept) AS BIGINT) AS n_blocked
+      FROM f GROUP BY host),
+    u AS (SELECT * FROM f WHERE kept = 1 AND doc_id % 3 <> 0),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS rk
+      FROM u),
+    agg2 AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_unseen,
+             CAST(SUM(CASE WHEN rk <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected
+      FROM r GROUP BY host)
+    SELECT h.host,
+           CAST(CASE WHEN length(h.source) = 4 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_sitemaps_discovered,
+           a1.n_urls, a1.n_blocked,
+           COALESCE(a2.n_unseen, 0) AS n_unseen,
+           COALESCE(a2.n_selected, 0) AS n_selected
+    FROM hosts h JOIN agg1 a1 USING (host)
+    LEFT JOIN agg2 a2 USING (host)
+    """,
+    "discovery-side frontier composition, per host — the sitemap twin "
+    "of q_cdx_selection_pipeline: robots.txt names each host's "
+    "sitemaps (robots_sitemaps; short-source hosts also name an extra "
+    "sitemap that is never fetched, dropped by the fetch semi-join), "
+    "the fetched <urlset> docs parse through sitemap_entries, "
+    "discovered URLs run the registered-domain blocklist "
+    "(www.src3.org normalizes onto src3.org), the unseen gate "
+    "anti-joins already-crawled URLs (doc_id%3=0), and domain_caps "
+    "selects the first 8 per host in URL order — 5-stage funnel "
+    "counts, every stage the production operator and every stage "
+    "replayed in DuckDB",
+    "curation: sitemap-discovery frontier funnel (discovery-side twin "
+    "of q_cdx_selection_pipeline)",
+)
+def q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".org"))
+    # 1. per-host robots.txt naming this host's sitemap(s)
+    files = (
+        d.select("source")
+        .distinct()
+        .select(
+            host.alias("host"),
+            F.concat(
+                F.lit(
+                    "User-agent: *\nDisallow: /private\n"
+                    "Sitemap: https://"
+                ),
+                host,
+                F.lit("/sitemap.xml\n"),
+                F.when(
+                    F.length("source") == 4,
+                    F.concat(
+                        F.lit("Sitemap: https://"),
+                        host,
+                        F.lit("/sitemap-extra.xml\n"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+    )
+    discovered = _robots.robots_sitemaps(files)
+    n_disc = discovered.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_sitemaps_discovered")
+    )
+    # 2. the fetch tier only has /sitemap.xml docs; discovery gates
+    # which of them parse (broadcast semi-join — the discovered list
+    # is sitemap-cardinality, tiny next to any real corpus)
+    entry = F.concat(
+        F.lit("<url><loc>https://"),
+        host,
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc></url>"),
+    )
+    urlsets = (
+        d.select(host.alias("host"), entry.alias("_e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0"?><urlset '
+                    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.concat_ws("", F.collect_list("_e")),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+        .select(
+            "host",
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")
+            ).alias("sitemap_url"),
+            "xml",
+        )
+    )
+    fetched = urlsets.join(
+        F.broadcast(
+            discovered.select(F.col("sitemap").alias("sitemap_url"))
+        ),
+        "sitemap_url",
+        "left_semi",
+    )
+    # 3. parse the fetched sitemaps into the discovered URL list
+    entries = _crawl.sitemap_entries(fetched, key_cols=["host"])
+    urls_df = entries.filter(F.col("kind") == "url").select(
+        "host", F.col("loc").alias("url")
+    )
+    # 4. registered-domain blocklist (www.src3.org -> src3.org)
+    parsed = _urls.parse_urls(urls_df)
+    flagged = _urls.domain_blocklist(
+        parsed,
+        spark.createDataFrame(
+            [("src1.org",), ("www.src3.org",), ("src15.org",)],
+            "domain string",
+        ),
+        domain_col="url_domain",
+    )
+    agg1 = flagged.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum((F.col("kept") == 0).cast("long")).alias("n_blocked"),
+    )
+    # 5. unseen gate: anti-join the already-crawled URL set (URL-level
+    # twin of the digest gate in q_cdx_selection_pipeline)
+    crawled = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    unseen = (
+        flagged.filter(F.col("kept") == 1)
+        .select("host", "url")
+        .join(crawled, "url", "left_anti")
+    )
+    # 6. per-host frequency cap in URL order
+    capped = _urls.domain_caps(
+        unseen,
+        domain_col="host",
+        max_per_domain=8,
+        order_col="url",
+        keep_col="selected",
+    )
+    agg2 = capped.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_unseen"),
+        F.sum(F.col("selected").cast("long")).alias("n_selected"),
+    )
+    return (
+        n_disc.join(agg1, "host", "left")
+        .join(agg2, "host", "left")
+        .select(
+            "host",
+            "n_sitemaps_discovered",
+            "n_urls",
+            "n_blocked",
+            F.coalesce(F.col("n_unseen"), F.lit(0)).alias("n_unseen"),
+            F.coalesce(F.col("n_selected"), F.lit(0)).alias(
+                "n_selected"
+            ),
+        )
+    )
+
