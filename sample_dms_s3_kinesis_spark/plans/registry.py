@@ -1636,6 +1636,146 @@ def q_ingest_robots_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema).orderBy("doc_id")
 
 
+_CDX_E2E_CACHE: dict[str, tuple[list, object]] = {}
+
+
+def _cdx_e2e_results(spark: SparkSession):
+    """Cached drive of the CDX index-sidecar selection mode: seed a
+    one-doc corpus, drain a sidecar (two captures of a seen page, an
+    unseen page, a 404, two captures fighting one per-host slot, a
+    malformed line), REPLAY it (idempotence), then drain a second
+    sidecar where an already-selected capture re-appears, a new h1
+    capture loses to the cumulative host budget, and a fresh host's
+    capture is selected."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        CorpusIngestTask,
+    )
+
+    key = spark.sparkContext.applicationId
+    if key not in _CDX_E2E_CACHE:
+        root = tempfile.mkdtemp(prefix="q_cdx_e2e_")
+        drop = os.path.join(root, "drop")
+        cdx = os.path.join(root, "cdx")
+        os.makedirs(drop)
+        os.makedirs(cdx)
+        task = CorpusIngestTask(
+            spark,
+            drop,
+            os.path.join(root, "corpus"),
+            cdx_dir=cdx,
+            cdx_schema="url string, status string, digest string",
+            cdx_max_per_host=1,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+
+        def line(urlkey, ts, url, status, digest):
+            return f"{urlkey} {ts} " + _json.dumps(
+                {"url": url, "status": status, "digest": digest}
+            )
+
+        try:
+            with open(os.path.join(drop, "b1.jsonl"), "w") as f:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": 1, "text": "alpha bravo charlie delta"}
+                    )
+                    + "\n"
+                )
+            task.process_available()
+            import hashlib
+
+            seen = hashlib.md5(b"alpha bravo charlie delta").hexdigest()
+            s1 = [
+                line("org,h1)/a", "20240101000000",
+                     "https://h1.org/a", "200", "d-old"),
+                line("org,h1)/a", "20240301000000",
+                     "https://h1.org/a", "200", seen),
+                line("org,h1)/b", "20240101000000",
+                     "https://h1.org/b", "200", "d2"),
+                line("org,h2)/c", "20240101000000",
+                     "https://h2.org/c", "404", "d3"),
+                line("org,h2)/d", "20240101000000",
+                     "https://h2.org/d", "200", "d4"),
+                line("org,h2)/e", "20240101000000",
+                     "https://h2.org/e", "200", "d5"),
+                "malformed line without a json block",
+            ]
+            with open(os.path.join(cdx, "s1.cdx"), "w") as f:
+                f.write("\n".join(s1) + "\n")
+            task.process_cdx_available()
+            task.process_cdx_available()  # the replay: selects nothing
+            os.remove(os.path.join(cdx, "s1.cdx"))
+            s2 = [
+                line("org,h1)/b", "20240101000000",
+                     "https://h1.org/b", "200", "d2"),
+                line("org,h1)/f", "20240501000000",
+                     "https://h1.org/f", "200", "d6"),
+                line("org,h3)/g", "20240501000000",
+                     "https://h3.org/g", "200", "d7"),
+            ]
+            with open(os.path.join(cdx, "s2.cdx"), "w") as f:
+                f.write("\n".join(s2) + "\n")
+            task.process_cdx_available()
+            totals = task.cdx_stats()
+            frame = task.selected_captures().select(
+                "urlkey",
+                "capture_ts",
+                "host",
+                "digest",
+                "batch_id",
+                *[
+                    F.lit(int(totals[k])).alias(k)
+                    for k in (
+                        "n_rejects",
+                        "n_latest",
+                        "n_200",
+                        "n_unseen",
+                        "n_selected",
+                    )
+                ],
+            )
+            _CDX_E2E_CACHE[key] = (frame.collect(), frame.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _CDX_E2E_CACHE[key]
+
+
+@_register(
+    "q_cdx_ingest_e2e",
+    """
+    SELECT * FROM (VALUES
+      ('org,h1)/b', '20240101000000', 'h1.org', 'd2', 0,
+       2, 13, 11, 6, 3),
+      ('org,h2)/d', '20240101000000', 'h2.org', 'd4', 0,
+       2, 13, 11, 6, 3),
+      ('org,h3)/g', '20240501000000', 'h3.org', 'd7', 2,
+       2, 13, 11, 6, 3)
+    ) AS t(urlkey, capture_ts, host, digest, batch_id,
+           n_rejects, n_latest, n_200, n_unseen, n_selected)
+    ORDER BY urlkey
+    """,
+    "CDX index-sidecar selection E2E: CorpusIngestTask(cdx_dir=...) "
+    "drains two sidecars plus a replay through the selection gates — "
+    "latest valid capture, status-200, unseen-digest anti-join "
+    "against the admitted corpus, already-selected anti-join (the "
+    "replay selects nothing), CUMULATIVE per-host budget "
+    "(domain_caps_against: h1's second capture loses to the slot "
+    "spent in batch 0) — and serves the persisted selected-capture "
+    "manifest the fetch tier would consume, with the manifest-rebuilt "
+    "funnel totals; oracle = the hand-derived selection outcome",
+    "CorpusIngestTask CDX sidecar mode end-to-end (streaming twin of "
+    "q_cdx_selection_pipeline)",
+)
+def q_cdx_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema = _cdx_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("urlkey")
+
+
 @_register(
     "q_metrics_e2e_sketches",
     """

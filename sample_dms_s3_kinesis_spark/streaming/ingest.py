@@ -95,6 +95,9 @@ class CorpusIngestTask(ReplicationTask):
         robots_agent: str = "*",
         postings: bool = False,
         ivf_cells: int | None = None,
+        cdx_dir: str | None = None,
+        cdx_schema: str | None = None,
+        cdx_max_per_host: int | None = None,
         checkpoint_dir: str | None = None,
     ) -> None:
         super().__init__(identifier)
@@ -176,6 +179,29 @@ class CorpusIngestTask(ReplicationTask):
         # on the first vector-carrying batch and frozen — standard IVF
         # practice (retraining would orphan earlier assignments).
         self.ivf_cells = ivf_cells
+        # optional index-sidecar mode: ``cdx_dir`` holds CDXJ index
+        # drops (the crawl's ~1/1000-size sidecar); process_cdx_
+        # available() selects the captures the FETCH TIER should
+        # retrieve — latest valid capture, status 200, digest not
+        # already admitted, not already selected — and persists the
+        # selected-capture manifest under _cdx_selected/.  The
+        # streaming twin of q_cdx_selection_pipeline.  ``cdx_schema``
+        # declares the sidecar's JSON payload fields and must carry
+        # url, status and digest (the standard CDXJ fields the
+        # selection gates read).
+        if cdx_dir is not None:
+            if not cdx_schema:
+                raise ValueError("cdx_dir requires cdx_schema")
+            names = set(T.StructType.fromDDL(cdx_schema).fieldNames())
+            missing = {"url", "status", "digest"} - names
+            if missing:
+                raise ValueError(
+                    "cdx_schema must declare url, status and digest; "
+                    f"missing {sorted(missing)}"
+                )
+        self.cdx_dir = cdx_dir
+        self.cdx_schema = cdx_schema
+        self.cdx_max_per_host = cdx_max_per_host
         self.checkpoint_dir = (
             checkpoint_dir or f"/tmp/ingest-checkpoint-{uuid.uuid4()}"
         )
@@ -534,6 +560,155 @@ class CorpusIngestTask(ReplicationTask):
                 F.col("target_uri").cast("string").alias("target_uri"),
                 F.col("batch_id").cast("long").alias("batch_id"),
             )
+        )
+
+    # -- CDX index-sidecar selection ------------------------------------
+    # The fetch-tier front door: a real corpus build reads the crawl
+    # INDEX (~1/1000 of the crawl) and decides which captures to fetch
+    # BEFORE touching any WARC byte.  process_cdx_available() is that
+    # decision as a drain-and-return batch, persisting the selected-
+    # capture manifest the fetch tier consumes; its own manifest keys
+    # replay idempotence (a re-drained sidecar selects nothing new).
+
+    def _cdx_manifest_file(self) -> str:
+        return f"{self.corpus_dir}/_CDX_MANIFEST.json"
+
+    def _load_cdx_manifest(self) -> dict[str, dict]:
+        try:
+            with open(self._cdx_manifest_file()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _record_cdx_batch(self, batch_id: int, counts: dict) -> None:
+        manifest = self._load_cdx_manifest()
+        manifest[str(batch_id)] = counts
+        tmp = f"{self._cdx_manifest_file()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._cdx_manifest_file())
+
+    def _selected_schema(self) -> str:
+        return (
+            "urlkey string, capture_ts string, "
+            + str(self.cdx_schema)
+            + ", n_captures long, host string, batch_id long"
+        )
+
+    def selected_captures(self) -> DataFrame:
+        """The cumulative selected-capture manifest: (urlkey,
+        capture_ts, <cdx payload fields>, n_captures, host, batch_id)
+        — what the fetch tier retrieves next.  Empty frame when no
+        sidecar batch has selected anything yet."""
+        if self.cdx_dir is None:
+            raise ValueError("selected_captures requires cdx_dir")
+        manifest = self._load_cdx_manifest()
+        paths = [
+            f"{self.corpus_dir}/_cdx_selected/batch_id={b}"
+            for b in sorted(manifest, key=int)
+            if int(manifest[b].get("n_selected", 0)) > 0
+        ]
+        cols = T.StructType.fromDDL(self._selected_schema()).fieldNames()
+        if not paths:
+            return self.spark.createDataFrame([], self._selected_schema())
+        return (
+            self.spark.read.option(
+                "basePath", f"{self.corpus_dir}/_cdx_selected"
+            )
+            .parquet(*paths)
+            .select(
+                *[F.col(c) for c in cols if c != "batch_id"],
+                F.col("batch_id").cast("long").alias("batch_id"),
+            )
+        )
+
+    def cdx_stats(self) -> dict[str, int]:
+        """Cumulative sidecar-selection counters, rebuilt from the CDX
+        manifest — the index-side twin of :meth:`ingest_stats`."""
+        totals = {
+            "n_rejects": 0,
+            "n_latest": 0,
+            "n_200": 0,
+            "n_unseen": 0,
+            "n_selected": 0,
+        }
+        for counts in self._load_cdx_manifest().values():
+            for k in totals:
+                totals[k] += int(counts.get(k, 0))
+        return totals
+
+    def process_cdx_available(self) -> None:
+        """Drain every CDX sidecar currently in ``cdx_dir`` as ONE
+        selection batch: latest valid capture per urlkey (malformed
+        lines -> rejects count) -> status-200 -> unseen-digest
+        anti-join against the ADMITTED corpus -> already-selected
+        anti-join (replay idempotence: a re-drained sidecar selects
+        nothing new) -> optional per-host cap -> persisted
+        selected-capture manifest.  The streaming twin of
+        q_cdx_selection_pipeline; every count lands in the CDX
+        manifest under the next unused batch id."""
+        if self.cdx_dir is None:
+            raise ValueError("process_cdx_available requires cdx_dir")
+        from sample_dms_s3_kinesis_spark.operators import urls as _urls
+        from sample_dms_s3_kinesis_spark.sources import crawl
+
+        if self.status == TaskStatus.READY.value:
+            self._set_status(TaskStatus.RUNNING)
+        manifest = self._load_cdx_manifest()
+        batch_id = max((int(b) for b in manifest), default=-1) + 1
+        raw = crawl.read_cdx(self.spark, self.cdx_dir, self.cdx_schema)
+        n_rejects = crawl.jsonl_rejects(raw).count()
+        latest = crawl.cdx_latest_captures(crawl.jsonl_records(raw))
+        head = latest.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum((F.col("status") == "200").cast("long")), F.lit(0)
+            ).alias("n200"),
+        ).collect()[0]
+        live = latest.filter(F.col("status") == "200")
+        # the admitted corpus side: digests only — bodies never shuffle
+        corp = self.corpus().select(F.md5("text").alias("digest")).distinct()
+        prev = self.selected_captures()
+        unseen = live.join(corp, "digest", "left_anti").join(
+            prev.select("urlkey", "capture_ts"),
+            ["urlkey", "capture_ts"],
+            "left_anti",
+        )
+        with_host = unseen.withColumn("host", _urls.url_host(F.col("url")))
+        n_unseen = with_host.count()
+        if self.cdx_max_per_host is not None:
+            # CUMULATIVE per-host budget: slots already spent by prior
+            # batches count (domain_caps_against, prior side ships
+            # host counts only) — so a replayed sidecar whose
+            # over-budget captures lost their slot in an earlier batch
+            # stays idempotent instead of re-admitting them.
+            selected = (
+                _urls.domain_caps_against(
+                    with_host,
+                    prev,
+                    domain_col="host",
+                    max_per_domain=self.cdx_max_per_host,
+                    order_col="urlkey",
+                    keep_col="_sel",
+                )
+                .filter(F.col("_sel") == 1)
+                .drop("_sel")
+            )
+        else:
+            selected = with_host
+        out = f"{self.corpus_dir}/_cdx_selected/batch_id={batch_id}"
+        selected.write.mode("overwrite").parquet(out)
+        self.spark.catalog.refreshByPath(out)
+        n_selected = self.spark.read.parquet(out).count()
+        self._record_cdx_batch(
+            batch_id,
+            {
+                "n_rejects": int(n_rejects),
+                "n_latest": int(head["n"]),
+                "n_200": int(head["n200"]),
+                "n_unseen": int(n_unseen),
+                "n_selected": int(n_selected),
+            },
         )
 
     # -- lifecycle -----------------------------------------------------

@@ -934,3 +934,114 @@ def test_robots_gate_quarantines_and_counts(spark, tmp_path):
             input_format="jsonl",
             robots_rules=rules,
         )
+
+
+def test_cdx_sidecar_selection(spark, tmp_path):
+    """The index-sidecar mode: a CDX drop drains into the selected-
+    capture manifest — latest valid capture, status-200, unseen-digest
+    anti-join against the admitted corpus, per-host cap — and a
+    REPLAYED sidecar selects nothing new (idempotence keyed on the
+    already-selected store)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    drop = tmp_path / "drop"
+    cdx = tmp_path / "cdx"
+    drop.mkdir()
+    cdx.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        cdx_dir=str(cdx),
+        cdx_schema="url string, status string, digest string",
+        cdx_max_per_host=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # corpus: one admitted doc whose digest the sidecar must treat as seen
+    seen_text = "alpha bravo charlie delta"
+    (drop / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": seen_text}) + "\n"
+    )
+    task.process_available()
+
+    def line(urlkey, ts, url, status, digest):
+        import json as _j
+
+        return f"{urlkey} {ts} " + _j.dumps(
+            {"url": url, "status": status, "digest": digest}
+        )
+
+    seen = hashlib.md5(seen_text.encode()).hexdigest()
+    lines = [
+        # k1: latest capture's digest is already admitted -> not selected
+        line("org,h1)/a", "20240101000000", "https://h1.org/a", "200", "d-old"),
+        line("org,h1)/a", "20240301000000", "https://h1.org/a", "200", seen),
+        # k2: unseen -> selected (h1's single slot)
+        line("org,h1)/b", "20240101000000", "https://h1.org/b", "200", "d2"),
+        # k3: latest is a 404 -> dropped at the status gate
+        line("org,h2)/c", "20240101000000", "https://h2.org/c", "404", "d3"),
+        # k4/k5: both unseen on h2; cap=1 selects the first by urlkey
+        line("org,h2)/d", "20240101000000", "https://h2.org/d", "200", "d4"),
+        line("org,h2)/e", "20240101000000", "https://h2.org/e", "200", "d5"),
+        "malformed line without a json block",
+    ]
+    (cdx / "s1.cdx").write_text("\n".join(lines) + "\n")
+    task.process_cdx_available()
+    got = {
+        r["urlkey"]: r for r in task.selected_captures().collect()
+    }
+    assert set(got) == {"org,h1)/b", "org,h2)/d"}
+    assert got["org,h1)/b"]["host"] == "h1.org"
+    assert got["org,h1)/b"]["digest"] == "d2"
+    assert got["org,h2)/d"]["batch_id"] == 0
+    stats = task.cdx_stats()
+    assert stats == {
+        "n_rejects": 1,
+        "n_latest": 5,
+        "n_200": 4,
+        "n_unseen": 3,
+        "n_selected": 2,
+    }
+    # replay: the same sidecar drains again -> nothing new selected
+    # (k5 re-counts as unseen — counters are per-attempt, like the
+    # corpus manifest's — but the cumulative per-host budget keeps it
+    # out of the selected store)
+    task.process_cdx_available()
+    assert task.selected_captures().count() == 2
+    s2 = task.cdx_stats()
+    assert s2["n_selected"] == 2 and s2["n_unseen"] == 4
+    # a second sidecar: an already-selected capture re-appears (0 new),
+    # a fresh capture on h1 loses to the CUMULATIVE host budget (h1's
+    # single slot went to /b in batch 0), and a new host's capture
+    # takes h3's free slot
+    (cdx / "s1.cdx").unlink()
+    (cdx / "s2.cdx").write_text(
+        line("org,h1)/b", "20240101000000", "https://h1.org/b", "200", "d2")
+        + "\n"
+        + line("org,h1)/f", "20240501000000", "https://h1.org/f", "200", "d6")
+        + "\n"
+        + line("org,h3)/g", "20240501000000", "https://h3.org/g", "200", "d7")
+        + "\n"
+    )
+    task.process_cdx_available()
+    sel = {r["urlkey"]: r for r in task.selected_captures().collect()}
+    assert set(sel) == {"org,h1)/b", "org,h2)/d", "org,h3)/g"}
+    assert sel["org,h3)/g"]["batch_id"] == 2
+    # validation: cdx_dir without a schema / schema missing the
+    # selection fields
+    import pytest
+
+    with pytest.raises(ValueError, match="cdx_schema"):
+        CorpusIngestTask(
+            spark, str(drop), str(tmp_path / "c2"), cdx_dir=str(cdx)
+        )
+    with pytest.raises(ValueError, match="digest"):
+        CorpusIngestTask(
+            spark,
+            str(drop),
+            str(tmp_path / "c3"),
+            cdx_dir=str(cdx),
+            cdx_schema="url string, status string",
+        )
