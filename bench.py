@@ -87,6 +87,12 @@ TIER2 = [
     # the first call synthesizes the fixture (harness cost, cached per
     # app), so best-of-2 records the read path
     "q_warc_ingest",
+    # r12: the encoded-body decode path (chunked fold + entity UDF +
+    # reject reasons), and the two selection funnels a corpus build
+    # runs before any fetch (index-side and discovery-side)
+    "q_warc_encoded_ingest",
+    "q_cdx_selection_pipeline",
+    "q_frontier_pipeline",
 ]
 
 

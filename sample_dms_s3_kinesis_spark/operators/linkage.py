@@ -127,6 +127,113 @@ def self_linkage(
     return out
 
 
+def deletion_variant_hashes(col: Column, *, max_edits: int = 1) -> Column:
+    """The deletion neighborhood of a string, hashed: xxhash64 of the
+    string itself plus every string obtained by deleting one character
+    (FastSS / symmetric-delete blocking).  Two strings within
+    levenshtein distance 1 ALWAYS share a member (substitution: delete
+    the differing position from both; insertion/deletion: the shorter
+    string is a variant of the longer and of itself) — so joining on
+    these keys is a COMPLETE candidate generator for ``lev <= 1``,
+    while hash collisions only ever add candidates the exact verify
+    step removes.  Hashes, not variant strings, so the exploded key
+    frame shuffles 8 bytes per key.  ``max_edits > 1`` (the C(n,k)
+    neighborhood) is not implemented — at linkage thresholds of 0.9+
+    over short keys one edit is the budget."""
+    if max_edits != 1:
+        raise NotImplementedError(
+            "deletion_variant_hashes supports max_edits=1 "
+            f"(got {max_edits})"
+        )
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            F.substring(col, F.lit(1), i - 1),
+            F.substring(col, i + 1, F.length(col)),
+        ),
+    )
+    variants = F.array_union(
+        F.array(col),
+        F.when(F.length(col) >= 1, dels).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    return F.transform(variants, lambda v: F.xxhash64(v))
+
+
+def edit_blocked_self_linkage(
+    df: DataFrame,
+    *,
+    block_on: Sequence[str],
+    id_col: str,
+    string_col: str,
+    score: Column,
+    threshold: float | None = None,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """:func:`self_linkage` with deletion-neighborhood candidate
+    generation on ``string_col`` — the scale shape for edit-distance
+    linkage.  A coarse blocking key (nation × segment) leaves blocks
+    of n rows paying n²/2 levenshtein calls; at 10× the data that is
+    100× the work (measured: the flat-blocked query went 6 s at sf0.1
+    → 569 s at sf1).  Here candidates are pairs sharing a deletion-
+    variant hash WITHIN the block — complete for ``lev <= 1`` (see
+    :func:`deletion_variant_hashes`), ~19 narrow keys per row, and
+    candidate volume tracks true-match volume instead of block².
+
+    The caller's ``score`` must still gate on the exact similarity
+    (it sees the same suffixed columns as :func:`self_linkage`); use
+    this ONLY when the score's acceptance region implies
+    ``lev(string_col) <= 1`` — e.g. a 0.9 normalized-similarity gate
+    over strings shorter than 20 chars — otherwise candidates beyond
+    one edit are silently missed.  Output contract is identical to
+    :func:`self_linkage`."""
+    if not block_on:
+        raise ValueError("edit_blocked_self_linkage requires blocking columns")
+    if max_block_size is not None:
+        df = _cap_blocks(df, block_on, max_block_size)
+    sa, sb = suffixes
+    ida, idb = f"{id_col}{sa}", f"{id_col}{sb}"
+    keys = df.select(
+        *block_on,
+        F.col(id_col).alias("_lid"),
+        F.explode(
+            deletion_variant_hashes(F.col(string_col))
+        ).alias("_vkey"),
+    )
+    cand = (
+        keys.join(
+            keys.select(
+                *block_on,
+                F.col("_lid").alias("_rid"),
+                "_vkey",
+            ),
+            on=[*block_on, "_vkey"],
+        )
+        .filter(F.col("_lid") < F.col("_rid"))
+        .select(
+            F.col("_lid").alias(ida), F.col("_rid").alias(idb)
+        )
+        .distinct()
+    )
+    left = _suffixed(df, block_on, sa).withColumnRenamed(
+        f"{id_col}{sa}", ida
+    )
+    right = _suffixed(df.drop(*block_on), (), sb).withColumnRenamed(
+        f"{id_col}{sb}", idb
+    )
+    pairs = (
+        cand.join(left, on=ida)
+        .join(right, on=idb)
+        .select(ida, idb, score.alias("score"))
+        .filter(F.col("score").isNotNull())
+    )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("score") >= threshold)
+    return pairs
+
+
 def mutual_best_flag(
     pairs: DataFrame,
     id_a: str,

@@ -5892,13 +5892,18 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     "record linkage / entity resolution over customer: candidates "
-    "blocked on (nation, mktsegment) — an equi join, never a cross "
-    "join — scored by 0.8·levenshtein name similarity + 0.2·account-"
-    "balance proximity, gated at name_sim ≥ 0.9 via the NULL-score "
+    "blocked on (nation, mktsegment) PLUS a deletion-neighborhood "
+    "key on the name (FastSS/symmetric-delete — complete for "
+    "levenshtein <= 1, which the 0.9 gate over <=19-char names "
+    "implies: 1 - 2/19 < 0.9), scored by 0.8·levenshtein name "
+    "similarity + 0.2·account-balance proximity via the NULL-score "
     "drop contract, then mutual-best-match flagged with two "
     "endpoint-partitioned windows over the thresholded pair frame "
-    "(bounded by match volume, not corpus size)",
-    "linkage: blocked multi-field entity resolution + mutual best match",
+    "(bounded by match volume, not corpus size).  The oracle stays "
+    "the flat-blocked brute force, so the candidate generator's "
+    "completeness is hash-checked cross-engine every round",
+    "linkage: edit-blocked multi-field entity resolution + mutual "
+    "best match",
 )
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators import linkage
@@ -5920,10 +5925,16 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.when(
         name_sim >= 0.9, F.round(0.8 * name_sim + 0.2 * bal_sim, 6)
     )
-    pairs = linkage.self_linkage(
+    # deletion-neighborhood candidates: the flat (nation, segment)
+    # blocks pay block²/2 levenshtein calls — 6 s at sf0.1 became
+    # 569 s at sf1 (92x for 10x rows).  name_sim >= 0.9 over TPC-H's
+    # 18-char names means lev <= 1, for which the variant-hash join
+    # is COMPLETE — same output, candidate volume ~ match volume.
+    pairs = linkage.edit_blocked_self_linkage(
         cust,
         block_on=["c_nationkey", "c_mktsegment"],
         id_col="c_custkey",
+        string_col="c_name",
         score=score,
     )
     return linkage.mutual_best_flag(pairs, "c_custkey_a", "c_custkey_b")

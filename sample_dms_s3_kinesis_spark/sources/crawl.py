@@ -873,6 +873,15 @@ def _dechunk(data: Column, *, max_chunks: int = 8192) -> Column:
                     F.lit(code).alias("st"),
                 )
 
+            # NOTE the accumulator concat copies the accumulated body
+            # once per chunk — O(chunks × body) bytes per row.  At the
+            # common ~8 KB chunk size that is ~body²/8KB: fine for the
+            # multi-MB pages the 8192-chunk default admits (a 8 MB
+            # page costs ~8 GB of sequential memcpy spread over its
+            # row's fold, still microseconds-per-chunk), but anyone
+            # raising max_chunks toward 10^5+ should expect this
+            # quadratic term to dominate and route such corpora
+            # through the (linear) Python twin instead.
             return F.when(st != 0, s).otherwise(
                 F.when(m0 == "", halt(2))
                 .when(n == 0, halt(1))

@@ -150,3 +150,50 @@ def test_empty_block_on_rejected(spark):
         linkage.self_linkage(
             _df(spark), block_on=[], id_col="id", score=_score()
         )
+
+
+def test_edit_blocked_matches_flat_blocked(spark):
+    """edit_blocked_self_linkage must return EXACTLY the flat-blocked
+    self_linkage result whenever the score gate implies lev <= 1 —
+    the deletion-neighborhood candidate generator is complete there
+    (substitution / insertion / deletion / exact-dup all covered),
+    and hash collisions only add candidates the verify step drops."""
+    rows = [
+        # block 1: sub (1 edit), exact dup, insertion, deletion, far
+        (1, 1, "alpha-entity-x"),
+        (2, 1, "alpha-entity-y"),    # sub of 1
+        (3, 1, "alpha-entity-x"),    # exact dup of 1
+        (4, 1, "alpha-entityq-x"),   # insertion vs 1
+        (5, 1, "alpha-entity-"),     # deletion vs 1
+        (6, 1, "totally different"),
+        # block 2: same strings, different block -> no cross pairs
+        (7, 2, "alpha-entity-x"),
+        (8, 2, "zz"),
+        # empty + NULL strings don't crash the variant builder
+        (9, 2, ""),
+        (10, 2, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk int, name string")
+    # try_divide: the (empty, NULL) pair sees max length 0 and ANSI
+    # division throws; NULL sim -> NULL score -> dropped, per contract
+    sim = F.lit(1.0) - F.try_divide(
+        F.levenshtein(F.col("name_a"), F.col("name_b")),
+        F.greatest(F.length("name_a"), F.length("name_b")),
+    )
+    score = F.when(sim >= 0.9, F.round(sim, 6))
+    kw = dict(block_on=["blk"], id_col="id", score=score)
+    flat = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in linkage.self_linkage(df, **kw).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in linkage.edit_blocked_self_linkage(
+            df, string_col="name", **kw
+        ).collect()
+    }
+    assert fast == flat
+    assert (1, 3, 1.0) in fast          # exact dup pair survives
+    assert any(a == 1 and b == 2 for a, b, _ in fast)  # substitution
+    with pytest.raises(NotImplementedError):
+        linkage.deletion_variant_hashes(F.col("name"), max_edits=2)
