@@ -1040,3 +1040,38 @@ def html_main_content(
     c = _html_strip_tags(c)
     c = decode_html_entities(c)
     return _html_ws_normalize(c)
+
+
+# a href attribute on an <a> tag, in any of the three HTML value
+# forms: double-quoted, single-quoted, unquoted (runs to whitespace or
+# '>').  '<a\b' keeps '<abbr>' out; '[^>]*?\shref' requires whitespace
+# before the attribute name so 'data-href=' never matches.
+_HTML_HREF_RE = (
+    r"(?is)<a\b[^>]*?\shref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)"
+)
+
+
+def html_links(col: Column) -> Column:
+    """``array<string>`` of href values from the document's ``<a>``
+    tags, in document order: quotes stripped, attribute-level HTML
+    entities decoded (``&amp;`` in query strings is the normal way an
+    href embeds ``&``), surrounding whitespace trimmed, empty values
+    dropped.  The link-discovery half of the crawl frontier — feed
+    through `operators/urls.py:resolve_url` against the page URL, then
+    the blocklist/unseen/cap gates (`q_link_frontier`).
+
+    Values stay RAW relative references (no resolution here): one
+    operator per concern, and the entity decode must happen before
+    resolution (an encoded ``&amp;`` is part of the query, not a new
+    parameter boundary).  Pure Catalyst: one regexp_extract_all + a
+    per-element decode transform — no UDF, no shuffle."""
+    raw = F.regexp_extract_all(col, F.lit(_HTML_HREF_RE), 1)
+
+    def _clean(h: Column) -> Column:
+        unq = F.when(
+            h.rlike("^\"") | h.rlike("^'"),
+            F.substring(h, 2, F.length(h) - 2),
+        ).otherwise(h)
+        return F.trim(decode_html_entities(unq))
+
+    return F.filter(F.transform(raw, _clean), lambda h: h != "")

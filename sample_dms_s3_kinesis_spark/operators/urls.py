@@ -335,3 +335,190 @@ def domain_caps_against(
         )
         .drop(c_rk, c_dom, c_prior)
     )
+
+
+# --------------------------------------------------------------------
+# Relative-URL resolution (RFC 3986 §5, deterministic subset)
+# --------------------------------------------------------------------
+
+# a leading scheme, per RFC 3986 §3.1 (also what _SCHEME_RE accepts)
+_ANY_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:"
+# scheme://authority — the origin prefix of an absolute URL
+_ORIGIN_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+# a path segment that is NOT '.' and NOT '..': either it contains a
+# non-dot char, or it is three-plus dots ('...' is a regular name).
+# RE2/Java-safe (no lookaround) so an oracle could replay it.
+_NON_DOT_SEG = r"(?:[^/]*[^/.][^/]*|\.{3,})"
+# passes of dot-segment collapse: each pass removes one '<seg>/../'
+# nesting level everywhere in the string, so N passes fully normalize
+# paths up to N levels deep — far beyond anything a real page links.
+_DOT_SEGMENT_PASSES = 10
+
+
+def _collapse_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments over an absolute path,
+    as a bounded chain of regexp_replace passes (plan-size constant:
+    ``_DOT_SEGMENT_PASSES`` small regexes, no UDF, no explode).  A
+    path nested deeper than the bound keeps its residual dot-segments
+    (deterministic, never wrong — just not fully collapsed)."""
+    c = path
+    for _ in range(_DOT_SEGMENT_PASSES):
+        # './' segments (incl. a leading one) and '<seg>/../' pairs
+        c = F.regexp_replace(c, r"/\.(?:/|$)", "/")
+        c = F.regexp_replace(c, rf"/{_NON_DOT_SEG}/\.\.(?:/|$)", "/")
+        # root-level '..' has nothing to pop: '/../' -> '/' (RFC)
+        c = F.regexp_replace(c, r"^/\.\.(?:/|$)", "/")
+    return c
+
+
+def resolve_url(base: Column, href: Column) -> Column:
+    """Resolve an href found on the page at ``base`` (an absolute
+    http(s) URL) into an absolute fetchable URL, or NULL when the href
+    is not a fetch target.  The deterministic RFC 3986 §5 subset a
+    link-discovery frontier needs:
+
+    - fragment-only (``#top``) and empty hrefs -> NULL (same page);
+    - absolute http(s) hrefs pass through; other schemes (``mailto:``,
+      ``javascript:``, ``tel:`` ...) -> NULL (not fetchable);
+    - ``//host/p`` (protocol-relative) inherits the base scheme;
+    - ``/p`` (root-relative) joins the base origin;
+    - ``?q`` (query-only) replaces the base query, keeping its path;
+    - anything else is path-relative: merged onto the base path's
+      directory, then dot-segments collapse
+      (:func:`_collapse_dot_segments`, bounded passes);
+    - the fragment is stripped from every result (RFC: fragments are
+      client-side only and would mint spurious frontier URLs).
+
+    Pure Catalyst: regexp extract/replace chains only — no UDF, no
+    shuffle; scales as a narrow projection."""
+    h = F.regexp_replace(F.trim(href), r"#.*$", "")  # strip fragment
+    origin = F.regexp_extract(base, _ORIGIN_RE, 1)
+    base_nofrag = F.regexp_replace(base, r"#.*$", "")
+    base_noquery = F.regexp_replace(base_nofrag, r"\?.*$", "")
+    # the base path ('' -> '/'), and its directory prefix
+    base_path = F.regexp_extract(base_nofrag, _PATH_RE, 1)
+    base_path = F.when(base_path == "", F.lit("/")).otherwise(base_path)
+    base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
+    scheme = url_scheme(base)
+
+    merged = F.concat(origin, _collapse_dot_segments(F.concat(base_dir, h)))
+    out = (
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(
+            h.rlike(r"^(?i)https?://"), h
+        )
+        .when(h.rlike(_ANY_SCHEME_RE), F.lit(None).cast("string"))
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(
+            h.startswith("/"),
+            F.concat(origin, _collapse_dot_segments(h)),
+        )
+        .when(h.startswith("?"), F.concat(base_noquery, h))
+        .otherwise(merged)
+    )
+    # a base that is not an absolute http(s) URL cannot anchor
+    # relative resolution — NULL the relative branches, keep absolutes
+    return F.when(
+        base.rlike(r"^(?i)https?://") | out.rlike(r"^(?i)https?://"),
+        out,
+    )
+
+
+# --------------------------------------------------------------------
+# SURT urlkey (the CDX index key form)
+# --------------------------------------------------------------------
+
+
+def surt_urlkey(url: Column) -> Column:
+    """Canonical SURT-form index key for an http(s) URL — the ``urlkey``
+    convention CDX indexes sort on (`sources/crawl.py:read_cdx`):
+    ``com,example)/path?a=1&b=2``.  Canonicalization (the deterministic
+    core of pywb's canonicalize, public convention):
+
+    - host lowercased, a leading ``www.``/``www<digits>.`` label
+      stripped, labels REVERSED and joined with ``,``;
+    - ``)`` then the path (``/`` when empty), lowercased;
+    - query parameters sorted bytewise and re-joined with ``&`` after
+      ``?`` (an empty query drops the ``?``); fragment dropped;
+    - the scheme, userinfo and an explicit port never appear (two
+      mirrors of one site on different ports key identically).
+
+    NULL for non-http(s) inputs.  Pure Catalyst (split / reverse /
+    array_sort / join) — a narrow projection, no shuffle."""
+    host = url_host(url)
+    host = F.regexp_replace(host, r"^www[0-9]*\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.", -1)), ",")
+    path = F.lower(url_path(url))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.lower(url_query(url))
+    qsorted = F.array_join(F.array_sort(F.split(q, "&", -1)), "&")
+    key = F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(qsorted == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qsorted)
+        ),
+    )
+    return F.when(url.rlike(r"^(?i)https?://") & (host != ""), key)
+
+
+# --------------------------------------------------------------------
+# Politeness-aware fetch scheduling
+# --------------------------------------------------------------------
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    *,
+    host_col: str = "host",
+    order_col: str = "url",
+    delay_col: str = "crawl_delay",
+    default_delay: float = 1.0,
+    wave_col: str = "wave",
+    offset_col: str = "fetch_offset_s",
+) -> DataFrame:
+    """Assign every frontier URL a per-host fetch wave and a scheduled
+    start offset honoring robots Crawl-delay — the step between frontier
+    construction (`q_frontier_pipeline` / `q_cdx_selection_pipeline`)
+    and the fetch tier: requests to one host are serialized
+    ``crawl_delay`` seconds apart while hosts proceed in parallel.
+
+    ``delays`` is a (host, crawl_delay) frame — the output of
+    `operators/robots.py:robots_crawl_delays`; hosts missing from it
+    (or with a NULL delay) use ``default_delay``.  ``wave`` is the
+    1-based position within the host (deterministic ``order_col``
+    order); ``fetch_offset_s = (wave - 1) * delay``.
+
+    Cost: one broadcast join (the delays frame is host-cardinality —
+    tiny next to the frontier) + one window partitioned by host; the
+    window's skew is bounded by the per-host caps every frontier in
+    this engine applies upstream."""
+    if default_delay < 0:
+        raise ValueError(f"default_delay must be >= 0, got {default_delay}")
+    clash = {wave_col, offset_col, f"_delay_{wave_col}"} & set(
+        frontier.columns
+    )
+    if clash:
+        raise ValueError(
+            f"frontier already carries output columns: {sorted(clash)}"
+        )
+    d = delays.select(
+        F.col(host_col),
+        F.col(delay_col).cast("double").alias(f"_delay_{wave_col}"),
+    )
+    w = Window.partitionBy(F.col(host_col)).orderBy(F.col(order_col).asc())
+    out = (
+        frontier.join(F.broadcast(d), host_col, "left")
+        .withColumn(wave_col, F.row_number().over(w))
+        .withColumn(
+            offset_col,
+            (F.col(wave_col) - 1).cast("double")
+            * F.coalesce(
+                F.col(f"_delay_{wave_col}"), F.lit(float(default_delay))
+            ),
+        )
+        .drop(f"_delay_{wave_col}")
+    )
+    return out

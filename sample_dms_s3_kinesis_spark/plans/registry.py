@@ -4048,7 +4048,8 @@ DRIVER_WINDOW: list[str] = [
 # r13 rotation backlog, in priority order (never-checked beats stale):
 # (a) any query registered during the r12 sessions (enumerate here as
 #     they land): q_frontier_pipeline, q_split_leakage_near_md5,
-#     q_warc_reject_reasons, q_cdx_ingest_e2e;
+#     q_warc_reject_reasons, q_cdx_ingest_e2e, q_link_frontier,
+#     q_fetch_schedule, q_surt_keys;
 # (b) the 13 remaining r7-stale rows (q_text_repetition,
 #     q_text_normalize, q_embedding_normalize, q_unigram_lm_score,
 #     q_dedup_incremental, q_pmi_bigrams, q_lateral_top_order,

@@ -7859,3 +7859,264 @@ def q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@_register(
+    "q_link_frontier",
+    """
+    WITH links AS (
+      SELECT source || '.net' AS page_host,
+             'https://hub.net/h/' || CAST(doc_id % 50 AS VARCHAR)
+               || '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR) AS url
+      FROM documents
+      UNION ALL
+      SELECT source || '.net',
+             'https://' || source || '.net/p/'
+               || CAST(doc_id + 20 AS VARCHAR) || '.html'
+      FROM documents
+      UNION ALL
+      SELECT source || '.net',
+             'https://' || source || '.net/q/'
+               || CAST(doc_id % 10 AS VARCHAR)
+      FROM documents),
+    hosted AS (
+      SELECT url,
+             CASE WHEN url LIKE 'https://hub.net/%' THEN 'hub.net'
+                  ELSE split_part(substr(url, 9), '/', 1) END AS host
+      FROM links),
+    agg1 AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_links,
+             CAST(COUNT(DISTINCT url) AS BIGINT) AS n_unique
+      FROM hosted GROUP BY host),
+    uniq AS (SELECT DISTINCT host, url FROM hosted),
+    f AS (
+      SELECT *, CASE WHEN host IN ('src2.net', 'src4.net') THEN 0
+                ELSE 1 END AS kept
+      FROM uniq),
+    agg2 AS (
+      SELECT host, CAST(SUM(1 - kept) AS BIGINT) AS n_blocked
+      FROM f GROUP BY host),
+    crawled AS (
+      SELECT 'https://' || source || '.net/p/'
+               || CAST(doc_id AS VARCHAR) || '.html' AS url
+      FROM documents),
+    u AS (
+      SELECT f.host, f.url FROM f
+      WHERE f.kept = 1
+        AND NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = f.url)),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS rk
+      FROM u)
+    SELECT a1.host, a1.n_links, a1.n_unique,
+           a2.n_blocked,
+           COALESCE(CAST(COUNT(r.url) AS BIGINT), 0) AS n_unseen,
+           CAST(COALESCE(SUM(CASE WHEN r.rk <= 12 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_selected
+    FROM agg1 a1 JOIN agg2 a2 USING (host)
+    LEFT JOIN r ON r.host = a1.host
+    GROUP BY a1.host, a1.n_links, a1.n_unique, a2.n_blocked
+    """,
+    "link-based crawl discovery, per target host — the third frontier "
+    "modality next to the CDX index (q_cdx_selection_pipeline) and "
+    "sitemaps (q_frontier_pipeline): every crawled page's HTML yields "
+    "anchors through html_links (double-quoted entity-escaped "
+    "absolute, single-quoted relative with dot-segments, unquoted "
+    "root-relative; mailto/fragment/name-only decoys dropped), hrefs "
+    "resolve against the page URL via resolve_url (RFC 3986 merge + "
+    "dot-segment collapse), the frontier dedups to unique URLs, runs "
+    "the registered-domain blocklist, anti-joins already-crawled "
+    "URLs, and domain_caps selects the first 12 per host in URL "
+    "order — 5-stage per-host funnel, extraction and resolution "
+    "pinned by operator tests and the funnel replayed in DuckDB on "
+    "the pre-resolved expected URLs",
+    "curation: link-discovery frontier funnel (html_links + "
+    "resolve_url; third discovery modality)",
+)
+def q_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".net"))
+    did = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), did, F.lit(".html")
+    )
+    # one HTML page per crawled doc: the three real link forms plus
+    # decoys html_links must drop (fragment, mailto, name-only anchor)
+    html = F.concat(
+        F.lit('<html><body><a href="https://hub.net/h/'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?a=1&amp;b="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">hub</a><a href=\'../p/'),
+        (F.col("doc_id") + 20).cast("string"),
+        F.lit(".html'>next</a><a href=/q/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit('>sec</a><a href="#top">top</a>'),
+        F.lit('<a href="mailto:o@e.net">mail</a>'),
+        F.lit('<a name="x">anchor</a></body></html>'),
+    )
+    pages = d.select(base.alias("base"), html.alias("html"))
+    resolved = (
+        pages.select(
+            "base",
+            F.explode(_text.html_links(F.col("html"))).alias("href"),
+        )
+        .select(
+            _urls.resolve_url(F.col("base"), F.col("href")).alias("url")
+        )
+        .filter(F.col("url").isNotNull())
+        .withColumn("host", _urls.url_host(F.col("url")))
+    )
+    agg1 = resolved.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("url").alias("n_unique"),
+    )
+    # frontier = unique URLs; then blocklist -> unseen -> per-host cap
+    uniq = resolved.select("host", "url").distinct()
+    flagged = _urls.domain_blocklist(
+        uniq,
+        spark.createDataFrame(
+            [("src2.net",), ("www.src4.net",)], "domain string"
+        ),
+    )
+    agg2 = flagged.groupBy("host").agg(
+        F.sum((F.col("kept") == 0).cast("long")).alias("n_blocked")
+    )
+    crawled = d.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), did, F.lit(".html")
+        ).alias("url")
+    )
+    unseen = (
+        flagged.filter(F.col("kept") == 1)
+        .select("host", "url")
+        .join(crawled, "url", "left_anti")
+    )
+    capped = _urls.domain_caps(
+        unseen,
+        domain_col="host",
+        max_per_domain=12,
+        order_col="url",
+        keep_col="selected",
+    )
+    agg3 = capped.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_unseen"),
+        F.sum(F.col("selected").cast("long")).alias("n_selected"),
+    )
+    return (
+        agg1.join(agg2, "host")
+        .join(agg3, "host", "left")
+        .select(
+            "host",
+            "n_links",
+            "n_unique",
+            "n_blocked",
+            F.coalesce(F.col("n_unseen"), F.lit(0)).alias("n_unseen"),
+            F.coalesce(F.col("n_selected"), F.lit(0)).alias("n_selected"),
+        )
+    )
+
+
+@_register(
+    "q_fetch_schedule",
+    """
+    WITH frontier AS (
+      SELECT source || '.example.net' AS host,
+             'https://' || source || '.example.net/f/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN length(source) = 4 THEN CAST(0.5 AS DOUBLE)
+                  ELSE CAST(1.0 AS DOUBLE) END AS delay
+      FROM documents),
+    w AS (
+      SELECT host, url, delay,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS wave
+      FROM frontier)
+    SELECT host, url, CAST(wave AS INT) AS wave,
+           CAST((wave - 1) * delay AS DOUBLE) AS fetch_offset_s
+    FROM w
+    """,
+    "politeness-aware fetch scheduling: the frontier joins per-host "
+    "robots Crawl-delay (robots_crawl_delays — length-4 sources carry "
+    "an exact-agent 0.5 s delay, the rest a non-numeric value that "
+    "parses to NULL and falls back to the 1.0 s default) and "
+    "fetch_schedule assigns each URL a per-host wave plus "
+    "fetch_offset_s = (wave-1) * delay, serializing requests to one "
+    "host while hosts proceed in parallel — the step between frontier "
+    "construction and the fetch tier; offsets are multiples of 0.5 "
+    "(exact doubles) so the cross-engine compare is bit-stable",
+    "curation: politeness-aware fetch scheduling (Crawl-delay waves)",
+)
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.net"))
+    frontier = d.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/f/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    files = (
+        d.select("source")
+        .distinct()
+        .select(
+            host.alias("host"),
+            F.when(
+                F.length("source") == 4,
+                F.lit(
+                    "User-agent: politebot\nCrawl-delay: 0.5\n"
+                    "Disallow: /private\n"
+                ),
+            )
+            .otherwise(F.lit("User-agent: *\nCrawl-delay: soon\n"))
+            .alias("robots_txt"),
+        )
+    )
+    delays = _robots.robots_crawl_delays(files, agent="politebot")
+    return _urls.fetch_schedule(
+        frontier, delays, default_delay=1.0
+    ).select("host", "url", "wave", "fetch_offset_s")
+
+
+@_register(
+    "q_surt_keys",
+    """
+    SELECT 'net,' || source || ')/dir/' || CAST(doc_id AS VARCHAR)
+             || '?a=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2' AS urlkey,
+           CAST(3 AS BIGINT) AS n_mirrors
+    FROM documents
+    """,
+    "SURT urlkey canonicalization (the CDX index key convention "
+    "read_cdx sorts on): three mirror spellings of every page — "
+    "https + www + uppercase path + unsorted query, http + uppercase "
+    "host + explicit port, https + www2 + fragment — collapse onto "
+    "ONE canonical key (host lowercased/www-stripped/reversed, path "
+    "lowercased, query params sorted, scheme/port/fragment dropped), "
+    "so a frontier keyed on surt_urlkey dedups mirrors the index side "
+    "would otherwise fetch three times; oracle constructs the "
+    "expected key per doc and pins n_mirrors = 3",
+    "curation: SURT urlkey canonicalization (mirror dedup key)",
+)
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    qa = (F.col("doc_id") % 5).cast("string")
+    v1 = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".net/DIR/"),
+        did, F.lit("?b=2&a="), qa,
+    )
+    v2 = F.concat(
+        F.lit("http://"), F.upper(F.col("source")), F.lit(".NET:8080/dir/"),
+        did, F.lit("?a="), qa, F.lit("&b=2"),
+    )
+    v3 = F.concat(
+        F.lit("https://www2."), F.col("source"), F.lit(".net/dir/"),
+        did, F.lit("?a="), qa, F.lit("&b=2#frag"),
+    )
+    mirrors = d.select(
+        F.explode(F.array(v1, v2, v3)).alias("url")
+    )
+    return (
+        mirrors.select(_urls.surt_urlkey(F.col("url")).alias("urlkey"))
+        .groupBy("urlkey")
+        .agg(F.count(F.lit(1)).alias("n_mirrors"))
+    )

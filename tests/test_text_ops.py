@@ -858,3 +858,41 @@ def test_html_nbsp_and_escaped_numeric_amp(spark):
     assert _html_one(spark, text.html_extract, "&amp;#38;") == "&#38;"
     assert _html_one(spark, text.html_extract, "&amp;#x26;") == "&#x26;"
     assert _html_one(spark, text.html_extract, "&#38;#x26;") == "&#x26;"
+
+
+def test_html_links_extraction_forms(spark):
+    """Every href value form, in document order; non-anchor tags and
+    href-less anchors never match."""
+    html = (
+        '<a href="https://x.com/a?b=1&amp;c=2">abs</a>'
+        "<a href='/single'>sq</a>"
+        "<a href=unquoted/p>uq</a>"
+        '<A HREF="/upper">case-insensitive</A>'
+        '<a class="x"\n   href="/multiline">attr on next line</a>'
+        '<a data-href="/not-an-href">decoy attr</a>'
+        '<a name="anchor">no href</a>'
+        '<abbr href="/not-anchor">wrong tag</abbr>'
+        '<a href="">empty dropped</a>'
+        '<a href="  /padded ">trimmed</a>'
+        '<a href="/p?n=&#65;">numeric entity</a>'
+    )
+    got = _html_one(spark, text.html_links, html)
+    assert got == [
+        "https://x.com/a?b=1&c=2",
+        "/single",
+        "unquoted/p",
+        "/upper",
+        "/multiline",
+        "/padded",
+        "/p?n=A",
+    ]
+
+
+def test_html_links_single_decode_and_plain_text(spark):
+    # attribute entity decode is SINGLE-decode like html_extract
+    assert _html_one(
+        spark, text.html_links, '<a href="/x?e=&amp;amp;">t</a>'
+    ) == ["/x?e=&amp;"]
+    # documents with no anchors (or no markup at all) -> empty array
+    assert _html_one(spark, text.html_links, "no links here") == []
+    assert _html_one(spark, text.html_links, "<p>a &lt; b</p>") == []

@@ -270,3 +270,165 @@ def test_domain_blocklist_entry_normalization_and_nulls(spark):
         urls.domain_blocklist(
             df.withColumn("_bl_dom", F.lit("x")), frame
         )
+
+
+# --------------------------------------------------------------------
+# resolve_url / surt_urlkey / fetch_schedule / html_links (r12)
+# --------------------------------------------------------------------
+
+
+def _resolve_all(spark, cases):
+    df = spark.createDataFrame(cases, "base string, href string")
+    rows = df.select(
+        "href", urls.resolve_url(F.col("base"), F.col("href")).alias("r")
+    ).collect()
+    return {r["href"]: r["r"] for r in rows}
+
+
+def test_resolve_url_absolute_and_scheme_filter(spark):
+    base = "https://site.example.com/dir/page.html"
+    got = _resolve_all(spark, [
+        (base, "https://x.com/a?b=1&c=2"),
+        (base, "HTTPS://UPPER.COM/Y"),       # scheme match is ci
+        (base, "mailto:someone@example.com"),
+        (base, "javascript:void(0)"),
+        (base, "tel:+15551234"),
+        (base, "#frag"),
+        (base, ""),
+    ])
+    assert got["https://x.com/a?b=1&c=2"] == "https://x.com/a?b=1&c=2"
+    assert got["HTTPS://UPPER.COM/Y"] == "HTTPS://UPPER.COM/Y"
+    assert got["mailto:someone@example.com"] is None
+    assert got["javascript:void(0)"] is None
+    assert got["tel:+15551234"] is None
+    assert got["#frag"] is None
+    assert got[""] is None
+
+
+def test_resolve_url_relative_forms(spark):
+    base = "https://site.example.com/dir/page.html"
+    got = _resolve_all(spark, [
+        (base, "/root/page"),
+        (base, "relative/p2"),
+        (base, "../up/one"),
+        (base, "//cdn.x.com/lib.js"),
+        (base, "?q=7"),
+        (base, "other.html#sec"),
+        (base, "   /spaced  "),
+    ])
+    assert got["/root/page"] == "https://site.example.com/root/page"
+    assert got["relative/p2"] == "https://site.example.com/dir/relative/p2"
+    assert got["../up/one"] == "https://site.example.com/up/one"
+    # protocol-relative inherits the BASE scheme
+    assert got["//cdn.x.com/lib.js"] == "https://cdn.x.com/lib.js"
+    # query-only replaces the query, keeps the base path
+    assert got["?q=7"] == "https://site.example.com/dir/page.html?q=7"
+    # fragment stripped from a path-relative href
+    assert got["other.html#sec"] == "https://site.example.com/dir/other.html"
+    # surrounding whitespace trimmed
+    assert got["   /spaced  "] == "https://site.example.com/spaced"
+
+
+def test_resolve_url_dot_segments_and_edge_bases(spark):
+    got = _resolve_all(spark, [
+        ("https://s.com/a/b/c/d.html", "../../x/./y.html"),
+        ("https://s.com/d/e.html", "../../../../too/deep"),  # past root
+        ("https://s.com", "p.html"),            # base with no path
+        ("https://s.com/d/", "sub/p.html"),     # base dir form
+        ("https://s.com/a/", "b/../c/./d"),     # collapse inside href
+        ("not-a-url", "rel/x"),                 # relative off a non-URL
+        ("not-a-url", "https://ok.com/x"),      # absolute still passes
+    ])
+    assert got["../../x/./y.html"] == "https://s.com/a/x/y.html"
+    assert got["../../../../too/deep"] == "https://s.com/too/deep"
+    assert got["p.html"] == "https://s.com/p.html"
+    assert got["sub/p.html"] == "https://s.com/d/sub/p.html"
+    assert got["b/../c/./d"] == "https://s.com/a/c/d"
+    assert got["rel/x"] is None
+    assert got["https://ok.com/x"] == "https://ok.com/x"
+
+
+def test_resolve_url_all_dot_segment_names(spark):
+    # '...' is a REGULAR segment name (only '.' and '..' are special)
+    got = _resolve_all(spark, [
+        ("https://s.com/a/", ".../x"),
+        ("https://s.com/a/.../b.html", "../y"),
+    ])
+    assert got[".../x"] == "https://s.com/a/.../x"
+    assert got["../y"] == "https://s.com/a/y"
+
+
+def test_surt_urlkey_canonical_forms(spark):
+    cases = [
+        ("https://WWW.Example.COM:443/Path/Sub?b=2&a=1#frag",
+         "com,example)/path/sub?a=1&b=2"),
+        ("http://www2.foo.co.uk/", "uk,co,foo)/"),
+        ("https://x.com", "com,x)/"),             # empty path -> '/'
+        ("https://x.com/p?", "com,x)/p"),         # empty query drops '?'
+        ("https://user@x.com:8080/z?y=1&x=2", "com,x)/z?x=2&y=1"),
+        ("mailto:a@b.c", None),                   # non-http(s) -> NULL
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in cases], "url string"
+    ).select("url", urls.surt_urlkey(F.col("url")).alias("k"))
+    got = {r["url"]: r["k"] for r in df.collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_surt_urlkey_mirrors_key_identically(spark):
+    # the canonicalization PURPOSE: mirrors of one page key the same
+    mirrors = [
+        "https://www.example.com/A/B?x=1&y=2",
+        "http://EXAMPLE.com:8080/a/b?y=2&x=1",
+        "https://www3.example.com/a/b?X=1&Y=2#top",
+    ]
+    df = spark.createDataFrame([(u,) for u in mirrors], "url string")
+    keys = {
+        r["k"]
+        for r in df.select(urls.surt_urlkey(F.col("url")).alias("k")).collect()
+    }
+    assert keys == {"com,example)/a/b?x=1&y=2"}
+
+
+def test_fetch_schedule_waves_and_defaults(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/1"),
+            ("a.com", "https://a.com/2"),
+            ("a.com", "https://a.com/3"),
+            ("b.com", "https://b.com/1"),
+            ("b.com", "https://b.com/2"),
+            ("c.com", "https://c.com/1"),
+        ],
+        "host string, url string",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 2.5), ("b.com", None)], "host string, crawl_delay double"
+    )
+    out = urls.fetch_schedule(frontier, delays, default_delay=1.0)
+    got = {
+        (r["host"], r["wave"]): r["fetch_offset_s"]
+        for r in out.collect()
+    }
+    assert got == {
+        ("a.com", 1): 0.0, ("a.com", 2): 2.5, ("a.com", 3): 5.0,
+        ("b.com", 1): 0.0, ("b.com", 2): 1.0,  # NULL delay -> default
+        ("c.com", 1): 0.0,                     # absent host -> default
+    }
+
+
+def test_fetch_schedule_validation(spark):
+    frontier = spark.createDataFrame(
+        [("a.com", "u", 1)], "host string, url string, wave int"
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 1.0)], "host string, crawl_delay double"
+    )
+    with pytest.raises(ValueError, match="output columns"):
+        urls.fetch_schedule(frontier, delays)
+    with pytest.raises(ValueError, match="default_delay"):
+        urls.fetch_schedule(
+            frontier.drop("wave"), delays, default_delay=-1.0
+        )
