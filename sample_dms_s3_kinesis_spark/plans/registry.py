@@ -1776,6 +1776,135 @@ def q_cdx_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema).orderBy("urlkey")
 
 
+_LINK_E2E_CACHE: dict[str, tuple[list, object]] = {}
+
+
+def _link_frontier_e2e_results(spark: SparkSession):
+    """Cached drive of the link-discovery frontier mode: two WARC
+    batches through CorpusIngestTask(discover_links=True,
+    frontier_max_per_host=2) — batch 0's pages link in all three href
+    forms plus decoys, a same-batch fetched URI and a cross-page dup;
+    a replay of batch 0 changes nothing; batch 1 links to an
+    already-discovered URL, an admitted page, an over-budget a.com URL
+    and one fresh host."""
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        CorpusIngestTask,
+    )
+
+    key = spark.sparkContext.applicationId
+    if key not in _LINK_E2E_CACHE:
+        root = tempfile.mkdtemp(prefix="q_link_e2e_")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        task = CorpusIngestTask(
+            spark,
+            drop,
+            os.path.join(root, "corpus"),
+            input_format="warc",
+            extract_html=True,
+            discover_links=True,
+            frontier_max_per_host=2,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+
+        def page(uri, body):
+            payload = (
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                f"<html><body>{body}</body></html>"
+            )
+            return (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(payload.encode())}\r\n\r\n"
+                f"{payload}\r\n\r\n"
+            )
+
+        try:
+            b1 = page(
+                "https://a.com/dir/p1.html",
+                "<p>alpha one</p>"
+                '<a href="https://b.com/x">abs</a>'
+                "<a href='../q/r.html'>rel</a>"
+                '<a href="/s">root</a>'
+                '<a href="https://a.com/dir/p2.html">same batch</a>'
+                '<a href="mailto:z@a.com">decoy</a>'
+                '<a href="#top">decoy</a>',
+            ) + page(
+                "https://a.com/dir/p2.html",
+                '<p>beta two</p><a href="https://b.com/x">dup</a>',
+            )
+            with open(os.path.join(drop, "b1.warc"), "w") as f:
+                f.write(b1)
+            batch = task._source_frame(streaming=False)
+            task._process_batch(batch, 0)
+            task._process_batch(batch, 0)  # the replay: changes nothing
+            os.remove(os.path.join(drop, "b1.warc"))
+            b2 = page(
+                "https://c.com/page",
+                "<p>gamma three</p>"
+                '<a href="https://b.com/x">seen in batch 0</a>'
+                '<a href="https://a.com/dir/p1.html">already admitted</a>'
+                '<a href="https://a.com/extra">budget spent</a>'
+                '<a href="https://d.com/fresh">new</a>',
+            )
+            with open(os.path.join(drop, "b2.warc"), "w") as f:
+                f.write(b2)
+            task._process_batch(task._source_frame(streaming=False), 1)
+            totals = task.frontier_stats()
+            frame = task.discovered_frontier().select(
+                "url",
+                "host",
+                "batch_id",
+                *[
+                    F.lit(int(totals[k])).alias(k)
+                    for k in (
+                        "discovered_links",
+                        "discovered_unique",
+                        "frontier_new",
+                    )
+                ],
+            )
+            _LINK_E2E_CACHE[key] = (frame.collect(), frame.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _LINK_E2E_CACHE[key]
+
+
+@_register(
+    "q_link_frontier_e2e",
+    """
+    SELECT * FROM (VALUES
+      ('https://a.com/q/r.html', 'a.com', 0, 9, 8, 4),
+      ('https://a.com/s',        'a.com', 0, 9, 8, 4),
+      ('https://b.com/x',        'b.com', 0, 9, 8, 4),
+      ('https://d.com/fresh',    'd.com', 1, 9, 8, 4)
+    ) AS t(url, host, batch_id,
+           discovered_links, discovered_unique, frontier_new)
+    ORDER BY url
+    """,
+    "link-discovery frontier E2E: CorpusIngestTask(discover_links="
+    "True) drains two WARC batches plus a replay — every fetched "
+    "page's anchors resolve through html_links + resolve_url "
+    "(absolute/relative/root-relative; mailto and fragment decoys "
+    "drop), the batch's unique URLs anti-join the admitted corpus by "
+    "URI hash, the batch's own fetched URIs, and earlier discoveries, "
+    "and the CUMULATIVE per-host budget (a.com = 2) caps the rest — "
+    "serving the persisted frontier the fetch tier would consume, "
+    "with manifest-rebuilt totals; oracle = the hand-derived "
+    "discovery outcome",
+    "CorpusIngestTask link-discovery mode end-to-end (streaming twin "
+    "of q_link_frontier)",
+)
+def q_link_frontier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema = _link_frontier_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("url")
+
+
 @_register(
     "q_metrics_e2e_sketches",
     """
@@ -4049,7 +4178,7 @@ DRIVER_WINDOW: list[str] = [
 # (a) any query registered during the r12 sessions (enumerate here as
 #     they land): q_frontier_pipeline, q_split_leakage_near_md5,
 #     q_warc_reject_reasons, q_cdx_ingest_e2e, q_link_frontier,
-#     q_fetch_schedule, q_surt_keys;
+#     q_fetch_schedule, q_surt_keys, q_link_frontier_e2e;
 # (b) the 13 remaining r7-stale rows (q_text_repetition,
 #     q_text_normalize, q_embedding_normalize, q_unigram_lm_score,
 #     q_dedup_incremental, q_pmi_bigrams, q_lateral_top_order,

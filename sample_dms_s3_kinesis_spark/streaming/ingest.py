@@ -98,6 +98,8 @@ class CorpusIngestTask(ReplicationTask):
         cdx_dir: str | None = None,
         cdx_schema: str | None = None,
         cdx_max_per_host: int | None = None,
+        discover_links: bool = False,
+        frontier_max_per_host: int | None = None,
         checkpoint_dir: str | None = None,
     ) -> None:
         super().__init__(identifier)
@@ -202,6 +204,29 @@ class CorpusIngestTask(ReplicationTask):
         self.cdx_dir = cdx_dir
         self.cdx_schema = cdx_schema
         self.cdx_max_per_host = cdx_max_per_host
+        # optional link-discovery side-output (WARC modes only — the
+        # base URL is each page's target URI): every robots-allowed
+        # fetched page's anchors run html_links -> resolve_url, the
+        # batch's unique URLs anti-join (a) the admitted corpus (by the
+        # same xxhash64-of-URI identity the doc ids use), (b) this
+        # batch's own fetched URIs, and (c) everything discovered by
+        # EARLIER batches (pre-batch state, so replays are
+        # deterministic), then an optional CUMULATIVE per-host budget
+        # caps what lands in the per-batch _frontier/ store — the
+        # fetch tier's next work list, the streaming twin of
+        # q_link_frontier and the link-modality sibling of the CDX
+        # sidecar mode above.
+        if discover_links and input_format == "jsonl":
+            raise ValueError(
+                "discover_links requires a WARC input_format (link "
+                "resolution keys off each page's target URI)"
+            )
+        if frontier_max_per_host is not None and not discover_links:
+            raise ValueError(
+                "frontier_max_per_host requires discover_links=True"
+            )
+        self.discover_links = discover_links
+        self.frontier_max_per_host = frontier_max_per_host
         self.checkpoint_dir = (
             checkpoint_dir or f"/tmp/ingest-checkpoint-{uuid.uuid4()}"
         )
@@ -711,6 +736,147 @@ class CorpusIngestTask(ReplicationTask):
             },
         )
 
+    # -- link-discovery frontier ----------------------------------------
+
+    def _frontier_dir(self) -> str:
+        return f"{self.corpus_dir}/_frontier"
+
+    def discovered_frontier(
+        self, *, before: int | None = None
+    ) -> DataFrame:
+        """The cumulative discovered-URL frontier: (url, host,
+        batch_id) — what the fetch tier retrieves next.  ``before``
+        restricts to batches strictly earlier (the pre-batch state the
+        admission-time anti-join uses, so a crash-replay of batch N is
+        suppressed only by batches < N, never by its own earlier
+        attempt).  Empty frame when nothing is discovered yet."""
+        if not self.discover_links:
+            raise ValueError("discovered_frontier requires discover_links")
+        root = self._frontier_dir()
+        schema = "url string, host string, batch_id long"
+        try:
+            dirs = [
+                d
+                for d in os.listdir(root)
+                if d.startswith("batch_id=")
+                and (before is None or int(d.split("=", 1)[1]) < before)
+            ]
+        except OSError:
+            return self.spark.createDataFrame([], schema)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.option("basePath", root)
+            .parquet(*[f"{root}/{d}" for d in sorted(dirs)])
+            .select(
+                "url", "host", F.col("batch_id").cast("long").alias(
+                    "batch_id"
+                )
+            )
+        )
+
+    def frontier_stats(self) -> dict[str, int]:
+        """Cumulative link-discovery counters, rebuilt from the batch
+        manifest — the discovery twin of :meth:`ingest_stats`."""
+        totals = {
+            "discovered_links": 0,
+            "discovered_unique": 0,
+            "frontier_new": 0,
+        }
+        for counts in self._load_manifest().values():
+            for k in totals:
+                totals[k] += int(counts.get(k, 0))
+        return totals
+
+    def _discover_frontier(
+        self, pages: DataFrame, batch_id: int
+    ) -> dict[str, int]:
+        """Run the batch's pages through link extraction -> resolution
+        -> unseen gates -> optional cumulative per-host budget, land
+        the new frontier URLs in the per-batch overwrite store, and
+        return the counters for the batch manifest.  ``pages`` carries
+        (text = RAW page markup, _uri) — discovery runs BEFORE
+        extract_html replaces the text, and after the robots gate (a
+        politeness-denied page must not contribute links)."""
+        from sample_dms_s3_kinesis_spark.operators import text as _text
+        from sample_dms_s3_kinesis_spark.operators import urls as _urls
+
+        links = (
+            pages.select(
+                F.col("_uri").alias("_base"),
+                F.explode(_text.html_links(F.col("text"))).alias("_href"),
+            )
+            .select(
+                _urls.resolve_url(F.col("_base"), F.col("_href")).alias(
+                    "url"
+                )
+            )
+            .filter(F.col("url").isNotNull())
+            # persisted: the head aggregate and the store write would
+            # otherwise each re-run the container parse + extraction
+            .persist()
+        )
+        head = links.agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("url").alias("n_unique"),
+        ).collect()[0]
+        uniq = links.distinct().withColumn(
+            "host", _urls.url_host(F.col("url"))
+        )
+        # unseen: (a) not fetched by THIS batch; (b) in default-id mode
+        # (doc_id = xxhash64(target_uri)) not an admitted page either —
+        # the join ships 8-byte ids, never URLs or bodies; with a
+        # doc_id_pattern the corpus ids are NOT URI hashes, so that
+        # side is skipped (the frontier may then re-list a previously
+        # admitted URL — an extra fetch, never a correctness issue);
+        # (c) not discovered by an earlier batch (pre-batch state:
+        # replay-deterministic, same contract as corpus(before=...)).
+        fetched = pages.select(
+            F.xxhash64(F.col("_uri")).alias("_id")
+        ).distinct()
+        if self.doc_id_pattern is None:
+            fetched = fetched.unionByName(
+                self.corpus(before=batch_id).select(
+                    F.col("doc_id").alias("_id")
+                )
+            )
+        prev = self.discovered_frontier(before=batch_id)
+        unseen = (
+            uniq.withColumn("_id", F.xxhash64(F.col("url")))
+            .join(fetched, "_id", "left_anti")
+            .drop("_id")
+            .join(prev.select("url"), "url", "left_anti")
+        )
+        if self.frontier_max_per_host is not None:
+            # CUMULATIVE per-host budget across batches, the same
+            # domain_caps_against contract the CDX mode keeps: slots
+            # spent by earlier batches count, the prior side ships
+            # host counts only.
+            new = (
+                _urls.domain_caps_against(
+                    unseen,
+                    prev,
+                    domain_col="host",
+                    max_per_domain=self.frontier_max_per_host,
+                    order_col="url",
+                    keep_col="_sel",
+                )
+                .filter(F.col("_sel") == 1)
+                .drop("_sel")
+            )
+        else:
+            new = unseen
+        out = f"{self._frontier_dir()}/batch_id={batch_id}"
+        new.select("url", "host").write.mode("overwrite").parquet(out)
+        self.spark.catalog.refreshByPath(out)
+        n_new = self.spark.read.parquet(out).count()
+        links.unpersist()
+        return {
+            "discovered_links": int(head["n_links"]),
+            "discovered_unique": int(head["n_unique"]),
+            "frontier_new": int(n_new),
+        }
+
     # -- lifecycle -----------------------------------------------------
 
     def _checkpoint_marker(self) -> str:
@@ -819,12 +985,13 @@ class CorpusIngestTask(ReplicationTask):
             doc_id.alias("doc_id"),
             F.col("body").alias("text"),
             F.lit(None).cast("array<double>").alias("embedding"),
-            # the robots gate judges (host, path) of the fetched URI —
-            # carried as a plumbing column and dropped right after the
-            # gate, before anything reaches the corpus store
+            # the robots gate judges (host, path) of the fetched URI,
+            # and link discovery resolves hrefs against it — carried as
+            # a plumbing column and dropped before anything reaches the
+            # corpus store
             *(
                 [F.col("target_uri").alias("_uri")]
-                if self.robots_rules is not None
+                if self.robots_rules is not None or self.discover_links
                 else []
             ),
         )
@@ -896,6 +1063,15 @@ class CorpusIngestTask(ReplicationTask):
             valid = joined.filter(
                 F.coalesce(F.col("allowed"), F.lit(1)) == 1
             ).drop("host", "url_path", "allowed")
+        # LINK DISCOVERY side-output: runs on the RAW page markup of
+        # every robots-allowed page (before extraction replaces the
+        # text, before any content gate — a near-dup page still has
+        # links worth following).
+        fr_counts: dict[str, int] = {}
+        if self.discover_links and "_uri" in valid.columns:
+            fr_counts = self._discover_frontier(
+                valid.select("text", "_uri"), batch_id
+            )
         if "_uri" in valid.columns:
             valid = valid.drop("_uri")
         if self.extract_html:
@@ -951,6 +1127,7 @@ class CorpusIngestTask(ReplicationTask):
                     "rejected": n_total - n_contract - n_robots,
                     "rejected_contract": n_contract,
                     "rejected_robots": n_robots,
+                    **fr_counts,
                 },
             )
             docs.unpersist()
@@ -1170,6 +1347,7 @@ class CorpusIngestTask(ReplicationTask):
                 - n_robots,
                 "rejected_contract": n_contract,
                 "rejected_robots": n_robots,
+                **fr_counts,
             },
         )
         admitted.unpersist()

@@ -5,6 +5,8 @@ import json
 import os
 import time
 
+import pytest
+
 from sample_dms_s3_kinesis_spark.streaming.ingest import CorpusIngestTask
 
 
@@ -1045,3 +1047,118 @@ def test_cdx_sidecar_selection(spark, tmp_path):
             cdx_dir=str(cdx),
             cdx_schema="url string, status string",
         )
+
+
+def _warc_page(uri, body):
+    return _warc_record(uri, f"<html><body>{body}</body></html>")
+
+
+def test_link_discovery_frontier(spark, tmp_path):
+    """discover_links=True: every fetched page's anchors resolve into
+    the cumulative _frontier store — absolute/relative/root-relative
+    forms resolve, decoys drop, same-batch fetched URIs and admitted
+    pages are excluded, earlier discoveries are not re-listed, the
+    per-host budget is CUMULATIVE across batches, and a batch replay
+    changes nothing."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=True,
+        frontier_max_per_host=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    b1 = (
+        _warc_page(
+            "https://a.com/dir/p1.html",
+            '<p>alpha one</p>'
+            '<a href="https://b.com/x">abs</a>'
+            "<a href='../q/r.html'>rel</a>"
+            '<a href="/s">root</a>'
+            '<a href="https://a.com/dir/p2.html">same batch</a>'
+            '<a href="mailto:z@a.com">decoy</a>'
+            '<a href="#top">decoy</a>',
+        )
+        + _warc_page(
+            "https://a.com/dir/p2.html",
+            '<p>beta two</p><a href="https://b.com/x">dup across pages</a>',
+        )
+    )
+    (drop / "b1.warc").write_text(b1)
+    batch = task._source_frame(streaming=False)
+    task._process_batch(batch, 0)
+
+    got = {
+        (r["url"], r["host"], r["batch_id"])
+        for r in task.discovered_frontier().collect()
+    }
+    assert got == {
+        ("https://b.com/x", "b.com", 0),
+        ("https://a.com/q/r.html", "a.com", 0),
+        ("https://a.com/s", "a.com", 0),
+    }
+    stats = task.frontier_stats()
+    # 5 resolved link instances (decoys dropped): p1's abs/rel/root/
+    # same-batch + p2's cross-page dup; 4 unique; 3 survive the gates
+    # (the same-batch URI drops, a.com budget 2 exactly holds)
+    assert stats == {
+        "discovered_links": 5,
+        "discovered_unique": 4,
+        "frontier_new": 3,
+    }
+
+    # replay of batch 0: same store, same counters
+    task._process_batch(batch, 0)
+    assert {
+        (r["url"], r["host"], r["batch_id"])
+        for r in task.discovered_frontier().collect()
+    } == got
+    assert task.frontier_stats() == stats
+
+    # batch 1: an already-discovered URL is not re-listed, an admitted
+    # page's URL is not listed, a.com's budget is already spent, and a
+    # fresh host URL lands
+    b2 = _warc_page(
+        "https://c.com/page",
+        '<p>gamma three</p>'
+        '<a href="https://b.com/x">seen in batch 0</a>'
+        '<a href="https://a.com/dir/p1.html">already admitted</a>'
+        '<a href="https://a.com/extra">budget spent</a>'
+        '<a href="https://d.com/fresh">new</a>',
+    )
+    (drop / "b1.warc").unlink()
+    (drop / "b2.warc").write_text(b2)
+    task._process_batch(task._source_frame(streaming=False), 1)
+    got2 = {
+        (r["url"], r["host"], r["batch_id"])
+        for r in task.discovered_frontier().collect()
+    }
+    assert got2 == got | {("https://d.com/fresh", "d.com", 1)}
+    assert task.frontier_stats() == {
+        "discovered_links": 9,
+        "discovered_unique": 8,  # per-batch unique counts, summed
+        "frontier_new": 4,
+    }
+
+
+def test_discover_links_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="discover_links requires"):
+        CorpusIngestTask(
+            spark, str(tmp_path / "d"), str(tmp_path / "c"),
+            discover_links=True,
+        )
+    with pytest.raises(ValueError, match="frontier_max_per_host"):
+        CorpusIngestTask(
+            spark, str(tmp_path / "d"), str(tmp_path / "c"),
+            input_format="warc", frontier_max_per_host=3,
+        )
+    task = CorpusIngestTask(
+        spark, str(tmp_path / "d"), str(tmp_path / "c"),
+        input_format="warc",
+    )
+    with pytest.raises(ValueError, match="discovered_frontier requires"):
+        task.discovered_frontier()
