@@ -100,6 +100,7 @@ class CorpusIngestTask(ReplicationTask):
         cdx_max_per_host: int | None = None,
         discover_links: bool = False,
         frontier_max_per_host: int | None = None,
+        frontier_key: str = "url",
         checkpoint_dir: str | None = None,
     ) -> None:
         super().__init__(identifier)
@@ -225,8 +226,22 @@ class CorpusIngestTask(ReplicationTask):
             raise ValueError(
                 "frontier_max_per_host requires discover_links=True"
             )
+        # frontier_key: "url" dedups the frontier on the exact URL;
+        # "surt" dedups on the canonical SURT urlkey
+        # (operators/urls.py:surt_urlkey) so MIRROR spellings of one
+        # page — www./port/query-order/fragment variants — enter the
+        # frontier once (the smallest URL per key is the
+        # representative fetched).  The store then carries the urlkey
+        # next to the url.
+        if frontier_key not in ("url", "surt"):
+            raise ValueError(
+                f"frontier_key must be 'url' or 'surt', got {frontier_key!r}"
+            )
+        if frontier_key != "url" and not discover_links:
+            raise ValueError("frontier_key requires discover_links=True")
         self.discover_links = discover_links
         self.frontier_max_per_host = frontier_max_per_host
+        self.frontier_key = frontier_key
         self.checkpoint_dir = (
             checkpoint_dir or f"/tmp/ingest-checkpoint-{uuid.uuid4()}"
         )
@@ -753,7 +768,12 @@ class CorpusIngestTask(ReplicationTask):
         if not self.discover_links:
             raise ValueError("discovered_frontier requires discover_links")
         root = self._frontier_dir()
-        schema = "url string, host string, batch_id long"
+        cols = ["url", "host"] + (
+            ["urlkey"] if self.frontier_key == "surt" else []
+        )
+        schema = (
+            ", ".join(f"{c} string" for c in cols) + ", batch_id long"
+        )
         try:
             dirs = [
                 d
@@ -769,9 +789,8 @@ class CorpusIngestTask(ReplicationTask):
             self.spark.read.option("basePath", root)
             .parquet(*[f"{root}/{d}" for d in sorted(dirs)])
             .select(
-                "url", "host", F.col("batch_id").cast("long").alias(
-                    "batch_id"
-                )
+                *cols,
+                F.col("batch_id").cast("long").alias("batch_id"),
             )
         )
 
@@ -787,6 +806,34 @@ class CorpusIngestTask(ReplicationTask):
             for k in totals:
                 totals[k] += int(counts.get(k, 0))
         return totals
+
+    def fetch_plan(
+        self,
+        delays: DataFrame | None = None,
+        *,
+        default_delay: float = 1.0,
+    ) -> DataFrame:
+        """The discovered frontier as a politeness-scheduled fetch work
+        list: each URL gets a per-host ``wave`` and ``fetch_offset_s``
+        honoring robots Crawl-delay (`operators/urls.py:fetch_schedule`
+        — requests to one host serialize ``crawl_delay`` seconds apart,
+        hosts proceed in parallel).  ``delays`` is a (host,
+        crawl_delay) frame from `operators/robots.py:
+        robots_crawl_delays`; None schedules every host at
+        ``default_delay``."""
+        from sample_dms_s3_kinesis_spark.operators import urls as _urls
+
+        frontier = self.discovered_frontier()
+        if delays is None:
+            delays = self.spark.createDataFrame(
+                [], "host string, crawl_delay double"
+            )
+        return _urls.fetch_schedule(
+            frontier,
+            delays,
+            order_col="url",
+            default_delay=default_delay,
+        )
 
     def _discover_frontier(
         self, pages: DataFrame, batch_id: int
@@ -823,6 +870,25 @@ class CorpusIngestTask(ReplicationTask):
         uniq = links.distinct().withColumn(
             "host", _urls.url_host(F.col("url"))
         )
+        if self.frontier_key == "surt":
+            # mirror collapse: one representative URL (the smallest)
+            # per canonical SURT key — one partial-aggregating groupBy;
+            # resolve_url only emits http(s) URLs so the key is never
+            # NULL, but coalesce keeps a pathological row fetchable
+            # rather than merging all NULLs into one
+            uniq = (
+                uniq.withColumn(
+                    "urlkey",
+                    F.coalesce(
+                        _urls.surt_urlkey(F.col("url")), F.col("url")
+                    ),
+                )
+                .groupBy("urlkey")
+                .agg(
+                    F.min("url").alias("url"),
+                    F.min_by("host", "url").alias("host"),
+                )
+            )
         # unseen: (a) not fetched by THIS batch; (b) in default-id mode
         # (doc_id = xxhash64(target_uri)) not an admitted page either —
         # the join ships 8-byte ids, never URLs or bodies; with a
@@ -841,11 +907,15 @@ class CorpusIngestTask(ReplicationTask):
                 )
             )
         prev = self.discovered_frontier(before=batch_id)
+        # the seen-before key: exact URL, or the canonical SURT key in
+        # surt mode (a NEW mirror spelling of an already-discovered
+        # page must not re-enter)
+        seen_key = "url" if self.frontier_key == "url" else "urlkey"
         unseen = (
             uniq.withColumn("_id", F.xxhash64(F.col("url")))
             .join(fetched, "_id", "left_anti")
             .drop("_id")
-            .join(prev.select("url"), "url", "left_anti")
+            .join(prev.select(seen_key), seen_key, "left_anti")
         )
         if self.frontier_max_per_host is not None:
             # CUMULATIVE per-host budget across batches, the same
@@ -867,7 +937,10 @@ class CorpusIngestTask(ReplicationTask):
         else:
             new = unseen
         out = f"{self._frontier_dir()}/batch_id={batch_id}"
-        new.select("url", "host").write.mode("overwrite").parquet(out)
+        store_cols = ["url", "host"] + (
+            ["urlkey"] if self.frontier_key == "surt" else []
+        )
+        new.select(*store_cols).write.mode("overwrite").parquet(out)
         self.spark.catalog.refreshByPath(out)
         n_new = self.spark.read.parquet(out).count()
         links.unpersist()

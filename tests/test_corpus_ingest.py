@@ -1162,3 +1162,85 @@ def test_discover_links_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="discovered_frontier requires"):
         task.discovered_frontier()
+
+
+def test_frontier_surt_key_collapses_mirrors(spark, tmp_path):
+    """frontier_key='surt': mirror spellings of one page (www./port/
+    query-order variants) enter the frontier ONCE — the smallest URL
+    is the representative — and a NEW mirror spelling in a later batch
+    does not re-enter; fetch_plan serves the politeness schedule."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=True,
+        frontier_key="surt",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    b1 = _warc_page(
+        "https://h.com/p",
+        "<p>alpha page</p>"
+        '<a href="https://www.m.com/A/B?x=1&amp;y=2">m1</a>'
+        '<a href="http://M.com:8080/a/b?y=2&amp;x=1">m2</a>'
+        '<a href="https://other.com/z">o</a>',
+    )
+    (drop / "b1.warc").write_text(b1)
+    task._process_batch(task._source_frame(streaming=False), 0)
+    rows = {
+        (r["url"], r["host"], r["urlkey"])
+        for r in task.discovered_frontier().collect()
+    }
+    # min() of the two mirror URLs is the http:// spelling
+    assert rows == {
+        (
+            "http://M.com:8080/a/b?y=2&x=1",
+            "m.com",
+            "com,m)/a/b?x=1&y=2",
+        ),
+        ("https://other.com/z", "other.com", "com,other)/z"),
+    }
+    assert task.frontier_stats() == {
+        "discovered_links": 3,
+        "discovered_unique": 3,
+        "frontier_new": 2,
+    }
+
+    # a THIRD mirror spelling in batch 1: same surt key -> not re-added
+    b2 = _warc_page(
+        "https://h.com/q",
+        '<p>beta page</p><a href="https://www2.m.com/a/b?x=1&amp;y=2#f">m3</a>',
+    )
+    (drop / "b1.warc").unlink()
+    (drop / "b2.warc").write_text(b2)
+    task._process_batch(task._source_frame(streaming=False), 1)
+    assert {
+        (r["url"], r["host"], r["urlkey"])
+        for r in task.discovered_frontier().collect()
+    } == rows
+    assert task.frontier_stats()["frontier_new"] == 2
+
+    # fetch_plan: both frontier URLs are on distinct hosts -> wave 1,
+    # offset 0; with a delays frame the offsets honor it
+    plan = {
+        (r["host"], r["wave"], r["fetch_offset_s"])
+        for r in task.fetch_plan().collect()
+    }
+    assert plan == {("m.com", 1, 0.0), ("other.com", 1, 0.0)}
+
+
+def test_frontier_key_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="frontier_key must be"):
+        CorpusIngestTask(
+            spark, str(tmp_path / "d"), str(tmp_path / "c"),
+            input_format="warc", discover_links=True,
+            frontier_key="md5",
+        )
+    with pytest.raises(ValueError, match="frontier_key requires"):
+        CorpusIngestTask(
+            spark, str(tmp_path / "d"), str(tmp_path / "c"),
+            input_format="warc", frontier_key="surt",
+        )
