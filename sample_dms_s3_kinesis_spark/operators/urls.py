@@ -378,20 +378,34 @@ def resolve_url(base: Column, href: Column) -> Column:
     link-discovery frontier needs:
 
     - fragment-only (``#top``) and empty hrefs -> NULL (same page);
-    - absolute http(s) hrefs pass through; other schemes (``mailto:``,
-      ``javascript:``, ``tel:`` ...) -> NULL (not fetchable);
+    - absolute http(s) hrefs pass through with their path's
+      dot-segments collapsed (RFC 3986 §5.2.2 normalizes absolute
+      references too); other schemes (``mailto:``, ``javascript:``,
+      ``tel:`` ...) -> NULL (not fetchable);
     - ``//host/p`` (protocol-relative) inherits the base scheme;
     - ``/p`` (root-relative) joins the base origin;
     - ``?q`` (query-only) replaces the base query, keeping its path;
     - anything else is path-relative: merged onto the base path's
       directory, then dot-segments collapse
-      (:func:`_collapse_dot_segments`, bounded passes);
+      (:func:`_collapse_dot_segments`, bounded passes) — over the
+      PATH only, never the query (``../x?p=a/..`` keeps its query
+      byte-for-byte);
     - the fragment is stripped from every result (RFC: fragments are
       client-side only and would mint spurious frontier URLs).
+
+    Verified against ``urllib.parse.urljoin`` over a randomized domain
+    (`tests/test_url_ops.py`); the two deliberate divergences are
+    documented there (urljoin drops empty path segments and treats a
+    bare ``?`` as a no-op — this operator keeps RFC/browser
+    semantics for both).
 
     Pure Catalyst: regexp extract/replace chains only — no UDF, no
     shuffle; scales as a narrow projection."""
     h = F.regexp_replace(F.trim(href), r"#.*$", "")  # strip fragment
+    # the href's path/query split: dot-segment collapse must never
+    # touch the query ('../x?p=..' keeps its query byte-for-byte)
+    h_path = F.regexp_extract(h, r"^([^?]*)", 1)
+    h_query = F.regexp_replace(h, r"^[^?]*", "")
     origin = F.regexp_extract(base, _ORIGIN_RE, 1)
     base_nofrag = F.regexp_replace(base, r"#.*$", "")
     base_noquery = F.regexp_replace(base_nofrag, r"\?.*$", "")
@@ -401,19 +415,32 @@ def resolve_url(base: Column, href: Column) -> Column:
     base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
     scheme = url_scheme(base)
 
-    merged = F.concat(origin, _collapse_dot_segments(F.concat(base_dir, h)))
+    def _normalize_abs(u: Column) -> Column:
+        # origin + collapsed path + query of an absolute http(s) URL
+        return F.concat(
+            F.regexp_extract(u, _ORIGIN_RE, 1),
+            _collapse_dot_segments(F.regexp_extract(u, _PATH_RE, 1)),
+            F.regexp_replace(u, r"^[^?]*", ""),
+        )
+
+    merged = F.concat(
+        origin,
+        _collapse_dot_segments(F.concat(base_dir, h_path)),
+        h_query,
+    )
     out = (
         F.when(h == "", F.lit(None).cast("string"))
-        .when(
-            h.rlike(r"^(?i)https?://"), h
-        )
+        .when(h.rlike(r"^(?i)https?://"), _normalize_abs(h))
         .when(h.rlike(_ANY_SCHEME_RE), F.lit(None).cast("string"))
-        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(
+            h.startswith("//"),
+            _normalize_abs(F.concat(scheme, F.lit(":"), h)),
+        )
         .when(
             h.startswith("/"),
-            F.concat(origin, _collapse_dot_segments(h)),
+            F.concat(origin, _collapse_dot_segments(h_path), h_query),
         )
-        .when(h.startswith("?"), F.concat(base_noquery, h))
+        .when(h.startswith("?"), F.concat(_normalize_abs(base_noquery), h))
         .otherwise(merged)
     )
     # a base that is not an absolute http(s) URL cannot anchor

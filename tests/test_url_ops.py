@@ -432,3 +432,112 @@ def test_fetch_schedule_validation(spark):
         urls.fetch_schedule(
             frontier.drop("wave"), delays, default_delay=-1.0
         )
+
+
+def _rds(p):
+    """RFC 3986 §5.2.4 remove_dot_segments, verbatim — the reference
+    the operator's bounded regex collapse must reproduce."""
+    inp, out = p, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            seg, inp = (inp, "") if i == -1 else (inp[:i], inp[i:])
+            out.append(seg)
+    return "".join(out)
+
+
+def test_resolve_url_matches_rfc_reference(spark):
+    """resolve_url == urljoin + RFC 3986 §5.2.4 normalization over a
+    600-case seeded-random domain of dotty paths, every href form and
+    query/fragment combos.  The reference is urllib.parse.urljoin with
+    remove_dot_segments applied to the result path (urljoin itself
+    skips §5.2.2 normalization for authority-bearing references —
+    browsers and the RFC normalize, so does this operator).  Domain
+    exclusions, each a DELIBERATE divergence documented on the
+    operator: empty path segments ('a//b' — urljoin drops them, RFC
+    preserves), bare '?' (urljoin no-op quirk), empty/fragment-only
+    hrefs (NULL by design)."""
+    import random
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+
+    rng = random.Random(20260816)
+    alpha = "abc123.-_~"
+
+    def seg():
+        return rng.choice([".", "..", "...", None]) or "".join(
+            rng.choice(alpha) for _ in range(rng.randint(1, 4))
+        )
+
+    def base():
+        p = "/".join(seg() for _ in range(rng.randint(0, 4)))
+        path = "/" + p if p else rng.choice(["", "/"])
+        q = rng.choice(["", "?q=1", "?a=1&b=2"])
+        return f"https://h{rng.randint(1, 3)}.example{path}{q}"
+
+    def href():
+        kind = rng.random()
+        p = "/".join(seg() for _ in range(rng.randint(1, 5)))
+        q = rng.choice(["", "?x=2", "?b=2&a=1"])
+        frag = rng.choice(["", "#f"])
+        if kind < 0.45:
+            return f"{p}{q}{frag}"
+        if kind < 0.65:
+            return f"/{p}{q}{frag}"
+        if kind < 0.75:
+            return f"//o{rng.randint(1, 2)}.net/{p}{q}{frag}"
+        if kind < 0.9:
+            return f"https://abs.org/{p}{q}{frag}"
+        return f"{q or '?z=1'}{frag}"
+
+    def in_domain(b, h):
+        if "//" in urlsplit(b).path:
+            return False
+        hp = h.split("?")[0].split("#")[0]
+        if hp.startswith("//"):
+            rest = hp[2:]
+            rest = rest[rest.find("/"):] if "/" in rest else ""
+            if "//" in rest:
+                return False
+        elif "//" in hp:
+            return False
+        return h.split("#")[0] not in ("", "?")
+
+    cases = []
+    while len(cases) < 600:
+        b, h = base(), href()
+        if in_domain(b, h):
+            cases.append((b, h))
+
+    def expected(b, h):
+        r = urljoin(b, h)
+        sp = urlsplit(r)
+        return urlunsplit((sp.scheme, sp.netloc, _rds(sp.path), sp.query, ""))
+
+    df = spark.createDataFrame(cases, "base string, href string")
+    rows = df.select(
+        "base", "href", urls.resolve_url(F.col("base"), F.col("href")).alias("r")
+    ).collect()
+    bad = [
+        (r["base"], r["href"], r["r"], expected(r["base"], r["href"]))
+        for r in rows
+        if r["r"] != expected(r["base"], r["href"])
+    ]
+    assert not bad, bad[:5]
