@@ -93,6 +93,10 @@ TIER2 = [
     "q_warc_encoded_ingest",
     "q_cdx_selection_pipeline",
     "q_frontier_pipeline",
+    # r12 (this session): the link-discovery funnel — html_links +
+    # resolve_url over per-doc synthesized pages, then the same
+    # blocklist/unseen/cap gates as the other two frontier modalities
+    "q_link_frontier",
 ]
 
 

@@ -1075,3 +1075,25 @@ def html_links(col: Column) -> Column:
         return F.trim(decode_html_entities(unq))
 
     return F.filter(F.transform(raw, _clean), lambda h: h != "")
+
+
+def html_base_href(col: Column) -> Column:
+    """The document's effective ``<base href>`` value: the FIRST
+    ``<base>`` element carrying an href (the HTML5 rule — later base
+    elements are ignored), quote-stripped, entity-decoded, trimmed;
+    NULL when the document declares none.  Per the HTML spec the value
+    may itself be relative — resolve it against the page URL
+    (`operators/urls.py:resolve_url`) before using it as the base for
+    the page's links, which is exactly what the ingest frontier does
+    (`streaming/ingest.py:_discover_frontier`)."""
+    raw = F.regexp_extract(
+        col,
+        r"(?is)<base\b[^>]*?\shref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
+        1,
+    )
+    unq = F.when(
+        raw.rlike("^\"") | raw.rlike("^'"),
+        F.substring(raw, 2, F.length(raw) - 2),
+    ).otherwise(raw)
+    val = F.trim(decode_html_entities(unq))
+    return F.when(val != "", val)

@@ -848,9 +848,17 @@ class CorpusIngestTask(ReplicationTask):
         from sample_dms_s3_kinesis_spark.operators import text as _text
         from sample_dms_s3_kinesis_spark.operators import urls as _urls
 
+        # the effective base: a <base href> declaration (itself resolved
+        # against the page URI — the HTML rule) overrides the page URI
+        eff_base = F.coalesce(
+            _urls.resolve_url(
+                F.col("_uri"), _text.html_base_href(F.col("text"))
+            ),
+            F.col("_uri"),
+        )
         links = (
             pages.select(
-                F.col("_uri").alias("_base"),
+                eff_base.alias("_base"),
                 F.explode(_text.html_links(F.col("text"))).alias("_href"),
             )
             .select(

@@ -1244,3 +1244,39 @@ def test_frontier_key_validation(spark, tmp_path):
             spark, str(tmp_path / "d"), str(tmp_path / "c"),
             input_format="warc", frontier_key="surt",
         )
+
+
+def test_frontier_honors_base_href(spark, tmp_path):
+    """A page's <base href> declaration (itself resolved against the
+    page URI) overrides the resolution base for its links."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    b1 = _warc_page(
+        "https://h.com/deep/dir/p.html",
+        '<base href="/top/"><p>page one</p>'
+        '<a href="rel.html">against base tag</a>'
+        '<a href="/abs.html">root still host</a>',
+    ) + _warc_page(
+        "https://h.com/other/q.html",
+        '<base href="https://cdn.h.com/lib/"><p>page two</p>'
+        '<a href="x.js">cross-host base</a>',
+    )
+    (drop / "b1.warc").write_text(b1)
+    task._process_batch(task._source_frame(streaming=False), 0)
+    got = {
+        (r["url"], r["host"]) for r in task.discovered_frontier().collect()
+    }
+    assert got == {
+        ("https://h.com/top/rel.html", "h.com"),
+        ("https://h.com/abs.html", "h.com"),
+        ("https://cdn.h.com/lib/x.js", "cdn.h.com"),
+    }

@@ -896,3 +896,17 @@ def test_html_links_single_decode_and_plain_text(spark):
     # documents with no anchors (or no markup at all) -> empty array
     assert _html_one(spark, text.html_links, "no links here") == []
     assert _html_one(spark, text.html_links, "<p>a &lt; b</p>") == []
+
+
+def test_html_base_href(spark):
+    # first base-with-href wins; quotes/entities/whitespace handled
+    assert _html_one(
+        spark, text.html_base_href,
+        '<head><base target="_top"><base href=" /sub/&#47; ">'
+        '<base href="/ignored"></head>',
+    ) == "/sub//"
+    assert _html_one(
+        spark, text.html_base_href, "<base href='https://cdn.x/'>"
+    ) == "https://cdn.x/"
+    assert _html_one(spark, text.html_base_href, "<p>no base</p>") is None
+    assert _html_one(spark, text.html_base_href, '<base href="">') is None
