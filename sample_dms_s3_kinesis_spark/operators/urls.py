@@ -402,10 +402,6 @@ def resolve_url(base: Column, href: Column) -> Column:
     Pure Catalyst: regexp extract/replace chains only — no UDF, no
     shuffle; scales as a narrow projection."""
     h = F.regexp_replace(F.trim(href), r"#.*$", "")  # strip fragment
-    # the href's path/query split: dot-segment collapse must never
-    # touch the query ('../x?p=..' keeps its query byte-for-byte)
-    h_path = F.regexp_extract(h, r"^([^?]*)", 1)
-    h_query = F.regexp_replace(h, r"^[^?]*", "")
     origin = F.regexp_extract(base, _ORIGIN_RE, 1)
     base_nofrag = F.regexp_replace(base, r"#.*$", "")
     base_noquery = F.regexp_replace(base_nofrag, r"\?.*$", "")
@@ -415,33 +411,36 @@ def resolve_url(base: Column, href: Column) -> Column:
     base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
     scheme = url_scheme(base)
 
-    def _normalize_abs(u: Column) -> Column:
-        # origin + collapsed path + query of an absolute http(s) URL
-        return F.concat(
-            F.regexp_extract(u, _ORIGIN_RE, 1),
-            _collapse_dot_segments(F.regexp_extract(u, _PATH_RE, 1)),
-            F.regexp_replace(u, r"^[^?]*", ""),
-        )
-
-    merged = F.concat(
-        origin,
-        _collapse_dot_segments(F.concat(base_dir, h_path)),
-        h_query,
+    # First assemble the UN-normalized absolute target per branch, then
+    # run the origin/path/query split and the dot-segment collapse ONCE
+    # on the result — inlining the collapse chain per branch would grow
+    # the expression tree ~4x (it is the bulk of this operator's cost,
+    # and Catalyst does not CSE across when() branches).
+    pre = (
+        F.when(h.rlike(r"^(?i)https?://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .when(h.startswith("?"), F.concat(base_noquery, h))
+        .otherwise(F.concat(origin, base_dir, h))
+    )
+    # dot-segment collapse over the PATH only, never the query
+    # ('../x?p=a/..' keeps its query byte-for-byte); RFC 3986 §5.2.2
+    # normalizes absolute and protocol-relative references too.
+    out = F.concat(
+        F.regexp_extract(pre, _ORIGIN_RE, 1),
+        _collapse_dot_segments(
+            F.regexp_extract(F.regexp_extract(pre, r"^([^?]*)", 1),
+                             _PATH_RE, 1)
+        ),
+        F.regexp_replace(pre, r"^[^?]*", ""),
     )
     out = (
         F.when(h == "", F.lit(None).cast("string"))
-        .when(h.rlike(r"^(?i)https?://"), _normalize_abs(h))
-        .when(h.rlike(_ANY_SCHEME_RE), F.lit(None).cast("string"))
         .when(
-            h.startswith("//"),
-            _normalize_abs(F.concat(scheme, F.lit(":"), h)),
+            h.rlike(_ANY_SCHEME_RE) & ~h.rlike(r"^(?i)https?://"),
+            F.lit(None).cast("string"),
         )
-        .when(
-            h.startswith("/"),
-            F.concat(origin, _collapse_dot_segments(h_path), h_query),
-        )
-        .when(h.startswith("?"), F.concat(_normalize_abs(base_noquery), h))
-        .otherwise(merged)
+        .otherwise(out)
     )
     # a base that is not an absolute http(s) URL cannot anchor
     # relative resolution — NULL the relative branches, keep absolutes
