@@ -820,10 +820,37 @@ class CorpusIngestTask(ReplicationTask):
         hosts proceed in parallel).  ``delays`` is a (host,
         crawl_delay) frame from `operators/robots.py:
         robots_crawl_delays`; None schedules every host at
-        ``default_delay``."""
+        ``default_delay``.
+
+        When the task carries ``robots_rules``, URLs those rules
+        disallow for ``robots_agent`` are dropped BEFORE scheduling —
+        the fetch tier must never be handed a request robots forbids
+        (the allow/deny twin of the Crawl-delay spacing this method
+        already honors)."""
         from sample_dms_s3_kinesis_spark.operators import urls as _urls
 
         frontier = self.discovered_frontier()
+        if self.robots_rules is not None:
+            from sample_dms_s3_kinesis_spark.operators import (
+                robots as _robots,
+            )
+
+            keyed = frontier.withColumn(
+                "url_path",
+                F.when(
+                    _urls.url_path(F.col("url")) == "", F.lit("/")
+                ).otherwise(_urls.url_path(F.col("url"))),
+            )
+            decisions = _robots.robots_decisions(
+                keyed.select("host", "url_path"),
+                self.robots_rules,
+                agent=self.robots_agent,
+            )
+            frontier = (
+                keyed.join(decisions, ["host", "url_path"], "left")
+                .filter(F.coalesce(F.col("allowed"), F.lit(1)) == 1)
+                .drop("url_path", "allowed")
+            )
         if delays is None:
             delays = self.spark.createDataFrame(
                 [], "host string, crawl_delay double"

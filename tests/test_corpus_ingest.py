@@ -1280,3 +1280,42 @@ def test_frontier_honors_base_href(spark, tmp_path):
         ("https://h.com/abs.html", "h.com"),
         ("https://cdn.h.com/lib/x.js", "cdn.h.com"),
     }
+
+
+def test_fetch_plan_drops_robots_denied(spark, tmp_path):
+    """fetch_plan never schedules a URL the task's robots rules
+    disallow — the allow/deny twin of the Crawl-delay spacing."""
+    from sample_dms_s3_kinesis_spark.operators.robots import parse_robots
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("b.com", "User-agent: *\nDisallow: /private\n")],
+            "host string, robots_txt string",
+        )
+    )
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=True,
+        robots_rules=rules,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    b1 = _warc_page(
+        "https://a.com/p",
+        "<p>alpha page</p>"
+        '<a href="https://b.com/private/x">denied</a>'
+        '<a href="https://b.com/open/y">allowed</a>'
+        '<a href="https://c.com/z">rule-less host</a>',
+    )
+    (drop / "b1.warc").write_text(b1)
+    task._process_batch(task._source_frame(streaming=False), 0)
+    # discovery keeps all three (the frontier records what exists);
+    # scheduling drops the denied one
+    assert task.frontier_stats()["frontier_new"] == 3
+    plan = {r["url"] for r in task.fetch_plan().collect()}
+    assert plan == {"https://b.com/open/y", "https://c.com/z"}
