@@ -875,6 +875,8 @@ class CorpusIngestTask(ReplicationTask):
         from sample_dms_s3_kinesis_spark.operators import text as _text
         from sample_dms_s3_kinesis_spark.operators import urls as _urls
 
+        from sample_dms_s3_kinesis_spark.sources import crawl as _crawl
+
         # the effective base: a <base href> declaration (itself resolved
         # against the page URI — the HTML rule) overrides the page URI
         eff_base = F.coalesce(
@@ -883,11 +885,23 @@ class CorpusIngestTask(ReplicationTask):
             ),
             F.col("_uri"),
         )
+        anchor_links = pages.select(
+            eff_base.alias("_base"),
+            F.explode(_text.html_links(F.col("text"))).alias("_href"),
+        )
+        # a fetched SITEMAP contributes its <loc> entries instead of
+        # anchors (it has none): page URLs and child sitemaps both
+        # enter the frontier — the crawler fetches child sitemaps like
+        # any other URL.  HTML pages never match the root-element
+        # probe, and prose mentioning '<urlset' yields no <url> blocks.
+        sm = pages.filter(
+            F.col("text").rlike(r"(?is)<\s*(urlset|sitemapindex)\b")
+        ).select(F.col("_uri").alias("_base"), F.col("text").alias("xml"))
+        sm_links = _crawl.sitemap_entries(sm, key_cols=["_base"]).select(
+            "_base", F.col("loc").alias("_href")
+        )
         links = (
-            pages.select(
-                eff_base.alias("_base"),
-                F.explode(_text.html_links(F.col("text"))).alias("_href"),
-            )
+            anchor_links.unionByName(sm_links)
             .select(
                 _urls.resolve_url(F.col("_base"), F.col("_href")).alias(
                     "url"
@@ -1176,10 +1190,22 @@ class CorpusIngestTask(ReplicationTask):
         # text, before any content gate — a near-dup page still has
         # links worth following).
         fr_counts: dict[str, int] = {}
+        n_sitemap = 0
         if self.discover_links and "_uri" in valid.columns:
             fr_counts = self._discover_frontier(
                 valid.select("text", "_uri"), batch_id
             )
+            # fetched sitemaps are navigation artifacts: their locs
+            # just entered the frontier, the XML itself must not be
+            # admitted as corpus content (same root-element probe the
+            # discovery uses)
+            is_sm = F.col("text").rlike(
+                r"(?is)<\s*(urlset|sitemapindex)\b"
+            )
+            n_sitemap = valid.filter(is_sm).count()
+            if n_sitemap > 0:
+                valid = valid.filter(~is_sm)
+            fr_counts["rejected_sitemap"] = int(n_sitemap)
         if "_uri" in valid.columns:
             valid = valid.drop("_uri")
         if self.extract_html:
@@ -1232,7 +1258,10 @@ class CorpusIngestTask(ReplicationTask):
                     "dropped_exact": 0,
                     "dropped_near": 0,
                     "dropped_sem": 0,
-                    "rejected": n_total - n_contract - n_robots,
+                    "rejected": n_total
+                    - n_contract
+                    - n_robots
+                    - n_sitemap,
                     "rejected_contract": n_contract,
                     "rejected_robots": n_robots,
                     **fr_counts,
@@ -1452,7 +1481,8 @@ class CorpusIngestTask(ReplicationTask):
                 "rejected": n_total
                 - head["n_valid"]
                 - n_contract
-                - n_robots,
+                - n_robots
+                - n_sitemap,
                 "rejected_contract": n_contract,
                 "rejected_robots": n_robots,
                 **fr_counts,

@@ -1319,3 +1319,57 @@ def test_fetch_plan_drops_robots_denied(spark, tmp_path):
     assert task.frontier_stats()["frontier_new"] == 3
     plan = {r["url"] for r in task.fetch_plan().collect()}
     assert plan == {"https://b.com/open/y", "https://c.com/z"}
+
+
+def test_frontier_ingests_fetched_sitemaps(spark, tmp_path):
+    """A fetched sitemap document contributes its <loc> entries (page
+    URLs AND child sitemaps) to the frontier; its entity-escaped locs
+    decode, and already-crawled locs still gate out."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    sitemap = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://s.com/p1?a=1&amp;b=2</loc></url>"
+        "<url><loc>/rel/p2</loc></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://s.com/sitemap-2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    b1 = (
+        _warc_record("https://s.com/sitemap.xml", sitemap)
+        + _warc_record("https://s.com/sitemap-idx.xml", index)
+        + _warc_page(
+            "https://s.com/page",
+            '<p>normal page</p><a href="https://s.com/p3">x</a>',
+        )
+    )
+    (drop / "b1.warc").write_text(b1)
+    task._process_batch(task._source_frame(streaming=False), 0)
+    got = {r["url"] for r in task.discovered_frontier().collect()}
+    assert got == {
+        "https://s.com/p1?a=1&b=2",     # entity-decoded loc
+        "https://s.com/rel/p2",          # relative loc resolves
+        "https://s.com/sitemap-2.xml",   # child sitemap enters too
+        "https://s.com/p3",              # anchors still work
+    }
+    # the sitemap XML files themselves never enter the corpus
+    texts = [r["text"] for r in task.corpus().collect()]
+    assert texts == ["normal page\nx"]
+    stats = task.ingest_stats()
+    assert stats["admitted"] == 1
+    manifest = task._load_manifest()
+    assert manifest["0"]["rejected_sitemap"] == 2
+    assert manifest["0"]["rejected"] == 0
