@@ -812,15 +812,21 @@ class CorpusIngestTask(ReplicationTask):
         delays: DataFrame | None = None,
         *,
         default_delay: float = 1.0,
+        include_cdx: bool = False,
     ) -> DataFrame:
-        """The discovered frontier as a politeness-scheduled fetch work
-        list: each URL gets a per-host ``wave`` and ``fetch_offset_s``
-        honoring robots Crawl-delay (`operators/urls.py:fetch_schedule`
-        — requests to one host serialize ``crawl_delay`` seconds apart,
-        hosts proceed in parallel).  ``delays`` is a (host,
-        crawl_delay) frame from `operators/robots.py:
-        robots_crawl_delays`; None schedules every host at
-        ``default_delay``.
+        """The pending fetch work list, politeness-scheduled: each URL
+        gets a per-host ``wave`` and ``fetch_offset_s`` honoring robots
+        Crawl-delay (`operators/urls.py:fetch_schedule` — requests to
+        one host serialize ``crawl_delay`` seconds apart, hosts proceed
+        in parallel).  ``delays`` is a (host, crawl_delay) frame from
+        `operators/robots.py:robots_crawl_delays`; None schedules every
+        host at ``default_delay``.
+
+        Sources: the link-discovery frontier (``discover_links``
+        mode), plus — with ``include_cdx=True`` — the CDX-selected
+        capture URLs (``cdx_dir`` mode).  The two modalities dedup on
+        the exact URL, so a page both linked-to and index-selected is
+        fetched ONCE.
 
         When the task carries ``robots_rules``, URLs those rules
         disallow for ``robots_agent`` are dropped BEFORE scheduling —
@@ -829,7 +835,27 @@ class CorpusIngestTask(ReplicationTask):
         already honors)."""
         from sample_dms_s3_kinesis_spark.operators import urls as _urls
 
-        frontier = self.discovered_frontier()
+        if include_cdx and self.cdx_dir is None:
+            raise ValueError("include_cdx=True requires cdx_dir")
+        sources = []
+        if self.discover_links:
+            sources.append(self.discovered_frontier().select("url", "host"))
+        if include_cdx:
+            sources.append(
+                self.selected_captures().select(
+                    "url",
+                    F.coalesce(
+                        F.col("host"), _urls.url_host(F.col("url"))
+                    ).alias("host"),
+                )
+            )
+        if not sources:
+            raise ValueError(
+                "fetch_plan needs discover_links and/or include_cdx"
+            )
+        frontier = union_all(sources)
+        if len(sources) > 1:
+            frontier = frontier.distinct()
         if self.robots_rules is not None:
             from sample_dms_s3_kinesis_spark.operators import (
                 robots as _robots,

@@ -1373,3 +1373,58 @@ def test_frontier_ingests_fetched_sitemaps(spark, tmp_path):
     manifest = task._load_manifest()
     assert manifest["0"]["rejected_sitemap"] == 2
     assert manifest["0"]["rejected"] == 0
+
+
+def test_fetch_plan_unifies_cdx_and_link_modalities(spark, tmp_path):
+    """include_cdx=True merges CDX-selected capture URLs into the fetch
+    plan; a URL both linked-to and index-selected schedules ONCE."""
+    drop = tmp_path / "drop"
+    cdx = tmp_path / "cdx"
+    drop.mkdir()
+    cdx.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=True,
+        cdx_dir=str(cdx),
+        cdx_schema="url string, status string, digest string",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    b1 = _warc_page(
+        "https://a.com/p",
+        '<p>alpha</p><a href="https://b.com/shared">s</a>'
+        '<a href="https://b.com/linkonly">l</a>',
+    )
+    (drop / "b1.warc").write_text(b1)
+    task._process_batch(task._source_frame(streaming=False), 0)
+    (cdx / "s1.cdx").write_text(
+        'com,b)/shared 20240101000000 {"url": "https://b.com/shared", '
+        '"status": "200", "digest": "d1"}\n'
+        'com,c)/cdxonly 20240101000000 {"url": "https://c.com/cdxonly", '
+        '"status": "200", "digest": "d2"}\n'
+    )
+    task.process_cdx_available()
+    plan = {(r["url"], r["host"]) for r in task.fetch_plan(include_cdx=True).collect()}
+    assert plan == {
+        ("https://b.com/shared", "b.com"),
+        ("https://b.com/linkonly", "b.com"),
+        ("https://c.com/cdxonly", "c.com"),
+    }
+    # waves: b.com URLs serialize, c.com independent
+    waves = {
+        r["url"]: r["wave"]
+        for r in task.fetch_plan(include_cdx=True).collect()
+    }
+    assert sorted(
+        w for u, w in waves.items() if u.startswith("https://b.com")
+    ) == [1, 2]
+    assert waves["https://c.com/cdxonly"] == 1
+    with pytest.raises(ValueError, match="include_cdx"):
+        CorpusIngestTask(
+            spark, str(drop), str(tmp_path / "c2"),
+            input_format="warc", discover_links=True,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        ).fetch_plan(include_cdx=True)
