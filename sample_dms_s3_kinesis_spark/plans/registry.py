@@ -1905,6 +1905,122 @@ def q_link_frontier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema).orderBy("url")
 
 
+_FETCH_PLAN_E2E_CACHE: dict[str, tuple[list, object]] = {}
+
+
+def _fetch_plan_e2e_results(spark: SparkSession):
+    """Cached drive of the unified fetch plan: one WARC batch discovers
+    links (incl. a robots-denied path and a URL the CDX sidecar also
+    selects), one CDX drain selects captures, and fetch_plan(
+    include_cdx=True) merges both modalities — URL-deduped,
+    robots-filtered, Crawl-delay-scheduled."""
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.operators.robots import (
+        parse_robots,
+        robots_crawl_delays,
+    )
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        CorpusIngestTask,
+    )
+
+    key = spark.sparkContext.applicationId
+    if key not in _FETCH_PLAN_E2E_CACHE:
+        root = tempfile.mkdtemp(prefix="q_fetch_plan_e2e_")
+        drop = os.path.join(root, "drop")
+        cdx = os.path.join(root, "cdx")
+        os.makedirs(drop)
+        os.makedirs(cdx)
+        robots_files = spark.createDataFrame(
+            [("b.com", "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n")],
+            "host string, robots_txt string",
+        )
+        task = CorpusIngestTask(
+            spark,
+            drop,
+            os.path.join(root, "corpus"),
+            input_format="warc",
+            extract_html=True,
+            discover_links=True,
+            robots_rules=parse_robots(robots_files),
+            cdx_dir=cdx,
+            cdx_schema="url string, status string, digest string",
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        page_body = (
+            "<p>alpha content</p>"
+            '<a href="https://b.com/open/1">o1</a>'
+            '<a href="https://b.com/open/2">o2</a>'
+            '<a href="https://b.com/private/x">denied at plan time</a>'
+            '<a href="https://b.com/shared">also cdx-selected</a>'
+            '<a href="https://c.com/z">c</a>'
+        )
+        payload = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            f"<html><body>{page_body}</body></html>"
+        )
+        rec = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://a.com/p\r\n"
+            f"Content-Length: {len(payload.encode())}\r\n\r\n"
+            f"{payload}\r\n\r\n"
+        )
+        try:
+            with open(os.path.join(drop, "b1.warc"), "w") as f:
+                f.write(rec)
+            task._process_batch(task._source_frame(streaming=False), 0)
+            lines = [
+                'com,b)/shared 20240101000000 {"url": "https://b.com/shared",'
+                ' "status": "200", "digest": "d1"}',
+                'com,d)/idx1 20240101000000 {"url": "https://d.com/idx1",'
+                ' "status": "200", "digest": "d2"}',
+                'com,d)/idx2 20240101000000 {"url": "https://d.com/idx2",'
+                ' "status": "200", "digest": "d3"}',
+            ]
+            with open(os.path.join(cdx, "s1.cdx"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            task.process_cdx_available()
+            plan = task.fetch_plan(
+                robots_crawl_delays(robots_files, agent="*"),
+                default_delay=1.0,
+                include_cdx=True,
+            ).select("url", "host", "wave", "fetch_offset_s")
+            _FETCH_PLAN_E2E_CACHE[key] = (plan.collect(), plan.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _FETCH_PLAN_E2E_CACHE[key]
+
+
+@_register(
+    "q_fetch_plan_e2e",
+    """
+    SELECT * FROM (VALUES
+      ('https://b.com/open/1', 'b.com', 1, CAST(0.0 AS DOUBLE)),
+      ('https://b.com/open/2', 'b.com', 2, CAST(2.0 AS DOUBLE)),
+      ('https://b.com/shared', 'b.com', 3, CAST(4.0 AS DOUBLE)),
+      ('https://c.com/z',      'c.com', 1, CAST(0.0 AS DOUBLE)),
+      ('https://d.com/idx1',   'd.com', 1, CAST(0.0 AS DOUBLE)),
+      ('https://d.com/idx2',   'd.com', 2, CAST(1.0 AS DOUBLE))
+    ) AS t(url, host, wave, fetch_offset_s)
+    ORDER BY url
+    """,
+    "unified fetch plan E2E — the capstone of the crawl loop: one WARC "
+    "batch discovers five links (one robots-denied, one the CDX "
+    "sidecar also selects), one CDX drain selects three captures, and "
+    "fetch_plan(include_cdx=True) merges the modalities — the shared "
+    "URL schedules ONCE, the denied URL never schedules, b.com's "
+    "Crawl-delay of 2 s spaces its three waves 0/2/4 while rule-less "
+    "hosts run at the 1 s default; oracle = the hand-derived schedule",
+    "CorpusIngestTask unified fetch plan end-to-end (link + CDX "
+    "modalities, robots filter, Crawl-delay waves)",
+)
+def q_fetch_plan_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema = _fetch_plan_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("url")
+
+
 @_register(
     "q_metrics_e2e_sketches",
     """
@@ -4178,7 +4294,8 @@ DRIVER_WINDOW: list[str] = [
 # (a) any query registered during the r12 sessions (enumerate here as
 #     they land): q_frontier_pipeline, q_split_leakage_near_md5,
 #     q_warc_reject_reasons, q_cdx_ingest_e2e, q_link_frontier,
-#     q_fetch_schedule, q_surt_keys, q_link_frontier_e2e;
+#     q_fetch_schedule, q_surt_keys, q_link_frontier_e2e,
+#     q_fetch_plan_e2e;
 # (b) the 13 remaining r7-stale rows (q_text_repetition,
 #     q_text_normalize, q_embedding_normalize, q_unigram_lm_score,
 #     q_dedup_incremental, q_pmi_bigrams, q_lateral_top_order,

@@ -1218,8 +1218,15 @@ class CorpusIngestTask(ReplicationTask):
         fr_counts: dict[str, int] = {}
         n_sitemap = 0
         if self.discover_links and "_uri" in valid.columns:
+            # lineage cut: the discovery expressions (entity-decode
+            # transform per href + the resolve chain) stacked on top of
+            # the robots-decisions join compile into one enormous
+            # whole-stage — janino alone OOMs a 1 GiB driver.  Cutting
+            # here materializes the batch's (text, uri) rows once and
+            # gives discovery a leaf input (also sparing a re-run of
+            # the robots join on the discovery branch).
             fr_counts = self._discover_frontier(
-                valid.select("text", "_uri"), batch_id
+                _cut_lineage(valid.select("text", "_uri")), batch_id
             )
             # fetched sitemaps are navigation artifacts: their locs
             # just entered the frontier, the XML itself must not be
