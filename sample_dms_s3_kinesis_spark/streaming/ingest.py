@@ -828,6 +828,14 @@ class CorpusIngestTask(ReplicationTask):
         the exact URL, so a page both linked-to and index-selected is
         fetched ONCE.
 
+        The plan is PENDING work: in default-id mode (doc_id =
+        xxhash64 of the URI) URLs whose page has since been admitted
+        to the corpus drop out, so a frontier entry stops re-listing
+        once its fetch lands — the stores themselves stay append-only.
+        With a ``doc_id_pattern`` the corpus ids are not URI hashes
+        and this exclusion is skipped (an extra fetch, never a
+        correctness issue).
+
         When the task carries ``robots_rules``, URLs those rules
         disallow for ``robots_agent`` are dropped BEFORE scheduling —
         the fetch tier must never be handed a request robots forbids
@@ -856,6 +864,16 @@ class CorpusIngestTask(ReplicationTask):
         frontier = union_all(sources)
         if len(sources) > 1:
             frontier = frontier.distinct()
+        if self.doc_id_pattern is None:
+            # pending-only: drop URLs whose page has since been fetched
+            # and admitted (8-byte URI-hash anti-join, bodies never move)
+            frontier = frontier.withColumn(
+                "_id", F.xxhash64(F.col("url"))
+            ).join(
+                self.corpus().select(F.col("doc_id").alias("_id")),
+                "_id",
+                "left_anti",
+            ).drop("_id")
         if self.robots_rules is not None:
             from sample_dms_s3_kinesis_spark.operators import (
                 robots as _robots,

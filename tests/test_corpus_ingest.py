@@ -1428,3 +1428,44 @@ def test_fetch_plan_unifies_cdx_and_link_modalities(spark, tmp_path):
             input_format="warc", discover_links=True,
             checkpoint_dir=str(tmp_path / "ckpt2"),
         ).fetch_plan(include_cdx=True)
+
+
+def test_fetch_plan_is_pending_work_only(spark, tmp_path):
+    """Once a frontier URL's page is fetched and admitted, it drops
+    out of fetch_plan — the stores stay append-only, the plan is the
+    remaining work."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    b1 = _warc_page(
+        "https://a.com/p",
+        '<p>alpha</p><a href="https://b.com/next">n</a>'
+        '<a href="https://c.com/later">l</a>',
+    )
+    (drop / "b1.warc").write_text(b1)
+    task._process_batch(task._source_frame(streaming=False), 0)
+    assert {r["url"] for r in task.fetch_plan().collect()} == {
+        "https://b.com/next",
+        "https://c.com/later",
+    }
+    # the fetch tier retrieves b.com/next; batch 1 admits it
+    b2 = _warc_page("https://b.com/next", "<p>beta body</p>")
+    (drop / "b1.warc").unlink()
+    (drop / "b2.warc").write_text(b2)
+    task._process_batch(task._source_frame(streaming=False), 1)
+    # the fetched URL leaves the plan; the frontier store still has it
+    assert {r["url"] for r in task.fetch_plan().collect()} == {
+        "https://c.com/later"
+    }
+    assert {r["url"] for r in task.discovered_frontier().collect()} == {
+        "https://b.com/next",
+        "https://c.com/later",
+    }
