@@ -948,6 +948,66 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def _oracle_corpus_card() -> str:
+    scores = {
+        lang: f"len(list_filter(tkl, x -> x IN ({', '.join(repr(w) for w in LANG_MARKERS[lang])})))"
+        for lang in LANG_ORDER
+    }
+    case = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+        cond = " AND ".join(f"{scores[lang]} >= {scores[o]}" for o in later)
+        case = f"CASE WHEN {cond} THEN '{lang}' ELSE {case} END"
+    return f"""
+    WITH toks AS (
+      SELECT source, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS tkl,
+             string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents),
+    lab AS (
+      SELECT source, {case} AS predicted_lang,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             len(tk) AS n_tokens, length(text) AS n_chars
+      FROM toks)
+    SELECT source, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS mean_chars
+    FROM lab GROUP BY source, predicted_lang
+    """
+
+
+@_register(
+    "q_corpus_card",
+    _oracle_corpus_card(),
+    "dataset-card summary per (source, predicted language): doc count, "
+    "exact-unique count (normalized-text md5 fingerprint), total "
+    "whitespace tokens, mean characters — the composition report a "
+    "corpus release ships, every column computed by the production "
+    "operators (lang_id, fingerprint, token_count, char_count) and "
+    "every stage replayed in DuckDB",
+    "curation: corpus dataset-card summary",
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    lab = d.select(
+        "source",
+        text.lang_id(F.col("text")).alias("predicted_lang"),
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.char_count(F.col("text")).alias("n_chars"),
+    )
+    return lab.groupBy("source", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias(
+            "mean_chars"
+        ),
+    )
+
+
 @_register(
     "q_ann_cosine_topk",
     """
@@ -4295,7 +4355,7 @@ DRIVER_WINDOW: list[str] = [
 #     they land): q_frontier_pipeline, q_split_leakage_near_md5,
 #     q_warc_reject_reasons, q_cdx_ingest_e2e, q_link_frontier,
 #     q_fetch_schedule, q_surt_keys, q_link_frontier_e2e,
-#     q_fetch_plan_e2e;
+#     q_fetch_plan_e2e, q_corpus_card;
 # (b) the 13 remaining r7-stale rows (q_text_repetition,
 #     q_text_normalize, q_embedding_normalize, q_unigram_lm_score,
 #     q_dedup_incremental, q_pmi_bigrams, q_lateral_top_order,
