@@ -948,6 +948,47 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@_register(
+    "q_html_main_content",
+    """
+    SELECT doc_id,
+           'content block for doc ' || CAST(doc_id AS VARCHAR)
+             || ' from ' || source || ' carries enough characters'
+             || chr(10)
+             || 'second kept paragraph for doc '
+             || CAST(doc_id AS VARCHAR) AS main_text
+    FROM documents
+    """,
+    "boilerplate-stripped main-content extraction: per doc a "
+    "synthesized page carries a link-dense nav block (density 1.0 -> "
+    "dropped), a sub-threshold 'tiny' block (< 15 chars -> dropped) "
+    "and two real paragraphs; html_main_content keeps exactly the "
+    "paragraphs, newline-joined — the extraction the ingest task's "
+    "extract_mode='main' ships; oracle reconstructs the expected "
+    "text straight from the table",
+    "text: main-content extraction (link-density boilerplate strip)",
+)
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><div><a href="/1">one</a> '),
+        F.lit('<a href="/2">two</a> <a href="/3">nav three</a></div>'),
+        F.lit("<p>content block for doc "),
+        did,
+        F.lit(" from "),
+        F.col("source"),
+        F.lit(" carries enough characters</p><p>tiny</p>"),
+        F.lit("<p>second kept paragraph for doc "),
+        did,
+        F.lit("</p></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        text.html_main_content(html).alias("main_text"),
+    )
+
+
 def _oracle_corpus_card() -> str:
     scores = {
         lang: f"len(list_filter(tkl, x -> x IN ({', '.join(repr(w) for w in LANG_MARKERS[lang])})))"
@@ -4355,7 +4396,7 @@ DRIVER_WINDOW: list[str] = [
 #     they land): q_frontier_pipeline, q_split_leakage_near_md5,
 #     q_warc_reject_reasons, q_cdx_ingest_e2e, q_link_frontier,
 #     q_fetch_schedule, q_surt_keys, q_link_frontier_e2e,
-#     q_fetch_plan_e2e, q_corpus_card;
+#     q_fetch_plan_e2e, q_corpus_card, q_html_main_content;
 # (b) the 13 remaining r7-stale rows (q_text_repetition,
 #     q_text_normalize, q_embedding_normalize, q_unigram_lm_score,
 #     q_dedup_incremental, q_pmi_bigrams, q_lateral_top_order,

@@ -81,6 +81,7 @@ class CorpusIngestTask(ReplicationTask):
         input_format: str = "jsonl",
         doc_id_pattern: str | None = None,
         extract_html: bool = False,
+        extract_mode: str = "text",
         near_dup: bool = False,
         num_hashes: int = 64,
         bands: int = 16,
@@ -140,6 +141,20 @@ class CorpusIngestTask(ReplicationTask):
         # CONTENT (two mirrors differing only in markup dedup exactly)
         # and boilerplate-only pages reject like null-text rows.
         self.extract_html = extract_html
+        # extract_mode (with extract_html=True): "text" runs
+        # operators.text.html_extract (every block); "main" runs
+        # html_main_content — link-density/length boilerplate strip
+        # (nav bars, footers, link farms drop BEFORE digesting), the
+        # extraction a production corpus normally ships.  Gates see
+        # the chosen extraction, so two mirrors differing only in
+        # boilerplate dedup exactly under "main".
+        if extract_mode not in ("text", "main"):
+            raise ValueError(
+                f"extract_mode must be 'text' or 'main', got {extract_mode!r}"
+            )
+        if extract_mode != "text" and not extract_html:
+            raise ValueError("extract_mode requires extract_html=True")
+        self.extract_mode = extract_mode
         self.near_dup = near_dup
         self.num_hashes = num_hashes
         self.bands = bands
@@ -1265,8 +1280,13 @@ class CorpusIngestTask(ReplicationTask):
             # extraction precedes every gate; pages whose extracted
             # content is empty (pure boilerplate/markup) reject here,
             # in the same bucket as null-text rows
+            _extract = (
+                _text.html_main_content
+                if self.extract_mode == "main"
+                else _text.html_extract
+            )
             valid = valid.withColumn(
-                "text", _text.html_extract(F.col("text"))
+                "text", _extract(F.col("text"))
             ).filter(F.col("text") != "")
         # gate 0 (optional): quality contract — failing rows land in
         # the quarantine store (overwrite per batch: replay-idempotent

@@ -1469,3 +1469,59 @@ def test_fetch_plan_is_pending_work_only(spark, tmp_path):
         "https://b.com/next",
         "https://c.com/later",
     }
+
+
+def test_extract_mode_main_strips_boilerplate(spark, tmp_path):
+    """extract_mode='main' drops link-dense/short blocks before any
+    gate, so two mirrors differing only in boilerplate dedup exactly
+    and a nav-only page rejects."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        extract_mode="main",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    nav = (
+        '<div><a href="/1">one</a> <a href="/2">two</a> '
+        '<a href="/3">three</a></div>'
+    )
+    content = "<p>the quick brown fox jumps over the lazy dog now</p>"
+    b1 = (
+        _warc_record("https://a.com/p/1", f"<html><body>{nav}{content}</body></html>")
+        # mirror: same content, DIFFERENT nav boilerplate
+        + _warc_record(
+            "https://b.com/p/2",
+            '<html><body><div><a href="/x">x</a> <a href="/y">y</a> '
+            f"<a href=\"/z\">zzz</a></div>{content}</body></html>",
+        )
+        # nav-only page: everything strips -> rejected
+        + _warc_record("https://c.com/p/3", f"<html><body>{nav}</body></html>")
+    )
+    (drop / "b1.warc").write_text(b1)
+    task._process_batch(task._source_frame(streaming=False), 0)
+    rows = {r["doc_id"]: r["text"] for r in task.corpus().collect()}
+    assert list(rows.values()) == [
+        "the quick brown fox jumps over the lazy dog now"
+    ]
+    stats = task.ingest_stats()
+    assert stats["admitted"] == 1
+    assert stats["dropped_exact"] == 1   # the boilerplate-only mirror
+    assert stats["rejected"] == 1        # the nav-only page
+
+
+def test_extract_mode_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="extract_mode must be"):
+        CorpusIngestTask(
+            spark, str(tmp_path / "d"), str(tmp_path / "c"),
+            input_format="warc", extract_html=True, extract_mode="x",
+        )
+    with pytest.raises(ValueError, match="extract_mode requires"):
+        CorpusIngestTask(
+            spark, str(tmp_path / "d"), str(tmp_path / "c"),
+            input_format="warc", extract_mode="main",
+        )
