@@ -100,10 +100,66 @@ TIER2 = [
 ]
 
 
+def compute_deltas(here, sf_float, timings, tier2):
+    """Per-query delta vs the newest recorded same-sf BENCH_r{N}.json.
+
+    Walks newest-first until a record with a usable per-query map turns
+    up: a driver BENCH file whose tail capture truncated (r8's
+    "parsed": null) must cost only one rung of recency, never the
+    delta feature.  A malformed file costs the delta, never the
+    timings this run just paid for.
+
+    Returns (prev_filename, delta_vs_prev, tier2_delta); all three are
+    None when no comparable record exists.
+    """
+    prior = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    for fname in reversed(prior):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                prev = json.load(f)
+            # driver BENCH files wrap the bench line under "parsed"
+            if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            prev_q = prev.get("queries") or {}
+            if not prev_q:
+                continue
+            # Only compare like scale factors: BENCH_r12_sf1.json sorts
+            # AFTER BENCH_r12.json ("_" > "."), so without this gate
+            # every sf0.1 run would diff itself against the sf1 record
+            # and report cross-scale nonsense (r12's delta_vs_prev did
+            # exactly that).  A record with no sf field predates the sf
+            # marker and is accepted as-is.
+            prev_sf = prev.get("sf")
+            if prev_sf is not None and f"{prev_sf}" != f"{sf_float}":
+                continue
+            built_delta = {
+                name: round(t - prev_q[name], 3)
+                for name, t in timings.items()
+                if name in prev_q
+            }
+            prev_t2 = prev.get("tier2") or {}
+            built_t2_delta = {
+                name: round(t - prev_t2[name], 3)
+                for name, t in tier2.items()
+                if name in prev_t2
+            }
+        except (OSError, ValueError, TypeError, KeyError):
+            continue
+        # Return only once the whole record parsed: a file that fails
+        # mid-build must leave no partial state, or the named baseline
+        # file could differ from the one the deltas came from.
+        return fname, built_delta, built_t2_delta
+    return None, None, None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_float = float(sf) if sf.replace(".", "").isdigit() else sf
     # Host load at start/end: this machine's wall-clock numbers swing up
     # to 10x under background load, so a reader adjudicating a run needs
     # the contemporaneous 1/5/15-min load averages next to the timings.
@@ -194,49 +250,9 @@ def main() -> None:
     # artifact itself shows regressions without cross-file diffing
     # (read alongside the load averages before believing any delta).
     here = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(
-        f for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json")
+    prev_round, delta_vs_prev, tier2_delta = compute_deltas(
+        here, sf_float, timings, tier2
     )
-    delta_vs_prev = None
-    tier2_delta = None
-    prev_round = None
-    # Walk newest-first until a record with a usable per-query map turns
-    # up: a driver BENCH file whose tail capture truncated (r8's
-    # "parsed": null) must cost only one rung of recency, never the
-    # delta feature.  A malformed file costs the delta, never the
-    # timings this run just paid for.
-    for fname in reversed(prior):
-        try:
-            with open(os.path.join(here, fname)) as f:
-                prev = json.load(f)
-            # driver BENCH files wrap the bench line under "parsed"
-            if "queries" not in prev and isinstance(prev.get("parsed"), dict):
-                prev = prev["parsed"]
-            prev_q = prev.get("queries") or {}
-            if not prev_q:
-                continue
-            built_delta = {
-                name: round(t - prev_q[name], 3)
-                for name, t in timings.items()
-                if name in prev_q
-            }
-            prev_t2 = prev.get("tier2") or {}
-            built_t2_delta = {
-                name: round(t - prev_t2[name], 3)
-                for name, t in tier2.items()
-                if name in prev_t2
-            }
-        except (OSError, ValueError, TypeError, KeyError):
-            continue
-        # Assign all three together only once the whole record parsed:
-        # a file that fails mid-build must leave no partial state, or
-        # delta_baseline_file could name a different file than the one
-        # the deltas came from.
-        prev_round = fname
-        delta_vs_prev = built_delta
-        tier2_delta = built_t2_delta
-        break
 
     load_end = [round(x, 2) for x in os.getloadavg()]
     # Two lines, detail first: the r8 record grew past the driver's tail
@@ -272,7 +288,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "tier2_total_sec": tier2_total,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_float,
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": load_end,
     }

@@ -4327,83 +4327,83 @@ def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
-# budget.  Rounds 2-11 drove their 50-query windows all-green (zero
-# oracle-bearing failures in CORRECTNESS_r02..r11.json).  Round 12
-# executes the rotation the r11 verdict mandated: (1) all 8 queries
-# registered during the r11 session (never driver-checked; each was
-# verified exact green locally and by the r11 judge); (2) the 8
-# remaining r6-stale rows; (3) the first 34 of the 47 r7-stale queries
-# in registration order — after this window lands, no query's newest
-# driver row is older than r8 except the 13 r7 rows enumerated in the
-# r13 backlog below.  Every member of this window is oracle-bearing.
+# budget.  Rounds 2-12 drove their 50-query windows all-green (zero
+# oracle-bearing failures in CORRECTNESS_r02..r12.json).  Round 13
+# executes the rotation the r12 verdict mandated: (1) all 11 queries
+# registered during the r12 sessions (never driver-checked; each was
+# verified exact green locally and by the r12 judge); (2) the 13
+# remaining r7-stale rows; (3) the first 26 of the 50 r8-stale queries
+# in registration order — after this window lands, zero queries are
+# never-checked and no query's newest driver row is older than r8.
+# Every member of this window is oracle-bearing.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked: r11 session registrations (8) ---
-    "q_cdx_ingest",
-    "q_warc_encoded_ingest",
-    "q_cdx_selection_pipeline",
-    "q_sitemap_ingest",
-    "q_robots_politeness",
-    "q_ingest_robots_funnel",
-    "q_lsh_quality_md5",
-    "q_simhash_quality_md5",
-    # --- r6-stale: the remaining 8 ---
-    "q_window_first_last",
-    "q_stats_agg",
-    "q_window_agg_events",
-    "q_unpivot_metrics",
-    "q_temperature_mixture",
-    "q_sql_entry_revenue",
-    "q_stickiness",
-    "q_top_journeys",
-    # --- r7-stale: first 34 of 47 in registration order ---
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q10_returned_revenue",
-    "q_text_tokens",
-    "q_text_langid",
-    "q_text_fingerprint",
-    "q04_order_priority",
-    "q07_nation_volume",
-    "q09_product_profit",
-    "q11_supplier_value",
-    "q13_order_count_dist",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_idle_rich_customers",
-    "q_window_lag_lead",
-    "q_window_rank_family",
-    "q_session_window_events",
-    "q_text_tokens_bpe",
-    "q_ann_batch_topk",
-    "q_array_agg_priorities",
-    "q02_min_cost_supplier",
-    "q12_status_priority",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_part_suppliers",
-    "q21_multi_supplier_orders",
-    "q_hash_split",
-    "q_stratified_sample",
-    "q_group_sample_topk",
-    "q_token_budget_sample",
-    "q_pack_sequences",
-    "q_top_fraction_quality",
-    "q_sliding_window_events",
+    # --- never driver-checked: r12 session registrations (11) ---
+    "q_warc_reject_reasons",
+    "q_frontier_pipeline",
+    "q_split_leakage_near_md5",
+    "q_cdx_ingest_e2e",
+    "q_link_frontier",
+    "q_fetch_schedule",
+    "q_surt_keys",
+    "q_link_frontier_e2e",
+    "q_fetch_plan_e2e",
+    "q_corpus_card",
+    "q_html_main_content",
+    # --- r7-stale: the remaining 13 ---
+    "q_text_repetition",
+    "q_text_normalize",
+    "q_embedding_normalize",
+    "q_unigram_lm_score",
+    "q_dedup_incremental",
+    "q_pmi_bigrams",
+    "q_lateral_top_order",
+    "q_cdc_chunks",
+    "q_dedup_segments_cdc",
+    "q_neardup_degrees",
+    "q_dedup_segments_cdc_against",
+    "q_recursive_reachability",
+    "q_cdc_e2e_stats",
+    # --- r8-stale: first 26 of 50 in registration order ---
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q_union_priorities",
+    "q_semi_join",
+    "q_anti_join",
+    "q_conditional_agg_events",
+    "q_latest_wins_events",
+    "q_ts_filter_events",
+    "q_partition_key",
+    "q_json_extract_events",
+    "q_envelope_events",
+    "q18_large_orders",
+    "q_scd2_history",
+    "q_hybrid_rrf_search",
+    "q_cms_daily_freq",
+    "q_kmv_user_overlap",
+    "q_record_linkage",
+    "q_corpus_diversity",
+    "q_ingest_e2e_corpus",
+    "q_ingest_e2e_stats",
+    "q_metrics_e2e_sketches",
+    "q_minhash_md5_pairs",
+    "q_minhash_md5_against",
+    "q_simhash_md5_pairs",
+    "q_winnowing_md5_containment",
+    "q_quantile_sketch_daily",
 ]
-# r13 rotation backlog, in priority order (never-checked beats stale):
-# (a) any query registered during the r12 sessions (enumerate here as
-#     they land): q_frontier_pipeline, q_split_leakage_near_md5,
-#     q_warc_reject_reasons, q_cdx_ingest_e2e, q_link_frontier,
-#     q_fetch_schedule, q_surt_keys, q_link_frontier_e2e,
-#     q_fetch_plan_e2e, q_corpus_card, q_html_main_content;
-# (b) the 13 remaining r7-stale rows (q_text_repetition,
-#     q_text_normalize, q_embedding_normalize, q_unigram_lm_score,
-#     q_dedup_incremental, q_pmi_bigrams, q_lateral_top_order,
-#     q_cdc_chunks, q_dedup_segments_cdc, q_neardup_degrees,
-#     q_dedup_segments_cdc_against, q_recursive_reachability,
-#     q_cdc_e2e_stats);
-# (c) r8-stale families thereafter, rotating by age so no query's
+# r14 rotation backlog, in priority order (never-checked beats stale):
+# (a) any query registered during the r13 sessions (enumerate here as
+#     they land): q_redirect_frontier, q_charset_transcode;
+# (b) the 24 remaining r8-stale rows (q_zorder_buckets, q_k_anonymity,
+#     q_unigram_vocab, q_unigram_encode, q_pca_explained,
+#     q_pca_whitened_norms, q_neardup_clustering, q_aggview_e2e,
+#     q_time_travel_states, q_pq_whitened_recall,
+#     q_aggview_quantiles_e2e, q_series_topk_users, q_sax_words,
+#     q_lm_backoff_score, q_bloom_semijoin, q_bloom_fpp,
+#     q_video_frame_features, q_video_summary, q_video_near_dup,
+#     q_auc_metrics, q_mmr_rerank, q_dsir_weights, q_kfold_report,
+#     q_lr_quality);
+# (c) r9-stale families thereafter, rotating by age so no query's
 #     latest driver row is older than three rounds.
 
 
