@@ -548,3 +548,94 @@ def fetch_schedule(
         .drop(f"_delay_{wave_col}")
     )
     return out
+
+
+# --------------------------------------------------------------------
+# Redirect-chain resolution
+# --------------------------------------------------------------------
+
+
+def follow_redirects(
+    edges: DataFrame,
+    *,
+    src_col: str = "url",
+    dst_col: str = "redirect_target",
+    max_hops: int = 8,
+) -> DataFrame:
+    """Collapse redirect chains: walk each source URL through the
+    redirect map until a URL that redirects no further, or the hop
+    bound.  One output row per distinct source in ``edges``:
+
+    - ``url`` — the chain's starting URL;
+    - ``final_url`` — where the walk stopped (the landing URL when
+      ``resolved``, else just the position after ``max_hops`` steps);
+    - ``hops`` — steps taken (1 = a single redirect);
+    - ``resolved`` — true when ``final_url`` is not itself a redirect
+      source: the walk genuinely landed.  False means the bound cut it
+      off — a loop (a→b→a) or a chain longer than ``max_hops``, both of
+      which a fetch tier treats as dead (browsers give up around 20).
+
+    ``edges`` is a redirect map — e.g. `sources/crawl.py:redirect_edges`
+    output.  A source with several recorded targets (recrawls that
+    captured different hops) follows the lexicographically smallest,
+    deterministically; pre-aggregate latest-capture-wins upstream if
+    that is the contract you want.
+
+    Cost: one groupBy to functionalize the map, then ``max_hops - 1``
+    equi-joins on the current-position key (chains advance in lockstep;
+    a finished chain's position has no outgoing edge, so its join rows
+    are simply absent) and one final left join for the ``resolved``
+    flag.  Lineage is cut every few rounds so the plan stays bounded.
+    No collect, no UDF; shuffle volume per round is the still-walking
+    frontier, which real redirect data (chain length ~1-3) empties
+    after a couple of rounds."""
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
+
+    e = (
+        edges.select(F.col(src_col), F.col(dst_col))
+        .filter(F.col(dst_col).isNotNull())
+        .groupBy(src_col)
+        .agg(F.min(dst_col).alias("_edst"))
+        .withColumnRenamed(src_col, "_esrc")
+    )
+    # the map joins max_hops times; without a cut its upstream plan
+    # (typically the WARC parse + RFC 3986 resolve chain) re-inlines
+    # into EVERY join's sort and blows codegen past janino's method
+    # limit — one materialization gives every round a leaf input
+    e = _cut_lineage(e)
+    state = e.select(
+        F.col("_esrc").alias("url"),
+        F.col("_edst").alias("final_url"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    for i in range(max_hops - 1):
+        j = state.join(
+            e, state["final_url"] == e["_esrc"], "left"
+        )
+        state = j.select(
+            "url",
+            F.coalesce(F.col("_edst"), F.col("final_url")).alias(
+                "final_url"
+            ),
+            (
+                F.col("hops")
+                + F.col("_edst").isNotNull().cast("long")
+            ).alias("hops"),
+        )
+        if i % 3 == 2:
+            state = _cut_lineage(state)
+    return state.join(
+        e.select(
+            F.col("_esrc").alias("final_url"),
+            F.lit(False).alias("resolved"),
+        ),
+        "final_url",
+        "left",
+    ).select(
+        "url",
+        "final_url",
+        "hops",
+        F.coalesce(F.col("resolved"), F.lit(True)).alias("resolved"),
+    )

@@ -6806,6 +6806,69 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
             rows.repartition(8).foreachPartition(_write_rej_part)
             _CRAWL_FIXTURE_CACHE[key] = path
             return out
+        if kind == "warc_redirect":
+            # Redirect topology, doc_id % 8 selects the role (hosts
+            # rotate doc_id % 3 so chains hop ACROSS hosts):
+            #   0/1/2 -> 301/302/307 with an absolute Location to
+            #            url(doc_id+1): the 3-hop chain 8k->8k+3;
+            #   3     -> 200 page (chain landing);
+            #   4     -> 301 with a ROOT-RELATIVE Location
+            #            ("/r/{id}?v=2" — RFC 7231 allows it; resolves
+            #            against the request URI);
+            #   5/6   -> 302s at each other: the 2-cycle the hop bound
+            #            must cut;
+            #   7     -> 404, no Location (redirect_edges ignores it).
+            did = F.col("doc_id").cast("string")
+            g = F.col("doc_id") % 8
+
+            def _rurl(i):
+                return F.concat(
+                    F.lit("https://h"),
+                    (i % 3).cast("string"),
+                    F.lit(".example.com/r/"),
+                    i.cast("string"),
+                )
+
+            url = _rurl(F.col("doc_id"))
+            loc = (
+                F.when(g.isin(0, 1, 2, 5), _rurl(F.col("doc_id") + 1))
+                .when(g == 4, F.concat(F.lit("/r/"), did, F.lit("?v=2")))
+                .when(g == 6, _rurl(F.col("doc_id") - 1))
+            )
+            status = (
+                F.when(g == 0, 301)
+                .when(g == 1, 302)
+                .when(g == 2, 307)
+                .when(g == 4, 301)
+                .when(g.isin(5, 6), 302)
+                .when(g == 7, 404)
+                .otherwise(200)
+            )
+            body = F.when(g == 3, _wrapped_html()).otherwise(
+                F.lit("<html><body>moved</body></html>")
+            )
+            lines = d.select(
+                F.when(
+                    loc.isNotNull(),
+                    _crawl.warc_response_record(
+                        target_uri=url,
+                        body=body,
+                        http_status=status,
+                        extra_http_headers=(
+                            F.concat(F.lit("Location: "), loc),
+                        ),
+                    ),
+                )
+                .otherwise(
+                    _crawl.warc_response_record(
+                        target_uri=url, body=body, http_status=status
+                    )
+                )
+                .alias("value")
+            )
+            lines.write.mode("overwrite").text(out)
+            _CRAWL_FIXTURE_CACHE[key] = path
+            return out
         if kind == "cdx":
             # CDXJ index sidecar: TWO captures per doc (an older 'v1'
             # content digest, then the current one ~10 weeks later);
@@ -7226,6 +7289,75 @@ def q_warc_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_responses"),
         F.sum(F.col("body").isNotNull().cast("long")).alias("n_decoded"),
+    )
+
+
+@_register(
+    "q_redirect_frontier",
+    """
+    WITH RECURSIVE
+    base AS (SELECT doc_id AS d, doc_id % 8 AS g, doc_id % 3 AS h
+             FROM documents),
+    edges AS (
+      SELECT 'https://h' || h || '.example.com/r/' || d AS src,
+             CASE WHEN g IN (0, 1, 2, 5)
+                    THEN 'https://h' || ((d + 1) % 3)
+                         || '.example.com/r/' || (d + 1)
+                  WHEN g = 4
+                    THEN 'https://h' || h || '.example.com/r/' || d
+                         || '?v=2'
+                  WHEN g = 6
+                    THEN 'https://h' || ((d - 1) % 3)
+                         || '.example.com/r/' || (d - 1)
+             END AS dst
+      FROM base WHERE g IN (0, 1, 2, 4, 5, 6)),
+    walk AS (
+      SELECT src AS url, dst AS cur, 1 AS hops FROM edges
+      UNION ALL
+      SELECT w.url, e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON w.cur = e.src
+      WHERE w.hops < 6),
+    fin AS (
+      SELECT url, arg_max(cur, hops) AS final_url,
+             CAST(max(hops) AS BIGINT) AS hops
+      FROM walk GROUP BY url)
+    SELECT f.url, f.final_url, f.hops,
+           f.final_url NOT IN (SELECT src FROM edges) AS resolved,
+           regexp_extract(f.url, 'https://([^/]+)', 1)
+             <> regexp_extract(f.final_url, 'https://([^/]+)', 1)
+             AS cross_host
+    FROM fin f
+    """,
+    "redirect-chain frontier resolution: the corpus framed into WARC "
+    "with doc_id%8 selecting the role (3-hop 301/302/307 chains across "
+    "rotating hosts, a root-relative Location per RFC 7231, a 2-cycle "
+    "loop, a Location-less 404), read back through read_warc_records + "
+    "warc_responses (NEW http_location column), 3xx edges resolved "
+    "against the request URI by crawl.redirect_edges, chains collapsed "
+    "by urls.follow_redirects under a 6-hop bound — per source URL the "
+    "landing URL, hop count, resolved flag (false = the loop the bound "
+    "cut) and whether the chain crossed hosts.  The oracle recomputes "
+    "the walk with a recursive CTE over the same doc_id-arithmetic "
+    "edge set, so a fault in Location parsing, relative resolution, "
+    "the walk, or the loop bound hash-mismatches",
+    "crawl ingestion: redirect chains -> frontier (real crawls are "
+    "~20-30% redirects)",
+)
+def q_redirect_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "warc_redirect")
+    resp = _crawl.warc_responses(_crawl.read_warc_records(spark, path))
+    fin = _urls.follow_redirects(
+        _crawl.redirect_edges(resp), max_hops=6
+    )
+    return fin.select(
+        "url",
+        "final_url",
+        "hops",
+        "resolved",
+        (
+            _urls.url_host(F.col("url"))
+            != _urls.url_host(F.col("final_url"))
+        ).alias("cross_host"),
     )
 
 

@@ -1059,8 +1059,10 @@ def warc_responses(
     headers from body and DECODES the body's HTTP encodings.
 
     Adds ``http_status`` (int), ``http_content_type``,
-    ``http_transfer_encoding``, ``http_content_encoding``, ``body``
-    and ``body_reject_reason``; keeps the WARC columns.  Non-response
+    ``http_location`` (the raw redirect-target header —
+    :func:`redirect_edges` resolves it), ``http_transfer_encoding``,
+    ``http_content_encoding``, ``body`` and ``body_reject_reason``;
+    keeps the WARC columns.  Non-response
     records (request, warcinfo, metadata, …) are filtered out — crawl
     curation ingests fetched pages, not the crawler's own bookkeeping.
 
@@ -1220,11 +1222,56 @@ def warc_responses(
             ),
             F.lit(""),
         ).alias("http_content_type"),
+        # the redirect target header, raw (resolution against the
+        # request URI is redirect_edges' job — resolving here would pay
+        # the RFC 3986 regex chain on every row when only ~3xx need it)
+        F.nullif(
+            _ows(_warc_header(F.col("_http_hdr"), "Location")),
+            F.lit(""),
+        ).alias("http_location"),
         "http_transfer_encoding",
         "http_content_encoding",
         body.alias("body"),
         reason.alias("body_reject_reason"),
     )
+
+
+def redirect_edges(responses: DataFrame) -> DataFrame:
+    """Redirect edges out of :func:`warc_responses` output: one
+    ``(url, redirect_target, http_status, record_id, warc_date)`` row
+    per 3xx response that carries a ``Location`` header.  Real crawls
+    are ~20-30% redirects; without this the moved page neither
+    contributes its target to the frontier nor records the alias.
+
+    ``redirect_target`` is the ABSOLUTE landing URL: RFC 7231 §7.1.2
+    allows a relative URI-reference in ``Location``, so the raw header
+    resolves against the request URI through
+    `operators/urls.py:resolve_url` (RFC 3986 §5).  Rows whose target
+    is not fetchable (fragment-only, ``javascript:`` …) drop — there
+    is nothing for a fetch tier to do with them.
+
+    Pure Catalyst: a status-range filter then the resolve projection —
+    the (regex-heavy) resolve chain runs only on the 3xx subset, never
+    the whole container.  Feed the output to
+    `operators/urls.py:follow_redirects` to collapse chains, or into a
+    frontier (`streaming/ingest.py:CorpusIngestTask` does both gates
+    with ``follow_redirects=True``)."""
+    from sample_dms_s3_kinesis_spark.operators import urls as _urls
+
+    r3 = responses.filter(
+        F.col("http_status").between(300, 399)
+        & F.col("http_location").isNotNull()
+        & F.col("target_uri").isNotNull()
+    )
+    return r3.select(
+        F.col("target_uri").alias("url"),
+        _urls.resolve_url(F.col("target_uri"), F.col("http_location")).alias(
+            "redirect_target"
+        ),
+        "http_status",
+        "record_id",
+        "warc_date",
+    ).filter(F.col("redirect_target").isNotNull())
 
 
 def warc_conversions(records: DataFrame) -> DataFrame:
@@ -1298,26 +1345,32 @@ def warc_response_record(
     record_id: Column | None = None,
     http_content_type: str = "text/html",
     warc_type: str = "response",
-    extra_http_headers: Sequence[str] = (),
+    extra_http_headers: Sequence[str | Column] = (),
 ) -> Column:
     """Build a spec-shaped WARC record STRING as a Column expression —
     the write direction of the fold, used to synthesize fixtures and to
     spill curated pages back out as WARC.  Content-Length is computed
     from the payload's UTF-8 byte length, so a re-read round-trips with
     ``length_ok = true``.  Fully distributed (pure concat — no driver
-    loop, no UDF).  ``extra_http_headers`` appends literal header
-    lines (e.g. ``"Transfer-Encoding: chunked"`` with a
-    :func:`http_chunked_body`-framed body) after Content-Type."""
+    loop, no UDF).  ``extra_http_headers`` appends header lines (e.g.
+    ``"Transfer-Encoding: chunked"`` with a :func:`http_chunked_body`-
+    framed body) after Content-Type; an entry may be a Column for
+    per-row values (``F.concat(F.lit("Location: "), target)``)."""
     status = (
         http_status if http_status is not None else F.lit(200)
     ).cast("string")
-    extra = "".join(f"{h}\r\n" for h in extra_http_headers)
+    extra_parts: list[Column] = []
+    for h in extra_http_headers:
+        extra_parts.append(F.lit(h) if isinstance(h, str) else h)
+        extra_parts.append(F.lit("\r\n"))
     payload = F.concat(
         F.lit("HTTP/1.1 "),
         status,
         F.lit(" \r\nContent-Type: "),
         F.lit(http_content_type),
-        F.lit("\r\n" + extra + "\r\n"),
+        F.lit("\r\n"),
+        *extra_parts,
+        F.lit("\r\n"),
         body,
     )
     hdr = F.concat(

@@ -1,0 +1,153 @@
+"""Redirect handling: Location parse (sources/crawl.py:warc_responses),
+edge extraction (crawl.redirect_edges) and bounded chain collapse
+(operators/urls.py:follow_redirects).
+
+Real crawls are ~20-30% redirects; before r13 every funnel filtered
+status == 200 and dropped 3xx on the floor.  Reference analogue: the
+consume-everything ingestion loop (run.py:107-138) — nothing fetched is
+silently discarded without an observable channel."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import urls
+from sample_dms_s3_kinesis_spark.sources import crawl
+
+
+def _write_redirect_warc(spark, out_dir):
+    """Five records via the builders: a 301 with an absolute Location,
+    a 302 with a root-relative one, a 301 with a javascript: target, a
+    200 with a (spurious) Location, and a 301 with none."""
+    rows = [
+        ("https://a.test/old", 301, "https://b.test/new"),
+        ("https://a.test/dir/page", 302, "/moved?x=1"),
+        ("https://a.test/js", 301, "javascript:void(0)"),
+        ("https://a.test/ok", 200, "https://a.test/ignored"),
+        ("https://a.test/noloc", 301, None),
+    ]
+    src = spark.createDataFrame(
+        rows, "uri string, status int, loc string"
+    )
+    rec = F.when(
+        F.col("loc").isNotNull(),
+        crawl.warc_response_record(
+            target_uri=F.col("uri"),
+            body=F.lit("<html>moved</html>"),
+            http_status=F.col("status"),
+            extra_http_headers=(
+                F.concat(F.lit("Location: "), F.col("loc")),
+            ),
+        ),
+    ).otherwise(
+        crawl.warc_response_record(
+            target_uri=F.col("uri"),
+            body=F.lit("<html>moved</html>"),
+            http_status=F.col("status"),
+        )
+    )
+    src.select(rec.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(out_dir)
+
+
+def test_http_location_column(spark, tmp_path):
+    out = str(tmp_path / "warc")
+    _write_redirect_warc(spark, out)
+    resp = crawl.warc_responses(crawl.read_warc_records(spark, out))
+    locs = {
+        r["target_uri"]: r["http_location"] for r in resp.collect()
+    }
+    assert locs == {
+        "https://a.test/old": "https://b.test/new",
+        "https://a.test/dir/page": "/moved?x=1",
+        "https://a.test/js": "javascript:void(0)",
+        "https://a.test/ok": "https://a.test/ignored",
+        "https://a.test/noloc": None,
+    }
+
+
+def test_http_location_case_and_ows(spark, tmp_path):
+    # header names are case-insensitive; trailing OWS (SP / HTAB)
+    # strips — same contract the coding headers follow
+    out = str(tmp_path / "warc")
+    rec = crawl.warc_response_record(
+        target_uri=F.lit("https://a.test/x"),
+        body=F.lit("b"),
+        http_status=F.lit(301),
+        extra_http_headers=("LOCATION: https://b.test/y \t",),
+    )
+    spark.range(1).select(rec.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(out)
+    (row,) = crawl.warc_responses(
+        crawl.read_warc_records(spark, out)
+    ).collect()
+    assert row["http_location"] == "https://b.test/y"
+
+
+def test_redirect_edges(spark, tmp_path):
+    out = str(tmp_path / "warc")
+    _write_redirect_warc(spark, out)
+    resp = crawl.warc_responses(crawl.read_warc_records(spark, out))
+    edges = {
+        r["url"]: (r["redirect_target"], r["http_status"])
+        for r in crawl.redirect_edges(resp).collect()
+    }
+    # 3xx only (the 200's Location is ignored), Location-less 301
+    # contributes nothing, javascript: resolves to NULL and drops,
+    # relative Location resolves against the request URI
+    assert edges == {
+        "https://a.test/old": ("https://b.test/new", 301),
+        "https://a.test/dir/page": ("https://a.test/moved?x=1", 302),
+    }
+
+
+def test_follow_redirects_chain_and_loop(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"),
+            ("b", "c"),  # a -> b -> c, c terminal
+            ("x", "y"),
+            ("y", "x"),  # 2-cycle: the bound must cut it
+            ("m", "n2"),
+            ("m", "n1"),  # multi-target source: min() wins
+        ],
+        "url string, redirect_target string",
+    )
+    out = {
+        r["url"]: (r["final_url"], r["hops"], r["resolved"])
+        for r in urls.follow_redirects(edges, max_hops=4).collect()
+    }
+    assert out["a"] == ("c", 2, True)
+    assert out["b"] == ("c", 1, True)
+    # loop: walked to the bound, landing position after 4 hops, and
+    # flagged unresolved
+    assert out["x"] == ("x", 4, False)
+    assert out["y"] == ("y", 4, False)
+    assert out["m"] == ("n1", 1, True)
+    assert len(out) == 5
+
+
+def test_follow_redirects_long_chain_cut_by_bound(spark):
+    n = 6
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i + 1}") for i in range(n)],
+        "url string, redirect_target string",
+    )
+    out = {
+        r["url"]: (r["final_url"], r["hops"], r["resolved"])
+        for r in urls.follow_redirects(edges, max_hops=3).collect()
+    }
+    # u0 -> u1 -> u2 -> u3 stops at the bound; u3 itself still
+    # redirects, so the chain is not resolved
+    assert out["u0"] == ("u3", 3, False)
+    # u4's chain fits: u4 -> u5 -> u6 (terminal) in 2 hops
+    assert out["u4"] == ("u6", 2, True)
+
+
+def test_follow_redirects_validates_bound(spark):
+    edges = spark.createDataFrame(
+        [("a", "b")], "url string, redirect_target string"
+    )
+    with pytest.raises(ValueError, match="max_hops"):
+        urls.follow_redirects(edges, max_hops=0)
