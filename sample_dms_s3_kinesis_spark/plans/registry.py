@@ -2122,6 +2122,136 @@ def q_fetch_plan_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema).orderBy("url")
 
 
+_REDIRECT_E2E_CACHE: dict[str, tuple[list, object]] = {}
+
+
+def _redirect_frontier_e2e_results(spark: SparkSession):
+    """Cached drive of follow_redirects mode: one WARC batch carries a
+    content page, three redirects (absolute, relative, and one whose
+    source robots disallows) and a redirect at an admitted page; the
+    targets feed the frontier behind the standard gates."""
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.operators.robots import parse_robots
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        CorpusIngestTask,
+    )
+
+    key = spark.sparkContext.applicationId
+    if key not in _REDIRECT_E2E_CACHE:
+        root = tempfile.mkdtemp(prefix="q_redirect_e2e_")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        rules = parse_robots(
+            spark.createDataFrame(
+                [("deny.com", "User-agent: *\nDisallow: /x\n")],
+                "host string, robots_txt string",
+            )
+        )
+        task = CorpusIngestTask(
+            spark,
+            drop,
+            os.path.join(root, "corpus"),
+            input_format="warc",
+            extract_html=True,
+            discover_links=True,
+            follow_redirects=True,
+            robots_rules=rules,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+
+        def rec(uri, payload):
+            return (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(payload.encode())}\r\n\r\n"
+                f"{payload}\r\n\r\n"
+            )
+
+        def page(uri, body):
+            return rec(
+                uri,
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                f"<html><body>{body}</body></html>",
+            )
+
+        def redirect(uri, location, status=301):
+            return rec(
+                uri,
+                f"HTTP/1.1 {status} Moved\r\nContent-Type: text/html"
+                f"\r\nLocation: {location}\r\n\r\n"
+                "<html><body>moved</body></html>",
+            )
+
+        try:
+            b1 = (
+                page(
+                    "https://a.com/p1",
+                    "<p>alpha content here</p>"
+                    '<a href="https://b.com/keep">keep</a>'
+                    '<a href="https://a.com/old">redirecting src</a>',
+                )
+                + redirect("https://a.com/old", "https://a.com/new")
+                + redirect("https://b.com/r", "/moved", status=302)
+                + redirect("https://deny.com/x", "https://deny.com/y")
+                + redirect("https://a.com/self", "https://a.com/p1")
+            )
+            with open(os.path.join(drop, "b1.warc"), "w") as f:
+                f.write(b1)
+            batch = task._source_frame(streaming=False)
+            task._process_batch(batch, 0)
+            task._process_batch(batch, 0)  # the replay: changes nothing
+            totals = task.frontier_stats()
+            frame = task.discovered_frontier().select(
+                "url",
+                "host",
+                "batch_id",
+                *[
+                    F.lit(int(totals[k])).alias(k)
+                    for k in (
+                        "discovered_links",
+                        "discovered_redirects",
+                        "frontier_new",
+                    )
+                ],
+            )
+            _REDIRECT_E2E_CACHE[key] = (frame.collect(), frame.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _REDIRECT_E2E_CACHE[key]
+
+
+@_register(
+    "q_redirect_frontier_e2e",
+    """
+    SELECT * FROM (VALUES
+      ('https://a.com/new',   'a.com', 0, 2, 3, 3),
+      ('https://b.com/keep',  'b.com', 0, 2, 3, 3),
+      ('https://b.com/moved', 'b.com', 0, 2, 3, 3)
+    ) AS t(url, host, batch_id,
+           discovered_links, discovered_redirects, frontier_new)
+    ORDER BY url
+    """,
+    "redirect-to-frontier E2E: CorpusIngestTask(follow_redirects=True) "
+    "drains a WARC batch plus a replay — 3xx Location targets resolve "
+    "against the source URI (absolute and relative forms), a "
+    "robots-denied source contributes nothing, a target already "
+    "admitted this batch is gated out, an anchor AT a redirect source "
+    "is excluded (it was fetched), and the redirect rows never reach "
+    "the corpus; oracle = the hand-derived frontier.  The streaming "
+    "closure of q_redirect_frontier (reference analogue: the "
+    "consume-everything ingestion loop, run.py:107-138)",
+    "CorpusIngestTask follow_redirects mode end-to-end (redirect "
+    "targets -> frontier behind the standard gates)",
+)
+def q_redirect_frontier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema = _redirect_frontier_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("url")
+
+
 @_register(
     "q_metrics_e2e_sketches",
     """
@@ -4393,7 +4523,7 @@ DRIVER_WINDOW: list[str] = [
 ]
 # r14 rotation backlog, in priority order (never-checked beats stale):
 # (a) any query registered during the r13 sessions (enumerate here as
-#     they land): q_redirect_frontier, q_charset_transcode;
+#     they land): q_redirect_frontier, q_redirect_frontier_e2e;
 # (b) the 24 remaining r8-stale rows (q_zorder_buckets, q_k_anonymity,
 #     q_unigram_vocab, q_unigram_encode, q_pca_explained,
 #     q_pca_whitened_norms, q_neardup_clustering, q_aggview_e2e,

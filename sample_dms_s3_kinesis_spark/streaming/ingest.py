@@ -100,6 +100,7 @@ class CorpusIngestTask(ReplicationTask):
         cdx_schema: str | None = None,
         cdx_max_per_host: int | None = None,
         discover_links: bool = False,
+        follow_redirects: bool = False,
         frontier_max_per_host: int | None = None,
         frontier_key: str = "url",
         checkpoint_dir: str | None = None,
@@ -254,7 +255,19 @@ class CorpusIngestTask(ReplicationTask):
             )
         if frontier_key != "url" and not discover_links:
             raise ValueError("frontier_key requires discover_links=True")
+        # follow_redirects: 3xx responses' Location targets (resolved
+        # against the request URI — sources/crawl.py:redirect_edges)
+        # enter the SAME frontier the anchor links feed, behind the
+        # same unseen/robots/cap gates.  Real crawls are ~20-30%
+        # redirects; without this a moved page contributes nothing.
+        # Requires discover_links (the frontier store is where targets
+        # land).
+        if follow_redirects and not discover_links:
+            raise ValueError(
+                "follow_redirects requires discover_links=True"
+            )
         self.discover_links = discover_links
+        self.follow_redirects = follow_redirects
         self.frontier_max_per_host = frontier_max_per_host
         self.frontier_key = frontier_key
         self.checkpoint_dir = (
@@ -815,6 +828,7 @@ class CorpusIngestTask(ReplicationTask):
         totals = {
             "discovered_links": 0,
             "discovered_unique": 0,
+            "discovered_redirects": 0,
             "frontier_new": 0,
         }
         for counts in self._load_manifest().values():
@@ -922,7 +936,11 @@ class CorpusIngestTask(ReplicationTask):
         )
 
     def _discover_frontier(
-        self, pages: DataFrame, batch_id: int
+        self,
+        pages: DataFrame,
+        batch_id: int,
+        *,
+        redirects: DataFrame | None = None,
     ) -> dict[str, int]:
         """Run the batch's pages through link extraction -> resolution
         -> unseen gates -> optional cumulative per-host budget, land
@@ -930,7 +948,14 @@ class CorpusIngestTask(ReplicationTask):
         return the counters for the batch manifest.  ``pages`` carries
         (text = RAW page markup, _uri) — discovery runs BEFORE
         extract_html replaces the text, and after the robots gate (a
-        politeness-denied page must not contribute links)."""
+        politeness-denied page must not contribute links).
+
+        ``redirects`` (follow_redirects mode) is the batch's
+        robots-allowed (url = 3xx source URI, target = resolved
+        Location) edges: targets join the candidate set behind the
+        SAME unseen/cap gates the anchor links pass, and the source
+        URIs join the batch's fetched set (they WERE fetched — a page
+        linking to a known-redirecting URL must not re-frontier it)."""
         from sample_dms_s3_kinesis_spark.operators import text as _text
         from sample_dms_s3_kinesis_spark.operators import urls as _urls
 
@@ -975,7 +1000,20 @@ class CorpusIngestTask(ReplicationTask):
             F.count(F.lit(1)).alias("n_links"),
             F.countDistinct("url").alias("n_unique"),
         ).collect()[0]
-        uniq = links.distinct().withColumn(
+        n_redirects = 0
+        cand = links
+        if redirects is not None:
+            # targets are already-resolved absolute URLs — they skip
+            # the extract/resolve stage and join the candidate set
+            # directly (the count is one action on a lineage-cut thin
+            # frame, not a container re-parse)
+            n_redirects = redirects.count()
+            cand = links.unionByName(
+                redirects.filter(F.col("target").isNotNull()).select(
+                    F.col("target").alias("url")
+                )
+            )
+        uniq = cand.distinct().withColumn(
             "host", _urls.url_host(F.col("url"))
         )
         if self.frontier_key == "surt":
@@ -1007,7 +1045,12 @@ class CorpusIngestTask(ReplicationTask):
         # replay-deterministic, same contract as corpus(before=...)).
         fetched = pages.select(
             F.xxhash64(F.col("_uri")).alias("_id")
-        ).distinct()
+        )
+        if redirects is not None:
+            fetched = fetched.unionByName(
+                redirects.select(F.xxhash64(F.col("url")).alias("_id"))
+            )
+        fetched = fetched.distinct()
         if self.doc_id_pattern is None:
             fetched = fetched.unionByName(
                 self.corpus(before=batch_id).select(
@@ -1056,6 +1099,11 @@ class CorpusIngestTask(ReplicationTask):
             "discovered_links": int(head["n_links"]),
             "discovered_unique": int(head["n_unique"]),
             "frontier_new": int(n_new),
+            **(
+                {"discovered_redirects": int(n_redirects)}
+                if redirects is not None
+                else {}
+            ),
         }
 
     # -- lifecycle -----------------------------------------------------
@@ -1162,7 +1210,7 @@ class CorpusIngestTask(ReplicationTask):
             )
         else:
             doc_id = F.xxhash64("target_uri")
-        return filtered.select(
+        out = filtered.select(
             doc_id.alias("doc_id"),
             F.col("body").alias("text"),
             F.lit(None).cast("array<double>").alias("embedding"),
@@ -1176,10 +1224,47 @@ class CorpusIngestTask(ReplicationTask):
                 else []
             ),
         )
+        if self.follow_redirects:
+            # 3xx rows ride along as plumbing rows (text NULL, a
+            # _redirect_target column): _process_batch diverts them to
+            # the frontier before any content gate.  length_ok is NOT
+            # required — the Location lives in the headers, and a
+            # body-truncated redirect still names its target.
+            redir = crawl.redirect_edges(responses).select(
+                F.xxhash64("url").alias("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+                F.col("url").alias("_uri"),
+                F.col("redirect_target").alias("_redirect_target"),
+            )
+            out = out.withColumn(
+                "_redirect_target", F.lit(None).cast("string")
+            ).unionByName(redir)
+        return out
 
     # -- the admission pipeline ----------------------------------------
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Redirect plumbing rows (follow_redirects mode) divert FIRST:
+        # they are navigation artifacts like fetched sitemaps — their
+        # targets feed the frontier below, the rows themselves never
+        # count against the content funnel.
+        redirects = None
+        if (
+            self.follow_redirects
+            and "_redirect_target" in batch_df.columns
+        ):
+            redirects = batch_df.filter(
+                F.col("_redirect_target").isNotNull()
+            ).select(
+                F.col("_uri").alias("url"),
+                F.col("_redirect_target").alias("target"),
+            )
+            batch_df = batch_df.filter(
+                F.col("_redirect_target").isNull()
+            )
+        if "_redirect_target" in batch_df.columns:
+            batch_df = batch_df.drop("_redirect_target")
         if "embedding" not in batch_df.columns:
             # direct callers may ship (doc_id, text) frames; the
             # streaming path always reads the full DOC_SCHEMA
@@ -1251,6 +1336,34 @@ class CorpusIngestTask(ReplicationTask):
         fr_counts: dict[str, int] = {}
         n_sitemap = 0
         if self.discover_links and "_uri" in valid.columns:
+            if redirects is not None and self.robots_rules is not None:
+                # the same politeness rule the page gate applies: a
+                # robots-denied SOURCE must not contribute its target
+                from sample_dms_s3_kinesis_spark.operators import (
+                    robots as _rb,
+                )
+                from sample_dms_s3_kinesis_spark.operators import (
+                    urls as _u,
+                )
+
+                rk = redirects.withColumn(
+                    "host", _u.url_host(F.col("url"))
+                ).withColumn(
+                    "url_path",
+                    F.when(
+                        _u.url_path(F.col("url")) == "", F.lit("/")
+                    ).otherwise(_u.url_path(F.col("url"))),
+                )
+                rdec = _rb.robots_decisions(
+                    rk.select("host", "url_path"),
+                    self.robots_rules,
+                    agent=self.robots_agent,
+                )
+                redirects = (
+                    rk.join(rdec, ["host", "url_path"], "left")
+                    .filter(F.coalesce(F.col("allowed"), F.lit(1)) == 1)
+                    .drop("host", "url_path", "allowed")
+                )
             # lineage cut: the discovery expressions (entity-decode
             # transform per href + the resolve chain) stacked on top of
             # the robots-decisions join compile into one enormous
@@ -1259,7 +1372,13 @@ class CorpusIngestTask(ReplicationTask):
             # gives discovery a leaf input (also sparing a re-run of
             # the robots join on the discovery branch).
             fr_counts = self._discover_frontier(
-                _cut_lineage(valid.select("text", "_uri")), batch_id
+                _cut_lineage(valid.select("text", "_uri")),
+                batch_id,
+                redirects=(
+                    _cut_lineage(redirects)
+                    if redirects is not None
+                    else None
+                ),
             )
             # fetched sitemaps are navigation artifacts: their locs
             # just entered the frontier, the XML itself must not be

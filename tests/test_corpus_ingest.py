@@ -1108,6 +1108,7 @@ def test_link_discovery_frontier(spark, tmp_path):
     assert stats == {
         "discovered_links": 5,
         "discovered_unique": 4,
+        "discovered_redirects": 0,
         "frontier_new": 3,
     }
 
@@ -1141,6 +1142,7 @@ def test_link_discovery_frontier(spark, tmp_path):
     assert task.frontier_stats() == {
         "discovered_links": 9,
         "discovered_unique": 8,  # per-batch unique counts, summed
+        "discovered_redirects": 0,
         "frontier_new": 4,
     }
 
@@ -1206,6 +1208,7 @@ def test_frontier_surt_key_collapses_mirrors(spark, tmp_path):
     assert task.frontier_stats() == {
         "discovered_links": 3,
         "discovered_unique": 3,
+        "discovered_redirects": 0,
         "frontier_new": 2,
     }
 
@@ -1524,4 +1527,138 @@ def test_extract_mode_validation(spark, tmp_path):
         CorpusIngestTask(
             spark, str(tmp_path / "d"), str(tmp_path / "c"),
             input_format="warc", extract_mode="main",
+        )
+
+
+def _warc_redirect(uri, location, status=301):
+    payload = (
+        f"HTTP/1.1 {status} Moved\r\nContent-Type: text/html\r\n"
+        f"Location: {location}\r\n\r\n<html><body>moved</body></html>"
+    )
+    return (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(payload.encode())}\r\n\r\n"
+        f"{payload}\r\n\r\n"
+    )
+
+
+def test_follow_redirects_feeds_frontier(spark, tmp_path):
+    """follow_redirects=True: 3xx Location targets enter the SAME
+    frontier the anchors feed — relative Locations resolve against the
+    source URI, robots-denied sources contribute nothing, a target
+    already fetched this batch is excluded, an anchor pointing AT a
+    redirect source is excluded (it was fetched), the redirect rows
+    never reach the corpus, and a replay changes nothing."""
+    from sample_dms_s3_kinesis_spark.operators.robots import parse_robots
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("deny.com", "User-agent: *\nDisallow: /x\n")],
+            "host string, robots_txt string",
+        )
+    )
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=True,
+        follow_redirects=True,
+        robots_rules=rules,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    b1 = (
+        _warc_page(
+            "https://a.com/p1",
+            "<p>alpha content here</p>"
+            '<a href="https://b.com/keep">keep</a>'
+            '<a href="https://a.com/old">redirecting source</a>',
+        )
+        + _warc_redirect("https://a.com/old", "https://a.com/new")
+        + _warc_redirect("https://b.com/r", "/moved", status=302)
+        + _warc_redirect("https://deny.com/x", "https://deny.com/y")
+        + _warc_redirect("https://a.com/self", "https://a.com/p1")
+    )
+    (drop / "b1.warc").write_text(b1)
+    batch = task._source_frame(streaming=False)
+    task._process_batch(batch, 0)
+
+    got = {
+        (r["url"], r["host"]) for r in task.discovered_frontier().collect()
+    }
+    assert got == {
+        ("https://b.com/keep", "b.com"),  # anchor
+        ("https://a.com/new", "a.com"),  # absolute Location
+        ("https://b.com/moved", "b.com"),  # relative Location resolved
+    }
+    stats = task.frontier_stats()
+    # 2 anchors resolve; 3 redirect edges survive robots (deny.com/x
+    # drops); targets a.com/p1 (admitted this batch) and the anchored
+    # a.com/old (a fetched redirect source) are gated out
+    assert stats == {
+        "discovered_links": 2,
+        "discovered_unique": 2,
+        "discovered_redirects": 3,
+        "frontier_new": 3,
+    }
+    # redirect rows are navigation artifacts — only the page admits
+    assert task.corpus().count() == 1
+
+    # replay: same store, same counters
+    task._process_batch(batch, 0)
+    assert {
+        (r["url"], r["host"]) for r in task.discovered_frontier().collect()
+    } == got
+    assert task.frontier_stats() == stats
+
+
+def test_follow_redirects_streaming(spark, tmp_path):
+    """The streaming source frame unions the redirect plumbing rows
+    (a self-union of one file stream) — targets land in the frontier
+    through the normal micro-batch path."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=True,
+        follow_redirects=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    (drop / "b1.warc").write_text(
+        _warc_page("https://a.com/p1", "<p>page body text</p>")
+        + _warc_redirect("https://a.com/old", "https://c.com/new")
+    )
+    task.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            task._query.processAllAvailable()
+            if task.frontier_stats().get("frontier_new", 0) >= 1:
+                break
+            time.sleep(0.5)
+    finally:
+        task.stop()
+    assert {
+        r["url"] for r in task.discovered_frontier().collect()
+    } == {"https://c.com/new"}
+    assert task.ingest_stats().get("admitted") == 1
+
+
+def test_follow_redirects_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="follow_redirects requires"):
+        CorpusIngestTask(
+            spark,
+            str(tmp_path / "d"),
+            str(tmp_path / "c"),
+            input_format="warc",
+            follow_redirects=True,
         )
