@@ -6643,6 +6643,13 @@ from sample_dms_s3_kinesis_spark.sources import crawl as _crawl  # noqa: E402
 _CRAWL_FIXTURE_CACHE: dict = {}
 
 
+# charset-fixture prefixes: non-ASCII, encodable in the declared
+# charset (Latin-1 covers U+00A0-U+00FF only — no em-dash), shared
+# verbatim by the binary writer and the DuckDB oracle
+_CS_PREFIX_L1 = "café ñ £ "
+_CS_PREFIX_SJ = "こんにちは "
+
+
 def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
     """Write the JSONL / WARC fixture for ``sf_dir`` once per app and
     return its directory.  Deterministic: contents derive only from the
@@ -6804,6 +6811,74 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
                         f.write(b"".join(recs))
 
             rows.repartition(8).foreachPartition(_write_rej_part)
+            _CRAWL_FIXTURE_CACHE[key] = path
+            return out
+        if kind == "warc_charset":
+            # Charset-transcode fixture: doc_id % 6 selects the
+            # declared encoding (0 none, 1 explicit utf-8, 2 Latin-1,
+            # 3 Shift-JIS, 4 unknown, 5 Latin-1 under gzip).  Non-UTF-8
+            # variants carry a non-ASCII prefix so the transcode is
+            # observable (the corpus text itself is ASCII), and their
+            # bytes REALLY are the declared encoding — which no Spark
+            # sink emits, so the binary per-partition writer (same
+            # shape as warc_enc).
+            import os as _os
+
+            _os.makedirs(out, exist_ok=True)
+            rows = d.select("doc_id", "source", _wrapped_html().alias("html"))
+
+            def _write_cs_part(it):
+                import gzip as _gz
+
+                from pyspark import TaskContext
+
+                recs = []
+                for r in it:
+                    uri = (
+                        f"https://{r['source']}.example.com/p/"
+                        f"{r['doc_id']}"
+                    )
+                    v = r["doc_id"] % 6
+                    ce = "gzip" if v == 5 else None
+                    ct = {
+                        0: "text/html",
+                        1: "text/html; charset=UTF-8",
+                        2: "text/html; charset=ISO-8859-1",
+                        3: 'text/html; charset="Shift_JIS"',
+                        4: "text/html; charset=x-unknown-8bit",
+                        5: "text/html; charset=ISO-8859-1",
+                    }[v]
+                    if v in (2, 5):
+                        body = (_CS_PREFIX_L1 + r["html"]).encode(
+                            "iso-8859-1"
+                        )
+                    elif v == 3:
+                        body = (_CS_PREFIX_SJ + r["html"]).encode(
+                            "shift_jis"
+                        )
+                    else:
+                        body = r["html"].encode()
+                    if ce == "gzip":
+                        body = _gz.compress(body, mtime=0)
+                    recs.append(
+                        _gz.compress(
+                            _crawl.warc_response_record_bytes(
+                                uri,
+                                body,
+                                http_content_type=ct,
+                                content_encoding=ce,
+                            ),
+                            mtime=0,
+                        )
+                    )
+                if recs:
+                    pid = TaskContext.get().partitionId()
+                    with open(
+                        f"{out}/part-{pid:05d}.warc.gz", "wb"
+                    ) as f:
+                        f.write(b"".join(recs))
+
+            rows.repartition(8).foreachPartition(_write_cs_part)
             _CRAWL_FIXTURE_CACHE[key] = path
             return out
         if kind == "warc_redirect":
@@ -7358,6 +7433,63 @@ def q_redirect_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             _urls.url_host(F.col("url"))
             != _urls.url_host(F.col("final_url"))
         ).alias("cross_host"),
+    )
+
+
+@_register(
+    "q_charset_transcode",
+    f"""
+    WITH h AS (SELECT doc_id, doc_id % 6 AS v,
+                      {_DUCK_WRAPPED_HTML} AS html
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN v = 1 THEN 'utf-8'
+                WHEN v IN (2, 5) THEN 'iso-8859-1'
+                WHEN v = 3 THEN 'shift_jis'
+                WHEN v = 4 THEN 'x-unknown-8bit' END AS http_charset,
+           CASE WHEN v = 5 THEN 'gzip' END AS http_content_encoding,
+           CASE WHEN v = 4 THEN 'unsupported_charset' END
+             AS body_reject_reason,
+           CASE WHEN v IN (2, 5) THEN md5('{_CS_PREFIX_L1}' || html)
+                WHEN v = 3 THEN md5('{_CS_PREFIX_SJ}' || html)
+                WHEN v = 4 THEN NULL
+                ELSE md5(html) END AS body_md5,
+           CASE WHEN v IN (2, 5)
+                  THEN CAST(length('{_CS_PREFIX_L1}' || html) AS BIGINT)
+                WHEN v = 3
+                  THEN CAST(length('{_CS_PREFIX_SJ}' || html) AS BIGINT)
+                WHEN v = 4 THEN NULL
+                ELSE CAST(length(html) AS BIGINT) END AS body_len
+    FROM h
+    """,
+    "charset detection + transcoding: the corpus framed into .warc.gz "
+    "with doc_id%6 selecting the declared Content-Type charset (none / "
+    "explicit utf-8 / Latin-1 / Shift-JIS / unknown / Latin-1 under "
+    "gzip), non-UTF-8 bodies carrying REAL bytes of that encoding plus "
+    "a non-ASCII prefix, read back through read_warc_gz(binary_payload"
+    "=True) + warc_responses — the charset= parse, the entity-udf "
+    "transcode (composed with decompression for the gzip variant), "
+    "and the counted unsupported_charset reject.  The oracle "
+    "recomputes every body digest from the table, so a mojibake (or a "
+    "missed transcode) hash-mismatches — a Latin-1 page lands as clean "
+    "UTF-8 text, byte-exact",
+    "crawl ingestion: charset transcoding (non-UTF-8 pages land as "
+    "clean UTF-8, unknown charsets reject counted)",
+)
+def q_charset_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "warc_charset")
+    resp = _crawl.warc_responses(
+        _crawl.read_warc_gz(spark, path, binary_payload=True)
+    )
+    return resp.select(
+        F.regexp_extract("target_uri", r"/p/([0-9]+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        "http_charset",
+        "http_content_encoding",
+        "body_reject_reason",
+        F.md5("body").alias("body_md5"),
+        F.length("body").cast("long").alias("body_len"),
     )
 
 

@@ -991,11 +991,14 @@ def _encoded_entity_udf(max_chunks: int = 8192):
     expression contains HOF lambdas is not extractable for batch
     evaluation, so the fold's output cannot feed the udf directly.
     Decompressed bytes read as UTF-8 with replacement, matching what
-    the text source does to a page that was never compressed.
-    Reasons: ``bad_chunked_framing``, ``decompress_failed``,
-    ``br_unavailable`` / ``zstd_unavailable`` (optional codec package
-    absent on the worker — brotli / brotlicffi, compression.zstd /
-    zstandard)."""
+    the text source does to a page that was never compressed — unless
+    the fourth input names a declared non-UTF-8 charset, in which case
+    the bytes TRANSCODE through that Python text codec (same
+    replacement convention).  Reasons: ``bad_chunked_framing``,
+    ``decompress_failed``, ``br_unavailable`` / ``zstd_unavailable``
+    (optional codec package absent on the worker — brotli /
+    brotlicffi, compression.zstd / zstandard),
+    ``unsupported_charset`` (no text codec for the declared name)."""
     cached = _ENTITY_UDFS.get(max_chunks)
     if cached is None:
         import gzip
@@ -1003,9 +1006,12 @@ def _encoded_entity_udf(max_chunks: int = 8192):
 
         @F.pandas_udf("body string, reason string")
         def encoded_entity(
-            data: pd.Series, te: pd.Series, ce: pd.Series
+            data: pd.Series,
+            te: pd.Series,
+            ce: pd.Series,
+            cs: pd.Series,
         ) -> pd.DataFrame:
-            def one(v, t, c):
+            def one(v, t, c, s):
                 if v is None:
                     return (None, None)
                 b = bytes(v)
@@ -1014,7 +1020,10 @@ def _encoded_entity_udf(max_chunks: int = 8192):
                     if b is None:
                         return (None, "bad_chunked_framing")
                 try:
-                    if c == "deflate":
+                    if c is None or c == "identity":
+                        # charset-only row: nothing to decompress
+                        pass
+                    elif c == "deflate":
                         # RFC says zlib-wrapped; plenty of servers send
                         # raw DEFLATE — try the wrapper, fall back raw
                         try:
@@ -1033,11 +1042,24 @@ def _encoded_entity_udf(max_chunks: int = 8192):
                         b = zd(b)
                     else:  # gzip / x-gzip
                         b = gzip.decompress(b)
-                    return (b.decode("utf-8", "replace"), None)
                 except Exception:
                     return (None, "decompress_failed")
+                if s is not None:
+                    # transcode a declared non-UTF-8 entity; "replace"
+                    # mirrors make_valid_utf8's U+FFFD convention.
+                    # bytes.decode only resolves TEXT encodings, so an
+                    # untrusted header naming a bytes-to-bytes codec
+                    # ('hex', 'zlib', ...) lands in LookupError too.
+                    try:
+                        return (b.decode(s, "replace"), None)
+                    except LookupError:
+                        return (None, "unsupported_charset")
+                return (b.decode("utf-8", "replace"), None)
 
-            out = [one(v, t, c) for v, t, c in zip(data, te, ce)]
+            out = [
+                one(v, t, c, s)
+                for v, t, c, s in zip(data, te, ce, cs)
+            ]
             return pd.DataFrame(
                 {
                     "body": pd.Series([o[0] for o in out], dtype=object),
@@ -1060,9 +1082,10 @@ def warc_responses(
 
     Adds ``http_status`` (int), ``http_content_type``,
     ``http_location`` (the raw redirect-target header —
-    :func:`redirect_edges` resolves it), ``http_transfer_encoding``,
-    ``http_content_encoding``, ``body`` and ``body_reject_reason``;
-    keeps the WARC columns.  Non-response
+    :func:`redirect_edges` resolves it), ``http_charset`` (the
+    Content-Type charset parameter, lowercased),
+    ``http_transfer_encoding``, ``http_content_encoding``, ``body``
+    and ``body_reject_reason``; keeps the WARC columns.  Non-response
     records (request, warcinfo, metadata, …) are filtered out — crawl
     curation ingests fetched pages, not the crawler's own bookkeeping.
 
@@ -1081,11 +1104,20 @@ def warc_responses(
     ``bad_chunked_framing``, ``decompress_failed``, ``br_unavailable``
     / ``zstd_unavailable`` (optional codec absent),
     ``unsupported_transfer_encoding``,
-    ``unsupported_content_encoding``, or
-    ``compressed_body_on_text_path``.  The reason is NULL wherever
+    ``unsupported_content_encoding``, ``unsupported_charset`` (a
+    declared charset Python has no text codec for),
+    ``compressed_body_on_text_path``, or ``charset_on_text_path`` (a
+    declared non-UTF-8 charset on the text path, whose bytes the text
+    source already mangled at read time).  The reason is NULL wherever
     ``body`` decoded (and for uncoded records, whose raw body needs no
     decode step).  Chunked+compressed responses decode in RFC order
-    (de-chunk, then decompress).  ``max_chunks`` bounds the chunked
+    (de-chunk, then decompress).  A declared non-UTF-8 charset
+    (anything but utf-8/utf8/us-ascii/ascii in the Content-Type
+    ``charset=`` parameter) TRANSCODES on the binary path: the entity
+    udf decodes the de-chunked, decompressed bytes with the declared
+    codec — U+FFFD replacement, the same convention every other decode
+    branch follows — so a Latin-1 or Shift-JIS page lands as clean
+    UTF-8 text instead of mojibake.  ``max_chunks`` bounds the chunked
     walk per row (default 8192 ≈ a 64 MB entity at ~8 KB chunks);
     framings that exceed it reject as ``bad_chunked_framing``."""
     resp = records.filter(F.lower(F.col("warc_type")) == "response")
@@ -1111,19 +1143,39 @@ def warc_responses(
 
     te = F.lower(_ows(_warc_header(F.col("_http_hdr"), "Transfer-Encoding")))
     ce = F.lower(_ows(_warc_header(F.col("_http_hdr"), "Content-Encoding")))
+    # the Content-Type charset parameter (quoted or bare), lowercased:
+    # the declared byte encoding of the entity — non-UTF-8 pages
+    # transcode in the entity udf below instead of mojibaking into the
+    # corpus
+    cs = F.lower(
+        F.nullif(
+            F.regexp_extract(
+                "_http_hdr",
+                r"(?i)(?:^|\n)Content-Type:[^\r\n]*;[ \t]*charset="
+                r"[\"']?([A-Za-z0-9._:-]+)",
+                1,
+            ),
+            F.lit(""),
+        )
+    )
     staged = bound.select(
         "*",
         te.alias("http_transfer_encoding"),
         ce.alias("http_content_encoding"),
+        cs.alias("http_charset"),
     )
     te_c = F.col("http_transfer_encoding")
     ce_c = F.col("http_content_encoding")
+    cs_c = F.col("http_charset")
     te_none = te_c.isNull() | (te_c == "identity")
     ce_none = ce_c.isNull() | (ce_c == "identity")
     te_ok = te_none | (te_c == "chunked")
     ce_codec = ce_c.isin(*SUPPORTED_CONTENT_CODINGS)
-    chunk_rows = (te_c == "chunked") & ce_none
-    udf_rows = ce_codec & te_ok
+    # absent or UTF-8-family charset: the bytes already ARE the target
+    # encoding, no transcode step
+    cs_utf8 = cs_c.isNull() | cs_c.isin("utf-8", "utf8", "us-ascii", "ascii")
+    chunk_rows = (te_c == "chunked") & ce_none & cs_utf8
+    udf_rows = te_ok & (ce_codec | (ce_none & ~cs_utf8))
     if has_bin:
         # entity bytes = the raw payload minus the HTTP header block.
         # The header is ASCII in any response we can decode, so its
@@ -1164,11 +1216,17 @@ def warc_responses(
                 F.when(udf_rows, ebin),
                 F.when(udf_rows, te_c),
                 F.when(udf_rows, ce_c),
+                # NULL charset = plain UTF-8-with-replacement decode;
+                # UTF-8-family declarations stay NULL so the common
+                # case never pays a codec lookup
+                F.when(udf_rows & ~cs_utf8, cs_c),
             ).alias("_ent")
         )
     staged2 = staged.select("*", *stage_cols)
     chunk_s = F.col("_chunk")
-    body = F.when(te_none & ce_none, F.col("_body_raw")).when(
+    body = F.when(
+        te_none & ce_none & cs_utf8, F.col("_body_raw")
+    ).when(
         chunk_rows,
         # make_valid_utf8, not decode: U+FFFD replacement for invalid
         # bytes — the same convention the text source applies to
@@ -1179,7 +1237,9 @@ def warc_responses(
         ),
     )
     # reason is NULL wherever body decoded; every reject names why
-    reason = F.when(te_none & ce_none, F.lit(None).cast("string")).when(
+    reason = F.when(
+        te_none & ce_none & cs_utf8, F.lit(None).cast("string")
+    ).when(
         chunk_rows,
         F.when(
             ~F.coalesce(chunk_s.getField("ok"), F.lit(False)),
@@ -1193,7 +1253,13 @@ def warc_responses(
         )
     else:
         reason = reason.when(
-            udf_rows, F.lit("compressed_body_on_text_path")
+            ce_codec & te_ok, F.lit("compressed_body_on_text_path")
+        ).when(
+            # the text source already UTF-8-mangled the declared
+            # non-UTF-8 bytes at read time — transcoding is impossible
+            # and a mojibake body must not enter the corpus
+            ~cs_utf8 & ce_none & te_ok,
+            F.lit("charset_on_text_path"),
         )
     reason = reason.when(
         ~te_ok, F.lit("unsupported_transfer_encoding")
@@ -1229,6 +1295,7 @@ def warc_responses(
             _ows(_warc_header(F.col("_http_hdr"), "Location")),
             F.lit(""),
         ).alias("http_location"),
+        "http_charset",
         "http_transfer_encoding",
         "http_content_encoding",
         body.alias("body"),

@@ -1052,3 +1052,85 @@ def test_sitemap_entries_match_etree_reference(spark):
         if sorted(got.get(h, [])) != sorted(ref_entries(xml_text)):
             bad.append((h, got.get(h, []), ref_entries(xml_text)))
     assert not bad, bad[:3]
+
+
+def test_charset_transcode_binary_path(spark, tmp_path):
+    """Declared non-UTF-8 charsets transcode in the entity udf on the
+    binary path: Latin-1 plain, Shift-JIS under gzip, chunked Latin-1,
+    an unknown charset rejects counted, explicit utf-8 is a no-op."""
+    import gzip
+
+    d = tmp_path / "w"
+    d.mkdir()
+    recs = [
+        crawl.warc_response_record_bytes(
+            "https://t/0",
+            "café ñ body".encode("latin-1"),
+            http_content_type="text/html; charset=ISO-8859-1",
+        ),
+        crawl.warc_response_record_bytes(
+            "https://t/1",
+            gzip.compress(
+                "こんにちは world".encode("shift_jis"), mtime=0
+            ),
+            http_content_type='text/html; charset="Shift_JIS"',
+            content_encoding="gzip",
+        ),
+        crawl.warc_response_record_bytes(
+            "https://t/2",
+            b"abc",
+            http_content_type="text/html; charset=x-klingon",
+        ),
+        crawl.warc_response_record_bytes(
+            "https://t/3",
+            "plain ü".encode(),
+            http_content_type="text/html; charset=UTF-8",
+        ),
+        crawl.warc_response_record_bytes(
+            "https://t/4",
+            crawl.http_chunk_bytes("chunké".encode("latin-1"), 4),
+            http_content_type="text/html; charset=latin-1",
+            transfer_encoding="chunked",
+        ),
+    ]
+    with open(d / "a.warc.gz", "wb") as f:
+        f.write(b"".join(gzip.compress(r, mtime=0) for r in recs))
+    rows = {
+        r["target_uri"]: (
+            r["http_charset"],
+            r["body"],
+            r["body_reject_reason"],
+        )
+        for r in crawl.warc_responses(
+            crawl.read_warc_gz(spark, str(d), binary_payload=True)
+        ).collect()
+    }
+    assert rows == {
+        "https://t/0": ("iso-8859-1", "café ñ body", None),
+        "https://t/1": ("shift_jis", "こんにちは world", None),
+        "https://t/2": ("x-klingon", None, "unsupported_charset"),
+        "https://t/3": ("utf-8", "plain ü", None),
+        "https://t/4": ("latin-1", "chunké", None),
+    }
+
+
+def test_charset_on_text_path_rejects(spark, tmp_path):
+    """The text source already UTF-8-mangled a declared non-UTF-8 body
+    at read time — transcoding is impossible, so the row rejects with
+    its own counted reason (the charset twin of
+    compressed_body_on_text_path)."""
+    out = str(tmp_path / "t")
+    rec = crawl.warc_response_record(
+        target_uri=F.lit("https://t/5"),
+        body=F.lit("x"),
+        http_content_type="text/html; charset=iso-8859-1",
+    )
+    spark.range(1).select(rec.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(out)
+    (row,) = crawl.warc_responses(
+        crawl.read_warc_records(spark, out)
+    ).collect()
+    assert row["http_charset"] == "iso-8859-1"
+    assert row["body"] is None
+    assert row["body_reject_reason"] == "charset_on_text_path"
