@@ -97,7 +97,13 @@ TIER2 = [
     # resolve_url over per-doc synthesized pages, then the same
     # blocklist/unseen/cap gates as the other two frontier modalities
     "q_link_frontier",
+    # r13: the redirect-chain walk (Location parse + resolve + bounded
+    # lockstep joins) and the charset-transcode decode branch
+    "q_redirect_frontier",
+    "q_charset_transcode",
 ]
+# This list IS the tier-2 roster of record — BASELINE.md cites
+# len(TIER2) and membership from here, nowhere else.
 
 
 def compute_deltas(here, sf_float, timings, tier2):
