@@ -152,7 +152,9 @@ def compute_deltas(here, sf_float, timings, tier2):
                 for name, t in tier2.items()
                 if name in prev_t2
             }
-        except (OSError, ValueError, TypeError, KeyError):
+        except (OSError, ValueError, TypeError, KeyError, AttributeError):
+            # AttributeError: a JSON file whose top level is not an
+            # object (array/string) has no .get — one rung, not a crash
             continue
         # Return only once the whole record parsed: a file that fails
         # mid-build must leave no partial state, or the named baseline

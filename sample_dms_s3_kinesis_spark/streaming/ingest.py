@@ -941,6 +941,7 @@ class CorpusIngestTask(ReplicationTask):
         batch_id: int,
         *,
         redirects: DataFrame | None = None,
+        redirect_sources: DataFrame | None = None,
     ) -> dict[str, int]:
         """Run the batch's pages through link extraction -> resolution
         -> unseen gates -> optional cumulative per-host budget, land
@@ -953,9 +954,13 @@ class CorpusIngestTask(ReplicationTask):
         ``redirects`` (follow_redirects mode) is the batch's
         robots-allowed (url = 3xx source URI, target = resolved
         Location) edges: targets join the candidate set behind the
-        SAME unseen/cap gates the anchor links pass, and the source
-        URIs join the batch's fetched set (they WERE fetched — a page
-        linking to a known-redirecting URL must not re-frontier it)."""
+        SAME unseen/cap gates the anchor links pass.
+        ``redirect_sources`` is the PRE-robots source URI set — every
+        3xx source the crawler actually fetched, robots judgment or
+        not — and joins the batch's fetched set (a page linking to a
+        known-redirecting URL must not re-frontier it; a denied source
+        was still fetched even though its target contributes
+        nothing)."""
         from sample_dms_s3_kinesis_spark.operators import text as _text
         from sample_dms_s3_kinesis_spark.operators import urls as _urls
 
@@ -1046,9 +1051,12 @@ class CorpusIngestTask(ReplicationTask):
         fetched = pages.select(
             F.xxhash64(F.col("_uri")).alias("_id")
         )
-        if redirects is not None:
+        srcs = (
+            redirect_sources if redirect_sources is not None else redirects
+        )
+        if srcs is not None:
             fetched = fetched.unionByName(
-                redirects.select(F.xxhash64(F.col("url")).alias("_id"))
+                srcs.select(F.xxhash64(F.col("url")).alias("_id"))
             )
         fetched = fetched.distinct()
         if self.doc_id_pattern is None:
@@ -1244,6 +1252,36 @@ class CorpusIngestTask(ReplicationTask):
 
     # -- the admission pipeline ----------------------------------------
 
+    @staticmethod
+    def _with_robots_key(df: DataFrame, uri_col: str) -> DataFrame:
+        """Append ``(host, url_path)`` derived from ``uri_col`` — the
+        RFC 9309 decision key (a bare-host URI's empty path normalizes
+        to ``"/"`` so it still hits root rules)."""
+        from sample_dms_s3_kinesis_spark.operators import urls as _urls
+
+        p = _urls.url_path(F.col(uri_col))
+        return df.withColumn(
+            "host", _urls.url_host(F.col(uri_col))
+        ).withColumn(
+            "url_path", F.when(p == "", F.lit("/")).otherwise(p)
+        )
+
+    def _robots_joined(self, keyed: DataFrame) -> DataFrame:
+        """``keyed`` (carrying host, url_path) left-joined with the
+        task's robots decisions — callers filter on ``allowed`` (NULL =
+        no rule for the host = allowed).  Persist or lineage-cut
+        ``keyed`` first: it appears on both sides of the plan."""
+        from sample_dms_s3_kinesis_spark.operators import (
+            robots as _robots,
+        )
+
+        decisions = _robots.robots_decisions(
+            keyed.select("host", "url_path"),
+            self.robots_rules,
+            agent=self.robots_agent,
+        )
+        return keyed.join(decisions, ["host", "url_path"], "left")
+
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # Redirect plumbing rows (follow_redirects mode) divert FIRST:
         # they are navigation artifacts like fetched sitemaps — their
@@ -1282,34 +1320,12 @@ class CorpusIngestTask(ReplicationTask):
         n_robots = 0
         _robots_pages = None  # persisted parse, released after `head`
         if self.robots_rules is not None and "_uri" in valid.columns:
-            from sample_dms_s3_kinesis_spark.operators import (
-                robots as _robots,
-            )
-            from sample_dms_s3_kinesis_spark.operators import urls as _urls
-
-            pages = valid.withColumn(
-                "host", _urls.url_host(F.col("_uri"))
-            ).withColumn(
-                "url_path",
-                # RFC 9309 matches the root as "/": a bare-host URI
-                # parses to an empty path and must still hit "/" rules
-                F.when(
-                    _urls.url_path(F.col("_uri")) == "", F.lit("/")
-                ).otherwise(_urls.url_path(F.col("_uri"))),
-            )
             # persisted: decisions joins pages back onto ITSELF, and
             # unpersisted that plan would embed the full WARC container
             # parse once per side, then again for the denied count and
             # the admitted pipeline — 4 container re-parses per batch
-            _robots_pages = pages.persist()
-            decisions = _robots.robots_decisions(
-                _robots_pages.select("host", "url_path"),
-                self.robots_rules,
-                agent=self.robots_agent,
-            )
-            joined = _robots_pages.join(
-                decisions, ["host", "url_path"], "left"
-            )
+            _robots_pages = self._with_robots_key(valid, "_uri").persist()
+            joined = self._robots_joined(_robots_pages)
             denied = joined.filter(F.col("allowed") == 0).persist()
             n_robots = denied.count()
             if n_robots > 0:
@@ -1336,34 +1352,29 @@ class CorpusIngestTask(ReplicationTask):
         fr_counts: dict[str, int] = {}
         n_sitemap = 0
         if self.discover_links and "_uri" in valid.columns:
-            if redirects is not None and self.robots_rules is not None:
-                # the same politeness rule the page gate applies: a
-                # robots-denied SOURCE must not contribute its target
-                from sample_dms_s3_kinesis_spark.operators import (
-                    robots as _rb,
-                )
-                from sample_dms_s3_kinesis_spark.operators import (
-                    urls as _u,
-                )
-
-                rk = redirects.withColumn(
-                    "host", _u.url_host(F.col("url"))
-                ).withColumn(
-                    "url_path",
-                    F.when(
-                        _u.url_path(F.col("url")) == "", F.lit("/")
-                    ).otherwise(_u.url_path(F.col("url"))),
-                )
-                rdec = _rb.robots_decisions(
-                    rk.select("host", "url_path"),
-                    self.robots_rules,
-                    agent=self.robots_agent,
-                )
-                redirects = (
-                    rk.join(rdec, ["host", "url_path"], "left")
-                    .filter(F.coalesce(F.col("allowed"), F.lit(1)) == 1)
-                    .drop("host", "url_path", "allowed")
-                )
+            redirect_sources = None
+            if redirects is not None:
+                # cut first: the thin (url, target) frame otherwise
+                # re-parses the container on both sides of the robots
+                # decisions join below
+                redirects = _cut_lineage(redirects)
+                # the FETCHED set takes every source, robots judgment
+                # or not — the crawler retrieved it, so an anchor at it
+                # must not re-frontier it
+                redirect_sources = redirects.select("url")
+                if self.robots_rules is not None:
+                    # the same politeness rule the page gate applies: a
+                    # robots-denied SOURCE must not contribute its
+                    # target
+                    redirects = (
+                        self._robots_joined(
+                            self._with_robots_key(redirects, "url")
+                        )
+                        .filter(
+                            F.coalesce(F.col("allowed"), F.lit(1)) == 1
+                        )
+                        .drop("host", "url_path", "allowed")
+                    )
             # lineage cut: the discovery expressions (entity-decode
             # transform per href + the resolve chain) stacked on top of
             # the robots-decisions join compile into one enormous
@@ -1374,11 +1385,8 @@ class CorpusIngestTask(ReplicationTask):
             fr_counts = self._discover_frontier(
                 _cut_lineage(valid.select("text", "_uri")),
                 batch_id,
-                redirects=(
-                    _cut_lineage(redirects)
-                    if redirects is not None
-                    else None
-                ),
+                redirects=redirects,
+                redirect_sources=redirect_sources,
             )
             # fetched sitemaps are navigation artifacts: their locs
             # just entered the frontier, the XML itself must not be

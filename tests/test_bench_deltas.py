@@ -73,6 +73,16 @@ def test_malformed_file_costs_one_rung_not_the_feature(tmp_path):
     assert delta == {"q1": 0.3}
 
 
+def test_non_object_json_costs_one_rung(tmp_path):
+    # a file whose top level is a JSON array/string parses but has no
+    # .get — it must cost one rung of recency, never the whole run
+    _write(tmp_path, "BENCH_r11.json", {"queries": {"q1": 1.0}, "sf": 0.1})
+    (tmp_path / "BENCH_r12.json").write_text('["not", "an", "object"]')
+    fname, delta, _ = compute_deltas(str(tmp_path), 0.1, {"q1": 1.2}, {})
+    assert fname == "BENCH_r11.json"
+    assert delta == {"q1": 0.2}
+
+
 def test_no_comparable_record_returns_none(tmp_path):
     _write(tmp_path, "BENCH_r12_sf1.json", {"queries": {"q1": 9.0}, "sf": 1.0})
     assert compute_deltas(str(tmp_path), 0.1, {"q1": 1.0}, {}) == (

@@ -1549,8 +1549,9 @@ def test_follow_redirects_feeds_frontier(spark, tmp_path):
     frontier the anchors feed — relative Locations resolve against the
     source URI, robots-denied sources contribute nothing, a target
     already fetched this batch is excluded, an anchor pointing AT a
-    redirect source is excluded (it was fetched), the redirect rows
-    never reach the corpus, and a replay changes nothing."""
+    redirect source is excluded (it was fetched — EVEN a robots-denied
+    one), the redirect rows never reach the corpus, and a replay
+    changes nothing."""
     from sample_dms_s3_kinesis_spark.operators.robots import parse_robots
 
     drop = tmp_path / "drop"
@@ -1577,7 +1578,8 @@ def test_follow_redirects_feeds_frontier(spark, tmp_path):
             "https://a.com/p1",
             "<p>alpha content here</p>"
             '<a href="https://b.com/keep">keep</a>'
-            '<a href="https://a.com/old">redirecting source</a>',
+            '<a href="https://a.com/old">redirecting source</a>'
+            '<a href="https://deny.com/x">denied redirecting source</a>',
         )
         + _warc_redirect("https://a.com/old", "https://a.com/new")
         + _warc_redirect("https://b.com/r", "/moved", status=302)
@@ -1597,12 +1599,13 @@ def test_follow_redirects_feeds_frontier(spark, tmp_path):
         ("https://b.com/moved", "b.com"),  # relative Location resolved
     }
     stats = task.frontier_stats()
-    # 2 anchors resolve; 3 redirect edges survive robots (deny.com/x
+    # 3 anchors resolve; 3 redirect edges survive robots (deny.com/x
     # drops); targets a.com/p1 (admitted this batch) and the anchored
-    # a.com/old (a fetched redirect source) are gated out
+    # a.com/old AND deny.com/x (fetched redirect sources — the denied
+    # one too) are gated out
     assert stats == {
-        "discovered_links": 2,
-        "discovered_unique": 2,
+        "discovered_links": 3,
+        "discovered_unique": 3,
         "discovered_redirects": 3,
         "frontier_new": 3,
     }
