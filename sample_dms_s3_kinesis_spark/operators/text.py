@@ -1077,6 +1077,41 @@ def html_links(col: Column) -> Column:
     return F.filter(F.transform(raw, _clean), lambda h: h != "")
 
 
+def html_canonical(col: Column) -> Column:
+    """The document's declared canonical URL: the href of the FIRST
+    ``<link rel="canonical" ...>`` element (either attribute order,
+    any quote form, entity-decoded, trimmed); NULL when the document
+    declares none.  ``rel`` must be exactly the token ``canonical``
+    (the overwhelmingly dominant real-world form; multi-token rel
+    lists are out of scope).  The value may be relative — resolve it
+    against the page URL (`operators/urls.py:resolve_url`) before
+    using it, the same rule ``<base href>`` follows.
+
+    rel=canonical is the ON-PAGE twin of an HTTP redirect alias: two
+    URLs serving one document declare one identity, so a dedup/frontier
+    layer can collapse them BEFORE content hashing — the alias channel
+    `sources/crawl.py:redirect_edges` provides for 3xx responses.
+    Pure Catalyst (two regexp passes: first-matching tag, then its
+    href) — a narrow projection, no UDF, no shuffle."""
+    tag = F.regexp_extract(
+        col,
+        r"(?is)<link\b[^>]*?\brel\s*=\s*([\"']?)canonical\1(?=[\s/>])"
+        r"[^>]*>",
+        0,
+    )
+    raw = F.regexp_extract(
+        tag,
+        r"(?is)\shref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
+        1,
+    )
+    unq = F.when(
+        raw.rlike("^\"") | raw.rlike("^'"),
+        F.substring(raw, 2, F.length(raw) - 2),
+    ).otherwise(raw)
+    val = F.trim(decode_html_entities(unq))
+    return F.when(val != "", val)
+
+
 def html_base_href(col: Column) -> Column:
     """The document's effective ``<base href>`` value: the FIRST
     ``<base>`` element carrying an href (the HTML5 rule — later base

@@ -8295,6 +8295,118 @@ def q_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_canonical_alias",
+    """
+    WITH b AS (SELECT doc_id AS d, doc_id % 4 AS v,
+                      doc_id - (doc_id % 4) AS g
+               FROM documents),
+    ids AS (
+      SELECT d,
+             CASE WHEN v = 1
+                    THEN 'https://h' || ((d - 1) % 5) || '.net/c/'
+                         || (d - 1)
+                  WHEN v = 2
+                    THEN 'https://h' || (d % 5) || '.net/c/' || (d - 2)
+                  ELSE 'https://h' || (d % 5) || '.net/c/' || d
+             END AS canonical_url,
+             'https://h' || (d % 5) || '.net/c/' || d AS page_url,
+             CASE WHEN v IN (1, 2, 3) THEN 1 ELSE 0 END AS declared
+      FROM b)
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(declared) AS BIGINT) AS n_declared,
+           min(page_url) AS min_url
+    FROM ids
+    GROUP BY canonical_url
+    """,
+    "rel=canonical alias collapse — the ON-PAGE twin of the redirect "
+    "alias channel: one synthesized page per doc with doc_id%4 "
+    "selecting the declaration (none / absolute double-quoted / "
+    "ROOT-RELATIVE href-before-rel / self-canonical unquoted), "
+    "html_canonical extracts the first canonical link in any "
+    "attribute order and quote form, resolve_url absolutizes it "
+    "against the page URL, and pages group under "
+    "coalesce(canonical, self) — the identity a dedup/frontier layer "
+    "collapses BEFORE content hashing (group leaders absorb their "
+    "v=1 declarers; the relative variant mints a cross-host identity "
+    "exactly as RFC 3986 resolution dictates).  The oracle recomputes "
+    "every identity from doc_id arithmetic, so a fault in the tag "
+    "match, attribute-order handling, entity decode, or relative "
+    "resolution hash-mismatches",
+    "crawl curation: rel=canonical alias collapse (on-page identity "
+    "declarations, the dedup alias source next to 3xx redirects)",
+)
+def q_canonical_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 4
+    g = (F.col("doc_id") - v).cast("string")
+
+    def _curl(i):
+        return F.concat(
+            F.lit("https://h"),
+            (i % 5).cast("string"),
+            F.lit(".net/c/"),
+            i.cast("string"),
+        )
+
+    page_url = _curl(F.col("doc_id"))
+    link = (
+        F.when(
+            v == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="'),
+                _curl(F.col("doc_id") - 1),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            v == 2,
+            # href BEFORE rel, single quotes, root-relative value
+            F.concat(
+                F.lit("<link href='/c/"),
+                g,
+                F.lit("' rel='canonical'>"),
+            ),
+        )
+        .when(
+            v == 3,
+            # unquoted attributes, self-canonical
+            F.concat(
+                F.lit("<link rel=canonical href="),
+                _curl(F.col("doc_id")),
+                F.lit(">"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        link,
+        F.lit("</head><body><p>doc "),
+        did,
+        F.lit("</p></body></html>"),
+    )
+    pages = d.select(page_url.alias("page_url"), html.alias("html"))
+    canon = _urls.resolve_url(
+        F.col("page_url"), _text.html_canonical(F.col("html"))
+    )
+    return (
+        pages.select(
+            "page_url",
+            F.coalesce(canon, F.col("page_url")).alias("canonical_url"),
+            canon.isNotNull().cast("long").alias("declared"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("declared").alias("n_declared"),
+            F.min("page_url").alias("min_url"),
+        )
+    )
+
+
+@_register(
     "q_fetch_schedule",
     """
     WITH frontier AS (

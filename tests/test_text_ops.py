@@ -910,3 +910,38 @@ def test_html_base_href(spark):
     ) == "https://cdn.x/"
     assert _html_one(spark, text.html_base_href, "<p>no base</p>") is None
     assert _html_one(spark, text.html_base_href, '<base href="">') is None
+
+
+def test_html_canonical(spark):
+    """First rel=canonical link wins, any attribute order / quote
+    form, case-insensitive, entity-decoded; exact-token rel only; NULL
+    when absent or href-less."""
+    cases = [
+        ('<head><link rel="canonical" href="https://a/x"></head>',
+         "https://a/x"),
+        ("<link rel='canonical' href='/y'>", "/y"),
+        ("<link rel=canonical href=/z>", "/z"),
+        ('<link href="https://first" rel="canonical">', "https://first"),
+        ('<link rel="stylesheet" href="s.css">'
+         '<link rel="canonical" href="https://c">', "https://c"),
+        ('<link rel="canonical" href="https://1">'
+         '<link rel="canonical" href="https://2">', "https://1"),
+        ('<LINK REL="CANONICAL" HREF="https://up">', "https://up"),
+        ('<link rel="canonicalfoo" href="https://no">', None),
+        ("<link rel=canonicalfoo href=https://no>", None),
+        ('<link rel="canonical" href="https://a/?a=1&amp;b=2">',
+         "https://a/?a=1&b=2"),
+        ("<p>no links</p>", None),
+        ('<link rel="canonical">', None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i int, html string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", text.html_canonical(F.col("html")).alias("c")
+        ).collect()
+    }
+    for i, (_, exp) in enumerate(cases):
+        assert got[i] == exp, (i, got[i], exp)
