@@ -639,3 +639,81 @@ def follow_redirects(
         "hops",
         F.coalesce(F.col("resolved"), F.lit(True)).alias("resolved"),
     )
+
+
+# --------------------------------------------------------------------
+# Recrawl scheduling from capture history
+# --------------------------------------------------------------------
+
+
+def recrawl_priority(
+    captures: DataFrame,
+    *,
+    now: str,
+    key_col: str = "urlkey",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    ts_format: str = "yyyyMMddHHmmss",
+    default_interval_s: int = 30 * 86400,
+) -> DataFrame:
+    """Per-URL recrawl scheduling from CDX-style capture history — the
+    refresh policy that closes the crawl loop in TIME (fetch → ingest
+    → discover → schedule → REFETCH): pages observed to change often
+    come due sooner.
+
+    One row per ``key_col``:
+
+    - ``n_captures`` / ``n_changes`` — captures seen, and how many
+      CHANGED content (consecutive-capture digest inequality, capture
+      order by ``ts_col``);
+    - ``first_ts`` / ``last_ts`` — observation span;
+    - ``interval_s`` — estimated change interval: elapsed span over
+      observed changes; keys with no observed change (or a single
+      capture) fall back to ``default_interval_s``;
+    - ``age_s`` — seconds since the last capture, against ``now`` (an
+      ISO timestamp string, pinned by the caller — never wall clock,
+      so plans replay deterministically);
+    - ``due`` — ``age_s / interval_s``, rounded to 4 decimals: ≥ 1
+      means the page is expected to have changed since its last
+      capture.  Sort descending and cut at the fetch budget.
+
+    Cost: one window (lag per key, ordered by capture time) + one
+    groupBy — both partition on the key, one shuffle total; scales
+    linearly in captures.  Pure Catalyst; DuckDB-replayable."""
+    if default_interval_s <= 0:
+        raise ValueError(
+            f"default_interval_s must be > 0, got {default_interval_s}"
+        )
+    t = F.to_timestamp(F.col(ts_col).cast("string"), ts_format)
+    base = captures.select(
+        F.col(key_col), t.alias("_t"), F.col(digest_col).alias("_d")
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("_t"))
+    prev = F.lag("_d").over(w)
+    staged = base.withColumn(
+        "_chg", (prev.isNotNull() & (F.col("_d") != prev)).cast("long")
+    )
+    agg = staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum("_chg").alias("n_changes"),
+        F.min("_t").alias("first_ts"),
+        F.max("_t").alias("last_ts"),
+    )
+    span = F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")
+    interval = F.when(
+        F.col("n_changes") > 0,
+        (span / F.col("n_changes")).cast("long"),
+    ).otherwise(F.lit(int(default_interval_s)))
+    age = F.unix_timestamp(F.lit(now).cast("timestamp")) - F.unix_timestamp(
+        "last_ts"
+    )
+    return agg.select(
+        key_col,
+        "n_captures",
+        "n_changes",
+        "first_ts",
+        "last_ts",
+        interval.alias("interval_s"),
+        age.alias("age_s"),
+        F.round(age / interval, 4).alias("due"),
+    )

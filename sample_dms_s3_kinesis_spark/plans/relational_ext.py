@@ -6944,6 +6944,60 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
             lines.write.mode("overwrite").text(out)
             _CRAWL_FIXTURE_CACHE[key] = path
             return out
+        if kind == "cdx_hist":
+            # Three-capture history per doc for the recrawl scheduler:
+            # Jan 1 (digest v1), Mar 15 (current digest), May 20
+            # (changed AGAIN for doc_id % 3 == 0, unchanged otherwise)
+            # — so a third of the keys show 2 observed changes and the
+            # rest 1, at oracle-predictable timestamps (the seconds
+            # field is doc_id % 60, identical across captures, so
+            # spans are exact whole days).
+            did = F.col("doc_id").cast("string")
+            urlkey = F.concat(
+                F.lit("com,"), F.col("source"), F.lit(")/p/"), did
+            )
+            url = F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/p/"),
+                did,
+            )
+            ss = F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0")
+
+            def _hline(ts_prefix, digest):
+                js = F.to_json(
+                    F.struct(
+                        url.alias("url"),
+                        F.lit("200").alias("status"),
+                        digest.alias("digest"),
+                    )
+                )
+                return F.concat(
+                    urlkey,
+                    F.lit(" "),
+                    F.concat(F.lit(ts_prefix), ss),
+                    F.lit(" "),
+                    js,
+                )
+
+            l1 = _hline(
+                "202401010000",
+                F.md5(F.concat(F.col("text"), F.lit("v1"))),
+            )
+            l2 = _hline("202403150000", F.md5(F.col("text")))
+            l3 = _hline(
+                "202405200000",
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.md5(F.concat(F.col("text"), F.lit("v3"))),
+                ).otherwise(F.md5(F.col("text"))),
+            )
+            lines = d.select(
+                F.explode(F.array(l1, l2, l3)).alias("value")
+            )
+            lines.write.mode("overwrite").text(out)
+            _CRAWL_FIXTURE_CACHE[key] = path
+            return out
         if kind == "cdx":
             # CDXJ index sidecar: TWO captures per doc (an older 'v1'
             # content digest, then the current one ~10 weeks later);
@@ -8403,6 +8457,77 @@ def q_canonical_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("declared").alias("n_declared"),
             F.min("page_url").alias("min_url"),
         )
+    )
+
+
+@_register(
+    "q_recrawl_schedule",
+    """
+    WITH s AS (SELECT doc_id, source, text,
+                      lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ss
+               FROM documents),
+    caps AS (
+      SELECT 'com,' || source || ')/p/' || doc_id AS urlkey,
+             '202401010000' || ss AS ts, md5(text || 'v1') AS digest
+      FROM s
+      UNION ALL
+      SELECT 'com,' || source || ')/p/' || doc_id,
+             '202403150000' || ss, md5(text) FROM s
+      UNION ALL
+      SELECT 'com,' || source || ')/p/' || doc_id,
+             '202405200000' || ss,
+             CASE WHEN doc_id % 3 = 0 THEN md5(text || 'v3')
+                  ELSE md5(text) END
+      FROM s),
+    w AS (
+      SELECT urlkey, digest, strptime(ts, '%Y%m%d%H%M%S') AS t,
+             lag(digest) OVER (
+               PARTITION BY urlkey
+               ORDER BY strptime(ts, '%Y%m%d%H%M%S')) AS prev
+      FROM caps),
+    a AS (
+      SELECT urlkey,
+             CAST(count(*) AS BIGINT) AS n_captures,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND digest <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             min(t) AS first_t, max(t) AS last_t
+      FROM w GROUP BY urlkey),
+    b AS (
+      SELECT urlkey, n_captures, n_changes,
+             CAST(CASE WHEN n_changes > 0
+                  THEN (epoch(last_t) - epoch(first_t)) / n_changes
+                  ELSE 2592000 END AS BIGINT) AS interval_s,
+             CAST(epoch(TIMESTAMP '2024-07-01 00:00:00')
+                  - epoch(last_t) AS BIGINT) AS age_s
+      FROM a)
+    SELECT urlkey, n_captures, n_changes, interval_s, age_s,
+           ROUND(CAST(age_s AS DOUBLE) / interval_s, 4) AS due
+    FROM b
+    """,
+    "recrawl scheduling from CDX capture history — the refresh policy "
+    "that closes the crawl loop in TIME: a three-capture CDXJ fixture "
+    "per doc (Jan/Mar/May; a third of the keys change twice, the rest "
+    "once) flows through read_cdx -> jsonl_records -> "
+    "urls.recrawl_priority, which estimates each key's change interval "
+    "(observation span over observed digest changes, one lag window + "
+    "one groupBy) and scores due = age / interval against a pinned "
+    "'now' — pages observed to change often come due sooner.  The "
+    "oracle replays the lag/group arithmetic from the documents table, "
+    "so a fault in capture ordering, change counting, or the interval "
+    "estimate hash-mismatches",
+    "crawl scheduling: change-rate recrawl priority (fetch -> ingest "
+    "-> discover -> schedule -> REFETCH)",
+)
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "cdx_hist")
+    df = _crawl.read_cdx(
+        spark, path, "url string, status string, digest string"
+    )
+    recs = _crawl.jsonl_records(df)
+    return _urls.recrawl_priority(
+        recs, now="2024-07-01 00:00:00", ts_col="capture_ts"
+    ).select(
+        "urlkey", "n_captures", "n_changes", "interval_s", "age_s", "due"
     )
 
 

@@ -541,3 +541,54 @@ def test_resolve_url_matches_rfc_reference(spark):
         if r["r"] != expected(r["base"], r["href"])
     ]
     assert not bad, bad[:5]
+
+
+def test_recrawl_priority(spark):
+    """Change-interval estimation: span over observed digest changes
+    (capture order by ts), default interval when no change was ever
+    observed (incl. single-capture keys), due = age / interval."""
+    from sample_dms_s3_kinesis_spark.operators.urls import recrawl_priority
+
+    rows = [
+        # k1: two captures, changed -> interval = span = 10 days
+        ("k1", "20240101000000", "d1"),
+        ("k1", "20240111000000", "d2"),
+        # k2: three captures, one change across a 20-day span
+        ("k2", "20240101000000", "a"),
+        ("k2", "20240111000000", "a"),
+        ("k2", "20240121000000", "b"),
+        # k3: never changed -> default interval
+        ("k3", "20240101000000", "x"),
+        ("k3", "20240121000000", "x"),
+        # k4: single capture -> default interval
+        ("k4", "20240601000000", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "urlkey string, ts string, digest string"
+    )
+    out = {
+        r["urlkey"]: r
+        for r in recrawl_priority(
+            df, now="2024-07-01 00:00:00", default_interval_s=30 * 86400
+        ).collect()
+    }
+    day = 86400
+    assert out["k1"]["n_captures"] == 2
+    assert out["k1"]["n_changes"] == 1
+    assert out["k1"]["interval_s"] == 10 * day
+    assert out["k1"]["age_s"] == 172 * day  # Jan 11 -> Jul 1
+    assert out["k1"]["due"] == round(172 / 10, 4)
+    assert out["k2"]["n_changes"] == 1
+    assert out["k2"]["interval_s"] == 20 * day
+    assert out["k3"]["n_changes"] == 0
+    assert out["k3"]["interval_s"] == 30 * day  # default
+    assert out["k4"]["n_captures"] == 1
+    assert out["k4"]["interval_s"] == 30 * day
+    assert out["k4"]["age_s"] == 30 * day
+    assert out["k4"]["due"] == 1.0  # exactly due
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="default_interval_s"):
+        recrawl_priority(df, now="2024-07-01 00:00:00",
+                         default_interval_s=0)
