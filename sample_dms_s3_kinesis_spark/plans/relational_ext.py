@@ -6944,6 +6944,59 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
             lines.write.mode("overwrite").text(out)
             _CRAWL_FIXTURE_CACHE[key] = path
             return out
+        if kind == "warc_val":
+            # Cache-validator fixture: doc_id % 3 selects the header
+            # set (0: quoted ETag + Last-Modified, 1: weak W/ ETag
+            # only, 2: neither) — the raw forms RFC 7232 compares
+            # byte-wise, at oracle-predictable values.
+            did = F.col("doc_id").cast("string")
+            uri = F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/p/"),
+                did,
+            )
+            ss = F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0")
+            v = F.col("doc_id") % 3
+            body = F.lit("<html><body>validator page</body></html>")
+            etag_strong = F.concat(
+                F.lit('ETag: "e-'), did, F.lit('"')
+            )
+            etag_weak = F.concat(
+                F.lit('ETag: W/"e-'), did, F.lit('"')
+            )
+            lm = F.concat(
+                F.lit("Last-Modified: Mon, 01 Jan 2024 00:00:"),
+                ss,
+                F.lit(" GMT"),
+            )
+            lines = d.select(
+                F.when(
+                    v == 0,
+                    _crawl.warc_response_record(
+                        target_uri=uri,
+                        body=body,
+                        extra_http_headers=(etag_strong, lm),
+                    ),
+                )
+                .when(
+                    v == 1,
+                    _crawl.warc_response_record(
+                        target_uri=uri,
+                        body=body,
+                        extra_http_headers=(etag_weak,),
+                    ),
+                )
+                .otherwise(
+                    _crawl.warc_response_record(
+                        target_uri=uri, body=body
+                    )
+                )
+                .alias("value")
+            )
+            lines.write.mode("overwrite").text(out)
+            _CRAWL_FIXTURE_CACHE[key] = path
+            return out
         if kind == "cdx_hist":
             # Three-capture history per doc for the recrawl scheduler:
             # Jan 1 (digest v1), Mar 15 (current digest), May 20
@@ -8457,6 +8510,46 @@ def q_canonical_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("declared").alias("n_declared"),
             F.min("page_url").alias("min_url"),
         )
+    )
+
+
+@_register(
+    "q_http_validators",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                  THEN '"e-' || doc_id || '"'
+                WHEN doc_id % 3 = 1
+                  THEN 'W/"e-' || doc_id || '"' END AS http_etag,
+           CASE WHEN doc_id % 3 = 0
+                  THEN 'Mon, 01 Jan 2024 00:00:'
+                       || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                       || ' GMT' END AS http_last_modified
+    FROM documents
+    """,
+    "HTTP cache validators off the wire: the corpus framed into WARC "
+    "with doc_id%3 selecting the header set (quoted ETag + "
+    "Last-Modified / weak W/ ETag only / neither), read back through "
+    "warc_responses — the raw http_etag / http_last_modified columns "
+    "a conditional refetch sends back as If-None-Match / "
+    "If-Modified-Since (RFC 7232 compares validators byte-wise, so "
+    "quotes and the W/ prefix survive exactly).  The oracle "
+    "recomputes every validator from doc_id arithmetic; pairs with "
+    "q_recrawl_schedule to complete the refresh tier: WHEN to refetch "
+    "(change-rate due score) and HOW to make it cheap (conditional "
+    "request, 304 instead of a body)",
+    "crawl scheduling: conditional-refetch validators (ETag / "
+    "Last-Modified off warc_responses)",
+)
+def q_http_validators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "warc_val")
+    resp = _crawl.warc_responses(_crawl.read_warc_records(spark, path))
+    return resp.select(
+        F.regexp_extract("target_uri", r"/p/([0-9]+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        "http_etag",
+        "http_last_modified",
     )
 
 

@@ -1082,8 +1082,11 @@ def warc_responses(
 
     Adds ``http_status`` (int), ``http_content_type``,
     ``http_location`` (the raw redirect-target header —
-    :func:`redirect_edges` resolves it), ``http_charset`` (the
-    Content-Type charset parameter, lowercased),
+    :func:`redirect_edges` resolves it), ``http_etag`` /
+    ``http_last_modified`` (cache validators, raw — the
+    If-None-Match / If-Modified-Since a conditional refetch sends
+    back), ``http_charset`` (the Content-Type charset parameter,
+    lowercased),
     ``http_transfer_encoding``, ``http_content_encoding``, ``body``
     and ``body_reject_reason``; keeps the WARC columns.  Non-response
     records (request, warcinfo, metadata, …) are filtered out — crawl
@@ -1295,6 +1298,17 @@ def warc_responses(
             _ows(_warc_header(F.col("_http_hdr"), "Location")),
             F.lit(""),
         ).alias("http_location"),
+        # cache validators, raw (ETag keeps its quotes and any W/ weak
+        # prefix — RFC 7232 compares them byte-wise, so stripping
+        # would corrupt the If-None-Match a refetch must send back)
+        F.nullif(
+            _ows(_warc_header(F.col("_http_hdr"), "ETag")),
+            F.lit(""),
+        ).alias("http_etag"),
+        F.nullif(
+            _ows(_warc_header(F.col("_http_hdr"), "Last-Modified")),
+            F.lit(""),
+        ).alias("http_last_modified"),
         "http_charset",
         "http_transfer_encoding",
         "http_content_encoding",

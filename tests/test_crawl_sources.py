@@ -1134,3 +1134,26 @@ def test_charset_on_text_path_rejects(spark, tmp_path):
     assert row["http_charset"] == "iso-8859-1"
     assert row["body"] is None
     assert row["body_reject_reason"] == "charset_on_text_path"
+
+
+def test_http_validator_columns(spark, tmp_path):
+    """ETag / Last-Modified surface raw (quotes and the W/ weak prefix
+    survive — RFC 7232 compares validators byte-wise), header names
+    case-insensitive, trailing OWS trimmed, NULL when absent."""
+    out = str(tmp_path / "warc")
+    rec = crawl.warc_response_record(
+        target_uri=F.lit("https://t/v"),
+        body=F.lit("x"),
+        extra_http_headers=(
+            'etag: W/"abc" \t',
+            "LAST-MODIFIED: Tue, 02 Jan 2024 03:04:05 GMT",
+        ),
+    )
+    spark.range(1).select(rec.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(out)
+    (row,) = crawl.warc_responses(
+        crawl.read_warc_records(spark, out)
+    ).collect()
+    assert row["http_etag"] == 'W/"abc"'
+    assert row["http_last_modified"] == "Tue, 02 Jan 2024 03:04:05 GMT"
