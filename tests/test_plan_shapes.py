@@ -505,3 +505,64 @@ def test_warc_text_decode_path_has_no_python(spark, tmp_path):
     # one decompressor eval for the whole response frame (plus the
     # container reader's own mapInPandas)
     assert bin_plan.count("ArrowEvalPython") == 1
+
+
+def test_recrawl_priority_single_shuffle_no_python(spark):
+    """The change-rate estimator is one lag window + one groupBy on
+    the SAME key: Catalyst reuses the window's hash partitioning for
+    the aggregate, so the whole operator is exactly ONE exchange and
+    zero Python."""
+    from sample_dms_s3_kinesis_spark.operators.urls import (
+        recrawl_priority,
+    )
+
+    df = spark.createDataFrame(
+        [("k", "20240101000000", "d")],
+        "urlkey string, ts string, digest string",
+    )
+    plan = (
+        recrawl_priority(df, now="2024-07-01 00:00:00")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_canonical_alias_stays_jvm_side_single_shuffle(spark):
+    """html_canonical + resolve + identity groupBy: pure Catalyst, one
+    aggregate exchange, one documents scan."""
+    plan = _plan(spark, "q_canonical_alias")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_http_validator_columns_no_python(spark, tmp_path):
+    """The validator headers ride the existing Catalyst header probes:
+    the text-path response plan stays Python-free with them selected."""
+    from sample_dms_s3_kinesis_spark.sources import crawl
+
+    body = "v page"
+    payload = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        'ETag: "x"\r\n\r\n' + body
+    )
+    rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://p.com/v\r\n"
+        f"Content-Length: {len(payload.encode())}\r\n\r\n{payload}\r\n\r\n"
+    )
+    t = tmp_path / "txt"
+    t.mkdir()
+    (t / "f.warc").write_text(rec)
+    plan = (
+        crawl.warc_responses(crawl.read_warc_records(spark, str(t)))
+        .select("http_etag", "http_last_modified", "http_charset")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "pythonUDF"):
+        assert marker not in plan, marker
