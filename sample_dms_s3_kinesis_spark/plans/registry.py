@@ -2252,6 +2252,126 @@ def q_redirect_frontier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema).orderBy("url")
 
 
+_REVAL_E2E_CACHE: dict[str, tuple[list, object]] = {}
+
+
+def _revalidation_e2e_results(spark: SparkSession):
+    """Cached drive of track_revalidations mode: batch 0 admits one
+    page; batch 1 carries two 304 Not Modified responses (one for the
+    admitted page, one for a URL the corpus has never seen) plus a
+    replay — the freshness channel of a conditional-refetch loop."""
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        CorpusIngestTask,
+    )
+
+    key = spark.sparkContext.applicationId
+    if key not in _REVAL_E2E_CACHE:
+        root = tempfile.mkdtemp(prefix="q_reval_e2e_")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        task = CorpusIngestTask(
+            spark,
+            drop,
+            os.path.join(root, "corpus"),
+            input_format="warc",
+            extract_html=True,
+            track_revalidations=True,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+
+        def rec(uri, payload):
+            return (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(payload.encode())}\r\n\r\n"
+                f"{payload}\r\n\r\n"
+            )
+
+        try:
+            with open(os.path.join(drop, "b0.warc"), "w") as f:
+                f.write(
+                    rec(
+                        "https://a.com/p1",
+                        "HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                        "\r\n\r\n<html><body><p>alpha body</p>"
+                        "</body></html>",
+                    )
+                )
+            task._process_batch(task._source_frame(streaming=False), 0)
+            os.remove(os.path.join(drop, "b0.warc"))
+            h304 = 'HTTP/1.1 304 Not Modified\r\nETag: "x"\r\n\r\n'
+            with open(os.path.join(drop, "b1.warc"), "w") as f:
+                f.write(
+                    rec("https://a.com/p1", h304)
+                    + rec("https://b.com/q", h304)
+                )
+            batch = task._source_frame(streaming=False)
+            task._process_batch(batch, 1)
+            task._process_batch(batch, 1)  # the replay: changes nothing
+            stats = task.ingest_stats()
+            frame = (
+                task.revalidations()
+                .join(
+                    task.corpus().select(
+                        "doc_id", F.lit(True).alias("known")
+                    ),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "target_uri",
+                    "batch_id",
+                    F.coalesce(F.col("known"), F.lit(False)).alias(
+                        "known"
+                    ),
+                    F.lit(int(stats["revalidated"])).alias(
+                        "revalidated_total"
+                    ),
+                    F.lit(int(stats["admitted"])).alias(
+                        "admitted_total"
+                    ),
+                )
+            )
+            _REVAL_E2E_CACHE[key] = (frame.collect(), frame.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _REVAL_E2E_CACHE[key]
+
+
+@_register(
+    "q_revalidation_e2e",
+    """
+    SELECT * FROM (VALUES
+      ('https://a.com/p1', 1, true,  2, 1),
+      ('https://b.com/q',  1, false, 2, 1)
+    ) AS t(target_uri, batch_id, known,
+           revalidated_total, admitted_total)
+    ORDER BY target_uri
+    """,
+    "304-revalidation E2E: CorpusIngestTask(track_revalidations=True) "
+    "admits one page, then drains a batch of two 304 Not Modified "
+    "responses plus a replay — both land in the _revalidated store "
+    "keyed by the SAME doc_id admitted pages use (the one for the "
+    "admitted page joins its corpus row; the never-seen URL does "
+    "not), the `revalidated` counter reads 2, the corpus stays at 1 "
+    "doc (a 304 carries no body and never re-admits), and the replay "
+    "changes nothing; oracle = the hand-derived outcome.  The answer "
+    "channel of the conditional-refetch loop (q_recrawl_schedule "
+    "decides WHEN, q_http_validators supplies the request headers, "
+    "this records the 'still fresh' result)",
+    "CorpusIngestTask revalidation mode end-to-end (304 freshness "
+    "channel)",
+)
+def q_revalidation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema = _revalidation_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("target_uri")
+
+
 @_register(
     "q_metrics_e2e_sketches",
     """
@@ -4525,7 +4645,7 @@ DRIVER_WINDOW: list[str] = [
 # (a) any query registered during the r13 sessions (enumerate here as
 #     they land): q_redirect_frontier, q_redirect_frontier_e2e,
 #     q_charset_transcode, q_canonical_alias, q_recrawl_schedule,
-#     q_http_validators;
+#     q_http_validators, q_revalidation_e2e;
 # (b) the 24 remaining r8-stale rows (q_zorder_buckets, q_k_anonymity,
 #     q_unigram_vocab, q_unigram_encode, q_pca_explained,
 #     q_pca_whitened_norms, q_neardup_clustering, q_aggview_e2e,

@@ -101,6 +101,7 @@ class CorpusIngestTask(ReplicationTask):
         cdx_max_per_host: int | None = None,
         discover_links: bool = False,
         follow_redirects: bool = False,
+        track_revalidations: bool = False,
         frontier_max_per_host: int | None = None,
         frontier_key: str = "url",
         checkpoint_dir: str | None = None,
@@ -266,8 +267,21 @@ class CorpusIngestTask(ReplicationTask):
             raise ValueError(
                 "follow_redirects requires discover_links=True"
             )
+        # track_revalidations: 304 Not Modified responses (what a
+        # conditional refetch with the stored If-None-Match /
+        # If-Modified-Since validators gets back for an unchanged
+        # page) land in the per-batch _revalidated/ store and count as
+        # `revalidated` — freshness confirmation a corpus owner reads
+        # next to the admission funnel, never a re-admission (a 304
+        # carries no body).  WARC modes only (keys off the target URI).
+        if track_revalidations and input_format == "jsonl":
+            raise ValueError(
+                "track_revalidations requires a WARC input_format "
+                "(revalidation keys off each response's target URI)"
+            )
         self.discover_links = discover_links
         self.follow_redirects = follow_redirects
+        self.track_revalidations = track_revalidations
         self.frontier_max_per_host = frontier_max_per_host
         self.frontier_key = frontier_key
         self.checkpoint_dir = (
@@ -570,6 +584,7 @@ class CorpusIngestTask(ReplicationTask):
             "rejected": 0,
             "rejected_contract": 0,
             "rejected_robots": 0,
+            "revalidated": 0,
         }
         for counts in self._load_manifest().values():
             for k in totals:
@@ -601,6 +616,34 @@ class CorpusIngestTask(ReplicationTask):
             .select(
                 F.col("doc_id").cast("long").alias("doc_id"),
                 F.col("failed_rule").cast("string").alias("failed_rule"),
+                F.col("batch_id").cast("long").alias("batch_id"),
+            )
+        )
+
+    def revalidations(self) -> DataFrame:
+        """(doc_id, target_uri, batch_id) for every 304-revalidated
+        response — freshness confirmations from conditional refetches,
+        the refresh tier's answer channel (pair with
+        `operators/urls.py:recrawl_priority`'s due scores and the
+        validator columns `warc_responses` surfaces)."""
+        manifest = self._load_manifest()
+        paths = [
+            f"{self.corpus_dir}/_revalidated/batch_id={b}"
+            for b in sorted(manifest, key=int)
+            if int(manifest[b].get("revalidated", 0)) > 0
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "doc_id long, target_uri string, batch_id long"
+            )
+        return (
+            self.spark.read.option(
+                "basePath", f"{self.corpus_dir}/_revalidated"
+            )
+            .parquet(*paths)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("target_uri").cast("string").alias("target_uri"),
                 F.col("batch_id").cast("long").alias("batch_id"),
             )
         )
@@ -1228,7 +1271,9 @@ class CorpusIngestTask(ReplicationTask):
             # corpus store
             *(
                 [F.col("target_uri").alias("_uri")]
-                if self.robots_rules is not None or self.discover_links
+                if self.robots_rules is not None
+                or self.discover_links
+                or self.track_revalidations
                 else []
             ),
         )
@@ -1248,6 +1293,30 @@ class CorpusIngestTask(ReplicationTask):
             out = out.withColumn(
                 "_redirect_target", F.lit(None).cast("string")
             ).unionByName(redir)
+        if self.track_revalidations:
+            # 304 rows ride along like the redirect rows: text NULL, a
+            # _revalidated marker; diverted to the freshness store
+            # before any content gate.  The doc_id expression is the
+            # SAME one admitted pages use, so a revalidation row joins
+            # its corpus doc by id.
+            reval = responses.filter(
+                (F.col("http_status") == 304)
+                & F.col("target_uri").isNotNull()
+            ).select(
+                doc_id.alias("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+                F.col("target_uri").alias("_uri"),
+                *(
+                    [F.lit(None).cast("string").alias("_redirect_target")]
+                    if self.follow_redirects
+                    else []
+                ),
+                F.lit(True).alias("_revalidated"),
+            )
+            out = out.withColumn(
+                "_revalidated", F.lit(None).cast("boolean")
+            ).unionByName(reval)
         return out
 
     # -- the admission pipeline ----------------------------------------
@@ -1303,6 +1372,33 @@ class CorpusIngestTask(ReplicationTask):
             )
         if "_redirect_target" in batch_df.columns:
             batch_df = batch_df.drop("_redirect_target")
+        # Revalidation plumbing rows (track_revalidations mode): 304s
+        # confirm freshness of an already-fetched page — they land in
+        # the per-batch _revalidated store (overwrite: replay-
+        # idempotent) and count as `revalidated`, never as content.
+        n_reval = 0
+        if (
+            self.track_revalidations
+            and "_revalidated" in batch_df.columns
+        ):
+            revals = batch_df.filter(
+                F.coalesce(F.col("_revalidated"), F.lit(False))
+            ).select("doc_id", F.col("_uri").alias("target_uri"))
+            batch_df = batch_df.filter(
+                ~F.coalesce(F.col("_revalidated"), F.lit(False))
+            )
+            revals = revals.persist()
+            n_reval = revals.count()
+            if n_reval > 0:
+                vdir = (
+                    f"{self.corpus_dir}/_revalidated"
+                    f"/batch_id={batch_id}"
+                )
+                revals.write.mode("overwrite").parquet(vdir)
+                self.spark.catalog.refreshByPath(vdir)
+            revals.unpersist()
+        if "_revalidated" in batch_df.columns:
+            batch_df = batch_df.drop("_revalidated")
         if "embedding" not in batch_df.columns:
             # direct callers may ship (doc_id, text) frames; the
             # streaming path always reads the full DOC_SCHEMA
@@ -1462,6 +1558,7 @@ class CorpusIngestTask(ReplicationTask):
                     - n_sitemap,
                     "rejected_contract": n_contract,
                     "rejected_robots": n_robots,
+                    "revalidated": n_reval,
                     **fr_counts,
                 },
             )
@@ -1683,6 +1780,7 @@ class CorpusIngestTask(ReplicationTask):
                 - n_sitemap,
                 "rejected_contract": n_contract,
                 "rejected_robots": n_robots,
+                "revalidated": n_reval,
                 **fr_counts,
             },
         )

@@ -1665,3 +1665,92 @@ def test_follow_redirects_validation(spark, tmp_path):
             input_format="warc",
             follow_redirects=True,
         )
+
+
+def _warc_304(uri):
+    payload = (
+        'HTTP/1.1 304 Not Modified\r\nETag: "x"\r\n\r\n'
+    )
+    return (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(payload.encode())}\r\n\r\n"
+        f"{payload}\r\n\r\n"
+    )
+
+
+def test_track_revalidations(spark, tmp_path):
+    """track_revalidations=True: 304 Not Modified responses land in
+    the per-batch _revalidated store keyed by the SAME doc_id the
+    admitted page carries, count as `revalidated`, never touch the
+    content funnel, and replay idempotently."""
+    from pyspark.sql import functions as F
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        track_revalidations=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    (drop / "b0.warc").write_text(
+        _warc_page("https://a.com/p1", "<p>fresh page body</p>")
+    )
+    task._process_batch(task._source_frame(streaming=False), 0)
+    assert task.corpus().count() == 1
+    (page_id,) = [r["doc_id"] for r in task.corpus().collect()]
+
+    (drop / "b0.warc").unlink()
+    (drop / "b1.warc").write_text(
+        _warc_304("https://a.com/p1") + _warc_304("https://b.com/q")
+    )
+    batch = task._source_frame(streaming=False)
+    task._process_batch(batch, 1)
+
+    got = {
+        (r["doc_id"], r["target_uri"], r["batch_id"])
+        for r in task.revalidations().collect()
+    }
+    unknown_id = (
+        spark.range(1)
+        .select(F.xxhash64(F.lit("https://b.com/q")))
+        .collect()[0][0]
+    )
+    assert got == {
+        (page_id, "https://a.com/p1", 1),
+        (unknown_id, "https://b.com/q", 1),
+    }
+    # the admitted doc's revalidation joins its corpus row by id
+    assert (
+        task.corpus()
+        .join(task.revalidations(), "doc_id")
+        .count()
+        == 1
+    )
+    stats = task.ingest_stats()
+    assert stats["revalidated"] == 2
+    assert stats["admitted"] == 1
+    assert task.corpus().count() == 1  # 304s never re-admit
+
+    # replay changes nothing
+    task._process_batch(batch, 1)
+    assert task.ingest_stats() == stats
+    assert {
+        (r["doc_id"], r["target_uri"], r["batch_id"])
+        for r in task.revalidations().collect()
+    } == got
+
+
+def test_track_revalidations_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="track_revalidations"):
+        CorpusIngestTask(
+            spark,
+            str(tmp_path / "d"),
+            str(tmp_path / "c"),
+            track_revalidations=True,
+        )
