@@ -1501,7 +1501,8 @@ def q_ingest_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('dropped_sem',       0),
       ('rejected',          1),
       ('rejected_contract', 1),
-      ('rejected_robots',   0)
+      ('rejected_robots',   0),
+      ('revalidated',       0)
     ) AS t(counter, value)
     ORDER BY counter
     """,
