@@ -4646,7 +4646,7 @@ DRIVER_WINDOW: list[str] = [
 # (a) any query registered during the r13 sessions (enumerate here as
 #     they land): q_redirect_frontier, q_redirect_frontier_e2e,
 #     q_charset_transcode, q_canonical_alias, q_recrawl_schedule,
-#     q_http_validators, q_revalidation_e2e;
+#     q_http_validators, q_revalidation_e2e, q_refresh_pipeline;
 # (b) the 24 remaining r8-stale rows (q_zorder_buckets, q_k_anonymity,
 #     q_unigram_vocab, q_unigram_encode, q_pca_explained,
 #     q_pca_whitened_norms, q_neardup_clustering, q_aggview_e2e,

@@ -8625,6 +8625,125 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_refresh_pipeline",
+    """
+    WITH s AS (SELECT doc_id, source, text,
+                      lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ss,
+                      'https://' || source || '.example.com/p/' || doc_id
+                        AS url
+               FROM documents),
+    caps AS (
+      SELECT url, '202401010000' || ss AS ts, md5(text || 'v1') AS digest
+      FROM s
+      UNION ALL
+      SELECT url, '202403150000' || ss, md5(text) FROM s
+      UNION ALL
+      SELECT url, '202405200000' || ss,
+             CASE WHEN doc_id % 3 = 0 THEN md5(text || 'v3')
+                  ELSE md5(text) END
+      FROM s),
+    w AS (
+      SELECT url, digest, strptime(ts, '%Y%m%d%H%M%S') AS t,
+             lag(digest) OVER (
+               PARTITION BY url
+               ORDER BY strptime(ts, '%Y%m%d%H%M%S')) AS prev
+      FROM caps),
+    a AS (
+      SELECT url,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND digest <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             min(t) AS first_t, max(t) AS last_t
+      FROM w GROUP BY url),
+    b AS (
+      SELECT url,
+             CAST(CASE WHEN n_changes > 0
+                  THEN (epoch(last_t) - epoch(first_t)) / n_changes
+                  ELSE 2592000 END AS BIGINT) AS interval_s,
+             CAST(epoch(TIMESTAMP '2025-01-01 00:00:00')
+                  - epoch(last_t) AS BIGINT) AS age_s
+      FROM a),
+    sel AS (
+      SELECT url, ROUND(CAST(age_s AS DOUBLE) / interval_s, 4) AS due
+      FROM b
+      WHERE ROUND(CAST(age_s AS DOUBLE) / interval_s, 4) >= 2.0),
+    val AS (
+      SELECT url,
+             CASE WHEN doc_id % 3 = 0 THEN '"e-' || doc_id || '"'
+                  WHEN doc_id % 3 = 1 THEN 'W/"e-' || doc_id || '"'
+             END AS http_etag,
+             CASE WHEN doc_id % 3 = 0
+                    THEN 'Mon, 01 Jan 2024 00:00:' || ss || ' GMT'
+             END AS http_last_modified
+      FROM s),
+    j AS (
+      SELECT sel.url, sel.due, val.http_etag, val.http_last_modified,
+             regexp_extract(sel.url, 'https://([^/]+)', 1) AS host
+      FROM sel JOIN val ON sel.url = val.url),
+    wv AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)
+               AS wave
+      FROM j)
+    SELECT url, due, http_etag, http_last_modified, wave,
+           CAST((wave - 1) AS DOUBLE) AS fetch_offset_s
+    FROM wv
+    """,
+    "the refresh-tier flagship composition — WHEN, WITH WHAT, and IN "
+    "WHAT ORDER to refetch: 3-capture CDX history -> "
+    "urls.recrawl_priority (change-rate due scores against a pinned "
+    "now) -> due >= 2.0 selection (the twice-changed third of the "
+    "keys; the once-changed rest sit at ~1.6 and wait) -> join the "
+    "conditional-request "
+    "validators (ETag / Last-Modified) parsed off the last responses "
+    "by warc_responses -> urls.fetch_schedule politeness waves "
+    "(per-host serialization at the default delay).  Every stage is "
+    "the production operator and every stage replays in DuckDB — the "
+    "refresh twin of q_frontier_pipeline (discovery) and "
+    "q_cdx_selection_pipeline (index selection), closing the loop: "
+    "fetch -> ingest -> discover -> schedule -> refresh",
+    "crawl scheduling: refresh pipeline (due scores + validators + "
+    "waves, north-star composition)",
+)
+def q_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdx_path = _crawl_fixture(spark, sf_dir, "cdx_hist")
+    recs = _crawl.jsonl_records(
+        _crawl.read_cdx(
+            spark,
+            cdx_path,
+            "url string, status string, digest string",
+        )
+    )
+    pri = _urls.recrawl_priority(
+        recs, now="2025-01-01 00:00:00", key_col="url", ts_col="capture_ts"
+    )
+    sel = pri.filter(F.col("due") >= 2.0).select("url", "due")
+    val_path = _crawl_fixture(spark, sf_dir, "warc_val")
+    vals = _crawl.warc_responses(
+        _crawl.read_warc_records(spark, val_path)
+    ).select(
+        F.col("target_uri").alias("url"),
+        "http_etag",
+        "http_last_modified",
+    )
+    joined = sel.join(vals, "url").withColumn(
+        "host", _urls.url_host(F.col("url"))
+    )
+    sched = _urls.fetch_schedule(
+        joined,
+        spark.createDataFrame([], "host string, crawl_delay double"),
+        order_col="url",
+        default_delay=1.0,
+    )
+    return sched.select(
+        "url",
+        "due",
+        "http_etag",
+        "http_last_modified",
+        "wave",
+        "fetch_offset_s",
+    )
+
+
+@_register(
     "q_fetch_schedule",
     """
     WITH frontier AS (
