@@ -98,9 +98,11 @@ TIER2 = [
     # blocklist/unseen/cap gates as the other two frontier modalities
     "q_link_frontier",
     # r13: the redirect-chain walk (Location parse + resolve + bounded
-    # lockstep joins) and the charset-transcode decode branch
+    # lockstep joins), the charset-transcode decode branch, and the
+    # refresh-tier flagship (recrawl due scores + validators + waves)
     "q_redirect_frontier",
     "q_charset_transcode",
+    "q_refresh_pipeline",
 ]
 # This list IS the tier-2 roster of record — BASELINE.md cites
 # len(TIER2) and membership from here, nowhere else.
