@@ -668,8 +668,12 @@ def recrawl_priority(
       order by ``ts_col``);
     - ``first_ts`` / ``last_ts`` — observation span;
     - ``interval_s`` — estimated change interval: elapsed span over
-      observed changes; keys with no observed change (or a single
-      capture) fall back to ``default_interval_s``;
+      observed changes, FLOORED to an integer (convention shared with
+      the DuckDB oracles: both sides floor, never round-to-nearest)
+      and clamped to ≥ 1 s so same-second changes (span 0) mark the
+      key maximally due instead of a NULL ``due`` silently dropping it
+      from a sort-descending budget cut; keys with no observed change
+      (or a single capture) fall back to ``default_interval_s``;
     - ``age_s`` — seconds since the last capture, against ``now`` (an
       ISO timestamp string, pinned by the caller — never wall clock,
       so plans replay deterministically);
@@ -702,7 +706,9 @@ def recrawl_priority(
     span = F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")
     interval = F.when(
         F.col("n_changes") > 0,
-        (span / F.col("n_changes")).cast("long"),
+        F.greatest(
+            F.floor(span / F.col("n_changes")).cast("long"), F.lit(1)
+        ),
     ).otherwise(F.lit(int(default_interval_s)))
     age = F.unix_timestamp(F.lit(now).cast("timestamp")) - F.unix_timestamp(
         "last_ts"

@@ -4578,85 +4578,88 @@ def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
-# budget.  Rounds 2-12 drove their 50-query windows all-green (zero
-# oracle-bearing failures in CORRECTNESS_r02..r12.json).  Round 13
-# executes the rotation the r12 verdict mandated: (1) all 11 queries
-# registered during the r12 sessions (never driver-checked; each was
-# verified exact green locally and by the r12 judge); (2) the 13
-# remaining r7-stale rows; (3) the first 26 of the 50 r8-stale queries
+# budget.  Rounds 2-13 drove their 50-query windows all-green (zero
+# oracle-bearing failures in CORRECTNESS_r02..r13.json).  Round 14
+# executes the rotation the r13 verdict mandated: (1) all 8 queries
+# registered during the r13 sessions (never driver-checked; each was
+# verified exact green locally and by the r13 judge); (2) the 24
+# remaining r8-stale rows; (3) the first 18 of the 50 r9-stale queries
 # in registration order — after this window lands, zero queries are
-# never-checked and no query's newest driver row is older than r8.
-# Every member of this window is oracle-bearing.
+# never-checked and no query's newest driver row is older than r9.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked: r12 session registrations (11) ---
-    "q_warc_reject_reasons",
-    "q_frontier_pipeline",
-    "q_split_leakage_near_md5",
-    "q_cdx_ingest_e2e",
-    "q_link_frontier",
-    "q_fetch_schedule",
-    "q_surt_keys",
-    "q_link_frontier_e2e",
-    "q_fetch_plan_e2e",
-    "q_corpus_card",
-    "q_html_main_content",
-    # --- r7-stale: the remaining 13 ---
-    "q_text_repetition",
-    "q_text_normalize",
-    "q_embedding_normalize",
-    "q_unigram_lm_score",
-    "q_dedup_incremental",
-    "q_pmi_bigrams",
-    "q_lateral_top_order",
-    "q_cdc_chunks",
-    "q_dedup_segments_cdc",
-    "q_neardup_degrees",
-    "q_dedup_segments_cdc_against",
-    "q_recursive_reachability",
-    "q_cdc_e2e_stats",
-    # --- r8-stale: first 26 of 50 in registration order ---
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q_union_priorities",
-    "q_semi_join",
-    "q_anti_join",
-    "q_conditional_agg_events",
-    "q_latest_wins_events",
-    "q_ts_filter_events",
-    "q_partition_key",
-    "q_json_extract_events",
-    "q_envelope_events",
-    "q18_large_orders",
-    "q_scd2_history",
-    "q_hybrid_rrf_search",
-    "q_cms_daily_freq",
-    "q_kmv_user_overlap",
-    "q_record_linkage",
-    "q_corpus_diversity",
-    "q_ingest_e2e_corpus",
-    "q_ingest_e2e_stats",
-    "q_metrics_e2e_sketches",
-    "q_minhash_md5_pairs",
-    "q_minhash_md5_against",
-    "q_simhash_md5_pairs",
-    "q_winnowing_md5_containment",
-    "q_quantile_sketch_daily",
+    # --- never driver-checked: r13 session registrations (8) ---
+    "q_redirect_frontier",
+    "q_charset_transcode",
+    "q_canonical_alias",
+    "q_http_validators",
+    "q_recrawl_schedule",
+    "q_refresh_pipeline",
+    "q_redirect_frontier_e2e",
+    "q_revalidation_e2e",
+    # --- r8-stale: the remaining 24 ---
+    "q_zorder_buckets",
+    "q_k_anonymity",
+    "q_unigram_vocab",
+    "q_unigram_encode",
+    "q_pca_explained",
+    "q_pca_whitened_norms",
+    "q_neardup_clustering",
+    "q_aggview_e2e",
+    "q_time_travel_states",
+    "q_pq_whitened_recall",
+    "q_aggview_quantiles_e2e",
+    "q_series_topk_users",
+    "q_sax_words",
+    "q_lm_backoff_score",
+    "q_bloom_semijoin",
+    "q_bloom_fpp",
+    "q_video_frame_features",
+    "q_video_summary",
+    "q_video_near_dup",
+    "q_auc_metrics",
+    "q_mmr_rerank",
+    "q_dsir_weights",
+    "q_kfold_report",
+    "q_lr_quality",
+    # --- r9-stale: first 18 of 50 in registration order ---
+    "q_top_orders",
+    "q_like_filter",
+    "q_running_sum_events",
+    "q_topk_per_group",
+    "q_asof_join",
+    "q_range_join",
+    "q_dedup_exact_events",
+    "q_dedup_md5_documents",
+    "q_text_quality",
+    "q_ann_cosine_topk",
+    "q_embedding_near_dup",
+    "q_dedup_clusters",
+    "q_minhash_lsh_pairs",
+    "q_ngram_jaccard_pairs",
+    "q_ivf_ann_topk",
+    "q_lsh_ann_topk",
+    "q_multimodal_features",
+    "q08_market_share",
 ]
-# r14 rotation backlog, in priority order (never-checked beats stale):
-# (a) any query registered during the r13 sessions (enumerate here as
-#     they land): q_redirect_frontier, q_redirect_frontier_e2e,
-#     q_charset_transcode, q_canonical_alias, q_recrawl_schedule,
-#     q_http_validators, q_revalidation_e2e, q_refresh_pipeline;
-# (b) the 24 remaining r8-stale rows (q_zorder_buckets, q_k_anonymity,
-#     q_unigram_vocab, q_unigram_encode, q_pca_explained,
-#     q_pca_whitened_norms, q_neardup_clustering, q_aggview_e2e,
-#     q_time_travel_states, q_pq_whitened_recall,
-#     q_aggview_quantiles_e2e, q_series_topk_users, q_sax_words,
-#     q_lm_backoff_score, q_bloom_semijoin, q_bloom_fpp,
-#     q_video_frame_features, q_video_summary, q_video_near_dup,
-#     q_auc_metrics, q_mmr_rerank, q_dsir_weights, q_kfold_report,
-#     q_lr_quality);
-# (c) r9-stale families thereafter, rotating by age so no query's
+# r15 rotation backlog, in priority order (never-checked beats stale):
+# (a) any query registered during the r14 sessions (enumerate here as
+#     they land): q_text_normalize_unicode, q_charset_sniff,
+#     q_meta_robots_funnel, q_fetch_schedule_backoff,
+#     q_robots_ingest_e2e;
+# (b) the 32 remaining r9-stale rows (q_tumbling_window_events,
+#     q_sessionize_events, q_lsh_jaccard_verified,
+#     q_multimodal_audio_features, q_salted_join_agg,
+#     q_approx_distinct_users, q_null_handling, q_binned_range_join,
+#     q_embedding_centroids, q_curation_pipeline,
+#     q_winnowed_fingerprints, q_decontaminate, q_dup_ngram_stats,
+#     q_redact_pii, q_assign_shards, q_dedup_canonical,
+#     q_quality_score_filter, q_corpus_composition,
+#     q_dup_span_coverage, q_vocab_topk, q_embedding_quantize,
+#     q_length_histogram, q_remove_dup_spans, q_pagerank_neardup,
+#     q_html_extract, q_url_domain_caps, q_url_caps_incremental,
+#     q_ranking_metrics, q_hard_negatives, q_line_boilerplate,
+#     q_calibration_report, q_neardup_clustering_lsh);
+# (c) r10-stale families thereafter, rotating by age so no query's
 #     latest driver row is older than three rounds.
 
 

@@ -8588,7 +8588,8 @@ def q_http_validators(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (
       SELECT urlkey, n_captures, n_changes,
              CAST(CASE WHEN n_changes > 0
-                  THEN (epoch(last_t) - epoch(first_t)) / n_changes
+                  THEN GREATEST(FLOOR((epoch(last_t) - epoch(first_t))
+                                      / n_changes), 1)
                   ELSE 2592000 END AS BIGINT) AS interval_s,
              CAST(epoch(TIMESTAMP '2024-07-01 00:00:00')
                   - epoch(last_t) AS BIGINT) AS age_s
@@ -8657,7 +8658,8 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (
       SELECT url,
              CAST(CASE WHEN n_changes > 0
-                  THEN (epoch(last_t) - epoch(first_t)) / n_changes
+                  THEN GREATEST(FLOOR((epoch(last_t) - epoch(first_t))
+                                      / n_changes), 1)
                   ELSE 2592000 END AS BIGINT) AS interval_s,
              CAST(epoch(TIMESTAMP '2025-01-01 00:00:00')
                   - epoch(last_t) AS BIGINT) AS age_s

@@ -263,6 +263,11 @@ class CorpusIngestTask(ReplicationTask):
         # redirects; without this a moved page contributes nothing.
         # Requires discover_links (the frontier store is where targets
         # land).
+        if follow_redirects and input_format == "jsonl":
+            raise ValueError(
+                "follow_redirects requires a WARC input_format "
+                "(redirects key off warc_responses' http_location)"
+            )
         if follow_redirects and not discover_links:
             raise ValueError(
                 "follow_redirects requires discover_links=True"

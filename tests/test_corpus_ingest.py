@@ -1665,6 +1665,28 @@ def test_follow_redirects_validation(spark, tmp_path):
             input_format="warc",
             follow_redirects=True,
         )
+    # jsonl drops carry no HTTP layer: follow_redirects must reject the
+    # combination up front (mirrors the track_revalidations guard)
+    # rather than silently never building _redirect_target rows.
+    with pytest.raises(
+        ValueError, match="follow_redirects requires a WARC"
+    ):
+        CorpusIngestTask(
+            spark,
+            str(tmp_path / "d"),
+            str(tmp_path / "c"),
+            input_format="jsonl",
+            follow_redirects=True,
+        )
+    with pytest.raises(ValueError, match="requires a WARC"):
+        CorpusIngestTask(
+            spark,
+            str(tmp_path / "d"),
+            str(tmp_path / "c"),
+            input_format="jsonl",
+            follow_redirects=True,
+            discover_links=True,
+        )
 
 
 def _warc_304(uri):

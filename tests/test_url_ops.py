@@ -562,6 +562,11 @@ def test_recrawl_priority(spark):
         ("k3", "20240121000000", "x"),
         # k4: single capture -> default interval
         ("k4", "20240601000000", "y"),
+        # k5: two same-second captures with different digests -> span 0;
+        # interval clamps to 1 s so the key is maximally due instead of
+        # due=NULL dropping it from a sort-descending budget cut
+        ("k5", "20240601000000", "p"),
+        ("k5", "20240601000000", "q"),
     ]
     df = spark.createDataFrame(
         rows, "urlkey string, ts string, digest string"
@@ -586,6 +591,9 @@ def test_recrawl_priority(spark):
     assert out["k4"]["interval_s"] == 30 * day
     assert out["k4"]["age_s"] == 30 * day
     assert out["k4"]["due"] == 1.0  # exactly due
+    assert out["k5"]["n_changes"] == 1
+    assert out["k5"]["interval_s"] == 1  # span 0 clamped, not NULL
+    assert out["k5"]["due"] == float(30 * day)  # maximally due, sorts first
 
     import pytest as _pytest
 
