@@ -46,6 +46,7 @@ from sample_dms_s3_kinesis_spark.operators.text import (
     bpe_ish_token_count,
     bpe_ish_tokens,
     char_count,
+    char_ngrams,
     dup_token_fraction,
     fingerprint,
     lang_id,
@@ -54,6 +55,7 @@ from sample_dms_s3_kinesis_spark.operators.text import (
     punct_count,
     redact_pii,
     rolling_hashes,
+    segment_tokens,
     stopword_count,
     token_count,
     tokens,
@@ -65,6 +67,7 @@ __all__ = [
     "bpe_ish_token_count",
     "bpe_ish_tokens",
     "char_count",
+    "char_ngrams",
     "cosine_similarity",
     "dequantize",
     "dup_token_fraction",
@@ -81,6 +84,7 @@ __all__ = [
     "punct_count",
     "redact_pii",
     "rolling_hashes",
+    "segment_tokens",
     "simhash",
     "stopword_count",
     "token_count",

@@ -34,6 +34,7 @@ from sample_dms_s3_kinesis_spark.operators.partitioning import spread
 from sample_dms_s3_kinesis_spark.operators.text import (
     _bind,
     _check_hash_family,
+    segment_tokens,
     tokens,
 )
 
@@ -203,7 +204,15 @@ def token_ngrams(col: Column, n: int = 3) -> Column:
     once (text._bind): referencing the split expression inside the
     per-position lambda would re-split the text once per shingle
     position — O(tokens²) per document on the hot path of every
-    minhash/Jaccard operator."""
+    minhash/Jaccard operator.
+
+    Tokens come from ``text.segment_tokens``: whitespace words, with
+    space-free-script tokens (Han/kana/Hangul/Thai/…) expanded into
+    character n-grams first — so a CJK document (one whitespace token
+    per clause) yields a real shingle set instead of the empty set
+    that used to null out its minhash signature.  On ASCII text
+    segment_tokens ≡ whitespace split, so every existing ASCII oracle
+    is byte-identical."""
 
     def _grams(toks: Column) -> Column:
         count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
@@ -214,7 +223,7 @@ def token_ngrams(col: Column, n: int = 3) -> Column:
         ).otherwise(F.array().cast("array<string>"))
         return F.array_distinct(grams)
 
-    return _bind(tokens(F.lower(col)), _grams)
+    return _bind(segment_tokens(F.lower(col), char_n=n), _grams)
 
 
 def ngram_jaccard_pairs(

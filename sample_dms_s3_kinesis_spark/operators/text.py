@@ -264,17 +264,107 @@ def top_bigram_fraction(grams: Column) -> Column:
     return _bind(grams, _frac)
 
 
-def normalize_text(col: Column) -> Column:
+def normalize_text(col: Column, *, nfkc: bool = False) -> Column:
     """Canonical text form for fingerprinting and exact-dup detection
     across cosmetic variants: lowercase, digit runs folded to ``0``,
     punctuation/symbols to spaces, whitespace collapsed, trimmed.
-    Regex classes kept RE2/Java-identical so the DuckDB oracle (with
-    the ``'g'`` flag) reproduces it byte-for-byte."""
+
+    Unicode-aware: the keep-classes are ``\\p{L}`` (any letter — Han,
+    Cyrillic, Arabic, Greek, accented Latin…) and ``\\p{N}`` (any
+    number, so Arabic-Indic/Devanagari digit runs fold to ``0`` too).
+    A CJK or Cyrillic document therefore normalizes to its own
+    canonical form instead of the empty string (the pre-r14 ASCII
+    classes collapsed every non-Latin document into one dup cluster).
+    On pure-ASCII input the output is byte-identical to the old form.
+    Both Java regex (Spark) and RE2 (DuckDB, ``'g'`` flag) support
+    ``\\p{L}``/``\\p{N}``, so the oracle reproduces it byte-for-byte.
+
+    ``nfkc=True`` prepends NFKC compatibility folding (full-width →
+    ASCII, ligatures decomposed, …) via an Arrow-batched pandas UDF —
+    the one step Catalyst has no expression for.  Off by default: the
+    default path stays pure-JVM and oracle-replayable (DuckDB exposes
+    NFC only)."""
+    if nfkc:
+        col = _nfkc(col)
     c = F.lower(col)
-    c = F.regexp_replace(c, r"[0-9]+", "0")
-    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, r"\p{N}+", "0")
+    c = F.regexp_replace(c, r"[^\p{L}\p{N} ]", " ")
     c = F.regexp_replace(c, r" +", " ")
     return F.trim(c)
+
+
+def _nfkc(col: Column) -> Column:
+    """NFKC compatibility normalization as an Arrow-batched pandas UDF
+    (vectorized; NOT on any oracle-checked path — see normalize_text)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfkc_udf(s):  # pragma: no cover - exercised via normalize_text
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFKC", v)
+            if v is not None
+            else None
+        )
+
+    return _nfkc_udf(col)
+
+
+# Scripts written without inter-word spaces (or where whitespace
+# tokenization is uninformative): Han, Hiragana, Katakana, Hangul,
+# Thai, Lao, Khmer, Myanmar.  Two spellings of the same class: Java
+# regex wants \p{IsHan}, RE2 (DuckDB) wants \p{Han} — keep them in
+# lockstep when editing.
+_SPACEFREE_JAVA = (
+    r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}"
+    r"\p{IsThai}\p{IsLao}\p{IsKhmer}\p{IsMyanmar}]"
+)
+SPACEFREE_RE2 = (
+    r"[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}"
+    r"\p{Thai}\p{Lao}\p{Khmer}\p{Myanmar}]"
+)
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct sliding character ``n``-grams — the shingle unit for
+    space-free scripts, where a whitespace token is a whole clause and
+    word shingles don't exist.  A string shorter than ``n`` yields
+    itself (never an empty set, so short CJK strings still
+    fingerprint).  Pure Catalyst: sequence + substring transform over
+    a bound value."""
+    return _bind(col, lambda s: _char_grams_inline(s, n))
+
+
+def segment_tokens(col: Column, *, char_n: int = 3) -> Column:
+    """Whitespace tokens with a character-n-gram fallback for
+    space-free scripts: tokens containing Han/kana/Hangul/Thai/…
+    characters (``_SPACEFREE_JAVA``) expand into their distinct
+    character ``char_n``-grams; every other token passes through
+    unchanged.  On pure-ASCII text this is exactly ``tokens`` — the
+    fallback branch never fires — so ASCII consumers (and their DuckDB
+    oracles) are unaffected.  Nested higher-order functions, no
+    Python."""
+
+    def _seg(toks: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                toks,
+                lambda t: F.when(
+                    t.rlike(_SPACEFREE_JAVA),
+                    _char_grams_inline(t, char_n),
+                ).otherwise(F.array(t)),
+            )
+        )
+
+    return _bind(tokens(col), _seg)
+
+
+def _char_grams_inline(s: Column, n: int) -> Column:
+    """char_ngrams body for use INSIDE a lambda (the lambda variable is
+    already bound — _bind would add a pointless nested transform)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
 
 
 def _bind(expr: Column, fn) -> Column:

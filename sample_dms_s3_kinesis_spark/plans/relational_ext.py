@@ -1729,10 +1729,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            md5(trim(regexp_replace(regexp_replace(regexp_replace(
-               lower(text), '[0-9]+', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'),
+               lower(text), '\p{N}+', '0', 'g'),
+               '[^\p{L}\p{N} ]', ' ', 'g'),
                ' +', ' ', 'g'))) AS norm_md5,
            CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
-               lower(text), '[0-9]+', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'),
+               lower(text), '\p{N}+', '0', 'g'),
+               '[^\p{L}\p{N} ]', ' ', 'g'),
                ' +', ' ', 'g'))) AS BIGINT) AS norm_len
     FROM documents
     """,
@@ -1747,6 +1749,86 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("norm_md5"),
         F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+@_register(
+    "q_text_normalize_unicode",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN '文档' || CAST(doc_id AS VARCHAR)
+                           || '号：内容测试！'
+               WHEN 1 THEN 'テスト' || CAST(doc_id AS VARCHAR) || 'です。'
+               WHEN 2 THEN 'Документ ' || CAST(doc_id AS VARCHAR)
+                           || ' — тест!'
+               WHEN 3 THEN 'Café №' || CAST(doc_id AS VARCHAR)
+                           || ' très bien, voilà.'
+               ELSE 'Doc #' || CAST(doc_id AS VARCHAR) || ', plain ASCII.'
+             END AS text,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN 'han' WHEN 1 THEN 'kana'
+               WHEN 2 THEN 'cyrillic' WHEN 3 THEN 'latin_ext'
+               ELSE 'ascii' END AS script
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+      FROM s),
+    seg AS (
+      SELECT doc_id,
+             SUM(CASE WHEN regexp_matches(tk,
+                   '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\p{Thai}\p{Lao}\p{Khmer}\p{Myanmar}]')
+                 THEN len(list_distinct(list_transform(
+                        range(1, greatest(length(tk) - 2, 1) + 1),
+                        i -> substr(tk, CAST(i AS INTEGER), 3))))
+                 ELSE 1 END) AS n_seg_tokens
+      FROM tok GROUP BY doc_id)
+    SELECT s.doc_id, s.script,
+           trim(regexp_replace(regexp_replace(regexp_replace(lower(s.text),
+               '\p{N}+', '0', 'g'), '[^\p{L}\p{N} ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm,
+           CAST(seg.n_seg_tokens AS BIGINT) AS n_seg_tokens
+    FROM s JOIN seg USING (doc_id)
+    """,
+    "Unicode text layer over a deterministic multilingual fixture "
+    "(Han / kana / Cyrillic / accented-Latin / ASCII rows synthesized "
+    "from doc_id): normalize_text with \\p{L}\\p{N} keep-classes (the "
+    "norm STRING itself is compared, so Java-regex and RE2 must agree "
+    "byte-for-byte on non-Latin text) and segment_tokens' character-"
+    "n-gram fallback for space-free scripts (per-doc segment-token "
+    "count; a CJK clause token expands to its distinct char 3-grams "
+    "instead of collapsing to one opaque token).  Guards the r14 fix "
+    "for the English-only normalizer that collapsed every non-Latin "
+    "document into a single dup cluster",
+    "text: Unicode normalization + space-free-script segmentation",
+)
+def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    sid = (F.col("doc_id") % 5).cast("int")
+    ds = F.col("doc_id").cast("string")
+    txt = (
+        F.when(sid == 0, F.concat(F.lit("文档"), ds, F.lit("号：内容测试！")))
+        .when(sid == 1, F.concat(F.lit("テスト"), ds, F.lit("です。")))
+        .when(sid == 2, F.concat(F.lit("Документ "), ds, F.lit(" — тест!")))
+        .when(sid == 3, F.concat(F.lit("Café №"), ds, F.lit(" très bien, voilà.")))
+        .otherwise(F.concat(F.lit("Doc #"), ds, F.lit(", plain ASCII.")))
+    )
+    script = (
+        F.when(sid == 0, F.lit("han"))
+        .when(sid == 1, F.lit("kana"))
+        .when(sid == 2, F.lit("cyrillic"))
+        .when(sid == 3, F.lit("latin_ext"))
+        .otherwise(F.lit("ascii"))
+    )
+    fix = d.select("doc_id", script.alias("script"), txt.alias("text"))
+    return fix.select(
+        "doc_id",
+        "script",
+        _text.normalize_text(F.col("text")).alias("norm"),
+        F.size(_text.segment_tokens(F.col("text")))
+        .cast("long")
+        .alias("n_seg_tokens"),
     )
 
 
@@ -1894,7 +1976,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), "
-    "'[0-9]+', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    r"'\p{N}+', '0', 'g'), '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))"
 )
 
 

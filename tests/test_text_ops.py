@@ -170,6 +170,108 @@ def test_normalize_text_canonicalizes_variants(spark):
     assert out[3] == "hello world 0"
 
 
+def test_normalize_text_unicode_scripts(spark):
+    """The r14 fix for the English-only normalizer: CJK / Cyrillic /
+    accented-Latin documents normalize to their own canonical form —
+    two distinct CJK docs must NOT collapse into one dup cluster, and
+    Unicode digits fold to 0 like ASCII digits."""
+    df = spark.createDataFrame(
+        [
+            (1, "这是一个测试文档，包含中文123。"),
+            (2, "这是另一个完全不同的文档！"),
+            (3, "Привет, мир! Число 42."),
+            (4, "Café au lait — très bien"),
+            (5, "النص العربي ٤٢"),  # Arabic text + Arabic-Indic digits
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", text.normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert out[1] == "这是一个测试文档 包含中文0"
+    assert out[2] == "这是另一个完全不同的文档"
+    assert out[1] != out[2] and out[1] != "" and out[2] != ""
+    assert out[3] == "привет мир число 0"
+    assert out[4] == "café au lait très bien"
+    assert out[5] == "النص العربي 0"  # ٤٢ is \p{N} -> folds to 0
+
+
+def test_normalize_text_nfkc_optin(spark):
+    """nfkc=True folds compatibility forms (full-width, ligatures)
+    before the Catalyst pipeline; the default path leaves them."""
+    df = spark.createDataFrame(
+        [(1, "１２３　ＡＢＣ"), (2, "ﬁle ﬂow")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["plain"], r["nfkc"])
+        for r in df.select(
+            "doc_id",
+            text.normalize_text(F.col("text")).alias("plain"),
+            text.normalize_text(F.col("text"), nfkc=True).alias("nfkc"),
+        ).collect()
+    }
+    assert out[1][1] == "0 abc"  # full-width digits+letters folded
+    assert out[2][1] == "file flow"  # ligatures decomposed
+    # default path: ﬁ/ﬂ are \p{L} (category Ll) so they survive as-is
+    assert out[2][0] == "ﬁle ﬂow"
+
+
+def test_char_ngrams_and_segment_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),  # pure ASCII: passthrough
+            (2, "日本語のテキスト"),  # space-free: char 3-grams
+            (3, "见 hello"),  # short CJK token (<3 chars): itself
+            (4, "mixed 中文字符 ascii"),  # mixed
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["cg"], r["seg"])
+        for r in df.select(
+            "doc_id",
+            text.char_ngrams(F.col("text")).alias("cg"),
+            text.segment_tokens(F.col("text")).alias("seg"),
+        ).collect()
+    }
+    assert out[1][1] == ["hello", "world"]  # ASCII == whitespace tokens
+    s = "日本語のテキスト"
+    assert out[2][1] == [s[i : i + 3] for i in range(len(s) - 2)]
+    assert out[3][1] == ["见", "hello"]  # short token yields itself
+    assert out[4][1] == ["mixed", "中文字", "文字符", "ascii"]
+    assert out[1][0] == [
+        "hello world"[i : i + 3] for i in range(len("hello world") - 2)
+    ]
+
+
+def test_token_ngrams_cjk_shingles_and_minhash(spark):
+    """A CJK document (one whitespace token) used to produce ZERO
+    shingles -> NULL minhash signature -> invisible to every near-dup
+    gate.  The segment_tokens fallback gives it a real shingle set."""
+    from sample_dms_s3_kinesis_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "这是一个测试文档包含中文"), (2, "hello world foo bar")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dedup.token_ngrams(F.col("text")).alias("sh"),
+            dedup.minhash_signature(F.col("text"), num_hashes=8).alias("sig"),
+        ).collect()
+    }
+    assert len(rows[1]["sh"]) > 0
+    assert rows[1]["sig"] is not None and len(rows[1]["sig"]) == 8
+    # ASCII shingling unchanged: plain word 3-grams
+    assert rows[2]["sh"] == ["hello world foo", "world foo bar"]
+
+
 def test_tfidf_topk_matches_python_reference(spark):
     import math
     from collections import Counter
