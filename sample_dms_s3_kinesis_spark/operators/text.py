@@ -1222,3 +1222,74 @@ def html_base_href(col: Column) -> Column:
     ).otherwise(raw)
     val = F.trim(decode_html_entities(unq))
     return F.when(val != "", val)
+
+
+def meta_robots(col: Column) -> Column:
+    """``array<string>`` of lowercased directive tokens from every
+    ``<meta name="robots" content="...">`` element in the document
+    (either attribute order, any quote form; multiple elements
+    combine — the restrictive union, matching how crawlers treat
+    conflicting tags).  Tokens are the comma-split, trimmed values:
+    ``noindex``, ``nofollow``, ``none``, ``noarchive``, …  Empty array
+    when the page declares nothing.  Pure Catalyst: one
+    regexp_extract_all over the robots meta tags, a content-extract +
+    split transform, flatten, distinct."""
+    tags = F.regexp_extract_all(
+        col,
+        F.lit(
+            r"(?is)(<meta\b[^>]*?\bname\s*=\s*([\"']?)robots\2"
+            r"(?=[\s/>])[^>]*>)"
+        ),
+        1,
+    )
+
+    def _content(tag: Column) -> Column:
+        raw = F.regexp_extract(
+            tag,
+            r"(?is)\bcontent\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
+            1,
+        )
+        unq = F.when(
+            raw.rlike("^\"") | raw.rlike("^'"),
+            F.substring(raw, 2, F.length(raw) - 2),
+        ).otherwise(raw)
+        return F.split(F.lower(unq), ",")
+
+    toks = F.flatten(F.transform(tags, _content))
+    # NB: F.trim must not be passed to transform directly — its
+    # optional second parameter would receive the element index
+    return F.array_distinct(
+        F.filter(
+            F.transform(toks, lambda t: F.trim(t)), lambda t: t != ""
+        )
+    )
+
+
+def robots_directive_flags(
+    html_col: Column, header_col: Column | None = None
+) -> Column:
+    """``struct(noindex boolean, nofollow boolean)`` — the on-page
+    robots decision, folding ``<meta name="robots">`` tokens
+    (:func:`meta_robots`) with the ``X-Robots-Tag`` HTTP header (the
+    raw comma-separated value `sources/crawl.py:warc_responses`
+    surfaces).  ``none`` implies both.  Restrictive union across both
+    channels: a page is noindex/nofollow if ANY channel says so —
+    there is no precedence between them, unlike charset sniffing.
+    Agent-scoped header forms (``X-Robots-Tag: googlebot: noindex``)
+    are treated as global — the conservative read for a corpus
+    builder.  Pure Catalyst."""
+    toks = meta_robots(html_col)
+    if header_col is not None:
+        hdr = F.split(F.lower(F.coalesce(header_col, F.lit(""))), "[,:]")
+        toks = F.concat(
+            toks,
+            F.filter(
+                F.transform(hdr, lambda t: F.trim(t)),
+                lambda t: t != "",
+            ),
+        )
+    has = lambda v: F.array_contains(toks, v)  # noqa: E731
+    return F.struct(
+        (has("noindex") | has("none")).alias("noindex"),
+        (has("nofollow") | has("none")).alias("nofollow"),
+    )

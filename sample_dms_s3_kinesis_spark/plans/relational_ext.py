@@ -6730,6 +6730,13 @@ _CRAWL_FIXTURE_CACHE: dict = {}
 # verbatim by the binary writer and the DuckDB oracle
 _CS_PREFIX_L1 = "café ñ £ "
 _CS_PREFIX_SJ = "こんにちは "
+# meta declarations for the sniffing variants — part of the BODY text
+# (the prescan reads them, the decode keeps them)
+_CS_META_L1 = '<meta charset="ISO-8859-1">'
+_CS_META_SJ = (
+    '<meta http-equiv="Content-Type" '
+    'content="text/html; charset=Shift_JIS">'
+)
 
 
 def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
@@ -6896,14 +6903,17 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
             _CRAWL_FIXTURE_CACHE[key] = path
             return out
         if kind == "warc_charset":
-            # Charset-transcode fixture: doc_id % 6 selects the
-            # declared encoding (0 none, 1 explicit utf-8, 2 Latin-1,
-            # 3 Shift-JIS, 4 unknown, 5 Latin-1 under gzip).  Non-UTF-8
-            # variants carry a non-ASCII prefix so the transcode is
-            # observable (the corpus text itself is ASCII), and their
-            # bytes REALLY are the declared encoding — which no Spark
-            # sink emits, so the binary per-partition writer (same
-            # shape as warc_enc).
+            # Charset-sniff + transcode fixture: doc_id % 12 selects
+            # how the encoding is declared (0 none, 1 explicit utf-8
+            # header, 2 header Latin-1, 3 header Shift-JIS, 4 header
+            # unknown, 5 header Latin-1 under gzip, 6 META Latin-1,
+            # 7 META http-equiv Shift-JIS, 8 UTF-8 BOM, 9 UTF-16LE
+            # BOM, 10 UTF-8 BOM vs a WRONG Latin-1 header — BOM wins,
+            # 11 META Latin-1 under gzip).  Non-UTF-8 variants carry a
+            # non-ASCII prefix so the transcode is observable (the
+            # corpus text itself is ASCII), and their bytes REALLY are
+            # the declared encoding — which no Spark sink emits, so
+            # the binary per-partition writer (same shape as warc_enc).
             import os as _os
 
             _os.makedirs(out, exist_ok=True)
@@ -6920,16 +6930,16 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
                         f"https://{r['source']}.example.com/p/"
                         f"{r['doc_id']}"
                     )
-                    v = r["doc_id"] % 6
-                    ce = "gzip" if v == 5 else None
+                    v = r["doc_id"] % 12
+                    ce = "gzip" if v in (5, 11) else None
                     ct = {
-                        0: "text/html",
                         1: "text/html; charset=UTF-8",
                         2: "text/html; charset=ISO-8859-1",
                         3: 'text/html; charset="Shift_JIS"',
                         4: "text/html; charset=x-unknown-8bit",
                         5: "text/html; charset=ISO-8859-1",
-                    }[v]
+                        10: "text/html; charset=ISO-8859-1",
+                    }.get(v, "text/html")
                     if v in (2, 5):
                         body = (_CS_PREFIX_L1 + r["html"]).encode(
                             "iso-8859-1"
@@ -6938,6 +6948,25 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
                         body = (_CS_PREFIX_SJ + r["html"]).encode(
                             "shift_jis"
                         )
+                    elif v in (6, 11):
+                        body = (
+                            _CS_META_L1 + _CS_PREFIX_L1 + r["html"]
+                        ).encode("iso-8859-1")
+                    elif v == 7:
+                        body = (
+                            _CS_META_SJ + _CS_PREFIX_SJ + r["html"]
+                        ).encode("shift_jis")
+                    elif v == 8:
+                        body = b"\xef\xbb\xbf" + r["html"].encode()
+                    elif v == 9:
+                        # Python utf-16 emits the LE BOM first
+                        body = (_CS_PREFIX_L1 + r["html"]).encode(
+                            "utf-16"
+                        )
+                    elif v == 10:
+                        body = b"\xef\xbb\xbf" + (
+                            _CS_PREFIX_L1 + r["html"]
+                        ).encode()
                     else:
                         body = r["html"].encode()
                     if ce == "gzip":
@@ -7067,6 +7096,67 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
                         target_uri=uri,
                         body=body,
                         extra_http_headers=(etag_weak,),
+                    ),
+                )
+                .otherwise(
+                    _crawl.warc_response_record(
+                        target_uri=uri, body=body
+                    )
+                )
+                .alias("value")
+            )
+            lines.write.mode("overwrite").text(out)
+            _CRAWL_FIXTURE_CACHE[key] = path
+            return out
+        if kind == "warc_robots":
+            # On-page robots fixture: doc_id % 6 selects the directive
+            # channel (0 none, 1 meta noindex, 2 meta nofollow,
+            # 3 meta "noindex, nofollow", 4 X-Robots-Tag: noindex
+            # header, 5 X-Robots-Tag: none header); every page carries
+            # one anchor so a frontier consumer can observe nofollow.
+            did = F.col("doc_id").cast("string")
+            uri = F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/p/"),
+                did,
+            )
+            v = F.col("doc_id") % 6
+            meta = (
+                F.when(
+                    v == 1,
+                    F.lit('<meta name="robots" content="noindex">'),
+                )
+                .when(
+                    v == 2,
+                    F.lit('<meta name="robots" content="nofollow">'),
+                )
+                .when(
+                    v == 3,
+                    F.lit(
+                        '<meta name="robots" '
+                        'content="noindex, nofollow">'
+                    ),
+                )
+                .otherwise(F.lit(""))
+            )
+            body = F.concat(
+                F.lit("<html><head>"),
+                meta,
+                F.lit('</head><body><a href="/next/'),
+                did,
+                F.lit('">n</a><p>robots page</p></body></html>'),
+            )
+            xr = F.when(
+                v == 4, F.lit("X-Robots-Tag: noindex")
+            ).otherwise(F.lit("X-Robots-Tag: none"))
+            lines = d.select(
+                F.when(
+                    v >= 4,
+                    _crawl.warc_response_record(
+                        target_uri=uri,
+                        body=body,
+                        extra_http_headers=(xr,),
                     ),
                 )
                 .otherwise(
@@ -7628,42 +7718,60 @@ def q_redirect_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q_charset_transcode",
     f"""
-    WITH h AS (SELECT doc_id, doc_id % 6 AS v,
+    WITH h AS (SELECT doc_id, doc_id % 12 AS v,
                       {_DUCK_WRAPPED_HTML} AS html
-               FROM documents)
+               FROM documents),
+    b AS (
+      SELECT doc_id, v,
+             CASE WHEN v IN (2, 5, 9, 10) THEN '{_CS_PREFIX_L1}' || html
+                  WHEN v = 3 THEN '{_CS_PREFIX_SJ}' || html
+                  WHEN v IN (6, 11)
+                    THEN '{_CS_META_L1}' || '{_CS_PREFIX_L1}' || html
+                  WHEN v = 7
+                    THEN '{_CS_META_SJ}' || '{_CS_PREFIX_SJ}' || html
+                  WHEN v = 4 THEN NULL
+                  ELSE html END AS body
+      FROM h)
     SELECT doc_id,
            CASE WHEN v = 1 THEN 'utf-8'
-                WHEN v IN (2, 5) THEN 'iso-8859-1'
+                WHEN v IN (2, 5, 10) THEN 'iso-8859-1'
                 WHEN v = 3 THEN 'shift_jis'
                 WHEN v = 4 THEN 'x-unknown-8bit' END AS http_charset,
-           CASE WHEN v = 5 THEN 'gzip' END AS http_content_encoding,
+           CASE WHEN v = 1 THEN 'utf-8'
+                WHEN v IN (2, 5, 6, 11) THEN 'iso-8859-1'
+                WHEN v IN (3, 7) THEN 'shift_jis'
+                WHEN v = 4 THEN 'x-unknown-8bit'
+                WHEN v IN (8, 10) THEN 'utf-8'
+                WHEN v = 9 THEN 'utf-16' END AS charset_sniffed,
+           CASE WHEN v IN (1, 2, 3, 4, 5) THEN 'header'
+                WHEN v IN (6, 7, 11) THEN 'meta'
+                WHEN v IN (8, 9, 10) THEN 'bom' END AS charset_source,
+           CASE WHEN v IN (5, 11) THEN 'gzip' END
+             AS http_content_encoding,
            CASE WHEN v = 4 THEN 'unsupported_charset' END
              AS body_reject_reason,
-           CASE WHEN v IN (2, 5) THEN md5('{_CS_PREFIX_L1}' || html)
-                WHEN v = 3 THEN md5('{_CS_PREFIX_SJ}' || html)
-                WHEN v = 4 THEN NULL
-                ELSE md5(html) END AS body_md5,
-           CASE WHEN v IN (2, 5)
-                  THEN CAST(length('{_CS_PREFIX_L1}' || html) AS BIGINT)
-                WHEN v = 3
-                  THEN CAST(length('{_CS_PREFIX_SJ}' || html) AS BIGINT)
-                WHEN v = 4 THEN NULL
-                ELSE CAST(length(html) AS BIGINT) END AS body_len
-    FROM h
+           md5(body) AS body_md5,
+           CAST(length(body) AS BIGINT) AS body_len
+    FROM b
     """,
-    "charset detection + transcoding: the corpus framed into .warc.gz "
-    "with doc_id%6 selecting the declared Content-Type charset (none / "
-    "explicit utf-8 / Latin-1 / Shift-JIS / unknown / Latin-1 under "
-    "gzip), non-UTF-8 bodies carrying REAL bytes of that encoding plus "
-    "a non-ASCII prefix, read back through read_warc_gz(binary_payload"
-    "=True) + warc_responses — the charset= parse, the entity-udf "
-    "transcode (composed with decompression for the gzip variant), "
-    "and the counted unsupported_charset reject.  The oracle "
-    "recomputes every body digest from the table, so a mojibake (or a "
-    "missed transcode) hash-mismatches — a Latin-1 page lands as clean "
-    "UTF-8 text, byte-exact",
-    "crawl ingestion: charset transcoding (non-UTF-8 pages land as "
-    "clean UTF-8, unknown charsets reject counted)",
+    "charset detection + transcoding with WHATWG precedence (BOM > "
+    "Content-Type header > <meta charset>/<meta http-equiv> prescan): "
+    "the corpus framed into .warc.gz with doc_id%12 selecting the "
+    "declaration channel (none / header utf-8 / header Latin-1 / "
+    "header Shift-JIS / header unknown / header Latin-1 under gzip / "
+    "META Latin-1 / META http-equiv Shift-JIS / UTF-8 BOM / UTF-16LE "
+    "BOM / UTF-8 BOM beating a WRONG Latin-1 header / META Latin-1 "
+    "under gzip), non-UTF-8 bodies carrying REAL bytes of that "
+    "encoding plus a non-ASCII prefix, read back through read_warc_gz"
+    "(binary_payload=True) + warc_responses — header parse, prescan, "
+    "BOM strip, the entity-udf transcode (composed with decompression "
+    "for the gzip variants), the charset_sniffed/charset_source "
+    "observability pair, and the counted unsupported_charset reject.  "
+    "The oracle recomputes every body digest from the table, so a "
+    "mojibake, a missed transcode, an unstripped BOM, or a precedence "
+    "fault hash-mismatches",
+    "crawl ingestion: charset sniffing + transcoding (BOM > header > "
+    "meta; non-UTF-8 pages land as clean UTF-8)",
 )
 def q_charset_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _crawl_fixture(spark, sf_dir, "warc_charset")
@@ -7675,6 +7783,8 @@ def q_charset_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("long")
         .alias("doc_id"),
         "http_charset",
+        "charset_sniffed",
+        "charset_source",
         "http_content_encoding",
         "body_reject_reason",
         F.md5("body").alias("body_md5"),
@@ -8632,6 +8742,64 @@ def q_http_validators(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         "http_etag",
         "http_last_modified",
+    )
+
+
+@_register(
+    "q_meta_robots_funnel",
+    """
+    WITH s AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS v
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN v = 4 THEN 'noindex'
+                WHEN v = 5 THEN 'none' END AS x_robots,
+           v IN (1, 3, 4, 5) AS noindex,
+           v IN (2, 3, 5) AS nofollow,
+           CAST(CASE WHEN v IN (2, 3, 5) THEN 0 ELSE 1 END AS BIGINT)
+             AS n_followable_links
+    FROM s
+    """,
+    "on-page robots directives off the wire: the corpus framed into "
+    "WARC with doc_id%6 selecting the channel (none / meta noindex / "
+    "meta nofollow / meta 'noindex, nofollow' / X-Robots-Tag: noindex "
+    "/ X-Robots-Tag: none), read back through warc_responses (NEW "
+    "http_x_robots_tag column) + text.robots_directive_flags — the "
+    "restrictive union of both channels, 'none' implying both, plus "
+    "the page's followable-link count (0 for nofollow pages: exactly "
+    "what the ingest frontier drops).  A page opting out of indexing "
+    "or link-following opts out of exactly the use this pipeline puts "
+    "it to; the oracle recomputes every flag from doc_id arithmetic, "
+    "so a parsing or precedence fault hash-mismatches.  Ingest "
+    "enforcement: CorpusIngestTask(on_page_robots=True) quarantines "
+    "noindex pages (rejected_noindex) and cuts nofollow pages' "
+    "frontier edges (nofollow_pages) — pytest-pinned "
+    "(test_on_page_robots_gates)",
+    "crawl ingestion: on-page robots directives (meta robots + "
+    "X-Robots-Tag; noindex never admitted, nofollow feeds no edges)",
+)
+def q_meta_robots_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "warc_robots")
+    resp = _crawl.warc_responses(_crawl.read_warc_records(spark, path))
+    flags = _text.robots_directive_flags(
+        F.col("body"), F.col("http_x_robots_tag")
+    )
+    staged = resp.select(
+        F.regexp_extract("target_uri", r"/p/([0-9]+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.col("http_x_robots_tag").alias("x_robots"),
+        flags.alias("_f"),
+        _text.html_links(F.col("body")).alias("_links"),
+    )
+    return staged.select(
+        "doc_id",
+        "x_robots",
+        F.col("_f.noindex").alias("noindex"),
+        F.col("_f.nofollow").alias("nofollow"),
+        F.when(F.col("_f.nofollow"), F.lit(0))
+        .otherwise(F.size("_links"))
+        .cast("long")
+        .alias("n_followable_links"),
     )
 
 

@@ -931,6 +931,16 @@ def _dechunk(data: Column, *, max_chunks: int = 8192) -> Column:
 # corpus owner can see exactly how many pages a missing codec costs.
 SUPPORTED_CONTENT_CODINGS = ("gzip", "x-gzip", "deflate", "br", "zstd")
 
+# <meta charset="..."> / <meta http-equiv="Content-Type"
+# content="text/html; charset=..."> — one pattern covers both: any
+# charset= attribute-or-parameter inside a <meta ...> tag.  Kept
+# Java-regex / RE2 / Python-re compatible (no lookaround); used by the
+# Catalyst prescan in warc_responses AND (byte-compiled) inside the
+# entity udf for chunked/compressed entities.
+META_CHARSET_RE = (
+    r"""(?i)<meta[^>]*charset\s*=\s*["']?([A-Za-z0-9._:-]+)"""
+)
+
 _BR_MODULE = ()  # () = not probed yet; None = probed, unavailable
 _ZSTD_DECOMPRESS = ()
 
@@ -979,8 +989,10 @@ _ENTITY_UDFS: dict = {}
 
 def _encoded_entity_udf(max_chunks: int = 8192):
     """Arrow-batched decoder for compressed HTTP entities (raw body
-    bytes + codings -> ``struct(body string, reason string)`` — the
-    decoded entity, or NULL plus a machine-readable reject reason).
+    bytes + codings -> ``struct(body string, reason string,
+    charset string, charset_source string)`` — the decoded entity, or
+    NULL plus a machine-readable reject reason, plus which charset the
+    decode actually used and where it came from).
     The one Python step in the response decode path — Catalyst has no
     decompression expression; everything around it (header probes,
     dispatch, and the common text-chunked case) stays JVM-side, and
@@ -990,11 +1002,14 @@ def _encoded_entity_udf(max_chunks: int = 8192):
     (the pinned twin of the Catalyst fold): a Python UDF whose input
     expression contains HOF lambdas is not extractable for batch
     evaluation, so the fold's output cannot feed the udf directly.
-    Decompressed bytes read as UTF-8 with replacement, matching what
-    the text source does to a page that was never compressed — unless
-    the fourth input names a declared non-UTF-8 charset, in which case
-    the bytes TRANSCODE through that Python text codec (same
-    replacement convention).  Reasons: ``bad_chunked_framing``,
+    After transfer/content decoding the charset resolves with WHATWG
+    precedence — BOM > Content-Type header (the fourth input) >
+    ``<meta charset>``/``<meta http-equiv>`` prescan over the first
+    1024 entity bytes > UTF-8 default — and the bytes decode through
+    that codec with U+FFFD replacement, matching what the text source
+    does to a page that was never compressed.  A UTF-8 BOM strips
+    (utf-8-sig); UTF-16 BOMs decode through Python's BOM-consuming
+    'utf-16'.  Reasons: ``bad_chunked_framing``,
     ``decompress_failed``, ``br_unavailable`` / ``zstd_unavailable``
     (optional codec package absent on the worker — brotli /
     brotlicffi, compression.zstd / zstandard),
@@ -1004,21 +1019,28 @@ def _encoded_entity_udf(max_chunks: int = 8192):
         import gzip
         import zlib
 
-        @F.pandas_udf("body string, reason string")
+        @F.pandas_udf(
+            "body string, reason string, charset string, "
+            "charset_source string"
+        )
         def encoded_entity(
             data: pd.Series,
             te: pd.Series,
             ce: pd.Series,
             cs: pd.Series,
         ) -> pd.DataFrame:
+            import re as _re
+
+            meta_re = _re.compile(META_CHARSET_RE.encode("ascii"))
+
             def one(v, t, c, s):
                 if v is None:
-                    return (None, None)
+                    return (None, None, None, None)
                 b = bytes(v)
                 if t == "chunked":
                     b = _dechunk_py(b, max_chunks)
                     if b is None:
-                        return (None, "bad_chunked_framing")
+                        return (None, "bad_chunked_framing", None, None)
                 try:
                     if c is None or c == "identity":
                         # charset-only row: nothing to decompress
@@ -1033,28 +1055,56 @@ def _encoded_entity_udf(max_chunks: int = 8192):
                     elif c == "br":
                         br = _load_brotli()
                         if br is None:
-                            return (None, "br_unavailable")
+                            return (None, "br_unavailable", None, None)
                         b = br.decompress(b)
                     elif c == "zstd":
                         zd = _load_zstd()
                         if zd is None:
-                            return (None, "zstd_unavailable")
+                            return (None, "zstd_unavailable", None, None)
                         b = zd(b)
                     else:  # gzip / x-gzip
                         b = gzip.decompress(b)
                 except Exception:
-                    return (None, "decompress_failed")
-                if s is not None:
+                    return (None, "decompress_failed", None, None)
+                # WHATWG precedence: BOM > header > meta > utf-8
+                if b[:3] == b"\xef\xbb\xbf":
+                    return (
+                        b.decode("utf-8-sig", "replace"),
+                        None,
+                        "utf-8",
+                        "bom",
+                    )
+                if b[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                    # Python's 'utf-16' consumes the BOM and picks
+                    # the byte order from it
+                    return (
+                        b.decode("utf-16", "replace"),
+                        None,
+                        "utf-16",
+                        "bom",
+                    )
+                s_src = "header" if s is not None else None
+                if s is None:
+                    m = meta_re.search(b[:1024])
+                    if m:
+                        s = m.group(1).decode("ascii", "ignore").lower()
+                        s_src = "meta"
+                if s is not None and s not in (
+                    "utf-8",
+                    "utf8",
+                    "us-ascii",
+                    "ascii",
+                ):
                     # transcode a declared non-UTF-8 entity; "replace"
                     # mirrors make_valid_utf8's U+FFFD convention.
                     # bytes.decode only resolves TEXT encodings, so an
                     # untrusted header naming a bytes-to-bytes codec
                     # ('hex', 'zlib', ...) lands in LookupError too.
                     try:
-                        return (b.decode(s, "replace"), None)
+                        return (b.decode(s, "replace"), None, s, s_src)
                     except LookupError:
-                        return (None, "unsupported_charset")
-                return (b.decode("utf-8", "replace"), None)
+                        return (None, "unsupported_charset", s, s_src)
+                return (b.decode("utf-8", "replace"), None, s, s_src)
 
             out = [
                 one(v, t, c, s)
@@ -1065,6 +1115,12 @@ def _encoded_entity_udf(max_chunks: int = 8192):
                     "body": pd.Series([o[0] for o in out], dtype=object),
                     "reason": pd.Series(
                         [o[1] for o in out], dtype=object
+                    ),
+                    "charset": pd.Series(
+                        [o[2] for o in out], dtype=object
+                    ),
+                    "charset_source": pd.Series(
+                        [o[3] for o in out], dtype=object
                     ),
                 }
             )
@@ -1085,10 +1141,25 @@ def warc_responses(
     :func:`redirect_edges` resolves it), ``http_etag`` /
     ``http_last_modified`` (cache validators, raw — the
     If-None-Match / If-Modified-Since a conditional refetch sends
-    back), ``http_charset`` (the Content-Type charset parameter,
-    lowercased),
+    back), ``http_x_robots_tag`` (the on-page-robots HTTP channel,
+    raw — fold with ``<meta name="robots">`` via
+    `operators/text.py:robots_directive_flags`),
+    ``http_charset`` (the Content-Type charset parameter,
+    lowercased), ``charset_sniffed`` / ``charset_source`` (the charset
+    the decode ACTUALLY used and where it came from — ``bom`` /
+    ``header`` / ``meta`` — WHATWG precedence: a BOM beats the header,
+    the header beats a ``<meta charset>``/``<meta http-equiv>``
+    declaration prescanned from the first 1024 entity bytes; NULL =
+    nothing declared, plain UTF-8),
     ``http_transfer_encoding``, ``http_content_encoding``, ``body``
-    and ``body_reject_reason``; keeps the WARC columns.  Non-response
+    and ``body_reject_reason``; keeps the WARC columns.  A UTF-8 BOM
+    strips from the decoded body; UTF-16 BOMs decode on the binary
+    path (BOM-consuming utf-16 codec in the entity udf).  Prescan
+    limits, both honest at corpus scale: UTF-16 BOMs on the TEXT path
+    were already mangled at read time (undetectable), and a
+    meta-declared charset inside a chunked-but-uncompressed entity is
+    only seen when the row reaches the entity udf for another reason
+    (the pure-Catalyst chunk fold does not re-scan).  Non-response
     records (request, warcinfo, metadata, …) are filtered out — crawl
     curation ingests fetched pages, not the crawler's own bookkeeping.
 
@@ -1174,11 +1245,6 @@ def warc_responses(
     ce_none = ce_c.isNull() | (ce_c == "identity")
     te_ok = te_none | (te_c == "chunked")
     ce_codec = ce_c.isin(*SUPPORTED_CONTENT_CODINGS)
-    # absent or UTF-8-family charset: the bytes already ARE the target
-    # encoding, no transcode step
-    cs_utf8 = cs_c.isNull() | cs_c.isin("utf-8", "utf8", "us-ascii", "ascii")
-    chunk_rows = (te_c == "chunked") & ce_none & cs_utf8
-    udf_rows = te_ok & (ce_codec | (ce_none & ~cs_utf8))
     if has_bin:
         # entity bytes = the raw payload minus the HTTP header block.
         # The header is ASCII in any response we can decode, so its
@@ -1195,6 +1261,56 @@ def warc_responses(
         # string — exact for every record the text source didn't
         # already mangle
         ebin = F.encode(F.col("_body_raw"), "UTF-8")
+    # ---- charset sniffing (WHATWG precedence: BOM > header > meta) --
+    # BOM probes run on the raw entity bytes, so they are only
+    # meaningful for un-chunked entities (a chunked body starts with
+    # its chunk-size line; compressed bytes never look like a BOM) —
+    # chunked/compressed entities get the same probes inside the
+    # entity udf, AFTER transfer/content decoding.
+    if has_bin:
+        bom8 = F.substring(ebin, 1, 3) == F.lit(b"\xef\xbb\xbf")
+        bom16 = (F.substring(ebin, 1, 2) == F.lit(b"\xff\xfe")) | (
+            F.substring(ebin, 1, 2) == F.lit(b"\xfe\xff")
+        )
+        prescan_src = F.decode(F.substring(ebin, 1, 1024), "ISO-8859-1")
+    else:
+        # the text source already decoded the bytes: a UTF-8 BOM
+        # surfaces as a leading U+FEFF; UTF-16 BOMs were mangled at
+        # read time and cannot be recovered here
+        bom8 = F.col("_body_raw").startswith("﻿")
+        bom16 = F.lit(False)
+        prescan_src = F.substring(F.col("_body_raw"), 1, 1024)
+    plainish = te_none & ce_none
+    # <meta charset> / <meta http-equiv> prescan over the first 1024
+    # entity bytes (decoded as ISO-8859-1, the WHATWG byte-transparent
+    # prescan convention) — consulted only when the Content-Type
+    # header declares nothing (header beats meta) and the entity is
+    # not transfer/content-coded (the udf re-scans those itself)
+    meta_cs = F.when(
+        cs_c.isNull() & plainish,
+        F.lower(
+            F.nullif(
+                F.regexp_extract(prescan_src, META_CHARSET_RE, 1),
+                F.lit(""),
+            )
+        ),
+    )
+    cs_eff = F.coalesce(cs_c, meta_cs)
+    # absent or UTF-8-family charset: the bytes already ARE the target
+    # encoding, no transcode step
+    cs_utf8 = cs_eff.isNull() | cs_eff.isin(
+        "utf-8", "utf8", "us-ascii", "ascii"
+    )
+    # a plain entity with a UTF-8 BOM decodes as UTF-8 no matter what
+    # the header claims (BOM wins) — strip the U+FEFF, skip the udf
+    bom8_plain = plainish & bom8
+    # a UTF-16 BOM needs the udf's BOM-consuming utf-16 decode
+    bom16_row = plainish & bom16
+    chunk_rows = (te_c == "chunked") & ce_none & cs_utf8
+    udf_rows = (
+        te_ok & (ce_codec | (ce_none & ~cs_utf8 & ~bom8_plain))
+    ) | bom16_row
+    plain_rows = plainish & ~bom16 & (cs_utf8 | bom8)
     # Stage the two expensive decode structs as GATED alias columns:
     # body and body_reject_reason below both read their fields, and
     # CollapseProject refuses to inline a non-cheap alias referenced
@@ -1219,16 +1335,22 @@ def warc_responses(
                 F.when(udf_rows, ebin),
                 F.when(udf_rows, te_c),
                 F.when(udf_rows, ce_c),
-                # NULL charset = plain UTF-8-with-replacement decode;
-                # UTF-8-family declarations stay NULL so the common
-                # case never pays a codec lookup
-                F.when(udf_rows & ~cs_utf8, cs_c),
+                # the HEADER charset, utf-8-family included — a NULL
+                # tells the udf "nothing declared, prescan the entity
+                # yourself", so an explicit utf-8 header must pass
+                # through or a meta tag could wrongly override it
+                F.when(udf_rows, cs_c),
             ).alias("_ent")
         )
     staged2 = staged.select("*", *stage_cols)
     chunk_s = F.col("_chunk")
+
+    def _strip_bom(c):
+        # a decoded UTF-8 BOM is a leading U+FEFF — WHATWG strips it
+        return F.regexp_replace(c, "^﻿", "")
+
     body = F.when(
-        te_none & ce_none & cs_utf8, F.col("_body_raw")
+        plain_rows, _strip_bom(F.col("_body_raw"))
     ).when(
         chunk_rows,
         # make_valid_utf8, not decode: U+FFFD replacement for invalid
@@ -1236,12 +1358,12 @@ def warc_responses(
         # uncompressed pages (ANSI decode throws)
         F.when(
             chunk_s.getField("ok"),
-            F.make_valid_utf8(chunk_s.getField("data")),
+            _strip_bom(F.make_valid_utf8(chunk_s.getField("data"))),
         ),
     )
     # reason is NULL wherever body decoded; every reject names why
     reason = F.when(
-        te_none & ce_none & cs_utf8, F.lit(None).cast("string")
+        plain_rows, F.lit(None).cast("string")
     ).when(
         chunk_rows,
         F.when(
@@ -1249,10 +1371,21 @@ def warc_responses(
             F.lit("bad_chunked_framing"),
         ),
     )
+    # which charset the decode used, and where it came from — the
+    # observability pair for the admission funnel (the udf reports its
+    # own BOM/meta findings for the rows it decoded)
+    sniffed = F.when(bom8_plain, F.lit("utf-8"))
+    sniff_src = F.when(bom8_plain, F.lit("bom"))
     if has_bin:
         body = body.when(udf_rows, F.col("_ent").getField("body"))
         reason = reason.when(
             udf_rows, F.col("_ent").getField("reason")
+        )
+        sniffed = sniffed.when(
+            udf_rows, F.col("_ent").getField("charset")
+        )
+        sniff_src = sniff_src.when(
+            udf_rows, F.col("_ent").getField("charset_source")
         )
     else:
         reason = reason.when(
@@ -1264,6 +1397,12 @@ def warc_responses(
             ~cs_utf8 & ce_none & te_ok,
             F.lit("charset_on_text_path"),
         )
+    sniffed = sniffed.when(cs_c.isNotNull(), cs_c).otherwise(meta_cs)
+    sniff_src = (
+        sniff_src.when(cs_c.isNotNull(), F.lit("header"))
+        .when(meta_cs.isNotNull(), F.lit("meta"))
+        .otherwise(F.lit(None).cast("string"))
+    )
     reason = reason.when(
         ~te_ok, F.lit("unsupported_transfer_encoding")
     ).otherwise(F.lit("unsupported_content_encoding"))
@@ -1309,7 +1448,16 @@ def warc_responses(
             _ows(_warc_header(F.col("_http_hdr"), "Last-Modified")),
             F.lit(""),
         ).alias("http_last_modified"),
+        # on-page robots' HTTP channel (RFC 9309's non-normative
+        # cousin): raw directive list — operators/text.py:
+        # robots_directive_flags folds it with <meta name="robots">
+        F.nullif(
+            _ows(_warc_header(F.col("_http_hdr"), "X-Robots-Tag")),
+            F.lit(""),
+        ).alias("http_x_robots_tag"),
         "http_charset",
+        sniffed.alias("charset_sniffed"),
+        sniff_src.alias("charset_source"),
         "http_transfer_encoding",
         "http_content_encoding",
         body.alias("body"),

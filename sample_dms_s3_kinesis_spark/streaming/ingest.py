@@ -102,6 +102,7 @@ class CorpusIngestTask(ReplicationTask):
         discover_links: bool = False,
         follow_redirects: bool = False,
         track_revalidations: bool = False,
+        on_page_robots: bool = False,
         frontier_max_per_host: int | None = None,
         frontier_key: str = "url",
         checkpoint_dir: str | None = None,
@@ -239,6 +240,20 @@ class CorpusIngestTask(ReplicationTask):
                 "discover_links requires a WARC input_format (link "
                 "resolution keys off each page's target URI)"
             )
+        # on_page_robots: honor per-page robots directives — a
+        # noindex page (via <meta name="robots"> or the X-Robots-Tag
+        # header) is never admitted (diverted to _quarantine_noindex,
+        # counted rejected_noindex), and a nofollow page contributes
+        # NO anchor links to the frontier (counted nofollow_pages).
+        # Pages opt out of exactly the use this pipeline puts them to;
+        # robots.txt compliance alone does not honor that.  WARC modes
+        # only (the directives live in the markup + HTTP headers).
+        if on_page_robots and input_format == "jsonl":
+            raise ValueError(
+                "on_page_robots requires a WARC input_format (the "
+                "directives live in page markup and HTTP headers)"
+            )
+        self.on_page_robots = on_page_robots
         if frontier_max_per_host is not None and not discover_links:
             raise ValueError(
                 "frontier_max_per_host requires discover_links=True"
@@ -589,6 +604,8 @@ class CorpusIngestTask(ReplicationTask):
             "rejected": 0,
             "rejected_contract": 0,
             "rejected_robots": 0,
+            "rejected_noindex": 0,
+            "nofollow_pages": 0,
             "revalidated": 0,
         }
         for counts in self._load_manifest().values():
@@ -669,6 +686,32 @@ class CorpusIngestTask(ReplicationTask):
         return (
             self.spark.read.option(
                 "basePath", f"{self.corpus_dir}/_quarantine_robots"
+            )
+            .parquet(*paths)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("target_uri").cast("string").alias("target_uri"),
+                F.col("batch_id").cast("long").alias("batch_id"),
+            )
+        )
+
+    def noindex_quarantined(self) -> DataFrame:
+        """(doc_id, target_uri, batch_id) for every page whose on-page
+        robots directives said noindex — the page-level twin of
+        :meth:`robots_quarantined` (on_page_robots mode)."""
+        manifest = self._load_manifest()
+        paths = [
+            f"{self.corpus_dir}/_quarantine_noindex/batch_id={b}"
+            for b in sorted(manifest, key=int)
+            if int(manifest[b].get("rejected_noindex", 0)) > 0
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "doc_id long, target_uri string, batch_id long"
+            )
+        return (
+            self.spark.read.option(
+                "basePath", f"{self.corpus_dir}/_quarantine_noindex"
             )
             .parquet(*paths)
             .select(
@@ -990,6 +1033,7 @@ class CorpusIngestTask(ReplicationTask):
         *,
         redirects: DataFrame | None = None,
         redirect_sources: DataFrame | None = None,
+        extra_fetched: DataFrame | None = None,
     ) -> dict[str, int]:
         """Run the batch's pages through link extraction -> resolution
         -> unseen gates -> optional cumulative per-host budget, land
@@ -1105,6 +1149,13 @@ class CorpusIngestTask(ReplicationTask):
         if srcs is not None:
             fetched = fetched.unionByName(
                 srcs.select(F.xxhash64(F.col("url")).alias("_id"))
+            )
+        if extra_fetched is not None:
+            # e.g. nofollow pages: fetched, no edges contributed
+            fetched = fetched.unionByName(
+                extra_fetched.select(
+                    F.xxhash64(F.col("url")).alias("_id")
+                )
             )
         fetched = fetched.distinct()
         if self.doc_id_pattern is None:
@@ -1279,6 +1330,14 @@ class CorpusIngestTask(ReplicationTask):
                 if self.robots_rules is not None
                 or self.discover_links
                 or self.track_revalidations
+                or self.on_page_robots
+                else []
+            ),
+            # on-page robots: the header channel rides along raw; the
+            # meta channel is parsed off the markup in _process_batch
+            *(
+                [F.col("http_x_robots_tag").alias("_x_robots")]
+                if self.on_page_robots
                 else []
             ),
         )
@@ -1293,6 +1352,11 @@ class CorpusIngestTask(ReplicationTask):
                 F.lit(None).cast("string").alias("text"),
                 F.lit(None).cast("array<double>").alias("embedding"),
                 F.col("url").alias("_uri"),
+                *(
+                    [F.lit(None).cast("string").alias("_x_robots")]
+                    if self.on_page_robots
+                    else []
+                ),
                 F.col("redirect_target").alias("_redirect_target"),
             )
             out = out.withColumn(
@@ -1312,6 +1376,11 @@ class CorpusIngestTask(ReplicationTask):
                 F.lit(None).cast("string").alias("text"),
                 F.lit(None).cast("array<double>").alias("embedding"),
                 F.col("target_uri").alias("_uri"),
+                *(
+                    [F.lit(None).cast("string").alias("_x_robots")]
+                    if self.on_page_robots
+                    else []
+                ),
                 *(
                     [F.lit(None).cast("string").alias("_redirect_target")]
                     if self.follow_redirects
@@ -1446,6 +1515,28 @@ class CorpusIngestTask(ReplicationTask):
             valid = joined.filter(
                 F.coalesce(F.col("allowed"), F.lit(1)) == 1
             ).drop("host", "url_path", "allowed")
+        # ON-PAGE ROBOTS, phase 1: fold <meta name="robots"> with the
+        # X-Robots-Tag header into per-page flags.  nofollow bites at
+        # link discovery below (the page must not contribute frontier
+        # edges); noindex bites AFTER discovery (a noindex page's links
+        # are still followable — it opts out of the INDEX, not the
+        # crawl graph).
+        n_nofollow = 0
+        n_noindex = 0
+        if self.on_page_robots and "_x_robots" in valid.columns:
+            from sample_dms_s3_kinesis_spark.operators import (
+                text as _ptext,
+            )
+
+            flags = _ptext.robots_directive_flags(
+                F.col("text"), F.col("_x_robots")
+            )
+            valid = (
+                valid.withColumn("_opr", flags)
+                .withColumn("_noindex", F.col("_opr.noindex"))
+                .withColumn("_nofollow", F.col("_opr.nofollow"))
+                .drop("_opr", "_x_robots")
+            )
         # LINK DISCOVERY side-output: runs on the RAW page markup of
         # every robots-allowed page (before extraction replaces the
         # text, before any content gate — a near-dup page still has
@@ -1483,11 +1574,27 @@ class CorpusIngestTask(ReplicationTask):
             # here materializes the batch's (text, uri) rows once and
             # gives discovery a leaf input (also sparing a re-run of
             # the robots join on the discovery branch).
+            disc_src = valid
+            nofollow_sources = None
+            if "_nofollow" in valid.columns:
+                # nofollow pages contribute no anchor edges, but they
+                # WERE fetched — they must stay in the frontier's
+                # fetched anti-join so another page linking at them
+                # cannot re-frontier them
+                n_nofollow = valid.filter(F.col("_nofollow")).count()
+                if n_nofollow > 0:
+                    disc_src = valid.filter(~F.col("_nofollow"))
+                    nofollow_sources = _cut_lineage(
+                        valid.filter(F.col("_nofollow")).select(
+                            F.col("_uri").alias("url")
+                        )
+                    )
             fr_counts = self._discover_frontier(
-                _cut_lineage(valid.select("text", "_uri")),
+                _cut_lineage(disc_src.select("text", "_uri")),
                 batch_id,
                 redirects=redirects,
                 redirect_sources=redirect_sources,
+                extra_fetched=nofollow_sources,
             )
             # fetched sitemaps are navigation artifacts: their locs
             # just entered the frontier, the XML itself must not be
@@ -1500,6 +1607,30 @@ class CorpusIngestTask(ReplicationTask):
             if n_sitemap > 0:
                 valid = valid.filter(~is_sm)
             fr_counts["rejected_sitemap"] = int(n_sitemap)
+        # ON-PAGE ROBOTS, phase 2: noindex pages divert to the
+        # per-batch _quarantine_noindex store (overwrite:
+        # replay-idempotent) and count as rejected_noindex — AFTER
+        # their links fed the frontier, BEFORE any content gate.
+        if "_noindex" in valid.columns:
+            noidx = valid.filter(F.col("_noindex")).persist()
+            n_noindex = noidx.count()
+            if n_noindex > 0:
+                ndir = (
+                    f"{self.corpus_dir}/_quarantine_noindex"
+                    f"/batch_id={batch_id}"
+                )
+                (
+                    noidx.select(
+                        "doc_id", F.col("_uri").alias("target_uri")
+                    )
+                    .write.mode("overwrite")
+                    .parquet(ndir)
+                )
+                self.spark.catalog.refreshByPath(ndir)
+            noidx.unpersist()
+            if n_noindex > 0:
+                valid = valid.filter(~F.col("_noindex"))
+            valid = valid.drop("_noindex", "_nofollow")
         if "_uri" in valid.columns:
             valid = valid.drop("_uri")
         if self.extract_html:
@@ -1560,9 +1691,12 @@ class CorpusIngestTask(ReplicationTask):
                     "rejected": n_total
                     - n_contract
                     - n_robots
-                    - n_sitemap,
+                    - n_sitemap
+                    - n_noindex,
                     "rejected_contract": n_contract,
                     "rejected_robots": n_robots,
+                    "rejected_noindex": n_noindex,
+                    "nofollow_pages": n_nofollow,
                     "revalidated": n_reval,
                     **fr_counts,
                 },
@@ -1782,9 +1916,12 @@ class CorpusIngestTask(ReplicationTask):
                 - head["n_valid"]
                 - n_contract
                 - n_robots
-                - n_sitemap,
+                - n_sitemap
+                - n_noindex,
                 "rejected_contract": n_contract,
                 "rejected_robots": n_robots,
+                "rejected_noindex": n_noindex,
+                "nofollow_pages": n_nofollow,
                 "revalidated": n_reval,
                 **fr_counts,
             },

@@ -1656,6 +1656,108 @@ def test_follow_redirects_streaming(spark, tmp_path):
     assert task.ingest_stats().get("admitted") == 1
 
 
+def test_on_page_robots_gates(spark, tmp_path):
+    """on_page_robots=True: a noindex page (meta or X-Robots-Tag) is
+    never admitted (quarantined + counted rejected_noindex) but its
+    links STILL feed the frontier; a nofollow page is admitted but
+    contributes no frontier edges (counted nofollow_pages) and stays
+    in the fetched anti-join; 'none' means both."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=True,
+        on_page_robots=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    def _page(uri, body, extra_header=""):
+        payload = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"{extra_header}\r\n<html><body>{body}</body></html>"
+        )
+        return (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(payload.encode())}\r\n\r\n"
+            f"{payload}\r\n\r\n"
+        )
+
+    b1 = (
+        _page(
+            "https://a.com/plain",
+            '<p>plain page body</p><a href="https://x.com/from-plain">l</a>',
+        )
+        + _page(
+            "https://a.com/noindex",
+            '<meta name="robots" content="noindex">'
+            '<p>noindex body</p><a href="https://x.com/from-noindex">l</a>',
+        )
+        + _page(
+            "https://a.com/nofollow",
+            '<meta name="robots" content="nofollow">'
+            '<p>nofollow body</p><a href="https://x.com/from-nofollow">l</a>'
+            '<a href="https://a.com/nofollow-target">t</a>',
+        )
+        + _page(
+            "https://a.com/none",
+            '<p>none body</p><a href="https://x.com/from-none">l</a>',
+            extra_header="X-Robots-Tag: none\r\n",
+        )
+    )
+    (drop / "b1.warc").write_text(b1)
+    task._process_batch(task._source_frame(streaming=False), 0)
+
+    stats = task.ingest_stats()
+    assert stats["admitted"] == 2  # plain + nofollow
+    assert stats["rejected_noindex"] == 2  # noindex + none
+    assert stats["nofollow_pages"] == 2  # nofollow + none
+    noidx = {
+        r["target_uri"] for r in task.noindex_quarantined().collect()
+    }
+    assert noidx == {"https://a.com/noindex", "https://a.com/none"}
+    frontier = {
+        r["url"] for r in task.discovered_frontier().collect()
+    }
+    # noindex page's links present; nofollow/none pages' links absent
+    assert frontier == {
+        "https://x.com/from-plain",
+        "https://x.com/from-noindex",
+    }
+
+    # a second batch linking AT the nofollow page must not re-frontier
+    # it (it was fetched), while a fresh URL still enters
+    b2 = _page(
+        "https://b.com/later",
+        '<p>later body page</p>'
+        '<a href="https://a.com/nofollow">seen</a>'
+        '<a href="https://x.com/fresh">new</a>',
+    )
+    (drop / "b2.warc").write_text(b2)
+    task._process_batch(task._source_frame(streaming=False), 1)
+    frontier2 = {
+        r["url"] for r in task.discovered_frontier().collect()
+    }
+    assert "https://x.com/fresh" in frontier2
+    assert "https://a.com/nofollow" not in frontier2
+
+
+def test_on_page_robots_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="on_page_robots requires"):
+        CorpusIngestTask(
+            spark,
+            str(tmp_path / "d"),
+            str(tmp_path / "c"),
+            input_format="jsonl",
+            on_page_robots=True,
+        )
+
+
 def test_follow_redirects_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="follow_redirects requires"):
         CorpusIngestTask(

@@ -1114,6 +1114,136 @@ def test_charset_transcode_binary_path(spark, tmp_path):
     }
 
 
+def test_charset_sniffing_bom_and_meta(spark, tmp_path):
+    """WHATWG charset detection beyond the Content-Type header: BOM >
+    header > <meta charset>/<meta http-equiv> (first 1024 bytes) >
+    UTF-8.  A header-less Latin-1 page with a meta declaration lands
+    clean; BOMs decode and strip; an explicit header beats meta."""
+    import gzip
+
+    d = tmp_path / "w"
+    d.mkdir()
+    meta_l1 = (
+        '<html><head><meta charset="ISO-8859-1"></head>'
+        "<body>café ñ</body></html>"
+    )
+    meta_sj = (
+        "<html><head><meta http-equiv=\"Content-Type\" "
+        "content=\"text/html; charset=Shift_JIS\"></head>"
+        "<body>こんにちは</body></html>"
+    )
+    recs = [
+        # 0: meta-declared Latin-1, NO header charset
+        crawl.warc_response_record_bytes(
+            "https://t/0", meta_l1.encode("latin-1")
+        ),
+        # 1: meta http-equiv Shift-JIS, NO header charset
+        crawl.warc_response_record_bytes(
+            "https://t/1", meta_sj.encode("shift_jis")
+        ),
+        # 2: UTF-8 BOM, nothing declared -> decode + strip
+        crawl.warc_response_record_bytes(
+            "https://t/2", b"\xef\xbb\xbf" + "bom ü body".encode()
+        ),
+        # 3: UTF-16LE BOM -> BOM-consuming utf-16 decode
+        crawl.warc_response_record_bytes(
+            "https://t/3", "utf16 body é".encode("utf-16")
+        ),
+        # 4: UTF-8 BOM beats a WRONG Latin-1 header
+        crawl.warc_response_record_bytes(
+            "https://t/4",
+            b"\xef\xbb\xbf" + "bom wins ü".encode(),
+            http_content_type="text/html; charset=ISO-8859-1",
+        ),
+        # 5: explicit utf-8 header beats a Latin-1 meta tag
+        crawl.warc_response_record_bytes(
+            "https://t/5",
+            '<meta charset="ISO-8859-1">header wins ü'.encode(),
+            http_content_type="text/html; charset=UTF-8",
+        ),
+        # 6: gzip + meta Latin-1 (no header) -> udf decompresses,
+        #    prescans, transcodes
+        crawl.warc_response_record_bytes(
+            "https://t/6",
+            gzip.compress(meta_l1.encode("latin-1"), mtime=0),
+            content_encoding="gzip",
+        ),
+        # 7: gzip + UTF-8 BOM -> udf strips post-decompress
+        crawl.warc_response_record_bytes(
+            "https://t/7",
+            gzip.compress(b"\xef\xbb\xbf" + "zipped ü".encode(), mtime=0),
+            content_encoding="gzip",
+        ),
+        # 8: nothing anywhere -> plain utf-8, no sniff columns
+        crawl.warc_response_record_bytes(
+            "https://t/8", "plain page".encode()
+        ),
+    ]
+    with open(d / "a.warc.gz", "wb") as f:
+        f.write(b"".join(gzip.compress(r, mtime=0) for r in recs))
+    rows = {
+        r["target_uri"]: (
+            r["body"],
+            r["body_reject_reason"],
+            r["charset_sniffed"],
+            r["charset_source"],
+        )
+        for r in crawl.warc_responses(
+            crawl.read_warc_gz(spark, str(d), binary_payload=True)
+        ).collect()
+    }
+    assert rows["https://t/0"] == (meta_l1, None, "iso-8859-1", "meta")
+    assert rows["https://t/1"] == (meta_sj, None, "shift_jis", "meta")
+    assert rows["https://t/2"] == ("bom ü body", None, "utf-8", "bom")
+    assert rows["https://t/3"] == ("utf16 body é", None, "utf-16", "bom")
+    assert rows["https://t/4"] == ("bom wins ü", None, "utf-8", "bom")
+    assert rows["https://t/5"] == (
+        '<meta charset="ISO-8859-1">header wins ü',
+        None,
+        "utf-8",
+        "header",
+    )
+    assert rows["https://t/6"] == (meta_l1, None, "iso-8859-1", "meta")
+    assert rows["https://t/7"] == ("zipped ü", None, "utf-8", "bom")
+    assert rows["https://t/8"] == ("plain page", None, None, None)
+
+
+def test_charset_meta_on_text_path_rejects_and_bom_strips(spark, tmp_path):
+    """Text path: a meta-declared non-UTF-8 page rejects with
+    charset_on_text_path (its bytes were already mangled at read
+    time); a UTF-8 BOM survives the text decode as U+FEFF and strips."""
+    out = str(tmp_path / "t")
+    rec1 = crawl.warc_response_record(
+        target_uri=F.lit("https://t/meta"),
+        body=F.lit('<meta charset="iso-8859-1">x'),
+    )
+    rec2 = crawl.warc_response_record(
+        target_uri=F.lit("https://t/bom"),
+        body=F.lit("﻿bom text"),
+    )
+    spark.range(1).select(
+        F.explode(F.array(rec1, rec2)).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(out)
+    rows = {
+        r["target_uri"]: (
+            r["body"],
+            r["body_reject_reason"],
+            r["charset_sniffed"],
+            r["charset_source"],
+        )
+        for r in crawl.warc_responses(
+            crawl.read_warc_records(spark, out)
+        ).collect()
+    }
+    assert rows["https://t/meta"] == (
+        None,
+        "charset_on_text_path",
+        "iso-8859-1",
+        "meta",
+    )
+    assert rows["https://t/bom"] == ("bom text", None, "utf-8", "bom")
+
+
 def test_charset_on_text_path_rejects(spark, tmp_path):
     """The text source already UTF-8-mangled a declared non-UTF-8 body
     at read time — transcoding is impossible, so the row rejects with
