@@ -494,6 +494,66 @@ def surt_urlkey(url: Column) -> Column:
 # --------------------------------------------------------------------
 
 
+def host_backoff(
+    responses: DataFrame,
+    *,
+    now: str,
+    default_penalty_s: float = 45.0,
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host rate-limit penalties off `sources/crawl.py:
+    warc_responses` output: every 429 (Too Many Requests) / 503
+    (Service Unavailable) response contributes a penalty — its
+    ``Retry-After`` value when present (RFC 9110 §10.2.3: either
+    delta-seconds or an HTTP-date, resolved against the pinned ``now``
+    and clamped to ≥ 0), else ``default_penalty_s`` — and the host's
+    ``backoff_s`` is the MAX across them (the most conservative server
+    signal wins).  Output: one row per rate-limited host —
+    ``(host, n_rate_limited, backoff_s)``.
+
+    Feed into :func:`fetch_schedule` (``backoff=``) so a 429ing host's
+    whole wave train shifts out instead of being re-hit on the same
+    cadence.  ``now`` is a caller-pinned ISO timestamp — never wall
+    clock, so plans replay deterministically.  Pure Catalyst: a
+    status-range filter, a per-row parse (try_cast for delta-seconds,
+    IMF-fixdate to_timestamp for HTTP-dates), one partial-aggregating
+    groupBy on the host — one shuffle of host-cardinality rows."""
+    rl = responses.filter(F.col("http_status").isin(429, 503))
+    delta = F.col("http_retry_after").try_cast("double")
+    # Spark's post-3.0 parser rejects day-of-week fields (EEE) in
+    # parse patterns — strip the IMF-fixdate weekday prefix instead.
+    # try_to_timestamp: a malformed value from a hostile server must
+    # degrade to the default penalty, not abort the scan (ANSI mode)
+    http_date = F.try_to_timestamp(
+        F.regexp_replace(
+            F.col("http_retry_after"), r"^[A-Za-z]{3}, ", ""
+        ),
+        F.lit("dd MMM yyyy HH:mm:ss 'GMT'"),
+    )
+    date_s = (
+        F.unix_timestamp(http_date)
+        - F.unix_timestamp(F.lit(now).cast("timestamp"))
+    ).cast("double")
+    penalty = F.coalesce(
+        delta,
+        # guard the greatest(): it SKIPS nulls, so an unparseable date
+        # would otherwise yield 0.0 instead of the default penalty
+        F.when(http_date.isNotNull(), F.greatest(date_s, F.lit(0.0))),
+        F.lit(float(default_penalty_s)),
+    )
+    return (
+        rl.select(
+            url_host(F.col("target_uri")).alias(host_col),
+            penalty.alias("_penalty"),
+        )
+        .groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rate_limited"),
+            F.max("_penalty").alias("backoff_s"),
+        )
+    )
+
+
 def fetch_schedule(
     frontier: DataFrame,
     delays: DataFrame,
@@ -504,6 +564,7 @@ def fetch_schedule(
     default_delay: float = 1.0,
     wave_col: str = "wave",
     offset_col: str = "fetch_offset_s",
+    backoff: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every frontier URL a per-host fetch wave and a scheduled
     start offset honoring robots Crawl-delay — the step between frontier
@@ -517,10 +578,16 @@ def fetch_schedule(
     1-based position within the host (deterministic ``order_col``
     order); ``fetch_offset_s = (wave - 1) * delay``.
 
-    Cost: one broadcast join (the delays frame is host-cardinality —
-    tiny next to the frontier) + one window partitioned by host; the
-    window's skew is bounded by the per-host caps every frontier in
-    this engine applies upstream."""
+    ``backoff`` (optional) is a (host, backoff_s) frame — the output
+    of :func:`host_backoff`: a rate-limited host's entire wave train
+    shifts out by its penalty (``fetch_offset_s += backoff_s``), so a
+    429ing host is not re-hit on the same cadence while clean hosts
+    are unaffected.
+
+    Cost: one or two broadcast joins (delays and backoff are both
+    host-cardinality — tiny next to the frontier) + one window
+    partitioned by host; the window's skew is bounded by the per-host
+    caps every frontier in this engine applies upstream."""
     if default_delay < 0:
         raise ValueError(f"default_delay must be >= 0, got {default_delay}")
     clash = {wave_col, offset_col, f"_delay_{wave_col}"} & set(
@@ -535,17 +602,23 @@ def fetch_schedule(
         F.col(delay_col).cast("double").alias(f"_delay_{wave_col}"),
     )
     w = Window.partitionBy(F.col(host_col)).orderBy(F.col(order_col).asc())
-    out = (
-        frontier.join(F.broadcast(d), host_col, "left")
-        .withColumn(wave_col, F.row_number().over(w))
-        .withColumn(
-            offset_col,
-            (F.col(wave_col) - 1).cast("double")
-            * F.coalesce(
-                F.col(f"_delay_{wave_col}"), F.lit(float(default_delay))
-            ),
+    staged = frontier.join(F.broadcast(d), host_col, "left")
+    base_off = (F.col(wave_col) - 1).cast("double") * F.coalesce(
+        F.col(f"_delay_{wave_col}"), F.lit(float(default_delay))
+    )
+    if backoff is not None:
+        b = backoff.select(
+            F.col(host_col),
+            F.col("backoff_s").cast("double").alias(f"_bk_{wave_col}"),
         )
-        .drop(f"_delay_{wave_col}")
+        staged = staged.join(F.broadcast(b), host_col, "left")
+        base_off = base_off + F.coalesce(
+            F.col(f"_bk_{wave_col}"), F.lit(0.0)
+        )
+    out = (
+        staged.withColumn(wave_col, F.row_number().over(w))
+        .withColumn(offset_col, base_off)
+        .drop(f"_delay_{wave_col}", f"_bk_{wave_col}")
     )
     return out
 

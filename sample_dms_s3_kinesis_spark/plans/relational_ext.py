@@ -7169,6 +7169,71 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
             lines.write.mode("overwrite").text(out)
             _CRAWL_FIXTURE_CACHE[key] = path
             return out
+        if kind == "warc_backoff":
+            # Rate-limit fixture: doc_id % 5 selects the response
+            # (0/4: 200 page — the schedulable frontier; 1: 429 with
+            # delta-seconds Retry-After 60+(doc_id%7)*10; 2: 503 with
+            # an IMF-fixdate Retry-After (2+doc_id%4) minutes past the
+            # pinned now of 2024-02-01 00:00:00, Feb 1 2024 = Thu;
+            # 3: 429 with NO Retry-After — default penalty).
+            did = F.col("doc_id").cast("string")
+            uri = F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/p/"),
+                did,
+            )
+            v = F.col("doc_id") % 5
+            body = F.lit("<html><body>rate page</body></html>")
+            ra_delta = F.concat(
+                F.lit("Retry-After: "),
+                (F.lit(60) + (F.col("doc_id") % 7) * 10).cast("string"),
+            )
+            mm = F.lpad(
+                (F.lit(2) + F.col("doc_id") % 4).cast("string"), 2, "0"
+            )
+            ra_date = F.concat(
+                F.lit("Retry-After: Thu, 01 Feb 2024 00:"),
+                mm,
+                F.lit(":00 GMT"),
+            )
+            lines = d.select(
+                F.when(
+                    v == 1,
+                    _crawl.warc_response_record(
+                        target_uri=uri,
+                        body=body,
+                        http_status=F.lit(429),
+                        extra_http_headers=(ra_delta,),
+                    ),
+                )
+                .when(
+                    v == 2,
+                    _crawl.warc_response_record(
+                        target_uri=uri,
+                        body=body,
+                        http_status=F.lit(503),
+                        extra_http_headers=(ra_date,),
+                    ),
+                )
+                .when(
+                    v == 3,
+                    _crawl.warc_response_record(
+                        target_uri=uri,
+                        body=body,
+                        http_status=F.lit(429),
+                    ),
+                )
+                .otherwise(
+                    _crawl.warc_response_record(
+                        target_uri=uri, body=body
+                    )
+                )
+                .alias("value")
+            )
+            lines.write.mode("overwrite").text(out)
+            _CRAWL_FIXTURE_CACHE[key] = path
+            return out
         if kind == "cdx_hist":
             # Three-capture history per doc for the recrawl scheduler:
             # Jan 1 (digest v1), Mar 15 (current digest), May 20
@@ -8742,6 +8807,78 @@ def q_http_validators(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         "http_etag",
         "http_last_modified",
+    )
+
+
+@_register(
+    "q_fetch_schedule_backoff",
+    """
+    WITH s AS (SELECT doc_id, source, CAST(doc_id % 5 AS INTEGER) AS v,
+                      'https://' || source || '.example.com/p/' || doc_id
+                        AS url,
+                      source || '.example.com' AS host
+               FROM documents),
+    p AS (SELECT host,
+                 CASE WHEN v = 1
+                        THEN CAST(60 + (doc_id % 7) * 10 AS DOUBLE)
+                      WHEN v = 2
+                        THEN CAST((2 + doc_id % 4) * 60 AS DOUBLE)
+                      WHEN v = 3 THEN 45.0 END AS pen
+          FROM s WHERE v IN (1, 2, 3)),
+    bk AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_rate_limited,
+                  MAX(pen) AS backoff_s
+           FROM p GROUP BY host),
+    fr AS (SELECT url, host FROM s WHERE v IN (0, 4)),
+    wv AS (SELECT url, host,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY host
+                                          ORDER BY url) AS INTEGER)
+                    AS wave
+           FROM fr)
+    SELECT wv.url, wv.host, wv.wave,
+           CAST((wv.wave - 1) * 2.0 + COALESCE(bk.backoff_s, 0)
+                AS DOUBLE) AS fetch_offset_s,
+           bk.backoff_s, bk.n_rate_limited
+    FROM wv LEFT JOIN bk USING (host)
+    """,
+    "rate-limit backoff folded into the fetch schedule: the corpus "
+    "framed into WARC with doc_id%5 selecting the response (200 page "
+    "/ 429 with delta-seconds Retry-After / 503 with an IMF-fixdate "
+    "Retry-After vs the pinned now / 429 with none -> default "
+    "penalty), read back through warc_responses (NEW http_retry_after "
+    "column) -> urls.host_backoff (per-host MAX penalty, both RFC "
+    "9110 Retry-After forms + the default) -> urls.fetch_schedule"
+    "(backoff=...) — a 429ing host's whole wave train shifts out by "
+    "its penalty instead of being re-hit on the same cadence, clean "
+    "hosts unaffected.  The oracle replays the parse, the per-host "
+    "max, and the wave arithmetic from doc_id math, so a date-parse "
+    "or fold fault hash-mismatches; closes the politeness loop "
+    "Crawl-delay alone leaves open",
+    "crawl scheduling: Retry-After / 429-503 backoff in the fetch "
+    "waves",
+)
+def q_fetch_schedule_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _crawl_fixture(spark, sf_dir, "warc_backoff")
+    resp = _crawl.warc_responses(_crawl.read_warc_records(spark, path))
+    backoff = _urls.host_backoff(
+        resp, now="2024-02-01 00:00:00", default_penalty_s=45.0
+    )
+    frontier = resp.filter(F.col("http_status") == 200).select(
+        F.col("target_uri").alias("url"),
+        _urls.url_host(F.col("target_uri")).alias("host"),
+    )
+    delays = frontier.select("host").distinct().withColumn(
+        "crawl_delay", F.lit(2.0)
+    )
+    sched = _urls.fetch_schedule(
+        frontier, delays, backoff=backoff, default_delay=2.0
+    )
+    return sched.join(F.broadcast(backoff), "host", "left").select(
+        "url",
+        "host",
+        "wave",
+        "fetch_offset_s",
+        "backoff_s",
+        "n_rate_limited",
     )
 
 

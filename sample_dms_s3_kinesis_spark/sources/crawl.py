@@ -1143,7 +1143,9 @@ def warc_responses(
     If-None-Match / If-Modified-Since a conditional refetch sends
     back), ``http_x_robots_tag`` (the on-page-robots HTTP channel,
     raw — fold with ``<meta name="robots">`` via
-    `operators/text.py:robots_directive_flags`),
+    `operators/text.py:robots_directive_flags`), ``http_retry_after``
+    (raw — `operators/urls.py:host_backoff` folds it with 429/503
+    statuses into per-host fetch penalties),
     ``http_charset`` (the Content-Type charset parameter,
     lowercased), ``charset_sniffed`` / ``charset_source`` (the charset
     the decode ACTUALLY used and where it came from — ``bom`` /
@@ -1455,6 +1457,13 @@ def warc_responses(
             _ows(_warc_header(F.col("_http_hdr"), "X-Robots-Tag")),
             F.lit(""),
         ).alias("http_x_robots_tag"),
+        # rate-limit backoff channel, raw (RFC 9110 §10.2.3: delta-
+        # seconds or an HTTP-date) — operators/urls.py:host_backoff
+        # folds it with 429/503 statuses into per-host penalties
+        F.nullif(
+            _ows(_warc_header(F.col("_http_hdr"), "Retry-After")),
+            F.lit(""),
+        ).alias("http_retry_after"),
         "http_charset",
         sniffed.alias("charset_sniffed"),
         sniff_src.alias("charset_source"),

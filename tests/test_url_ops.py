@@ -419,6 +419,64 @@ def test_fetch_schedule_waves_and_defaults(spark):
     }
 
 
+def test_host_backoff_and_schedule_fold(spark):
+    """host_backoff: 429/503 responses fold Retry-After (delta-seconds
+    OR HTTP-date vs a pinned now; absent -> default penalty) into a
+    per-host MAX penalty, and fetch_schedule(backoff=...) shifts the
+    whole host's wave train out by it."""
+    responses = spark.createDataFrame(
+        [
+            ("https://a.com/x", 429, "120"),  # delta-seconds
+            ("https://a.com/y", 503, None),  # default penalty
+            # HTTP-date: 300 s past the pinned now (Feb 1 2024 = Thu)
+            ("https://b.com/x", 429, "Thu, 01 Feb 2024 00:05:00 GMT"),
+            # a date BEFORE now clamps to 0
+            ("https://c.com/x", 503, "Wed, 31 Jan 2024 23:00:00 GMT"),
+            ("https://d.com/ok", 200, None),  # not rate-limited
+            # a hostile/malformed value degrades to the default
+            ("https://e.com/x", 429, "soon-ish"),
+        ],
+        "target_uri string, http_status int, http_retry_after string",
+    )
+    bk = {
+        r["host"]: (r["n_rate_limited"], r["backoff_s"])
+        for r in urls.host_backoff(
+            responses, now="2024-02-01 00:00:00", default_penalty_s=45.0
+        ).collect()
+    }
+    assert bk == {
+        "a.com": (2, 120.0),  # max(120, default 45)
+        "b.com": (1, 300.0),
+        "c.com": (1, 0.0),
+        "e.com": (1, 45.0),  # unparseable -> default, not 0
+    }
+    frontier = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/1"),
+            ("a.com", "https://a.com/2"),
+            ("d.com", "https://d.com/1"),
+        ],
+        "host string, url string",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 2.0)], "host string, crawl_delay double"
+    )
+    backoff = urls.host_backoff(
+        responses, now="2024-02-01 00:00:00", default_penalty_s=45.0
+    )
+    got = {
+        (r["host"], r["wave"]): r["fetch_offset_s"]
+        for r in urls.fetch_schedule(
+            frontier, delays, backoff=backoff
+        ).collect()
+    }
+    assert got == {
+        ("a.com", 1): 120.0,  # wave train shifted by the penalty
+        ("a.com", 2): 122.0,
+        ("d.com", 1): 0.0,  # clean host unaffected
+    }
+
+
 def test_fetch_schedule_validation(spark):
     frontier = spark.createDataFrame(
         [("a.com", "u", 1)], "host string, url string, wave int"
