@@ -411,6 +411,8 @@ def resolve_url(base: Column, href: Column) -> Column:
     base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
     scheme = url_scheme(base)
 
+    from sample_dms_s3_kinesis_spark.operators.text import _bind
+
     # First assemble the UN-normalized absolute target per branch, then
     # run the origin/path/query split and the dot-segment collapse ONCE
     # on the result — inlining the collapse chain per branch would grow
@@ -423,30 +425,43 @@ def resolve_url(base: Column, href: Column) -> Column:
         .when(h.startswith("?"), F.concat(base_noquery, h))
         .otherwise(F.concat(origin, base_dir, h))
     )
+
     # dot-segment collapse over the PATH only, never the query
     # ('../x?p=a/..' keeps its query byte-for-byte); RFC 3986 §5.2.2
     # normalizes absolute and protocol-relative references too.
-    out = F.concat(
-        F.regexp_extract(pre, _ORIGIN_RE, 1),
-        _collapse_dot_segments(
-            F.regexp_extract(F.regexp_extract(pre, r"^([^?]*)", 1),
-                             _PATH_RE, 1)
-        ),
-        F.regexp_replace(pre, r"^[^?]*", ""),
-    )
+    # `pre` is BOUND (text._bind): the assembly references it three
+    # times and the final guard references the whole result twice —
+    # inlined, the tree multiplies ~6x, which both re-runs the regex
+    # chains per reference and blows whole-stage codegen past janino's
+    # 64 KB method limit on any plan that projects resolve_url next to
+    # a parse (the stage then silently drops to interpreted eval).
+    def _assemble(p: Column) -> Column:
+        return F.concat(
+            F.regexp_extract(p, _ORIGIN_RE, 1),
+            _collapse_dot_segments(
+                F.regexp_extract(
+                    F.regexp_extract(p, r"^([^?]*)", 1), _PATH_RE, 1
+                )
+            ),
+            F.regexp_replace(p, r"^[^?]*", ""),
+        )
+
     out = (
         F.when(h == "", F.lit(None).cast("string"))
         .when(
             h.rlike(_ANY_SCHEME_RE) & ~h.rlike(r"^(?i)https?://"),
             F.lit(None).cast("string"),
         )
-        .otherwise(out)
+        .otherwise(_bind(pre, _assemble))
     )
     # a base that is not an absolute http(s) URL cannot anchor
     # relative resolution — NULL the relative branches, keep absolutes
-    return F.when(
-        base.rlike(r"^(?i)https?://") | out.rlike(r"^(?i)https?://"),
+    return _bind(
         out,
+        lambda o: F.when(
+            base.rlike(r"^(?i)https?://") | o.rlike(r"^(?i)https?://"),
+            o,
+        ),
     )
 
 
@@ -666,17 +681,23 @@ def follow_redirects(
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
     from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
 
+    # cut BEFORE the groupBy: the upstream plan is typically the WARC
+    # parse + RFC 3986 resolve chain, and inlined into the aggregate's
+    # sort it blows codegen past janino's 64 KB method limit (the
+    # whole stage silently drops to interpreted eval — a quiet perf
+    # cliff; the thin projection alone stays codegen'd).  The cut also
+    # gives every one of the max_hops joins below a leaf input instead
+    # of re-inlining the parse per round.
+    e = _cut_lineage(
+        edges.select(F.col(src_col), F.col(dst_col)).filter(
+            F.col(dst_col).isNotNull()
+        )
+    )
     e = (
-        edges.select(F.col(src_col), F.col(dst_col))
-        .filter(F.col(dst_col).isNotNull())
-        .groupBy(src_col)
+        e.groupBy(src_col)
         .agg(F.min(dst_col).alias("_edst"))
         .withColumnRenamed(src_col, "_esrc")
     )
-    # the map joins max_hops times; without a cut its upstream plan
-    # (typically the WARC parse + RFC 3986 resolve chain) re-inlines
-    # into EVERY join's sort and blows codegen past janino's method
-    # limit — one materialization gives every round a leaf input
     e = _cut_lineage(e)
     state = e.select(
         F.col("_esrc").alias("url"),
