@@ -933,6 +933,7 @@ class CorpusIngestTask(ReplicationTask):
         *,
         default_delay: float = 1.0,
         include_cdx: bool = False,
+        backoff: DataFrame | None = None,
     ) -> DataFrame:
         """The pending fetch work list, politeness-scheduled: each URL
         gets a per-host ``wave`` and ``fetch_offset_s`` honoring robots
@@ -960,7 +961,12 @@ class CorpusIngestTask(ReplicationTask):
         disallow for ``robots_agent`` are dropped BEFORE scheduling —
         the fetch tier must never be handed a request robots forbids
         (the allow/deny twin of the Crawl-delay spacing this method
-        already honors)."""
+        already honors).
+
+        ``backoff`` is a (host, backoff_s) frame — typically
+        `operators/urls.py:host_backoff` over the last fetch round's
+        responses: a 429ing/503ing host's whole wave train shifts out
+        by its penalty instead of being re-hit on the same cadence."""
         from sample_dms_s3_kinesis_spark.operators import urls as _urls
 
         if include_cdx and self.cdx_dir is None:
@@ -1024,6 +1030,7 @@ class CorpusIngestTask(ReplicationTask):
             delays,
             order_col="url",
             default_delay=default_delay,
+            backoff=backoff,
         )
 
     def _discover_frontier(

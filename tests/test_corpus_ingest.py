@@ -1234,6 +1234,17 @@ def test_frontier_surt_key_collapses_mirrors(spark, tmp_path):
     }
     assert plan == {("m.com", 1, 0.0), ("other.com", 1, 0.0)}
 
+    # rate-limit feedback: a (host, backoff_s) frame shifts that
+    # host's offsets out; the clean host is untouched
+    bk = spark.createDataFrame(
+        [("m.com", 90.0)], "host string, backoff_s double"
+    )
+    plan_bk = {
+        (r["host"], r["wave"], r["fetch_offset_s"])
+        for r in task.fetch_plan(backoff=bk).collect()
+    }
+    assert plan_bk == {("m.com", 1, 90.0), ("other.com", 1, 0.0)}
+
 
 def test_frontier_key_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="frontier_key must be"):
