@@ -47,9 +47,11 @@ from sample_dms_s3_kinesis_spark.operators.text import (
     bpe_ish_tokens,
     char_count,
     char_ngrams,
+    detect_script,
     dup_token_fraction,
     fingerprint,
     lang_id,
+    lang_id_unicode,
     normalize_text,
     pii_count,
     punct_count,
@@ -69,6 +71,7 @@ __all__ = [
     "char_count",
     "char_ngrams",
     "cosine_similarity",
+    "detect_script",
     "dequantize",
     "dup_token_fraction",
     "fingerprint",
@@ -78,6 +81,7 @@ __all__ = [
     "l2_norm",
     "l2_normalize",
     "lang_id",
+    "lang_id_unicode",
     "minhash_signature",
     "normalize_text",
     "pii_count",

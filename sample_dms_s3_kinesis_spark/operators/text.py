@@ -198,6 +198,117 @@ def lang_id(col: Column) -> Column:
     return _bind(tokens(F.lower(col)), _pick)
 
 
+# Script classes for detect_script / lang_id_unicode, in deterministic
+# tie-break order (first wins on equal letter counts).  Two spellings
+# of each class: Java regex (\p{IsXxx}, Spark side) and RE2 (\p{Xxx},
+# DuckDB oracle side) — keep in lockstep.
+SCRIPT_CLASSES: list[tuple[str, str, str]] = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("kana", r"\p{IsHiragana}\p{IsKatakana}", r"\p{Hiragana}\p{Katakana}"),
+    ("hangul", r"\p{IsHangul}", r"\p{Hangul}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+    ("devanagari", r"\p{IsDevanagari}", r"\p{Devanagari}"),
+    ("thai", r"\p{IsThai}", r"\p{Thai}"),
+]
+# script -> language code for the script-first layer of
+# lang_id_unicode; latin resolves through the marker heuristic.
+SCRIPT_LANG: dict[str, str] = {
+    "han": "zh",
+    "kana": "ja",
+    "hangul": "ko",
+    "cyrillic": "ru",
+    "arabic": "ar",
+    "greek": "el",
+    "devanagari": "hi",
+    "thai": "th",
+}
+
+
+def _script_counts(col: Column) -> Column:
+    """array<long> of per-script letter counts, SCRIPT_CLASSES order —
+    one regexp_replace pass per class (counting survivors), packed
+    into one array so consumers bind it once."""
+    return F.array(
+        *[
+            F.length(F.regexp_replace(col, f"[^{java}]", "")).cast(
+                "long"
+            )
+            for _, java, _re2 in SCRIPT_CLASSES
+        ]
+    )
+
+
+def detect_script(col: Column) -> Column:
+    """Dominant writing system of the text: argmax of per-script letter
+    counts over ``SCRIPT_CLASSES`` (deterministic order wins ties),
+    ``'unknown'`` when no class matches at all.  The script layer the
+    r14 Unicode work needs under language ID: marker words are useless
+    outside Latin text, but the script is readable straight off the
+    code points.  Pure Catalyst — one regex pass per class, argmax via
+    a bound CASE chain; DuckDB-replayable (RE2 spellings in
+    SCRIPT_CLASSES)."""
+
+    def _case(arr: Column) -> Column:
+        names = [n for n, _, _ in SCRIPT_CLASSES]
+
+        def sc(i: int) -> Column:
+            return F.element_at(arr, i + 1)
+
+        expr = F.lit(names[-1])
+        for i in reversed(range(len(names) - 1)):
+            cond = F.lit(True)
+            for j in range(i + 1, len(names)):
+                cond = cond & (sc(i) >= sc(j))
+            expr = F.when(cond, F.lit(names[i])).otherwise(expr)
+        total = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        return F.when(total == 0, F.lit("unknown")).otherwise(expr)
+
+    return _bind(_script_counts(col), _case)
+
+
+def lang_id_unicode(col: Column) -> Column:
+    """Script-first language ID: non-Latin scripts map straight to a
+    language (``SCRIPT_LANG`` — han→zh, kana→ja, hangul→ko, …) with
+    one Japanese-specific rule (ANY kana present → ja, because mixed
+    kanji-kana text is Japanese even when Han letters dominate);
+    Latin and unknown fall back to the marker-word heuristic
+    (:func:`lang_id`).  The upgrade that stops every CJK/Cyrillic
+    document from classifying as 'en'."""
+
+    def _pick(arr: Column) -> Column:
+        names = [n for n, _, _ in SCRIPT_CLASSES]
+        kana = F.element_at(arr, names.index("kana") + 1)
+
+        def sc(i: int) -> Column:
+            return F.element_at(arr, i + 1)
+
+        dominant = F.lit(names[-1])
+        for i in reversed(range(len(names) - 1)):
+            cond = F.lit(True)
+            for j in range(i + 1, len(names)):
+                cond = cond & (sc(i) >= sc(j))
+            dominant = F.when(cond, F.lit(names[i])).otherwise(dominant)
+        total = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        mapped = F.lit(None).cast("string")
+        for script, lang in SCRIPT_LANG.items():
+            mapped = F.when(
+                dominant == script, F.lit(lang)
+            ).otherwise(mapped)
+        return F.when(total == 0, F.lit(None).cast("string")).when(
+            kana > 0, F.lit("ja")
+        ).otherwise(mapped)
+
+    script_lang = _bind(_script_counts(col), _pick)
+    return F.coalesce(script_lang, lang_id(col))
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase
     text.  md5 (not xxhash64) so external systems — and the DuckDB

@@ -1752,6 +1752,133 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_script_langid() -> str:
+    """DuckDB replay of detect_script + lang_id_unicode over the
+    multilingual doc_id fixture (RE2 script classes; the marker-word
+    fallback CASE mirrors registry._oracle_langid)."""
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        LANG_MARKERS,
+        LANG_ORDER,
+        SCRIPT_CLASSES,
+        SCRIPT_LANG,
+    )
+
+    cnt_cols = ", ".join(
+        f"length(regexp_replace(text, '[^{re2}]', '', 'g')) AS c{i}"
+        for i, (_n, _j, re2) in enumerate(SCRIPT_CLASSES)
+    )
+    names = [n for n, _j, _r in SCRIPT_CLASSES]
+    total = " + ".join(f"c{i}" for i in range(len(names)))
+    script_case = f"'{names[-1]}'"
+    for i in reversed(range(len(names) - 1)):
+        cond = " AND ".join(
+            f"c{i} >= c{j}" for j in range(i + 1, len(names))
+        )
+        script_case = (
+            f"CASE WHEN {cond} THEN '{names[i]}' ELSE {script_case} END"
+        )
+    marker = {
+        lang: "len(list_filter(tkl, x -> x IN ("
+        + ", ".join(repr(w) for w in LANG_MARKERS[lang])
+        + ")))"
+        for lang in LANG_ORDER
+    }
+    marker_case = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+        cond = " AND ".join(
+            f"{marker[lang]} >= {marker[o]}" for o in later
+        )
+        marker_case = (
+            f"CASE WHEN {cond} THEN '{lang}' ELSE {marker_case} END"
+        )
+    kana_idx = names.index("kana")
+    mapped = " ".join(
+        f"WHEN script0 = '{s}' THEN '{l}'"
+        for s, l in SCRIPT_LANG.items()
+    )
+    fixture = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 12 AS INTEGER)
+               WHEN 0 THEN 'the quick fox and the dog of '
+                           || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN 'le chat et la maison est '
+                           || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '这是一个测试文档' || CAST(doc_id AS VARCHAR)
+               WHEN 3 THEN '日本語のテキスト' || CAST(doc_id AS VARCHAR)
+               WHEN 4 THEN '한국어 텍스트입니다 ' || CAST(doc_id AS VARCHAR)
+               WHEN 5 THEN 'Привет мир это тест '
+                           || CAST(doc_id AS VARCHAR)
+               WHEN 6 THEN 'النص العربي هنا ' || CAST(doc_id AS VARCHAR)
+               WHEN 7 THEN 'Ελληνικό κείμενο εδώ '
+                           || CAST(doc_id AS VARCHAR)
+               WHEN 8 THEN 'यह हिंदी पाठ है ' || CAST(doc_id AS VARCHAR)
+               WHEN 9 THEN 'ข้อความภาษาไทย' || CAST(doc_id AS VARCHAR)
+               WHEN 10 THEN CAST(doc_id AS VARCHAR) || ' !!! 123'
+               ELSE 'der hund und das ist '
+                    || CAST(doc_id AS VARCHAR)
+             END AS text
+      FROM documents"""
+    return f"""
+    WITH s AS ({fixture}),
+    c AS (SELECT doc_id, text, {cnt_cols},
+                 string_split_regex(trim(lower(text)), '\\s+') AS tkl
+          FROM s),
+    d AS (SELECT *, ({total}) AS total, {script_case} AS script0
+          FROM c)
+    SELECT doc_id,
+           CASE WHEN total = 0 THEN 'unknown' ELSE script0 END
+             AS script,
+           CASE WHEN total > 0 AND c{kana_idx} > 0 THEN 'ja'
+                WHEN total > 0 AND script0 <> 'latin'
+                  THEN CASE {mapped} ELSE NULL END
+                ELSE {marker_case} END AS lang
+    FROM d
+    """
+
+
+@_register(
+    "q_script_langid",
+    _oracle_script_langid(),
+    "script-first language ID over a 12-variant multilingual fixture "
+    "(English/French/German marker rows, Han, kana-mixed Japanese, "
+    "Hangul, Cyrillic, Arabic, Greek, Devanagari, Thai, and a "
+    "letterless row): detect_script (per-script letter counts, "
+    "deterministic argmax, 'unknown' when letterless) + "
+    "lang_id_unicode (script->language map with the any-kana->ja "
+    "rule; Latin and unknown fall back to the marker-word heuristic). "
+    " The upgrade that stops every non-Latin document classifying as "
+    "'en'; the oracle regenerates counts, argmax, the kana rule, and "
+    "the marker fallback in RE2/DuckDB, so any divergence in the "
+    "script classes or tie order hash-mismatches",
+    "text: script detection + script-first language ID",
+)
+def q_script_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    sid = (F.col("doc_id") % 12).cast("int")
+    ds = F.col("doc_id").cast("string")
+    txt = (
+        F.when(sid == 0, F.concat(F.lit("the quick fox and the dog of "), ds))
+        .when(sid == 1, F.concat(F.lit("le chat et la maison est "), ds))
+        .when(sid == 2, F.concat(F.lit("这是一个测试文档"), ds))
+        .when(sid == 3, F.concat(F.lit("日本語のテキスト"), ds))
+        .when(sid == 4, F.concat(F.lit("한국어 텍스트입니다 "), ds))
+        .when(sid == 5, F.concat(F.lit("Привет мир это тест "), ds))
+        .when(sid == 6, F.concat(F.lit("النص العربي هنا "), ds))
+        .when(sid == 7, F.concat(F.lit("Ελληνικό κείμενο εδώ "), ds))
+        .when(sid == 8, F.concat(F.lit("यह हिंदी पाठ है "), ds))
+        .when(sid == 9, F.concat(F.lit("ข้อความภาษาไทย"), ds))
+        .when(sid == 10, F.concat(ds, F.lit(" !!! 123")))
+        .otherwise(F.concat(F.lit("der hund und das ist "), ds))
+    )
+    fix = d.select("doc_id", txt.alias("text"))
+    return fix.select(
+        "doc_id",
+        _text.detect_script(F.col("text")).alias("script"),
+        _text.lang_id_unicode(F.col("text")).alias("lang"),
+    )
+
+
 @_register(
     "q_text_normalize_unicode",
     r"""

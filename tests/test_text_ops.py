@@ -248,6 +248,39 @@ def test_char_ngrams_and_segment_tokens(spark):
     ]
 
 
+def test_detect_script_and_lang_id_unicode(spark):
+    """Script-first language ID: non-Latin scripts map straight to a
+    language (any kana -> ja, even kanji-dominated text); Latin and
+    letterless text fall back to the marker heuristic."""
+    rows = [
+        (1, "The quick brown fox and the dog", "latin", "en"),
+        (2, "le chat et la maison est", "latin", "fr"),
+        (3, "这是一个测试文档", "han", "zh"),
+        (4, "日本語のテキストです", "kana", "ja"),
+        (5, "日本国憲法の条文", "han", "ja"),  # kanji-dominant, kana present
+        (6, "한국어 텍스트입니다", "hangul", "ko"),
+        (7, "Привет мир это тест", "cyrillic", "ru"),
+        (8, "النص العربي هنا", "arabic", "ar"),
+        (9, "Ελληνικό κείμενο εδώ", "greek", "el"),
+        (10, "यह हिंदी पाठ है", "devanagari", "hi"),
+        (11, "ข้อความภาษาไทย", "thai", "th"),
+        (12, "12345 !!!", "unknown", "en"),  # letterless -> marker tie
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in rows], "id long, text string"
+    )
+    got = {
+        r["id"]: (r["s"], r["l"])
+        for r in df.select(
+            "id",
+            text.detect_script(F.col("text")).alias("s"),
+            text.lang_id_unicode(F.col("text")).alias("l"),
+        ).collect()
+    }
+    for i, _t, s, l in rows:
+        assert got[i] == (s, l), (i, got[i], (s, l))
+
+
 def test_token_ngrams_cjk_shingles_and_minhash(spark):
     """A CJK document (one whitespace token) used to produce ZERO
     shingles -> NULL minhash signature -> invisible to every near-dup
