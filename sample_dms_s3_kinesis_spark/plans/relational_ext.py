@@ -8937,6 +8937,141 @@ def q_http_validators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_META_ROBOTS_E2E_CACHE: dict[str, tuple[list, object]] = {}
+
+
+def _meta_robots_e2e_results(spark: SparkSession):
+    """Cached drive of the on-page-robots ingest mode: one WARC batch
+    (plain page / meta-noindex / meta-nofollow / X-Robots-Tag: none)
+    plus a replay through CorpusIngestTask(on_page_robots=True,
+    discover_links=True) — noindex pages quarantine (their links
+    still feed the frontier), nofollow pages admit but contribute no
+    edges, 'none' does both; the replay changes nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        CorpusIngestTask,
+    )
+
+    key = spark.sparkContext.applicationId
+    if key not in _META_ROBOTS_E2E_CACHE:
+        root = tempfile.mkdtemp(prefix="q_meta_robots_e2e_")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        task = CorpusIngestTask(
+            spark,
+            drop,
+            os.path.join(root, "corpus"),
+            input_format="warc",
+            extract_html=True,
+            discover_links=True,
+            on_page_robots=True,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+
+        def page(uri, body, extra_header=""):
+            payload = (
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"{extra_header}\r\n<html><body>{body}</body></html>"
+            )
+            return (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(payload.encode())}\r\n\r\n"
+                f"{payload}\r\n\r\n"
+            )
+
+        try:
+            b1 = (
+                page(
+                    "https://a.com/plain",
+                    "<p>plain page body</p>"
+                    '<a href="https://x.com/from-plain">l</a>',
+                )
+                + page(
+                    "https://a.com/noindex",
+                    '<meta name="robots" content="noindex">'
+                    "<p>noindex body</p>"
+                    '<a href="https://x.com/from-noindex">l</a>',
+                )
+                + page(
+                    "https://a.com/nofollow",
+                    '<meta name="robots" content="nofollow">'
+                    "<p>nofollow body</p>"
+                    '<a href="https://x.com/from-nofollow">l</a>',
+                )
+                + page(
+                    "https://a.com/none",
+                    "<p>none body</p>"
+                    '<a href="https://x.com/from-none">l</a>',
+                    extra_header="X-Robots-Tag: none\r\n",
+                )
+            )
+            with open(os.path.join(drop, "b1.warc"), "w") as f:
+                f.write(b1)
+            batch = task._source_frame(streaming=False)
+            task._process_batch(batch, 0)
+            task._process_batch(batch, 0)  # replay: changes nothing
+            stats = task.ingest_stats()
+            lits = [
+                F.lit(int(stats[k])).alias(k)
+                for k in (
+                    "admitted",
+                    "rejected_noindex",
+                    "nofollow_pages",
+                )
+            ]
+            noidx = task.noindex_quarantined().select(
+                F.lit("noindex").alias("channel"),
+                F.col("target_uri").alias("url"),
+                *lits,
+            )
+            front = task.discovered_frontier().select(
+                F.lit("frontier").alias("channel"),
+                F.col("url"),
+                *lits,
+            )
+            frame = noidx.unionByName(front)
+            _META_ROBOTS_E2E_CACHE[key] = (
+                frame.collect(),
+                frame.schema,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _META_ROBOTS_E2E_CACHE[key]
+
+
+@_register(
+    "q_meta_robots_e2e",
+    """
+    SELECT * FROM (VALUES
+      ('frontier', 'https://x.com/from-noindex', 2, 2, 2),
+      ('frontier', 'https://x.com/from-plain',   2, 2, 2),
+      ('noindex',  'https://a.com/noindex',      2, 2, 2),
+      ('noindex',  'https://a.com/none',         2, 2, 2)
+    ) AS t(channel, url, admitted, rejected_noindex, nofollow_pages)
+    ORDER BY channel, url
+    """,
+    "on-page robots E2E: CorpusIngestTask(on_page_robots=True, "
+    "discover_links=True) drains a 4-page WARC batch (plain / meta "
+    "noindex / meta nofollow / X-Robots-Tag: none) plus a replay — "
+    "the noindex pages land in the _quarantine_noindex store (their "
+    "links STILL feed the frontier: noindex opts out of the index, "
+    "not the crawl graph), the nofollow pages admit but contribute "
+    "no frontier edges, 'none' does both, and the replay changes "
+    "nothing; oracle = the hand-derived disposition of every page "
+    "and frontier URL plus the manifest counters",
+    "CorpusIngestTask on-page-robots mode end-to-end (streaming twin "
+    "of q_meta_robots_funnel)",
+)
+def q_meta_robots_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema = _meta_robots_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("channel", "url")
+
+
 @_register(
     "q_fetch_schedule_backoff",
     """
