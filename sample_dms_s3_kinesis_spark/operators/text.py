@@ -241,32 +241,48 @@ def _script_counts(col: Column) -> Column:
     )
 
 
+def _dominant_script(arr: Column) -> Column:
+    """argmax over a bound ``_script_counts`` array, SCRIPT_CLASSES
+    order winning ties — the ONE tie-break chain detect_script and
+    lang_id_unicode share (duplicated, the two operators could
+    silently diverge)."""
+    names = [n for n, _, _ in SCRIPT_CLASSES]
+
+    def sc(i: int) -> Column:
+        return F.element_at(arr, i + 1)
+
+    expr = F.lit(names[-1])
+    for i in reversed(range(len(names) - 1)):
+        cond = F.lit(True)
+        for j in range(i + 1, len(names)):
+            cond = cond & (sc(i) >= sc(j))
+        expr = F.when(cond, F.lit(names[i])).otherwise(expr)
+    return expr
+
+
+def _script_total(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
 def detect_script(col: Column) -> Column:
     """Dominant writing system of the text: argmax of per-script letter
     counts over ``SCRIPT_CLASSES`` (deterministic order wins ties),
-    ``'unknown'`` when no class matches at all.  The script layer the
-    r14 Unicode work needs under language ID: marker words are useless
-    outside Latin text, but the script is readable straight off the
-    code points.  Pure Catalyst — one regex pass per class, argmax via
-    a bound CASE chain; DuckDB-replayable (RE2 spellings in
-    SCRIPT_CLASSES)."""
+    ``'unknown'`` when no class matches at all, NULL for NULL input
+    (without the guard the all-NULL counts skip every when() branch
+    and fall through to the LAST script class — NULL text would tag
+    'thai').  The script layer the r14 Unicode work needs under
+    language ID: marker words are useless outside Latin text, but the
+    script is readable straight off the code points.  Pure Catalyst —
+    one regex pass per class, argmax via a bound CASE chain;
+    DuckDB-replayable (RE2 spellings in SCRIPT_CLASSES)."""
 
     def _case(arr: Column) -> Column:
-        names = [n for n, _, _ in SCRIPT_CLASSES]
-
-        def sc(i: int) -> Column:
-            return F.element_at(arr, i + 1)
-
-        expr = F.lit(names[-1])
-        for i in reversed(range(len(names) - 1)):
-            cond = F.lit(True)
-            for j in range(i + 1, len(names)):
-                cond = cond & (sc(i) >= sc(j))
-            expr = F.when(cond, F.lit(names[i])).otherwise(expr)
-        total = F.aggregate(
-            arr, F.lit(0).cast("long"), lambda a, x: a + x
+        total = _script_total(arr)
+        return (
+            F.when(total.isNull(), F.lit(None).cast("string"))
+            .when(total == 0, F.lit("unknown"))
+            .otherwise(_dominant_script(arr))
         )
-        return F.when(total == 0, F.lit("unknown")).otherwise(expr)
 
     return _bind(_script_counts(col), _case)
 
@@ -274,39 +290,37 @@ def detect_script(col: Column) -> Column:
 def lang_id_unicode(col: Column) -> Column:
     """Script-first language ID: non-Latin scripts map straight to a
     language (``SCRIPT_LANG`` — han→zh, kana→ja, hangul→ko, …) with
-    one Japanese-specific rule (ANY kana present → ja, because mixed
-    kanji-kana text is Japanese even when Han letters dominate);
-    Latin and unknown fall back to the marker-word heuristic
-    (:func:`lang_id`).  The upgrade that stops every CJK/Cyrillic
-    document from classifying as 'en'."""
+    one Japanese-specific rule (kana present AND the dominant script
+    is han or kana → ja, because mixed kanji-kana text is Japanese
+    even when Han letters dominate — gated on the dominant script so
+    a Latin document quoting one katakana loanword stays under the
+    marker heuristic); Latin and letterless text fall back to the
+    marker-word heuristic (:func:`lang_id`); NULL input stays NULL.
+    The upgrade that stops every CJK/Cyrillic document from
+    classifying as 'en'."""
 
     def _pick(arr: Column) -> Column:
         names = [n for n, _, _ in SCRIPT_CLASSES]
         kana = F.element_at(arr, names.index("kana") + 1)
-
-        def sc(i: int) -> Column:
-            return F.element_at(arr, i + 1)
-
-        dominant = F.lit(names[-1])
-        for i in reversed(range(len(names) - 1)):
-            cond = F.lit(True)
-            for j in range(i + 1, len(names)):
-                cond = cond & (sc(i) >= sc(j))
-            dominant = F.when(cond, F.lit(names[i])).otherwise(dominant)
-        total = F.aggregate(
-            arr, F.lit(0).cast("long"), lambda a, x: a + x
-        )
+        dominant = _dominant_script(arr)
+        total = _script_total(arr)
         mapped = F.lit(None).cast("string")
         for script, lang in SCRIPT_LANG.items():
             mapped = F.when(
                 dominant == script, F.lit(lang)
             ).otherwise(mapped)
-        return F.when(total == 0, F.lit(None).cast("string")).when(
-            kana > 0, F.lit("ja")
-        ).otherwise(mapped)
+        return (
+            F.when(total.isNull() | (total == 0), F.lit(None).cast("string"))
+            .when(
+                (kana > 0) & dominant.isin("han", "kana"), F.lit("ja")
+            )
+            .otherwise(mapped)
+        )
 
     script_lang = _bind(_script_counts(col), _pick)
-    return F.coalesce(script_lang, lang_id(col))
+    return F.when(
+        col.isNotNull(), F.coalesce(script_lang, lang_id(col))
+    )
 
 
 def fingerprint(col: Column) -> Column:

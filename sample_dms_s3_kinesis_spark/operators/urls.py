@@ -530,11 +530,20 @@ def host_backoff(
     whole wave train shifts out instead of being re-hit on the same
     cadence.  ``now`` is a caller-pinned ISO timestamp — never wall
     clock, so plans replay deterministically.  Pure Catalyst: a
-    status-range filter, a per-row parse (try_cast for delta-seconds,
-    IMF-fixdate to_timestamp for HTTP-dates), one partial-aggregating
-    groupBy on the host — one shuffle of host-cardinality rows."""
+    status-range filter, a per-row parse (strict 1*DIGIT pattern for
+    delta-seconds, IMF-fixdate to_timestamp for HTTP-dates), one
+    partial-aggregating groupBy on the host — one shuffle of
+    host-cardinality rows."""
     rl = responses.filter(F.col("http_status").isin(429, 503))
-    delta = F.col("http_retry_after").try_cast("double")
+    # RFC 9110 delta-seconds is 1*DIGIT — the strict pattern (not a
+    # bare try_cast) so a hostile '-300' cannot ACCELERATE its own
+    # re-hit, 'NaN' cannot poison the per-host MAX, and 'Infinity'
+    # cannot park the host forever; anything non-conforming degrades
+    # to the HTTP-date parse and then the default penalty
+    delta = F.when(
+        F.col("http_retry_after").rlike(r"^[0-9]{1,9}$"),
+        F.col("http_retry_after").cast("double"),
+    )
     # Spark's post-3.0 parser rejects day-of-week fields (EEE) in
     # parse patterns — strip the IMF-fixdate weekday prefix instead.
     # try_to_timestamp: a malformed value from a hostile server must
@@ -605,9 +614,12 @@ def fetch_schedule(
     caps every frontier in this engine applies upstream."""
     if default_delay < 0:
         raise ValueError(f"default_delay must be >= 0, got {default_delay}")
-    clash = {wave_col, offset_col, f"_delay_{wave_col}"} & set(
-        frontier.columns
-    )
+    clash = {
+        wave_col,
+        offset_col,
+        f"_delay_{wave_col}",
+        f"_bk_{wave_col}",
+    } & set(frontier.columns)
     if clash:
         raise ValueError(
             f"frontier already carries output columns: {sorted(clash)}"

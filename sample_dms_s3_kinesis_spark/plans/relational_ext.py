@@ -1829,7 +1829,8 @@ def _oracle_script_langid() -> str:
     SELECT doc_id,
            CASE WHEN total = 0 THEN 'unknown' ELSE script0 END
              AS script,
-           CASE WHEN total > 0 AND c{kana_idx} > 0 THEN 'ja'
+           CASE WHEN total > 0 AND c{kana_idx} > 0
+                     AND script0 IN ('han', 'kana') THEN 'ja'
                 WHEN total > 0 AND script0 <> 'latin'
                   THEN CASE {mapped} ELSE NULL END
                 ELSE {marker_case} END AS lang
@@ -1845,7 +1846,7 @@ def _oracle_script_langid() -> str:
     "Hangul, Cyrillic, Arabic, Greek, Devanagari, Thai, and a "
     "letterless row): detect_script (per-script letter counts, "
     "deterministic argmax, 'unknown' when letterless) + "
-    "lang_id_unicode (script->language map with the any-kana->ja "
+    "lang_id_unicode (script->language map with the kana-in-CJK->ja "
     "rule; Latin and unknown fall back to the marker-word heuristic). "
     " The upgrade that stops every non-Latin document classifying as "
     "'en'; the oracle regenerates counts, argmax, the kana rule, and "

@@ -931,14 +931,30 @@ def _dechunk(data: Column, *, max_chunks: int = 8192) -> Column:
 # corpus owner can see exactly how many pages a missing codec costs.
 SUPPORTED_CONTENT_CODINGS = ("gzip", "x-gzip", "deflate", "br", "zstd")
 
-# <meta charset="..."> / <meta http-equiv="Content-Type"
-# content="text/html; charset=..."> — one pattern covers both: any
-# charset= attribute-or-parameter inside a <meta ...> tag.  Kept
-# Java-regex / RE2 / Python-re compatible (no lookaround); used by the
-# Catalyst prescan in warc_responses AND (byte-compiled) inside the
-# entity udf for chunked/compressed entities.
-META_CHARSET_RE = (
-    r"""(?i)<meta[^>]*charset\s*=\s*["']?([A-Za-z0-9._:-]+)"""
+# The two REAL meta charset declarations, each its own pattern (a
+# single "any charset= inside any <meta>" pattern would false-match a
+# description like <meta name="description" content="... charset=x">
+# and transcode a valid UTF-8 page through the quoted codec):
+#   1. <meta http-equiv="Content-Type" content="text/html;
+#      charset=..."> — the charset parameter of a Content-Type
+#      http-equiv's content value;
+#   2. <meta charset="..."> — the bare charset attribute, accepted
+#      only in a tag carrying NO name=/http-equiv= attribute (a real
+#      charset meta has nothing else).
+# Probe order matches WHATWG (either wins; header still beats both).
+# Java-regex / Python-re compatible (lookahead used; these are never
+# evaluated by RE2 — the DuckDB oracles replay outcomes from doc_id
+# arithmetic, not the regex).  Used by the Catalyst prescan in
+# warc_responses AND (byte-compiled) inside the entity udf for
+# chunked/compressed entities.
+META_CHARSET_EQUIV_RE = (
+    r"""(?is)<meta(?=[^>]*http-equiv\s*=\s*["']?content-type)"""
+    r"""[^>]*content\s*=\s*["'][^"'>]*;[ \t]*charset="""
+    r"""([A-Za-z0-9._:-]+)"""
+)
+META_CHARSET_ATTR_RE = (
+    r"""(?is)<meta(?![^>]*\b(?:name|http-equiv)\s*=)"""
+    r"""[^>]*?\bcharset\s*=\s*["']?([A-Za-z0-9._:-]+)"""
 )
 
 _BR_MODULE = ()  # () = not probed yet; None = probed, unavailable
@@ -1031,7 +1047,10 @@ def _encoded_entity_udf(max_chunks: int = 8192):
         ) -> pd.DataFrame:
             import re as _re
 
-            meta_re = _re.compile(META_CHARSET_RE.encode("ascii"))
+            meta_res = [
+                _re.compile(p.encode("ascii"))
+                for p in (META_CHARSET_EQUIV_RE, META_CHARSET_ATTR_RE)
+            ]
 
             def one(v, t, c, s):
                 if v is None:
@@ -1085,10 +1104,16 @@ def _encoded_entity_udf(max_chunks: int = 8192):
                     )
                 s_src = "header" if s is not None else None
                 if s is None:
-                    m = meta_re.search(b[:1024])
-                    if m:
-                        s = m.group(1).decode("ascii", "ignore").lower()
-                        s_src = "meta"
+                    for mr in meta_res:
+                        m = mr.search(b[:1024])
+                        if m:
+                            s = (
+                                m.group(1)
+                                .decode("ascii", "ignore")
+                                .lower()
+                            )
+                            s_src = "meta"
+                            break
                 if s is not None and s not in (
                     "utf-8",
                     "utf8",
@@ -1234,19 +1259,6 @@ def warc_responses(
             F.lit(""),
         )
     )
-    staged = bound.select(
-        "*",
-        te.alias("http_transfer_encoding"),
-        ce.alias("http_content_encoding"),
-        cs.alias("http_charset"),
-    )
-    te_c = F.col("http_transfer_encoding")
-    ce_c = F.col("http_content_encoding")
-    cs_c = F.col("http_charset")
-    te_none = te_c.isNull() | (te_c == "identity")
-    ce_none = ce_c.isNull() | (ce_c == "identity")
-    te_ok = te_none | (te_c == "chunked")
-    ce_codec = ce_c.isin(*SUPPORTED_CONTENT_CODINGS)
     if has_bin:
         # entity bytes = the raw payload minus the HTTP header block.
         # The header is ASCII in any response we can decode, so its
@@ -1270,8 +1282,8 @@ def warc_responses(
     # chunked/compressed entities get the same probes inside the
     # entity udf, AFTER transfer/content decoding.
     if has_bin:
-        bom8 = F.substring(ebin, 1, 3) == F.lit(b"\xef\xbb\xbf")
-        bom16 = (F.substring(ebin, 1, 2) == F.lit(b"\xff\xfe")) | (
+        bom8_e = F.substring(ebin, 1, 3) == F.lit(b"\xef\xbb\xbf")
+        bom16_e = (F.substring(ebin, 1, 2) == F.lit(b"\xff\xfe")) | (
             F.substring(ebin, 1, 2) == F.lit(b"\xfe\xff")
         )
         prescan_src = F.decode(F.substring(ebin, 1, 1024), "ISO-8859-1")
@@ -1279,24 +1291,61 @@ def warc_responses(
         # the text source already decoded the bytes: a UTF-8 BOM
         # surfaces as a leading U+FEFF; UTF-16 BOMs were mangled at
         # read time and cannot be recovered here
-        bom8 = F.col("_body_raw").startswith("﻿")
-        bom16 = F.lit(False)
+        bom8_e = F.col("_body_raw").startswith("﻿")
+        bom16_e = F.lit(False)
         prescan_src = F.substring(F.col("_body_raw"), 1, 1024)
-    plainish = te_none & ce_none
-    # <meta charset> / <meta http-equiv> prescan over the first 1024
-    # entity bytes (decoded as ISO-8859-1, the WHATWG byte-transparent
-    # prescan convention) — consulted only when the Content-Type
-    # header declares nothing (header beats meta) and the entity is
-    # not transfer/content-coded (the udf re-scans those itself)
-    meta_cs = F.when(
-        cs_c.isNull() & plainish,
+    te_none_e = te.isNull() | (te == "identity")
+    ce_none_e = ce.isNull() | (ce == "identity")
+    # <meta charset> / <meta http-equiv="Content-Type"> prescan over
+    # the first 1024 entity bytes (decoded as ISO-8859-1, the WHATWG
+    # byte-transparent prescan convention) — consulted only when the
+    # Content-Type header declares nothing (header beats meta) and
+    # the entity is not transfer/content-coded (the udf re-scans
+    # those itself)
+    meta_cs_e = F.when(
+        cs.isNull() & te_none_e & ce_none_e,
         F.lower(
-            F.nullif(
-                F.regexp_extract(prescan_src, META_CHARSET_RE, 1),
-                F.lit(""),
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        prescan_src, META_CHARSET_EQUIV_RE, 1
+                    ),
+                    F.lit(""),
+                ),
+                F.nullif(
+                    F.regexp_extract(
+                        prescan_src, META_CHARSET_ATTR_RE, 1
+                    ),
+                    F.lit(""),
+                ),
             )
         ),
     )
+    # The sniff probes are STAGED alias columns (same discipline as
+    # the _chunk/_ent stages below): meta_cs/cs_eff feed the dispatch,
+    # the body/reason branches, and the observability pair — inlined,
+    # the 1024-char prescan regex tree re-expands into each of those
+    # ~6 references.
+    staged = bound.select(
+        "*",
+        te.alias("http_transfer_encoding"),
+        ce.alias("http_content_encoding"),
+        cs.alias("http_charset"),
+        bom8_e.alias("_bom8"),
+        bom16_e.alias("_bom16"),
+        meta_cs_e.alias("_meta_cs"),
+    )
+    te_c = F.col("http_transfer_encoding")
+    ce_c = F.col("http_content_encoding")
+    cs_c = F.col("http_charset")
+    bom8 = F.col("_bom8")
+    bom16 = F.col("_bom16")
+    meta_cs = F.col("_meta_cs")
+    te_none = te_c.isNull() | (te_c == "identity")
+    ce_none = ce_c.isNull() | (ce_c == "identity")
+    te_ok = te_none | (te_c == "chunked")
+    ce_codec = ce_c.isin(*SUPPORTED_CONTENT_CODINGS)
+    plainish = te_none & ce_none
     cs_eff = F.coalesce(cs_c, meta_cs)
     # absent or UTF-8-family charset: the bytes already ARE the target
     # encoding, no transcode step

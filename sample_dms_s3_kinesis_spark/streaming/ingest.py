@@ -695,15 +695,19 @@ class CorpusIngestTask(ReplicationTask):
             )
         )
 
-    def noindex_quarantined(self) -> DataFrame:
+    def noindex_quarantined(self, before: int | None = None) -> DataFrame:
         """(doc_id, target_uri, batch_id) for every page whose on-page
         robots directives said noindex — the page-level twin of
-        :meth:`robots_quarantined` (on_page_robots mode)."""
+        :meth:`robots_quarantined` (on_page_robots mode).  ``before``
+        restricts to batches < it (the replay-deterministic pre-batch
+        view the frontier's seen-set union needs — same contract as
+        ``corpus(before=...)``)."""
         manifest = self._load_manifest()
         paths = [
             f"{self.corpus_dir}/_quarantine_noindex/batch_id={b}"
             for b in sorted(manifest, key=int)
             if int(manifest[b].get("rejected_noindex", 0)) > 0
+            and (before is None or int(b) < before)
         ]
         if not paths:
             return self.spark.createDataFrame(
@@ -1171,6 +1175,17 @@ class CorpusIngestTask(ReplicationTask):
                     F.col("doc_id").alias("_id")
                 )
             )
+            if self.on_page_robots:
+                # a noindex page was FETCHED and quarantined, never
+                # admitted — without this union a later batch's anchor
+                # at it would re-frontier (and refetch) it forever;
+                # the quarantine store keys on the same URI-hash
+                # doc_id admitted pages use
+                fetched = fetched.unionByName(
+                    self.noindex_quarantined(before=batch_id).select(
+                        F.col("doc_id").alias("_id")
+                    )
+                )
         prev = self.discovered_frontier(before=batch_id)
         # the seen-before key: exact URL, or the canonical SURT key in
         # surt mode (a NEW mirror spelling of an already-discovered

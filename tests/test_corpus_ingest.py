@@ -1742,13 +1742,18 @@ def test_on_page_robots_gates(spark, tmp_path):
     }
 
     # a second batch linking AT the nofollow page must not re-frontier
-    # it (it was fetched), while a fresh URL still enters
+    # it (it was fetched), nor at the QUARANTINED noindex page (it was
+    # fetched too — quarantined, never admitted, so the corpus
+    # anti-join alone would miss it), while a fresh URL still enters
     b2 = _page(
         "https://b.com/later",
         '<p>later body page</p>'
         '<a href="https://a.com/nofollow">seen</a>'
+        '<a href="https://a.com/noindex">quarantined</a>'
         '<a href="https://x.com/fresh">new</a>',
     )
+    (drop / "b1.warc").unlink()  # batch 1 must NOT refetch batch 0's
+    # pages, or the in-batch fetched set would mask the cross-batch gap
     (drop / "b2.warc").write_text(b2)
     task._process_batch(task._source_frame(streaming=False), 1)
     frontier2 = {
@@ -1756,6 +1761,7 @@ def test_on_page_robots_gates(spark, tmp_path):
     }
     assert "https://x.com/fresh" in frontier2
     assert "https://a.com/nofollow" not in frontier2
+    assert "https://a.com/noindex" not in frontier2
 
 
 def test_on_page_robots_validation(spark, tmp_path):

@@ -1178,6 +1178,14 @@ def test_charset_sniffing_bom_and_meta(spark, tmp_path):
         crawl.warc_response_record_bytes(
             "https://t/8", "plain page".encode()
         ),
+        # 9: 'charset=' inside a DESCRIPTION meta is NOT a declaration
+        #    (the prescan must not transcode a valid UTF-8 page
+        #    through a codec someone merely wrote about)
+        crawl.warc_response_record_bytes(
+            "https://t/9",
+            '<meta name="description" content="set charset=iso-8859-1">'
+            "ü body".encode(),
+        ),
     ]
     with open(d / "a.warc.gz", "wb") as f:
         f.write(b"".join(gzip.compress(r, mtime=0) for r in recs))
@@ -1206,6 +1214,13 @@ def test_charset_sniffing_bom_and_meta(spark, tmp_path):
     assert rows["https://t/6"] == (meta_l1, None, "iso-8859-1", "meta")
     assert rows["https://t/7"] == ("zipped ü", None, "utf-8", "bom")
     assert rows["https://t/8"] == ("plain page", None, None, None)
+    assert rows["https://t/9"] == (
+        '<meta name="description" content="set charset=iso-8859-1">'
+        "ü body",
+        None,
+        None,
+        None,
+    )
 
 
 def test_charset_meta_on_text_path_rejects_and_bom_strips(spark, tmp_path):

@@ -265,6 +265,11 @@ def test_detect_script_and_lang_id_unicode(spark):
         (10, "यह हिंदी पाठ है", "devanagari", "hi"),
         (11, "ข้อความภาษาไทย", "thai", "th"),
         (12, "12345 !!!", "unknown", "en"),  # letterless -> marker tie
+        # Latin-dominant text quoting one katakana loanword: the
+        # kana->ja rule is gated on a CJK-dominant script, so the
+        # marker heuristic still decides
+        (13, "the english guide the word ガイド of the page", "latin", "en"),
+        (14, None, None, None),  # NULL stays NULL, not 'thai'/'th'
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t, _, _ in rows], "id long, text string"

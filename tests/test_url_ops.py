@@ -433,8 +433,14 @@ def test_host_backoff_and_schedule_fold(spark):
             # a date BEFORE now clamps to 0
             ("https://c.com/x", 503, "Wed, 31 Jan 2024 23:00:00 GMT"),
             ("https://d.com/ok", 200, None),  # not rate-limited
-            # a hostile/malformed value degrades to the default
+            # hostile/malformed values degrade to the default — a
+            # negative delta must not ACCELERATE the re-hit, NaN must
+            # not poison the MAX, Infinity must not park the host
             ("https://e.com/x", 429, "soon-ish"),
+            ("https://f.com/x", 429, "-300"),
+            ("https://g.com/x", 429, "NaN"),
+            ("https://g.com/y", 429, "600"),
+            ("https://h.com/x", 503, "Infinity"),
         ],
         "target_uri string, http_status int, http_retry_after string",
     )
@@ -449,6 +455,9 @@ def test_host_backoff_and_schedule_fold(spark):
         "b.com": (1, 300.0),
         "c.com": (1, 0.0),
         "e.com": (1, 45.0),  # unparseable -> default, not 0
+        "f.com": (1, 45.0),  # negative delta -> default
+        "g.com": (2, 600.0),  # NaN -> default 45; the valid 600 wins
+        "h.com": (1, 45.0),  # Infinity -> default
     }
     frontier = spark.createDataFrame(
         [
