@@ -71,8 +71,8 @@ __all__ = [
     "char_count",
     "char_ngrams",
     "cosine_similarity",
-    "detect_script",
     "dequantize",
+    "detect_script",
     "dup_token_fraction",
     "fingerprint",
     "gram_digest",
