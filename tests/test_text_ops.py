@@ -1085,3 +1085,140 @@ def test_html_canonical(spark):
     }
     for i, (_, exp) in enumerate(cases):
         assert got[i] == exp, (i, got[i], exp)
+
+
+def test_meta_robots_and_charset_prescan_match_htmlparser_reference(spark):
+    """meta_robots and the charset-prescan regexes pinned against an
+    html.parser reference over seeded-random well-formed HTML (the
+    robots_decisions / sitemap_entries verification pattern): random
+    attribute order, quote forms, case, decoy metas whose
+    name=description content MENTIONS noindex/charset=, multiple
+    robots tags (restrictive union), bare-charset and http-equiv
+    declaration forms.  Contract notes mirrored by the reference: the
+    http-equiv form wins over the bare attribute (coalesce order, not
+    document order), and only <meta> tags with NO name=/http-equiv=
+    carry a bare charset attribute."""
+    import random
+    from html.parser import HTMLParser
+
+    from sample_dms_s3_kinesis_spark.sources.crawl import (
+        META_CHARSET_ATTR_RE,
+        META_CHARSET_EQUIV_RE,
+    )
+
+    rng = random.Random(20260816)
+    charsets = ["UTF-8", "ISO-8859-1", "Shift_JIS", "windows-1252"]
+    robot_tokens = ["noindex", "nofollow", "none", "noarchive", "all"]
+
+    def attr(name, val, q):
+        return f"{name}={q}{val}{q}" if q else f"{name}={val}"
+
+    def meta_tag(attrs, rng):
+        rng.shuffle(attrs)
+        return "<" + rng.choice(["meta", "META", "Meta"]) + " " + " ".join(attrs) + ">"
+
+    docs = []
+    for i in range(200):
+        parts = ["<html><head><title>t</title>"]
+        for _ in range(rng.randrange(0, 4)):
+            kind = rng.randrange(0, 5)
+            q = rng.choice(['"', "'", ""])
+            if kind == 0:  # robots meta
+                toks = rng.sample(robot_tokens, rng.randrange(1, 3))
+                parts.append(meta_tag(
+                    [attr(rng.choice(["name", "NAME"]), "robots", q),
+                     attr("content", ", ".join(toks), rng.choice(['"', "'"]))],
+                    rng))
+            elif kind == 1:  # decoy description mentioning keywords
+                parts.append(meta_tag(
+                    [attr("name", "description", q),
+                     attr("content",
+                          rng.choice(["set charset=iso-8859-1 here",
+                                      "please noindex nothing",
+                                      "plain words"]),
+                          rng.choice(['"', "'"]))],
+                    rng))
+            elif kind == 2:  # bare charset attribute
+                parts.append(meta_tag(
+                    [attr("charset", rng.choice(charsets), q)], rng))
+            elif kind == 3:  # http-equiv content-type
+                parts.append(meta_tag(
+                    [attr("http-equiv", "Content-Type", q),
+                     attr("content",
+                          f"text/html; charset={rng.choice(charsets)}",
+                          rng.choice(['"', "'"]))],
+                    rng))
+            else:  # unrelated meta
+                parts.append(meta_tag(
+                    [attr("name", "viewport", q),
+                     attr("content", "width=1", rng.choice(['"', "'"]))],
+                    rng))
+        parts.append("</head><body>words here</body></html>")
+        docs.append((i, "".join(parts)))
+
+    class Ref(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.robots = []
+            self.equiv_cs = None
+            self.attr_cs = None
+
+        def handle_starttag(self, tag, attrs):
+            if tag != "meta":
+                return
+            d = dict(attrs)
+            if d.get("name", "").lower() == "robots":
+                for tk in (d.get("content") or "").lower().split(","):
+                    tk = tk.strip()
+                    if tk and tk not in self.robots:
+                        self.robots.append(tk)
+            if (
+                d.get("http-equiv", "").lower() == "content-type"
+                and self.equiv_cs is None
+            ):
+                c = d.get("content") or ""
+                if ";" in c and "charset=" in c.replace(" ", ""):
+                    self.equiv_cs = (
+                        c.split("charset=")[1].split(";")[0].strip().lower()
+                    )
+            if (
+                "charset" in d
+                and "name" not in d
+                and "http-equiv" not in d
+                and self.attr_cs is None
+            ):
+                self.attr_cs = d["charset"].lower()
+
+    expected = {}
+    for i, html in docs:
+        r = Ref()
+        r.feed(html)
+        expected[i] = (r.robots, r.equiv_cs or r.attr_cs)
+
+    df = spark.createDataFrame(docs, "id long, html string")
+    got = {
+        r["id"]: (
+            list(r["m"]),
+            (r["cs"] or "").lower() or None,
+        )
+        for r in df.select(
+            "id",
+            text.meta_robots(F.col("html")).alias("m"),
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(F.col("html"), META_CHARSET_EQUIV_RE, 1),
+                    F.lit(""),
+                ),
+                F.nullif(
+                    F.regexp_extract(F.col("html"), META_CHARSET_ATTR_RE, 1),
+                    F.lit(""),
+                ),
+            ).alias("cs"),
+        ).collect()
+    }
+    bad = [
+        (i, got[i], expected[i])
+        for i in expected
+        if got[i] != expected[i]
+    ]
+    assert not bad, bad[:5]
