@@ -50,6 +50,7 @@ from sample_dms_s3_kinesis_spark.operators.text import (
     detect_script,
     dup_token_fraction,
     fingerprint,
+    html_followable_links,
     lang_id,
     lang_id_unicode,
     normalize_text,
@@ -77,6 +78,7 @@ __all__ = [
     "fingerprint",
     "gram_digest",
     "hash_bucket",
+    "html_followable_links",
     "hyperplane_signature",
     "l2_norm",
     "l2_normalize",

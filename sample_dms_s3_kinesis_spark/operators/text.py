@@ -1292,6 +1292,44 @@ def html_links(col: Column) -> Column:
     return F.filter(F.transform(raw, _clean), lambda h: h != "")
 
 
+# an <a> tag whose rel attribute value contains the nofollow token
+# (any quote form; multi-token rel lists like "external nofollow"
+# count) — Java-regex and RE2 compatible
+_REL_NOFOLLOW_RE = (
+    r"""(?is)\brel\s*=\s*("[^"]*nofollow[^"]*"|'[^']*nofollow[^']*'"""
+    r"""|[^\s>"']*nofollow[^\s>"']*)"""
+)
+
+
+def html_followable_links(col: Column) -> Column:
+    """``array<string>`` of href values from the document's FOLLOWABLE
+    ``<a>`` tags: exactly :func:`html_links` minus anchors whose
+    ``rel`` attribute carries the ``nofollow`` token (any quote form,
+    multi-token lists like ``rel="external nofollow"`` included) —
+    the per-LINK half of on-page robots (the page-level half is
+    `robots_directive_flags`); a page asks crawlers not to treat such
+    links as endorsements, and a polite frontier drops them.  Same
+    cleaning contract as html_links (quote strip, entity decode, trim,
+    empties drop), same document order.  Pure Catalyst: one tag-level
+    regexp_extract_all, a per-tag rel filter, then the href extract."""
+    tags = F.regexp_extract_all(col, F.lit(r"(?is)(<a\b[^>]*>)"), 1)
+    kept = F.filter(tags, lambda t: ~t.rlike(_REL_NOFOLLOW_RE))
+
+    def _href(tag: Column) -> Column:
+        raw = F.regexp_extract(
+            tag,
+            r"(?is)\shref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
+            1,
+        )
+        unq = F.when(
+            raw.rlike("^\"") | raw.rlike("^'"),
+            F.substring(raw, 2, F.length(raw) - 2),
+        ).otherwise(raw)
+        return F.trim(decode_html_entities(unq))
+
+    return F.filter(F.transform(kept, _href), lambda h: h != "")
+
+
 def html_canonical(col: Column) -> Column:
     """The document's declared canonical URL: the href of the FIRST
     ``<link rel="canonical" ...>`` element (either attribute order,

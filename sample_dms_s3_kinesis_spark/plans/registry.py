@@ -4647,8 +4647,9 @@ DRIVER_WINDOW: list[str] = [
 # (a) the queries registered during the r14 sessions (all verified
 #     exact at sf0.001 AND sf0.01 in-session): q_text_normalize_unicode,
 #     q_fetch_schedule_backoff, q_meta_robots_funnel, q_script_langid,
-#     q_meta_robots_e2e (the charset-sniff coverage landed as the
-#     q_charset_transcode extension, already in the r14 window);
+#     q_meta_robots_e2e, q_nofollow_links (the charset-sniff coverage
+#     landed as the q_charset_transcode extension, already in the r14
+#     window);
 # (b) the 32 remaining r9-stale rows (q_tumbling_window_events,
 #     q_sessionize_events, q_lsh_jaccard_verified,
 #     q_multimodal_audio_features, q_salted_join_agg,

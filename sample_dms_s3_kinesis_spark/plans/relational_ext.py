@@ -9074,6 +9074,83 @@ def q_meta_robots_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_nofollow_links",
+    """
+    WITH s AS (SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS v
+               FROM documents)
+    SELECT doc_id,
+           CAST(2 AS INTEGER) AS n_links,
+           CAST(CASE WHEN v IN (0, 3) THEN 2
+                     WHEN v IN (1, 4) THEN 1
+                     ELSE 0 END AS INTEGER) AS n_followable,
+           CASE WHEN v IN (0, 3)
+                  THEN '/p/' || CAST(doc_id AS VARCHAR)
+                WHEN v = 1
+                  THEN '/keep/' || CAST(doc_id AS VARCHAR)
+                WHEN v = 4
+                  THEN '/q/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+           END AS first_followable
+    FROM s
+    """,
+    "per-link on-page robots: doc_id%5 selects the anchor set (two "
+    "plain / plain + rel=nofollow / double-nofollow incl. the "
+    "multi-token 'external nofollow' and unquoted forms / a "
+    "rel=dofollow decoy that must NOT drop / nofollow + an "
+    "entity-encoded followable href), run through html_links (all) "
+    "vs html_followable_links (rel=nofollow anchors contribute "
+    "nothing — the per-LINK channel the ingest frontier uses under "
+    "on_page_robots).  The oracle recomputes counts and the first "
+    "followable href (entity-decoded) from doc_id arithmetic, so a "
+    "rel-parse or quote-form fault hash-mismatches",
+    "crawl ingestion: rel=nofollow link filtering (per-link on-page "
+    "robots)",
+)
+def q_nofollow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    sid = (F.col("doc_id") % 5).cast("int")
+    ds = F.col("doc_id").cast("string")
+
+    def a(href, rel=None):
+        mid = F.lit(f' rel="{rel}"') if rel else F.lit("")
+        return F.concat(
+            F.lit('<a href="'), href, F.lit('"'), mid, F.lit(">x</a>")
+        )
+
+    plain = F.concat(F.lit("/p/"), ds)
+    keep = F.concat(F.lit("/keep/"), ds)
+    enc = F.concat(F.lit("/q/"), ds, F.lit("?a=1&amp;b=2"))
+    html = (
+        F.when(sid == 0, F.concat(a(plain), a(F.concat(F.lit("/x/"), ds))))
+        .when(sid == 1, F.concat(a(F.concat(F.lit("/nf/"), ds), "nofollow"), a(keep)))
+        .when(
+            sid == 2,
+            F.concat(
+                F.concat(
+                    F.lit("<a href='/nf1/"), ds,
+                    F.lit("' rel='external nofollow'>x</a>"),
+                ),
+                F.concat(
+                    F.lit("<a href=/nf2/"), ds,
+                    F.lit(" rel=nofollow>x</a>"),
+                ),
+            ),
+        )
+        .when(sid == 3, F.concat(a(plain, "dofollow"), a(F.concat(F.lit("/y/"), ds))))
+        .otherwise(F.concat(a(F.concat(F.lit("/nf/"), ds), "nofollow"), a(enc)))
+    )
+    fix = d.select("doc_id", html.alias("html"))
+    fol = _text.html_followable_links(F.col("html"))
+    return fix.select(
+        "doc_id",
+        F.size(_text.html_links(F.col("html"))).alias("n_links"),
+        F.size(fol).alias("n_followable"),
+        # try_: the double-nofollow variant has NO followable links
+        # and ANSI element_at throws on the empty array
+        F.try_element_at(fol, F.lit(1)).alias("first_followable"),
+    )
+
+
+@_register(
     "q_fetch_schedule_backoff",
     """
     WITH s AS (SELECT doc_id, source, CAST(doc_id % 5 AS INTEGER) AS v,

@@ -1077,9 +1077,17 @@ class CorpusIngestTask(ReplicationTask):
             ),
             F.col("_uri"),
         )
+        # on_page_robots also honors the per-LINK channel: anchors
+        # carrying rel=nofollow contribute no edge even on pages whose
+        # page-level flags allow following
+        _links_fn = (
+            _text.html_followable_links
+            if self.on_page_robots
+            else _text.html_links
+        )
         anchor_links = pages.select(
             eff_base.alias("_base"),
-            F.explode(_text.html_links(F.col("text"))).alias("_href"),
+            F.explode(_links_fn(F.col("text"))).alias("_href"),
         )
         # a fetched SITEMAP contributes its <loc> entries instead of
         # anchors (it has none): page URLs and child sitemaps both

@@ -1702,7 +1702,8 @@ def test_on_page_robots_gates(spark, tmp_path):
     b1 = (
         _page(
             "https://a.com/plain",
-            '<p>plain page body</p><a href="https://x.com/from-plain">l</a>',
+            '<p>plain page body</p><a href="https://x.com/from-plain">l</a>'
+            '<a href="https://x.com/nf-link" rel="nofollow">n</a>',
         )
         + _page(
             "https://a.com/noindex",
@@ -1735,7 +1736,9 @@ def test_on_page_robots_gates(spark, tmp_path):
     frontier = {
         r["url"] for r in task.discovered_frontier().collect()
     }
-    # noindex page's links present; nofollow/none pages' links absent
+    # noindex page's links present; nofollow/none pages' links absent;
+    # the plain page's rel=nofollow ANCHOR contributes nothing either
+    # (the per-link channel)
     assert frontier == {
         "https://x.com/from-plain",
         "https://x.com/from-noindex",
