@@ -1222,3 +1222,120 @@ def test_meta_robots_and_charset_prescan_match_htmlparser_reference(spark):
         if got[i] != expected[i]
     ]
     assert not bad, bad[:5]
+
+
+def test_normalize_and_segment_match_python_reference(spark):
+    """normalize_text / char_ngrams / segment_tokens pinned against
+    pure-Python references over seeded-random multilingual strings
+    (the robots_decisions verification pattern): mixed ASCII, Latin-1,
+    Cyrillic, Greek, Arabic, CJK, kana, Thai, digits (incl.
+    Arabic-Indic), punctuation, and whitespace runs."""
+    import random
+    import re as _re
+
+    rng = random.Random(20260814)
+    pools = [
+        "the quick brown fox jumps over lazy dog and it is for".split(),
+        ["café", "voilà", "très", "ñandú", "Ärger", "øre"],
+        ["привет", "мир", "тест", "данные"],
+        ["κείμενο", "εδώ", "λόγος"],
+        ["النص", "هنا", "اختبار"],
+        ["这是测试", "中文字符串", "数据管道", "语言"],
+        ["テキスト", "データ", "ひらがな"],
+        ["ข้อความ", "ทดสอบ"],
+        ["123", "٤٢", "42x7", "a1b2"],
+        ["...", "!?;", "—", "№", "†‡"],
+    ]
+
+    def rand_text(rng):
+        n = rng.randrange(0, 12)
+        toks = [rng.choice(rng.choice(pools)) for _ in range(n)]
+        sep = lambda: rng.choice([" ", "  ", " \t "])  # noqa: E731
+        return sep().join(toks) + rng.choice(["", " ", "  "])
+
+    docs = [(i, rand_text(rng)) for i in range(300)]
+
+    # Python references (same regex semantics: Python re supports
+    # \p-free spelling via explicit ranges? No — use the regex that
+    # Java/RE2 run through equivalent unicodedata category checks).
+    import unicodedata
+
+    def is_LN(ch):
+        return unicodedata.category(ch)[0] in ("L", "N")
+
+    def is_N(ch):
+        return unicodedata.category(ch)[0] == "N"
+
+    def ref_normalize(s):
+        s = s.lower()
+        # \p{N}+ -> '0'
+        out, i = [], 0
+        while i < len(s):
+            if is_N(s[i]):
+                while i < len(s) and is_N(s[i]):
+                    i += 1
+                out.append("0")
+            else:
+                out.append(s[i])
+                i += 1
+        s = "".join(out)
+        s = "".join(c if (is_LN(c) or c == " ") else " " for c in s)
+        s = _re.sub(" +", " ", s)
+        return s.strip()
+
+    SPACEFREE = (
+        "Han", "Hiragana", "Katakana", "Hangul", "Thai", "Lao",
+        "Khmer", "Myanmar",
+    )
+
+    def _script(ch):
+        # unicodedata has no script property; approximate via name
+        try:
+            nm = unicodedata.name(ch)
+        except ValueError:
+            return None
+        for s in ("CJK", "HIRAGANA", "KATAKANA", "HANGUL", "THAI",
+                  "LAO", "KHMER", "MYANMAR"):
+            if nm.startswith(s):
+                return s
+        return None
+
+    def is_spacefree(tok):
+        return any(_script(c) is not None for c in tok)
+
+    def ref_char_ngrams(s, n=3):
+        if len(s) <= n:
+            return [s]
+        seen, out = set(), []
+        for i in range(len(s) - n + 1):
+            g = s[i : i + n]
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    def ref_segment(s, n=3):
+        toks = _re.split(r"\s+", s.strip())
+        out = []
+        for t in toks:
+            if is_spacefree(t):
+                out.extend(ref_char_ngrams(t, n))
+            else:
+                out.append(t)
+        return out
+
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: (r["n"], list(r["seg"]))
+        for r in df.select(
+            "id",
+            text.normalize_text(F.col("text")).alias("n"),
+            text.segment_tokens(F.col("text")).alias("seg"),
+        ).collect()
+    }
+    bad = []
+    for i, s in docs:
+        exp = (ref_normalize(s), ref_segment(s))
+        if got[i] != exp:
+            bad.append((i, s, got[i], exp))
+    assert not bad, bad[:3]
