@@ -1281,51 +1281,71 @@ def html_links(col: Column) -> Column:
     parameter boundary).  Pure Catalyst: one regexp_extract_all + a
     per-element decode transform — no UDF, no shuffle."""
     raw = F.regexp_extract_all(col, F.lit(_HTML_HREF_RE), 1)
-
-    def _clean(h: Column) -> Column:
-        unq = F.when(
-            h.rlike("^\"") | h.rlike("^'"),
-            F.substring(h, 2, F.length(h) - 2),
-        ).otherwise(h)
-        return F.trim(decode_html_entities(unq))
-
-    return F.filter(F.transform(raw, _clean), lambda h: h != "")
+    return F.filter(
+        F.transform(raw, _clean_attr_value), lambda h: h != ""
+    )
 
 
-# an <a> tag whose rel attribute value contains the nofollow token
-# (any quote form; multi-token rel lists like "external nofollow"
-# count) — Java-regex and RE2 compatible
-_REL_NOFOLLOW_RE = (
-    r"""(?is)\brel\s*=\s*("[^"]*nofollow[^"]*"|'[^']*nofollow[^']*'"""
-    r"""|[^\s>"']*nofollow[^\s>"']*)"""
-)
+def _unquote_attr(raw: Column) -> Column:
+    """Strip one layer of surrounding quotes from a raw attribute
+    capture (``"..."`` / ``'...'`` / bare) — the ONE unquote idiom
+    every HTML attribute consumer in this module shares (duplicated,
+    the link operators could silently drift)."""
+    return F.when(
+        raw.rlike("^\"") | raw.rlike("^'"),
+        F.substring(raw, 2, F.length(raw) - 2),
+    ).otherwise(raw)
+
+
+def _clean_attr_value(raw: Column) -> Column:
+    """Shared attribute-value cleaning: unquote, entity-decode, trim —
+    the html_links contract."""
+    return F.trim(decode_html_entities(_unquote_attr(raw)))
+
+
+# rel attribute extraction within ONE <a> tag: attribute position
+# (preceded by whitespace), any quote form.  Applied to the VALUE, the
+# nofollow test is token-bounded — 'nofollower' or a 'rel=nofollow'
+# substring inside an href query string must NOT drop the anchor.
+_REL_ATTR_IN_TAG_RE = r"(?is)\srel\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)"
+_NOFOLLOW_TOKEN_RE = r"(?i)(^|\s)nofollow(\s|$)"
 
 
 def html_followable_links(col: Column) -> Column:
     """``array<string>`` of href values from the document's FOLLOWABLE
     ``<a>`` tags: exactly :func:`html_links` minus anchors whose
-    ``rel`` attribute carries the ``nofollow`` token (any quote form,
-    multi-token lists like ``rel="external nofollow"`` included) —
-    the per-LINK half of on-page robots (the page-level half is
-    `robots_directive_flags`); a page asks crawlers not to treat such
-    links as endorsements, and a polite frontier drops them.  Same
-    cleaning contract as html_links (quote strip, entity decode, trim,
-    empties drop), same document order.  Pure Catalyst: one tag-level
-    regexp_extract_all, a per-tag rel filter, then the href extract."""
-    tags = F.regexp_extract_all(col, F.lit(r"(?is)(<a\b[^>]*>)"), 1)
-    kept = F.filter(tags, lambda t: ~t.rlike(_REL_NOFOLLOW_RE))
+    ``rel`` attribute carries the ``nofollow`` TOKEN (space-separated
+    token list semantics: ``rel="external nofollow"`` drops,
+    ``rel="nofollower"`` or an href merely CONTAINING the text
+    ``rel=nofollow`` does not) — the per-LINK half of on-page robots
+    (the page-level half is `robots_directive_flags`); a page asks
+    crawlers not to treat such links as endorsements, and a polite
+    frontier drops them.  Same cleaning contract as html_links (quote
+    strip, entity decode, trim, empties drop), same document order;
+    a document truncated mid-anchor keeps its final href like
+    html_links does (the tag match tolerates a missing ``>``).
+    Pure Catalyst: one tag-level regexp_extract_all, a per-tag
+    rel-value extract + token test, then the href extract."""
+    tags = F.regexp_extract_all(
+        col, F.lit(r"(?is)(<a\b[^>]*(?:>|$))"), 1
+    )
+
+    def _followable(t: Column) -> Column:
+        rel = _unquote_attr(
+            F.regexp_extract(t, _REL_ATTR_IN_TAG_RE, 1)
+        )
+        return ~rel.rlike(_NOFOLLOW_TOKEN_RE)
+
+    kept = F.filter(tags, _followable)
 
     def _href(tag: Column) -> Column:
-        raw = F.regexp_extract(
-            tag,
-            r"(?is)\shref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
-            1,
+        return _clean_attr_value(
+            F.regexp_extract(
+                tag,
+                r"(?is)\shref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
+                1,
+            )
         )
-        unq = F.when(
-            raw.rlike("^\"") | raw.rlike("^'"),
-            F.substring(raw, 2, F.length(raw) - 2),
-        ).otherwise(raw)
-        return F.trim(decode_html_entities(unq))
 
     return F.filter(F.transform(kept, _href), lambda h: h != "")
 
@@ -1357,11 +1377,7 @@ def html_canonical(col: Column) -> Column:
         r"(?is)\shref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
         1,
     )
-    unq = F.when(
-        raw.rlike("^\"") | raw.rlike("^'"),
-        F.substring(raw, 2, F.length(raw) - 2),
-    ).otherwise(raw)
-    val = F.trim(decode_html_entities(unq))
+    val = _clean_attr_value(raw)
     return F.when(val != "", val)
 
 
@@ -1379,11 +1395,7 @@ def html_base_href(col: Column) -> Column:
         r"(?is)<base\b[^>]*?\shref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
         1,
     )
-    unq = F.when(
-        raw.rlike("^\"") | raw.rlike("^'"),
-        F.substring(raw, 2, F.length(raw) - 2),
-    ).otherwise(raw)
-    val = F.trim(decode_html_entities(unq))
+    val = _clean_attr_value(raw)
     return F.when(val != "", val)
 
 
@@ -1412,11 +1424,7 @@ def meta_robots(col: Column) -> Column:
             r"(?is)\bcontent\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
             1,
         )
-        unq = F.when(
-            raw.rlike("^\"") | raw.rlike("^'"),
-            F.substring(raw, 2, F.length(raw) - 2),
-        ).otherwise(raw)
-        return F.split(F.lower(unq), ",")
+        return F.split(F.lower(_unquote_attr(raw)), ",")
 
     toks = F.flatten(F.transform(tags, _content))
     # NB: F.trim must not be passed to transform directly — its

@@ -1339,3 +1339,36 @@ def test_normalize_and_segment_match_python_reference(spark):
         if got[i] != exp:
             bad.append((i, s, got[i], exp))
     assert not bad, bad[:3]
+
+
+def test_followable_links_edge_cases(spark):
+    """The r14 second review-sweep's findings pinned: a 'rel=nofollow'
+    substring inside an href query string must NOT drop the anchor, a
+    larger rel token ('nofollower', 'my-nofollow-x') must NOT drop it
+    (token-list semantics), and a document truncated mid-anchor keeps
+    its final href exactly like html_links does."""
+    rows = [
+        (1, '<a href="/out?rel=nofollow&amp;u=2">x</a>'),
+        (2, '<a rel="nofollower" href="/keep1">x</a>'),
+        (3, '<a rel="my-nofollow-x" href="/keep2">x</a>'),
+        (4, '<a rel="external nofollow" href="/drop">x</a>'),
+        (5, '<a rel=NOFOLLOW href="/drop2">x</a>'),
+        (6, '<a href="/a">x</a><a href="/trunc'),  # truncated fetch
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {
+        r["id"]: (list(r["all"]), list(r["ok"]))
+        for r in df.select(
+            "id",
+            text.html_links(F.col("html")).alias("all"),
+            text.html_followable_links(F.col("html")).alias("ok"),
+        ).collect()
+    }
+    assert got[1][1] == ["/out?rel=nofollow&u=2"]  # href text != rel attr
+    assert got[2][1] == ["/keep1"]
+    assert got[3][1] == ["/keep2"]
+    assert got[4][1] == []
+    assert got[5][1] == []
+    # truncated: followable == html_links, whatever the raw regex
+    # yields for the dangling anchor
+    assert got[6][1] == got[6][0]
