@@ -4580,90 +4580,91 @@ def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate evaluates only the FIRST 50 registered
 # queries, in registration order — registration order IS the coverage
-# budget.  Rounds 2-13 drove their 50-query windows all-green (zero
-# oracle-bearing failures in CORRECTNESS_r02..r13.json).  Round 14
-# executes the rotation the r13 verdict mandated: (1) all 8 queries
-# registered during the r13 sessions (never driver-checked; each was
-# verified exact green locally and by the r13 judge); (2) the 24
-# remaining r8-stale rows; (3) the first 18 of the 50 r9-stale queries
+# budget.  Rounds 2-14 drove their 50-query windows all-green (zero
+# oracle-bearing failures in CORRECTNESS_r02..r14.json).  Round 15
+# executes the rotation the r14 verdict mandated: (1) all 6 queries
+# registered during the r14 sessions (never driver-checked; each was
+# verified exact green locally and by the r14 judge); (2) the 32
+# remaining r9-stale rows; (3) the first 12 of the 50 r10-stale queries
 # in registration order — after this window lands, zero queries are
-# never-checked and no query's newest driver row is older than r9.
+# never-checked and no query's newest driver row is older than r10.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked: r13 session registrations (8) ---
-    "q_redirect_frontier",
-    "q_charset_transcode",
-    "q_canonical_alias",
-    "q_http_validators",
-    "q_recrawl_schedule",
-    "q_refresh_pipeline",
-    "q_redirect_frontier_e2e",
-    "q_revalidation_e2e",
-    # --- r8-stale: the remaining 24 ---
-    "q_zorder_buckets",
-    "q_k_anonymity",
-    "q_unigram_vocab",
-    "q_unigram_encode",
-    "q_pca_explained",
-    "q_pca_whitened_norms",
-    "q_neardup_clustering",
-    "q_aggview_e2e",
-    "q_time_travel_states",
-    "q_pq_whitened_recall",
-    "q_aggview_quantiles_e2e",
-    "q_series_topk_users",
-    "q_sax_words",
-    "q_lm_backoff_score",
-    "q_bloom_semijoin",
-    "q_bloom_fpp",
-    "q_video_frame_features",
-    "q_video_summary",
-    "q_video_near_dup",
-    "q_auc_metrics",
-    "q_mmr_rerank",
-    "q_dsir_weights",
-    "q_kfold_report",
-    "q_lr_quality",
-    # --- r9-stale: first 18 of 50 in registration order ---
-    "q_top_orders",
-    "q_like_filter",
-    "q_running_sum_events",
-    "q_topk_per_group",
-    "q_asof_join",
-    "q_range_join",
-    "q_dedup_exact_events",
-    "q_dedup_md5_documents",
-    "q_text_quality",
-    "q_ann_cosine_topk",
-    "q_embedding_near_dup",
-    "q_dedup_clusters",
-    "q_minhash_lsh_pairs",
-    "q_ngram_jaccard_pairs",
-    "q_ivf_ann_topk",
-    "q_lsh_ann_topk",
-    "q_multimodal_features",
-    "q08_market_share",
+    # --- never driver-checked: r14 session registrations (6) ---
+    "q_text_normalize_unicode",
+    "q_script_langid",
+    "q_meta_robots_funnel",
+    "q_meta_robots_e2e",
+    "q_fetch_schedule_backoff",
+    "q_nofollow_links",
+    # --- r9-stale: the remaining 32 ---
+    "q_neardup_clustering_lsh",
+    "q_tumbling_window_events",
+    "q_sessionize_events",
+    "q_lsh_jaccard_verified",
+    "q_multimodal_audio_features",
+    "q_salted_join_agg",
+    "q_approx_distinct_users",
+    "q_null_handling",
+    "q_binned_range_join",
+    "q_embedding_centroids",
+    "q_curation_pipeline",
+    "q_winnowed_fingerprints",
+    "q_decontaminate",
+    "q_dup_ngram_stats",
+    "q_redact_pii",
+    "q_assign_shards",
+    "q_dedup_canonical",
+    "q_quality_score_filter",
+    "q_corpus_composition",
+    "q_dup_span_coverage",
+    "q_vocab_topk",
+    "q_embedding_quantize",
+    "q_length_histogram",
+    "q_remove_dup_spans",
+    "q_pagerank_neardup",
+    "q_html_extract",
+    "q_url_domain_caps",
+    "q_url_caps_incremental",
+    "q_ranking_metrics",
+    "q_hard_negatives",
+    "q_line_boilerplate",
+    "q_calibration_report",
+    # --- r10-stale: first 12 of 50 in registration order ---
+    "q_distinct_count",
+    "q_rollup_orders",
+    "q_cube_documents",
+    "q_in_subquery",
+    "q_scalar_subquery",
+    "q_simhash_pairs",
+    "q_ivf_persisted_topk",
+    "q_winnowed_md5_fingerprints",
+    "q_full_outer_nation_counts",
+    "q_cross_join_region_status",
+    "q_percentile_agg",
+    "q_grouping_sets_orders",
 ]
-# r15 rotation backlog, in priority order (never-checked beats stale):
-# (a) the queries registered during the r14 sessions (all verified
-#     exact at sf0.001 AND sf0.01 in-session): q_text_normalize_unicode,
-#     q_fetch_schedule_backoff, q_meta_robots_funnel, q_script_langid,
-#     q_meta_robots_e2e, q_nofollow_links (the charset-sniff coverage
-#     landed as the q_charset_transcode extension, already in the r14
-#     window);
-# (b) the 32 remaining r9-stale rows (q_tumbling_window_events,
-#     q_sessionize_events, q_lsh_jaccard_verified,
-#     q_multimodal_audio_features, q_salted_join_agg,
-#     q_approx_distinct_users, q_null_handling, q_binned_range_join,
-#     q_embedding_centroids, q_curation_pipeline,
-#     q_winnowed_fingerprints, q_decontaminate, q_dup_ngram_stats,
-#     q_redact_pii, q_assign_shards, q_dedup_canonical,
-#     q_quality_score_filter, q_corpus_composition,
-#     q_dup_span_coverage, q_vocab_topk, q_embedding_quantize,
-#     q_length_histogram, q_remove_dup_spans, q_pagerank_neardup,
-#     q_html_extract, q_url_domain_caps, q_url_caps_incremental,
-#     q_ranking_metrics, q_hard_negatives, q_line_boilerplate,
-#     q_calibration_report, q_neardup_clustering_lsh);
-# (c) r10-stale families thereafter, rotating by age so no query's
+# r16 rotation backlog, in priority order (never-checked beats stale):
+# (a) every query registered during the r15 sessions (enumerate each
+#     new registration here as it lands):
+#     q_mime_funnel, q_mime_e2e_stats, q_langid_latin,
+#     q_corpus_composition_nb, q_pdf_text_extract, q_pdf_funnel,
+#     q_idn_hosts, q_idn_domain_caps;
+# (b) the 38 remaining r10-stale rows (q_pivot_status_counts,
+#     q_string_functions, q_date_functions, q_two_phase_distinct,
+#     q_mixture_sample, q_text_tfidf_topk, q_near_dedup_against,
+#     q_simhash_pairs_against, q_embedding_near_dup_against,
+#     q_nb_lang_classify, q_chunk_documents, q_winnowing_containment,
+#     q_profile_documents, q_oov_rate, q_corpus_diff,
+#     q_weighted_sample, q_bigram_lm_score, q_semantic_dedup,
+#     q_skew_report, q_vocab_coverage, q_winsorize,
+#     q_minhash_index_gate, q_weighted_sample_group,
+#     q_prefix_jaccard_pairs, q_profile_drift, q_lsh_quality,
+#     q_dedup_report, q_corr_stats, q_token_cosine_pairs,
+#     q_simhash_quality, q_image_near_dup, q_audio_near_dup,
+#     q_simhash_index_gate, q_prefix_jaccard_against,
+#     q_token_cosine_against, q_mad_by_lang, q_pack_spans,
+#     q_curation_pipeline_v2);
+# (c) r11-stale families thereafter, rotating by age so no query's
 #     latest driver row is older than three rounds.
 
 
