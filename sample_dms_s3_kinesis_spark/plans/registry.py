@@ -1502,6 +1502,7 @@ def q_ingest_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('nofollow_pages',    0),
       ('rejected',          1),
       ('rejected_contract', 1),
+      ('rejected_mime',     0),
       ('rejected_noindex',  0),
       ('rejected_robots',   0),
       ('revalidated',       0)

@@ -1523,6 +1523,21 @@ def warc_responses(
     )
 
 
+def mime_admitted(content_type: Column, allowlist) -> Column:
+    """True when the declared media type passes a text-corpus
+    allowlist — the content-type admission predicate
+    ``streaming/ingest.py:CorpusIngestTask(mime_allowlist=...)`` gates
+    on.  Case-insensitive on the media type alone (feed it
+    :func:`warc_responses`' ``http_content_type``, which already has
+    parameters like ``charset`` parsed off; trim guards the pre-``;``
+    whitespace a ``text/html ; charset=..`` header leaves).  A NULL
+    content type passes: the gate rejects DECLARED non-text, it does
+    not demand a declaration."""
+    allow = [m.strip().lower() for m in allowlist]
+    norm = F.lower(F.trim(content_type))
+    return norm.isNull() | norm.isin(allow)
+
+
 def redirect_edges(responses: DataFrame) -> DataFrame:
     """Redirect edges out of :func:`warc_responses` output: one
     ``(url, redirect_target, http_status, record_id, warc_date)`` row

@@ -64,6 +64,13 @@ DOC_SCHEMA = T.StructType(
     ]
 )
 
+# The declared media types a TEXT corpus admits (WHATWG fetch's
+# HTML-ish set plus text/plain).  Everything else a 200 can declare —
+# application/pdf, image/*, application/json API payloads — is not
+# prose, however cleanly its bytes happen to decode; armed via
+# ``mime_allowlist=TEXT_MIME_ALLOWLIST``.
+TEXT_MIME_ALLOWLIST = ("text/html", "application/xhtml+xml", "text/plain")
+
 
 class CorpusIngestTask(ReplicationTask):
     """Tail ``drop_dir`` for document containers (JSON-lines by
@@ -103,6 +110,7 @@ class CorpusIngestTask(ReplicationTask):
         follow_redirects: bool = False,
         track_revalidations: bool = False,
         on_page_robots: bool = False,
+        mime_allowlist: tuple[str, ...] | list[str] | None = None,
         frontier_max_per_host: int | None = None,
         frontier_key: str = "url",
         checkpoint_dir: str | None = None,
@@ -254,6 +262,34 @@ class CorpusIngestTask(ReplicationTask):
                 "directives live in page markup and HTTP headers)"
             )
         self.on_page_robots = on_page_robots
+        # mime_allowlist: the content-type admission gate.  A 200
+        # response whose DECLARED media type (warc_responses'
+        # http_content_type — parameters like charset already parsed
+        # off) is not in the allowlist diverts to the per-batch
+        # _quarantine_mime store and counts as rejected_mime — BEFORE
+        # extraction and every content gate, AFTER link discovery (a
+        # rejected page's anchors/sitemap locs still feed the frontier:
+        # like noindex, the gate controls corpus ADMISSION, not the
+        # crawl graph).  Responses that declare no Content-Type at all
+        # pass (the gate rejects declared non-text, it does not demand
+        # a declaration).  Matching is case-insensitive on the media
+        # type alone.  WARC modes only (JSONL drops carry no headers).
+        if mime_allowlist is not None and input_format == "jsonl":
+            raise ValueError(
+                "mime_allowlist requires a WARC input_format (the "
+                "declared media type lives in each response's HTTP "
+                "headers)"
+            )
+        if mime_allowlist is not None and not mime_allowlist:
+            raise ValueError(
+                "mime_allowlist must be None (gate off) or a non-empty "
+                "sequence of media types"
+            )
+        self.mime_allowlist = (
+            tuple(m.strip().lower() for m in mime_allowlist)
+            if mime_allowlist is not None
+            else None
+        )
         if frontier_max_per_host is not None and not discover_links:
             raise ValueError(
                 "frontier_max_per_host requires discover_links=True"
@@ -605,6 +641,7 @@ class CorpusIngestTask(ReplicationTask):
             "rejected_contract": 0,
             "rejected_robots": 0,
             "rejected_noindex": 0,
+            "rejected_mime": 0,
             "nofollow_pages": 0,
             "revalidated": 0,
         }
@@ -721,6 +758,40 @@ class CorpusIngestTask(ReplicationTask):
             .select(
                 F.col("doc_id").cast("long").alias("doc_id"),
                 F.col("target_uri").cast("string").alias("target_uri"),
+                F.col("batch_id").cast("long").alias("batch_id"),
+            )
+        )
+
+    def mime_quarantined(self) -> DataFrame:
+        """(doc_id, target_uri, content_type, batch_id) for every page
+        whose declared media type the allowlist rejected — the
+        content-type twin of :meth:`noindex_quarantined`
+        (mime_allowlist mode).  A corpus owner reads this channel to
+        spot allowlist gaps (e.g. a site serving prose as
+        application/octet-stream) before widening the gate."""
+        manifest = self._load_manifest()
+        paths = [
+            f"{self.corpus_dir}/_quarantine_mime/batch_id={b}"
+            for b in sorted(manifest, key=int)
+            if int(manifest[b].get("rejected_mime", 0)) > 0
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [],
+                "doc_id long, target_uri string, content_type string, "
+                "batch_id long",
+            )
+        return (
+            self.spark.read.option(
+                "basePath", f"{self.corpus_dir}/_quarantine_mime"
+            )
+            .parquet(*paths)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("target_uri").cast("string").alias("target_uri"),
+                F.col("content_type")
+                .cast("string")
+                .alias("content_type"),
                 F.col("batch_id").cast("long").alias("batch_id"),
             )
         )
@@ -1361,6 +1432,7 @@ class CorpusIngestTask(ReplicationTask):
                 or self.discover_links
                 or self.track_revalidations
                 or self.on_page_robots
+                or self.mime_allowlist is not None
                 else []
             ),
             # on-page robots: the header channel rides along raw; the
@@ -1368,6 +1440,19 @@ class CorpusIngestTask(ReplicationTask):
             *(
                 [F.col("http_x_robots_tag").alias("_x_robots")]
                 if self.on_page_robots
+                else []
+            ),
+            # MIME gate plumbing: the declared media type, folded to
+            # its case-insensitive canonical form (http_content_type
+            # already carries the media type alone; trim guards the
+            # pre-';' whitespace a 'text/html ; charset=..' leaves)
+            *(
+                [
+                    F.lower(F.trim(F.col("http_content_type"))).alias(
+                        "_mime"
+                    )
+                ]
+                if self.mime_allowlist is not None
                 else []
             ),
         )
@@ -1385,6 +1470,11 @@ class CorpusIngestTask(ReplicationTask):
                 *(
                     [F.lit(None).cast("string").alias("_x_robots")]
                     if self.on_page_robots
+                    else []
+                ),
+                *(
+                    [F.lit(None).cast("string").alias("_mime")]
+                    if self.mime_allowlist is not None
                     else []
                 ),
                 F.col("redirect_target").alias("_redirect_target"),
@@ -1409,6 +1499,11 @@ class CorpusIngestTask(ReplicationTask):
                 *(
                     [F.lit(None).cast("string").alias("_x_robots")]
                     if self.on_page_robots
+                    else []
+                ),
+                *(
+                    [F.lit(None).cast("string").alias("_mime")]
+                    if self.mime_allowlist is not None
                     else []
                 ),
                 *(
@@ -1661,6 +1756,45 @@ class CorpusIngestTask(ReplicationTask):
             if n_noindex > 0:
                 valid = valid.filter(~F.col("_noindex"))
             valid = valid.drop("_noindex", "_nofollow")
+        # MIME/content-type admission gate: pages whose DECLARED media
+        # type is outside the allowlist divert to the per-batch
+        # _quarantine_mime store (overwrite: replay-idempotent) and
+        # count as rejected_mime — AFTER link discovery (their anchors
+        # and sitemap locs already fed the frontier; like noindex, the
+        # gate controls admission, not the crawl graph), BEFORE
+        # extraction (a PDF/image/JSON body must never reach
+        # html_extract or the quality gates as garbage prose).
+        # Undeclared content types pass.
+        n_mime = 0
+        if self.mime_allowlist is not None and "_mime" in valid.columns:
+            from sample_dms_s3_kinesis_spark.sources.crawl import (
+                mime_admitted,
+            )
+
+            bad_type = ~mime_admitted(
+                F.col("_mime"), self.mime_allowlist
+            )
+            bad_mime = valid.filter(bad_type).persist()
+            n_mime = bad_mime.count()
+            if n_mime > 0:
+                mdir = (
+                    f"{self.corpus_dir}/_quarantine_mime"
+                    f"/batch_id={batch_id}"
+                )
+                (
+                    bad_mime.select(
+                        "doc_id",
+                        F.col("_uri").alias("target_uri"),
+                        F.col("_mime").alias("content_type"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(mdir)
+                )
+                self.spark.catalog.refreshByPath(mdir)
+                valid = valid.filter(~bad_type)
+            bad_mime.unpersist()
+        if "_mime" in valid.columns:
+            valid = valid.drop("_mime")
         if "_uri" in valid.columns:
             valid = valid.drop("_uri")
         if self.extract_html:
@@ -1722,10 +1856,12 @@ class CorpusIngestTask(ReplicationTask):
                     - n_contract
                     - n_robots
                     - n_sitemap
-                    - n_noindex,
+                    - n_noindex
+                    - n_mime,
                     "rejected_contract": n_contract,
                     "rejected_robots": n_robots,
                     "rejected_noindex": n_noindex,
+                    "rejected_mime": n_mime,
                     "nofollow_pages": n_nofollow,
                     "revalidated": n_reval,
                     **fr_counts,
@@ -1947,10 +2083,12 @@ class CorpusIngestTask(ReplicationTask):
                 - n_contract
                 - n_robots
                 - n_sitemap
-                - n_noindex,
+                - n_noindex
+                - n_mime,
                 "rejected_contract": n_contract,
                 "rejected_robots": n_robots,
                 "rejected_noindex": n_noindex,
+                "rejected_mime": n_mime,
                 "nofollow_pages": n_nofollow,
                 "revalidated": n_reval,
                 **fr_counts,

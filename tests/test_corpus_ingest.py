@@ -1898,3 +1898,118 @@ def test_track_revalidations_validation(spark, tmp_path):
             str(tmp_path / "c"),
             track_revalidations=True,
         )
+
+
+def _warc_typed(uri, body, content_type=None, extra_header=""):
+    """A WARC 200 response whose Content-Type header is controlled —
+    None omits the header entirely (an undeclared type)."""
+    ct = f"Content-Type: {content_type}\r\n" if content_type else ""
+    payload = f"HTTP/1.1 200 OK\r\n{ct}{extra_header}\r\n{body}"
+    return (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(payload.encode())}\r\n\r\n"
+        f"{payload}\r\n\r\n"
+    )
+
+
+def test_mime_gate(spark, tmp_path):
+    """mime_allowlist: a 200 whose DECLARED media type is outside the
+    allowlist quarantines (counted rejected_mime) before extraction
+    and every content gate; parameters/case/whitespace in the header
+    don't matter; an UNDECLARED type passes; the rejected page's
+    anchors still feed the frontier (admission gate, not crawl graph);
+    a replay changes nothing."""
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        TEXT_MIME_ALLOWLIST,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=True,
+        mime_allowlist=TEXT_MIME_ALLOWLIST,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    html = "<html><body><p>real page body</p></body></html>"
+    b1 = (
+        _warc_typed("https://a.com/html", html, "text/html")
+        # parameters + case + pre-';' whitespace all fold away
+        + _warc_typed(
+            "https://a.com/charset",
+            html,
+            "TEXT/HTML ; charset=UTF-8",
+        )
+        + _warc_typed(
+            "https://a.com/plain", "plain prose body", "text/plain"
+        )
+        # declared binary that happens to decode as text — the r14
+        # hazard: without the gate this ingests as garbage prose
+        + _warc_typed(
+            "https://a.com/doc.pdf",
+            "%PDF-1.4 fake pdf body text",
+            "application/pdf",
+        )
+        # a JSON API response CONTAINING an anchor: rejected from the
+        # corpus, but its link still feeds the frontier
+        + _warc_typed(
+            "https://a.com/api",
+            '{"html": "<a href=\'https://x.com/from-api\'>l</a>"}',
+            "application/json",
+        )
+        # no Content-Type header at all -> passes (undeclared)
+        + _warc_typed("https://a.com/untyped", html)
+    )
+    (drop / "b1.warc").write_text(b1)
+    task._process_batch(task._source_frame(streaming=False), 0)
+
+    stats = task.ingest_stats()
+    assert stats["rejected_mime"] == 2  # pdf + json
+    # html survives; charset-variant and untyped carry the SAME body
+    # (exact dups); plain is unique -> 2 admitted, 2 dropped_exact
+    assert stats["admitted"] == 2
+    assert stats["dropped_exact"] == 2
+    assert task.corpus().count() == 2
+    q = {
+        (r["target_uri"], r["content_type"])
+        for r in task.mime_quarantined().collect()
+    }
+    assert q == {
+        ("https://a.com/doc.pdf", "application/pdf"),
+        ("https://a.com/api", "application/json"),
+    }
+    frontier = {r["url"] for r in task.discovered_frontier().collect()}
+    assert "https://x.com/from-api" in frontier
+
+    # replay: same counters, same stores
+    task._process_batch(task._source_frame(streaming=False), 0)
+    assert task.ingest_stats() == stats
+    assert {
+        (r["target_uri"], r["content_type"])
+        for r in task.mime_quarantined().collect()
+    } == q
+
+
+def test_mime_gate_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="mime_allowlist requires"):
+        CorpusIngestTask(
+            spark,
+            str(tmp_path / "d"),
+            str(tmp_path / "c"),
+            input_format="jsonl",
+            mime_allowlist=("text/html",),
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        CorpusIngestTask(
+            spark,
+            str(tmp_path / "d2"),
+            str(tmp_path / "c2"),
+            input_format="warc",
+            mime_allowlist=(),
+        )
