@@ -7362,6 +7362,45 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
             lines.write.mode("overwrite").text(out)
             _CRAWL_FIXTURE_CACHE[key] = path
             return out
+        if kind == "warc_mime":
+            # Content-type fixture: doc_id % 6 selects the declared
+            # media type (0 text/html; 1 TEXT/HTML + charset=UTF-8 —
+            # case + parameter fold; 2 text/plain; 3 application/pdf;
+            # 4 application/json; 5 image/png) — every body is the
+            # same text page, so the ONLY discriminator is the header,
+            # exactly the r14 hazard (declared binary whose bytes
+            # happen to decode).
+            did = F.col("doc_id").cast("string")
+            uri = F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/p/"),
+                did,
+            )
+            v = F.col("doc_id") % 6
+            body = F.concat(
+                F.lit("<html><body><p>typed page "),
+                did,
+                F.lit("</p></body></html>"),
+            )
+
+            def _rec(ct: str):
+                return _crawl.warc_response_record(
+                    target_uri=uri, body=body, http_content_type=ct
+                )
+
+            lines = d.select(
+                F.when(v == 0, _rec("text/html"))
+                .when(v == 1, _rec("TEXT/HTML ; charset=UTF-8"))
+                .when(v == 2, _rec("text/plain"))
+                .when(v == 3, _rec("application/pdf"))
+                .when(v == 4, _rec("application/json"))
+                .otherwise(_rec("image/png"))
+                .alias("value")
+            )
+            lines.write.mode("overwrite").text(out)
+            _CRAWL_FIXTURE_CACHE[key] = path
+            return out
         if kind == "cdx_hist":
             # Three-capture history per doc for the recrawl scheduler:
             # Jan 1 (digest v1), Mar 15 (current digest), May 20
@@ -9576,3 +9615,176 @@ def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("urlkey")
         .agg(F.count(F.lit(1)).alias("n_mirrors"))
     )
+
+
+@_register(
+    "q_mime_funnel",
+    """
+    WITH s AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS v
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN v IN (0, 1) THEN 'text/html'
+                WHEN v = 2 THEN 'text/plain'
+                WHEN v = 3 THEN 'application/pdf'
+                WHEN v = 4 THEN 'application/json'
+                ELSE 'image/png' END AS content_type,
+           v IN (0, 1, 2) AS admitted
+    FROM s
+    """,
+    "content-type admission funnel off the wire: the corpus framed "
+    "into WARC with doc_id%6 selecting the DECLARED media type "
+    "(text/html / TEXT/HTML + charset=UTF-8 — case and parameter must "
+    "fold away / text/plain / application/pdf / application/json / "
+    "image/png; every body is the same text page, so the header is "
+    "the only discriminator — the exact hazard of declared binary "
+    "whose bytes happen to decode), read back through warc_responses "
+    "-> crawl.mime_admitted against the text allowlist.  The oracle "
+    "recomputes the normalized type and the verdict from doc_id "
+    "arithmetic, so a header-parse or normalization fault "
+    "hash-mismatches.  Ingest enforcement: CorpusIngestTask("
+    "mime_allowlist=...) quarantines off-list pages (rejected_mime) "
+    "before extraction — pytest-pinned (test_mime_gate)",
+    "crawl ingestion: MIME/content-type admission gate",
+)
+def q_mime_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        TEXT_MIME_ALLOWLIST,
+    )
+
+    path = _crawl_fixture(spark, sf_dir, "warc_mime")
+    resp = _crawl.warc_responses(_crawl.read_warc_records(spark, path))
+    return resp.select(
+        F.regexp_extract("target_uri", r"/p/([0-9]+)$", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.lower(F.trim(F.col("http_content_type"))).alias("content_type"),
+        _crawl.mime_admitted(
+            F.col("http_content_type"), TEXT_MIME_ALLOWLIST
+        ).alias("admitted"),
+    )
+
+
+_MIME_E2E_CACHE: dict[str, tuple[list, object]] = {}
+
+
+def _mime_e2e_results(spark: SparkSession):
+    """Cached drive of the mime_allowlist ingest mode: one WARC batch
+    (html page / application/pdf / application/json / no Content-Type
+    at all) through CorpusIngestTask(mime_allowlist=..., extract_html=
+    True) plus a replay — the declared-binary pages quarantine
+    (counted rejected_mime, never reaching html_extract), the
+    undeclared page passes, and the replay changes nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        TEXT_MIME_ALLOWLIST,
+        CorpusIngestTask,
+    )
+
+    key = spark.sparkContext.applicationId
+    if key not in _MIME_E2E_CACHE:
+        root = tempfile.mkdtemp(prefix="q_mime_e2e_")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        task = CorpusIngestTask(
+            spark,
+            drop,
+            os.path.join(root, "corpus"),
+            input_format="warc",
+            extract_html=True,
+            mime_allowlist=TEXT_MIME_ALLOWLIST,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+
+        def page(uri, body, content_type=None):
+            ct = (
+                f"Content-Type: {content_type}\r\n" if content_type else ""
+            )
+            payload = f"HTTP/1.1 200 OK\r\n{ct}\r\n{body}"
+            return (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(payload.encode())}\r\n\r\n"
+                f"{payload}\r\n\r\n"
+            )
+
+        try:
+            b1 = (
+                page(
+                    "https://m.com/html",
+                    "<html><body><p>alpha page body</p></body></html>",
+                    "text/html",
+                )
+                + page(
+                    "https://m.com/pdf",
+                    "%PDF-1.4 fake pdf body text",
+                    "application/pdf",
+                )
+                + page(
+                    "https://m.com/json",
+                    '{"k": "api payload value"}',
+                    "application/json",
+                )
+                + page(
+                    "https://m.com/untyped",
+                    "<html><body><p>beta page body</p></body></html>",
+                )
+            )
+            with open(os.path.join(drop, "b1.warc"), "w") as f:
+                f.write(b1)
+            batch = task._source_frame(streaming=False)
+            task._process_batch(batch, 0)
+            task._process_batch(batch, 0)  # replay: changes nothing
+            stats = task.ingest_stats()
+            lits = [
+                F.lit(int(stats[k])).alias(k)
+                for k in ("admitted", "rejected_mime")
+            ]
+            quarantined = task.mime_quarantined().select(
+                F.lit("mime").alias("channel"),
+                F.col("target_uri").alias("info"),
+                F.col("content_type"),
+                *lits,
+            )
+            admitted = task.corpus().select(
+                F.lit("admitted").alias("channel"),
+                F.col("text").alias("info"),
+                F.lit(None).cast("string").alias("content_type"),
+                *lits,
+            )
+            frame = admitted.unionByName(quarantined)
+            _MIME_E2E_CACHE[key] = (frame.collect(), frame.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _MIME_E2E_CACHE[key]
+
+
+@_register(
+    "q_mime_e2e_stats",
+    """
+    SELECT * FROM (VALUES
+      ('admitted', 'alpha page body',     CAST(NULL AS VARCHAR), 2, 2),
+      ('admitted', 'beta page body',      CAST(NULL AS VARCHAR), 2, 2),
+      ('mime',     'https://m.com/json',  'application/json',    2, 2),
+      ('mime',     'https://m.com/pdf',   'application/pdf',     2, 2)
+    ) AS t(channel, info, content_type, admitted, rejected_mime)
+    ORDER BY channel, info
+    """,
+    "MIME admission gate E2E: CorpusIngestTask(mime_allowlist=..., "
+    "extract_html=True) drains a 4-page WARC batch (text/html / "
+    "application/pdf / application/json / NO Content-Type header) "
+    "plus a replay — the declared-binary pages land in the "
+    "_quarantine_mime store with their media type (never reaching "
+    "html_extract as garbage prose), the undeclared page admits, the "
+    "counters read admitted=2 / rejected_mime=2, and the replay "
+    "changes nothing; oracle = the hand-derived disposition of every "
+    "page plus the manifest counters",
+    "CorpusIngestTask mime_allowlist mode end-to-end (streaming twin "
+    "of q_mime_funnel)",
+)
+def q_mime_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema = _mime_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("channel", "info")
