@@ -54,6 +54,7 @@ def nb_train(
     text_col: str = "text",
     label_col: str = "lang",
     smoothing: float = 1.0,
+    tokenizer=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train a multinomial NB token model.
 
@@ -67,11 +68,19 @@ def nb_train(
 
     α = ``smoothing`` (Laplace), V = corpus vocabulary size,
     N_label = total token occurrences under the label.
+
+    ``tokenizer`` swaps the feature stream: a ``Column -> Column``
+    (array<string>) function replacing the default lowercased
+    whitespace tokens — e.g. ``text.char_ngram_tokens`` for the
+    char-n-gram language-ID flavor.  A custom tokenizer owns its NULL
+    handling; score with the SAME tokenizer (:func:`nb_score` takes
+    the identical kwarg) or the evidence spaces diverge.
     """
     a = float(smoothing)
+    tok_fn = tokenizer if tokenizer is not None else _tokens
     toks = df.select(
         F.col(label_col).alias("label"),
-        F.explode(_tokens(F.col(text_col))).alias("token"),
+        F.explode(tok_fn(F.col(text_col))).alias("token"),
     )
     counts = toks.groupBy("label", "token").agg(
         F.count(F.lit(1)).alias("_c")
@@ -114,15 +123,18 @@ def nb_score(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
 ) -> DataFrame:
     """Per-(doc, label) log-posterior scores: (id_col, label, score).
 
     One exploded-token pass: seen (token, label) weights come from the
     broadcast model join; every unseen token contributes the label's
-    log_default, closed arithmetically via the per-doc token count."""
+    log_default, closed arithmetically via the per-doc token count.
+    ``tokenizer`` must match the one the model was trained with."""
+    tok_fn = tokenizer if tokenizer is not None else _tokens
     toks = df.select(
         F.col(id_col),
-        F.explode(_tokens(F.col(text_col))).alias("token"),
+        F.explode(tok_fn(F.col(text_col))).alias("token"),
     )
     seen = (
         toks.join(F.broadcast(token_model), "token")
@@ -133,7 +145,7 @@ def nb_score(
         )
     )
     per_doc = df.select(
-        F.col(id_col), F.size(_tokens(F.col(text_col))).alias("_n")
+        F.col(id_col), F.size(tok_fn(F.col(text_col))).alias("_n")
     )
     grid = per_doc.crossJoin(F.broadcast(label_model))
     return (
@@ -158,11 +170,18 @@ def nb_classify(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
 ) -> DataFrame:
     """argmax label per doc: (id_col, predicted, score).  Deterministic
-    tie-break: highest score, then label ascending."""
+    tie-break: highest score, then label ascending.  ``tokenizer``
+    must match the one the model was trained with."""
     scored = nb_score(
-        df, token_model, label_model, text_col=text_col, id_col=id_col
+        df,
+        token_model,
+        label_model,
+        text_col=text_col,
+        id_col=id_col,
+        tokenizer=tokenizer,
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("label"))
     return (
@@ -479,3 +498,132 @@ def weak_vote_report(
         )
         per = one if per is None else per.unionByName(one)
     return per.orderBy("labeler")
+
+
+# ------------------------------- char-n-gram language identification
+
+def langid_nb_model(
+    spark,
+    *,
+    n: int = 3,
+    smoothing: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the char-n-gram NB language model on the in-repo seed
+    corpus (``operators/langid_data.py``: 12 Latin-script languages ×
+    22 sentences) — the fastText-shaped upgrade over the marker-word
+    heuristic, which covers en/de/fr/es only and funnels every other
+    Latin-script language into one of those four.
+
+    The model is tiny (trigram vocab over ~120 sentences — a few
+    thousand rows) and broadcast at score time, so classifying a
+    100 TB corpus is one exploded-n-gram pass with a broadcast join:
+    no shuffle grows with the model, only with the corpus.  Returns
+    the same ``(token_model, label_model)`` pair as :func:`nb_train`;
+    score through :func:`lang_id_nb` (which fixes the SAME tokenizer
+    so the evidence spaces match)."""
+    from sample_dms_s3_kinesis_spark.operators.langid_data import (
+        LANGID_SEED,
+    )
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        char_ngram_tokens,
+    )
+
+    seed = spark.createDataFrame(LANGID_SEED, "lang string, text string")
+    return nb_train(
+        seed,
+        text_col="text",
+        label_col="lang",
+        smoothing=smoothing,
+        tokenizer=lambda c: char_ngram_tokens(c, n),
+    )
+
+
+def lang_id_nb(
+    df: DataFrame,
+    token_model: DataFrame,
+    label_model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Classify Latin-script text by language with a
+    :func:`langid_nb_model` pair: (id_col, predicted, score).  Pair
+    with ``text.detect_script``/``text.lang_id_unicode`` for the full
+    router — non-Latin scripts read their language off the script
+    (han→zh, cyrillic→ru, …); this model separates the Latin-script
+    languages the script layer cannot."""
+    return nb_classify(
+        df,
+        token_model,
+        label_model,
+        text_col=text_col,
+        id_col=id_col,
+        tokenizer=lambda c: _char_tok(c, n),
+    )
+
+
+def _char_tok(col: Column, n: int) -> Column:
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        char_ngram_tokens,
+    )
+
+    return char_ngram_tokens(col, n)
+
+
+def lang_id_router(
+    df: DataFrame,
+    token_model: DataFrame,
+    label_model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The full language-ID router: (id_col, script, predicted).
+
+    Non-Latin scripts read their language straight off the code points
+    (``text.lang_id_unicode`` — han→zh, cyrillic→ru, the kana-in-CJK→ja
+    rule); Latin-script text goes through the char-n-gram NB model,
+    which separates the twelve Latin-script languages the script layer
+    cannot.  ``'unknown'``-script (letterless) and NULL text keep the
+    unicode path's answer (marker fallback / NULL respectively).
+
+    Scale shape: one script-detect regex pass, then the Latin branch
+    is one exploded-n-gram pass with a broadcast model join — neither
+    shuffle grows with the model, only with the corpus."""
+    from sample_dms_s3_kinesis_spark.operators.text import (
+        detect_script,
+        lang_id_unicode,
+    )
+
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        detect_script(F.col(text_col)).alias("script"),
+    )
+    latin = base.filter(F.col("script") == "latin")
+    other = base.filter(
+        F.col("script").isNull() | (F.col("script") != "latin")
+    )
+    latin_out = (
+        latin.select(id_col, "script")
+        .join(
+            lang_id_nb(
+                latin,
+                token_model,
+                label_model,
+                text_col=text_col,
+                id_col=id_col,
+                n=n,
+            ).select(id_col, "predicted"),
+            id_col,
+        )
+        .select(id_col, "script", "predicted")
+    )
+    other_out = other.select(
+        F.col(id_col),
+        F.col("script"),
+        lang_id_unicode(F.col(text_col)).alias("predicted"),
+    )
+    return latin_out.unionByName(other_out)

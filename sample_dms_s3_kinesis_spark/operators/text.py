@@ -485,6 +485,32 @@ def segment_tokens(col: Column, *, char_n: int = 3) -> Column:
     return _bind(tokens(col), _seg)
 
 
+def char_ngram_tokens(col: Column, n: int = 3) -> Column:
+    """ALL sliding character ``n``-grams WITH multiplicity over the
+    lowercased, whitespace-collapsed text (NULL → one ``''`` token,
+    the :mod:`classify` NULL contract) — the langid feature stream.
+    Unlike :func:`char_ngrams` (distinct shingles for minhash sets),
+    this keeps duplicates: a multinomial NB model counts evidence per
+    OCCURRENCE, and n-gram frequency is exactly what separates
+    related languages.  Trigrams span word boundaries through the
+    single collapsed space — function-word edges ('the', 'le ', ' el')
+    are the classic discriminators.  Pure Catalyst."""
+    c = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(col, F.lit(""))), _WS, " "
+        )
+    )
+    return _bind(
+        c,
+        lambda s: F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.substring(s, i, n),
+        ),
+    )
+
+
 def _char_grams_inline(s: Column, n: int) -> Column:
     """char_ngrams body for use INSIDE a lambda (the lambda variable is
     already bound — _bind would add a pointless nested transform)."""

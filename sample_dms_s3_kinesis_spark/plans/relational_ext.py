@@ -9788,3 +9788,156 @@ def _mime_e2e_results(spark: SparkSession):
 def q_mime_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, schema = _mime_e2e_results(spark)
     return spark.createDataFrame(rows, schema).orderBy("channel", "info")
+
+
+def _langid_fixture(spark: SparkSession):
+    """The language-ID contract fixture: the 48 held-out Latin
+    sentences (12 languages x 4, `langid_data.LANGID_TEST`, doc_id =
+    sorted-lang index x 4 + k) plus the 8 non-Latin sentences
+    (`NONLATIN_TEST`, doc_id 1000+).  None of these appear in the
+    training seed — the model's accuracy on them is the contract the
+    pytest (test_langid_nb) and the q_langid_latin oracle both pin."""
+    from sample_dms_s3_kinesis_spark.operators.langid_data import (
+        LANGID_TEST,
+        NONLATIN_TEST,
+    )
+
+    rows, i = [], 0
+    for lang in sorted(LANGID_TEST):
+        for s in LANGID_TEST[lang]:
+            rows.append((i, lang, s))
+            i += 1
+    j = 1000
+    for lang in sorted(NONLATIN_TEST):
+        for s in NONLATIN_TEST[lang]:
+            rows.append((j, lang, s))
+            j += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+@_register(
+    "q_langid_latin",
+    """
+    SELECT * FROM (VALUES
+      (0, 'latin', 'de'),
+      (1, 'latin', 'de'),
+      (2, 'latin', 'de'),
+      (3, 'latin', 'de'),
+      (4, 'latin', 'en'),
+      (5, 'latin', 'en'),
+      (6, 'latin', 'en'),
+      (7, 'latin', 'en'),
+      (8, 'latin', 'es'),
+      (9, 'latin', 'es'),
+      (10, 'latin', 'es'),
+      (11, 'latin', 'es'),
+      (12, 'latin', 'fr'),
+      (13, 'latin', 'fr'),
+      (14, 'latin', 'fr'),
+      (15, 'latin', 'fr'),
+      (16, 'latin', 'id'),
+      (17, 'latin', 'id'),
+      (18, 'latin', 'id'),
+      (19, 'latin', 'id'),
+      (20, 'latin', 'it'),
+      (21, 'latin', 'it'),
+      (22, 'latin', 'it'),
+      (23, 'latin', 'it'),
+      (24, 'latin', 'nl'),
+      (25, 'latin', 'nl'),
+      (26, 'latin', 'nl'),
+      (27, 'latin', 'nl'),
+      (28, 'latin', 'pl'),
+      (29, 'latin', 'pl'),
+      (30, 'latin', 'pl'),
+      (31, 'latin', 'pl'),
+      (32, 'latin', 'pt'),
+      (33, 'latin', 'pt'),
+      (34, 'latin', 'pt'),
+      (35, 'latin', 'pt'),
+      (36, 'latin', 'ro'),
+      (37, 'latin', 'ro'),
+      (38, 'latin', 'ro'),
+      (39, 'latin', 'ro'),
+      (40, 'latin', 'sv'),
+      (41, 'latin', 'sv'),
+      (42, 'latin', 'sv'),
+      (43, 'latin', 'sv'),
+      (44, 'latin', 'tr'),
+      (45, 'latin', 'tr'),
+      (46, 'latin', 'tr'),
+      (47, 'latin', 'tr'),
+      (1000, 'arabic', 'ar'),
+      (1001, 'arabic', 'ar'),
+      (1002, 'kana', 'ja'),
+      (1003, 'kana', 'ja'),
+      (1004, 'cyrillic', 'ru'),
+      (1005, 'cyrillic', 'ru'),
+      (1006, 'han', 'zh'),
+      (1007, 'han', 'zh')
+    ) AS t(doc_id, script, predicted)
+    """,
+    "real Latin-script language ID (verdict r14 #2): the char-trigram "
+    "Naive Bayes model trained on the in-repo 12-language seed corpus "
+    "(22 sentences each), routed under the script layer "
+    "(lang_id_router: non-Latin scripts read the language off the "
+    "code points, Latin text through the broadcast NB model) over the "
+    "56-sentence held-out fixture — the oracle is the hand-derived "
+    "truth (every held-out sentence classified correctly, 48/48 Latin "
+    "+ 8/8 script-routed), so ANY misclassification, script-detect "
+    "drift, or router fault hash-mismatches; fixes the LANG_MARKERS "
+    "gap where pt/it/nl/pl/tr/sv/ro/id all funneled into en/de/fr/es",
+    "classify: char-n-gram NB language ID (script-routed)",
+)
+def q_langid_latin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import classify
+
+    tm, lm = classify.langid_nb_model(spark)
+    return classify.lang_id_router(_langid_fixture(spark), tm, lm)
+
+
+@_register(
+    "q_corpus_composition_nb",
+    """
+    SELECT * FROM (VALUES
+      ('ar', 2, 0.035714), ('de', 4, 0.071429), ('en', 4, 0.071429),
+      ('es', 4, 0.071429), ('fr', 4, 0.071429), ('id', 4, 0.071429),
+      ('it', 4, 0.071429), ('ja', 2, 0.035714), ('nl', 4, 0.071429),
+      ('pl', 4, 0.071429), ('pt', 4, 0.071429), ('ro', 4, 0.071429),
+      ('ru', 2, 0.035714), ('sv', 4, 0.071429), ('tr', 4, 0.071429),
+      ('zh', 2, 0.035714)
+    ) AS t(lang, n_docs, doc_share)
+    """,
+    "corpus composition by MODEL-assigned language (not a trusted "
+    "lang column): lang_id_router predictions over the 56-sentence "
+    "multilingual fixture grouped into per-language doc counts and "
+    "shares — the report the marker heuristic got wrong for every "
+    "Latin-script language outside en/de/fr/es (pt/it/nl/... funneled "
+    "into those four); the oracle pins all 16 languages at their true "
+    "fixture counts, so any residual misrouting shifts a count and "
+    "hash-mismatches",
+    "sampling: corpus composition (model-labeled)",
+)
+def q_corpus_composition_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import classify
+    from sample_dms_s3_kinesis_spark.operators.langid_data import (
+        LANGID_TEST,
+        NONLATIN_TEST,
+    )
+
+    tm, lm = classify.langid_nb_model(spark)
+    pred = classify.lang_id_router(_langid_fixture(spark), tm, lm)
+    total = sum(len(v) for v in LANGID_TEST.values()) + sum(
+        len(v) for v in NONLATIN_TEST.values()
+    )
+    return (
+        pred.groupBy(F.col("predicted").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            F.col("n_docs").cast("int").alias("n_docs"),
+            F.round(F.col("n_docs") / F.lit(float(total)), 6).alias(
+                "doc_share"
+            ),
+        )
+    )
