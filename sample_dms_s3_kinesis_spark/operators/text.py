@@ -1329,11 +1329,30 @@ def _clean_attr_value(raw: Column) -> Column:
     return F.trim(decode_html_entities(_unquote_attr(raw)))
 
 
-# rel attribute extraction within ONE <a> tag: attribute position
-# (preceded by whitespace), any quote form.  Applied to the VALUE, the
-# nofollow test is token-bounded — 'nofollower' or a 'rel=nofollow'
-# substring inside an href query string must NOT drop the anchor.
-_REL_ATTR_IN_TAG_RE = r"(?is)\srel\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)"
+# Quote-aware <a> tag capture: a quoted attribute value may contain
+# '>' (the tag ends at the first '>' OUTSIDE quotes), and the closing
+# quote is optional so a document truncated mid-anchor keeps its
+# dangling anchor.  The quoted alternatives are POSSESSIVE (Java
+# regex): each quoted run is consumed atomically, so backtracking can
+# never strand a position in the middle of a value — that atomicity
+# is what makes the rel extraction below quote-safe.
+_A_TAG_QUOTED = "\"[^\"]*+\"?+|'[^']*+'?+"
+_A_TAG_RE = rf"(?is)(<a\b(?:{_A_TAG_QUOTED}|[^>\"'])*+(?:>|$))"
+
+# rel attribute extraction within ONE <a> tag, anchored at the tag
+# start with the same quote-atomic walk: ' rel=' can only match at an
+# attribute boundary, never inside a quoted value (an href like
+# "/s?q=a rel=nofollow" must NOT read as a rel attribute).  Applied to
+# the VALUE, the nofollow test is token-bounded — 'nofollower' or a
+# 'rel=nofollow' substring inside an href query string must NOT drop
+# the anchor.  Residual divergence from html_links, documented: on
+# MISMATCHED-quote tags (a bare quote inside an unquoted value) the
+# two walks can group the tag differently — well-formed and truncated
+# HTML agree exactly.
+_REL_ATTR_IN_TAG_RE = (
+    rf"(?is)^<a\b(?:{_A_TAG_QUOTED}|[^>\"'])*?"
+    r"\srel\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)"
+)
 _NOFOLLOW_TOKEN_RE = r"(?i)(^|\s)nofollow(\s|$)"
 
 
@@ -1349,12 +1368,15 @@ def html_followable_links(col: Column) -> Column:
     frontier drops them.  Same cleaning contract as html_links (quote
     strip, entity decode, trim, empties drop), same document order;
     a document truncated mid-anchor keeps its final href like
-    html_links does (the tag match tolerates a missing ``>``).
+    html_links does (the tag match tolerates a missing ``>`` and an
+    unterminated quote).  The tag capture is QUOTE-AWARE (r15, the
+    r14 advice): a quoted attribute value may contain ``>`` without
+    truncating the tag, and a ``rel=nofollow``-shaped sequence INSIDE
+    a quoted value (``href="/s?q=a rel=nofollow"``) never reads as a
+    rel attribute — the rel walk consumes quoted runs atomically.
     Pure Catalyst: one tag-level regexp_extract_all, a per-tag
     rel-value extract + token test, then the href extract."""
-    tags = F.regexp_extract_all(
-        col, F.lit(r"(?is)(<a\b[^>]*(?:>|$))"), 1
-    )
+    tags = F.regexp_extract_all(col, F.lit(_A_TAG_RE), 1)
 
     def _followable(t: Column) -> Column:
         rel = _unquote_attr(
@@ -1365,10 +1387,15 @@ def html_followable_links(col: Column) -> Column:
     kept = F.filter(tags, _followable)
 
     def _href(tag: Column) -> Column:
+        # html_links' OWN regex applied per-tag (anchored): the lazy
+        # [^>]*? walk stops at an in-quote '>' exactly like the
+        # document-level scan, so an href AFTER such an attribute is
+        # dropped by both — "exactly html_links minus nofollow" holds
+        # even on that quirk.
         return _clean_attr_value(
             F.regexp_extract(
                 tag,
-                r"(?is)\shref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
+                r"(?is)^<a\b[^>]*?\shref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
                 1,
             )
         )

@@ -508,6 +508,19 @@ def surt_urlkey(url: Column) -> Column:
 # Politeness-aware fetch scheduling
 # --------------------------------------------------------------------
 
+# RFC 9110 IMF-fixdate after the weekday prefix is stripped:
+# "16 Aug 2026 22:00:00 GMT".  Month names are protocol-fixed English
+# tokens (never locale text) — matched literally so the parse works
+# identically on every JVM locale.
+_IMF_MONTHS = [
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+]
+_IMF_FIXDATE_RE = (
+    r"^(\d{1,2}) (" + "|".join(_IMF_MONTHS) + r") (\d{4}) "
+    r"(\d{2}):(\d{2}):(\d{2}) GMT$"
+)
+
 
 def host_backoff(
     responses: DataFrame,
@@ -529,11 +542,26 @@ def host_backoff(
     Feed into :func:`fetch_schedule` (``backoff=``) so a 429ing host's
     whole wave train shifts out instead of being re-hit on the same
     cadence.  ``now`` is a caller-pinned ISO timestamp — never wall
-    clock, so plans replay deterministically.  Pure Catalyst: a
-    status-range filter, a per-row parse (strict 1*DIGIT pattern for
-    delta-seconds, IMF-fixdate to_timestamp for HTTP-dates), one
-    partial-aggregating groupBy on the host — one shuffle of
-    host-cardinality rows."""
+    clock, so plans replay deterministically — and is interpreted as
+    UTC (naive strings get UTC attached; an explicit offset is
+    honored), matching the HTTP-date side: IMF-fixdate is GMT by
+    definition and is resolved to a true UTC instant via field
+    extraction + ``try_make_timestamp(..., 'UTC')``, so the delta is
+    correct under ANY session time zone and ANY JVM locale (r15, the
+    r14 advice: the old ``'GMT'``-literal ``to_timestamp`` parse read
+    the fields in session-zone wall time, and its ``MMM`` month names
+    silently failed on non-English JVM locales, degrading every
+    HTTP-date to the default penalty).  Pure Catalyst: a status-range
+    filter, a per-row parse (strict 1*DIGIT pattern for delta-seconds,
+    strict IMF-fixdate for HTTP-dates; the obsolete RFC 850/asctime
+    forms degrade to the default penalty), one partial-aggregating
+    groupBy on the host — one shuffle of host-cardinality rows."""
+    from datetime import datetime, timezone
+
+    now_dt = datetime.fromisoformat(now)
+    if now_dt.tzinfo is None:
+        now_dt = now_dt.replace(tzinfo=timezone.utc)
+    now_epoch = now_dt.timestamp()
     rl = responses.filter(F.col("http_status").isin(429, 503))
     # RFC 9110 delta-seconds is 1*DIGIT — the strict pattern (not a
     # bare try_cast) so a hostile '-300' cannot ACCELERATE its own
@@ -544,19 +572,35 @@ def host_backoff(
         F.col("http_retry_after").rlike(r"^[0-9]{1,9}$"),
         F.col("http_retry_after").cast("double"),
     )
-    # Spark's post-3.0 parser rejects day-of-week fields (EEE) in
-    # parse patterns — strip the IMF-fixdate weekday prefix instead.
-    # try_to_timestamp: a malformed value from a hostile server must
-    # degrade to the default penalty, not abort the scan (ANSI mode)
-    http_date = F.try_to_timestamp(
-        F.regexp_replace(
-            F.col("http_retry_after"), r"^[A-Za-z]{3}, ", ""
+    # Locale-proof IMF-fixdate parse: strip the weekday prefix
+    # (Spark's post-3.0 parser rejects EEE anyway), extract the fields
+    # with an English-month regex (IMF-fixdate month names are
+    # protocol-fixed English, NOT locale text), map the month through
+    # array_position, and build the instant in UTC explicitly.
+    # try_make_timestamp: a malformed value from a hostile server
+    # (day 99, out-of-range minutes) must degrade to the default
+    # penalty, not abort the scan (ANSI mode).
+    stripped = F.regexp_replace(
+        F.col("http_retry_after"), r"^[A-Za-z]{3}, ", ""
+    )
+    part = lambda i: F.regexp_extract(stripped, _IMF_FIXDATE_RE, i)
+    mon = F.array_position(
+        F.array(*[F.lit(m) for m in _IMF_MONTHS]), part(2)
+    ).cast("int")
+    http_date = F.when(
+        part(2) != "",
+        F.try_make_timestamp(
+            part(3).cast("int"),
+            mon,
+            part(1).cast("int"),
+            part(4).cast("int"),
+            part(5).cast("int"),
+            part(6).cast("decimal(16,6)"),
+            F.lit("UTC"),
         ),
-        F.lit("dd MMM yyyy HH:mm:ss 'GMT'"),
     )
     date_s = (
-        F.unix_timestamp(http_date)
-        - F.unix_timestamp(F.lit(now).cast("timestamp"))
+        F.unix_timestamp(http_date) - F.lit(float(now_epoch))
     ).cast("double")
     penalty = F.coalesce(
         delta,

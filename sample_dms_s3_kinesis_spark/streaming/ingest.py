@@ -1662,6 +1662,12 @@ class CorpusIngestTask(ReplicationTask):
                 .withColumn("_nofollow", F.col("_opr.nofollow"))
                 .drop("_opr", "_x_robots")
             )
+            # counted UNCONDITIONALLY (r15, the r14 advice): the
+            # counter is an observability channel like
+            # rejected_noindex, not "frontier edges cut" — a
+            # discover_links=False batch must still report its
+            # nofollow pages
+            n_nofollow = valid.filter(F.col("_nofollow")).count()
         # LINK DISCOVERY side-output: runs on the RAW page markup of
         # every robots-allowed page (before extraction replaces the
         # text, before any content gate — a near-dup page still has
@@ -1705,8 +1711,8 @@ class CorpusIngestTask(ReplicationTask):
                 # nofollow pages contribute no anchor edges, but they
                 # WERE fetched — they must stay in the frontier's
                 # fetched anti-join so another page linking at them
-                # cannot re-frontier them
-                n_nofollow = valid.filter(F.col("_nofollow")).count()
+                # cannot re-frontier them (n_nofollow already counted
+                # at flag time above)
                 if n_nofollow > 0:
                     disc_src = valid.filter(~F.col("_nofollow"))
                     nofollow_sources = _cut_lineage(

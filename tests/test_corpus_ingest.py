@@ -1767,6 +1767,50 @@ def test_on_page_robots_gates(spark, tmp_path):
     assert "https://a.com/noindex" not in frontier2
 
 
+def test_nofollow_counted_without_link_discovery(spark, tmp_path):
+    """r15 (r14 advice): nofollow_pages is an observability counter
+    like rejected_noindex — a discover_links=False batch must still
+    report its nofollow pages, not 0 because no frontier exists."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        discover_links=False,
+        on_page_robots=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    def _page(uri, body):
+        payload = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"\r\n<html><body>{body}</body></html>"
+        )
+        return (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(payload.encode())}\r\n\r\n"
+            f"{payload}\r\n\r\n"
+        )
+
+    (drop / "b1.warc").write_text(
+        _page("https://a.com/plain", "<p>plain page body</p>")
+        + _page(
+            "https://a.com/nofollow",
+            '<meta name="robots" content="nofollow">'
+            "<p>nofollow body page</p>",
+        )
+    )
+    task._process_batch(task._source_frame(streaming=False), 0)
+    stats = task.ingest_stats()
+    assert stats["admitted"] == 2  # nofollow gates links, not admission
+    assert stats["nofollow_pages"] == 1
+
+
 def test_on_page_robots_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="on_page_robots requires"):
         CorpusIngestTask(

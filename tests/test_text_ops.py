@@ -1354,6 +1354,14 @@ def test_followable_links_edge_cases(spark):
         (4, '<a rel="external nofollow" href="/drop">x</a>'),
         (5, '<a rel=NOFOLLOW href="/drop2">x</a>'),
         (6, '<a href="/a">x</a><a href="/trunc'),  # truncated fetch
+        # r15 (r14 advice): quoted href containing '>' must not
+        # truncate the tag — html_links keeps it, followable must too
+        (7, '<a href="/a>b">x</a>'),
+        # r15 (r14 advice): a whitespace+rel=nofollow sequence INSIDE
+        # a quoted href value is NOT a rel attribute
+        (8, '<a href="/s?q=a rel=nofollow">x</a>'),
+        # ...but a real rel after a '>'-bearing quoted value still drops
+        (9, '<a href="/a>b" rel="nofollow">x</a><a href="/keep3">y</a>'),
     ]
     df = spark.createDataFrame(rows, "id long, html string")
     got = {
@@ -1372,3 +1380,7 @@ def test_followable_links_edge_cases(spark):
     # truncated: followable == html_links, whatever the raw regex
     # yields for the dangling anchor
     assert got[6][1] == got[6][0]
+    assert got[7][0] == ["/a>b"] and got[7][1] == ["/a>b"]
+    assert got[8][1] == ["/s?q=a rel=nofollow"] == got[8][0]
+    assert got[9][0] == ["/a>b", "/keep3"]
+    assert got[9][1] == ["/keep3"]

@@ -486,6 +486,46 @@ def test_host_backoff_and_schedule_fold(spark):
     }
 
 
+def test_host_backoff_http_date_is_timezone_proof(spark):
+    """r15 (r14 advice): the IMF-fixdate branch resolves to a true UTC
+    instant via field extraction + make_timestamp('UTC') — the penalty
+    must not shift when the SESSION time zone is not UTC (the old
+    'GMT'-literal to_timestamp read the fields as session-zone wall
+    time), and `now` is interpreted as UTC whether naive or
+    offset-qualified."""
+    responses = spark.createDataFrame(
+        [
+            ("https://b.com/x", 429, "Thu, 01 Feb 2024 00:05:00 GMT"),
+            # malformed fields survive the regex but not the calendar:
+            # try_make_timestamp degrades them to the default penalty
+            ("https://i.com/x", 429, "Fri, 99 Feb 2024 00:05:00 GMT"),
+        ],
+        "target_uri string, http_status int, http_retry_after string",
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        bk = {
+            r["host"]: r["backoff_s"]
+            for r in urls.host_backoff(
+                responses, now="2024-02-01 00:00:00", default_penalty_s=45.0
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert bk == {"b.com": 300.0, "i.com": 45.0}
+    # an offset-qualified now is honored as that instant
+    bk2 = {
+        r["host"]: r["backoff_s"]
+        for r in urls.host_backoff(
+            responses,
+            now="2024-01-31T19:00:00-05:00",  # == 2024-02-01T00:00Z
+            default_penalty_s=45.0,
+        ).collect()
+    }
+    assert bk2["b.com"] == 300.0
+
+
 def test_fetch_schedule_validation(spark):
     frontier = spark.createDataFrame(
         [("a.com", "u", 1)], "host string, url string, wave int"
