@@ -1,0 +1,663 @@
+"""From-scratch PDF text-layer extraction (and the fixture writer).
+
+A meaningful share of real crawl 200s are ``application/pdf`` — before
+r15 those either garbage-ingested (pre-MIME-gate) or quarantined
+(post-gate).  This module gives the pipeline a text path: a pure-
+Python, stdlib-only (zlib) PDF parser that walks the object graph,
+inflates FlateDecode content streams, and replays the text-showing
+operators (Tj / ' / " / TJ) in page order — the same from-scratch
+codec pattern as :mod:`.jpeg` and :mod:`.png` (reference parity:
+the reference sample ships no engine code; this is the training-data
+north-star layer).
+
+Scope, by design:
+- text-LAYER only: no font decoding beyond the string encodings
+  (literal + hex, UTF-16BE BOM honored, else Latin-1 ≈ PDFDocEncoding
+  for the printable range), no layout reconstruction — line structure
+  comes from the text-positioning operators (Td/TD/T*/'/\"),
+  page structure from the page tree.
+- encrypted documents (``/Encrypt`` in the trailer) raise
+  :class:`EncryptedPdfError`; filters other than FlateDecode (LZW,
+  DCT, ...) raise ``NotImplementedError`` — callers route both to the
+  error channel, never a silent empty string.
+- a parseable document whose pages show NO text (scanned/image-only)
+  reports ``error='image_only'`` — distinct from a truncated parse.
+
+The writer (:func:`encode_pdf`) produces deterministic single-xref
+PDFs (optionally uncompressed → pure-ASCII output that survives the
+text-based WARC reader) and exists so tests and fixture queries can
+roundtrip arbitrary corpus text without any PDF library in the
+container.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+__all__ = [
+    "EncryptedPdfError",
+    "encode_pdf",
+    "decode_pdf_text",
+    "extract_pdf_text",
+]
+
+
+class EncryptedPdfError(Exception):
+    """The document declares /Encrypt — content streams are ciphertext
+    and a text walk would emit garbage; callers route to the error
+    channel (the reference pattern: exceptions table, never silent)."""
+
+
+# ---------------------------------------------------------------- writer
+
+_LIT_ESCAPES = {
+    ord("\\"): b"\\\\",
+    ord("("): b"\\(",
+    ord(")"): b"\\)",
+    ord("\n"): b"\\n",
+    ord("\r"): b"\\r",
+    ord("\t"): b"\\t",
+    ord("\b"): b"\\b",
+    ord("\f"): b"\\f",
+}
+
+
+def _pdf_string(line: str) -> bytes:
+    """One text line as a PDF string object: literal ``(...)`` when the
+    line is printable Latin-1, else a UTF-16BE hex string with BOM
+    (what real writers emit for non-Latin text)."""
+    try:
+        raw = line.encode("latin-1")
+        printable = all(0x20 <= b <= 0x7E for b in raw)
+    except UnicodeEncodeError:
+        raw, printable = b"", False
+    if printable:
+        out = bytearray(b"(")
+        for b in raw:
+            out += _LIT_ESCAPES.get(b, bytes([b]))
+        out += b")"
+        return bytes(out)
+    payload = b"\xfe\xff" + line.encode("utf-16-be")
+    return b"<" + payload.hex().upper().encode() + b">"
+
+
+def _page_stream(text: str) -> bytes:
+    """Content stream for one page: one Tj per line, T* line moves."""
+    parts = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
+    for i, line in enumerate(text.split("\n")):
+        if i > 0:
+            parts.append(b"T*")
+        parts.append(_pdf_string(line) + b" Tj")
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def encode_pdf(
+    pages: list[str],
+    *,
+    compress: bool = True,
+    encrypted: bool = False,
+    filter_name: str | None = None,
+) -> bytes:
+    """Serialize ``pages`` (one text string per page, ``\\n`` = line
+    break) as a complete single-xref PDF.
+
+    ``compress=False`` emits uncompressed content streams — the whole
+    file is then pure ASCII (when the text is), which survives
+    text-mode transports (the WARC reader reads payloads as UTF-8
+    strings).  ``encrypted=True`` stamps an /Encrypt entry into the
+    trailer (fixture for the error channel — the streams are NOT
+    actually enciphered, the flag alone must reject).  ``filter_name``
+    overrides the declared stream filter (fixture for the
+    unsupported-filter channel)."""
+    objects: dict[int, bytes] = {}
+    n = len(pages)
+    font_num = 3 + 2 * n
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
+    )
+    for i, text in enumerate(pages):
+        page_num, content_num = 3 + 2 * i, 4 + 2 * i
+        objects[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {content_num} 0 R >>"
+        ).encode()
+        data = _page_stream(text)
+        if compress:
+            data = zlib.compress(data, 9)
+            filt = filter_name or "FlateDecode"
+            head = f"<< /Length {len(data)} /Filter /{filt} >>"
+        elif filter_name:
+            head = f"<< /Length {len(data)} /Filter /{filter_name} >>"
+        else:
+            head = f"<< /Length {len(data)} >>"
+        objects[content_num] = (
+            head.encode() + b"\nstream\n" + data + b"\nendstream"
+        )
+    objects[font_num] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    if encrypted:
+        enc_num = font_num + 1
+        objects[enc_num] = b"<< /Filter /Standard /V 1 /R 2 >>"
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    count = max(objects) + 1
+    out += f"xref\n0 {count}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, count):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    trailer = f"<< /Size {count} /Root 1 0 R"
+    if encrypted:
+        trailer += f" /Encrypt {font_num + 1} 0 R"
+    trailer += " >>"
+    out += (
+        b"trailer\n" + trailer.encode()
+        + f"\nstartxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- parser
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Minimal PDF object lexer over a bytes buffer."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek_keyword(self, kw: bytes) -> bool:
+        self._skip_ws()
+        return self.data.startswith(kw, self.pos)
+
+    def parse_object(self):
+        """One PDF object: dict, array, string, name, number, bool,
+        null, or an indirect reference tuple ('ref', num)."""
+        self._skip_ws()
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise ValueError("unexpected end of PDF data")
+        c = d[p]
+        if d.startswith(b"<<", p):
+            return self._parse_dict()
+        if c == 0x3C:  # '<' hex string
+            return self._parse_hex_string()
+        if c == 0x28:  # '('
+            return self._parse_literal_string()
+        if c == 0x5B:  # '['
+            return self._parse_array()
+        if c == 0x2F:  # '/'
+            return self._parse_name()
+        if d.startswith(b"true", p):
+            self.pos = p + 4
+            return True
+        if d.startswith(b"false", p):
+            self.pos = p + 5
+            return False
+        if d.startswith(b"null", p):
+            self.pos = p + 4
+            return None
+        return self._parse_number_or_ref()
+
+    def _parse_dict(self) -> dict:
+        self.pos += 2
+        out: dict[str, object] = {}
+        while True:
+            self._skip_ws()
+            if self.data.startswith(b">>", self.pos):
+                self.pos += 2
+                return out
+            key = self._parse_name()
+            out[key] = self.parse_object()
+
+    def _parse_array(self) -> list:
+        self.pos += 1
+        out: list = []
+        while True:
+            self._skip_ws()
+            if self.data[self.pos] == 0x5D:  # ']'
+                self.pos += 1
+                return out
+            out.append(self.parse_object())
+
+    def _parse_name(self) -> str:
+        assert self.data[self.pos] == 0x2F
+        self.pos += 1
+        start = self.pos
+        d, n = self.data, len(self.data)
+        while self.pos < n and d[self.pos] not in _WS and d[
+            self.pos
+        ] not in _DELIM:
+            self.pos += 1
+        raw = d[start : self.pos]
+        # #xx hex escapes in names
+        return re.sub(
+            rb"#([0-9A-Fa-f]{2})",
+            lambda m: bytes([int(m.group(1), 16)]),
+            raw,
+        ).decode("latin-1")
+
+    def _parse_literal_string(self) -> bytes:
+        d = self.data
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while depth:
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash
+                e = d[self.pos]
+                self.pos += 1
+                if e == ord("n"):
+                    out += b"\n"
+                elif e == ord("r"):
+                    out += b"\r"
+                elif e == ord("t"):
+                    out += b"\t"
+                elif e == ord("b"):
+                    out += b"\b"
+                elif e == ord("f"):
+                    out += b"\f"
+                elif e in b"0123456789"[:8]:
+                    oct_digits = bytes([e])
+                    while (
+                        len(oct_digits) < 3
+                        and d[self.pos : self.pos + 1].isdigit()
+                        and d[self.pos] < 0x38
+                    ):
+                        oct_digits += d[self.pos : self.pos + 1]
+                        self.pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and d[self.pos : self.pos + 1] == b"\n":
+                        self.pos += 1
+                else:
+                    out.append(e)
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+            elif c == 0x29:
+                depth -= 1
+                if depth:
+                    out.append(c)
+            else:
+                out.append(c)
+        return bytes(out)
+
+    def _parse_hex_string(self) -> bytes:
+        end = self.data.index(b">", self.pos)
+        hx = re.sub(rb"\s+", b"", self.data[self.pos + 1 : end])
+        self.pos = end + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+
+    def _parse_number_or_ref(self):
+        d = self.data
+        start = self.pos
+        n = len(d)
+        while self.pos < n and d[self.pos] not in _WS and d[
+            self.pos
+        ] not in _DELIM:
+            self.pos += 1
+        tok = d[start : self.pos]
+        # 'N G R' indirect reference lookahead
+        m = re.match(rb"^\d+$", tok)
+        if m:
+            save = self.pos
+            self._skip_ws()
+            m2 = re.match(rb"(\d+)\s+R\b", d[self.pos :])
+            if m2:
+                self.pos += m2.end()
+                return ("ref", int(tok))
+            self.pos = save
+            return int(tok)
+        try:
+            return float(tok) if b"." in tok else int(tok)
+        except ValueError:
+            return ("op", tok.decode("latin-1", "replace"))
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
+    """All indirect objects: num -> (value, stream_bytes|None).
+
+    Object bodies are parsed with the real lexer; stream payloads are
+    skipped via their /Length (direct or resolved in a second pass),
+    falling back to an `endstream` search — so binary stream content
+    containing 'endobj' can never desynchronize the scan."""
+    objects: dict[int, tuple[object, bytes | None]] = {}
+    pending_len: list[tuple[int, dict, int]] = []
+    for m in _OBJ_HEAD_RE.finditer(data):
+        num = int(m.group(1))
+        lex = _Lexer(data, m.end())
+        try:
+            val = lex.parse_object()
+        except (ValueError, IndexError, AssertionError):
+            continue
+        stream: bytes | None = None
+        lex._skip_ws()
+        if data.startswith(b"stream", lex.pos):
+            p = lex.pos + len(b"stream")
+            if data.startswith(b"\r\n", p):
+                p += 2
+            elif data.startswith(b"\n", p):
+                p += 1
+            length = val.get("Length") if isinstance(val, dict) else None
+            if isinstance(length, int):
+                stream = data[p : p + length]
+            elif isinstance(length, tuple) and length[0] == "ref":
+                pending_len.append((num, val, p))
+                stream = b""
+            else:
+                end = data.find(b"endstream", p)
+                stream = data[p:end] if end >= 0 else data[p:]
+        if num not in objects:
+            objects[num] = (val, stream)
+    for num, val, p in pending_len:
+        ref = val["Length"]
+        length_obj = objects.get(ref[1])
+        if length_obj and isinstance(length_obj[0], int):
+            objects[num] = (val, data[p : p + length_obj[0]])
+        else:
+            end = data.find(b"endstream", p)
+            objects[num] = (val, data[p:end] if end >= 0 else data[p:])
+    return objects
+
+
+def _trailer_dicts(data: bytes) -> Iterator[dict]:
+    for m in re.finditer(rb"trailer\b", data):
+        lex = _Lexer(data, m.end())
+        try:
+            val = lex.parse_object()
+        except (ValueError, IndexError):
+            continue
+        if isinstance(val, dict):
+            yield val
+
+
+def _resolve(objects: dict, v):
+    while isinstance(v, tuple) and len(v) == 2 and v[0] == "ref":
+        entry = objects.get(v[1])
+        v = entry[0] if entry else None
+    return v
+
+
+def _decode_stream(sdict: dict, raw: bytes) -> bytes:
+    filt = sdict.get("Filter")
+    if filt is None:
+        return raw
+    filters = filt if isinstance(filt, list) else [filt]
+    out = raw
+    for f in filters:
+        if f == "FlateDecode":
+            out = zlib.decompress(out)
+        else:
+            raise NotImplementedError(f"unsupported stream filter: {f}")
+    return out
+
+
+def _pdf_text_bytes(b: bytes) -> str:
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", "replace")
+    return b.decode("latin-1")
+
+
+# text-showing / positioning operators replayed by the extractor
+_TEXT_OPS = frozenset(["Tj", "'", '"', "TJ"])
+_NEWLINE_OPS = frozenset(["Td", "TD", "T*"])
+
+
+def _page_text(content: bytes) -> tuple[str, int]:
+    """Replay the text operators of one page's (concatenated) content
+    streams: each Tj/'/\"/TJ appends to the current line; Td/TD/T*
+    (and '/\" themselves) start a new line once text has been shown.
+    Returns (text, n_show_ops)."""
+    lex = _Lexer(content)
+    lines: list[str] = []
+    cur: list[str] = []
+    shown = 0
+    stack: list = []
+
+    def _newline():
+        if shown:
+            lines.append("".join(cur))
+            cur.clear()
+
+    while True:
+        lex._skip_ws()
+        if lex.pos >= len(lex.data):
+            break
+        try:
+            tok = lex.parse_object()
+        except (ValueError, IndexError):
+            lex.pos += 1
+            continue
+        if isinstance(tok, tuple) and tok[0] == "op":
+            op = tok[1]
+            if op == "Tj" and stack and isinstance(stack[-1], bytes):
+                cur.append(_pdf_text_bytes(stack[-1]))
+                shown += 1
+            elif op in ("'", '"') and stack and isinstance(
+                stack[-1], bytes
+            ):
+                _newline()
+                cur.append(_pdf_text_bytes(stack[-1]))
+                shown += 1
+            elif op == "TJ" and stack and isinstance(stack[-1], list):
+                cur.append(
+                    "".join(
+                        _pdf_text_bytes(e)
+                        for e in stack[-1]
+                        if isinstance(e, bytes)
+                    )
+                )
+                shown += 1
+            elif op in _NEWLINE_OPS:
+                _newline()
+            stack.clear()
+        else:
+            stack.append(tok)
+    if cur:
+        lines.append("".join(cur))
+    return "\n".join(lines), shown
+
+
+def _walk_pages(objects: dict, node, out: list[dict], depth: int = 0):
+    node = _resolve(objects, node)
+    if not isinstance(node, dict) or depth > 64:
+        return
+    if node.get("Type") == "Page":
+        out.append(node)
+        return
+    for kid in node.get("Kids", []) or []:
+        _walk_pages(objects, kid, out, depth + 1)
+
+
+def decode_pdf_text(content: bytes) -> dict:
+    """Extract the text layer: ``{"n_pages": int, "pages": [str,...]}``
+    in page-tree order.
+
+    Raises :class:`EncryptedPdfError` on /Encrypt,
+    ``NotImplementedError`` on non-Flate filters, ``ValueError`` on a
+    document with no parseable page tree."""
+    if not content.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    objects = _scan_objects(content)
+    root = None
+    for tr in _trailer_dicts(content):
+        if "Encrypt" in tr:
+            raise EncryptedPdfError("document declares /Encrypt")
+        if "Root" in tr:
+            root = tr["Root"]
+    # xref-stream documents have no `trailer` keyword: fall back to the
+    # catalog object itself (and honor an /Encrypt found there)
+    if root is None:
+        for num, (val, _) in sorted(objects.items()):
+            if isinstance(val, dict) and val.get("Type") == "Catalog":
+                root = ("ref", num)
+                break
+    cat = _resolve(objects, root)
+    if not isinstance(cat, dict) or "Pages" not in cat:
+        raise ValueError("no /Root catalog with a /Pages tree")
+    pages: list[dict] = []
+    _walk_pages(objects, cat["Pages"], pages)
+    if not pages:
+        raise ValueError("empty page tree")
+    texts: list[str] = []
+    for page in pages:
+        contents = page.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        blobs: list[bytes] = []
+        for ref in refs:
+            if not (isinstance(ref, tuple) and ref[0] == "ref"):
+                continue
+            entry = objects.get(ref[1])
+            if entry is None or entry[1] is None:
+                continue
+            sdict, raw = entry
+            blobs.append(_decode_stream(sdict, raw))
+        text, _ = _page_text(b"\n".join(blobs))
+        texts.append(text)
+    return {"n_pages": len(pages), "pages": texts}
+
+
+# ------------------------------------------------------------- operator
+
+PAGE_SEP = "\n\n"
+
+
+def extract_pdf_text(
+    df,
+    *,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+    on_error: str = "null",
+):
+    """Text-layer extraction over a binary PDF column via mapInPandas
+    (Arrow batches — the multimodal pattern, never per-row Python).
+
+    Output: ``(id_col, n_pages int, text string, error string)`` —
+    ``error`` is NULL on success, ``'encrypted'`` / ``'image_only'`` /
+    ``'unsupported_filter: ...'`` / the parse failure otherwise (text
+    NULL on every error).  ``on_error='fail'`` re-raises instead (CI
+    mode).  Scale shape: embarrassingly parallel per-document decode,
+    no shuffle; the 100 TB path is partition-count sizing only."""
+    import pandas as pd
+
+    if on_error not in ("null", "fail"):
+        raise ValueError(f"on_error must be null|fail, got {on_error!r}")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, n_pages, texts, errors = [], [], [], []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                ids.append(did)
+                try:
+                    if blob is None:
+                        raise ValueError("null content")
+                    dec = decode_pdf_text(bytes(blob))
+                    joined = PAGE_SEP.join(dec["pages"])
+                    if not joined.strip():
+                        n_pages.append(dec["n_pages"])
+                        texts.append(None)
+                        errors.append("image_only")
+                    else:
+                        n_pages.append(dec["n_pages"])
+                        texts.append(joined)
+                        errors.append(None)
+                except Exception as e:  # noqa: BLE001 — error channel
+                    if on_error == "fail":
+                        raise
+                    n_pages.append(None)
+                    texts.append(None)
+                    if isinstance(e, EncryptedPdfError):
+                        errors.append("encrypted")
+                    elif isinstance(e, NotImplementedError):
+                        errors.append(str(e))
+                    else:
+                        errors.append(
+                            f"{type(e).__name__}: {str(e)[:120]}"
+                        )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_pages": pd.array(n_pages, dtype="Int32"),
+                    "text": texts,
+                    "error": errors,
+                }
+            )
+
+    id_field = df.schema[id_col]
+    return df.mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} {id_field.dataType.simpleString()}, "
+            "n_pages int, text string, error string"
+        ),
+    )
+
+
+def synthesize_pdf_column(
+    df,
+    *,
+    pages_col: str = "pages",
+    id_col: str = "doc_id",
+    compress: bool = True,
+):
+    """Fixture builder (the `synthetic_assets` pattern): turn an
+    ``array<string>`` pages column into a binary PDF column —
+    ``(id_col, content binary)`` — so fixture queries and the WARC
+    funnel can roundtrip corpus text through real PDF bytes without
+    any PDF library in the container.  ``compress=False`` keeps the
+    output pure ASCII for text-mode transports."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf_ in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf_[id_col],
+                    "content": [
+                        encode_pdf(list(pages), compress=compress)
+                        for pages in pdf_[pages_col]
+                    ],
+                }
+            )
+
+    id_field = df.schema[id_col]
+    return df.mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} {id_field.dataType.simpleString()}, "
+            "content binary"
+        ),
+    )

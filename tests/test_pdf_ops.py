@@ -1,0 +1,187 @@
+"""PDF text-layer extraction: writer↔parser roundtrip (multi-page,
+multiline, unicode, escape-heavy, compressed and ASCII modes), the
+text-operator state machine (Tj/'/\"/TJ/Td/T*), the error channels
+(encrypted / unsupported filter / image-only / garbage), and the
+Spark mapInPandas operator."""
+
+import random
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import pdf as P
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_roundtrip_pages_and_lines(compress):
+    pages = [
+        "hello world\nsecond line\nthird",
+        "page two (with) parens \\ backslash",
+        "tab\there and a ) stray paren",
+    ]
+    out = P.decode_pdf_text(P.encode_pdf(pages, compress=compress))
+    assert out["n_pages"] == 3
+    assert out["pages"] == pages
+
+
+def test_roundtrip_unicode_hex_strings():
+    pages = ["café déjà vu", "中文页面 テスト 句子", "mixed ascii + ñandú"]
+    out = P.decode_pdf_text(P.encode_pdf(pages))
+    assert out["pages"] == pages
+
+
+def test_roundtrip_seeded_random_text():
+    """200 seeded-random strings over a hostile alphabet (parens,
+    backslashes, newlines, tabs, unicode) survive the writer→parser
+    roundtrip byte-exactly."""
+    rng = random.Random(1513)
+    alphabet = "ab ()\\\t一é%<>[]/#" + "xyz"
+    for _ in range(200):
+        n_pages = rng.randint(1, 3)
+        pages = []
+        for _ in range(n_pages):
+            lines = [
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(0, 30))
+                )
+                for _ in range(rng.randint(1, 4))
+            ]
+            pages.append("\n".join(lines))
+        out = P.decode_pdf_text(
+            P.encode_pdf(pages, compress=rng.random() < 0.5)
+        )
+        assert out["pages"] == pages, pages
+
+
+def test_page_text_operator_state_machine():
+    """Handcrafted content stream: TJ array pieces concatenate into the
+    current line, ' starts a new line then shows, initial Td does NOT
+    create a leading blank line, kerning numbers are ignored."""
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(Hel) -20 (lo )] TJ (world) Tj "
+        b"T* (line2) Tj "
+        b"(line3) ' "
+        b'1 2 (line4) " '
+        b"ET"
+    )
+    text, shown = P._page_text(content)
+    assert text == "Hello world\nline2\nline3\nline4"
+    assert shown == 5
+
+
+def test_error_channels():
+    with pytest.raises(P.EncryptedPdfError):
+        P.decode_pdf_text(P.encode_pdf(["x"], encrypted=True))
+    with pytest.raises(NotImplementedError, match="LZWDecode"):
+        P.decode_pdf_text(
+            P.encode_pdf(["x"], compress=True, filter_name="LZWDecode")
+        )
+    with pytest.raises(ValueError, match="%PDF-"):
+        P.decode_pdf_text(b"GIF89a not a pdf")
+    with pytest.raises(ValueError):
+        P.decode_pdf_text(b"%PDF-1.4\nno objects here\n%%EOF")
+
+
+def test_indirect_stream_length():
+    """/Length given as an indirect reference resolves through the
+    object table (real writers do this for streamed output)."""
+    doc = P.encode_pdf(["indirect length page"], compress=True)
+    # rewrite: find the content stream object's "/Length N" and swap in
+    # a reference to a new integer object appended before xref
+    import re
+
+    m = re.search(rb"<< /Length (\d+) /Filter /FlateDecode >>", doc)
+    assert m
+    length = m.group(1)
+    patched = (
+        doc[: m.start()]
+        + b"<< /Length 99 0 R /Filter /FlateDecode >>"
+        + doc[m.end() :]
+    )
+    patched += b"99 0 obj\n" + length + b"\nendobj\n"
+    out = P.decode_pdf_text(patched)
+    assert out["pages"] == ["indirect length page"]
+
+
+def test_image_only_page_detected_via_operator(spark):
+    """A parseable document whose pages show no text reports
+    error='image_only' on the Spark error channel (scanned-PDF case:
+    the page has content, none of it textual)."""
+    # a page whose content stream draws a rectangle, no BT/ET
+    doc = P.encode_pdf([""], compress=False)
+    patched = doc.replace(
+        b"BT\n/F1 12 Tf\n14 TL\n72 720 Td\n() Tj\nET",
+        b"0 0 100 100 re f       ",  # same length not required: no /Length reuse
+    )
+    # rebuild instead: stream content change breaks /Length — easier to
+    # craft via the public writer then swap BOTH stream and Length
+    import re
+
+    m = re.search(rb"<< /Length (\d+) >>\nstream\n(.*?)\nendstream", doc, re.S)
+    assert m
+    body = b"0 0 100 100 re f"
+    patched = (
+        doc[: m.start()]
+        + b"<< /Length %d >>\nstream\n" % len(body)
+        + body
+        + b"\nendstream"
+        + doc[m.end() :]
+    )
+    rows = [(1, bytearray(patched)), (2, bytearray(P.encode_pdf(["real text"])))]
+    df = spark.createDataFrame(rows, "asset_id int, content binary")
+    got = {
+        r["asset_id"]: (r["n_pages"], r["text"], r["error"])
+        for r in P.extract_pdf_text(df).collect()
+    }
+    assert got[1] == (1, None, "image_only")
+    assert got[2] == (1, "real text", None)
+
+
+def test_extract_pdf_text_spark_channels(spark):
+    rows = [
+        (1, bytearray(P.encode_pdf(["page one\nline two", "page two"]))),
+        (2, bytearray(P.encode_pdf(["enc"], encrypted=True))),
+        (3, bytearray(P.encode_pdf(["z"], filter_name="LZWDecode"))),
+        (4, bytearray(b"not a pdf at all")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id int, content binary")
+    out = P.extract_pdf_text(df)
+    assert [f.name for f in out.schema.fields] == [
+        "asset_id", "n_pages", "text", "error",
+    ]
+    got = {r["asset_id"]: r for r in out.collect()}
+    assert got[1]["n_pages"] == 2
+    assert got[1]["text"] == "page one\nline two" + P.PAGE_SEP + "page two"
+    assert got[1]["error"] is None
+    assert got[2]["error"] == "encrypted" and got[2]["text"] is None
+    assert "LZWDecode" in got[3]["error"]
+    assert got[4]["error"].startswith("ValueError")
+    assert got[5]["error"].startswith("ValueError")
+    # fail mode re-raises
+    with pytest.raises(Exception):
+        P.extract_pdf_text(
+            df.filter(F.col("asset_id") == 4), on_error="fail"
+        ).collect()
+
+
+def test_multiple_content_streams_concatenate(spark):
+    """A page whose /Contents is an ARRAY of streams replays them as
+    one concatenated stream (PDF spec), preserving line structure."""
+    doc = P.encode_pdf(["first"], compress=False)
+    import re
+
+    # append a second content stream object 98 and point the page at
+    # [content, 98]
+    extra = b"BT T* (second) Tj ET"
+    doc2 = doc.replace(b"/Contents 4 0 R", b"/Contents [4 0 R 98 0 R]")
+    doc2 += (
+        b"98 0 obj\n<< /Length %d >>\nstream\n" % len(extra)
+        + extra
+        + b"\nendstream\nendobj\n"
+    )
+    out = P.decode_pdf_text(doc2)
+    assert out["pages"] == ["first\nsecond"]
