@@ -1500,10 +1500,12 @@ def q_ingest_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('dropped_near',      0),
       ('dropped_sem',       0),
       ('nofollow_pages',    0),
+      ('pdf_extracted',     0),
       ('rejected',          1),
       ('rejected_contract', 1),
       ('rejected_mime',     0),
       ('rejected_noindex',  0),
+      ('rejected_pdf',      0),
       ('rejected_robots',   0),
       ('revalidated',       0)
     ) AS t(counter, value)

@@ -9990,3 +9990,254 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pages",
         F.md5(F.col("text")).alias("text_digest"),
     )
+
+
+_PDF_E2E_CACHE: dict[str, tuple[list, object]] = {}
+
+
+def _pdf_e2e_results(spark: SparkSession):
+    """Cached drive of the pdf_text ingest mode: one WARC batch (html
+    page / 2-page text PDF / encrypted PDF / LZW-filter PDF / JSON
+    API payload) through CorpusIngestTask(mime_allowlist=...,
+    pdf_text=True, extract_html=True) plus a replay — the text PDF is
+    ADMITTED with its extracted text (counted pdf_extracted, never
+    touching html_extract), the undecodable PDFs land in
+    _quarantine_pdf with their capability-gap errors (counted
+    rejected_pdf), the JSON page still rejects via the MIME gate, and
+    the replay changes nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.operators.pdf import encode_pdf
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        TEXT_MIME_ALLOWLIST,
+        CorpusIngestTask,
+    )
+
+    key = spark.sparkContext.applicationId
+    if key not in _PDF_E2E_CACHE:
+        root = tempfile.mkdtemp(prefix="q_pdf_e2e_")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        task = CorpusIngestTask(
+            spark,
+            drop,
+            os.path.join(root, "corpus"),
+            input_format="warc",
+            extract_html=True,
+            mime_allowlist=TEXT_MIME_ALLOWLIST,
+            pdf_text=True,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+
+        def page(uri, body, content_type):
+            payload = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: {content_type}\r\n"
+                f"\r\n{body}"
+            )
+            return (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(payload.encode())}\r\n\r\n"
+                f"{payload}\r\n\r\n"
+            )
+
+        try:
+            good = encode_pdf(
+                ["alpha pdf page one", "alpha pdf page two"],
+                compress=False,
+            ).decode("ascii")
+            enc = encode_pdf(
+                ["secret"], compress=False, encrypted=True
+            ).decode("ascii")
+            lzw = encode_pdf(
+                ["zz"], compress=False, filter_name="LZWDecode"
+            ).decode("ascii")
+            b1 = (
+                page(
+                    "https://f.com/html",
+                    "<html><body><p>gamma page body</p></body></html>",
+                    "text/html",
+                )
+                + page("https://f.com/doc.pdf", good, "application/pdf")
+                + page("https://f.com/enc.pdf", enc, "application/pdf")
+                + page("https://f.com/lzw.pdf", lzw, "application/pdf")
+                + page(
+                    "https://f.com/api",
+                    '{"k": "api payload value"}',
+                    "application/json",
+                )
+            )
+            with open(os.path.join(drop, "b1.warc"), "w") as f:
+                f.write(b1)
+            batch = task._source_frame(streaming=False)
+            task._process_batch(batch, 0)
+            task._process_batch(batch, 0)  # replay: changes nothing
+            stats = task.ingest_stats()
+            lits = [
+                F.lit(int(stats[k])).alias(k)
+                for k in ("admitted", "pdf_extracted", "rejected_pdf")
+            ]
+            admitted = task.corpus().select(
+                F.lit("admitted").alias("channel"),
+                F.col("text").alias("info"),
+                F.lit(None).cast("string").alias("detail"),
+                *lits,
+            )
+            pdfq = task.pdf_quarantined().select(
+                F.lit("pdf").alias("channel"),
+                F.col("target_uri").alias("info"),
+                F.col("error").alias("detail"),
+                *lits,
+            )
+            mimeq = task.mime_quarantined().select(
+                F.lit("mime").alias("channel"),
+                F.col("target_uri").alias("info"),
+                F.col("content_type").alias("detail"),
+                *lits,
+            )
+            frame = admitted.unionByName(pdfq).unionByName(mimeq)
+            _PDF_E2E_CACHE[key] = (frame.collect(), frame.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _PDF_E2E_CACHE[key]
+
+
+@_register(
+    "q_pdf_funnel",
+    """
+    SELECT * FROM (VALUES
+      ('admitted', 'alpha pdf page one' || chr(10) || chr(10) ||
+                   'alpha pdf page two', CAST(NULL AS VARCHAR), 2, 1, 2),
+      ('admitted', 'gamma page body',    CAST(NULL AS VARCHAR), 2, 1, 2),
+      ('mime',     'https://f.com/api',  'application/json',    2, 1, 2),
+      ('pdf',      'https://f.com/enc.pdf', 'encrypted',        2, 1, 2),
+      ('pdf',      'https://f.com/lzw.pdf',
+                   'unsupported stream filter: LZWDecode',      2, 1, 2)
+    ) AS t(channel, info, detail, admitted, pdf_extracted, rejected_pdf)
+    ORDER BY channel, info
+    """,
+    "PDF ingest funnel E2E: CorpusIngestTask(pdf_text=True) drains a "
+    "5-page WARC batch (html / 2-page text PDF / encrypted PDF / "
+    "LZW-filter PDF / JSON) plus a replay — the text PDF admits with "
+    "its EXTRACTED page-joined text (the application/pdf carve-out of "
+    "the MIME gate; html_extract never sees it), the undecodable PDFs "
+    "land in _quarantine_pdf with their capability-gap error strings, "
+    "the JSON page still rejects via the MIME gate, the counters read "
+    "admitted=2 / pdf_extracted=1 / rejected_pdf=2, and the replay "
+    "changes nothing; oracle = the hand-derived disposition of every "
+    "page",
+    "CorpusIngestTask pdf_text mode end-to-end (streaming twin of "
+    "q_pdf_text_extract)",
+)
+def q_pdf_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema = _pdf_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("channel", "info")
+
+
+@_register(
+    "q_idn_hosts",
+    """
+    WITH s AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS v
+               FROM documents),
+    k AS (
+      SELECT doc_id, v,
+             CASE WHEN v IN (0, 1, 2) THEN 'xn--mnchen-3ya.de'
+                  WHEN v = 3 THEN 'www.xn--caf-dma.co.uk'
+                  WHEN v = 4 THEN 'xn--caf-dma.co.uk'
+                  ELSE 'plain-host.com' END AS host_folded,
+             CASE WHEN v IN (0, 1, 2) THEN 'xn--mnchen-3ya.de'
+                  WHEN v IN (3, 4) THEN 'xn--caf-dma.co.uk'
+                  ELSE 'plain-host.com' END AS domain,
+             CASE WHEN v IN (0, 1, 2)
+                    THEN 'de,xn--mnchen-3ya)/p/'
+                  WHEN v IN (3, 4)
+                    THEN 'uk,co,xn--caf-dma)/p/'
+                  ELSE 'com,plain-host)/p/' END
+               || CAST(doc_id AS VARCHAR) AS urlkey
+      FROM s)
+    SELECT doc_id, host_folded, domain, urlkey FROM k
+    """,
+    "IDN/punycode host identity (verdict r14 #4): doc_id%6 selects the "
+    "URL spelling (Unicode münchen.de / its ACE form / UPPERCASE "
+    "Unicode / www.café.co.uk / its ACE form / a plain ASCII host), "
+    "folded through fold_idn_host (stdlib IDNA nameprep + RFC 3492 "
+    "punycode, Arrow-batched and guarded so ASCII rows never leave "
+    "Catalyst) into the canonical ACE host, the registered domain "
+    "(second-level-suffix co.uk path included) and the idn=True SURT "
+    "urlkey — every mirror spelling of one host lands on ONE key "
+    "(blocklists, per-host caps, and frontier budgets hang off it); "
+    "oracle recomputes all three from doc_id arithmetic",
+    "curation: IDN host folding (mirror identity)",
+)
+def q_idn_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    v = (F.col("doc_id") % 6).cast("int")
+    url = F.concat(
+        F.when(v == 0, F.lit("https://münchen.de/p/"))
+        .when(v == 1, F.lit("https://xn--mnchen-3ya.de/p/"))
+        .when(v == 2, F.lit("https://MÜNCHEN.de/p/"))
+        .when(v == 3, F.lit("https://www.café.co.uk/p/"))
+        .when(v == 4, F.lit("https://xn--caf-dma.co.uk/p/"))
+        .otherwise(F.lit("https://plain-host.com/p/")),
+        did,
+    )
+    host = _urls.fold_idn_host(_urls.url_host(url))
+    return d.select(
+        "doc_id",
+        host.alias("host_folded"),
+        _urls.registered_domain(host).alias("domain"),
+        _urls.surt_urlkey(url, idn=True).alias("urlkey"),
+    )
+
+
+@_register(
+    "q_idn_domain_caps",
+    """
+    WITH s AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS v
+               FROM documents),
+    k AS (
+      SELECT doc_id,
+             CASE WHEN v < 3 THEN 'xn--mnchen-3ya.de'
+                  ELSE 'other' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             END AS domain
+      FROM s)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY domain ORDER BY doc_id
+                ) <= 20 AS INTEGER) AS kept
+    FROM k
+    """,
+    "IDN-aware per-domain frequency cap: three mirror spellings of one "
+    "domain (Unicode / ACE / a Unicode SUBDOMAIN api.münchen.de) plus "
+    "rotating ASCII domains, capped at 20 docs per registered domain "
+    "with domain_caps(idn=True) — the mirror spellings share ONE "
+    "budget (the evasion the fold closes: without it each spelling "
+    "minted a fresh cap); oracle recomputes the shared-domain ranks "
+    "from doc_id arithmetic",
+    "curation: IDN-aware domain caps",
+)
+def q_idn_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    v = (F.col("doc_id") % 4).cast("int")
+    url = F.concat(
+        F.when(v == 0, F.lit("https://münchen.de/p/"))
+        .when(v == 1, F.lit("https://xn--mnchen-3ya.de/p/"))
+        .when(v == 2, F.lit("https://api.münchen.de/p/"))
+        .otherwise(
+            F.concat(
+                F.lit("https://other"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com/p/"),
+            )
+        ),
+        did,
+    )
+    fixture = d.select("doc_id", url.alias("url"))
+    return _urls.domain_caps(
+        fixture, max_per_domain=20, order_col="doc_id", idn=True
+    ).select("doc_id", "kept")

@@ -111,6 +111,7 @@ class CorpusIngestTask(ReplicationTask):
         track_revalidations: bool = False,
         on_page_robots: bool = False,
         mime_allowlist: tuple[str, ...] | list[str] | None = None,
+        pdf_text: bool = False,
         frontier_max_per_host: int | None = None,
         frontier_key: str = "url",
         checkpoint_dir: str | None = None,
@@ -290,6 +291,23 @@ class CorpusIngestTask(ReplicationTask):
             if mime_allowlist is not None
             else None
         )
+        # pdf_text: route application/pdf 200s through the from-scratch
+        # text-layer extractor (operators/pdf.py) instead of rejecting
+        # them at the MIME gate — extracted text joins the admission
+        # pipeline AFTER html_extract (PDF text is already prose, the
+        # HTML stripper would mangle it); failed extractions
+        # (encrypted, unsupported filter, image-only, parse errors)
+        # divert to the per-batch _quarantine_pdf store with their
+        # error and count as rejected_pdf; successes count
+        # pdf_extracted.  Requires the MIME gate: routing is a carve-
+        # out of the gate's rejection, and the gate supplies the
+        # declared-type plumbing column.
+        if pdf_text and mime_allowlist is None:
+            raise ValueError(
+                "pdf_text requires mime_allowlist (PDF routing is a "
+                "carve-out of the MIME admission gate)"
+            )
+        self.pdf_text = pdf_text
         if frontier_max_per_host is not None and not discover_links:
             raise ValueError(
                 "frontier_max_per_host requires discover_links=True"
@@ -642,6 +660,8 @@ class CorpusIngestTask(ReplicationTask):
             "rejected_robots": 0,
             "rejected_noindex": 0,
             "rejected_mime": 0,
+            "rejected_pdf": 0,
+            "pdf_extracted": 0,
             "nofollow_pages": 0,
             "revalidated": 0,
         }
@@ -792,6 +812,38 @@ class CorpusIngestTask(ReplicationTask):
                 F.col("content_type")
                 .cast("string")
                 .alias("content_type"),
+                F.col("batch_id").cast("long").alias("batch_id"),
+            )
+        )
+
+    def pdf_quarantined(self) -> DataFrame:
+        """(doc_id, target_uri, error, batch_id) for every
+        application/pdf page the extractor could not turn into text
+        (``pdf_text`` mode) — encrypted documents, unsupported stream
+        filters, image-only scans, parse failures.  The PDF twin of
+        :meth:`mime_quarantined`; the error string tells the corpus
+        owner WHICH capability gap each page hit."""
+        manifest = self._load_manifest()
+        paths = [
+            f"{self.corpus_dir}/_quarantine_pdf/batch_id={b}"
+            for b in sorted(manifest, key=int)
+            if int(manifest[b].get("rejected_pdf", 0)) > 0
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [],
+                "doc_id long, target_uri string, error string, "
+                "batch_id long",
+            )
+        return (
+            self.spark.read.option(
+                "basePath", f"{self.corpus_dir}/_quarantine_pdf"
+            )
+            .parquet(*paths)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("target_uri").cast("string").alias("target_uri"),
+                F.col("error").cast("string").alias("error"),
                 F.col("batch_id").cast("long").alias("batch_id"),
             )
         )
@@ -1771,6 +1823,67 @@ class CorpusIngestTask(ReplicationTask):
         # extraction (a PDF/image/JSON body must never reach
         # html_extract or the quality gates as garbage prose).
         # Undeclared content types pass.
+        # PDF carve-out of the MIME gate (pdf_text mode): declared
+        # application/pdf pages route to the from-scratch text-layer
+        # extractor instead of quarantining.  Successes re-enter the
+        # admission pipeline AFTER html_extract with their extracted
+        # text; failures (encrypted / unsupported filter / image-only /
+        # parse error) divert to _quarantine_pdf with the error string
+        # — the same exceptions-channel philosophy as the CDC task.
+        n_pdf_ok = 0
+        n_pdf_failed = 0
+        pdf_ok = None
+        if self.pdf_text and "_mime" in valid.columns:
+            from sample_dms_s3_kinesis_spark.operators.pdf import (
+                extract_pdf_text,
+            )
+
+            is_pdf = F.col("_mime") == "application/pdf"
+            # the WARC reader carries bodies as UTF-8 text; a text-mode
+            # PDF (uncompressed ASCII streams) survives byte-exactly
+            # through encode().  Binary PDFs arrive via warc_gz's
+            # binary_payload path pre-encoded — text is then the
+            # latin-1 projection and re-encoding is lossless for it.
+            pdf_src = valid.filter(is_pdf).select(
+                "doc_id",
+                F.col("_uri").alias("target_uri"),
+                F.encode(F.col("text"), "UTF-8").alias("content"),
+            )
+            ext = (
+                extract_pdf_text(
+                    pdf_src.select("doc_id", "content"),
+                    content_col="content",
+                    id_col="doc_id",
+                )
+                .join(pdf_src.select("doc_id", "target_uri"), "doc_id")
+                .persist()
+            )
+            failed = ext.filter(F.col("error").isNotNull())
+            n_pdf_failed = failed.count()
+            if n_pdf_failed > 0:
+                pdir = (
+                    f"{self.corpus_dir}/_quarantine_pdf"
+                    f"/batch_id={batch_id}"
+                )
+                (
+                    failed.select("doc_id", "target_uri", "error")
+                    .write.mode("overwrite")
+                    .parquet(pdir)
+                )
+                self.spark.catalog.refreshByPath(pdir)
+            ok = ext.filter(F.col("error").isNull()).select(
+                "doc_id",
+                "text",
+                F.lit(None).cast("array<double>").alias("embedding"),
+            )
+            n_pdf_ok = ok.count()
+            if n_pdf_ok > 0:
+                # materialize before the source frame mutates below —
+                # and the extractor must run exactly once per page
+                pdf_ok = _cut_lineage(ok)
+            ext.unpersist()
+            if n_pdf_ok or n_pdf_failed:
+                valid = valid.filter(~is_pdf)
         n_mime = 0
         if self.mime_allowlist is not None and "_mime" in valid.columns:
             from sample_dms_s3_kinesis_spark.sources.crawl import (
@@ -1817,6 +1930,11 @@ class CorpusIngestTask(ReplicationTask):
             valid = valid.withColumn(
                 "text", _extract(F.col("text"))
             ).filter(F.col("text") != "")
+        if pdf_ok is not None:
+            # extracted PDF text is already prose: it joins AFTER the
+            # HTML stripper, BEFORE every content gate (quality /
+            # exact / near / semantic treat it like any other page)
+            valid = valid.unionByName(pdf_ok, allowMissingColumns=True)
         # gate 0 (optional): quality contract — failing rows land in
         # the quarantine store (overwrite per batch: replay-idempotent
         # like the corpus directories) and count as rejected_contract.
@@ -1863,11 +1981,14 @@ class CorpusIngestTask(ReplicationTask):
                     - n_robots
                     - n_sitemap
                     - n_noindex
-                    - n_mime,
+                    - n_mime
+                    - n_pdf_failed,
                     "rejected_contract": n_contract,
                     "rejected_robots": n_robots,
                     "rejected_noindex": n_noindex,
                     "rejected_mime": n_mime,
+                    "rejected_pdf": n_pdf_failed,
+                    "pdf_extracted": n_pdf_ok,
                     "nofollow_pages": n_nofollow,
                     "revalidated": n_reval,
                     **fr_counts,
@@ -2090,11 +2211,14 @@ class CorpusIngestTask(ReplicationTask):
                 - n_robots
                 - n_sitemap
                 - n_noindex
-                - n_mime,
+                - n_mime
+                - n_pdf_failed,
                 "rejected_contract": n_contract,
                 "rejected_robots": n_robots,
                 "rejected_noindex": n_noindex,
                 "rejected_mime": n_mime,
+                "rejected_pdf": n_pdf_failed,
+                "pdf_extracted": n_pdf_ok,
                 "nofollow_pages": n_nofollow,
                 "revalidated": n_reval,
                 **fr_counts,

@@ -1811,6 +1811,95 @@ def test_nofollow_counted_without_link_discovery(spark, tmp_path):
     assert stats["nofollow_pages"] == 1
 
 
+def test_pdf_text_routing(spark, tmp_path):
+    """pdf_text=True: an application/pdf 200 routes through the
+    text-layer extractor (admitted with its EXTRACTED text, counted
+    pdf_extracted) instead of quarantining at the MIME gate; an
+    encrypted PDF lands in _quarantine_pdf with its error (counted
+    rejected_pdf); non-PDF rejects still flow rejected_mime; a replay
+    changes nothing."""
+    from sample_dms_s3_kinesis_spark.operators.pdf import encode_pdf
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        TEXT_MIME_ALLOWLIST,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc",
+        extract_html=True,
+        mime_allowlist=TEXT_MIME_ALLOWLIST,
+        pdf_text=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    def _page(uri, body, content_type):
+        payload = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {content_type}\r\n"
+            f"\r\n{body}"
+        )
+        return (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(payload.encode())}\r\n\r\n"
+            f"{payload}\r\n\r\n"
+        )
+
+    # ASCII (uncompressed) PDFs survive the text-mode WARC reader
+    good_pdf = encode_pdf(
+        ["report text line one\nline two", "second page text"],
+        compress=False,
+    ).decode("ascii")
+    enc_pdf = encode_pdf(
+        ["secret"], compress=False, encrypted=True
+    ).decode("ascii")
+    (drop / "b1.warc").write_text(
+        _page(
+            "https://p.com/html",
+            "<html><body><p>html page body</p></body></html>",
+            "text/html",
+        )
+        + _page("https://p.com/doc.pdf", good_pdf, "application/pdf")
+        + _page("https://p.com/enc.pdf", enc_pdf, "application/pdf")
+        + _page("https://p.com/api", '{"k": 1}', "application/json")
+    )
+    batch = task._source_frame(streaming=False)
+    task._process_batch(batch, 0)
+    task._process_batch(batch, 0)  # replay: idempotent
+
+    stats = task.ingest_stats()
+    assert stats["admitted"] == 2  # html + extracted pdf
+    assert stats["pdf_extracted"] == 1  # replay overwrote batch 0
+    assert stats["rejected_pdf"] == 1
+    assert stats["rejected_mime"] == 1  # json only — pdfs never here
+    corpus = {r["text"] for r in task.corpus().collect()}
+    assert (
+        "report text line one\nline two\n\nsecond page text" in corpus
+    )
+    assert any("html page body" in t for t in corpus)
+    q = task.pdf_quarantined().collect()
+    assert {(r["target_uri"], r["error"]) for r in q} == {
+        ("https://p.com/enc.pdf", "encrypted")
+    }
+    mime_q = {r["target_uri"] for r in task.mime_quarantined().collect()}
+    assert mime_q == {"https://p.com/api"}
+
+
+def test_pdf_text_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="pdf_text requires"):
+        CorpusIngestTask(
+            spark,
+            str(tmp_path / "d"),
+            str(tmp_path / "c"),
+            input_format="warc",
+            pdf_text=True,
+        )
+
+
 def test_on_page_robots_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="on_page_robots requires"):
         CorpusIngestTask(
