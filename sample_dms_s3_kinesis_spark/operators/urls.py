@@ -80,6 +80,62 @@ def url_query(col: Column) -> Column:
     return F.regexp_extract(col, _QUERY_RE, 1)
 
 
+def idn_ascii_host_py(host: str) -> str:
+    """Fold a host to its canonical IDNA ASCII (ACE) form: non-ASCII
+    labels punycode-encode (RFC 3492 via the stdlib IDNA codec, which
+    applies nameprep case/width folding first), ASCII labels just
+    lowercase — so ``münchen.de``, ``MÜNCHEN.de`` and
+    ``xn--mnchen-3ya.de`` all key as ``xn--mnchen-3ya.de``.  ACE (not
+    Unicode) is the canonical direction because every downstream
+    consumer — SURT urlkeys, CDX sort order, blocklists, per-host caps
+    — is ASCII-keyed (the pywb/CDX convention keeps xn-- forms).
+    Labels the codec rejects (empty, over-long, bad punycode) pass
+    through lowercased — they are still hostnames, just not IDNs; the
+    fold must never turn a weird host into a crash or a collision."""
+    h = host.strip().lower().rstrip(".")
+    if h.isascii():
+        return h
+    out = []
+    for label in h.split("."):
+        if label.isascii():
+            out.append(label)
+        else:
+            try:
+                out.append(label.encode("idna").decode("ascii"))
+            except UnicodeError:
+                out.append(label)
+    return ".".join(out)
+
+
+def fold_idn_host(col: Column) -> Column:
+    """Column form of :func:`idn_ascii_host_py` — an Arrow-batched
+    pandas UDF, guarded so the all-ASCII fast path (the overwhelming
+    majority of real hosts) never leaves Catalyst: only rows whose
+    host carries a non-ASCII byte route through Python.  NULL stays
+    NULL.  Opt-in plumbing for the ``idn=True`` flags on
+    :func:`domain_blocklist` / :func:`domain_caps` /
+    :func:`surt_urlkey` — the default paths stay pure Catalyst (and
+    DuckDB-replayable)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fold_fn(hosts):
+        return hosts.map(
+            lambda h: idn_ascii_host_py(h) if h is not None else None
+        )
+
+    # real annotation objects: the module-wide `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf
+    # cannot resolve from another module's namespace
+    _fold_fn.__annotations__ = {"hosts": pd.Series, "return": pd.Series}
+    _fold = pandas_udf(_fold_fn, "string")
+
+    ascii_re = r"^\p{ASCII}*$"
+    return F.when(col.isNull(), F.lit(None).cast("string")).when(
+        col.rlike(ascii_re), col
+    ).otherwise(_fold(col))
+
+
 def registered_domain(host: Column) -> Column:
     """Registered (pay-level) domain of a lowercased host: the last two
     labels, or three when the last two form a recognized second-level
@@ -119,6 +175,7 @@ def domain_blocklist(
     url_col: str = "url",
     domain_col: str | None = None,
     keep_col: str = "kept",
+    idn: bool = False,
 ) -> DataFrame:
     """RefinedWeb-style domain blocklist: flag (not drop) rows whose
     REGISTERED domain is on ``blocked`` — subdomain evasion is closed
@@ -139,11 +196,21 @@ def domain_blocklist(
     paths — they are the URL parser's problem, not the blocklist's.
 
     Pass ``domain_col`` when the frame already carries the registered
-    domain (e.g. from :func:`parse_urls`)."""
+    domain (e.g. from :func:`parse_urls`).
+
+    ``idn=True`` folds hosts AND entries to canonical IDNA ASCII
+    (:func:`fold_idn_host`) before the registered-domain key, closing
+    the IDN-spelling evasion where ``xn--mnchen-3ya.de`` and its
+    Unicode spelling read as different domains (r15, verdict r14 #4);
+    off by default so the common all-ASCII path stays pure Catalyst
+    (DuckDB-replayable, no Arrow nodes in the plan)."""
+    def _key(c: Column) -> Column:
+        return fold_idn_host(c) if idn else c
+
     dom = (
-        F.col(domain_col)
+        _key(F.col(domain_col))
         if domain_col is not None
-        else registered_domain(url_host(F.col(url_col)))
+        else registered_domain(_key(url_host(F.col(url_col))))
     )
     if isinstance(blocked, DataFrame):
         bcols = blocked.columns
@@ -158,9 +225,9 @@ def domain_blocklist(
             )
         bl = (
             blocked.select(
-                _normalize_blocklist_entry_col(F.col(bcols[0])).alias(
-                    "_bl_dom"
-                )
+                _normalize_blocklist_entry_col(
+                    F.col(bcols[0]), idn=idn
+                ).alias("_bl_dom")
             )
             # empty after normalization (blank entry) must not match
             # the ""-domain rows unparseable URLs produce — same rule
@@ -177,7 +244,8 @@ def domain_blocklist(
             keep_col, F.col("_bl_dom").isNull().cast("int")
         ).drop("_dom_bl", "_bl_dom")
     entries = sorted(
-        {_normalize_blocklist_entry_py(str(b)) for b in blocked} - {""}
+        {_normalize_blocklist_entry_py(str(b), idn=idn) for b in blocked}
+        - {""}
     )
     if not entries:
         return df.withColumn(keep_col, F.lit(1))
@@ -195,17 +263,19 @@ def domain_blocklist(
 # domain.  (Kept in lockstep; the list/frame agreement test pins it.)
 
 
-def _normalize_blocklist_entry_col(c: Column) -> Column:
+def _normalize_blocklist_entry_col(c: Column, *, idn: bool = False) -> Column:
     e = F.lower(F.trim(c))
     e = F.regexp_replace(e, r"^[a-z][a-z0-9+.-]*://", "")
     e = F.regexp_replace(e, r"[/?#].*$", "")
     e = F.regexp_replace(e, r"^[^@]*@", "")
     e = F.regexp_replace(e, r":[0-9]*$", "")
     e = F.regexp_replace(e, r"\.+$", "")
+    if idn:
+        e = fold_idn_host(e)
     return registered_domain(e)
 
 
-def _normalize_blocklist_entry_py(entry: str) -> str:
+def _normalize_blocklist_entry_py(entry: str, *, idn: bool = False) -> str:
     import re as _re
 
     e = entry.strip().lower()
@@ -214,6 +284,8 @@ def _normalize_blocklist_entry_py(entry: str) -> str:
     e = _re.sub(r"^[^@]*@", "", e)
     e = _re.sub(r":[0-9]*$", "", e)
     e = _re.sub(r"\.+$", "", e)
+    if idn:
+        e = idn_ascii_host_py(e)
     return _registered_domain_py(e)
 
 
@@ -238,6 +310,7 @@ def domain_caps(
     max_per_domain: int,
     order_col: str = "doc_id",
     keep_col: str = "kept",
+    idn: bool = False,
 ) -> DataFrame:
     """Per-registered-domain frequency cap: flag (not drop) the first
     ``max_per_domain`` rows per domain in deterministic ``order_col``
@@ -248,15 +321,20 @@ def domain_caps(
 
     Pass ``domain_col`` when the frame already carries the registered
     domain (e.g. from :func:`parse_urls`) — else the full parse chain
-    re-evaluates per row just to key the window."""
+    re-evaluates per row just to key the window.
+
+    ``idn=True`` folds the host to canonical IDNA ASCII before the
+    domain key, so mirror IDN spellings of one domain share one cap
+    (r15, verdict r14 #4; off by default — pure-Catalyst path)."""
     if max_per_domain < 1:
         raise ValueError(
             f"max_per_domain must be >= 1, got {max_per_domain}"
         )
+    _key = (lambda c: fold_idn_host(c)) if idn else (lambda c: c)
     dom = (
-        F.col(domain_col)
+        _key(F.col(domain_col))
         if domain_col is not None
-        else registered_domain(url_host(F.col(url_col)))
+        else registered_domain(_key(url_host(F.col(url_col))))
     )
     w = Window.partitionBy(dom).orderBy(F.col(order_col).asc())
     return df.withColumn(
@@ -470,7 +548,7 @@ def resolve_url(base: Column, href: Column) -> Column:
 # --------------------------------------------------------------------
 
 
-def surt_urlkey(url: Column) -> Column:
+def surt_urlkey(url: Column, *, idn: bool = False) -> Column:
     """Canonical SURT-form index key for an http(s) URL — the ``urlkey``
     convention CDX indexes sort on (`sources/crawl.py:read_cdx`):
     ``com,example)/path?a=1&b=2``.  Canonicalization (the deterministic
@@ -485,8 +563,14 @@ def surt_urlkey(url: Column) -> Column:
       mirrors of one site on different ports key identically).
 
     NULL for non-http(s) inputs.  Pure Catalyst (split / reverse /
-    array_sort / join) — a narrow projection, no shuffle."""
+    array_sort / join) — a narrow projection, no shuffle.  ``idn=True``
+    folds the host to canonical IDNA ASCII first (r15, verdict r14 #4:
+    ``xn--mnchen-3ya.de`` and its Unicode spelling must key
+    identically — mirror collapse and per-host budgets hang off this
+    key); opt-in so the default path stays Catalyst-pure."""
     host = url_host(url)
+    if idn:
+        host = fold_idn_host(host)
     host = F.regexp_replace(host, r"^www[0-9]*\.", "")
     rev = F.array_join(F.reverse(F.split(host, r"\.", -1)), ",")
     path = F.lower(url_path(url))

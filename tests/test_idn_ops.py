@@ -1,0 +1,137 @@
+"""IDN/punycode host folding (verdict r14 Missing #4): the pure-Python
+fold, the guarded Arrow column form, and the idn=True flags on
+domain_blocklist / domain_caps / surt_urlkey — mirror IDN spellings of
+one host must share one identity everywhere politeness keys on it."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_s3_kinesis_spark.operators import urls
+
+
+def test_idn_ascii_host_py_folds():
+    f = urls.idn_ascii_host_py
+    assert f("münchen.de") == "xn--mnchen-3ya.de"
+    assert f("MÜNCHEN.de") == "xn--mnchen-3ya.de"
+    assert f("xn--mnchen-3ya.de") == "xn--mnchen-3ya.de"
+    assert f("XN--MNCHEN-3YA.DE") == "xn--mnchen-3ya.de"
+    assert f("www.café.co.uk") == "www.xn--caf-dma.co.uk"
+    assert f("plain.example.com") == "plain.example.com"
+    assert f("example.com.") == "example.com"  # FQDN root dot
+    # mixed: one IDN label among ASCII ones
+    assert f("api.münchen.de") == "api.xn--mnchen-3ya.de"
+    # a label the codec rejects passes through lowercased, no crash
+    assert f("héllo..de") == "xn--hllo-bpa..de"
+
+
+def test_fold_idn_host_column(spark):
+    rows = [
+        (0, "münchen.de"),
+        (1, "xn--mnchen-3ya.de"),
+        (2, "plain.com"),
+        (3, None),
+        (4, "www.café.co.uk"),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string")
+    got = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", urls.fold_idn_host(F.col("host")).alias("f")
+        ).collect()
+    }
+    assert got[0] == got[1] == "xn--mnchen-3ya.de"
+    assert got[2] == "plain.com"
+    assert got[3] is None
+    assert got[4] == "www.xn--caf-dma.co.uk"
+
+
+def test_blocklist_idn_evasion_closed(spark):
+    """A Unicode-spelled blocklist entry blocks the xn-- host AND the
+    Unicode host (both directions), including subdomain evasion; with
+    idn=False the spellings evade — the hole the flag closes."""
+    rows = [
+        (0, "https://xn--mnchen-3ya.de/a"),
+        (1, "https://münchen.de/b"),
+        (2, "https://cdn.münchen.de/c"),
+        (3, "https://safe.com/d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_blocklist(
+            df, ["münchen.de"], idn=True
+        ).collect()
+    }
+    assert kept == {0: 0, 1: 0, 2: 0, 3: 1}
+    # ACE-spelled entry blocks the Unicode host too
+    kept2 = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_blocklist(
+            df, ["xn--mnchen-3ya.de"], idn=True
+        ).collect()
+    }
+    assert kept2 == {0: 0, 1: 0, 2: 0, 3: 1}
+    # frame-path parity
+    bl = spark.createDataFrame([("münchen.de",)], "entry string")
+    kept3 = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_blocklist(df, bl, idn=True).collect()
+    }
+    assert kept3 == kept
+    # without the flag, the ACE entry misses the Unicode spelling
+    kept_off = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_blocklist(
+            df, ["xn--mnchen-3ya.de"]
+        ).collect()
+    }
+    assert kept_off[1] == 1  # the documented hole idn=True closes
+
+
+def test_domain_caps_idn_mirrors_share_one_cap(spark):
+    rows = [
+        (0, "https://münchen.de/0"),
+        (1, "https://xn--mnchen-3ya.de/1"),
+        (2, "https://MÜNCHEN.de/2"),
+        (3, "https://other.com/3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_caps(
+            df, max_per_domain=2, idn=True
+        ).collect()
+    }
+    # all three spellings share one domain: first two kept, third cut
+    assert kept == {0: 1, 1: 1, 2: 0, 3: 1}
+
+
+def test_surt_urlkey_idn_mirrors_collapse(spark):
+    rows = [
+        (0, "https://www.münchen.de/Pfad?b=2&a=1"),
+        (1, "http://XN--MNCHEN-3YA.DE:8080/pfad?a=1&b=2"),
+        (2, "https://plain.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id",
+            urls.surt_urlkey(F.col("url"), idn=True).alias("k"),
+        ).collect()
+    }
+    assert got[0] == got[1] == "de,xn--mnchen-3ya)/pfad?a=1&b=2"
+    assert got[2] == "com,plain)/x"
+
+
+def test_idn_off_path_stays_catalyst(spark):
+    """idn=False (the default) must not put Arrow/Python nodes in the
+    plan — the fold is opt-in plumbing only."""
+    df = spark.createDataFrame([(0, "https://a.com/x")], "doc_id long, url string")
+    for out in (
+        urls.domain_blocklist(df, ["a.com"]),
+        urls.domain_caps(df, max_per_domain=1),
+        df.select(urls.surt_urlkey(F.col("url")).alias("k")),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
