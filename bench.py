@@ -103,6 +103,10 @@ TIER2 = [
     "q_redirect_frontier",
     "q_charset_transcode",
     "q_refresh_pipeline",
+    # r15: the PDF text-layer roundtrip (encode + object-scan + zlib
+    # inflate + text-operator replay per document via mapInPandas) —
+    # the one new r15 family with real per-row Python work
+    "q_pdf_text_extract",
 ]
 # This list IS the tier-2 roster of record — BASELINE.md cites
 # len(TIER2) and membership from here, nowhere else.

@@ -528,14 +528,30 @@ def langid_nb_model(
         char_ngram_tokens,
     )
 
-    seed = spark.createDataFrame(LANGID_SEED, "lang string, text string")
-    return nb_train(
-        seed,
-        text_col="text",
-        label_col="lang",
-        smoothing=smoothing,
-        tokenizer=lambda c: char_ngram_tokens(c, n),
-    )
+    key = (spark.sparkContext.applicationId, n, float(smoothing))
+    if key not in _LANGID_MODEL_CACHE:
+        seed = spark.createDataFrame(
+            LANGID_SEED, "lang string, text string"
+        )
+        tm, lm = nb_train(
+            seed,
+            text_col="text",
+            label_col="lang",
+            smoothing=smoothing,
+            tokenizer=lambda c: char_ngram_tokens(c, n),
+        )
+        # materialize ONCE per session and hand scorers literal frames:
+        # the seed corpus is fixed, so retraining inside every scoring
+        # DAG (each action re-running the whole agg chain) buys nothing
+        # — the model is a few thousand rows, well under driver limits
+        _LANGID_MODEL_CACHE[key] = (
+            spark.createDataFrame(tm.collect(), tm.schema),
+            spark.createDataFrame(lm.collect(), lm.schema),
+        )
+    return _LANGID_MODEL_CACHE[key]
+
+
+_LANGID_MODEL_CACHE: dict = {}
 
 
 def lang_id_nb(

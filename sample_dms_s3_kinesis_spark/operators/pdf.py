@@ -550,6 +550,73 @@ def decode_pdf_text(content: bytes) -> dict:
     return {"n_pages": len(pages), "pages": texts}
 
 
+# ----------------------------------------------------- HTTP raw payload
+
+def _dechunk_bytes(b: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked entity at the BYTE level
+    (RFC 7230 §4.1; chunk extensions tolerated, trailers ignored)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = b.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("bad chunked framing")
+        try:
+            size = int(b[pos:nl].split(b";", 1)[0].strip(), 16)
+        except ValueError:
+            raise ValueError("bad chunked framing") from None
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)
+        out += b[pos : pos + size]
+        if b[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("bad chunked framing")
+        pos += size + 2
+
+
+def http_entity_bytes(raw: bytes) -> bytes:
+    """Entity bytes out of a RAW HTTP response (header block included):
+    split at the first CRLFCRLF, then undo Transfer-Encoding: chunked
+    and Content-Encoding: gzip/x-gzip/deflate at the byte level — the
+    binary twin of the text-path decode in ``sources/crawl.py``
+    (which must produce a STRING and therefore mangles binary
+    entities like Flate PDFs).  Unsupported codings raise
+    ``NotImplementedError`` into the caller's error channel."""
+    head, sep, body = raw.partition(b"\r\n\r\n")
+    if not sep:
+        raise ValueError("no HTTP header block in raw payload")
+    hdr = head.decode("latin-1")
+    import re as _re
+
+    def _h(name: str) -> str | None:
+        m = _re.search(
+            rf"(?im)^{name}:[ \t]*([^\r\n]*?)[ \t]*$", hdr
+        )
+        return m.group(1).lower() if m else None
+
+    te = _h("Transfer-Encoding")
+    if te and te != "identity":
+        if te != "chunked":
+            raise NotImplementedError(
+                f"unsupported transfer coding: {te}"
+            )
+        body = _dechunk_bytes(body)
+    ce = _h("Content-Encoding")
+    if ce and ce != "identity":
+        if ce in ("gzip", "x-gzip"):
+            body = zlib.decompress(body, 16 + zlib.MAX_WBITS)
+        elif ce == "deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+        else:
+            raise NotImplementedError(
+                f"unsupported content coding: {ce}"
+            )
+    return body
+
+
 # ------------------------------------------------------------- operator
 
 PAGE_SEP = "\n\n"
@@ -561,6 +628,7 @@ def extract_pdf_text(
     content_col: str = "content",
     id_col: str = "asset_id",
     on_error: str = "null",
+    http_col: str | None = None,
 ):
     """Text-layer extraction over a binary PDF column via mapInPandas
     (Arrow batches — the multimodal pattern, never per-row Python).
@@ -569,8 +637,12 @@ def extract_pdf_text(
     ``error`` is NULL on success, ``'encrypted'`` / ``'image_only'`` /
     ``'unsupported_filter: ...'`` / the parse failure otherwise (text
     NULL on every error).  ``on_error='fail'`` re-raises instead (CI
-    mode).  Scale shape: embarrassingly parallel per-document decode,
-    no shuffle; the 100 TB path is partition-count sizing only."""
+    mode).  ``http_col`` names an optional BOOLEAN column: rows where
+    it is true carry a RAW HTTP response (header block + codings) and
+    run through :func:`http_entity_bytes` first — the binary-WARC
+    path is how real crawl PDFs arrive.  Scale shape: embarrassingly
+    parallel per-document decode, no shuffle; the 100 TB path is
+    partition-count sizing only."""
     import pandas as pd
 
     if on_error not in ("null", "fail"):
@@ -579,11 +651,20 @@ def extract_pdf_text(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             ids, n_pages, texts, errors = [], [], [], []
-            for did, blob in zip(pdf[id_col], pdf[content_col]):
+            raws = (
+                pdf[http_col]
+                if http_col is not None
+                else [False] * len(pdf)
+            )
+            for did, blob, is_raw in zip(
+                pdf[id_col], pdf[content_col], raws
+            ):
                 ids.append(did)
                 try:
                     if blob is None:
                         raise ValueError("null content")
+                    if is_raw:
+                        blob = http_entity_bytes(bytes(blob))
                     dec = decode_pdf_text(bytes(blob))
                     joined = PAGE_SEP.join(dec["pages"])
                     if not joined.strip():

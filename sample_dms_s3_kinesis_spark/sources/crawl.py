@@ -1155,7 +1155,10 @@ def _encoded_entity_udf(max_chunks: int = 8192):
 
 
 def warc_responses(
-    records: DataFrame, *, max_chunks: int = 8192
+    records: DataFrame,
+    *,
+    max_chunks: int = 8192,
+    keep_payload_bin: bool = False,
 ) -> DataFrame:
     """HTTP response records out of :func:`read_warc_records` /
     :func:`read_warc_gz` output: parses the HTTP status line, splits
@@ -1520,6 +1523,16 @@ def warc_responses(
         "http_content_encoding",
         body.alias("body"),
         reason.alias("body_reject_reason"),
+        # opt-in raw-bytes passthrough (pdf_text mode: a binary PDF's
+        # bytes cannot survive the text decode above — the extractor
+        # needs the RAW record payload to strip the header block and
+        # HTTP codings itself).  Off by default: the column is the
+        # whole payload, a corpus-scale frame must not carry it.
+        *(
+            [F.col("payload_bin")]
+            if keep_payload_bin and has_bin
+            else []
+        ),
     )
 
 

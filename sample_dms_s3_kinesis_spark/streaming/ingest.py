@@ -1451,7 +1451,13 @@ class CorpusIngestTask(ReplicationTask):
             records = crawl.read_warc_records(
                 self.spark, self.drop_dir, streaming=streaming, options=opts
             )
-        responses = crawl.warc_responses(records)
+        # pdf_text + binary containers: the text decode above mangles
+        # a binary PDF's bytes (U+FFFD replacement), so the raw record
+        # payload rides along for the extractor to strip the header
+        # block and HTTP codings itself (pdf.http_entity_bytes)
+        responses = crawl.warc_responses(
+            records, keep_payload_bin=self.pdf_text
+        )
         # target_uri must exist: the URI is the doc identity, and
         # xxhash64(NULL) is a fixed constant — URI-less responses would
         # all collapse onto one doc_id.  They drop here instead.
@@ -1507,6 +1513,20 @@ class CorpusIngestTask(ReplicationTask):
                 if self.mime_allowlist is not None
                 else []
             ),
+            # pdf_text + binary containers: raw payload bytes, PDF
+            # rows only (the column stays NULL-thin for every other
+            # row; dropped with the other plumbing columns)
+            *(
+                [
+                    F.when(
+                        F.lower(F.trim(F.col("http_content_type")))
+                        == "application/pdf",
+                        F.col("payload_bin"),
+                    ).alias("_pdf_bin")
+                ]
+                if self.pdf_text and "payload_bin" in responses.columns
+                else []
+            ),
         )
         if self.follow_redirects:
             # 3xx rows ride along as plumbing rows (text NULL, a
@@ -1527,6 +1547,12 @@ class CorpusIngestTask(ReplicationTask):
                 *(
                     [F.lit(None).cast("string").alias("_mime")]
                     if self.mime_allowlist is not None
+                    else []
+                ),
+                *(
+                    [F.lit(None).cast("binary").alias("_pdf_bin")]
+                    if self.pdf_text
+                    and "payload_bin" in responses.columns
                     else []
                 ),
                 F.col("redirect_target").alias("_redirect_target"),
@@ -1556,6 +1582,12 @@ class CorpusIngestTask(ReplicationTask):
                 *(
                     [F.lit(None).cast("string").alias("_mime")]
                     if self.mime_allowlist is not None
+                    else []
+                ),
+                *(
+                    [F.lit(None).cast("binary").alias("_pdf_bin")]
+                    if self.pdf_text
+                    and "payload_bin" in responses.columns
                     else []
                 ),
                 *(
@@ -1839,21 +1871,31 @@ class CorpusIngestTask(ReplicationTask):
             )
 
             is_pdf = F.col("_mime") == "application/pdf"
-            # the WARC reader carries bodies as UTF-8 text; a text-mode
-            # PDF (uncompressed ASCII streams) survives byte-exactly
-            # through encode().  Binary PDFs arrive via warc_gz's
-            # binary_payload path pre-encoded — text is then the
-            # latin-1 projection and re-encoding is lossless for it.
+            has_bin = "_pdf_bin" in valid.columns
+            raw_bin = (
+                F.col("_pdf_bin")
+                if has_bin
+                else F.lit(None).cast("binary")
+            )
+            # binary containers supply the raw record payload (the
+            # text column is the mangled UTF-8 projection there); the
+            # text WARC reader supplies the body string, whose UTF-8
+            # re-encode is byte-exact for the ASCII PDFs that survive
+            # a text-mode transport
             pdf_src = valid.filter(is_pdf).select(
                 "doc_id",
                 F.col("_uri").alias("target_uri"),
-                F.encode(F.col("text"), "UTF-8").alias("content"),
+                F.coalesce(
+                    raw_bin, F.encode(F.col("text"), "UTF-8")
+                ).alias("content"),
+                raw_bin.isNotNull().alias("_raw_http"),
             )
             ext = (
                 extract_pdf_text(
-                    pdf_src.select("doc_id", "content"),
+                    pdf_src.select("doc_id", "content", "_raw_http"),
                     content_col="content",
                     id_col="doc_id",
+                    http_col="_raw_http",
                 )
                 .join(pdf_src.select("doc_id", "target_uri"), "doc_id")
                 .persist()
@@ -1914,6 +1956,8 @@ class CorpusIngestTask(ReplicationTask):
             bad_mime.unpersist()
         if "_mime" in valid.columns:
             valid = valid.drop("_mime")
+        if "_pdf_bin" in valid.columns:
+            valid = valid.drop("_pdf_bin")
         if "_uri" in valid.columns:
             valid = valid.drop("_uri")
         if self.extract_html:

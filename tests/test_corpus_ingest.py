@@ -1889,6 +1889,88 @@ def test_pdf_text_routing(spark, tmp_path):
     assert mime_q == {"https://p.com/api"}
 
 
+def test_pdf_text_binary_warc_gz(spark, tmp_path):
+    """pdf_text over input_format='warc_gz': a REAL binary PDF (Flate
+    content streams) — whose bytes the text decode necessarily mangles
+    — extracts through the raw-payload route (_pdf_bin ->
+    http_entity_bytes), including one served with Content-Encoding:
+    gzip; an encrypted binary PDF lands in _quarantine_pdf."""
+    import gzip
+
+    from sample_dms_s3_kinesis_spark.operators.pdf import encode_pdf
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        TEXT_MIME_ALLOWLIST,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+
+    def _record(uri, body_bytes, extra_headers=b""):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n"
+            + extra_headers
+            + b"\r\n"
+            + body_bytes
+        )
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+            + b"\r\n\r\n"
+        )
+
+    def _html(uri, body):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + body.encode()
+        )
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+            + b"\r\n\r\n"
+        )
+
+    plain_pdf = encode_pdf(["binary flate page text"])  # real binary
+    gz_pdf = encode_pdf(["gzip served pdf text"])
+    enc_pdf = encode_pdf(["locked"], encrypted=True)
+    recs = (
+        _html("https://b.com/html", "<p>binary mode html</p>")
+        + _record("https://b.com/plain.pdf", plain_pdf)
+        + _record(
+            "https://b.com/gz.pdf",
+            gzip.compress(gz_pdf),
+            extra_headers=b"Content-Encoding: gzip\r\n",
+        )
+        + _record("https://b.com/enc.pdf", enc_pdf)
+    )
+    (drop / "b1.warc.gz").write_bytes(gzip.compress(recs))
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        input_format="warc_gz",
+        extract_html=True,
+        mime_allowlist=TEXT_MIME_ALLOWLIST,
+        pdf_text=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    task._process_batch(task._source_frame(streaming=False), 0)
+    stats = task.ingest_stats()
+    assert stats["pdf_extracted"] == 2
+    assert stats["rejected_pdf"] == 1
+    corpus = {r["text"] for r in task.corpus().collect()}
+    assert "binary flate page text" in corpus
+    assert "gzip served pdf text" in corpus
+    assert any("binary mode html" in t for t in corpus)
+    q = {(r["target_uri"], r["error"]) for r in task.pdf_quarantined().collect()}
+    assert q == {("https://b.com/enc.pdf", "encrypted")}
+
+
 def test_pdf_text_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="pdf_text requires"):
         CorpusIngestTask(

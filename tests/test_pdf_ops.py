@@ -185,3 +185,80 @@ def test_multiple_content_streams_concatenate(spark):
     )
     out = P.decode_pdf_text(doc2)
     assert out["pages"] == ["first\nsecond"]
+
+
+def test_http_entity_bytes():
+    body = b"%PDF-raw-entity-bytes\x00\x01\x02"
+    raw = b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n" + body
+    assert P.http_entity_bytes(raw) == body
+    # gzip content coding
+    import gzip as _gzip
+
+    graw = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + _gzip.compress(body)
+    )
+    assert P.http_entity_bytes(graw) == body
+    # deflate, both zlib-wrapped and raw
+    comp = zlib.compressobj()
+    zl = comp.compress(body) + comp.flush()
+    assert (
+        P.http_entity_bytes(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + zl
+        )
+        == body
+    )
+    comp = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    rawdef = comp.compress(body) + comp.flush()
+    assert (
+        P.http_entity_bytes(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + rawdef
+        )
+        == body
+    )
+    # chunked transfer coding (then gzip, RFC order)
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + b"5\r\n%PDF-\r\n3;ext=1\r\nraw\r\n0\r\n\r\n"
+    )
+    assert P.http_entity_bytes(chunked) == b"%PDF-raw"
+    with pytest.raises(NotImplementedError, match="transfer coding"):
+        P.http_entity_bytes(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: br-ish\r\n\r\nx"
+        )
+    with pytest.raises(NotImplementedError, match="content coding"):
+        P.http_entity_bytes(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx"
+        )
+    with pytest.raises(ValueError, match="header block"):
+        P.http_entity_bytes(b"no headers here")
+    with pytest.raises(ValueError, match="chunked"):
+        P.http_entity_bytes(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\n"
+        )
+
+
+def test_extract_pdf_text_http_wrapped(spark):
+    """http_col=True rows carry a raw HTTP response: the extractor
+    strips the header block (and codings) before parsing — the
+    binary-WARC route real crawl PDFs take."""
+    import gzip as _gzip
+
+    doc = P.encode_pdf(["binary route page"])  # Flate, real binary
+    raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + _gzip.compress(doc)
+    )
+    rows = [
+        (1, bytearray(raw), True),
+        (2, bytearray(P.encode_pdf(["direct bytes page"])), False),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id int, content binary, is_raw boolean"
+    )
+    got = {
+        r["asset_id"]: (r["text"], r["error"])
+        for r in P.extract_pdf_text(df, http_col="is_raw").collect()
+    }
+    assert got[1] == ("binary route page", None)
+    assert got[2] == ("direct bytes page", None)
