@@ -510,7 +510,8 @@ def langid_nb_model(
 ) -> tuple[DataFrame, DataFrame]:
     """Train the char-n-gram NB language model on the in-repo seed
     corpus (``operators/langid_data.py``: 12 Latin-script languages ×
-    22 sentences) — the fastText-shaped upgrade over the marker-word
+    18-22 sentences; see that module's docstring for the exact class
+    balance) — the fastText-shaped upgrade over the marker-word
     heuristic, which covers en/de/fr/es only and funnels every other
     Latin-script language into one of those four.
 

@@ -352,11 +352,20 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
 
     Object bodies are parsed with the real lexer; stream payloads are
     skipped via their /Length (direct or resolved in a second pass),
-    falling back to an `endstream` search — so binary stream content
-    containing 'endobj' can never desynchronize the scan."""
+    falling back to an `endstream` search — and header-shaped byte
+    runs ('N 0 obj') INSIDE a known stream range are skipped too
+    (r15 review sweep #2: binary stream content could otherwise mint
+    a spurious object that first-occurrence-shadows the real one), so
+    stream content can never desynchronize the scan.  The one residual
+    gap: a stream with an unresolvable indirect /Length is bounded by
+    the first 'endstream' byte-run, which binary content could fake —
+    such a document degrades to a parse error, never a wrong page."""
     objects: dict[int, tuple[object, bytes | None]] = {}
     pending_len: list[tuple[int, dict, int]] = []
+    resume_pos = 0
     for m in _OBJ_HEAD_RE.finditer(data):
+        if m.start() < resume_pos:
+            continue  # header-shaped bytes inside a stream payload
         num = int(m.group(1))
         lex = _Lexer(data, m.end())
         try:
@@ -374,12 +383,16 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
             length = val.get("Length") if isinstance(val, dict) else None
             if isinstance(length, int):
                 stream = data[p : p + length]
+                resume_pos = p + length
             elif isinstance(length, tuple) and length[0] == "ref":
                 pending_len.append((num, val, p))
                 stream = b""
+                end = data.find(b"endstream", p)
+                resume_pos = end if end >= 0 else len(data)
             else:
                 end = data.find(b"endstream", p)
                 stream = data[p:end] if end >= 0 else data[p:]
+                resume_pos = end if end >= 0 else len(data)
         if num not in objects:
             objects[num] = (val, stream)
     for num, val, p in pending_len:
@@ -518,8 +531,20 @@ def decode_pdf_text(content: bytes) -> dict:
             raise EncryptedPdfError("document declares /Encrypt")
         if "Root" in tr:
             root = tr["Root"]
-    # xref-stream documents have no `trailer` keyword: fall back to the
-    # catalog object itself (and honor an /Encrypt found there)
+    # xref-stream documents have no `trailer` keyword: their trailer
+    # fields live in the /Type /XRef stream dict — honor an /Encrypt
+    # there (r15 review sweep #5: encrypted 1.5+ documents must raise
+    # the 'encrypted' channel, not a downstream zlib error), take its
+    # /Root, and otherwise fall back to the catalog object itself
+    if root is None:
+        for num, (val, _) in sorted(objects.items()):
+            if isinstance(val, dict) and val.get("Type") == "XRef":
+                if "Encrypt" in val:
+                    raise EncryptedPdfError(
+                        "document declares /Encrypt (xref stream)"
+                    )
+                if root is None and "Root" in val:
+                    root = val["Root"]
     if root is None:
         for num, (val, _) in sorted(objects.items()):
             if isinstance(val, dict) and val.get("Type") == "Catalog":

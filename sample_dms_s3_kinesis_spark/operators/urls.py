@@ -81,17 +81,25 @@ def url_query(col: Column) -> Column:
 
 
 def idn_ascii_host_py(host: str) -> str:
-    """Fold a host to its canonical IDNA ASCII (ACE) form: non-ASCII
-    labels punycode-encode (RFC 3492 via the stdlib IDNA codec, which
-    applies nameprep case/width folding first), ASCII labels just
-    lowercase — so ``münchen.de``, ``MÜNCHEN.de`` and
-    ``xn--mnchen-3ya.de`` all key as ``xn--mnchen-3ya.de``.  ACE (not
-    Unicode) is the canonical direction because every downstream
-    consumer — SURT urlkeys, CDX sort order, blocklists, per-host caps
-    — is ASCII-keyed (the pywb/CDX convention keeps xn-- forms).
-    Labels the codec rejects (empty, over-long, bad punycode) pass
-    through lowercased — they are still hostnames, just not IDNs; the
-    fold must never turn a weird host into a crash or a collision."""
+    """Fold a host to its canonical IDNA ASCII (ACE) form: lowercase,
+    NFC-normalize, RFC 3492 punycode-encode each non-ASCII label
+    (stdlib ``punycode`` codec) — so ``münchen.de``, ``MÜNCHEN.de``
+    and ``xn--mnchen-3ya.de`` all key as ``xn--mnchen-3ya.de``.  The
+    mapping is UTS46-NON-TRANSITIONAL-style (r15 review sweep #6):
+    ``ß``/``ς`` are PRESERVED and encode into their own ACE labels —
+    ``straße.de`` → ``xn--strae-oqa.de`` — matching what browsers and
+    pywb/CDX urlkeys produce today (the IDNA2003 codec's ß→ss mapping
+    would key such hosts differently from their externally-produced
+    ACE forms).  ACE (not Unicode) is the canonical direction because
+    every downstream consumer — SURT urlkeys, CDX sort order,
+    blocklists, per-host caps — is ASCII-keyed.  Labels the codec
+    rejects pass through lowercased — they are still hostnames, just
+    not IDNs; the fold must never turn a weird host into a crash or a
+    collision.  (Full UTS46 table mapping — width folding, disallowed
+    sets — is out of scope; lowercase+NFC covers the folding that
+    affects host identity.)"""
+    import unicodedata
+
     h = host.strip().lower().rstrip(".")
     if h.isascii():
         return h
@@ -100,22 +108,29 @@ def idn_ascii_host_py(host: str) -> str:
         if label.isascii():
             out.append(label)
         else:
+            norm = unicodedata.normalize("NFC", label)
             try:
-                out.append(label.encode("idna").decode("ascii"))
+                out.append(
+                    "xn--" + norm.encode("punycode").decode("ascii")
+                )
             except UnicodeError:
                 out.append(label)
     return ".".join(out)
 
 
-def fold_idn_host(col: Column) -> Column:
-    """Column form of :func:`idn_ascii_host_py` — an Arrow-batched
-    pandas UDF, guarded so the all-ASCII fast path (the overwhelming
-    majority of real hosts) never leaves Catalyst: only rows whose
-    host carries a non-ASCII byte route through Python.  NULL stays
-    NULL.  Opt-in plumbing for the ``idn=True`` flags on
-    :func:`domain_blocklist` / :func:`domain_caps` /
-    :func:`surt_urlkey` — the default paths stay pure Catalyst (and
-    DuckDB-replayable)."""
+_ASCII_RE = r"^\p{ASCII}*$"
+
+
+def _ascii_host_norm(col: Column) -> Column:
+    """The ASCII half of the fold as pure Catalyst: lowercase, trim,
+    trailing root-dots stripped — MUST mirror idn_ascii_host_py's
+    ASCII path exactly (r15 review sweep #4: an unnormalized ASCII
+    branch minted separate identities for 'Example.COM.' vs
+    'example.com' while non-ASCII spellings folded)."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\.+$", "")
+
+
+def _fold_udf():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -128,12 +143,43 @@ def fold_idn_host(col: Column) -> Column:
     # annotations` would stringify inline hints, which pandas_udf
     # cannot resolve from another module's namespace
     _fold_fn.__annotations__ = {"hosts": pd.Series, "return": pd.Series}
-    _fold = pandas_udf(_fold_fn, "string")
+    return pandas_udf(_fold_fn, "string")
 
-    ascii_re = r"^\p{ASCII}*$"
+
+def fold_idn_host(col: Column) -> Column:
+    """Column form of :func:`idn_ascii_host_py`: ASCII hosts normalize
+    in Catalyst (:func:`_ascii_host_norm`), the rest through an
+    Arrow-batched pandas UDF.  COST NOTE (r15 review sweep #3): the
+    when() only selects the OUTPUT per row — Spark still extracts the
+    UDF into an unconditional ArrowEvalPython projection, so every row
+    pays the Arrow round trip.  For corpus-scale frames use
+    :func:`fold_idn_hosts` (a DataFrame split-union that genuinely
+    keeps ASCII rows out of Python); this column form is for small
+    frames (blocklist entries) and column-only contexts
+    (:func:`surt_urlkey`).  NULL stays NULL."""
     return F.when(col.isNull(), F.lit(None).cast("string")).when(
-        col.rlike(ascii_re), col
-    ).otherwise(_fold(col))
+        col.rlike(_ASCII_RE), _ascii_host_norm(col)
+    ).otherwise(_fold_udf()(col))
+
+
+def fold_idn_hosts(
+    df: DataFrame, host: Column, out_col: str
+) -> DataFrame:
+    """Append ``out_col`` = the canonical ACE fold of ``host``, with
+    the all-ASCII fast path (the overwhelming majority of real hosts)
+    GENUINELY staying in Catalyst: the frame splits on an ASCII probe,
+    only the non-ASCII slice runs the Arrow UDF, and the halves
+    re-union.  The idn=True frame paths (:func:`domain_blocklist`,
+    :func:`domain_caps`) route through this."""
+    is_ascii = host.isNull() | host.rlike(_ASCII_RE)
+    a = df.filter(is_ascii).withColumn(
+        out_col,
+        F.when(host.isNotNull(), _ascii_host_norm(host)),
+    )
+    b = df.filter(~F.coalesce(is_ascii, F.lit(True))).withColumn(
+        out_col, _fold_udf()(host)
+    )
+    return a.unionByName(b)
 
 
 def registered_domain(host: Column) -> Column:
@@ -199,19 +245,37 @@ def domain_blocklist(
     domain (e.g. from :func:`parse_urls`).
 
     ``idn=True`` folds hosts AND entries to canonical IDNA ASCII
-    (:func:`fold_idn_host`) before the registered-domain key, closing
-    the IDN-spelling evasion where ``xn--mnchen-3ya.de`` and its
-    Unicode spelling read as different domains (r15, verdict r14 #4);
-    off by default so the common all-ASCII path stays pure Catalyst
-    (DuckDB-replayable, no Arrow nodes in the plan)."""
-    def _key(c: Column) -> Column:
-        return fold_idn_host(c) if idn else c
-
-    dom = (
-        _key(F.col(domain_col))
-        if domain_col is not None
-        else registered_domain(_key(url_host(F.col(url_col))))
-    )
+    before the registered-domain key, closing the IDN-spelling evasion
+    where ``xn--mnchen-3ya.de`` and its Unicode spelling read as
+    different domains (r15, verdict r14 #4).  The DATA side folds via
+    :func:`fold_idn_hosts` — a split-union, so ASCII rows genuinely
+    never leave Catalyst; entries fold column-wise (entry frames are
+    domain-cardinality, the Arrow cost is trivial).  Off by default so
+    the common path stays pure Catalyst (DuckDB-replayable, no Arrow
+    nodes in the plan)."""
+    _tag = "_idn_fold_v7k2"
+    if idn:
+        if _tag in df.columns:
+            raise ValueError(
+                f"input columns collide with internal names: ['{_tag}']"
+            )
+        src = (
+            F.col(domain_col)
+            if domain_col is not None
+            else url_host(F.col(url_col))
+        )
+        df = fold_idn_hosts(df, src, _tag)
+        dom = (
+            F.col(_tag)
+            if domain_col is not None
+            else registered_domain(F.col(_tag))
+        )
+    else:
+        dom = (
+            F.col(domain_col)
+            if domain_col is not None
+            else registered_domain(url_host(F.col(url_col)))
+        )
     if isinstance(blocked, DataFrame):
         bcols = blocked.columns
         if len(bcols) != 1:
@@ -242,18 +306,18 @@ def domain_blocklist(
         )
         return joined.withColumn(
             keep_col, F.col("_bl_dom").isNull().cast("int")
-        ).drop("_dom_bl", "_bl_dom")
+        ).drop("_dom_bl", "_bl_dom", _tag)
     entries = sorted(
         {_normalize_blocklist_entry_py(str(b), idn=idn) for b in blocked}
         - {""}
     )
     if not entries:
-        return df.withColumn(keep_col, F.lit(1))
+        return df.withColumn(keep_col, F.lit(1)).drop(_tag)
     # NULL domain -> isin is NULL -> keep (parity with the frame path,
     # where a NULL join key simply misses)
     return df.withColumn(
         keep_col, F.coalesce((~dom.isin(entries)).cast("int"), F.lit(1))
-    )
+    ).drop(_tag)
 
 
 # Blocklist entries arrive in the wild as bare domains, hosts, FQDNs
@@ -324,23 +388,43 @@ def domain_caps(
     re-evaluates per row just to key the window.
 
     ``idn=True`` folds the host to canonical IDNA ASCII before the
-    domain key, so mirror IDN spellings of one domain share one cap
-    (r15, verdict r14 #4; off by default — pure-Catalyst path)."""
+    domain key — via the :func:`fold_idn_hosts` split-union, so ASCII
+    rows genuinely never leave Catalyst — and mirror IDN spellings of
+    one domain share one cap (r15, verdict r14 #4; off by default —
+    pure-Catalyst path)."""
     if max_per_domain < 1:
         raise ValueError(
             f"max_per_domain must be >= 1, got {max_per_domain}"
         )
-    _key = (lambda c: fold_idn_host(c)) if idn else (lambda c: c)
-    dom = (
-        _key(F.col(domain_col))
-        if domain_col is not None
-        else registered_domain(_key(url_host(F.col(url_col))))
-    )
+    _tag = "_idn_fold_v7k2"
+    if idn:
+        if _tag in df.columns:
+            raise ValueError(
+                f"input columns collide with internal names: ['{_tag}']"
+            )
+        src = (
+            F.col(domain_col)
+            if domain_col is not None
+            else url_host(F.col(url_col))
+        )
+        df = fold_idn_hosts(df, src, _tag)
+        dom = (
+            F.col(_tag)
+            if domain_col is not None
+            else registered_domain(F.col(_tag))
+        )
+    else:
+        dom = (
+            F.col(domain_col)
+            if domain_col is not None
+            else registered_domain(url_host(F.col(url_col)))
+        )
     w = Window.partitionBy(dom).orderBy(F.col(order_col).asc())
-    return df.withColumn(
+    out = df.withColumn(
         keep_col,
         (F.row_number().over(w) <= F.lit(max_per_domain)).cast("int"),
     )
+    return out.drop(_tag) if idn else out
 
 
 def domain_caps_against(

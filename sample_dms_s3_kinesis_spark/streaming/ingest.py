@@ -1925,7 +1925,13 @@ class CorpusIngestTask(ReplicationTask):
                 pdf_ok = _cut_lineage(ok)
             ext.unpersist()
             if n_pdf_ok or n_pdf_failed:
-                valid = valid.filter(~is_pdf)
+                # coalesce: ~is_pdf is NULL for NULL _mime rows, and a
+                # bare filter would silently DROP every undeclared-
+                # Content-Type page (which the MIME gate admits) from
+                # any batch containing one PDF (r15 review sweep #1)
+                valid = valid.filter(
+                    ~F.coalesce(is_pdf, F.lit(False))
+                )
         n_mime = 0
         if self.mime_allowlist is not None and "_mime" in valid.columns:
             from sample_dms_s3_kinesis_spark.sources.crawl import (

@@ -1837,10 +1837,10 @@ def test_pdf_text_routing(spark, tmp_path):
     )
 
     def _page(uri, body, content_type):
-        payload = (
-            f"HTTP/1.1 200 OK\r\nContent-Type: {content_type}\r\n"
-            f"\r\n{body}"
+        ct = (
+            f"Content-Type: {content_type}\r\n" if content_type else ""
         )
+        payload = f"HTTP/1.1 200 OK\r\n{ct}\r\n{body}"
         return (
             "WARC/1.0\r\n"
             "WARC-Type: response\r\n"
@@ -1866,17 +1866,26 @@ def test_pdf_text_routing(spark, tmp_path):
         + _page("https://p.com/doc.pdf", good_pdf, "application/pdf")
         + _page("https://p.com/enc.pdf", enc_pdf, "application/pdf")
         + _page("https://p.com/api", '{"k": 1}', "application/json")
+        # NO Content-Type at all: the MIME gate admits undeclared
+        # pages, and the pdf carve-out's filter must not NULL-drop
+        # them (r15 review sweep #1: ~is_pdf is NULL for NULL _mime)
+        + _page(
+            "https://p.com/untyped",
+            "<html><body><p>untyped page body</p></body></html>",
+            None,
+        )
     )
     batch = task._source_frame(streaming=False)
     task._process_batch(batch, 0)
     task._process_batch(batch, 0)  # replay: idempotent
 
     stats = task.ingest_stats()
-    assert stats["admitted"] == 2  # html + extracted pdf
+    assert stats["admitted"] == 3  # html + extracted pdf + untyped
     assert stats["pdf_extracted"] == 1  # replay overwrote batch 0
     assert stats["rejected_pdf"] == 1
     assert stats["rejected_mime"] == 1  # json only — pdfs never here
     corpus = {r["text"] for r in task.corpus().collect()}
+    assert any("untyped page body" in t for t in corpus)
     assert (
         "report text line one\nline two\n\nsecond page text" in corpus
     )

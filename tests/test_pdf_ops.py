@@ -262,3 +262,43 @@ def test_extract_pdf_text_http_wrapped(spark):
     }
     assert got[1] == ("binary route page", None)
     assert got[2] == ("direct bytes page", None)
+
+
+def test_object_header_bytes_inside_stream_do_not_shadow():
+    """r15 review sweep #2: binary stream content containing
+    'N 0 obj' must not mint a spurious object that shadows the real
+    one defined later in the file."""
+    doc = P.encode_pdf(["shadow test page"], compress=False)
+    # splice a second (unreferenced) stream object BEFORE the real
+    # page objects whose content contains a fake '3 0 obj' header
+    evil = b"\n50 0 obj\n<< /Length 30 >>\nstream\n3 0 obj << /T /X >> endobj\nendstream\nendobj\n"
+    head_end = doc.index(b"1 0 obj")
+    patched = doc[:head_end] + evil + doc[head_end:]
+    out = P.decode_pdf_text(patched)
+    assert out["pages"] == ["shadow test page"]
+
+
+def test_xref_stream_encrypt_detected():
+    """r15 review sweep #5: an encrypted PDF with NO `trailer` keyword
+    (xref-stream document, PDF 1.5+) must raise the encrypted channel,
+    not a downstream decompress error."""
+    doc = P.encode_pdf(["secret page"], compress=False)
+    # strip the classic trailer, add an XRef-typed dict carrying
+    # /Encrypt and /Root
+    t0 = doc.index(b"trailer")
+    t1 = doc.index(b"startxref")
+    patched = (
+        doc[:t0]
+        + b"60 0 obj\n<< /Type /XRef /Root 1 0 R /Encrypt 61 0 R >>\nendobj\n"
+        + doc[t1:]
+    )
+    with pytest.raises(P.EncryptedPdfError, match="xref"):
+        P.decode_pdf_text(patched)
+    # same structure WITHOUT /Encrypt still resolves /Root through the
+    # xref dict
+    patched2 = (
+        doc[:t0]
+        + b"60 0 obj\n<< /Type /XRef /Root 1 0 R >>\nendobj\n"
+        + doc[t1:]
+    )
+    assert P.decode_pdf_text(patched2)["pages"] == ["secret page"]
