@@ -436,6 +436,7 @@ def domain_caps_against(
     max_per_domain: int,
     order_col: str = "doc_id",
     keep_col: str = "kept",
+    idn: bool = False,
 ) -> DataFrame:
     """Incremental per-domain frequency cap — the admission-gate twin
     of :func:`domain_caps` (same pattern as ``dedup_against``): a new
@@ -448,13 +449,40 @@ def domain_caps_against(
     domain-cardinality-sized, tiny next to the corpus), one join of
     the new batch against it, one window over the new batch.  The
     corpus ships COUNTS, never rows — the incremental contract every
-    ``_against`` gate in this engine keeps."""
+    ``_against`` gate in this engine keeps.
+
+    ``idn=True`` folds hosts to canonical IDNA ASCII on BOTH frames
+    (via the :func:`fold_idn_hosts` split-union — ASCII rows stay in
+    Catalyst) before the domain key, so a domain that filled its
+    budget under one IDN spelling admits nothing under another."""
     if max_per_domain < 1:
         raise ValueError(
             f"max_per_domain must be >= 1, got {max_per_domain}"
         )
+    _idn_tag = "_idn_fold_v7k2"
+    if idn:
+        clash0 = {_idn_tag} & (
+            set(new_df.columns) | set(corpus_df.columns)
+        )
+        if clash0:
+            raise ValueError(
+                f"input columns collide with internal names: "
+                f"{sorted(clash0)}"
+            )
+
+        def _src(frame):
+            if domain_col is not None and domain_col in frame.columns:
+                return F.col(domain_col)
+            return url_host(F.col(url_col))
+
+        corpus_df = fold_idn_hosts(corpus_df, _src(corpus_df), _idn_tag)
+        new_df = fold_idn_hosts(new_df, _src(new_df), _idn_tag)
 
     def _dom(df_cols_have_domain: bool):
+        if idn:
+            if domain_col is not None and df_cols_have_domain:
+                return F.col(_idn_tag)
+            return registered_domain(F.col(_idn_tag))
         if domain_col is not None and df_cols_have_domain:
             return F.col(domain_col)
         return registered_domain(url_host(F.col(url_col)))
@@ -495,7 +523,7 @@ def domain_caps_against(
                 <= F.lit(max_per_domain)
             ).cast("int"),
         )
-        .drop(c_rk, c_dom, c_prior)
+        .drop(c_rk, c_dom, c_prior, _idn_tag)
     )
 
 

@@ -198,3 +198,29 @@ def test_domain_caps_idn_with_precomputed_domain_col(spark):
         ).collect()
     }
     assert kept == {0: 1, 1: 0, 2: 1, 3: 0}
+
+
+def test_domain_caps_against_idn_shared_budget(spark):
+    """idn=True on the incremental twin: a domain that filled its
+    budget in the corpus under the ACE spelling admits nothing under
+    the Unicode spelling (and vice versa)."""
+    corpus = spark.createDataFrame(
+        [(0, "https://xn--mnchen-3ya.de/a"), (1, "https://münchen.de/b")],
+        "doc_id long, url string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "https://münchen.de/c"),
+            (11, "https://api.münchen.de/d"),
+            (12, "https://fresh.com/e"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = {
+        r["doc_id"]: r["kept"]
+        for r in urls.domain_caps_against(
+            new, corpus, max_per_domain=2, idn=True
+        ).collect()
+    }
+    # corpus already holds 2 docs of the folded domain: nothing admits
+    assert kept == {10: 0, 11: 0, 12: 1}
