@@ -406,6 +406,51 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
     return objects
 
 
+def _expand_object_streams(objects: dict) -> None:
+    """Surface objects stored INSIDE /Type /ObjStm compressed object
+    streams (the PDF 1.5+ packaging most modern writers use for the
+    catalog/page dicts): inflate each object stream, read the N
+    (obj-num, offset) header pairs before /First, and lex each
+    embedded object into the table.  Directly-defined objects win on
+    collision (a hostile ObjStm must not shadow a real object);
+    streams that fail to inflate or parse are skipped — their objects
+    stay missing and the document degrades to a parse error, never a
+    wrong page.  Objects inside an ObjStm carry no streams (spec)."""
+    for num, (val, stream) in list(objects.items()):
+        if not (
+            isinstance(val, dict)
+            and val.get("Type") == "ObjStm"
+            and stream is not None
+        ):
+            continue
+        try:
+            data = _decode_stream(val, stream)
+        except (NotImplementedError, zlib.error, ValueError):
+            continue
+        n = _resolve(objects, val.get("N"))
+        first = _resolve(objects, val.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            continue
+        lex = _Lexer(data[:first])
+        pairs: list[tuple[int, int]] = []
+        try:
+            for _ in range(n):
+                onum = lex.parse_object()
+                ooff = lex.parse_object()
+                if isinstance(onum, int) and isinstance(ooff, int):
+                    pairs.append((onum, ooff))
+        except (ValueError, IndexError):
+            pass
+        for onum, ooff in pairs:
+            if onum in objects:
+                continue
+            try:
+                obj = _Lexer(data, first + ooff).parse_object()
+            except (ValueError, IndexError):
+                continue
+            objects[onum] = (obj, None)
+
+
 def _trailer_dicts(data: bytes) -> Iterator[dict]:
     for m in re.finditer(rb"trailer\b", data):
         lex = _Lexer(data, m.end())
@@ -545,6 +590,10 @@ def decode_pdf_text(content: bytes) -> dict:
                     )
                 if root is None and "Root" in val:
                     root = val["Root"]
+    # AFTER the encrypt checks (an encrypted ObjStm would just fail
+    # inflate), surface PDF 1.5+ object-stream members — the catalog
+    # and page dicts of most modern writers live inside one
+    _expand_object_streams(objects)
     if root is None:
         for num, (val, _) in sorted(objects.items()):
             if isinstance(val, dict) and val.get("Type") == "Catalog":

@@ -302,3 +302,58 @@ def test_xref_stream_encrypt_detected():
         + doc[t1:]
     )
     assert P.decode_pdf_text(patched2)["pages"] == ["secret page"]
+
+
+def _objstm_doc(page_text=b"objstm page text", collide=False):
+    """A PDF 1.5-style document whose catalog/pages/page dicts live
+    inside a Flate /ObjStm, with an XRef-typed dict instead of a
+    classic trailer — the packaging most modern writers emit."""
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    if collide:
+        # a member claiming obj 4 (the DIRECT content stream's number)
+        objs.append((4, b"<< /Type /NotTheRealFour >>"))
+    body = b""
+    offsets = []
+    for num, ob in objs:
+        offsets.append((num, len(body)))
+        body += ob + b"\n"
+    header = (
+        " ".join(f"{n} {o}" for n, o in offsets).encode() + b"\n"
+    )
+    first = len(header)
+    stm = zlib.compress(header + body)
+    content = b"BT /F1 12 Tf 72 720 Td (" + page_text + b") Tj ET"
+    doc = b"%PDF-1.5\n"
+    doc += (
+        b"7 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (len(objs), first, len(stm))
+        + stm
+        + b"\nendstream\nendobj\n"
+    )
+    doc += (
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    doc += b"8 0 obj\n<< /Type /XRef /Root 1 0 R >>\nendobj\n%%EOF\n"
+    return doc
+
+
+def test_object_stream_members_resolve():
+    """PDF 1.5 object streams: the catalog/pages/page dicts live
+    inside a compressed /ObjStm and still resolve — the packaging
+    most modern real-world PDFs use."""
+    out = P.decode_pdf_text(_objstm_doc())
+    assert out == {"n_pages": 1, "pages": ["objstm page text"]}
+
+
+def test_object_stream_member_cannot_shadow_direct_object():
+    """A hostile ObjStm member claiming a directly-defined object's
+    number must not shadow it (direct objects win on collision)."""
+    out = P.decode_pdf_text(_objstm_doc(collide=True))
+    assert out["pages"] == ["objstm page text"]
