@@ -10241,3 +10241,87 @@ def q_idn_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _urls.domain_caps(
         fixture, max_per_domain=20, order_col="doc_id", idn=True
     ).select("doc_id", "kept")
+
+
+_LANGID_E2E_CACHE: dict[str, tuple[list, object]] = {}
+
+
+def _langid_e2e_results(spark: SparkSession):
+    """Cached drive of the lang_id ingest mode: five held-out fixture
+    documents (pt/pl/en Latin + zh/ru non-Latin) through
+    CorpusIngestTask(lang_id=True) plus a replay — every admitted doc
+    carries the router's language label, and the replay changes
+    nothing.  The expected labels are the fixture truth the 48/48 +
+    8/8 contract already pins."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from sample_dms_s3_kinesis_spark.operators.langid_data import (
+        LANGID_TEST,
+        NONLATIN_TEST,
+    )
+    from sample_dms_s3_kinesis_spark.streaming.ingest import (
+        CorpusIngestTask,
+    )
+
+    key = spark.sparkContext.applicationId
+    if key not in _LANGID_E2E_CACHE:
+        root = tempfile.mkdtemp(prefix="q_langid_e2e_")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        docs = [
+            (1, LANGID_TEST["pt"][0]),
+            (2, LANGID_TEST["pl"][1]),
+            (3, LANGID_TEST["en"][2]),
+            (4, NONLATIN_TEST["zh"][0]),
+            (5, NONLATIN_TEST["ru"][1]),
+        ]
+        with open(os.path.join(drop, "b1.jsonl"), "w") as f:
+            f.write(
+                "\n".join(
+                    _json.dumps({"doc_id": i, "text": t})
+                    for i, t in docs
+                )
+            )
+        task = CorpusIngestTask(
+            spark,
+            drop,
+            os.path.join(root, "corpus"),
+            lang_id=True,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        try:
+            batch = task._source_frame(streaming=False)
+            task._process_batch(batch, 0)
+            task._process_batch(batch, 0)  # replay: changes nothing
+            frame = task.corpus().select("doc_id", "lang")
+            _LANGID_E2E_CACHE[key] = (frame.collect(), frame.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return _LANGID_E2E_CACHE[key]
+
+
+@_register(
+    "q_ingest_langid_e2e",
+    """
+    SELECT * FROM (VALUES
+      (1, 'pt'), (2, 'pl'), (3, 'en'), (4, 'zh'), (5, 'ru')
+    ) AS t(doc_id, lang)
+    ORDER BY doc_id
+    """,
+    "language-labeled ingest E2E: CorpusIngestTask(lang_id=True) "
+    "drains a 5-document multilingual batch (pt/pl/en held-out "
+    "fixture sentences + zh/ru non-Latin) plus a replay — every "
+    "admitted document carries the lang_id_router's label (Latin via "
+    "the session-cached char-trigram NB model, non-Latin off the code "
+    "points), the labels ride the corpus parquet, and the replay "
+    "changes nothing; oracle = the fixture truth the 48/48 + 8/8 "
+    "langid contract pins — any label drift hash-mismatches",
+    "CorpusIngestTask lang_id mode end-to-end (streaming twin of "
+    "q_langid_latin)",
+)
+def q_ingest_langid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema = _langid_e2e_results(spark)
+    return spark.createDataFrame(rows, schema).orderBy("doc_id")

@@ -112,6 +112,7 @@ class CorpusIngestTask(ReplicationTask):
         on_page_robots: bool = False,
         mime_allowlist: tuple[str, ...] | list[str] | None = None,
         pdf_text: bool = False,
+        lang_id: bool = False,
         frontier_max_per_host: int | None = None,
         frontier_key: str = "url",
         checkpoint_dir: str | None = None,
@@ -308,6 +309,16 @@ class CorpusIngestTask(ReplicationTask):
                 "carve-out of the MIME admission gate)"
             )
         self.pdf_text = pdf_text
+        # lang_id: label every ADMITTED document with the language-ID
+        # router's prediction (operators/classify.py:lang_id_router —
+        # non-Latin scripts off the code points, Latin text through
+        # the session-cached char-trigram NB model).  The label rides
+        # the corpus parquet as a `lang` column; batches written
+        # without it read back NULL.  Labeling happens at admission
+        # time on the FINAL text (post-extraction), so the corpus
+        # composition a mixing step reads is the composition of what
+        # was actually admitted.
+        self.lang_id = lang_id
         if frontier_max_per_host is not None and not discover_links:
             raise ValueError(
                 "frontier_max_per_host requires discover_links=True"
@@ -392,8 +403,9 @@ class CorpusIngestTask(ReplicationTask):
 
     def corpus(self, *, before: int | None = None) -> DataFrame:
         """The admitted corpus: (doc_id, text, digest, embedding,
-        batch_id) — ``embedding`` NULL for docs ingested without one
-        (including whole batches written before the column existed).
+        lang, batch_id) — ``embedding`` NULL for docs ingested without
+        one, ``lang`` NULL unless the batch ran with ``lang_id=True``
+        (including whole batches written before either column existed).
         An empty corpus reads as an empty frame, not an error.
         ``before`` restricts to batches with id < before — the corpus
         state a given batch must gate against, which keeps a
@@ -421,7 +433,28 @@ class CorpusIngestTask(ReplicationTask):
             df = df.withColumn(
                 "embedding", F.lit(None).cast("array<double>")
             )
-        return df.select("doc_id", "text", "digest", "embedding", "batch_id")
+        if "lang" not in df.columns:
+            df = df.withColumn("lang", F.lit(None).cast("string"))
+        return df.select(
+            "doc_id", "text", "digest", "embedding", "lang", "batch_id"
+        )
+
+    def language_composition(self) -> DataFrame:
+        """Corpus composition by MODEL-assigned language: (lang,
+        n_docs, doc_share) over the admitted corpus — the pre-sampling
+        mixing report a multilingual training-data pipeline reads
+        before setting per-language quotas (``lang_id=True`` mode;
+        unlabeled batches report lang NULL).  One groupBy over the
+        corpus; share = n_docs / total."""
+        c = self.corpus().groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        total = F.sum("n_docs").over(Window.partitionBy())
+        return c.select(
+            "lang",
+            F.col("n_docs").cast("int").alias("n_docs"),
+            F.round(F.col("n_docs") / total, 6).alias("doc_share"),
+        )
 
     # -- persisted signatures ------------------------------------------
     # The near gate's corpus side is served from SAVED minhash
@@ -2146,11 +2179,25 @@ class CorpusIngestTask(ReplicationTask):
             admitted = kept.join(sem_matched, on="doc_id", how="left_anti")
         else:
             admitted = kept
+        lang_col = []
+        if self.lang_id:
+            from sample_dms_s3_kinesis_spark.operators import classify
+
+            tm, lm = classify.langid_nb_model(self.spark)
+            admitted = admitted.join(
+                classify.lang_id_router(
+                    admitted.select("doc_id", "text"), tm, lm
+                ).select("doc_id", F.col("predicted").alias("lang")),
+                "doc_id",
+                "left",
+            )
+            lang_col = ["lang"]
         admitted = admitted.select(
             "doc_id",
             "text",
             "digest",
             "embedding",
+            *lang_col,
             F.lit(batch_id).alias("batch_id"),
         ).persist()
 
@@ -2159,7 +2206,9 @@ class CorpusIngestTask(ReplicationTask):
         n_admitted = admitted.count()
         if n_admitted > 0:
             (
-                admitted.select("doc_id", "text", "digest", "embedding")
+                admitted.select(
+                    "doc_id", "text", "digest", "embedding", *lang_col
+                )
                 .write.mode("overwrite")
                 .parquet(f"{self.corpus_dir}/batch_id={batch_id}")
             )

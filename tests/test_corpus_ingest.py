@@ -2237,3 +2237,71 @@ def test_mime_gate_validation(spark, tmp_path):
             input_format="warc",
             mime_allowlist=(),
         )
+
+
+def test_lang_id_labels_admitted_docs(spark, tmp_path):
+    """lang_id=True: admitted documents carry the router's language
+    label (Latin text via the NB model, non-Latin via the script
+    layer); language_composition() reports the admitted mix; a replay
+    changes nothing; default-mode corpora read lang NULL."""
+    import json as _json
+
+    from sample_dms_s3_kinesis_spark.operators.langid_data import (
+        LANGID_TEST,
+        NONLATIN_TEST,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    docs = [
+        (1, LANGID_TEST["pt"][0], "pt"),
+        (2, LANGID_TEST["pl"][1], "pl"),
+        (3, LANGID_TEST["en"][2], "en"),
+        (4, NONLATIN_TEST["zh"][0], "zh"),
+        (5, NONLATIN_TEST["ru"][1], "ru"),
+    ]
+    (drop / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": t}) for i, t, _ in docs
+        )
+    )
+    task = CorpusIngestTask(
+        spark,
+        str(drop),
+        str(tmp_path / "corpus"),
+        lang_id=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = task._source_frame(streaming=False)
+    task._process_batch(batch, 0)
+    task._process_batch(batch, 0)  # replay: idempotent
+    got = {
+        r["doc_id"]: r["lang"] for r in task.corpus().collect()
+    }
+    assert got == {i: lang for i, _, lang in docs}
+    comp = {
+        r["lang"]: (r["n_docs"], r["doc_share"])
+        for r in task.language_composition().collect()
+    }
+    assert comp == {
+        "pt": (1, 0.2),
+        "pl": (1, 0.2),
+        "en": (1, 0.2),
+        "zh": (1, 0.2),
+        "ru": (1, 0.2),
+    }
+    # default mode: lang reads NULL, nothing else changes
+    drop2 = tmp_path / "drop2"
+    drop2.mkdir()
+    (drop2 / "b1.jsonl").write_text(
+        _json.dumps({"doc_id": 9, "text": "plain unlabeled doc"})
+    )
+    task2 = CorpusIngestTask(
+        spark,
+        str(drop2),
+        str(tmp_path / "corpus2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    task2._process_batch(task2._source_frame(streaming=False), 0)
+    rows = task2.corpus().collect()
+    assert rows[0]["lang"] is None
