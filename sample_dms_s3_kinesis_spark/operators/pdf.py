@@ -463,10 +463,16 @@ def _trailer_dicts(data: bytes) -> Iterator[dict]:
 
 
 def _resolve(objects: dict, v):
-    while isinstance(v, tuple) and len(v) == 2 and v[0] == "ref":
+    # bounded walk (r15 second sweep #2): a hostile `1 0 obj 1 0 R
+    # endobj` self/cycle reference would otherwise spin forever inside
+    # an executor — every other hostile input degrades to the error
+    # channel, so must this one (None reads as "unresolvable")
+    for _ in range(64):
+        if not (isinstance(v, tuple) and len(v) == 2 and v[0] == "ref"):
+            return v
         entry = objects.get(v[1])
         v = entry[0] if entry else None
-    return v
+    return None
 
 
 def _decode_stream(sdict: dict, raw: bytes) -> bytes:

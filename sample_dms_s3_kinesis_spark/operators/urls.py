@@ -304,20 +304,23 @@ def domain_blocklist(
             F.col("_dom_bl") == F.col("_bl_dom"),
             "left",
         )
-        return joined.withColumn(
+        out = joined.withColumn(
             keep_col, F.col("_bl_dom").isNull().cast("int")
-        ).drop("_dom_bl", "_bl_dom", _tag)
+        ).drop("_dom_bl", "_bl_dom")
+        return out.drop(_tag) if idn else out
     entries = sorted(
         {_normalize_blocklist_entry_py(str(b), idn=idn) for b in blocked}
         - {""}
     )
     if not entries:
-        return df.withColumn(keep_col, F.lit(1)).drop(_tag)
+        out = df.withColumn(keep_col, F.lit(1))
+        return out.drop(_tag) if idn else out
     # NULL domain -> isin is NULL -> keep (parity with the frame path,
     # where a NULL join key simply misses)
-    return df.withColumn(
+    out = df.withColumn(
         keep_col, F.coalesce((~dom.isin(entries)).cast("int"), F.lit(1))
-    ).drop(_tag)
+    )
+    return out.drop(_tag) if idn else out
 
 
 # Blocklist entries arrive in the wild as bare domains, hosts, FQDNs
@@ -523,7 +526,7 @@ def domain_caps_against(
                 <= F.lit(max_per_domain)
             ).cast("int"),
         )
-        .drop(c_rk, c_dom, c_prior, _idn_tag)
+        .drop(c_rk, c_dom, c_prior, *([_idn_tag] if idn else []))
     )
 
 

@@ -422,7 +422,7 @@ class CorpusIngestTask(ReplicationTask):
             return self.spark.createDataFrame(
                 [],
                 "doc_id long, text string, digest string, "
-                "embedding array<double>, batch_id long",
+                "embedding array<double>, lang string, batch_id long",
             )
         df = (
             self.spark.read.option("basePath", self.corpus_dir)
@@ -2179,12 +2179,28 @@ class CorpusIngestTask(ReplicationTask):
             admitted = kept.join(sem_matched, on="doc_id", how="left_anti")
         else:
             admitted = kept
+        admitted = admitted.select(
+            "doc_id",
+            "text",
+            "digest",
+            "embedding",
+            F.lit(batch_id).alias("batch_id"),
+        ).persist()
+
+        # Idempotent landing: the batch directory is overwritten whole,
+        # so a crash-replay of this batch cannot double-append.
+        n_admitted = admitted.count()
+        # lang labeling AFTER the persist+count materializes the gated
+        # batch (r15 second sweep #3: joining the un-persisted frame
+        # re-evaluated the whole admission lineage ~3x — the router's
+        # latin/other split alone references its input twice)
         lang_col = []
-        if self.lang_id:
+        write_frame = admitted
+        if self.lang_id and n_admitted > 0:
             from sample_dms_s3_kinesis_spark.operators import classify
 
             tm, lm = classify.langid_nb_model(self.spark)
-            admitted = admitted.join(
+            write_frame = admitted.join(
                 classify.lang_id_router(
                     admitted.select("doc_id", "text"), tm, lm
                 ).select("doc_id", F.col("predicted").alias("lang")),
@@ -2192,21 +2208,9 @@ class CorpusIngestTask(ReplicationTask):
                 "left",
             )
             lang_col = ["lang"]
-        admitted = admitted.select(
-            "doc_id",
-            "text",
-            "digest",
-            "embedding",
-            *lang_col,
-            F.lit(batch_id).alias("batch_id"),
-        ).persist()
-
-        # Idempotent landing: the batch directory is overwritten whole,
-        # so a crash-replay of this batch cannot double-append.
-        n_admitted = admitted.count()
         if n_admitted > 0:
             (
-                admitted.select(
+                write_frame.select(
                     "doc_id", "text", "digest", "embedding", *lang_col
                 )
                 .write.mode("overwrite")

@@ -2305,3 +2305,21 @@ def test_lang_id_labels_admitted_docs(spark, tmp_path):
     task2._process_batch(task2._source_frame(streaming=False), 0)
     rows = task2.corpus().collect()
     assert rows[0]["lang"] is None
+
+
+def test_empty_corpus_carries_lang_column(spark, tmp_path):
+    """r15 second sweep: the empty-corpus early return must carry the
+    same 6-column schema as the non-empty path, or lang consumers
+    (language_composition) crash on a fresh task."""
+    task = CorpusIngestTask(
+        spark,
+        str(tmp_path / "drop"),
+        str(tmp_path / "corpus"),
+        lang_id=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    empty = task.corpus()
+    assert [f.name for f in empty.schema.fields] == [
+        "doc_id", "text", "digest", "embedding", "lang", "batch_id",
+    ]
+    assert task.language_composition().collect() == []

@@ -224,3 +224,23 @@ def test_domain_caps_against_idn_shared_budget(spark):
     }
     # corpus already holds 2 docs of the folded domain: nothing admits
     assert kept == {10: 0, 11: 0, 12: 1}
+
+
+def test_internal_fold_column_survives_when_idn_off(spark):
+    """r15 second sweep: with idn=False the internal fold tag is never
+    added, so a caller column of that name must NOT be silently
+    dropped by blocklist/caps/caps_against."""
+    df = spark.createDataFrame(
+        [(0, "https://a.com/x", "keepme")],
+        "doc_id long, url string, _idn_fold_v7k2 string",
+    )
+    for out in (
+        urls.domain_blocklist(df, ["b.com"]),
+        urls.domain_blocklist(
+            df, spark.createDataFrame([("b.com",)], "e string")
+        ),
+        urls.domain_caps(df, max_per_domain=1),
+        urls.domain_caps_against(df, df, max_per_domain=5),
+    ):
+        assert "_idn_fold_v7k2" in out.columns, out.columns
+        assert out.collect()[0]["_idn_fold_v7k2"] == "keepme"

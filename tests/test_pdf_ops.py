@@ -357,3 +357,25 @@ def test_object_stream_member_cannot_shadow_direct_object():
     number must not shadow it (direct objects win on collision)."""
     out = P.decode_pdf_text(_objstm_doc(collide=True))
     assert out["pages"] == ["objstm page text"]
+
+
+def test_ref_cycle_degrades_to_error_not_hang():
+    """r15 second sweep: a self-referencing indirect object (or a
+    trailer /Root cycle) must land on the error channel, never spin an
+    executor forever."""
+    doc = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n1 0 R\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    with pytest.raises(ValueError):
+        P.decode_pdf_text(doc)
+    # cyclic /N on an ObjStm: skipped, document still errors cleanly
+    doc2 = (
+        b"%PDF-1.5\n"
+        b"1 0 obj\n1 0 R\nendobj\n"
+        b"7 0 obj\n<< /Type /ObjStm /N 1 0 R /First 1 0 R /Length 2 >>\n"
+        b"stream\nxx\nendstream\nendobj\n%%EOF\n"
+    )
+    with pytest.raises(ValueError):
+        P.decode_pdf_text(doc2)
