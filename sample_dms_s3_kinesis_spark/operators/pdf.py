@@ -11,11 +11,14 @@ the reference sample ships no engine code; this is the training-data
 north-star layer).
 
 Scope, by design:
-- text-LAYER only: no font decoding beyond the string encodings
-  (literal + hex, UTF-16BE BOM honored, else Latin-1 ≈ PDFDocEncoding
-  for the printable range), no layout reconstruction — line structure
-  comes from the text-positioning operators (Td/TD/T*/'/\"),
-  page structure from the page tree.
+- text-LAYER only: string encodings (literal + hex, UTF-16BE BOM
+  honored, else Latin-1 ≈ PDFDocEncoding for the printable range)
+  plus per-font ``/ToUnicode`` CMaps (bfchar/bfrange, Tf-tracked —
+  subset-font private codes, the dominant real-crawl shape, decode to
+  real Unicode; fonts without a CMap keep the byte conventions); no
+  glyph/layout reconstruction — line structure comes from the
+  text-positioning operators (Td/TD/T*/'/\"), page structure from the
+  page tree.
 - encrypted documents (``/Encrypt`` in the trailer) raise
   :class:`EncryptedPdfError`; filters other than FlateDecode (LZW,
   DCT, ...) raise ``NotImplementedError`` — callers route both to the
@@ -499,17 +502,117 @@ def _pdf_text_bytes(b: bytes) -> str:
 _TEXT_OPS = frozenset(["Tj", "'", '"', "TJ"])
 _NEWLINE_OPS = frozenset(["Td", "TD", "T*"])
 
+# ------------------------------------------------ /ToUnicode CMaps
+# Real crawl PDFs overwhelmingly embed SUBSET fonts whose show-string
+# bytes are font-private codes, not Latin-1 — without the font's
+# /ToUnicode CMap the "text" is garbage.  The CMap is itself a small
+# PostScript-ish stream: codespacerange fixes the code byte width,
+# bfchar/bfrange map codes to UTF-16BE Unicode.
 
-def _page_text(content: bytes) -> tuple[str, int]:
+_CS_RANGE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S
+)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """(code_width_bytes, {code -> unicode string}) from a /ToUnicode
+    CMap stream.  Handles bfchar, scalar bfrange, and array-form
+    bfrange; width comes from the first codespacerange token (2 the
+    overwhelming real-world default when absent)."""
+    width = 2
+    m = _CS_RANGE_RE.search(data)
+    if m:
+        toks = _HEX_TOK_RE.findall(m.group(1))
+        if toks:
+            width = max(1, len(toks[0]) // 2)
+
+    def _u(hx: bytes) -> str:
+        raw = bytes.fromhex(hx.decode("ascii"))
+        if len(raw) % 2:
+            raw = b"\x00" + raw
+        return raw.decode("utf-16-be", "replace")
+
+    cmap: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(data):
+        toks = _HEX_TOK_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = _u(dst)
+    for m in _BFRANGE_RE.finditer(data):
+        body = m.group(1)
+        # array form: <lo> <hi> [<d1> <d2> ...]
+        for am in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]",
+            body,
+            re.S,
+        ):
+            lo, hi = int(am.group(1), 16), int(am.group(2), 16)
+            dsts = _HEX_TOK_RE.findall(am.group(3))
+            for i, d in enumerate(dsts):
+                if lo + i <= hi:
+                    cmap[lo + i] = _u(d)
+        # scalar form: <lo> <hi> <dstStart> (skip array groups)
+        body2 = re.sub(rb"\[.*?\]", b"", body, flags=re.S)
+        toks = _HEX_TOK_RE.findall(body2)
+        for lo_h, hi_h, d_h in zip(toks[0::3], toks[1::3], toks[2::3]):
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            base = int(d_h, 16)
+            # per spec only the LAST byte/code increments; cap the
+            # expansion so a hostile 4-GB range cannot OOM the worker
+            nbytes = max(2, len(d_h) // 2)
+            for i in range(min(hi - lo + 1, 65536)):
+                code = lo + i
+                try:
+                    raw = (base + i).to_bytes(nbytes, "big")
+                except OverflowError:
+                    break
+                cmap.setdefault(code, raw.decode("utf-16-be", "replace"))
+    return width, cmap
+
+
+def _decode_with_cmap(
+    b: bytes, width: int, cmap: dict[int, str]
+) -> str:
+    """Decode a show-string through a font CMap: width-sized codes,
+    unmapped codes fall back to their Latin-1 projection (single-byte)
+    or U+FFFD (multi-byte) — lossy but never silent garbage."""
+    out = []
+    for i in range(0, len(b) - width + 1, width):
+        code = int.from_bytes(b[i : i + width], "big")
+        mapped = cmap.get(code)
+        if mapped is not None:
+            out.append(mapped)
+        elif width == 1:
+            out.append(chr(code))
+        else:
+            out.append("\ufffd")
+    return "".join(out)
+
+
+def _page_text(
+    content: bytes,
+    fonts: dict[str, tuple[int, dict[int, str]]] | None = None,
+) -> tuple[str, int]:
     """Replay the text operators of one page's (concatenated) content
     streams: each Tj/'/\"/TJ appends to the current line; Td/TD/T*
     (and '/\" themselves) start a new line once text has been shown.
-    Returns (text, n_show_ops)."""
+    ``fonts`` maps resource font names ('F1') to parsed /ToUnicode
+    CMaps; the Tf operator tracks the CURRENT font so each show-string
+    decodes through its font's map (fonts without a CMap keep the
+    Latin-1 / UTF-16BE-BOM convention).  Returns (text, n_show_ops)."""
     lex = _Lexer(content)
     lines: list[str] = []
     cur: list[str] = []
     shown = 0
     stack: list = []
+    cur_font: tuple[int, dict[int, str]] | None = None
+
+    def _txt(b: bytes) -> str:
+        if cur_font is not None and not b.startswith(b"\xfe\xff"):
+            return _decode_with_cmap(b, cur_font[0], cur_font[1])
+        return _pdf_text_bytes(b)
 
     def _newline():
         if shown:
@@ -527,19 +630,23 @@ def _page_text(content: bytes) -> tuple[str, int]:
             continue
         if isinstance(tok, tuple) and tok[0] == "op":
             op = tok[1]
-            if op == "Tj" and stack and isinstance(stack[-1], bytes):
-                cur.append(_pdf_text_bytes(stack[-1]))
+            if op == "Tf" and fonts and len(stack) >= 2 and isinstance(
+                stack[-2], str
+            ):
+                cur_font = fonts.get(stack[-2])
+            elif op == "Tj" and stack and isinstance(stack[-1], bytes):
+                cur.append(_txt(stack[-1]))
                 shown += 1
             elif op in ("'", '"') and stack and isinstance(
                 stack[-1], bytes
             ):
                 _newline()
-                cur.append(_pdf_text_bytes(stack[-1]))
+                cur.append(_txt(stack[-1]))
                 shown += 1
             elif op == "TJ" and stack and isinstance(stack[-1], list):
                 cur.append(
                     "".join(
-                        _pdf_text_bytes(e)
+                        _txt(e)
                         for e in stack[-1]
                         if isinstance(e, bytes)
                     )
@@ -625,9 +732,46 @@ def decode_pdf_text(content: bytes) -> dict:
                 continue
             sdict, raw = entry
             blobs.append(_decode_stream(sdict, raw))
-        text, _ = _page_text(b"\n".join(blobs))
+        text, _ = _page_text(
+            b"\n".join(blobs), _page_fonts(objects, page)
+        )
         texts.append(text)
     return {"n_pages": len(pages), "pages": texts}
+
+
+def _page_fonts(
+    objects: dict, page: dict
+) -> dict[str, tuple[int, dict[int, str]]]:
+    """Parsed /ToUnicode CMaps for a page's font resources: {resource
+    name -> (code_width, code->unicode)}.  Fonts without a usable
+    /ToUnicode stream are simply absent (their strings keep the
+    Latin-1 / UTF-16BE-BOM convention); a broken CMap never fails the
+    page."""
+    fonts: dict[str, tuple[int, dict[int, str]]] = {}
+    res = _resolve(objects, page.get("Resources"))
+    if not isinstance(res, dict):
+        return fonts
+    fdict = _resolve(objects, res.get("Font"))
+    if not isinstance(fdict, dict):
+        return fonts
+    for name, fref in fdict.items():
+        fobj = _resolve(objects, fref)
+        if not isinstance(fobj, dict):
+            continue
+        tu = fobj.get("ToUnicode")
+        if not (isinstance(tu, tuple) and tu[0] == "ref"):
+            continue
+        entry = objects.get(tu[1])
+        if entry is None or entry[1] is None:
+            continue
+        try:
+            data = _decode_stream(entry[0], entry[1])
+            width, cmap = _parse_tounicode(data)
+        except (NotImplementedError, zlib.error, ValueError):
+            continue
+        if cmap:
+            fonts[name] = (width, cmap)
+    return fonts
 
 
 # ----------------------------------------------------- HTTP raw payload

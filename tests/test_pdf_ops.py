@@ -379,3 +379,82 @@ def test_ref_cycle_degrades_to_error_not_hang():
     )
     with pytest.raises(ValueError):
         P.decode_pdf_text(doc2)
+
+
+def _cmap_doc():
+    """A document whose page font is a subset font with a /ToUnicode
+    CMap: show-strings are 2-byte private codes — meaningless without
+    the map (the overwhelmingly common real-crawl PDF shape)."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"3 beginbfchar\n"
+        b"<0001> <0048>\n"          # H
+        b"<0002> <00E9>\n"          # e-acute
+        b"<0007> <0021>\n"          # !
+        b"endbfchar\n"
+        b"1 beginbfrange\n"
+        b"<0003> <0005> <006C>\n"   # l, m, n
+        b"endbfrange\n"
+        b"1 beginbfrange\n"
+        b"<0006> <0006> [<0020004F004B>]\n"  # ' OK' (array form)
+        b"endbfrange\n"
+        b"endcmap\nend\n"
+    )
+    # codes: H é l m n ' OK' !
+    content = (
+        b"BT /F9 12 Tf 72 720 Td "
+        b"<00010002000300040005> Tj "
+        b"T* <00060007> Tj ET"
+    )
+    doc = b"%PDF-1.4\n"
+    doc += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    doc += (
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    )
+    doc += (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F9 5 0 R >> >> "
+        b"/Contents 4 0 R >>\nendobj\n"
+    )
+    doc += (
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    doc += (
+        b"5 0 obj\n<< /Type /Font /Subtype /Type0 "
+        b"/ToUnicode 6 0 R >>\nendobj\n"
+    )
+    doc += (
+        b"6 0 obj\n<< /Length %d >>\nstream\n" % len(cmap)
+        + cmap
+        + b"\nendstream\nendobj\n"
+    )
+    doc += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return doc
+
+
+def test_tounicode_cmap_decodes_subset_font():
+    """Subset-font codes decode through the /ToUnicode CMap: bfchar,
+    scalar bfrange, and array-form bfrange all resolve; the second
+    line exercises a one-code-to-many-chars mapping."""
+    out = P.decode_pdf_text(_cmap_doc())
+    assert out["pages"] == ["Hélmn\n OK!"]
+
+
+def test_tounicode_unmapped_code_and_no_cmap_fallback():
+    """Codes missing from the CMap degrade to U+FFFD (2-byte width),
+    never silent drops; fonts WITHOUT a ToUnicode keep the Latin-1
+    convention untouched."""
+    doc = _cmap_doc().replace(
+        b"<00010002000300040005> Tj",
+        b"<00010099> Tj            ",
+    )
+    out = P.decode_pdf_text(doc)
+    assert out["pages"][0].startswith("H�")
+    # the plain writer's Type1 font has no ToUnicode: unchanged
+    assert P.decode_pdf_text(P.encode_pdf(["plain text"]))["pages"] == [
+        "plain text"
+    ]
