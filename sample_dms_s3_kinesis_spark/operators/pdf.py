@@ -20,9 +20,11 @@ Scope, by design:
   text-positioning operators (Td/TD/T*/'/\"), page structure from the
   page tree.
 - encrypted documents (``/Encrypt`` in the trailer) raise
-  :class:`EncryptedPdfError`; filters other than FlateDecode (LZW,
-  DCT, ...) raise ``NotImplementedError`` — callers route both to the
-  error channel, never a silent empty string.
+  :class:`EncryptedPdfError`; Flate, LZW (TIFF-variant incl.
+  EarlyChange), ASCIIHex and ASCII85 stream filters decode — anything
+  else (DCT/JBIG2/JPX image codecs, PNG/TIFF predictors) raises
+  ``NotImplementedError`` — callers route both to the error channel,
+  never a silent empty string.
 - a parseable document whose pages show NO text (scanned/image-only)
   reports ``error='image_only'`` — distinct from a truncated parse.
 
@@ -478,15 +480,96 @@ def _resolve(objects: dict, v):
     return None
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (the TIFF LZW variant): 9->12-bit growing codes,
+    Clear=256 / EOD=257, ``EarlyChange`` widening one code early by
+    default.  Pure Python — LZW shows up in older real-crawl PDFs and
+    was a documented reject channel before r15."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    bitpos = 0
+    total = len(data) * 8
+    prev: bytes | None = None
+    while bitpos + width <= total:
+        code = 0
+        for _ in range(width):
+            code = (code << 1) | (
+                (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            )
+            bitpos += 1
+        if code == 256:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad LZW start code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad LZW code")
+        out += entry
+        prev = entry
+        if len(table) + early - 1 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    body = data.split(b">", 1)[0]
+    hx = re.sub(rb"\s+", b"", body)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = re.sub(rb"\s+", b"", data)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    return base64.a85decode(body)
+
+
 def _decode_stream(sdict: dict, raw: bytes) -> bytes:
     filt = sdict.get("Filter")
     if filt is None:
         return raw
     filters = filt if isinstance(filt, list) else [filt]
+    parms = sdict.get("DecodeParms") or sdict.get("DP")
+    plist = parms if isinstance(parms, list) else [parms] * len(filters)
     out = raw
-    for f in filters:
+    for f, pm in zip(filters, plist):
+        pm = pm if isinstance(pm, dict) else {}
+        pred = pm.get("Predictor", 1)
+        if isinstance(pred, int) and pred > 1:
+            # PNG/TIFF predictors (xref streams mostly) — honest reject
+            raise NotImplementedError(
+                f"unsupported stream predictor: {pred}"
+            )
         if f == "FlateDecode":
             out = zlib.decompress(out)
+        elif f == "LZWDecode":
+            early = pm.get("EarlyChange", 1)
+            out = _lzw_decode(
+                out, early if isinstance(early, int) else 1
+            )
+        elif f == "ASCIIHexDecode" or f == "AHx":
+            out = _ascii_hex_decode(out)
+        elif f == "ASCII85Decode" or f == "A85":
+            out = _ascii85_decode(out)
         else:
             raise NotImplementedError(f"unsupported stream filter: {f}")
     return out

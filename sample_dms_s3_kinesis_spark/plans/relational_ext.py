@@ -10053,7 +10053,7 @@ def _pdf_e2e_results(spark: SparkSession):
                 ["secret"], compress=False, encrypted=True
             ).decode("ascii")
             lzw = encode_pdf(
-                ["zz"], compress=False, filter_name="LZWDecode"
+                ["zz"], compress=False, filter_name="DCTDecode"
             ).decode("ascii")
             b1 = (
                 page(
@@ -10115,13 +10115,13 @@ def _pdf_e2e_results(spark: SparkSession):
       ('mime',     'https://f.com/api',  'application/json',    2, 1, 2),
       ('pdf',      'https://f.com/enc.pdf', 'encrypted',        2, 1, 2),
       ('pdf',      'https://f.com/lzw.pdf',
-                   'unsupported stream filter: LZWDecode',      2, 1, 2)
+                   'unsupported stream filter: DCTDecode',      2, 1, 2)
     ) AS t(channel, info, detail, admitted, pdf_extracted, rejected_pdf)
     ORDER BY channel, info
     """,
     "PDF ingest funnel E2E: CorpusIngestTask(pdf_text=True) drains a "
     "5-page WARC batch (html / 2-page text PDF / encrypted PDF / "
-    "LZW-filter PDF / JSON) plus a replay — the text PDF admits with "
+    "DCT-filter PDF / JSON) plus a replay — the text PDF admits with "
     "its EXTRACTED page-joined text (the application/pdf carve-out of "
     "the MIME gate; html_extract never sees it), the undecodable PDFs "
     "land in _quarantine_pdf with their capability-gap error strings, "

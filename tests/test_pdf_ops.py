@@ -75,9 +75,9 @@ def test_page_text_operator_state_machine():
 def test_error_channels():
     with pytest.raises(P.EncryptedPdfError):
         P.decode_pdf_text(P.encode_pdf(["x"], encrypted=True))
-    with pytest.raises(NotImplementedError, match="LZWDecode"):
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
         P.decode_pdf_text(
-            P.encode_pdf(["x"], compress=True, filter_name="LZWDecode")
+            P.encode_pdf(["x"], compress=True, filter_name="DCTDecode")
         )
     with pytest.raises(ValueError, match="%PDF-"):
         P.decode_pdf_text(b"GIF89a not a pdf")
@@ -144,7 +144,7 @@ def test_extract_pdf_text_spark_channels(spark):
     rows = [
         (1, bytearray(P.encode_pdf(["page one\nline two", "page two"]))),
         (2, bytearray(P.encode_pdf(["enc"], encrypted=True))),
-        (3, bytearray(P.encode_pdf(["z"], filter_name="LZWDecode"))),
+        (3, bytearray(P.encode_pdf(["z"], filter_name="DCTDecode"))),
         (4, bytearray(b"not a pdf at all")),
         (5, None),
     ]
@@ -158,7 +158,7 @@ def test_extract_pdf_text_spark_channels(spark):
     assert got[1]["text"] == "page one\nline two" + P.PAGE_SEP + "page two"
     assert got[1]["error"] is None
     assert got[2]["error"] == "encrypted" and got[2]["text"] is None
-    assert "LZWDecode" in got[3]["error"]
+    assert "DCTDecode" in got[3]["error"]
     assert got[4]["error"].startswith("ValueError")
     assert got[5]["error"].startswith("ValueError")
     # fail mode re-raises
@@ -458,3 +458,98 @@ def test_tounicode_unmapped_code_and_no_cmap_fallback():
     assert P.decode_pdf_text(P.encode_pdf(["plain text"]))["pages"] == [
         "plain text"
     ]
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal TIFF-variant LZW encoder (test-only reference twin of
+    pdf._lzw_decode): Clear first, EOD last, EarlyChange widening."""
+    out_bits = []
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code):
+        for b in range(width - 1, -1, -1):
+            out_bits.append((code >> b) & 1)
+
+    emit(256)  # Clear
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code + early - 1 >= (1 << width) and width < 12:
+            width += 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(257)  # EOD
+    while len(out_bits) % 8:
+        out_bits.append(0)
+    return bytes(
+        int("".join(map(str, out_bits[i : i + 8])), 2)
+        for i in range(0, len(out_bits), 8)
+    )
+
+
+def _doc_with_filter(content_body: bytes, head_extra: bytes) -> bytes:
+    doc = P.encode_pdf(["placeholder"], compress=False)
+    import re as _re
+
+    m = _re.search(
+        rb"<< /Length (\d+) >>\nstream\n(.*?)\nendstream", doc, _re.S
+    )
+    assert m
+    return (
+        doc[: m.start()]
+        + b"<< /Length %d %s >>\nstream\n" % (len(content_body), head_extra)
+        + content_body
+        + b"\nendstream"
+        + doc[m.end() :]
+    )
+
+
+def test_lzw_hex_a85_filters_decode():
+    """LZW (TIFF variant, EarlyChange default AND explicit 0),
+    ASCIIHexDecode and ASCII85Decode content streams extract — these
+    were reject channels before; DCT-family codecs still reject, and
+    PNG predictors reject honestly."""
+    stream = b"BT /F1 12 Tf 72 720 Td (filter page text) Tj ET"
+    # LZW, default EarlyChange=1
+    lzw = _lzw_encode(stream)
+    doc = _doc_with_filter(lzw, b"/Filter /LZWDecode")
+    assert P.decode_pdf_text(doc)["pages"] == ["filter page text"]
+    # LZW with EarlyChange 0 via DecodeParms
+    lzw0 = _lzw_encode(stream, early=0)
+    doc0 = _doc_with_filter(
+        lzw0, b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>"
+    )
+    assert P.decode_pdf_text(doc0)["pages"] == ["filter page text"]
+    # ASCIIHex
+    hx = stream.hex().upper().encode() + b">"
+    doch = _doc_with_filter(hx, b"/Filter /ASCIIHexDecode")
+    assert P.decode_pdf_text(doch)["pages"] == ["filter page text"]
+    # ASCII85
+    import base64
+
+    a85 = base64.a85encode(stream) + b"~>"
+    doca = _doc_with_filter(a85, b"/Filter /ASCII85Decode")
+    assert P.decode_pdf_text(doca)["pages"] == ["filter page text"]
+    # filter CHAIN: ASCIIHex over Flate
+    chained = zlib.compress(stream)
+    doc2 = _doc_with_filter(
+        chained.hex().encode() + b">",
+        b"/Filter [/ASCIIHexDecode /FlateDecode]",
+    )
+    assert P.decode_pdf_text(doc2)["pages"] == ["filter page text"]
+    # predictor rejects honestly
+    docp = _doc_with_filter(
+        zlib.compress(stream),
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 >>",
+    )
+    with pytest.raises(NotImplementedError, match="predictor"):
+        P.decode_pdf_text(docp)
