@@ -22,7 +22,7 @@ Scope, by design:
 - encrypted documents (``/Encrypt`` in the trailer) raise
   :class:`EncryptedPdfError`; Flate, LZW (TIFF-variant incl.
   EarlyChange), ASCIIHex and ASCII85 stream filters decode — anything
-  else (DCT/JBIG2/JPX image codecs, PNG/TIFF predictors) raises
+  else (DCT/JBIG2/JPX image codecs) raises
   ``NotImplementedError`` — callers route both to the error channel,
   never a silent empty string.
 - a parseable document whose pages show NO text (scanned/image-only)
@@ -543,6 +543,40 @@ def _ascii85_decode(data: bytes) -> bytes:
     return base64.a85decode(body)
 
 
+def _apply_predictor(data: bytes, pred: int, pm: dict) -> bytes:
+    """Undo a /Predictor post-filter (PDF spec 7.4.4.4): TIFF
+    horizontal differencing (2) and the PNG row filters (10-15 —
+    what xref streams actually use), reusing :mod:`.png`'s
+    reconstruction for the PNG family."""
+    cols = pm.get("Columns", 1)
+    colors = pm.get("Colors", 1)
+    bpc = pm.get("BitsPerComponent", 8)
+    if not all(isinstance(v, int) and v > 0 for v in (cols, colors, bpc)):
+        raise ValueError("bad predictor parameters")
+    if pred == 2:
+        if bpc != 8:
+            raise NotImplementedError(
+                "TIFF predictor with BitsPerComponent != 8"
+            )
+        stride = cols * colors
+        out = bytearray(data)
+        for r in range(0, len(out) - stride + 1, stride):
+            for i in range(colors, stride):
+                out[r + i] = (out[r + i] + out[r + i - colors]) & 0xFF
+        return bytes(out)
+    if 10 <= pred <= 15:
+        from sample_dms_s3_kinesis_spark.operators.png import _unfilter
+
+        bpp = max(1, (colors * bpc) // 8)
+        stride = (cols * colors * bpc + 7) // 8
+        rowlen = stride + 1
+        h = len(data) // rowlen
+        if h == 0:
+            return data
+        return _unfilter(data[: h * rowlen], stride, h, bpp).tobytes()
+    raise NotImplementedError(f"unsupported stream predictor: {pred}")
+
+
 def _decode_stream(sdict: dict, raw: bytes) -> bytes:
     filt = sdict.get("Filter")
     if filt is None:
@@ -553,12 +587,6 @@ def _decode_stream(sdict: dict, raw: bytes) -> bytes:
     out = raw
     for f, pm in zip(filters, plist):
         pm = pm if isinstance(pm, dict) else {}
-        pred = pm.get("Predictor", 1)
-        if isinstance(pred, int) and pred > 1:
-            # PNG/TIFF predictors (xref streams mostly) — honest reject
-            raise NotImplementedError(
-                f"unsupported stream predictor: {pred}"
-            )
         if f == "FlateDecode":
             out = zlib.decompress(out)
         elif f == "LZWDecode":
@@ -572,6 +600,10 @@ def _decode_stream(sdict: dict, raw: bytes) -> bytes:
             out = _ascii85_decode(out)
         else:
             raise NotImplementedError(f"unsupported stream filter: {f}")
+        pred = pm.get("Predictor", 1)
+        if isinstance(pred, int) and pred > 1:
+            # predictors post-process the DECODED bytes (spec order)
+            out = _apply_predictor(out, pred, pm)
     return out
 
 

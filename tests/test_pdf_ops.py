@@ -546,10 +546,42 @@ def test_lzw_hex_a85_filters_decode():
         b"/Filter [/ASCIIHexDecode /FlateDecode]",
     )
     assert P.decode_pdf_text(doc2)["pages"] == ["filter page text"]
-    # predictor rejects honestly
+    # PNG predictor (what xref streams use): Sub-filtered rows
+    # reconstruct through png._unfilter
+    cols = 16
+    rows = [stream[i : i + cols] for i in range(0, len(stream), cols)]
+    rows[-1] = rows[-1].ljust(cols, b" ")
+    pred_rows = bytearray()
+    for row in rows:
+        pred_rows.append(1)  # PNG Sub filter
+        prev = 0
+        for b in row:
+            pred_rows.append((b - prev) & 0xFF)
+            prev = b
     docp = _doc_with_filter(
+        zlib.compress(bytes(pred_rows)),
+        b"/Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Columns 16 >>",
+    )
+    got = P.decode_pdf_text(docp)["pages"]
+    assert got == ["filter page text"]
+    # TIFF predictor 2: horizontal byte differencing
+    diff = bytearray()
+    for r in range(0, len(rows)):
+        row = rows[r]
+        prev = 0
+        for i, b in enumerate(row):
+            diff.append(b if i == 0 else (b - row[i - 1]) & 0xFF)
+    doct = _doc_with_filter(
+        zlib.compress(bytes(diff)),
+        b"/Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 2 /Columns 16 >>",
+    )
+    assert P.decode_pdf_text(doct)["pages"] == ["filter page text"]
+    # an unknown predictor still rejects honestly
+    docu = _doc_with_filter(
         zlib.compress(stream),
-        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 >>",
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 7 >>",
     )
     with pytest.raises(NotImplementedError, match="predictor"):
-        P.decode_pdf_text(docp)
+        P.decode_pdf_text(docu)
