@@ -429,7 +429,7 @@ def _expand_object_streams(objects: dict) -> None:
         ):
             continue
         try:
-            data = _decode_stream(val, stream)
+            data = _decode_stream(val, stream, objects)
         except (NotImplementedError, zlib.error, ValueError):
             continue
         n = _resolve(objects, val.get("N"))
@@ -519,7 +519,16 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             raise ValueError("bad LZW code")
         out += entry
         prev = entry
-        if len(table) + early - 1 >= (1 << width) and width < 12:
+        # widening: the DECODER's table lags the encoder's by one
+        # entry (the encoder adds when it emits; the decoder adds one
+        # code later), so it widens at table size
+        # 2^width - EarlyChange - 1 — i.e. len(table) + early + 1 >=
+        # 2^width (r15 third sweep #1: the previous offset desynced
+        # real encoder output past the 9->10 boundary, and the test's
+        # encoder twin replicated the same offset, masking it;
+        # verified empirically against a reset-capable canonical
+        # encoder in both EarlyChange modes across all boundaries)
+        if len(table) + early + 1 >= (1 << width) and width < 12:
             width += 1
     return bytes(out)
 
@@ -577,15 +586,27 @@ def _apply_predictor(data: bytes, pred: int, pm: dict) -> bytes:
     raise NotImplementedError(f"unsupported stream predictor: {pred}")
 
 
-def _decode_stream(sdict: dict, raw: bytes) -> bytes:
-    filt = sdict.get("Filter")
+def _decode_stream(
+    sdict: dict, raw: bytes, objects: dict | None = None
+) -> bytes:
+    def _res(v):
+        return _resolve(objects, v) if objects is not None else v
+
+    filt = _res(sdict.get("Filter"))
     if filt is None:
         return raw
     filters = filt if isinstance(filt, list) else [filt]
-    parms = sdict.get("DecodeParms") or sdict.get("DP")
-    plist = parms if isinstance(parms, list) else [parms] * len(filters)
+    parms = _res(sdict.get("DecodeParms") or sdict.get("DP"))
+    if isinstance(parms, list):
+        # PAD a short DecodeParms array (r15 third sweep #3: zip
+        # truncation silently skipped trailing filters and returned
+        # partially-decoded bytes as content)
+        plist = list(parms) + [None] * (len(filters) - len(parms))
+    else:
+        plist = [parms] * len(filters)
     out = raw
     for f, pm in zip(filters, plist):
+        pm = _res(pm)
         pm = pm if isinstance(pm, dict) else {}
         if f == "FlateDecode":
             out = zlib.decompress(out)
@@ -668,8 +689,16 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
             for i, d in enumerate(dsts):
                 if lo + i <= hi:
                     cmap[lo + i] = _u(d)
-        # scalar form: <lo> <hi> <dstStart> (skip array groups)
-        body2 = re.sub(rb"\[.*?\]", b"", body, flags=re.S)
+        # scalar form: <lo> <hi> <dstStart> — strip whole ARRAY
+        # entries (src pair INCLUDED) first, or a mixed block's
+        # leftover <lo> <hi> tokens shift the scalar triple alignment
+        # and silently drop mappings (r15 third sweep #2)
+        body2 = re.sub(
+            rb"<[0-9A-Fa-f]+>\s*<[0-9A-Fa-f]+>\s*\[.*?\]",
+            b"",
+            body,
+            flags=re.S,
+        )
         toks = _HEX_TOK_RE.findall(body2)
         for lo_h, hi_h, d_h in zip(toks[0::3], toks[1::3], toks[2::3]):
             lo, hi = int(lo_h, 16), int(hi_h, 16)
@@ -725,8 +754,16 @@ def _page_text(
     cur_font: tuple[int, dict[int, str]] | None = None
 
     def _txt(b: bytes) -> str:
-        if cur_font is not None and not b.startswith(b"\xfe\xff"):
-            return _decode_with_cmap(b, cur_font[0], cur_font[1])
+        if cur_font is not None:
+            w, cm = cur_font
+            # the UTF-16BE BOM convention wins only when the font does
+            # NOT map that code itself (r15 third sweep #7: an explicit
+            # mapping must beat the heuristic)
+            if b.startswith(b"\xfe\xff") and not (
+                w == 2 and 0xFEFF in cm
+            ):
+                return _pdf_text_bytes(b)
+            return _decode_with_cmap(b, w, cm)
         return _pdf_text_bytes(b)
 
     def _newline():
@@ -777,15 +814,28 @@ def _page_text(
     return "\n".join(lines), shown
 
 
-def _walk_pages(objects: dict, node, out: list[dict], depth: int = 0):
+def _walk_pages(
+    objects: dict,
+    node,
+    out: list[dict],
+    depth: int = 0,
+    inherited_res=None,
+):
     node = _resolve(objects, node)
     if not isinstance(node, dict) or depth > 64:
         return
+    # /Resources is inheritable (PDF spec 7.7.3.4): many writers hang
+    # ONE shared dict on the /Pages node — a page without its own
+    # entry uses the nearest ancestor's (r15 third sweep #5: without
+    # this, shared subset fonts lost their ToUnicode maps silently)
+    res = node.get("Resources", inherited_res)
     if node.get("Type") == "Page":
+        if "Resources" not in node and res is not None:
+            node = {**node, "Resources": res}
         out.append(node)
         return
     for kid in node.get("Kids", []) or []:
-        _walk_pages(objects, kid, out, depth + 1)
+        _walk_pages(objects, kid, out, depth + 1, res)
 
 
 def decode_pdf_text(content: bytes) -> dict:
@@ -793,7 +843,9 @@ def decode_pdf_text(content: bytes) -> dict:
     in page-tree order.
 
     Raises :class:`EncryptedPdfError` on /Encrypt,
-    ``NotImplementedError`` on non-Flate filters, ``ValueError`` on a
+    ``NotImplementedError`` on stream filters outside the decoded set
+    (Flate, LZW, ASCIIHex, ASCII85 — with TIFF/PNG predictors — are
+    decoded; DCT/JBIG2/JPX image codecs reject), ``ValueError`` on a
     document with no parseable page tree."""
     if not content.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
@@ -835,6 +887,7 @@ def decode_pdf_text(content: bytes) -> dict:
     if not pages:
         raise ValueError("empty page tree")
     texts: list[str] = []
+    font_cache: dict[int, tuple[int, dict[int, str]] | None] = {}
     for page in pages:
         contents = page.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]
@@ -846,22 +899,24 @@ def decode_pdf_text(content: bytes) -> dict:
             if entry is None or entry[1] is None:
                 continue
             sdict, raw = entry
-            blobs.append(_decode_stream(sdict, raw))
+            blobs.append(_decode_stream(sdict, raw, objects))
         text, _ = _page_text(
-            b"\n".join(blobs), _page_fonts(objects, page)
+            b"\n".join(blobs), _page_fonts(objects, page, font_cache)
         )
         texts.append(text)
     return {"n_pages": len(pages), "pages": texts}
 
 
 def _page_fonts(
-    objects: dict, page: dict
+    objects: dict, page: dict, cache: dict | None = None
 ) -> dict[str, tuple[int, dict[int, str]]]:
     """Parsed /ToUnicode CMaps for a page's font resources: {resource
     name -> (code_width, code->unicode)}.  Fonts without a usable
     /ToUnicode stream are simply absent (their strings keep the
     Latin-1 / UTF-16BE-BOM convention); a broken CMap never fails the
-    page."""
+    page.  ``cache`` memoizes parsed CMaps by ToUnicode object number
+    across a document's pages (r15 third sweep #6: a 500-page doc
+    sharing one font must not inflate+parse the same CMap 500x)."""
     fonts: dict[str, tuple[int, dict[int, str]]] = {}
     res = _resolve(objects, page.get("Resources"))
     if not isinstance(res, dict):
@@ -876,16 +931,25 @@ def _page_fonts(
         tu = fobj.get("ToUnicode")
         if not (isinstance(tu, tuple) and tu[0] == "ref"):
             continue
+        if cache is not None and tu[1] in cache:
+            parsed = cache[tu[1]]
+            if parsed is not None:
+                fonts[name] = parsed
+            continue
         entry = objects.get(tu[1])
-        if entry is None or entry[1] is None:
-            continue
-        try:
-            data = _decode_stream(entry[0], entry[1])
-            width, cmap = _parse_tounicode(data)
-        except (NotImplementedError, zlib.error, ValueError):
-            continue
-        if cmap:
-            fonts[name] = (width, cmap)
+        parsed = None
+        if entry is not None and entry[1] is not None:
+            try:
+                data = _decode_stream(entry[0], entry[1], objects)
+                width, cmap = _parse_tounicode(data)
+                if cmap:
+                    parsed = (width, cmap)
+            except (NotImplementedError, zlib.error, ValueError):
+                parsed = None
+        if cache is not None:
+            cache[tu[1]] = parsed
+        if parsed is not None:
+            fonts[name] = parsed
     return fonts
 
 

@@ -482,8 +482,18 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
         emit(table[cur])
         table[nxt] = next_code
         next_code += 1
-        if next_code + early - 1 >= (1 << width) and width < 12:
-            width += 1
+        # canonical encoder rule: widen when the next code to assign
+        # reaches 2^width - EarlyChange; at a FULL 12-bit table emit
+        # Clear and reset (real encoders must, or codes overflow the
+        # 12-bit ceiling)
+        if next_code + early >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
         cur = bytes([byte])
     if cur:
         emit(table[cur])
@@ -585,3 +595,86 @@ def test_lzw_hex_a85_filters_decode():
     )
     with pytest.raises(NotImplementedError, match="predictor"):
         P.decode_pdf_text(docu)
+
+
+def test_lzw_long_stream_crosses_width_boundaries():
+    """r15 third sweep #1: the width must grow at table size
+    2^width - EarlyChange (the pdfminer/pdf.js rule) — a stream whose
+    table crosses the 511 and 1023 boundaries roundtrips in both
+    EarlyChange modes (the old off-by-one desynced after ~253
+    entries)."""
+    import random as _random
+
+    rng = _random.Random(97)
+    data = bytes(rng.randrange(256) for _ in range(20000))
+    for early in (1, 0):
+        enc = _lzw_encode(data, early=early)
+        assert P._lzw_decode(enc, early=early) == data
+
+
+def test_bfrange_mixed_block_parses_both_forms():
+    """r15 third sweep #2: one bfrange block mixing an array-form
+    entry with scalar triples must keep BOTH — the leftover src pair
+    of the array entry must not shift the scalar alignment."""
+    cmap = (
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfrange\n"
+        b"<0004> <0004> [<0042>]\n"
+        b"<0001> <0003> <0041>\n"
+        b"endbfrange\n"
+    )
+    width, m = P._parse_tounicode(cmap)
+    assert width == 2
+    assert m == {1: "A", 2: "B", 3: "C", 4: "B"}
+
+
+def test_decodeparms_short_list_and_indirect():
+    """r15 third sweep #3/#4: a DecodeParms array shorter than the
+    Filter array must not truncate the filter chain, and an
+    indirect-reference DecodeParms resolves through the object
+    table."""
+    stream = b"BT /F1 12 Tf 72 720 Td (parms page text) Tj ET"
+    # short parms list: [null] against two filters
+    doc = _doc_with_filter(
+        zlib.compress(stream).hex().encode() + b">",
+        b"/Filter [/ASCIIHexDecode /FlateDecode] /DecodeParms [null]",
+    )
+    assert P.decode_pdf_text(doc)["pages"] == ["parms page text"]
+    # indirect DecodeParms carrying a PNG predictor
+    cols = 16
+    rows = [stream[i : i + cols] for i in range(0, len(stream), cols)]
+    rows[-1] = rows[-1].ljust(cols, b" ")
+    pred_rows = bytearray()
+    for row in rows:
+        pred_rows.append(0)  # None filter: identity reconstruction
+        pred_rows += row
+    doc2 = _doc_with_filter(
+        zlib.compress(bytes(pred_rows)),
+        b"/Filter /FlateDecode /DecodeParms 97 0 R",
+    )
+    doc2 += (
+        b"97 0 obj\n<< /Predictor 12 /Columns 16 >>\nendobj\n"
+    )
+    assert P.decode_pdf_text(doc2)["pages"] == ["parms page text"]
+
+
+def test_inherited_resources_from_pages_node():
+    """r15 third sweep #5: a /Resources dict hung on the /Pages node
+    (the shared-font shape many writers emit) must reach each page's
+    font lookup — subset-font CMaps decode without a per-page
+    Resources entry."""
+    doc = _cmap_doc()
+    # move Resources from the page to the Pages node
+    doc = doc.replace(
+        b"<< /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F9 5 0 R >> >> "
+        b"/Contents 4 0 R >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+    )
+    doc = doc.replace(
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F9 5 0 R >> >> >>",
+    )
+    out = P.decode_pdf_text(doc)
+    assert out["pages"] == ["Hélmn\n OK!"]
