@@ -1145,3 +1145,223 @@ def synthesize_pdf_column(
             "content binary"
         ),
     )
+
+
+# ---------------------------------------------------- fixture corpus
+
+def _lzw_encode_fixture(data: bytes, early: int = 1) -> bytes:
+    """Minimal canonical TIFF-LZW encoder (fixtures/tests only): Clear
+    first, EOD last, EarlyChange widening, Clear-and-reset at a full
+    12-bit table.  The decoder is verified against THIS independent
+    formulation (plus the k-offset sweep that pinned the decoder-lag
+    widening rule), so a shared off-by-one cannot hide."""
+    out_bits: list[int] = []
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code: int) -> None:
+        for b in range(width - 1, -1, -1):
+            out_bits.append((code >> b) & 1)
+
+    emit(256)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code + early >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(257)
+    while len(out_bits) % 8:
+        out_bits.append(0)
+    return bytes(
+        int("".join(map(str, out_bits[i : i + 8])), 2)
+        for i in range(0, len(out_bits), 8)
+    )
+
+
+def _swap_content_stream(doc: bytes, body: bytes, head: bytes) -> bytes:
+    """Replace the single uncompressed content stream of an
+    encode_pdf(compress=False) document with ``body`` declared via
+    ``head`` (the stream-dict text after /Length)."""
+    m = re.search(
+        rb"<< /Length (\d+) >>\nstream\n(.*?)\nendstream", doc, re.S
+    )
+    if not m:
+        raise ValueError("no uncompressed content stream to swap")
+    return (
+        doc[: m.start()]
+        + b"<< /Length %d %s >>\nstream\n" % (len(body), head)
+        + body
+        + b"\nendstream"
+        + doc[m.end() :]
+    )
+
+
+def _objstm_fixture(text: str) -> bytes:
+    """PDF 1.5-style: catalog/pages/page dicts inside a Flate /ObjStm,
+    XRef-dict root, no classic trailer."""
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    body = b""
+    offsets = []
+    for num, ob in objs:
+        offsets.append((num, len(body)))
+        body += ob + b"\n"
+    header = " ".join(f"{n} {o}" for n, o in offsets).encode() + b"\n"
+    stm = zlib.compress(header + body)
+    content = _page_stream(text)
+    doc = b"%PDF-1.5\n"
+    doc += (
+        b"7 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (len(objs), len(header), len(stm))
+        + stm
+        + b"\nendstream\nendobj\n"
+    )
+    doc += (
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    doc += b"8 0 obj\n<< /Type /XRef /Root 1 0 R >>\nendobj\n%%EOF\n"
+    return doc
+
+
+def _cmap_fixture() -> bytes:
+    """Subset font with a /ToUnicode CMap hung on the /Pages node
+    (inherited resources): 2-byte private codes -> 'Map OK'."""
+    cmap = (
+        b"begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"4 beginbfchar\n"
+        b"<0001> <004D>\n<0002> <0061>\n<0003> <0070>\n"
+        b"<0004> <0020004F004B>\n"
+        b"endbfchar\n"
+    )
+    content = b"BT /F9 12 Tf 72 720 Td <0001000200030004> Tj ET"
+    doc = b"%PDF-1.4\n"
+    doc += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    doc += (
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F9 5 0 R >> >> >>\nendobj\n"
+    )
+    doc += (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+        b"\nendobj\n"
+    )
+    doc += (
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    doc += (
+        b"5 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"
+        b"\nendobj\n"
+    )
+    doc += (
+        b"6 0 obj\n<< /Length %d >>\nstream\n" % len(cmap)
+        + cmap
+        + b"\nendstream\nendobj\n"
+    )
+    doc += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return doc
+
+
+def synthetic_pdf_corpus(spark):
+    """One deterministic document per decoder feature — the PDF twin
+    of ``multimodal.synthetic_assets``: (asset_id, kind, content).
+    Drive through :func:`extract_pdf_text` for a full feature matrix
+    (every success text and error channel is fixed by construction —
+    `q_pdf_feature_matrix` pins the whole surface with an exact
+    hand-derived oracle)."""
+    base = "matrix page text"
+    stream = _page_stream(base)
+    pred_cols = 16
+    rows = [stream[i : i + pred_cols] for i in range(0, len(stream), pred_cols)]
+    rows[-1] = rows[-1].ljust(pred_cols, b" ")
+    pred = bytearray()
+    for row in rows:
+        pred.append(1)  # PNG Sub
+        prev = 0
+        for b in row:
+            pred.append((b - prev) & 0xFF)
+            prev = b
+    import base64
+
+    plain = encode_pdf(["plain alpha page"])
+    docs = [
+        ("plain", plain),
+        ("multipage", encode_pdf(["page one text", "page two text"])),
+        ("unicode", encode_pdf(["café 中文 页面"])),
+        ("uncompressed_ascii", encode_pdf(["ascii body"], compress=False)),
+        ("objstm", _objstm_fixture("objstm body text")),
+        ("cmap_subset_font", _cmap_fixture()),
+        (
+            "lzw",
+            _swap_content_stream(
+                encode_pdf([base], compress=False),
+                _lzw_encode_fixture(stream),
+                b"/Filter /LZWDecode",
+            ),
+        ),
+        (
+            "ascii85",
+            _swap_content_stream(
+                encode_pdf([base], compress=False),
+                base64.a85encode(stream) + b"~>",
+                b"/Filter /ASCII85Decode",
+            ),
+        ),
+        (
+            "hex_flate_chain",
+            _swap_content_stream(
+                encode_pdf([base], compress=False),
+                zlib.compress(stream).hex().encode() + b">",
+                b"/Filter [/ASCIIHexDecode /FlateDecode]",
+            ),
+        ),
+        (
+            "png_predictor",
+            _swap_content_stream(
+                encode_pdf([base], compress=False),
+                zlib.compress(bytes(pred)),
+                b"/Filter /FlateDecode /DecodeParms "
+                b"<< /Predictor 12 /Columns 16 >>",
+            ),
+        ),
+        ("encrypted", encode_pdf(["secret"], encrypted=True)),
+        (
+            "unsupported_filter",
+            encode_pdf(["z"], filter_name="DCTDecode"),
+        ),
+        (
+            "image_only",
+            _swap_content_stream(
+                encode_pdf([""], compress=False),
+                b"0 0 100 100 re f",
+                b"",
+            ),
+        ),
+        ("not_a_pdf", b"GIF89a definitely not a pdf"),
+    ]
+    return spark.createDataFrame(
+        [(i, kind, bytearray(blob)) for i, (kind, blob) in enumerate(docs)],
+        "asset_id int, kind string, content binary",
+    )

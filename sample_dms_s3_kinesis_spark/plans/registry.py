@@ -4651,7 +4651,8 @@ DRIVER_WINDOW: list[str] = [
 #     new registration here as it lands):
 #     q_mime_funnel, q_mime_e2e_stats, q_langid_latin,
 #     q_corpus_composition_nb, q_pdf_text_extract, q_pdf_funnel,
-#     q_idn_hosts, q_idn_domain_caps, q_ingest_langid_e2e;
+#     q_idn_hosts, q_idn_domain_caps, q_ingest_langid_e2e,
+#     q_pdf_feature_matrix;
 # (b) the 38 remaining r10-stale rows (q_pivot_status_counts,
 #     q_string_functions, q_date_functions, q_two_phase_distinct,
 #     q_mixture_sample, q_text_tfidf_topk, q_near_dedup_against,

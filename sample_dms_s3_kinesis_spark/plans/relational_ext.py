@@ -10325,3 +10325,55 @@ def _langid_e2e_results(spark: SparkSession):
 def q_ingest_langid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, schema = _langid_e2e_results(spark)
     return spark.createDataFrame(rows, schema).orderBy("doc_id")
+
+
+@_register(
+    "q_pdf_feature_matrix",
+    """
+    SELECT * FROM (VALUES
+      ('plain',              1, 'plain alpha page'),
+      ('multipage',          2, 'page one text' || chr(10) || chr(10)
+                                || 'page two text'),
+      ('unicode',            1, 'café 中文 页面'),
+      ('uncompressed_ascii', 1, 'ascii body'),
+      ('objstm',             1, 'objstm body text'),
+      ('cmap_subset_font',   1, 'Map OK'),
+      ('lzw',                1, 'matrix page text'),
+      ('ascii85',            1, 'matrix page text'),
+      ('hex_flate_chain',    1, 'matrix page text'),
+      ('png_predictor',      1, 'matrix page text'),
+      ('encrypted',          CAST(NULL AS INTEGER), 'encrypted'),
+      ('unsupported_filter', CAST(NULL AS INTEGER),
+                             'unsupported stream filter: DCTDecode'),
+      ('image_only',         1, 'image_only'),
+      ('not_a_pdf',          CAST(NULL AS INTEGER),
+                             'ValueError: not a PDF (missing %PDF- header)')
+    ) AS t(kind, n_pages, result)
+    """,
+    "the full PDF decoder feature matrix, driver-visible: one "
+    "deterministic document per capability (multi-page / unicode "
+    "UTF-16BE strings / pure-ASCII / PDF 1.5 ObjStm-packed page tree "
+    "/ subset-font ToUnicode CMap with INHERITED /Pages resources / "
+    "LZW / ASCII85 / a two-filter hex+Flate chain / PNG predictor) "
+    "and per error channel (encrypted / DCT reject / image-only / "
+    "not-a-PDF), extracted through the Arrow mapInPandas operator — "
+    "oracle = the hand-derived truth of every cell, so ANY parser or "
+    "filter regression hash-mismatches in the driver gate, not just "
+    "in pytest",
+    "multimodal: PDF decoder feature matrix",
+)
+def q_pdf_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_s3_kinesis_spark.operators import pdf as _pdf
+
+    corpus = _pdf.synthetic_pdf_corpus(spark)
+    out = _pdf.extract_pdf_text(
+        corpus, content_col="content", id_col="asset_id"
+    )
+    return (
+        out.join(corpus.select("asset_id", "kind"), "asset_id")
+        .select(
+            "kind",
+            "n_pages",
+            F.coalesce(F.col("text"), F.col("error")).alias("result"),
+        )
+    )

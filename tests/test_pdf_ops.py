@@ -678,3 +678,27 @@ def test_inherited_resources_from_pages_node():
     )
     out = P.decode_pdf_text(doc)
     assert out["pages"] == ["Hélmn\n OK!"]
+
+
+def test_synthetic_pdf_corpus_matrix(spark):
+    """The fixture corpus covers every decoder capability and error
+    channel exactly once; the full cell truth is oracle-pinned by
+    q_pdf_feature_matrix — here we pin the roster and one success +
+    one error cell."""
+    corpus = P.synthetic_pdf_corpus(spark)
+    out = {
+        r["kind"]: (r["n_pages"], r["text"], r["error"])
+        for r in P.extract_pdf_text(
+            corpus, content_col="content", id_col="asset_id"
+        )
+        .join(corpus.select("asset_id", "kind"), "asset_id")
+        .collect()
+    }
+    assert set(out) == {
+        "plain", "multipage", "unicode", "uncompressed_ascii",
+        "objstm", "cmap_subset_font", "lzw", "ascii85",
+        "hex_flate_chain", "png_predictor", "encrypted",
+        "unsupported_filter", "image_only", "not_a_pdf",
+    }
+    assert out["cmap_subset_font"] == (1, "Map OK", None)
+    assert out["encrypted"] == (None, None, "encrypted")
