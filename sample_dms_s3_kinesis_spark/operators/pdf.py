@@ -1150,11 +1150,13 @@ def synthesize_pdf_column(
 # ---------------------------------------------------- fixture corpus
 
 def _lzw_encode_fixture(data: bytes, early: int = 1) -> bytes:
-    """Minimal canonical TIFF-LZW encoder (fixtures/tests only): Clear
-    first, EOD last, EarlyChange widening, Clear-and-reset at a full
-    12-bit table.  The decoder is verified against THIS independent
-    formulation (plus the k-offset sweep that pinned the decoder-lag
-    widening rule), so a shared off-by-one cannot hide."""
+    """The canonical TIFF-LZW encoder of record (fixtures AND the
+    pytest reference delegate here — exactly one copy, so a future
+    boundary fix cannot desynchronize them): Clear first, EOD last,
+    EarlyChange widening, Clear-and-reset at a full 12-bit table.
+    The DECODER's widening rule was pinned independently via the
+    empirical k-offset sweep, so encoder/decoder cannot share a
+    hidden off-by-one."""
     out_bits: list[int] = []
     width = 9
     table = {bytes([i]): i for i in range(256)}

@@ -461,65 +461,20 @@ def test_tounicode_unmapped_code_and_no_cmap_fallback():
 
 
 def _lzw_encode(data: bytes, early: int = 1) -> bytes:
-    """Minimal TIFF-variant LZW encoder (test-only reference twin of
-    pdf._lzw_decode): Clear first, EOD last, EarlyChange widening."""
-    out_bits = []
-    width = 9
-    table = {bytes([i]): i for i in range(256)}
-    next_code = 258
-
-    def emit(code):
-        for b in range(width - 1, -1, -1):
-            out_bits.append((code >> b) & 1)
-
-    emit(256)  # Clear
-    cur = b""
-    for byte in data:
-        nxt = cur + bytes([byte])
-        if nxt in table:
-            cur = nxt
-            continue
-        emit(table[cur])
-        table[nxt] = next_code
-        next_code += 1
-        # canonical encoder rule: widen when the next code to assign
-        # reaches 2^width - EarlyChange; at a FULL 12-bit table emit
-        # Clear and reset (real encoders must, or codes overflow the
-        # 12-bit ceiling)
-        if next_code + early >= (1 << width):
-            if width < 12:
-                width += 1
-            else:
-                emit(256)
-                table = {bytes([i]): i for i in range(256)}
-                next_code = 258
-                width = 9
-        cur = bytes([byte])
-    if cur:
-        emit(table[cur])
-    emit(257)  # EOD
-    while len(out_bits) % 8:
-        out_bits.append(0)
-    return bytes(
-        int("".join(map(str, out_bits[i : i + 8])), 2)
-        for i in range(0, len(out_bits), 8)
-    )
+    """The ONE canonical TIFF-LZW encoder of record lives in pdf.py
+    (r15 final sweep: a second verbatim copy here could silently
+    desynchronize from the fixture encoder on a future fix — the
+    decoder's independence comes from the empirical k-offset sweep
+    that pinned its widening rule, not from duplicating this)."""
+    return P._lzw_encode_fixture(data, early=early)
 
 
 def _doc_with_filter(content_body: bytes, head_extra: bytes) -> bytes:
-    doc = P.encode_pdf(["placeholder"], compress=False)
-    import re as _re
-
-    m = _re.search(
-        rb"<< /Length (\d+) >>\nstream\n(.*?)\nendstream", doc, _re.S
-    )
-    assert m
-    return (
-        doc[: m.start()]
-        + b"<< /Length %d %s >>\nstream\n" % (len(content_body), head_extra)
-        + content_body
-        + b"\nendstream"
-        + doc[m.end() :]
+    # one stream-swap implementation of record (pdf._swap_content_stream)
+    return P._swap_content_stream(
+        P.encode_pdf(["placeholder"], compress=False),
+        content_body,
+        head_extra,
     )
 
 
