@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import logging
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -389,27 +390,42 @@ def _band_hashes(
     if hash_family == "md5":
         # slots are already hex strings; md5 over the joined band
         # mirrors DuckDB's md5(string_agg(slot, ',' ORDER BY i))
-        def _band_hash(c: Column) -> Column:
-            return F.md5(c)
-    else:
-        def _band_hash(c: Column) -> Column:
-            return F.xxhash64(c)
-
-    def _bands(s: Column) -> Column:
-        return F.array(
-            *[
-                _band_hash(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(s, b * rows + r + 1).cast("string")
-                            for r in range(rows)
-                        ],
+        def _bands(s: Column) -> Column:
+            return F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(s, b * rows + r + 1)
+                                for r in range(rows)
+                            ],
+                        )
                     )
-                )
-                for b in range(bands)
-            ]
-        )
+                    for b in range(bands)
+                ]
+            )
+    else:
+        # The band hash only carries EQUALITY (same r slot longs → same
+        # bucket), so hash the slot longs directly with the multi-arg
+        # xxhash64 instead of rendering them to strings and hashing the
+        # join: r long→string conversions + a concat + a variable-length
+        # string hash per band collapse to one fixed-width seed-chained
+        # hash.  Bucket membership is unchanged (equal tuples still
+        # collide; unequal tuples collide only at the same 2^-64 rate
+        # the string hash already had).
+        def _bands(s: Column) -> Column:
+            return F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at(s, b * rows + r + 1)
+                            for r in range(rows)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
 
     return _bind(sig, _bands)
 
@@ -459,6 +475,7 @@ def _band_candidates(
     rows: int,
     max_band_width: int | None = None,
     hash_family: str = "xxhash64",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs: docs sharing any band hash.
     ``sig_df`` must have columns (_id, _sig).  The self-join key is
@@ -490,6 +507,15 @@ def _band_candidates(
             )
         ).alias("_band", "_bh"),
     )
+    # Materialize the banded frame once: it is referenced by BOTH sides
+    # of the self-join and (with a cap) by the hot-bucket count, and
+    # Spark does not share subtrees across join sides — uncheckpointed,
+    # the band-hash projection + explode ran up to 4x per execution
+    # (x side, y side, and once per side's hot-bucket anti-join input).
+    # The stored rows are (_id, int, long) — smaller than the signature
+    # arrays the subtree would otherwise re-read — so this also holds at
+    # scale (same MEMORY_AND_DISK semantics as the signature checkpoint).
+    banded = _cut_lineage(banded, checkpoint_dir)
     if max_band_width is not None:
         banded = _drop_hot_buckets(banded, max_band_width)
     return (
@@ -551,7 +577,7 @@ def minhash_lsh_pairs(
 
     cand = _band_candidates(
         sig, bands=bands, rows=rows, max_band_width=max_band_width,
-        hash_family=hash_family,
+        hash_family=hash_family, checkpoint_dir=checkpoint_dir,
     )
     verified = (
         cand.join(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
@@ -797,6 +823,7 @@ def lsh_verified_jaccard_pairs(
         rows=rows,
         max_band_width=max_band_width,
         hash_family=hash_family,
+        checkpoint_dir=checkpoint_dir,
     )
     joined = (
         cand.join(
@@ -870,40 +897,77 @@ def _token_hashes(col: Column, *, hash_family: str = "xxhash64") -> Column:
 def _simhash_from_hashes(hashes: Column, *, bits: int = 64) -> Column:
     """Pack the majority sign of each bit position into one long.
     bit j set ⟺ Σ±1 over tokens > 0 ⟺ 2·count(bit j set) > n_tokens.
-    Per bit this is a size/filter over a long array — no per-token
-    array materialization (the naive ±1-vector fold allocates a
-    bits-wide array per token, which is pure GC pressure).
 
-    ``hashes`` is bound once (``_bind``): the 64+1 sibling references
-    are NOT common-subexpression-eliminated by Catalyst, so an inline
-    token-hash expression would re-tokenize and re-hash the text once
-    per bit regardless of call-site projection discipline (projection
-    collapse can inline a previously projected column back into the
-    lambda)."""
+    Evaluated as one vectorized Arrow pandas UDF over the token-hash
+    arrays: the former pure-Catalyst form ran 64 higher-order
+    ``size(filter(hs, getbit(h, j)))`` passes per document, and HOF
+    lambdas are interpreted (not whole-stage-codegen), so the pack
+    dominated the simhash scan (~1.4 s of the 1.6 s query at sf0.1).
+    Here a whole Arrow batch of hash arrays is concatenated once,
+    ``np.unpackbits`` produces the (tokens × 64) bit matrix,
+    ``np.add.reduceat`` sums per document, and ``np.packbits`` re-packs
+    the majority bits — memory-bandwidth bound instead of
+    interpreter-bound, and only the hash arrays cross the JVM↔Python
+    boundary.  Bit values are identical to the expression form: bit j
+    set ⟺ 2·count(getbit(h, j)) > n (pinned by the md5 hashlib
+    reference test), NULL token array → NULL fingerprint, empty
+    array → 0."""
+    if not (1 <= bits <= 64):
+        raise ValueError(f"bits must be in 1..64: got {bits}")
 
-    def _pack(hs: Column) -> Column:
-        n = F.size(hs)
-        packed = F.lit(0).cast("long")
-        for j in range(bits):
-            cnt = F.size(
-                F.filter(hs, lambda h: F.getbit(h, F.lit(j)) == 1)
+    @F.pandas_udf("bigint")
+    def _pack(arrs: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        n_rows = len(arrs)
+        out = np.zeros(n_rows, dtype=np.int64)
+        valid = np.zeros(n_rows, dtype=bool)
+        parts: list = []
+        lens: list = []
+        rows_with_tokens: list = []
+        for i, a in enumerate(arrs):
+            if a is None:
+                continue
+            valid[i] = True
+            aa = np.ascontiguousarray(a, dtype="<i8")
+            if aa.size:
+                parts.append(aa)
+                lens.append(aa.size)
+                rows_with_tokens.append(i)
+        if parts:
+            allh = np.concatenate(parts)
+            # (total_tokens, 64) bit matrix, column j == getbit(h, j):
+            # little-endian byte layout ('<i8' above) puts byte 0 = LSB,
+            # and bitorder="little" puts bit 0 of each byte first.
+            bit_mat = np.unpackbits(
+                allh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
             )
-            # Bit 63 is the sign bit of the two's-complement long,
-            # hence the negative literal.
-            bit_val = (1 << j) if j < 63 else -(1 << 63)
-            packed = packed.bitwiseOR(
-                F.when(cnt * 2 > n, F.lit(bit_val).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
+            lens_arr = np.asarray(lens, dtype=np.int64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens_arr[:-1], out=starts[1:])
+            counts = np.add.reduceat(
+                bit_mat, starts, axis=0, dtype=np.int64
             )
+            majority = (2 * counts) > lens_arr[:, None]
+            if bits < 64:
+                majority[:, bits:] = False
+            packed = (
+                np.packbits(majority, axis=1, bitorder="little")
+                .copy()
+                .view("<i8")
+                .ravel()
+            )
+            out[np.asarray(rows_with_tokens, dtype=np.int64)] = packed
         # A NULL token array (NULL text) must give a NULL fingerprint,
-        # not 0: the when().otherwise(0) fold above would otherwise
-        # stamp every NULL-text doc with fingerprint 0 and report all
-        # of them as mutual hamming-0 near-dups (the simhash analog of
-        # the minhash no-shingle NULL-signature rule; pair generation
-        # filters NULL fingerprints).
-        return F.when(hs.isNotNull(), packed)
+        # not 0: fingerprint 0 would stamp every NULL-text doc as a
+        # mutual hamming-0 near-dup (the simhash analog of the minhash
+        # no-shingle NULL-signature rule; pair generation filters NULL
+        # fingerprints).
+        result = pd.Series(out, dtype="Int64")
+        result[~valid] = None
+        return result
 
-    return _bind(hashes, _pack)
+    return _pack(hashes)
 
 
 def simhash(
