@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sample_dms_s3_kinesis_spark.plans.registry import _dec, _money, _register, t
+from sample_dms_s3_kinesis_spark.plans.registry import (
+    _cents,
+    _money,
+    _register,
+    _sum_cents,
+    t,
+)
 
 
 @_register(
@@ -103,9 +109,10 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             _money(
-                F.sum(
-                    _dec(F.col("l_extendedprice"))
-                    * (F.lit(1) - _dec(F.col("l_discount")))
+                _sum_cents(
+                    _cents(F.col("l_extendedprice"))
+                    * (100 - _cents(F.col("l_discount"))),
+                    scale=4,
                 ),
                 4,
             ).alias("revenue")
@@ -151,8 +158,10 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
     )
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    volume = _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
-    zero = F.lit(0).cast("decimal(18,2)")
+    volume = _cents(F.col("l_extendedprice")) * (
+        100 - _cents(F.col("l_discount"))
+    )
+    zero = F.lit(0).cast("long")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -168,12 +177,13 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(
+                _sum_cents(
                     F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
                         zero
-                    )
+                    ),
+                    scale=4,
                 ).cast("double")
-                / F.sum("volume").cast("double"),
+                / _sum_cents(F.col("volume"), scale=4).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -218,9 +228,10 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             _money(
-                F.sum(
-                    _dec(F.col("l_extendedprice"))
-                    * (F.lit(1) - _dec(F.col("l_discount")))
+                _sum_cents(
+                    _cents(F.col("l_extendedprice"))
+                    * (100 - _cents(F.col("l_discount"))),
+                    scale=4,
                 ),
                 4,
             ).alias("sum_profit")
@@ -244,12 +255,13 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     per_supp = l.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
-        F.sum(_dec(F.col("l_extendedprice"))).alias("value")
+        _sum_cents(_cents(F.col("l_extendedprice"))).alias("value")
     )
     total = l.agg(
-        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") * F.lit(0.011)).alias(
-            "_thr"
-        )
+        (
+            _sum_cents(_cents(F.col("l_extendedprice"))).cast("double")
+            * F.lit(0.011)
+        ).alias("_thr")
     )
     return (
         per_supp.join(F.broadcast(total))
@@ -304,17 +316,20 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01 00:00:00")))
     )
     p = t(spark, sf_dir, "part")
-    volume = _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
-    zero = F.lit(0).cast("decimal(18,2)")
+    volume = _cents(F.col("l_extendedprice")) * (
+        100 - _cents(F.col("l_discount"))
+    )
+    zero = F.lit(0).cast("long")
     return (
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(zero)).cast(
-                    "double"
-                )
-                / F.sum(volume).cast("double"),
+                * _sum_cents(
+                    F.when(F.col("p_type") == "PROMO", volume).otherwise(zero),
+                    scale=4,
+                ).cast("double")
+                / _sum_cents(volume, scale=4).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -347,8 +362,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = t(spark, sf_dir, "supplier")
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(
-            _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+        _sum_cents(
+            _cents(F.col("l_extendedprice"))
+            * (100 - _cents(F.col("l_discount"))),
+            scale=4,
         ).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
@@ -391,7 +408,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("_thr"))
         .agg(
             F.round(
-                F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0), 4
+                _sum_cents(_cents(F.col("l_extendedprice"))).cast("double")
+                / F.lit(7.0),
+                4,
             ).alias("avg_yearly")
         )
     )
@@ -419,7 +438,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(_dec(F.col("l_quantity"))).alias("_sq"))
+        .agg(_sum_cents(_cents(F.col("l_quantity"))).alias("_sq"))
         .filter(F.col("_sq") > 250)
         .select("l_orderkey")
     )
@@ -429,7 +448,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(l, F.col("o_orderkey") == l["l_orderkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey")
-        .agg(_money(F.sum(_dec(F.col("l_quantity"))), 2).alias("sum_qty"))
+        .agg(_money(_sum_cents(_cents(F.col("l_quantity"))), 2).alias("sum_qty"))
     )
 
 
@@ -457,7 +476,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(
             (
-                F.sum(_dec(F.col("c_acctbal"))).cast("double")
+                _sum_cents(_cents(F.col("c_acctbal"))).cast("double")
                 / F.count(F.lit(1))
             ).alias("_mean")
         )
@@ -469,7 +488,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            _money(F.sum(_dec(F.col("c_acctbal"))), 2).alias("totacctbal"),
+            _money(_sum_cents(_cents(F.col("c_acctbal"))), 2).alias("totacctbal"),
         )
     )
 
@@ -659,10 +678,10 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
-    bal = _dec(F.col("c_acctbal"))
+    bal = _cents(F.col("c_acctbal"))
     n = F.count(F.lit(1))
-    sum_x = F.sum(bal).cast("double")
-    sum_x2 = F.sum(bal * bal).cast("double")
+    sum_x = _sum_cents(bal).cast("double")
+    sum_x2 = _sum_cents(bal * bal, scale=4).cast("double")
     return c.groupBy("c_mktsegment").agg(
         n.alias("n"),
         F.round(sum_x / n, 4).alias("mean_bal"),
@@ -786,7 +805,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("mo"),
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        _money(F.sum(_dec(F.col("o_totalprice"))), 2).alias("total_price"),
+        _money(_sum_cents(_cents(F.col("o_totalprice"))), 2).alias("total_price"),
     )
 
 
@@ -1028,7 +1047,7 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        _money(F.sum(_dec(F.col("c_acctbal"))), 2).alias("total_bal"),
+        _money(_sum_cents(_cents(F.col("c_acctbal"))), 2).alias("total_bal"),
     )
 
 
@@ -1339,8 +1358,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.filter(c1 | c2 | c3).agg(
         _money(
-            F.sum(
-                _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+            _sum_cents(
+                _cents(F.col("l_extendedprice"))
+                * (100 - _cents(F.col("l_discount"))),
+                scale=4,
             ),
             4,
         ).alias("revenue")
@@ -1371,7 +1392,7 @@ def q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         l.join(F.broadcast(red), on="l_partkey", how="left_semi")
         .groupBy("l_suppkey")
-        .agg(F.sum(_dec(F.col("l_quantity"))).alias("_sq"))
+        .agg(_sum_cents(_cents(F.col("l_quantity"))).alias("_sq"))
         .filter(F.col("_sq") > 50)
         .select(F.col("l_suppkey").alias("s_suppkey"))
     )
@@ -4053,9 +4074,9 @@ def q_dedup_segments_against(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     wide = l.groupBy("l_returnflag").agg(
-        _money(F.sum(_dec(F.col("l_quantity"))), 2).alias("sum_qty"),
-        _money(F.sum(_dec(F.col("l_extendedprice"))), 2).alias("sum_price"),
-        _money(F.sum(_dec(F.col("l_discount"))), 2).alias("sum_disc"),
+        _money(_sum_cents(_cents(F.col("l_quantity"))), 2).alias("sum_qty"),
+        _money(_sum_cents(_cents(F.col("l_extendedprice"))), 2).alias("sum_price"),
+        _money(_sum_cents(_cents(F.col("l_discount"))), 2).alias("sum_disc"),
     )
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
