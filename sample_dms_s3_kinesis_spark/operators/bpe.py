@@ -43,10 +43,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import logging
+
 from sample_dms_s3_kinesis_spark.operators.dedup import _cut_lineage
 from sample_dms_s3_kinesis_spark.operators.partitioning import spread
 from sample_dms_s3_kinesis_spark.operators.text import _bind
 from sample_dms_s3_kinesis_spark.operators.text import tokens
+
+_LOG = logging.getLogger("sample_dms_s3_kinesis_spark.bpe")
 
 END_OF_WORD = "</w>"
 
@@ -119,13 +123,28 @@ def bpe_train_merges(
     n_merges: int = 32,
     min_pair_count: int = 2,
     checkpoint_dir: str | None = None,
+    driver_threshold: int = 200_000,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges from the corpus.
 
     Returns [(left, right, pair_count), ...] in merge order.  Stops
     early when no pair reaches ``min_pair_count`` (a merge seen once
     is noise, not vocabulary).  Driver traffic is one row per round.
-    """
+
+    ``driver_threshold``: after the one corpus-sized pass
+    (``word_counts``), the working set is the VOCABULARY — when it has
+    at or below this many rows (default 200 000 weighted words, a few
+    MB) the merge rounds run on the driver over the collected symbol
+    lists, skipping ``n_merges`` rounds of distributed scheduling +
+    re-checkpointing latency.  Same size gate (and the same logged
+    switch) as ``graph.pagerank`` / ``dedup.connected_components``;
+    the distributed loop engages automatically above the gate
+    (``driver_threshold=0`` forces it).  Both paths implement the
+    identical greedy non-overlapping merge and the identical
+    (count desc, left asc, right asc) tie-break — Python's code-point
+    string order equals Spark's UTF8-binary order — so the learned
+    merges are the same either side of the gate (pinned by the
+    Sennrich reference tests)."""
     vocab = _cut_lineage(
         word_counts(df, text_col=text_col).select(
             _initial_symbols(F.col("word")).alias("sym"), "n"
@@ -133,6 +152,38 @@ def bpe_train_merges(
         checkpoint_dir,
     )
     merges: list[tuple[str, str, int]] = []
+    if driver_threshold and vocab.count() <= driver_threshold:
+        _LOG.info(
+            "bpe_train_merges: vocabulary <= driver_threshold=%d, "
+            "taking the driver merge-loop path (the distributed loop "
+            "engages above the gate)",
+            driver_threshold,
+        )
+        syms = [(list(r["sym"]), int(r["n"])) for r in vocab.collect()]
+        for _ in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for s, n in syms:
+                for i in range(len(s) - 1):
+                    p = (s[i], s[i + 1])
+                    counts[p] = counts.get(p, 0) + n
+            if not counts:
+                break
+            (l, r), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if cnt < min_pair_count:
+                break
+            merges.append((l, r, cnt))
+            merged = l + r
+            for idx, (s, n) in enumerate(syms):
+                out: list[str] = []
+                for x in s:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = merged
+                    else:
+                        out.append(x)
+                syms[idx] = (out, n)
+        return merges
     for _ in range(n_merges):
         best = (
             vocab.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("p"), "n")
