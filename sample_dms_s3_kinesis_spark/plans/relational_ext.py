@@ -6378,7 +6378,11 @@ def _wrapped_html() -> F.Column:
     "text: HTML/markup extraction (web-crawl ingest step)",
 )
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+
+    # the ~40-regex extraction chain is compute-bound per row and the
+    # single-file scan pins it to one core without the spread
+    d = spread(t(spark, sf_dir, "documents"))
     html = _wrapped_html()
     # Bind the two extracted strings once (projection barrier) — the
     # downstream md5/length/split reference them several times and the
@@ -7595,7 +7599,13 @@ def _crawl_fixture(spark: SparkSession, sf_dir: str, kind: str) -> str:
                 )
                 .alias("value")
             )
-        writer = lines.write.mode("overwrite")
+        from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+
+        # one part file per core: record-per-row framing makes the row
+        # order irrelevant (every consumer is set-based), and the read
+        # side — lineSep text or one-task-per-file gz — parallelizes by
+        # file count
+        writer = spread(lines).write.mode("overwrite")
         if kind == "warc_gz":
             # whole-file gzip members via the sink codec — the
             # non-splittable container shape read_warc_gz targets
@@ -9995,7 +10005,11 @@ def q_corpus_composition_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_s3_kinesis_spark.operators import pdf as _pdf
 
-    d = t(spark, sf_dir, "documents")
+    from sample_dms_s3_kinesis_spark.operators.partitioning import spread
+
+    # PDF encode+decode is per-row Python (mapInPandas); the single-file
+    # scan would otherwise run the whole corpus in one task
+    d = spread(t(spark, sf_dir, "documents"))
     np_col = (1 + F.col("doc_id") % 3).cast("int")
     pages = F.transform(
         F.sequence(F.lit(1), np_col),
