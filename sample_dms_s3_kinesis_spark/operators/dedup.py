@@ -1339,17 +1339,27 @@ def embedding_near_dup_against(
     build_rows = new.count() if broadcast is None else None
 
     def _base(df: DataFrame) -> DataFrame:
+        # per-vector norm once per side — see embedding_near_dup_pairs
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("_v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+        )
         return spread(df).select(
             F.col(id_col).alias("_id"),
             F.col(block_col).alias("_blk"),
             F.col(vec_col).cast("array<double>").alias("_v"),
-        )
+        ).withColumn("_n", norm)
 
     ex = _base(existing).select(
-        "_blk", F.col("_id").alias("existing_id"), F.col("_v").alias("_ve")
+        "_blk", F.col("_id").alias("existing_id"),
+        F.col("_v").alias("_ve"), F.col("_n").alias("_ne"),
     )
     nw = _base(new).select(
-        "_blk", F.col("_id").alias("new_id"), F.col("_v").alias("_vn")
+        "_blk", F.col("_id").alias("new_id"),
+        F.col("_v").alias("_vn"), F.col("_n").alias("_nn"),
     )
     pairs = _block_pair_join(
         ex,
@@ -1359,7 +1369,16 @@ def embedding_near_dup_against(
         broadcast_rows=broadcast_rows,
         broadcast=broadcast,
     )
-    cos = cosine_similarity(F.col("_vn"), F.col("_ve"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_vn"), F.col("_ve"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # same NULL/NaN contract as cosine_similarity (see its docstring)
+    cos = _bind(
+        F.try_divide(dot, F.col("_nn") * F.col("_ne")),
+        lambda c: F.when(~F.isnan(c), c),
+    )
     # raw-value filter (round only for output) — see ngram_jaccard_pairs
     return (
         pairs.select("new_id", "existing_id", cos.alias("_raw"))
@@ -1604,19 +1623,46 @@ def embedding_near_dup_pairs(
     ``broadcast`` True/False pins the pair-join strategy and skips the
     eager sizing ``count()``; None (default) size-gates."""
     build_rows = df.count() if broadcast is None else None
+    # Per-VECTOR norm computed once per side, not once per pair: the
+    # cosine's two norm folds are interpreted HOF passes, and inside
+    # the pair join they ran O(pairs) times.  Same fold expression on
+    # the same vector → bit-identical value, so cosine outputs are
+    # unchanged; only the dot product remains per-pair work.
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
     base = spread(df).select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", norm)
+    a = base.select(
+        "_blk", F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
     )
-    a = base.select("_blk", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    b = base.select("_blk", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    b = base.select(
+        "_blk", F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
     # Size-gated: broadcast a bounded build side, salted shuffle join
     # beyond it (see _block_pair_join).
     pairs = _block_pair_join(
         a, b, build_rows, broadcast_rows=broadcast_rows, broadcast=broadcast
     ).filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # same NULL/NaN contract as cosine_similarity (see its docstring)
+    cos = _bind(
+        F.try_divide(dot, F.col("_na") * F.col("_nb")),
+        lambda c: F.when(~F.isnan(c), c),
+    )
     # raw-value filter (round only for output) — see ngram_jaccard_pairs
     return (
         pairs.select("id_a", "id_b", cos.alias("_raw"))
