@@ -314,6 +314,60 @@ def _gram_hashes(grams: Column, *, hash_family: str = "xxhash64") -> Column:
     return F.transform(grams, lambda g: F.xxhash64(g))
 
 
+# --- bit-exact NumPy replica of Spark's XxHash64 on fixed-width inputs
+# (seed-chained exactly like the Catalyst expression: every non-first
+# argument's hash uses the previous hash as its seed).  Used by the
+# vectorized minhash signature UDF; pinned against F.xxhash64 by test.
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_XXH_SEED = 42
+
+
+def _xxh64_rotl(x, r):
+    import numpy as np
+
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _xxh64_fmix(h):
+    import numpy as np
+
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(_XXH_P2)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(_XXH_P3)
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh64_long(value, seed):
+    """XXH64 of 8-byte little-endian long(s); value uint64 array."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        h = np.uint64(seed) + np.uint64(_XXH_P5) + np.uint64(8)
+        k1 = _xxh64_rotl(value * np.uint64(_XXH_P2), 31) * np.uint64(_XXH_P1)
+        h = h ^ k1
+        h = _xxh64_rotl(h, 27) * np.uint64(_XXH_P1) + np.uint64(_XXH_P4)
+        return _xxh64_fmix(h)
+
+
+def _xxh64_int(i, seed):
+    """XXH64 4-byte-int tail (Spark hashes INT literals as 4 bytes);
+    seed may be a uint64 array (the chained previous hash)."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        h = seed + np.uint64(_XXH_P5) + np.uint64(4)
+        h = h ^ (np.uint64(np.uint32(i)) * np.uint64(_XXH_P1))
+        h = _xxh64_rotl(h, 23) * np.uint64(_XXH_P2) + np.uint64(_XXH_P3)
+        return _xxh64_fmix(h)
+
+
 def _signature_from_hashes(
     hashes: Column, *, num_hashes: int, hash_family: str = "xxhash64"
 ) -> Column:
@@ -340,9 +394,31 @@ def _signature_from_hashes(
         # flavor exists so the whole LSH pipeline is oracle-replicable.
         def _slot_hash(h: Column, i: int) -> Column:
             return F.md5(F.concat(h, F.lit(f":{i}")))
-    else:
-        def _slot_hash(h: Column, i: int) -> Column:
-            return F.xxhash64(h, F.lit(i))
+
+        def _slots(hs: Column) -> Column:
+            # a doc with NO shingles has NO minhash: the former
+            # per-slot sentinel (2^63-1) made every short doc's
+            # signature identical — all sub-shingle-length docs became
+            # mutual "near-dups" with est_jaccard 1.0 and shared one
+            # quadratic band bucket.  NULL signatures are excluded
+            # from banding; exact digest gates catch identical short
+            # docs.
+            return F.when(
+                F.size(hs) > 0,
+                F.array(
+                    *[
+                        F.array_min(
+                            F.transform(hs, lambda h: _slot_hash(h, i))
+                        )
+                        for i in range(num_hashes)
+                    ]
+                ),
+            )
+
+        return _bind(hashes, _slots)
+
+    def _slot_hash(h: Column, i: int) -> Column:
+        return F.xxhash64(h, F.lit(i))
 
     def _slots(hs: Column) -> Column:
         # a doc with NO shingles has NO minhash: the former per-slot
@@ -351,6 +427,17 @@ def _signature_from_hashes(
         # est_jaccard 1.0 and shared one quadratic band bucket.  NULL
         # signatures are excluded from banding; exact digest gates
         # catch identical short docs.
+        #
+        # NOTE: a Column-level pandas UDF would vectorize these k
+        # interpreted passes, but on Spark 4.1 RE-executing a plan
+        # whose projection carries an array-returning pandas UDF loses
+        # the ArrowEvalPython extraction and aborts with
+        # INTERNAL_ERROR "Cannot evaluate expression: PythonUDF"
+        # (scalar-returning UDFs are unaffected; reproduced on a
+        # trivial list-returning UDF).  The DataFrame-shaped callers
+        # take the vectorized :func:`_minhash_sig_frame` (mapInPandas
+        # plans as its own node and re-executes fine); this expression
+        # form stays for the Column API and the md5 family.
         return F.when(
             F.size(hs) > 0,
             F.array(
@@ -364,6 +451,63 @@ def _signature_from_hashes(
         )
 
     return _bind(hashes, _slots)
+
+
+def _minhash_sig_frame(
+    gh_df: DataFrame,
+    *,
+    num_hashes: int,
+    id_col: str = "_id",
+    gh_col: str = "_gh",
+    out_col: str = "_sig",
+) -> DataFrame:
+    """(id, gram-hash array) → (id, k-slot minhash signature) in one
+    vectorized Arrow ``mapInPandas`` pass — the xxhash64-family scan
+    path.  The k slot hashes xxhash64(h, lit(i)) are replicated
+    bit-exactly in NumPy uint64 arithmetic (XXH64 one-long block with
+    seed 42, then the 4-byte-int tail with the previous hash as its
+    seed — pinned by test against F.xxhash64), so signatures, bands
+    and every downstream pair equal the expression form's, while the
+    per-batch work is np.minimum.reduceat over a concatenated hash
+    buffer instead of k interpreted higher-order passes per document.
+    NULL/empty gram arrays yield NULL signatures (the no-shingle rule
+    of :func:`_signature_from_hashes`)."""
+    id_type = gh_df.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            arrs = pdf[gh_col]
+            out = [None] * len(pdf)
+            parts: list = []
+            lens: list = []
+            rows_with: list = []
+            for i, a in enumerate(arrs):
+                if a is None:
+                    continue
+                aa = np.ascontiguousarray(a, dtype="<i8")
+                if aa.size:
+                    parts.append(aa)
+                    lens.append(aa.size)
+                    rows_with.append(i)
+            if parts:
+                allh = np.concatenate(parts).view(np.uint64)
+                h1 = _xxh64_long(allh, _XXH_SEED)
+                lens_arr = np.asarray(lens, dtype=np.int64)
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens_arr[:-1], out=starts[1:])
+                sigs = np.empty((len(lens), num_hashes), dtype=np.int64)
+                for slot in range(num_hashes):
+                    s = _xxh64_int(slot, h1).view(np.int64)
+                    sigs[:, slot] = np.minimum.reduceat(s, starts)
+                for j, row in enumerate(rows_with):
+                    out[row] = sigs[j]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+
+    return gh_df.mapInPandas(
+        batches, schema=f"{id_col} {id_type}, {out_col} array<bigint>"
+    )
 
 
 def minhash_signature(
@@ -555,24 +699,23 @@ def minhash_lsh_pairs(
     self-join (see :func:`_band_candidates`); None disables the cap.
     """
     rows = _band_geometry(num_hashes, bands)
-    # Two-step projection kept for plan readability; correctness-wise
-    # _signature_from_hashes binds its input itself (r6), so even a
-    # single-step minhash_signature call no longer re-shingles per
-    # slot (MinhashIndex uses the single-step form).
-    sig = (
-        spread(df).select(
-            F.col(id_col).alias("_id"),
-            _gram_hashes(
-                token_ngrams(F.col(text_col)), hash_family=hash_family
-            ).alias("_gh"),
-        )
-        .select(
+    gh = spread(df).select(
+        F.col(id_col).alias("_id"),
+        _gram_hashes(
+            token_ngrams(F.col(text_col)), hash_family=hash_family
+        ).alias("_gh"),
+    )
+    if hash_family == "md5":
+        # two-step projection kept for plan readability; correctness-
+        # wise _signature_from_hashes binds its input itself (r6)
+        sig = gh.select(
             "_id",
             _signature_from_hashes(
                 F.col("_gh"), num_hashes=num_hashes, hash_family=hash_family
             ).alias("_sig"),
         )
-    )
+    else:
+        sig = _minhash_sig_frame(gh, num_hashes=num_hashes)
     sig = _cut_lineage(sig, checkpoint_dir)
 
     cand = _band_candidates(
@@ -628,15 +771,14 @@ def minhash_lsh_pairs_against(
     rows = _band_geometry(num_hashes, bands)
 
     def _sigs(df: DataFrame) -> DataFrame:
-        return (
-            spread(df)
-            .select(
-                F.col(id_col).alias("_id"),
-                _gram_hashes(
-                    token_ngrams(F.col(text_col)), hash_family=hash_family
-                ).alias("_gh"),
-            )
-            .select(
+        gh = spread(df).select(
+            F.col(id_col).alias("_id"),
+            _gram_hashes(
+                token_ngrams(F.col(text_col)), hash_family=hash_family
+            ).alias("_gh"),
+        )
+        if hash_family == "md5":
+            return gh.select(
                 "_id",
                 _signature_from_hashes(
                     F.col("_gh"),
@@ -644,7 +786,7 @@ def minhash_lsh_pairs_against(
                     hash_family=hash_family,
                 ).alias("_sig"),
             )
-        )
+        return _minhash_sig_frame(gh, num_hashes=num_hashes)
 
     sig_new = _cut_lineage(_sigs(new), checkpoint_dir)
     sig_old = _cut_lineage(_sigs(existing), checkpoint_dir)
@@ -1712,11 +1854,14 @@ class MinhashIndex:
         self.text_col = text_col
 
     def _sigs(self, corpus: DataFrame) -> DataFrame:
-        return spread(corpus).select(
-            F.col(self.id_col).alias("_id"),
-            minhash_signature(
-                F.col(self.text_col), num_hashes=self.num_hashes
-            ).alias("_sig"),
+        return _minhash_sig_frame(
+            spread(corpus).select(
+                F.col(self.id_col).alias("_id"),
+                _gram_hashes(token_ngrams(F.col(self.text_col))).alias(
+                    "_gh"
+                ),
+            ),
+            num_hashes=self.num_hashes,
         )
 
     @classmethod

@@ -1050,3 +1050,76 @@ def test_unknown_hash_family_raises(spark):
     ):
         with _pytest.raises(ValueError, match="hash_family"):
             fn()
+
+
+def test_xxh64_numpy_replica_matches_spark_xxhash64(spark):
+    """The vectorized minhash signature path claims a bit-exact NumPy
+    replica of Spark's XxHash64 (one-long block seeded 42, then the
+    4-byte-int tail seeded with the previous hash).  Pin it against
+    F.xxhash64 for random longs, the extremes, and every slot index the
+    default geometries use — any drift would silently change every
+    xxhash64-family signature."""
+    import random
+
+    import numpy as np
+
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        _XXH_SEED,
+        _xxh64_int,
+        _xxh64_long,
+    )
+
+    random.seed(7)
+    vals = [random.randint(-(2**63), 2**63 - 1) for _ in range(200)] + [
+        0, 1, -1, 2**63 - 1, -(2**63)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "h long")
+    v = np.array(vals, dtype=np.int64).view(np.uint64)
+    got1 = [r[0] for r in df.select(F.xxhash64(F.col("h"))).collect()]
+    mine1 = _xxh64_long(v, np.uint64(_XXH_SEED)).view(np.int64)
+    assert [int(x) for x in mine1] == got1
+    for i in (0, 1, 31, 63, 127):
+        got2 = [r[0] for r in df.select(F.xxhash64(F.col("h"), F.lit(i))).collect()]
+        mine2 = _xxh64_int(i, _xxh64_long(v, np.uint64(_XXH_SEED))).view(np.int64)
+        assert [int(x) for x in mine2] == got2, f"slot {i}"
+
+
+def test_minhash_sig_frame_matches_expression_form(spark):
+    """_minhash_sig_frame (vectorized mapInPandas scan path) must give
+    the identical signatures, NULL-for-no-shingles included, as the
+    _signature_from_hashes expression form it replaces — and must stay
+    re-executable (Spark 4.1 loses the ArrowEvalPython extraction when
+    an array-returning Column-level pandas UDF plan is re-executed;
+    mapInPandas must not regress the same way)."""
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        _gram_hashes,
+        _minhash_sig_frame,
+        _signature_from_hashes,
+        token_ngrams,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "short"),
+        (3, None),
+        (4, ""),
+        (5, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    gh = df.select(
+        F.col("doc_id").alias("_id"),
+        _gram_hashes(token_ngrams(F.col("text"))).alias("_gh"),
+    )
+    expr = {
+        r["_id"]: r["_sig"]
+        for r in gh.select(
+            "_id",
+            _signature_from_hashes(F.col("_gh"), num_hashes=16).alias("_sig"),
+        ).collect()
+    }
+    for _ in range(2):  # re-execution must not lose the Python node
+        vec = {
+            r["_id"]: r["_sig"]
+            for r in _minhash_sig_frame(gh, num_hashes=16).collect()
+        }
+        assert vec == expr

@@ -444,10 +444,14 @@ def test_graph_queries_stay_jvm_side(spark):
 
 def test_html_extract_is_jvm_only_single_scan(spark):
     """The HTML extraction chain is ~40 regexp/HOF expressions but ONE
-    narrow projection: no Python eval, no shuffle, one documents scan."""
+    narrow projection: no Python eval, no KEY shuffle, one documents
+    scan.  The single allowed Exchange is the deliberate round-robin
+    parallelism spread (the one-file scan would otherwise pin the
+    whole regex chain to one core) — same contract as q_cdc_chunks."""
     plan = _plan(spark, "q_html_extract")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1, plan.count("Exchange")
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert plan.count("Scan parquet") == 1
 
 
