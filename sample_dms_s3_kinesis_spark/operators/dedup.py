@@ -325,6 +325,11 @@ _XXH_P4 = 0x85EBCA77C2B2AE63
 _XXH_P5 = 0x27D4EB2F165667C5
 _XXH_SEED = 42
 
+# Row-slice bound for the vectorized signature/pack UDFs: at most this
+# many concatenated token hashes are materialized per slice (the
+# simhash pack unpacks 64 bytes per hash → ~128 MB transient at 2M).
+_UDF_TOKEN_CHUNK = 2_000_000
+
 
 def _xxh64_rotl(x, r):
     import numpy as np
@@ -394,40 +399,7 @@ def _signature_from_hashes(
         # flavor exists so the whole LSH pipeline is oracle-replicable.
         def _slot_hash(h: Column, i: int) -> Column:
             return F.md5(F.concat(h, F.lit(f":{i}")))
-
-        def _slots(hs: Column) -> Column:
-            # a doc with NO shingles has NO minhash: the former
-            # per-slot sentinel (2^63-1) made every short doc's
-            # signature identical — all sub-shingle-length docs became
-            # mutual "near-dups" with est_jaccard 1.0 and shared one
-            # quadratic band bucket.  NULL signatures are excluded
-            # from banding; exact digest gates catch identical short
-            # docs.
-            return F.when(
-                F.size(hs) > 0,
-                F.array(
-                    *[
-                        F.array_min(
-                            F.transform(hs, lambda h: _slot_hash(h, i))
-                        )
-                        for i in range(num_hashes)
-                    ]
-                ),
-            )
-
-        return _bind(hashes, _slots)
-
-    def _slot_hash(h: Column, i: int) -> Column:
-        return F.xxhash64(h, F.lit(i))
-
-    def _slots(hs: Column) -> Column:
-        # a doc with NO shingles has NO minhash: the former per-slot
-        # sentinel (2^63-1) made every short doc's signature identical
-        # — all sub-shingle-length docs became mutual "near-dups" with
-        # est_jaccard 1.0 and shared one quadratic band bucket.  NULL
-        # signatures are excluded from banding; exact digest gates
-        # catch identical short docs.
-        #
+    else:
         # NOTE: a Column-level pandas UDF would vectorize these k
         # interpreted passes, but on Spark 4.1 RE-executing a plan
         # whose projection carries an array-returning pandas UDF loses
@@ -438,6 +410,16 @@ def _signature_from_hashes(
         # take the vectorized :func:`_minhash_sig_frame` (mapInPandas
         # plans as its own node and re-executes fine); this expression
         # form stays for the Column API and the md5 family.
+        def _slot_hash(h: Column, i: int) -> Column:
+            return F.xxhash64(h, F.lit(i))
+
+    def _slots(hs: Column) -> Column:
+        # a doc with NO shingles has NO minhash: the former per-slot
+        # sentinel (2^63-1) made every short doc's signature identical
+        # — all sub-shingle-length docs became mutual "near-dups" with
+        # est_jaccard 1.0 and shared one quadratic band bucket.  NULL
+        # signatures are excluded from banding; exact digest gates
+        # catch identical short docs.
         return F.when(
             F.size(hs) > 0,
             F.array(
@@ -460,6 +442,7 @@ def _minhash_sig_frame(
     id_col: str = "_id",
     gh_col: str = "_gh",
     out_col: str = "_sig",
+    token_chunk: int = _UDF_TOKEN_CHUNK,
 ) -> DataFrame:
     """(id, gram-hash array) → (id, k-slot minhash signature) in one
     vectorized Arrow ``mapInPandas`` pass — the xxhash64-family scan
@@ -491,18 +474,30 @@ def _minhash_sig_frame(
                     parts.append(aa)
                     lens.append(aa.size)
                     rows_with.append(i)
-            if parts:
-                allh = np.concatenate(parts).view(np.uint64)
+            # row-sliced like the simhash pack: the concatenated hash
+            # buffer (and each slot's rehash of it) stays bounded no
+            # matter how long the documents in a batch are
+            lo = 0
+            while lo < len(parts):
+                hi = lo
+                tok = 0
+                while hi < len(parts) and (
+                    hi == lo or tok + lens[hi] <= token_chunk
+                ):
+                    tok += lens[hi]
+                    hi += 1
+                allh = np.concatenate(parts[lo:hi]).view(np.uint64)
                 h1 = _xxh64_long(allh, _XXH_SEED)
-                lens_arr = np.asarray(lens, dtype=np.int64)
-                starts = np.zeros(len(lens), dtype=np.int64)
+                lens_arr = np.asarray(lens[lo:hi], dtype=np.int64)
+                starts = np.zeros(hi - lo, dtype=np.int64)
                 np.cumsum(lens_arr[:-1], out=starts[1:])
-                sigs = np.empty((len(lens), num_hashes), dtype=np.int64)
+                sigs = np.empty((hi - lo, num_hashes), dtype=np.int64)
                 for slot in range(num_hashes):
                     s = _xxh64_int(slot, h1).view(np.int64)
                     sigs[:, slot] = np.minimum.reduceat(s, starts)
-                for j, row in enumerate(rows_with):
-                    out[row] = sigs[j]
+                for j in range(hi - lo):
+                    out[rows_with[lo + j]] = sigs[j]
+                lo = hi
             yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
 
     return gh_df.mapInPandas(
@@ -798,6 +793,7 @@ def minhash_lsh_pairs_against(
         threshold=threshold,
         max_band_width=max_band_width,
         hash_family=hash_family,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -810,6 +806,7 @@ def _cross_pairs_from_signatures(
     threshold: float,
     max_band_width: int | None,
     hash_family: str = "xxhash64",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Shared new × existing tail of the incremental near-dup gate:
     band join on (_band, _bh) → distinct candidates → signature-match
@@ -832,6 +829,12 @@ def _cross_pairs_from_signatures(
 
     bn, bo = _banded(sig_new), _banded(sig_old)
     if max_band_width is not None:
+        # the hot-bucket count reads bo once and the anti-join/probe
+        # side reads it again — materialize the EXISTING corpus's band
+        # frame so its band-hash projection + explode runs once (the
+        # same fix _band_candidates got for the self-join); with no
+        # cap bo is consumed exactly once and needs no cut
+        bo = _cut_lineage(bo, checkpoint_dir)
         bo = _drop_hot_buckets(bo, max_band_width)
     cand = (
         bn.alias("x")
@@ -1036,7 +1039,9 @@ def _token_hashes(col: Column, *, hash_family: str = "xxhash64") -> Column:
     return F.transform(toks, lambda t: F.xxhash64(t))
 
 
-def _simhash_from_hashes(hashes: Column, *, bits: int = 64) -> Column:
+def _simhash_from_hashes(
+    hashes: Column, *, bits: int = 64, token_chunk: int = _UDF_TOKEN_CHUNK
+) -> Column:
     """Pack the majority sign of each bit position into one long.
     bit j set ⟺ Σ±1 over tokens > 0 ⟺ 2·count(bit j set) > n_tokens.
 
@@ -1076,16 +1081,28 @@ def _simhash_from_hashes(hashes: Column, *, bits: int = 64) -> Column:
                 parts.append(aa)
                 lens.append(aa.size)
                 rows_with_tokens.append(i)
-        if parts:
-            allh = np.concatenate(parts)
-            # (total_tokens, 64) bit matrix, column j == getbit(h, j):
+        # Bound the transient (tokens × 64)-byte bit matrix: process
+        # row slices of at most _UDF_TOKEN_CHUNK concatenated hashes
+        # (~128 MB unpacked at the default) so a batch of very long
+        # documents cannot allocate an executor-killing matrix — the
+        # per-slice math is unchanged (reduceat segments never span
+        # slices because slices split on row boundaries).
+        lo = 0
+        while lo < len(parts):
+            hi = lo
+            tok = 0
+            while hi < len(parts) and (hi == lo or tok + lens[hi] <= token_chunk):
+                tok += lens[hi]
+                hi += 1
+            allh = np.concatenate(parts[lo:hi])
+            # (slice_tokens, 64) bit matrix, column j == getbit(h, j):
             # little-endian byte layout ('<i8' above) puts byte 0 = LSB,
             # and bitorder="little" puts bit 0 of each byte first.
             bit_mat = np.unpackbits(
                 allh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
             )
-            lens_arr = np.asarray(lens, dtype=np.int64)
-            starts = np.zeros(len(lens), dtype=np.int64)
+            lens_arr = np.asarray(lens[lo:hi], dtype=np.int64)
+            starts = np.zeros(hi - lo, dtype=np.int64)
             np.cumsum(lens_arr[:-1], out=starts[1:])
             counts = np.add.reduceat(
                 bit_mat, starts, axis=0, dtype=np.int64
@@ -1099,7 +1116,10 @@ def _simhash_from_hashes(hashes: Column, *, bits: int = 64) -> Column:
                 .view("<i8")
                 .ravel()
             )
-            out[np.asarray(rows_with_tokens, dtype=np.int64)] = packed
+            out[
+                np.asarray(rows_with_tokens[lo:hi], dtype=np.int64)
+            ] = packed
+            lo = hi
         # A NULL token array (NULL text) must give a NULL fingerprint,
         # not 0: fingerprint 0 would stamp every NULL-text doc as a
         # mutual hamming-0 near-dup (the simhash analog of the minhash
@@ -1904,6 +1924,7 @@ class MinhashIndex:
             bands=self.bands,
             threshold=threshold,
             max_band_width=max_band_width,
+            checkpoint_dir=checkpoint_dir,
         )
 
     def admit(

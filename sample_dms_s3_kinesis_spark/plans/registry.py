@@ -51,6 +51,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _dec(col, scale: int = 2):
+    """Reference implementation the ``_cents`` audit compares against
+    (no live call sites since the scaled-long migration): the decimal
+    cast whose HALF_UP rounding ``_cents`` must match cent-for-cent.
+    New money queries should use ``_cents``/``_sum_cents`` — per-row
+    decimal arithmetic was the single largest cost in the TPC-H
+    aggregates (q01: 1.22 s of 1.4 s at sf0.1)."""
     return col.cast(f"decimal(18,{scale})")
 
 

@@ -44,7 +44,9 @@ from pyspark.sql import types as T
 from sample_dms_s3_kinesis_spark.operators.dedup import (
     _cross_pairs_from_signatures,
     _cut_lineage,
-    minhash_signature,
+    _gram_hashes,
+    _minhash_sig_frame,
+    token_ngrams,
 )
 from sample_dms_s3_kinesis_spark.operators.partitioning import spread
 from sample_dms_s3_kinesis_spark.tasks import (
@@ -506,11 +508,15 @@ class CorpusIngestTask(ReplicationTask):
                 )
 
     def _sig_frame(self, docs: DataFrame) -> DataFrame:
-        return spread(docs).select(
-            F.col("doc_id").alias("_id"),
-            minhash_signature(
-                F.col("text"), num_hashes=self.num_hashes
-            ).alias("_sig"),
+        # vectorized scan path (see dedup._minhash_sig_frame) — same
+        # signatures as the former minhash_signature expression form,
+        # so persisted stores written by either are interchangeable
+        return _minhash_sig_frame(
+            spread(docs).select(
+                F.col("doc_id").alias("_id"),
+                _gram_hashes(token_ngrams(F.col("text"))).alias("_gh"),
+            ),
+            num_hashes=self.num_hashes,
         )
 
     def _derived_store(

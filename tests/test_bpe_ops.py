@@ -70,6 +70,25 @@ def test_bpe_train_matches_python_reference(spark):
     assert all(cnt >= 2 for _, _, cnt in got)
 
 
+def test_bpe_train_distributed_loop_matches_driver_gate(spark):
+    """driver_threshold=0 forces the DISTRIBUTED merge loop (the path
+    that actually runs above the gate at scale); it must learn exactly
+    the merges the driver loop and the Python reference produce —
+    without this pin the Sennrich tests only ever exercise the driver
+    path (every test vocabulary is tiny)."""
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "low lower newest",
+    ]
+    dist = bpe.bpe_train_merges(
+        _df(spark, texts), n_merges=10, driver_threshold=0
+    )
+    drv = bpe.bpe_train_merges(_df(spark, texts), n_merges=10)
+    assert dist == drv == _ref_train(texts, 10)
+
+
 def test_bpe_train_min_pair_count_stops(spark):
     # every word unique, every pair count 1 -> no merge at threshold 2
     texts = ["abc def", "ghi jkl"]

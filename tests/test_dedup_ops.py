@@ -1123,3 +1123,46 @@ def test_minhash_sig_frame_matches_expression_form(spark):
             for r in _minhash_sig_frame(gh, num_hashes=16).collect()
         }
         assert vec == expr
+
+
+def test_vectorized_udf_row_slicing_is_value_transparent(spark):
+    """The bounded row-slicing inside the vectorized signature/pack
+    UDFs (the OOM guard for batches of very long documents) must not
+    change a single value: force multi-slice execution with a tiny
+    token_chunk and compare against the single-slice result."""
+    from sample_dms_s3_kinesis_spark.operators.dedup import (
+        _gram_hashes,
+        _minhash_sig_frame,
+        _simhash_from_hashes,
+        _token_hashes,
+        token_ngrams,
+    )
+
+    rows = [(i, f"token{i} " * (3 + i % 7) + "shared words here") for i in range(20)]
+    rows += [(99, None), (100, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    gh = df.select(
+        F.col("doc_id").alias("_id"),
+        _gram_hashes(token_ngrams(F.col("text"))).alias("_gh"),
+    )
+    one = {r["_id"]: r["_sig"] for r in _minhash_sig_frame(gh, num_hashes=8).collect()}
+    many = {
+        r["_id"]: r["_sig"]
+        for r in _minhash_sig_frame(gh, num_hashes=8, token_chunk=3).collect()
+    }
+    assert many == one
+    th = df.select("doc_id", _token_hashes(F.col("text")).alias("_th"))
+    one_sh = {
+        r["doc_id"]: r["fp"]
+        for r in th.select(
+            "doc_id", _simhash_from_hashes(F.col("_th")).alias("fp")
+        ).collect()
+    }
+    many_sh = {
+        r["doc_id"]: r["fp"]
+        for r in th.select(
+            "doc_id",
+            _simhash_from_hashes(F.col("_th"), token_chunk=3).alias("fp"),
+        ).collect()
+    }
+    assert many_sh == one_sh
