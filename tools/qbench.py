@@ -58,16 +58,18 @@ def main() -> int:
         df = REGISTRY[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - t0
+        n_jobs = len(tracker.getJobIdsForGroup() or []) - jobs_before
         spark.catalog.clearCache()
         gc.collect()
         spark._jvm.System.gc()
-        return elapsed, jobs_before
+        return elapsed, n_jobs
 
     for name in names:
         once(name)  # warm: codegen/JIT
-        times = [once(name)[0] for _ in range(runs)]
+        results = [once(name) for _ in range(runs)]
+        times = [t for t, _ in results]
         print(
-            f"{name:36s} min={min(times):7.3f}s  "
+            f"{name:36s} min={min(times):7.3f}s  jobs={results[0][1]}  "
             f"runs={' '.join(f'{t:.3f}' for t in times)}",
             flush=True,
         )
